@@ -1,0 +1,161 @@
+package graft.plans
+
+import graft.dsl.TableSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Propagates row filters through the FK graph as DataFrame rewrites.
+  *
+  * Where the reference compiles subsetting into source-side SQL — IN
+  * subqueries and recursive CTEs evaluated by PostgreSQL
+  * (simple-anonymizer/src/scala/simpleanonymizer/FilterPropagation.scala:26-51,
+  * 73-99) — this engine expresses the same semantics as Spark plan rewrites:
+  *
+  *   - parent filter → child LEFT SEMI join on the filtered parent's keys
+  *     (composite FKs become multi-column join conditions, i.e. tuple-IN);
+  *   - multiple filtered parents AND together (chained semi joins);
+  *   - transitivity falls out of reusing each child's filtered frame as the
+  *     semi-join right side for ITS children (tables walked in topo order);
+  *   - self-referencing FKs get an iterative reachability fixpoint
+  *     ([[SelfRefClosure]]) replacing the recursive CTE (Spark SQL has none).
+  *
+  * Scale notes: the semi-join right side is pruned to the parent's key
+  * columns, so AQE can broadcast it when the subset is small (the common
+  * case after filtering); nothing here collects to the driver.
+  */
+object FilterPropagation {
+
+  /** Compute the EFFECTIVE (explicit + propagated) frame for every table.
+    *
+    * @param catalog  table name → source DataFrame
+    * @param manifest FK manifest (composite columns pre-grouped)
+    * @param explicitClauses user-provided filter per table, if any
+    * @return table name → effective DataFrame; tables with no explicit or
+    *         inherited filter map to their catalog frame unchanged.
+    */
+  def computeFilteredTables(
+      catalog: Map[String, DataFrame],
+      manifest: SchemaManifest,
+      explicitClauses: String => Option[TableSpec.WhereClause]
+  ): Map[String, DataFrame] = {
+    val fksByChild = manifest.fks.groupBy(_.childTable).withDefaultValue(Nil)
+    val ordered    = TableSorter(manifest.tables, manifest.fks).flatten
+
+    // Tracks which tables actually received a filter — only those propagate.
+    val filteredSet = scala.collection.mutable.Set.empty[String]
+
+    ordered.foldLeft(Map.empty[String, DataFrame]) { (acc, table) =>
+      val df                        = catalog(table)
+      val (selfRefFks, crossRefFks) = fksByChild(table).partition(_.isSelfRef)
+
+      val explicit   = explicitClauses(table)
+      val afterWhere = explicit.map(w => df.where(w.toCondition)).getOrElse(df)
+
+      // Cross-FK semi joins against each FILTERED parent's effective frame.
+      val filteredParents = crossRefFks.filter(fk => filteredSet.contains(fk.parentTable))
+      val afterSemi = filteredParents.foldLeft(afterWhere) { (child, fk) =>
+        semiJoinOnKeys(child, acc(fk.parentTable), fk)
+      }
+
+      val hasBaseFilter = explicit.nonEmpty || filteredParents.nonEmpty
+
+      // Self-ref closures: each independent, computed from the SAME base
+      // (explicit + cross-ref), matching reference FilterPropagation.scala:90-94.
+      val result =
+        if (hasBaseFilter && selfRefFks.nonEmpty)
+          selfRefFks.foldLeft(afterSemi) { (cur, fk) =>
+            SelfRefClosure.filterReachable(cur, afterSemi, fk.fkColumns, fk.pkColumns)
+          }
+        else afterSemi
+
+      if (hasBaseFilter) filteredSet += table
+      acc + (table -> result)
+    }
+  }
+
+  /** `child LEFT SEMI JOIN parent` on the FK's column pairs. The right side
+    * is pruned to the parent key columns (renamed to avoid ambiguity).
+    */
+  private[plans] def semiJoinOnKeys(child: DataFrame, parent: DataFrame, fk: LogicalFK): DataFrame = {
+    val renamed = fk.pkColumns.map(c => s"__graft_pk_$c")
+    val keys    = parent.select(fk.pkColumns.map(col): _*).toDF(renamed: _*)
+    val cond = fk.fkColumns
+      .zip(renamed)
+      .map { case (fc, pc) => child(fc) === keys(pc) }
+      .reduce(_ && _)
+    child.join(keys, cond, "left_semi")
+  }
+}
+
+/** Transitive-closure operator for self-referencing FKs — the Spark
+  * replacement for the reference's recursive CTE
+  * (simple-anonymizer/src/scala/simpleanonymizer/FilterPropagation.scala:23-51).
+  *
+  * Spark SQL has no recursive CTE, so reachability is an iterative DataFrame
+  * fixpoint: start from roots (all FK columns NULL) within the filtered base,
+  * repeatedly add rows whose parent key is already reachable, stop when an
+  * iteration adds nothing. Each iteration is localCheckpoint()ed to truncate
+  * lineage (otherwise the plan grows linearly with hierarchy depth and
+  * re-executes from scratch each round).
+  */
+object SelfRefClosure {
+
+  /** Filter `target` to rows whose FK is NULL or whose FK points at a
+    * reachable row of `base` — i.e. the reference's final predicate
+    * `(fk IS NULL) OR (fkCols) IN (closure CTE)` with the closure computed
+    * over `base` (the explicitly+cross-filtered frame).
+    *
+    * @param target frame to filter (usually == base)
+    * @param base   frame defining roots and the recursion universe
+    */
+  def filterReachable(
+      target: DataFrame,
+      base: DataFrame,
+      fkCols: Seq[String],
+      pkCols: Seq[String],
+      maxIterations: Int = 1000
+  ): DataFrame = {
+    val fkNull    = fkCols.map(col(_).isNull).reduce(_ && _)
+    val reachable = reachableKeys(base, fkCols, pkCols, maxIterations)
+
+    val renamed = pkCols.map(c => s"__graft_r_$c")
+    val keys    = reachable.toDF(renamed: _*)
+    val cond = fkCols
+      .zip(renamed)
+      .map { case (fc, rc) => target(fc) === keys(rc) }
+      .reduce(_ && _)
+
+    // fk-null rows appear only in the first branch (NULL never equi-matches),
+    // so the union is disjoint — no dedup needed.
+    target.where(fkNull).unionByName(target.join(keys, cond, "left_semi"))
+  }
+
+  /** PK tuples of all rows of `base` reachable from fk-null roots through
+    * the self-ref chain (every hop must itself satisfy `base`).
+    */
+  def reachableKeys(
+      base: DataFrame,
+      fkCols: Seq[String],
+      pkCols: Seq[String],
+      maxIterations: Int = 1000
+  ): DataFrame = {
+    val fkNull  = fkCols.map(col(_).isNull).reduce(_ && _)
+    val renamed = pkCols.map(c => s"__graft_r_$c")
+
+    var reachable = base.where(fkNull).select(pkCols.map(col): _*).localCheckpoint()
+    var frontier  = reachable
+    var iters     = 0
+    while (iters < maxIterations && !frontier.isEmpty) {
+      val keys = frontier.toDF(renamed: _*)
+      val cond = fkCols
+        .zip(renamed)
+        .map { case (fc, rc) => base(fc) === keys(rc) }
+        .reduce(_ && _)
+      val next = base.join(keys, cond, "left_semi").select(pkCols.map(col): _*)
+      frontier = next.except(reachable).localCheckpoint()
+      reachable = reachable.unionByName(frontier).localCheckpoint()
+      iters += 1
+    }
+    reachable
+  }
+}

@@ -1,5 +1,6 @@
 package graft.tools
 
+import graft.Graft
 import graft.functions.{GraftFunctions, Lens}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -60,6 +61,44 @@ object Smoke {
     )
     println("=== lens Field(name) with FullName anonymizer ===")
     out.show(3, truncate = false)
+
+    // Full pipeline drive: subsetting + anonymization across the FK graph
+    // region ← nation ← {customer, supplier}, orders ← customer, lineitem ← orders.
+    import graft.dsl.TableSpec
+    import graft.plans.{LogicalFK, SchemaManifest}
+    val tables = Seq("region", "nation", "customer", "orders", "lineitem")
+    val manifest = SchemaManifest(
+      tables = tables,
+      pks = Map(
+        "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
+        "customer" -> Seq("c_custkey"), "orders" -> Seq("o_orderkey"),
+        "lineitem" -> Seq("l_orderkey", "l_linenumber")
+      ),
+      fks = Seq(
+        LogicalFK("fk_nation_region", "nation", "region", Seq(("n_regionkey", "r_regionkey"))),
+        LogicalFK("fk_cust_nation", "customer", "nation", Seq(("c_nationkey", "n_nationkey"))),
+        LogicalFK("fk_orders_cust", "orders", "customer", Seq(("o_custkey", "c_custkey"))),
+        LogicalFK("fk_li_orders", "lineitem", "orders", Seq(("l_orderkey", "o_orderkey")))
+      )
+    )
+    val catalog = Graft.parquetCatalog(spark, sfDir, tables)
+    val graftRunner = new Graft(catalog, manifest)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-smoke").toString
+    val counts = graftRunner.run(outDir, spark)(
+      "region"   -> TableSpec.select(row => Seq(row.r_name)).where("r_regionkey = 0"),
+      "nation"   -> TableSpec.select(row => Seq(row.n_name)),
+      "customer" -> TableSpec.select(row => Seq(
+        row.c_name.mapString(graft.functions.Anonymizer.FullName),
+        row.c_acctbal, row.c_mktsegment)),
+      "orders"   -> TableSpec.select(row => Seq(
+        row.o_orderstatus, row.o_totalprice, row.o_orderdate, row.o_orderpriority)),
+      "lineitem" -> TableSpec.select(row => Seq(
+        row.l_partkey, row.l_suppkey, row.l_quantity, row.l_extendedprice,
+        row.l_discount, row.l_tax, row.l_returnflag, row.l_linestatus, row.l_shipdate))
+    )
+    println(s"=== graft run (region filter propagated 4 hops) ===")
+    println(s"counts: $counts")
+    println(s"wrote to $outDir")
 
     spark.stop()
   }

@@ -1,0 +1,126 @@
+package graft
+
+import graft.dsl.TableSpec
+import graft.functions.Anonymizer
+import graft.plans.{CoverageValidator, LogicalFK, SchemaManifest}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class GraftSpec extends SparkSpec {
+
+  private lazy val users = spark.createDataFrame(
+    java.util.Arrays.asList(
+      Row(1, "Ann", "ann@real.com"),
+      Row(2, "Bob", "bob@real.com"),
+      Row(3, "Cid", null)
+    ),
+    StructType(Seq(
+      StructField("id", IntegerType, false),
+      StructField("name", StringType),
+      StructField("email", StringType)
+    ))
+  )
+  private lazy val orders = spark.createDataFrame(
+    java.util.Arrays.asList(
+      Row(10, 1, "note-a"),
+      Row(11, 3, "note-b")
+    ),
+    StructType(Seq(
+      StructField("id", IntegerType, false),
+      StructField("user_id", IntegerType, false),
+      StructField("note", StringType)
+    ))
+  )
+
+  private lazy val manifest = SchemaManifest(
+    tables = Seq("users", "orders"),
+    pks = Map("users" -> Seq("id"), "orders" -> Seq("id")),
+    fks = Seq(LogicalFK("fk_orders_users", "orders", "users", Seq(("user_id", "id"))))
+  )
+  private lazy val graft = new Graft(Map("users" -> users, "orders" -> orders), manifest)
+
+  describe("plan") {
+    it("auto-passes PK/FK columns through and applies transforms") {
+      val plans = graft.plan(
+        "users"  -> TableSpec.select(row => Seq(row.name.mapString(Anonymizer.FirstName), row.email.mapString(Anonymizer.Email))),
+        "orders" -> TableSpec.select(row => Seq(row.note))
+      )
+      plans("users").columns should contain("id") // merged PK
+      plans("orders").columns.toSet shouldBe Set("note", "id", "user_id") // merged PK + FK
+      val names = plans("users").select("name").collect().map(_.getString(0))
+      names.foreach(n => _root_.graft.functions.DataLists.firstNames should contain(n))
+    }
+    it("explicit spec entries override automatic key passthrough") {
+      val plans = graft.plan(
+        "users"  -> TableSpec.select(row => Seq(row.id := 0, row.name, row.email)),
+        "orders" -> TableSpec.select(row => Seq(row.note))
+      )
+      plans("users").select("id").collect().map(_.getInt(0)).distinct shouldBe Array(0)
+    }
+    it("propagates filters into the plan (orders of filtered users)") {
+      val plans = graft.plan(
+        "users"  -> TableSpec.select(row => Seq(row.name, row.email)).where("id <= 1"),
+        "orders" -> TableSpec.select(row => Seq(row.note))
+      )
+      plans("orders").select("id").collect().map(_.getInt(0)) shouldBe Array(10)
+    }
+    it("fails fast when a table has no spec, with a copy-pastable snippet") {
+      val e = intercept[IllegalArgumentException] {
+        graft.plan("users" -> TableSpec.select(row => Seq(row.name, row.email)))
+      }
+      e.getMessage should include("Missing table specs for 1 table(s)")
+      e.getMessage should include(""""orders" -> TableSpec.select { row =>""")
+      e.getMessage should include("row.note")
+      e.getMessage should not include "row.user_id" // FK columns are auto-passed
+    }
+    it("fails fast when a spec misses data columns") {
+      val e = intercept[IllegalArgumentException] {
+        graft.plan(
+          "users"  -> TableSpec.select(row => Seq(row.name)),
+          "orders" -> TableSpec.select(row => Seq(row.note))
+        )
+      }
+      e.getMessage should include("Table 'users' is missing 1 column(s)")
+      e.getMessage should include("row.email")
+    }
+    it("fails fast on unknown spec columns") {
+      val e = intercept[IllegalArgumentException] {
+        graft.plan(
+          "users"  -> TableSpec.select(row => Seq(row.name, row.email, row.nope)),
+          "orders" -> TableSpec.select(row => Seq(row.note))
+        )
+      }
+      e.getMessage should include("Unknown columns in spec for table 'users': nope")
+    }
+    it("skipped tables need no spec and are not planned") {
+      val g     = new Graft(Map("users" -> users, "orders" -> orders), manifest, skippedTables = Set("orders"))
+      val plans = g.plan("users" -> TableSpec.select(row => Seq(row.name, row.email)))
+      plans.keySet shouldBe Set("users")
+    }
+  }
+
+  describe("run") {
+    it("writes per-table parquet and returns row counts") {
+      val out = java.nio.file.Files.createTempDirectory("graft-run").toString
+      val counts = graft.run(out, spark)(
+        "users"  -> TableSpec.select(row => Seq(row.name.mapString(Anonymizer.FirstName), row.email.mapString(Anonymizer.Email))).where("id <= 2"),
+        "orders" -> TableSpec.select(row => Seq(row.note))
+      )
+      counts shouldBe Map("users" -> 2L, "orders" -> 1L)
+      val written = spark.read.parquet(s"$out/users")
+      written.count() shouldBe 2
+      // Determinism: anonymized copy is reproducible.
+      written.select("name").collect().map(_.getString(0)).sorted shouldBe
+        Array("Ann", "Bob").map(Anonymizer.FirstName(_)).sorted
+    }
+  }
+
+  describe("CoverageValidator.getDataColumns") {
+    it("excludes PK and FK columns") {
+      CoverageValidator.getDataColumns(
+        "orders", manifest,
+        Map("orders" -> Seq("id", "user_id", "note"))
+      ) shouldBe Seq("note")
+    }
+  }
+}
