@@ -1,13 +1,300 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dsl.TableSpec
+import graft.functions.{Anonymizer, GraftFunctions, Lens}
+import graft.plans.{SelfRefClosure, TableSorter}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract: one `queries` entry (+ DuckDB `oracleSql`) per operator
+  * from SURVEY.md §2. Every computed column is aliased identically in the
+  * Spark code and the oracle SQL (the driver's compare sorts columns by name
+  * before hashing). All results carry a deterministic ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the full anonymize+subset pipeline over sf0.001 — filter
+    * propagated region→nation→customer, names/emails anonymized.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir   = "/root/testdata/sf0.001"
+    val tables  = Seq("region", "nation", "customer")
+    val manifest = Tpch.manifest.copy(
+      tables = tables,
+      fks = Tpch.manifest.fks.filter(fk => tables.contains(fk.childTable) && tables.contains(fk.parentTable))
+    )
+    val graft = new Graft(Tpch.catalog(spark, sfDir).view.filterKeys(tables.contains).toMap, manifest)
+    graft.plan(
+      "region"   -> TableSpec.select(row => Seq(row.r_name)).where("r_regionkey <= 2"),
+      "nation"   -> TableSpec.select(row => Seq(row.n_name)),
+      "customer" -> TableSpec.select(row => Seq(
+        row.c_name.mapString(Anonymizer.FullName),
+        row.c_acctbal,
+        row.c_mktsegment
+      ))
+    )("customer")
+  }
+
+  import Tpch.{table => t}
+
+  // ---------------------------------------------------------------------
+  // Queries: (SparkSession, sfDir) => DataFrame
+  // ---------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/F1/P1: scan + filter + projection (pushdown-friendly).
+    "q_scan_filter_project" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .where("c_acctbal > 5000 AND c_mktsegment = 'BUILDING'")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")),
+
+    // O1: top-N (TakeOrderedAndProject — no global sort).
+    "q_topn" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy(col("o_orderkey").desc)
+        .limit(100)),
+
+    // Aggregation with exact decimal sums (doubles would be order-sensitive).
+    "q_agg_group" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(DecimalType(12, 2))).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(14, 2))).as("sum_price")
+        )
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A1: count over a filtered scan.
+    "q_count_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem").where("l_quantity > 25").agg(count(lit(1)).as("cnt"))),
+
+    // A2: sequence-reset value (coalesce(max(id),0)+1).
+    "q_max_plus_one" -> ((s, dir) =>
+      t(s, dir, "orders").agg((coalesce(max("o_orderkey"), lit(0L)) + 1).as("next_id"))),
+
+    // F2/J1: left-semi equi-join on a filtered parent.
+    "q_semijoin" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").where("o_totalprice > 400000").select("o_orderkey")
+      val li     = t(s, dir, "lineitem")
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // F2 transitive: full planner drive — customer filter propagates
+    // customer→orders→lineitem through Graft.plan (coverage+keys+semi-joins).
+    "q_propagation_2hop" -> ((s, dir) => {
+      val graft = new Graft(Tpch.catalog(s, dir), Tpch.manifest)
+      val plans = graft.plan(
+        "region"   -> TableSpec.select(row => Seq(row.r_name)),
+        "nation"   -> TableSpec.select(row => Seq(row.n_name)),
+        "customer" -> TableSpec.select(row => Seq(row.c_name, row.c_acctbal, row.c_mktsegment))
+          .where("c_mktsegment = 'BUILDING'"),
+        "supplier" -> TableSpec.select(row => Seq(row.s_name, row.s_acctbal)),
+        "part"     -> TableSpec.select(row => Seq(row.p_name, row.p_brand, row.p_type, row.p_size, row.p_retailprice)),
+        "orders"   -> TableSpec.select(row => Seq(row.o_orderstatus, row.o_totalprice, row.o_orderdate, row.o_orderpriority)),
+        "lineitem" -> TableSpec.select(row => Seq(
+          row.l_quantity, row.l_extendedprice, row.l_discount, row.l_tax,
+          row.l_returnflag, row.l_linestatus, row.l_shipdate))
+      )
+      plans("lineitem").select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // F3: self-ref closure (recursive-CTE semantics as iterative fixpoint)
+    // over a derived binary-heap hierarchy of customers.
+    "q_selfref_closure" -> ((s, dir) => {
+      val h = t(s, dir, "customer").selectExpr(
+        "c_custkey AS id",
+        "CASE WHEN c_custkey > 0 THEN c_custkey div 2 END AS parent_id",
+        "c_acctbal"
+      )
+      val base = h.where("c_acctbal > 1000")
+      SelfRefClosure
+        .filterReachable(base, base, Seq("parent_id"), Seq("id"))
+        .select("id")
+        .orderBy("id")
+    }),
+
+    // G1: FK-topological leveling (driver-side plan, checked as data).
+    "q_topo_levels" -> ((s, dir) => {
+      val levels = TableSorter.computeTableLevels(Tpch.tables, Tpch.manifest.fks)
+      val rows   = levels.toSeq.sortBy(_._1).map { case (n, l) => Row(n, l) }
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("table_name", StringType), StructField("lvl", IntegerType)))
+      ).orderBy("table_name")
+    }),
+
+    // X2-X6: name anonymizers (P2 string-map projections).
+    "q_anon_names" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        GraftFunctions.firstName(col("c_name")).as("fn"),
+        GraftFunctions.maleFirstName(col("c_name")).as("mfn"),
+        GraftFunctions.femaleFirstName(col("c_name")).as("ffn"),
+        GraftFunctions.lastName(col("c_name")).as("ln"),
+        GraftFunctions.fullName(col("c_name")).as("full_name")
+      ).orderBy("c_custkey")),
+
+    // X5, X7-X11: contact-data anonymizers.
+    "q_anon_contact" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        GraftFunctions.email(col("c_name")).as("email"),
+        GraftFunctions.phoneNumber(col("c_name")).as("phone"),
+        GraftFunctions.streetAddress(col("c_name")).as("street"),
+        GraftFunctions.city(col("c_name")).as("city"),
+        GraftFunctions.state(col("c_name")).as("st"),
+        GraftFunctions.stateAbbr(col("c_name")).as("st_abbr"),
+        GraftFunctions.country(col("c_name")).as("country"),
+        GraftFunctions.zipCode(col("c_name")).as("zip")
+      ).orderBy("c_custkey")),
+
+    // X12-X14: redaction + lorem.
+    "q_anon_redact" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        GraftFunctions.redact(col("c_mktsegment")).as("seg_redacted"),
+        GraftFunctions.partialRedact(2, 2)(col("c_name")).as("pr22"),
+        GraftFunctions.partialRedact(1, 3)(col("c_name")).as("pr13"),
+        GraftFunctions.loremText(col("c_name")).as("lorem")
+      ).orderBy("c_custkey")),
+
+    // P8/X6: JSON Field lens with an anonymizer focused on one field.
+    "q_lens_field" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        GraftFunctions.lensUdf(Lens.Field("name"), Anonymizer.FullName)(
+          concat(lit("{\"name\": \""), col("c_name"), lit("\", \"seg\": \""), col("c_mktsegment"), lit("\"}"))
+        ).as("anon_json")
+      ).orderBy("c_custkey")),
+
+    // P6/P9/X8: ArrayElements(Field) lens over a JSON array.
+    "q_lens_array" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        GraftFunctions.lensUdf(Lens.ArrayElements(Lens.Field("number")), Anonymizer.PhoneNumber)(
+          concat(
+            lit("[{\"type\": \"home\", \"number\": \""), col("c_name"),
+            lit("\"}, {\"type\": \"work\", \"number\": \""), col("c_mktsegment"), lit("\"}]")
+          )
+        ).as("anon_array")
+      ).orderBy("c_custkey")),
+
+    // P10: lens error tolerance — numeric field → warn + compact passthrough.
+    "q_lens_numeric_passthrough" -> ((s, dir) =>
+      Tpch.events(s, dir).select(
+        col("event_id"),
+        GraftFunctions.lensUdf(Lens.Field("k"), Anonymizer.Redact)(col("props")).as("props_out")
+      ).orderBy("event_id")),
+
+    // Event-time tumbling window aggregation (ts arrives as nanos Long).
+    "q_events_window" -> ((s, dir) =>
+      Tpch.events(s, dir)
+        .withColumn("hour_start", timestamp_seconds((col("ts") / lit(3600000000000L)).cast("long") * 3600))
+        .groupBy("hour_start", "event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(12, 2))).as("sum_value")
+        )
+        .orderBy("hour_start", "event_type"))
+  )
+
+  // ---------------------------------------------------------------------
+  // Oracles: equivalent DuckDB SQL over the same parquet tables.
+  // ---------------------------------------------------------------------
+  def oracleSql: Map[String, String] = {
+    import OracleGen._
+    Map(
+      "q_scan_filter_project" ->
+        """SELECT c_custkey, c_name, c_acctbal FROM customer
+          |WHERE c_acctbal > 5000 AND c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+
+      "q_topn" ->
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders ORDER BY o_orderkey DESC LIMIT 100",
+
+      "q_agg_group" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          |sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+          |sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_price
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q_count_filter" ->
+        "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 25",
+
+      "q_max_plus_one" ->
+        "SELECT coalesce(max(o_orderkey), 0) + 1 AS next_id FROM orders",
+
+      "q_semijoin" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "q_propagation_2hop" ->
+        """SELECT l_orderkey, l_linenumber FROM lineitem
+          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey IN
+          |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "q_selfref_closure" ->
+        """WITH RECURSIVE
+          |h AS (SELECT c_custkey AS id,
+          |             CASE WHEN c_custkey > 0 THEN c_custkey // 2 END AS parent_id,
+          |             c_acctbal FROM customer),
+          |b AS (SELECT * FROM h WHERE c_acctbal > 1000),
+          |r AS (SELECT id FROM b WHERE parent_id IS NULL
+          |      UNION
+          |      SELECT t.id FROM b t JOIN r ON t.parent_id = r.id)
+          |SELECT id FROM b WHERE parent_id IS NULL OR parent_id IN (SELECT id FROM r)
+          |ORDER BY id""".stripMargin,
+
+      "q_topo_levels" ->
+        """SELECT * FROM (VALUES ('customer', 2), ('lineitem', 4), ('nation', 1),
+          |('orders', 3), ('part', 0), ('region', 0), ('supplier', 2))
+          |AS t(table_name, lvl) ORDER BY table_name""".stripMargin,
+
+      "q_anon_names" ->
+        s"""SELECT c_custkey, ${firstName("c_name")} AS fn, ${maleFirstName("c_name")} AS mfn,
+           |${femaleFirstName("c_name")} AS ffn, ${lastName("c_name")} AS ln,
+           |${fullName("c_name")} AS full_name
+           |FROM customer ORDER BY c_custkey""".stripMargin,
+
+      "q_anon_contact" ->
+        s"""SELECT c_custkey, ${email("c_name")} AS email, ${phoneNumber("c_name")} AS phone,
+           |${streetAddress("c_name")} AS street, ${city("c_name")} AS city,
+           |${state("c_name")} AS st, ${stateAbbr("c_name")} AS st_abbr,
+           |${country("c_name")} AS country, ${zipCode("c_name")} AS zip
+           |FROM customer ORDER BY c_custkey""".stripMargin,
+
+      "q_anon_redact" ->
+        s"""SELECT c_custkey, ${redact("c_mktsegment")} AS seg_redacted,
+           |${partialRedact("c_name", 2, 2)} AS pr22, ${partialRedact("c_name", 1, 3)} AS pr13,
+           |${loremText("c_name")} AS lorem
+           |FROM customer ORDER BY c_custkey""".stripMargin,
+
+      "q_lens_field" ->
+        s"""SELECT c_custkey,
+           |'{"name":"' || ${fullName("c_name")} || '","seg":"' || c_mktsegment || '"}' AS anon_json
+           |FROM customer ORDER BY c_custkey""".stripMargin,
+
+      "q_lens_array" ->
+        s"""SELECT c_custkey,
+           |'[{"type":"home","number":"' || ${phoneNumber("c_name")} ||
+           |'"},{"type":"work","number":"' || ${phoneNumber("c_mktsegment")} || '"}]' AS anon_array
+           |FROM customer ORDER BY c_custkey""".stripMargin,
+
+      "q_lens_numeric_passthrough" ->
+        """SELECT event_id, '{"k":' || json_extract_string(props, '$.k') || '}' AS props_out
+          |FROM events ORDER BY event_id""".stripMargin,
+
+      "q_events_window" ->
+        """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS cnt,
+          |sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+    )
+  }
 }

@@ -32,6 +32,13 @@ sealed trait Lens extends Serializable {
 object Lens {
   private val logger = LoggerFactory.getLogger(getClass)
 
+  // Error tolerance means these paths can fire once per ROW on malformed
+  // data — log each distinct message once per JVM instead of flooding the
+  // executor logs (and paying a slf4j call per row).
+  private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def warnOnce(msg: String, detail: Any): Unit =
+    if (warned.add(msg + detail)) logger.warn(s"$msg {} (further occurrences suppressed)", detail)
+
   // Jackson (already on Spark's classpath) preserves object insertion order
   // in ObjectNode, which the structure-preservation contract requires.
   // FAIL_ON_TRAILING_TOKENS makes `{"a":1} junk` a parse failure (and thus a
@@ -52,7 +59,7 @@ object Lens {
 
     private[functions] def modifyJson(f: String => String): JsonNode => JsonNode = { json =>
       if (!json.isTextual) {
-        logger.warn("Expected string but got {}", json.getNodeType)
+        warnOnce("Expected string but got", json.getNodeType)
         json
       } else TextNode.valueOf(f(json.asText))
     }
@@ -63,7 +70,7 @@ object Lens {
     override def modify(f: String => String): String => String = { jsonStr =>
       val parsed =
         try Some(mapper.readTree(jsonStr))
-        catch { case e: Exception => logger.warn("Failed to parse JSON: {}", e.getMessage); None }
+        catch { case e: Exception => warnOnce("Failed to parse JSON:", e.getMessage); None }
       parsed match {
         // readTree("") yields a MissingNode rather than throwing — treat it
         // as a parse failure (passthrough) like any other malformed input.
@@ -90,10 +97,10 @@ object Lens {
           copy.set[ObjectNode](fieldName, inner.modifyJson(f)(obj.get(fieldName)))
           copy
         case obj: ObjectNode =>
-          logger.warn("Field '{}' not found in JSON object", fieldName)
+          warnOnce("Field not found in JSON object:", fieldName)
           obj
         case other =>
-          logger.warn("Expected object but got {}", other.getNodeType)
+          warnOnce("Expected object but got", other.getNodeType)
           other
       }
     }
@@ -110,7 +117,7 @@ object Lens {
           arr.forEach(el => out.add(elementLens.modifyJson(f)(el)))
           out
         case other =>
-          logger.warn("Expected array but got {}", other.getNodeType)
+          warnOnce("Expected array but got", other.getNodeType)
           other
       }
     }

@@ -142,16 +142,26 @@ object SelfRefClosure {
     val fkNull  = fkCols.map(col(_).isNull).reduce(_ && _)
     val renamed = pkCols.map(c => s"__graft_r_$c")
 
-    var reachable = base.where(fkNull).select(pkCols.map(col): _*).localCheckpoint()
+    // Materialize the recursion universe ONCE, pruned to the join columns.
+    // Joining against the raw `base` plan instead re-inlines its entire
+    // derivation into every iteration's join predicate — observed to double
+    // the compiled task size per iteration (2→4→8 MiB…) when fk/pk columns
+    // are computed expressions. The checkpoint caps every iteration at a
+    // flat scan of (fk, pk) tuples.
+    val universe = base
+      .select((fkCols ++ pkCols).distinct.map(col): _*)
+      .localCheckpoint()
+
+    var reachable = universe.where(fkNull).select(pkCols.map(col): _*).localCheckpoint()
     var frontier  = reachable
     var iters     = 0
     while (iters < maxIterations && !frontier.isEmpty) {
       val keys = frontier.toDF(renamed: _*)
       val cond = fkCols
         .zip(renamed)
-        .map { case (fc, rc) => base(fc) === keys(rc) }
+        .map { case (fc, rc) => universe(fc) === keys(rc) }
         .reduce(_ && _)
-      val next = base.join(keys, cond, "left_semi").select(pkCols.map(col): _*)
+      val next = universe.join(keys, cond, "left_semi").select(pkCols.map(col): _*)
       frontier = next.except(reachable).localCheckpoint()
       reachable = reachable.unionByName(frontier).localCheckpoint()
       iters += 1

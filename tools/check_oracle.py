@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<query> parquet produced by graft.Verify, runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the sfDir tables, and
+compares (columns sorted by name, rows sorted by all columns, values
+stringified). Exit code 1 if any query mismatches.
+"""
+import glob
+import json
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(rows, cols):
+    """Sort columns by name, stringify every value, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm_val(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, bytes):
+            return v.hex()
+        return str(v)
+
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures, passes = [], []
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            failures.append((name, "no spark result written"))
+            continue
+        try:
+            spark_rel = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            s_cols, s_rows = normalize(spark_rel.fetchall(), spark_rel.columns)
+            ora_rel = con.sql(sql)
+            o_cols, o_rows = normalize(ora_rel.fetchall(), ora_rel.columns)
+        except Exception as e:
+            failures.append((name, f"error: {e}"))
+            continue
+        if s_cols != o_cols:
+            failures.append((name, f"column mismatch: spark={s_cols} oracle={o_cols}"))
+        elif len(s_rows) != len(o_rows):
+            failures.append((name, f"row count: spark={len(s_rows)} oracle={len(o_rows)}"))
+        elif s_rows != o_rows:
+            diff = next(i for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b)
+            failures.append((name, f"value mismatch at sorted row {diff}:\n  spark : {s_rows[diff]}\n  oracle: {o_rows[diff]}"))
+        else:
+            passes.append((name, len(s_rows)))
+
+    for name, n in passes:
+        print(f"PASS  {name} ({n} rows)")
+    for name, why in failures:
+        print(f"FAIL  {name}: {why}")
+    print(f"\n{len(passes)} passed, {len(failures)} failed")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
