@@ -98,4 +98,45 @@ object OracleGen {
         s"(${listSql(DataLists.loremWords)})[(1 + ($h + j) % ${DataLists.loremWords.size})::BIGINT]), ' '), 1, length($e))"
     )
   }
+
+  // -------------------------------------------------------------------
+  // Pipeline-operator building blocks (dedup / similarity / text).
+  // -------------------------------------------------------------------
+
+  /** Whitespace tokens, empties dropped — mirror of operators.Dedup.tokens. */
+  def tokensSql(e: String): String =
+    s"list_filter(regexp_split_to_array($e, '\\s+'), x -> x <> '')"
+
+  /** Distinct char n-gram list — mirror of operators.Dedup.shingles
+    * (including the whole-text fallback for short strings).
+    */
+  def shinglesSql(e: String, n: Int): String =
+    s"list_distinct([substr($e, i, $n) for i in range(1, greatest(length($e) - ${n - 1}, 1) + 1)])"
+
+  /** Sequential-fold dot product of two DOUBLE[] expressions — mirrors the
+    * index-order `aggregate` fold in operators.Similarity.cosine (DuckDB
+    * list_reduce is a left fold, and `0.0 + x == x` makes the init
+    * difference vanish).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce([$a[i] * $b[i] for i in range(1, len($a) + 1)], (x, y) -> x + y)"
+
+  /** Cosine similarity of two DOUBLE[] expressions. */
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}))"
+
+  /** Stopword-profile language-ID — mirror of operators.TextAnalysis
+    * .languageId (same profiles, same argmax precedence).
+    */
+  def langIdSql(e: String): String = {
+    val profiles = graft.operators.TextAnalysis.langProfiles
+    val padded   = s"(' ' || $e || ' ')"
+    def cnt(w: String) = s"((length($padded) - length(replace($padded, '$w', ''))) / ${w.length})"
+    val scores = profiles.map { case (lang, words) => lang -> words.map(cnt).mkString("(", " + ", ")") }
+    val cases = scores.init.map { case (lang, sc) =>
+      val beats = scores.filter(_._1 != lang).map(_._2).map(o => s"$sc >= $o").mkString(" AND ")
+      s"WHEN $beats THEN '$lang'"
+    }
+    s"(CASE ${cases.mkString(" ")} ELSE '${scores.last._1}' END)"
+  }
 }

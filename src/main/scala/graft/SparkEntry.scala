@@ -41,7 +41,9 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // Queries: (SparkSession, sfDir) => DataFrame
   // ---------------------------------------------------------------------
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ pipelineQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/F1/P1: scan + filter + projection (pushdown-friendly).
     "q_scan_filter_project" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -204,6 +206,85 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------------
+  // LLM-data-pipeline operators: dedup, similarity search, text analysis.
+  // ---------------------------------------------------------------------
+  import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on content.
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDuplicates(t(s, dir, "documents"), "text", "doc_id").orderBy("text_hash")),
+
+    // n-gram Jaccard near-dup via shingle inverted index.
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
+        .orderBy("doc_a", "doc_b")),
+
+    // MinHash + LSH banding with exact-Jaccard verification.
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    // 32-bit SimHash fingerprints.
+    "q_dedup_simhash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simHash32(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // Embedding-cosine near-duplicate pairs (brute-force baseline).
+    "q_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // Brute-force cosine top-k (query set = vec_id < 5).
+    "q_knn_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where("vec_id < 5"), "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // LSH-bucketed ANN (scale path) — deterministic hyperplanes; rows-only
+    // check (bucketing is approximate by design, not SQL-expressible
+    // succinctly).
+    "q_knn_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.where("vec_id < 5"), "vec_id", "embedding", k = 5, numPlanes = 8)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Token counting.
+    "q_text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
+
+    // Quality metrics.
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityMetrics(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_chars", "n_tokens", "mean_token_len", "alpha_ratio", "stopword_ratio")
+        .orderBy("doc_id")),
+
+    // Heuristic language ID.
+    "q_text_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // Normalized-content fingerprint.
+    "q_text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Winnowing fingerprints (sequential rolling hash → UDF; rows-only).
+    "q_text_winnow" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(TextAnalysis.winnowingFingerprints()(col("text"))).as("n_fps"))
+        .orderBy("doc_id"))
+  )
+
+  // ---------------------------------------------------------------------
   // Oracles: equivalent DuckDB SQL over the same parquet tables.
   // ---------------------------------------------------------------------
   def oracleSql: Map[String, String] = {
@@ -295,6 +376,87 @@ object SparkEntry {
         """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS cnt,
           |sum(CAST(value AS DECIMAL(12,2))) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+    ) ++ pipelineOracles
+  }
+
+  private def pipelineOracles: Map[String, String] = {
+    import OracleGen._
+    val sh3   = shinglesSql("text", 3)
+    val hashI = hashSql("(s || '#' || i)")
+    Map(
+      "q_dedup_exact" ->
+        """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+          |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+      "q_dedup_ngram" ->
+        s"""WITH sh AS (SELECT doc_id, unnest($sh3) AS sh FROM documents),
+           |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, inter::DOUBLE / (x.sz + y.sz - inter) AS jaccard
+           |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+           |WHERE inter::DOUBLE / (x.sz + y.sz - inter) >= 0.8
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q_dedup_minhash" ->
+        s"""WITH sh AS (SELECT doc_id, $sh3 AS shs FROM documents),
+           |sig AS (SELECT doc_id, [list_min([$hashI for s in shs]) for i in range(0, 16)] AS sg FROM sh),
+           |bands AS (SELECT doc_id, b,
+           |  sg[4*b+1]::VARCHAR || ':' || sg[4*b+2]::VARCHAR || ':' || sg[4*b+3]::VARCHAR || ':' || sg[4*b+4]::VARCHAR AS key
+           |  FROM sig, range(0, 4) t(b)),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+           |         FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+           |j AS (SELECT doc_a, doc_b,
+           |  len(list_intersect(x.shs, y.shs))::DOUBLE /
+           |    (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) AS jaccard
+           |  FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id)
+           |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q_dedup_simhash" ->
+        s"""SELECT doc_id, list_sum([CASE WHEN
+           |  list_sum([2 * ((h // (2**j)::BIGINT) % 2) - 1 for h in toks]) > 0
+           |  THEN (2**j)::BIGINT ELSE 0 END for j in range(0, 32)]) AS simhash
+           |FROM (SELECT doc_id, [${hashSql("t")} for t in ${tokensSql("text")}] AS toks FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+
+      "q_embed_neardup" ->
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+           |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  ${cosineSql("a.ve", "b.ve")} AS c
+           |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+           |SELECT id_a, id_b, CAST(c AS DECIMAL(9,6)) AS cos_r FROM p WHERE c >= 0.4
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q_knn_bruteforce" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+           |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+           |sc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos
+           |       FROM q, c WHERE query_id <> neighbor_id),
+           |r AS (SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
+           |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 10
+           |ORDER BY query_id, rnk""".stripMargin,
+
+      "q_text_tokens" ->
+        s"SELECT doc_id, len(${tokensSql("text")}) AS n_tokens FROM documents ORDER BY doc_id",
+
+      "q_text_quality" ->
+        s"""SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+           |list_sum([length(x) for x in toks])::DOUBLE / greatest(len(toks), 1) AS mean_token_len,
+           |length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS alpha_ratio,
+           |len(list_filter(toks, x -> list_contains(['the','and','of','a','to','in'], x)))::DOUBLE
+           |  / greatest(len(toks), 1) AS stopword_ratio
+           |FROM (SELECT doc_id, text, ${tokensSql("text")} AS toks FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+
+      "q_text_langid" ->
+        s"SELECT doc_id, ${langIdSql("text")} AS lang_pred FROM documents ORDER BY doc_id",
+
+      "q_text_fingerprint" ->
+        s"""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin
+      // q_knn_lsh, q_text_winnow: rows-only (approximate / sequential UDF).
     )
   }
 }

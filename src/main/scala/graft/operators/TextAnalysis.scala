@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (stopword-profile heuristic), quality metrics, token counting, and
+  * document fingerprinting. All Column-native except the winnowing
+  * fingerprint (an inherently sequential rolling hash → UDF).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column = Dedup.tokens(text)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Language-profile stopwords. Frozen — the DuckDB oracle embeds the same
+    * lists via [[graft.OracleGen]]-style generation in SparkEntry.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " los ", " de "),
+    "fr" -> Seq(" le ", " et ", " dans "),
+    "de" -> Seq(" der ", " und ", " nicht ")
+  )
+
+  /** Occurrences of `needle` in `hay` via length arithmetic (no regex —
+    * identical semantics in any engine).
+    */
+  def countOccurrences(hay: Column, needle: String): Column =
+    (length(hay) - length(replace(hay, lit(needle), lit("")))) / needle.length
+
+  /** Heuristic language ID: argmax of stopword-profile hit counts with a
+    * fixed precedence order (en > es > fr > de on ties).
+    */
+  def languageId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> words.map(w => countOccurrences(padded, w)).reduce(_ + _)
+    }
+    scores
+      .foldRight(lit(scores.last._1)) { case ((lang, score), fallback) =>
+        val beatsRest = scores.filter(_._1 != lang).map(_._2).map(score >= _).reduce(_ && _)
+        when(beatsRest, lit(lang)).otherwise(fallback)
+      }
+  }
+
+  /** Quality metrics: char/token counts, mean token length, alpha ratio,
+    * whitespace ratio, stopword ratio. Kept as separate columns (no opaque
+    * combined score) so downstream filters compose.
+    */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t    = col(textCol)
+    val toks = tokens(t)
+    val stop = Seq("the", "and", "of", "a", "to", "in")
+    df.withColumn("n_chars", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn(
+        "mean_token_len",
+        aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double") / greatest(size(toks), lit(1))
+      )
+      .withColumn(
+        "alpha_ratio",
+        length(regexp_replace(t, "[^a-z]", "")).cast("double") / greatest(length(t), lit(1))
+      )
+      .withColumn(
+        "stopword_ratio",
+        size(filter(toks, x => x.isin(stop: _*))).cast("double") / greatest(size(toks), lit(1))
+      )
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * the cheap exact-dedup / near-copy grouping key.
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): rolling
+    * polynomial hash over character k-grams, minimum per sliding window,
+    * deduplicated. Sequential by nature → a deterministic Scala UDF
+    * returning the selected fingerprint set.
+    */
+  def winnowingFingerprints(k: Int = 5, window: Int = 4): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null || text.length < k) Seq.empty[Long]
+      else {
+        val base = 257L
+        val mod  = 1000000007L
+        var pow  = 1L // base^(k-1) mod m
+        (1 until k).foreach(_ => pow = pow * base % mod)
+        val m      = text.length - k + 1
+        val hashes = new Array[Long](m)
+        var h = 0L
+        (0 until k).foreach(j => h = (h * base + text.charAt(j)) % mod)
+        hashes(0) = h
+        var i = 1
+        while (i < m) {
+          // Evict the leading char (coefficient base^(k-1)), shift, append.
+          h = ((h - text.charAt(i - 1) * pow % mod + mod) % mod * base + text.charAt(i + k - 1)) % mod
+          hashes(i) = h
+          i += 1
+        }
+        if (m < window) Seq(hashes.min)
+        else {
+          val selected = scala.collection.mutable.LinkedHashSet.empty[Long]
+          var w = 0
+          while (w + window <= m) {
+            var mn = hashes(w)
+            var j  = 1
+            while (j < window) { if (hashes(w + j) < mn) mn = hashes(w + j); j += 1 }
+            selected += mn
+            w += 1
+          }
+          selected.toSeq
+        }
+      }
+    }
+}

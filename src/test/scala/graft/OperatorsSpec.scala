@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different content here about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  describe("Dedup.shingles") {
+    it("produces distinct n-grams; whole text when shorter than n") {
+      val r = Seq(("abcd", 1)).toDF("t", "i")
+        .select(Dedup.shingles(col("t"), 3).as("s")).head.getSeq[String](0)
+      r.toSet shouldBe Set("abc", "bcd")
+      val short = Seq(("ab", 1)).toDF("t", "i")
+        .select(Dedup.shingles(col("t"), 3).as("s")).head.getSeq[String](0)
+      short shouldBe Seq("ab")
+    }
+  }
+
+  describe("Dedup.exactDuplicates") {
+    it("groups identical texts under the min id") {
+      val r = Dedup.exactDuplicates(docs, "text", "doc_id")
+        .where(col("n_copies") > 1).collect()
+      r.length shouldBe 1
+      r.head.getAs[Long]("canonical_id") shouldBe 1L
+      r.head.getAs[Long]("n_copies") shouldBe 2L
+    }
+  }
+
+  describe("Dedup.ngramJaccardPairs") {
+    it("finds near and exact duplicates above threshold, not unrelated docs") {
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.6)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      pairs should contain((1L, 4L)) // exact dup → jaccard 1.0
+      pairs should contain((1L, 2L)) // near dup (dog/cat)
+      pairs.flatMap(p => Set(p._1, p._2)) should not contain 3L
+    }
+    it("maxShingleFreq prunes ubiquitous shingles") {
+      // With a freq cap of 1 no shingle is shared → no pairs at all.
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.1, maxShingleFreq = Some(1))
+        .count() shouldBe 0
+    }
+  }
+
+  describe("Dedup.minHashLshPairs") {
+    it("recovers the exact and near duplicates") {
+      val pairs = Dedup.minHashLshPairs(docs, "text", "doc_id", threshold = 0.6)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      pairs should contain((1L, 4L))
+      pairs should contain((1L, 2L))
+    }
+  }
+
+  describe("Dedup.simHash32 + simHashPairs") {
+    it("identical docs share a fingerprint; near docs are hamming-close") {
+      val fps = docs.select(col("doc_id"), Dedup.simHash32(col("text")).as("fp"))
+      val m   = fps.as[(Long, Long)].collect().toMap
+      m(1L) shouldBe m(4L)
+      java.lang.Long.bitCount(m(1L) ^ m(2L)) should be <= 8
+      java.lang.Long.bitCount(m(1L) ^ m(3L)) should be > 4
+      val close = Dedup.simHashPairs(fps, "doc_id", "fp", maxHamming = 0)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      close should contain((1L, 4L))
+    }
+  }
+
+  describe("Similarity") {
+    lazy val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+
+    it("cosine matches hand-computed values") {
+      val c = vecs.where("vec_id = 0").crossJoin(vecs.where("vec_id = 3").select(col("embedding").as("e2")))
+        .select(Similarity.cosine(col("embedding"), col("e2"))).head.getDouble(0)
+      c shouldBe -1.0 +- 1e-12
+    }
+    it("bruteForceTopK ranks by cosine desc with id tiebreak, excluding self") {
+      val r = Similarity.bruteForceTopK(vecs, vecs.where("vec_id = 0"), "vec_id", "embedding", k = 3)
+        .orderBy("rnk").as[(Long, Long, Int)].collect()
+      r.map(_._2).toSeq shouldBe Seq(1L, 2L, 3L)
+    }
+    it("lshTopK returns same-bucket neighbors ranked like brute force") {
+      val exact = Similarity.bruteForceTopK(vecs, vecs.where("vec_id = 0"), "vec_id", "embedding", k = 3)
+        .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+      val approx = Similarity.lshTopK(vecs, vecs.where("vec_id = 0"), "vec_id", "embedding", k = 3, numPlanes = 4)
+        .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+      approx.subsetOf(exact) shouldBe true
+    }
+  }
+
+  describe("TextAnalysis") {
+    it("tokenCount ignores repeated whitespace") {
+      Seq(("a  b\t c", 1)).toDF("t", "i")
+        .select(TextAnalysis.tokenCount(col("t"))).head.getInt(0) shouldBe 3
+    }
+    it("languageId picks the profile with most stopword hits") {
+      Seq(("the cat and the dog of the house", 1)).toDF("t", "i")
+        .select(TextAnalysis.languageId(col("t"))).head.getString(0) shouldBe "en"
+      Seq(("el gato y el perro de la casa de el", 1)).toDF("t", "i")
+        .select(TextAnalysis.languageId(col("t"))).head.getString(0) shouldBe "es"
+    }
+    it("fingerprintMd5 is whitespace/case-normalizing") {
+      val df = Seq(("The  Quick\nFox", "the quick fox")).toDF("a", "b")
+      val r  = df.select(TextAnalysis.fingerprintMd5(col("a")), TextAnalysis.fingerprintMd5(col("b"))).head
+      r.getString(0) shouldBe r.getString(1)
+    }
+    it("winnowing fingerprints: deterministic, shift-invariant core") {
+      val wf = TextAnalysis.winnowingFingerprints(k = 5, window = 4)
+      val df = Seq(
+        ("shared middle segment of text", 1),
+        ("shared middle segment of text", 2),
+        ("tiny", 3)
+      ).toDF("t", "i")
+      val rows = df.select(col("i"), wf(col("t")).as("fps")).as[(Int, Seq[Long])].collect().toMap
+      rows(1) shouldBe rows(2)
+      rows(3) shouldBe Seq.empty // shorter than k
+      rows(1).nonEmpty shouldBe true
+    }
+    it("qualityMetrics computes sane ratios") {
+      val r = TextAnalysis.qualityMetrics(docs, "text").where("doc_id = 1").head()
+      r.getAs[Int]("n_tokens") shouldBe 9
+      r.getAs[Double]("stopword_ratio") shouldBe (2.0 / 9) +- 1e-12
+      r.getAs[Double]("alpha_ratio") should be < 1.0
+    }
+  }
+}
