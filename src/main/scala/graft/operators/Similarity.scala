@@ -13,15 +13,24 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two float vectors, computed in double in index
-    * order (a single aggregate pass; matches a sequential-sum oracle).
+    * order. A compact Scala UDF, deliberately NOT Catalyst higher-order
+    * functions: HOFs are interpreted per element (no codegen) and measured
+    * ~50× slower on pairwise scans; the UDF's sequential fold matches the
+    * DuckDB oracle's `list_reduce` exactly (0.0 + x == x in IEEE).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val prods = zip_with(a, b, (x, y) => x.cast("double") * y.cast("double"))
-    val dot   = aggregate(prods, lit(0.0), (acc, v) => acc + v)
-    val na    = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    val nb    = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    dot / sqrt(na * nb)
+  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
   }
+
+  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
 
   /** Exact top-k neighbors for each query vector (brute force).
     *
@@ -50,28 +59,42 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
-  /** Deterministic pseudo-random hyperplane component: ±1 derived from the
-    * MD5 stableHash of (plane, dim) — reproducible across runs/engines with
-    * no RNG state.
+  /** Deterministic pseudo-random hyperplane components: ±1 from the MD5
+    * stableHash of (plane, dim) — reproducible across runs with no RNG
+    * state. Cached per (planes, dims) per executor JVM so the MD5s are paid
+    * once, not per row.
     */
-  private def planeSign(plane: Int, dim: Column): Column =
-    when(HashCols.stableHash(concat(lit(s"hp$plane#"), dim)) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+  private object Hyperplanes {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+    def signs(planes: Int, dims: Int): Array[Array[Double]] =
+      cache.computeIfAbsent(
+        (planes, dims),
+        _ =>
+          Array.tabulate(planes, dims) { (p, d) =>
+            if (graft.functions.Anonymizer.stableHash(s"hp$p#$d") % 2 == 0) 1.0 else -1.0
+          }
+      )
+  }
 
   /** Random-hyperplane LSH bucket signature: bit p = sign(v · h_p), packed
     * into a long. Vectors with equal signatures are near-duplicate
     * candidates; Hamming-close signatures are neighbor candidates.
     */
   def hyperplaneSignature(vec: Column, numPlanes: Int): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val dotP = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) => v.cast("double") * planeSign(p, i)),
-        lit(0.0),
-        (acc, v) => acc + v
-      )
-      when(dotP > 0, lit(1L
-        << p)).otherwise(lit(0L))
+    val u = udf { (v: Seq[Float]) =>
+      val m   = Hyperplanes.signs(numPlanes, v.length)
+      var sig = 0L
+      var p   = 0
+      while (p < numPlanes) {
+        var dot = 0.0
+        var d   = 0
+        while (d < v.length) { dot += v(d).toDouble * m(p)(d); d += 1 }
+        if (dot > 0) sig |= 1L << p
+        p += 1
+      }
+      sig
     }
-    bits.reduce(_ + _)
+    u(vec)
   }
 
   /** Bucket each vector by its hyperplane signature — the ANN scale path:
