@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: media travels as an opaque `binary` column plus typed
+  * metadata, and per-item kernels (decode / feature-extract / resize /
+  * frame-sample) run partition-wise so a real codec would amortize its
+  * setup across a batch — the same shape as a Pandas-UDF/`mapInPandas`
+  * pipeline.
+  *
+  * NOTE — STUBBED KERNELS: image/audio codecs are not available in this
+  * build environment, so the decode/feature kernels below are
+  * deterministic fakes over the raw bytes (clearly marked). The Spark-side
+  * contract — schemas, batch shape, partition-wise execution, null
+  * handling — is real and tested; swapping in a real codec touches only
+  * the kernel body.
+  */
+object Multimodal {
+
+  /** Canonical media-row schema: (media_id long, content binary, mime
+    * string). Metadata columns are added by the operators below.
+    */
+  val mediaColumns: Seq[String] = Seq("media_id", "content", "mime")
+
+  /** STUB decode kernel: "decodes" deterministic dimensions/channels from
+    * the byte content. A real implementation would parse the container
+    * header here; everything around it stays unchanged.
+    */
+  private def stubDecode(bytes: Array[Byte]): (Int, Int, Int) =
+    if (bytes == null || bytes.isEmpty) (0, 0, 0)
+    else {
+      val h = graft.functions.Anonymizer.stableHash(java.util.Base64.getEncoder.encodeToString(bytes))
+      (64 + h % 1024, 64 + (h / 1024) % 1024, 1 + h % 4)
+    }
+
+  /** Decode metadata for a binary media column: struct(width, height,
+    * channels, n_bytes). Null/empty content → zeroed struct (never fails
+    * the pipeline, mirroring the lens error-tolerance philosophy).
+    */
+  def decodeMeta(content: Column): Column = {
+    val u = udf { (bytes: Array[Byte]) =>
+      val (w, hgt, c) = stubDecode(bytes)
+      (w, hgt, c, if (bytes == null) 0 else bytes.length)
+    }
+    u(content).as("meta")
+  }
+
+  /** Feature extraction as a partition-wise batch kernel: each partition
+    * iterates once, the kernel sees a batch iterator (where a real model
+    * would run vectorized inference), and emits a fixed-width float
+    * feature vector per item. STUB: features are a deterministic fold of
+    * the bytes.
+    */
+  def extractFeatures(df: DataFrame, idCol: String, contentCol: String, dim: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // Kernel setup happens once per partition (codec/model init here).
+        batch.map { case (id, bytes) =>
+          val f = new Array[Float](dim)
+          if (bytes != null) {
+            var i = 0
+            while (i < bytes.length) {
+              f(i % dim) += (bytes(i) & 0xff) / 255.0f
+              i += 1
+            }
+          }
+          (id, f.toSeq)
+        }
+      }
+      .toDF(idCol, "features")
+  }
+
+  /** STUB resize: truncate/pad the binary payload to a target size —
+    * stands in for a real image resize; preserves the binary-column
+    * contract (binary in, binary out, null-safe).
+    */
+  def resizeStub(content: Column, targetBytes: Int): Column = {
+    val u = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else if (bytes.length >= targetBytes) bytes.take(targetBytes)
+      else bytes ++ Array.fill[Byte](targetBytes - bytes.length)(0)
+    }
+    u(content)
+  }
+
+  /** Frame sampling for "video" payloads: split the binary into
+    * fixed-size frame chunks and keep every `stride`-th one, exploded to
+    * one row per sampled frame. The explode + chunk arithmetic is the real
+    * plumbing; chunking stands in for container demuxing.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, contentCol: String, frameBytes: Int, stride: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        if (bytes == null) Iterator.empty
+        else bytes.grouped(frameBytes).zipWithIndex.collect {
+          case (frame, idx) if idx % stride == 0 => (id, idx, frame)
+        }
+      }
+      .toDF(idCol, "frame_idx", "frame")
+  }
+}

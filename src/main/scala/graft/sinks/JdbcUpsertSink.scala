@@ -1,0 +1,136 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.slf4j.LoggerFactory
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+import java.util.Properties
+
+/** Injection-safe SQL identifier quoting (double-quote style, embedded
+  * quotes doubled) — behavior of the reference's Slick `quoteIdentifier`
+  * (simple-anonymizer/src/scala/simpleanonymizer/SlickProfile.scala:13-20;
+  * hostile-identifier test TableCopierIntegrationTest.scala:182-216).
+  */
+object Ident {
+  def quote(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
+  def quoteQualified(schema: String, name: String): String = s"${quote(schema)}.${quote(name)}"
+}
+
+/** SQL text builders for the JDBC sink — upsert, sequence reset, constraint
+  * deferral. Pure string builders (unit-testable without a database); the
+  * execution side lives in [[JdbcUpsertSink]].
+  */
+object SinkSql {
+  import Ident._
+
+  /** INSERT ... [ON CONFLICT target action] with `?` placeholders —
+    * reference CopyAction.scala:92-125.
+    *
+    * @param pkColumns resolved primary-key columns, used when the conflict
+    *   target is [[OnConflict.ConflictTarget.PrimaryKey]] (sorted for
+    *   determinism, as the reference does CopyAction.scala:111).
+    */
+  def insert(
+      schema: String,
+      table: String,
+      columns: Seq[String],
+      onConflict: Option[OnConflict],
+      pkColumns: => Seq[String] = Seq.empty
+  ): String = {
+    val columnList   = columns.map(quote).mkString(", ")
+    val placeholders = columns.map(_ => "?").mkString(", ")
+    val conflictStr = onConflict.map { oc =>
+      val targetCols: Either[String, Seq[String]] = oc.target match {
+        case OnConflict.ConflictTarget.Constraint(name) => Left(name)
+        case OnConflict.ConflictTarget.Columns(cols)    => Right(cols)
+        case OnConflict.ConflictTarget.PrimaryKey       => Right(pkColumns.sorted)
+      }
+      val conflictTarget = targetCols match {
+        case Left(constraint) => s"ON CONSTRAINT ${quote(constraint)}"
+        case Right(cols)      => s"(${cols.map(quote).mkString(", ")})"
+      }
+      val action = oc.action match {
+        case OnConflict.Action.DoNothing => "DO NOTHING"
+        case OnConflict.Action.DoUpdate(updateCols) =>
+          "DO UPDATE SET " +
+            updateCols
+              .getOrElse(columns.toSet -- targetCols.getOrElse(Seq.empty))
+              .map(c => s"${quote(c)} = EXCLUDED.${quote(c)}")
+              .mkString(", ")
+      }
+      s" ON CONFLICT $conflictTarget $action"
+    }.getOrElse("")
+    s"INSERT INTO ${quoteQualified(schema, table)} ($columnList) VALUES ($placeholders)$conflictStr"
+  }
+
+  /** Post-copy sequence realignment — reference TableCopier.scala:20-35. */
+  def sequenceReset(schema: String, sequence: String, table: String, column: String): String =
+    s"SELECT setval('${quoteQualified(schema, sequence)}', " +
+      s"coalesce(max(${quote(column)}), 0) + 1, false) FROM ${quoteQualified(schema, table)}"
+
+  /** Defer a self-ref FK constraint around a copy transaction —
+    * reference ConstraintDeferrer.scala:23-42 (PostgreSQL 9.4+).
+    */
+  def deferConstraint(schema: String, table: String, constraint: String): String =
+    s"ALTER TABLE ${quoteQualified(schema, table)} ALTER CONSTRAINT ${quote(constraint)} DEFERRABLE INITIALLY DEFERRED"
+
+  /** Restore a constraint's deferrability — reference ConstraintDeferrer.scala:46-60. */
+  def restoreConstraint(schema: String, table: String, constraint: String, deferrable: Boolean, initiallyDeferred: Boolean): String = {
+    val mode =
+      if (!deferrable) "NOT DEFERRABLE"
+      else if (initiallyDeferred) "DEFERRABLE INITIALLY DEFERRED"
+      else "DEFERRABLE INITIALLY IMMEDIATE"
+    s"ALTER TABLE ${quoteQualified(schema, table)} ALTER CONSTRAINT ${quote(constraint)} $mode"
+  }
+}
+
+/** Upsert-capable JDBC sink: Spark's built-in JDBC writer only appends, so
+  * ON CONFLICT semantics (reference CopyAction.scala:92-125, S5 in SURVEY
+  * §2) need a custom write path — `foreachPartition` with a prepared
+  * statement and `executeBatch` every `batchSize` rows (reference default
+  * 5000, TableSpec.scala:22). Each partition writes on its own connection
+  * in one transaction; inter-partition atomicity is the caller's concern
+  * (same as any parallel JDBC load).
+  */
+object JdbcUpsertSink {
+  private val logger = LoggerFactory.getLogger(getClass)
+
+  def write(
+      df: DataFrame,
+      url: String,
+      connectionProperties: Properties,
+      schema: String,
+      table: String,
+      onConflict: Option[OnConflict],
+      pkColumns: Seq[String] = Seq.empty,
+      batchSize: Int = 5000
+  ): Unit = {
+    val columns = df.schema.fieldNames.toSeq
+    val sql     = SinkSql.insert(schema, table, columns, onConflict, pkColumns)
+    logger.info("Upsert SQL: {}", sql)
+    val n = columns.size
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val conn: Connection = DriverManager.getConnection(url, connectionProperties)
+        try {
+          conn.setAutoCommit(false)
+          val stmt: PreparedStatement = conn.prepareStatement(sql)
+          try {
+            var pending = 0
+            rows.foreach { row =>
+              var i = 0
+              while (i < n) { stmt.setObject(i + 1, row.get(i)); i += 1 }
+              stmt.addBatch()
+              pending += 1
+              if (pending >= batchSize) { stmt.executeBatch(); pending = 0 }
+            }
+            if (pending > 0) stmt.executeBatch()
+            conn.commit()
+          } finally stmt.close()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.close()
+      }
+    }
+  }
+}

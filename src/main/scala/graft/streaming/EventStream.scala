@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` stream shape
+  * (event_id, ts timestamp, user_id, event_type, value, props).
+  *
+  * The reference engine is purely bounded batch (SURVEY §2.10) — these are
+  * north-star extensions. Each transform takes a DataFrame and works
+  * identically on a batch frame or a `readStream` frame; watermarking and
+  * output modes only engage on streaming input.
+  */
+object EventStream {
+
+  /** Tumbling event-time windows with a watermark for state cleanup and
+    * late-data tolerance: counts + value sum per (window, event_type).
+    */
+  def windowedAggregate(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("cnt"),
+        col("sum_value")
+      )
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, lastSeen: Long, events: Int, totalValue: Double)
+  case class SessionResult(user_id: Long, session_start: java.sql.Timestamp, n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization with custom state
+    * (`mapGroupsWithState` + processing-time timeout): a user's session
+    * closes after `gapMinutes` without events; closed sessions are emitted
+    * with their aggregates. Demonstrates the KeyValueGroupedDataset custom
+    * state surface over the events stream.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30): Dataset[SessionResult] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionResult](GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId, batch, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionResult(userId, new java.sql.Timestamp(s.start), s.events, s.totalValue)
+          } else {
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
+            val merged = evs.foldLeft(state.getOption.getOrElse(SessionState(evs.head.ts.getTime, 0L, 0, 0.0))) {
+              (s, e) =>
+                if (e.ts.getTime - s.lastSeen > gapMs && s.events > 0)
+                  // New session within the batch: restart (previous one is
+                  // implicitly closed; emitted on timeout in streaming use).
+                  SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)
+                else
+                  SessionState(s.start, e.ts.getTime, s.events + 1, s.totalValue + e.value)
+            }
+            state.update(merged)
+            state.setTimeoutDuration(gapMs)
+            SessionResult(userId, new java.sql.Timestamp(merged.start), merged.events, merged.totalValue)
+          }
+      }
+  }
+
+  /** Convenience: run a streaming frame into an in-memory sink and return
+    * the query (tests and demos; production sinks are the caller's choice).
+    */
+  def toMemorySink(df: DataFrame, queryName: String, outputMode: OutputMode = OutputMode.Update()) =
+    df.writeStream.format("memory").queryName(queryName).outputMode(outputMode).start()
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class MultimodalStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Seq(
+    (1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), "image/png"),
+    (2L, Array[Byte](9, 8, 7), "image/jpeg"),
+    (3L, null.asInstanceOf[Array[Byte]], "image/png")
+  ).toDF("media_id", "content", "mime")
+
+  describe("Multimodal plumbing (stubbed kernels)") {
+    it("decodeMeta yields a typed struct, null-safe") {
+      val out  = media.select(col("media_id"), Multimodal.decodeMeta(col("content")))
+      val rows = out.collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+      rows(1L).getInt(3) shouldBe 8 // n_bytes
+      rows(3L).getInt(3) shouldBe 0 // null content → zeroed
+      // deterministic: same content → same decode
+      val again = media.select(Multimodal.decodeMeta(col("content"))).collect()
+      again shouldBe media.select(Multimodal.decodeMeta(col("content"))).collect()
+    }
+    it("extractFeatures emits fixed-width vectors per item") {
+      val out = Multimodal.extractFeatures(media, "media_id", "content", dim = 4)
+      out.columns shouldBe Array("media_id", "features")
+      val f = out.as[(Long, Seq[Float])].collect().toMap
+      f(1L).length shouldBe 4
+      f(3L) shouldBe Seq(0f, 0f, 0f, 0f) // null content → zero vector
+    }
+    it("resizeStub truncates or pads to target size") {
+      val sizes = media
+        .select(Multimodal.resizeStub(col("content"), 4).as("b"))
+        .collect().map(r => if (r.isNullAt(0)) -1 else r.getAs[Array[Byte]](0).length).toSet
+      sizes shouldBe Set(4, -1) // 8→4 truncated, 3→4 padded, null stays null
+    }
+    it("sampleFrames keeps every stride-th fixed-size chunk") {
+      val frames = Multimodal.sampleFrames(media.where("media_id = 1"), "media_id", "content", frameBytes = 2, stride = 2)
+      // 8 bytes → 4 frames of 2 → indices 0, 2 kept
+      frames.select("frame_idx").as[Int].collect().sorted shouldBe Array(0, 2)
+    }
+  }
+
+  describe("Structured Streaming over events") {
+    it("windowedAggregate computes tumbling windows on a MemoryStream") {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val df = input.toDF().toDF("ts", "event_type", "value")
+      val query = EventStream.toMemorySink(
+        EventStream.windowedAggregate(df, windowLength = "1 hour", watermarkDelay = "10 minutes"),
+        "win_test"
+      )
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      input.addData((ts(0, 5), "click", 1.0), (ts(0, 40), "click", 2.0), (ts(1, 10), "view", 5.0))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM win_test").collect()
+      rows.map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet shouldBe
+        Set(("2024-01-01 00:00:00.0", "click", 2L, 3.0), ("2024-01-01 01:00:00.0", "view", 1L, 5.0))
+      query.stop()
+    }
+    it("sessionize merges events within the gap (batch semantics)") {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      val evs = Seq(
+        EventStream.SessionEvent(1L, ts(0), 1.0),
+        EventStream.SessionEvent(1L, ts(5), 2.0),
+        EventStream.SessionEvent(2L, ts(1), 7.0)
+      ).toDS()
+      val out = EventStream.sessionize(evs, gapMinutes = 30).collect().map(r => r.user_id -> r).toMap
+      out(1L).n_events shouldBe 2
+      out(1L).total_value shouldBe 3.0
+      out(2L).n_events shouldBe 1
+    }
+  }
+}
