@@ -123,16 +123,19 @@ object Dedup {
     * intersection over ~300-element arrays measured 10× slower at 1M+
     * candidate pairs).
     */
-  private def verifyJaccard(cand: DataFrame, docs: DataFrame, threshold: Double): DataFrame =
+  private def verifyJaccard(cand: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
     // Broadcast the docs side: candidate pairs can number in the millions
     // and a shuffle join would ship the ~KB shingle array once PER PAIR
     // (measured ~11 GB at 2M pairs); the whole docs frame is a few MB.
+    // Materialized once — it feeds two broadcasts.
+    val d = docs.localCheckpoint()
     cand
-      .join(broadcast(docs.toDF("doc_a", "shs_a")), "doc_a")
-      .join(broadcast(docs.toDF("doc_b", "shs_b")), "doc_b")
+      .join(broadcast(d.toDF("doc_a", "shs_a")), "doc_a")
+      .join(broadcast(d.toDF("doc_b", "shs_b")), "doc_b")
       .withColumn("jaccard", jaccardUdf(col("shs_a"), col("shs_b")))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
 
   /** MinHash permutation constants: h_i(x) = ((2i+1)·x + B(i)) mod P with
     * P = 2^31−1 (prime) and B(i) = stableHash("minhash#i"). One base MD5
@@ -201,6 +204,9 @@ object Dedup {
         )
       ).as("bk")
     ).select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      // Materialize once: both sides of the bucket self-join would otherwise
+      // re-run the whole signature pipeline (one MD5 per shingle per doc).
+      .localCheckpoint()
     val l = banded.toDF("doc_a", "band", "key")
     val r = banded.toDF("doc_b", "band", "key")
     l.join(r, Seq("band", "key"))

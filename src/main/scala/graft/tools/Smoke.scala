@@ -100,6 +100,11 @@ object Smoke {
     println(s"counts: $counts")
     println(s"wrote to $outDir")
 
+    // Driver-contract smoke: flagship entry must return rows.
+    val entryRows = graft.SparkEntry.entry(spark).count()
+    println(s"=== SparkEntry.entry rows: $entryRows ===")
+    require(entryRows > 0, "entry() returned no rows")
+
     spark.stop()
   }
 }
