@@ -41,7 +41,8 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // Queries: (SparkSession, sfDir) => DataFrame
   // ---------------------------------------------------------------------
-  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ pipelineQueries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ relationalQueries ++ pipelineQueries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/F1/P1: scan + filter + projection (pushdown-friendly).
@@ -203,6 +204,136 @@ object SparkEntry {
           sum(col("value").cast(DecimalType(12, 2))).as("sum_value")
         )
         .orderBy("hour_start", "event_type"))
+  )
+
+  // ---------------------------------------------------------------------
+  // General relational breadth: joins+aggs, windows, distinct aggregates,
+  // set operations, anti joins, rollup, null-handling parity. These have
+  // no custom operator underneath (Catalyst built-ins) — they are gate
+  // evidence that the engine surface is complete.
+  // ---------------------------------------------------------------------
+  private def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Multi-way join + group aggregation (TPC-H Q3 shape), exact decimals.
+    "q_join_agg" -> ((s, dir) => {
+      val c  = t(s, dir, "customer").where("c_mktsegment = 'BUILDING'")
+      val o  = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Window function: rank orders per customer by price, keep top 3.
+    "q_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    // Distinct aggregate.
+    "q_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("distinct_parts"), count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    // Set operations: customers that placed an order vs not (union of the
+    // two labeled key sets; intersect/except under the hood).
+    "q_set_ops" -> ((s, dir) => {
+      val custKeys  = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val orderCust = t(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
+      val withO     = custKeys.intersect(orderCust).withColumn("label", lit("with_orders"))
+      val without   = custKeys.except(orderCust).withColumn("label", lit("no_orders"))
+      withO.unionByName(without).orderBy("k")
+    }),
+
+    // Left anti join: parts never appearing in a high-quantity lineitem.
+    "q_anti_join" -> ((s, dir) => {
+      val p  = t(s, dir, "part")
+      val li = t(s, dir, "lineitem").where("l_quantity >= 48").select("l_partkey")
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+        .select("p_partkey", "p_brand")
+        .orderBy("p_partkey")
+    }),
+
+    // ROLLUP aggregation (grouping-set hierarchy with subtotal rows).
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    // Anonymizer null/empty passthrough parity: derived NULL and ''
+    // inputs flow through unchanged on both engines.
+    "q_anon_nulls" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .withColumn("maybe_null", when(col("c_mktsegment") === "BUILDING", null).otherwise(col("c_mktsegment")))
+        .withColumn("maybe_empty", when(col("c_mktsegment") === "MACHINERY", lit("")).otherwise(col("c_mktsegment")))
+        .select(
+          col("c_custkey"),
+          GraftFunctions.fullName(col("maybe_null")).as("fn_null"),
+          GraftFunctions.email(col("maybe_empty")).as("em_empty"),
+          GraftFunctions.loremText(col("maybe_null")).as("lorem_null")
+        )
+        .orderBy("c_custkey"))
+  )
+
+  private def relationalOracles: Map[String, String] = Map(
+    "q_join_agg" ->
+      """SELECT l_orderkey, o_orderdate,
+        |sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT k, label FROM (
+        |  SELECT k, 'with_orders' AS label FROM
+        |    (SELECT c_custkey AS k FROM customer INTERSECT SELECT DISTINCT o_custkey FROM orders)
+        |  UNION ALL
+        |  SELECT k, 'no_orders' AS label FROM
+        |    (SELECT c_custkey AS k FROM customer EXCEPT SELECT DISTINCT o_custkey FROM orders))
+        |ORDER BY k""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_anon_nulls" -> {
+      import OracleGen._
+      s"""SELECT c_custkey,
+         |${fullName("(CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END)")} AS fn_null,
+         |${email("(CASE WHEN c_mktsegment = 'MACHINERY' THEN '' ELSE c_mktsegment END)")} AS em_empty,
+         |${loremText("(CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END)")} AS lorem_null
+         |FROM customer ORDER BY c_custkey""".stripMargin
+    }
   )
 
   // ---------------------------------------------------------------------
@@ -379,7 +510,7 @@ object SparkEntry {
         """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS cnt,
           |sum(CAST(value AS DECIMAL(12,2))) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
-    ) ++ pipelineOracles
+    ) ++ relationalOracles ++ pipelineOracles
   }
 
   private def pipelineOracles: Map[String, String] = {
