@@ -1,0 +1,106 @@
+package graft.sources
+
+import graft.plans.{LogicalFK, SchemaManifest}
+import graft.sinks.Ident
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.sql.Connection
+import java.util.Properties
+import scala.collection.mutable
+
+/** JDBC source support: schema/key discovery from database metadata and
+  * partitioned table reads — the analogue of the reference's `DbContext`
+  * catalog layer (simple-anonymizer/src/scala/simpleanonymizer/
+  * DbContext.scala:19-142), feeding the same planner.
+  *
+  * Scale note: the reference reads each table on a single server-side
+  * cursor (CopyAction.scala:135-142 — intra-table parallelism 1). Here a
+  * numeric `PartitionSpec` maps to Spark's partitioned JDBC scan
+  * (`partitionColumn/lowerBound/upperBound/numPartitions`), so one table
+  * is read by N concurrent range queries.
+  *
+  * Snapshot consistency (reference G6, `pg_export_snapshot`): immutable
+  * lake sources need nothing; for live databases, open the coordinator
+  * transaction externally and pass `sessionInitStatement` (e.g.
+  * `SET TRANSACTION SNAPSHOT '...'`) via `connectionProperties` so every
+  * partition read joins the same snapshot.
+  */
+object JdbcCatalog {
+
+  /** Numeric-range partitioning for a table scan. */
+  case class PartitionSpec(column: String, lowerBound: Long, upperBound: Long, numPartitions: Int)
+
+  def readTable(
+      spark: SparkSession,
+      url: String,
+      connectionProperties: Properties,
+      schema: String,
+      table: String,
+      partitioning: Option[PartitionSpec] = None
+  ): DataFrame = {
+    val qualified = Ident.quoteQualified(schema, table)
+    partitioning match {
+      case Some(p) =>
+        spark.read.jdbc(url, qualified, p.column, p.lowerBound, p.upperBound, p.numPartitions, connectionProperties)
+      case None =>
+        spark.read.jdbc(url, qualified, connectionProperties)
+    }
+  }
+
+  /** Discover tables, primary keys, and logical (composite-grouped)
+    * foreign keys from `DatabaseMetaData` — reference DbContext grouping
+    * semantics: FK rows sharing a constraint name merge into one
+    * [[LogicalFK]] with columns in KEY_SEQ order (DbContext.scala:127-142).
+    */
+  def manifestFromMetadata(conn: Connection, schema: String): SchemaManifest = {
+    val md     = conn.getMetaData
+    val tables = mutable.ArrayBuffer.empty[String]
+    val rsT    = md.getTables(null, schema, "%", Array("TABLE"))
+    try while (rsT.next()) tables += rsT.getString("TABLE_NAME")
+    finally rsT.close()
+
+    val pks = tables.map { t =>
+      val cols = mutable.ArrayBuffer.empty[(Short, String)]
+      val rs   = md.getPrimaryKeys(null, schema, t)
+      try while (rs.next()) cols += rs.getShort("KEY_SEQ") -> rs.getString("COLUMN_NAME")
+      finally rs.close()
+      t -> cols.sortBy(_._1).map(_._2).toSeq
+    }.filter(_._2.nonEmpty).toMap
+
+    val fks = tables.flatMap { t =>
+      case class FkRow(name: String, pkTable: String, seq: Short, fkCol: String, pkCol: String)
+      val rows = mutable.ArrayBuffer.empty[FkRow]
+      val rs   = md.getImportedKeys(null, schema, t)
+      try while (rs.next()) rows += FkRow(
+        rs.getString("FK_NAME"),
+        rs.getString("PKTABLE_NAME"),
+        rs.getShort("KEY_SEQ"),
+        rs.getString("FKCOLUMN_NAME"),
+        rs.getString("PKCOLUMN_NAME")
+      )
+      finally rs.close()
+      rows
+        .groupBy(r => (r.name, r.pkTable))
+        .toSeq
+        .sortBy(_._1._1)
+        .map { case ((name, pkTable), rs) =>
+          LogicalFK(name, t, pkTable, rs.sortBy(_.seq).map(r => r.fkCol -> r.pkCol).toSeq)
+        }
+    }.toSeq
+
+    SchemaManifest(tables.toSeq.sorted, pks, fks)
+  }
+
+  /** Full catalog: one (optionally partitioned) frame per manifest table. */
+  def catalog(
+      spark: SparkSession,
+      url: String,
+      connectionProperties: Properties,
+      schema: String,
+      manifest: SchemaManifest,
+      partitioning: Map[String, PartitionSpec] = Map.empty
+  ): Map[String, DataFrame] =
+    manifest.tables
+      .map(t => t -> readTable(spark, url, connectionProperties, schema, t, partitioning.get(t)))
+      .toMap
+}
