@@ -387,6 +387,19 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Transitive duplicate clusters (connected components over near-dup
+    // pairs) — the "keep one per cluster" half of dedup.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
+      Dedup.duplicateClusters(pairs).orderBy("node")
+    }),
+
+    // BPE-ish pre-tokenization count (regex segmentation).
+    "q_text_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
     // Token counting.
     "q_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -581,6 +594,27 @@ object SparkEntry {
            |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
            |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 10
            |ORDER BY query_id, rnk""".stripMargin,
+
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE docs AS (SELECT doc_id, $hsh3 AS shs FROM documents),
+           |sh AS (SELECT doc_id, unnest(shs) AS sh FROM docs),
+           |keep AS (SELECT sh FROM (SELECT sh, count(*) AS f FROM sh GROUP BY 1) WHERE f <= 100),
+           |idx AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep k ON s.sh = k.sh),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+           |pairs AS (SELECT doc_a, doc_b FROM cand JOIN docs x ON doc_a = x.doc_id JOIN docs y ON doc_b = y.doc_id
+           |  WHERE len(list_intersect(x.shs, y.shs))::DOUBLE /
+           |    (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.8),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (SELECT DISTINCT a, a FROM edges
+           |                UNION
+           |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+           |SELECT a AS node, min(b) AS cluster_rep FROM reach GROUP BY a ORDER BY node""".stripMargin,
+
+      "q_text_bpe_tokens" -> {
+        val pat = graft.operators.TextAnalysis.bpePattern.replace("'", "''")
+        s"SELECT doc_id, len(regexp_extract_all(text, '$pat')) AS n_bpe_tokens FROM documents ORDER BY doc_id"
+      },
 
       "q_text_tokens" ->
         s"SELECT doc_id, len(${tokensSql("text")}) AS n_tokens FROM documents ORDER BY doc_id",

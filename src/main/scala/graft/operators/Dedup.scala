@@ -232,6 +232,47 @@ object Dedup {
     verifyJaccard(cand, docs, threshold)
   }
 
+  /** Transitive duplicate clusters from a near-dup pair list: connected
+    * components by iterative min-label propagation (each node's label
+    * becomes the min of its own and its neighbors' labels until fixpoint —
+    * the standard Pregel-style CC algorithm, O(graph diameter) rounds,
+    * each round one shuffle on the edge key). Returns (node, cluster_rep)
+    * for every node that appears in a pair; the representative is the
+    * cluster's minimum id.
+    */
+  def duplicateClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val sym = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels  = sym.select(col("src").as("node")).distinct().withColumn("rep", col("node")).localCheckpoint()
+    var changed = 1L
+    var iters   = 0
+    while (changed > 0 && iters < 100) {
+      val neighborMin = sym
+        .join(labels.toDF("nbr", "nbr_rep"), sym("dst") === col("nbr"))
+        .groupBy(col("src").as("node2"))
+        .agg(min(col("nbr_rep")).as("nbr_min"))
+      val updated = labels
+        .join(neighborMin, labels("node") === col("node2"), "left")
+        .select(col("node"), least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"), col("rep").as("old_rep"))
+        .localCheckpoint()
+      changed = updated.where(col("rep") =!= col("old_rep")).count()
+      labels = updated.select("node", "rep").localCheckpoint()
+      iters += 1
+    }
+    labels.select(col("node"), col("rep").as("cluster_rep"))
+  }
+
+  /** Deduplicated corpus: keep every row not in any duplicate cluster,
+    * plus the minimum-id representative of each cluster.
+    */
+  def dedupByClusters(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val losers = clusters.where(col("node") =!= col("cluster_rep")).select(col("node"))
+    df.join(losers, df(idCol) === losers("node"), "left_anti")
+  }
+
   /** Whitespace tokens with empties dropped (shared with [[TextAnalysis]]). */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")

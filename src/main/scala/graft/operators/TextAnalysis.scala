@@ -15,6 +15,19 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenization pattern (GPT-2-family shape, simplified to
+    * the subset with identical semantics in Java regex and RE2): English
+    * contractions, letter runs, digit runs, punctuation runs — each with
+    * an optional leading space — plus whitespace runs. Frozen: the DuckDB
+    * oracle embeds the same pattern.
+    */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
+
+  /** Token count under BPE-ish pre-tokenization (regexp segmentation). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
   /** Language-profile stopwords. Frozen — the DuckDB oracle embeds the same
     * lists via [[graft.OracleGen]]-style generation in SparkEntry.
     */

@@ -58,6 +58,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.duplicateClusters + dedupByClusters") {
+    it("finds transitive components with min-id representatives") {
+      // chain 1-2, 2-5; isolated pair 7-9 → clusters {1,2,5}→1, {7,9}→7
+      val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("doc_a", "doc_b")
+      val c = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+      c shouldBe Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L)
+    }
+    it("dedupByClusters keeps representatives and untouched rows") {
+      val pairs    = Seq((1L, 4L)).toDF("doc_a", "doc_b")
+      val clusters = Dedup.duplicateClusters(pairs)
+      val kept     = Dedup.dedupByClusters(docs, "doc_id", clusters).select("doc_id").as[Long].collect().toSet
+      kept shouldBe Set(1L, 2L, 3L) // 4 is the duplicate of 1
+    }
+  }
+
   describe("Dedup.simHash32 + simHashPairs") {
     it("identical docs share a fingerprint; near docs are hamming-close") {
       val fps = docs.select(col("doc_id"), Dedup.simHash32(col("text")).as("fp"))
