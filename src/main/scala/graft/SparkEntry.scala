@@ -270,6 +270,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
+    // Gaps-and-islands sessionization via window functions (the batch
+    // equivalent of EventStream.sessionize): a session breaks after a
+    // 30-minute silence per user.
+    "q_events_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // Whole computation in the µs domain to match DuckDB's parquet
+      // reader, which truncates nano timestamps to µs.
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+      val ev = Tpch.events(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
+        .withColumn("new_session", when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > lit(1800000000L), 1).otherwise(0))
+        .withColumn("session_no", sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy("user_id", "session_no")
+        .agg(
+          count(lit(1)).as("n_events"),
+          // Microseconds via integer division: DuckDB's parquet reader
+          // TRUNCATES nanos to µs (verified), and double-precision second
+          // conversion would wobble at 1.7e18 ns magnitudes.
+          min(col("ts_us")).as("start_us"),
+          sum(col("value").cast(DecimalType(14, 2))).as("total_value")
+        )
+        .orderBy("user_id", "session_no")
+    }),
+
+    // Interpolated median per event type (DECIMAL-rounded: Spark and
+    // DuckDB interpolate with different FP operation orders).
+    "q_events_median" -> ((s, dir) =>
+      Tpch.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          percentile(col("value"), lit(0.5)).cast(DecimalType(12, 4)).as("median_value"),
+          count(lit(1)).as("cnt")
+        )
+        .orderBy("event_type")),
+
     // Anonymizer null/empty passthrough parity: derived NULL and ''
     // inputs flow through unchanged on both engines.
     "q_anon_nulls" -> ((s, dir) =>
@@ -325,6 +361,22 @@ object SparkEntry {
         |sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_events_sessions" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+        |w AS (SELECT user_id, tus, value,
+        |      lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev FROM ev),
+        |s AS (SELECT user_id, tus, value,
+        |      CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS flag FROM w),
+        |g AS (SELECT user_id, tus, value,
+        |      sum(flag) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS session_no FROM s)
+        |SELECT user_id, session_no, count(*) AS n_events, min(tus) AS start_us,
+        |sum(CAST(value AS DECIMAL(14,2))) AS total_value
+        |FROM g GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+
+    "q_events_median" ->
+      """SELECT event_type, CAST(quantile_cont(value, 0.5) AS DECIMAL(12,4)) AS median_value,
+        |count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_anon_nulls" -> {
       import OracleGen._
