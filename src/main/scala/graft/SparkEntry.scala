@@ -470,6 +470,10 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // Corpus term/document frequency (TF-IDF counting backbone).
+    "q_text_termfreq" -> ((s, dir) =>
+      TextAnalysis.termDocFrequency(t(s, dir, "documents"), "text", "doc_id").orderBy("term")),
+
     // Normalized-content fingerprint.
     "q_text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -682,6 +686,11 @@ object SparkEntry {
 
       "q_text_langid" ->
         s"SELECT doc_id, ${langIdSql("text")} AS lang_pred FROM documents ORDER BY doc_id",
+
+      "q_text_termfreq" ->
+        s"""SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq
+           |FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents)
+           |GROUP BY term ORDER BY term""".stripMargin,
 
       "q_text_fingerprint" ->
         s"""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp

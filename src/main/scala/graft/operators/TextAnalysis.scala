@@ -83,6 +83,19 @@ object TextAnalysis {
       )
   }
 
+  /** Corpus term statistics: per distinct token, its document frequency
+    * (docs containing it) and total term frequency (occurrences across the
+    * corpus). Integer-exact — the counting backbone of TF-IDF / stopword
+    * discovery without float log formulas. One explode + one hash
+    * aggregation; shuffle key is the token.
+    */
+  def termDocFrequency(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    toks
+      .groupBy("term")
+      .agg(countDistinct("doc_id").as("doc_freq"), count(lit(1)).as("term_freq"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * the cheap exact-dedup / near-copy grouping key.
     */

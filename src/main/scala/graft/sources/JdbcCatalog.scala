@@ -30,6 +30,22 @@ object JdbcCatalog {
   /** Numeric-range partitioning for a table scan. */
   case class PartitionSpec(column: String, lowerBound: Long, upperBound: Long, numPartitions: Int)
 
+  /** Connection properties that pin every partition read to a previously
+    * exported PostgreSQL snapshot (reference G6: the coordinator runs
+    * `SELECT pg_export_snapshot()` in an open REPEATABLE READ transaction;
+    * each worker session imports it before reading — reference
+    * DbCopier.scala:130-145 / CopyAction.scala:131-139).
+    */
+  def withSnapshot(base: Properties, snapshotId: String): Properties = {
+    val p = new Properties()
+    p.putAll(base)
+    p.setProperty(
+      "sessionInitStatement",
+      s"BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ; SET TRANSACTION SNAPSHOT '${snapshotId.replace("'", "''")}'"
+    )
+    p
+  }
+
   def readTable(
       spark: SparkSession,
       url: String,

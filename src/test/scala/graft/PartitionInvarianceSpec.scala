@@ -1,0 +1,64 @@
+package graft
+
+import graft.dsl.TableSpec
+import graft.operators.{Dedup, Similarity}
+import graft.plans.SelfRefClosure
+import org.apache.spark.sql.DataFrame
+
+/** Scale-correctness evidence: operator results must be IDENTICAL under
+  * different physical partitionings — the local stand-in for "would this
+  * produce the same answer on 1000 executors as on 1". Each case runs an
+  * operator on a 1-partition and a 7-partition copy of the same data and
+  * compares exact result sets.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (1 to 60).map { i =>
+    val base = s"document number $i about spark query engines and data processing pipelines"
+    (i.toLong, if (i % 7 == 0) base + " near duplicate variant" else base + s" unique tail $i")
+  }.toDF("doc_id", "text")
+
+  private def resultSet(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  private def invariant(name: String)(f: DataFrame => DataFrame): Unit =
+    it(s"$name is partition-invariant") {
+      resultSet(f(docs.repartition(1))) shouldBe resultSet(f(docs.repartition(7)))
+    }
+
+  describe("dedup operators") {
+    invariant("exactDuplicates")(d => Dedup.exactDuplicates(d, "text", "doc_id"))
+    invariant("ngramJaccardPairs")(d => Dedup.ngramJaccardPairs(d, "text", "doc_id", threshold = 0.7))
+    invariant("minHashLshPairs")(d => Dedup.minHashLshPairs(d, "text", "doc_id", threshold = 0.7))
+    invariant("simHash32")(d => d.select(org.apache.spark.sql.functions.col("doc_id"), Dedup.simHash32(org.apache.spark.sql.functions.col("text"))))
+    invariant("duplicateClusters")(d =>
+      Dedup.duplicateClusters(Dedup.ngramJaccardPairs(d, "text", "doc_id", threshold = 0.7)))
+  }
+
+  describe("closure and anonymization") {
+    invariant("SelfRefClosure")(d => {
+      val h = d.selectExpr("doc_id AS id", "CASE WHEN doc_id > 1 THEN doc_id div 2 END AS parent_id")
+      SelfRefClosure.filterReachable(h, h, Seq("parent_id"), Seq("id"))
+    })
+    invariant("TableSpec anonymization")(d =>
+      TableSpec.select(row => Seq(row.doc_id, row.text.mapString(graft.functions.Anonymizer.LoremText))).compile(d))
+  }
+
+  describe("similarity") {
+    lazy val vecs = (1 to 40)
+      .map(i => (i.toLong, Array.tabulate(8)(j => ((i * 31 + j * 7) % 100) / 100.0f)))
+      .toDF("vec_id", "embedding")
+
+    it("bruteForceTopK is partition-invariant") {
+      def run(n: Int) = Similarity.bruteForceTopK(
+        vecs.repartition(n), vecs.where("vec_id <= 3").repartition(n), "vec_id", "embedding", k = 5)
+      resultSet(run(1)) shouldBe resultSet(run(7))
+    }
+    it("embeddingNearDuplicates is partition-invariant") {
+      def run(n: Int) =
+        Dedup.embeddingNearDuplicates(vecs.repartition(n), "vec_id", "embedding", threshold = 0.9)
+      resultSet(run(1)) shouldBe resultSet(run(7))
+    }
+  }
+}
