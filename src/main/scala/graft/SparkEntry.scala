@@ -641,6 +641,27 @@ object SparkEntry {
            |SELECT id_a, id_b, CAST(c AS DECIMAL(9,6)) AS cos_r FROM p WHERE c >= 0.4
            |ORDER BY id_a, id_b""".stripMargin,
 
+      "q_knn_lsh" -> {
+        // Deterministic hyperplane signs (8 planes × 64 dims) embedded as a
+        // literal; the signature fold order matches the JVM kernel, so the
+        // sign-of-dot bucket bits are IEEE-identical.
+        val m = graft.operators.Similarity.signMatrix(8, 64)
+        val signsLit = m.map(_.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")).mkString("[", ",", "]")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+           |sig AS (SELECT vec_id, ve,
+           |  list_sum([CASE WHEN
+           |    list_reduce([ve[d+1] * ($signsLit)[p+1][d+1] for d in range(0, 64)], (x, y) -> x + y) > 0
+           |    THEN (2**p)::BIGINT ELSE 0 END for p in range(0, 8)]) AS bucket FROM v),
+           |q AS (SELECT vec_id AS query_id, ve AS qv, bucket FROM sig WHERE vec_id < 5),
+           |c AS (SELECT vec_id AS neighbor_id, ve AS cv, bucket FROM sig),
+           |sc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos
+           |       FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+           |r AS (SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
+           |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin
+      },
+
       "q_knn_bruteforce" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
            |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -694,8 +715,24 @@ object SparkEntry {
 
       "q_text_fingerprint" ->
         s"""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-           |FROM documents ORDER BY doc_id""".stripMargin
-      // q_knn_lsh, q_text_winnow: rows-only (approximate / sequential UDF).
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // Winnowing fingerprint COUNT via the closed polynomial form of the
+      // rolling hash: h_i = Σ_j ord(s[i+j])·257^(k-1-j) mod 1e9+7 — equal
+      // to the incremental rolling computation; window minima + distinct
+      // replicate the selection. k=5, window=4 (the UDF's defaults).
+      "q_text_winnow" -> {
+        val mod = 1000000007L
+        val pows = (0 to 4).map(e => BigInt(257).modPow(BigInt(e), BigInt(mod)).toLong)
+        val hexpr = (0 to 4).map(j => s"ord(substr(text, i+$j, 1))::BIGINT * ${pows(4 - j)}").mkString(" + ")
+        s"""SELECT doc_id, CASE WHEN length(text) < 5 THEN 0
+           |  WHEN length(text) - 4 < 4 THEN 1
+           |  ELSE len(list_distinct([list_min(hs[w+1:w+4]) for w in range(0, length(text)-4-3)]))
+           |END AS n_fps
+           |FROM (SELECT doc_id, text, [($hexpr) % $mod for i in range(1, length(text)-3)] AS hs FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      }
+      // q_knn_lsh: rows-only (approximate by design).
     )
   }
 }

@@ -76,6 +76,11 @@ object Similarity {
       )
   }
 
+  /** The deterministic ±1 hyperplane matrix — public so the DuckDB oracle
+    * can embed the same constants (like the anonymizer word lists).
+    */
+  def signMatrix(planes: Int, dims: Int): Array[Array[Double]] = Hyperplanes.signs(planes, dims)
+
   /** Random-hyperplane LSH bucket signature: bit p = sign(v · h_p), packed
     * into a long. Vectors with equal signatures are near-duplicate
     * candidates; Hamming-close signatures are neighbor candidates.
