@@ -111,30 +111,10 @@ object Dedup {
     }).select("doc_id", "sh") // using-column joins put the key first — pin order before toDF renames
     val a = indexed.toDF("doc_a", "sh")
     val b = indexed.toDF("doc_b", "sh")
-    val cand = a
+    val rawCand = a
       .join(b, a("sh") === b("sh") && a("doc_a") < b("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
-    verifyJaccard(cand, docs, threshold)
-  }
-
-  /** Exact-Jaccard verification of candidate pairs against full (hashed,
-    * sorted) shingle sets — merge-scan UDF, not `array_intersect` (string
-    * intersection over ~300-element arrays measured 10× slower at 1M+
-    * candidate pairs).
-    */
-  private def verifyJaccard(cand: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
-    // Broadcast the docs side: candidate pairs can number in the millions
-    // and a shuffle join would ship the ~KB shingle array once PER PAIR
-    // (measured ~11 GB at 2M pairs); the whole docs frame is a few MB.
-    // Materialized once — it feeds two broadcasts.
-    val d = docs.localCheckpoint()
-    cand
-      .join(broadcast(d.toDF("doc_a", "shs_a")), "doc_a")
-      .join(broadcast(d.toDF("doc_b", "shs_b")), "doc_b")
-      .withColumn("jaccard", jaccardUdf(col("shs_a"), col("shs_b")))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+    verifyPairsKernel(rawCand, docs, threshold)
   }
 
   /** MinHash permutation constants: h_i(x) = ((2i+1)·x + B(i)) mod P with
@@ -226,8 +206,8 @@ object Dedup {
     * (b) two hash joins that re-deserialized the shingle array per probe —
     * measured 37 s → the kernel version at the same candidate volume.
     * Capacity bound: the doc→shingles map must fit in a broadcast (like
-    * any map-side join); beyond that, fall back to [[verifyJaccard]]'s
-    * join formulation.
+    * any map-side join); beyond that, swap in a shuffled join
+    * formulation on the candidate keys.
     */
   def minHashLshPairs(
       df: DataFrame,
@@ -238,20 +218,28 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5
   ): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val docs = df.select(col(idCol).cast("long"), hashedShingles(col(textCol), n)).as[(Long, Seq[Long])]
-    val docsMap = spark.sparkContext.broadcast(
-      docs.collect().map { case (id, shs) => id -> shs.toArray }.toMap
-    )
+    val docs    = df.select(col(idCol).cast("long").as("doc_id"), hashedShingles(col(textCol), n).as("shs"))
     val rawCand = minHashLshCandidatesRaw(df, textCol, idCol, n, numHashes, bands)
-      .as[(Long, Long)]
-    val verified = rawCand.mapPartitions { pairs =>
+    verifyPairsKernel(rawCand, docs, threshold)
+  }
+
+  /** Broadcast-map exact-Jaccard verification over RAW (possibly repeated)
+    * candidate pairs: the doc→sorted-hashed-shingles map broadcasts once
+    * as primitive arrays; each partition merges-scans its pairs behind a
+    * partition-local duplicate guard; only survivors are globally
+    * distinct-ed. Capacity bound: the docs map must fit in a broadcast
+    * (same assumption as any map-side join).
+    */
+  private def verifyPairsKernel(rawCand: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
+    val spark = rawCand.sparkSession
+    import spark.implicits._
+    val docsMap = spark.sparkContext.broadcast(
+      docs.as[(Long, Seq[Long])].collect().map { case (id, shs) => id -> shs.toArray }.toMap
+    )
+    val verified = rawCand.as[(Long, Long)].mapPartitions { pairs =>
       val m    = docsMap.value
       val seen = new java.util.HashSet[(Long, Long)]()
       pairs.flatMap { case (a, b) =>
-        // Partition-local duplicate guard (a pair colliding in k bands
-        // appears k times); survivors are globally distinct-ed below.
         if (!seen.add((a, b))) None
         else {
           val sa = m(a); val sb = m(b)
