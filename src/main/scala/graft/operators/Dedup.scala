@@ -5,20 +5,23 @@ import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for large-scale training-data pipelines.
   *
-  * Everything here is expressed with native Catalyst expressions and
-  * higher-order functions (transform/aggregate/filter) plus shuffled
-  * joins/groupBys — no Scala UDFs — so the hot paths stay in whole-stage
-  * codegen and scale with partitioning:
+  * Execution shape: candidate GENERATION is declarative (inverted-index /
+  * bucket joins, groupBys — Catalyst plans the shuffles), while per-element
+  * KERNELS (shingle hashing, signatures, Jaccard verification) are tight
+  * Scala UDFs/mapPartitions — Catalyst higher-order functions evaluate
+  * interpreted (no codegen) and measured 10–100× slower on these paths
+  * (see SCALE.md):
   *
   *   - exact dedup: hash-groupBy on content (one shuffle on the text key);
-  *   - n-gram Jaccard: shingle inverted index + pair-count join (never a
-  *     cross join — cost is Σ per-shingle pair fanout, controlled by
-  *     `maxShingleFreq` at scale);
+  *   - n-gram Jaccard: stop-shingle-pruned inverted index for candidates +
+  *     exact merge-scan verification over full hashed shingle sets;
   *   - MinHash+LSH: shingle→signature→band→bucket-join, the standard
-  *     sub-quadratic near-dup pipeline;
+  *     sub-quadratic near-dup pipeline, same kernel verification;
   *   - SimHash: 32-bit sign-aggregated fingerprint per document;
-  *   - embedding cosine: brute-force pair filter (correctness baseline; see
-  *     [[Similarity]] for the LSH-bucketed scale path).
+  *   - embedding cosine: broadcast-matrix pair kernel (correctness
+  *     baseline; see [[Similarity]] for the LSH-bucketed scale path);
+  *   - duplicateClusters: connected components over pair lists →
+  *     cluster-representative dedup.
   */
 object Dedup {
 
