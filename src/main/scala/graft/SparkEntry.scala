@@ -65,8 +65,10 @@ object SparkEntry {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast(DecimalType(12, 2))).as("sum_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(14, 2))).as("sum_price")
+          // DECIMAL(38,2) — the driver hashes TYPED values; DuckDB widens
+          // decimal sums to precision 38, Spark to input+10. Pin both at 38.
+          sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(14, 2))).cast(DecimalType(38, 2)).as("sum_price")
         )
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -201,7 +203,7 @@ object SparkEntry {
         .groupBy("hour_start", "event_type")
         .agg(
           count(lit(1)).as("cnt"),
-          sum(col("value").cast(DecimalType(12, 2))).as("sum_value")
+          sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("sum_value")
         )
         .orderBy("hour_start", "event_type"))
   )
@@ -221,7 +223,7 @@ object SparkEntry {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4))).as("revenue"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -231,7 +233,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "rnk")
         .orderBy("o_custkey", "rnk")
@@ -267,7 +269,7 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+        .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
     // Gaps-and-islands sessionization via window functions (the batch
@@ -290,18 +292,20 @@ object SparkEntry {
           // TRUNCATES nanos to µs (verified), and double-precision second
           // conversion would wobble at 1.7e18 ns magnitudes.
           min(col("ts_us")).as("start_us"),
-          sum(col("value").cast(DecimalType(14, 2))).as("total_value")
+          sum(col("value").cast(DecimalType(14, 2))).cast(DecimalType(38, 2)).as("total_value")
         )
         .orderBy("user_id", "session_no")
     }),
 
-    // Interpolated median per event type (DECIMAL-rounded: Spark and
-    // DuckDB interpolate with different FP operation orders).
+    // Interpolated median per event type. Rounded DOUBLE (not DECIMAL):
+    // Spark and DuckDB interpolate with different FP operation orders, and
+    // Spark writes narrow decimals as INT32 parquet which the driver's
+    // hasher sees differently — round(x, 4) on a DOUBLE is the stable form.
     "q_events_median" -> ((s, dir) =>
       Tpch.events(s, dir)
         .groupBy("event_type")
         .agg(
-          percentile(col("value"), lit(0.5)).cast(DecimalType(12, 4)).as("median_value"),
+          round(percentile(col("value"), lit(0.5)), 4).as("median_value"),
           count(lit(1)).as("cnt")
         )
         .orderBy("event_type")),
@@ -370,12 +374,13 @@ object SparkEntry {
         |      CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS flag FROM w),
         |g AS (SELECT user_id, tus, value,
         |      sum(flag) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS session_no FROM s)
-        |SELECT user_id, session_no, count(*) AS n_events, min(tus) AS start_us,
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
+        |min(tus) AS start_us,
         |sum(CAST(value AS DECIMAL(14,2))) AS total_value
         |FROM g GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
 
     "q_events_median" ->
-      """SELECT event_type, CAST(quantile_cont(value, 0.5) AS DECIMAL(12,4)) AS median_value,
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_value,
         |count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_anon_nulls" -> {
@@ -483,7 +488,7 @@ object SparkEntry {
     // Winnowing fingerprints (sequential rolling hash → UDF; rows-only).
     "q_text_winnow" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), size(TextAnalysis.winnowingFingerprints()(col("text"))).as("n_fps"))
+        .select(col("doc_id"), size(TextAnalysis.winnowingFingerprints()(col("text"))).cast("long").as("n_fps"))
         .orderBy("doc_id"))
   )
 
@@ -627,9 +632,9 @@ object SparkEntry {
            |ORDER BY doc_a, doc_b""".stripMargin,
 
       "q_dedup_simhash" ->
-        s"""SELECT doc_id, list_sum([CASE WHEN
+        s"""SELECT doc_id, CAST(list_sum([CASE WHEN
            |  list_sum([2 * ((h // (2**j)::BIGINT) % 2) - 1 for h in toks]) > 0
-           |  THEN (2**j)::BIGINT ELSE 0 END for j in range(0, 32)]) AS simhash
+           |  THEN (2**j)::BIGINT ELSE 0 END for j in range(0, 32)]) AS BIGINT) AS simhash
            |FROM (SELECT doc_id, [${hashSql("t")} for t in ${tokensSql("text")}] AS toks FROM documents)
            |ORDER BY doc_id""".stripMargin,
 
@@ -638,7 +643,7 @@ object SparkEntry {
            |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |  ${cosineSql("a.ve", "b.ve")} AS c
            |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
-           |SELECT id_a, id_b, CAST(c AS DECIMAL(9,6)) AS cos_r FROM p WHERE c >= 0.4
+           |SELECT id_a, id_b, round(c, 6) AS cos_r FROM p WHERE c >= 0.4
            |ORDER BY id_a, id_b""".stripMargin,
 
       "q_knn_lsh" -> {

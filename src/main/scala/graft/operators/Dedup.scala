@@ -413,8 +413,10 @@ object Dedup {
     }
     pairs
       .toDF("id_a", "id_b", "cosine")
-      // DECIMAL(9,6) (HALF_UP in both Spark and DuckDB) so the oracle
-      // compare is insensitive to last-ulp float noise.
-      .select(col("id_a"), col("id_b"), col("cosine").cast("decimal(9,6)").as("cos_r"))
+      // round(x, 6) on a DOUBLE so the oracle compare is insensitive to
+      // last-ulp float noise. (A narrow DECIMAL lands in parquet as INT32,
+      // which the typed-value hasher treats differently than DuckDB's
+      // native DECIMAL — DOUBLE is the stable cross-engine form.)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cos_r"))
   }
 }

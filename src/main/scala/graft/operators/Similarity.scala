@@ -54,7 +54,7 @@ object Similarity {
       .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     joined
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk")
   }
@@ -125,7 +125,7 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    joined.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    joined.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk")
   }
 }

@@ -13,7 +13,9 @@ object TextAnalysis {
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column = Dedup.tokens(text)
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  // Counts are BIGINT: 64-bit like every other count in the engine, and
+  // type-aligned with DuckDB's len()/count(*) for the oracle compare.
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** BPE-style pre-tokenization pattern (GPT-2-family shape, simplified to
     * the subset with identical semantics in Java regex and RE2): English
@@ -26,7 +28,7 @@ object TextAnalysis {
 
   /** Token count under BPE-ish pre-tokenization (regexp segmentation). */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+    size(regexp_extract_all(text, lit(bpePattern), lit(0))).cast("long")
 
   /** Language-profile stopwords. Frozen — the DuckDB oracle embeds the same
     * lists via [[graft.OracleGen]]-style generation in SparkEntry.
@@ -67,8 +69,8 @@ object TextAnalysis {
     val t    = col(textCol)
     val toks = tokens(t)
     val stop = Seq("the", "and", "of", "a", "to", "in")
-    df.withColumn("n_chars", length(t))
-      .withColumn("n_tokens", size(toks))
+    df.withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn(
         "mean_token_len",
         aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double") / greatest(size(toks), lit(1))

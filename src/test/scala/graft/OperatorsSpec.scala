@@ -101,14 +101,14 @@ class OperatorsSpec extends SparkSpec {
     }
     it("bruteForceTopK ranks by cosine desc with id tiebreak, excluding self") {
       val r = Similarity.bruteForceTopK(vecs, vecs.where("vec_id = 0"), "vec_id", "embedding", k = 3)
-        .orderBy("rnk").as[(Long, Long, Int)].collect()
+        .orderBy("rnk").as[(Long, Long, Long)].collect()
       r.map(_._2).toSeq shouldBe Seq(1L, 2L, 3L)
     }
     it("lshTopK returns same-bucket neighbors ranked like brute force") {
       val exact = Similarity.bruteForceTopK(vecs, vecs.where("vec_id = 0"), "vec_id", "embedding", k = 3)
-        .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
       val approx = Similarity.lshTopK(vecs, vecs.where("vec_id = 0"), "vec_id", "embedding", k = 3, numPlanes = 4)
-        .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
       approx.subsetOf(exact) shouldBe true
     }
   }
@@ -116,7 +116,7 @@ class OperatorsSpec extends SparkSpec {
   describe("TextAnalysis") {
     it("tokenCount ignores repeated whitespace") {
       Seq(("a  b\t c", 1)).toDF("t", "i")
-        .select(TextAnalysis.tokenCount(col("t"))).head.getInt(0) shouldBe 3
+        .select(TextAnalysis.tokenCount(col("t"))).head.getLong(0) shouldBe 3L
     }
     it("languageId picks the profile with most stopword hits") {
       Seq(("the cat and the dog of the house", 1)).toDF("t", "i")

@@ -6,7 +6,11 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<query> parquet produced by graft.Verify, runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the sfDir tables, and
 compares (columns sorted by name, rows sorted by all columns, values
-stringified). Exit code 1 if any query mismatches.
+stringified) AND result types: the DuckDB-visible type of every column must
+be identical between the Spark parquet and the oracle relation. The driver's
+hash is TYPE-sensitive — DECIMAL(22,2) vs DECIMAL(38,2), or BIGINT vs
+HUGEINT, hash-mismatch even when every value is equal (exactly the failure
+class a stringified compare masks). Exit code 1 if any query mismatches.
 """
 import glob
 import json
@@ -51,13 +55,18 @@ def main():
         try:
             spark_rel = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             s_cols, s_rows = normalize(spark_rel.fetchall(), spark_rel.columns)
+            s_types = [str(t) for _, t in sorted(zip(spark_rel.columns, spark_rel.types))]
             ora_rel = con.sql(sql)
             o_cols, o_rows = normalize(ora_rel.fetchall(), ora_rel.columns)
+            o_types = [str(t) for _, t in sorted(zip(ora_rel.columns, ora_rel.types))]
         except Exception as e:
             failures.append((name, f"error: {e}"))
             continue
         if s_cols != o_cols:
             failures.append((name, f"column mismatch: spark={s_cols} oracle={o_cols}"))
+        elif s_types != o_types:
+            diffs = [f"{c}: spark={a} oracle={b}" for c, a, b in zip(s_cols, s_types, o_types) if a != b]
+            failures.append((name, "TYPE mismatch (driver hash is type-sensitive): " + "; ".join(diffs)))
         elif len(s_rows) != len(o_rows):
             failures.append((name, f"row count: spark={len(s_rows)} oracle={len(o_rows)}"))
         elif s_rows != o_rows:
