@@ -66,8 +66,19 @@ class Graft(
       t => rawSpecs.get(t).flatMap(_.whereClause)
     )
 
+    // Tables caught in a cross-table FK cycle receive no topological level,
+    // so FilterPropagation never visits them. Mirror the reference DbCopier:
+    // warn and proceed without them rather than failing the whole plan
+    // (reference TableSorter drops them with a 'will not be copied' warning).
+    val unleveled = specsMap.keySet -- skippedTables -- effective.keySet
+    if (unleveled.nonEmpty)
+      logger.warn(
+        "Tables in an FK cycle will not be copied: {}",
+        unleveled.toSeq.sorted.mkString(", ")
+      )
+
     specsMap.collect {
-      case (t, spec) if !skippedTables.contains(t) =>
+      case (t, spec) if !skippedTables.contains(t) && effective.contains(t) =>
         // The effective frame already carries the explicit filter — compile
         // only projection/limit on top of it.
         t -> spec.copy(whereClause = None).compile(effective(t))

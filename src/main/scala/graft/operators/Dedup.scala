@@ -45,7 +45,11 @@ object Dedup {
   def hashedShingles(text: Column, n: Int): Column = {
     val u = udf { (t: String) =>
       val set = new java.util.TreeSet[java.lang.Long]()
-      if (t.length < n) set.add(graft.functions.Anonymizer.stableHash(t).toLong)
+      // Null-tolerant like the rest of the library (anonymizers, lenses,
+      // winnowing): a null document contributes no shingles instead of
+      // NPE-ing the task.
+      if (t == null) ()
+      else if (t.length < n) set.add(graft.functions.Anonymizer.stableHash(t).toLong)
       else {
         var i = 0
         while (i <= t.length - n) {
@@ -138,9 +142,11 @@ object Dedup {
     val offsets = minHashOffsets(numHashes).toArray
     val u = udf { (t: String) =>
       // Shingles replicate the Column version: positions 1..max(L-n+1, 1),
-      // SQL-substr truncation → whole text when shorter than n.
+      // SQL-substr truncation → whole text when shorter than n. Null text →
+      // no shingles → the all-MaxValue signature (null-tolerant, no NPE).
       val shingleSet = new scala.collection.mutable.LinkedHashSet[String]
-      if (t.length < n) shingleSet += t
+      if (t == null) ()
+      else if (t.length < n) shingleSet += t
       else {
         var i = 0
         while (i <= t.length - n) { shingleSet += t.substring(i, i + n); i += 1 }
@@ -312,7 +318,8 @@ object Dedup {
     var labels  = sym.select(col("src").as("node")).distinct().withColumn("rep", col("node")).localCheckpoint()
     var changed = 1L
     var iters   = 0
-    while (changed > 0 && iters < 100) {
+    val maxIters = 100
+    while (changed > 0 && iters < maxIters) {
       val neighborMin = sym
         .join(labels.toDF("nbr", "nbr_rep"), sym("dst") === col("nbr"))
         .groupBy(col("src").as("node2"))
@@ -325,6 +332,12 @@ object Dedup {
       labels = updated.select("node", "rep").localCheckpoint()
       iters += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within $maxIters rounds " +
+          s"($changed labels still changing) — the duplicate graph's diameter exceeds the cap; " +
+          "returning partial labels would silently mis-assign cluster representatives"
+      )
     labels.select(col("node"), col("rep").as("cluster_rep"))
   }
 

@@ -47,7 +47,13 @@ object SinkSql {
       }
       val conflictTarget = targetCols match {
         case Left(constraint) => s"ON CONSTRAINT ${quote(constraint)}"
-        case Right(cols)      => s"(${cols.map(quote).mkString(", ")})"
+        case Right(cols) =>
+          require(
+            cols.nonEmpty,
+            s"ON CONFLICT for $schema.$table needs a non-empty column target " +
+              "(PrimaryKey target requires pkColumns to be resolvable)"
+          )
+          s"(${cols.map(quote).mkString(", ")})"
       }
       val action = oc.action match {
         case OnConflict.Action.DoNothing => "DO NOTHING"
@@ -91,6 +97,16 @@ object SinkSql {
   * 5000, TableSpec.scala:22). Each partition writes on its own connection
   * in one transaction; inter-partition atomicity is the caller's concern
   * (same as any parallel JDBC load).
+  *
+  * Delivery semantics: Spark tasks are AT-LEAST-ONCE — a task retry, stage
+  * retry, or speculative duplicate that fires AFTER a partition's commit
+  * replays that partition's rows. Idempotency therefore requires an
+  * [[OnConflict]] strategy against a primary key / unique constraint
+  * (DoNothing makes replays no-ops; DoUpdate makes them idempotent
+  * overwrites). For the plain-append path (`onConflict = None`) disable
+  * speculative execution (`spark.speculation=false`, the default) and treat
+  * a mid-write job failure as "truncate and reload" — exactly the posture
+  * of any parallel JDBC bulk load.
   */
 object JdbcUpsertSink {
   private val logger = LoggerFactory.getLogger(getClass)

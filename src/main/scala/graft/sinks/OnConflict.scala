@@ -32,12 +32,16 @@ object OnConflict {
     case class Constraint(name: String) extends ConflictTarget
   }
 
-  def doNothing: OnConflict                     = OnConflict(ConflictTarget.PrimaryKey, Action.DoNothing)
-  def doNothing(targetColumns: String*): OnConflict =
-    OnConflict(ConflictTarget.Columns(targetColumns), Action.DoNothing)
-  def doUpdate: OnConflict                      = OnConflict(ConflictTarget.PrimaryKey, Action.DoUpdate())
-  def doUpdate(targetColumns: String*): OnConflict =
-    OnConflict(ConflictTarget.Columns(targetColumns), Action.DoUpdate())
+  def doNothing: OnConflict = OnConflict(ConflictTarget.PrimaryKey, Action.DoNothing)
+
+  // head +: tail varargs: `doNothing()` with empty parens must not resolve
+  // to Columns(Nil) — that renders invalid SQL `ON CONFLICT () ...` at write
+  // time instead of the PrimaryKey target the no-paren form gives.
+  def doNothing(targetColumn: String, moreColumns: String*): OnConflict =
+    OnConflict(ConflictTarget.Columns(targetColumn +: moreColumns), Action.DoNothing)
+  def doUpdate: OnConflict = OnConflict(ConflictTarget.PrimaryKey, Action.DoUpdate())
+  def doUpdate(targetColumn: String, moreColumns: String*): OnConflict =
+    OnConflict(ConflictTarget.Columns(targetColumn +: moreColumns), Action.DoUpdate())
   def doUpdate(targetColumns: Seq[String], updateColumns: Set[String]): OnConflict =
     OnConflict(ConflictTarget.Columns(targetColumns), Action.DoUpdate(Some(updateColumns)))
 }

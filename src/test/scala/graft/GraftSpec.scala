@@ -97,6 +97,43 @@ class GraftSpec extends SparkSpec {
       val plans = g.plan("users" -> TableSpec.select(row => Seq(row.name, row.email)))
       plans.keySet shouldBe Set("users")
     }
+    it("tables in a cross-table FK cycle are warned about and dropped, not crashed on") {
+      // a ↔ b cycle plus an independent copyable table.
+      val a = spark.createDataFrame(
+        java.util.Arrays.asList(Row(1, 1, "x")),
+        StructType(Seq(
+          StructField("id", IntegerType, false),
+          StructField("b_id", IntegerType, false),
+          StructField("payload", StringType)
+        ))
+      )
+      val b = spark.createDataFrame(
+        java.util.Arrays.asList(Row(1, 1, "y")),
+        StructType(Seq(
+          StructField("id", IntegerType, false),
+          StructField("a_id", IntegerType, false),
+          StructField("payload", StringType)
+        ))
+      )
+      val cyclicManifest = SchemaManifest(
+        tables = Seq("a", "b", "users"),
+        pks = Map("a" -> Seq("id"), "b" -> Seq("id"), "users" -> Seq("id")),
+        fks = Seq(
+          LogicalFK("fk_a_b", "a", "b", Seq(("b_id", "id"))),
+          LogicalFK("fk_b_a", "b", "a", Seq(("a_id", "id")))
+        )
+      )
+      val g = new Graft(Map("a" -> a, "b" -> b, "users" -> users), cyclicManifest)
+      val plans = g.plan(
+        "a"     -> TableSpec.select(row => Seq(row.payload)),
+        "b"     -> TableSpec.select(row => Seq(row.payload)),
+        "users" -> TableSpec.select(row => Seq(row.name, row.email))
+      )
+      // Reference DbCopier semantics: cyclic tables are not copied; the rest
+      // of the plan proceeds.
+      plans.keySet shouldBe Set("users")
+      plans("users").count() shouldBe 3
+    }
   }
 
   describe("run") {

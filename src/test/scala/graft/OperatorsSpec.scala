@@ -58,6 +58,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup null tolerance") {
+    it("null text rows don't NPE the kernels and never pair") {
+      val withNull = docs.unionByName(Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+      val ngram = Dedup.ngramJaccardPairs(withNull, "text", "doc_id", n = 3, threshold = 0.6)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      ngram should contain((1L, 4L))
+      ngram.flatMap(p => Set(p._1, p._2)) should not contain 99L
+      val lsh = Dedup.minHashLshPairs(withNull, "text", "doc_id", threshold = 0.6)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      lsh should contain((1L, 4L))
+      lsh.flatMap(p => Set(p._1, p._2)) should not contain 99L
+    }
+  }
+
   describe("Dedup.duplicateClusters + dedupByClusters") {
     it("finds transitive components with min-id representatives") {
       // chain 1-2, 2-5; isolated pair 7-9 → clusters {1,2,5}→1, {7,9}→7

@@ -49,6 +49,17 @@ class SinksSpec extends AnyFunSpec with Matchers {
         Some(OnConflict(OnConflict.ConflictTarget.Constraint("users_pkey"), OnConflict.Action.DoNothing))) should
         include("""ON CONFLICT ON CONSTRAINT "users_pkey" DO NOTHING""")
     }
+    it("rejects an empty conflict-target column list instead of rendering ON CONFLICT ()") {
+      // PrimaryKey target with no resolvable pk columns — previously
+      // rendered invalid SQL that only failed at the database.
+      val e = intercept[IllegalArgumentException] {
+        SinkSql.insert("public", "users", cols, Some(OnConflict.doNothing), pkColumns = Seq.empty)
+      }
+      e.getMessage should include("non-empty column target")
+      // And Columns(Nil) can no longer be constructed via the varargs API:
+      // OnConflict.doNothing("id") requires at least one column by signature.
+      OnConflict.doNothing("id").target shouldBe OnConflict.ConflictTarget.Columns(Seq("id"))
+    }
   }
 
   describe("SinkSql auxiliary DDL/DML") {
