@@ -417,6 +417,14 @@ object SparkEntry {
           n = 3, numHashes = 32, bands = 4, threshold = 0.8)
         .orderBy("doc_a", "doc_b")),
 
+    // Same pipeline forced through the SHUFFLED verification path (the
+    // no-broadcast-bound formulation) — must match the broadcast kernel's
+    // oracle bit-for-bit.
+    "q_dedup_minhash_shuffle" -> ((s, dir) =>
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, numHashes = 32, bands = 4, threshold = 0.8, verify = Dedup.VerifyMode.Shuffle)
+        .orderBy("doc_a", "doc_b")),
+
     // 32-bit SimHash fingerprints.
     "q_dedup_simhash" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -426,6 +434,13 @@ object SparkEntry {
     // Embedding-cosine near-duplicate pairs (brute-force baseline).
     "q_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // LSH-bucketed embedding near-dup — the scale path (no corpus
+    // broadcast); oracle replicates the hyperplane buckets exactly.
+    "q_embed_neardup_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDuplicatesLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, numPlanes = 8)
         .orderBy("id_a", "id_b")),
 
     // Brute-force cosine top-k (query set = vec_id < 5).
@@ -587,6 +602,19 @@ object SparkEntry {
     ) ++ relationalOracles ++ pipelineOracles
   }
 
+  private def minHashOracleSql(hsh3: String, hashI: String, bandKey: String): String =
+    s"""WITH docs AS (SELECT doc_id, $hsh3 AS shs FROM documents),
+       |sig AS (SELECT doc_id, [list_min([$hashI for h in shs]) for i in range(0, 32)] AS sg FROM docs),
+       |bands AS (SELECT doc_id, b, $bandKey AS key FROM sig, range(0, 4) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |         FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+       |j AS (SELECT doc_a, doc_b,
+       |  len(list_intersect(x.shs, y.shs))::DOUBLE /
+       |    (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) AS jaccard
+       |  FROM cand JOIN docs x ON doc_a = x.doc_id JOIN docs y ON doc_b = y.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private def pipelineOracles: Map[String, String] = {
     import OracleGen._
     val sh3 = shinglesSql("text", 3)
@@ -618,18 +646,11 @@ object SparkEntry {
            |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
            |ORDER BY doc_a, doc_b""".stripMargin,
 
-      "q_dedup_minhash" ->
-        s"""WITH docs AS (SELECT doc_id, $hsh3 AS shs FROM documents),
-           |sig AS (SELECT doc_id, [list_min([$hashI for h in shs]) for i in range(0, 32)] AS sg FROM docs),
-           |bands AS (SELECT doc_id, b, $bandKey AS key FROM sig, range(0, 4) t(b)),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-           |         FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
-           |j AS (SELECT doc_a, doc_b,
-           |  len(list_intersect(x.shs, y.shs))::DOUBLE /
-           |    (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) AS jaccard
-           |  FROM cand JOIN docs x ON doc_a = x.doc_id JOIN docs y ON doc_b = y.doc_id)
-           |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
-           |ORDER BY doc_a, doc_b""".stripMargin,
+      "q_dedup_minhash" -> minHashOracleSql(hsh3, hashI, bandKey),
+
+      // The shuffled verification path must agree with the broadcast kernel
+      // on every pair and every jaccard value — identical oracle.
+      "q_dedup_minhash_shuffle" -> minHashOracleSql(hsh3, hashI, bandKey),
 
       "q_dedup_simhash" ->
         s"""SELECT doc_id, CAST(list_sum([CASE WHEN
@@ -645,6 +666,23 @@ object SparkEntry {
            |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
            |SELECT id_a, id_b, round(c, 6) AS cos_r FROM p WHERE c >= 0.4
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "q_embed_neardup_lsh" -> {
+        // Same deterministic hyperplane replication as q_knn_lsh: the
+        // bucket bits come from sign-of-dot with an IEEE-identical fold
+        // order, so the bucket assignment is exact, not approximate.
+        val m = graft.operators.Similarity.signMatrix(8, 64)
+        val signsLit = m.map(_.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")).mkString("[", ",", "]")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+           |sig AS (SELECT vec_id, ve,
+           |  list_sum([CASE WHEN
+           |    list_reduce([ve[d+1] * ($signsLit)[p+1][d+1] for d in range(0, 64)], (x, y) -> x + y) > 0
+           |    THEN (2**p)::BIGINT ELSE 0 END for p in range(0, 8)]) AS bucket FROM v),
+           |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosineSql("a.ve", "b.ve")} AS c
+           |      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |SELECT id_a, id_b, round(c, 6) AS cos_r FROM p WHERE c >= 0.4
+           |ORDER BY id_a, id_b""".stripMargin
+      },
 
       "q_knn_lsh" -> {
         // Deterministic hyperplane signs (8 planes × 64 dims) embedded as a

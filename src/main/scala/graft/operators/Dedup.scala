@@ -25,6 +25,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** How candidate pairs are verified against the full shingle sets.
+    *
+    * The broadcast-map kernel is the fast path (one broadcast, zero extra
+    * shuffles, a merge-scan per pair) but bounded by the doc→shingles map
+    * fitting in a broadcast — like any map-side join. The shuffled path has
+    * no size bound: candidates are distinct-ed, then the shingle arrays are
+    * joined in for each side (Catalyst picks sort-merge once the frames
+    * outgrow the broadcast threshold) and each pair is verified by the same
+    * merge-scan kernel. `Auto` measures the corpus (Σ shingles × 8 bytes)
+    * and picks — the standard map-side-join auto-selection.
+    */
+  sealed trait VerifyMode
+  object VerifyMode {
+    case object Broadcast                                      extends VerifyMode
+    case object Shuffle                                        extends VerifyMode
+    case class Auto(maxBroadcastBytes: Long = 256L * 1024 * 1024) extends VerifyMode
+  }
+
   /** Distinct character n-grams of `text`, positions 1..len-n+1. For texts
     * shorter than n the whole text is the single shingle (the `greatest`
     * guard also keeps `sequence` ascending — sequence(1, 0) would count
@@ -106,7 +124,8 @@ object Dedup {
       idCol: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      maxShingleFreq: Option[Int] = Some(100)
+      maxShingleFreq: Option[Int] = Some(100),
+      verify: VerifyMode = VerifyMode.Auto()
   ): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), hashedShingles(col(textCol), n).as("shs"))
     val sh   = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
@@ -121,7 +140,7 @@ object Dedup {
     val rawCand = a
       .join(b, a("sh") === b("sh") && a("doc_a") < b("doc_b"))
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-    verifyPairsKernel(rawCand, docs, threshold)
+    verifyPairs(rawCand, docs, threshold, verify)
   }
 
   /** MinHash permutation constants: h_i(x) = ((2i+1)·x + B(i)) mod P with
@@ -225,11 +244,56 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      verify: VerifyMode = VerifyMode.Auto()
   ): DataFrame = {
     val docs    = df.select(col(idCol).cast("long").as("doc_id"), hashedShingles(col(textCol), n).as("shs"))
     val rawCand = minHashLshCandidatesRaw(df, textCol, idCol, n, numHashes, bands)
-    verifyPairsKernel(rawCand, docs, threshold)
+    verifyPairs(rawCand, docs, threshold, verify)
+  }
+
+  /** Exact-Jaccard verification of raw candidate pairs, dispatching on
+    * [[VerifyMode]]. `Auto` estimates the broadcast payload with one cheap
+    * aggregate (Σ shingle count × 8 bytes + per-doc overhead) and picks the
+    * broadcast kernel when it fits, the shuffled join when it doesn't —
+    * the fallback that makes the operator safe at any corpus size.
+    */
+  private def verifyPairs(
+      rawCand: DataFrame,
+      docs: DataFrame,
+      threshold: Double,
+      mode: VerifyMode
+  ): DataFrame = mode match {
+    case VerifyMode.Broadcast => verifyPairsBroadcast(rawCand, docs, threshold)
+    case VerifyMode.Shuffle   => verifyPairsShuffled(rawCand, docs, threshold)
+    case VerifyMode.Auto(maxBytes) =>
+      val row = docs.agg(sum(size(col("shs"))), count(lit(1))).head
+      val totalShingles = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val nDocs         = row.getLong(1)
+      // 8 bytes per hashed shingle + ~48 bytes map-entry/array overhead per doc.
+      val estBytes = totalShingles * 8L + nDocs * 48L
+      if (estBytes <= maxBytes) verifyPairsBroadcast(rawCand, docs, threshold)
+      else verifyPairsShuffled(rawCand, docs, threshold)
+  }
+
+  /** Shuffled verification — the no-size-bound path. Candidates are
+    * distinct-ed first (band collisions repeat pairs; dedup BEFORE shipping
+    * KB-sized shingle arrays, not after), then each side's sorted shingle
+    * array is joined in and the pair verified by the same merge-scan
+    * kernel. Both joins shuffle on a doc-id key; Catalyst picks sort-merge
+    * once the corpus outgrows the broadcast threshold. ~2 array shipments
+    * per surviving candidate — the price of unbounded capacity.
+    */
+  private def verifyPairsShuffled(rawCand: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
+    val cand = rawCand.distinct()
+    val a    = docs.toDF("doc_a", "shs_a")
+    val b    = docs.toDF("doc_b", "shs_b")
+    cand
+      .join(a, "doc_a")
+      .join(b, "doc_b")
+      .withColumn("jaccard", jaccardUdf(col("shs_a"), col("shs_b")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** Broadcast-map exact-Jaccard verification over RAW (possibly repeated)
@@ -237,9 +301,10 @@ object Dedup {
     * as primitive arrays; each partition merges-scans its pairs behind a
     * partition-local duplicate guard; only survivors are globally
     * distinct-ed. Capacity bound: the docs map must fit in a broadcast
-    * (same assumption as any map-side join).
+    * (same assumption as any map-side join) — [[VerifyMode.Auto]] falls
+    * back to [[verifyPairsShuffled]] beyond it.
     */
-  private def verifyPairsKernel(rawCand: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
+  private def verifyPairsBroadcast(rawCand: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
     val spark = rawCand.sparkSession
     import spark.implicits._
     val docsMap = spark.sparkContext.broadcast(
@@ -355,21 +420,40 @@ object Dedup {
 
   /** 32-bit SimHash: bit j set iff Σ over tokens of ±1 (sign of token-hash
     * bit j) is positive. Token multiplicity acts as the classic weight.
+    *
+    * Tight UDF kernel (one stableHash + 32 bit-tests per token), NOT
+    * Catalyst higher-order functions: the HOF formulation evaluates
+    * interpreted per element (no codegen) — the per-token inner loop is
+    * exactly the hot path SCALE.md's doctrine reserves for UDF kernels.
+    * Null text → fingerprint 0 (no tokens vote). Mirrored verbatim by the
+    * DuckDB oracle's list-comprehension formulation.
     */
   def simHash32(text: Column): Column = {
-    val tokHashes = transform(tokens(text), t => HashCols.stableHash(t))
-    aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, j) => {
-        val pow  = pow2(j)
-        val vote = aggregate(tokHashes, lit(0L), (a, h) => a + lit(2) * ((h / pow).cast("long") % 2) - 1)
-        acc + when(vote > 0, pow).otherwise(lit(0L))
+    val u = udf { (t: String) =>
+      val counts = new Array[Int](32)
+      if (t != null) {
+        val toks = t.split("\\s+")
+        var k = 0
+        while (k < toks.length) {
+          val tok = toks(k)
+          if (tok.nonEmpty) {
+            val h = graft.functions.Anonymizer.stableHash(tok)
+            var j = 0
+            while (j < 32) {
+              if (((h >>> j) & 1) == 1) counts(j) += 1 else counts(j) -= 1
+              j += 1
+            }
+          }
+          k += 1
+        }
       }
-    )
+      var sig = 0L
+      var j   = 0
+      while (j < 32) { if (counts(j) > 0) sig |= 1L << j; j += 1 }
+      sig
+    }
+    u(text)
   }
-
-  private def pow2(j: Column): Column = pow(lit(2.0), j).cast("long")
 
   /** Pairs of documents whose SimHash fingerprints differ in ≤ maxHamming
     * bits. Uses bit_count(xor) over a band-bucketed candidate set at scale;
@@ -430,6 +514,34 @@ object Dedup {
       // last-ulp float noise. (A narrow DECIMAL lands in parquet as INT32,
       // which the typed-value hasher treats differently than DuckDB's
       // native DECIMAL — DOUBLE is the stable cross-engine form.)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cos_r"))
+  }
+
+  /** LSH-bucketed embedding near-duplicate pairs — the scale path for
+    * [[embeddingNearDuplicates]]: vectors are bucketed by their
+    * deterministic random-hyperplane signature ([[Similarity.lshBuckets]]),
+    * and only same-bucket pairs are scored. One narrow shuffle on the
+    * bucket key, never all-pairs, no broadcast of the corpus — survives any
+    * corpus size (recall is tuned by `numPlanes`: more planes → smaller
+    * buckets → faster and lower recall; near-duplicates at high cosine
+    * agree on almost every hyperplane sign, so recall stays high where it
+    * matters). Same output contract as the brute-force baseline.
+    */
+  def embeddingNearDuplicatesLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numPlanes: Int = 8
+  ): DataFrame = {
+    val bucketed = Similarity
+      .lshBuckets(df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")), "id", "vec", numPlanes)
+    val l = bucketed.toDF("id_a", "vec_a", "bucket")
+    val r = bucketed.toDF("id_b", "vec_b", "bucket")
+    l.join(r, "bucket")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("vec_a"), col("vec_b")))
+      .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cos_r"))
   }
 }

@@ -58,6 +58,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup verification modes") {
+    it("shuffled verification returns exactly the broadcast kernel's pairs") {
+      val broadcastPairs = Dedup.minHashLshPairs(docs, "text", "doc_id", threshold = 0.6,
+        verify = Dedup.VerifyMode.Broadcast).as[(Long, Long, Double)].collect().toSet
+      val shuffledPairs = Dedup.minHashLshPairs(docs, "text", "doc_id", threshold = 0.6,
+        verify = Dedup.VerifyMode.Shuffle).as[(Long, Long, Double)].collect().toSet
+      shuffledPairs shouldBe broadcastPairs
+      shuffledPairs should not be empty
+    }
+    it("Auto picks shuffle under a tiny byte budget and still agrees") {
+      val tiny = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.6,
+        verify = Dedup.VerifyMode.Auto(maxBroadcastBytes = 1)).as[(Long, Long, Double)].collect().toSet
+      val bc = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.6,
+        verify = Dedup.VerifyMode.Broadcast).as[(Long, Long, Double)].collect().toSet
+      tiny shouldBe bc
+    }
+  }
+
   describe("Dedup null tolerance") {
     it("null text rows don't NPE the kernels and never pair") {
       val withNull = docs.unionByName(Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
@@ -124,6 +142,14 @@ class OperatorsSpec extends SparkSpec {
       val approx = Similarity.lshTopK(vecs, vecs.where("vec_id = 0"), "vec_id", "embedding", k = 3, numPlanes = 4)
         .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
       approx.subsetOf(exact) shouldBe true
+    }
+    it("embeddingNearDuplicatesLsh finds a subset of brute-force pairs with equal scores") {
+      val brute = Dedup.embeddingNearDuplicates(vecs, "vec_id", "embedding", threshold = 0.9)
+        .as[(Long, Long, Double)].collect().map { case (a, b, c) => (a, b) -> c }.toMap
+      val lsh = Dedup.embeddingNearDuplicatesLsh(vecs, "vec_id", "embedding", threshold = 0.9, numPlanes = 4)
+        .as[(Long, Long, Double)].collect()
+      lsh should not be empty
+      lsh.foreach { case (a, b, c) => brute((a, b)) shouldBe c }
     }
   }
 
