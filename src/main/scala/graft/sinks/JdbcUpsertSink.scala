@@ -74,6 +74,14 @@ object SinkSql {
     s"SELECT setval('${quoteQualified(schema, sequence)}', " +
       s"coalesce(max(${quote(column)}), 0) + 1, false) FROM ${quoteQualified(schema, table)}"
 
+  /** Sequence reset for an ALREADY-QUALIFIED sequence name, as returned by
+    * discovery (`pg_get_serial_sequence` yields e.g. `public.users_id_seq`,
+    * quoted where needed) — setval takes it as a regclass literal.
+    */
+  def sequenceResetDiscovered(qualifiedSequence: String, schema: String, table: String, column: String): String =
+    s"SELECT setval('${qualifiedSequence.replace("'", "''")}', " +
+      s"coalesce(max(${quote(column)}), 0) + 1, false) FROM ${quoteQualified(schema, table)}"
+
   /** Defer a self-ref FK constraint around a copy transaction —
     * reference ConstraintDeferrer.scala:23-42 (PostgreSQL 9.4+).
     */
@@ -108,6 +116,37 @@ object SinkSql {
   * a mid-write job failure as "truncate and reload" — exactly the posture
   * of any parallel JDBC bulk load.
   */
+/** Binds one column value into a PreparedStatement slot. The seam that lets
+  * database-specific value types (PostgreSQL `json`/`jsonb`, enums, ...)
+  * write correctly through a generic JDBC path — the reference wraps such
+  * values in `PGobject` per column (CopyAction.scala:186-197); the
+  * driver-agnostic equivalent binds with `java.sql.Types.OTHER` so the
+  * server casts the text to the column's declared type.
+  */
+trait ColumnValueWriter extends Serializable {
+  def set(stmt: PreparedStatement, idx: Int, value: Any): Unit
+}
+
+object ColumnValueWriter {
+
+  /** Plain `setObject` — correct for every standard SQL type. */
+  val Default: ColumnValueWriter = (stmt: PreparedStatement, idx: Int, value: Any) => stmt.setObject(idx, value)
+
+  /** String payload for a `json`/`jsonb` (or other server-cast) column. */
+  val JsonString: ColumnValueWriter = (stmt: PreparedStatement, idx: Int, value: Any) =>
+    if (value == null) stmt.setNull(idx, java.sql.Types.OTHER)
+    else stmt.setObject(idx, value.toString, java.sql.Types.OTHER)
+
+  /** Writer overrides for a table given its column→database-type map
+    * (e.g. from `information_schema.columns.data_type`): JSON-typed columns
+    * get [[JsonString]], everything else the default.
+    */
+  def forColumnTypes(types: Map[String, String]): Map[String, ColumnValueWriter] =
+    types.collect {
+      case (c, t) if t.equalsIgnoreCase("json") || t.equalsIgnoreCase("jsonb") => c -> JsonString
+    }
+}
+
 object JdbcUpsertSink {
   private val logger = LoggerFactory.getLogger(getClass)
 
@@ -119,12 +158,17 @@ object JdbcUpsertSink {
       table: String,
       onConflict: Option[OnConflict],
       pkColumns: Seq[String] = Seq.empty,
-      batchSize: Int = 5000
+      batchSize: Int = 5000,
+      columnWriters: Map[String, ColumnValueWriter] = Map.empty
   ): Unit = {
     val columns = df.schema.fieldNames.toSeq
     val sql     = SinkSql.insert(schema, table, columns, onConflict, pkColumns)
     logger.info("Upsert SQL: {}", sql)
     val n = columns.size
+    // Resolved per column ONCE on the driver; the array ships in the task
+    // closure (writers are Serializable by contract).
+    val writers: Array[ColumnValueWriter] =
+      columns.map(c => columnWriters.getOrElse(c, ColumnValueWriter.Default)).toArray
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
         val conn: Connection = DriverManager.getConnection(url, connectionProperties)
@@ -135,7 +179,7 @@ object JdbcUpsertSink {
             var pending = 0
             rows.foreach { row =>
               var i = 0
-              while (i < n) { stmt.setObject(i + 1, row.get(i)); i += 1 }
+              while (i < n) { writers(i).set(stmt, i + 1, row.get(i)); i += 1 }
               stmt.addBatch()
               pending += 1
               if (pending >= batchSize) { stmt.executeBatch(); pending = 0 }
@@ -149,4 +193,48 @@ object JdbcUpsertSink {
       }
     }
   }
+
+  /** [[write]] wrapped in self-ref constraint deferral: discovers `table`'s
+    * self-referencing FK constraints on the target, defers them, writes,
+    * restores — the reference's per-table orchestration
+    * (TableCopier.scala:66-68). Hierarchical rows arrive in partition
+    * order, so a child can precede its parent; deferral moves the FK check
+    * to COMMIT. No-op wrapper when the table has no self-ref constraint.
+    */
+  def writeDeferringSelfRefs(
+      df: DataFrame,
+      url: String,
+      connectionProperties: Properties,
+      schema: String,
+      table: String,
+      onConflict: Option[OnConflict],
+      pkColumns: Seq[String] = Seq.empty,
+      batchSize: Int = 5000,
+      columnWriters: Map[String, ColumnValueWriter] = Map.empty
+  ): Unit = {
+    val conn = DriverManager.getConnection(url, connectionProperties)
+    try {
+      val constraints = ConstraintDeferrer.selfRefConstraints(conn, schema, table)
+      ConstraintDeferrer.onConnection(conn).withDeferred(constraints) {
+        write(df, url, connectionProperties, schema, table, onConflict, pkColumns, batchSize, columnWriters)
+      }
+    } finally conn.close()
+  }
+
+  /** Execute a post-copy sequence reset for every discovered sequence
+    * ([[graft.sources.JdbcCatalog.discoverSequences]]) — reference
+    * TableCopier.scala:20-35 semantics: next value = max(column)+1.
+    */
+  def resetSequences(
+      conn: Connection,
+      schema: String,
+      sequences: Seq[graft.sources.JdbcCatalog.SequenceInfo]
+  ): Unit =
+    sequences.foreach { s =>
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(SinkSql.sequenceResetDiscovered(s.sequence, schema, s.table, s.column))
+        rs.close()
+      } finally st.close()
+    }
 }

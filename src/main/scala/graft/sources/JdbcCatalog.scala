@@ -30,6 +30,48 @@ object JdbcCatalog {
   /** Numeric-range partitioning for a table scan. */
   case class PartitionSpec(column: String, lowerBound: Long, upperBound: Long, numPartitions: Int)
 
+  /** A sequence backing a table column (SERIAL / IDENTITY), discovered so
+    * post-copy [[graft.sinks.SinkSql.sequenceReset]] can realign it with
+    * the copied data (reference DbContext.scala:81-101 + TableCopier
+    * setval semantics).
+    */
+  case class SequenceInfo(table: String, column: String, sequence: String)
+
+  /** PostgreSQL discovery query for sequence-backed columns. Uses the
+    * documented `pg_get_serial_sequence` accessor over
+    * `information_schema.columns` (covers SERIAL's `nextval(...)` defaults
+    * and `GENERATED AS IDENTITY`); the schema binds to every `?`. Returns
+    * (table, column, qualified sequence name).
+    */
+  val PgSequenceDiscoverySql: String =
+    """SELECT c.table_name, c.column_name,
+      |  pg_get_serial_sequence(quote_ident(c.table_schema) || '.' || quote_ident(c.table_name), c.column_name) AS seq_name
+      |FROM information_schema.columns c
+      |WHERE c.table_schema = ?
+      |  AND (c.column_default LIKE 'nextval(%' OR c.is_identity = 'YES')""".stripMargin
+
+  /** Run a sequence-discovery query (the PG one by default; injectable for
+    * other dialects/tests). Every `?` placeholder is bound to `schema`;
+    * rows with a NULL sequence name are dropped.
+    */
+  def discoverSequences(
+      conn: Connection,
+      schema: String,
+      query: String = PgSequenceDiscoverySql
+  ): Seq[SequenceInfo] = {
+    val stmt = conn.prepareStatement(query)
+    try {
+      (1 to stmt.getParameterMetaData.getParameterCount).foreach(stmt.setString(_, schema))
+      val rs  = stmt.executeQuery()
+      val out = mutable.ArrayBuffer.empty[SequenceInfo]
+      try while (rs.next()) {
+        val seq = rs.getString(3)
+        if (seq != null) out += SequenceInfo(rs.getString(1), rs.getString(2), seq)
+      } finally rs.close()
+      out.toSeq
+    } finally stmt.close()
+  }
+
   /** Connection properties that pin every partition read to a previously
     * exported PostgreSQL snapshot (reference G6: the coordinator runs
     * `SELECT pg_export_snapshot()` in an open REPEATABLE READ transaction;

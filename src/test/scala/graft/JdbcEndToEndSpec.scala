@@ -29,6 +29,15 @@ class JdbcEndToEndSpec extends SparkSpec {
     st.executeUpdate("INSERT INTO ORDERS VALUES (10, 1, 'alpha'), (11, 2, 'beta'), (12, 3, 'gamma')")
     st.executeUpdate("CREATE TABLE USERS_OUT (ID INT, NAME VARCHAR(100), EMAIL VARCHAR(200), ACTIVE INT)")
     st.executeUpdate("CREATE TABLE ORDERS_OUT (ID INT, USER_ID INT, NOTE VARCHAR(200))")
+    st.executeUpdate(
+      "CREATE TABLE CATEGORIES (ID INT PRIMARY KEY, PARENT_ID INT, LABEL VARCHAR(50), " +
+        "CONSTRAINT FK_CAT_PARENT FOREIGN KEY (PARENT_ID) REFERENCES CATEGORIES(ID))"
+    )
+    st.executeUpdate("CREATE TABLE WRITERS_OUT (ID INT, NOTE VARCHAR(200))")
+    st.executeUpdate("CREATE TABLE SEQCAT (TNAME VARCHAR(50), CNAME VARCHAR(50), SNAME VARCHAR(80))")
+    st.executeUpdate(
+      "INSERT INTO SEQCAT VALUES ('users', 'id', 'APP.users_id_seq'), ('orders', 'id', 'APP.orders_id_seq'), ('views', 'id', NULL)"
+    )
     st.close(); conn.close()
   }
 
@@ -78,6 +87,84 @@ class JdbcEndToEndSpec extends SparkSpec {
         val orderIds = Iterator.continually(rs2).takeWhile(_.next()).map(_.getInt(1)).toList
         orderIds shouldBe List(10, 11) // order of inactive user propagated away
       } finally verify.close()
+    }
+  }
+
+  describe("ConstraintDeferrer.selfRefConstraints") {
+    it("discovers the self-ref FK with its original (non-)deferrability") {
+      val conn = DriverManager.getConnection(url)
+      try {
+        val cs = graft.sinks.ConstraintDeferrer.selfRefConstraints(conn, "APP", "CATEGORIES")
+        cs.map(_.name) shouldBe Seq("FK_CAT_PARENT")
+        cs.head.deferrable shouldBe false // Derby FKs are never deferrable
+        // Cross-table FKs are NOT picked up (ORDERS→USERS is not self-ref).
+        graft.sinks.ConstraintDeferrer.selfRefConstraints(conn, "APP", "ORDERS") shouldBe empty
+      } finally conn.close()
+    }
+    it("writeDeferringSelfRefs is a clean no-op wrapper for tables without self-refs") {
+      import spark.implicits._
+      val df = Seq((100, "wrapped")).toDF("ID", "NOTE")
+      JdbcUpsertSink.writeDeferringSelfRefs(df, url, props, "APP", "WRITERS_OUT", onConflict = None)
+      val conn = DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery("SELECT NOTE FROM WRITERS_OUT WHERE ID = 100")
+        rs.next() shouldBe true
+        rs.getString(1) shouldBe "wrapped"
+      } finally conn.close()
+    }
+  }
+
+  describe("SnapshotCoordinator") {
+    import graft.sources.SnapshotCoordinator
+    it("holds a REPEATABLE READ transaction and yields the exported id") {
+      // Derby has no pg_export_snapshot; the injectable export statement
+      // exercises the held-transaction lifecycle against a real database.
+      val got = SnapshotCoordinator.withSnapshot(
+        () => DriverManager.getConnection(url),
+        exportSql = "VALUES 'snap-42'"
+      ) { id => id }
+      got shouldBe "snap-42"
+    }
+    it("close never throws, even after the connection is gone") {
+      val c = SnapshotCoordinator.export(() => DriverManager.getConnection(url), exportSql = "VALUES 'x'")
+      c.close()
+      noException should be thrownBy c.close()
+    }
+    it("withSnapshot pairs with JdbcCatalog.withSnapshot worker properties") {
+      val p = JdbcCatalog.withSnapshot(props, "snap-42")
+      p.getProperty("sessionInitStatement") should include("SET TRANSACTION SNAPSHOT 'snap-42'")
+    }
+  }
+
+  describe("JdbcCatalog.discoverSequences") {
+    it("runs the (injectable) discovery query, binding schema to every placeholder") {
+      val conn = DriverManager.getConnection(url)
+      try {
+        val seqs = JdbcCatalog.discoverSequences(
+          conn, "APP",
+          query = "SELECT TNAME, CNAME, SNAME FROM APP.SEQCAT WHERE ? <> 'never'"
+        )
+        seqs.map(_.sequence) shouldBe Seq("APP.users_id_seq", "APP.orders_id_seq") // NULL row dropped
+        seqs.head shouldBe JdbcCatalog.SequenceInfo("users", "id", "APP.users_id_seq")
+      } finally conn.close()
+    }
+  }
+
+  describe("per-column value writers") {
+    it("write applies the column's writer (the json/jsonb seam, exercised with a custom writer)") {
+      import spark.implicits._
+      val upper: graft.sinks.ColumnValueWriter =
+        (stmt: java.sql.PreparedStatement, idx: Int, v: Any) =>
+          stmt.setObject(idx, if (v == null) null else v.toString.toUpperCase)
+      val df = Seq((200, "quiet")).toDF("ID", "NOTE")
+      JdbcUpsertSink.write(df, url, props, "APP", "WRITERS_OUT", onConflict = None,
+        columnWriters = Map("NOTE" -> upper))
+      val conn = DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery("SELECT NOTE FROM WRITERS_OUT WHERE ID = 200")
+        rs.next() shouldBe true
+        rs.getString(1) shouldBe "QUIET"
+      } finally conn.close()
     }
   }
 }

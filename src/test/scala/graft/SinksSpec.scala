@@ -1,6 +1,6 @@
 package graft
 
-import graft.sinks.{Ident, OnConflict, SinkSql}
+import graft.sinks.{ColumnValueWriter, ConstraintDeferrer, DeferrableConstraint, Ident, OnConflict, SinkSql}
 import org.scalatest.funspec.AnyFunSpec
 import org.scalatest.matchers.should.Matchers
 
@@ -74,6 +74,85 @@ class SinksSpec extends AnyFunSpec with Matchers {
         endWith("NOT DEFERRABLE")
       SinkSql.restoreConstraint("public", "categories", "fk_parent", deferrable = true, initiallyDeferred = false) should
         endWith("DEFERRABLE INITIALLY IMMEDIATE")
+    }
+    it("sequence reset for a discovered (already-qualified) sequence name") {
+      SinkSql.sequenceResetDiscovered("public.users_id_seq", "public", "users", "id") shouldBe
+        """SELECT setval('public.users_id_seq', coalesce(max("id"), 0) + 1, false) FROM "public"."users""""
+    }
+  }
+
+  describe("ConstraintDeferrer orchestration") {
+    val fk = DeferrableConstraint("public", "categories", "fk_parent", deferrable = false, initiallyDeferred = false)
+
+    it("brackets the body: defer, run, restore to the original state") {
+      val sql = scala.collection.mutable.ArrayBuffer.empty[String]
+      var ran = false
+      new ConstraintDeferrer(sql += _).withDeferred(Seq(fk)) {
+        sql should have size 1 // deferred before the body runs
+        ran = true
+      }
+      ran shouldBe true
+      sql.toSeq shouldBe Seq(
+        SinkSql.deferConstraint("public", "categories", "fk_parent"),
+        SinkSql.restoreConstraint("public", "categories", "fk_parent", deferrable = false, initiallyDeferred = false)
+      )
+    }
+    it("empty constraint list runs the body with zero ALTERs") {
+      val sql = scala.collection.mutable.ArrayBuffer.empty[String]
+      new ConstraintDeferrer(sql += _).withDeferred(Nil) { () } shouldBe (())
+      sql shouldBe empty
+    }
+    it("defer failure is fatal with the PostgreSQL 9.4+ hint") {
+      val e = intercept[RuntimeException] {
+        new ConstraintDeferrer(_ => throw new java.sql.SQLException("no ALTER CONSTRAINT"))
+          .withDeferred(Seq(fk)) { fail("body must not run") }
+      }
+      e.getMessage should include("PostgreSQL 9.4+")
+    }
+    it("restore failure is logged, not propagated, and never masks the body outcome") {
+      var calls = 0
+      val deferrer = new ConstraintDeferrer(_ => {
+        calls += 1
+        if (calls > 1) throw new java.sql.SQLException("restore refused")
+      })
+      deferrer.withDeferred(Seq(fk)) { 42 } shouldBe 42
+      calls shouldBe 2 // restore was attempted
+      // And a failing body still restores, propagating the BODY's error.
+      calls = 0
+      val boom = intercept[IllegalStateException] {
+        deferrer.withDeferred(Seq(fk)) { throw new IllegalStateException("copy failed") }
+      }
+      boom.getMessage shouldBe "copy failed"
+      calls shouldBe 2
+    }
+  }
+
+  describe("ColumnValueWriter") {
+    it("forColumnTypes selects the JSON writer for json/jsonb columns only") {
+      val writers = ColumnValueWriter.forColumnTypes(
+        Map("payload" -> "jsonb", "meta" -> "json", "name" -> "character varying")
+      )
+      writers.keySet shouldBe Set("payload", "meta")
+    }
+    it("JsonString binds via Types.OTHER so the server casts text to json") {
+      var recorded: (Int, Any, Int) = null
+      var nulled: (Int, Int)        = null
+      val stmt = java.lang.reflect.Proxy.newProxyInstance(
+        getClass.getClassLoader,
+        Array(classOf[java.sql.PreparedStatement]),
+        (_, method, args) =>
+          method.getName match {
+            case "setObject" if args.length == 3 =>
+              recorded = (args(0).asInstanceOf[Int], args(1), args(2).asInstanceOf[Int]); null
+            case "setNull" =>
+              nulled = (args(0).asInstanceOf[Int], args(1).asInstanceOf[Int]); null
+            case _ => null
+          }
+      ).asInstanceOf[java.sql.PreparedStatement]
+      ColumnValueWriter.JsonString.set(stmt, 3, """{"k":1}""")
+      recorded shouldBe ((3, """{"k":1}""", java.sql.Types.OTHER))
+      ColumnValueWriter.JsonString.set(stmt, 4, null)
+      nulled shouldBe ((4, java.sql.Types.OTHER))
     }
   }
 }
