@@ -459,6 +459,16 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Multi-probe variant: each query also probes the numPlanes buckets one
+    // hyperplane-flip away — the recall knob. Oracle replicates the probe
+    // set exactly.
+    "q_knn_lsh_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.where("vec_id < 5"), "vec_id", "embedding", k = 5, numPlanes = 8,
+          probeHamming1 = true)
+        .orderBy("query_id", "rnk")
+    }),
+
     // Transitive duplicate clusters (connected components over near-dup
     // pairs) — the "keep one per cluster" half of dedup.
     "q_dedup_clusters" -> ((s, dir) => {
@@ -617,6 +627,22 @@ object SparkEntry {
 
   private def pipelineOracles: Map[String, String] = {
     import OracleGen._
+    // Deterministic hyperplane signs (8 planes × 64 dims) for the LSH
+    // oracles. Hoisted into a one-row CTE and cross-joined: DuckDB
+    // re-evaluates an INLINE nested-list literal per element access
+    // (measured 58 s → 0.05 s at sf0.01 for q_knn_lsh), while a CTE column
+    // reference is built once. The list_reduce fold order matches the JVM
+    // kernel, so the sign-of-dot bucket bits are IEEE-identical.
+    val signsCte = {
+      val m = graft.operators.Similarity.signMatrix(8, 64)
+      val lit = m.map(_.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")).mkString("[", ",", "]")
+      s"signs_t AS (SELECT $lit AS sg)"
+    }
+    val bucketCte =
+      """sig AS (SELECT vec_id, ve,
+        |  list_sum([CASE WHEN
+        |    list_reduce([ve[d+1] * sg[p+1][d+1] for d in range(0, 64)], (x, y) -> x + y) > 0
+        |    THEN (2**p)::BIGINT ELSE 0 END for p in range(0, 8)]) AS bucket FROM v, signs_t)""".stripMargin
     val sh3 = shinglesSql("text", 3)
     // Hashed shingle set (sorted distinct stableHash values) — mirrors
     // operators.Dedup.hashedShingles, including collision behavior.
@@ -667,34 +693,22 @@ object SparkEntry {
            |SELECT id_a, id_b, round(c, 6) AS cos_r FROM p WHERE c >= 0.4
            |ORDER BY id_a, id_b""".stripMargin,
 
-      "q_embed_neardup_lsh" -> {
+      "q_embed_neardup_lsh" ->
         // Same deterministic hyperplane replication as q_knn_lsh: the
         // bucket bits come from sign-of-dot with an IEEE-identical fold
         // order, so the bucket assignment is exact, not approximate.
-        val m = graft.operators.Similarity.signMatrix(8, 64)
-        val signsLit = m.map(_.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")).mkString("[", ",", "]")
-        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
-           |sig AS (SELECT vec_id, ve,
-           |  list_sum([CASE WHEN
-           |    list_reduce([ve[d+1] * ($signsLit)[p+1][d+1] for d in range(0, 64)], (x, y) -> x + y) > 0
-           |    THEN (2**p)::BIGINT ELSE 0 END for p in range(0, 8)]) AS bucket FROM v),
+        s"""WITH $signsCte,
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+           |$bucketCte,
            |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosineSql("a.ve", "b.ve")} AS c
            |      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
            |SELECT id_a, id_b, round(c, 6) AS cos_r FROM p WHERE c >= 0.4
-           |ORDER BY id_a, id_b""".stripMargin
-      },
+           |ORDER BY id_a, id_b""".stripMargin,
 
-      "q_knn_lsh" -> {
-        // Deterministic hyperplane signs (8 planes × 64 dims) embedded as a
-        // literal; the signature fold order matches the JVM kernel, so the
-        // sign-of-dot bucket bits are IEEE-identical.
-        val m = graft.operators.Similarity.signMatrix(8, 64)
-        val signsLit = m.map(_.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")).mkString("[", ",", "]")
-        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
-           |sig AS (SELECT vec_id, ve,
-           |  list_sum([CASE WHEN
-           |    list_reduce([ve[d+1] * ($signsLit)[p+1][d+1] for d in range(0, 64)], (x, y) -> x + y) > 0
-           |    THEN (2**p)::BIGINT ELSE 0 END for p in range(0, 8)]) AS bucket FROM v),
+      "q_knn_lsh" ->
+        s"""WITH $signsCte,
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+           |$bucketCte,
            |q AS (SELECT vec_id AS query_id, ve AS qv, bucket FROM sig WHERE vec_id < 5),
            |c AS (SELECT vec_id AS neighbor_id, ve AS cv, bucket FROM sig),
            |sc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos
@@ -702,8 +716,22 @@ object SparkEntry {
            |r AS (SELECT query_id, neighbor_id,
            |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
            |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
-           |ORDER BY query_id, rnk""".stripMargin
-      },
+           |ORDER BY query_id, rnk""".stripMargin,
+
+      "q_knn_lsh_multiprobe" ->
+        s"""WITH $signsCte,
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+           |$bucketCte,
+           |q AS (SELECT vec_id AS query_id, ve AS qv,
+           |      unnest([bucket] || [xor(bucket, (2**p)::BIGINT) for p in range(0, 8)]) AS bucket
+           |      FROM sig WHERE vec_id < 5),
+           |c AS (SELECT vec_id AS neighbor_id, ve AS cv, bucket FROM sig),
+           |sc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos
+           |       FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+           |r AS (SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
+           |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin,
 
       "q_knn_bruteforce" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

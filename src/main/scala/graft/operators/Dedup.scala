@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Lineage
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -214,7 +215,7 @@ object Dedup {
     ).select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
       // Materialize once: both sides of the bucket self-join would otherwise
       // re-run the whole signature pipeline (one MD5 per shingle per doc).
-      .localCheckpoint()
+      .transform(Lineage.truncate)
     val l = banded.toDF("doc_a", "band", "key")
     val r = banded.toDF("doc_b", "band", "key")
     l.join(r, Seq("band", "key"))
@@ -358,7 +359,7 @@ object Dedup {
         )
       ).as("bk")
     ).select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .localCheckpoint()
+      .transform(Lineage.truncate)
     val l = banded.toDF("doc_a", "band", "key")
     val r = banded.toDF("doc_b", "band", "key")
     l.join(r, Seq("band", "key"))
@@ -379,8 +380,8 @@ object Dedup {
     val sym = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
-    var labels  = sym.select(col("src").as("node")).distinct().withColumn("rep", col("node")).localCheckpoint()
+      .transform(Lineage.truncate)
+    var labels  = sym.select(col("src").as("node")).distinct().withColumn("rep", col("node")).transform(Lineage.truncate)
     var changed = 1L
     var iters   = 0
     val maxIters = 100
@@ -392,9 +393,9 @@ object Dedup {
       val updated = labels
         .join(neighborMin, labels("node") === col("node2"), "left")
         .select(col("node"), least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"), col("rep").as("old_rep"))
-        .localCheckpoint()
+        .transform(Lineage.truncate)
       changed = updated.where(col("rep") =!= col("old_rep")).count()
-      labels = updated.select("node", "rep").localCheckpoint()
+      labels = updated.select("node", "rep").transform(Lineage.truncate)
       iters += 1
     }
     if (changed > 0)

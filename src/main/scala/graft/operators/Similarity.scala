@@ -108,18 +108,46 @@ object Similarity {
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String, numPlanes: Int = 16): DataFrame =
     df.select(col(idCol), col(vecCol), hyperplaneSignature(col(vecCol), numPlanes).as("bucket"))
 
-  /** Approximate top-k: exact scoring restricted to same-bucket candidates. */
+  /** Plane count sized to the corpus: 2^planes buckets targeting
+    * ~`targetBucketSize` vectors per bucket (expected candidate work per
+    * query stays constant as the corpus grows). Clamped to [4, 24] —
+    * below 4 the buckets stop pruning, above 24 empty buckets dominate.
+    * A 500-vector fixture gets 4; a 10^9-vector corpus gets 24.
+    */
+  def planesFor(corpusSize: Long, targetBucketSize: Int = 64): Int = {
+    val buckets = math.max(1.0, corpusSize.toDouble / math.max(1, targetBucketSize))
+    math.max(4, math.min(24, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
+  /** Approximate top-k: exact scoring restricted to same-bucket candidates.
+    *
+    * `probeHamming1 = true` turns on multi-probe: each query additionally
+    * probes the `numPlanes` buckets whose signature differs by one bit —
+    * the standard recall/latency knob (a near neighbor that falls just on
+    * the other side of ONE hyperplane is recovered). Only the small query
+    * side fans out (×(numPlanes+1)); the corpus side is untouched, so the
+    * shuffle stays dominated by the corpus scan.
+    */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      numPlanes: Int = 8
+      numPlanes: Int = 8,
+      probeHamming1: Boolean = false
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = lshBuckets(queries, idCol, vecCol, numPlanes).toDF("query_id", "q_vec", "bucket")
+    val q0 = lshBuckets(queries, idCol, vecCol, numPlanes).toDF("query_id", "q_vec", "bucket")
+    val q =
+      if (!probeHamming1) q0
+      else {
+        val flips = (0 until numPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
+        q0.withColumn("bucket", explode(array(col("bucket") +: flips: _*)))
+      }
     val c = lshBuckets(corpus, idCol, vecCol, numPlanes).toDF("neighbor_id", "c_vec", "bucket")
+    // Every corpus vector lives in exactly ONE bucket, so a (query, neighbor)
+    // pair appears at most once even under multi-probe — no dedup needed.
     val joined = q
       .join(c, "bucket")
       .where(col("query_id") =!= col("neighbor_id"))

@@ -30,11 +30,11 @@ object CoverageValidator {
       .collect { case (tableName, Left(missing)) => (tableName, missing) }
     if (failures.nonEmpty) {
       val failureMessages = failures.map { case (tableName, missing) =>
-        s"""Table '$tableName' is missing ${missing.size} column(s). Add these:
+        s"""Table '$tableName' has ${missing.size} unhandled column(s); add the bindings:
            |      ${generateColumnSnippets(missing)}""".stripMargin
       }
       throw new IllegalArgumentException(
-        s"""Table specs are missing columns for ${failures.size} table(s).
+        s"""Specs for ${failures.size} table(s) leave source columns unhandled.
            |
            |${failureMessages.mkString("\n\n")}
            |""".stripMargin
@@ -55,13 +55,13 @@ object CoverageValidator {
         missingTables.map(t => generateTableSnippet(t, getDataColumns(t, manifest, schemas)))
       val skipList = missingTables.map(t => s""""$t"""").mkString(", ")
       throw new IllegalArgumentException(
-        s"""Missing table specs for ${missingTables.size} table(s).
+        s"""${missingTables.size} table(s) have no spec.
            |
-           |Add these tables to graft.run(...):
+           |Either give each one a spec in plan(...)/run(...):
            |
            |${snippets.mkString(",\n\n")}
            |
-           |Or skip them via Graft(skippedTables = Set($skipList))
+           |or exclude them: new Graft(..., skippedTables = Set($skipList))
            |""".stripMargin
       )
     }
@@ -88,18 +88,19 @@ object CoverageValidator {
   ): Unit = {
     ensureAllTables(tableNames, skippedTables, tableSpecs.keySet, manifest, schemas)
     ensureAllColumns(tableSpecs.view.filterKeys(!skippedTables.contains(_)).toMap, schemas)
-    logger.info("Validation passed.")
+    logger.info("Coverage validation passed.")
   }
 
-  /** Copy-pastable spec snippet for an uncovered table — reference CoverageValidator.scala:95-99. */
+  /** Copy-pastable spec snippet for an uncovered table — the snippet is a
+    * valid expression of THIS library's DSL, one passthrough binding per
+    * data column (same developer experience the reference provides).
+    */
   def generateTableSnippet(tableName: String, columns: Seq[String]): String = {
-    val columnList =
-      if (columns.isEmpty) ""
-      else columns.map(col => s"      row.$col").mkString(",\n")
-    s""""$tableName" -> TableSpec.select { row =>\n    Seq(\n$columnList\n    )\n  }"""
+    val body = columns.map(c => s"      row.$c").mkString(",\n")
+    s""""$tableName" -> TableSpec.select { row =>\n    Seq(\n$body\n    )\n  }"""
   }
 
-  /** Copy-pastable bindings for missing columns — reference CoverageValidator.scala:103-104. */
+  /** Copy-pastable bindings for missing columns, sorted for determinism. */
   def generateColumnSnippets(columns: Set[String]): String =
-    columns.toSeq.sorted.map(col => s"row.$col").mkString(",\n      ")
+    columns.toSeq.sorted.map(c => s"row.$c").mkString(",\n      ")
 }

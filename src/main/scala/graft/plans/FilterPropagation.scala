@@ -94,9 +94,10 @@ object FilterPropagation {
   * Spark SQL has no recursive CTE, so reachability is an iterative DataFrame
   * fixpoint: start from roots (all FK columns NULL) within the filtered base,
   * repeatedly add rows whose parent key is already reachable, stop when an
-  * iteration adds nothing. Each iteration is localCheckpoint()ed to truncate
-  * lineage (otherwise the plan grows linearly with hierarchy depth and
-  * re-executes from scratch each round).
+  * iteration adds nothing. Each iteration is materialized via
+  * [[Lineage.truncate]] (executor-local blocks by default; reliable
+  * checkpoints opt-in for cluster runs) — otherwise the plan grows linearly
+  * with hierarchy depth and re-executes from scratch each round.
   */
 object SelfRefClosure {
 
@@ -150,9 +151,9 @@ object SelfRefClosure {
     // flat scan of (fk, pk) tuples.
     val universe = base
       .select((fkCols ++ pkCols).distinct.map(col): _*)
-      .localCheckpoint()
+      .transform(Lineage.truncate)
 
-    var reachable = universe.where(fkNull).select(pkCols.map(col): _*).localCheckpoint()
+    var reachable = universe.where(fkNull).select(pkCols.map(col): _*).transform(Lineage.truncate)
     var frontier  = reachable
     var iters     = 0
     while (iters < maxIterations && !frontier.isEmpty) {
@@ -166,7 +167,7 @@ object SelfRefClosure {
       // lazy union of already-checkpointed frontiers (each union arm is
       // cached, so re-reading it costs no recompute — one fewer Spark job
       // per iteration).
-      frontier = next.except(reachable).localCheckpoint()
+      frontier = next.except(reachable).transform(Lineage.truncate)
       reachable = reachable.unionByName(frontier)
       iters += 1
     }

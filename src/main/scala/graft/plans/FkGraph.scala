@@ -2,7 +2,7 @@ package graft.plans
 
 import org.slf4j.LoggerFactory
 
-import scala.annotation.tailrec
+import scala.collection.mutable
 
 /** A logical (composite-merged) foreign key edge of the schema graph —
   * analogue of the reference's `LogicalFK`
@@ -35,11 +35,14 @@ case class SchemaManifest(
     fks.groupBy(_.childTable).view.mapValues(_.flatMap(_.fkColumns).toSet).toMap
 }
 
-/** FK-topological table leveling — semantics mirrored from the reference
-  * (simple-anonymizer/src/scala/simpleanonymizer/TableSorter.scala:29-101):
-  * level 0 = no dependencies; level N depends only on levels < N; self-refs
-  * ignored; unresolvable (cyclic) tables are dropped with a warning; tables
-  * sort alphabetically within a level for determinism.
+/** FK-topological table leveling. Semantic contract (matching reference
+  * TableSorter.scala behavior, independently implemented as a Kahn-style
+  * worklist): level 0 = no cross-table parents in scope; a table's level is
+  * max(parent levels) + 1 (the longest dependency path, so every parent
+  * lands in a strictly earlier level); self-referencing FKs don't count
+  * (they're handled by the closure operators, not the schedule); tables on
+  * a cross-table cycle receive NO level and are skipped with a warning;
+  * alphabetical order within a level keeps the schedule deterministic.
   *
   * Driver-side planning only — the level order gates FK-constrained sink
   * writes; for lake sinks it is merely a scheduling hint.
@@ -48,45 +51,52 @@ object TableSorter {
   private val logger = LoggerFactory.getLogger(getClass)
 
   def computeTableLevels(tables: Seq[String], fks: Seq[LogicalFK]): Map[String, Int] = {
-    val tableSet = tables.toSet
-    val dependencies: Map[String, Set[String]] =
-      tables.map { table =>
-        table -> fks
-          .filter(fk => fk.childTable == table && fk.parentTable != table && tableSet.contains(fk.parentTable))
-          .map(_.parentTable)
-          .toSet
+    val inScope = tables.toSet
+    val parentsOf: Map[String, Set[String]] =
+      tables.map { t =>
+        t -> fks.collect {
+          case fk if fk.childTable == t && !fk.isSelfRef && inScope(fk.parentTable) => fk.parentTable
+        }.toSet
       }.toMap
+    val childrenOf: Map[String, Seq[String]] =
+      parentsOf.toSeq
+        .flatMap { case (child, ps) => ps.map(_ -> child) }
+        .groupBy(_._1)
+        .view
+        .mapValues(_.map(_._2))
+        .toMap
 
-    @tailrec
-    def assignLevels(levels: Map[String, Int]): Map[String, Int] = {
-      val unassigned = tables.filterNot(levels.contains)
-      if (unassigned.isEmpty) levels
-      else {
-        val newlyAssigned = unassigned.flatMap { table =>
-          val deps = dependencies(table)
-          if (deps.isEmpty) Some(table -> 0)
-          else if (deps.forall(levels.contains)) Some(table -> (deps.map(levels).max + 1))
-          else None
+    // Worklist: a table levels once ALL its parents have levels; leveling a
+    // parent re-offers each of its children (the last parent to level is
+    // the one whose offer sticks).
+    val levels = mutable.HashMap.empty[String, Int]
+    val queue  = mutable.Queue.from(tables.filter(parentsOf(_).isEmpty))
+    while (queue.nonEmpty) {
+      val t = queue.dequeue()
+      if (!levels.contains(t)) {
+        val ps = parentsOf(t)
+        if (ps.forall(levels.contains)) {
+          levels(t) = if (ps.isEmpty) 0 else ps.iterator.map(levels).max + 1
+          childrenOf.getOrElse(t, Nil).foreach(queue.enqueue(_))
         }
-        if (newlyAssigned.isEmpty) {
-          logger.warn(
-            "Circular dependencies detected for tables: {}. These tables will not be copied.",
-            unassigned.mkString(", ")
-          )
-          levels
-        } else assignLevels(levels ++ newlyAssigned)
       }
     }
 
-    assignLevels(Map.empty)
+    val cyclic = tables.filterNot(levels.contains)
+    if (cyclic.nonEmpty)
+      logger.warn(
+        "No FK-consistent insertion level exists for {} (cross-table reference cycle) — skipping those tables",
+        cyclic.sorted.mkString(", ")
+      )
+    levels.toMap
   }
 
   def groupTablesByLevel(tableLevels: Map[String, Int]): Seq[Seq[String]] =
-    if (tableLevels.isEmpty) Seq.empty
-    else
-      (0 to tableLevels.values.max).map { level =>
-        tableLevels.collect { case (table, `level`) => table }.toSeq.sorted
-      }
+    tableLevels.toSeq
+      .groupBy(_._2)
+      .toSeq
+      .sortBy(_._1)
+      .map(_._2.map(_._1).sorted)
 
   /** Tables grouped by dependency level, alphabetical within a level. */
   def apply(tables: Seq[String], fks: Seq[LogicalFK]): Seq[Seq[String]] =

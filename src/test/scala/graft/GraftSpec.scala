@@ -68,7 +68,7 @@ class GraftSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException] {
         graft.plan("users" -> TableSpec.select(row => Seq(row.name, row.email)))
       }
-      e.getMessage should include("Missing table specs for 1 table(s)")
+      e.getMessage should include("1 table(s) have no spec")
       e.getMessage should include(""""orders" -> TableSpec.select { row =>""")
       e.getMessage should include("row.note")
       e.getMessage should not include "row.user_id" // FK columns are auto-passed
@@ -80,7 +80,7 @@ class GraftSpec extends SparkSpec {
           "orders" -> TableSpec.select(row => Seq(row.note))
         )
       }
-      e.getMessage should include("Table 'users' is missing 1 column(s)")
+      e.getMessage should include("Table 'users' has 1 unhandled column(s)")
       e.getMessage should include("row.email")
     }
     it("fails fast on unknown spec columns") {

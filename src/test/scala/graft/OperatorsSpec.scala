@@ -76,6 +76,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Lineage checkpoint modes") {
+    import graft.plans.Lineage
+    it("reliable mode without a checkpoint dir fails fast; with one, iterative ops agree") {
+      spark.conf.set(Lineage.ReliableCheckpointsConf, "true")
+      try {
+        if (spark.sparkContext.getCheckpointDir.isEmpty) {
+          intercept[IllegalStateException] {
+            Dedup.duplicateClusters(Seq((1L, 2L)).toDF("doc_a", "doc_b")).collect()
+          }
+        }
+        spark.sparkContext.setCheckpointDir(
+          java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+        )
+        val reliable = Dedup.duplicateClusters(Seq((1L, 2L), (2L, 3L), (9L, 8L)).toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toSet
+        spark.conf.set(Lineage.ReliableCheckpointsConf, "false")
+        val local = Dedup.duplicateClusters(Seq((1L, 2L), (2L, 3L), (9L, 8L)).toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toSet
+        reliable shouldBe local
+        reliable shouldBe Set((1L, 1L), (2L, 1L), (3L, 1L), (8L, 8L), (9L, 8L))
+      } finally spark.conf.set(Lineage.ReliableCheckpointsConf, "false")
+    }
+  }
+
   describe("Dedup null tolerance") {
     it("null text rows don't NPE the kernels and never pair") {
       val withNull = docs.unionByName(Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
@@ -142,6 +166,21 @@ class OperatorsSpec extends SparkSpec {
       val approx = Similarity.lshTopK(vecs, vecs.where("vec_id = 0"), "vec_id", "embedding", k = 3, numPlanes = 4)
         .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
       approx.subsetOf(exact) shouldBe true
+    }
+    it("planesFor scales bucket count with the corpus, clamped to [4, 24]") {
+      Similarity.planesFor(500) shouldBe 4
+      Similarity.planesFor(64L * 1024) shouldBe 10
+      Similarity.planesFor(1000000000L) shouldBe 24
+      Similarity.planesFor(0) shouldBe 4
+    }
+    it("multi-probe recovers at least the single-probe neighbors") {
+      val single = Similarity.lshTopK(vecs, vecs.where("vec_id = 0"), "vec_id", "embedding", k = 3, numPlanes = 4)
+        .as[(Long, Long, Long)].collect().map(_._2).toSet
+      val multi = Similarity.lshTopK(vecs, vecs.where("vec_id = 0"), "vec_id", "embedding", k = 3, numPlanes = 4,
+          probeHamming1 = true)
+        .as[(Long, Long, Long)].collect()
+      multi.map(_._2).length shouldBe multi.map(_._2).distinct.length // no duplicate candidates
+      multi.length should be >= single.size
     }
     it("embeddingNearDuplicatesLsh finds a subset of brute-force pairs with equal scores") {
       val brute = Dedup.embeddingNearDuplicates(vecs, "vec_id", "embedding", threshold = 0.9)
