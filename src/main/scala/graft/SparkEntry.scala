@@ -431,6 +431,15 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simHash32(col("text")).as("simhash"))
         .orderBy("doc_id")),
 
+    // Hamming-close fingerprint pairs via pigeonhole banding (sub-quadratic;
+    // provably the same result set as all-pairs — the oracle IS all-pairs).
+    "q_dedup_simhash_pairs" -> ((s, dir) => {
+      val fps = t(s, dir, "documents").select(col("doc_id"), Dedup.simHash32(col("text")).as("fp"))
+      Dedup.simHashPairsBanded(fps, "doc_id", "fp", maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Embedding-cosine near-duplicate pairs (brute-force baseline).
     "q_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
@@ -684,6 +693,19 @@ object SparkEntry {
            |  THEN (2**j)::BIGINT ELSE 0 END for j in range(0, 32)]) AS BIGINT) AS simhash
            |FROM (SELECT doc_id, [${hashSql("t")} for t in ${tokensSql("text")}] AS toks FROM documents)
            |ORDER BY doc_id""".stripMargin,
+
+      // All-pairs reference for the banded engine path: banding with
+      // maxHamming+1 disjoint bands provably returns the identical set.
+      "q_dedup_simhash_pairs" ->
+        s"""WITH fp AS (SELECT doc_id, CAST(list_sum([CASE WHEN
+           |  list_sum([2 * ((h // (2**j)::BIGINT) % 2) - 1 for h in toks]) > 0
+           |  THEN (2**j)::BIGINT ELSE 0 END for j in range(0, 32)]) AS BIGINT) AS simhash
+           |FROM (SELECT doc_id, [${hashSql("t")} for t in ${tokensSql("text")}] AS toks FROM documents))
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin,
 
       "q_embed_neardup" ->
         s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),

@@ -486,8 +486,8 @@ object Dedup {
   }
 
   /** Pairs of documents whose SimHash fingerprints differ in ≤ maxHamming
-    * bits. Uses bit_count(xor) over a band-bucketed candidate set at scale;
-    * here the fingerprint frame is small after aggregation.
+    * bits — all-pairs formulation. O(n²): correctness baseline for small
+    * fingerprint frames only; use [[simHashPairsBanded]] at scale.
     */
   def simHashPairs(fingerprints: DataFrame, idCol: String, fpCol: String, maxHamming: Int): DataFrame = {
     val a = fingerprints.select(col(idCol).as("doc_a"), col(fpCol).as("fp_a"))
@@ -496,6 +496,50 @@ object Dedup {
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** [[simHashPairs]] at scale: EXACT same result set, sub-quadratic.
+    *
+    * Pigeonhole banding: split the 32-bit fingerprint into `maxHamming + 1`
+    * contiguous bit-bands — two fingerprints within `maxHamming` bits must
+    * agree EXACTLY on at least one band (at most `maxHamming` bands can
+    * contain a differing bit). Candidates come from equi-joining on each
+    * (band index, band value) bucket — one narrow shuffle, never all-pairs
+    * — then `bit_count(xor)` verifies and DISTINCT collapses multi-band
+    * collisions. Completeness is a theorem, not a heuristic, so this is a
+    * drop-in replacement wherever the fingerprint frame outgrows a join.
+    */
+  def simHashPairsBanded(
+      fingerprints: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int,
+      fpBits: Int = 32
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < fpBits, "need 0 <= maxHamming < fpBits")
+    val bands = maxHamming + 1
+    // Band b covers bits [floor(b·bits/bands), floor((b+1)·bits/bands)) —
+    // an even disjoint cover of all fpBits for any bands ≤ fpBits.
+    val banded = fingerprints.select(
+      col(idCol).as("doc_id"),
+      col(fpCol).as("fp"),
+      explode(array((0 until bands).map { b =>
+        val lo    = b * fpBits / bands
+        val width = (b + 1) * fpBits / bands - lo
+        struct(
+          lit(b).as("band"),
+          shiftrightunsigned(col(fpCol), lo).bitwiseAND(lit((1L << width) - 1)).as("key")
+        )
+      }: _*)).as("bk")
+    ).select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded.toDF("doc_a", "fp_a", "band", "key")
+    val r = banded.toDF("doc_b", "fp_b", "band", "key")
+    l.join(r, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .distinct()
   }
 
   /** Brute-force embedding near-duplicate pairs (cosine ≥ threshold).

@@ -73,6 +73,27 @@ object EventStream {
       }
   }
 
+  /** Streaming exact deduplication: keep the first arrival per key within
+    * the watermark horizon — the streaming twin of
+    * [[graft.operators.Dedup.exactDuplicates]]. State is bounded by the
+    * watermark: a key's dedup record is dropped once its event time falls
+    * behind `watermarkDelay`, so the operator runs indefinitely at constant
+    * state (an UNBOUNDED dropDuplicates would grow forever at 100 TB/day).
+    * Works identically on a batch frame (plain dropDuplicates semantics).
+    *
+    * @param keyCols dedup identity; for content dedup pass a content hash
+    *                column (md5(text)), never the payload itself.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Convenience: run a streaming frame into an in-memory sink and return
     * the query (tests and demos; production sinks are the caller's choice).
     */

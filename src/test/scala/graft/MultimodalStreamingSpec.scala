@@ -61,6 +61,24 @@ class MultimodalStreamingSpec extends SparkSpec {
         Set(("2024-01-01 00:00:00.0", "click", 2L, 3.0), ("2024-01-01 01:00:00.0", "view", 1L, 5.0))
       query.stop()
     }
+    it("dedupWithinWatermark keeps first arrival per key on a MemoryStream") {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val df = input.toDF().toDF("ts", "text_hash", "value")
+      val query = EventStream.toMemorySink(
+        EventStream.dedupWithinWatermark(df, Seq("text_hash"), watermarkDelay = "10 minutes"),
+        "dedup_test",
+        org.apache.spark.sql.streaming.OutputMode.Append()
+      )
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((ts(0), "aaa", 1.0), (ts(1), "bbb", 2.0))
+      query.processAllAvailable()
+      input.addData((ts(2), "aaa", 9.9)) // duplicate key within the horizon → dropped
+      query.processAllAvailable()
+      val vals = spark.sql("SELECT value FROM dedup_test").collect().map(_.getDouble(0)).toSet
+      vals shouldBe Set(1.0, 2.0)
+      query.stop()
+    }
     it("sessionize merges events within the gap (batch semantics)") {
       def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
       val evs = Seq(

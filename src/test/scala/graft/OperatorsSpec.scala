@@ -76,6 +76,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.simHashPairsBanded") {
+    it("returns exactly the all-pairs result (pigeonhole completeness)") {
+      val fps = docs.select(col("doc_id"), Dedup.simHash32(col("text")).as("fp"))
+      for (maxH <- Seq(0, 3, 7)) {
+        val allPairs = Dedup.simHashPairs(fps, "doc_id", "fp", maxH)
+          .as[(Long, Long, Int)].collect().toSet
+        val banded = Dedup.simHashPairsBanded(fps, "doc_id", "fp", maxH)
+          .as[(Long, Long, Int)].collect().toSet
+        banded shouldBe allPairs
+      }
+      // The exact-dup pair (1,4) is hamming-0 and must always be present.
+      Dedup.simHashPairsBanded(fps, "doc_id", "fp", 0)
+        .as[(Long, Long, Int)].collect().toSet should contain((1L, 4L, 0))
+    }
+  }
+
   describe("Lineage checkpoint modes") {
     import graft.plans.Lineage
     it("reliable mode without a checkpoint dir fails fast; with one, iterative ops agree") {
