@@ -396,7 +396,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // LLM-data-pipeline operators: dedup, similarity search, text analysis.
   // ---------------------------------------------------------------------
-  import graft.operators.{Dedup, Similarity, TextAnalysis}
+  import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
   private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content.
@@ -523,7 +523,35 @@ object SparkEntry {
     "q_text_winnow" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), size(TextAnalysis.winnowingFingerprints()(col("text"))).cast("long").as("n_fps"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Deterministic id-hash sampling (no RNG state — stable across runs
+    // and task retries).
+    "q_sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.25)
+        .select("doc_id").orderBy("doc_id")),
+
+    // Train/val/test split assignment by hash-bucket ranges.
+    "q_split_assign" -> ((s, dir) =>
+      Sampling.assignSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")),
+
+    // Free-text PII scrubbing (emails/phones → typed placeholders) over a
+    // derived text with known PII embedded.
+    "q_text_pii_scrub" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.scrubPii(
+          concat(substring(col("text"), 1, 40), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or (555) 123-4567 now"))
+        ).as("scrubbed")
+      ).orderBy("doc_id")),
+
+    // Top-k salient terms per doc (integer-exact TF-IDF ranking).
+    "q_tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTermsPerDoc(t(s, dir, "documents"), "text", "doc_id", k = 3)
+        .orderBy("doc_id", "rnk"))
   )
 
   // ---------------------------------------------------------------------
@@ -824,7 +852,38 @@ object SparkEntry {
            |END AS n_fps
            |FROM (SELECT doc_id, text, [($hexpr) % $mod for i in range(1, length(text)-3)] AS hs FROM documents)
            |ORDER BY doc_id""".stripMargin
-      }
+      },
+
+      "q_sample_hash" ->
+        s"""SELECT doc_id FROM documents
+           |WHERE ${hashSql("CAST(doc_id AS VARCHAR)")} % 1000000 < 250000
+           |ORDER BY doc_id""".stripMargin,
+
+      "q_split_assign" ->
+        s"""SELECT doc_id, CASE
+           |  WHEN ${hashSql("CAST(doc_id AS VARCHAR)")} % 1000000 < 800000 THEN 'train'
+           |  WHEN ${hashSql("CAST(doc_id AS VARCHAR)")} % 1000000 < 900000 THEN 'val'
+           |  ELSE 'test' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_text_pii_scrub" -> {
+        val email = graft.operators.TextAnalysis.EmailPattern.replace("'", "''")
+        val phone = graft.operators.TextAnalysis.PhonePattern.replace("'", "''")
+        s"""SELECT doc_id, regexp_replace(regexp_replace(
+           |  substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or (555) 123-4567 now',
+           |  '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS scrubbed
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+
+      "q_tfidf_top_terms" ->
+        s"""WITH toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+           |r AS (SELECT doc_id, term, tf, doc_freq,
+           |      row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, doc_freq ASC, term ASC) AS rnk
+           |      FROM tf JOIN dfq USING (term))
+           |SELECT doc_id, term, tf, doc_freq, rnk FROM r WHERE rnk <= 3
+           |ORDER BY doc_id, rnk""".stripMargin
       // q_knn_lsh: rows-only (approximate by design).
     )
   }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling and dataset-split assignment.
+  *
+  * Both are pure per-row column expressions over the MD5 stableHash
+  * contract ([[HashCols.stableHash]], whole-stage codegen): no shuffle, no
+  * RNG state, no driver coordination — the sample/split of a row depends
+  * only on its id, so it is stable across runs, executors, and retries
+  * (the property a 100 TB training pipeline needs: re-running a failed
+  * stage must not resample).
+  */
+object Sampling {
+
+  /** Buckets per unit of probability — 1e6 gives ppm-resolution fractions. */
+  val Buckets = 1000000L
+
+  /** The row's deterministic bucket in [0, Buckets): stableHash of the id
+    * rendered as a string (string form is the cross-engine contract — the
+    * DuckDB oracle hashes the same text).
+    */
+  def hashBucket(id: Column): Column =
+    pmod(HashCols.stableHash(id.cast("string")), lit(Buckets))
+
+  /** Keep a deterministic `fraction` of rows by id-hash. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
+    df.where(hashBucket(col(idCol)) < (fraction * Buckets).toLong)
+  }
+
+  /** Assign each row a split label ("train"/"val"/"test"/...) by contiguous
+    * hash-bucket ranges. Weights are normalized; the last split absorbs
+    * rounding remainder so every row gets exactly one label.
+    */
+  def assignSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)], outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0), "split weights must be positive")
+    val total = splits.map(_._2).sum
+    val bounds = splits.init
+      .scanLeft(0L) { case (acc, (_, w)) => acc + math.round(w / total * Buckets) }
+      .tail
+    val bucket = hashBucket(col(idCol))
+    val labeled = splits.init.zip(bounds).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), fallback) => when(bucket < hi, lit(name)).otherwise(fallback)
+    }
+    df.withColumn(outCol, labeled)
+  }
+}

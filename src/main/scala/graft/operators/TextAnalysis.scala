@@ -104,6 +104,44 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** PII-scrub patterns — frozen (the DuckDB oracle embeds the same
+    * strings); deliberately restricted to syntax with identical semantics
+    * in Java regex and RE2 (no lookaround, no backrefs).
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\(\\d{3}\\) \\d{3}-\\d{4}|\\d{3}-\\d{3}-\\d{4}"
+
+  /** Replace email addresses and phone numbers in free text with typed
+    * placeholders — the scrubbing pass a training corpus gets before the
+    * per-FIELD anonymizers ([[graft.functions.Anonymizer]]) handle
+    * structured columns. Pure codegen regexp_replace: scan-local, no
+    * shuffle.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")), lit(PhonePattern), lit("<PHONE>"))
+
+  /** Top-k salient terms per document: term frequency within the document,
+    * tie-broken toward rarer terms (lower corpus document frequency), then
+    * lexicographically — the TF-IDF ranking with an integer-exact order
+    * (no float log in the ORDER BY, so the result is reproducible
+    * bit-for-bit on any engine).
+    *
+    * Scale shape: one explode + two hash aggregations + a shuffle join on
+    * the term key + a per-document window. The per-document window
+    * partitions by doc_id — no global sort.
+    */
+  def topTermsPerDoc(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf   = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq  = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val w    = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("doc_freq").asc, col("term").asc)
+    tf.join(dfq, "term")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("doc_id", "term", "tf", "doc_freq", "rnk")
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): rolling
     * polynomial hash over character k-grams, minimum per sliding window,
     * deduplicated. Sequential by nature → a deterministic Scala UDF

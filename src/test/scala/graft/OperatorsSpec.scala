@@ -92,6 +92,42 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Sampling") {
+    import graft.operators.Sampling
+    it("hashSample is deterministic, and fraction bounds are exact at 0 and 1") {
+      Sampling.hashSample(docs, "doc_id", 0.0).count() shouldBe 0
+      Sampling.hashSample(docs, "doc_id", 1.0).count() shouldBe 4
+      val once  = Sampling.hashSample(docs, "doc_id", 0.5).select("doc_id").as[Long].collect().sorted
+      val again = Sampling.hashSample(docs, "doc_id", 0.5).select("doc_id").as[Long].collect().sorted
+      once shouldBe again
+    }
+    it("assignSplit labels every row exactly once, stably") {
+      val out = Sampling.assignSplit(docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      out.count() shouldBe 4
+      val labels = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+      labels.values.toSet.subsetOf(Set("train", "val", "test")) shouldBe true
+      val again = Sampling.assignSplit(docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      again shouldBe labels
+    }
+  }
+
+  describe("TextAnalysis.scrubPii / topTermsPerDoc") {
+    it("scrubPii replaces emails and phone formats with placeholders") {
+      val in = Seq(("mail me at bob.smith+x@corp.example.org or (415) 555-1234 / 415-555-9999", 1))
+        .toDF("t", "i")
+      val out = in.select(TextAnalysis.scrubPii(col("t"))).head.getString(0)
+      out shouldBe "mail me at <EMAIL> or <PHONE> / <PHONE>"
+    }
+    it("topTermsPerDoc ranks by tf desc with rarity and lexical tiebreaks") {
+      val top = TextAnalysis.topTermsPerDoc(docs, "text", "doc_id", k = 2)
+        .as[(Long, String, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._5).map(_._2).toSeq).toMap
+      top(1L).head shouldBe "the" // tf=2 beats all tf=1 terms
+      top.values.foreach(_.length should be <= 2)
+    }
+  }
+
   describe("Lineage checkpoint modes") {
     import graft.plans.Lineage
     it("reliable mode without a checkpoint dir fails fast; with one, iterative ops agree") {
