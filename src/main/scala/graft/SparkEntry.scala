@@ -551,7 +551,34 @@ object SparkEntry {
     // Top-k salient terms per doc (integer-exact TF-IDF ranking).
     "q_tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.topTermsPerDoc(t(s, dir, "documents"), "text", "doc_id", k = 3)
-        .orderBy("doc_id", "rnk"))
+        .orderBy("doc_id", "rnk")),
+
+    // Multimodal metadata decode over a derived binary column (the stub
+    // kernel is deterministic stableHash arithmetic — fully oracle-able).
+    "q_multimodal_meta" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.decodeMeta(encode(col("text"), "UTF-8")).as("meta"))
+        .select(
+          col("doc_id"),
+          col("meta._1").cast("long").as("w"),
+          col("meta._2").cast("long").as("h"),
+          col("meta._3").cast("long").as("c"),
+          col("meta._4").cast("long").as("n_bytes")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // Frame sampling over a derived binary "video": fixed 32-byte frames,
+    // every 2nd kept — chunk arithmetic and blob slices match the oracle
+    // byte-for-byte.
+    "q_multimodal_frames" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      Multimodal.sampleFrames(media, "doc_id", "content", frameBytes = 32, stride = 2)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"), col("frame"))
+        .orderBy("doc_id", "frame_idx")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -883,7 +910,30 @@ object SparkEntry {
            |      row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, doc_freq ASC, term ASC) AS rnk
            |      FROM tf JOIN dfq USING (term))
            |SELECT doc_id, term, tf, doc_freq, rnk FROM r WHERE rnk <= 3
-           |ORDER BY doc_id, rnk""".stripMargin
+           |ORDER BY doc_id, rnk""".stripMargin,
+
+      // Replicates Multimodal.stubDecode: stableHash of the base64 payload
+      // → (64 + h%1024, 64 + (h/1024)%1024, 1 + h%4); empty → zeros.
+      "q_multimodal_meta" ->
+        s"""WITH b AS (SELECT doc_id, encode(text) AS bin FROM documents),
+           |hv AS (SELECT doc_id, octet_length(bin) AS nb, ${hashSql("to_base64(bin)")} AS h FROM b)
+           |SELECT doc_id,
+           |  CAST(CASE WHEN nb = 0 THEN 0 ELSE 64 + h % 1024 END AS BIGINT) AS w,
+           |  CAST(CASE WHEN nb = 0 THEN 0 ELSE 64 + (h // 1024) % 1024 END AS BIGINT) AS h,
+           |  CAST(CASE WHEN nb = 0 THEN 0 ELSE 1 + h % 4 END AS BIGINT) AS c,
+           |  CAST(nb AS BIGINT) AS n_bytes
+           |FROM hv ORDER BY doc_id""".stripMargin,
+
+      // DuckDB can't slice BLOBs; the fixture corpus is pure ASCII
+      // (octet_length(encode(text)) == length(text) verified at every SF),
+      // so char-slice the VARCHAR then encode — byte-identical frames.
+      "q_multimodal_frames" ->
+        s"""WITH i AS (SELECT doc_id, text,
+           |      unnest(range(0, (length(text) + 31) // 32)) AS idx FROM documents)
+           |SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
+           |       encode(substr(text, CAST(idx * 32 + 1 AS BIGINT), 32)) AS frame
+           |FROM i WHERE idx % 2 = 0
+           |ORDER BY doc_id, frame_idx""".stripMargin
       // q_knn_lsh: rows-only (approximate by design).
     )
   }
