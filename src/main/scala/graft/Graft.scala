@@ -113,6 +113,66 @@ class Graft(
       }
     } finally pool.shutdown()
   }
+
+  /** Execute the plan into a TARGET DATABASE — the full reference workflow
+    * (DbCopier.run): FK-topological level order (parents commit before the
+    * children that reference them — load-bearing under FK constraints),
+    * tables within a level in parallel, self-referencing constraints
+    * deferred around each table's write
+    * ([[graft.sinks.JdbcUpsertSink.writeDeferringSelfRefs]]), and
+    * sequences realigned afterwards when a discovery query is supplied.
+    *
+    * @param onConflict  upsert strategy per the reference's CopyAction;
+    *                    None = plain append (see JdbcUpsertSink's
+    *                    at-least-once note)
+    * @param sequenceDiscovery dialect SQL for
+    *                    [[graft.sources.JdbcCatalog.discoverSequences]]
+    *                    (PG: `JdbcCatalog.PgSequenceDiscoverySql`); None
+    *                    skips sequence reset (e.g. Derby targets)
+    * @return rows written per table (counted on the source plan — the
+    *         write itself is fire-and-forget batch inserts)
+    */
+  def runJdbc(
+      url: String,
+      connectionProperties: java.util.Properties,
+      targetSchema: String,
+      onConflict: Option[graft.sinks.OnConflict] = None,
+      sequenceDiscovery: Option[String] = None
+  )(tableSpecs: (String, TableSpec)*): Map[String, Long] = {
+    val plans  = plan(tableSpecs: _*)
+    val levels = TableSorter(manifest.tables, manifest.fks)
+    logger.info("Copying {} tables into {} in {} levels...", plans.size, targetSchema, levels.size)
+
+    val pool             = Executors.newFixedThreadPool(math.max(2, levels.map(_.size).max))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val counts =
+      try {
+        levels.foldLeft(Map.empty[String, Long]) { (acc, level) =>
+          val futures = level.collect {
+            case table if skippedTables.contains(table) =>
+              Future.successful(table -> 0L)
+            case table if plans.contains(table) =>
+              Future {
+                graft.sinks.JdbcUpsertSink.writeDeferringSelfRefs(
+                  plans(table), url, connectionProperties, targetSchema, table,
+                  onConflict, manifest.pks.getOrElse(table, Seq.empty))
+                table -> plans(table).count()
+              }
+          }
+          acc ++ Await.result(Future.sequence(futures), Duration.Inf).toMap
+        }
+      } finally pool.shutdown()
+
+    sequenceDiscovery.foreach { query =>
+      val conn = java.sql.DriverManager.getConnection(url, connectionProperties)
+      try {
+        val seqs = graft.sources.JdbcCatalog.discoverSequences(conn, targetSchema, query)
+        logger.info("Resetting {} sequences...", seqs.size)
+        graft.sinks.JdbcUpsertSink.resetSequences(conn, targetSchema, seqs)
+      } finally conn.close()
+    }
+    counts
+  }
 }
 
 object Graft {

@@ -90,6 +90,47 @@ class JdbcEndToEndSpec extends SparkSpec {
     }
   }
 
+  describe("Graft.runJdbc (database-to-database, FK-constrained target)") {
+    it("writes levels in FK order so constrained child inserts succeed") {
+      val setup = DriverManager.getConnection(url)
+      try {
+        val st = setup.createStatement()
+        st.executeUpdate("CREATE SCHEMA TGT")
+        st.executeUpdate("CREATE TABLE TGT.USERS (ID INT PRIMARY KEY, NAME VARCHAR(100), EMAIL VARCHAR(200), ACTIVE INT)")
+        st.executeUpdate(
+          "CREATE TABLE TGT.ORDERS (ID INT PRIMARY KEY, USER_ID INT NOT NULL REFERENCES TGT.USERS(ID), NOTE VARCHAR(200))"
+        )
+        st.close()
+      } finally setup.close()
+
+      val conn     = DriverManager.getConnection(url)
+      val manifest = try JdbcCatalog.manifestFromMetadata(conn, "APP").copy(tables = Seq("USERS", "ORDERS"))
+      finally conn.close()
+      val graft = new Graft(JdbcCatalog.catalog(spark, url, props, "APP", manifest), manifest)
+
+      // If the level order were wrong, the ORDERS insert would hit the FK
+      // constraint (its USERS rows not yet committed) and fail the run.
+      val counts = graft.runJdbc(url, props, "TGT")(
+        "USERS" -> TableSpec.select { row =>
+          Seq(row.NAME.mapString(Anonymizer.FullName), row.EMAIL.mapString(Anonymizer.Email), row.ACTIVE)
+        }.where("ACTIVE = 1"),
+        "ORDERS" -> TableSpec.select(row => Seq(row.NOTE))
+      )
+      counts shouldBe Map("USERS" -> 2L, "ORDERS" -> 2L)
+
+      val verify = DriverManager.getConnection(url)
+      try {
+        val st = verify.createStatement()
+        val rs = st.executeQuery(
+          "SELECT o.ID, u.NAME FROM TGT.ORDERS o JOIN TGT.USERS u ON o.USER_ID = u.ID ORDER BY o.ID"
+        )
+        val rows = Iterator.continually(rs).takeWhile(_.next()).map(r => (r.getInt(1), r.getString(2))).toList
+        rows.map(_._1) shouldBe List(10, 11)
+        rows.foreach(_._2 should not include "Real") // anonymized
+      } finally verify.close()
+    }
+  }
+
   describe("ConstraintDeferrer.selfRefConstraints") {
     it("discovers the self-ref FK with its original (non-)deferrability") {
       val conn = DriverManager.getConnection(url)
