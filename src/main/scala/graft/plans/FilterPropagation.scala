@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.dsl.TableSpec
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, min}
 
 /** Propagates row filters through the FK graph as DataFrame rewrites.
   *
@@ -153,22 +153,41 @@ object SelfRefClosure {
       .select((fkCols ++ pkCols).distinct.map(col): _*)
       .transform(Lineage.truncate)
 
-    var reachable = universe.where(fkNull).select(pkCols.map(col): _*).transform(Lineage.truncate)
-    var frontier  = reachable
-    var iters     = 0
-    while (iters < maxIterations && !frontier.isEmpty) {
-      val keys = frontier.toDF(renamed: _*)
+    def childrenOf(parents: DataFrame): DataFrame = {
+      val keys = parents.toDF(renamed: _*)
       val cond = fkCols
         .zip(renamed)
         .map { case (fc, rc) => universe(fc) === keys(rc) }
         .reduce(_ && _)
-      val next = universe.join(keys, cond, "left_semi").select(pkCols.map(col): _*)
-      // Only the frontier needs eager materialization; the accumulator is a
-      // lazy union of already-checkpointed frontiers (each union arm is
-      // cached, so re-reading it costs no recompute — one fewer Spark job
-      // per iteration).
-      frontier = next.except(reachable).transform(Lineage.truncate)
-      reachable = reachable.unionByName(frontier)
+      universe.join(keys, cond, "left_semi").select(pkCols.map(col): _*)
+    }
+
+    var reachable = universe.where(fkNull).select(pkCols.map(col): _*).transform(Lineage.truncate)
+    var frontier  = reachable
+    var iters     = 0
+    while (iters < maxIterations && !frontier.isEmpty) {
+      // TWO hops per round, materialized as ONE hop-tagged checkpoint:
+      // every round costs one nontrivial job regardless of hop count, and
+      // driver-synchronized rounds are the latency floor of any iterative
+      // fixpoint — unrolling halves them for deep hierarchies at the price
+      // of one extra key-only semi join inside the round's plan.
+      val hop1 = childrenOf(frontier)
+      val hop2 = childrenOf(hop1)
+      val seen = reachable.toDF(renamed: _*)
+      // min(hop) keeps a node found by both hops on hop 1; anti join drops
+      // already-reachable nodes (except() would compare the hop column).
+      val news = hop1.withColumn("__graft_hop", lit(1))
+        .unionByName(hop2.withColumn("__graft_hop", lit(2)))
+        .groupBy(pkCols.map(col): _*)
+        .agg(min(col("__graft_hop")).as("__graft_hop"))
+        .join(seen, pkCols.zip(renamed).map { case (pc, rc) => col(pc) === seen(rc) }.reduce(_ && _), "left_anti")
+        .transform(Lineage.truncate)
+      // hop-2-only news: their children are still unexpanded (hop-1 news'
+      // children are exactly hop2). Derived from the SAME cached frame —
+      // no compounding lineage, no second checkpoint.
+      frontier = news.where(col("__graft_hop") === 2).select(pkCols.map(col): _*)
+      // Lazy union of checkpointed arms — re-reading costs no recompute.
+      reachable = reachable.unionByName(news.select(pkCols.map(col): _*))
       iters += 1
     }
     reachable
