@@ -396,16 +396,77 @@ object Dedup {
       .select("doc_a", "doc_b")
   }
 
-  /** Transitive duplicate clusters from a near-dup pair list: connected
-    * components by iterative min-label propagation (each node's label
+  /** Execution strategy for [[duplicateClusters]]. Near-dup EDGE lists are
+    * usually tiny relative to the corpus (duplicates are the exception,
+    * not the rule), so `Auto` counts the cached edges and runs union-find
+    * on the driver below the threshold — microseconds instead of
+    * driver-synchronized label-propagation rounds — falling back to the
+    * distributed algorithm above it. Same (node, min-id rep) result from
+    * both paths, by construction.
+    */
+  sealed trait ClusterMode
+  object ClusterMode {
+    case object Distributed                         extends ClusterMode
+    case object Local                               extends ClusterMode
+    case class Auto(maxEdges: Long = 10L * 1000 * 1000) extends ClusterMode
+  }
+
+  /** Transitive duplicate clusters from a near-dup pair list — connected
+    * components, returned as (node, cluster_rep) for every node appearing
+    * in a pair, representative = the cluster's minimum id. Ids are cast to
+    * long (the same contract as the pair generators).
+    *
+    * Distributed path: iterative min-label propagation (each node's label
     * becomes the min of its own and its neighbors' labels until fixpoint —
     * the standard Pregel-style CC algorithm, O(graph diameter) rounds,
-    * each round one shuffle on the edge key). Returns (node, cluster_rep)
-    * for every node that appears in a pair; the representative is the
-    * cluster's minimum id.
+    * each round one shuffle on the edge key). Local path: driver
+    * union-find over the collected edge list ([[ClusterMode]]).
     */
-  def duplicateClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+  def duplicateClusters(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      mode: ClusterMode = ClusterMode.Auto()
+  ): DataFrame = {
+    // Materialize the (tiny) edge list once: the mode probe, and whichever
+    // path runs, must not re-execute the expensive pair-generation plan.
+    val edgesRaw = Lineage.truncate(pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
+    mode match {
+      case ClusterMode.Distributed => clustersDistributed(edgesRaw)
+      case ClusterMode.Local       => clustersLocal(edgesRaw)
+      case ClusterMode.Auto(maxEdges) =>
+        if (edgesRaw.count() <= maxEdges) clustersLocal(edgesRaw) else clustersDistributed(edgesRaw)
+    }
+  }
+
+  /** Driver union-find (path compression; the smaller root absorbs the
+    * larger, so every root IS its component's minimum). Bounded by
+    * [[ClusterMode.Auto]]'s edge cap — 10M edges ≈ 160 MB collected.
+    */
+  private def clustersLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.as[(Long, Long)].collect().foreach { case (a, b) =>
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet.forEach(n => out += ((n, find(n))))
+    spark.createDataset(out.toSeq).toDF("node", "cluster_rep")
+  }
+
+  private def clustersDistributed(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("src"), col("dst"))
     val sym = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

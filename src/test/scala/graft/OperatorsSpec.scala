@@ -92,6 +92,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.duplicateClusters modes") {
+    it("driver union-find and distributed label propagation agree") {
+      val pairs = Seq((1L, 2L), (2L, 3L), (9L, 8L), (7L, 3L)).toDF("doc_a", "doc_b")
+      val local = Dedup.duplicateClusters(pairs, mode = Dedup.ClusterMode.Local)
+        .as[(Long, Long)].collect().toSet
+      val dist = Dedup.duplicateClusters(pairs, mode = Dedup.ClusterMode.Distributed)
+        .as[(Long, Long)].collect().toSet
+      local shouldBe dist
+      local shouldBe Set((1L, 1L), (2L, 1L), (3L, 1L), (7L, 1L), (8L, 8L), (9L, 8L))
+      // Auto under a zero-edge budget takes the distributed path.
+      Dedup.duplicateClusters(pairs, mode = Dedup.ClusterMode.Auto(maxEdges = 0))
+        .as[(Long, Long)].collect().toSet shouldBe local
+    }
+  }
+
   describe("Sampling") {
     import graft.operators.Sampling
     it("hashSample is deterministic, and fraction bounds are exact at 0 and 1") {
