@@ -553,6 +553,19 @@ object SparkEntry {
       TextAnalysis.topTermsPerDoc(t(s, dir, "documents"), "text", "doc_id", k = 3)
         .orderBy("doc_id", "rnk")),
 
+    // Corpus bigram statistics (LM corpus-stats backbone).
+    "q_text_ngrams" -> ((s, dir) =>
+      TextAnalysis.tokenNgramCounts(t(s, dir, "documents"), "text", "doc_id", n = 2)
+        .where(col("ngram_freq") >= 3)
+        .orderBy("ngram")),
+
+    // Deterministic ±1 random projection (J-L dimensionality reduction);
+    // exact doubles — the oracle folds components in the same order.
+    "q_embed_project" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.randomProjection(col("embedding"), 16).as("proj"))
+        .orderBy("vec_id")),
+
     // Multimodal metadata decode over a derived binary column (the stub
     // kernel is deterministic stableHash arithmetic — fully oracle-able).
     "q_multimodal_meta" -> ((s, dir) => {
@@ -911,6 +924,25 @@ object SparkEntry {
            |      FROM tf JOIN dfq USING (term))
            |SELECT doc_id, term, tf, doc_freq, rnk FROM r WHERE rnk <= 3
            |ORDER BY doc_id, rnk""".stripMargin,
+
+      "q_text_ngrams" ->
+        s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+           |g AS (SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]) AS ngram
+           |      FROM toks WHERE len(tk) >= 2)
+           |SELECT ngram, count(DISTINCT doc_id) AS doc_freq, count(*) AS ngram_freq
+           |FROM g GROUP BY ngram HAVING count(*) >= 3 ORDER BY ngram""".stripMargin,
+
+      "q_embed_project" -> {
+        // 16×64 deterministic sign matrix, hoisted into a one-row CTE (see
+        // signsCte note); per-component fold order matches the JVM kernel.
+        val m = graft.operators.Similarity.signMatrix(16, 64)
+        val lit16 = m.map(_.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")).mkString("[", ",", "]")
+        s"""WITH signs16 AS (SELECT $lit16 AS sg),
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)
+           |SELECT vec_id,
+           |  [list_reduce([ve[d+1] * sg[j+1][d+1] for d in range(0, 64)], (x, y) -> x + y) for j in range(0, 16)] AS proj
+           |FROM v, signs16 ORDER BY vec_id""".stripMargin
+      },
 
       // Replicates Multimodal.stubDecode: stableHash of the base64 payload
       // → (64 + h%1024, 64 + (h/1024)%1024, 1 + h%4); empty → zeros.

@@ -102,6 +102,31 @@ object Similarity {
     u(vec)
   }
 
+  /** Deterministic ±1 random projection to `outDim` dimensions — the
+    * classic Johnson–Lindenstrauss dimensionality reduction for cheaper
+    * downstream similarity (Achlioptas-style sign matrices, here the same
+    * deterministic stableHash-seeded planes as the LSH buckets, so runs
+    * reproduce bit-for-bit with no RNG state). Tight UDF with primitive
+    * array params (see SCALE.md on Seq-param boxing); components summed in
+    * index order so the DuckDB oracle's fold is IEEE-identical.
+    */
+  def randomProjection(vec: Column, outDim: Int): Column = {
+    val u = udf { (v: Array[Float]) =>
+      val m   = Hyperplanes.signs(outDim, v.length)
+      val out = new Array[Double](outDim)
+      var j = 0
+      while (j < outDim) {
+        var dot = 0.0
+        var d   = 0
+        while (d < v.length) { dot += v(d).toDouble * m(j)(d); d += 1 }
+        out(j) = dot
+        j += 1
+      }
+      out
+    }
+    u(vec)
+  }
+
   /** Bucket each vector by its hyperplane signature — the ANN scale path:
     * one narrow shuffle on the signature, candidate sets are bucket-local.
     */

@@ -98,6 +98,29 @@ object TextAnalysis {
       .agg(countDistinct("doc_id").as("doc_freq"), count(lit(1)).as("term_freq"))
   }
 
+  /** Corpus token-n-gram statistics: per distinct n-gram, the number of
+    * documents containing it and its total occurrences — the language-model
+    * corpus-stats backbone (bigram/trigram tables). One explode + one hash
+    * aggregation, shuffle key = the n-gram; documents shorter than n
+    * contribute nothing.
+    */
+  def tokenNgramCounts(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val base = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= n)
+    val grams = base.select(
+      col("doc_id"),
+      explode(
+        transform(
+          sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n)))
+        )
+      ).as("ngram")
+    )
+    grams.groupBy("ngram").agg(countDistinct("doc_id").as("doc_freq"), count(lit(1)).as("ngram_freq"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * the cheap exact-dedup / near-copy grouping key.
     */

@@ -143,6 +143,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("TextAnalysis.tokenNgramCounts / Similarity.randomProjection") {
+    it("bigram counts include repeats and doc frequencies") {
+      val r = TextAnalysis.tokenNgramCounts(docs, "text", "doc_id", n = 2)
+        .as[(String, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+      r("quick brown") shouldBe ((3L, 3L)) // docs 1, 2, 4
+      r("lazy dog") shouldBe ((2L, 2L))    // docs 1, 4
+      // Short docs contribute nothing and single tokens aren't bigrams.
+      r.keySet.foreach(_.split(" ").length shouldBe 2)
+    }
+    it("randomProjection is deterministic with the expected width") {
+      val vecs = Seq((0L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+      val p1 = vecs.select(Similarity.randomProjection(col("embedding"), 4)).head.getSeq[Double](0)
+      val p2 = vecs.select(Similarity.randomProjection(col("embedding"), 4)).head.getSeq[Double](0)
+      p1 shouldBe p2
+      p1.length shouldBe 4
+      // Each component is a ±1 combination of the inputs.
+      p1.foreach(c => math.abs(c) should be <= 6.0)
+    }
+  }
+
   describe("Lineage checkpoint modes") {
     import graft.plans.Lineage
     it("reliable mode without a checkpoint dir fails fast; with one, iterative ops agree") {
