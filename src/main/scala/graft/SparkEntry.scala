@@ -485,6 +485,12 @@ object SparkEntry {
       Dedup.duplicateClusters(pairs).orderBy("node")
     }),
 
+    // The whole dedup workflow in one call: detect → cluster → keep one
+    // representative per cluster.
+    "q_dedup_corpus" -> ((s, dir) =>
+      Dedup.deduplicateCorpus(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
+        .select("doc_id").orderBy("doc_id")),
+
     // BPE-ish pre-tokenization count (regex segmentation).
     "q_text_bpe_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -702,6 +708,25 @@ object SparkEntry {
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Shared recursive-CTE chain computing connected components over the
+    * n-gram near-dup pairs (candidates → exact Jaccard → symmetric edges →
+    * reachability); ends with `reach(a, b)`.
+    */
+  private def clustersCte(hsh3: String): String =
+    s"""docs AS (SELECT doc_id, $hsh3 AS shs FROM documents),
+       |sh AS (SELECT doc_id, unnest(shs) AS sh FROM docs),
+       |keep AS (SELECT sh FROM (SELECT sh, count(*) AS f FROM sh GROUP BY 1) WHERE f <= 100),
+       |idx AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep k ON s.sh = k.sh),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b FROM cand JOIN docs x ON doc_a = x.doc_id JOIN docs y ON doc_b = y.doc_id
+       |  WHERE len(list_intersect(x.shs, y.shs))::DOUBLE /
+       |    (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.8),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (SELECT DISTINCT a, a FROM edges
+       |                UNION
+       |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)""".stripMargin
+
   private def pipelineOracles: Map[String, String] = {
     import OracleGen._
     // Deterministic hyperplane signs (8 planes × 64 dims) for the LSH
@@ -834,20 +859,14 @@ object SparkEntry {
            |ORDER BY query_id, rnk""".stripMargin,
 
       "q_dedup_clusters" ->
-        s"""WITH RECURSIVE docs AS (SELECT doc_id, $hsh3 AS shs FROM documents),
-           |sh AS (SELECT doc_id, unnest(shs) AS sh FROM docs),
-           |keep AS (SELECT sh FROM (SELECT sh, count(*) AS f FROM sh GROUP BY 1) WHERE f <= 100),
-           |idx AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep k ON s.sh = k.sh),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |         FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id),
-           |pairs AS (SELECT doc_a, doc_b FROM cand JOIN docs x ON doc_a = x.doc_id JOIN docs y ON doc_b = y.doc_id
-           |  WHERE len(list_intersect(x.shs, y.shs))::DOUBLE /
-           |    (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.8),
-           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-           |reach(a, b) AS (SELECT DISTINCT a, a FROM edges
-           |                UNION
-           |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        s"""WITH RECURSIVE ${clustersCte(hsh3)}
            |SELECT a AS node, min(b) AS cluster_rep FROM reach GROUP BY a ORDER BY node""".stripMargin,
+
+      "q_dedup_corpus" ->
+        s"""WITH RECURSIVE ${clustersCte(hsh3)},
+           |losers AS (SELECT a AS node FROM reach GROUP BY a HAVING min(b) <> a)
+           |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
+           |ORDER BY doc_id""".stripMargin,
 
       "q_text_bpe_tokens" -> {
         val pat = graft.operators.TextAnalysis.bpePattern.replace("'", "''")

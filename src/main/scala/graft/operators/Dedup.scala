@@ -505,6 +505,26 @@ object Dedup {
     df.join(losers, df(idCol) === losers("node"), "left_anti")
   }
 
+  /** The full corpus-dedup workflow in one call: near-dup pair detection
+    * (inverted-index n-gram Jaccard — catches exact dups too, at
+    * jaccard = 1), transitive clustering, and keep-one-per-cluster.
+    * Every stage auto-selects its capacity strategy ([[VerifyMode.Auto]],
+    * [[ClusterMode.Auto]]), so the same call works on a fixture and on a
+    * corpus that outgrows every broadcast.
+    */
+  def deduplicateCorpus(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxShingleFreq: Option[Int] = Some(100)
+  ): DataFrame = {
+    val pairs    = ngramJaccardPairs(df, textCol, idCol, n, threshold, maxShingleFreq)
+    val clusters = duplicateClusters(pairs)
+    dedupByClusters(df, idCol, clusters)
+  }
+
   /** Whitespace tokens with empties dropped (shared with [[TextAnalysis]]). */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")

@@ -92,6 +92,14 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.deduplicateCorpus") {
+    it("keeps one representative per near-dup cluster and all unique docs") {
+      val kept = Dedup.deduplicateCorpus(docs, "text", "doc_id", threshold = 0.6)
+        .select("doc_id").as[Long].collect().toSet
+      kept shouldBe Set(1L, 3L) // 1 represents {1,2,4}; 3 is unique
+    }
+  }
+
   describe("Dedup.duplicateClusters modes") {
     it("driver union-find and distributed label propagation agree") {
       val pairs = Seq((1L, 2L), (2L, 3L), (9L, 8L), (7L, 3L)).toDF("doc_a", "doc_b")
