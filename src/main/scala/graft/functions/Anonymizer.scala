@@ -14,6 +14,15 @@ trait Anonymizer extends (String => String) with Serializable
 
 object Anonymizer {
 
+  /** Per-thread MessageDigest: stableHash runs once per SHINGLE in the
+    * dedup kernels (millions of calls per partition), and
+    * `MessageDigest.getInstance` allocates provider machinery every call.
+    * `digest()` leaves the instance reset, so reuse is safe.
+    */
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   /** Stable non-negative hash of a string: first 4 bytes of the MD5 digest,
     * big-endian, masked positive. null/"" → 0.
     *
@@ -24,8 +33,7 @@ object Anonymizer {
     */
   def stableHash(input: String): Int = {
     if (input == null || input.isEmpty) return 0
-    val md    = MessageDigest.getInstance("MD5")
-    val bytes = md.digest(input.getBytes("UTF-8"))
+    val bytes = md5.get().digest(input.getBytes("UTF-8"))
     val hash = ((bytes(0) & 0xff) << 24) |
       ((bytes(1) & 0xff) << 16) |
       ((bytes(2) & 0xff) << 8) |
