@@ -152,6 +152,18 @@ class GraftSpec extends SparkSpec {
     }
   }
 
+  describe("SQL function registration") {
+    it("anon_* functions work from spark.sql and match the Scala API") {
+      _root_.graft.functions.GraftFunctions.registerAll(spark)
+      users.createOrReplaceTempView("users_sql")
+      val viaSql = spark
+        .sql("SELECT anon_full_name(name) AS fn, anon_email(email) AS em FROM users_sql WHERE id = 1")
+        .head
+      viaSql.getString(0) shouldBe Anonymizer.FullName("Ann")
+      viaSql.getString(1) shouldBe Anonymizer.Email("ann@real.com")
+    }
+  }
+
   describe("CoverageValidator.getDataColumns") {
     it("excludes PK and FK columns") {
       CoverageValidator.getDataColumns(
