@@ -254,9 +254,60 @@ object Dedup {
       threshold: Double = 0.5,
       verify: VerifyMode = VerifyMode.Auto()
   ): DataFrame = {
-    val docs    = df.select(col(idCol).cast("long").as("doc_id"), hashedShingles(col(textCol), n).as("shs"))
-    val rawCand = minHashLshCandidatesRaw(df, textCol, idCol, n, numHashes, bands)
-    verifyPairs(rawCand, docs, threshold, verify)
+    // ONE shingle-hashing pass (the MD5s dominate signature cost): the
+    // cached hashed sets feed BOTH the signatures (cheap affine loop —
+    // min over the hashed SET equals min over the per-string multiset,
+    // exactly the formulation the DuckDB oracle uses) and the exact
+    // verification.
+    val docs = Lineage.truncate(
+      df.select(col(idCol).cast("long").as("doc_id"), hashedShingles(col(textCol), n).as("shs"))
+    )
+    val rawCand = bandedCandidatesFromHashes(docs, numHashes, bands)
+    verifyPairs(rawCand, docs, threshold, verify, docsMaterialized = true)
+  }
+
+  /** Band-collision pairs computed from the already-hashed shingle sets:
+    * affine signatures (no digests), band keys, bucket self-join. Pairs
+    * may repeat once per colliding band — the verifier dedups.
+    */
+  private def bandedCandidatesFromHashes(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows    = numHashes / bands
+    val offsets = minHashOffsets(numHashes).toArray
+    val sigU = udf { (shs: Array[Long]) =>
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var k = 0
+      while (k < shs.length) {
+        val h = shs(k)
+        var i = 0
+        while (i < numHashes) {
+          val v = ((2L * i + 1) * h + offsets(i)) % MinHashPrime
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+        k += 1
+      }
+      sig
+    }
+    val banded = docs.select(col("doc_id"), sigU(col("shs")).as("sig"))
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => struct(
+              b.as("band"),
+              concat_ws(":", transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string"))).as("key")
+            )
+          )
+        ).as("bk")
+      ).select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .transform(Lineage.truncate)
+    val l = banded.toDF("doc_a", "band", "key")
+    val r = banded.toDF("doc_b", "band", "key")
+    l.join(r, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
   }
 
   /** Exact-Jaccard verification of raw candidate pairs, dispatching on
@@ -269,15 +320,17 @@ object Dedup {
       rawCand: DataFrame,
       docs: DataFrame,
       threshold: Double,
-      mode: VerifyMode
+      mode: VerifyMode,
+      docsMaterialized: Boolean = false
   ): DataFrame = mode match {
     case VerifyMode.Broadcast => verifyPairsBroadcast(rawCand, docs, threshold)
-    case VerifyMode.Shuffle   => verifyPairsShuffled(rawCand, Lineage.truncate(docs), threshold)
+    case VerifyMode.Shuffle =>
+      verifyPairsShuffled(rawCand, if (docsMaterialized) docs else Lineage.truncate(docs), threshold)
     case VerifyMode.Auto(maxBytes) =>
       // Materialize the shingle sets once — the size probe, and whichever
       // verification path follows, all reuse the same blocks instead of
       // re-running the per-document hashing.
-      val cached = Lineage.truncate(docs)
+      val cached = if (docsMaterialized) docs else Lineage.truncate(docs)
       val row    = cached.agg(sum(size(col("shs"))), count(lit(1))).head
       val totalShingles = if (row.isNullAt(0)) 0L else row.getLong(0)
       val nDocs         = row.getLong(1)
