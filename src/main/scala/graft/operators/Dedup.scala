@@ -134,8 +134,14 @@ object Dedup {
       maxShingleFreq: Option[Int] = Some(100),
       verify: VerifyMode = VerifyMode.Auto()
   ): DataFrame = {
-    val docs = df.select(col(idCol).as("doc_id"), hashedShingles(col(textCol), n).as("shs"))
-    val sh   = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
+    // One hashing pass: the inverted index derives the (doc, shingle)
+    // stream from this cached frame 3× (stop-shingle counts + both join
+    // sides) and verification reads it again — without the checkpoint
+    // every derivation re-hashed the whole corpus.
+    val docs = Lineage.truncate(
+      df.select(col(idCol).cast("long").as("doc_id"), hashedShingles(col(textCol), n).as("shs"))
+    )
+    val sh = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
     val indexed = (maxShingleFreq match {
       case Some(k) =>
         val keep = sh.groupBy("sh").agg(count(lit(1)).as("df_freq")).where(col("df_freq") <= k).select("sh")
@@ -146,8 +152,8 @@ object Dedup {
     val b = indexed.toDF("doc_b", "sh")
     val rawCand = a
       .join(b, a("sh") === b("sh") && a("doc_a") < b("doc_b"))
-      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-    verifyPairs(rawCand, docs, threshold, verify)
+      .select(col("doc_a"), col("doc_b"))
+    verifyPairs(rawCand, docs, threshold, verify, docsMaterialized = true)
   }
 
   /** MinHash permutation constants: h_i(x) = ((2i+1)·x + B(i)) mod P with
