@@ -156,8 +156,10 @@ object TextAnalysis {
   def topTermsPerDoc(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
-    val tf   = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfq  = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    // Materialized once: both the doc-frequency aggregation and the join's
+    // left side read it — otherwise the explode+agg runs twice.
+    val tf  = graft.plans.Lineage.truncate(toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val w    = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("doc_freq").asc, col("term").asc)
     tf.join(dfq, "term")
       .withColumn("rnk", row_number().over(w).cast("long"))

@@ -177,6 +177,17 @@ class JdbcEndToEndSpec extends SparkSpec {
     }
   }
 
+  describe("JdbcCatalog.readTable partitioned") {
+    it("N-way range partitioning reads every row exactly once") {
+      val df = JdbcCatalog.readTable(
+        spark, url, props, "APP", "USERS",
+        partitioning = Some(JdbcCatalog.PartitionSpec("ID", 1, 4, 2))
+      )
+      df.rdd.getNumPartitions shouldBe 2
+      df.select("ID").collect().map(_.getInt(0)).sorted shouldBe Array(1, 2, 3)
+    }
+  }
+
   describe("JdbcCatalog.discoverSequences") {
     it("runs the (injectable) discovery query, binding schema to every placeholder") {
       val conn = DriverManager.getConnection(url)
