@@ -572,6 +572,14 @@ object SparkEntry {
         .select(col("vec_id"), Similarity.randomProjection(col("embedding"), 16).as("proj"))
         .orderBy("vec_id")),
 
+    // Single-pass data-quality profile (counts/nulls/distinct/min/max per
+    // column) over orders.
+    "q_profile" -> ((s, dir) => {
+      import graft.operators.Profiler
+      Profiler.profile(t(s, dir, "orders"), Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("column_name")
+    }),
+
     // Multimodal metadata decode over a derived binary column (the stub
     // kernel is deterministic stableHash arithmetic — fully oracle-able).
     "q_multimodal_meta" -> ((s, dir) => {
@@ -943,6 +951,15 @@ object SparkEntry {
            |      FROM tf JOIN dfq USING (term))
            |SELECT doc_id, term, tf, doc_freq, rnk FROM r WHERE rnk <= 3
            |ORDER BY doc_id, rnk""".stripMargin,
+
+      "q_profile" -> {
+        def per(c: String) =
+          s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+             |count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+             |CAST(min($c) AS VARCHAR) AS min_value, CAST(max($c) AS VARCHAR) AS max_value
+             |FROM orders""".stripMargin
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice").map(per).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      },
 
       "q_text_ngrams" ->
         s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Single-pass data-quality profiling: per column, row/null/distinct counts
+  * and min/max (rendered as strings so one result schema covers every
+  * column type) — the first look anyone takes at an unfamiliar table.
+  *
+  * Scale shape: ONE aggregation job computes every column's stats together
+  * (4·N aggregate expressions over one scan — map-side partial aggregation,
+  * a single one-row result), then the driver pivots that row into
+  * per-column records. `countDistinct` is exact; pass `approxDistinct =
+  * true` to switch to HyperLogLog (`approx_count_distinct`) when exact
+  * distinct counts of high-cardinality columns would dominate the job.
+  */
+object Profiler {
+
+  def profile(df: DataFrame, columns: Seq[String] = Seq.empty, approxDistinct: Boolean = false): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    require(cols.nonEmpty, "nothing to profile")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        (if (approxDistinct) approx_count_distinct(col(c)) else countDistinct(col(c))).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c")
+      )
+    }
+    val row   = df.agg(count(lit(1)).as("__n"), aggs: _*).head
+    val total = row.getAs[Long]("__n")
+    val out = cols.map { c =>
+      Row(
+        c,
+        total,
+        total - row.getAs[Long](s"__nn_$c"),
+        row.getAs[Long](s"__nd_$c"),
+        row.getAs[String](s"__mn_$c"),
+        row.getAs[String](s"__mx_$c")
+      )
+    }
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      StructType(Seq(
+        StructField("column_name", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_nulls", LongType, nullable = false),
+        StructField("n_distinct", LongType, nullable = false),
+        StructField("min_value", StringType),
+        StructField("max_value", StringType)
+      ))
+    )
+  }
+}

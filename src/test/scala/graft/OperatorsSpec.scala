@@ -171,6 +171,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Profiler.profile") {
+    it("counts rows, nulls, distincts, and renders min/max per column in one pass") {
+      import graft.operators.Profiler
+      val df = Seq((1L, "a"), (2L, null), (3L, "a")).toDF("id", "v")
+      val p = Profiler.profile(df).collect().map(r => r.getString(0) -> r).toMap
+      p("id").getLong(1) shouldBe 3   // n_rows
+      p("id").getLong(2) shouldBe 0   // n_nulls
+      p("id").getLong(3) shouldBe 3   // n_distinct
+      p("id").getString(4) shouldBe "1"
+      p("id").getString(5) shouldBe "3"
+      p("v").getLong(2) shouldBe 1    // one null
+      p("v").getLong(3) shouldBe 1    // nulls don't count as distinct
+      // approx mode still produces a sane cardinality on tiny data
+      Profiler.profile(df, Seq("id"), approxDistinct = true)
+        .head.getLong(3) shouldBe 3
+    }
+  }
+
   describe("Lineage checkpoint modes") {
     import graft.plans.Lineage
     it("reliable mode without a checkpoint dir fails fast; with one, iterative ops agree") {
