@@ -572,6 +572,20 @@ object SparkEntry {
         .select(col("vec_id"), Similarity.randomProjection(col("embedding"), 16).as("proj"))
         .orderBy("vec_id")),
 
+    // URL extraction over derived text with known links embedded.
+    "q_text_urls" -> ((s, dir) => {
+      val derived = concat(
+        substring(col("text"), 1, 20),
+        lit(" see https://site"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".example.com/page"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" and http://example.org/x")).otherwise(lit(""))
+      )
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(TextAnalysis.extractUrls(derived)).cast("long").as("n_urls"),
+        TextAnalysis.urlHost(element_at(TextAnalysis.extractUrls(derived), 1)).as("first_host")
+      ).orderBy("doc_id")
+    }),
+
     // Single-pass data-quality profile (counts/nulls/distinct/min/max per
     // column) over orders.
     "q_profile" -> ((s, dir) => {
@@ -951,6 +965,18 @@ object SparkEntry {
            |      FROM tf JOIN dfq USING (term))
            |SELECT doc_id, term, tf, doc_freq, rnk FROM r WHERE rnk <= 3
            |ORDER BY doc_id, rnk""".stripMargin,
+
+      "q_text_urls" -> {
+        val pat = graft.operators.TextAnalysis.UrlPattern.replace("'", "''")
+        s"""SELECT doc_id,
+           |len(regexp_extract_all(x, '$pat')) AS n_urls,
+           |regexp_extract(regexp_extract_all(x, '$pat')[1], 'https?://([^/]+)', 1) AS first_host
+           |FROM (SELECT doc_id,
+           |  substr(text, 1, 20) || ' see https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/page' ||
+           |  CASE WHEN doc_id % 3 = 0 THEN ' and http://example.org/x' ELSE '' END AS x
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      },
 
       "q_profile" -> {
         def per(c: String) =

@@ -143,6 +143,17 @@ object TextAnalysis {
   def scrubPii(text: Column): Column =
     regexp_replace(regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")), lit(PhonePattern), lit("<PHONE>"))
 
+  /** URL pattern — frozen, Java-regex/RE2-identical (no lookaround). */
+  val UrlPattern: String = "https?://[A-Za-z0-9./_~:%#?&=+-]+"
+
+  /** All URLs in the text, in order (web-corpus link extraction). */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlPattern), lit(0))
+
+  /** The host part of a URL ('' when the input isn't URL-shaped). */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "https?://([^/]+)", 1)
+
   /** Top-k salient terms per document: term frequency within the document,
     * tie-broken toward rarer terms (lower corpus document frequency), then
     * lexicographically — the TF-IDF ranking with an integer-exact order
