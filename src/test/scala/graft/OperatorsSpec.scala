@@ -142,6 +142,14 @@ class OperatorsSpec extends SparkSpec {
       val out = in.select(TextAnalysis.scrubPii(col("t"))).head.getString(0)
       out shouldBe "mail me at <EMAIL> or <PHONE> / <PHONE>"
     }
+    it("extractUrls and urlHost pull links and hosts from text") {
+      val r = Seq(("read https://a.example.com/x and http://b.org", 1)).toDF("t", "i")
+        .select(TextAnalysis.extractUrls(col("t")).as("u"))
+        .select(col("u"), TextAnalysis.urlHost(element_at(col("u"), 1)).as("h"))
+        .head
+      r.getSeq[String](0) shouldBe Seq("https://a.example.com/x", "http://b.org")
+      r.getString(1) shouldBe "a.example.com"
+    }
     it("topTermsPerDoc ranks by tf desc with rarity and lexical tiebreaks") {
       val top = TextAnalysis.topTermsPerDoc(docs, "text", "doc_id", k = 2)
         .as[(Long, String, Long, Long, Long)].collect()
