@@ -162,30 +162,34 @@ object SelfRefClosure {
       universe.join(keys, cond, "left_semi").select(pkCols.map(col): _*)
     }
 
+    // Hops unrolled per materialized round: each round costs one nontrivial
+    // job regardless of hop count, and driver-synchronized rounds are the
+    // latency floor of any iterative fixpoint — K hops per round divides
+    // the rounds by K for deep hierarchies at the price of K-1 extra
+    // key-only semi joins inside the round's plan.
+    val unroll = 3
+
     var reachable = universe.where(fkNull).select(pkCols.map(col): _*).transform(Lineage.truncate)
     var frontier  = reachable
     var iters     = 0
     while (iters < maxIterations && !frontier.isEmpty) {
-      // TWO hops per round, materialized as ONE hop-tagged checkpoint:
-      // every round costs one nontrivial job regardless of hop count, and
-      // driver-synchronized rounds are the latency floor of any iterative
-      // fixpoint — unrolling halves them for deep hierarchies at the price
-      // of one extra key-only semi join inside the round's plan.
-      val hop1 = childrenOf(frontier)
-      val hop2 = childrenOf(hop1)
-      val seen = reachable.toDF(renamed: _*)
-      // min(hop) keeps a node found by both hops on hop 1; anti join drops
+      // K hops materialized as ONE hop-tagged checkpoint. A node found by
+      // several hops keeps the smallest (min(hop)); the anti join drops
       // already-reachable nodes (except() would compare the hop column).
-      val news = hop1.withColumn("__graft_hop", lit(1))
-        .unionByName(hop2.withColumn("__graft_hop", lit(2)))
+      // Induction on completeness: children of hop-i news are exactly
+      // hop i+1 (explored) for i < K; only hop-K news keep unexplored
+      // children — they are the next frontier, derived from the SAME
+      // cached frame, so lineage never compounds across rounds.
+      val hops = (2 to unroll).scanLeft(childrenOf(frontier))((prev, _) => childrenOf(prev))
+      val seen = reachable.toDF(renamed: _*)
+      val news = hops.zipWithIndex
+        .map { case (h, i) => h.withColumn("__graft_hop", lit(i + 1)) }
+        .reduce(_ unionByName _)
         .groupBy(pkCols.map(col): _*)
         .agg(min(col("__graft_hop")).as("__graft_hop"))
         .join(seen, pkCols.zip(renamed).map { case (pc, rc) => col(pc) === seen(rc) }.reduce(_ && _), "left_anti")
         .transform(Lineage.truncate)
-      // hop-2-only news: their children are still unexpanded (hop-1 news'
-      // children are exactly hop2). Derived from the SAME cached frame —
-      // no compounding lineage, no second checkpoint.
-      frontier = news.where(col("__graft_hop") === 2).select(pkCols.map(col): _*)
+      frontier = news.where(col("__graft_hop") === unroll).select(pkCols.map(col): _*)
       // Lazy union of checkpointed arms — re-reading costs no recompute.
       reachable = reachable.unionByName(news.select(pkCols.map(col): _*))
       iters += 1
