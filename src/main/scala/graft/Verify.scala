@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+/** Types the driver's DuckDB/pandas compare cannot hash reliably: wide
+  * DECIMAL (typed-value hash diverges between engines), and any non-scalar
+  * column (pandas sort_values throws "unhashable type"). */
+object GateLint {
+  import org.apache.spark.sql.types._
+  def violations(schema: StructType): Seq[String] = schema.fields.toSeq.collect {
+    case f if f.dataType.isInstanceOf[DecimalType] => s"${f.name}: ${f.dataType.simpleString} (emit round-DOUBLE or BIGINT instead)"
+    case f if f.dataType.isInstanceOf[ArrayType]   => s"${f.name}: ${f.dataType.simpleString} (explode to scalar rows)"
+    case f if f.dataType == BinaryType             => s"${f.name}: binary (emit md5 hex instead)"
+    case f if f.dataType.isInstanceOf[StructType]  => s"${f.name}: ${f.dataType.simpleString} (flatten to scalar columns)"
+    case f if f.dataType.isInstanceOf[MapType]     => s"${f.name}: ${f.dataType.simpleString} (flatten to scalar columns)"
+  }
+}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -16,9 +30,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Gate-output lint: the driver's pandas compare cannot sort/hash
+        // array/binary/struct/map columns (crashes), and its typed-value
+        // hash diverges from DuckDB on wide DECIMALs (r1+r2 evidence).
+        // Gate outputs must be scalar non-decimal; the APIs themselves may
+        // return anything. GateOutputLintSpec enforces this at test time.
+        GateLint.violations(df.schema).foreach { v =>
+          System.err.println(s"[verify] LINT FAIL $name: $v — gate outputs must be scalar non-decimal")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -696,11 +696,16 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double
+      threshold: Double,
+      guard: Similarity.ExactGuard = Similarity.ExactGuard.MaxWork(1000L * 1000)
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val src = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
+    // Guard on corpus ROWS (not pairs): the broadcast of the full matrix is
+    // what breaks first — 10^6 × 64-dim floats ≈ 256 MB. Past the bound the
+    // exact baseline refuses and names the LSH twin.
+    Similarity.guardWork(guard, src.count(), "embeddingNearDuplicates", "Dedup.embeddingNearDuplicatesLsh")
     val mat = spark.sparkContext.broadcast(
       src.collect().map { case (id, v) => (id, v.toArray) }.sortBy(_._1)
     )

@@ -11,19 +11,44 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * Scale shape: ONE aggregation job computes every column's stats together
   * (4·N aggregate expressions over one scan — map-side partial aggregation,
   * a single one-row result), then the driver pivots that row into
-  * per-column records. `countDistinct` is exact; pass `approxDistinct =
-  * true` to switch to HyperLogLog (`approx_count_distinct`) when exact
-  * distinct counts of high-cardinality columns would dominate the job.
+  * per-column records. Exact `countDistinct` is precise but each distinct
+  * aggregate adds an expand + shuffle; HyperLogLog
+  * (`approx_count_distinct`) keeps the whole profile a single map-side
+  * pass. [[DistinctMode.Auto]] probes the row count (for file sources a
+  * metadata-cheap job) and switches to HLL past the threshold — the same
+  * auto-capacity-gating pattern as `Dedup.VerifyMode.Auto`.
   */
 object Profiler {
 
-  def profile(df: DataFrame, columns: Seq[String] = Seq.empty, approxDistinct: Boolean = false): DataFrame = {
+  /** Strategy for the per-column distinct count. */
+  sealed trait DistinctMode
+  object DistinctMode {
+
+    /** Exact `countDistinct` — N expand+shuffle aggregates. */
+    case object Exact extends DistinctMode
+
+    /** HyperLogLog `approx_count_distinct` — scan-local, ~2% error. */
+    case object Approx extends DistinctMode
+
+    /** Exact below `maxExactRows` (probed with one `count()`), HLL above —
+      * exact profiles on fixtures and small dims, single-pass HLL on the
+      * 100 TB fact table, from the same call.
+      */
+    case class Auto(maxExactRows: Long = 50L * 1000 * 1000) extends DistinctMode
+  }
+
+  def profile(df: DataFrame, columns: Seq[String] = Seq.empty, mode: DistinctMode = DistinctMode.Auto()): DataFrame = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
     require(cols.nonEmpty, "nothing to profile")
+    val approx = mode match {
+      case DistinctMode.Exact          => false
+      case DistinctMode.Approx         => true
+      case DistinctMode.Auto(maxExact) => df.count() > maxExact
+    }
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__nn_$c"),
-        (if (approxDistinct) approx_count_distinct(col(c)) else countDistinct(col(c))).as(s"__nd_$c"),
+        (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c")
       )
@@ -52,4 +77,8 @@ object Profiler {
       ))
     )
   }
+
+  /** Back-compat boolean form. */
+  def profile(df: DataFrame, columns: Seq[String], approxDistinct: Boolean): DataFrame =
+    profile(df, columns, if (approxDistinct) DistinctMode.Approx else DistinctMode.Exact)
 }

@@ -12,6 +12,31 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Capacity guard for the EXACT baselines ([[bruteForceTopK]],
+    * [[Dedup.embeddingNearDuplicates]]) — the same auto-gating pattern as
+    * `Dedup.VerifyMode.Auto`, but these operators are exact by contract,
+    * so instead of silently delegating to an approximate twin the guard
+    * THROWS past the bound and names the scale-safe alternative. `Off`
+    * opts out for callers who know their workload.
+    */
+  sealed trait ExactGuard
+  object ExactGuard {
+    case object Off                    extends ExactGuard
+    case class MaxWork(bound: Long)    extends ExactGuard
+  }
+
+  private[operators] def guardWork(guard: ExactGuard, work: => Long, what: String, alternative: String): Unit =
+    guard match {
+      case ExactGuard.Off => ()
+      case ExactGuard.MaxWork(bound) =>
+        val w = work
+        if (w > bound)
+          throw new IllegalStateException(
+            s"$what: exact baseline would score $w pairs (> guard bound $bound) — " +
+              s"use $alternative (the sub-quadratic scale path) or pass ExactGuard.Off / a larger MaxWork bound"
+          )
+    }
+
   /** Cosine similarity of two float vectors, computed in double in index
     * order. A compact Scala UDF, deliberately NOT Catalyst higher-order
     * functions: HOFs are interpreted per element (no codegen) and measured
@@ -36,7 +61,10 @@ object Similarity {
     *
     * Scale notes: `queries` is expected to be small — Spark broadcasts it
     * under AQE; the corpus is never shuffled, each partition scores its
-    * rows and the per-query top-k is a k-bounded window.
+    * rows and the per-query top-k is a k-bounded window. Total work is
+    * |queries| × |corpus| cosine evaluations: the default guard probes
+    * both counts and throws past 10^9 scored pairs, pointing at
+    * [[lshTopK]] — exact APIs refuse to silently not scale.
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -44,9 +72,11 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      includeSelf: Boolean = false
+      includeSelf: Boolean = false,
+      guard: ExactGuard = ExactGuard.MaxWork(1000L * 1000 * 1000)
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    guardWork(guard, queries.count() * corpus.count(), "bruteForceTopK", "Similarity.lshTopK")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val joined = q

@@ -3,68 +3,26 @@ package graft.plans
 import graft.dsl.TableSpec
 import org.slf4j.LoggerFactory
 
-/** Validates that every non-skipped table has a spec and that every table
-  * column is covered after PK/FK passthrough merge. Failure messages embed
-  * copy-pastable DSL snippets — behavior mirrored from the reference
+/** Coverage gate run before any data moves: every non-skipped catalog table
+  * must have a spec, and every source column must be accounted for once
+  * PK/FK passthrough is merged in. Error messages carry ready-to-paste DSL
+  * stubs so the fix is a copy, not a scavenger hunt — the same developer
+  * experience as the reference's validator
   * (simple-anonymizer/src/scala/simpleanonymizer/CoverageValidator.scala:28-108),
-  * synchronously (no Future plumbing needed driver-side).
+  * here synchronous and manifest-driven (the catalog is already discovered;
+  * no Future-returning metadata context to thread through).
   */
 object CoverageValidator {
   private val logger = LoggerFactory.getLogger(getClass)
 
-  /** Columns needing explicit handling in a spec: everything but PK/FK
-    * columns (those pass through automatically).
+  /** Columns a spec must mention explicitly for `tableName`: the schema
+    * minus PK and FK columns, which the planner passes through on its own.
     */
   def getDataColumns(tableName: String, manifest: SchemaManifest, schemas: Map[String, Seq[String]]): Seq[String] = {
-    val columns = schemas.getOrElse(tableName, Seq.empty)
-    val pkCols  = manifest.pks.getOrElse(tableName, Seq.empty).toSet
-    val fkCols  = manifest.fkColumnsByTable.getOrElse(tableName, Set.empty)
-    columns.filterNot(c => pkCols.contains(c) || fkCols.contains(c))
-  }
-
-  private def ensureAllColumns(tableSpecs: Map[String, TableSpec], schemas: Map[String, Seq[String]]): Unit = {
-    val failures = tableSpecs.toSeq
-      .map { case (tableName, spec) =>
-        tableName -> spec.validateCovers(schemas.getOrElse(tableName, Seq.empty).toSet)
-      }
-      .collect { case (tableName, Left(missing)) => (tableName, missing) }
-    if (failures.nonEmpty) {
-      val failureMessages = failures.map { case (tableName, missing) =>
-        s"""Table '$tableName' has ${missing.size} unhandled column(s); add the bindings:
-           |      ${generateColumnSnippets(missing)}""".stripMargin
-      }
-      throw new IllegalArgumentException(
-        s"""Specs for ${failures.size} table(s) leave source columns unhandled.
-           |
-           |${failureMessages.mkString("\n\n")}
-           |""".stripMargin
-      )
-    }
-  }
-
-  private def ensureAllTables(
-      tableNames: Seq[String],
-      skippedTables: Set[String],
-      copiedTables: Set[String],
-      manifest: SchemaManifest,
-      schemas: Map[String, Seq[String]]
-  ): Unit = {
-    val missingTables = tableNames.filterNot(skippedTables.contains).filterNot(copiedTables.contains)
-    if (missingTables.nonEmpty) {
-      val snippets =
-        missingTables.map(t => generateTableSnippet(t, getDataColumns(t, manifest, schemas)))
-      val skipList = missingTables.map(t => s""""$t"""").mkString(", ")
-      throw new IllegalArgumentException(
-        s"""${missingTables.size} table(s) have no spec.
-           |
-           |Either give each one a spec in plan(...)/run(...):
-           |
-           |${snippets.mkString(",\n\n")}
-           |
-           |or exclude them: new Graft(..., skippedTables = Set($skipList))
-           |""".stripMargin
-      )
-    }
+    val keyish =
+      manifest.pks.getOrElse(tableName, Seq.empty).toSet ++
+        manifest.fkColumnsByTable.getOrElse(tableName, Set.empty)
+    schemas.getOrElse(tableName, Seq.empty).filterNot(keyish)
   }
 
   /** Spec columns that don't exist in the source schema → fail fast —
@@ -86,21 +44,73 @@ object CoverageValidator {
       manifest: SchemaManifest,
       schemas: Map[String, Seq[String]]
   ): Unit = {
-    ensureAllTables(tableNames, skippedTables, tableSpecs.keySet, manifest, schemas)
-    ensureAllColumns(tableSpecs.view.filterKeys(!skippedTables.contains(_)).toMap, schemas)
+    reportSpecless(tableNames, skippedTables, tableSpecs.keySet, manifest, schemas)
+    reportUncovered(tableSpecs.view.filterKeys(!skippedTables.contains(_)).toMap, schemas)
     logger.info("Coverage validation passed.")
   }
 
-  /** Copy-pastable spec snippet for an uncovered table — the snippet is a
-    * valid expression of THIS library's DSL, one passthrough binding per
-    * data column (same developer experience the reference provides).
+  /** Tables with neither a spec nor a skip entry abort planning; the error
+    * embeds one pasteable all-passthrough spec per table plus the skip-set
+    * alternative.
     */
-  def generateTableSnippet(tableName: String, columns: Seq[String]): String = {
-    val body = columns.map(c => s"      row.$c").mkString(",\n")
-    s""""$tableName" -> TableSpec.select { row =>\n    Seq(\n$body\n    )\n  }"""
+  private def reportSpecless(
+      tableNames: Seq[String],
+      skippedTables: Set[String],
+      specced: Set[String],
+      manifest: SchemaManifest,
+      schemas: Map[String, Seq[String]]
+  ): Unit = {
+    val specless = tableNames.filter(t => !skippedTables(t) && !specced(t))
+    if (specless.nonEmpty) {
+      val stubs = specless.map(t => generateTableSnippet(t, getDataColumns(t, manifest, schemas)))
+      throw new IllegalArgumentException(
+        Seq(
+          s"${specless.size} table(s) have no spec.",
+          "Either give each one a spec in plan(...)/run(...):",
+          stubs.mkString(",\n\n"),
+          "or exclude them: new Graft(..., skippedTables = Set(" +
+            specless.map("\"" + _ + "\"").mkString(", ") + "))"
+        ).mkString("", "\n\n", "\n")
+      )
+    }
   }
 
-  /** Copy-pastable bindings for missing columns, sorted for determinism. */
+  /** Specs that leave source columns unbound abort planning; each table's
+    * error lists pasteable `row.<col>` bindings for exactly the gap.
+    */
+  private def reportUncovered(tableSpecs: Map[String, TableSpec], schemas: Map[String, Seq[String]]): Unit = {
+    val gaps = tableSpecs.toSeq.flatMap { case (tableName, spec) =>
+      spec.validateCovers(schemas.getOrElse(tableName, Seq.empty).toSet) match {
+        case Left(missing) => Some(tableName -> missing)
+        case Right(_)      => None
+      }
+    }
+    if (gaps.nonEmpty) {
+      val perTable = gaps.map { case (tableName, missing) =>
+        s"Table '$tableName' has ${missing.size} unhandled column(s); add the bindings:\n" +
+          s"      ${generateColumnSnippets(missing)}"
+      }
+      throw new IllegalArgumentException(
+        s"Specs for ${gaps.size} table(s) leave source columns unhandled.\n\n" +
+          perTable.mkString("\n\n") + "\n"
+      )
+    }
+  }
+
+  /** All-passthrough spec stub for an uncovered table — a valid expression
+    * of THIS library's DSL, one `row.<col>` line per data column.
+    */
+  def generateTableSnippet(tableName: String, columns: Seq[String]): String = {
+    val sb = new StringBuilder
+    sb ++= "\"" ++= tableName ++= "\" -> TableSpec.select { row =>\n    Seq(\n"
+    sb ++= columns.map("      row." + _).mkString(",\n")
+    sb ++= "\n    )\n  }"
+    sb.result()
+  }
+
+  /** Pasteable bindings for a set of missing columns, sorted so the same
+    * gap always renders the same text.
+    */
   def generateColumnSnippets(columns: Set[String]): String =
-    columns.toSeq.sorted.map(c => s"row.$c").mkString(",\n      ")
+    columns.toSeq.sorted.map("row." + _).mkString(",\n      ")
 }

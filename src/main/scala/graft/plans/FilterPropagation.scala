@@ -190,8 +190,13 @@ object SelfRefClosure {
         .join(seen, pkCols.zip(renamed).map { case (pc, rc) => col(pc) === seen(rc) }.reduce(_ && _), "left_anti")
         .transform(Lineage.truncate)
       frontier = news.where(col("__graft_hop") === unroll).select(pkCols.map(col): _*)
-      // Lazy union of checkpointed arms — re-reading costs no recompute.
+      // Lazy union of checkpointed arms — re-reading costs no recompute,
+      // but the driver-side plan (and task binary) grows by one union arm
+      // per round. Fold the accumulated union back into a single
+      // materialized frame every few rounds so the plan stays O(1) for
+      // arbitrarily deep hierarchies.
       reachable = reachable.unionByName(news.select(pkCols.map(col): _*))
+      if (iters % 8 == 7) reachable = Lineage.truncate(reachable)
       iters += 1
     }
     reachable

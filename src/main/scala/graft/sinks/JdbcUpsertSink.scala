@@ -69,6 +69,56 @@ object SinkSql {
     s"INSERT INTO ${quoteQualified(schema, table)} ($columnList) VALUES ($placeholders)$conflictStr"
   }
 
+  /** ANSI `MERGE INTO target USING staging` rendering the same conflict
+    * semantics as [[insert]]'s ON CONFLICT clause — the execution path on
+    * databases without PostgreSQL's `INSERT .. ON CONFLICT` (Derby, H2,
+    * Oracle, SQL Server), and the natural BULK shape everywhere: rows are
+    * staged with parallel appends, then one set-based statement applies
+    * them (a hash join inside the database instead of per-row conflict
+    * checks).
+    *
+    * `ConflictTarget.Constraint` is not expressible — MERGE's ON clause
+    * needs columns; resolve the constraint to its column list first.
+    * `Action.DoNothing` renders with no WHEN MATCHED clause (conflicting
+    * rows are skipped); `DoUpdate` updates the requested (or all
+    * non-target) columns, sorted for deterministic SQL.
+    */
+  def mergeFromStaging(
+      schema: String,
+      table: String,
+      stagingTable: String,
+      columns: Seq[String],
+      onConflict: OnConflict,
+      pkColumns: => Seq[String] = Seq.empty
+  ): String = {
+    val targetCols = onConflict.target match {
+      case OnConflict.ConflictTarget.Columns(cols) => cols
+      case OnConflict.ConflictTarget.PrimaryKey    => pkColumns.sorted
+      case OnConflict.ConflictTarget.Constraint(name) =>
+        throw new IllegalArgumentException(
+          s"MERGE upsert for $schema.$table cannot target constraint $name by name — " +
+            "resolve it to its column list (ConflictTarget.Columns) first"
+        )
+    }
+    require(
+      targetCols.nonEmpty,
+      s"MERGE upsert for $schema.$table needs a non-empty column target " +
+        "(PrimaryKey target requires pkColumns to be resolvable)"
+    )
+    val on = targetCols.map(c => s"tgt.${quote(c)} = src.${quote(c)}").mkString(" AND ")
+    val matched = onConflict.action match {
+      case OnConflict.Action.DoNothing => ""
+      case OnConflict.Action.DoUpdate(updateCols) =>
+        val setCols = updateCols.getOrElse(columns.toSet -- targetCols).toSeq.sorted
+        require(setCols.nonEmpty, s"MERGE DO UPDATE for $schema.$table has no columns to update")
+        " WHEN MATCHED THEN UPDATE SET " + setCols.map(c => s"${quote(c)} = src.${quote(c)}").mkString(", ")
+    }
+    val insertCols = columns.map(quote).mkString(", ")
+    val insertVals = columns.map(c => s"src.${quote(c)}").mkString(", ")
+    s"MERGE INTO ${quoteQualified(schema, table)} tgt USING ${quoteQualified(schema, stagingTable)} src" +
+      s" ON $on$matched WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"
+  }
+
   /** Post-copy sequence realignment — reference TableCopier.scala:20-35. */
   def sequenceReset(schema: String, sequence: String, table: String, column: String): String =
     s"SELECT setval('${quoteQualified(schema, sequence)}', " +
@@ -192,6 +242,55 @@ object JdbcUpsertSink {
         } finally conn.close()
       }
     }
+  }
+
+  /** Upsert via stage-and-merge: append `df` in parallel into a fresh
+    * staging table cloned from the target's shape, apply ONE atomic
+    * [[SinkSql.mergeFromStaging]] on a driver connection, drop staging.
+    * Executes [[OnConflict]] semantics live on any ANSI-MERGE database
+    * (Derby — the embedded DB in this environment — H2, Oracle, SQL
+    * Server); PostgreSQL targets can use either this or [[write]]'s
+    * native ON CONFLICT path. Also the preferred BULK upsert shape: the
+    * conflict resolution is one set-based join in the database, and a
+    * Spark task retry merely re-appends into staging (the merge dedups),
+    * making the path tolerant of at-least-once task semantics.
+    *
+    * Staging rows must be unique on the conflict target (standard MERGE
+    * restriction — two staged rows matching one target row is an error);
+    * upstream dedup (e.g. `dropDuplicates(targetCols)`) is the caller's
+    * job, same as the reference's per-row upsert.
+    */
+  def upsertViaStagingMerge(
+      df: DataFrame,
+      url: String,
+      connectionProperties: Properties,
+      schema: String,
+      table: String,
+      onConflict: OnConflict,
+      pkColumns: Seq[String] = Seq.empty,
+      batchSize: Int = 5000,
+      columnWriters: Map[String, ColumnValueWriter] = Map.empty,
+      stagingSuffix: String = "_GRAFT_STAGE"
+  ): Unit = {
+    val staging = table + stagingSuffix
+    val conn    = DriverManager.getConnection(url, connectionProperties)
+    try {
+      exec(conn,
+        s"CREATE TABLE ${Ident.quoteQualified(schema, staging)} AS " +
+          s"SELECT * FROM ${Ident.quoteQualified(schema, table)} WITH NO DATA")
+      try {
+        write(df, url, connectionProperties, schema, staging, None, Seq.empty, batchSize, columnWriters)
+        val sql = SinkSql.mergeFromStaging(schema, table, staging, df.schema.fieldNames.toSeq, onConflict, pkColumns)
+        logger.info("Merge SQL: {}", sql)
+        exec(conn, sql)
+      } finally exec(conn, s"DROP TABLE ${Ident.quoteQualified(schema, staging)}")
+    } finally conn.close()
+  }
+
+  private def exec(conn: Connection, sql: String): Unit = {
+    val st = conn.createStatement()
+    try st.executeUpdate(sql)
+    finally st.close()
   }
 
   /** [[write]] wrapped in self-ref constraint deferral: discovers `table`'s

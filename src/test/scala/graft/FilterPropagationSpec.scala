@@ -181,6 +181,18 @@ class FilterPropagationSpec extends SparkSpec {
       val keys = SelfRefClosure.reachableKeys(chain, Seq("parent_id"), Seq("id"))
       keys.count() shouldBe 20
     }
+    it("stays correct over 30+ rounds (the periodic union fold keeps the plan flat)") {
+      // Depth 100 with unroll=3 → ~34 materialized rounds, crossing the
+      // every-8-rounds re-truncate boundary four times. Correctness of the
+      // fold: identical reachable set, and the accumulated union's plan
+      // stays shallow enough that this completes in seconds, not minutes.
+      val deep = intDf(
+        Seq("id" -> false, "parent_id" -> true),
+        Seq(Seq(1, null)) ++ (2 to 100).map(i => Seq[Any](i, i - 1))
+      )
+      val keys = SelfRefClosure.reachableKeys(deep, Seq("parent_id"), Seq("id"))
+      keys.collect().map(_.getInt(0)).toSet shouldBe (1 to 100).toSet
+    }
     it("rows unreachable from any root are excluded") {
       val orphans = intDf(
         Seq("id" -> false, "parent_id" -> true),

@@ -2,7 +2,7 @@ package graft
 
 import graft.dsl.TableSpec
 import graft.functions.Anonymizer
-import graft.sinks.JdbcUpsertSink
+import graft.sinks.{JdbcUpsertSink, OnConflict}
 import graft.sources.JdbcCatalog
 
 import java.sql.DriverManager
@@ -128,6 +128,80 @@ class JdbcEndToEndSpec extends SparkSpec {
         rows.map(_._1) shouldBe List(10, 11)
         rows.foreach(_._2 should not include "Real") // anonymized
       } finally verify.close()
+    }
+  }
+
+  describe("live upsert via stage-and-merge (Derby MERGE executes OnConflict semantics)") {
+    // The reference runs ON CONFLICT end-to-end on PostgreSQL
+    // (DbCopierIntegrationTest); this environment has no PG, but Derby's
+    // ANSI MERGE executes the same DO NOTHING / DO UPDATE semantics live —
+    // conflicting keys, real constraint, real data.
+    def fetch(sql: String): List[(Int, String, Int)] = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(sql)
+        Iterator.continually(rs).takeWhile(_.next()).map(r => (r.getInt(1), r.getString(2), r.getInt(3))).toList
+      } finally c.close()
+    }
+
+    it("DO NOTHING keeps existing rows and inserts only new keys") {
+      import spark.implicits._
+      val setup = DriverManager.getConnection(url)
+      try {
+        val st = setup.createStatement()
+        st.executeUpdate("CREATE TABLE UP_NOTHING (ID INT PRIMARY KEY, NAME VARCHAR(50), V INT)")
+        st.executeUpdate("INSERT INTO UP_NOTHING VALUES (1, 'old-one', 10), (2, 'old-two', 20)")
+        st.close()
+      } finally setup.close()
+
+      val df = Seq((2, "new-two", 99), (3, "new-three", 30)).toDF("ID", "NAME", "V")
+      graft.sinks.JdbcUpsertSink.upsertViaStagingMerge(
+        df, url, props, "APP", "UP_NOTHING", OnConflict.doNothing, pkColumns = Seq("ID"))
+
+      fetch("SELECT ID, NAME, V FROM UP_NOTHING ORDER BY ID") shouldBe
+        List((1, "old-one", 10), (2, "old-two", 20), (3, "new-three", 30))
+      // Staging table cleaned up.
+      val conn = DriverManager.getConnection(url)
+      try {
+        val rs = conn.getMetaData.getTables(null, "APP", "UP_NOTHING_GRAFT_STAGE", null)
+        rs.next() shouldBe false
+      } finally conn.close()
+    }
+
+    it("DO UPDATE overwrites conflicting rows and inserts new keys") {
+      import spark.implicits._
+      val setup = DriverManager.getConnection(url)
+      try {
+        val st = setup.createStatement()
+        st.executeUpdate("CREATE TABLE UP_UPDATE (ID INT PRIMARY KEY, NAME VARCHAR(50), V INT)")
+        st.executeUpdate("INSERT INTO UP_UPDATE VALUES (1, 'old-one', 10), (2, 'old-two', 20)")
+        st.close()
+      } finally setup.close()
+
+      val df = Seq((2, "new-two", 99), (3, "new-three", 30)).toDF("ID", "NAME", "V")
+      graft.sinks.JdbcUpsertSink.upsertViaStagingMerge(
+        df, url, props, "APP", "UP_UPDATE", OnConflict.doUpdate, pkColumns = Seq("ID"))
+
+      fetch("SELECT ID, NAME, V FROM UP_UPDATE ORDER BY ID") shouldBe
+        List((1, "old-one", 10), (2, "new-two", 99), (3, "new-three", 30))
+    }
+
+    it("DO UPDATE with an explicit update-column subset leaves other columns alone") {
+      import spark.implicits._
+      val setup = DriverManager.getConnection(url)
+      try {
+        val st = setup.createStatement()
+        st.executeUpdate("CREATE TABLE UP_SUBSET (ID INT PRIMARY KEY, NAME VARCHAR(50), V INT)")
+        st.executeUpdate("INSERT INTO UP_SUBSET VALUES (1, 'old-one', 10)")
+        st.close()
+      } finally setup.close()
+
+      val df = Seq((1, "new-one", 99)).toDF("ID", "NAME", "V")
+      graft.sinks.JdbcUpsertSink.upsertViaStagingMerge(
+        df, url, props, "APP", "UP_SUBSET", OnConflict.doUpdate(Seq("ID"), Set("V")))
+
+      fetch("SELECT ID, NAME, V FROM UP_SUBSET ORDER BY ID") shouldBe
+        List((1, "old-one", 99)) // V updated, NAME untouched
     }
   }
 

@@ -195,6 +195,45 @@ class OperatorsSpec extends SparkSpec {
       Profiler.profile(df, Seq("id"), approxDistinct = true)
         .head.getLong(3) shouldBe 3
     }
+    it("DistinctMode.Auto stays exact below the row threshold and switches to HLL above") {
+      import graft.operators.Profiler
+      import graft.operators.Profiler.DistinctMode
+      val small = Seq.tabulate(3)(i => (i.toLong, s"v$i")).toDF("id", "v")
+      Profiler.profile(small, Seq("id"), DistinctMode.Auto(maxExactRows = 10))
+        .head.getLong(3) shouldBe 3
+      // 5000 distinct values, threshold 100 → approx path: result must
+      // equal the Approx mode's estimate bit-for-bit (same HLL plan).
+      val big = Seq.tabulate(5000)(i => i.toLong).toDF("id")
+      val auto   = Profiler.profile(big, Seq("id"), DistinctMode.Auto(maxExactRows = 100)).head.getLong(3)
+      val approx = Profiler.profile(big, Seq("id"), DistinctMode.Approx).head.getLong(3)
+      auto shouldBe approx
+      auto.toDouble shouldBe 5000.0 +- 500.0 // HLL estimate band (observed ~6.6% off at this sketch size)
+    }
+  }
+
+  describe("exact-baseline capacity guards (ExactGuard)") {
+    import graft.operators.Similarity.ExactGuard
+    it("bruteForceTopK throws past the scored-pairs bound and names the LSH twin") {
+      val vecs = Seq.tabulate(10)(i => (i.toLong, Array.fill(4)(i.toFloat + 1))).toDF("id", "vec")
+      val e = intercept[IllegalStateException] {
+        Similarity.bruteForceTopK(vecs, vecs, "id", "vec", k = 2, guard = ExactGuard.MaxWork(50))
+      }
+      e.getMessage should include("lshTopK")
+      // Under the bound (or with the guard off) the exact path still runs.
+      Similarity.bruteForceTopK(vecs, vecs, "id", "vec", k = 2, guard = ExactGuard.MaxWork(100))
+        .count() shouldBe 20
+      Similarity.bruteForceTopK(vecs, vecs, "id", "vec", k = 2, guard = ExactGuard.Off)
+        .count() shouldBe 20
+    }
+    it("embeddingNearDuplicates throws past the corpus-rows bound and names the LSH twin") {
+      val vecs = Seq.tabulate(10)(i => (i.toLong, Array.fill(4)(1.0f))).toDF("id", "vec")
+      val e = intercept[IllegalStateException] {
+        Dedup.embeddingNearDuplicates(vecs, "id", "vec", 0.9, guard = ExactGuard.MaxWork(5))
+      }
+      e.getMessage should include("embeddingNearDuplicatesLsh")
+      Dedup.embeddingNearDuplicates(vecs, "id", "vec", 0.9, guard = ExactGuard.MaxWork(10))
+        .count() shouldBe 45 // identical vectors: all pairs
+    }
   }
 
   describe("Lineage checkpoint modes") {

@@ -62,6 +62,42 @@ class SinksSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("SinkSql.mergeFromStaging") {
+    val cols = Seq("id", "name", "email")
+
+    it("DO NOTHING renders with no WHEN MATCHED clause") {
+      SinkSql.mergeFromStaging("public", "users", "users_stage", cols, OnConflict.doNothing("id")) shouldBe
+        """MERGE INTO "public"."users" tgt USING "public"."users_stage" src ON tgt."id" = src."id"""" +
+        """ WHEN NOT MATCHED THEN INSERT ("id", "name", "email") VALUES (src."id", src."name", src."email")"""
+    }
+    it("DO UPDATE updates all non-target columns, sorted for determinism") {
+      SinkSql.mergeFromStaging("public", "users", "users_stage", cols, OnConflict.doUpdate("id")) shouldBe
+        """MERGE INTO "public"."users" tgt USING "public"."users_stage" src ON tgt."id" = src."id"""" +
+        """ WHEN MATCHED THEN UPDATE SET "email" = src."email", "name" = src."name"""" +
+        """ WHEN NOT MATCHED THEN INSERT ("id", "name", "email") VALUES (src."id", src."name", src."email")"""
+    }
+    it("PrimaryKey target resolves from pkColumns; composite targets AND together") {
+      val sql = SinkSql.mergeFromStaging("public", "m", "m_stage", Seq("a", "b", "v"),
+        OnConflict.doNothing, pkColumns = Seq("b", "a"))
+      sql should include("""ON tgt."a" = src."a" AND tgt."b" = src."b"""")
+    }
+    it("rejects a named-constraint target (MERGE needs columns)") {
+      val e = intercept[IllegalArgumentException] {
+        SinkSql.mergeFromStaging("public", "users", "s", cols,
+          OnConflict(OnConflict.ConflictTarget.Constraint("users_pkey"), OnConflict.Action.DoNothing))
+      }
+      e.getMessage should include("resolve it to its column list")
+    }
+    it("rejects an unresolvable empty target and an empty update set") {
+      intercept[IllegalArgumentException] {
+        SinkSql.mergeFromStaging("public", "users", "s", cols, OnConflict.doNothing)
+      }.getMessage should include("non-empty column target")
+      intercept[IllegalArgumentException] {
+        SinkSql.mergeFromStaging("public", "t", "s", Seq("id"), OnConflict.doUpdate("id"))
+      }.getMessage should include("no columns to update")
+    }
+  }
+
   describe("SinkSql auxiliary DDL/DML") {
     it("sequence reset matches the reference's setval shape") {
       SinkSql.sequenceReset("public", "users_id_seq", "users", "id") shouldBe

@@ -62,7 +62,16 @@ def main():
         except Exception as e:
             failures.append((name, f"error: {e}"))
             continue
-        if s_cols != o_cols:
+        # Gate-output lint: the driver's hasher diverges on wide DECIMALs and
+        # its pandas compare crashes on array/binary/struct columns. Fail any
+        # gate query emitting them, even if values happen to match locally.
+        bad = [f"{c}: {t}" for c, t in zip(s_cols, s_types)
+               if t.startswith(("DECIMAL", "STRUCT", "MAP", "LIST", "UNION"))
+               or t.endswith("[]") or t == "BLOB"]
+        if bad:
+            failures.append((name, "LINT: non-scalar/decimal output column(s) "
+                             "(driver cannot hash these): " + "; ".join(bad)))
+        elif s_cols != o_cols:
             failures.append((name, f"column mismatch: spark={s_cols} oracle={o_cols}"))
         elif s_types != o_types:
             diffs = [f"{c}: spark={a} oracle={b}" for c, a, b in zip(s_cols, s_types, o_types) if a != b]
