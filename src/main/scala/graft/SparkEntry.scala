@@ -572,6 +572,27 @@ object SparkEntry {
         .where(col("ngram_freq") >= 3)
         .orderBy("ngram")),
 
+    // Train/test decontamination: every 50th doc plays the benchmark set;
+    // the rest are the corpus checked for leaked trigram spans.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.decontaminationOverlap(
+        docs.where(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(50)) === 0),
+        "text", "doc_id", n = 3
+      ).orderBy("doc_id")
+    }),
+
+    // C4/Gopher-style repetition filters: duplicate-token fraction and
+    // top-bigram share per document.
+    "q_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // One-row corpus census (docs/tokens/chars/vocabulary).
+    "q_corpus_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(t(s, dir, "documents"), "text")),
+
     // Deterministic ±1 random projection (J-L dimensionality reduction);
     // exact doubles — the oracle folds components in the same order. The
     // gate output is exploded to scalar rows (vec_id, dim_idx, proj_value):
@@ -1006,6 +1027,37 @@ object SparkEntry {
            |      FROM toks WHERE len(tk) >= 2)
            |SELECT ngram, count(DISTINCT doc_id) AS doc_freq, count(*) AS ngram_freq
            |FROM g GROUP BY ngram HAVING count(*) >= 3 ORDER BY ngram""".stripMargin,
+
+      "q_decontaminate" ->
+        s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])) AS gram
+           |      FROM toks WHERE len(tk) >= 3),
+           |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+           |corpus AS (SELECT * FROM g WHERE doc_id % 50 <> 0),
+           |ov AS (SELECT c.doc_id, count(*) AS n_overlap FROM corpus c JOIN bench b USING (gram) GROUP BY c.doc_id),
+           |tot AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id)
+           |SELECT t.doc_id, t.n_grams, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+           |FROM tot t LEFT JOIN ov ON t.doc_id = ov.doc_id ORDER BY t.doc_id""".stripMargin,
+
+      "q_text_repetition" ->
+        s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+           |b AS (SELECT doc_id, tk, [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))] AS bg FROM toks)
+           |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+           |  CASE WHEN len(tk) = 0 THEN CAST(0.0 AS DOUBLE)
+           |       ELSE CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE) / len(tk) END AS dup_token_frac,
+           |  CASE WHEN len(tk) < 2 THEN CAST(0.0 AS DOUBLE)
+           |       ELSE CAST(list_max([len(list_filter(bg, x -> x = g)) for g in list_distinct(bg)]) AS DOUBLE) / len(bg) END AS top_bigram_frac
+           |FROM b ORDER BY doc_id""".stripMargin,
+
+      "q_corpus_stats" ->
+        s"""WITH toks AS (SELECT doc_id, text, ${tokensSql("text")} AS tk FROM documents),
+           |basic AS (SELECT count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS total_tokens,
+           |                 CAST(sum(length(text)) AS BIGINT) AS total_chars FROM toks),
+           |vocab AS (SELECT count(DISTINCT tok) AS distinct_tokens
+           |          FROM (SELECT unnest(tk) AS tok FROM toks))
+           |SELECT n_docs, total_tokens, total_chars, distinct_tokens,
+           |       round(CAST(total_tokens AS DOUBLE) / n_docs, 4) AS avg_doc_tokens
+           |FROM basic, vocab""".stripMargin,
 
       "q_embed_project" -> {
         // 16×64 deterministic sign matrix, hoisted into a one-row CTE (see

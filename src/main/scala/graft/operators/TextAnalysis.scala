@@ -106,19 +106,121 @@ object TextAnalysis {
     */
   def tokenNgramCounts(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val base = df
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .where(size(col("toks")) >= n)
-    val grams = base.select(
-      col("doc_id"),
-      explode(
-        transform(
-          sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(n)))
-        )
-      ).as("ngram")
+    df.select(col(idCol).as("doc_id"), explode(tokenNgrams(col(textCol), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(countDistinct("doc_id").as("doc_freq"), count(lit(1)).as("ngram_freq"))
+  }
+
+  /** Space-joined token n-grams of `text`, in order with repeats; empty
+    * array for documents shorter than n tokens (the `when` guard also
+    * keeps `sequence` ascending).
+    */
+  def tokenNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(
+      size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i => concat_ws(" ", slice(toks, i, lit(n))))
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** Train/test decontamination: for each corpus document, how many of its
+    * DISTINCT token n-grams appear anywhere in the benchmark set — the
+    * standard n-gram-overlap leak check run before training on scraped
+    * data (real deployments use n≈13; the default follows that).
+    *
+    * Scale shape: both sides explode to (doc, gram) rows; the benchmark
+    * side is distinct-ed and broadcast (benchmark suites are tiny next to
+    * a training corpus), so the corpus is ONE scan + two hash
+    * aggregations on doc_id — no corpus-side shuffle on the gram. Grams
+    * join as strings here; at 100 TB hash them to 8-byte longs first
+    * (same trick as [[Dedup.hashedShingles]]) to shrink the broadcast and
+    * the aggregate keys. Documents with fewer than n tokens produce no
+    * output row (they have no grams to leak).
+    */
+  def decontaminationOverlap(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 13
+  ): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), explode(array_distinct(tokenNgrams(col(textCol), n))).as("gram"))
+    val c     = graft.plans.Lineage.truncate(grams(corpus))
+    val bench = broadcast(grams(benchmark).select("gram").distinct())
+    val totals  = c.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val overlap = c.join(bench, "gram").groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    totals
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+  }
+
+  /** Per-document repetition metrics — the C4/Gopher-style repetitiveness
+    * filters: fraction of tokens that are repeats of an earlier token, and
+    * the share of bigrams taken by the single most frequent bigram.
+    * Boilerplate, keyword-stuffed, and template pages score high on both.
+    *
+    * Tight UDF kernel (one pass, one small hash map per document), NOT
+    * Catalyst higher-order functions — the per-token inner loop is the
+    * measured-hot path SCALE.md reserves for UDFs. Scan-local: no shuffle
+    * at any corpus size. Null/empty text → zeros. Both fractions are one
+    * IEEE division of exact integers, so the DuckDB oracle reproduces
+    * them bit-for-bit with no rounding.
+    */
+  def repetitionMetrics(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val u = udf { (t: String) =>
+      val toks = if (t == null) Array.empty[String] else t.split("\\s+").filter(_.nonEmpty)
+      val nTok = toks.length
+      val dupFrac =
+        if (nTok == 0) 0.0
+        else {
+          val seen = new java.util.HashSet[String]()
+          toks.foreach(seen.add)
+          (nTok - seen.size).toDouble / nTok
+        }
+      val topBigramFrac =
+        if (nTok < 2) 0.0
+        else {
+          val counts = new java.util.HashMap[String, Int]()
+          var maxC = 0
+          var i = 0
+          while (i < nTok - 1) {
+            val bg = toks(i) + " " + toks(i + 1)
+            val c  = counts.merge(bg, 1, Integer.sum)
+            if (c > maxC) maxC = c
+            i += 1
+          }
+          maxC.toDouble / (nTok - 1)
+        }
+      (nTok.toLong, dupFrac, topBigramFrac)
+    }
+    df.select(col(idCol).as("doc_id"), u(col(textCol)).as("m"))
+      .select(
+        col("doc_id"),
+        col("m._1").as("n_tokens"),
+        col("m._2").as("dup_token_frac"),
+        col("m._3").as("top_bigram_frac")
+      )
+  }
+
+  /** One-row corpus statistics: document/token/char totals, exact distinct
+    * vocabulary size, mean tokens per document — the "how big is this
+    * corpus really" numbers every training run starts from. One scan for
+    * the totals plus one explode + distinct-count for the vocabulary
+    * (swap in approx_count_distinct past ~10^9 tokens, like
+    * [[Profiler.DistinctMode]]).
+    */
+  def corpusStats(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val basic = df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(toks)).cast("long").as("total_tokens"),
+      sum(length(col(textCol))).cast("long").as("total_chars")
     )
-    grams.groupBy("ngram").agg(countDistinct("doc_id").as("doc_freq"), count(lit(1)).as("ngram_freq"))
+    val vocab = df.select(explode(toks).as("tok")).agg(countDistinct("tok").as("distinct_tokens"))
+    basic
+      .crossJoin(vocab)
+      .withColumn("avg_doc_tokens", round(col("total_tokens").cast("double") / col("n_docs"), 4))
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —

@@ -211,6 +211,43 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("TextAnalysis corpus-pipeline additions") {
+    it("decontaminationOverlap counts distinct leaked n-grams per corpus doc") {
+      val corpus = Seq(
+        (1L, "a b c d e"),       // shares "a b c" and "b c d" with bench
+        (2L, "x y z w v"),       // clean
+        (3L, "a b")              // too short for trigrams → no row
+      ).toDF("doc_id", "text")
+      val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+      val rows = TextAnalysis.decontaminationOverlap(corpus, bench, "text", "doc_id", n = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      rows shouldBe Set((1L, 3L, 2L), (2L, 3L, 0L)) // doc 3 absent
+    }
+    it("repetitionMetrics computes duplicate-token and top-bigram fractions") {
+      val df = Seq(
+        (1L, "a a a a"),      // 3/4 dup tokens; bigram "a a" ×3 of 3
+        (2L, "a b c d"),      // no repeats; each bigram once → 1/3
+        (3L, ""),             // empty → zeros
+        (4L, "solo")          // one token → no bigrams
+      ).toDF("doc_id", "text")
+      val m = TextAnalysis.repetitionMetrics(df, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      m(1L) shouldBe ((4L, 0.75, 1.0))
+      m(2L) shouldBe ((4L, 0.0, 1.0 / 3.0))
+      m(3L) shouldBe ((0L, 0.0, 0.0))
+      m(4L) shouldBe ((1L, 0.0, 0.0))
+    }
+    it("corpusStats produces the one-row census") {
+      val df = Seq((1L, "a b c"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
+      val r = TextAnalysis.corpusStats(df, "text").head
+      r.getLong(0) shouldBe 3            // n_docs
+      r.getLong(1) shouldBe 5            // total_tokens
+      r.getLong(2) shouldBe 8            // total_chars
+      r.getLong(3) shouldBe 3            // distinct tokens a,b,c
+      r.getDouble(4) shouldBe (5.0 / 3.0 +- 0.0001)
+    }
+  }
+
   describe("exact-baseline capacity guards (ExactGuard)") {
     import graft.operators.Similarity.ExactGuard
     it("bruteForceTopK throws past the scored-pairs bound and names the LSH twin") {
