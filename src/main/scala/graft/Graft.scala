@@ -125,6 +125,13 @@ class Graft(
     * @param onConflict  upsert strategy per the reference's CopyAction;
     *                    None = plain append (see JdbcUpsertSink's
     *                    at-least-once note)
+    * @param upsertVia   how `onConflict` executes: `InsertOnConflict`
+    *                    renders PostgreSQL `INSERT .. ON CONFLICT` per
+    *                    batch row; `StageAndMerge` appends into a staging
+    *                    table and applies ONE ANSI `MERGE` (any
+    *                    MERGE-capable database — Derby/H2/Oracle/SQL
+    *                    Server — and the bulk-friendly shape on all of
+    *                    them). Ignored when `onConflict` is None.
     * @param sequenceDiscovery dialect SQL for
     *                    [[graft.sources.JdbcCatalog.discoverSequences]]
     *                    (PG: `JdbcCatalog.PgSequenceDiscoverySql`); None
@@ -137,7 +144,8 @@ class Graft(
       connectionProperties: java.util.Properties,
       targetSchema: String,
       onConflict: Option[graft.sinks.OnConflict] = None,
-      sequenceDiscovery: Option[String] = None
+      sequenceDiscovery: Option[String] = None,
+      upsertVia: Graft.UpsertPath = Graft.UpsertPath.InsertOnConflict
   )(tableSpecs: (String, TableSpec)*): Map[String, Long] = {
     val plans  = plan(tableSpecs: _*)
     val levels = TableSorter(manifest.tables, manifest.fks)
@@ -153,9 +161,15 @@ class Graft(
               Future.successful(table -> 0L)
             case table if plans.contains(table) =>
               Future {
-                graft.sinks.JdbcUpsertSink.writeDeferringSelfRefs(
-                  plans(table), url, connectionProperties, targetSchema, table,
-                  onConflict, manifest.pks.getOrElse(table, Seq.empty))
+                val pks = manifest.pks.getOrElse(table, Seq.empty)
+                (onConflict, upsertVia) match {
+                  case (Some(oc), Graft.UpsertPath.StageAndMerge) =>
+                    graft.sinks.JdbcUpsertSink.upsertViaStagingMerge(
+                      plans(table), url, connectionProperties, targetSchema, table, oc, pks)
+                  case _ =>
+                    graft.sinks.JdbcUpsertSink.writeDeferringSelfRefs(
+                      plans(table), url, connectionProperties, targetSchema, table, onConflict, pks)
+                }
                 table -> plans(table).count()
               }
           }
@@ -176,6 +190,17 @@ class Graft(
 }
 
 object Graft {
+
+  /** How [[Graft.runJdbc]] executes an [[graft.sinks.OnConflict]] strategy. */
+  sealed trait UpsertPath
+  object UpsertPath {
+
+    /** Per-batch `INSERT .. ON CONFLICT` (PostgreSQL dialect). */
+    case object InsertOnConflict extends UpsertPath
+
+    /** Staging table + one ANSI `MERGE` ([[graft.sinks.JdbcUpsertSink.upsertViaStagingMerge]]). */
+    case object StageAndMerge extends UpsertPath
+  }
 
   /** Catalog loader for the driver-provided parquet fixture layout
     * (`<dir>/<table>.parquet`).

@@ -128,6 +128,26 @@ class JdbcEndToEndSpec extends SparkSpec {
         rows.map(_._1) shouldBe List(10, 11)
         rows.foreach(_._2 should not include "Real") // anonymized
       } finally verify.close()
+
+      // Re-run the SAME copy with every key now conflicting, through the
+      // stage-and-merge upsert path: DO NOTHING must leave the target
+      // unchanged instead of failing on duplicate PKs — the full
+      // orchestrated upsert workflow live on a real database.
+      val counts2 = graft.runJdbc(url, props, "TGT",
+        onConflict = Some(OnConflict.doNothing),
+        upsertVia = Graft.UpsertPath.StageAndMerge)(
+        "USERS" -> TableSpec.select { row =>
+          Seq(row.NAME.mapString(Anonymizer.FullName), row.EMAIL.mapString(Anonymizer.Email), row.ACTIVE)
+        }.where("ACTIVE = 1"),
+        "ORDERS" -> TableSpec.select(row => Seq(row.NOTE))
+      )
+      counts2 shouldBe Map("USERS" -> 2L, "ORDERS" -> 2L)
+      val verify2 = DriverManager.getConnection(url)
+      try {
+        val rs = verify2.createStatement().executeQuery("SELECT count(*) FROM TGT.USERS")
+        rs.next() shouldBe true
+        rs.getInt(1) shouldBe 2 // unchanged — conflicts skipped, not duplicated
+      } finally verify2.close()
     }
   }
 
