@@ -550,6 +550,27 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // Per-stratum deterministic sampling (corpus mixing): each event type
+    // keeps its own fraction, unlisted types drop.
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+        Tpch.events(s, dir).select("event_id", "event_type"),
+        "event_id", "event_type",
+        Map("purchase" -> 0.5, "click" -> 0.2, "view" -> 0.1)
+      ).orderBy("event_id")),
+
+    // Backward as-of join: each purchase matched to the user's most recent
+    // click at-or-before it (one shuffle, no range theta-join).
+    "q_asof_join" -> ((s, dir) => {
+      import graft.operators.AsofJoin
+      val ev = Tpch.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.where(col("event_type") === "purchase").select("event_id", "user_id", "ts_us")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+      AsofJoin.backward(purchases, clicks, Seq("user_id"), "ts_us", tieCols = Seq("click_id"))
+        .orderBy("event_id")
+    }),
+
     // Free-text PII scrubbing (emails/phones → typed placeholders) over a
     // derived text with known PII embedded.
     "q_text_pii_scrub" -> ((s, dir) =>
@@ -980,6 +1001,24 @@ object SparkEntry {
            |  WHEN ${hashSql("CAST(doc_id AS VARCHAR)")} % 1000000 < 900000 THEN 'val'
            |  ELSE 'test' END AS split
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_sample_stratified" ->
+        s"""SELECT event_id, event_type FROM events
+           |WHERE ${hashSql("CAST(event_id AS VARCHAR)")} % 1000000 <
+           |  CASE event_type WHEN 'purchase' THEN 500000 WHEN 'click' THEN 200000
+           |                  WHEN 'view' THEN 100000 ELSE 0 END
+           |ORDER BY event_id""".stripMargin,
+
+      // DuckDB's native ASOF JOIN is the oracle for the union+window
+      // formulation; ties are impossible in the fixture (no duplicate
+      // (user_id, ts_us) pairs at any SF — verified).
+      "q_asof_join" ->
+        """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+          |p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+          |c AS (SELECT event_id AS click_id, user_id, ts_us FROM ev WHERE event_type = 'click')
+          |SELECT p.user_id, p.event_id, p.ts_us, c.click_id AS asof_click_id, c.ts_us AS asof_ts_us
+          |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+          |ORDER BY p.event_id""".stripMargin,
 
       "q_text_pii_scrub" -> {
         val email = graft.operators.TextAnalysis.EmailPattern.replace("'", "''")

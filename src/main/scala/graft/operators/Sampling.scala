@@ -30,6 +30,29 @@ object Sampling {
     df.where(hashBucket(col(idCol)) < (fraction * Buckets).toLong)
   }
 
+  /** Per-stratum deterministic sampling: each value of `strataCol` keeps
+    * its own fraction of rows (strata without an entry keep
+    * `defaultFraction`). The workhorse of corpus mixing — downsample
+    * boilerplate-heavy sources, upweight rare high-quality ones — with the
+    * same retry-stable pure-column shape as [[hashSample]]: no shuffle,
+    * no RNG state, no per-stratum pass.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0
+  ): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1), "fractions must be in [0, 1]")
+    // math.round, not toLong: 0.2 * 1e6 is 199999.99999999997 in binary —
+    // truncation would disagree with the oracle's literal threshold.
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(lit(math.round(defaultFraction * Buckets))) {
+      case (acc, (stratum, f)) => when(col(strataCol) === stratum, lit(math.round(f * Buckets))).otherwise(acc)
+    }
+    df.where(hashBucket(col(idCol)) < threshold)
+  }
+
   /** Assign each row a split label ("train"/"val"/"test"/...) by contiguous
     * hash-bucket ranges. Weights are normalized; the last split absorbs
     * rounding remainder so every row gets exactly one label.

@@ -248,6 +248,48 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("AsofJoin.backward") {
+    import graft.operators.AsofJoin
+    it("matches each left row to the latest right row at-or-before it, per key") {
+      val trades = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 15L), (4L, "C", 5L))
+        .toDF("trade_id", "sym", "t")
+      val quotes = Seq((101L, "A", 9L), (102L, "A", 10L), (103L, "A", 19L), (104L, "B", 16L))
+        .toDF("quote_id", "sym", "t")
+      val r = AsofJoin.backward(trades, quotes, Seq("sym"), "t", tieCols = Seq("quote_id"))
+        .select("trade_id", "asof_quote_id", "asof_t")
+        .collect().map(x => x.getLong(0) -> ((Option(x.get(1)), Option(x.get(2))))).toMap
+      r(1L) shouldBe ((Some(102L), Some(10L))) // equal timestamp IS matched
+      r(2L) shouldBe ((Some(103L), Some(19L))) // latest preceding, not first
+      r(3L) shouldBe ((None, None))            // only a LATER quote exists
+      r(4L) shouldBe ((None, None))            // key with no right rows at all
+    }
+    it("breaks equal-timestamp ties by tieCols order") {
+      val l = Seq((1L, "A", 10L)).toDF("lid", "k", "t")
+      val r = Seq((7L, "A", 10L), (9L, "A", 10L)).toDF("rid", "k", "t")
+      AsofJoin.backward(l, r, Seq("k"), "t", tieCols = Seq("rid"))
+        .head.getAs[Long]("asof_rid") shouldBe 9L // last in rid order
+    }
+  }
+
+  describe("Sampling.stratifiedSample") {
+    import graft.operators.Sampling
+    it("applies per-stratum fractions with the defaultFraction fallback") {
+      val df = Seq.tabulate(2000)(i => (i.toLong, if (i % 2 == 0) "keep_all" else "drop_all"))
+        .toDF("id", "src")
+      val kept = Sampling.stratifiedSample(df, "id", "src", Map("keep_all" -> 1.0))
+        .groupBy("src").count().as[(String, Long)].collect().toMap
+      kept.get("keep_all") shouldBe Some(1000L)
+      kept.get("drop_all") shouldBe None
+      // A mid fraction keeps roughly that share, deterministically.
+      val half = Sampling.stratifiedSample(df, "id", "src", Map("keep_all" -> 0.5), defaultFraction = 0.2)
+      val c1   = half.groupBy("src").count().as[(String, Long)].collect().toMap
+      c1("keep_all").toDouble shouldBe 500.0 +- 100.0
+      c1("drop_all").toDouble shouldBe 200.0 +- 80.0
+      half.collect().toSet shouldBe Sampling.stratifiedSample(
+        df.repartition(13), "id", "src", Map("keep_all" -> 0.5), defaultFraction = 0.2).collect().toSet
+    }
+  }
+
   describe("exact-baseline capacity guards (ExactGuard)") {
     import graft.operators.Similarity.ExactGuard
     it("bruteForceTopK throws past the scored-pairs bound and names the LSH twin") {
