@@ -38,24 +38,20 @@ object Similarity {
     }
 
   /** Cosine similarity of two float vectors, computed in double in index
-    * order. A compact Scala UDF, deliberately NOT Catalyst higher-order
-    * functions: HOFs are interpreted per element (no codegen) and measured
-    * ~50× slower on pairwise scans; the UDF's sequential fold matches the
-    * DuckDB oracle's `list_reduce` exactly (0.0 + x == x in IEEE).
+    * order — a NATIVE Catalyst expression with codegen
+    * ([[graft.functions.CosineSimilarity]]), one tier above the Scala UDF
+    * it replaced: stays inside whole-stage codegen with no closure
+    * serialization or encoder round-trip. (Catalyst higher-order functions
+    * remain off the table — interpreted per element, measured ~50× slower
+    * on pairwise scans.) The fold order matches the DuckDB oracle's
+    * `list_reduce` exactly (0.0 + x == x in IEEE).
     */
-  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    dot / math.sqrt(na * nb)
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b))
+    )
   }
-
-  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
 
   /** Exact top-k neighbors for each query vector (brute force).
     *

@@ -248,6 +248,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("CosineSimilarity native expression") {
+    it("matches the scalar kernel through the codegen path") {
+      val vecs = Seq(
+        (1L, Array(1.0f, 0.0f, 2.0f), Array(1.0f, 0.0f, 2.0f)),
+        (2L, Array(1.0f, 2.0f, 3.0f), Array(-3.0f, 2.0f, 0.5f)),
+        (3L, Array(0.5f, -1.5f), Array(2.5f, 0.25f))
+      ).toDF("id", "a", "b")
+      val got = vecs.select(col("id"), Similarity.cosine(col("a"), col("b")).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      got(1L) shouldBe 1.0 +- 1e-12
+      got(2L) shouldBe graft.functions.CosineKernel.compute(
+        Array(1.0f, 2.0f, 3.0f), Array(-3.0f, 2.0f, 0.5f)) // exact: same kernel
+      got(3L) shouldBe graft.functions.CosineKernel.compute(
+        Array(0.5f, -1.5f), Array(2.5f, 0.25f))
+    }
+    it("null inputs yield null (framework null handling), wrong types fail analysis") {
+      val df = Seq((1L, Array(1.0f), Option.empty[Array[Float]])).toDF("id", "a", "b")
+      df.select(Similarity.cosine(col("a"), col("b"))).head.isNullAt(0) shouldBe true
+      val bad = Seq((1L, "nope", Array(1.0f))).toDF("id", "a", "b")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        bad.select(Similarity.cosine(col("a"), col("b"))).collect()
+      }
+    }
+  }
+
   describe("AsofJoin.backward") {
     import graft.operators.AsofJoin
     it("matches each left row to the latest right row at-or-before it, per key") {
