@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.{AsofJoin, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the scale claims in the scaladocs, asserted on the
+  * EXECUTED plan — a shuffle count is a contract, not a hope. AQE is
+  * disabled inside this suite so the plan tree is direct (the claims are
+  * about plan shape, which AQE only re-partitions, never worsens).
+  */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def withoutAqe[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan
+  }
+
+  private def shuffles(p: SparkPlan): Int = p.collect { case e: ShuffleExchangeExec => e }.size
+
+  describe("plan shapes") {
+    it("AsofJoin.backward is ONE shuffle — no range theta-join, no nested loop") {
+      withoutAqe {
+        val trades = Seq((1L, "A", 10L), (2L, "B", 20L)).toDF("tid", "sym", "t")
+        val quotes = Seq((9L, "A", 9L)).toDF("qid", "sym", "t")
+        val plan   = executed(AsofJoin.backward(trades, quotes, Seq("sym"), "t"))
+        shuffles(plan) shouldBe 1
+        plan.toString should not include "BroadcastNestedLoopJoin"
+        plan.toString should not include "CartesianProduct"
+      }
+    }
+
+    it("decontaminationOverlap broadcasts the benchmark side, never the corpus") {
+      assume(new java.io.File(sfDir).isDirectory)
+      withoutAqe {
+        val docs  = Tpch.table(spark, sfDir, "documents")
+        val plan = executed(
+          TextAnalysis.decontaminationOverlap(
+            docs.where(pmod(col("doc_id"), lit(50)) =!= 0),
+            docs.where(pmod(col("doc_id"), lit(50)) === 0),
+            "text", "doc_id", n = 3
+          )
+        )
+        plan.collect { case b: BroadcastHashJoinExec => b } should not be empty
+        plan.toString should not include "BroadcastNestedLoopJoin"
+      }
+    }
+
+    it("filter and projection reach the parquet scan (pushdown + pruning)") {
+      assume(new java.io.File(sfDir).isDirectory)
+      withoutAqe {
+        val df = Tpch.table(spark, sfDir, "customer")
+          .where("c_acctbal > 5000 AND c_mktsegment = 'BUILDING'")
+          .select("c_custkey", "c_name", "c_acctbal")
+        val s = executed(df).toString
+        s should include("PushedFilters")
+        s should include("GreaterThan(c_acctbal")
+        s should include("EqualTo(c_mktsegme") // toString truncates the filter list
+        // Column pruning: the scan schema carries only what the query needs.
+        s should include("c_custkey")
+        s should not include "c_phone" // untouched columns never leave the scan
+      }
+    }
+
+    it("top-N compiles to TakeOrderedAndProject, not a global sort") {
+      assume(new java.io.File(sfDir).isDirectory)
+      withoutAqe {
+        val df = Tpch.table(spark, sfDir, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_orderkey").desc)
+          .limit(10)
+        executed(df).toString should include("TakeOrderedAndProject")
+      }
+    }
+
+    it("the native cosine expression stays inside whole-stage codegen") {
+      assume(new java.io.File(sfDir).isDirectory)
+      withoutAqe {
+        // Over a REAL scan — a local Seq collapses to LocalTableScan via
+        // ConvertToLocalRelation and shows no codegen span at all.
+        val emb = Tpch.table(spark, sfDir, "embeddings")
+        val df  = emb.select(graft.operators.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+        df.collect().foreach(_.getDouble(0) shouldBe 1.0 +- 1e-9)
+        // The `*(1)` star prefix is toString's WholeStageCodegen marker: a
+        // codegen'd expression renders inside the starred span; a UDF would
+        // appear as a ScalaUDF node breaking it.
+        val s = executed(df).toString
+        s should include("*(1) Project [graft_cosine")
+        s should not include "ScalaUDF"
+      }
+    }
+  }
+}
