@@ -614,6 +614,16 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(t(s, dir, "documents"), "text")),
 
+    // One-call quality filtering: the kept subset with its metrics.
+    "q_quality_filter" -> ((s, dir) =>
+      TextAnalysis.filterByQuality(
+        t(s, dir, "documents"), "text", "doc_id",
+        TextAnalysis.QualityThresholds(
+          minTokens = 20, maxTokens = 1000,
+          maxDupTokenFrac = 0.6, maxTopBigramFrac = 0.5, minAlphaRatio = 0.5)
+      ).select("doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac", "alpha_ratio")
+        .orderBy("doc_id")),
+
     // Deterministic ±1 random projection (J-L dimensionality reduction);
     // exact doubles — the oracle folds components in the same order. The
     // gate output is exploded to scalar rows (vec_id, dim_idx, proj_value):
@@ -1087,6 +1097,23 @@ object SparkEntry {
            |  CASE WHEN len(tk) < 2 THEN CAST(0.0 AS DOUBLE)
            |       ELSE CAST(list_max([len(list_filter(bg, x -> x = g)) for g in list_distinct(bg)]) AS DOUBLE) / len(bg) END AS top_bigram_frac
            |FROM b ORDER BY doc_id""".stripMargin,
+
+      "q_quality_filter" ->
+        s"""WITH toks AS (SELECT doc_id, text, ${tokensSql("text")} AS tk FROM documents),
+           |b AS (SELECT doc_id, text, tk, [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))] AS bg FROM toks),
+           |m AS (SELECT doc_id,
+           |  CAST(len(tk) AS BIGINT) AS n_tokens,
+           |  CASE WHEN len(tk) = 0 THEN CAST(0.0 AS DOUBLE)
+           |       ELSE CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE) / len(tk) END AS dup_token_frac,
+           |  CASE WHEN len(tk) < 2 THEN CAST(0.0 AS DOUBLE)
+           |       ELSE CAST(list_max([len(list_filter(bg, x -> x = g)) for g in list_distinct(bg)]) AS DOUBLE) / len(bg) END AS top_bigram_frac,
+           |  CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+           |       ELSE CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio
+           |FROM b)
+           |SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac, alpha_ratio FROM m
+           |WHERE n_tokens BETWEEN 20 AND 1000 AND dup_token_frac <= 0.6
+           |  AND top_bigram_frac <= 0.5 AND alpha_ratio >= 0.5
+           |ORDER BY doc_id""".stripMargin,
 
       "q_corpus_stats" ->
         s"""WITH toks AS (SELECT doc_id, text, ${tokensSql("text")} AS tk FROM documents),

@@ -176,39 +176,87 @@ object TextAnalysis {
     * IEEE division of exact integers, so the DuckDB oracle reproduces
     * them bit-for-bit with no rounding.
     */
-  def repetitionMetrics(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val u = udf { (t: String) =>
-      val toks = if (t == null) Array.empty[String] else t.split("\\s+").filter(_.nonEmpty)
-      val nTok = toks.length
-      val dupFrac =
-        if (nTok == 0) 0.0
-        else {
-          val seen = new java.util.HashSet[String]()
-          toks.foreach(seen.add)
-          (nTok - seen.size).toDouble / nTok
+  private val repetitionUdf = udf { (t: String) =>
+    val toks = if (t == null) Array.empty[String] else t.split("\\s+").filter(_.nonEmpty)
+    val nTok = toks.length
+    val dupFrac =
+      if (nTok == 0) 0.0
+      else {
+        val seen = new java.util.HashSet[String]()
+        toks.foreach(seen.add)
+        (nTok - seen.size).toDouble / nTok
+      }
+    val topBigramFrac =
+      if (nTok < 2) 0.0
+      else {
+        val counts = new java.util.HashMap[String, Int]()
+        var maxC = 0
+        var i = 0
+        while (i < nTok - 1) {
+          val bg = toks(i) + " " + toks(i + 1)
+          val c  = counts.merge(bg, 1, Integer.sum)
+          if (c > maxC) maxC = c
+          i += 1
         }
-      val topBigramFrac =
-        if (nTok < 2) 0.0
-        else {
-          val counts = new java.util.HashMap[String, Int]()
-          var maxC = 0
-          var i = 0
-          while (i < nTok - 1) {
-            val bg = toks(i) + " " + toks(i + 1)
-            val c  = counts.merge(bg, 1, Integer.sum)
-            if (c > maxC) maxC = c
-            i += 1
-          }
-          maxC.toDouble / (nTok - 1)
-        }
-      (nTok.toLong, dupFrac, topBigramFrac)
-    }
-    df.select(col(idCol).as("doc_id"), u(col(textCol)).as("m"))
+        maxC.toDouble / (nTok - 1)
+      }
+    (nTok.toLong, dupFrac, topBigramFrac)
+  }
+
+  def repetitionMetrics(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), repetitionUdf(col(textCol)).as("m"))
       .select(
         col("doc_id"),
         col("m._1").as("n_tokens"),
         col("m._2").as("dup_token_frac"),
         col("m._3").as("top_bigram_frac")
+      )
+
+  /** Thresholds for [[filterByQuality]] — the C4/Gopher-style rule set.
+    * Defaults are permissive; tune per corpus.
+    */
+  case class QualityThresholds(
+      minTokens: Long = 5,
+      maxTokens: Long = 1000000,
+      maxDupTokenFrac: Double = 0.9,
+      maxTopBigramFrac: Double = 0.5,
+      minAlphaRatio: Double = 0.0
+  )
+
+  /** One-call corpus quality filtering: keep documents passing EVERY
+    * threshold, with the computed metrics appended (`n_tokens`,
+    * `dup_token_frac`, `top_bigram_frac`, `alpha_ratio`) so downstream
+    * stages can re-cut without recomputing. Scan-local — one UDF kernel
+    * pass plus codegen'd column expressions; no shuffle at any corpus
+    * size. All metrics are exact integer ratios, so the DuckDB oracle
+    * reproduces the keep set bit-for-bit.
+    */
+  def filterByQuality(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      t: QualityThresholds = QualityThresholds()
+  ): DataFrame = {
+    val withM = df
+      .withColumn("__rep", repetitionUdf(col(textCol)))
+      .withColumn(
+        "alpha_ratio",
+        length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double") / greatest(length(col(textCol)), lit(1))
+      )
+    withM
+      .where(
+        col("__rep._1").between(t.minTokens, t.maxTokens) &&
+          col("__rep._2") <= t.maxDupTokenFrac &&
+          col("__rep._3") <= t.maxTopBigramFrac &&
+          col("alpha_ratio") >= t.minAlphaRatio
+      )
+      .select(
+        df.columns.map(col) ++ Seq(
+          col("__rep._1").as("n_tokens"),
+          col("__rep._2").as("dup_token_frac"),
+          col("__rep._3").as("top_bigram_frac"),
+          col("alpha_ratio")
+        ): _*
       )
   }
 

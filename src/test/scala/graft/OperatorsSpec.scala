@@ -237,6 +237,20 @@ class OperatorsSpec extends SparkSpec {
       m(3L) shouldBe ((0L, 0.0, 0.0))
       m(4L) shouldBe ((1L, 0.0, 0.0))
     }
+    it("filterByQuality keeps rows passing every threshold, with metrics appended") {
+      import graft.operators.TextAnalysis.QualityThresholds
+      val df = Seq(
+        (1L, "alpha beta gamma delta"),   // clean → kept
+        (2L, "x y"),                      // too few tokens
+        (3L, "spam spam spam spam spam"), // dup_token_frac 0.8
+        (4L, "A B C D E")                 // alpha_ratio 0 (uppercase only)
+      ).toDF("doc_id", "text")
+      val kept = TextAnalysis.filterByQuality(df, "text", "doc_id",
+        QualityThresholds(minTokens = 3, maxDupTokenFrac = 0.5, minAlphaRatio = 0.5))
+      kept.columns should contain allOf ("doc_id", "text", "n_tokens", "dup_token_frac", "top_bigram_frac", "alpha_ratio")
+      kept.select("doc_id").as[Long].collect().toSeq shouldBe Seq(1L)
+    }
+
     it("corpusStats produces the one-row census") {
       val df = Seq((1L, "a b c"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
       val r = TextAnalysis.corpusStats(df, "text").head
