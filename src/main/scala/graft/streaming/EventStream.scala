@@ -94,6 +94,23 @@ object EventStream {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment: join each streaming event to a STATIC
+    * dimension frame (user profile, document metadata, model registry).
+    * Stream-static joins are stateless on the stream side — Spark
+    * broadcasts or re-scans the static side per micro-batch, no streaming
+    * state, no watermark needed — which makes this the cheapest join shape
+    * a pipeline can use and the right first choice before reaching for
+    * stream-stream joins. Left join keeps unmatched events (dimension
+    * misses become nulls to handle downstream, not dropped data).
+    */
+  def enrichWithStatic(
+      stream: DataFrame,
+      dim: DataFrame,
+      on: Seq[String],
+      joinType: String = "left"
+  ): DataFrame =
+    stream.join(dim, on, joinType)
+
   /** Convenience: run a streaming frame into an in-memory sink and return
     * the query (tests and demos; production sinks are the caller's choice).
     */

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, TextAnalysis}
 import graft.streaming.EventStream
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -77,6 +77,40 @@ class MultimodalStreamingSpec extends SparkSpec {
       query.processAllAvailable()
       val vals = spark.sql("SELECT value FROM dedup_test").collect().map(_.getDouble(0)).toSet
       vals shouldBe Set(1.0, 2.0)
+      query.stop()
+    }
+    it("enrichWithStatic joins a stream to a static dimension per micro-batch") {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Double)]
+      val users = Seq((1L, "gold"), (2L, "free")).toDF("user_id", "tier")
+      val query = EventStream.toMemorySink(
+        EventStream.enrichWithStatic(input.toDF().toDF("user_id", "value"), users, Seq("user_id")),
+        "enrich_test",
+        org.apache.spark.sql.streaming.OutputMode.Append()
+      )
+      input.addData((1L, 5.0), (3L, 7.0)) // user 3 has no dimension row
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, value, tier FROM enrich_test").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+      rows shouldBe Set((1L, 5.0, Some("gold")), (3L, 7.0, None)) // left join keeps the miss
+      query.stop()
+    }
+    it("the scan-local pipeline operators run UNCHANGED on a stream") {
+      // Quality filtering and deterministic sampling are pure column
+      // transforms — the same code that batch gates verify drives a
+      // readStream frame with no modification (the Spark-first payoff).
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val filtered = TextAnalysis.filterByQuality(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        TextAnalysis.QualityThresholds(minTokens = 3, maxDupTokenFrac = 0.5))
+      val sampled = graft.operators.Sampling.hashSample(filtered, "doc_id", 1.0)
+      val query = EventStream.toMemorySink(
+        sampled.select("doc_id"), "qf_stream_test",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      input.addData((1L, "alpha beta gamma delta"), (2L, "x x x x"))
+      query.processAllAvailable()
+      spark.sql("SELECT doc_id FROM qf_stream_test").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
       query.stop()
     }
     it("sessionize merges events within the gap (batch semantics)") {
