@@ -466,6 +466,15 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // IVF ANN with every cell probed: candidate set == whole corpus, so
+    // the result must EQUAL the exact brute-force oracle — pins the
+    // quantizer training + assignment + probe plumbing to exactness.
+    "q_knn_ivf_full" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where("vec_id < 5"), "vec_id", "embedding", k = 10, nlist = 8, nprobe = 8)
+        .orderBy("query_id", "rnk")
+    }),
+
     // LSH-bucketed ANN (scale path) — deterministic hyperplanes; rows-only
     // check (bucketing is approximate by design, not SQL-expressible
     // succinctly).
@@ -782,6 +791,21 @@ object SparkEntry {
     ) ++ relationalOracles ++ pipelineOracles
   }
 
+  /** Exact-kNN oracle over the `vec_id < 5` query set — shared by the
+    * brute-force gate and the full-probe IVF gate (which must equal it).
+    */
+  private def exactKnnOracle(k: Int): String = {
+    import OracleGen.cosineSql
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |sc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos
+       |       FROM q, c WHERE query_id <> neighbor_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
+       |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   private def minHashOracleSql(hsh3: String, hashI: String, bandKey: String): String =
     s"""WITH docs AS (SELECT doc_id, $hsh3 AS shs FROM documents),
        |sig AS (SELECT doc_id, [list_min([$hashI for h in shs]) for i in range(0, 32)] AS sg FROM docs),
@@ -935,15 +959,13 @@ object SparkEntry {
            |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
            |ORDER BY query_id, rnk""".stripMargin,
 
-      "q_knn_bruteforce" ->
-        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
-           |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
-           |sc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos
-           |       FROM q, c WHERE query_id <> neighbor_id),
-           |r AS (SELECT query_id, neighbor_id,
-           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
-           |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 10
-           |ORDER BY query_id, rnk""".stripMargin,
+      "q_knn_bruteforce" -> exactKnnOracle(k = 10),
+
+      // IVF with nprobe = nlist probes every cell → candidate set is the
+      // whole corpus → must EQUAL the exact top-k oracle. This pins the
+      // quantizer/assignment/probe plumbing to exactness; partial-probe
+      // recall is spec-asserted (OperatorsSpec).
+      "q_knn_ivf_full" -> exactKnnOracle(k = 10),
 
       "q_dedup_clusters" ->
         s"""WITH RECURSIVE ${clustersCte(hsh3)}

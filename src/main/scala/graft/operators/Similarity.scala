@@ -170,6 +170,132 @@ object Similarity {
     math.max(4, math.min(24, math.ceil(math.log(buckets) / math.log(2)).toInt))
   }
 
+  /** IVF coarse-quantizer training — deterministic, no RNG: centroids
+    * initialize from the `nlist` sample vectors with the smallest id-hash
+    * (retry-stable, like everything in [[Sampling]]) and refine with
+    * driver-side spherical-k-means Lloyd iterations over a hash-sampled
+    * training set (capped at `trainCap` rows — the standard IVF recipe:
+    * train the tiny quantizer on a sample, assign the full corpus
+    * distributed). Empty cells keep their previous centroid.
+    */
+  def ivfCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      lloydIters: Int = 5,
+      trainCap: Long = 100000
+  ): Array[Array[Double]] = {
+    require(nlist >= 1, "nlist must be >= 1")
+    import org.apache.spark.sql.Row
+    val n        = corpus.count()
+    val fraction = math.min(1.0, trainCap.toDouble / math.max(1, n))
+    val sample = corpus
+      .select(Sampling.hashBucket(col(idCol)).as("__hb"), col(vecCol).as("__v"))
+      .where(col("__hb") < math.round(fraction * Sampling.Buckets).max(1L))
+      .orderBy("__hb")
+      .collect()
+      .map { case Row(_, v: scala.collection.Seq[_]) => v.map(_.asInstanceOf[Float].toDouble).toArray }
+    require(sample.length >= nlist, s"training sample (${sample.length}) smaller than nlist ($nlist)")
+
+    var cents = sample.take(nlist).map(_.clone())
+    var iter  = 0
+    while (iter < lloydIters) {
+      val sums   = Array.fill(nlist)(new Array[Double](cents(0).length))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        val cell = nearestCell(v, cents)
+        var d = 0
+        while (d < v.length) { sums(cell)(d) += v(d); d += 1 }
+        counts(cell) += 1
+      }
+      cents = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val m = sums(c)
+          var d = 0
+          while (d < m.length) { m(d) /= counts(c); d += 1 }
+          m
+        }
+      }
+      iter += 1
+    }
+    cents
+  }
+
+  /** Nearest centroid by cosine, lowest index on ties — deterministic. */
+  private def nearestCell(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val score = cosineDD(v, cents(c))
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def cosineDD(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / math.sqrt(na * nb)
+  }
+
+  /** IVF (inverted-file) approximate top-k — the data-ADAPTIVE scale path
+    * next to the data-independent hyperplane LSH: the trained quantizer
+    * partitions the corpus into `nlist` cells (one narrow shuffle on the
+    * cell id), and each query scores only its `nprobe` closest cells.
+    * Clustered corpora get balanced cells where fixed hyperplanes would
+    * pile everything into few buckets.
+    *
+    * Scale shape: centroids are tiny and broadcast; the corpus is
+    * assigned in one scan; only the small query side fans out ×nprobe.
+    * With `nprobe = nlist` the candidate set is the whole corpus and the
+    * result EQUALS [[bruteForceTopK]] — gate-checked against the same
+    * exact-SQL oracle.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      lloydIters: Int = 5
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, lloydIters)
+    val bc    = corpus.sparkSession.sparkContext.broadcast(cents)
+    val assignU = udf { (v: Array[Float]) =>
+      nearestCell(v.map(_.toDouble), bc.value)
+    }
+    val probeU = udf { (v: Array[Float]) =>
+      val vd = v.map(_.toDouble)
+      bc.value.indices
+        .map(c => (cosineDD(vd, bc.value(c)), c))
+        .sortBy { case (s, c) => (-s, c) }
+        .take(nprobe)
+        .map(_._2)
+        .toArray
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell", assignU(col("c_vec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell", explode(probeU(col("q_vec"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(c, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
   /** Approximate top-k: exact scoring restricted to same-bucket candidates.
     *
     * `probeHamming1 = true` turns on multi-probe: each query additionally

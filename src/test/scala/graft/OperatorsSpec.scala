@@ -287,6 +287,42 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Similarity.ivfTopK") {
+    // Deterministic synthetic corpus: two well-separated direction
+    // clusters plus noise dims, so the quantizer has real structure.
+    def corpus(n: Int) = Seq.tabulate(n) { i =>
+      val base = if (i % 2 == 0) Array(10.0f, 0.0f, 0.0f, 0.0f) else Array(0.0f, 10.0f, 0.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + ((i * 7 + d * 3) % 5) * 0.1f })
+    }.toDF("vec_id", "embedding")
+
+    it("probing every cell equals brute force exactly") {
+      val df = corpus(60)
+      val ivf = Similarity.ivfTopK(df, df.where("vec_id < 4"), "vec_id", "embedding", k = 5, nlist = 4, nprobe = 4)
+        .as[(Long, Long, Long)].collect().toSet
+      val brute = Similarity.bruteForceTopK(df, df.where("vec_id < 4"), "vec_id", "embedding", k = 5)
+        .as[(Long, Long, Long)].collect().toSet
+      ivf shouldBe brute
+    }
+    it("partial probe keeps high recall on clustered data and is deterministic") {
+      val df = corpus(60)
+      def run() = Similarity.ivfTopK(df, df.where("vec_id < 4"), "vec_id", "embedding", k = 5, nlist = 4, nprobe = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      val ivf   = run()
+      val brute = Similarity.bruteForceTopK(df, df.where("vec_id < 4"), "vec_id", "embedding", k = 5)
+        .as[(Long, Long, Long)].collect().map { case (q, nb, _) => (q, nb) }.toSet
+      val hits = ivf.count { case (q, nb, _) => brute((q, nb)) }
+      hits.toDouble / brute.size should be >= 0.8 // same-cluster neighbors live in the probed cells
+      run() shouldBe ivf // no RNG anywhere
+    }
+    it("ivfCentroids is deterministic and respects nlist") {
+      val df = corpus(40)
+      val a  = Similarity.ivfCentroids(df, "vec_id", "embedding", nlist = 4)
+      val b  = Similarity.ivfCentroids(df, "vec_id", "embedding", nlist = 4)
+      a.length shouldBe 4
+      a.map(_.toSeq) shouldBe b.map(_.toSeq)
+    }
+  }
+
   describe("AsofJoin.backward") {
     import graft.operators.AsofJoin
     it("matches each left row to the latest right row at-or-before it, per key") {
