@@ -580,6 +580,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: each purchase matched to the user's NEXT click
+    // at-or-after it (same one-shuffle shape, descending time order).
+    "q_asof_forward" -> ((s, dir) => {
+      import graft.operators.AsofJoin
+      val ev = Tpch.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = ev.where(col("event_type") === "purchase").select("event_id", "user_id", "ts_us")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+      AsofJoin.forward(purchases, clicks, Seq("user_id"), "ts_us", tieCols = Seq("click_id"))
+        .orderBy("event_id")
+    }),
+
     // Free-text PII scrubbing (emails/phones → typed placeholders) over a
     // derived text with known PII embedded.
     "q_text_pii_scrub" -> ((s, dir) =>
@@ -1050,6 +1062,14 @@ object SparkEntry {
           |c AS (SELECT event_id AS click_id, user_id, ts_us FROM ev WHERE event_type = 'click')
           |SELECT p.user_id, p.event_id, p.ts_us, c.click_id AS asof_click_id, c.ts_us AS asof_ts_us
           |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+          |ORDER BY p.event_id""".stripMargin,
+
+      "q_asof_forward" ->
+        """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+          |p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+          |c AS (SELECT event_id AS click_id, user_id, ts_us FROM ev WHERE event_type = 'click')
+          |SELECT p.user_id, p.event_id, p.ts_us, c.click_id AS asof_click_id, c.ts_us AS asof_ts_us
+          |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us <= c.ts_us
           |ORDER BY p.event_id""".stripMargin,
 
       "q_text_pii_scrub" -> {

@@ -338,6 +338,23 @@ class OperatorsSpec extends SparkSpec {
       r(3L) shouldBe ((None, None))            // only a LATER quote exists
       r(4L) shouldBe ((None, None))            // key with no right rows at all
     }
+    it("forward direction matches the earliest right row at-or-after") {
+      val trades = Seq((1L, "A", 10L), (2L, "A", 25L)).toDF("trade_id", "sym", "t")
+      val quotes = Seq((101L, "A", 10L), (102L, "A", 20L), (103L, "A", 24L)).toDF("quote_id", "sym", "t")
+      val r = AsofJoin.forward(trades, quotes, Seq("sym"), "t", tieCols = Seq("quote_id"))
+        .collect().map(x => x.getAs[Long]("trade_id") -> Option(x.getAs[Any]("asof_quote_id"))).toMap
+      r(1L) shouldBe Some(101L) // equal timestamp counts
+      r(2L) shouldBe None       // nothing at-or-after 25
+    }
+    it("tolerance nulls out matches farther than the bound") {
+      val trades = Seq((1L, "A", 100L), (2L, "A", 500L)).toDF("trade_id", "sym", "t")
+      val quotes = Seq((7L, "A", 95L)).toDF("quote_id", "sym", "t")
+      val r = AsofJoin.asof(trades, quotes, Seq("sym"), "t",
+        tolerance = Some(10L), tieCols = Seq("quote_id"))
+        .collect().map(x => x.getAs[Long]("trade_id") -> Option(x.getAs[Any]("asof_quote_id"))).toMap
+      r(1L) shouldBe Some(7L) // gap 5 <= 10
+      r(2L) shouldBe None     // gap 405 — matched row suppressed
+    }
     it("breaks equal-timestamp ties by tieCols order") {
       val l = Seq((1L, "A", 10L)).toDF("lid", "k", "t")
       val r = Seq((7L, "A", 10L), (9L, "A", 10L)).toDF("rid", "k", "t")
