@@ -580,6 +580,15 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Quality-weighted sampling: keep probability proportional to the
+    // event's value (clamped) — high-value rows survive more often.
+    "q_sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(
+        Tpch.events(s, dir)
+          .select(col("event_id"), col("event_type"), (col("value") / 100.0).as("keep_p")),
+        "event_id", "keep_p"
+      ).select("event_id", "event_type").orderBy("event_id")),
+
     // Forward as-of: each purchase matched to the user's NEXT click
     // at-or-after it (same one-shuffle shape, descending time order).
     "q_asof_forward" -> ((s, dir) => {
@@ -1063,6 +1072,12 @@ object SparkEntry {
           |SELECT p.user_id, p.event_id, p.ts_us, c.click_id AS asof_click_id, c.ts_us AS asof_ts_us
           |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
           |ORDER BY p.event_id""".stripMargin,
+
+      "q_sample_weighted" ->
+        s"""SELECT event_id, event_type FROM events
+           |WHERE ${hashSql("CAST(event_id AS VARCHAR)")} % 1000000 <
+           |  CAST(floor(least(greatest(value / 100.0, 0.0), 1.0) * 1000000) AS BIGINT)
+           |ORDER BY event_id""".stripMargin,
 
       "q_asof_forward" ->
         """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),

@@ -53,6 +53,18 @@ object Sampling {
     df.where(hashBucket(col(idCol)) < threshold)
   }
 
+  /** Per-row Bernoulli keep with probability read from `probCol` (clamped
+    * to [0, 1]) — quality-WEIGHTED corpus sampling: feed a quality score
+    * mapped to a keep probability and high-quality documents survive
+    * proportionally more often. Same retry-stable pure-column shape as
+    * [[hashSample]]; `floor` on both engines (a raw long cast truncates in
+    * Spark but rounds in DuckDB — floor is the portable form).
+    */
+  def weightedSample(df: DataFrame, idCol: String, probCol: String): DataFrame = {
+    val p = least(greatest(col(probCol), lit(0.0)), lit(1.0))
+    df.where(hashBucket(col(idCol)) < floor(p * Buckets).cast("long"))
+  }
+
   /** Assign each row a split label ("train"/"val"/"test"/...) by contiguous
     * hash-bucket ranges. Weights are normalized; the last split absorbs
     * rounding remainder so every row gets exactly one label.

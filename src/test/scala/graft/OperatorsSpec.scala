@@ -365,6 +365,22 @@ class OperatorsSpec extends SparkSpec {
 
   describe("Sampling.stratifiedSample") {
     import graft.operators.Sampling
+    it("weightedSample keeps everything at p>=1, nothing at p<=0, ~p in between") {
+      val df = Seq.tabulate(3000)(i => (i.toLong, (i % 3) match {
+        case 0 => 1.5   // clamped to 1 → always kept
+        case 1 => -0.2  // clamped to 0 → never kept
+        case 2 => 0.5
+      })).toDF("id", "p")
+      val kept = Sampling.weightedSample(df, "id", "p")
+        .groupBy(pmod(col("id"), lit(3)).as("g")).count()
+        .as[(Long, Long)].collect().toMap
+      kept(0L) shouldBe 1000L
+      kept.get(1L) shouldBe None
+      kept(2L).toDouble shouldBe 500.0 +- 100.0
+      // Deterministic across partitionings.
+      Sampling.weightedSample(df.repartition(11), "id", "p").count() shouldBe
+        Sampling.weightedSample(df, "id", "p").count()
+    }
     it("applies per-stratum fractions with the defaultFraction fallback") {
       val df = Seq.tabulate(2000)(i => (i.toLong, if (i % 2 == 0) "keep_all" else "drop_all"))
         .toDF("id", "src")
