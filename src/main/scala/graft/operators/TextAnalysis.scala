@@ -151,12 +151,19 @@ object TextAnalysis {
       benchmark: DataFrame,
       textCol: String,
       idCol: String,
-      n: Int = 13
+      n: Int = 13,
+      maxBroadcastGrams: Long = 20L * 1000 * 1000
   ): DataFrame = {
     def grams(df: DataFrame) = df
       .select(col(idCol).as("doc_id"), explode(array_distinct(tokenNgrams(col(textCol), n))).as("gram"))
-    val c     = graft.plans.Lineage.truncate(grams(corpus))
-    val bench = broadcast(grams(benchmark).select("gram").distinct())
+    val c = graft.plans.Lineage.truncate(grams(corpus))
+    // Benchmark suites are tiny next to a training corpus, so the gram set
+    // broadcasts by default — but gate it the house way (VerifyMode.Auto
+    // style): past `maxBroadcastGrams` distinct grams, fall back to a
+    // plain shuffle join rather than OOM-ing the driver on a "benchmark"
+    // that is really a second corpus.
+    val benchGrams = graft.plans.Lineage.truncate(grams(benchmark).select("gram").distinct())
+    val bench = if (benchGrams.count() <= maxBroadcastGrams) broadcast(benchGrams) else benchGrams
     val totals  = c.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val overlap = c.join(bench, "gram").groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
     totals

@@ -222,6 +222,10 @@ class OperatorsSpec extends SparkSpec {
       val rows = TextAnalysis.decontaminationOverlap(corpus, bench, "text", "doc_id", n = 3)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       rows shouldBe Set((1L, 3L, 2L), (2L, 3L, 0L)) // doc 3 absent
+      // Past the broadcast bound the shuffle-join fallback returns the
+      // exact same overlaps (same join, different physical shape).
+      TextAnalysis.decontaminationOverlap(corpus, bench, "text", "doc_id", n = 3, maxBroadcastGrams = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe rows
     }
     it("repetitionMetrics computes duplicate-token and top-bigram fractions") {
       val df = Seq(
