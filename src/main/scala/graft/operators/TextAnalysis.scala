@@ -159,11 +159,15 @@ object TextAnalysis {
     val c = graft.plans.Lineage.truncate(grams(corpus))
     // Benchmark suites are tiny next to a training corpus, so the gram set
     // broadcasts by default — but gate it the house way (VerifyMode.Auto
-    // style): past `maxBroadcastGrams` distinct grams, fall back to a
-    // plain shuffle join rather than OOM-ing the driver on a "benchmark"
-    // that is really a second corpus.
-    val benchGrams = graft.plans.Lineage.truncate(grams(benchmark).select("gram").distinct())
-    val bench = if (benchGrams.count() <= maxBroadcastGrams) broadcast(benchGrams) else benchGrams
+    // style) rather than OOM-ing the driver on a "benchmark" that is
+    // really a second corpus. The probe is an UPPER BOUND — the
+    // benchmark's total token count, one scan-local aggregate with no
+    // explode or shuffle (distinct grams ≤ tokens) — so the common small
+    // case pays almost nothing for the check.
+    val bound = benchmark.agg(sum(size(tokens(col(textCol))))).head
+    val benchTokens = if (bound.isNullAt(0)) 0L else bound.getLong(0)
+    val benchGrams = grams(benchmark).select("gram").distinct()
+    val bench = if (benchTokens <= maxBroadcastGrams) broadcast(benchGrams) else benchGrams
     val totals  = c.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val overlap = c.join(bench, "gram").groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
     totals
