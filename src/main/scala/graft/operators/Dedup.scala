@@ -539,9 +539,25 @@ object Dedup {
         .join(labels.toDF("nbr", "nbr_rep"), sym("dst") === col("nbr"))
         .groupBy(col("src").as("node2"))
         .agg(min(col("nbr_rep")).as("nbr_min"))
-      val updated = labels
+      val propagated = labels
         .join(neighborMin, labels("node") === col("node2"), "left")
         .select(col("node"), least(col("rep"), coalesce(col("nbr_min"), col("rep"))).as("rep"), col("rep").as("old_rep"))
+        // Materialized once: the jump self-joins this frame — without the
+        // checkpoint both sides recompute the propagation joins.
+        .transform(Lineage.truncate)
+      // Pointer jumping: rep := min(rep, rep's rep). Neighbor-min alone
+      // moves a label ONE hop per round (O(diameter) rounds — a 300-node
+      // duplicate chain would exhaust the cap); the jump halves every
+      // label-chain each round, so convergence is O(log diameter) and the
+      // cap is effectively unreachable on any real graph.
+      val reps = propagated.select(col("node").as("rn"), col("rep").as("rrep"))
+      val updated = propagated
+        .join(reps, propagated("rep") === col("rn"), "left")
+        .select(
+          col("node"),
+          least(col("rep"), coalesce(col("rrep"), col("rep"))).as("rep"),
+          col("old_rep")
+        )
         .transform(Lineage.truncate)
       changed = updated.where(col("rep") =!= col("old_rep")).count()
       labels = updated.select("node", "rep").transform(Lineage.truncate)

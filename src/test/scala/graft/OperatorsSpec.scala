@@ -266,6 +266,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("duplicateClusters distributed pointer jumping") {
+    it("converges on a 300-node chain well inside the round cap") {
+      // A path graph has diameter ~300: one-hop-per-round min propagation
+      // needs 300 rounds and would exhaust the 100-round cap (throwing);
+      // with pointer jumping rounds grow with log(diameter).
+      val chain = Seq.tabulate(299)(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+      val reps = Dedup.duplicateClusters(chain, mode = Dedup.ClusterMode.Distributed)
+        .as[(Long, Long)].collect()
+      reps.length shouldBe 300
+      reps.map(_._2).distinct.toSeq shouldBe Seq(0L) // one component, min rep
+      // And the driver union-find path agrees exactly.
+      Dedup.duplicateClusters(chain, mode = Dedup.ClusterMode.Local)
+        .as[(Long, Long)].collect().toSet shouldBe reps.toSet
+    }
+  }
+
   describe("CosineSimilarity native expression") {
     it("matches the scalar kernel through the codegen path") {
       val vecs = Seq(
