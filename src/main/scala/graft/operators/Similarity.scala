@@ -266,10 +266,25 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       lloydIters: Int = 5
+  ): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol, k, ivfCentroids(corpus, idCol, vecCol, nlist, lloydIters), nprobe)
+
+  /** [[ivfTopK]] against PRE-TRAINED centroids — repeated query batches
+    * against one corpus train the quantizer once and reuse it (the normal
+    * serving shape; training is the only driver-side step).
+    */
+  def ivfTopKWith(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[Array[Double]],
+      nprobe: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
-    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, lloydIters)
+    require(nprobe >= 1 && nprobe <= centroids.length, "need 1 <= nprobe <= centroids.length")
+    val cents = centroids
     val bc    = corpus.sparkSession.sparkContext.broadcast(cents)
     val assignU = udf { (v: Array[Float]) =>
       nearestCell(v.map(_.toDouble), bc.value)

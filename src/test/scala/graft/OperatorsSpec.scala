@@ -340,6 +340,11 @@ class OperatorsSpec extends SparkSpec {
       val b  = Similarity.ivfCentroids(df, "vec_id", "embedding", nlist = 4)
       a.length shouldBe 4
       a.map(_.toSeq) shouldBe b.map(_.toSeq)
+      // Pre-trained reuse is exactly the inline path.
+      Similarity.ivfTopKWith(df, df.where("vec_id < 4"), "vec_id", "embedding", k = 5, a, nprobe = 2)
+        .as[(Long, Long, Long)].collect().toSet shouldBe
+        Similarity.ivfTopK(df, df.where("vec_id < 4"), "vec_id", "embedding", k = 5, nlist = 4, nprobe = 2)
+          .as[(Long, Long, Long)].collect().toSet
     }
   }
 
