@@ -559,6 +559,12 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // Cross-document repeated substrings: how many of a doc's 30-char
+    // grams appear in other docs (boilerplate / template detection).
+    "q_text_shared_spans" -> ((s, dir) =>
+      Dedup.sharedSubstringCounts(t(s, dir, "documents"), "text", "doc_id", k = 30)
+        .orderBy("doc_id")),
+
     // Per-stratum deterministic sampling (corpus mixing): each event type
     // keeps its own fraction, unlisted types drop.
     "q_sample_stratified" -> ((s, dir) =>
@@ -1072,6 +1078,17 @@ object SparkEntry {
           |SELECT p.user_id, p.event_id, p.ts_us, c.click_id AS asof_click_id, c.ts_us AS asof_ts_us
           |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
           |ORDER BY p.event_id""".stripMargin,
+
+      "q_text_shared_spans" -> {
+        val hsh30 = s"list_distinct(list_transform(${shinglesSql("text", 30)}, s -> ${hashSql("s")}))"
+        s"""WITH docs AS (SELECT doc_id, $hsh30 AS shs FROM documents),
+           |g AS (SELECT doc_id, unnest(shs) AS gram FROM docs),
+           |sh AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+           |c AS (SELECT g.doc_id, count(*) AS n FROM g JOIN sh USING (gram) GROUP BY g.doc_id)
+           |SELECT d.doc_id, CAST(len(d.shs) AS BIGINT) AS n_grams,
+           |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_shared_grams
+           |FROM docs d LEFT JOIN c ON d.doc_id = c.doc_id ORDER BY d.doc_id""".stripMargin
+      },
 
       "q_sample_weighted" ->
         s"""SELECT event_id, event_type FROM events

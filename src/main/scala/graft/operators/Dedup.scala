@@ -103,6 +103,36 @@ object Dedup {
     inter.toDouble / (a.length + b.length - inter)
   }
 
+  /** Per-document count of char k-grams shared with ANY other document —
+    * the exact-substring duplication signal (the "train on it twice"
+    * failure mode that document-level dedup misses: boilerplate headers,
+    * license blocks, templated passages repeated across otherwise-distinct
+    * documents). A high shared-span count marks a document for substring
+    *-level cleaning even when no whole-document near-duplicate exists.
+    *
+    * Scale shape: one [[hashedShingles]] pass (8-byte keys), explode, one
+    * doc-frequency aggregation on the gram hash, join back, one count per
+    * doc — inverted-index work, never pairwise. Documents shorter than k
+    * contribute their whole text as the single gram (the shingle
+    * contract).
+    */
+  def sharedSubstringCounts(df: DataFrame, textCol: String, idCol: String, k: Int = 50): DataFrame = {
+    val docs = Lineage.truncate(
+      df.select(col(idCol).cast("long").as("doc_id"), hashedShingles(col(textCol), k).as("shs"))
+    )
+    val grams  = docs.select(col("doc_id"), explode(col("shs")).as("gram"))
+    val shared = grams
+      .groupBy("gram")
+      .agg(countDistinct("doc_id").as("docs_with_gram"))
+      .where(col("docs_with_gram") >= 2)
+      .select("gram")
+    val counts = grams.join(shared, "gram").groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    docs
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_grams"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+  }
+
   /** One representative (min id) + multiplicity per distinct text.
     * Exact dedup = one hash shuffle on the content key; at 100 TB hash the
     * text first (`md5`) so the shuffle key is 32 bytes, not the document.

@@ -266,6 +266,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.sharedSubstringCounts") {
+    it("counts grams shared across documents, zero for unique docs") {
+      val df = Seq(
+        (1L, "the license header text here plus unique tail one"),
+        (2L, "the license header text here plus unique tail two"),
+        (3L, "completely different content with nothing in common at all")
+      ).toDF("doc_id", "text")
+      val r = Dedup.sharedSubstringCounts(df, "text", "doc_id", k = 20)
+        .as[(Long, Long, Long)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+      r(3L)._2 shouldBe 0L                  // nothing shared
+      r(1L)._2 should be > 0L               // shares the boilerplate prefix
+      r(1L)._2 shouldBe r(2L)._2            // symmetric share
+      r(1L)._2 should be < r(1L)._1         // but not the whole document
+    }
+  }
+
   describe("duplicateClusters distributed pointer jumping") {
     it("converges on a 300-node chain well inside the round cap") {
       // A path graph has diameter ~300: one-hop-per-round min propagation
