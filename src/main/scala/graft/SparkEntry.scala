@@ -559,6 +559,12 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // Token-window chunking (20-token chunks, 5-token overlap) — the
+    // training-length windowing step; exact text + counts per chunk.
+    "q_text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkByTokens(t(s, dir, "documents"), "text", "doc_id", chunkTokens = 20, overlapTokens = 5)
+        .orderBy("doc_id", "chunk_idx")),
+
     // Cross-document repeated substrings: how many of a doc's 30-char
     // grams appear in other docs (boilerplate / template detection).
     "q_text_shared_spans" -> ((s, dir) =>
@@ -1078,6 +1084,16 @@ object SparkEntry {
           |SELECT p.user_id, p.event_id, p.ts_us, c.click_id AS asof_click_id, c.ts_us AS asof_ts_us
           |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
           |ORDER BY p.event_id""".stripMargin,
+
+      // stride = 20 - 5 = 15; chunk k covers tokens [k*15, min(k*15+20, n)).
+      "q_text_chunks" ->
+        s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+           |n AS (SELECT doc_id, tk, len(tk) AS lt FROM toks WHERE len(tk) > 0),
+           |ch AS (SELECT doc_id, tk, lt, unnest(range(0, (lt + 14) // 15)) AS k FROM n)
+           |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+           |  array_to_string(tk[k*15 + 1 : least(k*15 + 20, lt)], ' ') AS chunk_text,
+           |  CAST(least(k*15 + 20, lt) - k*15 AS BIGINT) AS n_tokens
+           |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
       "q_text_shared_spans" -> {
         val hsh30 = s"list_distinct(list_transform(${shinglesSql("text", 30)}, s -> ${hashSql("s")}))"

@@ -271,6 +271,45 @@ object TextAnalysis {
       )
   }
 
+  /** Token-window chunking: split each document into chunks of
+    * `chunkTokens` whitespace tokens advancing by `chunkTokens −
+    * overlapTokens` — the standard windowing step before tokenization in
+    * an LLM training pipeline (long documents become training-length
+    * pieces; the overlap preserves cross-boundary context). Output is one
+    * row per chunk: (doc_id, chunk_idx, chunk_text, n_tokens), chunk text
+    * whitespace-normalized (tokens re-joined with single spaces). Empty
+    * documents produce no chunks; the final chunk may be shorter.
+    *
+    * Scan-local (UDF kernel + posexplode) — no shuffle at any corpus
+    * size; chunk counts are ⌈tokens / stride⌉ so output size is linear in
+    * input tokens.
+    */
+  def chunkByTokens(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      chunkTokens: Int = 512,
+      overlapTokens: Int = 64
+  ): DataFrame = {
+    require(chunkTokens > overlapTokens && overlapTokens >= 0, "need chunkTokens > overlapTokens >= 0")
+    val stride = chunkTokens - overlapTokens
+    val u = udf { (t: String) =>
+      val toks = if (t == null) Array.empty[String] else t.split("\\s+").filter(_.nonEmpty)
+      val n    = toks.length
+      if (n == 0) Array.empty[String]
+      else Array.tabulate((n + stride - 1) / stride) { k =>
+        toks.slice(k * stride, math.min(k * stride + chunkTokens, n)).mkString(" ")
+      }
+    }
+    df.select(col(idCol).as("doc_id"), posexplode(u(col(textCol))).as(Seq("chunk_idx", "chunk_text")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"),
+        tokenCount(col("chunk_text")).as("n_tokens")
+      )
+  }
+
   /** One-row corpus statistics: document/token/char totals, exact distinct
     * vocabulary size, mean tokens per document — the "how big is this
     * corpus really" numbers every training run starts from. One scan for

@@ -255,6 +255,20 @@ class OperatorsSpec extends SparkSpec {
       kept.select("doc_id").as[Long].collect().toSeq shouldBe Seq(1L)
     }
 
+    it("chunkByTokens windows documents with overlap; empty docs vanish") {
+      val df = Seq(
+        (1L, "a b c d e f g"), // 7 tokens, chunk 4 / overlap 1 → stride 3
+        (2L, "")
+      ).toDF("doc_id", "text")
+      val r = TextAnalysis.chunkByTokens(df, "text", "doc_id", chunkTokens = 4, overlapTokens = 1)
+        .as[(Long, Long, String, Long)].collect().sortBy(x => (x._1, x._2))
+      r shouldBe Array(
+        (1L, 0L, "a b c d", 4L),
+        (1L, 1L, "d e f g", 4L), // starts at 3: overlaps one token
+        (1L, 2L, "g", 1L)        // short tail chunk
+      )
+    }
+
     it("corpusStats produces the one-row census") {
       val df = Seq((1L, "a b c"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
       val r = TextAnalysis.corpusStats(df, "text").head
