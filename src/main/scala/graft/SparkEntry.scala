@@ -475,6 +475,19 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // IVF ANN in its SERVING configuration (nprobe ≪ nlist): the frozen
+    // quantizer (IvfPinned — trained offline by tools.TrainIvf, retraining
+    // reproducibility spec-pinned) assigns the corpus in one scan; each
+    // query scores only its 4 closest of 16 cells. The oracle embeds the
+    // identical frozen centroids and replays assignment + probe selection
+    // + ranking bit-for-bit.
+    "q_knn_ivf_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopKWith(emb, emb.where("vec_id < 5"), "vec_id", "embedding", k = 10,
+          graft.operators.IvfPinned.centroids, nprobe = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
     // LSH-bucketed ANN (scale path) — deterministic hyperplanes; rows-only
     // check (bucketing is approximate by design, not SQL-expressible
     // succinctly).
@@ -999,6 +1012,39 @@ object SparkEntry {
       // quantizer/assignment/probe plumbing to exactness; partial-probe
       // recall is spec-asserted (OperatorsSpec).
       "q_knn_ivf_full" -> exactKnnOracle(k = 10),
+
+      // The SERVING shape (nprobe=4 of nlist=16): the frozen IvfPinned
+      // centroids are embedded as a one-row CTE (same hoist technique as
+      // signs_t — inline literals re-evaluate per access), and the oracle
+      // replays cell assignment (argmax cosine, lowest cell on ties — the
+      // row_number tiebreak mirrors nearestCell's strict `>`), probe
+      // selection (top-nprobe cells per query), and candidate ranking.
+      "q_knn_ivf_probe" -> {
+        val centsCte = {
+          val m = graft.operators.IvfPinned.centroids
+          val arr = m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+          s"cents_t AS (SELECT $arr AS ct)"
+        }
+        val nlist  = graft.operators.IvfPinned.nlist
+        val cellCos = cosineSql("v.ve", "ct[cells.cell + 1]")
+        s"""WITH $centsCte,
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+           |cells AS (SELECT unnest(range(0, $nlist)) AS cell),
+           |asg AS (SELECT vec_id AS neighbor_id, ve AS cv, cell FROM (
+           |  SELECT v.vec_id, v.ve, cells.cell,
+           |         row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, cells.cell) AS pr
+           |  FROM v, cents_t, cells) WHERE pr = 1),
+           |probes AS (SELECT query_id, qv, cell FROM (
+           |  SELECT v.vec_id AS query_id, v.ve AS qv, cells.cell,
+           |         row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, cells.cell) AS pr
+           |  FROM v, cents_t, cells WHERE v.vec_id < 5) WHERE pr <= 4),
+           |sc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos
+           |       FROM probes JOIN asg USING (cell) WHERE query_id <> neighbor_id),
+           |r AS (SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
+           |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 10
+           |ORDER BY query_id, rnk""".stripMargin
+      },
 
       "q_dedup_clusters" ->
         s"""WITH RECURSIVE ${clustersCte(hsh3)}

@@ -191,11 +191,14 @@ object Similarity {
     val n        = corpus.count()
     val fraction = math.min(1.0, trainCap.toDouble / math.max(1, n))
     val sample = corpus
-      .select(Sampling.hashBucket(col(idCol)).as("__hb"), col(vecCol).as("__v"))
+      .select(Sampling.hashBucket(col(idCol)).as("__hb"), col(idCol).as("__id"), col(vecCol).as("__v"))
       .where(col("__hb") < math.round(fraction * Sampling.Buckets).max(1L))
-      .orderBy("__hb")
+      // Secondary sort on the id makes the sample order — and therefore the
+      // centroid initialization AND the float accumulation order of every
+      // Lloyd iteration — fully deterministic even under hash-bucket ties.
+      .orderBy("__hb", "__id")
       .collect()
-      .map { case Row(_, v: scala.collection.Seq[_]) => v.map(_.asInstanceOf[Float].toDouble).toArray }
+      .map { case Row(_, _, v: scala.collection.Seq[_]) => v.map(_.asInstanceOf[Float].toDouble).toArray }
     require(sample.length >= nlist, s"training sample (${sample.length}) smaller than nlist ($nlist)")
 
     var cents = sample.take(nlist).map(_.clone())

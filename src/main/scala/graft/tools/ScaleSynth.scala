@@ -1,0 +1,115 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes an M× corpus from a fixture directory by unioning M
+  * id-offset copies of each table — the empirical half of SCALE.md's
+  * "near-linear or it isn't done" contract.
+  *
+  * Copy construction preserves per-copy workload statistics while keeping
+  * copies DISSIMILAR, so a soak measures the engine's scaling, not an
+  * artificial near-duplicate explosion:
+  *
+  *   - ids shift by `copy × stride` (stride = max(id)+1 of the source), and
+  *     FK columns shift by the PARENT's stride, so `orders ⋈ customer` and
+  *     `lineitem ⋈ orders` keep exactly one match per key at any M;
+  *   - document text is Caesar-rotated per copy (letters by `copy % 26`,
+  *     digits by `copy % 10`): token lengths, shingle counts, and frequency
+  *     distributions are preserved EXACTLY, but trigrams of different
+  *     copies land in disjoint regions of shingle space — cross-copy
+  *     Jaccard is near zero, so dedup candidate work grows ~M, not M²;
+  *   - embeddings rotate their components by `copy % dims` — norms and
+  *     within-copy cosine structure are identical, cross-copy similarity
+  *     is scrambled;
+  *   - events shift event/user ids; timestamps are untouched, so per-user
+  *     session shapes replicate.
+  *
+  * Copy 0 is the identity — a multiplier-1 synth equals the source table
+  * (modulo file layout), making ratios across multipliers apples-to-apples.
+  *
+  * Usage: runMain graft.tools.ScaleSynth <srcSfDir> <outDir> <multiplier>
+  */
+object ScaleSynth {
+
+  private val lower  = "abcdefghijklmnopqrstuvwxyz"
+  private val upper  = lower.toUpperCase
+  private val digits = "0123456789"
+
+  /** Per-copy Caesar alphabet for translate(): rotate letters by
+    * `i % 26`, digits by `i % 10`. Pure Column expression — no UDF.
+    */
+  private def rotText(c: org.apache.spark.sql.Column, i: Int) = {
+    val l = i % 26
+    val d = i % 10
+    val from = lower + upper + digits
+    val to   = lower.drop(l) + lower.take(l) + upper.drop(l) + upper.take(l) + digits.drop(d) + digits.take(d)
+    if (i == 0) c else translate(c, from, to)
+  }
+
+  private def maxPlusOne(df: DataFrame, idCol: String): Long =
+    df.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0) + 1L
+
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String, mult: Int): Unit = {
+    def src(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
+
+    val cStride = maxPlusOne(src("customer"), "c_custkey")
+    val oStride = maxPlusOne(src("orders"), "o_orderkey")
+    val dStride = maxPlusOne(src("documents"), "doc_id")
+    val vStride = maxPlusOne(src("embeddings"), "vec_id")
+    val eStride = maxPlusOne(src("events").select(col("event_id")), "event_id")
+    val uStride = maxPlusOne(src("events").select(col("user_id")), "user_id")
+
+    def write(name: String)(copy: (DataFrame, Int) => DataFrame): Unit = {
+      val base = src(name)
+      val out  = (0 until mult).map(i => copy(base, i)).reduce(_ unionByName _)
+      // Partition count grows with the data so per-partition size stays
+      // roughly what the 1× fixture produces.
+      out
+        .repartition(math.max(4, 4 * mult))
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+
+    write("customer")((df, i) => df.withColumn("c_custkey", col("c_custkey") + lit(i * cStride)))
+    write("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * oStride))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * cStride))
+    }
+    write("lineitem")((df, i) => df.withColumn("l_orderkey", col("l_orderkey") + lit(i * oStride)))
+    write("documents") { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * dStride))
+        .withColumn("text", rotText(col("text"), i))
+    }
+    write("embeddings") { (df, i) =>
+      val dims = 64
+      val r    = i % dims
+      val rotated =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dims - r), slice(col("embedding"), 1, r))
+      df.withColumn("vec_id", col("vec_id") + lit(i * vStride))
+        .withColumn("embedding", rotated)
+    }
+    write("events") { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * eStride))
+        .withColumn("user_id", col("user_id") + lit(i * uStride))
+    }
+    // Dimension tables copy through unchanged (already tiny; the soak
+    // queries that touch them treat them as broadcast dims).
+    Seq("region", "nation", "part", "supplier").foreach { name =>
+      src(name).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, mult) = args.take(3)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    synthesize(spark, srcDir, outDir, mult.toInt)
+    spark.stop()
+  }
+}

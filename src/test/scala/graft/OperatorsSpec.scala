@@ -376,6 +376,17 @@ class OperatorsSpec extends SparkSpec {
         Similarity.ivfTopK(df, df.where("vec_id < 4"), "vec_id", "embedding", k = 5, nlist = 4, nprobe = 2)
           .as[(Long, Long, Long)].collect().toSet
     }
+    it("IvfPinned is exactly what retraining on its fixture produces") {
+      // The frozen serving quantizer (q_knn_ivf_probe) is generated, not
+      // hand-made: retraining on the recorded fixture must reproduce every
+      // double bit-for-bit. Fails if IvfPinned.scala is edited by hand or
+      // training determinism regresses.
+      import graft.operators.IvfPinned
+      val emb   = spark.read.parquet(s"${IvfPinned.trainedOn}/embeddings.parquet")
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", IvfPinned.nlist, lloydIters = 5)
+      cents.length shouldBe IvfPinned.centroids.length
+      cents.map(_.toSeq) shouldBe IvfPinned.centroids.map(_.toSeq)
+    }
   }
 
   describe("AsofJoin.backward") {
