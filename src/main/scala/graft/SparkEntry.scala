@@ -111,6 +111,57 @@ object SparkEntry {
       plans("lineitem").select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // The whole-pipeline gate: Graft.run end-to-end — coverage validation,
+    // key merge, filter propagation (customer → orders → lineitem), five
+    // anonymizers, level-parallel parquet WRITE — then the written output
+    // is read back and reduced to one scalar summary row per table
+    // (rows, an order-independent stableHash checksum over the key +
+    // anonymized string columns, and an exact-decimal numeric sum). This
+    // is the flagship path a reference user actually runs
+    // (DbCopierIntegrationTest shape); the oracle replays propagation +
+    // anonymization in SQL and must match every checksum.
+    "q_graft_e2e" -> ((s, dir) => {
+      val g      = new Graft(Tpch.catalog(s, dir), Tpch.manifest)
+      val outDir = java.nio.file.Files.createTempDirectory("graft_e2e_").toString
+      g.run(outDir, s)(
+        "region"   -> TableSpec.select(row => Seq(row.r_name)),
+        "nation"   -> TableSpec.select(row => Seq(row.n_name)),
+        "customer" -> TableSpec.select(row => Seq(
+            row.c_name.mapString(Anonymizer.FullName), row.c_acctbal, row.c_mktsegment))
+          .where("c_mktsegment = 'BUILDING'"),
+        "supplier" -> TableSpec.select(row => Seq(row.s_name.mapString(Anonymizer.Redact), row.s_acctbal)),
+        "part"     -> TableSpec.select(row => Seq(
+            row.p_brand.mapString(Anonymizer.PartialRedact(2, 2)),
+            row.p_name, row.p_type, row.p_size, row.p_retailprice)),
+        "orders"   -> TableSpec.select(row => Seq(
+            row.o_orderstatus, row.o_totalprice, row.o_orderdate,
+            row.o_orderpriority.mapString(Anonymizer.LoremText))),
+        "lineitem" -> TableSpec.select(row => Seq(
+            row.l_quantity, row.l_extendedprice, row.l_discount, row.l_tax,
+            row.l_returnflag, row.l_linestatus, row.l_shipdate))
+      )
+      val hashU = udf((x: String) => Anonymizer.stableHash(x))
+      def summarize(tbl: String, strCols: Seq[String], numCol: Option[String]): DataFrame = {
+        val df  = s.read.parquet(s"$outDir/$tbl")
+        val str = concat_ws("|", strCols.map(col): _*)
+        df.agg(
+          count(lit(1)).as("n_rows"),
+          coalesce(sum(hashU(str)), lit(0L)).as("str_checksum"),
+          // Exact decimal sum → DOUBLE output (see q_agg_group note).
+          numCol.map(c => sum(col(c).cast(DecimalType(18, 2))).cast("double"))
+            .getOrElse(lit(0.0)).as("num_sum")
+        ).select(lit(tbl).as("table_name"), col("n_rows"), col("str_checksum"), col("num_sum"))
+      }
+      summarize("region", Seq("r_regionkey", "r_name"), None)
+        .unionByName(summarize("nation", Seq("n_nationkey", "n_name"), None))
+        .unionByName(summarize("customer", Seq("c_custkey", "c_name", "c_mktsegment"), Some("c_acctbal")))
+        .unionByName(summarize("supplier", Seq("s_suppkey", "s_name"), Some("s_acctbal")))
+        .unionByName(summarize("part", Seq("p_partkey", "p_brand"), Some("p_retailprice")))
+        .unionByName(summarize("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"), Some("o_totalprice")))
+        .unionByName(summarize("lineitem", Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"), Some("l_extendedprice")))
+        .orderBy("table_name")
+    }),
+
     // F3: self-ref closure (recursive-CTE semantics as iterative fixpoint)
     // over a derived binary-heap hierarchy of customers.
     "q_selfref_closure" -> ((s, dir) => {
@@ -778,6 +829,44 @@ object SparkEntry {
           |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey IN
           |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))
           |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      // Replays the whole Graft.run pipeline in SQL: the customer filter,
+      // its propagation through orders to lineitem (semi-join IN chains),
+      // and every anonymizer, then reduces each table to the same
+      // (rows, checksum-sum, decimal-sum) summary the gate computes from
+      // the parquet Graft.run actually wrote. sum() over BIGINT hashes is
+      // order-independent, so the compare is layout-agnostic; CAST to
+      // BIGINT because DuckDB widens integer sums to HUGEINT.
+      "q_graft_e2e" -> {
+        import OracleGen._
+        def row(tbl: String, from: String, strSql: String, numSql: Option[String]) = {
+          val num = numSql
+            .map(c => s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)")
+            .getOrElse("0.0")
+          s"""SELECT '$tbl' AS table_name, count(*) AS n_rows,
+             |CAST(coalesce(sum(${hashSql(strSql)}), 0) AS BIGINT) AS str_checksum,
+             |$num AS num_sum FROM $from""".stripMargin
+        }
+        val cw = "concat_ws('|', "
+        s"""WITH c AS (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'),
+           |o AS (SELECT * FROM orders WHERE o_custkey IN (SELECT c_custkey FROM c)),
+           |li AS (SELECT * FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+           |SELECT * FROM (
+           |${row("region", "region", cw + "r_regionkey, r_name)", None)}
+           |UNION ALL
+           |${row("nation", "nation", cw + "n_nationkey, n_name)", None)}
+           |UNION ALL
+           |${row("customer", "c", cw + s"c_custkey, ${fullName("c_name")}, c_mktsegment)", Some("c_acctbal"))}
+           |UNION ALL
+           |${row("supplier", "supplier", cw + s"s_suppkey, ${redact("s_name")})", Some("s_acctbal"))}
+           |UNION ALL
+           |${row("part", "part", cw + s"p_partkey, ${partialRedact("p_brand", 2, 2)})", Some("p_retailprice"))}
+           |UNION ALL
+           |${row("orders", "o", cw + s"o_orderkey, o_custkey, o_orderstatus, ${loremText("o_orderpriority")})", Some("o_totalprice"))}
+           |UNION ALL
+           |${row("lineitem", "li", cw + "l_orderkey, l_linenumber, l_returnflag, l_linestatus)", Some("l_extendedprice"))}
+           |) ORDER BY table_name""".stripMargin
+      },
 
       "q_selfref_closure" ->
         """WITH RECURSIVE

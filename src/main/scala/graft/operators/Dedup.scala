@@ -141,9 +141,41 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Pairs (id_a < id_b) with EXACT n-gram Jaccard ≥ `threshold`, via a
-    * shingle inverted index for candidate generation + array-intersection
-    * verification.
+  /** How near-dup CANDIDATE pairs are generated (verification is always the
+    * exact Jaccard over full shingle sets, whatever produced the pair).
+    *
+    * The capped inverted index is deterministic and complete whenever
+    * qualifying pairs share at least one sub-cap shingle — but on a corpus
+    * whose every shingle is ubiquitous (tiny trigram vocabulary: measured
+    * on the 5000-doc fixture, 377 distinct trigrams with minimum document
+    * frequency 250) a fixed cap prunes EVERY shingle and the index goes
+    * blind: zero candidates, silently. MinHash band keys are composites of
+    * many shingles, so their selectivity survives exactly that regime.
+    * `Auto` probes which regime the corpus is in and picks loudly.
+    */
+  sealed trait CandidateMode
+  object CandidateMode {
+
+    /** Stop-shingle-capped inverted index (deterministic recall). */
+    case object InvertedIndex extends CandidateMode
+
+    /** MinHash band collisions — probabilistic per the band s-curve, but
+      * independent of shingle document frequency.
+      */
+    case class MinHashBands(numHashes: Int = 32, bands: Int = 4) extends CandidateMode
+
+    /** Probe the capped index's document coverage (fraction of documents
+      * retaining ≥1 indexable shingle — one extra aggregation over frames
+      * the index builds anyway) and fall back to band candidates when the
+      * index can no longer see `minDocCoverage` of the corpus.
+      */
+    case class Auto(minDocCoverage: Double = 0.5, numHashes: Int = 32, bands: Int = 4) extends CandidateMode
+  }
+
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Pairs (id_a < id_b) with EXACT n-gram Jaccard ≥ `threshold`, via
+    * sub-quadratic candidate generation + array-intersection verification.
     *
     * Scale shape: a raw shingle self-join explodes as Σ_sh freq(sh)² —
     * ubiquitous shingles ("the", " th") alone contribute |docs|² pair rows
@@ -152,8 +184,11 @@ object Dedup {
     * (stop-shingle removal, the standard inverted-index trick), and the
     * Jaccard each candidate pair is verified with is still the EXACT
     * intersection over the FULL shingle sets. A qualifying pair is missed
-    * only if the two documents share no sub-cap shingle at all — near-dups
-    * at sensible thresholds share their rare shingles by construction.
+    * only if the two documents share no sub-cap shingle at all — true for
+    * near-dups' rare shingles on natural text, FALSE on a vocabulary-dense
+    * corpus where no shingle is rare (see [[CandidateMode]]): the default
+    * `Auto` detects that blind regime and generates candidates from MinHash
+    * bands instead.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -162,7 +197,8 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       maxShingleFreq: Option[Int] = Some(100),
-      verify: VerifyMode = VerifyMode.Auto()
+      verify: VerifyMode = VerifyMode.Auto(),
+      candidates: CandidateMode = CandidateMode.Auto()
   ): DataFrame = {
     // One hashing pass: the inverted index derives the (doc, shingle)
     // stream from this cached frame 3× (stop-shingle counts + both join
@@ -171,18 +207,43 @@ object Dedup {
     val docs = Lineage.truncate(
       df.select(col(idCol).cast("long").as("doc_id"), hashedShingles(col(textCol), n).as("shs"))
     )
-    val sh = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
-    val indexed = (maxShingleFreq match {
-      case Some(k) =>
-        val keep = sh.groupBy("sh").agg(count(lit(1)).as("df_freq")).where(col("df_freq") <= k).select("sh")
-        sh.join(keep, "sh")
-      case None => sh
-    }).select("doc_id", "sh") // using-column joins put the key first — pin order before toDF renames
-    val a = indexed.toDF("doc_a", "sh")
-    val b = indexed.toDF("doc_b", "sh")
-    val rawCand = a
-      .join(b, a("sh") === b("sh") && a("doc_a") < b("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    def indexed = {
+      val sh = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
+      (maxShingleFreq match {
+        case Some(k) =>
+          val keep = sh.groupBy("sh").agg(count(lit(1)).as("df_freq")).where(col("df_freq") <= k).select("sh")
+          sh.join(keep, "sh")
+        case None => sh
+      }).select("doc_id", "sh") // using-column joins put the key first — pin order before toDF renames
+    }
+    def indexCandidates = {
+      val a = indexed.toDF("doc_a", "sh")
+      val b = indexed.toDF("doc_b", "sh")
+      a.join(b, a("sh") === b("sh") && a("doc_a") < b("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+    }
+    val rawCand = candidates match {
+      case CandidateMode.InvertedIndex           => indexCandidates
+      case CandidateMode.MinHashBands(nh, b)     => bandedCandidatesFromHashes(docs, nh, b)
+      case CandidateMode.Auto(minCov, nh, b) =>
+        maxShingleFreq match {
+          case None => indexCandidates // uncapped index never goes blind (cost, not recall, is its bound)
+          case Some(_) =>
+            val nDocs   = docs.count()
+            val covered = indexed.select(countDistinct(col("doc_id"))).head.getLong(0)
+            if (covered >= minCov * nDocs) indexCandidates
+            else {
+              logger.warn(
+                "ngramJaccardPairs: capped inverted index covers {}/{} documents (< {}) — " +
+                  "no shingle is rarer than maxShingleFreq on this corpus; switching candidate " +
+                  "generation to MinHash bands ({} hashes × {} bands). Pass candidates = " +
+                  "CandidateMode.InvertedIndex to force the index formulation.",
+                covered, nDocs, minCov, nh, b
+              )
+              bandedCandidatesFromHashes(docs, nh, b)
+            }
+        }
+    }
     verifyPairs(rawCand, docs, threshold, verify, docsMaterialized = true)
   }
 
@@ -623,9 +684,10 @@ object Dedup {
       idCol: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      maxShingleFreq: Option[Int] = Some(100)
+      maxShingleFreq: Option[Int] = Some(100),
+      candidates: CandidateMode = CandidateMode.Auto()
   ): DataFrame = {
-    val pairs    = ngramJaccardPairs(df, textCol, idCol, n, threshold, maxShingleFreq)
+    val pairs    = ngramJaccardPairs(df, textCol, idCol, n, threshold, maxShingleFreq, candidates = candidates)
     val clusters = duplicateClusters(pairs)
     dedupByClusters(df, idCol, clusters)
   }

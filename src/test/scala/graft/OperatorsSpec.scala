@@ -43,9 +43,25 @@ class OperatorsSpec extends SparkSpec {
       pairs.flatMap(p => Set(p._1, p._2)) should not contain 3L
     }
     it("maxShingleFreq prunes ubiquitous shingles") {
-      // With a freq cap of 1 no shingle is shared → no pairs at all.
-      Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.1, maxShingleFreq = Some(1))
+      // With a freq cap of 1 no shingle is shared → the INDEX formulation
+      // yields no pairs at all (candidate mode pinned: Auto would notice
+      // the blindness this spec is deliberately creating).
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.1, maxShingleFreq = Some(1),
+          candidates = Dedup.CandidateMode.InvertedIndex)
         .count() shouldBe 0
+    }
+    it("Auto candidates see through a corpus where every shingle is ubiquitous") {
+      // Every doc is 'ab…' repeated → the whole corpus has TWO distinct
+      // trigrams ({aba, bab}), each in every doc — the capped inverted
+      // index is provably blind (the sf0.1 fixture regime: 377 trigrams,
+      // min doc-freq 250). Auto must detect 0% index coverage and recover
+      // every pair via band candidates; exact verification is unchanged.
+      val dense = (0 until 12).map(i => (i.toLong, "ab" * (10 + i % 3))).toDF("doc_id", "text")
+      Dedup.ngramJaccardPairs(dense, "text", "doc_id", n = 3, threshold = 0.8, maxShingleFreq = Some(2),
+          candidates = Dedup.CandidateMode.InvertedIndex)
+        .count() shouldBe 0
+      Dedup.ngramJaccardPairs(dense, "text", "doc_id", n = 3, threshold = 0.8, maxShingleFreq = Some(2))
+        .count() shouldBe 66L // all C(12,2) pairs — identical shingle sets, jaccard 1.0
     }
   }
 
