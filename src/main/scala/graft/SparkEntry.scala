@@ -577,6 +577,17 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
         .orderBy("doc_id")),
 
+    // TRUE BPE token counts under the frozen trained merge table
+    // (BpePinned — tools.TrainBpe, retraining reproducibility
+    // spec-pinned). The oracle replays the exact encode: a recursive CTE
+    // merges the leftmost lowest-rank pair one step at a time over the
+    // corpus' distinct words, then joins counts back per document.
+    "q_text_bpe_real" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.Bpe.tokenCount(graft.operators.BpePinned.merges)(col("text")).as("n_bpe"))
+        .orderBy("doc_id")),
+
     // Token counting.
     "q_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1133,6 +1144,38 @@ object SparkEntry {
            |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
            |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 10
            |ORDER BY query_id, rnk""".stripMargin
+      },
+
+      // True-BPE replay: the frozen merge table is a one-row CTE; encode is
+      // a recursive CTE over DISTINCT corpus words — each recursion step
+      // merges the LEFTMOST occurrence of the LOWEST-RANK applicable pair
+      // (NULLIF guards both possible list_position miss encodings; the
+      // first-index semantics of list_position IS the leftmost tie-break),
+      // terminating when no adjacent pair is in the table. Identical step
+      // contract as Bpe.encodeWord.
+      "q_text_bpe_real" -> {
+        val mergesLit = listSql(graft.operators.BpePinned.merges)
+        val prExpr =
+          "[NULLIF(list_position(m, toks[i] || ' ' || toks[i+1]), 0) for i in range(1, len(toks))]"
+        s"""WITH RECURSIVE m_t AS (SELECT $mergesLit AS m),
+           |docs AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+           |words AS (SELECT DISTINCT unnest(tk) AS w FROM docs),
+           |enc(w, toks) AS (
+           |  SELECT w, [w[i] for i in range(1, length(w)+1)] FROM words
+           |  UNION ALL
+           |  SELECT w, list_concat(list_concat(toks[1:i0-1], [toks[i0] || toks[i0+1]]), toks[i0+2:])
+           |  FROM (
+           |    SELECT w, toks, list_position(pr, list_min(list_filter(pr, x -> x IS NOT NULL))) AS i0
+           |    FROM (SELECT w, toks, $prExpr AS pr FROM enc, m_t)
+           |    WHERE len(list_filter(pr, x -> x IS NOT NULL)) > 0)),
+           |final AS (
+           |  SELECT w, toks FROM (SELECT w, toks, $prExpr AS pr FROM enc, m_t)
+           |  WHERE len(list_filter(pr, x -> x IS NOT NULL)) = 0),
+           |wt AS (SELECT doc_id, unnest(tk) AS w FROM docs),
+           |cnt AS (SELECT wt.doc_id, CAST(sum(len(f.toks)) AS BIGINT) AS n_bpe
+           |        FROM wt JOIN final f USING (w) GROUP BY wt.doc_id)
+           |SELECT d.doc_id, coalesce(c.n_bpe, 0) AS n_bpe
+           |FROM documents d LEFT JOIN cnt c USING (doc_id) ORDER BY doc_id""".stripMargin
       },
 
       "q_dedup_clusters" ->

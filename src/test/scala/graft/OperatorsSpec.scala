@@ -405,6 +405,48 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Bpe") {
+    import graft.operators.{Bpe, BpePinned}
+    it("BpePinned is exactly what retraining on its fixture produces") {
+      val docs = spark.read.parquet(s"${BpePinned.trainedOn}/documents.parquet")
+      Bpe.trainMerges(docs, "text", numMerges = 200) shouldBe BpePinned.merges
+    }
+    it("encodeWord merges leftmost lowest-rank pairs to a fixpoint") {
+      // ranks: "a b" -> 0, "ab c" -> 1: "abcabc" → ab c ab c → abc abc.
+      val merges = IndexedSeq("a b", "ab c")
+      val ranks  = Map(("a", "b") -> 0, ("ab", "c") -> 1)
+      Bpe.encodeWord("abcabc", ranks).toSeq shouldBe Seq("abc", "abc")
+      Bpe.encodeWord("bca", ranks).toSeq shouldBe Seq("b", "c", "a") // no applicable pair
+      Bpe.encodeWord("x", ranks).toSeq shouldBe Seq("x")
+      // Rank order decides: with "b c" ranked ABOVE "a b", "abc" merges bc first.
+      Bpe.encodeWord("abc", Map(("b", "c") -> 0, ("a", "b") -> 1)).toSeq shouldBe Seq("a", "bc")
+      // tokenCount is the word-wise sum of encode lengths.
+      val cnt = Seq(("abcabc bca x", 1)).toDF("t", "i")
+        .select(Bpe.tokenCount(merges)(col("t")).as("n")).head.getLong(0)
+      cnt shouldBe (2 + 3 + 1)
+    }
+    it("chunkByBpeTokens packs words to the true-token budget, dropping nothing") {
+      // Costs under the tiny table: "abcabc"=2, "bca"=3, "x"=1.
+      val merges = IndexedSeq("a b", "ab c")
+      val df = Seq((7L, "abcabc bca x abcabc")).toDF("doc_id", "text")
+      val chunks = Bpe.chunkByBpeTokens(df, "text", "doc_id", merges, chunkTokens = 5)
+        .orderBy("chunk_idx")
+        .as[(Long, Long, String, Long)].collect().toSeq
+      // greedy: [abcabc(2) bca(3)]=5 | [x(1) abcabc(2)]=3
+      chunks shouldBe Seq(
+        (7L, 0L, "abcabc bca", 5L),
+        (7L, 1L, "x abcabc", 3L)
+      )
+      // Every word survives exactly once, in order.
+      chunks.map(_._3).mkString(" ") shouldBe "abcabc bca x abcabc"
+      // A word costlier than the whole budget still becomes its own chunk.
+      val big = Bpe.chunkByBpeTokens(Seq((1L, "bca bca")).toDF("doc_id", "text"),
+          "text", "doc_id", merges, chunkTokens = 2)
+        .as[(Long, Long, String, Long)].collect().toSeq.sortBy(_._2)
+      big.map(_._3) shouldBe Seq("bca", "bca")
+    }
+  }
+
   describe("AsofJoin.backward") {
     import graft.operators.AsofJoin
     it("matches each left row to the latest right row at-or-before it, per key") {
