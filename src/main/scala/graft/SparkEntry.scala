@@ -790,6 +790,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL image codec round trip: deterministic PNGs are generated with
+    // the actual JDK encoder (dimensions/pixels arithmetic functions of
+    // doc_id) and decoded back with the actual JDK decoder
+    // (Multimodal.decodeImageMeta) — width, height, band count, and a
+    // decoded pixel sample must survive the codec. The oracle recomputes
+    // the arithmetic; n_bytes is intentionally NOT gated (PNG compressed
+    // size is codec-internal, not content semantics).
+    "q_multimodal_image" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.decodeImageMeta(Multimodal.syntheticPng(col("doc_id"))).as("meta"))
+        .select(
+          col("doc_id"),
+          col("meta._1").cast("long").as("w"),
+          col("meta._2").cast("long").as("h"),
+          col("meta._3").cast("long").as("c"),
+          col("meta._5").cast("long").as("px00")
+        )
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling over a derived binary "video": fixed 32-byte frames,
     // every 2nd kept — chunk arithmetic and blob slices match the oracle
     // byte-for-byte. The gate emits md5(frame) hex instead of raw bytes:
@@ -1416,6 +1437,20 @@ object SparkEntry {
            |  CAST(CASE WHEN nb = 0 THEN 0 ELSE 1 + h % 4 END AS BIGINT) AS c,
            |  CAST(nb AS BIGINT) AS n_bytes
            |FROM hv ORDER BY doc_id""".stripMargin,
+
+      // The PNG round trip's oracle is pure arithmetic: the gate encodes
+      // dimensions and pixels as stableHash functions of doc_id, and a
+      // REAL codec decode must hand exactly those numbers back.
+      "q_multimodal_image" -> {
+        val h0 = hashSql("('png' || doc_id)")
+        s"""WITH hv AS (SELECT doc_id, $h0 AS h0 FROM documents)
+           |SELECT doc_id,
+           |  CAST(1 + h0 % 16 AS BIGINT) AS w,
+           |  CAST(1 + (h0 // 16) % 16 AS BIGINT) AS h,
+           |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS c,
+           |  CAST(h0 % 256 AS BIGINT) AS px00
+           |FROM hv ORDER BY doc_id""".stripMargin
+      },
 
       // DuckDB can't slice BLOBs; the fixture corpus is pure ASCII
       // (octet_length(encode(text)) == length(text) verified at every SF),

@@ -10,12 +10,17 @@ import org.apache.spark.sql.functions._
   * setup across a batch — the same shape as a Pandas-UDF/`mapInPandas`
   * pipeline.
   *
-  * NOTE — STUBBED KERNELS: image/audio codecs are not available in this
-  * build environment, so the decode/feature kernels below are
-  * deterministic fakes over the raw bytes (clearly marked). The Spark-side
-  * contract — schemas, batch shape, partition-wise execution, null
-  * handling — is real and tested; swapping in a real codec touches only
-  * the kernel body.
+  * IMAGE decode is REAL: [[decodeImageMeta]] parses actual image bytes
+  * with the JDK's `javax.imageio` (PNG/GIF/BMP/JPEG readers ship with the
+  * JRE) and is gate-verified against a PNG encode→decode round trip.
+  *
+  * NOTE — STUBBED KERNELS: audio/video codecs are not available in this
+  * build environment, so [[decodeMeta]] (opaque payloads), the feature
+  * extractor, and resize remain deterministic fakes over the raw bytes
+  * (clearly marked). The Spark-side contract — schemas, batch shape,
+  * partition-wise execution, null handling — is real and tested; swapping
+  * in a real codec touches only the kernel body, exactly as
+  * [[decodeImageMeta]] demonstrates.
   */
 object Multimodal {
 
@@ -45,6 +50,75 @@ object Multimodal {
       (w, hgt, c, if (bytes == null) 0 else bytes.length)
     }
     u(content).as("meta")
+  }
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/GIF/BMP/JPEG
+    * readers ship with the JRE — no external codec): struct(width, height,
+    * channels, n_bytes, sample00) where `channels` is the raster band
+    * count and `sample00` is band 0 of pixel (0,0) — a decoded-pixel probe
+    * that proves the decode read actual image data, not just a header.
+    * Undecodable / null content → zeroed struct (error-tolerant like
+    * every kernel here). Decoder instances are per-call; ImageIO's reader
+    * registry is JVM-wide and thread-safe, so this runs scan-local on
+    * executors with no coordination.
+    */
+  def decodeImageMeta(content: Column): Column = {
+    val u = udf { (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.isEmpty) (0, 0, 0, 0, 0)
+      else {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) (0, 0, 0, if (bytes == null) 0 else bytes.length, 0)
+        else {
+          val raster = img.getRaster
+          (img.getWidth, img.getHeight, raster.getNumBands, bytes.length, raster.getSample(0, 0, 0))
+        }
+      }
+    }
+    u(content).as("meta")
+  }
+
+  /** Deterministic synthetic PNG — REAL codec output (BufferedImage →
+    * `ImageIO.write`), with dimensions, color type, and every pixel sample
+    * derived arithmetically from `seed` via the stableHash contract:
+    *   w = 1 + h%16, h = 1 + (h/16)%16, grayscale iff seed even,
+    *   sample(x, y, band) = (h + x + 31·y + 7·band) % 256.
+    * Fixture generator for exercising [[decodeImageMeta]] against an
+    * arithmetic oracle: the decode side recovers exactly these values
+    * through an actual PNG parse.
+    */
+  def syntheticPng(seed: Column): Column = {
+    val u = udf { (id: Long) =>
+      val h0   = graft.functions.Anonymizer.stableHash(s"png$id")
+      val w    = 1 + (h0 % 16).toInt
+      val ht   = 1 + ((h0 / 16) % 16).toInt
+      val gray = id % 2 == 0
+      val img = new java.awt.image.BufferedImage(
+        w, ht,
+        if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+      )
+      val raster = img.getRaster
+      val bands  = raster.getNumBands
+      var y = 0
+      while (y < ht) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < bands) {
+            raster.setSample(x, y, b, ((h0 + x + 31L * y + 7L * b) % 256).toInt)
+            b += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    u(seed)
   }
 
   /** Feature extraction as a partition-wise batch kernel: each partition

@@ -37,11 +37,37 @@ object EventStream {
   case class SessionState(start: Long, lastSeen: Long, events: Int, totalValue: Double)
   case class SessionResult(user_id: Long, session_start: java.sql.Timestamp, n_events: Int, total_value: Double)
 
+  /** Fold a (time-sorted) batch of one user's events into the running
+    * session state: an event farther than the gap from the last one starts
+    * a new session (the previous one is implicitly closed — emitted on
+    * timeout in streaming use).
+    */
+  private def mergeSession(
+      prior: Option[SessionState],
+      evs: Seq[SessionEvent],
+      gapMs: Long
+  ): SessionState =
+    evs.foldLeft(prior.getOrElse(SessionState(evs.head.ts.getTime, 0L, 0, 0.0))) { (s, e) =>
+      if (e.ts.getTime - s.lastSeen > gapMs && s.events > 0)
+        SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)
+      else
+        SessionState(s.start, e.ts.getTime, s.events + 1, s.totalValue + e.value)
+    }
+
   /** Gap-based sessionization with custom state
     * (`mapGroupsWithState` + processing-time timeout): a user's session
-    * closes after `gapMinutes` without events; closed sessions are emitted
-    * with their aggregates. Demonstrates the KeyValueGroupedDataset custom
-    * state surface over the events stream.
+    * closes after `gapMinutes` of WALL-CLOCK silence; closed sessions are
+    * emitted with their aggregates. Demonstrates the KeyValueGroupedDataset
+    * custom state surface over the events stream.
+    *
+    * CAVEAT (streaming): processing-time timeouts make the query schedule
+    * no-data micro-batches continuously (wall time always advances, so the
+    * engine must keep checking for expirable state). Run it with a real
+    * `Trigger.ProcessingTime` interval, and note
+    * `StreamingQuery.processAllAvailable()` never returns on such a query
+    * (`noNewData` is never reached). Prefer [[sessionizeByEventTime]] for
+    * deterministic, replay-stable semantics — processing-time session
+    * closure depends on arrival timing, not on the data.
     */
   def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30): Dataset[SessionResult] = {
     val spark = events.sparkSession
@@ -56,18 +82,60 @@ object EventStream {
             state.remove()
             SessionResult(userId, new java.sql.Timestamp(s.start), s.events, s.totalValue)
           } else {
-            val evs = batch.toSeq.sortBy(_.ts.getTime)
-            val merged = evs.foldLeft(state.getOption.getOrElse(SessionState(evs.head.ts.getTime, 0L, 0, 0.0))) {
-              (s, e) =>
-                if (e.ts.getTime - s.lastSeen > gapMs && s.events > 0)
-                  // New session within the batch: restart (previous one is
-                  // implicitly closed; emitted on timeout in streaming use).
-                  SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)
-                else
-                  SessionState(s.start, e.ts.getTime, s.events + 1, s.totalValue + e.value)
-            }
+            val merged = mergeSession(state.getOption, batch.toSeq.sortBy(_.ts.getTime), gapMs)
             state.update(merged)
             state.setTimeoutDuration(gapMs)
+            SessionResult(userId, new java.sql.Timestamp(merged.start), merged.events, merged.totalValue)
+          }
+      }
+  }
+
+  /** Gap-based sessionization on EVENT time (`mapGroupsWithState` +
+    * event-time timeout): a user's session closes once the WATERMARK passes
+    * `lastSeen + gapMinutes` — closure is a function of the data, not of
+    * arrival timing, so a replay of the same stream yields the same
+    * sessions. This is the variant to run at scale: state is freed by
+    * watermark progress (bounded even with users that vanish), the query
+    * quiesces when the watermark stops advancing (no idle no-data batch
+    * loop, `processAllAvailable()` terminates), and results are
+    * deterministic under retry/replay like every batch operator here.
+    *
+    * On a bounded frame the watermark machinery is elided and this reduces
+    * to the same per-user fold as [[sessionize]] (equivalence is
+    * spec-checked against the DuckDB-verified gaps-and-islands gate).
+    */
+  def sessionizeByEventTime(
+      events: Dataset[SessionEvent],
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"
+  ): Dataset[SessionResult] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionResult](GroupStateTimeout.EventTimeTimeout) {
+        (userId, batch, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionResult(userId, new java.sql.Timestamp(s.start), s.events, s.totalValue)
+          } else {
+            val merged = mergeSession(state.getOption, batch.toSeq.sortBy(_.ts.getTime), gapMs)
+            state.update(merged)
+            // Close when the watermark (event-time low-water mark) passes
+            // the gap horizon; max() guards a session already behind the
+            // current watermark from an invalid in-past timeout. On a
+            // bounded frame the watermark node is elided (getCurrent
+            // WatermarkMs throws) and the timeout is inert — use the raw
+            // horizon.
+            val horizon = merged.lastSeen + gapMs
+            val target =
+              try math.max(horizon, state.getCurrentWatermarkMs() + 1)
+              catch { case _: UnsupportedOperationException => horizon }
+            state.setTimeoutTimestamp(target)
             SessionResult(userId, new java.sql.Timestamp(merged.start), merged.events, merged.totalValue)
           }
       }

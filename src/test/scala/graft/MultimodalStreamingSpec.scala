@@ -24,6 +24,24 @@ class MultimodalStreamingSpec extends SparkSpec {
       val again = media.select(Multimodal.decodeMeta(col("content"))).collect()
       again shouldBe media.select(Multimodal.decodeMeta(col("content"))).collect()
     }
+    it("decodeImageMeta REALLY decodes PNG bytes (JDK ImageIO), tolerating garbage") {
+      val df = Seq(1L, 2L, 3L, 4L).toDF("id")
+        .select(col("id"), Multimodal.syntheticPng(col("id")).as("png"))
+      val out = df.select(col("id"), Multimodal.decodeImageMeta(col("png")).as("m"))
+        .select(col("id"), col("m._1"), col("m._2"), col("m._3"), col("m._5"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      out.foreach { case (id, w, h, c, px) =>
+        val h0 = graft.functions.Anonymizer.stableHash(s"png$id")
+        w shouldBe 1 + (h0 % 16).toInt
+        h shouldBe 1 + ((h0 / 16) % 16).toInt
+        c shouldBe (if (id % 2 == 0) 1 else 3)
+        px shouldBe (h0 % 256).toInt
+      }
+      // Garbage / null bytes never fail the pipeline — zeroed dims.
+      val junk = media.select(Multimodal.decodeImageMeta(col("content")).as("m"))
+        .select(col("m._1")).collect().map(_.getInt(0)).toSet
+      junk shouldBe Set(0)
+    }
     it("extractFeatures emits fixed-width vectors per item") {
       val out = Multimodal.extractFeatures(media, "media_id", "content", dim = 4)
       out.columns shouldBe Array("media_id", "features")
@@ -124,6 +142,133 @@ class MultimodalStreamingSpec extends SparkSpec {
       out(1L).n_events shouldBe 2
       out(1L).total_value shouldBe 3.0
       out(2L).n_events shouldBe 1
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Streaming ⇄ batch EQUIVALENCE on the real events fixture: the same
+  // operator code must produce the same answers whether the fixture is
+  // read as a bounded frame or replayed chronologically through a
+  // MemoryStream — and must agree with the DuckDB-verified batch gates.
+  // -------------------------------------------------------------------
+  describe("streaming ⇄ batch equivalence (sf0.01 events fixture)") {
+    val sfDir = "/root/testdata/sf0.01"
+
+    // ts arrives as TIMESTAMP(NANOS) → long nanos; operators work in the
+    // µs domain (matches the gate oracles' epoch_us).
+    def fixtureEvents = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .select(
+          col("event_id"), col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("event_type"), col("value")
+        )
+    }
+
+    it("windowedAggregate: chronological replay == bounded frame == the q_events_window gate") {
+      val ev    = fixtureEvents
+      def key(r: org.apache.spark.sql.Row) = (r.getTimestamp(0).getTime, r.getString(1))
+      def agg(r: org.apache.spark.sql.Row) = (r.getLong(2), BigDecimal(r.getDouble(3)).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      val batch = EventStream.windowedAggregate(ev.select("ts", "event_type", "value"))
+        .collect().map(r => key(r) -> agg(r)).toMap
+
+      // Streamed: same rows, three chronological micro-batches, Complete mode.
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val query = EventStream.toMemorySink(
+        EventStream.windowedAggregate(input.toDF().toDF("ts", "event_type", "value")),
+        "eq_win", org.apache.spark.sql.streaming.OutputMode.Complete())
+      val rows = ev.orderBy("ts").select("ts", "event_type", "value")
+        .as[(java.sql.Timestamp, String, Double)].collect()
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT * FROM eq_win").collect().map(r => key(r) -> agg(r)).toMap
+      query.stop()
+      streamed shouldBe batch
+
+      // And both match the DuckDB-verified gate (hour arithmetic form;
+      // cnt exact, sums compared at 4 decimals — the gate sums in exact
+      // DECIMAL, the operator in double).
+      val gate = SparkEntry.queries("q_events_window")(spark, sfDir)
+        .collect().map(r => key(r) -> agg(r)).toMap
+      batch shouldBe gate
+    }
+
+    it("dedupWithinWatermark: streamed dedup == batch dropDuplicates (key sets)") {
+      val ev = fixtureEvents.withColumn("k", pmod(col("event_id"), lit(97)))
+      val batchKeys = ev.dropDuplicates("k").select("k").as[Long].collect().toSet
+
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(java.sql.Timestamp, Long)]
+      val query = EventStream.toMemorySink(
+        EventStream.dedupWithinWatermark(input.toDF().toDF("ts", "k"), Seq("k")),
+        "eq_dedup", org.apache.spark.sql.streaming.OutputMode.Append())
+      input.addData(ev.orderBy("ts").select("ts", "k").as[(java.sql.Timestamp, Long)].collect().toIndexedSeq)
+      query.processAllAvailable()
+      val streamedKeys = spark.sql("SELECT k FROM eq_dedup").collect().map(_.getLong(0))
+      query.stop()
+      streamedKeys.length shouldBe streamedKeys.distinct.length // exactly once per key
+      streamedKeys.toSet shouldBe batchKeys
+    }
+
+    it("sessionize: streamed final state == batch mapGroups == gaps-and-islands last session") {
+      import org.apache.spark.sql.expressions.Window
+      val ev = fixtureEvents
+      def norm(start: Long, n: Int, total: Double) =
+        (start, n, BigDecimal(total).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+
+      // Reference: the q_events_sessions gaps-and-islands computation
+      // (gate-shaped), reduced to each user's LAST session — which is what
+      // a final mapGroupsWithState state holds.
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+      val sess = ev
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+        .withColumn("prev", lag("ts_us", 1).over(byUser))
+        .withColumn("flag", when(col("prev").isNull || col("ts_us") - col("prev") > lit(1800000000L), 1).otherwise(0))
+        .withColumn("sno", sum("flag").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sno")
+        .agg(count(lit(1)).as("n"), min("ts_us").as("start_us"), sum("value").as("total"))
+      val lastByUser = sess
+        .withColumn("maxsno", max("sno").over(Window.partitionBy("user_id")))
+        .where(col("sno") === col("maxsno"))
+        .select("user_id", "start_us", "n", "total")
+        .collect()
+        .map(r => r.getLong(0) -> norm(r.getLong(1) / 1000, r.getLong(2).toInt, r.getDouble(3)))
+        .toMap
+
+      // Batch mapGroupsWithState — BOTH timeout flavors reduce to the same
+      // per-user fold on a bounded frame.
+      val ds = ev.select(col("user_id"), col("ts"), col("value")).as[EventStream.SessionEvent]
+      val batchFinal = EventStream.sessionize(ds, gapMinutes = 30)
+        .collect()
+        .map(r => r.user_id -> norm(r.session_start.getTime, r.n_events, r.total_value))
+        .toMap
+      batchFinal shouldBe lastByUser
+      val batchEventTime = EventStream.sessionizeByEventTime(ds, gapMinutes = 30)
+        .collect()
+        .map(r => r.user_id -> norm(r.session_start.getTime, r.n_events, r.total_value))
+        .toMap
+      batchEventTime shouldBe batchFinal
+
+      // Streamed through the EVENT-TIME variant (the processing-time one
+      // never quiesces under processAllAvailable — see sessionize scaladoc):
+      // every event in one chronological micro-batch → Update mode emits
+      // the merged state per user, then the watermark batch re-emits closed
+      // sessions with identical aggregates (collapsed by toMap).
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[EventStream.SessionEvent]
+      val query = EventStream.toMemorySink(
+        EventStream.sessionizeByEventTime(input.toDS(), gapMinutes = 30).toDF(), "eq_sess")
+      input.addData(ds.orderBy("ts").collect().toIndexedSeq)
+      query.processAllAvailable()
+      val streamedFinal = spark.sql("SELECT * FROM eq_sess").collect()
+        .map(r => r.getLong(0) -> norm(r.getTimestamp(1).getTime, r.getInt(2), r.getDouble(3)))
+        .toMap
+      query.stop()
+      streamedFinal shouldBe batchFinal
     }
   }
 }
