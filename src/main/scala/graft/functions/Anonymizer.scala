@@ -1,180 +1,178 @@
 package graft.functions
 
+import java.nio.ByteBuffer
 import java.security.MessageDigest
 
-/** A deterministic string anonymization function.
+/** One deterministic string→string scrubbing function.
   *
-  * Semantics contract mirrored from the reference engine
-  * (simple-anonymizer/src/scala/simpleanonymizer/Anonymizer.scala:10-207):
-  * deterministic (same input → same output), realistic-looking (list-based),
-  * one-way (MD5-derived selection). All functions preserve null and empty
-  * inputs unchanged.
+  * Behavioral contract (mirrored from the reference engine,
+  * simple-anonymizer/src/scala/simpleanonymizer/Anonymizer.scala:10-207):
+  * equal inputs always map to equal outputs, outputs look like plausible
+  * data (drawn from frozen word lists), and the mapping is one-way because
+  * selection is keyed on an MD5 digest of the input. Every function passes
+  * null and "" through untouched.
   */
 trait Anonymizer extends (String => String) with Serializable
 
 object Anonymizer {
 
-  /** Per-thread MessageDigest: stableHash runs once per SHINGLE in the
-    * dedup kernels (millions of calls per partition), and
-    * `MessageDigest.getInstance` allocates provider machinery every call.
-    * `digest()` leaves the instance reset, so reuse is safe.
+  // ---------------------------------------------------------------------
+  // Hash core. This is THE determinism contract: the DuckDB oracle SQL
+  // replays the identical derivation (see graft.OracleGen.stableHashSql),
+  // and all fourteen scrubbers below key off it. MD5 specifically —
+  // swapping in murmur/xxhash would silently break oracle parity.
+  // ---------------------------------------------------------------------
+
+  /** Thread-pinned digest instance. The dedup kernels call [[stableHash]]
+    * once per shingle — millions of times per partition — and
+    * `MessageDigest.getInstance` builds provider plumbing on every call,
+    * so each executor thread keeps one instance (`digest()` resets it,
+    * making reuse sound).
     */
   private val md5 = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
-  /** Stable non-negative hash of a string: first 4 bytes of the MD5 digest,
-    * big-endian, masked positive. null/"" → 0.
-    *
-    * This EXACT derivation (MD5, not murmur/xxhash) is the determinism
-    * contract — reference Anonymizer.scala:27-36. It is also reproduced in
-    * the DuckDB oracle SQL (see [[graft.OracleGen.stableHashSql]]); the two
-    * must never diverge.
+  /** Stable non-negative int for a string: the digest's leading 4 bytes
+    * read big-endian, sign bit cleared. null and "" map to 0. Reference
+    * derivation: Anonymizer.scala:27-36.
     */
-  def stableHash(input: String): Int = {
-    if (input == null || input.isEmpty) return 0
-    val bytes = md5.get().digest(input.getBytes("UTF-8"))
-    val hash = ((bytes(0) & 0xff) << 24) |
-      ((bytes(1) & 0xff) << 16) |
-      ((bytes(2) & 0xff) << 8) |
-      (bytes(3) & 0xff)
-    hash & Int.MaxValue
-  }
+  def stableHash(input: String): Int =
+    if (input == null || input.isEmpty) 0
+    else {
+      val digest = md5.get().digest(input.getBytes("UTF-8"))
+      ByteBuffer.wrap(digest, 0, 4).getInt & Int.MaxValue
+    }
 
-  /** Deterministic list element selection — reference Anonymizer.scala:39-43. */
+  /** Hash-keyed pick from a frozen list (reference Anonymizer.scala:39-43). */
   def selectByHash(input: String, list: IndexedSeq[String]): String =
     list(stableHash(input) % list.size)
 
-  /** null/empty inputs flow through untransformed — reference Anonymizer.scala:66-67. */
-  @inline private def preserveNullOrEmpty(input: String)(transform: String => String): String =
-    if (input == null || input.isEmpty) input else transform(input)
-
-  /** Selects from a fixed list using the stable hash of the input. */
-  abstract class ListAnonymizer(list: IndexedSeq[String]) extends Anonymizer {
-    override def apply(input: String): String =
-      preserveNullOrEmpty(input)(selectByHash(_, list))
-  }
-
-  case object FirstName       extends ListAnonymizer(DataLists.firstNames)
-  case object MaleFirstName   extends ListAnonymizer(DataLists.maleFirstNames)
-  case object FemaleFirstName extends ListAnonymizer(DataLists.femaleFirstNames)
-  case object LastName        extends ListAnonymizer(DataLists.lastNames)
-  case object State           extends ListAnonymizer(DataLists.states)
-  case object StateAbbr       extends ListAnonymizer(DataLists.stateAbbrs)
-  case object Country         extends ListAnonymizer(DataLists.countries)
-
-  /** first + " " + last, with the last name salted via `input + "_last"` —
-    * reference Anonymizer.scala:84-91.
+  /** Derived-key convention for multi-part outputs: part salts ("_last",
+    * "_domain", "_street", ...) are appended to the input before hashing so
+    * each part varies independently yet stays deterministic.
     */
-  case object FullName extends Anonymizer {
-    override def apply(input: String): String =
-      preserveNullOrEmpty(input) { in =>
-        val first = selectByHash(in, DataLists.firstNames)
-        val last  = selectByHash(in + "_last", DataLists.lastNames)
-        s"$first $last"
-      }
+  @inline private def salted(input: String, salt: String): Int = stableHash(input + salt)
+
+  /** Wrap a transform with the null/"" passthrough every scrubber shares. */
+  private def scrubber(transform: String => String): Anonymizer =
+    new Anonymizer {
+      override def apply(input: String): String =
+        if (input == null || input.isEmpty) input else transform(input)
+    }
+
+  // ---------------------------------------------------------------------
+  // Redaction family — shape-preserving, no word lists.
+  // ---------------------------------------------------------------------
+
+  /** Same-length star string (reference Anonymizer.scala:148-151). */
+  val Redact: Anonymizer = scrubber(in => "*" * in.length)
+
+  /** Stars the middle, keeps `showFirst`/`showLast` edge chars; inputs no
+    * longer than the kept edges redact fully (reference
+    * Anonymizer.scala:154-165).
+    */
+  case class PartialRedact(showFirst: Int = 2, showLast: Int = 2) extends Anonymizer {
+    override def apply(input: String): String = {
+      if (input == null || input.isEmpty) return input
+      val n = input.length
+      if (n <= showFirst + showLast) "*" * n
+      else input.substring(0, showFirst) + ("*" * (n - showFirst - showLast)) + input.substring(n - showLast)
+    }
   }
 
-  /** Fixed safe-domain pool — reference Anonymizer.scala:95. Frozen order. */
+  /** Length-preserving lorem filler: words cycle from a hash-chosen offset,
+    * space-joined, and the result is cut to the input's exact length
+    * (reference Anonymizer.scala:168-207). The SQL oracle uses the closed
+    * form — join `len` words `lorem[(hash+j) % 19]` then take `len` chars —
+    * which produces the same prefix as this stop-when-long-enough loop.
+    */
+  val LoremText: Anonymizer = scrubber { in =>
+    val want = in.length
+    val out  = new StringBuilder(want + 16)
+    var idx  = stableHash(in)
+    while (out.length < want) {
+      if (out.nonEmpty) out.append(' ')
+      out.append(DataLists.loremWords(idx % DataLists.loremWords.size))
+      idx += 1
+    }
+    out.substring(0, want)
+  }
+
+  // ---------------------------------------------------------------------
+  // List-backed family — one hash, one lookup.
+  // ---------------------------------------------------------------------
+
+  private def fromList(list: IndexedSeq[String]): Anonymizer =
+    scrubber(selectByHash(_, list))
+
+  val FirstName: Anonymizer       = fromList(DataLists.firstNames)
+  val MaleFirstName: Anonymizer   = fromList(DataLists.maleFirstNames)
+  val FemaleFirstName: Anonymizer = fromList(DataLists.femaleFirstNames)
+  val LastName: Anonymizer        = fromList(DataLists.lastNames)
+  val State: Anonymizer           = fromList(DataLists.states)
+  val StateAbbr: Anonymizer       = fromList(DataLists.stateAbbrs)
+  val Country: Anonymizer         = fromList(DataLists.countries)
+
+  // ---------------------------------------------------------------------
+  // Composite family — several salted selections assembled into one value.
+  // ---------------------------------------------------------------------
+
+  /** "First Last", the surname keyed on the "_last" salt (reference
+    * Anonymizer.scala:84-91).
+    */
+  val FullName: Anonymizer = scrubber { in =>
+    selectByHash(in, DataLists.firstNames) + " " + selectByHash(in + "_last", DataLists.lastNames)
+  }
+
+  /** Safe output domains, order frozen (reference Anonymizer.scala:95). */
   val emailDomains: IndexedSeq[String] =
     Vector("example.com", "test.com", "fake.org", "sample.net")
 
-  /** lowercase first.last@domain with per-part salts — reference Anonymizer.scala:94-104. */
-  case object Email extends Anonymizer {
-    override def apply(input: String): String =
-      preserveNullOrEmpty(input) { in =>
-        val first  = selectByHash(in, DataLists.firstNames).toLowerCase
-        val last   = selectByHash(in + "_last", DataLists.lastNames).toLowerCase
-        val domain = emailDomains(stableHash(in + "_domain") % emailDomains.size)
-        s"$first.$last@$domain"
-      }
-  }
-
-  /** 10 digits from nibble rotations of one hash, "(XXX) XXX-XXXX" —
-    * reference Anonymizer.scala:107-114 (bit-for-bit derivation).
+  /** lowercase "first.last@domain"; name parts and domain each carry their
+    * own salt (reference Anonymizer.scala:94-104).
     */
-  case object PhoneNumber extends Anonymizer {
-    override def apply(input: String): String =
-      preserveNullOrEmpty(input) { in =>
-        val hash   = stableHash(in)
-        val digits = (0 until 10).map(i => ((hash >> (i % 30)) & 0xf) % 10)
-        s"(${digits.take(3).mkString}) ${digits.slice(3, 6).mkString}-${digits.slice(6, 10).mkString}"
-      }
+  val Email: Anonymizer = scrubber { in =>
+    val user = selectByHash(in, DataLists.firstNames).toLowerCase +
+      "." + selectByHash(in + "_last", DataLists.lastNames).toLowerCase
+    user + "@" + emailDomains(salted(in, "_domain") % emailDomains.size)
   }
 
-  /** "(hash%9999)+1 lastName-as-street streetSuffix" — reference Anonymizer.scala:117-126. */
-  case object StreetAddress extends Anonymizer {
-    override def apply(input: String): String =
-      preserveNullOrEmpty(input) { in =>
-        val hash   = stableHash(in)
-        val number = (hash % 9999) + 1
-        val street = selectByHash(in + "_street", DataLists.lastNames)
-        val suffix = selectByHash(in + "_suffix", DataLists.streetSuffixes)
-        s"$number $street $suffix"
-      }
-  }
-
-  /** lastName + citySuffix, no separator — reference Anonymizer.scala:129-136. */
-  case object City extends Anonymizer {
-    override def apply(input: String): String =
-      preserveNullOrEmpty(input) { in =>
-        val name   = selectByHash(in, DataLists.lastNames)
-        val suffix = selectByHash(in + "_suffix", DataLists.citySuffixes)
-        s"$name$suffix"
-      }
-  }
-
-  /** 5-digit zip in [10000, 99999] — reference Anonymizer.scala:139-145. */
-  case object ZipCode extends Anonymizer {
-    override def apply(input: String): String =
-      preserveNullOrEmpty(input) { in =>
-        val hash = stableHash(in)
-        f"${(hash % 90000) + 10000}%05d"
-      }
-  }
-
-  /** Full redaction preserving length — reference Anonymizer.scala:148-151. */
-  case object Redact extends Anonymizer {
-    override def apply(input: String): String =
-      preserveNullOrEmpty(input)(in => "*" * in.length)
-  }
-
-  /** Keep first/last chars, star the middle; too-short → full redact —
-    * reference Anonymizer.scala:154-165.
+  /** "(AAA) BBB-CCCC" where digit i is `((hash >> (i % 30)) & 0xf) % 10` —
+    * ten digits milled from one hash's nibble rotations, bit-for-bit the
+    * reference derivation (Anonymizer.scala:107-114).
     */
-  case class PartialRedact(showFirst: Int = 2, showLast: Int = 2) extends Anonymizer {
-    override def apply(input: String): String =
-      preserveNullOrEmpty(input) { in =>
-        if (in.length <= showFirst + showLast) "*" * in.length
-        else {
-          val first  = in.take(showFirst)
-          val last   = in.takeRight(showLast)
-          val middle = "*" * (in.length - showFirst - showLast)
-          s"$first$middle$last"
-        }
-      }
+  val PhoneNumber: Anonymizer = scrubber { in =>
+    val hash = stableHash(in)
+    val out  = new StringBuilder(14)
+    var i    = 0
+    while (i < 10) {
+      out.append((((hash >> (i % 30)) & 0xf) % 10).toString.charAt(0))
+      i += 1
+      if (i == 3) out.insert(0, '(').append(") ")
+      else if (i == 6) out.append('-')
+    }
+    out.toString
   }
 
-  /** Lorem words cycled from a hash offset, space-joined, truncated to the
-    * input's length — reference Anonymizer.scala:168-207. Equivalent closed
-    * form (used by the SQL oracle): join the first `len` words
-    * `lorem[(hash+j) % 19]` with spaces and take the first `len` chars —
-    * appending extra words past the target then truncating yields the same
-    * prefix as the reference's stop-when-long-enough loop.
+  /** "N Surname Suffix" with N in [1, 9999] (reference
+    * Anonymizer.scala:117-126).
     */
-  case object LoremText extends Anonymizer {
-    override def apply(input: String): String =
-      preserveNullOrEmpty(input) { in =>
-        val targetLength = in.length
-        val hash         = stableHash(in)
-        val result       = new StringBuilder()
-        var wordIndex    = hash
-        while (result.length < targetLength) {
-          if (result.nonEmpty) result.append(" ")
-          result.append(DataLists.loremWords(wordIndex % DataLists.loremWords.size))
-          wordIndex += 1
-        }
-        result.toString.take(targetLength)
-      }
+  val StreetAddress: Anonymizer = scrubber { in =>
+    val number = (stableHash(in) % 9999) + 1
+    number.toString + " " + selectByHash(in + "_street", DataLists.lastNames) +
+      " " + selectByHash(in + "_suffix", DataLists.streetSuffixes)
+  }
+
+  /** Surname glued directly to a city suffix (reference
+    * Anonymizer.scala:129-136).
+    */
+  val City: Anonymizer = scrubber { in =>
+    selectByHash(in, DataLists.lastNames) + selectByHash(in + "_suffix", DataLists.citySuffixes)
+  }
+
+  /** Five digits in [10000, 99999] (reference Anonymizer.scala:139-145). */
+  val ZipCode: Anonymizer = scrubber { in =>
+    f"${(stableHash(in) % 90000) + 10000}%05d"
   }
 }

@@ -36,12 +36,20 @@ object Dedup {
     * outgrow the broadcast threshold) and each pair is verified by the same
     * merge-scan kernel. `Auto` measures the corpus (Σ shingles × 8 bytes)
     * and picks — the standard map-side-join auto-selection.
+    *
+    * The default bound is set by measurement, not broadcast capacity: the
+    * broadcast map is BUILT single-threaded (collect + hash-map insert on
+    * the driver), so it loses to the fully parallel shuffled join well
+    * before the payload stops fitting. The x100 scale soak (SCALE.md,
+    * 500k docs ≈ 150 MB estimated payload) measured broadcast-verify at
+    * 26.6 s vs shuffle-verify at 19.7 s on the same candidates; 64 MB
+    * keeps the broadcast kernel for the corpora where it actually wins.
     */
   sealed trait VerifyMode
   object VerifyMode {
     case object Broadcast                                      extends VerifyMode
     case object Shuffle                                        extends VerifyMode
-    case class Auto(maxBroadcastBytes: Long = 256L * 1024 * 1024) extends VerifyMode
+    case class Auto(maxBroadcastBytes: Long = 64L * 1024 * 1024) extends VerifyMode
   }
 
   /** Distinct character n-grams of `text`, positions 1..len-n+1. For texts

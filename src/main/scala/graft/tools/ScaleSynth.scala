@@ -36,21 +36,39 @@ object ScaleSynth {
   private val upper  = lower.toUpperCase
   private val digits = "0123456789"
 
-  /** Per-copy Caesar alphabet for translate(): rotate letters by
-    * `i % 26`, digits by `i % 10`. Pure Column expression — no UDF.
+  /** Per-copy AFFINE substitution cipher for translate(): letter at index
+    * j maps to index `(a·j + b) % 26` with `a` coprime to 26, giving
+    * 12 × 26 = 312 distinct alphabet permutations (Caesar rotation alone
+    * cycles at 26 — copies i and i+26 would be IDENTICAL text, turning
+    * every doc into a cross-copy exact duplicate and inflating dedup pair
+    * counts quadratically past mult 26). Digits use affine mod 10
+    * (4 × 10 = 40 maps; pure-digit shingles are rare enough that the
+    * residual overlap past 40 copies is noise). Copy 0 is (a=1, b=0) —
+    * the identity. Pure Column expression — no UDF.
     */
+  private val letterCoprimes = Vector(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+  private val digitCoprimes  = Vector(1, 3, 7, 9)
+
   private def rotText(c: org.apache.spark.sql.Column, i: Int) = {
-    val l = i % 26
-    val d = i % 10
-    val from = lower + upper + digits
-    val to   = lower.drop(l) + lower.take(l) + upper.drop(l) + upper.take(l) + digits.drop(d) + digits.take(d)
-    if (i == 0) c else translate(c, from, to)
+    if (i == 0) c
+    else {
+      val (la, lb) = (letterCoprimes((i / 26) % 12), i % 26)
+      val (da, db) = (digitCoprimes((i / 10) % 4), i % 10)
+      def perm(alphabet: String, a: Int, b: Int): String =
+        alphabet.indices.map(j => alphabet((a * j + b) % alphabet.length)).mkString
+      val from = lower + upper + digits
+      val to   = perm(lower, la, lb) + perm(upper, la, lb) + perm(digits, da, db)
+      translate(c, from, to)
+    }
   }
 
   private def maxPlusOne(df: DataFrame, idCol: String): Long =
     df.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0) + 1L
 
   def synthesize(spark: SparkSession, srcDir: String, outDir: String, mult: Int): Unit = {
+    // events.parquet carries TIMESTAMP(NANOS); session-dynamic legacy flag
+    // (see TESTDATA.md) — set here so every caller-supplied session works.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
 
     val cStride = maxPlusOne(src("customer"), "c_custkey")
@@ -86,8 +104,12 @@ object ScaleSynth {
       val rotated =
         if (r == 0) col("embedding")
         else concat(slice(col("embedding"), r + 1, dims - r), slice(col("embedding"), 1, r))
+      // Rotation alone cycles at `dims`; negate on odd cycles so copies
+      // i and i+dims are antipodal (cosine −1), not identical — supports
+      // multipliers up to 2×dims without cross-copy near-dup inflation.
+      val scrambled = if ((i / dims) % 2 == 1) transform(rotated, x => -x) else rotated
       df.withColumn("vec_id", col("vec_id") + lit(i * vStride))
-        .withColumn("embedding", rotated)
+        .withColumn("embedding", scrambled)
     }
     write("events") { (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * eStride))

@@ -326,6 +326,28 @@ class OperatorsSpec extends SparkSpec {
       Dedup.duplicateClusters(chain, mode = Dedup.ClusterMode.Local)
         .as[(Long, Long)].collect().toSet shouldBe reps.toSet
     }
+    it("handles a 10^5-edge celebrity star without skew blowup") {
+      // One document near-duplicating 100k others concentrates every edge
+      // on a single join key (the hub) — the worst skew shape the round
+      // join can see. Diameter 2 → pointer jumping converges in ~2 rounds;
+      // the hub key's reducer gets all 2×10^5 symmetric rows in each, so
+      // degradation here would mean the join shape (not the round count)
+      // is wrong. The wall bound is deliberately loose (box noise) — it
+      // exists to catch O(rounds × full-shuffle) regressions, which land
+      // in minutes, not seconds.
+      val n    = 100 * 1000
+      val star = spark.range(1, n + 1).selectExpr("CAST(0 AS LONG) AS doc_a", "id AS doc_b")
+      val t0   = System.nanoTime()
+      val reps = Dedup.duplicateClusters(star, mode = Dedup.ClusterMode.Distributed)
+        .as[(Long, Long)].collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      reps.length shouldBe n + 1
+      reps.map(_._2).distinct.toSeq shouldBe Seq(0L) // hub is min → one cluster
+      sec should be < 180.0
+      // Driver union-find agrees on the same edges.
+      Dedup.duplicateClusters(star, mode = Dedup.ClusterMode.Local)
+        .as[(Long, Long)].collect().toSet shouldBe reps.toSet
+    }
   }
 
   describe("CosineSimilarity native expression") {
