@@ -634,6 +634,33 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // Deterministic shard + within-shard position (the training-export
+    // "global shuffle" without a global sort; seed 7 = epoch key).
+    "q_shard_assign" -> ((s, dir) =>
+      Sampling.shardAssign(t(s, dir, "documents").select("doc_id"), "doc_id", numShards = 8, seed = 7L)
+        .select("doc_id", "shard", "pos").orderBy("doc_id")),
+
+    // Per-domain document quota (C4-style host capping): synthetic hosts
+    // derived arithmetically (URL extraction itself is q_text_urls'
+    // gate); docs with doc_id % 11 == 0 have no domain and pass uncapped.
+    "q_domain_quota" -> ((s, dir) => {
+      val host = when(pmod(col("doc_id"), lit(11)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("site"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".example.com")))
+      TextAnalysis.domainQuota(
+        t(s, dir, "documents").select(col("doc_id"), host.as("host")),
+        "host", "doc_id", maxPerDomain = 3
+      ).orderBy("doc_id")
+    }),
+
+    // Greedy whole-document sequence packing into 512-token budgets over
+    // 8 hash shards; the oracle replays the same greedy fold with a
+    // recursive CTE per shard.
+    "q_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(
+        t(s, dir, "documents").select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", maxTokens = 512, numShards = 8
+      ).orderBy("doc_id")),
+
     // Token-window chunking (20-token chunks, 5-token overlap) — the
     // training-length windowing step; exact text + counts per chunk.
     "q_text_chunks" -> ((s, dir) =>
@@ -1265,6 +1292,44 @@ object SparkEntry {
            |  WHEN ${hashSql("CAST(doc_id AS VARCHAR)")} % 1000000 < 900000 THEN 'val'
            |  ELSE 'test' END AS split
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_shard_assign" ->
+        s"""WITH h AS (SELECT doc_id, ${hashSql("(doc_id || '_shard7')")} AS hv FROM documents)
+           |SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+           |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv // 8, doc_id) AS BIGINT) AS pos
+           |FROM h ORDER BY doc_id""".stripMargin,
+
+      "q_domain_quota" ->
+        s"""WITH d AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 11 = 0 THEN NULL
+           |         ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' END AS host
+           |  FROM documents),
+           |r AS (SELECT doc_id, host,
+           |    row_number() OVER (PARTITION BY host ORDER BY ${hashSql("(doc_id || '_dq')")}, doc_id) AS rn
+           |  FROM d)
+           |SELECT doc_id, host FROM r WHERE host IS NULL OR rn <= 3 ORDER BY doc_id""".stripMargin,
+
+      // Greedy packing replayed exactly: per shard, fold documents in id
+      // order through (flush when the budget would overflow) — a
+      // recursive CTE stepping row_number by row_number.
+      "q_pack_sequences" ->
+        s"""WITH RECURSIVE t AS (
+           |  SELECT doc_id, CAST(${hashSql("(doc_id || '_pack')")} % 8 AS BIGINT) AS shard,
+           |         CAST(len(${tokensSql("text")}) AS BIGINT) AS cnt
+           |  FROM documents),
+           |o AS (SELECT doc_id, shard, cnt,
+           |        row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM t),
+           |p AS (
+           |  SELECT shard, rn, doc_id, cnt,
+           |         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset, cnt AS used
+           |  FROM o WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.shard, o.rn, o.doc_id, o.cnt,
+           |    CASE WHEN p.used > 0 AND p.used + o.cnt > 512 THEN p.seq_id + 1 ELSE p.seq_id END,
+           |    CASE WHEN p.used > 0 AND p.used + o.cnt > 512 THEN CAST(0 AS BIGINT) ELSE p.used END,
+           |    CASE WHEN p.used > 0 AND p.used + o.cnt > 512 THEN o.cnt ELSE p.used + o.cnt END
+           |  FROM o JOIN p ON o.shard = p.shard AND o.rn = p.rn + 1)
+           |SELECT doc_id, shard, seq_id, seq_offset FROM p ORDER BY doc_id""".stripMargin,
 
       "q_sample_stratified" ->
         s"""SELECT event_id, event_type FROM events

@@ -82,4 +82,32 @@ object Sampling {
     }
     df.withColumn(outCol, labeled)
   }
+
+  /** Deterministic shard + within-shard position for training-data export —
+    * the "global shuffle" a training run wants, without a global sort: the
+    * id-hash assigns the shard AND the pseudo-random order inside it, so
+    * writing each shard in `pos` order yields a reproducible, well-mixed
+    * dataset at any scale.
+    *
+    * One shuffle (the window partition on `shard`); each shard sorts
+    * independently, so parallelism = `numShards` and no stage ever sees a
+    * global order. `seed` folds into the hash text, giving independent
+    * reshuffles of the same corpus (epoch seeds). Retry-stable like every
+    * sampler here: a row's (shard, pos) depends only on (id, seed, corpus
+    * membership).
+    */
+  def shardAssign(df: DataFrame, idCol: String, numShards: Int, seed: Long = 0L): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = HashCols.stableHash(concat(col(idCol).cast("string"), lit("_shard"), lit(seed.toString)))
+    val withShard = df
+      .withColumn("shard", pmod(h, lit(numShards.toLong)))
+      // The hash div numShards is the within-shard mix order (independent
+      // of the shard bits); id breaks the rare hash-collision tie so the
+      // order is total and deterministic.
+      .withColumn("ord", floor(h / numShards))
+    withShard
+      .withColumn("pos", row_number().over(Window.partitionBy("shard").orderBy(col("ord"), col(idCol))).cast("long"))
+      .drop("ord")
+  }
 }

@@ -427,4 +427,83 @@ object TextAnalysis {
         }
       }
     }
+
+  /** Cap each domain's contribution to the corpus at `maxPerDomain`
+    * documents — the C4-style guard against a single boilerplate-heavy
+    * host dominating training data. Which documents survive is
+    * deterministic: the per-domain keep order is the id-hash (salted
+    * "_dq"), so re-runs and retries keep the same rows, and the cut is a
+    * fair pseudo-random sample of the domain rather than "whatever sorted
+    * first". Rows with a null/empty domain pass through uncapped (no
+    * domain signal ≠ over-represented domain).
+    *
+    * One shuffle (window partition on the domain column). A celebrity
+    * domain concentrates its rows on one reducer, but only until the
+    * rank cutoff — the emitted surplus is dropped in the same stage, and
+    * rank needs no full sort buffer beyond the partition's spill budget.
+    */
+  def domainQuota(df: DataFrame, domainCol: String, idCol: String, maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain > 0, "maxPerDomain must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w  = Window.partitionBy(col(domainCol)).orderBy(HashCols.stableHash(concat(col(idCol).cast("string"), lit("_dq"))), col(idCol))
+    val rn = row_number().over(w)
+    df.withColumn("_dq_rn", when(col(domainCol).isNull || col(domainCol) === "", lit(0)).otherwise(rn))
+      .where(col("_dq_rn") <= maxPerDomain)
+      .drop("_dq_rn")
+  }
+
+  /** Greedy sequence packing: concatenate whole documents into
+    * fixed-budget training sequences (no document splitting — the
+    * complement of [[chunkByTokens]], which splits; real pipelines pack
+    * the short tail after chunking the long head). Documents are
+    * hash-assigned to `numShards` independent shards and packed greedily
+    * in id order within each shard: a document that no longer fits opens
+    * the next sequence; a document exceeding `maxTokens` on its own
+    * occupies its sequence alone. Output: (id, shard, seq_id, seq_offset)
+    * with seq_id dense per shard and seq_offset the document's token
+    * start inside its sequence.
+    *
+    * Scale shape: ONE shuffle (repartition by shard) + a sort within
+    * partitions + a single sequential pass per partition — the classic
+    * secondary-sort pattern. Packing is inherently sequential PER SHARD
+    * (each bin depends on every prior document), so the shard count IS
+    * the parallelism knob; state per task is three longs, independent of
+    * shard size. Deterministic for a fixed (corpus, numShards,
+    * maxTokens): assignment and order are id-hash/id-driven, so retries
+    * repack identically.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCountCol: String,
+      maxTokens: Long,
+      numShards: Int
+  ): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(numShards > 0, "numShards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val assigned = df.select(
+      col(idCol).cast("long").as("id"),
+      pmod(HashCols.stableHash(concat(col(idCol).cast("string"), lit("_pack"))), lit(numShards.toLong)).as("shard"),
+      col(tokenCountCol).cast("long").as("cnt")
+    )
+    assigned
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { rows =>
+        var curShard = Long.MinValue
+        var seqId    = 0L
+        var used     = 0L
+        rows.map { case (id, shard, cnt) =>
+          if (shard != curShard) { curShard = shard; seqId = 0L; used = 0L }
+          if (used > 0 && used + cnt > maxTokens) { seqId += 1; used = 0L }
+          val offset = used
+          used += cnt
+          (id, shard, seqId, offset)
+        }
+      }
+      .toDF(idCol, "shard", "seq_id", "seq_offset")
+  }
 }

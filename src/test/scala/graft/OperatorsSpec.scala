@@ -720,4 +720,68 @@ class OperatorsSpec extends SparkSpec {
       r.getAs[Double]("alpha_ratio") should be < 1.0
     }
   }
+
+  describe("training-export operators") {
+    import graft.operators.Sampling
+
+    it("shardAssign: dense 1..n positions per shard, seed-keyed permutations, retry-stable") {
+      val df  = spark.range(1, 1001).toDF("doc_id")
+      val out = Sampling.shardAssign(df, "doc_id", numShards = 8, seed = 7)
+        .as[(Long, Long, Long)].collect()
+      out.length shouldBe 1000
+      out.groupBy(_._2).foreach { case (_, rows) =>
+        rows.map(_._3).sorted.toSeq shouldBe (1L to rows.length).toSeq // dense, no gaps
+      }
+      // Deterministic: a re-run is byte-identical.
+      Sampling.shardAssign(df, "doc_id", numShards = 8, seed = 7)
+        .as[(Long, Long, Long)].collect().toSet shouldBe out.toSet
+      // A different seed is a different shuffle of the same corpus.
+      val other = Sampling.shardAssign(df, "doc_id", numShards = 8, seed = 8)
+        .as[(Long, Long, Long)].collect()
+      other.toSet should not be out.toSet
+    }
+
+    it("domainQuota caps each domain, passes null/empty domains through") {
+      val df = spark.range(1, 101).toDF("id").withColumn(
+        "host",
+        when(pmod(col("id"), lit(10)) === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("h"), pmod(col("id"), lit(3)).cast("string")))
+      )
+      val kept = TextAnalysis.domainQuota(df, "host", "id", maxPerDomain = 5)
+        .as[(Long, Option[String])].collect()
+      val byHost = kept.groupBy(_._2)
+      byHost(None).length shouldBe 10                       // null domain uncapped
+      byHost.filter(_._1.isDefined).values.foreach(_.length shouldBe 5)
+      // Retry-stable: the SAME five survive a re-run.
+      TextAnalysis.domainQuota(df, "host", "id", maxPerDomain = 5)
+        .as[(Long, Option[String])].collect().toSet shouldBe kept.toSet
+    }
+
+    it("packSequences: budget never overflows except a lone oversized doc; offsets are contiguous") {
+      val L = 512L
+      // Token counts spanning tiny to oversized (up to 700 > L).
+      val df = spark.range(1, 501).toDF("doc_id")
+        .withColumn("n_tokens", (pmod(col("doc_id") * 37, lit(700)) + 1).cast("long"))
+      val cnts = df.as[(Long, Long)].collect().toMap
+      val out = TextAnalysis.packSequences(df, "doc_id", "n_tokens", maxTokens = L, numShards = 4)
+        .as[(Long, Long, Long, Long)].collect()
+      out.length shouldBe 500
+      out.groupBy(r => (r._2, r._3)).foreach { case ((_, _), rows) =>
+        val total = rows.map(r => cnts(r._1)).sum
+        if (total > L) rows.length shouldBe 1 // only a single oversized doc may exceed the budget
+        // Offsets tile the sequence: sorted by id, each doc starts where
+        // the previous ended.
+        val sorted = rows.sortBy(_._1)
+        sorted.foldLeft(0L) { (expected, r) =>
+          r._4 shouldBe expected
+          expected + cnts(r._1)
+        }
+      }
+      // seq_ids are dense per shard (greedy never skips a bin).
+      out.groupBy(_._2).foreach { case (_, rows) =>
+        val ids = rows.map(_._3).distinct.sorted.toSeq
+        ids shouldBe (0L until ids.length).toSeq
+      }
+    }
+  }
 }
