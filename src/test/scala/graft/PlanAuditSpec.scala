@@ -43,6 +43,34 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("shardAssign is ONE shuffle (the shard window) — no global sort") {
+      withoutAqe {
+        val df   = spark.range(1, 1000).toDF("doc_id")
+        val plan = executed(graft.operators.Sampling.shardAssign(df, "doc_id", numShards = 8, seed = 1))
+        shuffles(plan) shouldBe 1
+      }
+    }
+
+    it("packSequences is ONE shuffle (repartition by shard) + in-partition sort") {
+      withoutAqe {
+        val df = spark.range(1, 1000).toDF("doc_id")
+          .withColumn("n_tokens", pmod(col("doc_id") * 37, lit(700)) + 1)
+        val plan = executed(TextAnalysis.packSequences(df, "doc_id", "n_tokens", maxTokens = 512, numShards = 4))
+        shuffles(plan) shouldBe 1
+        // The sort must be partition-local (secondary sort), not global.
+        plan.collect { case s: org.apache.spark.sql.execution.SortExec if s.global => s } shouldBe empty
+      }
+    }
+
+    it("domainQuota is ONE shuffle (the domain window)") {
+      withoutAqe {
+        val df = spark.range(1, 1000).toDF("id")
+          .withColumn("host", concat(lit("h"), pmod(col("id"), lit(5)).cast("string")))
+        val plan = executed(TextAnalysis.domainQuota(df, "host", "id", maxPerDomain = 3))
+        shuffles(plan) shouldBe 1
+      }
+    }
+
     it("decontaminationOverlap broadcasts the benchmark side, never the corpus") {
       assume(new java.io.File(sfDir).isDirectory)
       withoutAqe {
