@@ -779,6 +779,29 @@ object SparkEntry {
         .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"), col("proj_value"))
         .orderBy("vec_id", "dim_idx")),
 
+    // Int8 quantization digest: per-vector scale + exact integer sums of
+    // the quantized components (scalar-only gate output; the byte arrays
+    // themselves are spec-checked for round-trip quality).
+    "q_embed_quantize" -> ((s, dir) => {
+      // The quantized vector is a BINARY blob (Array[Byte] kernel) — digest
+      // it to exact integer sums for the scalar-only gate contract.
+      val qSum = udf { (q: Array[Byte]) =>
+        var acc = 0L; var i = 0; while (i < q.length) { acc += q(i); i += 1 }; acc
+      }
+      val qL1 = udf { (q: Array[Byte]) =>
+        var acc = 0L; var i = 0; while (i < q.length) { acc += math.abs(q(i).toLong); i += 1 }; acc
+      }
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qz"))
+        .select(
+          col("vec_id"),
+          round(col("qz._1"), 6).as("scale"),
+          qSum(col("qz._2")).as("q_sum"),
+          qL1(col("qz._2")).as("q_l1")
+        )
+        .orderBy("vec_id")
+    }),
+
     // URL extraction over derived text with known links embedded.
     "q_text_urls" -> ((s, dir) => {
       val derived = concat(
@@ -1490,6 +1513,23 @@ object SparkEntry {
            |  list_reduce([ve[d+1] * sg[j+1][d+1] for d in range(0, 64)], (x, y) -> x + y) AS proj_value
            |FROM v, signs16, range(0, 16) t(j) ORDER BY vec_id, dim_idx""".stripMargin
       },
+
+      // Same symmetric-int8 derivation: scale = 127/max|x|, q = floor(x·scale
+      // + 0.5) — explicit floor rounding on both engines (round()'s
+      // negative-half semantics differ; floor's don't).
+      "q_embed_quantize" ->
+        s"""WITH m AS (SELECT vec_id, embedding,
+           |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+           |  FROM embeddings),
+           |s AS (SELECT vec_id, embedding,
+           |    CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale FROM m),
+           |q AS (SELECT vec_id, scale,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS qs
+           |  FROM s)
+           |SELECT vec_id, round(scale, 6) AS scale,
+           |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
+           |  CAST(list_sum(list_transform(qs, v -> abs(v))) AS BIGINT) AS q_l1
+           |FROM q ORDER BY vec_id""".stripMargin,
 
       // Replicates Multimodal.stubDecode: stableHash of the base64 payload
       // → (64 + h%1024, 64 + (h/1024)%1024, 1 + h%4); empty → zeros.

@@ -351,4 +351,54 @@ object Similarity {
     joined.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk")
   }
+
+  /** Symmetric int8 vector quantization: struct(scale DOUBLE,
+    * q ARRAY<TINYINT>) with `q_i = floor(x_i · scale + 0.5)` and
+    * `scale = 127 / max|x|` — the 4× storage cut every at-scale embedding
+    * store takes before ANN serving (dequantized error ≤ 0.5/scale per
+    * component). Deterministic and cross-engine exact: all arithmetic in
+    * double, explicit `floor(… + 0.5)` rounding (never `math.round` /
+    * SQL `round`, whose negative-half behavior differs between engines).
+    * Zero and null vectors quantize to scale 0 / all-zero q. Scan-local —
+    * no shuffle, runs identically on batch or stream.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val u = udf { (v: Array[Float]) =>
+      if (v == null || v.isEmpty) (0.0, Array.empty[Byte])
+      else {
+        var mx = 0.0
+        var i  = 0
+        while (i < v.length) { val a = math.abs(v(i).toDouble); if (a > mx) mx = a; i += 1 }
+        if (mx == 0.0) (0.0, new Array[Byte](v.length))
+        else {
+          val scale = 127.0 / mx
+          val q     = new Array[Byte](v.length)
+          i = 0
+          while (i < v.length) {
+            q(i) = math.floor(v(i).toDouble * scale + 0.5).toByte
+            i += 1
+          }
+          (scale, q)
+        }
+      }
+    }
+    u(vec)
+  }
+
+  /** Inverse of [[quantizeInt8]]: float vector `q_i / scale` (zero scale →
+    * zero vector). Kept float — the dequantized form feeds the same
+    * cosine kernels as the original.
+    */
+  def dequantizeInt8(quantized: Column): Column = {
+    val u = udf { (scale: Double, q: Array[Byte]) =>
+      if (q == null || scale == 0.0) if (q == null) null else new Array[Float](q.length)
+      else {
+        val out = new Array[Float](q.length)
+        var i   = 0
+        while (i < q.length) { out(i) = (q(i) / scale).toFloat; i += 1 }
+        out
+      }
+    }
+    u(quantized.getField("_1"), quantized.getField("_2"))
+  }
 }

@@ -721,6 +721,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("int8 embedding quantization") {
+    import graft.operators.Similarity
+
+    it("round-trips within the symmetric-quantization error bound") {
+      val vecs = Seq(
+        (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+        (2L, Array(3.0f, -2.0f, 0.125f))
+      ).toDF("vec_id", "embedding")
+      val out = vecs
+        .select(col("vec_id"), col("embedding"), Similarity.quantizeInt8(col("embedding")).as("qz"))
+        .withColumn("deq", Similarity.dequantizeInt8(col("qz")))
+        .select(col("vec_id"), col("embedding"), col("qz._1").as("scale"), col("deq"))
+        .as[(Long, Seq[Float], Double, Seq[Float])].collect()
+      out.foreach { case (_, orig, scale, deq) =>
+        scale shouldBe 127.0 / orig.map(x => math.abs(x.toDouble)).max +- 1e-12
+        orig.zip(deq).foreach { case (o, d) =>
+          math.abs(o.toDouble - d.toDouble) should be <= (0.5 / scale + 1e-7)
+        }
+      }
+    }
+    it("zero and null vectors quantize to scale 0 without failing") {
+      val vecs = Seq(
+        (1L, Some(Array(0.0f, 0.0f))),
+        (2L, None: Option[Array[Float]])
+      ).toDF("vec_id", "embedding")
+      val rows = vecs.select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qz"))
+        .select(col("vec_id"), col("qz._1"), col("qz._2")).collect()
+      rows.foreach { r => r.getDouble(1) shouldBe 0.0 }
+      // Array[Byte] kernels land as BinaryType — the compact blob a 100 TB
+      // embedding store actually wants on disk.
+      rows.find(_.getLong(0) == 1L).get.getAs[Array[Byte]](2).toSeq shouldBe Seq(0.toByte, 0.toByte)
+    }
+  }
+
   describe("training-export operators") {
     import graft.operators.Sampling
 
