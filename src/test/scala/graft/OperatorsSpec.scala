@@ -741,6 +741,25 @@ class OperatorsSpec extends SparkSpec {
         }
       }
     }
+    it("int8-quantized vectors serve top-k with near-perfect recall (fixture corpus)") {
+      val sfDir = "/root/testdata/sf0.001"
+      assume(new java.io.File(sfDir).isDirectory)
+      val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val deq = vecs.select(
+        col("vec_id"),
+        Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("embedding")
+      )
+      val queries = vecs.where("vec_id < 20")
+      def hits(corpus: org.apache.spark.sql.DataFrame, qs: org.apache.spark.sql.DataFrame) =
+        Similarity.bruteForceTopK(corpus, qs, "vec_id", "embedding", k = 10)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val exact = hits(vecs, queries)
+      val quant = hits(deq, deq.where("vec_id < 20"))
+      // ≤ 0.4% per-component error (0.5/127 of the max magnitude) barely
+      // perturbs cosine order: recall@10 over 20 queries stays ≥ 95%.
+      val recall = exact.intersect(quant).size.toDouble / exact.size
+      recall should be >= 0.95
+    }
     it("zero and null vectors quantize to scale 0 without failing") {
       val vecs = Seq(
         (1L, Some(Array(0.0f, 0.0f))),

@@ -57,4 +57,21 @@ class ScaleToolsSpec extends SparkSpec {
       }
     }
   }
+
+  describe("LakeSink.compactParquet") {
+    it("collapses a small-file directory, preserves every row, cleans up staging") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+      val df  = (1L to 5000L).map(i => (i, s"v$i")).toDF("id", "v")
+      df.repartition(64).write.parquet(dir)
+      val originally = spark.read.parquet(dir).collect().toSet
+
+      val (before, after) = LakeSink.compactParquet(spark, dir, targetFileBytes = 8L * 1024 * 1024)
+      before shouldBe 64
+      after shouldBe 1 // 5000 tiny rows land far under one 8 MB target file
+      spark.read.parquet(dir).collect().toSet shouldBe originally
+      // No staging/retired residue survives a successful compaction.
+      new java.io.File(dir + "._compact_staging").exists() shouldBe false
+      new java.io.File(dir + "._compact_retired").exists() shouldBe false
+    }
+  }
 }
