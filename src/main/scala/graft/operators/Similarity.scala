@@ -352,6 +352,36 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** Persist trained IVF centroids as a tiny parquet model directory
+    * (one row per cell, the centroid as array<double>) — train once with
+    * [[ivfCentroids]], serve forever with [[ivfTopKWith]] across sessions
+    * and clusters. The model is KBs; versioning/promotion is the caller's
+    * lake convention, exactly like any other table.
+    */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession, centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Inverse of [[saveCentroids]]: cells come back in training order, so a
+    * loaded model reproduces the saving session's assignments and probe
+    * selections bit-for-bit (spec-pinned).
+    */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .orderBy("cell")
+      .select("centroid")
+      .as[Seq[Double]]
+      .collect()
+      .map(_.toArray)
+  }
+
   /** Symmetric int8 vector quantization: struct(scale DOUBLE,
     * q ARRAY<TINYINT>) with `q_i = floor(x_i · scale + 0.5)` and
     * `scale = 127 / max|x|` — the 4× storage cut every at-scale embedding

@@ -741,6 +741,23 @@ class OperatorsSpec extends SparkSpec {
         }
       }
     }
+    it("IVF centroids round-trip through the parquet model and serve identically") {
+      val sfDir = "/root/testdata/sf0.001"
+      assume(new java.io.File(sfDir).isDirectory)
+      val vecs     = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val trained  = Similarity.ivfCentroids(vecs, "vec_id", "embedding", nlist = 8, lloydIters = 3)
+      val modelDir = java.nio.file.Files.createTempDirectory("graft-ivf-model").toString + "/m"
+      Similarity.saveCentroids(spark, trained, modelDir)
+      val loaded = Similarity.loadCentroids(spark, modelDir)
+      loaded.length shouldBe trained.length
+      loaded.zip(trained).foreach { case (l, t) => l.toSeq shouldBe t.toSeq } // bit-exact
+      val qs = vecs.where("vec_id < 5")
+      val a = Similarity.ivfTopKWith(vecs, qs, "vec_id", "embedding", k = 5, trained, nprobe = 3)
+        .collect().map(_.toSeq).toSet
+      val b = Similarity.ivfTopKWith(vecs, qs, "vec_id", "embedding", k = 5, loaded, nprobe = 3)
+        .collect().map(_.toSeq).toSet
+      b shouldBe a
+    }
     it("int8-quantized vectors serve top-k with near-perfect recall (fixture corpus)") {
       val sfDir = "/root/testdata/sf0.001"
       assume(new java.io.File(sfDir).isDirectory)
