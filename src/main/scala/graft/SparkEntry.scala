@@ -588,6 +588,17 @@ object SparkEntry {
           graft.operators.Bpe.tokenCount(graft.operators.BpePinned.merges)(col("text")).as("n_bpe"))
         .orderBy("doc_id")),
 
+    // The full encode OUTPUT under the same frozen merge table: every
+    // (doc, position, token) triple — the oracle replays the merge loop
+    // per distinct word, then re-assembles documents word by word.
+    "q_text_bpe_encode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.operators.Bpe.encodeTokens(graft.operators.BpePinned.merges)(col("text")))
+            .as(Seq("pos", "token")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+        .orderBy("doc_id", "pos")),
+
     // Token counting.
     "q_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1247,6 +1258,36 @@ object SparkEntry {
            |        FROM wt JOIN final f USING (w) GROUP BY wt.doc_id)
            |SELECT d.doc_id, coalesce(c.n_bpe, 0) AS n_bpe
            |FROM documents d LEFT JOIN cnt c USING (doc_id) ORDER BY doc_id""".stripMargin
+      },
+
+      // Same per-word merge replay; documents re-assembled in word order,
+      // token position = dense row_number over (word index, token index).
+      "q_text_bpe_encode" -> {
+        val mergesLit = listSql(graft.operators.BpePinned.merges)
+        val prExpr =
+          "[NULLIF(list_position(m, toks[i] || ' ' || toks[i+1]), 0) for i in range(1, len(toks))]"
+        s"""WITH RECURSIVE m_t AS (SELECT $mergesLit AS m),
+           |docs AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+           |words AS (SELECT DISTINCT unnest(tk) AS w FROM docs),
+           |enc(w, toks) AS (
+           |  SELECT w, [w[i] for i in range(1, length(w)+1)] FROM words
+           |  UNION ALL
+           |  SELECT w, list_concat(list_concat(toks[1:i0-1], [toks[i0] || toks[i0+1]]), toks[i0+2:])
+           |  FROM (
+           |    SELECT w, toks, list_position(pr, list_min(list_filter(pr, x -> x IS NOT NULL))) AS i0
+           |    FROM (SELECT w, toks, $prExpr AS pr FROM enc, m_t)
+           |    WHERE len(list_filter(pr, x -> x IS NOT NULL)) > 0)),
+           |final AS (
+           |  SELECT w, toks FROM (SELECT w, toks, $prExpr AS pr FROM enc, m_t)
+           |  WHERE len(list_filter(pr, x -> x IS NOT NULL)) = 0),
+           |wpos AS (SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS wi FROM docs),
+           |tok AS (SELECT wpos.doc_id, wpos.wi, unnest(f.toks) AS token,
+           |               generate_subscripts(f.toks, 1) AS ti
+           |        FROM wpos JOIN final f USING (w))
+           |SELECT doc_id,
+           |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti) - 1 AS BIGINT) AS pos,
+           |  token
+           |FROM tok ORDER BY doc_id, pos""".stripMargin
       },
 
       "q_dedup_clusters" ->

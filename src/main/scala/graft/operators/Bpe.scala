@@ -144,6 +144,37 @@ object Bpe {
     (text: Column) => u(text)
   }
 
+  /** Full BPE token SEQUENCE per text under a frozen merge table — the
+    * actual encode output ([[tokenCount]] is its length, gate-pinned
+    * separately). Same closure-shipped rank map; the memo caches each
+    * word's token array, so repeated words cost one lookup.
+    */
+  def encodeTokens(merges: IndexedSeq[String]): Column => Column = {
+    val ranks = ranksOf(merges)
+    val memo  = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    val u = udf { (t: String) =>
+      if (t == null) Array.empty[String]
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        val n = t.length
+        while (i < n) {
+          while (i < n && Character.isWhitespace(t.charAt(i))) i += 1
+          val start = i
+          while (i < n && !Character.isWhitespace(t.charAt(i))) i += 1
+          if (i > start) {
+            val w = t.substring(start, i)
+            var toks = memo.get(w)
+            if (toks == null) { toks = encodeWord(w, ranks); memo.put(w, toks) }
+            out ++= toks
+          }
+        }
+        out.toArray
+      }
+    }
+    (text: Column) => u(text)
+  }
+
   /** Token-budget chunking under the SAME frozen merge table: cut at word
     * boundaries when the accumulated true-BPE cost would exceed
     * `chunkTokens` (words costlier than the whole budget become their own
