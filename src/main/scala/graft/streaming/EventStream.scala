@@ -184,4 +184,35 @@ object EventStream {
     */
   def toMemorySink(df: DataFrame, queryName: String, outputMode: OutputMode = OutputMode.Update()) =
     df.writeStream.format("memory").queryName(queryName).outputMode(outputMode).start()
+
+  /** Stream → warehouse with effectively-once rows: each micro-batch goes
+    * through the stage-and-merge upsert
+    * ([[graft.sinks.JdbcUpsertSink.upsertViaStagingMerge]]), keyed on the
+    * conflict target. `foreachBatch` is only at-least-once (a failure
+    * between sink write and offset commit REPLAYS the batch), but a
+    * replayed merge lands on the same final rows instead of appending
+    * duplicates — the merge IS the idempotency layer, no sink-side batch
+    * ledger needed. Pair with Update-mode aggregates (later batches
+    * overwrite a key's row) or Append streams whose rows carry a natural
+    * key.
+    */
+  def toJdbcUpsertSink(
+      df: DataFrame,
+      queryName: String,
+      url: String,
+      connectionProperties: java.util.Properties,
+      schema: String,
+      table: String,
+      onConflict: graft.sinks.OnConflict,
+      pkColumns: Seq[String] = Seq.empty,
+      outputMode: OutputMode = OutputMode.Update()
+  ) =
+    df.writeStream
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.JdbcUpsertSink.upsertViaStagingMerge(
+          batch, url, connectionProperties, schema, table, onConflict, pkColumns)
+      }
+      .start()
 }

@@ -34,6 +34,7 @@ class JdbcEndToEndSpec extends SparkSpec {
         "CONSTRAINT FK_CAT_PARENT FOREIGN KEY (PARENT_ID) REFERENCES CATEGORIES(ID))"
     )
     st.executeUpdate("CREATE TABLE WRITERS_OUT (ID INT, NOTE VARCHAR(200))")
+    st.executeUpdate("CREATE TABLE STREAM_OUT (K INT PRIMARY KEY, V DOUBLE)")
     st.executeUpdate("CREATE TABLE SEQCAT (TNAME VARCHAR(50), CNAME VARCHAR(50), SNAME VARCHAR(80))")
     st.executeUpdate(
       "INSERT INTO SEQCAT VALUES ('users', 'id', 'APP.users_id_seq'), ('orders', 'id', 'APP.orders_id_seq'), ('views', 'id', NULL)"
@@ -311,6 +312,44 @@ class JdbcEndToEndSpec extends SparkSpec {
         rs.next() shouldBe true
         rs.getString(1) shouldBe "QUIET"
       } finally conn.close()
+    }
+  }
+
+  describe("EventStream.toJdbcUpsertSink (stream → live Derby, effectively-once)") {
+    it("upserts each micro-batch and absorbs a replayed batch without duplicates") {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      def tableState(): Map[Int, Double] = {
+        val conn = DriverManager.getConnection(url)
+        try {
+          val rs  = conn.createStatement().executeQuery("SELECT K, V FROM STREAM_OUT")
+          val out = scala.collection.mutable.Map.empty[Int, Double]
+          while (rs.next()) out(rs.getInt(1)) = rs.getDouble(2)
+          out.toMap
+        } finally conn.close()
+      }
+
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Int, Double)]
+      val query = graft.streaming.EventStream.toJdbcUpsertSink(
+        input.toDF().toDF("K", "V"), "jdbc_upsert_stream",
+        url, props, "APP", "STREAM_OUT", OnConflict.doUpdate, pkColumns = Seq("K"))
+      input.addData((1, 1.0), (2, 2.0))
+      query.processAllAvailable()
+      tableState() shouldBe Map(1 -> 1.0, 2 -> 2.0)
+      input.addData((2, 20.0), (3, 3.0)) // key 2 updated, key 3 new
+      query.processAllAvailable()
+      query.stop()
+      val afterStream = Map(1 -> 1.0, 2 -> 20.0, 3 -> 3.0)
+      tableState() shouldBe afterStream
+
+      // foreachBatch is at-least-once: simulate the failure-replay of the
+      // last batch by running the identical upsert again — the merge must
+      // land on the same rows, not append or error.
+      JdbcUpsertSink.upsertViaStagingMerge(
+        Seq((2, 20.0), (3, 3.0)).toDF("K", "V"),
+        url, props, "APP", "STREAM_OUT", OnConflict.doUpdate, pkColumns = Seq("K"))
+      tableState() shouldBe afterStream
     }
   }
 }
