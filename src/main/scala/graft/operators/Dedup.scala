@@ -168,16 +168,20 @@ object Dedup {
     case object InvertedIndex extends CandidateMode
 
     /** MinHash band collisions — probabilistic per the band s-curve, but
-      * independent of shingle document frequency.
+      * independent of shingle document frequency. Default geometry is 8
+      * bands × 4 rows: collision probability at jaccard 0.8 is
+      * 1−(1−0.8⁴)⁸ ≈ 0.985, vs ≈ 0.52 for the old 4×8 shape whose s-curve
+      * midpoint (~0.84) sat ABOVE the operator's default 0.8 threshold —
+      * i.e. half of borderline qualifying pairs never got a candidate.
       */
-    case class MinHashBands(numHashes: Int = 32, bands: Int = 4) extends CandidateMode
+    case class MinHashBands(numHashes: Int = 32, bands: Int = 8) extends CandidateMode
 
     /** Probe the capped index's document coverage (fraction of documents
       * retaining ≥1 indexable shingle — one extra aggregation over frames
       * the index builds anyway) and fall back to band candidates when the
       * index can no longer see `minDocCoverage` of the corpus.
       */
-    case class Auto(minDocCoverage: Double = 0.5, numHashes: Int = 32, bands: Int = 4) extends CandidateMode
+    case class Auto(minDocCoverage: Double = 0.5, numHashes: Int = 32, bands: Int = 8) extends CandidateMode
   }
 
   private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)

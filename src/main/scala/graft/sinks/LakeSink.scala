@@ -39,8 +39,19 @@ object LakeSink {
     * File count is sized from the directory's actual on-disk bytes, and
     * the rewrite goes through a staging directory with an atomic-as-the-FS
     * -allows swap: write staged, move old aside, move staged in, delete
-    * old — a crash leaves either the original or a complete replacement,
-    * never a mix. Returns (filesBefore, filesAfter).
+    * old. Crash story, window by window: before the retire rename the
+    * original is intact; between retire and install, the table exists ONLY
+    * at `<dir>._compact_retired` — that window is detected and REPAIRED on
+    * the next compactParquet call (the leftover retired dir is renamed
+    * back before anything else happens), so the recovery procedure is
+    * simply "run it again". After install, the replacement is complete.
+    * Returns (filesBefore, filesAfter).
+    *
+    * FLAT DIRECTORIES ONLY: the rewrite reads the directory as one
+    * unpartitioned table, so a Hive-partitioned layout (subdirectories)
+    * would be silently flattened — compactParquet fails fast if `dir`
+    * contains subdirectories instead; compact each leaf partition
+    * directory individually.
     *
     * Row-group locality: `coalesce` (no shuffle) when shrinking file
     * count — compaction must not cost a full exchange of the table.
@@ -51,15 +62,28 @@ object LakeSink {
       targetFileBytes: Long = 128L * 1024 * 1024
   ): (Int, Int) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val path   = new org.apache.hadoop.fs.Path(dir)
-    val fs     = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val path    = new org.apache.hadoop.fs.Path(dir)
+    val fs      = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(dir + "._compact_staging")
+    val retired = new org.apache.hadoop.fs.Path(dir + "._compact_retired")
+    // Crash recovery: a previous run that died between retire and install
+    // left the table only at `retired`. Restore it first (and drop any
+    // half-written staging output from that run).
+    if (fs.exists(retired) && !fs.exists(path)) {
+      if (!fs.rename(retired, path))
+        throw new java.io.IOException(s"compactParquet: found crash leftover $retired but could not restore it to $dir")
+      fs.delete(staging, true)
+    }
     def parquetFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val subdirs = fs.listStatus(path).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    if (subdirs.nonEmpty)
+      throw new IllegalArgumentException(
+        s"compactParquet: $dir contains subdirectories (${subdirs.take(3).mkString(", ")}…) — " +
+          "a partitioned table would be flattened by a whole-directory rewrite; compact each leaf partition directory")
     val before     = parquetFiles(path)
     val totalBytes = before.map(_.getLen).sum
     val nOut       = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val staging    = new org.apache.hadoop.fs.Path(dir + "._compact_staging")
-    val retired    = new org.apache.hadoop.fs.Path(dir + "._compact_retired")
     spark.read.parquet(dir).coalesce(nOut).write.mode("overwrite").parquet(staging.toString)
     fs.delete(retired, true)
     if (!fs.rename(path, retired))

@@ -97,8 +97,8 @@ object ScaleSoak {
         m -> best
       }).toMap
 
-    println("\n| query | " + mults.map(m => s"x$m s").mkString(" | ") + " | ratio (x${max}/x${min} vs ideal) | rows ratio | max taskbin KiB |")
     val lo = mults.min; val hi = mults.max
+    println("\n| query | " + mults.map(m => s"x$m s").mkString(" | ") + s" | ratio (x$hi/x$lo vs ideal) | rows ratio | max taskbin KiB |")
     results.foreach { case (q, byMult) =>
       val tLo = byMult(lo).sec; val tHi = byMult(hi).sec
       val ideal = hi.toDouble / lo
