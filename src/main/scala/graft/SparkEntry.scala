@@ -42,7 +42,50 @@ object SparkEntry {
   // Queries: (SparkSession, sfDir) => DataFrame
   // ---------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ relationalQueries ++ pipelineQueries
+    coreQueries ++ relationalQueries ++ pipelineQueries ++ streamingQueries
+
+  // ---------------------------------------------------------------------
+  // Streaming gates: the hashed result came through the Structured
+  // Streaming engine (MemoryStream chronological replay → stateful
+  // operator → memory sink), not a batch shortcut — see
+  // [[graft.streaming.StreamGates]] for the replay + numeric-domain
+  // contract that makes the output byte-comparable to DuckDB.
+  // ---------------------------------------------------------------------
+  private def streamingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gap sessionization (30-min) via flatMapGroupsWithState + event-time
+    // timeout; sessions emitted on gap restart or watermark timeout.
+    "q_events_sessions_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.sessionsViaStream(s, dir)),
+
+    // Tumbling 1-hour windows via streaming aggregation, Complete mode.
+    "q_events_window_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.windowViaStream(s, dir))
+  )
+
+  /** DuckDB twins of the streaming gates. Sessionization runs in the ms
+    * domain (epoch_us//1000) matching java.sql.Timestamp resolution; sums
+    * are exact DECIMAL cast to DOUBLE once, matching the gates'
+    * cents-exact accumulation.
+    */
+  private def streamingOracles: Map[String, String] = Map(
+    "q_events_sessions_stream" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 1000 AS tms, value FROM events),
+        |w AS (SELECT user_id, tms, value,
+        |      lag(tms) OVER (PARTITION BY user_id ORDER BY tms) AS prev FROM ev),
+        |s AS (SELECT user_id, tms, value,
+        |      CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END AS flag FROM w),
+        |g AS (SELECT user_id, tms, value,
+        |      sum(flag) OVER (PARTITION BY user_id ORDER BY tms ROWS UNBOUNDED PRECEDING) AS session_no FROM s)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
+        |min(tms) AS start_ms,
+        |CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+
+    "q_events_window_stream" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS cnt,
+        |CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+  )
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/F1/P1: scan + filter + projection (pushdown-friendly).
@@ -1016,7 +1059,7 @@ object SparkEntry {
         """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS cnt,
           |CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
-    ) ++ relationalOracles ++ pipelineOracles
+    ) ++ relationalOracles ++ pipelineOracles ++ streamingOracles
   }
 
   /** Exact-kNN oracle over the `vec_id < 5` query set — shared by the

@@ -37,22 +37,32 @@ object EventStream {
   case class SessionState(start: Long, lastSeen: Long, events: Int, totalValue: Double)
   case class SessionResult(user_id: Long, session_start: java.sql.Timestamp, n_events: Int, total_value: Double)
 
-  /** Fold a (time-sorted) batch of one user's events into the running
-    * session state: an event farther than the gap from the last one starts
-    * a new session (the previous one is implicitly closed — emitted on
-    * timeout in streaming use).
+  /** Fold a (time-sorted) batch of one user's events into session state:
+    * an event farther than the gap from the last one CLOSES the running
+    * session and starts a new one. Returns (closed sessions in order,
+    * live session) — callers that can only keep one result (the
+    * processing-time [[sessionize]]) drop the closed ones; the event-time
+    * variant emits them.
     */
+  private def foldSessions(
+      prior: Option[SessionState],
+      evs: Seq[SessionEvent],
+      gapMs: Long
+  ): (Seq[SessionState], SessionState) = {
+    val init = prior.getOrElse(SessionState(evs.head.ts.getTime, 0L, 0, 0.0))
+    evs.foldLeft((Vector.empty[SessionState], init)) { case ((closed, s), e) =>
+      if (e.ts.getTime - s.lastSeen > gapMs && s.events > 0)
+        (closed :+ s, SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+      else
+        (closed, SessionState(s.start, e.ts.getTime, s.events + 1, s.totalValue + e.value))
+    }
+  }
+
   private def mergeSession(
       prior: Option[SessionState],
       evs: Seq[SessionEvent],
       gapMs: Long
-  ): SessionState =
-    evs.foldLeft(prior.getOrElse(SessionState(evs.head.ts.getTime, 0L, 0, 0.0))) { (s, e) =>
-      if (e.ts.getTime - s.lastSeen > gapMs && s.events > 0)
-        SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)
-      else
-        SessionState(s.start, e.ts.getTime, s.events + 1, s.totalValue + e.value)
-    }
+  ): SessionState = foldSessions(prior, evs, gapMs)._2
 
   /** Gap-based sessionization with custom state
     * (`mapGroupsWithState` + processing-time timeout): a user's session
@@ -68,6 +78,12 @@ object EventStream {
     * (`noNewData` is never reached). Prefer [[sessionizeByEventTime]] for
     * deterministic, replay-stable semantics — processing-time session
     * closure depends on arrival timing, not on the data.
+    *
+    * EMISSION CAVEAT: `mapGroupsWithState` can return only ONE row per
+    * invocation, so when a single micro-batch (or a batch frame) contains a
+    * gap restart, the session closed mid-batch is merged away — only each
+    * user's FINAL/live session is reliably emitted by this variant.
+    * [[sessionizeByEventTime]] emits every closed session exactly once.
     */
   def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30): Dataset[SessionResult] = {
     val spark = events.sparkSession
@@ -100,9 +116,17 @@ object EventStream {
     * loop, `processAllAvailable()` terminates), and results are
     * deterministic under retry/replay like every batch operator here.
     *
-    * On a bounded frame the watermark machinery is elided and this reduces
-    * to the same per-user fold as [[sessionize]] (equivalence is
-    * spec-checked against the DuckDB-verified gaps-and-islands gate).
+    * EMISSION CONTRACT (`flatMapGroupsWithState`, Append): every CLOSED
+    * session is emitted exactly once — either when a later event restarts
+    * the user past the gap (the invocation emits the prior session it is
+    * closing, whether the restart arrives in the same micro-batch or a
+    * later one), or when the watermark passes `lastSeen + gap` (event-time
+    * timeout). The still-live session is NOT emitted while streaming — it
+    * surfaces when it closes. On a bounded frame the watermark machinery is
+    * elided and no timeout will ever fire, so the live session is emitted
+    * along with the closed ones: batch output is ALL sessions, identical to
+    * the gaps-and-islands batch gate (driver-hashed via
+    * `q_events_sessions_stream`, spec-checked in MultimodalStreamingSpec).
     */
   def sessionizeByEventTime(
       events: Dataset[SessionEvent],
@@ -116,27 +140,41 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .as[SessionEvent]
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionResult](GroupStateTimeout.EventTimeTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionResult](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId, batch, state: GroupState[SessionState]) =>
+          def emit(s: SessionState) =
+            SessionResult(userId, new java.sql.Timestamp(s.start), s.events, s.totalValue)
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            SessionResult(userId, new java.sql.Timestamp(s.start), s.events, s.totalValue)
+            Iterator.single(emit(s))
           } else {
-            val merged = mergeSession(state.getOption, batch.toSeq.sortBy(_.ts.getTime), gapMs)
-            state.update(merged)
-            // Close when the watermark (event-time low-water mark) passes
-            // the gap horizon; max() guards a session already behind the
-            // current watermark from an invalid in-past timeout. On a
-            // bounded frame the watermark node is elided (getCurrent
-            // WatermarkMs throws) and the timeout is inert — use the raw
-            // horizon.
-            val horizon = merged.lastSeen + gapMs
-            val target =
-              try math.max(horizon, state.getCurrentWatermarkMs() + 1)
-              catch { case _: UnsupportedOperationException => horizon }
-            state.setTimeoutTimestamp(target)
-            SessionResult(userId, new java.sql.Timestamp(merged.start), merged.events, merged.totalValue)
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
+            if (evs.isEmpty) Iterator.empty
+            else {
+              val (closed, live) = foldSessions(state.getOption, evs, gapMs)
+              state.update(live)
+              // Close when the watermark (event-time low-water mark) passes
+              // the gap horizon; max() guards a session already behind the
+              // current watermark from an invalid in-past timeout. On a
+              // bounded frame the watermark node is elided (getCurrent
+              // WatermarkMs throws) and the timeout is inert — use the raw
+              // horizon and emit the live session too, since nothing else
+              // ever will.
+              val horizon = live.lastSeen + gapMs
+              val streaming =
+                try {
+                  state.setTimeoutTimestamp(math.max(horizon, state.getCurrentWatermarkMs() + 1))
+                  true
+                } catch {
+                  case _: UnsupportedOperationException =>
+                    state.setTimeoutTimestamp(horizon)
+                    false
+                }
+              if (streaming) closed.iterator.map(emit)
+              else (closed :+ live).iterator.map(emit)
+            }
           }
       }
   }

@@ -214,15 +214,14 @@ class MultimodalStreamingSpec extends SparkSpec {
       streamedKeys.toSet shouldBe batchKeys
     }
 
-    it("sessionize: streamed final state == batch mapGroups == gaps-and-islands last session") {
+    it("sessionize: batch final state == gaps-and-islands last session; event-time variant emits ALL sessions") {
       import org.apache.spark.sql.expressions.Window
       val ev = fixtureEvents
       def norm(start: Long, n: Int, total: Double) =
         (start, n, BigDecimal(total).setScale(4, BigDecimal.RoundingMode.HALF_UP))
 
       // Reference: the q_events_sessions gaps-and-islands computation
-      // (gate-shaped), reduced to each user's LAST session — which is what
-      // a final mapGroupsWithState state holds.
+      // (gate-shaped) — the FULL session set.
       val byUser = Window.partitionBy("user_id").orderBy("ts_us")
       val sess = ev
         .withColumn("ts_us", expr("unix_micros(ts)"))
@@ -231,6 +230,11 @@ class MultimodalStreamingSpec extends SparkSpec {
         .withColumn("sno", sum("flag").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("user_id", "sno")
         .agg(count(lit(1)).as("n"), min("ts_us").as("start_us"), sum("value").as("total"))
+      val allSessions = sess
+        .select("user_id", "start_us", "n", "total")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1) / 1000) -> norm(r.getLong(1) / 1000, r.getLong(2).toInt, r.getDouble(3)))
+        .toMap
       val lastByUser = sess
         .withColumn("maxsno", max("sno").over(Window.partitionBy("user_id")))
         .where(col("sno") === col("maxsno"))
@@ -239,36 +243,80 @@ class MultimodalStreamingSpec extends SparkSpec {
         .map(r => r.getLong(0) -> norm(r.getLong(1) / 1000, r.getLong(2).toInt, r.getDouble(3)))
         .toMap
 
-      // Batch mapGroupsWithState — BOTH timeout flavors reduce to the same
-      // per-user fold on a bounded frame.
+      // Batch mapGroupsWithState (processing-time variant): per-user fold,
+      // final/live session only — the documented emission caveat.
       val ds = ev.select(col("user_id"), col("ts"), col("value")).as[EventStream.SessionEvent]
       val batchFinal = EventStream.sessionize(ds, gapMinutes = 30)
         .collect()
         .map(r => r.user_id -> norm(r.session_start.getTime, r.n_events, r.total_value))
         .toMap
       batchFinal shouldBe lastByUser
+
+      // Event-time variant on the bounded frame: flatMapGroupsWithState
+      // emits every closed session PLUS the live one — the full session set.
       val batchEventTime = EventStream.sessionizeByEventTime(ds, gapMinutes = 30)
         .collect()
-        .map(r => r.user_id -> norm(r.session_start.getTime, r.n_events, r.total_value))
+        .map(r => (r.user_id, r.session_start.getTime) -> norm(r.session_start.getTime, r.n_events, r.total_value))
         .toMap
-      batchEventTime shouldBe batchFinal
+      batchEventTime shouldBe allSessions
 
       // Streamed through the EVENT-TIME variant (the processing-time one
       // never quiesces under processAllAvailable — see sessionize scaladoc):
-      // every event in one chronological micro-batch → Update mode emits
-      // the merged state per user, then the watermark batch re-emits closed
-      // sessions with identical aggregates (collapsed by toMap).
+      // chronological micro-batches, Append mode. Closed sessions flow out
+      // on gap restart or watermark timeout; far-future sentinel events
+      // (user −1) push the watermark past every live session's horizon so
+      // the tail sessions flush too.
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[EventStream.SessionEvent]
       val query = EventStream.toMemorySink(
-        EventStream.sessionizeByEventTime(input.toDS(), gapMinutes = 30).toDF(), "eq_sess")
-      input.addData(ds.orderBy("ts").collect().toIndexedSeq)
-      query.processAllAvailable()
-      val streamedFinal = spark.sql("SELECT * FROM eq_sess").collect()
-        .map(r => r.getLong(0) -> norm(r.getTimestamp(1).getTime, r.getInt(2), r.getDouble(3)))
+        EventStream.sessionizeByEventTime(input.toDS(), gapMinutes = 30).toDF(), "eq_sess",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val rows  = ds.orderBy("ts").collect()
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        query.processAllAvailable()
+      }
+      val maxTs = rows.last.ts.getTime
+      Seq(1, 2).foreach { k => // two watermark advances: carry + timeout batch
+        input.addData(EventStream.SessionEvent(-1L, new java.sql.Timestamp(maxTs + k * 3600000L * 24), 0.0))
+        query.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT * FROM eq_sess").collect()
+        .filter(_.getLong(0) >= 0)
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime) -> norm(r.getTimestamp(1).getTime, r.getInt(2), r.getDouble(3)))
         .toMap
       query.stop()
-      streamedFinal shouldBe batchFinal
+      streamed shouldBe allSessions
+    }
+
+    it("sessionizeByEventTime emits a closed session even when the restart beats the watermark (regression)") {
+      // The ADVICE scenario: user 7's second session starts AFTER the gap
+      // but BEFORE the watermark passes lastSeen+gap (the lone user never
+      // advances the watermark past its own horizon in time). The closed
+      // first session must still be emitted — by the gap-restart invocation,
+      // not the (never-firing) timeout.
+      implicit val sqlCtx = spark.sqlContext
+      def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      val input = MemoryStream[EventStream.SessionEvent]
+      val query = EventStream.toMemorySink(
+        EventStream.sessionizeByEventTime(input.toDS(), gapMinutes = 30, watermarkDelay = "10 minutes").toDF(),
+        "eq_sess_drop", org.apache.spark.sql.streaming.OutputMode.Append())
+      // Batch 1: session A (2 events). Watermark after batch: ts(5) - 10min.
+      input.addData(
+        EventStream.SessionEvent(7L, ts(0), 1.0),
+        EventStream.SessionEvent(7L, ts(5), 2.0))
+      query.processAllAvailable()
+      // Batch 2: 40 min later — past the 30-min gap, but the watermark
+      // (ts(-5)…ts(35)) has NOT passed ts(5)+30min when this processes.
+      input.addData(EventStream.SessionEvent(7L, ts(45), 4.0))
+      query.processAllAvailable()
+      val emitted = spark.sql("SELECT * FROM eq_sess_drop").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getInt(2), r.getDouble(3)))
+      query.stop()
+      // Session A (start ts(0), 2 events, 3.0) must be out; session B is
+      // still live and correctly unemitted.
+      emitted should contain((7L, ts(0).getTime, 2, 3.0))
+      emitted.length shouldBe 1
     }
   }
 }
