@@ -582,6 +582,21 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // The composition a 100-TB embedding store actually serves: the corpus
+    // is PERSISTED int8-quantized (4× smaller scan), dequantized at scoring
+    // time, and searched via IVF probe (nprobe ≪ nlist, pinned centroids).
+    // Full-precision queries against a quantized corpus. The oracle replays
+    // quantize → dequantize per vector (incl. the float-cast rounding of
+    // dequantizeInt8) and then the cell-assignment + probe + rank pipeline.
+    "q_knn_ivf_quantized" -> ((s, dir) => {
+      val emb    = t(s, dir, "embeddings")
+      val stored = emb.select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qz"))
+      val corpus = stored.select(col("vec_id"), Similarity.dequantizeInt8(col("qz")).as("embedding"))
+      Similarity.ivfTopKWith(corpus, emb.where("vec_id < 5"), "vec_id", "embedding", k = 10,
+          graft.operators.IvfPinned.centroids, nprobe = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
     // LSH-bucketed ANN (scale path) — deterministic hyperplanes; rows-only
     // check (bucketing is approximate by design, not SQL-expressible
     // succinctly).
@@ -1262,6 +1277,44 @@ object SparkEntry {
            |probes AS (SELECT query_id, qv, cell FROM (
            |  SELECT v.vec_id AS query_id, v.ve AS qv, cells.cell,
            |         row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, cells.cell) AS pr
+           |  FROM v, cents_t, cells WHERE v.vec_id < 5) WHERE pr <= 4),
+           |sc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos
+           |       FROM probes JOIN asg USING (cell) WHERE query_id <> neighbor_id),
+           |r AS (SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
+           |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 10
+           |ORDER BY query_id, rnk""".stripMargin
+      },
+
+      // IVF probe over the int8-quantized corpus: per-vector symmetric
+      // quantize (scale = 127/max|x|, q = floor(x·scale + 0.5)) then
+      // dequantize (q/scale, CAST to FLOAT — mirrors dequantizeInt8's
+      // float output — then back to DOUBLE for the cosine kernel). Cell
+      // assignment uses the DEQUANTIZED corpus vectors (that is what the
+      // store has at ingest); queries stay full-precision.
+      "q_knn_ivf_quantized" -> {
+        val centsCte = {
+          val m = graft.operators.IvfPinned.centroids
+          val arr = m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+          s"cents_t AS (SELECT $arr AS ct)"
+        }
+        val nlist   = graft.operators.IvfPinned.nlist
+        val asgCos  = cosineSql("dq.dv", "ct[cells.cell + 1]")
+        val probeCos = cosineSql("v.ve", "ct[cells.cell + 1]")
+        s"""WITH $centsCte,
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+           |dq AS (SELECT vec_id,
+           |       CASE WHEN m = 0 THEN list_transform(ve, x -> 0.0)
+           |            ELSE list_transform(ve, x -> CAST(CAST(floor(x * (127.0 / m) + 0.5) / (127.0 / m) AS FLOAT) AS DOUBLE)) END AS dv
+           |       FROM (SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) AS m FROM v)),
+           |cells AS (SELECT unnest(range(0, $nlist)) AS cell),
+           |asg AS (SELECT vec_id AS neighbor_id, dv AS cv, cell FROM (
+           |  SELECT dq.vec_id, dq.dv, cells.cell,
+           |         row_number() OVER (PARTITION BY dq.vec_id ORDER BY $asgCos DESC, cells.cell) AS pr
+           |  FROM dq, cents_t, cells) WHERE pr = 1),
+           |probes AS (SELECT query_id, qv, cell FROM (
+           |  SELECT v.vec_id AS query_id, v.ve AS qv, cells.cell,
+           |         row_number() OVER (PARTITION BY v.vec_id ORDER BY $probeCos DESC, cells.cell) AS pr
            |  FROM v, cents_t, cells WHERE v.vec_id < 5) WHERE pr <= 4),
            |sc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos
            |       FROM probes JOIN asg USING (cell) WHERE query_id <> neighbor_id),

@@ -437,19 +437,40 @@ object TextAnalysis {
     * first". Rows with a null/empty domain pass through uncapped (no
     * domain signal ≠ over-represented domain).
     *
-    * One shuffle (window partition on the domain column). A celebrity
-    * domain concentrates its rows on one reducer, but only until the
-    * rank cutoff — the emitted surplus is dropped in the same stage, and
-    * rank needs no full sort buffer beyond the partition's spill budget.
+    * SALTED TWO-PHASE plan (two shuffles, bounded reducers): a single
+    * `partitionBy(domain)` window would ship a celebrity domain's ENTIRE
+    * row set to one reducer before the rank cutoff — at C4 scale a single
+    * host can be percent-level of the corpus, making that reducer the
+    * straggler. Instead, phase 1 pre-caps per `(domain, salt)` where
+    * `salt = pmod(orderHash, salts)` spreads each domain over `salts`
+    * reducers; phase 2 applies the true per-domain cap over the
+    * survivors, whose per-domain count is bounded by `salts ·
+    * maxPerDomain` regardless of how hot the domain is. The result is
+    * IDENTICAL to the single-window form: each row's rank within its salt
+    * group is ≤ its rank within the whole domain (the group order is the
+    * restriction of the domain order), so the global top-`maxPerDomain`
+    * all survive phase 1 — proven by the celebrity-skew spec.
     */
-  def domainQuota(df: DataFrame, domainCol: String, idCol: String, maxPerDomain: Int): DataFrame = {
+  def domainQuota(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      maxPerDomain: Int,
+      salts: Int = 32
+  ): DataFrame = {
     require(maxPerDomain > 0, "maxPerDomain must be positive")
+    require(salts > 0, "salts must be positive")
     import org.apache.spark.sql.expressions.Window
-    val w  = Window.partitionBy(col(domainCol)).orderBy(HashCols.stableHash(concat(col(idCol).cast("string"), lit("_dq"))), col(idCol))
-    val rn = row_number().over(w)
-    df.withColumn("_dq_rn", when(col(domainCol).isNull || col(domainCol) === "", lit(0)).otherwise(rn))
+    val orderHash = HashCols.stableHash(concat(col(idCol).cast("string"), lit("_dq")))
+    val nullish   = col(domainCol).isNull || col(domainCol) === ""
+    val salt      = pmod(orderHash, lit(salts.toLong))
+    val w1 = Window.partitionBy(col(domainCol), salt).orderBy(orderHash, col(idCol))
+    val w2 = Window.partitionBy(col(domainCol)).orderBy(orderHash, col(idCol))
+    df.withColumn("_dq_rn1", when(nullish, lit(0)).otherwise(row_number().over(w1)))
+      .where(col("_dq_rn1") <= maxPerDomain)
+      .withColumn("_dq_rn", when(nullish, lit(0)).otherwise(row_number().over(w2)))
       .where(col("_dq_rn") <= maxPerDomain)
-      .drop("_dq_rn")
+      .drop("_dq_rn1", "_dq_rn")
   }
 
   /** Greedy sequence packing: concatenate whole documents into

@@ -827,6 +827,31 @@ class OperatorsSpec extends SparkSpec {
         .as[(Long, Option[String])].collect().toSet shouldBe kept.toSet
     }
 
+    it("domainQuota: salted pre-cap is result-identical under celebrity skew (1e5-row domain)") {
+      // One domain holds 100k rows (a celebrity host), three tail domains
+      // hold a handful each — the shape that makes a single
+      // partitionBy(domain) window a straggler. The salted two-phase plan
+      // must keep EXACTLY the rows the unsalted formula picks: the global
+      // hash-order top-N per domain.
+      import org.apache.spark.sql.expressions.Window
+      val df = spark.range(1, 100101).toDF("id").withColumn(
+        "host",
+        when(col("id") <= 100000, lit("celebrity.example"))
+          .otherwise(concat(lit("tail"), pmod(col("id"), lit(3)).cast("string")))
+      )
+      val expected = {
+        val orderHash = graft.operators.HashCols.stableHash(concat(col("id").cast("string"), lit("_dq")))
+        val w = Window.partitionBy("host").orderBy(orderHash, col("id"))
+        df.withColumn("rn", row_number().over(w)).where(col("rn") <= 7).select("id").as[Long].collect().toSet
+      }
+      // Identical across salt counts (including salts=1, the degenerate
+      // single-reducer shape) — the pre-cap provably never drops a winner.
+      Seq(1, 4, 32).foreach { s =>
+        TextAnalysis.domainQuota(df, "host", "id", maxPerDomain = 7, salts = s)
+          .select("id").as[Long].collect().toSet shouldBe expected
+      }
+    }
+
     it("packSequences: budget never overflows except a lone oversized doc; offsets are contiguous") {
       val L = 512L
       // Token counts spanning tiny to oversized (up to 700 > L).

@@ -62,12 +62,12 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
-    it("domainQuota is ONE shuffle (the domain window)") {
+    it("domainQuota is TWO shuffles (salted pre-cap window, then the domain window)") {
       withoutAqe {
         val df = spark.range(1, 1000).toDF("id")
           .withColumn("host", concat(lit("h"), pmod(col("id"), lit(5)).cast("string")))
         val plan = executed(TextAnalysis.domainQuota(df, "host", "id", maxPerDomain = 3))
-        shuffles(plan) shouldBe 1
+        shuffles(plan) shouldBe 2
       }
     }
 
