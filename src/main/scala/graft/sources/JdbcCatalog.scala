@@ -88,20 +88,29 @@ object JdbcCatalog {
     p
   }
 
+  /** @param where optional SOURCE-dialect predicate text pushed into the
+    *   scan as a derived-table subquery — the warehouse filters before a
+    *   single row crosses the wire (at 100-TB sources, shipping the table
+    *   to Spark and filtering there wastes the whole transfer). Use
+    *   [[SourceSql]] to render the engine's propagated filters in the
+    *   reference's PostgreSQL dialect.
+    */
   def readTable(
       spark: SparkSession,
       url: String,
       connectionProperties: Properties,
       schema: String,
       table: String,
-      partitioning: Option[PartitionSpec] = None
+      partitioning: Option[PartitionSpec] = None,
+      where: Option[String] = None
   ): DataFrame = {
     val qualified = Ident.quoteQualified(schema, table)
+    val relation  = where.fold(qualified)(w => s"(SELECT * FROM $qualified WHERE $w) AS g_src")
     partitioning match {
       case Some(p) =>
-        spark.read.jdbc(url, qualified, p.column, p.lowerBound, p.upperBound, p.numPartitions, connectionProperties)
+        spark.read.jdbc(url, relation, p.column, p.lowerBound, p.upperBound, p.numPartitions, connectionProperties)
       case None =>
-        spark.read.jdbc(url, qualified, connectionProperties)
+        spark.read.jdbc(url, relation, connectionProperties)
     }
   }
 

@@ -281,6 +281,21 @@ class JdbcEndToEndSpec extends SparkSpec {
       df.rdd.getNumPartitions shouldBe 2
       df.select("ID").collect().map(_.getInt(0)).sorted shouldBe Array(1, 2, 3)
     }
+    it("a where predicate is pushed into the source scan (filters before transfer)") {
+      val df = JdbcCatalog.readTable(
+        spark, url, props, "APP", "USERS",
+        where = Some("\"ID\" >= 2")
+      )
+      df.select("ID").collect().map(_.getInt(0)).sorted shouldBe Array(2, 3)
+      // Composes with range partitioning (the derived table is what gets
+      // range-split).
+      val parts = JdbcCatalog.readTable(
+        spark, url, props, "APP", "USERS",
+        partitioning = Some(JdbcCatalog.PartitionSpec("ID", 1, 4, 2)),
+        where = Some("\"ID\" <> 2")
+      )
+      parts.select("ID").collect().map(_.getInt(0)).sorted shouldBe Array(1, 3)
+    }
   }
 
   describe("JdbcCatalog.discoverSequences") {
