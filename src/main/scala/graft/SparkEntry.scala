@@ -930,6 +930,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL audio decode (javax.sound.sampled): synthetic WAVs with
+    // arithmetic format/samples → WAV encode → real parse; the oracle
+    // replays the arithmetic. s00 is a decoded-PCM probe (first frame,
+    // channel 0) proving actual sample data was read.
+    "q_multimodal_audio" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.decodeAudioMeta(Multimodal.syntheticWav(col("doc_id"))).as("meta"))
+        .select(
+          col("doc_id"),
+          col("meta._1").cast("long").as("rate"),
+          col("meta._2").cast("long").as("ch"),
+          col("meta._3").cast("long").as("frames"),
+          col("meta._5").cast("long").as("s00")
+        )
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling over a derived binary "video": fixed 32-byte frames,
     // every 2nd kept — chunk arithmetic and blob slices match the oracle
     // byte-for-byte. The gate emits md5(frame) hex instead of raw bytes:
@@ -1691,6 +1709,17 @@ object SparkEntry {
            |  CAST(1 + (h0 // 16) % 16 AS BIGINT) AS h,
            |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS c,
            |  CAST(h0 % 256 AS BIGINT) AS px00
+           |FROM hv ORDER BY doc_id""".stripMargin
+      },
+
+      "q_multimodal_audio" -> {
+        val h0 = hashSql("('wav' || doc_id)")
+        s"""WITH hv AS (SELECT doc_id, $h0 AS h0 FROM documents)
+           |SELECT doc_id,
+           |  CAST(8000 * (1 + h0 % 3) AS BIGINT) AS rate,
+           |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS ch,
+           |  CAST(1 + (h0 // 16) % 64 AS BIGINT) AS frames,
+           |  CAST(h0 % 65536 AS BIGINT) - 32768 AS s00
            |FROM hv ORDER BY doc_id""".stripMargin
       },
 

@@ -29,6 +29,17 @@ object Bpe {
 
   /** Train `numMerges` merges from the corpus' whitespace words.
     * Returns merges as "left right" strings (rank = index).
+    *
+    * The greedy loop is INCREMENTAL (the standard fast-BPE shape): pair
+    * counts live in a hash map, a pair→words inverted index knows which
+    * words a merge touches, and the argmax comes from a lazy-deletion
+    * heap — popped entries whose count is stale are discarded. Each merge
+    * therefore costs O(words containing that pair · word length), not
+    * O(whole vocab): a production 32k–100k merge table trains in the time
+    * the old full-rescan loop (O(vocab × merges)) spent on a few hundred
+    * merges. Byte-identical output to the rescan form — same weighted
+    * counts, same (-count, a, b) tie-break, spec-pinned — and the 1k-merge
+    * training spec times the curve on the real corpus.
     */
   def trainMerges(
       df: DataFrame,
@@ -45,25 +56,80 @@ object Bpe {
       .limit(maxVocab)
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
+    trainFromWordCounts(wordCounts, numMerges)
+  }
 
-    var vocab = wordCounts.map { case (w, c) => (w.map(_.toString).toArray, c) }
-    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
-    var done   = false
-    while (merges.size < numMerges && !done) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      vocab.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts(k) = counts.getOrElse(k, 0L) + c
-          i += 1
+  /** Greedy merge loop over a materialized (word, frequency) table —
+    * driver-side but incremental; see [[trainMerges]].
+    */
+  private[graft] def trainFromWordCounts(
+      wordCounts: Array[(String, Long)],
+      numMerges: Int
+  ): IndexedSeq[String] = {
+    import scala.collection.mutable
+    val words  = wordCounts.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index  = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // Lazy-deletion heap: entries carry the count at push time; stale
+    // entries (count no longer current) are discarded on pop. Ordering
+    // encodes the deterministic argmax: highest count, then (a, b) asc.
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      11,
+      { (x: (Long, String, String), y: (Long, String, String)) =>
+        val c = java.lang.Long.compare(y._1, x._1)
+        if (c != 0) c
+        else {
+          val ca = x._2.compareTo(y._2)
+          if (ca != 0) ca else x._3.compareTo(y._3)
         }
       }
-      if (counts.isEmpty) done = true
+    )
+    def pairsOf(syms: Array[String]): Iterator[(String, String)] =
+      if (syms.length < 2) Iterator.empty
+      else (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+    def addWord(i: Int, touched: mutable.Set[(String, String)]): Unit = {
+      val (syms, c) = words(i)
+      pairsOf(syms).foreach { k =>
+        counts.updateWith(k) { v => Some(v.getOrElse(0L) + c) }
+        index.getOrElseUpdate(k, mutable.Set.empty) += i
+        touched += k
+      }
+    }
+    def removeWord(i: Int): Unit = {
+      val (syms, c) = words(i)
+      pairsOf(syms).foreach { k =>
+        counts.updateWith(k) { v => v.map(_ - c).filter(_ != 0) }
+        index.get(k).foreach { s => s -= i; if (s.isEmpty) index.remove(k) }
+      }
+    }
+    val initTouched = mutable.Set.empty[(String, String)]
+    words.indices.foreach(i => addWord(i, initTouched))
+    counts.foreach { case ((a, b), c) => heap.add((c, a, b)) }
+
+    val merges = mutable.ArrayBuffer.empty[String]
+    var done   = false
+    while (merges.size < numMerges && !done) {
+      // Pop to the first non-stale entry = the true (−count, a, b) argmax.
+      var top: (Long, String, String) = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (counts.get((e._2, e._3)).contains(e._1)) top = e
+      }
+      if (top == null) done = true
       else {
-        val (a, b) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+        val (_, a, b) = top
         merges += s"$a $b"
-        vocab = vocab.map { case (syms, c) => (mergeAll(syms, a, b), c) }
+        val touched = mutable.Set.empty[(String, String)]
+        index.get((a, b)).map(_.toArray).getOrElse(Array.empty).foreach { i =>
+          val (syms, c) = words(i)
+          pairsOf(syms).foreach(touched += _)
+          removeWord(i)
+          words(i) = (mergeAll(syms, a, b), c)
+          addWord(i, touched)
+        }
+        touched.foreach { k =>
+          counts.get(k).foreach(c => heap.add((c, k._1, k._2)))
+        }
       }
     }
     merges.toIndexedSeq

@@ -13,14 +13,16 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: [[decodeImageMeta]] parses actual image bytes
   * with the JDK's `javax.imageio` (PNG/GIF/BMP/JPEG readers ship with the
   * JRE) and is gate-verified against a PNG encode→decode round trip.
+  * AUDIO decode is REAL: [[decodeAudioMeta]] parses actual WAV bytes with
+  * the JDK's `javax.sound.sampled`, gate-verified the same way.
   *
-  * NOTE — STUBBED KERNELS: audio/video codecs are not available in this
-  * build environment, so [[decodeMeta]] (opaque payloads), the feature
-  * extractor, and resize remain deterministic fakes over the raw bytes
-  * (clearly marked). The Spark-side contract — schemas, batch shape,
-  * partition-wise execution, null handling — is real and tested; swapping
-  * in a real codec touches only the kernel body, exactly as
-  * [[decodeImageMeta]] demonstrates.
+  * NOTE — STUBBED KERNELS: video codecs are not available in this build
+  * environment (the JDK ships none), so [[decodeMeta]] (opaque payloads),
+  * the feature extractor, and resize remain deterministic fakes over the
+  * raw bytes (clearly marked). The Spark-side contract — schemas, batch
+  * shape, partition-wise execution, null handling — is real and tested;
+  * swapping in a real codec touches only the kernel body, exactly as
+  * [[decodeImageMeta]] and [[decodeAudioMeta]] demonstrate.
   */
 object Multimodal {
 
@@ -116,6 +118,79 @@ object Multimodal {
       }
       val out = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    u(seed)
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * parsers ship with the JRE — no external codec): struct(sample_rate,
+    * channels, n_frames, n_bytes, sample00) where `sample00` is the first
+    * frame's channel-0 PCM value (signed 16-bit little-endian) — a
+    * decoded-sample probe proving the decode read actual audio data, not
+    * just the RIFF header. Undecodable / null content → zeroed struct
+    * (error-tolerant like every kernel here). Mirrors [[decodeImageMeta]];
+    * video remains the one documented stub (no JDK video codec exists).
+    */
+  def decodeAudioMeta(content: Column): Column = {
+    val u = udf { (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.isEmpty) (0, 0, 0, 0, 0)
+      else {
+        val parsed =
+          try {
+            val in  = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = in.getFormat
+            val s00 =
+              if (in.getFrameLength > 0 && fmt.getSampleSizeInBits == 16) {
+                val frame = new Array[Byte](fmt.getFrameSize)
+                val read  = in.read(frame)
+                if (read < 2) 0
+                else if (fmt.isBigEndian) ((frame(0) << 8) | (frame(1) & 0xff))
+                else ((frame(1) << 8) | (frame(0) & 0xff))
+              } else 0
+            in.close()
+            (fmt.getSampleRate.toInt, fmt.getChannels, in.getFrameLength.toInt, bytes.length, s00)
+          } catch { case _: Exception => null }
+        if (parsed == null) (0, 0, 0, bytes.length, 0) else parsed
+      }
+    }
+    u(content).as("meta")
+  }
+
+  /** Deterministic synthetic WAV — REAL codec output (`AudioSystem.write`
+    * of a PCM stream), with format and every sample derived arithmetically
+    * from `seed` via the stableHash contract:
+    *   rate = 8000 · (1 + h%3), channels = 1 if seed even else 2,
+    *   frames = 1 + (h/16)%64, sample(i, ch) = ((h + 13i + 7ch) % 65536) − 32768
+    * (signed 16-bit little-endian). Fixture generator for
+    * [[decodeAudioMeta]]: the decode side recovers exactly these values
+    * through an actual WAV parse — the audio twin of [[syntheticPng]].
+    */
+  def syntheticWav(seed: Column): Column = {
+    val u = udf { (id: Long) =>
+      val h0       = graft.functions.Anonymizer.stableHash(s"wav$id")
+      val rate     = 8000 * (1 + (h0 % 3).toInt)
+      val channels = if (id % 2 == 0) 1 else 2
+      val frames   = 1 + ((h0 / 16) % 64).toInt
+      val pcm      = new Array[Byte](frames * channels * 2)
+      var i = 0
+      while (i < frames) {
+        var ch = 0
+        while (ch < channels) {
+          val v   = (((h0 + 13L * i + 7L * ch) % 65536) - 32768).toInt
+          val off = (i * channels + ch) * 2
+          pcm(off) = (v & 0xff).toByte
+          pcm(off + 1) = ((v >> 8) & 0xff).toByte
+          ch += 1
+        }
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       out.toByteArray
     }
     u(seed)

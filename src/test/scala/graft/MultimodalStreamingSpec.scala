@@ -42,6 +42,24 @@ class MultimodalStreamingSpec extends SparkSpec {
         .select(col("m._1")).collect().map(_.getInt(0)).toSet
       junk shouldBe Set(0)
     }
+    it("decodeAudioMeta REALLY decodes WAV bytes (javax.sound.sampled), tolerating garbage") {
+      val df = Seq(1L, 2L, 3L, 4L).toDF("id")
+        .select(col("id"), Multimodal.syntheticWav(col("id")).as("wav"))
+      val out = df.select(col("id"), Multimodal.decodeAudioMeta(col("wav")).as("m"))
+        .select(col("id"), col("m._1"), col("m._2"), col("m._3"), col("m._5"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      out.foreach { case (id, rate, ch, frames, s00) =>
+        val h0 = graft.functions.Anonymizer.stableHash(s"wav$id")
+        rate shouldBe 8000 * (1 + (h0 % 3).toInt)
+        ch shouldBe (if (id % 2 == 0) 1 else 2)
+        frames shouldBe 1 + ((h0 / 16) % 64).toInt
+        s00 shouldBe (((h0 % 65536) - 32768).toInt)
+      }
+      // Garbage / null bytes never fail the pipeline — zeroed meta.
+      val junk = media.select(Multimodal.decodeAudioMeta(col("content")).as("m"))
+        .select(col("m._1")).collect().map(_.getInt(0)).toSet
+      junk shouldBe Set(0)
+    }
     it("extractFeatures emits fixed-width vectors per item") {
       val out = Multimodal.extractFeatures(media, "media_id", "content", dim = 4)
       out.columns shouldBe Array("media_id", "features")

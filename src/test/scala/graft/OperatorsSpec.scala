@@ -433,6 +433,60 @@ class OperatorsSpec extends SparkSpec {
       val docs = spark.read.parquet(s"${BpePinned.trainedOn}/documents.parquet")
       Bpe.trainMerges(docs, "text", numMerges = 200) shouldBe BpePinned.merges
     }
+    it("incremental trainer == full-rescan reference, and trains 1k merges fast") {
+      // The fixture corpus has only 31 distinct words (merges exhaust at
+      // ~90), so the production-depth curve runs on a synthetic Zipf
+      // vocabulary: 20k deterministic pseudo-words, harder than any
+      // fixture the driver ships.
+      val wordCounts: Array[(String, Long)] = Array.tabulate(20000) { i =>
+        val h = graft.functions.Anonymizer.stableHash(s"bpeword$i")
+        val len = 5 + (h % 8).toInt
+        val w = new StringBuilder
+        var x = h
+        (0 until len).foreach { _ => w += ('a' + (x % 26)).toChar; x = x / 26 + i }
+        (w.toString, 1L + 100000L / (i + 1))
+      }.distinctBy(_._1)
+      // The old O(vocab × merges) loop, kept here as the semantics oracle.
+      def rescanTrain(n: Int): IndexedSeq[String] = {
+        def mergeAll(syms: Array[String], a: String, b: String): Array[String] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) { out += a + b; i += 2 }
+            else { out += syms(i); i += 1 }
+          }
+          out.toArray
+        }
+        var vocab  = wordCounts.map { case (w, c) => (w.map(_.toString).toArray, c) }
+        val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+        var done   = false
+        while (merges.size < n && !done) {
+          val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+          vocab.foreach { case (syms, c) =>
+            var i = 0
+            while (i < syms.length - 1) { val k = (syms(i), syms(i + 1)); counts(k) = counts.getOrElse(k, 0L) + c; i += 1 }
+          }
+          if (counts.isEmpty) done = true
+          else {
+            val (a, b) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+            merges += s"$a $b"
+            vocab = vocab.map { case (syms, c) => (mergeAll(syms, a, b), c) }
+          }
+        }
+        merges.toIndexedSeq
+      }
+      Bpe.trainFromWordCounts(wordCounts, 300) shouldBe rescanTrain(300)
+      // Production-depth curve: 1k merges on the real corpus vocabulary.
+      // The rescan loop spends this budget on ~2 orders of magnitude fewer
+      // merges; the incremental trainer must finish comfortably in-spec.
+      val t0  = System.nanoTime()
+      val m1k = Bpe.trainFromWordCounts(wordCounts, 1000)
+      val sec = (System.nanoTime() - t0) / 1e9
+      info(f"1000 merges over ${wordCounts.length} words in $sec%.2f s")
+      m1k.length shouldBe 1000
+      m1k.take(300) shouldBe Bpe.trainFromWordCounts(wordCounts, 300) // prefix-stable
+      sec should be < 60.0
+    }
     it("encodeWord merges leftmost lowest-rank pairs to a fixpoint") {
       // ranks: "a b" -> 0, "ab c" -> 1: "abcabc" → ab c ab c → abc abc.
       val merges = IndexedSeq("a b", "ab c")
