@@ -168,20 +168,43 @@ object Dedup {
     case object InvertedIndex extends CandidateMode
 
     /** MinHash band collisions — probabilistic per the band s-curve, but
-      * independent of shingle document frequency. Default geometry is 8
-      * bands × 4 rows: collision probability at jaccard 0.8 is
-      * 1−(1−0.8⁴)⁸ ≈ 0.985, vs ≈ 0.52 for the old 4×8 shape whose s-curve
-      * midpoint (~0.84) sat ABOVE the operator's default 0.8 threshold —
-      * i.e. half of borderline qualifying pairs never got a candidate.
+      * independent of shingle document frequency.
+      *
+      * RECALL/COST PROFILE (documented, not silent — the fallback warn log
+      * states the recall for the configured geometry and threshold):
+      * with b bands × r rows, a pair of true Jaccard j collides in some
+      * band with probability 1−(1−j^r)^b.
+      *
+      *  - DEFAULT 4 bands × 8 rows: s-curve midpoint (1/4)^(1/8) ≈ 0.84 —
+      *    ABOVE the operator's default 0.8 threshold, so a pair at exactly
+      *    j = 0.8 is caught with only ≈ 52% probability (j = 0.9 → 99.8%).
+      *    The flip side is selectivity: collision at j = 0.5 is ≈ 1.5%.
+      *  - RECALL-LEANING 8 bands × 4 rows: ≈ 98.5% at j = 0.8, but ≈ 40%
+      *    collision at j = 0.5 — on a vocabulary-dense corpus whose junk
+      *    pair mass sits at j 0.4–0.7 (the exact regime that ENGAGES this
+      *    fallback; measured on the fixture corpus), that floods the
+      *    verifier with ~half of ALL pairs. The signature-estimate prune
+      *    contains the exact-verify cost (measured 10.5 s → 4.7 s at sf0.1)
+      *    but the collision join volume is inherent to the geometry —
+      *    measured 2.7× the default's wall clock.
+      *
+      * There is no geometry with both ≥ 95% recall at 0.8 AND low collision
+      * at 0.65 — the per-row discrimination (0.8/0.65)^r needs r ≈ 22 and
+      * b ≈ 400 (≈ 9k hashes) to hold both. Pick by workload: the default
+      * favors bounded cost and catches strong near-dups; pass
+      * `MinHashBands(32, 8)` when borderline-threshold recall matters more
+      * than wall clock.
       */
-    case class MinHashBands(numHashes: Int = 32, bands: Int = 8) extends CandidateMode
+    case class MinHashBands(numHashes: Int = 32, bands: Int = 4) extends CandidateMode
 
     /** Probe the capped index's document coverage (fraction of documents
       * retaining ≥1 indexable shingle — one extra aggregation over frames
       * the index builds anyway) and fall back to band candidates when the
-      * index can no longer see `minDocCoverage` of the corpus.
+      * index can no longer see `minDocCoverage` of the corpus. Fallback
+      * recall is the [[MinHashBands]] s-curve (logged with numbers at
+      * switch time).
       */
-    case class Auto(minDocCoverage: Double = 0.5, numHashes: Int = 32, bands: Int = 8) extends CandidateMode
+    case class Auto(minDocCoverage: Double = 0.5, numHashes: Int = 32, bands: Int = 4) extends CandidateMode
   }
 
   private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -234,9 +257,25 @@ object Dedup {
       a.join(b, a("sh") === b("sh") && a("doc_a") < b("doc_b"))
         .select(col("doc_a"), col("doc_b"))
     }
+    // Band-candidate prune: engages only in the FLOOD regime — a geometry
+    // whose s-curve midpoint (1/b)^(1/r) sits
+    // below the threshold collides heavily on sub-threshold pairs; the
+    // signature-estimate cutoff t − 3σ sheds them before exact verify
+    // while keeping ≥ ~99.4% of true-threshold pairs. The default 4×8
+    // geometry's midpoint is above the threshold (selective already), and
+    // there the extra distinct + signature joins would only add cost.
+    def pruneCutoff(nh: Int, b: Int): Option[Double] = {
+      val rows     = nh / b
+      val midpoint = math.pow(1.0 / b, 1.0 / rows)
+      if (midpoint < threshold)
+        Some(threshold - 3.0 * math.sqrt(threshold * (1 - threshold) / nh))
+      else None
+    }
+    def bandRecall(nh: Int, b: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(threshold, nh / b), b)
     val rawCand = candidates match {
       case CandidateMode.InvertedIndex           => indexCandidates
-      case CandidateMode.MinHashBands(nh, b)     => bandedCandidatesFromHashes(docs, nh, b)
+      case CandidateMode.MinHashBands(nh, b)     => bandedCandidatesFromHashes(docs, nh, b, pruneCutoff(nh, b))
       case CandidateMode.Auto(minCov, nh, b) =>
         maxShingleFreq match {
           case None => indexCandidates // uncapped index never goes blind (cost, not recall, is its bound)
@@ -248,11 +287,13 @@ object Dedup {
               logger.warn(
                 "ngramJaccardPairs: capped inverted index covers {}/{} documents (< {}) — " +
                   "no shingle is rarer than maxShingleFreq on this corpus; switching candidate " +
-                  "generation to MinHash bands ({} hashes × {} bands). Pass candidates = " +
-                  "CandidateMode.InvertedIndex to force the index formulation.",
-                covered, nDocs, minCov, nh, b
+                  "generation to MinHash bands ({} hashes × {} bands): recall at the {} threshold " +
+                  "is ~{} (band s-curve; see CandidateMode.MinHashBands for the recall/cost trade). " +
+                  "Pass candidates = CandidateMode.InvertedIndex to force the index formulation, " +
+                  "or MinHashBands(32, 8) for ~98% recall at higher cost.",
+                covered, nDocs, minCov, nh, b, threshold, f"${bandRecall(nh, b)}%.2f"
               )
-              bandedCandidatesFromHashes(docs, nh, b)
+              bandedCandidatesFromHashes(docs, nh, b, pruneCutoff(nh, b))
             }
         }
     }
@@ -378,8 +419,26 @@ object Dedup {
   /** Band-collision pairs computed from the already-hashed shingle sets:
     * affine signatures (no digests), band keys, bucket self-join. Pairs
     * may repeat once per colliding band — the verifier dedups.
+    *
+    * `pruneEstBelow`: optional signature-estimate prune between collision
+    * and exact verification. The 8-band geometry that makes recall at the
+    * threshold ~98.5% also COLLIDES heavily in the mid-similarity range
+    * (4-row bands fire at ~40% for j = 0.5) — on a vocabulary-dense corpus
+    * that floods exact verification with sub-threshold pairs. The prune
+    * dedups the collisions and keeps only pairs whose ESTIMATED Jaccard
+    * (fraction of agreeing signature components — an unbiased estimator
+    * with σ = √(j(1−j)/H)) clears the cutoff; comparing H longs is ~10×
+    * cheaper than an exact shingle-set intersection, and the surviving
+    * volume is what the verifier was sized for. Callers set the cutoff
+    * t − 3σ so a true-threshold pair fails the prune with probability
+    * ≤ ~0.6% (binomial tail), keeping combined fallback recall ≈ 98%.
     */
-  private def bandedCandidatesFromHashes(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private def bandedCandidatesFromHashes(
+      docs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      pruneEstBelow: Option[Double] = None
+  ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows    = numHashes / bands
     val offsets = minHashOffsets(numHashes).toArray
@@ -414,9 +473,24 @@ object Dedup {
       .transform(Lineage.truncate)
     val l = banded.toDF("doc_a", "band", "key")
     val r = banded.toDF("doc_b", "band", "key")
-    l.join(r, Seq("band", "key"))
+    val collisions = l.join(r, Seq("band", "key"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
+    pruneEstBelow match {
+      case None => collisions
+      case Some(cutoff) =>
+        val estU = udf { (a: Array[Long], b: Array[Long]) =>
+          var eq = 0; var i = 0
+          while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+          eq.toDouble / a.length
+        }
+        val sigs = docs.select(col("doc_id"), sigU(col("shs")).as("sig")).transform(Lineage.truncate)
+        collisions.distinct()
+          .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+          .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+          .where(estU(col("sig_a"), col("sig_b")) >= cutoff)
+          .select("doc_a", "doc_b")
+    }
   }
 
   /** Exact-Jaccard verification of raw candidate pairs, dispatching on

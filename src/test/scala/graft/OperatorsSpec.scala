@@ -63,6 +63,25 @@ class OperatorsSpec extends SparkSpec {
       Dedup.ngramJaccardPairs(dense, "text", "doc_id", n = 3, threshold = 0.8, maxShingleFreq = Some(2))
         .count() shouldBe 66L // all C(12,2) pairs — identical shingle sets, jaccard 1.0
     }
+    it("band geometries behave as documented: 8×4 (+prune) recovers mid-j pairs, 4×8 only strong dups") {
+      // Precision is identical across modes (exact verification); RECALL
+      // follows the documented band s-curve, pinned here deterministically.
+      // Ground truth at threshold 0.6: the exact dup (1,4) at j=1.0 plus
+      // the dog/cat mid-j near-dups (1,2), (2,4).
+      def run(mode: Dedup.CandidateMode) =
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.6, candidates = mode)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val truth = run(Dedup.CandidateMode.InvertedIndex)
+      truth shouldBe Set((1L, 4L), (1L, 2L), (2L, 4L))
+      // Recall-leaning geometry (midpoint 0.59 < threshold → the
+      // signature-estimate prune engages) recovers every qualifying pair —
+      // including the mid-j ones the prune must not drop.
+      run(Dedup.CandidateMode.MinHashBands(32, 8)) shouldBe truth
+      // Default selective geometry (midpoint 0.84): the j=1.0 dup always
+      // collides; the mid-j pairs sit on the weak side of its s-curve and
+      // deterministically do not — the documented trade, visible in data.
+      run(Dedup.CandidateMode.MinHashBands(32, 4)) shouldBe Set((1L, 4L))
+    }
   }
 
   describe("Dedup.minHashLshPairs") {

@@ -73,5 +73,38 @@ class ScaleToolsSpec extends SparkSpec {
       new java.io.File(dir + "._compact_staging").exists() shouldBe false
       new java.io.File(dir + "._compact_retired").exists() shouldBe false
     }
+
+    it("repairs the retire→install crash window: a retired-only table is restored, then compacted") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-compact-crash").toString + "/t"
+      val df  = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+      df.repartition(8).write.parquet(dir)
+      val originally = spark.read.parquet(dir).collect().toSet
+      // Simulate a crash between rename(path→retired) and
+      // rename(staging→path): table exists ONLY at the retired location,
+      // plus a half-written staging dir.
+      new java.io.File(dir).renameTo(new java.io.File(dir + "._compact_retired")) shouldBe true
+      new java.io.File(dir + "._compact_staging").mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir + "._compact_staging", "part-garbage.parquet"),
+        Array[Byte](1, 2, 3))
+
+      val (before, after) = LakeSink.compactParquet(spark, dir, targetFileBytes = 8L * 1024 * 1024)
+      before shouldBe 8
+      after shouldBe 1
+      spark.read.parquet(dir).collect().toSet shouldBe originally
+      new java.io.File(dir + "._compact_retired").exists() shouldBe false
+    }
+
+    it("fails fast on a partitioned (subdirectory) layout instead of flattening it") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-compact-part").toString + "/t"
+      (1L to 100L).map(i => (i, i % 3)).toDF("id", "p")
+        .write.partitionBy("p").parquet(dir)
+      val ex = intercept[IllegalArgumentException] {
+        LakeSink.compactParquet(spark, dir)
+      }
+      ex.getMessage should include("subdirectories")
+      // Untouched: the partitioned table still reads back whole.
+      spark.read.parquet(dir).count() shouldBe 100
+    }
   }
 }
