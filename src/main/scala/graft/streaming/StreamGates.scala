@@ -44,7 +44,19 @@ object StreamGates {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
     val name  = s"stream_gate_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val query = build(input).writeStream.format("memory").queryName(name).outputMode(mode).start()
+    // Stateful streaming pays a per-micro-batch cost PER STATE PARTITION
+    // (store commit + task launch × partitions × batches), and the state
+    // partition count is frozen from spark.sql.shuffle.partitions at query
+    // start. The fixture replay keys state by ~1.5k users — 8 partitions
+    // saturate local[32] for that cardinality; the session's batch setting
+    // (sized for 100k-row shuffles) would triple the gate's wall clock in
+    // pure state-store overhead. Scoped to the streaming query only:
+    // restored before the batch post-processing runs.
+    val priorShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try build(input).writeStream.format("memory").queryName(name).outputMode(mode).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", priorShufflePartitions)
     try {
       rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { chunk =>
         input.addData(chunk)
