@@ -871,6 +871,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Bigram-LM perplexity quality scoring (CCNet/KenLM-style filter):
+    // add-one-smoothed bigram model trained on the corpus itself, docs
+    // scored by average negative log-likelihood. nll emitted fixed-point
+    // (milli-nats, floor(x·1000 + 0.5)) — ln summation order differs
+    // between engines at ~1e-13, far inside the fixed-point step; the
+    // kept decision thresholds at 3.45 (no fixture doc within 1e-3).
+    "q_text_lm_score" -> ((s, dir) =>
+      graft.operators.TextAnalysis.lmQualityScore(t(s, dir, "documents"), "text", "doc_id", nllThreshold = 3.45)
+        .select(
+          col("doc_id"),
+          col("n_bigrams"),
+          floor(col("nll") * 1000 + lit(0.5)).cast("long").as("nll_milli"),
+          col("kept")
+        )
+        .orderBy("doc_id")),
+
     // URL extraction over derived text with known links embedded.
     "q_text_urls" -> ((s, dir) => {
       val derived = concat(
@@ -1601,6 +1617,25 @@ object SparkEntry {
              |FROM orders""".stripMargin
         Seq("o_orderkey", "o_orderstatus", "o_totalprice").map(per).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       },
+
+      // Bigram-LM replay: identical count/smoothing/score arithmetic; the
+      // doc_id join at the end restores zero-evidence short documents.
+      "q_text_lm_score" ->
+        s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+           |bgx AS (SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]) AS bg
+           |        FROM toks WHERE len(tk) >= 2),
+           |m AS (SELECT doc_id, bg, count(*) AS m FROM bgx GROUP BY 1, 2),
+           |bc AS (SELECT bg, sum(m) AS c_bg FROM m GROUP BY 1),
+           |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_ctx FROM bc GROUP BY 1),
+           |v AS (SELECT count(DISTINCT tok) AS vocab FROM (SELECT unnest(tk) AS tok FROM toks)),
+           |sc AS (SELECT doc_id, -sum(m * ln((bc.c_bg + 1)::DOUBLE / (ctx.c_ctx + vocab))) / sum(m) AS nll,
+           |       sum(m) AS n_bigrams
+           |       FROM m JOIN bc USING (bg) JOIN ctx ON split_part(m.bg, ' ', 1) = ctx.w1, v GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           |       CAST(floor(coalesce(sc.nll, 0) * 1000 + 0.5) AS BIGINT) AS nll_milli,
+           |       coalesce(sc.nll, 0) < 3.45 AS kept
+           |FROM (SELECT DISTINCT doc_id FROM documents) t LEFT JOIN sc USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin,
 
       "q_text_ngrams" ->
         s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),

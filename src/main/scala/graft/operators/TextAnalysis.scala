@@ -111,6 +111,74 @@ object TextAnalysis {
       .agg(countDistinct("doc_id").as("doc_freq"), count(lit(1)).as("ngram_freq"))
   }
 
+  /** Corpus-trained bigram-LM quality scoring — the CCNet/KenLM-style
+    * perplexity filter every scraped-web training pipeline runs: documents
+    * whose token sequences are improbable under a language model of the
+    * (reference) corpus are boilerplate/garble candidates. The model is
+    * add-one-smoothed bigram maximum likelihood:
+    *
+    *   P(w2 | w1) = (c(w1 w2) + 1) / (ctx(w1) + V)
+    *
+    * with `c` the corpus bigram count, `ctx(w1) = Σ_w2 c(w1 w2)` the
+    * bigram-prefix count, and `V` the corpus vocabulary size. A document's
+    * score is its average negative log-likelihood per bigram (nats);
+    * `perplexity = exp(nll)`. Lower = more natural under the corpus.
+    *
+    * Output: (doc_id, n_bigrams, nll DOUBLE, kept BOOLEAN) with
+    * `kept = nll < nllThreshold` (documents with < 2 tokens carry no
+    * evidence: nll 0, kept). Pass `lm` to score against a model trained on
+    * a DIFFERENT (clean reference) corpus — the standard CCNet setup —
+    * otherwise the input corpus trains the model.
+    *
+    * Scale shape: counts are plain aggregations on the bigram key, scoring
+    * is hash joins on the same keys, per-doc reduce at the end — no driver
+    * state, nothing broadcast-unbounded. At 100 TB the count tables bucket
+    * by bigram and the joins stay co-located; the shape is the same as the
+    * TF-IDF operator's.
+    */
+  def lmQualityScore(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      nllThreshold: Double,
+      lm: Option[DataFrame] = None
+  ): DataFrame = {
+    val spark = df.sparkSession
+    // (doc_id, bigram, m) — each document's bigram multiset.
+    def docBigrams(in: DataFrame) = in
+      .select(col(idCol).cast("long").as("doc_id"), explode(tokenNgrams(col(textCol), 2)).as("bg"))
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("m"))
+    val trainBigrams = lm.map(docBigrams).getOrElse(docBigrams(df))
+    val bigramCounts = trainBigrams.groupBy("bg").agg(sum("m").as("c_bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val contextCounts = bigramCounts.groupBy("w1").agg(sum("c_bg").as("c_ctx"))
+    val vocab = lm.getOrElse(df)
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .agg(countDistinct("tok")).head.getLong(0)
+    val scored = docBigrams(df)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(bigramCounts.select("bg", "c_bg"), Seq("bg"), "left")
+      .join(contextCounts, Seq("w1"), "left")
+      .select(
+        col("doc_id"), col("m"),
+        (col("m") * log((coalesce(col("c_bg"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c_ctx"), lit(0L)) + vocab))).as("contrib")
+      )
+      .groupBy("doc_id")
+      .agg((-sum("contrib") / sum("m")).as("nll"), sum("m").cast("long").as("n_bigrams"))
+    // Short documents (< 2 tokens) have no bigrams at all — carry them
+    // through with zero evidence instead of dropping them.
+    df.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll"), lit(0.0)).as("nll"),
+        (coalesce(col("nll"), lit(0.0)) < nllThreshold).as("kept")
+      )
+  }
+
   /** Space-joined token n-grams of `text`, in order with repeats; empty
     * array for documents shorter than n tokens. Tight UDF kernel, NOT the
     * transform/slice/concat_ws HOF chain: Catalyst HOFs evaluate

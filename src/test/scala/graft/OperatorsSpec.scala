@@ -247,6 +247,35 @@ class OperatorsSpec extends SparkSpec {
   }
 
   describe("TextAnalysis corpus-pipeline additions") {
+    it("lmQualityScore: natural text beats garble under the corpus LM; short docs pass with zero evidence") {
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy cat"),
+        (3L, "a very shiny quick brown dog jumps over the lazy fox"),
+        (4L, "zzq qlx vbn mmt kkw ssd ffg hhj"), // garble: every bigram unseen elsewhere
+        (5L, "fox")                              // single token → no bigrams
+      ).toDF("doc_id", "text")
+      val out = TextAnalysis.lmQualityScore(corpus, "text", "doc_id", nllThreshold = 10.0)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+      // Repeated phrasing scores far more likely than one-off garble.
+      out(1L)._2 should be < out(4L)._2
+      out(2L)._2 should be < out(4L)._2
+      // Zero-evidence short doc: no bigrams, nll 0, kept.
+      out(5L) shouldBe ((0L, 0.0, true))
+      // The filter column is the threshold decision.
+      val strict = TextAnalysis.lmQualityScore(corpus, "text", "doc_id", nllThreshold = out(4L)._2 - 0.01)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      strict(4L) shouldBe false
+      strict(1L) shouldBe true
+      // Cross-corpus form: score docs against a model trained on a CLEAN
+      // reference (docs 1-3) — garble gets worse (all-unseen bigrams with
+      // ctx 0 → uniform 1/V), natural text is unaffected.
+      val ref  = corpus.where(col("doc_id") <= 3)
+      val xOut = TextAnalysis.lmQualityScore(corpus, "text", "doc_id", nllThreshold = 10.0, lm = Some(ref))
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      xOut(1L) should be < xOut(4L)
+      xOut(4L) should be > out(4L)._2 // unseen-everywhere under the reference model
+    }
     it("decontaminationOverlap counts distinct leaked n-grams per corpus doc") {
       val corpus = Seq(
         (1L, "a b c d e"),       // shares "a b c" and "b c d" with bench
