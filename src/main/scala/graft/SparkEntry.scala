@@ -871,6 +871,27 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // URL-level dedup over derived messy URLs (mixed case, default port,
+    // trailing slash, tracking params, unsorted query, fragment — all
+    // doc_id-deterministic). The oracle states the closed-form canonical
+    // URL each variant must collapse to and replays the dedup.
+    "q_url_dedup" -> ((s, dir) => {
+      val m3 = pmod(col("doc_id"), lit(3))
+      val url = concat(
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP://")).otherwise(lit("http://")),
+        lit("Site"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".Example.COM"),
+        when(m3 === 0, lit(":80")).otherwise(lit("")),
+        lit("/Page/"), pmod(col("doc_id"), lit(5)).cast("string"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("/")).otherwise(lit("")),
+        when(m3 === 1, lit("?utm_source=x&b=2&a=1"))
+          .when(m3 === 2, lit("?a=1&b=2")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(6)) === 0, lit("#frag")).otherwise(lit(""))
+      )
+      val urls = t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+      graft.operators.TextAnalysis.dedupByCanonicalUrl(urls, "url", "doc_id")
+        .orderBy("canonical_url")
+    }),
+
     // Bigram-LM perplexity quality scoring (CCNet/KenLM-style filter):
     // add-one-smoothed bigram model trained on the corpus itself, docs
     // scored by average negative log-likelihood. nll emitted fixed-point
@@ -1617,6 +1638,17 @@ object SparkEntry {
              |FROM orders""".stripMargin
         Seq("o_orderkey", "o_orderstatus", "o_totalprice").map(per).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       },
+
+      // URL dedup: the canonicalizer's contract in closed form — lowered
+      // scheme/host, :80 stripped, trailing slash collapsed, path case
+      // KEPT, utm_* dropped, survivors sorted, fragment dropped.
+      "q_url_dedup" ->
+        """WITH u AS (SELECT doc_id,
+          |  'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/Page/' || CAST(doc_id % 5 AS VARCHAR) ||
+          |  CASE WHEN doc_id % 3 > 0 THEN '?a=1&b=2' ELSE '' END AS canonical_url
+          |FROM documents)
+          |SELECT canonical_url, min(doc_id) AS canonical_id, count(*) AS n_copies
+          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // Bigram-LM replay: identical count/smoothing/score arithmetic; the
       // doc_id join at the end restores zero-evidence short documents.

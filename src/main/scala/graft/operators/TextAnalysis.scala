@@ -431,6 +431,68 @@ object TextAnalysis {
   def urlHost(url: Column): Column =
     regexp_extract(url, "https?://([^/]+)", 1)
 
+  /** Query parameters that identify a CLICK, not a RESOURCE — dropped by
+    * [[canonicalizeUrl]] (frozen list; the standard tracking families).
+    */
+  val TrackingParams: Set[String] = Set("fbclid", "gclid", "msclkid", "ref", "igshid")
+
+  /** Canonical form of a URL — the key for URL-level deduplication, the
+    * first dedup pass a web-scrape pipeline runs (two crawls of the same
+    * page differ in tracking params, fragment, case, default port — not in
+    * content worth keeping twice):
+    *
+    *  - scheme and authority lowercased; default port stripped
+    *    (`:80` for http, `:443` for https);
+    *  - fragment dropped (client-side only);
+    *  - trailing path slash collapsed (`/a/` → `/a`; root `/` kept);
+    *  - tracking query params dropped (`utm_*` + [[TrackingParams]]),
+    *    survivors SORTED (param order is transport noise), empty query
+    *    dropped entirely.
+    *
+    * Everything else (path case, param values, userinfo) is preserved —
+    * canonicalization must never merge two genuinely different resources.
+    * Non-URL-shaped / null input passes through unchanged (the lens
+    * error-tolerance philosophy). Scan-local kernel, no shuffle; the
+    * decomposition is one anchored regex so the DuckDB oracle replays it
+    * exactly.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$".r
+    val u = udf { (in: String) =>
+      in match {
+        case null => null
+        case re(scheme0, auth0, path0, query0, _) =>
+          val scheme = scheme0.toLowerCase
+          val auth1  = auth0.toLowerCase
+          val auth =
+            if (scheme == "http" && auth1.endsWith(":80")) auth1.dropRight(3)
+            else if (scheme == "https" && auth1.endsWith(":443")) auth1.dropRight(4)
+            else auth1
+          val path = if (path0.length > 1 && path0.endsWith("/")) path0.dropRight(1) else path0
+          val query = Option(query0).map(_.drop(1)).filter(_.nonEmpty).map { qs =>
+            val keep = qs.split("&").filter { kv =>
+              val key = kv.takeWhile(_ != '=').toLowerCase
+              kv.nonEmpty && !key.startsWith("utm_") && !TrackingParams.contains(key)
+            }.sorted
+            if (keep.isEmpty) "" else "?" + keep.mkString("&")
+          }.getOrElse("")
+          scheme + "://" + auth + path + query
+        case other => other
+      }
+    }
+    u(url)
+  }
+
+  /** URL-level dedup: one representative (min id) + multiplicity per
+    * canonical URL — [[graft.operators.Dedup.exactDuplicates]] keyed on
+    * [[canonicalizeUrl]] instead of content. One hash shuffle on the
+    * canonical string; at 100 TB the key is a ~100-byte URL, already
+    * shuffle-friendly.
+    */
+  def dedupByCanonicalUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.groupBy(canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
   /** Top-k salient terms per document: term frequency within the document,
     * tie-broken toward rarer terms (lower corpus document frequency), then
     * lexicographically — the TF-IDF ranking with an integer-exact order

@@ -247,6 +247,35 @@ class OperatorsSpec extends SparkSpec {
   }
 
   describe("TextAnalysis corpus-pipeline additions") {
+    it("canonicalizeUrl normalizes transport noise, preserves resource identity, tolerates garbage") {
+      def canon(s: String): String = Seq(Tuple1(s)).toDF("u")
+        .select(TextAnalysis.canonicalizeUrl(col("u"))).head.getString(0)
+      // Case, default port, fragment, tracking params, param order,
+      // trailing slash — all transport noise.
+      canon("HTTP://WWW.Example.COM:80/A/B/?utm_source=x&b=2&a=1#frag") shouldBe
+        "http://www.example.com/A/B?a=1&b=2"
+      canon("https://example.com:443/") shouldBe "https://example.com/"
+      canon("https://example.com:8443/x") shouldBe "https://example.com:8443/x" // non-default port kept
+      canon("http://example.com/p?fbclid=abc&gclid=1") shouldBe "http://example.com/p"
+      // Resource identity preserved: path case, param values, userinfo.
+      canon("http://u:pw@example.com/CaseSensitive?q=Value") shouldBe
+        "http://u:pw@example.com/CaseSensitive?q=Value"
+      // Garbage and null pass through (error tolerance).
+      canon("not a url at all") shouldBe "not a url at all"
+      Seq(Tuple1(null.asInstanceOf[String])).toDF("u")
+        .select(TextAnalysis.canonicalizeUrl(col("u"))).head.isNullAt(0) shouldBe true
+      // Dedup collapses the variants onto one representative.
+      val df = Seq(
+        (1L, "HTTP://a.com/x?utm_source=s"),
+        (2L, "http://A.COM:80/x"),
+        (3L, "http://a.com/x#top"),
+        (4L, "http://b.com/y")
+      ).toDF("doc_id", "url")
+      val out = TextAnalysis.dedupByCanonicalUrl(df, "url", "doc_id")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      out("http://a.com/x") shouldBe ((1L, 3L))
+      out("http://b.com/y") shouldBe ((4L, 1L))
+    }
     it("lmQualityScore: natural text beats garble under the corpus LM; short docs pass with zero evidence") {
       val corpus = Seq(
         (1L, "the quick brown fox jumps over the lazy dog"),
