@@ -871,6 +871,16 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Leakage-safe split: near-dup clusters keyed by their representative
+    // so a near-dup family never straddles train/test. Oracle composes
+    // the clusters CTE with the split-bucket arithmetic.
+    "q_split_leakage_safe" -> ((s, dir) =>
+      graft.operators.Sampling.leakageSafeSplit(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
     // URL-level dedup over derived messy URLs (mixed case, default port,
     // trailing slash, tracking params, unsorted query, fragment — all
     // doc_id-deterministic). The oracle states the closed-form canonical
@@ -1450,6 +1460,17 @@ object SparkEntry {
            |losers AS (SELECT a AS node FROM reach GROUP BY a HAVING min(b) <> a)
            |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
            |ORDER BY doc_id""".stripMargin,
+
+      "q_split_leakage_safe" ->
+        s"""WITH RECURSIVE ${clustersCte(hsh3)},
+           |reps AS (SELECT a AS node, min(b) AS rep FROM reach GROUP BY a),
+           |keyed AS (SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS k
+           |          FROM documents d LEFT JOIN reps r ON d.doc_id = r.node)
+           |SELECT doc_id, CASE
+           |  WHEN ${hashSql("CAST(k AS VARCHAR)")} % 1000000 < 800000 THEN 'train'
+           |  WHEN ${hashSql("CAST(k AS VARCHAR)")} % 1000000 < 900000 THEN 'val'
+           |  ELSE 'test' END AS split
+           |FROM keyed ORDER BY doc_id""".stripMargin,
 
       "q_text_bpe_tokens" -> {
         val pat = graft.operators.TextAnalysis.bpePattern.replace("'", "''")

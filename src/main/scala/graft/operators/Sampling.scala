@@ -83,6 +83,40 @@ object Sampling {
     df.withColumn(outCol, labeled)
   }
 
+  /** Leakage-safe split: [[assignSplit]] with the guarantee that
+    * NEAR-DUPLICATE documents never straddle splits — the eval-integrity
+    * property a plain per-doc hash split silently violates (a test doc
+    * whose near-twin sits in train is a leaked answer, and scraped corpora
+    * are full of such twins even after exact dedup). Documents are
+    * clustered by n-gram Jaccard ([[Dedup.ngramJaccardPairs]] →
+    * [[Dedup.duplicateClusters]]); the split hash is keyed by the CLUSTER
+    * REPRESENTATIVE, so a whole near-dup family lands in one split;
+    * unclustered documents key by themselves (identical to the plain
+    * split for them).
+    *
+    * Scale shape: the dedup stages' own auto-gated shapes, plus one left
+    * join of the corpus against the (small — only clustered docs) label
+    * frame and the pure-column split assignment. Retry-stable like every
+    * sampler here.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      n: Int = 3,
+      threshold: Double = 0.8,
+      outCol: String = "split"
+  ): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(df, textCol, idCol, n, threshold)
+    val reps  = Dedup.duplicateClusters(pairs).toDF("_lsk_id", "_lsk_rep")
+    val keyed = df
+      .join(reps, col(idCol).cast("long") === col("_lsk_id"), "left")
+      .withColumn("_split_key", coalesce(col("_lsk_rep"), col(idCol).cast("long")))
+      .drop("_lsk_id", "_lsk_rep")
+    assignSplit(keyed, "_split_key", splits, outCol).drop("_split_key")
+  }
+
   /** Deterministic shard + within-shard position for training-data export —
     * the "global shuffle" a training run wants, without a global sort: the
     * id-hash assigns the shard AND the pseudo-random order inside it, so

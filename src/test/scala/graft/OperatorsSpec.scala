@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class OperatorsSpec extends SparkSpec {
@@ -247,6 +247,22 @@ class OperatorsSpec extends SparkSpec {
   }
 
   describe("TextAnalysis corpus-pipeline additions") {
+    it("leakageSafeSplit: a near-dup family lands in ONE split, keyed by its representative") {
+      // docs fixture: {1, 2, 4} are a near-dup family at threshold 0.6
+      // (1↔4 exact, 1↔2 / 2↔4 dog/cat); 3 is unrelated.
+      val out = Sampling.leakageSafeSplit(docs, "text", "doc_id",
+          Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25), threshold = 0.6)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      out(1L) shouldBe out(2L)
+      out(2L) shouldBe out(4L)
+      // The family's split is the plain split of its REPRESENTATIVE (min
+      // id 1), and the unclustered doc splits exactly as assignSplit would.
+      val plain = Sampling.assignSplit(docs, "doc_id",
+          Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      out(1L) shouldBe plain(1L)
+      out(3L) shouldBe plain(3L)
+    }
     it("canonicalizeUrl normalizes transport noise, preserves resource identity, tolerates garbage") {
       def canon(s: String): String = Seq(Tuple1(s)).toDF("u")
         .select(TextAnalysis.canonicalizeUrl(col("u"))).head.getString(0)

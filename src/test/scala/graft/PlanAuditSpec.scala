@@ -71,6 +71,27 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("dedupByCanonicalUrl is ONE shuffle (partial agg → exchange on the canonical key → final agg)") {
+      withoutAqe {
+        val df = spark.range(1, 2000).toDF("id")
+          .withColumn("url", concat(lit("http://h"), pmod(col("id"), lit(9)).cast("string"), lit(".com/p?utm_source=x")))
+        val plan = executed(TextAnalysis.dedupByCanonicalUrl(df, "url", "id"))
+        shuffles(plan) shouldBe 1
+      }
+    }
+
+    it("lmQualityScore has no cartesian product and no nested-loop join") {
+      withoutAqe {
+        val df = spark.range(1, 500).toDF("id")
+          .withColumn("text", concat(lit("w"), pmod(col("id"), lit(17)).cast("string"),
+            lit(" w"), pmod(col("id"), lit(13)).cast("string"),
+            lit(" w"), pmod(col("id"), lit(11)).cast("string")))
+        val plan = executed(TextAnalysis.lmQualityScore(df, "text", "id", nllThreshold = 5.0))
+        plan.toString should not include "CartesianProduct"
+        plan.toString should not include "BroadcastNestedLoopJoin"
+      }
+    }
+
     it("decontaminationOverlap broadcasts the benchmark side, never the corpus") {
       assume(new java.io.File(sfDir).isDirectory)
       withoutAqe {
