@@ -871,6 +871,12 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Tokenizer-prep vocabulary: smallest count-ranked vocab reaching 90%
+    // token coverage, ties at the cutoff count admitted.
+    "q_vocab_coverage" -> ((s, dir) =>
+      graft.operators.TextAnalysis.vocabulary(t(s, dir, "documents"), "text", coverage = 0.9)
+        .orderBy("rank")),
+
     // Leakage-safe split: near-dup clusters keyed by their representative
     // so a near-dup family never straddles train/test. Oracle composes
     // the clusters CTE with the split-bucket arithmetic.
@@ -1659,6 +1665,18 @@ object SparkEntry {
              |FROM orders""".stripMargin
         Seq("o_orderkey", "o_orderstatus", "o_totalprice").map(per).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       },
+
+      "q_vocab_coverage" ->
+        s"""WITH c AS (SELECT token, count(*) AS token_count
+           |           FROM (SELECT unnest(${tokensSql("text")}) AS token FROM documents) GROUP BY 1),
+           |r AS (SELECT token, token_count,
+           |      CAST(row_number() OVER (ORDER BY token_count DESC, token) AS BIGINT) AS rank,
+           |      (sum(token_count) OVER (ORDER BY token_count DESC, token ROWS UNBOUNDED PRECEDING))::DOUBLE
+           |        / (sum(token_count) OVER ())::DOUBLE AS cum_fraction
+           |      FROM c),
+           |cut AS (SELECT token_count AS cc FROM r WHERE cum_fraction >= 0.9 ORDER BY rank LIMIT 1)
+           |SELECT token, token_count, rank, cum_fraction FROM r, cut
+           |WHERE token_count >= cc ORDER BY rank""".stripMargin,
 
       // URL dedup: the canonicalizer's contract in closed form — lowered
       // scheme/host, :80 stripped, trailing slash collapsed, path case

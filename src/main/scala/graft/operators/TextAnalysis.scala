@@ -431,6 +431,43 @@ object TextAnalysis {
   def urlHost(url: Column): Column =
     regexp_extract(url, "https?://([^/]+)", 1)
 
+  /** Tokenizer-prep vocabulary builder: the smallest count-ranked
+    * vocabulary whose cumulative token mass reaches `coverage` (plus
+    * everything tied with the last admitted count — a deterministic,
+    * order-free cutoff). Output: (token, token_count, rank,
+    * cum_fraction), rank 1 = most frequent, ties broken
+    * lexicographically. The classic pre-BPE/pre-wordpiece corpus step:
+    * pick the base vocabulary that covers 99.x% of tokens and map the
+    * tail to <unk>.
+    *
+    * Scale shape: one count aggregation (map-side combined) + a window
+    * over the SINGLE ordered frame of DISTINCT tokens — vocabulary-sized
+    * (Heaps' law: millions of rows at 100 TB, not billions), so the
+    * unpartitioned cumulative window is a deliberate, bounded exception
+    * to the no-global-window rule; the corpus itself is touched once.
+    */
+  def vocabulary(df: DataFrame, textCol: String, coverage: Double): DataFrame = {
+    require(coverage > 0 && coverage <= 1, "coverage must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("token_count"))
+    val w      = Window.orderBy(col("token_count").desc, col("token"))
+    val total  = Window.partitionBy()
+    val ranked = counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("token_count").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_fraction", col("cum").cast("double") / sum("token_count").over(total))
+    // The cutoff is the COUNT at the first rank reaching coverage; every
+    // token with that count or more is admitted (ranks above the coverage
+    // rank all have ≥ that count under the desc order, and ties below it
+    // come in with it — a count either is or isn't in the vocabulary).
+    val cutCount = ranked.where(col("cum_fraction") >= coverage)
+      .orderBy("rank").select("token_count").head.getLong(0)
+    ranked
+      .where(col("token_count") >= cutCount)
+      .select("token", "token_count", "rank", "cum_fraction")
+  }
+
   /** Query parameters that identify a CLICK, not a RESOURCE — dropped by
     * [[canonicalizeUrl]] (frozen list; the standard tracking families).
     */

@@ -247,6 +247,16 @@ class OperatorsSpec extends SparkSpec {
   }
 
   describe("TextAnalysis corpus-pipeline additions") {
+    it("vocabulary: smallest covering prefix plus ties at the cutoff count") {
+      // counts: a=4, b=2, c=2, d=1 (total 9). Coverage 0.6 is reached at
+      // rank 2 (a+b = 6/9); c ties with b's count and is admitted; d is out.
+      val corpus = Seq((1L, "a a a a b b"), (2L, "c c d")).toDF("doc_id", "text")
+      val out = TextAnalysis.vocabulary(corpus, "text", coverage = 0.6)
+        .select("token", "token_count", "rank").as[(String, Long, Long)].collect().toSet
+      out shouldBe Set(("a", 4L, 1L), ("b", 2L, 2L), ("c", 2L, 3L))
+      // coverage 1.0 → the whole vocabulary.
+      TextAnalysis.vocabulary(corpus, "text", coverage = 1.0).count() shouldBe 4
+    }
     it("leakageSafeSplit: a near-dup family lands in ONE split, keyed by its representative") {
       // docs fixture: {1, 2, 4} are a near-dup family at threshold 0.6
       // (1↔4 exact, 1↔2 / 2↔4 dog/cat); 3 is unrelated.
