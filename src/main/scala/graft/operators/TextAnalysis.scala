@@ -179,6 +179,73 @@ object TextAnalysis {
       )
   }
 
+  /** A trained bigram LM as broadcastable driver-side maps — the SERVING
+    * form of [[lmQualityScore]]'s model (KenLM ships models to workers the
+    * same way). Built by [[lmTrainCompact]]; scored scan-locally by
+    * [[lmScoreScanLocal]], which therefore runs UNCHANGED on a stream.
+    * CAPACITY BOUND (enforced): the maps live in executor memory — train
+    * on a vocabulary-capped reference corpus (the standard CCNet setup
+    * scores against a clean Wikipedia-sized model, a few GB at most); the
+    * join-based [[lmQualityScore]] is the unbounded-model batch path.
+    */
+  final case class LmModel(
+      bigram: Map[String, Long],
+      context: Map[String, Long],
+      vocabSize: Long
+  ) {
+    def logProb(w1: String, bg: String): Double =
+      math.log((bigram.getOrElse(bg, 0L) + 1).toDouble / (context.getOrElse(w1, 0L) + vocabSize))
+  }
+
+  /** Train a compact [[LmModel]] on `corpus` (same counts/smoothing as
+    * [[lmQualityScore]]'s internal model — the two scorers agree exactly,
+    * spec-pinned). `maxBigrams` guards the driver collect, ExactGuard
+    * style: a model that doesn't fit a broadcast needs the join-based
+    * scorer, not a bigger driver.
+    */
+  def lmTrainCompact(corpus: DataFrame, textCol: String, maxBigrams: Long = 10000000L): LmModel = {
+    val bigramCounts = corpus
+      .select(explode(tokenNgrams(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+    val n = bigramCounts.count()
+    require(
+      n <= maxBigrams,
+      s"lmTrainCompact: $n distinct bigrams exceeds maxBigrams = $maxBigrams — " +
+        "a model this size should serve through the join-based lmQualityScore, not a broadcast map"
+    )
+    val bg = bigramCounts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ctx = bg.toSeq
+      .groupMapReduce { case (b, _) => b.takeWhile(_ != ' ') } { case (_, c) => c }(_ + _)
+    val vocab = corpus.select(explode(tokens(col(textCol))).as("tok"))
+      .agg(countDistinct("tok")).head.getLong(0)
+    LmModel(bg, ctx, vocab)
+  }
+
+  /** Scan-local LM scoring against a broadcast [[LmModel]]:
+    * struct(n_bigrams long, nll double) per text. No shuffle, no state —
+    * identical on batch frames and streams (the streaming spec replays it
+    * through a MemoryStream). Same fold order as reading the document, so
+    * repeated runs are bit-identical.
+    */
+  def lmScoreScanLocal(model: LmModel, spark: org.apache.spark.sql.SparkSession)(text: Column): Column = {
+    val bc = spark.sparkContext.broadcast(model)
+    val u = udf { (t: String) =>
+      val toks = if (t == null) Array.empty[String] else t.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 2) (0L, 0.0)
+      else {
+        val m = bc.value
+        var acc = 0.0
+        var i = 0
+        while (i < toks.length - 1) {
+          acc += m.logProb(toks(i), toks(i) + " " + toks(i + 1))
+          i += 1
+        }
+        (toks.length - 1L, -acc / (toks.length - 1))
+      }
+    }
+    u(text)
+  }
+
   /** Space-joined token n-grams of `text`, in order with repeats; empty
     * array for documents shorter than n tokens. Tight UDF kernel, NOT the
     * transform/slice/concat_ws HOF chain: Catalyst HOFs evaluate

@@ -149,6 +149,32 @@ class MultimodalStreamingSpec extends SparkSpec {
       spark.sql("SELECT doc_id FROM qf_stream_test").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
       query.stop()
     }
+    it("a trained LM model scores a STREAM scan-locally (train batch, serve stream)") {
+      // The KenLM serving shape: the model is a broadcast artifact, the
+      // scorer a pure column transform — so the same call drives a stream.
+      implicit val sqlCtx = spark.sqlContext
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy cat")
+      ).toDF("doc_id", "text")
+      val model = TextAnalysis.lmTrainCompact(corpus, "text")
+      val batch = corpus
+        .select(col("doc_id"), TextAnalysis.lmScoreScanLocal(model, spark)(col("text")).as("s"))
+        .select(col("doc_id"), col("s._2")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val input = MemoryStream[(Long, String)]
+      val query = EventStream.toMemorySink(
+        input.toDF().toDF("doc_id", "text")
+          .select(col("doc_id"), TextAnalysis.lmScoreScanLocal(model, spark)(col("text")).as("s"))
+          .select(col("doc_id"), col("s._2").as("nll")),
+        "lm_stream_test", org.apache.spark.sql.streaming.OutputMode.Append())
+      input.addData((1L, "the quick brown fox jumps over the lazy dog"),
+                    (2L, "the quick brown fox jumps over the lazy cat"))
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM lm_stream_test").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      query.stop()
+      streamed shouldBe batch
+    }
     it("sessionize merges events within the gap (batch semantics)") {
       def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
       val evs = Seq(

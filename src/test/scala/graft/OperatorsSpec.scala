@@ -247,6 +247,33 @@ class OperatorsSpec extends SparkSpec {
   }
 
   describe("TextAnalysis corpus-pipeline additions") {
+    it("lmTrainCompact + lmScoreScanLocal agree with the join-based scorer; the bigram cap guards the collect") {
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy cat"),
+        (3L, "pack my box with five dozen liquor jugs"),
+        (4L, "x")
+      ).toDF("doc_id", "text")
+      val joined = TextAnalysis.lmQualityScore(corpus, "text", "doc_id", nllThreshold = 10.0)
+        .select("doc_id", "n_bigrams", "nll").as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val model = TextAnalysis.lmTrainCompact(corpus, "text")
+      val local = corpus
+        .select(col("doc_id"), TextAnalysis.lmScoreScanLocal(model, spark)(col("text")).as("s"))
+        .select(col("doc_id"), col("s._1"), col("s._2"))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      local.keySet shouldBe joined.keySet
+      local.foreach { case (id, (nb, nll)) =>
+        nb shouldBe joined(id)._1
+        nll shouldBe joined(id)._2 +- 1e-9 // summation order differs; arithmetic identical
+      }
+      local(4L) shouldBe ((0L, 0.0)) // short doc: zero evidence
+      // The broadcast-capacity guard throws past the bound, naming the join path.
+      val ex = intercept[IllegalArgumentException] {
+        TextAnalysis.lmTrainCompact(corpus, "text", maxBigrams = 3)
+      }
+      ex.getMessage should include("lmQualityScore")
+    }
     it("vocabulary: smallest covering prefix plus ties at the cutoff count") {
       // counts: a=4, b=2, c=2, d=1 (total 9). Coverage 0.6 is reached at
       // rank 2 (a+b = 6/9); c ties with b's count and is admitted; d is out.
