@@ -200,6 +200,116 @@ object EventStream {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  case class BandedDoc(bucket: String, doc_id: Long, ts: java.sql.Timestamp, sig: Array[Long])
+  case class NearDupCandidate(doc_a: Long, doc_b: Long, ts: java.sql.Timestamp, est_jaccard: Double)
+
+  /** Streaming NEAR-duplicate candidate detection — the streaming twin of
+    * [[graft.operators.Dedup.minHashLshPairs]]: each document's MinHash
+    * band keys route it to per-bucket state holding the recent documents
+    * of that bucket, and a new arrival is compared (signature-estimate
+    * Jaccard, the same estimator the batch prune uses) against bucket
+    * members within `windowMinutes` of event time. Emits
+    * (doc_a < doc_b, ts of the later doc, est_jaccard ≥ `minEstJaccard`).
+    *
+    * STATE IS BOUNDED twice: by the WATERMARK (an entry is evicted once
+    * the watermark passes `ts + window` — nothing arriving later could
+    * pair with it), and by `maxPerBucket` (a hot bucket keeps its most
+    * recent K members; the cap is a documented recall bound, the same
+    * honesty contract as ExactGuard). A pair colliding in several bands
+    * emits once per band — compose with [[dedupWithinWatermark]] on
+    * (doc_a, doc_b) to collapse them, exactly as the batch verifier
+    * dedups band collisions. Candidates are APPROXIMATE by design (band
+    * recall × estimator noise); exact-Jaccard verification happens
+    * downstream against a document store, as in the batch pipeline.
+    *
+    * On a bounded frame the watermark machinery is elided and this
+    * reduces to banded candidates restricted to the time window —
+    * spec-checked equal to the streamed replay.
+    */
+  def nearDupCandidatesWithinWatermark(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      windowMinutes: Int = 60,
+      watermarkDelay: String = "10 minutes",
+      minEstJaccard: Double = 0.5,
+      maxPerBucket: Int = 64
+  ): Dataset[NearDupCandidate] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows     = numHashes / bands
+    val windowMs = windowMinutes * 60000L
+    val banded = docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        col(tsCol).as("ts"),
+        graft.operators.Dedup.minHashSignature(col(textCol), n, numHashes).as("sig")
+      )
+      .withWatermark("ts", watermarkDelay)
+      .select(
+        col("doc_id"), col("ts"), col("sig"),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => concat_ws(":", b.cast("string"),
+              concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string"))))
+          )
+        ).as("bucket")
+      )
+      .as[BandedDoc]
+    def est(a: Array[Long], b: Array[Long]): Double = {
+      var eq = 0; var i = 0
+      while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / a.length
+    }
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[(Long, Long, Array[Long])], NearDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (_, batch, state: GroupState[List[(Long, Long, Array[Long])]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val incoming = batch.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+            if (incoming.isEmpty) Iterator.empty
+            else {
+              var members = state.getOption.getOrElse(Nil)
+              val out = Seq.newBuilder[NearDupCandidate]
+              incoming.foreach { d =>
+                val t = d.ts.getTime
+                members.foreach { case (oid, ots, osig) =>
+                  if (oid != d.doc_id && math.abs(t - ots) <= windowMs) {
+                    val e = est(d.sig, osig)
+                    if (e >= minEstJaccard)
+                      out += NearDupCandidate(math.min(d.doc_id, oid), math.max(d.doc_id, oid),
+                        new java.sql.Timestamp(math.max(t, ots)), e)
+                  }
+                }
+                members = ((d.doc_id, t, d.sig) :: members).take(maxPerBucket)
+              }
+              // Watermark eviction: nothing arriving later can pair with an
+              // entry whose window has passed. (Batch: watermark reads as
+              // unset → keep all, the bounded-frame semantics.)
+              val wm = try state.getCurrentWatermarkMs() catch { case _: UnsupportedOperationException => 0L }
+              members = members.filter(_._2 + windowMs >= wm)
+              if (members.isEmpty) state.remove()
+              else {
+                state.update(members)
+                val horizon = members.map(_._2).max + windowMs
+                try state.setTimeoutTimestamp(math.max(horizon, wm + 1))
+                catch { case _: UnsupportedOperationException => () }
+                ()
+              }
+              out.result().iterator
+            }
+          }
+      }
+  }
+
   /** Stream-static enrichment: join each streaming event to a STATIC
     * dimension frame (user profile, document metadata, model registry).
     * Stream-static joins are stateless on the stream side — Spark

@@ -149,6 +149,45 @@ class MultimodalStreamingSpec extends SparkSpec {
       spark.sql("SELECT doc_id FROM qf_stream_test").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
       query.stop()
     }
+    it("nearDupCandidatesWithinWatermark pairs near-dups inside the window, streamed == batch") {
+      implicit val sqlCtx = spark.sqlContext
+      def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      val textA  = "the quick brown fox jumps over the lazy dog again and again"
+      val textA2 = "the quick brown fox jumps over the lazy cat again and again"
+      val rows = Seq(
+        (1L, ts(0), textA),
+        (2L, ts(5), textA2),                    // near-dup of 1, inside the 60-min window
+        (3L, ts(300), textA),                   // same text, 5 HOURS later → outside the window
+        (4L, ts(1), "completely different words about spark execution engines")
+      )
+      def pairsOf(df: org.apache.spark.sql.DataFrame) =
+        EventStream.nearDupCandidatesWithinWatermark(df, "doc_id", "ts", "text",
+            windowMinutes = 60, minEstJaccard = 0.4)
+          .toDF().select("doc_a", "doc_b").distinct()
+          .as[(Long, Long)].collect().toSet
+
+      val batchPairs = pairsOf(rows.toDF("doc_id", "ts", "text"))
+      batchPairs should contain((1L, 2L))
+      batchPairs.flatMap(p => Set(p._1, p._2)) should not contain 3L // window respected
+      batchPairs.flatMap(p => Set(p._1, p._2)) should not contain 4L // unrelated text
+
+      // Streamed in two chronological micro-batches: the cross-batch pair
+      // (1 arrives in batch 1, 2 in batch 2) comes out of bucket STATE.
+      val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val query = EventStream.toMemorySink(
+        EventStream.nearDupCandidatesWithinWatermark(
+          input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+          windowMinutes = 60, minEstJaccard = 0.4).toDF(),
+        "neardup_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+      input.addData((1L, ts(0), textA), (4L, ts(1), rows(3)._3))
+      query.processAllAvailable()
+      input.addData((2L, ts(5), textA2), (3L, ts(300), textA))
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT DISTINCT doc_a, doc_b FROM neardup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      query.stop()
+      streamed shouldBe batchPairs
+    }
     it("a trained LM model scores a STREAM scan-locally (train batch, serve stream)") {
       // The KenLM serving shape: the model is a broadcast artifact, the
       // scorer a pure column transform — so the same call drives a stream.
