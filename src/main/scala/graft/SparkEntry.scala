@@ -871,6 +871,23 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Term-distribution drift between two corpus halves (even/odd doc_id):
+    // per-term smoothed probabilities + pointwise KL both directions,
+    // fixed-point nano-nats (single ln per row — no summation-order FP).
+    "q_term_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.termDrift(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          docs.where(pmod(col("doc_id"), lit(2)) === 1),
+          "text")
+        .select(
+          col("term"), col("c_a"), col("c_b"),
+          floor(col("kl_ab") * 1e9 + lit(0.5)).cast("long").as("kl_ab_nano"),
+          floor(col("kl_ba") * 1e9 + lit(0.5)).cast("long").as("kl_ba_nano")
+        )
+        .orderBy("term")
+    }),
+
     // Tokenizer-prep vocabulary: smallest count-ranked vocab reaching 90%
     // token coverage, ties at the cutoff count admitted.
     "q_vocab_coverage" -> ((s, dir) =>
@@ -1665,6 +1682,21 @@ object SparkEntry {
              |FROM orders""".stripMargin
         Seq("o_orderkey", "o_orderstatus", "o_totalprice").map(per).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       },
+
+      "q_term_drift" ->
+        s"""WITH a AS (SELECT token AS term, count(*) AS c_a
+           |           FROM (SELECT unnest(${tokensSql("text")}) AS token FROM documents WHERE doc_id % 2 = 0) GROUP BY 1),
+           |b AS (SELECT token AS term, count(*) AS c_b
+           |      FROM (SELECT unnest(${tokensSql("text")}) AS token FROM documents WHERE doc_id % 2 = 1) GROUP BY 1),
+           |j AS (SELECT coalesce(a.term, b.term) AS term, coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+           |      FROM a FULL OUTER JOIN b ON a.term = b.term),
+           |t AS (SELECT sum(c_a) AS na, sum(c_b) AS nb, count(*) AS v FROM j),
+           |p AS (SELECT term, c_a, c_b,
+           |      (c_a + 1)::DOUBLE / (na + v) AS pa, (c_b + 1)::DOUBLE / (nb + v) AS pb FROM j, t)
+           |SELECT term, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           |  CAST(floor(pa * ln(pa / pb) * 1e9 + 0.5) AS BIGINT) AS kl_ab_nano,
+           |  CAST(floor(pb * ln(pb / pa) * 1e9 + 0.5) AS BIGINT) AS kl_ba_nano
+           |FROM p ORDER BY term""".stripMargin,
 
       "q_vocab_coverage" ->
         s"""WITH c AS (SELECT token, count(*) AS token_count

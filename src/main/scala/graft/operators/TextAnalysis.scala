@@ -498,6 +498,36 @@ object TextAnalysis {
   def urlHost(url: Column): Column =
     regexp_extract(url, "https?://([^/]+)", 1)
 
+  /** Term-distribution drift between two corpus snapshots — the
+    * monitoring op a recurring ingestion pipeline runs to catch a source
+    * going bad (spam influx, scraper breakage, language shift) before it
+    * trains into a model. Per term of the UNION vocabulary, add-one
+    * smoothed unigram probabilities under each snapshot
+    * (`p = (c + 1) / (N + V)`) and the pointwise KL contributions in both
+    * directions (`p_a·ln(p_a/p_b)` and the mirror). Summing either column
+    * gives that direction's KL divergence; the per-term rows ARE the
+    * diagnosis (which terms drifted). One aggregation per side on the
+    * term key + a full-outer join — the TF-IDF scale shape.
+    */
+  def termDrift(dfA: DataFrame, dfB: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val a = counts(dfA).withColumnRenamed("c", "c_a")
+    val b = counts(dfB).withColumnRenamed("c", "c_b")
+    val joined = a.join(b, Seq("term"), "full_outer")
+      .select(col("term"), coalesce(col("c_a"), lit(0L)).as("c_a"), coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val totals = joined.agg(sum("c_a"), sum("c_b"), count(lit(1))).head
+    val (na, nb, v) = (totals.getLong(0), totals.getLong(1), totals.getLong(2))
+    val pA = (col("c_a") + 1).cast("double") / (na + v)
+    val pB = (col("c_b") + 1).cast("double") / (nb + v)
+    joined.select(
+      col("term"), col("c_a"), col("c_b"),
+      (pA * log(pA / pB)).as("kl_ab"),
+      (pB * log(pB / pA)).as("kl_ba")
+    )
+  }
+
   /** Tokenizer-prep vocabulary builder: the smallest count-ranked
     * vocabulary whose cumulative token mass reaches `coverage` (plus
     * everything tied with the last admitted count — a deterministic,

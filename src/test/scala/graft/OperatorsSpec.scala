@@ -274,6 +274,23 @@ class OperatorsSpec extends SparkSpec {
       }
       ex.getMessage should include("lmQualityScore")
     }
+    it("termDrift: identical snapshots show zero drift; an injected term dominates the KL columns") {
+      val a = Seq((1L, "alpha beta gamma alpha"), (2L, "beta gamma delta")).toDF("doc_id", "text")
+      val same = TextAnalysis.termDrift(a, a, "text").collect()
+      same.foreach { r =>
+        r.getDouble(3) shouldBe 0.0 // p_a == p_b → ln(1) exactly
+        r.getDouble(4) shouldBe 0.0
+      }
+      // Snapshot B floods with "spamword": it must carry the largest
+      // B→A drift contribution, and counts must line up per side.
+      val b = Seq((1L, "alpha beta gamma"), (2L, "spamword spamword spamword spamword")).toDF("doc_id", "text")
+      val drift = TextAnalysis.termDrift(a, b, "text")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      drift("spamword")._1 shouldBe 0L
+      drift("spamword")._2 shouldBe 4L
+      drift.values.map(_._4).max shouldBe drift("spamword")._4 // biggest B→A term
+      drift("delta")._3 should be > 0.0 // present in A, absent in B
+    }
     it("vocabulary: smallest covering prefix plus ties at the cutoff count") {
       // counts: a=4, b=2, c=2, d=1 (total 9). Coverage 0.6 is reached at
       // rank 2 (a+b = 6/9); c ties with b's count and is admitted; d is out.
