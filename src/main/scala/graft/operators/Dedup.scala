@@ -457,7 +457,11 @@ object Dedup {
       }
       sig
     }
-    val banded = docs.select(col("doc_id"), sigU(col("shs")).as("sig"))
+    // Signatures are computed ONCE and materialized: banding derives from
+    // this frame, and the prune (when it engages) joins back to it instead
+    // of re-running the numHashes × shingles pass over the corpus.
+    val sigs = docs.select(col("doc_id"), sigU(col("shs")).as("sig")).transform(Lineage.truncate)
+    val banded = sigs
       .select(
         col("doc_id"),
         explode(
@@ -470,7 +474,6 @@ object Dedup {
           )
         ).as("bk")
       ).select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .transform(Lineage.truncate)
     val l = banded.toDF("doc_a", "band", "key")
     val r = banded.toDF("doc_b", "band", "key")
     val collisions = l.join(r, Seq("band", "key"))
@@ -479,12 +482,7 @@ object Dedup {
     pruneEstBelow match {
       case None => collisions
       case Some(cutoff) =>
-        val estU = udf { (a: Array[Long], b: Array[Long]) =>
-          var eq = 0; var i = 0
-          while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
-          eq.toDouble / a.length
-        }
-        val sigs = docs.select(col("doc_id"), sigU(col("shs")).as("sig")).transform(Lineage.truncate)
+        val estU = udf { (a: Array[Long], b: Array[Long]) => estimateJaccard(a, b) }
         collisions.distinct()
           .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
           .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
@@ -492,6 +490,20 @@ object Dedup {
           .select("doc_a", "doc_b")
     }
   }
+
+  /** Fraction of agreeing MinHash signature components — the unbiased
+    * Jaccard estimator (σ = √(j(1−j)/H)) shared by the batch candidate
+    * prune and the streaming near-dup detector
+    * ([[graft.streaming.EventStream.nearDupCandidatesWithinWatermark]]).
+    * Empty signatures estimate 0 (null-text documents).
+    */
+  private[graft] def estimateJaccard(a: Array[Long], b: Array[Long]): Double =
+    if (a == null || b == null || a.length == 0) 0.0
+    else {
+      var eq = 0; var i = 0
+      while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / a.length
+    }
 
   /** Exact-Jaccard verification of raw candidate pairs, dispatching on
     * [[VerifyMode]]. `Auto` estimates the broadcast payload with one cheap

@@ -144,19 +144,23 @@ object TextAnalysis {
       lm: Option[DataFrame] = None
   ): DataFrame = {
     val spark = df.sparkSession
-    // (doc_id, bigram, m) — each document's bigram multiset.
+    // (doc_id, bigram, m) — each document's bigram multiset. The scored
+    // corpus' frame is materialized ONCE: in the self-trained case it
+    // feeds training AND scoring (without the truncate, both sides would
+    // re-tokenize and re-aggregate the whole corpus from scratch).
     def docBigrams(in: DataFrame) = in
       .select(col(idCol).cast("long").as("doc_id"), explode(tokenNgrams(col(textCol), 2)).as("bg"))
       .groupBy("doc_id", "bg")
       .agg(count(lit(1)).as("m"))
-    val trainBigrams = lm.map(docBigrams).getOrElse(docBigrams(df))
+    val scoredBigrams = graft.plans.Lineage.truncate(docBigrams(df))
+    val trainBigrams  = lm.map(docBigrams).getOrElse(scoredBigrams)
     val bigramCounts = trainBigrams.groupBy("bg").agg(sum("m").as("c_bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val contextCounts = bigramCounts.groupBy("w1").agg(sum("c_bg").as("c_ctx"))
     val vocab = lm.getOrElse(df)
       .select(explode(tokens(col(textCol))).as("tok"))
       .agg(countDistinct("tok")).head.getLong(0)
-    val scored = docBigrams(df)
+    val scored = scoredBigrams
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(bigramCounts.select("bg", "c_bg"), Seq("bg"), "left")
       .join(contextCounts, Seq("w1"), "left")
@@ -515,9 +519,15 @@ object TextAnalysis {
       .groupBy("term").agg(count(lit(1)).as("c"))
     val a = counts(dfA).withColumnRenamed("c", "c_a")
     val b = counts(dfB).withColumnRenamed("c", "c_b")
-    val joined = a.join(b, Seq("term"), "full_outer")
-      .select(col("term"), coalesce(col("c_a"), lit(0L)).as("c_a"), coalesce(col("c_b"), lit(0L)).as("c_b"))
-    val totals = joined.agg(sum("c_a"), sum("c_b"), count(lit(1))).head
+    // Materialized once: the totals action and the returned projection
+    // would otherwise each recompute both count sides and the join.
+    val joined = graft.plans.Lineage.truncate(
+      a.join(b, Seq("term"), "full_outer")
+        .select(col("term"), coalesce(col("c_a"), lit(0L)).as("c_a"), coalesce(col("c_b"), lit(0L)).as("c_b")))
+    // coalesce: on a token-less pair of snapshots sum() is null (and the
+    // projection below evaluates over zero rows, so the /0 never runs).
+    val totals = joined
+      .agg(coalesce(sum("c_a"), lit(0L)), coalesce(sum("c_b"), lit(0L)), count(lit(1))).head
     val (na, nb, v) = (totals.getLong(0), totals.getLong(1), totals.getLong(2))
     val pA = (col("c_a") + 1).cast("double") / (na + v)
     val pB = (col("c_b") + 1).cast("double") / (nb + v)
@@ -550,25 +560,32 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("token_count"))
     val w      = Window.orderBy(col("token_count").desc, col("token"))
     val total  = Window.partitionBy()
-    val ranked = counts
+    // Materialized once: the cutoff probe and the returned filter would
+    // otherwise each run the count + single-partition-window plan.
+    val ranked = graft.plans.Lineage.truncate(counts
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("cum", sum("token_count").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("cum_fraction", col("cum").cast("double") / sum("token_count").over(total))
+      .withColumn("cum_fraction", col("cum").cast("double") / sum("token_count").over(total)))
     // The cutoff is the COUNT at the first rank reaching coverage; every
     // token with that count or more is admitted (ranks above the coverage
     // rank all have ≥ that count under the desc order, and ties below it
     // come in with it — a count either is or isn't in the vocabulary).
+    // A token-less corpus has no rank reaching coverage → empty vocabulary
+    // (same schema), not a crash.
     val cutCount = ranked.where(col("cum_fraction") >= coverage)
-      .orderBy("rank").select("token_count").head.getLong(0)
+      .orderBy("rank").select("token_count").limit(1).collect().headOption.map(_.getLong(0))
     ranked
-      .where(col("token_count") >= cutCount)
+      .where(cutCount.map(c => col("token_count") >= c).getOrElse(lit(false)))
       .select("token", "token_count", "rank", "cum_fraction")
   }
 
   /** Query parameters that identify a CLICK, not a RESOURCE — dropped by
     * [[canonicalizeUrl]] (frozen list; the standard tracking families).
+    * Deliberately NOT included: `ref`, which major sites use as a
+    * resource-identifying parameter (e.g. a branch selector) — dropping it
+    * would merge genuinely different pages.
     */
-  val TrackingParams: Set[String] = Set("fbclid", "gclid", "msclkid", "ref", "igshid")
+  val TrackingParams: Set[String] = Set("fbclid", "gclid", "msclkid", "igshid")
 
   /** Canonical form of a URL — the key for URL-level deduplication, the
     * first dedup pass a web-scrape pipeline runs (two crawls of the same
@@ -597,11 +614,18 @@ object TextAnalysis {
         case null => null
         case re(scheme0, auth0, path0, query0, _) =>
           val scheme = scheme0.toLowerCase
-          val auth1  = auth0.toLowerCase
-          val auth =
-            if (scheme == "http" && auth1.endsWith(":80")) auth1.dropRight(3)
-            else if (scheme == "https" && auth1.endsWith(":443")) auth1.dropRight(4)
-            else auth1
+          // Case-fold only the host[:port] — userinfo before '@' is
+          // case-sensitive (RFC 3986) and must survive untouched.
+          val atIdx = auth0.lastIndexOf('@')
+          val (userinfo, hostPort0) =
+            if (atIdx >= 0) (auth0.substring(0, atIdx + 1), auth0.substring(atIdx + 1))
+            else ("", auth0)
+          val hostPort1 = hostPort0.toLowerCase
+          val hostPort =
+            if (scheme == "http" && hostPort1.endsWith(":80")) hostPort1.dropRight(3)
+            else if (scheme == "https" && hostPort1.endsWith(":443")) hostPort1.dropRight(4)
+            else hostPort1
+          val auth = userinfo + hostPort
           val path = if (path0.length > 1 && path0.endsWith("/")) path0.dropRight(1) else path0
           val query = Option(query0).map(_.drop(1)).filter(_.nonEmpty).map { qs =>
             val keep = qs.split("&").filter { kv =>

@@ -43,6 +43,14 @@ object EventStream {
     * live session) — callers that can only keep one result (the
     * processing-time [[sessionize]]) drop the closed ones; the event-time
     * variant emits them.
+    *
+    * Events are sorted WITHIN a batch, but a LATE event (within the
+    * watermark) can arrive in a later micro-batch with a timestamp behind
+    * the live session's lastSeen. Absorbing it must never REWIND the
+    * session clock: lastSeen advances monotonically (max) and start only
+    * moves backward (min) — otherwise the next on-time event would be
+    * measured against the rewound clock and falsely split the session,
+    * irrevocably emitting a wrong closed session in Append mode.
     */
   private def foldSessions(
       prior: Option[SessionState],
@@ -51,10 +59,14 @@ object EventStream {
   ): (Seq[SessionState], SessionState) = {
     val init = prior.getOrElse(SessionState(evs.head.ts.getTime, 0L, 0, 0.0))
     evs.foldLeft((Vector.empty[SessionState], init)) { case ((closed, s), e) =>
-      if (e.ts.getTime - s.lastSeen > gapMs && s.events > 0)
-        (closed :+ s, SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+      val t = e.ts.getTime
+      if (t - s.lastSeen > gapMs && s.events > 0)
+        (closed :+ s, SessionState(t, t, 1, e.value))
       else
-        (closed, SessionState(s.start, e.ts.getTime, s.events + 1, s.totalValue + e.value))
+        (closed, SessionState(
+          if (s.events == 0) t else math.min(s.start, t),
+          math.max(s.lastSeen, t),
+          s.events + 1, s.totalValue + e.value))
     }
   }
 
@@ -262,11 +274,8 @@ object EventStream {
         ).as("bucket")
       )
       .as[BandedDoc]
-    def est(a: Array[Long], b: Array[Long]): Double = {
-      var eq = 0; var i = 0
-      while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
-      eq.toDouble / a.length
-    }
+    def est(a: Array[Long], b: Array[Long]): Double =
+      graft.operators.Dedup.estimateJaccard(a, b)
     banded
       .groupByKey(_.bucket)
       .flatMapGroupsWithState[List[(Long, Long, Array[Long])], NearDupCandidate](

@@ -149,6 +149,34 @@ class MultimodalStreamingSpec extends SparkSpec {
       spark.sql("SELECT doc_id FROM qf_stream_test").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
       query.stop()
     }
+    it("a late-but-within-watermark event must not rewind the session clock (regression)") {
+      // gap 30min, delay 10min. Batch 1: t=0, t=20 → lastSeen 20. Batch 2
+      // delivers t=15 (late, admitted by the watermark) and t=47. A naive
+      // fold rewinds lastSeen to 15 and falsely closes at 47 (47−15 > 30);
+      // correct semantics keeps ONE session (47−20 = 27 ≤ 30) absorbing
+      // all four events.
+      implicit val sqlCtx = spark.sqlContext
+      def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      val input = MemoryStream[EventStream.SessionEvent]
+      val query = EventStream.toMemorySink(
+        EventStream.sessionizeByEventTime(input.toDS(), gapMinutes = 30, watermarkDelay = "10 minutes").toDF(),
+        "eq_sess_late", org.apache.spark.sql.streaming.OutputMode.Append())
+      input.addData(EventStream.SessionEvent(9L, ts(0), 1.0), EventStream.SessionEvent(9L, ts(20), 2.0))
+      query.processAllAvailable()
+      input.addData(EventStream.SessionEvent(9L, ts(15), 4.0), EventStream.SessionEvent(9L, ts(47), 8.0))
+      query.processAllAvailable()
+      // Nothing closed: the single live session holds all four events.
+      spark.sql("SELECT * FROM eq_sess_late").count() shouldBe 0
+      // Flush via watermark and confirm the one session with every event.
+      Seq(1, 2).foreach { k =>
+        input.addData(EventStream.SessionEvent(-1L, ts(2000L * k), 0.0))
+        query.processAllAvailable()
+      }
+      val sessions = spark.sql("SELECT * FROM eq_sess_late WHERE user_id = 9").collect()
+        .map(r => (r.getTimestamp(1).getTime, r.getInt(2), r.getDouble(3)))
+      query.stop()
+      sessions.toSeq shouldBe Seq((ts(0).getTime, 4, 15.0))
+    }
     it("nearDupCandidatesWithinWatermark pairs near-dups inside the window, streamed == batch") {
       implicit val sqlCtx = spark.sqlContext
       def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
