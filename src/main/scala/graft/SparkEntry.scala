@@ -623,6 +623,17 @@ object SparkEntry {
       Dedup.duplicateClusters(pairs).orderBy("node")
     }),
 
+    // Quality-aware cluster dedup: keep each near-dup family's
+    // highest-scoring member (score = text length here; ties → min id)
+    // instead of the min-id one.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs  = t(s, dir, "documents").withColumn("q", length(col("text")).cast("long"))
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.8)
+      Dedup.dedupByClustersKeepBest(docs, "doc_id", "q", Dedup.duplicateClusters(pairs))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // The whole dedup workflow in one call: detect → cluster → keep one
     // representative per cluster.
     "q_dedup_corpus" -> ((s, dir) =>
@@ -1494,6 +1505,16 @@ object SparkEntry {
            |  WHEN ${hashSql("CAST(k AS VARCHAR)")} % 1000000 < 900000 THEN 'val'
            |  ELSE 'test' END AS split
            |FROM keyed ORDER BY doc_id""".stripMargin,
+
+      "q_dedup_keep_best" ->
+        s"""WITH RECURSIVE ${clustersCte(hsh3)},
+           |reps AS (SELECT a AS node, min(b) AS rep FROM reach GROUP BY a),
+           |scored AS (SELECT r.node, r.rep, length(d.text) AS sc
+           |           FROM reps r JOIN documents d ON r.node = d.doc_id),
+           |best AS (SELECT node, row_number() OVER (PARTITION BY rep ORDER BY sc DESC, node) AS rn FROM scored),
+           |losers AS (SELECT node FROM best WHERE rn > 1)
+           |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
+           |ORDER BY doc_id""".stripMargin,
 
       "q_text_bpe_tokens" -> {
         val pat = graft.operators.TextAnalysis.bpePattern.replace("'", "''")

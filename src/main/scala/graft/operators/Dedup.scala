@@ -769,6 +769,36 @@ object Dedup {
     df.join(losers, df(idCol) === losers("node"), "left_anti")
   }
 
+  /** [[dedupByClusters]] keeping each cluster's HIGHEST-`scoreCol` member
+    * (ties → lowest id) instead of the min-id one — what a production
+    * pipeline actually wants: near-dup families usually contain one clean
+    * copy and several mangled ones (truncation, boilerplate injection, OCR
+    * noise), and which copy has the min id is luck. Feed any per-row
+    * quality signal — [[TextAnalysis.qualityMetrics]] output, an LM score
+    * (negate [[TextAnalysis.lmQualityScore]]'s nll), a length prior.
+    *
+    * Scale shape: one window over `partitionBy(cluster)` restricted to
+    * CLUSTERED rows only (the frame from [[duplicateClusters]] — tiny
+    * next to the corpus), one join back; unclustered rows pass untouched.
+    */
+  def dedupByClustersKeepBest(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      clusters: DataFrame
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.select(col(idCol).cast("long").as("_kb_id"), col(scoreCol).as("_kb_score"))
+      .join(clusters, col("_kb_id") === col("node"))
+    val w = Window.partitionBy("cluster_rep")
+      .orderBy(col("_kb_score").desc, col("_kb_id"))
+    val losers = scored
+      .withColumn("_kb_rn", row_number().over(w))
+      .where(col("_kb_rn") > 1)
+      .select(col("_kb_id").as("node"))
+    df.join(losers, df(idCol) === losers("node"), "left_anti")
+  }
+
   /** The full corpus-dedup workflow in one call: near-dup pair detection
     * (inverted-index n-gram Jaccard — catches exact dups too, at
     * jaccard = 1), transitive clustering, and keep-one-per-cluster.

@@ -274,6 +274,17 @@ class OperatorsSpec extends SparkSpec {
       }
       ex.getMessage should include("lmQualityScore")
     }
+    it("dedupByClustersKeepBest keeps the highest-scoring cluster member, ties to lowest id") {
+      // One cluster {1, 2, 3} with scores 5, 9, 9 → keep 2 (best score,
+      // lowest id among the tie); unclustered 7 always survives.
+      val df = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (7L, 1.0)).toDF("doc_id", "q")
+      val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "cluster_rep")
+      Dedup.dedupByClustersKeepBest(df, "doc_id", "q", clusters)
+        .select("doc_id").as[Long].collect().toSet shouldBe Set(2L, 7L)
+      // Min-id semantics differ: dedupByClusters would keep 1.
+      Dedup.dedupByClusters(df, "doc_id", clusters)
+        .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 7L)
+    }
     it("termDrift: identical snapshots show zero drift; an injected term dominates the KL columns") {
       val a = Seq((1L, "alpha beta gamma alpha"), (2L, "beta gamma delta")).toDF("doc_id", "text")
       val same = TextAnalysis.termDrift(a, a, "text").collect()
