@@ -623,6 +623,12 @@ object SparkEntry {
       Dedup.duplicateClusters(pairs).orderBy("node")
     }),
 
+    // Content-defined chunking (unbounded form — stateless per position,
+    // exactly SQL-replayable; min/max bounds are spec-checked).
+    "q_text_cdc_chunks" -> ((s, dir) =>
+      graft.operators.TextAnalysis.cdcChunks(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id", "chunk_idx")),
+
     // Quality-aware cluster dedup: keep each near-dup family's
     // highest-scoring member (score = text length here; ties → min id)
     // instead of the min-id one.
@@ -1505,6 +1511,29 @@ object SparkEntry {
            |  WHEN ${hashSql("CAST(k AS VARCHAR)")} % 1000000 < 900000 THEN 'val'
            |  ELSE 'test' END AS split
            |FROM keyed ORDER BY doc_id""".stripMargin,
+
+      // CDC replay: the same base-257 mod-1e9+7 rolling hash as winnowing,
+      // k=8 windows; cut after char i+7 (1-based) when hash % 64 == 63 and
+      // the cut isn't at the very end; chunks are the segments between cuts.
+      "q_text_cdc_chunks" -> {
+        val mod   = 1000000007L
+        val pows  = (0 to 7).map(e => BigInt(257).modPow(BigInt(e), BigInt(mod)).toLong)
+        val hexpr = (0 to 7).map(j => s"ord(substr(text, i+$j, 1))::BIGINT * ${pows(7 - j)}").mkString(" + ")
+        s"""WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+           |h AS (SELECT doc_id, text, L,
+           |      CASE WHEN L < 8 THEN [] ELSE [($hexpr) % $mod for i in range(1, L - 6)] END AS hs FROM d),
+           |c AS (SELECT doc_id, text, L,
+           |      [i + 7 for i in range(1, len(hs) + 1) if (hs[i] % 64) = 63 AND (i + 7) < L] AS cuts FROM h),
+           |x AS (SELECT doc_id, text, L, cuts, unnest(range(0, len(cuts) + 1)) AS ci FROM c),
+           |seg AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+           |        CAST(CASE WHEN ci = 0 THEN 0 ELSE cuts[ci] END AS BIGINT) AS prev_cut,
+           |        CAST(CASE WHEN ci = CAST(len(cuts) AS BIGINT) THEN L ELSE cuts[ci + 1] END AS BIGINT) AS seg_end,
+           |        text FROM x)
+           |SELECT doc_id, chunk_idx, prev_cut + 1 AS start_pos,
+           |       seg_end - prev_cut AS chunk_len,
+           |       md5(substr(text, CAST(prev_cut + 1 AS BIGINT), CAST(seg_end - prev_cut AS BIGINT))) AS chunk_md5
+           |FROM seg ORDER BY doc_id, chunk_idx""".stripMargin
+      },
 
       "q_dedup_keep_best" ->
         s"""WITH RECURSIVE ${clustersCte(hsh3)},

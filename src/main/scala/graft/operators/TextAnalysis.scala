@@ -716,6 +716,88 @@ object TextAnalysis {
       }
     }
 
+  /** Content-defined chunking (the rsync/LBFS/FastCDC idea, applied to
+    * text): chunk boundaries fall where a rolling hash of the last `k`
+    * characters hits a divisor condition, so an insertion early in a
+    * document shifts ONE chunk instead of re-aligning every fixed-width
+    * window — which makes chunk fingerprints the right unit for
+    * SUB-document dedup (boilerplate headers, syndicated paragraphs,
+    * quoted replies) where whole-doc near-dup scoring dilutes away.
+    * Expected chunk length ≈ `divisor` characters.
+    *
+    * Output: one row per chunk — (doc_id, chunk_idx, start_pos 1-based,
+    * chunk_len, chunk_md5). Group by chunk_md5 across the corpus for
+    * shared-chunk detection; join back on (doc_id, start_pos) to excise.
+    *
+    * `minSize`/`maxSize` bound chunk lengths (production CDC always does:
+    * divisor conditions can fire adjacently or never). The UNBOUNDED form
+    * (defaults) is stateless per position and replayed exactly by the
+    * DuckDB oracle; the bounds are sequential state and spec-checked.
+    * Rolling hash = winnowing's polynomial (base 257, mod 1e9+7). Pure
+    * scan-local kernel — no shuffle.
+    */
+  def cdcChunks(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      divisor: Long = 64,
+      minSize: Int = 1,
+      maxSize: Int = Int.MaxValue
+  ): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(divisor >= 2, "divisor must be >= 2")
+    require(minSize >= 1 && maxSize >= minSize, "need 1 <= minSize <= maxSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chunker = udf { (text: String) =>
+      if (text == null) Array.empty[(Long, Int, String)]
+      else if (text.length < k) Array((0L, 1, text))
+      else {
+        val base = 257L
+        val mod  = 1000000007L
+        var pow  = 1L
+        (1 until k).foreach(_ => pow = pow * base % mod)
+        val len    = text.length
+        val m      = len - k + 1
+        val hashes = new Array[Long](m)
+        var h = 0L
+        (0 until k).foreach(j => h = (h * base + text.charAt(j)) % mod)
+        hashes(0) = h
+        var i = 1
+        while (i < m) {
+          h = ((h - text.charAt(i - 1) * pow % mod + mod) % mod * base + text.charAt(i + k - 1)) % mod
+          hashes(i) = h
+          i += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+        var lastCut = 0 // chars emitted so far
+        var idx     = 0L
+        var pos     = 1
+        while (pos < len) {
+          val soFar   = pos - lastCut
+          val content = pos >= k && hashes(pos - k) % divisor == divisor - 1
+          if ((content && soFar >= minSize) || soFar >= maxSize) {
+            out += ((idx, lastCut + 1, text.substring(lastCut, pos)))
+            idx += 1
+            lastCut = pos
+          }
+          pos += 1
+        }
+        out += ((idx, lastCut + 1, text.substring(lastCut)))
+        out.toArray
+      }
+    }
+    df.select(col(idCol).cast("long").as("doc_id"), explode(chunker(col(textCol))).as("c"))
+      .select(
+        col("doc_id"),
+        col("c._1").as("chunk_idx"),
+        col("c._2").cast("long").as("start_pos"),
+        length(col("c._3")).cast("long").as("chunk_len"),
+        md5(col("c._3")).as("chunk_md5")
+      )
+  }
+
   /** Cap each domain's contribution to the corpus at `maxPerDomain`
     * documents — the C4-style guard against a single boilerplate-heavy
     * host dominating training data. Which documents survive is

@@ -274,6 +274,30 @@ class OperatorsSpec extends SparkSpec {
       }
       ex.getMessage should include("lmQualityScore")
     }
+    it("cdcChunks: an insertion shifts ONE chunk, not every window; size bounds hold") {
+      // ~600 chars of deterministic pseudo-text.
+      val base = (1 to 120).map(i => graft.functions.Anonymizer.stableHash(s"w$i").toString.take(4)).mkString(" ")
+      val edited = base.substring(0, 10) + "INSERTED" + base.substring(10)
+      def md5s(t: String) = TextAnalysis.cdcChunks(
+          Seq((1L, t)).toDF("doc_id", "text"), "text", "doc_id")
+        .select("chunk_md5").as[String].collect().toSeq
+      val a = md5s(base); val b = md5s(edited)
+      // Content-defined boundaries re-synchronize after the edit: chunks
+      // past the insertion point are byte-identical. (A fixed-width
+      // chunker would shift EVERY downstream window.)
+      val shared = a.toSet.intersect(b.toSet).size
+      shared should be >= (a.length - 2) // only the edited chunk (± a neighbor) differs
+      a.length should be >= 4            // the text actually chunks
+      // Size bounds: every chunk ≤ maxSize; every non-final chunk ≥ minSize.
+      val bounded = TextAnalysis.cdcChunks(
+          Seq((1L, base)).toDF("doc_id", "text"), "text", "doc_id",
+          minSize = 20, maxSize = 40)
+        .orderBy("chunk_idx").select("chunk_len").as[Long].collect()
+      bounded.foreach(_ should be <= 40L)
+      bounded.init.foreach(_ should be >= 20L)
+      // Chunks reassemble the document exactly (no gaps, no overlaps).
+      bounded.sum shouldBe base.length.toLong
+    }
     it("dedupByClustersKeepBest keeps the highest-scoring cluster member, ties to lowest id") {
       // One cluster {1, 2, 3} with scores 5, 9, 9 → keep 2 (best score,
       // lowest id among the tie); unclustered 7 always survives.
