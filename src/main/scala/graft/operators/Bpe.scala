@@ -148,6 +148,36 @@ object Bpe {
     out.toArray
   }
 
+  /** Persist a trained merge table as a tiny parquet model directory
+    * (rank, merge) — train once with [[trainMerges]], serve forever with
+    * [[encodeTokens]]/[[tokenCount]] across sessions and clusters, the
+    * same ship-the-artifact pattern as
+    * [[graft.operators.Similarity.saveCentroids]]. Versioning/promotion
+    * is the caller's lake convention, like any other table.
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession, merges: IndexedSeq[String], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case (m, r) => (r.toLong, m) }
+      .toDF("rank", "merge")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Inverse of [[saveMerges]]: merges come back in rank order, so a
+    * loaded table reproduces the saving session's encodes bit-for-bit
+    * (spec-pinned).
+    */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String): IndexedSeq[String] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .orderBy("rank")
+      .select("merge")
+      .as[String]
+      .collect()
+      .toIndexedSeq
+  }
+
   /** Encode one word against a rank table: merge the LEFTMOST occurrence
     * of the LOWEST-RANK applicable pair, one merge per step, until no
     * pair applies — each step mirrors one recursion of the SQL replay.

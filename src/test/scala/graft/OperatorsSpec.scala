@@ -673,6 +673,15 @@ class OperatorsSpec extends SparkSpec {
       m1k.take(300) shouldBe Bpe.trainFromWordCounts(wordCounts, 300) // prefix-stable
       sec should be < 60.0
     }
+    it("saveMerges/loadMerges round-trips the pinned table; loaded model encodes bit-identically") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bpe-model").toString + "/m"
+      Bpe.saveMerges(spark, BpePinned.merges, dir)
+      val loaded = Bpe.loadMerges(spark, dir)
+      loaded shouldBe BpePinned.merges
+      val probe = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+      probe.select(Bpe.encodeTokens(loaded)(col("text"))).collect() shouldBe
+        probe.select(Bpe.encodeTokens(BpePinned.merges)(col("text"))).collect()
+    }
     it("encodeWord merges leftmost lowest-rank pairs to a fixpoint") {
       // ranks: "a b" -> 0, "ab c" -> 1: "abcabc" → ab c ab c → abc abc.
       val merges = IndexedSeq("a b", "ab c")
