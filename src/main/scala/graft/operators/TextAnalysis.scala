@@ -675,6 +675,33 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "doc_freq", "rnk")
   }
 
+  /** Rolling polynomial hashes over character k-grams (base 257,
+    * mod 1e9+7): entry `i` hashes chars `[i, i+k)`. Empty array when the
+    * text is shorter than `k`. Shared kernel of [[winnowingFingerprints]]
+    * and [[cdcChunks]] — and mirrored by both of their hand-built DuckDB
+    * `hexpr` oracles, so a change here must land in those too.
+    */
+  private def rollingHashes(text: String, k: Int): Array[Long] = {
+    if (text.length < k) return Array.emptyLongArray
+    val base = 257L
+    val mod  = 1000000007L
+    var pow  = 1L // base^(k-1) mod m
+    (1 until k).foreach(_ => pow = pow * base % mod)
+    val m      = text.length - k + 1
+    val hashes = new Array[Long](m)
+    var h = 0L
+    (0 until k).foreach(j => h = (h * base + text.charAt(j)) % mod)
+    hashes(0) = h
+    var i = 1
+    while (i < m) {
+      // Evict the leading char (coefficient base^(k-1)), shift, append.
+      h = ((h - text.charAt(i - 1) * pow % mod + mod) % mod * base + text.charAt(i + k - 1)) % mod
+      hashes(i) = h
+      i += 1
+    }
+    hashes
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): rolling
     * polynomial hash over character k-grams, minimum per sliding window,
     * deduplicated. Sequential by nature → a deterministic Scala UDF
@@ -684,22 +711,8 @@ object TextAnalysis {
     udf { (text: String) =>
       if (text == null || text.length < k) Seq.empty[Long]
       else {
-        val base = 257L
-        val mod  = 1000000007L
-        var pow  = 1L // base^(k-1) mod m
-        (1 until k).foreach(_ => pow = pow * base % mod)
-        val m      = text.length - k + 1
-        val hashes = new Array[Long](m)
-        var h = 0L
-        (0 until k).foreach(j => h = (h * base + text.charAt(j)) % mod)
-        hashes(0) = h
-        var i = 1
-        while (i < m) {
-          // Evict the leading char (coefficient base^(k-1)), shift, append.
-          h = ((h - text.charAt(i - 1) * pow % mod + mod) % mod * base + text.charAt(i + k - 1)) % mod
-          hashes(i) = h
-          i += 1
-        }
+        val hashes = rollingHashes(text, k)
+        val m      = hashes.length
         if (m < window) Seq(hashes.min)
         else {
           val selected = scala.collection.mutable.LinkedHashSet.empty[Long]
@@ -730,11 +743,17 @@ object TextAnalysis {
     * shared-chunk detection; join back on (doc_id, start_pos) to excise.
     *
     * `minSize`/`maxSize` bound chunk lengths (production CDC always does:
-    * divisor conditions can fire adjacently or never). The UNBOUNDED form
-    * (defaults) is stateless per position and replayed exactly by the
-    * DuckDB oracle; the bounds are sequential state and spec-checked.
-    * Rolling hash = winnowing's polynomial (base 257, mod 1e9+7). Pure
-    * scan-local kernel — no shuffle.
+    * divisor conditions can fire adjacently or never) — `maxSize` also
+    * splits documents shorter than `k`, where no content boundary can
+    * fire. The UNBOUNDED form (defaults) is stateless per position and
+    * replayed exactly by the DuckDB oracle; the bounds are sequential
+    * state and spec-checked. Rolling hash = winnowing's polynomial
+    * (base 257, mod 1e9+7), shared via [[rollingHashes]]. "Character"
+    * means UTF-16 code unit (same convention as winnowing and its
+    * oracle's `ord`) — supplementary-plane text would diverge from the
+    * codepoint-based SQL replay; the gate corpora are BMP/ASCII. Pure
+    * scan-local kernel — no shuffle; chunk md5/length are computed inside
+    * the kernel so chunk text never leaves it.
     */
   def cdcChunks(
       df: DataFrame,
@@ -751,40 +770,33 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val chunker = udf { (text: String) =>
-      if (text == null) Array.empty[(Long, Int, String)]
-      else if (text.length < k) Array((0L, 1, text))
+      if (text == null) Array.empty[(Long, Int, Int, String)]
       else {
-        val base = 257L
-        val mod  = 1000000007L
-        var pow  = 1L
-        (1 until k).foreach(_ => pow = pow * base % mod)
-        val len    = text.length
-        val m      = len - k + 1
-        val hashes = new Array[Long](m)
-        var h = 0L
-        (0 until k).foreach(j => h = (h * base + text.charAt(j)) % mod)
-        hashes(0) = h
-        var i = 1
-        while (i < m) {
-          h = ((h - text.charAt(i - 1) * pow % mod + mod) % mod * base + text.charAt(i + k - 1)) % mod
-          hashes(i) = h
-          i += 1
+        def md5Hex(s: String): String = {
+          val d  = java.security.MessageDigest.getInstance("MD5")
+            .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val sb = new StringBuilder(32)
+          d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+          sb.result()
         }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+        val len    = text.length
+        val hashes = rollingHashes(text, k) // empty when len < k → maxSize cuts only
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, String)]
         var lastCut = 0 // chars emitted so far
         var idx     = 0L
-        var pos     = 1
+        def emit(upto: Int): Unit = {
+          out += ((idx, lastCut + 1, upto - lastCut, md5Hex(text.substring(lastCut, upto))))
+          idx += 1
+          lastCut = upto
+        }
+        var pos = 1
         while (pos < len) {
           val soFar   = pos - lastCut
-          val content = pos >= k && hashes(pos - k) % divisor == divisor - 1
-          if ((content && soFar >= minSize) || soFar >= maxSize) {
-            out += ((idx, lastCut + 1, text.substring(lastCut, pos)))
-            idx += 1
-            lastCut = pos
-          }
+          val content = pos >= k && hashes.nonEmpty && hashes(pos - k) % divisor == divisor - 1
+          if ((content && soFar >= minSize) || soFar >= maxSize) emit(pos)
           pos += 1
         }
-        out += ((idx, lastCut + 1, text.substring(lastCut)))
+        emit(len)
         out.toArray
       }
     }
@@ -793,8 +805,8 @@ object TextAnalysis {
         col("doc_id"),
         col("c._1").as("chunk_idx"),
         col("c._2").cast("long").as("start_pos"),
-        length(col("c._3")).cast("long").as("chunk_len"),
-        md5(col("c._3")).as("chunk_md5")
+        col("c._3").cast("long").as("chunk_len"),
+        col("c._4").as("chunk_md5")
       )
   }
 

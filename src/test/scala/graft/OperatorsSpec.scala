@@ -297,6 +297,11 @@ class OperatorsSpec extends SparkSpec {
       bounded.init.foreach(_ should be >= 20L)
       // Chunks reassemble the document exactly (no gaps, no overlaps).
       bounded.sum shouldBe base.length.toLong
+      // maxSize binds even for documents shorter than k (no content
+      // boundary can fire there — the bound must split anyway).
+      TextAnalysis.cdcChunks(Seq((1L, "abcdefg")).toDF("doc_id", "text"), "text", "doc_id",
+          k = 8, maxSize = 3)
+        .orderBy("chunk_idx").select("chunk_len").as[Long].collect().toSeq shouldBe Seq(3L, 3L, 1L)
     }
     it("dedupByClustersKeepBest keeps the highest-scoring cluster member, ties to lowest id") {
       // One cluster {1, 2, 3} with scores 5, 9, 9 → keep 2 (best score,
