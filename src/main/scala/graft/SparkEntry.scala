@@ -1017,6 +1017,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL video-container metadata parse (ISO-BMFF box walk — no codec
+    // involved, none exists in the JDK; frame decode stays stubbed):
+    // synthetic well-formed MP4 box trees round-tripped through the
+    // parser, oracle replays the arithmetic.
+    "q_multimodal_video" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.decodeMp4Meta(Multimodal.syntheticMp4(col("doc_id"))).as("meta"))
+        .select(
+          col("doc_id"),
+          col("meta._1").cast("long").as("timescale"),
+          col("meta._2").cast("long").as("duration"),
+          col("meta._3").cast("long").as("w"),
+          col("meta._4").cast("long").as("h")
+        )
+        .orderBy("doc_id")
+    }),
+
     // REAL audio decode (javax.sound.sampled): synthetic WAVs with
     // arithmetic format/samples → WAV encode → real parse; the oracle
     // replays the arithmetic. s00 is a decoded-PCM probe (first frame,
@@ -1897,6 +1915,17 @@ object SparkEntry {
            |  CAST(1 + (h0 // 16) % 16 AS BIGINT) AS h,
            |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS c,
            |  CAST(h0 % 256 AS BIGINT) AS px00
+           |FROM hv ORDER BY doc_id""".stripMargin
+      },
+
+      "q_multimodal_video" -> {
+        val h0 = hashSql("('mp4' || doc_id)")
+        s"""WITH hv AS (SELECT doc_id, $h0 AS h0 FROM documents)
+           |SELECT doc_id,
+           |  CAST(1000 * (1 + h0 % 5) AS BIGINT) AS timescale,
+           |  CAST(1 + (h0 // 8) % 100000 AS BIGINT) AS duration,
+           |  CAST(16 * (1 + h0 % 64) AS BIGINT) AS w,
+           |  CAST(16 * (1 + (h0 // 64) % 64) AS BIGINT) AS h
            |FROM hv ORDER BY doc_id""".stripMargin
       },
 

@@ -15,14 +15,19 @@ import org.apache.spark.sql.functions._
   * JRE) and is gate-verified against a PNG encode→decode round trip.
   * AUDIO decode is REAL: [[decodeAudioMeta]] parses actual WAV bytes with
   * the JDK's `javax.sound.sampled`, gate-verified the same way.
+  * VIDEO CONTAINER METADATA is REAL: [[decodeMp4Meta]] walks actual
+  * ISO-BMFF box structure (timescale/duration/dimensions) — container
+  * parsing needs no codec, and that metadata is what a manifest step
+  * consumes.
   *
-  * NOTE — STUBBED KERNELS: video codecs are not available in this build
-  * environment (the JDK ships none), so [[decodeMeta]] (opaque payloads),
-  * the feature extractor, and resize remain deterministic fakes over the
-  * raw bytes (clearly marked). The Spark-side contract — schemas, batch
-  * shape, partition-wise execution, null handling — is real and tested;
-  * swapping in a real codec touches only the kernel body, exactly as
-  * [[decodeImageMeta]] and [[decodeAudioMeta]] demonstrate.
+  * NOTE — STUBBED KERNELS: video FRAME decode is impossible in this build
+  * environment (the JDK ships no video codec), so [[decodeMeta]] (opaque
+  * payloads), the feature extractor, and resize remain deterministic
+  * fakes over the raw bytes (clearly marked). The Spark-side contract —
+  * schemas, batch shape, partition-wise execution, null handling — is
+  * real and tested; swapping in a real codec touches only the kernel
+  * body, exactly as [[decodeImageMeta]]/[[decodeAudioMeta]]/
+  * [[decodeMp4Meta]] demonstrate.
   */
 object Multimodal {
 
@@ -191,6 +196,102 @@ object Multimodal {
         new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
       val out = new java.io.ByteArrayOutputStream()
       javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    u(seed)
+  }
+
+  /** REAL MP4/ISO-BMFF METADATA parse — no codec required, the container
+    * structure is plain length-prefixed boxes: walks the top-level box
+    * list, descends `moov` → `mvhd` (timescale, duration) and
+    * `moov` → `trak` → `tkhd` (track width/height, 16.16 fixed point).
+    * struct(timescale, duration, width, height, n_bytes). FRAME decode
+    * remains impossible in this environment (the JDK ships no video
+    * codec) and stays stubbed — this covers what a training pipeline's
+    * manifest step actually needs from video: duration/dimensions for
+    * sampling budgets, before frames ever reach a GPU worker.
+    * Malformed / truncated / null input → zeroed struct (error-tolerant
+    * like every kernel here).
+    */
+  def decodeMp4Meta(content: Column): Column = {
+    val u = udf { (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.length < 8) (0, 0, 0, 0, if (bytes == null) 0 else bytes.length)
+      else {
+        def u32(off: Int): Long =
+          if (off + 4 > bytes.length) -1L
+          else ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+            ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+        def boxType(off: Int): String =
+          if (off + 8 > bytes.length) ""
+          else new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        // Find a box of `tpe` among the siblings in [off, end); returns
+        // (payloadStart, payloadEnd) or null.
+        def find(off: Int, end: Int, tpe: String): (Int, Int) = {
+          var p = off
+          while (p + 8 <= end) {
+            val sz = u32(p)
+            if (sz < 8 || p + sz > end) return null
+            if (boxType(p) == tpe) return (p + 8, p + sz.toInt)
+            p += sz.toInt
+          }
+          null
+        }
+        try {
+          val moov = find(0, bytes.length, "moov")
+          if (moov == null) (0, 0, 0, 0, bytes.length)
+          else {
+            val mvhd = find(moov._1, moov._2, "mvhd")
+            val (timescale, duration) =
+              if (mvhd == null) (0L, 0L)
+              else (u32(mvhd._1 + 12), u32(mvhd._1 + 16)) // v0: vf(4) ct(4) mt(4) ts(4) dur(4)
+            val trak = find(moov._1, moov._2, "trak")
+            val tkhd = if (trak == null) null else find(trak._1, trak._2, "tkhd")
+            val (w, h) =
+              if (tkhd == null) (0L, 0L)
+              // v0 tkhd: vf(4) ct(4) mt(4) id(4) res(4) dur(4) res(8)
+              // layer(2) alt(2) vol(2) res(2) matrix(36) w(4) h(4) — width
+              // at payload+76, 16.16 fixed.
+              else (u32(tkhd._1 + 76) >> 16, u32(tkhd._1 + 80) >> 16)
+            (timescale.toInt, duration.toInt, w.toInt, h.toInt, bytes.length)
+          }
+        } catch { case _: Exception => (0, 0, 0, 0, bytes.length) }
+      }
+    }
+    u(content).as("meta")
+  }
+
+  /** Deterministic synthetic MP4 — REAL ISO-BMFF output (well-formed
+    * ftyp + moov(mvhd + trak(tkhd)) box tree assembled byte-by-byte),
+    * with timescale/duration/dimensions derived arithmetically from
+    * `seed` via the stableHash contract:
+    *   timescale = 1000·(1 + h%5), duration = 1 + (h/8)%100000,
+    *   width = 16·(1 + h%64), height = 16·(1 + (h/64)%64).
+    * Fixture generator for [[decodeMp4Meta]] — the video twin of
+    * [[syntheticPng]]/[[syntheticWav]].
+    */
+  def syntheticMp4(seed: Column): Column = {
+    val u = udf { (id: Long) =>
+      val h0        = graft.functions.Anonymizer.stableHash(s"mp4$id")
+      val timescale = 1000L * (1 + h0 % 5)
+      val duration  = 1 + (h0 / 8) % 100000
+      val width     = 16L * (1 + h0 % 64)
+      val height    = 16L * (1 + (h0 / 64) % 64)
+      val out = new java.io.ByteArrayOutputStream()
+      def u32(v: Long): Array[Byte] =
+        Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+        u32(8L + payload.length) ++ tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ payload
+      val ftyp = box("ftyp", "isom".getBytes ++ u32(512) ++ "isomiso2".getBytes)
+      val mvhd = box("mvhd",
+        u32(0) ++ u32(0) ++ u32(0) ++ u32(timescale) ++ u32(duration) ++
+          u32(0x00010000L) ++ Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++
+          new Array[Byte](36) ++ new Array[Byte](24) ++ u32(2))
+      val tkhd = box("tkhd",
+        u32(0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(duration) ++
+          new Array[Byte](8) ++ new Array[Byte](8) ++ new Array[Byte](36) ++
+          u32(width << 16) ++ u32(height << 16))
+      val moov = box("moov", mvhd ++ box("trak", tkhd))
+      out.write(ftyp); out.write(moov)
       out.toByteArray
     }
     u(seed)

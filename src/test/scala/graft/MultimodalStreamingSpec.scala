@@ -60,6 +60,28 @@ class MultimodalStreamingSpec extends SparkSpec {
         .select(col("m._1")).collect().map(_.getInt(0)).toSet
       junk shouldBe Set(0)
     }
+    it("decodeMp4Meta REALLY walks ISO-BMFF boxes (no codec), tolerating garbage") {
+      val df = Seq(1L, 2L, 3L, 4L).toDF("id")
+        .select(col("id"), Multimodal.syntheticMp4(col("id")).as("mp4"))
+      val out = df.select(col("id"), Multimodal.decodeMp4Meta(col("mp4")).as("m"))
+        .select(col("id"), col("m._1"), col("m._2"), col("m._3"), col("m._4"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      out.foreach { case (id, ts, dur, w, h) =>
+        val h0 = graft.functions.Anonymizer.stableHash(s"mp4$id")
+        ts shouldBe (1000L * (1 + h0 % 5)).toInt
+        dur shouldBe (1 + (h0 / 8) % 100000).toInt
+        w shouldBe (16 * (1 + h0 % 64)).toInt
+        h shouldBe (16 * (1 + (h0 / 64) % 64)).toInt
+      }
+      // Garbage / truncated / null bytes never fail the pipeline.
+      val junk = media.select(Multimodal.decodeMp4Meta(col("content")).as("m"))
+        .select(col("m._1")).collect().map(_.getInt(0)).toSet
+      junk shouldBe Set(0)
+      // A truncated valid file (box size past the end) zeroes out too.
+      val trunc = df.select(Multimodal.decodeMp4Meta(expr("substring(mp4, 1, 40)")).as("m"))
+        .select(col("m._1")).collect().map(_.getInt(0)).toSet
+      trunc shouldBe Set(0)
+    }
     it("extractFeatures emits fixed-width vectors per item") {
       val out = Multimodal.extractFeatures(media, "media_id", "content", dim = 4)
       out.columns shouldBe Array("media_id", "features")
