@@ -237,13 +237,16 @@ object Multimodal {
           null
         }
         try {
+          // A lying box header (valid type, payload shorter than the field
+          // offsets) makes u32 return −1 — clamp instead of leaking it.
+          def field(v: Long): Long = if (v < 0) 0L else v
           val moov = find(0, bytes.length, "moov")
           if (moov == null) (0, 0, 0, 0, bytes.length)
           else {
             val mvhd = find(moov._1, moov._2, "mvhd")
             val (timescale, duration) =
               if (mvhd == null) (0L, 0L)
-              else (u32(mvhd._1 + 12), u32(mvhd._1 + 16)) // v0: vf(4) ct(4) mt(4) ts(4) dur(4)
+              else (field(u32(mvhd._1 + 12)), field(u32(mvhd._1 + 16))) // v0: vf(4) ct(4) mt(4) ts(4) dur(4)
             val trak = find(moov._1, moov._2, "trak")
             val tkhd = if (trak == null) null else find(trak._1, trak._2, "tkhd")
             val (w, h) =
@@ -251,7 +254,7 @@ object Multimodal {
               // v0 tkhd: vf(4) ct(4) mt(4) id(4) res(4) dur(4) res(8)
               // layer(2) alt(2) vol(2) res(2) matrix(36) w(4) h(4) — width
               // at payload+76, 16.16 fixed.
-              else (u32(tkhd._1 + 76) >> 16, u32(tkhd._1 + 80) >> 16)
+              else (field(u32(tkhd._1 + 76)) >> 16, field(u32(tkhd._1 + 80)) >> 16)
             (timescale.toInt, duration.toInt, w.toInt, h.toInt, bytes.length)
           }
         } catch { case _: Exception => (0, 0, 0, 0, bytes.length) }

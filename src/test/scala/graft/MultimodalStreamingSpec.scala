@@ -81,6 +81,18 @@ class MultimodalStreamingSpec extends SparkSpec {
       val trunc = df.select(Multimodal.decodeMp4Meta(expr("substring(mp4, 1, 40)")).as("m"))
         .select(col("m._1")).collect().map(_.getInt(0)).toSet
       trunc shouldBe Set(0)
+      // A LYING header (well-formed moov/trak/tkhd types but a too-short
+      // tkhd payload) clamps to zero — never a negative field.
+      val lying = {
+        def u32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        val tkhd = u32(12) ++ "tkhd".getBytes ++ u32(0) // 4-byte payload, fields absent
+        val trak = u32(8L + tkhd.length) ++ "trak".getBytes ++ tkhd
+        u32(8L + trak.length) ++ "moov".getBytes ++ trak
+      }
+      val ly = Seq(Tuple1(lying)).toDF("b")
+        .select(Multimodal.decodeMp4Meta(col("b")).as("m"))
+        .select(col("m._3"), col("m._4")).head
+      (ly.getInt(0), ly.getInt(1)) shouldBe ((0, 0))
     }
     it("extractFeatures emits fixed-width vectors per item") {
       val out = Multimodal.extractFeatures(media, "media_id", "content", dim = 4)
