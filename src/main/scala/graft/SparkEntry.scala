@@ -1228,17 +1228,38 @@ object SparkEntry {
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Shared recursive-CTE chain computing connected components over the
-    * n-gram near-dup pairs (candidates → exact Jaccard → symmetric edges →
-    * reachability); ends with `reach(a, b)`.
+  /** Candidate generation replaying `CandidateMode.Auto` EXACTLY: the
+    * capped inverted index when it covers ≥ 50% of documents, the 32-hash
+    * 4-band MinHash fallback when the index is blind (the sf0.1 regime —
+    * min shingle doc-freq 250 > cap 100). The coverage probe is the same
+    * comparison the engine makes, so the oracle tracks the engine's
+    * regime switch at ANY scale factor, not just the driver's sf0.01.
+    * Requires a preceding `docs(doc_id, shs)` CTE; ends with
+    * `cand(doc_a, doc_b)`.
     */
-  private def clustersCte(hsh3: String): String =
-    s"""docs AS (SELECT doc_id, $hsh3 AS shs FROM documents),
-       |sh AS (SELECT doc_id, unnest(shs) AS sh FROM docs),
+  private def adaptiveCandCte(hashI: String, bandKey: String): String =
+    s"""sh AS (SELECT doc_id, unnest(shs) AS sh FROM docs),
        |keep AS (SELECT sh FROM (SELECT sh, count(*) AS f FROM sh GROUP BY 1) WHERE f <= 100),
        |idx AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep k ON s.sh = k.sh),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |         FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |cov AS (SELECT (SELECT count(DISTINCT doc_id) FROM idx) >= 0.5 * (SELECT count(*) FROM docs) AS use_idx),
+       |cand_idx AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |             FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |bdocs AS (SELECT doc_id, shs FROM docs WHERE NOT (SELECT use_idx FROM cov)),
+       |sig AS (SELECT doc_id, [list_min([$hashI for h in shs]) for i in range(0, 32)] AS sg FROM bdocs),
+       |bands AS (SELECT doc_id, b, $bandKey AS key FROM sig, range(0, 4) t(b)),
+       |cand_band AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |              FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+       |cand AS (SELECT doc_a, doc_b FROM cand_idx WHERE (SELECT use_idx FROM cov)
+       |         UNION ALL
+       |         SELECT doc_a, doc_b FROM cand_band)""".stripMargin
+
+  /** Shared recursive-CTE chain computing connected components over the
+    * n-gram near-dup pairs (Auto-adaptive candidates → exact Jaccard →
+    * symmetric edges → reachability); ends with `reach(a, b)`.
+    */
+  private def clustersCte(hsh3: String, hashI: String, bandKey: String): String =
+    s"""docs AS (SELECT doc_id, $hsh3 AS shs FROM documents),
+       |${adaptiveCandCte(hashI, bandKey)},
        |pairs AS (SELECT doc_a, doc_b FROM cand JOIN docs x ON doc_a = x.doc_id JOIN docs y ON doc_b = y.doc_id
        |  WHERE len(list_intersect(x.shs, y.shs))::DOUBLE /
        |    (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.8),
@@ -1282,11 +1303,7 @@ object SparkEntry {
 
       "q_dedup_ngram" ->
         s"""WITH docs AS (SELECT doc_id, $hsh3 AS shs FROM documents),
-           |sh AS (SELECT doc_id, unnest(shs) AS sh FROM docs),
-           |keep AS (SELECT sh FROM (SELECT sh, count(*) AS f FROM sh GROUP BY 1) WHERE f <= 100),
-           |idx AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep k ON s.sh = k.sh),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |         FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+           |${adaptiveCandCte(hashI, bandKey)},
            |j AS (SELECT doc_a, doc_b,
            |  len(list_intersect(x.shs, y.shs))::DOUBLE /
            |    (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) AS jaccard
@@ -1510,17 +1527,17 @@ object SparkEntry {
       },
 
       "q_dedup_clusters" ->
-        s"""WITH RECURSIVE ${clustersCte(hsh3)}
+        s"""WITH RECURSIVE ${clustersCte(hsh3, hashI, bandKey)}
            |SELECT a AS node, min(b) AS cluster_rep FROM reach GROUP BY a ORDER BY node""".stripMargin,
 
       "q_dedup_corpus" ->
-        s"""WITH RECURSIVE ${clustersCte(hsh3)},
+        s"""WITH RECURSIVE ${clustersCte(hsh3, hashI, bandKey)},
            |losers AS (SELECT a AS node FROM reach GROUP BY a HAVING min(b) <> a)
            |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
            |ORDER BY doc_id""".stripMargin,
 
       "q_split_leakage_safe" ->
-        s"""WITH RECURSIVE ${clustersCte(hsh3)},
+        s"""WITH RECURSIVE ${clustersCte(hsh3, hashI, bandKey)},
            |reps AS (SELECT a AS node, min(b) AS rep FROM reach GROUP BY a),
            |keyed AS (SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS k
            |          FROM documents d LEFT JOIN reps r ON d.doc_id = r.node)
@@ -1554,7 +1571,7 @@ object SparkEntry {
       },
 
       "q_dedup_keep_best" ->
-        s"""WITH RECURSIVE ${clustersCte(hsh3)},
+        s"""WITH RECURSIVE ${clustersCte(hsh3, hashI, bandKey)},
            |reps AS (SELECT a AS node, min(b) AS rep FROM reach GROUP BY a),
            |scored AS (SELECT r.node, r.rep, length(d.text) AS sc
            |           FROM reps r JOIN documents d ON r.node = d.doc_id),
