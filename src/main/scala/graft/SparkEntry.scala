@@ -59,7 +59,13 @@ object SparkEntry {
 
     // Tumbling 1-hour windows via streaming aggregation, Complete mode.
     "q_events_window_stream" -> ((s, dir) =>
-      graft.streaming.StreamGates.windowViaStream(s, dir))
+      graft.streaming.StreamGates.windowViaStream(s, dir)),
+
+    // Streaming near-dup candidate detection: per-bucket MinHash band
+    // state + watermark eviction + windowed signature-estimate pairing,
+    // replayed chronologically through the real state machine.
+    "q_dedup_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.nearDupViaStream(s, dir))
   )
 
   /** DuckDB twins of the streaming gates. Sessionization runs in the ms
@@ -67,7 +73,34 @@ object SparkEntry {
     * are exact DECIMAL cast to DOUBLE once, matching the gates'
     * cents-exact accumulation.
     */
-  private def streamingOracles: Map[String, String] = Map(
+  private def streamingOracles: Map[String, String] = {
+    import OracleGen._
+    // MinHash replay for the streaming near-dup gate — same hashed-shingle
+    // signature arithmetic as the batch minhash oracles, but at the
+    // streaming operator's geometry (8 bands × 4 rows over 32 hashes) and
+    // restricted to the synthetic event-time window (doc_id minutes apart,
+    // 60-minute window ⇒ |Δdoc_id| ≤ 60). est_jaccard = matching
+    // components / 32 — exact in binary, byte-comparable across engines.
+    val sh3     = shinglesSql("text", 3)
+    val hsh3    = s"list_sort(list_distinct(list_transform($sh3, s -> ${hashSql("s")})))"
+    val offsets = graft.operators.Dedup.minHashOffsets(32).mkString("[", ",", "]")
+    val hashI   = s"(((2*i+1) * h + ($offsets)[(i+1)::BIGINT]) % ${graft.operators.Dedup.MinHashPrime})"
+    val bandKey4 = (1 to 4).map(k => s"sg[4*b+$k]::VARCHAR").mkString(" || ':' || ")
+    val dedupStreamSql =
+      s"""WITH docs AS (SELECT doc_id, $hsh3 AS shs FROM documents),
+         |sig AS (SELECT doc_id, [list_min([$hashI for h in shs]) for i in range(0, 32)] AS sg FROM docs),
+         |bands AS (SELECT doc_id, b, $bandKey4 AS key FROM sig, range(0, 8) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |         FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+         |         WHERE c.doc_id - a.doc_id <= 60),
+         |est AS (SELECT doc_a, doc_b,
+         |  len([i for i in range(1, 33) if x.sg[i] = y.sg[i]])::DOUBLE / 32 AS est_jaccard
+         |  FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id)
+         |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    Map(
+    "q_dedup_stream" -> dedupStreamSql,
+
     "q_events_sessions_stream" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 1000 AS tms, value FROM events),
         |w AS (SELECT user_id, tms, value,
@@ -85,7 +118,8 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS cnt,
         |CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
-  )
+    )
+  }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/F1/P1: scan + filter + projection (pushdown-friendly).
@@ -623,6 +657,18 @@ object SparkEntry {
       Dedup.duplicateClusters(pairs).orderBy("node")
     }),
 
+    // Same pairs, same oracle, but FORCING the distributed pointer-jumping
+    // min-label propagation (ClusterMode.Distributed) — the path that
+    // actually runs past ClusterMode.Auto's 10M-edge budget at 100-TB edge
+    // counts. At gate scale Auto always routes through the driver
+    // union-find, so without this gate the scale path would never be
+    // driver-hashed (the exact gap q_dedup_minhash_shuffle closed for
+    // VerifyMode).
+    "q_dedup_clusters_distributed" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
+      Dedup.duplicateClusters(pairs, mode = Dedup.ClusterMode.Distributed).orderBy("node")
+    }),
+
     // Content-defined chunking (unbounded form — stateless per position,
     // exactly SQL-replayable; min/max bounds are spec-checked).
     "q_text_cdc_chunks" -> ((s, dir) =>
@@ -644,6 +690,15 @@ object SparkEntry {
     // representative per cluster.
     "q_dedup_corpus" -> ((s, dir) =>
       Dedup.deduplicateCorpus(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
+        .select("doc_id").orderBy("doc_id")),
+
+    // The one-call workflow with clustering FORCED distributed — certifies
+    // the whole pipeline through the code that runs past the 10M-edge
+    // budget (same oracle as q_dedup_corpus; cluster mode never changes
+    // the result, by construction).
+    "q_dedup_corpus_distributed" -> ((s, dir) =>
+      Dedup.deduplicateCorpus(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8,
+          clusterMode = Dedup.ClusterMode.Distributed)
         .select("doc_id").orderBy("doc_id")),
 
     // BPE-ish pre-tokenization count (regex segmentation).
@@ -958,6 +1013,27 @@ object SparkEntry {
         )
         .orderBy("doc_id")),
 
+    // The SERVING form of the same filter: lmTrainCompact collects the
+    // model once (ExactGuard-bounded), lmScoreScanLocal scores the corpus
+    // scan-locally against the broadcast — no shuffle, no joins, the shape
+    // a production quality filter (and the streaming spec) actually runs.
+    // Same oracle as q_text_lm_score: the two scorers agree to summation
+    // order, absorbed by the milli-nat fixed point.
+    "q_text_lm_score_local" -> ((s, dir) => {
+      val docs  = t(s, dir, "documents")
+      val model = graft.operators.TextAnalysis.lmTrainCompact(docs, "text")
+      docs
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.lmScoreScanLocal(model, s)(col("text")).as("sc"))
+        .select(
+          col("doc_id"),
+          col("sc._1").cast("long").as("n_bigrams"),
+          floor(col("sc._2") * 1000 + lit(0.5)).cast("long").as("nll_milli"),
+          (col("sc._2") < 3.45).as("kept")
+        )
+        .orderBy("doc_id")
+    }),
+
     // URL extraction over derived text with known links embedded.
     "q_text_urls" -> ((s, dir) => {
       val derived = concat(
@@ -977,6 +1053,30 @@ object SparkEntry {
     "q_profile" -> ((s, dir) => {
       import graft.operators.Profiler
       Profiler.profile(t(s, dir, "orders"), Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("column_name")
+    }),
+
+    // The HLL regime (DistinctMode forced to Approx) — the estimator that
+    // actually runs past Auto's 50M-row bound at 100-TB scale. SELF-CHECKING
+    // gate: cross-engine HLL hash parity is not achievable (DuckDB's
+    // approx_count_distinct is a different sketch), so the gate joins the
+    // HLL profile against the exact one and hashes the ≤2%-relative-error
+    // verdict per column (plus the mode-independent exact stats); the
+    // oracle expects TRUE for every column. approx_count_distinct is
+    // deterministic for fixed input, so the verdict is replay-stable.
+    "q_profile_hll" -> ((s, dir) => {
+      import graft.operators.Profiler
+      val cols  = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+      val exact = Profiler.profile(t(s, dir, "orders"), cols, Profiler.DistinctMode.Exact)
+        .select(col("column_name"), col("n_distinct").as("nd_exact"))
+      Profiler.profile(t(s, dir, "orders"), cols, Profiler.DistinctMode.Approx(rsd = 0.01))
+        .join(exact, "column_name")
+        .select(
+          col("column_name"), col("n_rows"), col("n_nulls"),
+          (abs(col("n_distinct") - col("nd_exact")).cast("double") <=
+            col("nd_exact").cast("double") * 0.02).as("hll_within_2pct"),
+          col("min_value"), col("max_value")
+        )
         .orderBy("column_name")
     }),
 
@@ -1053,12 +1153,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Frame sampling over a derived binary "video": fixed 32-byte frames,
-    // every 2nd kept — chunk arithmetic and blob slices match the oracle
-    // byte-for-byte. The gate emits md5(frame) hex instead of raw bytes:
-    // the driver's pandas compare cannot sort/hash binary columns. The
-    // binary-returning API (Multimodal.sampleFrames) is unchanged.
+    // REAL video frame sampling: deterministic Motion-PNG AVIs are
+    // assembled with a real RIFF writer + real PNG encoder (geometry and
+    // pixels arithmetic functions of doc_id), then decodeAviFrames walks
+    // the actual container and DECODES every 2nd frame — dimensions, band
+    // count, and a decoded pixel probe must survive the demux + codec
+    // round trip. The oracle recomputes the arithmetic (PNG is lossless,
+    // so decoded pixels replay exactly).
     "q_multimodal_frames" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.syntheticAvi(col("doc_id")).as("content"))
+      Multimodal.decodeAviFrames(media, "doc_id", "content", stride = 2)
+        .select(
+          col("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("w").cast("long").as("w"),
+          col("h").cast("long").as("h"),
+          col("c").cast("long").as("c"),
+          col("sample00").cast("long").as("sample00")
+        )
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // The raw fixed-width chunker (headerless payloads) retains its own
+    // gate shape: fixed 32-byte frames, every 2nd kept — chunk arithmetic
+    // and blob slices match the oracle byte-for-byte. The gate emits
+    // md5(frame) hex instead of raw bytes: the driver's pandas compare
+    // cannot sort/hash binary columns.
+    "q_multimodal_chunks" -> ((s, dir) => {
       import graft.operators.Multimodal
       val media = t(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
       Multimodal.sampleFrames(media, "doc_id", "content", frameBytes = 32, stride = 2)
@@ -1296,6 +1419,26 @@ object SparkEntry {
     val offsets = graft.operators.Dedup.minHashOffsets(32).mkString("[", ",", "]")
     val hashI   = s"(((2*i+1) * h + ($offsets)[(i+1)::BIGINT]) % ${graft.operators.Dedup.MinHashPrime})"
     val bandKey = (1 to 8).map(k => s"sg[8*b+$k]::VARCHAR").mkString(" || ':' || ")
+    // Bigram-LM replay: identical count/smoothing/score arithmetic; the
+    // doc_id join at the end restores zero-evidence short documents.
+    // Shared verbatim by the join-based gate (q_text_lm_score) and the
+    // scan-local serving gate (q_text_lm_score_local).
+    val lmScoreSql =
+      s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+         |bgx AS (SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]) AS bg
+         |        FROM toks WHERE len(tk) >= 2),
+         |m AS (SELECT doc_id, bg, count(*) AS m FROM bgx GROUP BY 1, 2),
+         |bc AS (SELECT bg, sum(m) AS c_bg FROM m GROUP BY 1),
+         |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_ctx FROM bc GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS vocab FROM (SELECT unnest(tk) AS tok FROM toks)),
+         |sc AS (SELECT doc_id, -sum(m * ln((bc.c_bg + 1)::DOUBLE / (ctx.c_ctx + vocab))) / sum(m) AS nll,
+         |       sum(m) AS n_bigrams
+         |       FROM m JOIN bc USING (bg) JOIN ctx ON split_part(m.bg, ' ', 1) = ctx.w1, v GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |       CAST(floor(coalesce(sc.nll, 0) * 1000 + 0.5) AS BIGINT) AS nll_milli,
+         |       coalesce(sc.nll, 0) < 3.45 AS kept
+         |FROM (SELECT DISTINCT doc_id FROM documents) t LEFT JOIN sc USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
     Map(
       "q_dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
@@ -1530,7 +1673,19 @@ object SparkEntry {
         s"""WITH RECURSIVE ${clustersCte(hsh3, hashI, bandKey)}
            |SELECT a AS node, min(b) AS cluster_rep FROM reach GROUP BY a ORDER BY node""".stripMargin,
 
+      // Identical oracle: cluster mode (driver union-find vs distributed
+      // pointer jumping) never changes the (node, min-rep) result.
+      "q_dedup_clusters_distributed" ->
+        s"""WITH RECURSIVE ${clustersCte(hsh3, hashI, bandKey)}
+           |SELECT a AS node, min(b) AS cluster_rep FROM reach GROUP BY a ORDER BY node""".stripMargin,
+
       "q_dedup_corpus" ->
+        s"""WITH RECURSIVE ${clustersCte(hsh3, hashI, bandKey)},
+           |losers AS (SELECT a AS node FROM reach GROUP BY a HAVING min(b) <> a)
+           |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
+           |ORDER BY doc_id""".stripMargin,
+
+      "q_dedup_corpus_distributed" ->
         s"""WITH RECURSIVE ${clustersCte(hsh3, hashI, bandKey)},
            |losers AS (SELECT a AS node FROM reach GROUP BY a HAVING min(b) <> a)
            |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
@@ -1768,6 +1923,20 @@ object SparkEntry {
         Seq("o_orderkey", "o_orderstatus", "o_totalprice").map(per).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       },
 
+      // HLL-regime profile: cross-engine HLL hash parity is impossible
+      // (different sketches), so the gate is SELF-CHECKING — it hashes the
+      // per-column ≤2%-relative-error verdict (computed against the exact
+      // counts inside the gate closure) plus the mode-independent exact
+      // stats; the oracle expects TRUE everywhere.
+      "q_profile_hll" -> {
+        def per(c: String) =
+          s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+             |count(*) - count($c) AS n_nulls, true AS hll_within_2pct,
+             |CAST(min($c) AS VARCHAR) AS min_value, CAST(max($c) AS VARCHAR) AS max_value
+             |FROM orders""".stripMargin
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice").map(per).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      },
+
       "q_term_drift" ->
         s"""WITH a AS (SELECT token AS term, count(*) AS c_a
            |           FROM (SELECT unnest(${tokensSql("text")}) AS token FROM documents WHERE doc_id % 2 = 0) GROUP BY 1),
@@ -1808,22 +1977,11 @@ object SparkEntry {
 
       // Bigram-LM replay: identical count/smoothing/score arithmetic; the
       // doc_id join at the end restores zero-evidence short documents.
-      "q_text_lm_score" ->
-        s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
-           |bgx AS (SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]) AS bg
-           |        FROM toks WHERE len(tk) >= 2),
-           |m AS (SELECT doc_id, bg, count(*) AS m FROM bgx GROUP BY 1, 2),
-           |bc AS (SELECT bg, sum(m) AS c_bg FROM m GROUP BY 1),
-           |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_ctx FROM bc GROUP BY 1),
-           |v AS (SELECT count(DISTINCT tok) AS vocab FROM (SELECT unnest(tk) AS tok FROM toks)),
-           |sc AS (SELECT doc_id, -sum(m * ln((bc.c_bg + 1)::DOUBLE / (ctx.c_ctx + vocab))) / sum(m) AS nll,
-           |       sum(m) AS n_bigrams
-           |       FROM m JOIN bc USING (bg) JOIN ctx ON split_part(m.bg, ' ', 1) = ctx.w1, v GROUP BY doc_id)
-           |SELECT t.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           |       CAST(floor(coalesce(sc.nll, 0) * 1000 + 0.5) AS BIGINT) AS nll_milli,
-           |       coalesce(sc.nll, 0) < 3.45 AS kept
-           |FROM (SELECT DISTINCT doc_id FROM documents) t LEFT JOIN sc USING (doc_id)
-           |ORDER BY t.doc_id""".stripMargin,
+      // The scan-local serving gate shares it verbatim (the two scorers
+      // agree to summation order; milli-nat fixed point absorbs that).
+      "q_text_lm_score" -> lmScoreSql,
+
+      "q_text_lm_score_local" -> lmScoreSql,
 
       "q_text_ngrams" ->
         s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
@@ -1957,11 +2115,29 @@ object SparkEntry {
            |FROM hv ORDER BY doc_id""".stripMargin
       },
 
+      // The AVI demux round trip's oracle is pure arithmetic: the gate
+      // assembles Motion-PNG AVIs whose frame count, geometry, and pixels
+      // are stableHash functions of doc_id, and the REAL demux + PNG
+      // decode must hand exactly those numbers back for every sampled
+      // frame (x = y = band = 0 ⇒ sample00 = (h0 + 97·frame) % 256).
+      "q_multimodal_frames" -> {
+        val h0 = hashSql("('avi' || doc_id)")
+        s"""WITH hv AS (SELECT doc_id, $h0 AS h0 FROM documents),
+           |f AS (SELECT doc_id, h0, unnest(range(0, CAST(2 + h0 % 6 AS BIGINT))) AS idx FROM hv)
+           |SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
+           |  CAST(1 + h0 % 16 AS BIGINT) AS w,
+           |  CAST(1 + (h0 // 16) % 16 AS BIGINT) AS h,
+           |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS c,
+           |  CAST((h0 + 97 * idx) % 256 AS BIGINT) AS sample00
+           |FROM f WHERE idx % 2 = 0
+           |ORDER BY doc_id, frame_idx""".stripMargin
+      },
+
       // DuckDB can't slice BLOBs; the fixture corpus is pure ASCII
       // (octet_length(encode(text)) == length(text) verified at every SF),
       // so char-slice the VARCHAR then encode — byte-identical frames,
       // compared by md5 hex (driver compare needs scalar columns).
-      "q_multimodal_frames" ->
+      "q_multimodal_chunks" ->
         s"""WITH i AS (SELECT doc_id, text,
            |      unnest(range(0, (length(text) + 31) // 32)) AS idx FROM documents)
            |SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,

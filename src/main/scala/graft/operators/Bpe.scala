@@ -27,6 +27,26 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Hard capacity bounds for [[trainMerges]], ExactGuard-style: the
+    * greedy loop runs on the driver over the word-frequency table, and
+    * these bounds keep that honest instead of letting it degrade
+    * silently. At the bounds the table is ~100 MB and a full-depth train
+    * is minutes (spec-timed at 10k merges on a 20k-word vocabulary).
+    *
+    * WHY the greedy loop is driver-side BY DESIGN (not a per-merge
+    * distributed aggregation): every merge step needs the global argmax
+    * over pair counts — a serial decision. Run as one Spark job per
+    * merge, a production 50k-merge train would pay 50k scheduler round
+    * trips (hours of pure latency at ~100 ms/job) to aggregate a table
+    * that fits in megabytes; every widely used tokenizer trainer
+    * therefore reduces the corpus to a word-frequency table DISTRIBUTED
+    * (the one-shuffle step this operator does in Spark) and trains on
+    * that table locally. Past these bounds, train offline and ship the
+    * table via [[saveMerges]]/[[loadMerges]].
+    */
+  val MaxTrainVocab: Int  = 2000000
+  val MaxTrainMerges: Int = 200000
+
   /** Train `numMerges` merges from the corpus' whitespace words.
     * Returns merges as "left right" strings (rank = index).
     *
@@ -47,6 +67,18 @@ object Bpe {
       numMerges: Int = 200,
       maxVocab: Int = 50000
   ): IndexedSeq[String] = {
+    require(
+      numMerges <= MaxTrainMerges,
+      s"trainMerges: numMerges = $numMerges exceeds MaxTrainMerges = $MaxTrainMerges — " +
+        "published tokenizers top out far below this (GPT-2 50k, Llama-3 128k); past the bound " +
+        "train offline and ship the table via saveMerges/loadMerges"
+    )
+    require(
+      maxVocab <= MaxTrainVocab,
+      s"trainMerges: maxVocab = $maxVocab exceeds MaxTrainVocab = $MaxTrainVocab — " +
+        "pair statistics live on the Zipf head; a bigger cap only grows the driver table " +
+        "(~100 MB at the bound) without moving merges"
+    )
     val wordCounts: Array[(String, Long)] = df
       .select(explode(Dedup.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))

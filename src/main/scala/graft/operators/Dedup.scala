@@ -813,10 +813,11 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       maxShingleFreq: Option[Int] = Some(100),
-      candidates: CandidateMode = CandidateMode.Auto()
+      candidates: CandidateMode = CandidateMode.Auto(),
+      clusterMode: ClusterMode = ClusterMode.Auto()
   ): DataFrame = {
     val pairs    = ngramJaccardPairs(df, textCol, idCol, n, threshold, maxShingleFreq, candidates = candidates)
-    val clusters = duplicateClusters(pairs)
+    val clusters = duplicateClusters(pairs, mode = clusterMode)
     dedupByClusters(df, idCol, clusters)
   }
 

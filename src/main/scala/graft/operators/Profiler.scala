@@ -27,28 +27,32 @@ object Profiler {
     /** Exact `countDistinct` — N expand+shuffle aggregates. */
     case object Exact extends DistinctMode
 
-    /** HyperLogLog `approx_count_distinct` — scan-local, ~2% error. */
-    case object Approx extends DistinctMode
+    /** HyperLogLog `approx_count_distinct` — scan-local; `rsd` is the
+      * target relative standard deviation (Spark's default 0.05; tighten
+      * for profiles that feed downstream decisions — the HLL gate runs at
+      * 0.01).
+      */
+    case class Approx(rsd: Double = 0.05) extends DistinctMode
 
     /** Exact below `maxExactRows` (probed with one `count()`), HLL above —
       * exact profiles on fixtures and small dims, single-pass HLL on the
       * 100 TB fact table, from the same call.
       */
-    case class Auto(maxExactRows: Long = 50L * 1000 * 1000) extends DistinctMode
+    case class Auto(maxExactRows: Long = 50L * 1000 * 1000, rsd: Double = 0.05) extends DistinctMode
   }
 
   def profile(df: DataFrame, columns: Seq[String] = Seq.empty, mode: DistinctMode = DistinctMode.Auto()): DataFrame = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
     require(cols.nonEmpty, "nothing to profile")
-    val approx = mode match {
-      case DistinctMode.Exact          => false
-      case DistinctMode.Approx         => true
-      case DistinctMode.Auto(maxExact) => df.count() > maxExact
+    val approx: Option[Double] = mode match {
+      case DistinctMode.Exact              => None
+      case DistinctMode.Approx(rsd)        => Some(rsd)
+      case DistinctMode.Auto(maxExact, rsd) => if (df.count() > maxExact) Some(rsd) else None
     }
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__nn_$c"),
-        (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))).as(s"__nd_$c"),
+        approx.map(r => approx_count_distinct(col(c), r)).getOrElse(countDistinct(col(c))).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c")
       )
@@ -80,5 +84,5 @@ object Profiler {
 
   /** Back-compat boolean form. */
   def profile(df: DataFrame, columns: Seq[String], approxDistinct: Boolean): DataFrame =
-    profile(df, columns, if (approxDistinct) DistinctMode.Approx else DistinctMode.Exact)
+    profile(df, columns, if (approxDistinct) DistinctMode.Approx() else DistinctMode.Exact)
 }

@@ -832,27 +832,52 @@ object TextAnalysis {
     * group is ≤ its rank within the whole domain (the group order is the
     * restriction of the domain order), so the global top-`maxPerDomain`
     * all survive phase 1 — proven by the celebrity-skew spec.
+    *
+    * ADAPTIVE: the salt phase only earns its extra shuffle when some
+    * domain is big enough to straggle a reducer. A cheap count probe
+    * (map-side-combinable `groupBy(domain).count` → one tiny max) checks
+    * the LARGEST domain's row count first; at or below
+    * `maxUnsaltedDomainRows` every domain fits one reducer comfortably
+    * and the plain single-window plan runs — same result, one shuffle
+    * fewer. The probe executes the upstream lineage once more: callers
+    * feeding an expensive derived frame should persist it, or pass
+    * `maxUnsaltedDomainRows = 0` to skip the probe and force the salted
+    * plan unconditionally.
     */
   def domainQuota(
       df: DataFrame,
       domainCol: String,
       idCol: String,
       maxPerDomain: Int,
-      salts: Int = 32
+      salts: Int = 32,
+      maxUnsaltedDomainRows: Long = 1000000L
   ): DataFrame = {
     require(maxPerDomain > 0, "maxPerDomain must be positive")
     require(salts > 0, "salts must be positive")
     import org.apache.spark.sql.expressions.Window
     val orderHash = HashCols.stableHash(concat(col(idCol).cast("string"), lit("_dq")))
     val nullish   = col(domainCol).isNull || col(domainCol) === ""
-    val salt      = pmod(orderHash, lit(salts.toLong))
-    val w1 = Window.partitionBy(col(domainCol), salt).orderBy(orderHash, col(idCol))
+    val skewed =
+      if (maxUnsaltedDomainRows <= 0) true
+      else {
+        val m = df.where(!nullish).groupBy(col(domainCol)).agg(count(lit(1)).as("c"))
+          .agg(max("c")).head.get(0)
+        m != null && m.asInstanceOf[Long] > maxUnsaltedDomainRows
+      }
     val w2 = Window.partitionBy(col(domainCol)).orderBy(orderHash, col(idCol))
-    df.withColumn("_dq_rn1", when(nullish, lit(0)).otherwise(row_number().over(w1)))
-      .where(col("_dq_rn1") <= maxPerDomain)
+    val preCapped =
+      if (!skewed) df
+      else {
+        val salt = pmod(orderHash, lit(salts.toLong))
+        val w1   = Window.partitionBy(col(domainCol), salt).orderBy(orderHash, col(idCol))
+        df.withColumn("_dq_rn1", when(nullish, lit(0)).otherwise(row_number().over(w1)))
+          .where(col("_dq_rn1") <= maxPerDomain)
+          .drop("_dq_rn1")
+      }
+    preCapped
       .withColumn("_dq_rn", when(nullish, lit(0)).otherwise(row_number().over(w2)))
       .where(col("_dq_rn") <= maxPerDomain)
-      .drop("_dq_rn1", "_dq_rn")
+      .drop("_dq_rn")
   }
 
   /** Greedy sequence packing: concatenate whole documents into

@@ -33,6 +33,18 @@ object EventStream {
         col("sum_value")
       )
 
+  /** Millisecond value of a Spark interval string like "10 minutes";
+    * None when the string needs the engine's full parser (month-bearing or
+    * exotic forms — `withWatermark` itself remains the authority).
+    */
+  private def intervalMs(interval: String): Option[Long] =
+    try {
+      val ci = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(interval))
+      if (ci == null || ci.months != 0) None
+      else Some(ci.days * 86400000L + ci.microseconds / 1000L)
+    } catch { case _: Exception => None }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, lastSeen: Long, events: Int, totalValue: Double)
   case class SessionResult(user_id: Long, session_start: java.sql.Timestamp, n_events: Int, total_value: Double)
@@ -148,6 +160,21 @@ object EventStream {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
+    // Late-event absorption (start = min, lastSeen = max) matches batch
+    // gaps-and-islands ONLY while admitted late events cannot land more
+    // than a gap before the live session's start — i.e. while
+    // watermarkDelay <= gap. Past that, a late event would silently merge
+    // into a session it should have preceded, diverging from batch and
+    // potentially overlapping a closed session already emitted in Append
+    // mode. Fail the divergent configuration fast.
+    intervalMs(watermarkDelay).foreach { wmMs =>
+      require(
+        wmMs <= gapMs,
+        s"sessionizeByEventTime: watermarkDelay ($watermarkDelay = ${wmMs}ms) must be <= " +
+          s"gapMinutes ($gapMinutes min = ${gapMs}ms) — a late event admitted from further back " +
+          "than the gap would merge into a session whose earlier sessions are already emitted"
+      )
+    }
     events
       .withWatermark("ts", watermarkDelay)
       .as[SessionEvent]
@@ -298,7 +325,14 @@ object EventStream {
                         new java.sql.Timestamp(math.max(t, ots)), e)
                   }
                 }
-                members = ((d.doc_id, t, d.sig) :: members).take(maxPerBucket)
+                // Cap by EVENT time (newest K), not arrival order: a
+                // late-but-admitted old document must not evict a newer
+                // member whose pairing window is still open. Ties break on
+                // doc_id for replay determinism. K ≤ maxPerBucket keeps the
+                // per-arrival sort trivial.
+                members = ((d.doc_id, t, d.sig) :: members)
+                  .sortBy { case (mid, mts, _) => (-mts, mid) }
+                  .take(maxPerBucket)
               }
               // Watermark eviction: nothing arriving later can pair with an
               // entry whose window has passed. (Batch: watermark reads as

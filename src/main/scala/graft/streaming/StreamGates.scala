@@ -7,14 +7,19 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Driver-gate closures that run the STREAMING operators — the result the
   * driver hashes against DuckDB came through the Structured Streaming
-  * engine (MemoryStream replay → flatMapGroupsWithState / windowed agg →
+  * engine (file-source replay → flatMapGroupsWithState / windowed agg →
   * memory sink), not through a batch shortcut. This promotes the
   * streaming⇄batch equivalence specs to driver-checked facts.
   *
-  * MemoryStream is inherently driver-fed (a test/replay source); at
-  * production scale the same operators run unchanged over a Kafka/file
-  * source — the gate exercises the identical operator code and state
-  * machinery, only the source differs.
+  * REPLAY SOURCE: the fixture is written as K chronological parquet files
+  * (time-quantile chunks, strictly increasing modification times) and read
+  * back with `readStream.option("maxFilesPerTrigger", 1)` — each file is
+  * its own micro-batch, in order, exactly like a production file-drop
+  * ingestion directory. Unlike the earlier MemoryStream harness, the data
+  * never rides the driver heap or the task binaries: it flows
+  * executors → parquet → executors, so the same replay runs at any soak
+  * scale. (The one remaining driver hop is the memory-sink RESULT — the
+  * gate output, small by construction.)
   *
   * Numeric domains are chosen so streaming-side arithmetic is EXACT and
   * therefore byte-comparable to the DuckDB oracle:
@@ -28,22 +33,58 @@ import org.apache.spark.sql.types.DecimalType
   */
 object StreamGates {
 
-  /** Chronological replay (ascending chunks) through a streaming query into
-    * a memory sink; returns the sink contents materialized to a local
-    * frame, with the query stopped and the temp view dropped.
+  /** Write `src` as `chunks` chronological parquet files (quantile splits
+    * on `tsCol`, one file per chunk, strictly increasing mtimes), then run
+    * it through `build` as a `maxFilesPerTrigger=1` file-source stream
+    * into a memory sink; returns the sink contents materialized to a
+    * local frame, with the query stopped, the temp view dropped, and the
+    * staging directory deleted.
+    *
+    * `flush` frames are appended as further files AFTER the data chunks —
+    * watermark-flush sentinels each get their own micro-batch: one to
+    * carry the watermark forward, the next to run the resulting timeouts.
     */
-  private def replay[A](
+  private[graft] def replayViaFiles(
       spark: SparkSession,
-      rows: Seq[A],
+      src: DataFrame,
+      tsCol: String,
       chunks: Int,
       mode: OutputMode,
-      flush: Seq[A] = Seq.empty
-  )(build: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A] => DataFrame)(
-      implicit enc: org.apache.spark.sql.Encoder[A]
-  ): DataFrame = {
-    implicit val sqlCtx = spark.sqlContext
-    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
-    val name  = s"stream_gate_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      flush: Seq[DataFrame] = Seq.empty
+  )(build: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val watchDir = Files.createTempDirectory("stream_gate_watch")
+    val stageDir = Files.createTempDirectory("stream_gate_stage")
+
+    // Chronological chunking by TS VALUE (quantile boundaries), not by a
+    // global row_number: value splits need no single-partition sort, and
+    // they guarantee chunk i's events all precede chunk i+1's — required
+    // so the advancing watermark never discards a later chunk's rows.
+    val tsMs   = unix_millis(col(tsCol)).cast("double")
+    val bounds = src.select(tsMs.as("__ms")).stat
+      .approxQuantile("__ms", (1 until chunks).map(_.toDouble / chunks).toArray, 0.001)
+    val chunkIdx = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(tsMs > b, 1).otherwise(0)
+    }
+
+    var fileNo = 0
+    def addFile(df: DataFrame): Unit = {
+      val stage = stageDir.resolve(s"stage_$fileNo")
+      df.repartition(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $stage"))
+      val target = watchDir.resolve(f"chunk_$fileNo%05d.parquet")
+      Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+      // Distinct, increasing mtimes: the file source processes oldest
+      // first, so this pins the replay order deterministically.
+      Files.setLastModifiedTime(
+        target, java.nio.file.attribute.FileTime.fromMillis(1000000000000L + fileNo * 1000L))
+      fileNo += 1
+    }
+    (0 until chunks).foreach(i => addFile(src.where(chunkIdx === i)))
+    flush.foreach(addFile)
+
     // Stateful streaming pays a per-micro-batch cost PER STATE PARTITION
     // (store commit + task launch × partitions × batches), and the state
     // partition count is frozen from spark.sql.shuffle.partitions at query
@@ -52,27 +93,29 @@ object StreamGates {
     // (sized for 100k-row shuffles) would triple the gate's wall clock in
     // pure state-store overhead. Scoped to the streaming query only:
     // restored before the batch post-processing runs.
+    val name = s"stream_gate_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val priorShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val query =
-      try build(input).writeStream.format("memory").queryName(name).outputMode(mode).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", priorShufflePartitions)
+      try {
+        val in = spark.readStream
+          .schema(src.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(watchDir.toString)
+        build(in).writeStream.format("memory").queryName(name).outputMode(mode).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", priorShufflePartitions)
     try {
-      rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { chunk =>
-        input.addData(chunk)
-        query.processAllAvailable()
-      }
-      // Watermark-flush events each get their own micro-batch: one to carry
-      // the watermark forward, the next to run the resulting timeouts.
-      flush.foreach { f =>
-        input.addData(f)
-        query.processAllAvailable()
-      }
+      query.processAllAvailable()
       val sunk = spark.table(name)
       spark.createDataFrame(sunk.collectAsList(), sunk.schema)
     } finally {
       query.stop()
       spark.catalog.dropTempView(name)
+      def rmTree(p: Path): Unit = {
+        if (Files.isDirectory(p)) Files.list(p).forEach(rmTree(_))
+        Files.deleteIfExists(p)
+      }
+      Seq(watchDir, stageDir).foreach(p => try rmTree(p) catch { case _: Exception => () })
     }
   }
 
@@ -92,15 +135,13 @@ object StreamGates {
         // exact cents as double — see class doc
         (col("value").cast(DecimalType(14, 2)) * 100).cast("double").as("value")
       )
-      .as[EventStream.SessionEvent]
-      .collect()
-      .sortBy(_.ts.getTime)
-      .toSeq
-    val maxMs = ev.last.ts.getTime
+    val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+    require(maxTs != null, s"sessionsViaStream: events fixture at $sfDir is empty — nothing to replay")
     val flush = Seq(1, 2).map(k =>
-      EventStream.SessionEvent(-1L, new java.sql.Timestamp(maxMs + k * 86400000L), 0.0))
-    val sessions = replay(spark, ev, chunks = 3, mode = OutputMode.Append(), flush = flush)(
-      input => EventStream.sessionizeByEventTime(input.toDS(), gapMinutes).toDF())
+      Seq(EventStream.SessionEvent(-1L, new java.sql.Timestamp(maxTs.getTime + k * 86400000L), 0.0))
+        .toDS().toDF().select("user_id", "ts", "value"))
+    val sessions = replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Append(), flush)(
+      in => EventStream.sessionizeByEventTime(in.as[EventStream.SessionEvent], gapMinutes).toDF())
     import org.apache.spark.sql.expressions.Window
     sessions
       .where(col("user_id") >= 0)
@@ -123,19 +164,14 @@ object StreamGates {
     * batch `q_events_window` gate.
     */
   def windowViaStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val ev = graft.Tpch.events(spark, sfDir)
       .select(
         timestamp_micros(expr("ts div 1000")).as("ts"),
         col("event_type"),
         (col("value").cast(DecimalType(12, 2)) * 100).cast("double").as("value")
       )
-      .as[(java.sql.Timestamp, String, Double)]
-      .collect()
-      .sortBy(_._1.getTime)
-      .toSeq
-    replay(spark, ev, chunks = 3, mode = OutputMode.Complete())(
-      input => EventStream.windowedAggregate(input.toDF().toDF("ts", "event_type", "value")))
+    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Complete())(
+      in => EventStream.windowedAggregate(in))
       .select(
         col("window_start").as("hour_start"),
         col("event_type"),
@@ -143,5 +179,38 @@ object StreamGates {
         (col("sum_value") / 100.0).as("sum_value")
       )
       .orderBy("hour_start", "event_type")
+  }
+
+  /** `q_dedup_stream`: the documents fixture, given synthetic event times
+    * (doc_id minutes apart), replayed chronologically through
+    * [[EventStream.nearDupCandidatesWithinWatermark]] — per-bucket MinHash
+    * band state, watermark eviction, signature-estimate pairing within the
+    * event-time window, all through the real streaming state machine.
+    *
+    * The oracle is the window-restricted banded-candidate formulation the
+    * MultimodalStreamingSpec equivalence states (streamed == batch within
+    * the window): band collisions (8 bands × 4 rows over the 32-hash
+    * signature) → |Δts| ≤ window → estimate ≥ 0.5. Per-band duplicate
+    * emissions collapse under DISTINCT, exactly as the batch verifier
+    * dedups band collisions. est_jaccard = k/32 is exact in binary, so
+    * doubles compare byte-identically. `maxPerBucket` is set far above the
+    * fixture's hottest bucket so the documented recall cap never binds
+    * (the oracle doesn't model eviction — the cap stays a documented
+    * bound, not gate-certified).
+    */
+  def nearDupViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tpch.table(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * 60000L).as("ts"),
+        col("text")
+      )
+    replayViaFiles(spark, docs, "ts", chunks = 3, OutputMode.Append())(
+      in => EventStream.nearDupCandidatesWithinWatermark(
+        in, "doc_id", "ts", "text",
+        windowMinutes = 60, minEstJaccard = 0.5, maxPerBucket = 1000000).toDF())
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
   }
 }

@@ -240,7 +240,7 @@ class OperatorsSpec extends SparkSpec {
       // equal the Approx mode's estimate bit-for-bit (same HLL plan).
       val big = Seq.tabulate(5000)(i => i.toLong).toDF("id")
       val auto   = Profiler.profile(big, Seq("id"), DistinctMode.Auto(maxExactRows = 100)).head.getLong(3)
-      val approx = Profiler.profile(big, Seq("id"), DistinctMode.Approx).head.getLong(3)
+      val approx = Profiler.profile(big, Seq("id"), DistinctMode.Approx()).head.getLong(3)
       auto shouldBe approx
       auto.toDouble shouldBe 5000.0 +- 500.0 // HLL estimate band (observed ~6.6% off at this sketch size)
     }
@@ -677,6 +677,26 @@ class OperatorsSpec extends SparkSpec {
       m1k.length shouldBe 1000
       m1k.take(300) shouldBe Bpe.trainFromWordCounts(wordCounts, 300) // prefix-stable
       sec should be < 60.0
+      // Full production depth (the GPT-2-class regime the MaxTrainMerges
+      // bound protects): 10k merges must stay in the minutes-not-hours
+      // class on a single driver — the capacity claim behind keeping the
+      // greedy loop local instead of paying one Spark job per merge.
+      val t1   = System.nanoTime()
+      val m10k = Bpe.trainFromWordCounts(wordCounts, 10000)
+      val s10  = (System.nanoTime() - t1) / 1e9
+      info(f"10000 merges over ${wordCounts.length} words in $s10%.2f s")
+      m10k.length shouldBe 10000
+      m10k.take(1000) shouldBe m1k // prefix-stable at depth
+      s10 should be < 120.0
+    }
+    it("trainMerges enforces its capacity bounds with errors naming the alternative") {
+      val docs = Seq((1L, "a b")).toDF("id", "text")
+      (the[IllegalArgumentException] thrownBy
+        Bpe.trainMerges(docs, "text", numMerges = Bpe.MaxTrainMerges + 1)
+        ).getMessage should include("saveMerges")
+      (the[IllegalArgumentException] thrownBy
+        Bpe.trainMerges(docs, "text", maxVocab = Bpe.MaxTrainVocab + 1)
+        ).getMessage should include("Zipf")
     }
     it("saveMerges/loadMerges round-trips the pinned table; loaded model encodes bit-identically") {
       val dir = java.nio.file.Files.createTempDirectory("graft-bpe-model").toString + "/m"
@@ -1100,10 +1120,16 @@ class OperatorsSpec extends SparkSpec {
       }
       // Identical across salt counts (including salts=1, the degenerate
       // single-reducer shape) — the pre-cap provably never drops a winner.
+      // maxUnsaltedDomainRows = 0 forces the salted plan (the default probe
+      // bound would route this 1e5-row domain through the single window).
       Seq(1, 4, 32).foreach { s =>
-        TextAnalysis.domainQuota(df, "host", "id", maxPerDomain = 7, salts = s)
+        TextAnalysis.domainQuota(df, "host", "id", maxPerDomain = 7, salts = s,
+            maxUnsaltedDomainRows = 0)
           .select("id").as[Long].collect().toSet shouldBe expected
       }
+      // The probe path (default bound) agrees too.
+      TextAnalysis.domainQuota(df, "host", "id", maxPerDomain = 7)
+        .select("id").as[Long].collect().toSet shouldBe expected
     }
 
     it("packSequences: budget never overflows except a lone oversized doc; offsets are contiguous") {

@@ -62,12 +62,22 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
-    it("domainQuota is TWO shuffles (salted pre-cap window, then the domain window)") {
+    it("domainQuota (forced salted) is TWO shuffles (salted pre-cap window, then the domain window)") {
+      withoutAqe {
+        val df = spark.range(1, 1000).toDF("id")
+          .withColumn("host", concat(lit("h"), pmod(col("id"), lit(5)).cast("string")))
+        val plan = executed(TextAnalysis.domainQuota(df, "host", "id", maxPerDomain = 3,
+          maxUnsaltedDomainRows = 0))
+        shuffles(plan) shouldBe 2
+      }
+    }
+
+    it("domainQuota skips the salt phase when the count probe finds no big domain (ONE shuffle)") {
       withoutAqe {
         val df = spark.range(1, 1000).toDF("id")
           .withColumn("host", concat(lit("h"), pmod(col("id"), lit(5)).cast("string")))
         val plan = executed(TextAnalysis.domainQuota(df, "host", "id", maxPerDomain = 3))
-        shuffles(plan) shouldBe 2
+        shuffles(plan) shouldBe 1
       }
     }
 
