@@ -1034,6 +1034,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C4-style corpus-level line dedup over derived multi-line text: known
+    // boilerplate lines (newsletter banner, share button with 3 variants,
+    // copyright footer) are injected into every document around two
+    // body-slice lines and a below-threshold "promo N" line — the
+    // boilerplate must vanish corpus-wide, the rare lines survive, and
+    // each document reassembles in line order (hashed, since text is long).
+    "q_text_line_dedup" -> ((s, dir) => {
+      val nl = lit("\n")
+      val derived = concat(
+        lit("SUBSCRIBE TO OUR NEWSLETTER"), nl,
+        substring(col("text"), 1, 60), nl,
+        substring(col("text"), 61, 60), nl,
+        lit("share this article "), pmod(col("doc_id"), lit(3)).cast("string"), nl,
+        lit("promo "), pmod(col("doc_id"), lit(250)).cast("string"), nl,
+        lit("COPYRIGHT 2024 EXAMPLE CORP")
+      )
+      TextAnalysis.dedupRepeatedLines(
+        t(s, dir, "documents").select(col("doc_id"), derived.as("text")), "text", "doc_id")
+        .select(col("doc_id"), col("n_lines_kept"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // URL extraction over derived text with known links embedded.
     "q_text_urls" -> ((s, dir) => {
       val derived = concat(
@@ -1982,6 +2004,27 @@ object SparkEntry {
       "q_text_lm_score" -> lmScoreSql,
 
       "q_text_lm_score_local" -> lmScoreSql,
+
+      // Line-dedup replay: same derivation, same md5(trim(line)) hot key,
+      // same ≥3 threshold, reassembly ordered by line index.
+      "q_text_line_dedup" ->
+        """WITH d AS (SELECT doc_id,
+          |  'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) || substr(text, 1, 60) || chr(10) ||
+          |  substr(text, 61, 60) || chr(10) ||
+          |  'share this article ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) ||
+          |  'promo ' || CAST(doc_id % 250 AS VARCHAR) || chr(10) ||
+          |  'COPYRIGHT 2024 EXAMPLE CORP' AS text FROM documents),
+          |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+          |      generate_subscripts(string_split(text, chr(10)), 1) AS idx FROM d),
+          |k AS (SELECT doc_id, idx, line, md5(trim(line)) AS lkey FROM l),
+          |hot AS (SELECT lkey FROM k GROUP BY lkey HAVING count(*) >= 3),
+          |kept AS (SELECT doc_id, idx, line FROM k WHERE lkey NOT IN (SELECT lkey FROM hot)),
+          |agg AS (SELECT doc_id, count(*) AS n_lines_kept,
+          |        string_agg(line, chr(10) ORDER BY idx) AS text FROM kept GROUP BY doc_id)
+          |SELECT t.doc_id, CAST(coalesce(agg.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+          |       md5(coalesce(agg.text, '')) AS text_md5
+          |FROM (SELECT DISTINCT doc_id FROM documents) t LEFT JOIN agg ON t.doc_id = agg.doc_id
+          |ORDER BY t.doc_id""".stripMargin,
 
       "q_text_ngrams" ->
         s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),

@@ -810,6 +810,63 @@ object TextAnalysis {
       )
   }
 
+  /** C4-style corpus-level LINE deduplication: remove every line whose
+    * occurrence count ACROSS THE CORPUS reaches `minRepeats` (the C4
+    * recipe — a line repeated verbatim on three or more pages is
+    * boilerplate: navigation, cookie banners, share buttons, copyright
+    * footers), then reassemble each document from its surviving lines in
+    * order. Documents whose every line was boilerplate come back with
+    * empty text (and `n_lines_kept` = 0), not dropped — the caller
+    * decides whether to filter them.
+    *
+    * Lines are matched after `trim` (leading/trailing spaces don't make
+    * boilerplate unique); empty/whitespace lines count like any other
+    * line, so ≥ `minRepeats` blank lines corpus-wide removes them all.
+    *
+    * Scale shape: explode to (doc, line_idx, line) rows; the occurrence
+    * count is one map-side-combinable aggregation keyed on md5(trimmed
+    * line) — fixed-width shuffle keys no matter how long lines get — and
+    * the removal is a left-anti join on the same key (co-located with the
+    * count's partitioning). Reassembly is one groupBy(doc) with an
+    * order-restoring array_sort over (line_idx, line) structs — no
+    * window, no driver state. Three shuffles total, all on hash keys.
+    */
+  def dedupRepeatedLines(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minRepeats: Int = 3
+  ): DataFrame = {
+    require(minRepeats >= 2, "minRepeats must be at least 2 — 1 would remove every line")
+    val lines = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("line_idx", "line"))
+    )
+    val keyed = lines.withColumn("lkey", md5(trim(col("line"))))
+    val hot = keyed.groupBy("lkey").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minRepeats)
+      .select("lkey")
+    val rebuilt = keyed.join(hot, Seq("lkey"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("line_idx"), col("line")))),
+            s => s.getField("line")
+          ),
+          "\n"
+        ).as("text")
+      )
+    df.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("text"), lit("")).as("text")
+      )
+  }
+
   /** Cap each domain's contribution to the corpus at `maxPerDomain`
     * documents — the C4-style guard against a single boilerplate-heavy
     * host dominating training data. Which documents survive is

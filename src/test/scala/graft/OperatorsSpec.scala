@@ -1085,6 +1085,31 @@ class OperatorsSpec extends SparkSpec {
       other.toSet should not be out.toSet
     }
 
+    it("dedupRepeatedLines removes corpus-hot lines, keeps rare ones, reassembles in order") {
+      val docs = Seq(
+        (1L, "COMMON HEADER\nunique body one\nCOMMON FOOTER"),
+        (2L, "COMMON HEADER\nunique body two\nCOMMON FOOTER"),
+        (3L, "COMMON HEADER\nunique body three\nCOMMON FOOTER"),
+        (4L, "  COMMON HEADER  \nrare pair line\nCOMMON FOOTER"),   // trim-matched
+        (5L, "rare pair line\nanother unique"),
+        (6L, "COMMON HEADER\nCOMMON FOOTER")                         // all boilerplate
+      ).toDF("doc_id", "text")
+      val out = TextAnalysis.dedupRepeatedLines(docs, "text", "doc_id", minRepeats = 3)
+        .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      // Header (4 hits incl. the trim-matched one) and footer (5) vanish.
+      out(1L) shouldBe ((1L, "unique body one"))
+      out(4L) shouldBe ((1L, "rare pair line"))
+      // "rare pair line" appears only twice — below the threshold, kept.
+      out(5L) shouldBe ((2L, "rare pair line\nanother unique"))
+      // A document that was pure boilerplate survives as an empty row.
+      out(6L) shouldBe ((0L, ""))
+      // Multi-line order is restored from line indices, not shuffle order.
+      TextAnalysis.dedupRepeatedLines(docs, "text", "doc_id", minRepeats = 2)
+        .where(col("doc_id") === 5L).select("text").as[String].head() shouldBe "another unique"
+      an[IllegalArgumentException] should be thrownBy
+        TextAnalysis.dedupRepeatedLines(docs, "text", "doc_id", minRepeats = 1)
+    }
+
     it("domainQuota caps each domain, passes null/empty domains through") {
       val df = spark.range(1, 101).toDF("id").withColumn(
         "host",
