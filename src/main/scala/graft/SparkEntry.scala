@@ -889,6 +889,30 @@ object SparkEntry {
       ).orderBy("doc_id")
     }),
 
+    // The Bloom-filter serving form of decontamination — SELF-CHECKING
+    // gate (like q_profile_hll): a Bloom filter's hit set is not
+    // cross-engine replayable, so the gate joins the scan-local Bloom
+    // counts against the exact join-based counts and hashes the verdicts —
+    // no false negatives EVER (the Bloom guarantee that makes the error
+    // direction safe for decontamination), and per-doc over-count within
+    // max(8, 1% of grams) at fpp = 0.001. Bit-OR construction makes the
+    // filter deterministic for fixed inputs, so verdicts are replay-stable.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs   = t(s, dir, "documents")
+      val corpus = docs.where(pmod(col("doc_id"), lit(50)) =!= 0)
+      val bench  = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+      val exact  = TextAnalysis.decontaminationOverlap(corpus, bench, "text", "doc_id", n = 3)
+      val bloom  = TextAnalysis.decontaminationOverlapBloom(corpus, bench, "text", "doc_id", n = 3, fpp = 0.001)
+      exact.join(bloom.select(col("doc_id"), col("n_overlap_bloom")), "doc_id")
+        .select(
+          col("doc_id"), col("n_grams"), col("n_overlap"),
+          (col("n_overlap_bloom") >= col("n_overlap")).as("no_false_negatives"),
+          (col("n_overlap_bloom") - col("n_overlap") <=
+            greatest(lit(8L), ceil(col("n_grams") * 0.01).cast("long"))).as("fp_within_bound")
+        )
+        .orderBy("doc_id")
+    }),
+
     // C4/Gopher-style repetition filters: duplicate-token fraction and
     // top-bigram share per document.
     "q_text_repetition" -> ((s, dir) =>
@@ -2042,6 +2066,21 @@ object SparkEntry {
            |ov AS (SELECT c.doc_id, count(*) AS n_overlap FROM corpus c JOIN bench b USING (gram) GROUP BY c.doc_id),
            |tot AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id)
            |SELECT t.doc_id, t.n_grams, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+           |FROM tot t LEFT JOIN ov ON t.doc_id = ov.doc_id ORDER BY t.doc_id""".stripMargin,
+
+      // Bloom decontamination: the exact replay plus TRUE verdict columns
+      // (the gate computes the Bloom-vs-exact comparison itself — see the
+      // gate doc for why the hit set is not cross-engine replayable).
+      "q_decontaminate_bloom" ->
+        s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])) AS gram
+           |      FROM toks WHERE len(tk) >= 3),
+           |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+           |corpus AS (SELECT * FROM g WHERE doc_id % 50 <> 0),
+           |ov AS (SELECT c.doc_id, count(*) AS n_overlap FROM corpus c JOIN bench b USING (gram) GROUP BY c.doc_id),
+           |tot AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id)
+           |SELECT t.doc_id, t.n_grams, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           |       true AS no_false_negatives, true AS fp_within_bound
            |FROM tot t LEFT JOIN ov ON t.doc_id = ov.doc_id ORDER BY t.doc_id""".stripMargin,
 
       "q_text_repetition" ->

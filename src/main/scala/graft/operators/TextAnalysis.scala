@@ -314,6 +314,61 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_grams"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
   }
 
+  /** [[decontaminationOverlap]]'s BLOOM-FILTER serving form — the
+    * web-scale decontamination trick: build one Bloom filter over the
+    * benchmark's distinct n-grams (order-independent bit-OR construction,
+    * so the filter is deterministic for fixed inputs and parameters),
+    * broadcast it, and count each corpus document's gram hits
+    * SCAN-LOCALLY. The corpus pays ZERO gram-side shuffle and no
+    * per-gram join — one scan, however big the corpus is; only the tiny
+    * benchmark side is aggregated.
+    *
+    * The error direction is the SAFE one for decontamination: Bloom
+    * filters have no false negatives, so `n_overlap_bloom ≥` the exact
+    * overlap always — a false positive can only make a clean document
+    * LOOK contaminated (discarded conservatively), never let a
+    * contaminated one through. Expected over-count per document ≈
+    * `fpp · n_grams`; size `fpp` accordingly (default 0.001 ⇒ ~1 extra
+    * hit per 1000 clean grams). Output: (doc_id, n_grams,
+    * n_overlap_bloom).
+    */
+  def decontaminationOverlapBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 13,
+      fpp: Double = 0.001
+  ): DataFrame = {
+    require(fpp > 0 && fpp < 0.5, "fpp must be in (0, 0.5)")
+    val spark = corpus.sparkSession
+    val benchGrams = benchmark
+      .select(explode(array_distinct(tokenNgrams(col(textCol), n))).as("gram"))
+      .distinct()
+    // Two passes over the (tiny) benchmark side: an exact count to size
+    // the filter, then the filter build itself.
+    val nBench = math.max(1L, benchGrams.count())
+    val bloom  = benchGrams.stat.bloomFilter("gram", nBench, fpp)
+    val bc     = spark.sparkContext.broadcast(bloom)
+    val hits = udf { (grams: Seq[String]) =>
+      if (grams == null) 0L
+      else {
+        val f = bc.value
+        var c = 0L
+        grams.foreach(g => if (f.mightContain(g)) c += 1)
+        c
+      }
+    }
+    corpus
+      .select(col(idCol).as("doc_id"), array_distinct(tokenNgrams(col(textCol), n)).as("grams"))
+      .where(size(col("grams")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        hits(col("grams")).as("n_overlap_bloom")
+      )
+  }
+
   /** Per-document repetition metrics — the C4/Gopher-style repetitiveness
     * filters: fraction of tokens that are repeats of an earlier token, and
     * the share of bigrams taken by the single most frequent bigram.

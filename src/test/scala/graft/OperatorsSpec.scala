@@ -433,6 +433,15 @@ class OperatorsSpec extends SparkSpec {
       // exact same overlaps (same join, different physical shape).
       TextAnalysis.decontaminationOverlap(corpus, bench, "text", "doc_id", n = 3, maxBroadcastGrams = 1)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe rows
+      // The Bloom serving form NEVER under-counts (no false negatives) and
+      // is deterministic across builds (bit-OR construction).
+      val bloom = TextAnalysis.decontaminationOverlapBloom(corpus, bench, "text", "doc_id", n = 3)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val exactByDoc = rows.map(r => r._1 -> r._3).toMap
+      bloom.keySet shouldBe exactByDoc.keySet
+      exactByDoc.foreach { case (d, ov) => bloom(d)._2 should be >= ov }
+      TextAnalysis.decontaminationOverlapBloom(corpus, bench, "text", "doc_id", n = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap shouldBe bloom.map { case (k, v) => k -> v._2 }
     }
     it("repetitionMetrics computes duplicate-token and top-bigram fractions") {
       val df = Seq(
