@@ -1058,6 +1058,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The whole preprocessing chain in one call: exact dedup → quality
+    // filter → self-trained LM perplexity filter → hash split. Hashing the
+    // per-doc output pins the stage SEAMS (which corpus each stage sees,
+    // in which order), not just the stages — the oracle replays the exact
+    // composition. nll emitted fixed-point (milli-nats) as in
+    // q_text_lm_score.
+    "q_corpus_prepare" -> ((s, dir) =>
+      graft.operators.CorpusPipeline.prepare(t(s, dir, "documents"), "text", "doc_id")
+        .select(
+          col("doc_id"), col("n_tokens"),
+          floor(col("nll") * 1000 + lit(0.5)).cast("long").as("nll_milli"),
+          col("split")
+        )
+        .orderBy("doc_id")),
+
     // C4-style corpus-level line dedup over derived multi-line text: known
     // boilerplate lines (newsletter banner, share button with 3 variants,
     // copyright footer) are injected into every document around two
@@ -2028,6 +2043,33 @@ object SparkEntry {
       "q_text_lm_score" -> lmScoreSql,
 
       "q_text_lm_score_local" -> lmScoreSql,
+
+      // Pipeline replay: stage order matters and is replayed exactly —
+      // dedup keeps min-id per md5, quality bounds filter the dedup
+      // survivors, the bigram LM trains on (and scores) the QUALITY
+      // survivors, the split hashes the surviving ids.
+      "q_corpus_prepare" ->
+        s"""WITH dd AS (SELECT doc_id, text FROM documents
+           |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
+           |toks AS (SELECT doc_id, text, ${tokensSql("text")} AS tk FROM dd),
+           |q AS (SELECT doc_id, text, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks
+           |  WHERE len(tk) >= 20
+           |    AND (len(tk) - len(list_distinct(tk)))::DOUBLE / len(tk) <= 0.5),
+           |bgx AS (SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]) AS bg
+           |        FROM q WHERE len(tk) >= 2),
+           |m AS (SELECT doc_id, bg, count(*) AS m FROM bgx GROUP BY 1, 2),
+           |bc AS (SELECT bg, sum(m) AS c_bg FROM m GROUP BY 1),
+           |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_ctx FROM bc GROUP BY 1),
+           |v AS (SELECT count(DISTINCT tok) AS vocab FROM (SELECT unnest(tk) AS tok FROM q)),
+           |sc AS (SELECT doc_id, -sum(m * ln((bc.c_bg + 1)::DOUBLE / (ctx.c_ctx + vocab))) / sum(m) AS nll
+           |       FROM m JOIN bc USING (bg) JOIN ctx ON split_part(m.bg, ' ', 1) = ctx.w1, v GROUP BY doc_id),
+           |kept AS (SELECT q.doc_id, q.n_tokens, sc.nll FROM q JOIN sc USING (doc_id) WHERE sc.nll < 3.45)
+           |SELECT doc_id, n_tokens,
+           |  CAST(floor(nll * 1000 + 0.5) AS BIGINT) AS nll_milli,
+           |  CASE WHEN ${hashSql("CAST(doc_id AS VARCHAR)")} % 1000000 < 800000 THEN 'train'
+           |       WHEN ${hashSql("CAST(doc_id AS VARCHAR)")} % 1000000 < 900000 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM kept ORDER BY doc_id""".stripMargin,
 
       // Line-dedup replay: same derivation, same md5(trim(line)) hot key,
       // same ≥3 threshold, reassembly ordered by line index.

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-call corpus preparation — the standard LLM preprocessing chain in
+  * the order production pipelines run it:
+  *
+  *   1. EXACT dedup: md5(text) identity, keep the minimum-id copy
+  *      (the [[Dedup.exactDuplicates]] contract).
+  *   2. Quality filter: whitespace token count ≥ `minTokens` AND
+  *      duplicate-token fraction ≤ `maxDupTokenFrac`
+  *      (the C4/Gopher-style [[TextAnalysis.repetitionMetrics]] signals).
+  *   3. LM perplexity filter: add-one bigram LM trained on the quality
+  *      survivors, keep docs with nll < `nllThreshold`
+  *      (CCNet-style [[TextAnalysis.lmQualityScore]]).
+  *   4. Deterministic hash split: train/val/test by id-hash buckets
+  *      ([[Sampling.assignSplit]] — retry-stable, resplit-free).
+  *
+  * Returns one row per SURVIVING document: (doc_id, n_tokens, nll,
+  * split). Every stage is one of the independently gated operators; this
+  * is the composition a real user runs, and it is itself driver-hashed
+  * end-to-end (`q_corpus_prepare`) so the stage seams — which corpus each
+  * stage sees, in which order — are pinned, not just the stages.
+  *
+  * Scale shape: the sum of its parts, nothing new — one md5 aggregation +
+  * semi-join (exact dedup), scan-local quality metrics, the LM's
+  * bigram-keyed aggregations and joins, and a pure-column split. No
+  * driver state, no collect, no window over the corpus. For near-dup
+  * aware preparation, run [[Dedup.deduplicateCorpus]] before this and
+  * [[Sampling.leakageSafeSplit]] instead of stage 4 — both gated
+  * separately.
+  */
+object CorpusPipeline {
+
+  def prepare(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minTokens: Long = 20L,
+      maxDupTokenFrac: Double = 0.5,
+      nllThreshold: Double = 3.45,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  ): DataFrame = {
+    require(minTokens >= 2, "minTokens must be >= 2 (the LM stage needs at least one bigram)")
+    val base = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    // 1. Exact dedup — min id per content hash, semi-joined back.
+    val canon = base
+      .groupBy(md5(col("text")).as("_h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val deduped = base.join(canon, Seq("doc_id"), "left_semi")
+    // 2. Quality filter on the dedup survivors.
+    val quality = TextAnalysis.repetitionMetrics(deduped, "text", "doc_id")
+      .where(col("n_tokens") >= minTokens && col("dup_token_frac") <= maxDupTokenFrac)
+      .select("doc_id", "n_tokens")
+    val qualityDocs = deduped.join(quality, "doc_id")
+    // 3. LM filter — the model trains on the quality survivors themselves
+    //    (self-trained; pass a reference corpus through lmQualityScore
+    //    directly when a clean LM corpus exists).
+    val kept = TextAnalysis.lmQualityScore(qualityDocs, "text", "doc_id", nllThreshold)
+      .where(col("kept"))
+      .select(col("doc_id"), col("nll"))
+    // 4. Deterministic split over the survivors.
+    Sampling.assignSplit(
+      qualityDocs.select("doc_id", "n_tokens").join(kept, "doc_id"), "doc_id", splits)
+      .select(col("doc_id"), col("n_tokens"), col("nll"), col("split"))
+  }
+}

@@ -1094,6 +1094,31 @@ class OperatorsSpec extends SparkSpec {
       other.toSet should not be out.toSet
     }
 
+    it("CorpusPipeline.prepare chains dedup → quality → LM → split, dropping at each stage") {
+      import graft.operators.CorpusPipeline
+      val docs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog today"),
+        (5L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1 → dropped (min id kept)
+        (2L, "spam spam spam spam spam spam spam spam spam spam"), // dup_token_frac 0.9 → dropped
+        (3L, "short text"),                                        // 2 tokens < minTokens → dropped
+        (4L, "a completely different sentence with many various distinct words here")
+      ).toDF("doc_id", "text")
+      val out = CorpusPipeline.prepare(docs, "text", "doc_id",
+          minTokens = 5, maxDupTokenFrac = 0.5, nllThreshold = 100.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toList.sortBy(_._1)
+      out.map(_._1) shouldBe List(1L, 4L)
+      out.map(_._2) shouldBe List(10L, 10L)
+      out.foreach(r => Set("train", "val", "test") should contain(r._3))
+      // A tight LM threshold drops everything — the filter seam is live.
+      CorpusPipeline.prepare(docs, "text", "doc_id",
+        minTokens = 5, maxDupTokenFrac = 0.5, nllThreshold = 0.001).count() shouldBe 0
+      // Retry-stable end to end.
+      CorpusPipeline.prepare(docs, "text", "doc_id",
+          minTokens = 5, maxDupTokenFrac = 0.5, nllThreshold = 100.0)
+        .collect().map(r => (r.getLong(0), r.getString(3))).toSet shouldBe
+        out.map(r => (r._1, r._3)).toSet
+    }
+
     it("dedupRepeatedLines removes corpus-hot lines, keeps rare ones, reassembles in order") {
       val docs = Seq(
         (1L, "COMMON HEADER\nunique body one\nCOMMON FOOTER"),

@@ -118,6 +118,41 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("decontaminationOverlapBloom is ZERO corpus-side shuffles (pure scan + broadcast filter)") {
+      withoutAqe {
+        val docs = spark.range(1, 500).toDF("id")
+          .withColumn("text", concat(lit("w"), pmod(col("id"), lit(17)).cast("string"),
+            lit(" w"), pmod(col("id"), lit(13)).cast("string"),
+            lit(" w"), pmod(col("id"), lit(11)).cast("string")))
+        val plan = executed(
+          TextAnalysis.decontaminationOverlapBloom(
+            docs.where(pmod(col("id"), lit(50)) =!= 0),
+            docs.where(pmod(col("id"), lit(50)) === 0),
+            "text", "id", n = 2
+          )
+        )
+        // The Bloom filter is built on the driver BEFORE this plan runs;
+        // the returned frame is scan → project → filter, nothing else.
+        shuffles(plan) shouldBe 0
+        plan.toString should not include "Join"
+      }
+    }
+
+    it("dedupRepeatedLines: hash-keyed shuffles only, no cartesian, partial counts map-side") {
+      withoutAqe {
+        val docs = spark.range(1, 500).toDF("id")
+          .withColumn("text", concat(
+            lit("HEADER\nbody "), col("id").cast("string"), lit("\nFOOTER")))
+        val plan = executed(TextAnalysis.dedupRepeatedLines(docs, "text", "id"))
+        plan.toString should not include "CartesianProduct"
+        plan.toString should not include "BroadcastNestedLoopJoin"
+        // Hot-line count aggregates partially before its exchange
+        // (map-side combine on the md5 key).
+        val aggs = plan.collect { case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a }
+        aggs should not be empty
+      }
+    }
+
     it("filter and projection reach the parquet scan (pushdown + pruning)") {
       assume(new java.io.File(sfDir).isDirectory)
       withoutAqe {
