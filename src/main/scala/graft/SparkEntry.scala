@@ -65,7 +65,18 @@ object SparkEntry {
     // state + watermark eviction + windowed signature-estimate pairing,
     // replayed chronologically through the real state machine.
     "q_dedup_stream" -> ((s, dir) =>
-      graft.streaming.StreamGates.nearDupViaStream(s, dir))
+      graft.streaming.StreamGates.nearDupViaStream(s, dir)),
+
+    // Train-batch/serve-stream LM quality filter: compact model trained on
+    // the batch corpus, corpus scored as a file-source stream through the
+    // scan-local scorer. Shares q_text_lm_score's oracle verbatim.
+    "q_text_lm_score_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.lmScoreViaStream(s, dir)),
+
+    // Stream-static enrichment: events streamed against the customer
+    // dimension (stateless join, no watermark); oracle is the batch join.
+    "q_events_enrich_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.enrichViaStream(s, dir))
   )
 
   /** DuckDB twins of the streaming gates. Sessionization runs in the ms
@@ -100,6 +111,11 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin
     Map(
     "q_dedup_stream" -> dedupStreamSql,
+
+    "q_events_enrich_stream" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_events_sessions_stream" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 1000 AS tms, value FROM events),
@@ -2043,6 +2059,8 @@ object SparkEntry {
       "q_text_lm_score" -> lmScoreSql,
 
       "q_text_lm_score_local" -> lmScoreSql,
+
+      "q_text_lm_score_stream" -> lmScoreSql,
 
       // Pipeline replay: stage order matters and is replayed exactly —
       // dedup keeps min-id per md5, quality bounds filter the dedup

@@ -198,6 +198,53 @@ object StreamGates {
     * (the oracle doesn't model eviction — the cap stays a documented
     * bound, not gate-certified).
     */
+  /** `q_text_lm_score_stream`: train the compact bigram LM on the batch
+    * corpus ([[graft.operators.TextAnalysis.lmTrainCompact]]), then score
+    * the SAME corpus as a file-source STREAM through the scan-local
+    * scorer — the train-batch/serve-stream shape a production quality
+    * filter runs. The scorer is a stateless column transform, so the
+    * streamed result equals the batch result row-for-row and shares
+    * `q_text_lm_score`'s oracle verbatim (milli-nat fixed point absorbs
+    * summation order).
+    */
+  def lmScoreViaStream(spark: SparkSession, sfDir: String, nllThreshold: Double = 3.45): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs  = graft.Tpch.table(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
+        col("text")
+      )
+    val model = TextAnalysis.lmTrainCompact(docs, "text")
+    replayViaFiles(spark, docs, "ts", chunks = 3, OutputMode.Append())(
+      in => in.select(col("doc_id"), TextAnalysis.lmScoreScanLocal(model, spark)(col("text")).as("sc")))
+      .select(
+        col("doc_id"),
+        col("sc._1").cast("long").as("n_bigrams"),
+        floor(col("sc._2") * 1000 + lit(0.5)).cast("long").as("nll_milli"),
+        (col("sc._2") < nllThreshold).as("kept")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** `q_events_enrich_stream`: the events fixture streamed through
+    * [[EventStream.enrichWithStatic]] against the customer dimension —
+    * the stream-static join shape (stateless on the stream side, no
+    * watermark, dimension broadcast/rescanned per micro-batch). Left join
+    * keeps dimension misses as nulls; the oracle is the plain batch
+    * join.
+    */
+  def enrichViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tpch.events(spark, sfDir)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"))
+    val dim = graft.Tpch.table(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Append())(
+      in => EventStream.enrichWithStatic(in, dim, Seq("user_id"), "left"))
+      .select(col("event_id"), col("user_id"), col("segment"))
+      .orderBy("event_id")
+  }
+
   def nearDupViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = graft.Tpch.table(spark, sfDir, "documents")
       .select(
