@@ -54,7 +54,10 @@ object CorpusPipeline {
     val quality = TextAnalysis.repetitionMetrics(deduped, "text", "doc_id")
       .where(col("n_tokens") >= minTokens && col("dup_token_frac") <= maxDupTokenFrac)
       .select("doc_id", "n_tokens")
-    val qualityDocs = deduped.join(quality, "doc_id")
+    // Materialized once: the LM stage reads this frame three times (bigram
+    // counts, vocabulary count, final join) — without the truncate each
+    // read re-runs the dedup join and the quality metrics from the scan.
+    val qualityDocs = graft.plans.Lineage.truncate(deduped.join(quality, "doc_id"))
     // 3. LM filter — the model trains on the quality survivors themselves
     //    (self-trained; pass a reference corpus through lmQualityScore
     //    directly when a clean LM corpus exists).
