@@ -1089,6 +1089,18 @@ object SparkEntry {
         )
         .orderBy("doc_id")),
 
+    // The near-dup-aware variant: stage 1 is the full cluster dedup
+    // (subsumes exact dedup — exact dups cluster at jaccard = 1), after
+    // which the plain hash split is leakage-safe by construction.
+    "q_corpus_prepare_neardup" -> ((s, dir) =>
+      graft.operators.CorpusPipeline.prepareNearDupAware(t(s, dir, "documents"), "text", "doc_id")
+        .select(
+          col("doc_id"), col("n_tokens"),
+          floor(col("nll") * 1000 + lit(0.5)).cast("long").as("nll_milli"),
+          col("split")
+        )
+        .orderBy("doc_id")),
+
     // C4-style corpus-level line dedup over derived multi-line text: known
     // boilerplate lines (newsletter banner, share button with 3 variants,
     // copyright footer) are injected into every document around two
@@ -1767,6 +1779,33 @@ object SparkEntry {
            |losers AS (SELECT a AS node FROM reach GROUP BY a HAVING min(b) <> a)
            |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
            |ORDER BY doc_id""".stripMargin,
+
+      // Near-dup-aware pipeline: the cluster-dedup CTE feeds the same
+      // quality → LM → split chain as q_corpus_prepare (stage order and
+      // training subset replayed exactly).
+      "q_corpus_prepare_neardup" ->
+        s"""WITH RECURSIVE ${clustersCte(hsh3, hashI, bandKey)},
+           |losers AS (SELECT a AS node FROM reach GROUP BY a HAVING min(b) <> a),
+           |dd AS (SELECT doc_id, text FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)),
+           |ptoks AS (SELECT doc_id, text, ${tokensSql("text")} AS tk FROM dd),
+           |q AS (SELECT doc_id, text, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM ptoks
+           |  WHERE len(tk) >= 20
+           |    AND (len(tk) - len(list_distinct(tk)))::DOUBLE / len(tk) <= 0.5),
+           |bgx AS (SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]) AS bg
+           |        FROM q WHERE len(tk) >= 2),
+           |m AS (SELECT doc_id, bg, count(*) AS m FROM bgx GROUP BY 1, 2),
+           |bc AS (SELECT bg, sum(m) AS c_bg FROM m GROUP BY 1),
+           |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_ctx FROM bc GROUP BY 1),
+           |v AS (SELECT count(DISTINCT tok) AS vocab FROM (SELECT unnest(tk) AS tok FROM q)),
+           |sc AS (SELECT doc_id, -sum(m * ln((bc.c_bg + 1)::DOUBLE / (ctx.c_ctx + vocab))) / sum(m) AS nll
+           |       FROM m JOIN bc USING (bg) JOIN ctx ON split_part(m.bg, ' ', 1) = ctx.w1, v GROUP BY doc_id),
+           |kept AS (SELECT q.doc_id, q.n_tokens, sc.nll FROM q JOIN sc USING (doc_id) WHERE sc.nll < 3.45)
+           |SELECT doc_id, n_tokens,
+           |  CAST(floor(nll * 1000 + 0.5) AS BIGINT) AS nll_milli,
+           |  CASE WHEN ${hashSql("CAST(doc_id AS VARCHAR)")} % 1000000 < 800000 THEN 'train'
+           |       WHEN ${hashSql("CAST(doc_id AS VARCHAR)")} % 1000000 < 900000 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM kept ORDER BY doc_id""".stripMargin,
 
       "q_split_leakage_safe" ->
         s"""WITH RECURSIVE ${clustersCte(hsh3, hashI, bandKey)},

@@ -42,14 +42,51 @@ object CorpusPipeline {
       nllThreshold: Double = 3.45,
       splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   ): DataFrame = {
-    require(minTokens >= 2, "minTokens must be >= 2 (the LM stage needs at least one bigram)")
     val base = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
     // 1. Exact dedup — min id per content hash, semi-joined back.
     val canon = base
       .groupBy(md5(col("text")).as("_h"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val deduped = base.join(canon, Seq("doc_id"), "left_semi")
+    chain(base.join(canon, Seq("doc_id"), "left_semi"),
+      minTokens, maxDupTokenFrac, nllThreshold, splits)
+  }
+
+  /** [[prepare]] with NEAR-duplicate-aware stage 1: the full
+    * [[Dedup.deduplicateCorpus]] cluster dedup (inverted-index n-gram
+    * Jaccard → connected components → keep the min-id representative)
+    * replaces the md5 exact dedup — which it subsumes, since exact
+    * duplicates cluster at jaccard = 1. After families are collapsed to
+    * one representative each, the plain hash split IS leakage-safe (no
+    * near-twin of a test doc can sit in train — it was deduplicated
+    * away); keep losers instead with [[Sampling.leakageSafeSplit]] when
+    * the corpus must retain its duplicates.
+    */
+  def prepareNearDupAware(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      jaccardThreshold: Double = 0.8,
+      minTokens: Long = 20L,
+      maxDupTokenFrac: Double = 0.5,
+      nllThreshold: Double = 3.45,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  ): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    chain(Dedup.deduplicateCorpus(base, "text", "doc_id", n, jaccardThreshold),
+      minTokens, maxDupTokenFrac, nllThreshold, splits)
+  }
+
+  /** Stages 2–4 (quality → LM → split), shared by both dedup fronts. */
+  private def chain(
+      deduped: DataFrame,
+      minTokens: Long,
+      maxDupTokenFrac: Double,
+      nllThreshold: Double,
+      splits: Seq[(String, Double)]
+  ): DataFrame = {
+    require(minTokens >= 2, "minTokens must be >= 2 (the LM stage needs at least one bigram)")
     // 2. Quality filter on the dedup survivors.
     val quality = TextAnalysis.repetitionMetrics(deduped, "text", "doc_id")
       .where(col("n_tokens") >= minTokens && col("dup_token_frac") <= maxDupTokenFrac)

@@ -17,9 +17,11 @@ import org.apache.spark.sql.types.DecimalType
   * its own micro-batch, in order, exactly like a production file-drop
   * ingestion directory. Unlike the earlier MemoryStream harness, the data
   * never rides the driver heap or the task binaries: it flows
-  * executors → parquet → executors, so the same replay runs at any soak
-  * scale. (The one remaining driver hop is the memory-sink RESULT — the
-  * gate output, small by construction.)
+  * executors → parquet → executors on BOTH ends (Append-mode results go
+  * to a parquet file sink, so even an output that scales with the data —
+  * every enriched event, every near-dup candidate — stays off the
+  * driver; only Complete-mode aggregates, bounded by construction, use
+  * the memory sink), so the same replay runs at any soak scale.
   *
   * Numeric domains are chosen so streaming-side arithmetic is EXACT and
   * therefore byte-comparable to the DuckDB oracle:
@@ -93,24 +95,44 @@ object StreamGates {
     // (sized for 100k-row shuffles) would triple the gate's wall clock in
     // pure state-store overhead. Scoped to the streaming query only:
     // restored before the batch post-processing runs.
+    //
+    // SINK: Append-mode results go to a parquet FILE SINK — output flows
+    // executors → disk, never the driver heap, so a gate whose output
+    // scales with the data (enrichment = every event, near-dup = every
+    // candidate) soaks at any multiplier. Complete mode has no file-sink
+    // support in Spark and its results are aggregates (bounded), so it
+    // keeps the memory sink. The sink/checkpoint dirs outlive this call
+    // (the returned frame reads them lazily through the sink's
+    // _spark_metadata log); they live under the system temp dir.
     val name = s"stream_gate_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val priorShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val append = mode == OutputMode.Append()
+    val sinkDir = Files.createTempDirectory("stream_gate_sink")
     val query =
       try {
         val in = spark.readStream
           .schema(src.schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(watchDir.toString)
-        build(in).writeStream.format("memory").queryName(name).outputMode(mode).start()
+        val writer = build(in).writeStream.outputMode(mode)
+        if (append)
+          writer.format("parquet")
+            .option("path", sinkDir.toString)
+            .option("checkpointLocation", Files.createTempDirectory("stream_gate_ckpt").toString)
+            .start()
+        else writer.format("memory").queryName(name).start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", priorShufflePartitions)
     try {
       query.processAllAvailable()
-      val sunk = spark.table(name)
-      spark.createDataFrame(sunk.collectAsList(), sunk.schema)
+      if (append) spark.read.parquet(sinkDir.toString)
+      else {
+        val sunk = spark.table(name)
+        spark.createDataFrame(sunk.collectAsList(), sunk.schema)
+      }
     } finally {
       query.stop()
-      spark.catalog.dropTempView(name)
+      if (!append) spark.catalog.dropTempView(name)
       def rmTree(p: Path): Unit = {
         if (Files.isDirectory(p)) Files.list(p).forEach(rmTree(_))
         Files.deleteIfExists(p)
