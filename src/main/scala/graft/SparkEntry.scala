@@ -717,6 +717,35 @@ object SparkEntry {
           clusterMode = Dedup.ClusterMode.Distributed)
         .select("doc_id").orderBy("doc_id")),
 
+    // Incremental dedup against a persisted signature index — the
+    // daily-crawl shape: the first half of the corpus (by doc_id) is "the
+    // existing corpus", represented ONLY by its compact (doc_id, sig)
+    // index; the second half arrives as the new batch. Survivors = index
+    // misses deduplicated among themselves (oracle replays the estimate
+    // match + the adaptive within-batch cluster pipeline).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
+      val res = Dedup.incrementalDedup(
+        all.where(col("doc_id") > splitId), "text", "doc_id",
+        Dedup.buildSignatureIndex(all.where(col("doc_id") <= splitId), "text", "doc_id"))
+      res.survivors.select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // The match half of the same pipeline: which index doc each rejected
+    // new doc collided with, and the (exact k/32) signature estimate.
+    "q_dedup_incremental_matches" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
+      val res = Dedup.incrementalDedup(
+        all.where(col("doc_id") > splitId), "text", "doc_id",
+        Dedup.buildSignatureIndex(all.where(col("doc_id") <= splitId), "text", "doc_id"))
+      res.matchedVsIndex
+        .select(col("doc_id"), col("matched_id"),
+          round(col("est_jaccard") * 32).cast("long").as("est_32"))
+        .orderBy("doc_id", "matched_id")
+    }),
+
     // BPE-ish pre-tokenization count (regex segmentation).
     "q_text_bpe_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -839,6 +868,14 @@ object SparkEntry {
         Map("purchase" -> 0.5, "click" -> 0.2, "view" -> 0.1)
       ).orderBy("event_id")),
 
+    // Temperature-scaled mixture sampling over languages (T = 2 — the
+    // cross-engine-exact sqrt regime): rare languages keep proportionally
+    // more rows, the overall budget is half the corpus.
+    "q_sample_mixture" -> ((s, dir) =>
+      Sampling.mixtureSample(t(s, dir, "documents"), "doc_id", "lang",
+          targetFraction = 0.5, temperature = 2.0)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // Backward as-of join: each purchase matched to the user's most recent
     // click at-or-before it (one shuffle, no range theta-join).
     "q_asof_join" -> ((s, dir) => {
@@ -884,6 +921,19 @@ object SparkEntry {
       ).orderBy("doc_id")),
 
     // Top-k salient terms per doc (integer-exact TF-IDF ranking).
+    // BM25 top-k retrieval over the documents table for a fixed query set
+    // (query-term multiplicity ignored; Lucene idf; per-term contributions
+    // floored to nano units before the order-free integer sum).
+    "q_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(
+        (1L, "spark join window"), (2L, "hash merge sort batch"),
+        (3L, "customer filter query"), (4L, "scan"), (5L, "stream data value key")
+      ).toDF("query_id", "q_text")
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), q, "text", "doc_id", "query_id", "q_text", k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
     "q_tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.topTermsPerDoc(t(s, dir, "documents"), "text", "doc_id", k = 3)
         .orderBy("doc_id", "rnk")),
@@ -1480,6 +1530,31 @@ object SparkEntry {
        |                UNION
        |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)""".stripMargin
 
+  /** Shared CTE chain for the incremental-dedup gates: split the corpus at
+    * max(doc_id)/2 into "existing" (index) and "new batch", compute both
+    * sides' 32-hash signatures, band-join at the index-match geometry
+    * (8 bands × 4 rows — the same high-recall geometry as the streaming
+    * near-dup detector), and keep collisions whose signature estimate
+    * k/32 clears 0.8. Ends with `news(doc_id, shs)` and
+    * `matched(nid, oid, k)`.
+    */
+  private def incrementalCte(hsh3: String, hashI: String): String = {
+    val bandKey4 = (1 to 4).map(k => s"sg[4*b+$k]::VARCHAR").mkString(" || ':' || ")
+    s"""mx AS (SELECT max(doc_id) // 2 AS s FROM documents),
+       |olds AS (SELECT doc_id, $hsh3 AS shs FROM documents, mx WHERE doc_id <= s),
+       |news AS (SELECT doc_id, $hsh3 AS shs FROM documents, mx WHERE doc_id > s),
+       |osig AS (SELECT doc_id, [list_min([$hashI for h in shs]) for i in range(0, 32)] AS sg FROM olds),
+       |nsig AS (SELECT doc_id, [list_min([$hashI for h in shs]) for i in range(0, 32)] AS sg FROM news),
+       |obd AS (SELECT doc_id, b, $bandKey4 AS key FROM osig, range(0, 8) t(b)),
+       |nbd AS (SELECT doc_id, b, $bandKey4 AS key FROM nsig, range(0, 8) t(b)),
+       |hits AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
+       |         FROM nbd n JOIN obd o ON n.b = o.b AND n.key = o.key),
+       |matched AS (SELECT nid, oid, k FROM (
+       |  SELECT nid, oid, len([i for i in range(1, 33) if ns.sg[i] = os.sg[i]]) AS k
+       |  FROM hits JOIN nsig ns ON nid = ns.doc_id JOIN osig os ON oid = os.doc_id)
+       |  WHERE k::DOUBLE / 32 >= 0.8)""".stripMargin
+  }
+
   private def pipelineOracles: Map[String, String] = {
     import OracleGen._
     // Deterministic hyperplane signs (8 planes × 64 dims) for the LSH
@@ -1780,6 +1855,30 @@ object SparkEntry {
            |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
            |ORDER BY doc_id""".stripMargin,
 
+      // Incremental dedup: replay the signature-index match (8 bands × 4
+      // rows over 32 hashes, est = agreeing components / 32 — exact k/32
+      // arithmetic) on the first-half index vs second-half batch, then the
+      // within-batch adaptive cluster pipeline over the index misses.
+      "q_dedup_incremental" ->
+        s"""WITH RECURSIVE ${incrementalCte(hsh3, hashI)},
+           |docs AS (SELECT doc_id, shs FROM news WHERE doc_id NOT IN (SELECT nid FROM matched)),
+           |${adaptiveCandCte(hashI, bandKey)},
+           |pairs AS (SELECT doc_a, doc_b FROM cand JOIN docs x ON doc_a = x.doc_id JOIN docs y ON doc_b = y.doc_id
+           |  WHERE len(list_intersect(x.shs, y.shs))::DOUBLE /
+           |    (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.8),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (SELECT DISTINCT a, a FROM edges
+           |                UNION
+           |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |losers AS (SELECT a AS node FROM reach GROUP BY a HAVING min(b) <> a)
+           |SELECT doc_id FROM docs WHERE doc_id NOT IN (SELECT node FROM losers)
+           |ORDER BY doc_id""".stripMargin,
+
+      "q_dedup_incremental_matches" ->
+        s"""WITH ${incrementalCte(hsh3, hashI)}
+           |SELECT nid AS doc_id, oid AS matched_id, CAST(k AS BIGINT) AS est_32
+           |FROM matched ORDER BY doc_id, matched_id""".stripMargin,
+
       // Near-dup-aware pipeline: the cluster-dedup CTE feeds the same
       // quality → LM → split chain as q_corpus_prepare (stage order and
       // training subset replayed exactly).
@@ -1953,6 +2052,23 @@ object SparkEntry {
            |                  WHEN 'view' THEN 100000 ELSE 0 END
            |ORDER BY event_id""".stripMargin,
 
+      // Mixture sampling at T = 2: the rate chain is replayed with the
+      // exact operation order — fixed-point sqrt (floor(sqrt(n)·2^20),
+      // IEEE-exact), integer Z and budget, then the parenthesized double
+      // chain ((B/Z)·s)/n — so thresholds are bit-equal cross-engine.
+      "q_sample_mixture" ->
+        s"""WITH c AS (SELECT lang AS dom, count(*) AS n FROM documents GROUP BY 1),
+           |s AS (SELECT dom, n, CAST(floor(sqrt(n) * 1048576) AS BIGINT) AS sc FROM c),
+           |t AS (SELECT sum(sc) AS z, sum(n) AS total FROM s),
+           |r AS (SELECT dom,
+           |        least(CAST(floor((((CAST(CAST(round(total * 0.5) AS BIGINT) AS DOUBLE) / z) * sc) / n) * 1000000) AS BIGINT),
+           |              1000000) AS thr
+           |      FROM s, t)
+           |SELECT d.doc_id, d.lang FROM documents d
+           |JOIN r ON d.lang IS NOT DISTINCT FROM r.dom
+           |WHERE ${hashSql("CAST(doc_id AS VARCHAR)")} % 1000000 < r.thr
+           |ORDER BY d.doc_id""".stripMargin,
+
       // DuckDB's native ASOF JOIN is the oracle for the union+window
       // formulation; ties are impossible in the fixture (no duplicate
       // (user_id, ts_us) pairs at any SF — verified).
@@ -2017,6 +2133,30 @@ object SparkEntry {
            |      FROM tf JOIN dfq USING (term))
            |SELECT doc_id, term, tf, doc_freq, rnk FROM r WHERE rnk <= 3
            |ORDER BY doc_id, rnk""".stripMargin,
+
+      // BM25 replay: identical idf/tf-part parenthesization (k1 = 1.2 and
+      // k1+1 left as literal arithmetic so both engines round the same
+      // doubles), nano fixed point before the per-(query, doc) sum.
+      "q_bm25_topk" ->
+        s"""WITH toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+           |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+           |av AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+           |q(query_id, q_text) AS (VALUES (1, 'spark join window'), (2, 'hash merge sort batch'),
+           |  (3, 'customer filter query'), (4, 'scan'), (5, 'stream data value key')),
+           |qt AS (SELECT query_id, unnest(list_distinct(${tokensSql("q_text")})) AS term FROM q),
+           |c AS (SELECT qt.query_id, tf.doc_id,
+           |  CAST(floor((ln(1.0 + (CAST(n_docs AS DOUBLE) - doc_freq + 0.5) / (CAST(doc_freq AS DOUBLE) + 0.5))
+           |    * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+           |       (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))) * 1e9) AS BIGINT) AS c_nano
+           |  FROM tf JOIN qt USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id), av),
+           |sc AS (SELECT query_id, doc_id, sum(c_nano) AS score_nano FROM c GROUP BY 1, 2),
+           |r AS (SELECT query_id, doc_id, score_nano,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY score_nano DESC, doc_id) AS rnk FROM sc)
+           |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rnk AS BIGINT) AS rnk,
+           |       CAST(score_nano AS BIGINT) AS score_nano
+           |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
       "q_text_urls" -> {
         val pat = graft.operators.TextAnalysis.UrlPattern.replace("'", "''")

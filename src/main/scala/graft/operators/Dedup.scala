@@ -821,6 +821,121 @@ object Dedup {
     dedupByClusters(df, idCol, clusters)
   }
 
+  // ------------------------------------------------------------------
+  // Incremental dedup against a persisted signature index
+  // ------------------------------------------------------------------
+
+  /** Compact MinHash signature index over a corpus: one `(doc_id, sig)` row
+    * per document, `numHashes` longs each (~280 bytes at the default 32) —
+    * the ONLY state [[incrementalDedup]] needs about the existing corpus.
+    * At 100 TB the corpus text is petabyte-class but this index is
+    * ~280 GB per 10⁹ documents of scan-friendly parquet, and it is never
+    * rewritten: each increment appends its survivors' signatures.
+    */
+  def buildSignatureIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      numHashes: Int = 32
+  ): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      minHashSignature(col(textCol), n, numHashes).as("sig"))
+
+  /** [[incrementalDedup]] output. `survivors`: new rows admitted to the
+    * corpus (index misses, deduplicated among themselves). `matchedVsIndex`:
+    * `(doc_id, matched_id, est_jaccard)` — which index doc each rejected
+    * new doc collided with, for observability/provenance. `updatedIndex`:
+    * input index ∪ survivors' signatures, write-back ready.
+    */
+  final case class IncrementalDedupResult(
+      survivors: DataFrame,
+      matchedVsIndex: DataFrame,
+      updatedIndex: DataFrame)
+
+  /** Dedup an incoming batch against an EXISTING corpus without touching
+    * the corpus text — the daily-crawl-vs-100-TB-corpus shape. The corpus
+    * is represented only by its [[buildSignatureIndex]] signatures; a new
+    * doc is rejected when it band-collides with an indexed doc AND the
+    * signature-estimated Jaccard (fraction of agreeing components — the
+    * unbiased estimator, exact k/numHashes arithmetic) clears
+    * `estThreshold`. Index misses are then deduplicated among themselves
+    * with the full exact-verify batch pipeline ([[deduplicateCorpus]] —
+    * their text IS on hand).
+    *
+    * Scale shape: the new batch is the SMALL side by contract (one crawl
+    * increment vs the whole corpus), so its band keys and signatures ride
+    * broadcast joins and the INDEX IS NEVER SHUFFLED — the match costs two
+    * index scans (band probe + estimate verify), zero wide exchanges on
+    * the big side. Past broadcast size (a "batch" of ~10⁸ docs), drop the
+    * hints and the identical plan shuffles on (band, key) / doc id.
+    *
+    * Estimate-based index matching trades exactness for never re-reading
+    * corpus text: at the default 32 hashes, σ(est) = √(j(1−j)/32) ≈ 0.07
+    * at j = 0.8 — a borderline-threshold pair may land either side of the
+    * cut (both engines compute the same verdict; the GATE is exact). Raise
+    * `numHashes` to tighten; within-batch pairs are always exact-verified.
+    */
+  def incrementalDedup(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      index: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      estThreshold: Double = 0.8,
+      threshold: Double = 0.8
+  ): IncrementalDedupResult = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val newSigs = Lineage.truncate(buildSignatureIndex(newDocs, textCol, idCol, n, numHashes))
+    val nbd = bandKeys(newSigs, numHashes, bands).toDF("nid", "band", "key")
+    val obd = bandKeys(index, numHashes, bands).toDF("oid", "band", "key")
+    val hits = broadcast(nbd)
+      .join(obd, Seq("band", "key"))
+      .select("nid", "oid")
+      .distinct()
+    val estU = udf { (a: Seq[Long], b: Seq[Long]) =>
+      estimateJaccard(a.toArray, b.toArray)
+    }
+    val matched = broadcast(hits)
+      .join(index.toDF("oid", "osig"), "oid")
+      .join(broadcast(newSigs.toDF("nid", "nsig")), "nid")
+      .withColumn("est_jaccard", estU(col("nsig"), col("osig")))
+      .where(col("est_jaccard") >= estThreshold)
+      .select(col("nid").as("doc_id"), col("oid").as("matched_id"), col("est_jaccard"))
+    val matchedIds = matched.select(col("doc_id").as("_inc_matched")).distinct()
+    val remaining = newDocs.join(
+      matchedIds, newDocs(idCol).cast("long") === col("_inc_matched"), "left_anti")
+    val survivors = deduplicateCorpus(remaining, textCol, idCol, n, threshold)
+    IncrementalDedupResult(
+      survivors,
+      matched,
+      index.unionByName(buildSignatureIndex(survivors, textCol, idCol, n, numHashes)))
+  }
+
+  /** `(doc_id, sig)` → `(doc_id, band, key)`: the LSH band keys of a
+    * signature frame (rows = numHashes / bands consecutive components,
+    * stringified and joined — same key construction as the in-corpus
+    * candidate generators above).
+    */
+  private def bandKeys(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(
+      col("doc_id"),
+      explode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(
+            b.as("band"),
+            concat_ws(":", transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string"))).as("key")
+          )
+        )
+      ).as("bk")
+    ).select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   /** Whitespace tokens with empties dropped (shared with [[TextAnalysis]]). */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")

@@ -65,6 +65,69 @@ object Sampling {
     df.where(hashBucket(col(idCol)) < floor(p * Buckets).cast("long"))
   }
 
+  /** Fixed-point scale for the temperature-smoothed domain size: 2^20, so
+    * `sqrt(n) * MixScale` is an EXACT power-of-two scaling of a correctly
+    * rounded IEEE sqrt — the floor of that is bit-identical on any IEEE
+    * engine, which is what makes [[mixtureSample]]'s T = 2 rates
+    * cross-engine exact.
+    */
+  val MixScale = 1048576L
+
+  /** Temperature-scaled mixture sampling over a domain column — the
+    * multilingual / multi-source rebalancing recipe: sample domain d with
+    * probability ∝ n_d^(1/T), renormalized. T = 1 preserves the corpus
+    * mix, T → ∞ approaches uniform-over-domains; intermediate T upweights
+    * rare domains (languages, sources) without flattening entirely.
+    *
+    * Per-domain keep rate: r_d = B·q_d / n_d with q_d = s_d / Z,
+    * s_d = floor(n_d^(1/T) · 2^20), Z = Σ s_d, B = round(f · N) — capped
+    * at 1 (a domain whose target exceeds its size keeps everything; the
+    * shortfall is NOT redistributed, the standard recipe's behavior).
+    * Rows with a NULL domain form their own domain (null-safe join).
+    *
+    * Numeric contract: at the default T = 2 the whole rate chain is
+    * cross-engine bit-exact — IEEE sqrt is correctly rounded, the 2^20
+    * scale and floor are exact, Z and B are integers, and the remaining
+    * double chain ((B / Z) · s_d) / n_d · 10^6 is a fixed order of
+    * correctly rounded ops. Other temperatures go through pow(), which is
+    * not correctly rounded in general: still deterministic and
+    * retry-stable WITHIN Spark, just not certified against a foreign
+    * engine at the last ulp.
+    *
+    * Scale shape: one map-side-combinable domain count, two single-row
+    * aggregates, and a BROADCAST join of the tiny per-domain threshold
+    * frame back on the domain key feeding the same retry-stable
+    * [[hashBucket]] filter as every sampler here. Assumes #domains ≪
+    * corpus (languages, sources, hosts) so the rate frame broadcasts.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      targetFraction: Double,
+      temperature: Double = 2.0
+  ): DataFrame = {
+    require(targetFraction >= 0 && targetFraction <= 1, "targetFraction must be in [0, 1]")
+    require(temperature > 0, "temperature must be positive")
+    val smoothed =
+      if (temperature == 2.0) sqrt(col("_mx_n"))
+      else pow(col("_mx_n"), lit(1.0 / temperature))
+    val scaled = df.groupBy(col(domainCol).as("_mx_dom"))
+      .agg(count(lit(1)).as("_mx_n"))
+      .withColumn("_mx_s", floor(smoothed * lit(MixScale)).cast("long"))
+    val totals = scaled.agg(sum("_mx_s").as("_mx_z"), sum("_mx_n").as("_mx_total"))
+    val thresholds = scaled
+      .crossJoin(totals) // single-row right side
+      .withColumn("_mx_b", round(col("_mx_total") * lit(targetFraction)).cast("long"))
+      .withColumn("_mx_rate",
+        ((col("_mx_b").cast("double") / col("_mx_z")) * col("_mx_s")) / col("_mx_n"))
+      .withColumn("_mx_thr", least(floor(col("_mx_rate") * lit(Buckets)).cast("long"), lit(Buckets)))
+      .select(col("_mx_dom"), col("_mx_thr"))
+    df.join(broadcast(thresholds), col(domainCol) <=> col("_mx_dom"))
+      .where(hashBucket(col(idCol)) < col("_mx_thr"))
+      .drop("_mx_dom", "_mx_thr")
+  }
+
   /** Assign each row a split label ("train"/"val"/"test"/...) by contiguous
     * hash-bucket ranges. Weights are normalized; the last split absorbs
     * rounding remainder so every row gets exactly one label.

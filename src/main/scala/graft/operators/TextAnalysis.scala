@@ -730,6 +730,68 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "doc_freq", "rnk")
   }
 
+  /** BM25 top-k retrieval: score every document containing a query term
+    * with Okapi BM25 (the Lucene idf variant, always positive:
+    * ln(1 + (N − df + ½)/(df + ½))) and keep each query's k best.
+    * Query-term multiplicity is ignored (array_distinct on the query
+    * tokens — the common search-engine convention for short queries).
+    *
+    * Scale shape: the corpus pays ONE (doc, term) aggregation plus the
+    * term doc-frequency and doc-length rollups it implies; scoring then
+    * touches only the POSTINGS OF QUERY TERMS (the tiny query-term frame
+    * broadcasts into the tf table — cost ∝ Σ_t df_t, never corpus ×
+    * queries), one partial-aggregated sum per (query, doc), and a
+    * per-query top-k window. No cartesian anywhere.
+    *
+    * Numeric contract: each term's contribution is floored to NANO units
+    * (BIGINT) BEFORE the per-(query, doc) sum, so the total is an
+    * order-free integer sum and the (score_nano desc, doc_id) rank is
+    * deterministic on any engine — the [[lmQualityScore]] fixed-point
+    * recipe. The double chain inside a contribution is written in one
+    * fixed parenthesization, mirrored verbatim by the oracle.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    // Materialized once: doc-frequency, doc-length, and the postings join
+    // all read the (doc, term) counts.
+    val tf  = graft.plans.Lineage.truncate(toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val dl  = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    val qt = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("doc_freq") + lit(0.5)) / (col("doc_freq").cast("double") + lit(0.5)))
+    val tfPart = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    val contrib = tf
+      .join(broadcast(qt), "term")
+      .join(broadcast(dfq.join(broadcast(qt.select("term").distinct()), "term")), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats.withColumn("avgdl", col("total_len").cast("double") / col("n_docs"))))
+      .withColumn("c_nano", floor((idf * tfPart) * lit(1e9)).cast("long"))
+    val w = Window.partitionBy("query_id").orderBy(col("score_nano").desc, col("doc_id"))
+    contrib
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c_nano").as("score_nano"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "doc_id", "rnk", "score_nano")
+  }
+
   /** Rolling polynomial hashes over character k-grams (base 257,
     * mod 1e9+7): entry `i` hashes chars `[i, i+k)`. Empty array when the
     * text is shorter than `k`. Shared kernel of [[winnowingFingerprints]]

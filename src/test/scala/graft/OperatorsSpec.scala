@@ -135,6 +135,43 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.incrementalDedup") {
+    it("rejects index matches, dedups the remainder within-batch, and appends survivors to the index") {
+      val existing = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "pack my box with five dozen liquor jugs today"),
+        (3L, "completely different content here about spark engines")
+      ).toDF("doc_id", "text")
+      val index = Dedup.buildSignatureIndex(existing, "text", "doc_id")
+      val batch = Seq(
+        (11L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1 → est 1.0
+        (13L, "a wholly novel document about incremental corpora"),
+        (14L, "a wholly novel document about incremental corpuses"), // near-dup of 13
+        (15L, "unrelated singleton text mentioning nothing shared")
+      ).toDF("doc_id", "text")
+      val res = Dedup.incrementalDedup(batch, "text", "doc_id", index, threshold = 0.6)
+      res.matchedVsIndex.select("doc_id", "matched_id").as[(Long, Long)]
+        .collect().toSet shouldBe Set((11L, 1L))
+      res.survivors.select("doc_id").as[Long].collect().toSet shouldBe Set(13L, 15L)
+      res.updatedIndex.select("doc_id").as[Long].collect().toSet shouldBe
+        Set(1L, 2L, 3L, 13L, 15L)
+    }
+    it("is idempotent: re-offering survivors against the updated index rejects everything") {
+      val existing = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+      val batch = Seq(
+        (13L, "a wholly novel document about incremental corpora"),
+        (15L, "unrelated singleton text mentioning nothing shared")
+      ).toDF("doc_id", "text")
+      val res = Dedup.incrementalDedup(
+        batch, "text", "doc_id", Dedup.buildSignatureIndex(existing, "text", "doc_id"))
+      res.survivors.count() shouldBe 2L
+      // Every re-offered doc est-matches its own indexed signature at 1.0.
+      val again = Dedup.incrementalDedup(res.survivors, "text", "doc_id", res.updatedIndex)
+      again.survivors.count() shouldBe 0L
+      again.matchedVsIndex.where(col("doc_id") === col("matched_id")).count() shouldBe 2L
+    }
+  }
+
   describe("Dedup.duplicateClusters modes") {
     it("driver union-find and distributed label propagation agree") {
       val pairs = Seq((1L, 2L), (2L, 3L), (9L, 8L), (7L, 3L)).toDF("doc_a", "doc_b")
@@ -159,6 +196,33 @@ class OperatorsSpec extends SparkSpec {
       val again = Sampling.hashSample(docs, "doc_id", 0.5).select("doc_id").as[Long].collect().sorted
       once shouldBe again
     }
+    it("mixtureSample: uniform domains reduce to plain hash sampling; T=2 upweights rare domains") {
+      import graft.operators.Sampling
+      // Uniform: every domain's rate equals the target fraction, so the
+      // kept set is exactly hashSample's.
+      val uniform = spark.range(0, 400).toDF("id")
+        .withColumn("dom", concat(lit("d"), pmod(col("id"), lit(4)).cast("string")))
+      val mixed = Sampling.mixtureSample(uniform, "id", "dom", targetFraction = 0.3)
+        .select("id").as[Long].collect().toSet
+      val plain = Sampling.hashSample(uniform, "id", 0.3).select("id").as[Long].collect().toSet
+      mixed shouldBe plain
+      // Skewed 360/40: with T=2 the rare domain's KEEP RATE must exceed
+      // the common one's (sqrt smoothing shifts budget toward d_rare),
+      // while d_common still contributes more absolute rows.
+      val skewed = spark.range(0, 400).toDF("id")
+        .withColumn("dom", when(col("id") < 360, "common").otherwise("rare"))
+      val kept = Sampling.mixtureSample(skewed, "id", "dom", targetFraction = 0.3)
+        .groupBy("dom").count().as[(String, Long)].collect().toMap
+      val rateCommon = kept.getOrElse("common", 0L).toDouble / 360
+      val rateRare   = kept.getOrElse("rare", 0L).toDouble / 40
+      rateRare should be > rateCommon
+      // A one-row domain whose temperature-boosted target exceeds its size
+      // caps at keep-everything.
+      val tiny = skewed.unionByName(Seq((9999L, "singleton")).toDF("id", "dom"))
+      Sampling.mixtureSample(tiny, "id", "dom", targetFraction = 0.5)
+        .where(col("dom") === "singleton").count() shouldBe 1L
+    }
+
     it("assignSplit labels every row exactly once, stably") {
       val out = Sampling.assignSplit(docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       out.count() shouldBe 4

@@ -118,6 +118,26 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("incrementalDedup match stage broadcasts the new batch — the index is never shuffled") {
+      withoutAqe {
+        val mk = (lo: Long, hi: Long) => spark.range(lo, hi).toDF("doc_id")
+          .withColumn("text", concat(lit("document body w"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(" tail "), col("doc_id").cast("string")))
+        val index = graft.operators.Dedup.buildSignatureIndex(mk(0L, 200L), "text", "doc_id")
+        val res   = graft.operators.Dedup.incrementalDedup(mk(200L, 230L), "text", "doc_id", index)
+        val plan  = executed(res.matchedVsIndex)
+        // Every join in the match pipeline is broadcast (new-batch side
+        // hinted) — the index itself is never exchanged. At most ONE
+        // shuffle is allowed: the DISTINCT over the collision PAIRS,
+        // whose size scales with the new batch's matches, not the index
+        // (the planner may elide even that one at small partition counts).
+        plan.collect { case b: BroadcastHashJoinExec => b } should not be empty
+        shuffles(plan) should be <= 1
+        plan.toString should not include "CartesianProduct"
+        plan.toString should not include "BroadcastNestedLoopJoin"
+      }
+    }
+
     it("decontaminationOverlapBloom is ZERO corpus-side shuffles (pure scan + broadcast filter)") {
       withoutAqe {
         val docs = spark.range(1, 500).toDF("id")
