@@ -886,10 +886,95 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       estThreshold: Double = 0.8,
-      threshold: Double = 0.8
+      threshold: Double = 0.8,
+      matchMode: VerifyMode = VerifyMode.Auto()
   ): IncrementalDedupResult = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val newSigs = Lineage.truncate(buildSignatureIndex(newDocs, textCol, idCol, n, numHashes))
+    val matched = matchMode match {
+      case VerifyMode.Broadcast => matchVsIndexKernel(newSigs, index, numHashes, bands, estThreshold)
+      case VerifyMode.Shuffle   => matchVsIndexJoined(newSigs, index, numHashes, bands, estThreshold)
+      case VerifyMode.Auto(maxBytes) =>
+        // numHashes longs + per-entry overhead, ×(bands+1) map fan-out.
+        val estBytes = newSigs.count() * (numHashes * 8L + 48L) * (bands + 1)
+        if (estBytes <= maxBytes) matchVsIndexKernel(newSigs, index, numHashes, bands, estThreshold)
+        else matchVsIndexJoined(newSigs, index, numHashes, bands, estThreshold)
+    }
+    val matchedIds = matched.select(col("doc_id").as("_inc_matched")).distinct()
+    val remaining = newDocs.join(
+      matchedIds, newDocs(idCol).cast("long") === col("_inc_matched"), "left_anti")
+    val survivors = deduplicateCorpus(remaining, textCol, idCol, n, threshold)
+    IncrementalDedupResult(
+      survivors,
+      matched,
+      index.unionByName(buildSignatureIndex(survivors, textCol, idCol, n, numHashes)))
+  }
+
+  /** Scan-local index match — the fast path: the new batch's band buckets
+    * broadcast as one hash map; a single mapPartitions over the INDEX scan
+    * computes each indexed doc's band keys in the kernel, probes the map,
+    * and estimate-verifies candidates inline behind a per-row duplicate
+    * guard. ZERO joins, ZERO shuffles, no collision-pair materialization —
+    * on a dense-vocabulary corpus (where low-entropy band keys make the
+    * join formulation materialize tens of millions of collision rows and
+    * DISTINCT them) this is the difference between seconds and minutes.
+    * Capacity bound: the new batch's signature map must fit in a
+    * broadcast — [[VerifyMode.Auto]] falls back to [[matchVsIndexJoined]]
+    * past it. Pairs are unique by construction (one output set per index
+    * row, nid-guarded), so no terminal distinct is needed.
+    */
+  private def matchVsIndexKernel(
+      newSigs: DataFrame,
+      index: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      estThreshold: Double
+  ): DataFrame = {
+    val spark = newSigs.sparkSession
+    import spark.implicits._
+    val rows = numHashes / bands
+    val buckets = new java.util.HashMap[(Int, Seq[Long]), List[(Long, Array[Long])]]()
+    newSigs.as[(Long, Seq[Long])].collect().foreach { case (nid, sigSeq) =>
+      val sig = sigSeq.toArray
+      (0 until bands).foreach { b =>
+        val key = (b, sig.slice(b * rows, (b + 1) * rows).toSeq)
+        buckets.merge(key, List(nid -> sig), (old, one) => one ::: old)
+      }
+    }
+    val bc = spark.sparkContext.broadcast(buckets)
+    index.as[(Long, Seq[Long])].mapPartitions { it =>
+      val m = bc.value
+      it.flatMap { case (oid, osigSeq) =>
+        val osig = osigSeq.toArray
+        val seen = new java.util.HashSet[Long]()
+        (0 until bands).iterator.flatMap { b =>
+          val cands = m.get((b, osig.slice(b * rows, (b + 1) * rows).toSeq))
+          if (cands == null) Iterator.empty
+          else cands.iterator.flatMap { case (nid, nsig) =>
+            if (!seen.add(nid)) None
+            else {
+              val e = estimateJaccard(nsig, osig)
+              if (e >= estThreshold) Some((nid, oid, e)) else None
+            }
+          }
+        }
+      }
+    }.toDF("doc_id", "matched_id", "est_jaccard")
+  }
+
+  /** Join-formulated index match — the no-size-bound fallback: band keys
+    * of both sides bucket-join (new side broadcast when it fits — drop to
+    * a plain shuffled join past that), collision pairs DISTINCT, then the
+    * signatures join back for the estimate. Same result set as the kernel
+    * by construction (spec-pinned).
+    */
+  private def matchVsIndexJoined(
+      newSigs: DataFrame,
+      index: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      estThreshold: Double
+  ): DataFrame = {
     val nbd = bandKeys(newSigs, numHashes, bands).toDF("nid", "band", "key")
     val obd = bandKeys(index, numHashes, bands).toDF("oid", "band", "key")
     val hits = broadcast(nbd)
@@ -899,20 +984,12 @@ object Dedup {
     val estU = udf { (a: Seq[Long], b: Seq[Long]) =>
       estimateJaccard(a.toArray, b.toArray)
     }
-    val matched = broadcast(hits)
+    broadcast(hits)
       .join(index.toDF("oid", "osig"), "oid")
       .join(broadcast(newSigs.toDF("nid", "nsig")), "nid")
       .withColumn("est_jaccard", estU(col("nsig"), col("osig")))
       .where(col("est_jaccard") >= estThreshold)
       .select(col("nid").as("doc_id"), col("oid").as("matched_id"), col("est_jaccard"))
-    val matchedIds = matched.select(col("doc_id").as("_inc_matched")).distinct()
-    val remaining = newDocs.join(
-      matchedIds, newDocs(idCol).cast("long") === col("_inc_matched"), "left_anti")
-    val survivors = deduplicateCorpus(remaining, textCol, idCol, n, threshold)
-    IncrementalDedupResult(
-      survivors,
-      matched,
-      index.unionByName(buildSignatureIndex(survivors, textCol, idCol, n, numHashes)))
   }
 
   /** `(doc_id, sig)` → `(doc_id, band, key)`: the LSH band keys of a

@@ -156,6 +156,20 @@ class OperatorsSpec extends SparkSpec {
       res.updatedIndex.select("doc_id").as[Long].collect().toSet shouldBe
         Set(1L, 2L, 3L, 13L, 15L)
     }
+    it("kernel and joined match modes return the same matches") {
+      val existing = (0L until 60L).map(i => (i, s"shared body w${i % 5} tail $i")).toDF("doc_id", "text")
+      val batch    = (100L until 130L).map(i => (i, s"shared body w${i % 5} tail ${i - 100}")).toDF("doc_id", "text")
+      val index = Dedup.buildSignatureIndex(existing, "text", "doc_id")
+      def matches(mode: Dedup.VerifyMode) =
+        Dedup.incrementalDedup(batch, "text", "doc_id", index, matchMode = mode)
+          .matchedVsIndex.select("doc_id", "matched_id", "est_jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+      val kernel = matches(Dedup.VerifyMode.Broadcast)
+      kernel should not be empty
+      matches(Dedup.VerifyMode.Shuffle) shouldBe kernel
+      // Auto under a zero-byte budget routes through the joined fallback.
+      matches(Dedup.VerifyMode.Auto(maxBroadcastBytes = 0)) shouldBe kernel
+    }
     it("is idempotent: re-offering survivors against the updated index rejects everything") {
       val existing = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
       val batch = Seq(

@@ -118,7 +118,7 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
-    it("incrementalDedup match stage broadcasts the new batch — the index is never shuffled") {
+    it("incrementalDedup match stage is scan-local over the index — zero shuffles, zero joins") {
       withoutAqe {
         val mk = (lo: Long, hi: Long) => spark.range(lo, hi).toDF("doc_id")
           .withColumn("text", concat(lit("document body w"), pmod(col("doc_id"), lit(7)).cast("string"),
@@ -126,15 +126,12 @@ class PlanAuditSpec extends SparkSpec {
         val index = graft.operators.Dedup.buildSignatureIndex(mk(0L, 200L), "text", "doc_id")
         val res   = graft.operators.Dedup.incrementalDedup(mk(200L, 230L), "text", "doc_id", index)
         val plan  = executed(res.matchedVsIndex)
-        // Every join in the match pipeline is broadcast (new-batch side
-        // hinted) — the index itself is never exchanged. At most ONE
-        // shuffle is allowed: the DISTINCT over the collision PAIRS,
-        // whose size scales with the new batch's matches, not the index
-        // (the planner may elide even that one at small partition counts).
-        plan.collect { case b: BroadcastHashJoinExec => b } should not be empty
-        shuffles(plan) should be <= 1
+        // Default (Auto, small batch) = the broadcast kernel: one
+        // mapPartitions over the index scan — the index is never
+        // exchanged and there is no join operator at all.
+        shuffles(plan) shouldBe 0
+        plan.toString should not include "Join"
         plan.toString should not include "CartesianProduct"
-        plan.toString should not include "BroadcastNestedLoopJoin"
       }
     }
 
