@@ -829,6 +829,15 @@ object SparkEntry {
     // Per-domain document quota (C4-style host capping): synthetic hosts
     // derived arithmetically (URL extraction itself is q_text_urls'
     // gate); docs with doc_id % 11 == 0 have no domain and pass uncapped.
+    // Token-budget selection per language: keep each language's longest
+    // documents while the inclusive running n_chars total stays within
+    // the budget (mixtures are specified in tokens, not rows).
+    "q_token_budget" -> ((s, dir) =>
+      TextAnalysis.tokenBudgetPerDomain(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", "doc_id", "n_chars", budgetTokens = 20000, scoreCol = Some("n_chars"))
+        .orderBy("doc_id")),
+
     "q_domain_quota" -> ((s, dir) => {
       val host = when(pmod(col("doc_id"), lit(11)) === 0, lit(null).cast("string"))
         .otherwise(concat(lit("site"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".example.com")))
@@ -2022,6 +2031,18 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY host ORDER BY ${hashSql("(doc_id || '_dq')")}, doc_id) AS rn
            |  FROM d)
            |SELECT doc_id, host FROM r WHERE host IS NULL OR rn <= 3 ORDER BY doc_id""".stripMargin,
+
+      // Token-budget selection: inclusive running-total prefix per
+      // language, longest-first ties to id — integer window sum, exact.
+      "q_token_budget" ->
+        """WITH r AS (SELECT doc_id, lang, n_chars,
+          |    sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+          |                       ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM documents WHERE lang IS NOT NULL AND lang <> '')
+          |SELECT doc_id, lang, n_chars FROM r WHERE cum <= 20000
+          |UNION ALL
+          |SELECT doc_id, lang, n_chars FROM documents WHERE lang IS NULL OR lang = ''
+          |ORDER BY doc_id""".stripMargin,
 
       // Greedy packing replayed exactly: per shard, fold documents in id
       // order through (flush when the budget would overflow) — a

@@ -1054,6 +1054,77 @@ object TextAnalysis {
       .drop("_dq_rn")
   }
 
+  /** Token-budget selection per domain: keep each domain's best rows —
+    * `scoreCol` descending (ties → id) when given, deterministic id-hash
+    * order otherwise — while the INCLUSIVE running token total stays
+    * within `budgetTokens`. Training-data mixtures are specified in
+    * TOKENS, not rows; this is [[domainQuota]]'s weighted sibling (a row
+    * is kept iff the kept-prefix total including it is ≤ budget — one
+    * over-long document cannot smuggle itself in by straddling the line).
+    * Null/empty domains pass untouched, same convention as
+    * [[domainQuota]]. Token counts are clamped at 0: the salted-bound
+    * argument below needs nonnegative weights.
+    *
+    * Skew shape: the salted two-phase, generalized to weighted sums —
+    * with one subtlety rank capping doesn't have. Phase 1 drops a row
+    * only when its salt-local EXCLUSIVE prefix (tokens strictly before
+    * it, same salt) already exceeds the budget. Inclusive dropping would
+    * be wrong: removing a huge early "blocker" row erases its tokens
+    * from phase 2's running total and lets later rows squeeze back in.
+    * With the exclusive criterion, a dropped row's own salt-predecessors
+    * carry > budget tokens, all precede it globally, and all survive
+    * phase 1 — so every row at or after the first drop stays over budget
+    * in phase 2, and every true keeper (global inclusive ≤ budget ⇒ salt
+    * exclusive ≤ budget) survives phase 1: result-identical, with any
+    * phase-2 reducer bounded at ~salts · (budget + one row) tokens. The
+    * same max-domain-count probe as [[domainQuota]] skips phase 1 when
+    * no domain can straggle a reducer.
+    */
+  def tokenBudgetPerDomain(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      tokenCol: String,
+      budgetTokens: Long,
+      scoreCol: Option[String] = None,
+      salts: Int = 32,
+      maxUnsaltedDomainRows: Long = 1000000L
+  ): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(salts > 0, "salts must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val orderHash = HashCols.stableHash(concat(col(idCol).cast("string"), lit("_tb")))
+    val nullish   = col(domainCol).isNull || col(domainCol) === ""
+    val ordering  = scoreCol match {
+      case Some(s) => Seq(col(s).desc, col(idCol).asc)
+      case None    => Seq(orderHash.asc, col(idCol).asc)
+    }
+    val toks = greatest(col(tokenCol).cast("long"), lit(0L))
+    val skewed =
+      if (maxUnsaltedDomainRows <= 0) true
+      else {
+        val m = df.where(!nullish).groupBy(col(domainCol)).agg(count(lit(1)).as("c"))
+          .agg(max("c")).head.get(0)
+        m != null && m.asInstanceOf[Long] > maxUnsaltedDomainRows
+      }
+    val preCapped =
+      if (!skewed) df
+      else {
+        val salt = pmod(orderHash, lit(salts.toLong))
+        val w1 = Window.partitionBy(col(domainCol), salt).orderBy(ordering: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("_tb_c1", when(nullish, lit(0L)).otherwise(sum(toks).over(w1) - toks))
+          .where(col("_tb_c1") <= budgetTokens)
+          .drop("_tb_c1")
+      }
+    val w2 = Window.partitionBy(col(domainCol)).orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    preCapped
+      .withColumn("_tb_cum", when(nullish, lit(0L)).otherwise(sum(toks).over(w2)))
+      .where(col("_tb_cum") <= budgetTokens)
+      .drop("_tb_cum")
+  }
+
   /** Greedy sequence packing: concatenate whole documents into
     * fixed-budget training sequences (no document splitting — the
     * complement of [[chunkByTokens]], which splits; real pipelines pack

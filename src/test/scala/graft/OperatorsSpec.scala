@@ -210,6 +210,34 @@ class OperatorsSpec extends SparkSpec {
       val again = Sampling.hashSample(docs, "doc_id", 0.5).select("doc_id").as[Long].collect().sorted
       once shouldBe again
     }
+    it("tokenBudgetPerDomain keeps the inclusive prefix; salted path is result-identical incl. the blocker case") {
+      import graft.operators.TextAnalysis
+      // Domain a: 50+40 fit a 100 budget, +30 would overflow (120 > 100) —
+      // and since the cum is monotone, nothing after the first overflow
+      // enters either. Domain b: the BLOCKER case — a 150-token first row
+      // overflows immediately, so b keeps NOTHING (a naive salted pre-cap
+      // that dropped the blocker inclusively would let b's later small
+      // rows sneak back in). Nulls pass.
+      val rows = Seq(
+        (1L, "a", 50L), (2L, "a", 40L), (3L, "a", 30L), (4L, "a", 5L),
+        (10L, "b", 150L), (11L, "b", 10L), (12L, "b", 10L),
+        (20L, null.asInstanceOf[String], 999L)
+      ).toDF("id", "dom", "toks")
+      def run(maxUnsalted: Long) =
+        TextAnalysis.tokenBudgetPerDomain(rows, "dom", "id", "toks", budgetTokens = 100L,
+            scoreCol = Some("toks"), salts = 4, maxUnsaltedDomainRows = maxUnsalted)
+          .select("id").as[Long].collect().toSet
+      val unsalted = run(1000000L)
+      unsalted shouldBe Set(1L, 2L, 20L)
+      run(0L) shouldBe unsalted // forced salted — identical, blocker included
+      // Hash order (no score): deterministic across runs.
+      val h1 = TextAnalysis.tokenBudgetPerDomain(rows, "dom", "id", "toks", 100L)
+        .select("id").as[Long].collect().toSet
+      val h2 = TextAnalysis.tokenBudgetPerDomain(rows, "dom", "id", "toks", 100L)
+        .select("id").as[Long].collect().toSet
+      h1 shouldBe h2
+    }
+
     it("mixtureSample: uniform domains reduce to plain hash sampling; T=2 upweights rare domains") {
       import graft.operators.Sampling
       // Uniform: every domain's rate equals the target fraction, so the

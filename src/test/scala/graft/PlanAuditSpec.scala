@@ -81,6 +81,19 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("tokenBudgetPerDomain (probe path) is ONE shuffle; forced salted is TWO") {
+      withoutAqe {
+        val rows = spark.range(0, 300).toDF("id")
+          .withColumn("dom", concat(lit("d"), pmod(col("id"), lit(5)).cast("string")))
+          .withColumn("toks", pmod(col("id"), lit(40)) + 1)
+        val probe = executed(TextAnalysis.tokenBudgetPerDomain(rows, "dom", "id", "toks", 200L))
+        shuffles(probe) shouldBe 1
+        val salted = executed(TextAnalysis.tokenBudgetPerDomain(rows, "dom", "id", "toks", 200L,
+          maxUnsaltedDomainRows = 0))
+        shuffles(salted) shouldBe 2
+      }
+    }
+
     it("dedupByCanonicalUrl is ONE shuffle (partial agg → exchange on the canonical key → final agg)") {
       withoutAqe {
         val df = spark.range(1, 2000).toDF("id")
