@@ -943,6 +943,27 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // BM25 SERVING form: the inverted index is built, persisted to
+    // parquet, READ BACK, and queried with the corpus text out of the
+    // picture — the train-once/serve-forever split. Same oracle as
+    // q_bm25_topk (built-now and loaded indexes score bit-identically).
+    "q_bm25_index_serve" -> ((s, dir) => {
+      import s.implicits._
+      val idx = TextAnalysis.buildBm25Index(t(s, dir, "documents"), "text", "doc_id")
+      val tmp = java.nio.file.Files.createTempDirectory("bm25_idx_").toString
+      idx.postings.write.mode("overwrite").parquet(s"$tmp/postings")
+      idx.terms.write.mode("overwrite").parquet(s"$tmp/terms")
+      idx.docs.write.mode("overwrite").parquet(s"$tmp/docs")
+      val loaded = TextAnalysis.Bm25Index(
+        s.read.parquet(s"$tmp/postings"), s.read.parquet(s"$tmp/terms"), s.read.parquet(s"$tmp/docs"))
+      val q = Seq(
+        (1L, "spark join window"), (2L, "hash merge sort batch"),
+        (3L, "customer filter query"), (4L, "scan"), (5L, "stream data value key")
+      ).toDF("query_id", "q_text")
+      TextAnalysis.bm25TopKFromIndex(loaded, q, "query_id", "q_text", k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
     "q_tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.topTermsPerDoc(t(s, dir, "documents"), "text", "doc_id", k = 3)
         .orderBy("doc_id", "rnk")),
@@ -1612,6 +1633,28 @@ object SparkEntry {
          |       coalesce(sc.nll, 0) < 3.45 AS kept
          |FROM (SELECT DISTINCT doc_id FROM documents) t LEFT JOIN sc USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin
+    // BM25 replay, shared verbatim by the retrieval gate (q_bm25_topk)
+    // and the parquet-round-trip serving gate (q_bm25_index_serve).
+    val bm25OracleSql =
+      s"""WITH toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |av AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |q(query_id, q_text) AS (VALUES (1, 'spark join window'), (2, 'hash merge sort batch'),
+         |  (3, 'customer filter query'), (4, 'scan'), (5, 'stream data value key')),
+         |qt AS (SELECT query_id, unnest(list_distinct(${tokensSql("q_text")})) AS term FROM q),
+         |c AS (SELECT qt.query_id, tf.doc_id,
+         |  CAST(floor((ln(1.0 + (CAST(n_docs AS DOUBLE) - doc_freq + 0.5) / (CAST(doc_freq AS DOUBLE) + 0.5))
+         |    * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+         |       (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))) * 1e9) AS BIGINT) AS c_nano
+         |  FROM tf JOIN qt USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id), av),
+         |sc AS (SELECT query_id, doc_id, sum(c_nano) AS score_nano FROM c GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score_nano,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY score_nano DESC, doc_id) AS rnk FROM sc)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rnk AS BIGINT) AS rnk,
+         |       CAST(score_nano AS BIGINT) AS score_nano
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
     Map(
       "q_dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
@@ -2155,29 +2198,14 @@ object SparkEntry {
            |SELECT doc_id, term, tf, doc_freq, rnk FROM r WHERE rnk <= 3
            |ORDER BY doc_id, rnk""".stripMargin,
 
+      // The serving form shares the retrieval oracle verbatim: a parquet
+      // round-trip of the index must not change a single score bit.
+      "q_bm25_index_serve" -> bm25OracleSql,
+
       // BM25 replay: identical idf/tf-part parenthesization (k1 = 1.2 and
       // k1+1 left as literal arithmetic so both engines round the same
       // doubles), nano fixed point before the per-(query, doc) sum.
-      "q_bm25_topk" ->
-        s"""WITH toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
-           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-           |dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
-           |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-           |av AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-           |q(query_id, q_text) AS (VALUES (1, 'spark join window'), (2, 'hash merge sort batch'),
-           |  (3, 'customer filter query'), (4, 'scan'), (5, 'stream data value key')),
-           |qt AS (SELECT query_id, unnest(list_distinct(${tokensSql("q_text")})) AS term FROM q),
-           |c AS (SELECT qt.query_id, tf.doc_id,
-           |  CAST(floor((ln(1.0 + (CAST(n_docs AS DOUBLE) - doc_freq + 0.5) / (CAST(doc_freq AS DOUBLE) + 0.5))
-           |    * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
-           |       (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))) * 1e9) AS BIGINT) AS c_nano
-           |  FROM tf JOIN qt USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id), av),
-           |sc AS (SELECT query_id, doc_id, sum(c_nano) AS score_nano FROM c GROUP BY 1, 2),
-           |r AS (SELECT query_id, doc_id, score_nano,
-           |      row_number() OVER (PARTITION BY query_id ORDER BY score_nano DESC, doc_id) AS rnk FROM sc)
-           |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rnk AS BIGINT) AS rnk,
-           |       CAST(score_nano AS BIGINT) AS score_nano
-           |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+      "q_bm25_topk" -> bm25OracleSql,
 
       "q_text_urls" -> {
         val pat = graft.operators.TextAnalysis.UrlPattern.replace("'", "''")

@@ -760,15 +760,51 @@ object TextAnalysis {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75
+  ): DataFrame =
+    bm25TopKFromIndex(buildBm25Index(docs, textCol, idCol), queries, queryIdCol, queryTextCol, k, k1, b)
+
+  /** Persisted inverted index for BM25 serving — three plain frames a
+    * caller writes/reads as parquet: `postings(term, doc_id, tf)`,
+    * `terms(term, doc_freq)`, `docs(doc_id, dl)`. The train-once /
+    * serve-forever split ([[graft.operators.Similarity]] IVF,
+    * [[graft.operators.Bpe]] merges): a 100-TB corpus pays the (doc, term)
+    * aggregation ONCE; every query batch afterwards touches only its
+    * terms' postings. Corpus-level scalars (N, avgdl) are re-derived from
+    * `docs` with one tiny aggregate at serve time, so the artifact stays
+    * three self-describing tables.
+    */
+  final case class Bm25Index(postings: DataFrame, terms: DataFrame, docs: DataFrame)
+
+  /** Build the [[Bm25Index]]: one explode + one (doc, term) aggregation +
+    * the doc-frequency and doc-length rollups it implies.
+    */
+  def buildBm25Index(docs: DataFrame, textCol: String, idCol: String): Bm25Index = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    // Materialized once: doc-frequency and doc-length both read the
+    // (doc, term) counts.
+    val tf = graft.plans.Lineage.truncate(toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    Bm25Index(
+      tf,
+      tf.groupBy("term").agg(count(lit(1)).as("doc_freq")),
+      tf.groupBy("doc_id").agg(sum("tf").as("dl")))
+  }
+
+  /** Serve BM25 top-k from a prebuilt (possibly parquet-loaded)
+    * [[Bm25Index]] — the corpus text is never touched. Identical math and
+    * fixed-point contract as [[bm25TopK]] (which routes through here), so
+    * built-now and loaded-from-disk indexes score bit-identically.
+    */
+  def bm25TopKFromIndex(
+      index: Bm25Index,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"), explode(tokens(col(textCol))).as("term"))
-    // Materialized once: doc-frequency, doc-length, and the postings join
-    // all read the (doc, term) counts.
-    val tf  = graft.plans.Lineage.truncate(toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
-    val dfq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
-    val dl  = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    val stats = index.docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
     val qt = queries.select(
       col(queryIdCol).cast("long").as("query_id"),
       explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
@@ -777,10 +813,10 @@ object TextAnalysis {
     val tfPart = (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") + lit(k1) *
         (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
-    val contrib = tf
+    val contrib = index.postings
       .join(broadcast(qt), "term")
-      .join(broadcast(dfq.join(broadcast(qt.select("term").distinct()), "term")), "term")
-      .join(dl, "doc_id")
+      .join(broadcast(index.terms.join(broadcast(qt.select("term").distinct()), "term")), "term")
+      .join(index.docs, "doc_id")
       .crossJoin(broadcast(stats.withColumn("avgdl", col("total_len").cast("double") / col("n_docs"))))
       .withColumn("c_nano", floor((idf * tfPart) * lit(1e9)).cast("long"))
     val w = Window.partitionBy("query_id").orderBy(col("score_nano").desc, col("doc_id"))

@@ -210,6 +210,32 @@ class OperatorsSpec extends SparkSpec {
       val again = Sampling.hashSample(docs, "doc_id", 0.5).select("doc_id").as[Long].collect().sorted
       once shouldBe again
     }
+    it("bm25TopK ranks by tf saturation and idf; serve-from-index is bit-identical") {
+      import graft.operators.TextAnalysis
+      val docs = Seq(
+        (1L, "spark spark spark runs fast"), // tf=3 for 'spark'
+        (2L, "spark runs on clusters today"), // tf=1
+        (3L, "unrelated content about nothing much here"),
+        (4L, "rare rare term appears here now") // 'rare' only in doc 4
+      ).toDF("doc_id", "text")
+      val qs = Seq((1L, "spark"), (2L, "rare spark")).toDF("query_id", "q_text")
+      val r = TextAnalysis.bm25TopK(docs, qs, "text", "doc_id", "query_id", "q_text", k = 4)
+        .select("query_id", "doc_id", "rnk", "score_nano")
+        .as[(Long, Long, Long, Long)].collect()
+      val q1 = r.filter(_._1 == 1L).sortBy(_._3).map(_._2)
+      q1 shouldBe Array(1L, 2L) // higher tf wins; non-matching docs absent
+      // 'rare' (df=1) out-weighs a single 'spark' (df=2): doc 4 tops q2.
+      val q2 = r.filter(_._1 == 2L).sortBy(_._3).map(_._2)
+      q2.head shouldBe 4L
+      q2.toSet shouldBe Set(1L, 2L, 4L)
+      // Index round-trip serves identical scores.
+      val idx = TextAnalysis.buildBm25Index(docs, "text", "doc_id")
+      val served = TextAnalysis.bm25TopKFromIndex(idx, qs, "query_id", "q_text", k = 4)
+        .select("query_id", "doc_id", "rnk", "score_nano")
+        .as[(Long, Long, Long, Long)].collect()
+      served.sortBy(x => (x._1, x._3)) shouldBe r.sortBy(x => (x._1, x._3))
+    }
+
     it("tokenBudgetPerDomain keeps the inclusive prefix; salted path is result-identical incl. the blocker case") {
       import graft.operators.TextAnalysis
       // Domain a: 50+40 fit a 100 budget, +30 would overflow (120 > 100) —
