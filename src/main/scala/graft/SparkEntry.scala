@@ -76,7 +76,13 @@ object SparkEntry {
     // Stream-static enrichment: events streamed against the customer
     // dimension (stateless join, no watermark); oracle is the batch join.
     "q_events_enrich_stream" -> ((s, dir) =>
-      graft.streaming.StreamGates.enrichViaStream(s, dir))
+      graft.streaming.StreamGates.enrichViaStream(s, dir)),
+
+    // Streaming serving of incremental dedup: new docs streamed through
+    // the stream-static band-key join against the static signature index.
+    // Shares q_dedup_incremental_matches' oracle verbatim.
+    "q_dedup_incremental_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.incrementalMatchViaStream(s, dir))
   )
 
   /** DuckDB twins of the streaming gates. Sessionization runs in the ms
@@ -111,6 +117,13 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin
     Map(
     "q_dedup_stream" -> dedupStreamSql,
+
+    // Streamed serving ≡ nightly batch: the oracle is the batch
+    // incremental-match replay, verbatim.
+    "q_dedup_incremental_stream" ->
+      s"""WITH ${incrementalCte(hsh3, hashI)}
+         |SELECT nid AS doc_id, oid AS matched_id, CAST(k AS BIGINT) AS est_32
+         |FROM matched ORDER BY doc_id, matched_id""".stripMargin,
 
     "q_events_enrich_stream" ->
       """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment

@@ -997,7 +997,7 @@ object Dedup {
     * stringified and joined — same key construction as the in-corpus
     * candidate generators above).
     */
-  private def bandKeys(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private[graft] def bandKeys(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     sigs.select(
       col("doc_id"),

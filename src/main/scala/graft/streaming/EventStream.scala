@@ -370,6 +370,58 @@ object EventStream {
   ): DataFrame =
     stream.join(dim, on, joinType)
 
+  /** Streaming serving form of [[graft.operators.Dedup.incrementalDedup]]'s
+    * match stage: documents arrive as a STREAM and are checked against a
+    * STATIC persisted signature index — the shape a continuous-ingest
+    * pipeline runs (the batch form is the nightly compaction of the same
+    * contract). Stateless stream-static inner join on the LSH band keys
+    * (the index side is re-scanned/broadcast per micro-batch, exactly like
+    * [[enrichWithStatic]] — no streaming state, no watermark), then the
+    * same exact-k/numHashes signature estimate as the batch kernel.
+    *
+    * Emits one `(doc_id, matched_id, est_jaccard)` row PER COLLIDING BAND
+    * (band collisions of a pair carry identical estimates); downstream
+    * dedups or aggregates, mirroring how the batch kernel's per-row guard
+    * dedups in-process. Streamed ∘ distinct ≡ batch matchedVsIndex —
+    * driver-gated against the batch oracle verbatim.
+    */
+  def matchVsIndexStream(
+      stream: DataFrame,
+      textCol: String,
+      idCol: String,
+      index: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      estThreshold: Double = 0.8
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def banded(df: DataFrame, idOut: String, sigOut: String) = df.select(
+      col("doc_id").as(idOut), col("sig").as(sigOut),
+      explode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(
+            b.as("band"),
+            concat_ws(":", transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string"))).as("key")
+          )
+        )
+      ).as("bk")
+    ).select(col(idOut), col(sigOut), col("bk.band").as("band"), col("bk.key").as("key"))
+    val streamSigs = stream.select(
+      col(idCol).cast("long").as("doc_id"),
+      graft.operators.Dedup.minHashSignature(col(textCol), n, numHashes).as("sig"))
+    val estU = udf { (a: Seq[Long], b: Seq[Long]) =>
+      graft.operators.Dedup.estimateJaccard(a.toArray, b.toArray)
+    }
+    banded(streamSigs, "doc_id", "nsig")
+      .join(banded(index, "matched_id", "osig"), Seq("band", "key"))
+      .withColumn("est_jaccard", estU(col("nsig"), col("osig")))
+      .where(col("est_jaccard") >= estThreshold)
+      .select("doc_id", "matched_id", "est_jaccard")
+  }
+
   /** Convenience: run a streaming frame into an in-memory sink and return
     * the query (tests and demos; production sinks are the caller's choice).
     */

@@ -267,6 +267,32 @@ object StreamGates {
       .orderBy("event_id")
   }
 
+  /** `q_dedup_incremental_stream`: the second half of the documents table
+    * (by doc_id, same split as the batch `q_dedup_incremental_matches`
+    * gate) streamed through [[EventStream.matchVsIndexStream]] against the
+    * first half's signature index. Per-band duplicate emissions collapse
+    * under the post-hoc DISTINCT (exactly the batch kernel's in-process
+    * guard), so the gate shares the batch matches oracle verbatim —
+    * streamed serving and nightly batch must agree to the last row.
+    */
+  def incrementalMatchViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = graft.Tpch.table(spark, sfDir, "documents")
+    val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
+    val index = graft.operators.Dedup.buildSignatureIndex(
+      all.where(col("doc_id") <= splitId), "text", "doc_id")
+    val newDocs = all.where(col("doc_id") > splitId)
+      .select(
+        col("doc_id"),
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
+        col("text"))
+    replayViaFiles(spark, newDocs, "ts", chunks = 3, OutputMode.Append())(
+      in => EventStream.matchVsIndexStream(in, "text", "doc_id", index))
+      .select(col("doc_id"), col("matched_id"),
+        round(col("est_jaccard") * 32).cast("long").as("est_32"))
+      .distinct()
+      .orderBy("doc_id", "matched_id")
+  }
+
   def nearDupViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = graft.Tpch.table(spark, sfDir, "documents")
       .select(
