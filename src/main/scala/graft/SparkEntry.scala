@@ -943,6 +943,20 @@ object SparkEntry {
       ).orderBy("doc_id")),
 
     // Top-k salient terms per doc (integer-exact TF-IDF ranking).
+    // Fixed-point PageRank over a deterministic synthetic link graph
+    // (3 modular out-edges per doc): 10 integer-arithmetic iterations,
+    // bit-identical on any engine (oracle unrolls the rounds as CTEs).
+    "q_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"))
+      val nn = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val e = docs.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % nn,
+          (col("doc_id") * 13 + 2) % nn,
+          (col("doc_id") * 29 + 5) % nn)).as("dst"))
+      graft.operators.LinkGraph.pageRank(e, "src", "dst", iterations = 10).orderBy("node")
+    }),
+
     // BM25 top-k retrieval over the documents table for a fixed query set
     // (query-term multiplicity ignored; Lucene idf; per-term contributions
     // floored to nano units before the order-free integer sum).
@@ -1646,6 +1660,31 @@ object SparkEntry {
          |       coalesce(sc.nll, 0) < 3.45 AS kept
          |FROM (SELECT DISTINCT doc_id FROM documents) t LEFT JOIN sc USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin
+    // Fixed-point PageRank replay: the synthetic modular link graph, then
+    // each of the 10 integer-arithmetic rounds unrolled as its own CTE
+    // (r0 → r10) — aggregation inside a recursive CTE term is
+    // non-standard SQL, and unrolling sidesteps it with zero ambiguity.
+    val pageRankOracleSql = {
+      val steps = (1 to 10).map { k =>
+        s"""r$k AS (SELECT nd.node,
+           |  CAST((CAST(150 AS BIGINT) * 1000000000) // (1000 * nc.n) + coalesce(s.x, 0) AS BIGINT) AS rank
+           |  FROM nodes nd CROSS JOIN nc LEFT JOIN (
+           |    SELECT e.dst, sum((r.rank * 850) // (1000 * o.outdeg)) AS x
+           |    FROM edges e JOIN r${k - 1} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+           |    GROUP BY e.dst) s ON nd.node = s.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH mx AS (SELECT max(doc_id) + 1 AS nn FROM documents),
+         |edges AS (SELECT DISTINCT doc_id AS src, dst FROM (
+         |  SELECT doc_id, unnest([(doc_id*7+1) % nn, (doc_id*13+2) % nn, (doc_id*29+5) % nn]) AS dst
+         |  FROM documents, mx)),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+         |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |nc AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, CAST(1000000000 // n AS BIGINT) AS rank FROM nodes, nc),
+         |$steps
+         |SELECT node, rank AS rank_nano FROM r10 ORDER BY node""".stripMargin
+    }
+
     // BM25 replay, shared verbatim by the retrieval gate (q_bm25_topk)
     // and the parquet-round-trip serving gate (q_bm25_index_serve).
     val bm25OracleSql =
@@ -2210,6 +2249,8 @@ object SparkEntry {
            |      FROM tf JOIN dfq USING (term))
            |SELECT doc_id, term, tf, doc_freq, rnk FROM r WHERE rnk <= 3
            |ORDER BY doc_id, rnk""".stripMargin,
+
+      "q_pagerank" -> pageRankOracleSql,
 
       // The serving form shares the retrieval oracle verbatim: a parquet
       // round-trip of the index must not change a single score bit.

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.plans.Lineage
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for corpus quality weighting. Web-scale
+  * pipelines weight documents by the link structure of their hosts
+  * (harmonic/PageRank centrality is a standard crawl-quality signal);
+  * this is the iterative Pregel-style shape — each round is one join
+  * shuffle plus one aggregation — complementing the label-propagation
+  * connected components in [[Dedup.duplicateClusters]].
+  */
+object LinkGraph {
+
+  /** Fixed-point PageRank: ranks live in NANO units (10⁹ = probability
+    * mass 1) and every step is INTEGER arithmetic — initial rank
+    * 10⁹ div N, per-edge share (rank · dampMilli) div (1000 · outdeg),
+    * teleport ((1000 − dampMilli) · 10⁹) div (1000 · N) — so the result
+    * is bit-identical on any engine (a float formulation would drift
+    * with summation order at every iteration). Truncation leaks at most
+    * outdeg − 1 nano per node per round: ~10⁻⁷ of total mass on a
+    * million-node graph, irrelevant for ranking and a price worth exact
+    * reproducibility.
+    *
+    * Contract: every distinct (src, dst) edge counts once; nodes are
+    * everything appearing as src or dst; dangling nodes (no out-edges)
+    * keep their teleport share but their mass is NOT redistributed (the
+    * simple-drop convention — ranks then sum to < 1; callers who need
+    * the stochastic-matrix variant can add a sink node).
+    *
+    * Scale shape: `iterations` rounds of (edges ⋈ ranks on src) → one
+    * map-side-combinable sum per dst — the same per-round cost as one
+    * big co-grouped join; ranks re-materialize each round
+    * ([[Lineage.truncate]]) so the plan stays flat instead of growing an
+    * `iterations`-deep lineage. Convergence for ranking purposes is
+    * typically 10–20 rounds; the knob is explicit, not adaptive, so the
+    * cost is predictable and the result engine-replayable.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 10,
+      dampMilli: Long = 850L
+  ): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    require(dampMilli >= 0 && dampMilli <= 1000, "dampMilli is a per-mille damping factor")
+    val e = Lineage.truncate(
+      edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")).distinct())
+    val nodes = Lineage.truncate(
+      e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node"))).distinct())
+    val outdeg = Lineage.truncate(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val n = nodes.count()
+    require(n > 0, "pageRank needs at least one edge")
+    val teleport = ((1000L - dampMilli) * 1000000000L) / (1000L * n)
+    var ranks = Lineage.truncate(nodes.withColumn("rank_nano", lit(1000000000L / n)))
+    (1 to iterations).foreach { _ =>
+      val shares = e
+        .join(ranks, e("src") === ranks("node"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr(s"(rank_nano * $dampMilli) div (1000 * outdeg)").as("share"))
+        .groupBy("dst")
+        .agg(sum("share").as("in_share"))
+      ranks = Lineage.truncate(
+        nodes
+          .join(shares, nodes("node") === shares("dst"), "left")
+          .select(col("node"), (lit(teleport) + coalesce(col("in_share"), lit(0L))).as("rank_nano")))
+    }
+    ranks
+  }
+}

@@ -210,6 +210,26 @@ class OperatorsSpec extends SparkSpec {
       val again = Sampling.hashSample(docs, "doc_id", 0.5).select("doc_id").as[Long].collect().sorted
       once shouldBe again
     }
+    it("pageRank: the hub of a star out-ranks leaves; mass bounded; reruns are bit-identical") {
+      import graft.operators.LinkGraph
+      // 1..8 all link to 0; 0 links back to 1 (no dangling hub).
+      val star = ((1L to 8L).map(i => (i, 0L)) :+ (0L, 1L)).toDF("src", "dst")
+      val r = LinkGraph.pageRank(star, "src", "dst", iterations = 10)
+        .as[(Long, Long)].collect().toMap
+      r.keySet shouldBe (0L to 8L).toSet
+      // The 0↔1 cycle concentrates mass (a pure star oscillates, so no
+      // ordering claim between 0 and 1 at a fixed round); leaves 2..8
+      // receive only teleport and must sit far below both.
+      (2L to 8L).foreach { i =>
+        r(0L) should be > r(i)
+        r(1L) should be > r(i)
+      }
+      r.values.sum should be <= 1000000000L // truncation only ever loses mass
+      val again = LinkGraph.pageRank(star, "src", "dst", iterations = 10)
+        .as[(Long, Long)].collect().toMap
+      again shouldBe r
+    }
+
     it("bm25TopK ranks by tf saturation and idf; serve-from-index is bit-identical") {
       import graft.operators.TextAnalysis
       val docs = Seq(
