@@ -943,6 +943,14 @@ object SparkEntry {
       ).orderBy("doc_id")),
 
     // Top-k salient terms per doc (integer-exact TF-IDF ranking).
+    // CCNet-style calibrated quality filter: the LM threshold is the
+    // corpus' own 70th percentile of milli-nat scores (exact — value
+    // histogram over the fixed-point domain), not a hard-coded cut.
+    "q_text_lm_calibrated" -> ((s, dir) =>
+      TextAnalysis.lmQualityFilterCalibrated(t(s, dir, "documents"), "text", "doc_id",
+          keepFraction = 0.7)
+        .orderBy("doc_id")),
+
     // Fixed-point PageRank over a deterministic synthetic link graph
     // (3 modular out-edges per doc): 10 integer-arithmetic iterations,
     // bit-identical on any engine (oracle unrolls the rounds as CTEs).
@@ -2251,6 +2259,31 @@ object SparkEntry {
            |ORDER BY doc_id, rnk""".stripMargin,
 
       "q_pagerank" -> pageRankOracleSql,
+
+      // Calibrated LM filter: the shared LM chain, then the exact k-th
+      // smallest milli score (row_number = k ≡ the histogram prefix sum)
+      // as the cutoff; ceil(0.7·n) replayed in the same double math.
+      "q_text_lm_calibrated" ->
+        s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+           |bgx AS (SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]) AS bg
+           |        FROM toks WHERE len(tk) >= 2),
+           |m AS (SELECT doc_id, bg, count(*) AS m FROM bgx GROUP BY 1, 2),
+           |bc AS (SELECT bg, sum(m) AS c_bg FROM m GROUP BY 1),
+           |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_ctx FROM bc GROUP BY 1),
+           |v AS (SELECT count(DISTINCT tok) AS vocab FROM (SELECT unnest(tk) AS tok FROM toks)),
+           |sc AS (SELECT doc_id, -sum(m * ln((bc.c_bg + 1)::DOUBLE / (ctx.c_ctx + vocab))) / sum(m) AS nll,
+           |       sum(m) AS n_bigrams
+           |       FROM m JOIN bc USING (bg) JOIN ctx ON split_part(m.bg, ' ', 1) = ctx.w1, v GROUP BY doc_id),
+           |all0 AS (SELECT t.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           |         CAST(floor(coalesce(sc.nll, 0) * 1000 + 0.5) AS BIGINT) AS nll_milli
+           |         FROM (SELECT DISTINCT doc_id FROM documents) t LEFT JOIN sc USING (doc_id)),
+           |nn AS (SELECT count(*) AS n FROM all0),
+           |kk AS (SELECT CAST(greatest(1, ceil(0.7 * n)) AS BIGINT) AS k FROM nn),
+           |ranked AS (SELECT nll_milli, row_number() OVER (ORDER BY nll_milli) AS rn FROM all0),
+           |cut AS (SELECT nll_milli AS cut FROM ranked, kk WHERE rn = k)
+           |SELECT a.doc_id, a.n_bigrams, a.nll_milli, (SELECT cut FROM cut) AS cutoff_milli
+           |FROM all0 a WHERE a.nll_milli <= (SELECT cut FROM cut)
+           |ORDER BY a.doc_id""".stripMargin,
 
       // The serving form shares the retrieval oracle verbatim: a parquet
       // round-trip of the index must not change a single score bit.

@@ -183,6 +183,60 @@ object TextAnalysis {
       )
   }
 
+  /** Exact p-quantile cutoff of a FIXED-POINT integer score column. A
+    * bounded score domain (milli-nats, per-mille ratios) turns the exact
+    * quantile into a VALUE-HISTOGRAM problem: one map-side-combinable
+    * groupBy over the ≤ `maxDistinct` distinct values, collected to the
+    * driver and prefix-summed — no global sort, no approx sketch,
+    * cross-engine exact. k = max(1, ceil(p·n)); the cutoff is the k-th
+    * smallest value counting duplicates. ExactGuard-style bound: throws
+    * past `maxDistinct` naming `approx_percentile` as the
+    * unbounded-domain alternative.
+    */
+  def integerPercentileCutoff(
+      df: DataFrame,
+      valueCol: String,
+      p: Double,
+      maxDistinct: Long = 1000000L
+  ): Long = {
+    require(p > 0 && p <= 1, "p must be in (0, 1]")
+    val hist = df.groupBy(col(valueCol).cast("long").as("v")).agg(count(lit(1)).as("c"))
+      .orderBy("v").collect()
+    require(hist.nonEmpty, "integerPercentileCutoff: empty input")
+    require(hist.length <= maxDistinct,
+      s"integerPercentileCutoff: ${hist.length} distinct values exceed the $maxDistinct histogram bound — " +
+        "this exact method is for fixed-point score domains; use approx_percentile for unbounded ones")
+    val n = hist.map(_.getLong(1)).sum
+    val k = math.max(1L, math.ceil(p * n).toLong)
+    var acc = 0L
+    hist.find { r => acc += r.getLong(1); acc >= k }.get.getLong(0)
+  }
+
+  /** CCNet-style CALIBRATED LM quality filter: score the corpus with the
+    * self-trained bigram LM ([[lmQualityScore]]), fix the threshold at
+    * the corpus' own `keepFraction` percentile of milli-nat scores
+    * ([[integerPercentileCutoff]]), and keep documents at or below it.
+    * A hard-coded nll threshold doesn't transfer between corpora (this
+    * round's ×100 soak showed a fixture-calibrated cut emptying a
+    * re-synthesized corpus — SCALE.md); a percentile is the
+    * scale-invariant form the CCNet paper uses. Ties at the cutoff are
+    * all kept, so the kept fraction can slightly exceed `keepFraction`
+    * (deterministic on any engine — no tie-breaking randomness).
+    */
+  def lmQualityFilterCalibrated(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      keepFraction: Double
+  ): DataFrame = {
+    val scored = graft.plans.Lineage.truncate(
+      lmQualityScore(df, textCol, idCol, nllThreshold = Double.MaxValue)
+        .select(col("doc_id"), col("n_bigrams"),
+          floor(col("nll") * 1000 + lit(0.5)).cast("long").as("nll_milli")))
+    val cut = integerPercentileCutoff(scored, "nll_milli", keepFraction)
+    scored.where(col("nll_milli") <= cut).withColumn("cutoff_milli", lit(cut))
+  }
+
   /** A trained bigram LM as broadcastable driver-side maps — the SERVING
     * form of [[lmQualityScore]]'s model (KenLM ships models to workers the
     * same way). Built by [[lmTrainCompact]]; scored scan-locally by

@@ -210,6 +210,24 @@ class OperatorsSpec extends SparkSpec {
       val again = Sampling.hashSample(docs, "doc_id", 0.5).select("doc_id").as[Long].collect().sorted
       once shouldBe again
     }
+    it("integerPercentileCutoff: exact k-th smallest with duplicates; histogram bound enforced") {
+      import graft.operators.TextAnalysis
+      val vals = Seq(1L, 2L, 2L, 3L).toDF("v")
+      TextAnalysis.integerPercentileCutoff(vals, "v", 0.5) shouldBe 2L  // k = 2 → 2nd smallest
+      TextAnalysis.integerPercentileCutoff(vals, "v", 0.25) shouldBe 1L // k = 1
+      TextAnalysis.integerPercentileCutoff(vals, "v", 1.0) shouldBe 3L  // k = n
+      an[IllegalArgumentException] should be thrownBy
+        TextAnalysis.integerPercentileCutoff(vals, "v", 0.5, maxDistinct = 2)
+      // Calibrated filter keeps >= ceil(p·n) docs (ties all kept) and
+      // stamps the cutoff.
+      val docs = (0L until 40L).map(i => (i, s"tok${i % 11} tok${i % 7} tok${i % 5} tok$i end")).toDF("doc_id", "text")
+      val kept = TextAnalysis.lmQualityFilterCalibrated(docs, "text", "doc_id", keepFraction = 0.6)
+      kept.count() should be >= 24L
+      kept.select("cutoff_milli").distinct().count() shouldBe 1L
+      val cut = kept.select("cutoff_milli").head.getLong(0)
+      kept.where(col("nll_milli") > cut).count() shouldBe 0L
+    }
+
     it("pageRank: the hub of a star out-ranks leaves; mass bounded; reruns are bit-identical") {
       import graft.operators.LinkGraph
       // 1..8 all link to 0; 0 links back to 1 (no dangling hub).
