@@ -375,9 +375,11 @@ object EventStream {
     * STATIC persisted signature index — the shape a continuous-ingest
     * pipeline runs (the batch form is the nightly compaction of the same
     * contract). Stateless stream-static inner join on the LSH band keys
-    * (the index side is re-scanned/broadcast per micro-batch, exactly like
-    * [[enrichWithStatic]] — no streaming state, no watermark), then the
-    * same exact-k/numHashes signature estimate as the batch kernel.
+    * (no streaming state, no watermark): the banded index is materialized
+    * ONCE via [[graft.plans.Lineage.truncate]] so each micro-batch joins
+    * against cached blocks instead of re-running the per-shingle MD5
+    * signature UDF over the whole index every trigger. Then the same
+    * exact-k/numHashes signature estimate as the batch kernel.
     *
     * Emits one `(doc_id, matched_id, est_jaccard)` row PER COLLIDING BAND
     * (band collisions of a pair carry identical estimates); downstream
@@ -415,8 +417,13 @@ object EventStream {
     val estU = udf { (a: Seq[Long], b: Seq[Long]) =>
       graft.operators.Dedup.estimateJaccard(a.toArray, b.toArray)
     }
+    // The static side is materialized ONCE: a stream-static join rescans
+    // the static plan EVERY micro-batch, and the index's signature UDF
+    // (one MD5 per shingle per doc) is far too expensive to re-run per
+    // trigger — truncation pins the banded index as blocks to rescan.
+    val staticBanded = graft.plans.Lineage.truncate(banded(index, "matched_id", "osig"))
     banded(streamSigs, "doc_id", "nsig")
-      .join(banded(index, "matched_id", "osig"), Seq("band", "key"))
+      .join(staticBanded, Seq("band", "key"))
       .withColumn("est_jaccard", estU(col("nsig"), col("osig")))
       .where(col("est_jaccard") >= estThreshold)
       .select("doc_id", "matched_id", "est_jaccard")
