@@ -999,6 +999,28 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Hybrid retrieval: BM25 (lexical, over documents.text) and IVF-probe
+    // ANN (dense, over embeddings, pinned centroids) rankings for the SAME
+    // query ids 1-5, fused by reciprocal-rank fusion. Pure integer
+    // arithmetic end to end (1e9 div (60+rnk) contributions), so the
+    // oracle replays both retrievers' CTE chains and the fusion exactly.
+    "q_hybrid_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(
+        (1L, "spark join window"), (2L, "hash merge sort batch"),
+        (3L, "customer filter query"), (4L, "scan"), (5L, "stream data value key")
+      ).toDF("query_id", "q_text")
+      val emb = t(s, dir, "embeddings")
+      val lexical = TextAnalysis.bm25TopK(
+        t(s, dir, "documents"), q, "text", "doc_id", "query_id", "q_text", k = 10)
+      val dense = Similarity.ivfTopKWith(
+          emb, emb.where("vec_id BETWEEN 1 AND 5"), "vec_id", "embedding", k = 10,
+          graft.operators.IvfPinned.centroids, nprobe = 4)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      TextAnalysis.reciprocalRankFusion(Seq(lexical, dense), k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
     "q_tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.topTermsPerDoc(t(s, dir, "documents"), "text", "doc_id", k = 3)
         .orderBy("doc_id", "rnk")),
@@ -1693,10 +1715,12 @@ object SparkEntry {
          |SELECT node, rank AS rank_nano FROM r10 ORDER BY node""".stripMargin
     }
 
-    // BM25 replay, shared verbatim by the retrieval gate (q_bm25_topk)
-    // and the parquet-round-trip serving gate (q_bm25_index_serve).
-    val bm25OracleSql =
-      s"""WITH toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
+    // BM25 replay, shared verbatim by the retrieval gate (q_bm25_topk),
+    // the parquet-round-trip serving gate (q_bm25_index_serve), and — as
+    // the lexical half of its CTE chain — the hybrid-fusion gate
+    // (q_hybrid_retrieval).
+    val bm25Ctes =
+      s"""toks AS (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
          |dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
          |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
@@ -1711,7 +1735,9 @@ object SparkEntry {
          |  FROM tf JOIN qt USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id), av),
          |sc AS (SELECT query_id, doc_id, sum(c_nano) AS score_nano FROM c GROUP BY 1, 2),
          |r AS (SELECT query_id, doc_id, score_nano,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY score_nano DESC, doc_id) AS rnk FROM sc)
+         |      row_number() OVER (PARTITION BY query_id ORDER BY score_nano DESC, doc_id) AS rnk FROM sc)""".stripMargin
+    val bm25OracleSql =
+      s"""WITH $bm25Ctes
          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rnk AS BIGINT) AS rnk,
          |       CAST(score_nano AS BIGINT) AS score_nano
          |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
@@ -2293,6 +2319,51 @@ object SparkEntry {
       // k1+1 left as literal arithmetic so both engines round the same
       // doubles), nano fixed point before the per-(query, doc) sum.
       "q_bm25_topk" -> bm25OracleSql,
+
+      // Hybrid fusion replay: the BM25 CTE chain verbatim (lexical ranks,
+      // CTE `r`), the q_knn_ivf_probe CTE chain with queries 1-5 (dense
+      // ranks), then RRF with exact integer contributions
+      // 1e9 // (60 + rnk) — no float enters the fused score, so the
+      // (rrf_nano DESC, doc_id) order is engine-independent by
+      // construction.
+      "q_hybrid_retrieval" -> {
+        val centsCte = {
+          val m = graft.operators.IvfPinned.centroids
+          val arr = m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+          s"cents_t AS (SELECT $arr AS ct)"
+        }
+        val nlist   = graft.operators.IvfPinned.nlist
+        val cellCos = cosineSql("v.ve", "ct[cells.cell + 1]")
+        s"""WITH $centsCte,
+           |$bm25Ctes,
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+           |cells AS (SELECT unnest(range(0, $nlist)) AS cell),
+           |asg AS (SELECT vec_id AS neighbor_id, ve AS cv, cell FROM (
+           |  SELECT v.vec_id, v.ve, cells.cell,
+           |         row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, cells.cell) AS pr
+           |  FROM v, cents_t, cells) WHERE pr = 1),
+           |probes AS (SELECT query_id, qv, cell FROM (
+           |  SELECT v.vec_id AS query_id, v.ve AS qv, cells.cell,
+           |         row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, cells.cell) AS pr
+           |  FROM v, cents_t, cells WHERE v.vec_id BETWEEN 1 AND 5) WHERE pr <= 4),
+           |dsc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos
+           |        FROM probes JOIN asg USING (cell) WHERE query_id <> neighbor_id),
+           |dr AS (SELECT query_id, neighbor_id AS doc_id,
+           |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM dsc),
+           |fused AS (
+           |  SELECT query_id, doc_id, CAST(1000000000 AS BIGINT) // (60 + rnk) AS contrib
+           |  FROM r WHERE rnk <= 10
+           |  UNION ALL
+           |  SELECT query_id, doc_id, CAST(1000000000 AS BIGINT) // (60 + rnk)
+           |  FROM dr WHERE rnk <= 10),
+           |fagg AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_nano,
+           |         count(*) AS n_systems FROM fused GROUP BY 1, 2),
+           |fr AS (SELECT query_id, doc_id, rrf_nano, n_systems,
+           |       row_number() OVER (PARTITION BY query_id ORDER BY rrf_nano DESC, doc_id) AS rnk FROM fagg)
+           |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(rnk AS BIGINT) AS rnk, rrf_nano, CAST(n_systems AS BIGINT) AS n_systems
+           |FROM fr WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+      },
 
       "q_text_urls" -> {
         val pat = graft.operators.TextAnalysis.UrlPattern.replace("'", "''")

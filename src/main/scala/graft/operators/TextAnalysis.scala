@@ -882,6 +882,45 @@ object TextAnalysis {
       .select("query_id", "doc_id", "rnk", "score_nano")
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009): fuse N
+    * rankings of the same query set by
+    * `score(q, d) = Σ_sys 1/(kRrf + rank_sys(q, d))`, summing over the
+    * systems that retrieved `d` for `q` — the standard way to combine a
+    * lexical ([[bm25TopK]]) and a dense ([[graft.operators.Similarity]])
+    * retriever without score calibration, since only RANKS enter the
+    * formula. Each input frame must carry `(query_id, doc_id, rnk)` with
+    * `rnk` 1-based (exactly what the retrievers here emit); ids are
+    * cast to long, so a dense retriever's `neighbor_id` just needs an
+    * alias.
+    *
+    * Numeric contract: each contribution is the EXACT integer
+    * `1e9 div (kRrf + rnk)`, so the fused score is an order-free BIGINT
+    * sum (the [[bm25TopK]] fixed-point recipe, but with no float anywhere)
+    * and `(rrf_nano desc, doc_id)` totally orders candidates identically
+    * on any engine. `n_systems` reports how many rankings contributed.
+    *
+    * Scale shape: the expensive work is the upstream retrievers; fusion
+    * touches only their already-top-k outputs — a union of
+    * O(queries × k × systems) rows, one (query, doc) hash aggregation,
+    * and a per-query top-k window. No join back to the corpus.
+    */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "reciprocalRankFusion needs at least one ranking")
+    require(kRrf >= 1, "kRrf must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val norm = rankings.map(_.select(
+      col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      expr(s"CAST(1000000000 DIV ($kRrf + rnk) AS BIGINT)").as("contrib")))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf_nano").desc, col("doc_id").asc)
+    norm.reduce(_.unionAll(_))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("rrf_nano"), count(lit(1)).as("n_systems"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "doc_id", "rnk", "rrf_nano", "n_systems")
+  }
+
   /** Rolling polynomial hashes over character k-grams (base 257,
     * mod 1e9+7): entry `i` hashes chars `[i, i+k)`. Empty array when the
     * text is shorter than `k`. Shared kernel of [[winnowingFingerprints]]
