@@ -868,8 +868,9 @@ object Dedup {
     * increment vs the whole corpus), so its band keys and signatures ride
     * broadcast joins and the INDEX IS NEVER SHUFFLED — the match costs two
     * index scans (band probe + estimate verify), zero wide exchanges on
-    * the big side. Past broadcast size (a "batch" of ~10⁸ docs), drop the
-    * hints and the identical plan shuffles on (band, key) / doc id.
+    * the big side. Past broadcast size (a "batch" of ~10⁸ docs),
+    * [[VerifyMode.Auto]] switches to the hint-free join form, which
+    * shuffles on (band, key) / doc id — no mode flag or source edit needed.
     *
     * Estimate-based index matching trades exactness for never re-reading
     * corpus text: at the default 32 hashes, σ(est) = √(j(1−j)/32) ≈ 0.07
@@ -963,10 +964,17 @@ object Dedup {
   }
 
   /** Join-formulated index match — the no-size-bound fallback: band keys
-    * of both sides bucket-join (new side broadcast when it fits — drop to
-    * a plain shuffled join past that), collision pairs DISTINCT, then the
+    * of both sides bucket-join, collision pairs DISTINCT, then the
     * signatures join back for the estimate. Same result set as the kernel
     * by construction (spec-pinned).
+    *
+    * Deliberately carries NO broadcast hints: this path is selected
+    * precisely when the new batch exceeded the kernel's broadcast bound
+    * (or the caller forced [[VerifyMode.Shuffle]]), so pinning the new
+    * side into a broadcast here would re-create the OOM the mode switch
+    * exists to avoid. The optimizer (autoBroadcastJoinThreshold + AQE)
+    * still broadcasts any side that measures small at runtime; past that
+    * the joins shuffle on (band, key) / doc id — the scale-safe shape.
     */
   private def matchVsIndexJoined(
       newSigs: DataFrame,
@@ -977,16 +985,16 @@ object Dedup {
   ): DataFrame = {
     val nbd = bandKeys(newSigs, numHashes, bands).toDF("nid", "band", "key")
     val obd = bandKeys(index, numHashes, bands).toDF("oid", "band", "key")
-    val hits = broadcast(nbd)
+    val hits = nbd
       .join(obd, Seq("band", "key"))
       .select("nid", "oid")
       .distinct()
     val estU = udf { (a: Seq[Long], b: Seq[Long]) =>
       estimateJaccard(a.toArray, b.toArray)
     }
-    broadcast(hits)
+    hits
       .join(index.toDF("oid", "osig"), "oid")
-      .join(broadcast(newSigs.toDF("nid", "nsig")), "nid")
+      .join(newSigs.toDF("nid", "nsig"), "nid")
       .withColumn("est_jaccard", estU(col("nsig"), col("osig")))
       .where(col("est_jaccard") >= estThreshold)
       .select(col("nid").as("doc_id"), col("oid").as("matched_id"), col("est_jaccard"))

@@ -331,11 +331,18 @@ object Multimodal {
           if (img != null) {
             val raster = img.getRaster
             val (w, h) = (img.getWidth, img.getHeight)
+            // Bucket by the ACTUAL sample depth (a 16-bit grayscale PNG
+            // decodes to samples up to 65535 — an 8-bit assumption would
+            // index out of bounds and kill the task), clamped defensively
+            // for models whose samples can exceed 2^bits − 1.
+            val bits  = raster.getSampleModel.getSampleSize(0)
+            val range = if (bits >= 31 || bits <= 0) 256L else 1L << bits
             var y = 0
             while (y < h) {
               var x = 0
               while (x < w) {
-                f(raster.getSample(x, y, 0) * dim / 256) += 1.0f
+                val bucket = (raster.getSample(x, y, 0).toLong * dim / range).toInt
+                f(math.min(math.max(bucket, 0), dim - 1)) += 1.0f
                 x += 1
               }
               y += 1

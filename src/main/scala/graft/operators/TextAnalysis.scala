@@ -200,11 +200,16 @@ object TextAnalysis {
       maxDistinct: Long = 1000000L
   ): Long = {
     require(p > 0 && p <= 1, "p must be in (0, 1]")
+    // The bound must bite BEFORE driver materialization (an unbounded
+    // score domain would otherwise OOM the driver the guard exists to
+    // protect): collect at most maxDistinct+1 rows — the sentinel extra
+    // row proves the overflow without ever holding the full histogram.
+    val capPlusOne = (math.min(maxDistinct, Int.MaxValue - 1L) + 1L).toInt
     val hist = df.groupBy(col(valueCol).cast("long").as("v")).agg(count(lit(1)).as("c"))
-      .orderBy("v").collect()
+      .orderBy("v").limit(capPlusOne).collect()
     require(hist.nonEmpty, "integerPercentileCutoff: empty input")
     require(hist.length <= maxDistinct,
-      s"integerPercentileCutoff: ${hist.length} distinct values exceed the $maxDistinct histogram bound — " +
+      s"integerPercentileCutoff: more than $maxDistinct distinct values exceed the histogram bound — " +
         "this exact method is for fixed-point score domains; use approx_percentile for unbounded ones")
     val n = hist.map(_.getLong(1)).sum
     val k = math.max(1L, math.ceil(p * n).toLong)

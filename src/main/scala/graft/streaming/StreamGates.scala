@@ -35,6 +35,37 @@ import org.apache.spark.sql.types.DecimalType
   */
 object StreamGates {
 
+  /** Recursively delete `p`, closing every directory stream (a leaked
+    * `Files.list` stream is a leaked file descriptor — it adds up across
+    * repeated gate/soak runs in one JVM).
+    */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(rmTree(_))
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  /** Per-JVM parent for Append-mode sink directories. The returned frame
+    * reads the sink lazily through its `_spark_metadata` log, so the
+    * directory must outlive the [[replayViaFiles]] call — collecting it
+    * into driver memory instead would re-create the driver-heap blowup
+    * the file sink exists to avoid. A shutdown hook reclaims the whole
+    * root, so repeated gate/soak invocations stop accumulating under
+    * /tmp across runs; checkpoints are deleted eagerly per query
+    * (nothing reads a stopped gate query's checkpoint).
+    */
+  private lazy val appendSinkRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("stream_gate_runs")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try rmTree(p) catch { case _: Exception => () }
+    ))
+    p
+  }
+
   /** Write `src` as `chunks` chronological parquet files (quantile splits
     * on `tsCol`, one file per chunk, strictly increasing mtimes), then run
     * it through `build` as a `maxFilesPerTrigger=1` file-source stream
@@ -73,9 +104,12 @@ object StreamGates {
     def addFile(df: DataFrame): Unit = {
       val stage = stageDir.resolve(s"stage_$fileNo")
       df.repartition(1).write.mode("overwrite").parquet(stage.toString)
-      val part = Files.list(stage).toArray.map(_.asInstanceOf[Path])
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part written under $stage"))
+      val listing = Files.list(stage)
+      val part =
+        try listing.toArray.map(_.asInstanceOf[Path])
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written under $stage"))
+        finally listing.close()
       val target = watchDir.resolve(f"chunk_$fileNo%05d.parquet")
       Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
       // Distinct, increasing mtimes: the file source processes oldest
@@ -101,14 +135,16 @@ object StreamGates {
     // scales with the data (enrichment = every event, near-dup = every
     // candidate) soaks at any multiplier. Complete mode has no file-sink
     // support in Spark and its results are aggregates (bounded), so it
-    // keeps the memory sink. The sink/checkpoint dirs outlive this call
-    // (the returned frame reads them lazily through the sink's
-    // _spark_metadata log); they live under the system temp dir.
+    // keeps the memory sink. The sink dir outlives this call (the
+    // returned frame reads it lazily through the sink's _spark_metadata
+    // log) under [[appendSinkRoot]], reclaimed at JVM exit; the
+    // checkpoint is deleted as soon as the query stops.
     val name = s"stream_gate_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val priorShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val append = mode == OutputMode.Append()
-    val sinkDir = Files.createTempDirectory("stream_gate_sink")
+    val sinkDir = Files.createTempDirectory(appendSinkRoot, "sink")
+    val ckptDir = Files.createTempDirectory(appendSinkRoot, "ckpt")
     val query =
       try {
         val in = spark.readStream
@@ -119,7 +155,7 @@ object StreamGates {
         if (append)
           writer.format("parquet")
             .option("path", sinkDir.toString)
-            .option("checkpointLocation", Files.createTempDirectory("stream_gate_ckpt").toString)
+            .option("checkpointLocation", ckptDir.toString)
             .start()
         else writer.format("memory").queryName(name).start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", priorShufflePartitions)
@@ -133,11 +169,7 @@ object StreamGates {
     } finally {
       query.stop()
       if (!append) spark.catalog.dropTempView(name)
-      def rmTree(p: Path): Unit = {
-        if (Files.isDirectory(p)) Files.list(p).forEach(rmTree(_))
-        Files.deleteIfExists(p)
-      }
-      Seq(watchDir, stageDir).foreach(p => try rmTree(p) catch { case _: Exception => () })
+      Seq(watchDir, stageDir, ckptDir).foreach(p => try rmTree(p) catch { case _: Exception => () })
     }
   }
 
