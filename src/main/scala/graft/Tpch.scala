@@ -39,12 +39,30 @@ object Tpch {
   def catalog(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
     tables.map(t => t -> table(spark, sfDir, t)).toMap
 
-  /** events.ts is parquet TIMESTAMP(NANOS); Spark 4 needs the legacy long
-    * mapping (session-dynamic conf) — the column arrives as nanos-since-epoch
-    * LongType.
+  /** Events fixture, with `ts` normalized to nanos-since-epoch LongType
+    * regardless of the fixture's physical parquet type. Older driver
+    * fixtures wrote TIMESTAMP(NANOS), which Spark 4 only reads under the
+    * legacy nanos-as-long mapping (LongType nanos); the 2026-08 refresh
+    * writes TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ. Every
+    * consumer does `ts div 1000` (nanos → µs) arithmetic to match the
+    * DuckDB oracles' `epoch_us(ts)`, so both physical forms converge here
+    * on the nanos long. The NTZ→epoch conversion goes through a session-tz
+    * cast; all entry points (Verify/Bench/tests/tools) pin the session to
+    * UTC, matching DuckDB's UTC-naive epoch semantics.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _: org.apache.spark.sql.types.TimestampNTZType |
+          _: org.apache.spark.sql.types.TimestampType =>
+        raw.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other (expected nanos LongType or a timestamp)")
+    }
   }
 }

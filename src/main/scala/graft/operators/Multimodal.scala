@@ -335,13 +335,18 @@ object Multimodal {
             // decodes to samples up to 65535 — an 8-bit assumption would
             // index out of bounds and kill the task), clamped defensively
             // for models whose samples can exceed 2^bits − 1.
+            // The bucket range is always a power of two, so bucketing is a
+            // shift — not a non-constant long division in the per-pixel
+            // loop. Long arithmetic cannot overflow for any depth ≤ 62
+            // bits (getSample is an Int anyway); the 8-bit fallback covers
+            // only degenerate reported depths.
             val bits  = raster.getSampleModel.getSampleSize(0)
-            val range = if (bits >= 31 || bits <= 0) 256L else 1L << bits
+            val shift = if (bits <= 0 || bits > 62) 8 else bits
             var y = 0
             while (y < h) {
               var x = 0
               while (x < w) {
-                val bucket = (raster.getSample(x, y, 0).toLong * dim / range).toInt
+                val bucket = ((raster.getSample(x, y, 0).toLong * dim) >> shift).toInt
                 f(math.min(math.max(bucket, 0), dim - 1)) += 1.0f
                 x += 1
               }

@@ -143,8 +143,11 @@ object StreamGates {
     val priorShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val append = mode == OutputMode.Append()
-    val sinkDir = Files.createTempDirectory(appendSinkRoot, "sink")
-    val ckptDir = Files.createTempDirectory(appendSinkRoot, "ckpt")
+    // sink/checkpoint dirs exist only on the append (file-sink) path — the
+    // memory-sink path never touches them, and an unconditionally created
+    // empty sinkDir would accumulate under appendSinkRoot until JVM exit.
+    val sinkDir = if (append) Some(Files.createTempDirectory(appendSinkRoot, "sink")) else None
+    val ckptDir = if (append) Some(Files.createTempDirectory(appendSinkRoot, "ckpt")) else None
     val query =
       try {
         val in = spark.readStream
@@ -154,14 +157,14 @@ object StreamGates {
         val writer = build(in).writeStream.outputMode(mode)
         if (append)
           writer.format("parquet")
-            .option("path", sinkDir.toString)
-            .option("checkpointLocation", ckptDir.toString)
+            .option("path", sinkDir.get.toString)
+            .option("checkpointLocation", ckptDir.get.toString)
             .start()
         else writer.format("memory").queryName(name).start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", priorShufflePartitions)
     try {
       query.processAllAvailable()
-      if (append) spark.read.parquet(sinkDir.toString)
+      if (append) spark.read.parquet(sinkDir.get.toString)
       else {
         val sunk = spark.table(name)
         spark.createDataFrame(sunk.collectAsList(), sunk.schema)
@@ -169,7 +172,7 @@ object StreamGates {
     } finally {
       query.stop()
       if (!append) spark.catalog.dropTempView(name)
-      Seq(watchDir, stageDir, ckptDir).foreach(p => try rmTree(p) catch { case _: Exception => () })
+      (Seq(watchDir, stageDir) ++ ckptDir).foreach(p => try rmTree(p) catch { case _: Exception => () })
     }
   }
 

@@ -38,11 +38,9 @@ object Smoke {
     val distinctNames = customer.select("c_name").distinct().count()
     println(s"determinism: distinct (name,email) pairs = $distinctPairs, distinct names = $distinctNames")
 
-    // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 rejects it unless
-    // mapped to Long (nanos since epoch). Session-dynamic conf, so queries
-    // can set it on whatever session the harness hands us.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // Tpch.events normalizes ts to long nanos across fixture generations
+    // (legacy TIMESTAMP(NANOS) long mapping vs TIMESTAMP(MICROS) NTZ).
+    val events = graft.Tpch.events(spark, sfDir)
     val lensed = events.select(
       col("event_id"),
       col("props"),

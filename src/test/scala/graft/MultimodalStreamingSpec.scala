@@ -348,11 +348,11 @@ class MultimodalStreamingSpec extends SparkSpec {
   describe("streaming ⇄ batch equivalence (sf0.01 events fixture)") {
     val sfDir = "/root/testdata/sf0.01"
 
-    // ts arrives as TIMESTAMP(NANOS) → long nanos; operators work in the
-    // µs domain (matches the gate oracles' epoch_us).
+    // Tpch.events normalizes ts to long nanos regardless of the fixture's
+    // physical parquet type; operators work in the µs domain (matches the
+    // gate oracles' epoch_us).
     def fixtureEvents = {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
+      graft.Tpch.events(spark, sfDir)
         .select(
           col("event_id"), col("user_id"),
           timestamp_micros(expr("ts div 1000")).as("ts"),
