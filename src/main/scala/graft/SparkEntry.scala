@@ -759,6 +759,26 @@ object SparkEntry {
         .orderBy("doc_id", "matched_id")
     }),
 
+    // Persisted-index SERVING form of the same match stage: the index goes
+    // to DISK in its band-partitioned form (parquet partitioned by
+    // bucket = hash(band, key) % keyBuckets), is RELOADED from the path
+    // alone (parameters from the stored meta), and the probe reads ONLY
+    // the partitions the new batch's band keys hash to — the
+    // build → parquet → reload → match round trip a 100-TB incremental
+    // dedup serves from. Same oracle as q_dedup_incremental_matches: disk
+    // round trip and partition pruning must not change a single row.
+    "q_dedup_index_serve" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sigidx_").toString
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(all.where(col("doc_id") <= splitId), "text", "doc_id"), tmp)
+      Dedup.matchVsPersistedIndex(all.where(col("doc_id") > splitId), "text", "doc_id", tmp)
+        .select(col("doc_id"), col("matched_id"),
+          round(col("est_jaccard") * 32).cast("long").as("est_32"))
+        .orderBy("doc_id", "matched_id")
+    }),
+
     // BPE-ish pre-tokenization count (regex segmentation).
     "q_text_bpe_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -2013,6 +2033,13 @@ object SparkEntry {
            |ORDER BY doc_id""".stripMargin,
 
       "q_dedup_incremental_matches" ->
+        s"""WITH ${incrementalCte(hsh3, hashI)}
+           |SELECT nid AS doc_id, oid AS matched_id, CAST(k AS BIGINT) AS est_32
+           |FROM matched ORDER BY doc_id, matched_id""".stripMargin,
+
+      // Disk round trip + partition pruning are implementation details of
+      // the same match contract — oracle identical to the in-memory form.
+      "q_dedup_index_serve" ->
         s"""WITH ${incrementalCte(hsh3, hashI)}
            |SELECT nid AS doc_id, oid AS matched_id, CAST(k AS BIGINT) AS est_32
            |FROM matched ORDER BY doc_id, matched_id""".stripMargin,

@@ -1005,10 +1005,18 @@ object Dedup {
     * stringified and joined — same key construction as the in-corpus
     * candidate generators above).
     */
-  private[graft] def bandKeys(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private[graft] def bandKeys(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    bandedSignatures(sigs, numHashes, bands).select("doc_id", "band", "key")
+
+  /** `(doc_id, sig)` → `(doc_id, sig, band, key)`: [[bandKeys]] with the
+    * signature retained — the banded SERVING form the persisted index
+    * stores and a probe estimate-verifies against without a second join.
+    */
+  private[graft] def bandedSignatures(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     sigs.select(
       col("doc_id"),
+      col("sig"),
       explode(
         transform(
           sequence(lit(0), lit(bands - 1)),
@@ -1018,7 +1026,136 @@ object Dedup {
           )
         )
       ).as("bk")
-    ).select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    ).select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted band-partitioned signature index (disk serving form)
+  // ------------------------------------------------------------------
+
+  /** Partition bucket of a band key: `pmod(xxhash64(band, key), keyBuckets)`.
+    * Deterministic across writers and probes — the ONLY contract the
+    * pruning depends on.
+    */
+  private def bandBucket(keyBuckets: Int): Column =
+    pmod(xxhash64(col("band"), col("key")), lit(keyBuckets.toLong)).cast("int")
+
+  /** Build/serve parameters of a persisted signature index, stored beside
+    * the data (underscore-prefixed subdir — invisible to parquet partition
+    * discovery) so a prober needs only the path: n and numHashes pin the
+    * signature function, bands the key geometry, keyBuckets the partition
+    * layout. A probe with mismatched parameters would silently miss every
+    * collision; reading them from the index makes that unrepresentable.
+    */
+  final case class SignatureIndexMeta(n: Int, numHashes: Int, bands: Int, keyBuckets: Int)
+
+  private def metaPath(path: String) = s"$path/_graft_index_meta"
+
+  /** Read back the [[SignatureIndexMeta]] of a persisted index. */
+  def readSignatureIndexMeta(spark: org.apache.spark.sql.SparkSession, path: String): SignatureIndexMeta = {
+    val r = spark.read.parquet(metaPath(path)).select("n", "numHashes", "bands", "keyBuckets").head
+    SignatureIndexMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+
+  /** Persist a [[buildSignatureIndex]] frame in its banded serving form:
+    * parquet rows `(band, key, doc_id, sig)` PARTITIONED BY
+    * `bucket = pmod(xxhash64(band, key), keyBuckets)`. A probe computes its
+    * batch's buckets from the same formula and reads ONLY the colliding
+    * partition directories — at 10⁹ indexed docs a single-doc probe touches
+    * ≤ `bands` of `keyBuckets` partitions instead of rescanning the index
+    * (the [[matchVsPersistedIndex]] / serving-path contract; spec-pinned by
+    * PlanAuditSpec's partition-count assertion).
+    *
+    * Storage: the signature is stored once per band (×bands vs the compact
+    * index), the price of a join-free single-scan probe; band keys are
+    * low-entropy strings that parquet dictionary-encodes away. `append`
+    * adds an increment's survivors to an EXISTING index (same meta
+    * enforced) — the nightly-ingest write-back shape; nothing is rewritten.
+    */
+  def persistSignatureIndex(
+      index: DataFrame,
+      path: String,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      keyBuckets: Int = 64,
+      append: Boolean = false
+  ): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = index.sparkSession
+    import spark.implicits._
+    if (append) {
+      val m = readSignatureIndexMeta(spark, path)
+      require(m == SignatureIndexMeta(n, numHashes, bands, keyBuckets),
+        s"persistSignatureIndex(append): parameters $n/$numHashes/$bands/$keyBuckets do not match the existing index $m")
+    }
+    bandedSignatures(index, numHashes, bands)
+      .withColumn("bucket", bandBucket(keyBuckets))
+      // One shuffle on the partition column → each task owns whole buckets,
+      // so the write emits one file per (task, bucket) instead of
+      // tasks×buckets small files.
+      .repartition(col("bucket"))
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("bucket")
+      .parquet(path)
+    if (!append)
+      Seq((n, numHashes, bands, keyBuckets)).toDF("n", "numHashes", "bands", "keyBuckets")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath(path))
+  }
+
+  /** Reload the COMPACT `(doc_id, sig)` index from a persisted banded one
+    * (each doc stores its full signature in every band row — band 0 alone
+    * recovers the exact [[buildSignatureIndex]] frame). The nightly-batch
+    * re-entry point: feed to [[incrementalDedup]].
+    */
+  def loadSignatureIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).where(col("band") === 0).select("doc_id", "sig")
+
+  /** Match a new batch against a PERSISTED banded index, reading only the
+    * partitions the batch's own band keys hash to — the serving probe of a
+    * 100-TB incremental dedup. Build/serve parameters come from the index's
+    * stored meta. The batch's distinct buckets (≤ min(batch×bands,
+    * keyBuckets) values) are collected driver-side and pushed as a
+    * partition-column `isin` filter, which prunes at PLANNING time: a
+    * single-doc micro-batch scans ≤ bands/keyBuckets of the index, not all
+    * of it. Within the pruned scan the probe is one equi-join on
+    * (bucket, band, key) — the batch side is micro-batch-small, so AQE
+    * broadcasts it — then the exact k/numHashes estimate, pair-deduped.
+    * Same result set as [[incrementalDedup]]'s matchedVsIndex over the
+    * equivalent compact index (gate `q_dedup_index_serve` shares
+    * `q_dedup_incremental_matches`' oracle verbatim).
+    */
+  def matchVsPersistedIndex(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      estThreshold: Double = 0.8
+  ): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val m = readSignatureIndexMeta(spark, indexPath)
+    val nbd = Lineage.truncate(
+      bandedSignatures(
+        buildSignatureIndex(newDocs, textCol, idCol, m.n, m.numHashes), m.numHashes, m.bands)
+        .withColumn("bucket", bandBucket(m.keyBuckets))
+        .select(col("doc_id").as("nid"), col("sig").as("nsig"), col("bucket"), col("band"), col("key")))
+    val touched = nbd.select("bucket").distinct().as[Int].collect().sorted
+    val empty = spark.emptyDataset[(Long, Long, Double)].toDF("doc_id", "matched_id", "est_jaccard")
+    if (touched.isEmpty) empty
+    else {
+      val idx = spark.read.parquet(indexPath)
+        .where(col("bucket").isin(touched.map(b => b: Any): _*))
+        .select(col("doc_id").as("oid"), col("sig").as("osig"), col("bucket"), col("band"), col("key"))
+      val estU = udf { (a: Seq[Long], b: Seq[Long]) => estimateJaccard(a.toArray, b.toArray) }
+      nbd.join(idx, Seq("bucket", "band", "key"))
+        // A pair colliding in k bands appears k times with identical sigs —
+        // dedup BEFORE the estimate so the verify kernel runs once per pair.
+        .select("nid", "oid", "nsig", "osig").distinct()
+        .withColumn("est_jaccard", estU(col("nsig"), col("osig")))
+        .where(col("est_jaccard") >= estThreshold)
+        .select(col("nid").as("doc_id"), col("oid").as("matched_id"), col("est_jaccard"))
+    }
   }
 
   /** Whitespace tokens with empties dropped (shared with [[TextAnalysis]]). */

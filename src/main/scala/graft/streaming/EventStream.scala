@@ -372,62 +372,46 @@ object EventStream {
 
   /** Streaming serving form of [[graft.operators.Dedup.incrementalDedup]]'s
     * match stage: documents arrive as a STREAM and are checked against a
-    * STATIC persisted signature index — the shape a continuous-ingest
-    * pipeline runs (the batch form is the nightly compaction of the same
-    * contract). Stateless stream-static inner join on the LSH band keys
-    * (no streaming state, no watermark): the banded index is materialized
-    * ONCE via [[graft.plans.Lineage.truncate]] so each micro-batch joins
-    * against cached blocks instead of re-running the per-shingle MD5
-    * signature UDF over the whole index every trigger. Then the same
-    * exact-k/numHashes signature estimate as the batch kernel.
+    * PERSISTED band-partitioned signature index
+    * ([[graft.operators.Dedup.persistSignatureIndex]]) — the shape a
+    * continuous-ingest pipeline runs (the batch form is the nightly
+    * compaction of the same contract).
     *
-    * Emits one `(doc_id, matched_id, est_jaccard)` row PER COLLIDING BAND
-    * (band collisions of a pair carry identical estimates); downstream
-    * dedups or aggregates, mirroring how the batch kernel's per-row guard
-    * dedups in-process. Streamed ∘ distinct ≡ batch matchedVsIndex —
-    * driver-gated against the batch oracle verbatim.
+    * foreachBatch, not a stream-static join, deliberately: a stream-static
+    * join freezes ONE static plan at query start, so every micro-batch
+    * rescans the ENTIRE index — at 10⁹ indexed docs a single-doc trigger
+    * pays a full-index scan. Inside foreachBatch each micro-batch is a
+    * bounded frame, so the probe re-plans per trigger:
+    * [[graft.operators.Dedup.matchVsPersistedIndex]] collects the batch's
+    * band-key buckets and pushes them as a partition-column filter — the
+    * scan touches ≤ `bands × batchDocs` of the index's `keyBuckets`
+    * partitions, and the batch side rides a broadcast. Matches append to
+    * `sinkPath` as parquet (exactly-once via the checkpoint + sink log).
+    *
+    * Emissions are per colliding PAIR (the probe dedups band collisions
+    * in-plan); replayed-batch overlap after recovery is the caller's
+    * downstream DISTINCT, same as every at-least-once parquet sink.
     */
-  def matchVsIndexStream(
+  def matchVsPersistedIndexSink(
       stream: DataFrame,
       textCol: String,
       idCol: String,
-      index: DataFrame,
-      n: Int = 3,
-      numHashes: Int = 32,
-      bands: Int = 8,
-      estThreshold: Double = 0.8
-  ): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    def banded(df: DataFrame, idOut: String, sigOut: String) = df.select(
-      col("doc_id").as(idOut), col("sig").as(sigOut),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => struct(
-            b.as("band"),
-            concat_ws(":", transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string"))).as("key")
-          )
-        )
-      ).as("bk")
-    ).select(col(idOut), col(sigOut), col("bk.band").as("band"), col("bk.key").as("key"))
-    val streamSigs = stream.select(
-      col(idCol).cast("long").as("doc_id"),
-      graft.operators.Dedup.minHashSignature(col(textCol), n, numHashes).as("sig"))
-    val estU = udf { (a: Seq[Long], b: Seq[Long]) =>
-      graft.operators.Dedup.estimateJaccard(a.toArray, b.toArray)
-    }
-    // The static side is materialized ONCE: a stream-static join rescans
-    // the static plan EVERY micro-batch, and the index's signature UDF
-    // (one MD5 per shingle per doc) is far too expensive to re-run per
-    // trigger — truncation pins the banded index as blocks to rescan.
-    val staticBanded = graft.plans.Lineage.truncate(banded(index, "matched_id", "osig"))
-    banded(streamSigs, "doc_id", "nsig")
-      .join(staticBanded, Seq("band", "key"))
-      .withColumn("est_jaccard", estU(col("nsig"), col("osig")))
-      .where(col("est_jaccard") >= estThreshold)
-      .select("doc_id", "matched_id", "est_jaccard")
-  }
+      indexPath: String,
+      sinkPath: String,
+      checkpointPath: String,
+      estThreshold: Double = 0.8,
+      queryName: String = "match_vs_persisted_index"
+  ) =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup
+          .matchVsPersistedIndex(batch, textCol, idCol, indexPath, estThreshold)
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
 
   /** Convenience: run a streaming frame into an in-memory sink and return
     * the query (tests and demos; production sinks are the caller's choice).

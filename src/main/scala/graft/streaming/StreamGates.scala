@@ -66,26 +66,19 @@ object StreamGates {
     p
   }
 
-  /** Write `src` as `chunks` chronological parquet files (quantile splits
-    * on `tsCol`, one file per chunk, strictly increasing mtimes), then run
-    * it through `build` as a `maxFilesPerTrigger=1` file-source stream
-    * into a memory sink; returns the sink contents materialized to a
-    * local frame, with the query stopped, the temp view dropped, and the
-    * staging directory deleted.
-    *
-    * `flush` frames are appended as further files AFTER the data chunks —
-    * watermark-flush sentinels each get their own micro-batch: one to
-    * carry the watermark forward, the next to run the resulting timeouts.
+  /** Stage `src` as `chunks` chronological parquet files under a fresh
+    * watch directory (quantile splits on `tsCol`, one file per chunk,
+    * strictly increasing mtimes) ready for a `maxFilesPerTrigger=1`
+    * file-source replay. Returns (watchDir, stageDir) — caller deletes
+    * both.
     */
-  private[graft] def replayViaFiles(
-      spark: SparkSession,
+  private def stageChronologicalChunks(
       src: DataFrame,
       tsCol: String,
       chunks: Int,
-      mode: OutputMode,
-      flush: Seq[DataFrame] = Seq.empty
-  )(build: DataFrame => DataFrame): DataFrame = {
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+      flush: Seq[DataFrame]
+  ): (java.nio.file.Path, java.nio.file.Path) = {
+    import java.nio.file.{Files, Path, StandardCopyOption}
     val watchDir = Files.createTempDirectory("stream_gate_watch")
     val stageDir = Files.createTempDirectory("stream_gate_stage")
 
@@ -120,6 +113,30 @@ object StreamGates {
     }
     (0 until chunks).foreach(i => addFile(src.where(chunkIdx === i)))
     flush.foreach(addFile)
+    (watchDir, stageDir)
+  }
+
+  /** Write `src` as `chunks` chronological parquet files (quantile splits
+    * on `tsCol`, one file per chunk, strictly increasing mtimes), then run
+    * it through `build` as a `maxFilesPerTrigger=1` file-source stream
+    * into a memory sink; returns the sink contents materialized to a
+    * local frame, with the query stopped, the temp view dropped, and the
+    * staging directory deleted.
+    *
+    * `flush` frames are appended as further files AFTER the data chunks —
+    * watermark-flush sentinels each get their own micro-batch: one to
+    * carry the watermark forward, the next to run the resulting timeouts.
+    */
+  private[graft] def replayViaFiles(
+      spark: SparkSession,
+      src: DataFrame,
+      tsCol: String,
+      chunks: Int,
+      mode: OutputMode,
+      flush: Seq[DataFrame] = Seq.empty
+  )(build: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.Files
+    val (watchDir, stageDir) = stageChronologicalChunks(src, tsCol, chunks, flush)
 
     // Stateful streaming pays a per-micro-batch cost PER STATE PARTITION
     // (store commit + task launch × partitions × batches), and the state
@@ -173,6 +190,49 @@ object StreamGates {
       query.stop()
       if (!append) spark.catalog.dropTempView(name)
       (Seq(watchDir, stageDir) ++ ckptDir).foreach(p => try rmTree(p) catch { case _: Exception => () })
+    }
+  }
+
+  /** [[replayViaFiles]]' foreachBatch sibling: each micro-batch runs
+    * through `perBatch` as a BOUNDED frame (so driver-side planning per
+    * batch — partition-pruned probes, per-batch broadcasts — is legal) and
+    * its result is appended to a parquet sink dir; returns a frame over
+    * the sink. This is the serving shape for stream-vs-persisted-index
+    * probes: a stream-static join cannot re-plan the static side per
+    * batch, foreachBatch can.
+    */
+  private[graft] def replayViaForeachBatch(
+      spark: SparkSession,
+      src: DataFrame,
+      tsCol: String,
+      chunks: Int
+  )(perBatch: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.Files
+    val (watchDir, stageDir) = stageChronologicalChunks(src, tsCol, chunks, Seq.empty)
+    val sinkDir = Files.createTempDirectory(appendSinkRoot, "sink")
+    val ckptDir = Files.createTempDirectory(appendSinkRoot, "ckpt")
+    val priorShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try
+        spark.readStream
+          .schema(src.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(watchDir.toString)
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckptDir.toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            perBatch(batch).write.mode("append").parquet(sinkDir.toString)
+          }
+          .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", priorShufflePartitions)
+    try {
+      query.processAllAvailable()
+      spark.read.parquet(sinkDir.toString)
+    } finally {
+      query.stop()
+      Seq(watchDir, stageDir, ckptDir).foreach(p => try rmTree(p) catch { case _: Exception => () })
     }
   }
 
@@ -304,28 +364,35 @@ object StreamGates {
 
   /** `q_dedup_incremental_stream`: the second half of the documents table
     * (by doc_id, same split as the batch `q_dedup_incremental_matches`
-    * gate) streamed through [[EventStream.matchVsIndexStream]] against the
-    * first half's signature index. Per-band duplicate emissions collapse
-    * under the post-hoc DISTINCT (exactly the batch kernel's in-process
-    * guard), so the gate shares the batch matches oracle verbatim —
-    * streamed serving and nightly batch must agree to the last row.
+    * gate) streamed in micro-batches against the first half's PERSISTED
+    * band-partitioned signature index — each batch runs
+    * [[graft.operators.Dedup.matchVsPersistedIndex]]'s partition-pruned
+    * probe inside foreachBatch (the [[EventStream.matchVsPersistedIndexSink]]
+    * serving shape, driven through the replay harness). The gate shares
+    * the batch matches oracle verbatim — streamed serving, persisted-index
+    * serving, and nightly batch must agree to the last row.
     */
   def incrementalMatchViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Dedup
     val all = graft.Tpch.table(spark, sfDir, "documents")
     val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
-    val index = graft.operators.Dedup.buildSignatureIndex(
-      all.where(col("doc_id") <= splitId), "text", "doc_id")
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_sigidx_stream")
+    Dedup.persistSignatureIndex(
+      Dedup.buildSignatureIndex(all.where(col("doc_id") <= splitId), "text", "doc_id"),
+      indexDir.toString)
     val newDocs = all.where(col("doc_id") > splitId)
       .select(
         col("doc_id"),
         timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
         col("text"))
-    replayViaFiles(spark, newDocs, "ts", chunks = 3, OutputMode.Append())(
-      in => EventStream.matchVsIndexStream(in, "text", "doc_id", index))
-      .select(col("doc_id"), col("matched_id"),
-        round(col("est_jaccard") * 32).cast("long").as("est_32"))
-      .distinct()
-      .orderBy("doc_id", "matched_id")
+    try
+      replayViaForeachBatch(spark, newDocs, "ts", chunks = 3)(
+        b => Dedup.matchVsPersistedIndex(b, "text", "doc_id", indexDir.toString))
+        .select(col("doc_id"), col("matched_id"),
+          round(col("est_jaccard") * 32).cast("long").as("est_32"))
+        .distinct()
+        .orderBy("doc_id", "matched_id")
+    finally rmTree(indexDir)
   }
 
   def nearDupViaStream(spark: SparkSession, sfDir: String): DataFrame = {
