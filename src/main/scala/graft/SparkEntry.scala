@@ -971,6 +971,17 @@ object SparkEntry {
           keepFraction = 0.7)
         .orderBy("doc_id")),
 
+    // Supervised quality classifier: the pinned fastText-style hashed-token
+    // linear model (QualityClassifierPinned — micro-unit integer weights
+    // distilling the LM filter; training reproducibility spec-pinned),
+    // served scan-local against the broadcast weights. Integer logits, so
+    // the oracle replays them exactly from the pinned constants.
+    "q_text_classifier_score" -> ((s, dir) =>
+      graft.operators.QualityClassifier.score(
+          t(s, dir, "documents"), "text", "doc_id",
+          graft.operators.QualityClassifierPinned.model)
+        .orderBy("doc_id")),
+
     // Fixed-point PageRank over a deterministic synthetic link graph
     // (3 modular out-edges per doc): 10 integer-arithmetic iterations,
     // bit-identical on any engine (oracle unrolls the rounds as CTEs).
@@ -2312,6 +2323,23 @@ object SparkEntry {
            |ORDER BY doc_id, rnk""".stripMargin,
 
       "q_pagerank" -> pageRankOracleSql,
+
+      // Supervised classifier: hashed-token counts joined against the
+      // pinned micro-unit weights — pure integer arithmetic, exact.
+      "q_text_classifier_score" -> {
+        import graft.operators.QualityClassifierPinned
+        val wVals = QualityClassifierPinned.nonZero
+          .map { case (b, w) => s"($b, $w)" }.mkString(", ")
+        s"""WITH tk AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
+           |f AS (SELECT doc_id, (${hashSql("tok")} % ${QualityClassifierPinned.dim}) AS b, count(*) AS c
+           |      FROM tk GROUP BY 1, 2),
+           |w(b, wm) AS (VALUES $wVals),
+           |s AS (SELECT doc_id, sum(c * wm) AS dot FROM f JOIN w USING (b) GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  CAST(${QualityClassifierPinned.biasMicro} + coalesce(s.dot, 0) AS BIGINT) AS logit_micro,
+           |  (${QualityClassifierPinned.biasMicro} + coalesce(s.dot, 0)) >= 0 AS kept
+           |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin
+      },
 
       // Calibrated LM filter: the shared LM chain, then the exact k-th
       // smallest milli score (row_number = k ≡ the histogram prefix sum)

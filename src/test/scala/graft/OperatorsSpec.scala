@@ -797,6 +797,63 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("QualityClassifier") {
+    import graft.operators.{QualityClassifier, QualityClassifierPinned, TextAnalysis}
+
+    it("QualityClassifierPinned is exactly what retraining on its fixture produces") {
+      // Fixed-point gradient sums are partitioning-independent integer
+      // additions, so retraining must reproduce every micro-unit weight
+      // bit-for-bit. Fails if the pinned file is hand-edited or training
+      // determinism regresses.
+      val docs = spark.read.parquet(s"${QualityClassifierPinned.trainedOn}/documents.parquet")
+      val labeled = docs.join(
+        TextAnalysis.lmQualityScore(docs, "text", "doc_id", nllThreshold = 3.45)
+          .select(col("doc_id"), col("kept").cast("int").as("label")),
+        "doc_id")
+      val model = QualityClassifier.train(labeled, "text", "label",
+        QualityClassifierPinned.dim, QualityClassifierPinned.iters,
+        QualityClassifierPinned.learningRate)
+      model.biasMicro shouldBe QualityClassifierPinned.biasMicro
+      model.nonZero shouldBe QualityClassifierPinned.nonZero
+    }
+
+    it("the distilled classifier substantially agrees with its LM teacher") {
+      val docs = spark.read.parquet(s"${QualityClassifierPinned.trainedOn}/documents.parquet")
+      val teacher = TextAnalysis.lmQualityScore(docs, "text", "doc_id", nllThreshold = 3.45)
+        .select(col("doc_id"), col("kept").as("label"))
+      val scored = QualityClassifier.score(docs, "text", "doc_id", QualityClassifierPinned.model)
+        .select(col("doc_id"), col("kept"))
+      val joined = scored.join(teacher, "doc_id")
+      val n     = joined.count().toDouble
+      val agree = joined.where(col("kept") === col("label")).count().toDouble
+      // Both classes must be represented (the model is not a constant
+      // predictor) and agreement must beat the majority-class baseline.
+      scored.select("kept").distinct().count() shouldBe 2
+      val majority = math.max(
+        teacher.where(col("label")).count(),
+        teacher.where(!col("label")).count()).toDouble
+      agree / n should be > majority / n
+    }
+
+    it("persisted model round-trips and scores identically") {
+      val docs = spark.read.parquet(s"${QualityClassifierPinned.trainedOn}/documents.parquet")
+      val tmp  = java.nio.file.Files.createTempDirectory("qc_model_").toString
+      try {
+        QualityClassifier.persistModel(spark, QualityClassifierPinned.model, tmp)
+        val loaded = QualityClassifier.loadModel(spark, tmp)
+        loaded.dim shouldBe QualityClassifierPinned.dim
+        loaded.biasMicro shouldBe QualityClassifierPinned.biasMicro
+        loaded.weightsMicro.toSeq shouldBe QualityClassifierPinned.model.weightsMicro.toSeq
+        val a = QualityClassifier.score(docs, "text", "doc_id", QualityClassifierPinned.model)
+        val b = QualityClassifier.score(docs, "text", "doc_id", loaded)
+        a.exceptAll(b).count() shouldBe 0L
+      } finally {
+        def rm(p: java.io.File): Unit = { Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); () }
+        rm(new java.io.File(tmp))
+      }
+    }
+  }
+
   describe("Bpe") {
     import graft.operators.{Bpe, BpePinned}
     it("BpePinned is exactly what retraining on its fixture produces") {
