@@ -616,6 +616,16 @@ object SparkEntry {
           threshold = 0.4, numPlanes = 8)
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup: IVF cell (pinned quantizer) → within-cell cosine near-dup
+    // → transitive clusters → keep the farthest-from-centroid member.
+    // The oracle replays cell assignment, the cell-restricted pair scan,
+    // the connected components, and the centroid-cosine keep rule.
+    "q_embed_semdedup" -> ((s, dir) =>
+      Dedup.semDeDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          graft.operators.IvfPinned.centroids, threshold = 0.4)
+        .select("vec_id")
+        .orderBy("vec_id")),
+
     // Brute-force cosine top-k (query set = vec_id < 5).
     "q_knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1820,6 +1830,37 @@ object SparkEntry {
            |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
            |SELECT id_a, id_b, round(c, 6) AS cos_r FROM p WHERE c >= 0.4
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // SemDeDup replay: pinned-centroid cell assignment (the ivf_probe
+      // asg CTE), within-cell pairs at >= 0.4, CC via the recursive reach
+      // pattern, keep-best = lowest centroid cosine (score = -cc DESC ≡
+      // cc ASC), ties lowest id.
+      "q_embed_semdedup" -> {
+        val centsArr = graft.operators.IvfPinned.centroids
+          .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+        val nlist   = graft.operators.IvfPinned.nlist
+        val cellCos = cosineSql("v.ve", "ct[cells.cell + 1]")
+        s"""WITH RECURSIVE cents_t AS (SELECT $centsArr AS ct),
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+           |cells AS (SELECT unnest(range(0, $nlist)) AS cell),
+           |asg AS (SELECT vec_id, ve, cell, cc FROM (
+           |  SELECT v.vec_id, v.ve, cells.cell, $cellCos AS cc,
+           |         row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, cells.cell) AS pr
+           |  FROM v, cents_t, cells) WHERE pr = 1),
+           |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+           |      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |      WHERE ${cosineSql("a.ve", "b.ve")} >= 0.4),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+           |reach(a, b) AS (SELECT DISTINCT a, a FROM edges
+           |                UNION
+           |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |comp AS (SELECT a AS node, min(b) AS rep FROM reach GROUP BY a),
+           |ranked AS (SELECT c.node, row_number() OVER (PARTITION BY c.rep ORDER BY g.cc ASC, c.node) AS rn
+           |           FROM comp c JOIN asg g ON c.node = g.vec_id),
+           |losers AS (SELECT node FROM ranked WHERE rn > 1)
+           |SELECT vec_id FROM v WHERE vec_id NOT IN (SELECT node FROM losers)
+           |ORDER BY vec_id""".stripMargin
+      },
 
       "q_embed_neardup_lsh" ->
         // Same deterministic hyperplane replication as q_knn_lsh: the

@@ -1337,4 +1337,52 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cos_r"))
   }
+
+  /** SemDeDup-style embedding-cluster dedup (Abbas et al. 2023): assign
+    * every vector to its nearest pre-trained IVF centroid, find
+    * cosine-near-duplicate pairs WITHIN each cell only, cluster them
+    * transitively, and keep per cluster the member FARTHEST from its
+    * centroid (lowest centroid-cosine; ties → lowest id) — semantic
+    * near-dup families collapse to their least-prototypical member, which
+    * preserves corpus diversity (the paper's selection rule).
+    *
+    * Scale shape — per-cell work only: assignment is one scan against the
+    * broadcast centroids (zero shuffles); the pair join is keyed on the
+    * cell id, so candidate generation is |cell|²-bounded instead of
+    * corpus² (cells are balanced by the trained quantizer, unlike
+    * fixed-hyperplane LSH buckets); clustering and keep-best touch only
+    * clustered rows. Works unchanged on 10⁹ vectors: no broadcast of the
+    * corpus, no all-pairs stage, shuffles keyed on cell / cluster ids.
+    *
+    * Returns the surviving rows of `df` (original columns).
+    */
+  def semDeDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double,
+      clusterMode: ClusterMode = ClusterMode.Auto()
+  ): DataFrame = {
+    val assigned = Lineage.truncate(
+      Similarity.ivfAssign(
+        df.select(col(idCol).cast("long").as("sd_id"), col(vecCol).as("sd_vec")), "sd_vec", centroids))
+    val l = assigned.select(col("sd_id").as("doc_a"), col("sd_vec").as("vec_a"), col("cell"))
+    val r = assigned.select(col("sd_id").as("doc_b"), col("sd_vec").as("vec_b"), col("cell"))
+    val pairs = l.join(r, "cell")
+      .where(col("doc_a") < col("doc_b"))
+      .where(Similarity.cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select("doc_a", "doc_b")
+    val clusters = duplicateClusters(pairs, mode = clusterMode)
+    // Keep-best score: NEGATED centroid cosine (keep the farthest-from-
+    // centroid member). Scored frame joins back on id so `df`'s own
+    // columns pass through untouched.
+    val scored = df.join(
+      assigned.select(
+        col("sd_id"),
+        negate(Similarity.centroidCosine(centroids)(col("sd_vec"), col("cell"))).as("_sd_score")),
+      df(idCol).cast("long") === col("sd_id"))
+    dedupByClustersKeepBest(scored, idCol, "_sd_score", clusters)
+      .drop("sd_id", "_sd_score")
+  }
 }

@@ -247,6 +247,28 @@ object Similarity {
     dot / math.sqrt(na * nb)
   }
 
+  /** Assign every vector its nearest-centroid cell (cosine, lowest index
+    * on ties) against broadcast PRE-TRAINED centroids — one scan-local
+    * UDF, zero shuffles. The partitioning primitive under every per-cell
+    * operator: IVF serving ([[ivfTopKWith]]) and cell-restricted dedup
+    * ([[Dedup.semDeDup]]). Output: the input columns plus `cell` INT.
+    */
+  def ivfAssign(df: DataFrame, vecCol: String, centroids: Array[Array[Double]]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val assignU = udf { (v: Array[Float]) => nearestCell(v.map(_.toDouble), bc.value) }
+    df.withColumn("cell", assignU(col(vecCol)))
+  }
+
+  /** Cosine of each row's vector to its `cellCol`-indexed centroid — the
+    * per-member "prototypicality" score SemDeDup ranks cluster members by.
+    * Same fold order as [[cosine]]/the oracles' cosineSql, so the doubles
+    * are engine-exact.
+    */
+  def centroidCosine(centroids: Array[Array[Double]])(vec: Column, cell: Column): Column = {
+    val u = udf { (v: Array[Float], c: Int) => cosineDD(v.map(_.toDouble), centroids(c)) }
+    u(vec, cell)
+  }
+
   /** IVF (inverted-file) approximate top-k — the data-ADAPTIVE scale path
     * next to the data-independent hyperplane LSH: the trained quantizer
     * partitions the corpus into `nlist` cells (one narrow shuffle on the

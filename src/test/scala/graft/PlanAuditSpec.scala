@@ -284,6 +284,17 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("semDeDup's pair stage is cell-keyed — no cartesian, no nested loop") {
+      assume(new java.io.File(sfDir).isDirectory)
+      withoutAqe {
+        val emb  = Tpch.table(spark, sfDir, "embeddings")
+        val plan = executed(graft.operators.Dedup.semDeDup(
+          emb, "vec_id", "embedding", graft.operators.IvfPinned.centroids, threshold = 0.4))
+        plan.toString should not include "CartesianProduct"
+        plan.toString should not include "BroadcastNestedLoopJoin"
+      }
+    }
+
     it("the native cosine expression stays inside whole-stage codegen") {
       assume(new java.io.File(sfDir).isDirectory)
       withoutAqe {
