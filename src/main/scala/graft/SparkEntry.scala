@@ -1619,15 +1619,33 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Candidate generation replaying `CandidateMode.Auto` EXACTLY: the
-    * capped inverted index when it covers ≥ 50% of documents, the 32-hash
-    * 4-band MinHash fallback when the index is blind (the sf0.1 regime —
-    * min shingle doc-freq 250 > cap 100). The coverage probe is the same
-    * comparison the engine makes, so the oracle tracks the engine's
-    * regime switch at ANY scale factor, not just the driver's sf0.01.
+    * capped inverted index when it covers ≥ 50% of documents, the
+    * RECALL-DRIVEN MinHash band fallback when the index is blind (the
+    * sf0.1 regime — min shingle doc-freq 250 > cap 100). The geometry,
+    * the estimate-prune engage decision, and the cutoff all come from the
+    * SAME functions the engine calls (`Dedup.recallGeometry(0.8)` /
+    * `Dedup.bandPruneCutoff`), so the oracle tracks the engine's regime
+    * switch AND its s-curve-derived geometry at any scale factor.
     * Requires a preceding `docs(doc_id, shs)` CTE; ends with
     * `cand(doc_a, doc_b)`.
     */
-  private def adaptiveCandCte(hashI: String, bandKey: String): String =
+  private def adaptiveCandCte(hashI: String, bandKey: String): String = {
+    val (adNh, adBands) = graft.operators.Dedup.recallGeometry(0.8)
+    val adRows    = adNh / adBands
+    val adOffsets = graft.operators.Dedup.minHashOffsets(adNh).mkString("[", ",", "]")
+    val adHashI   = s"(((2*i+1) * h + ($adOffsets)[(i+1)::BIGINT]) % ${graft.operators.Dedup.MinHashPrime})"
+    val adBandKey = (1 to adRows).map(k => s"sg[$adRows*b+$k]::VARCHAR").mkString(" || ':' || ")
+    val candBand = graft.operators.Dedup.bandPruneCutoff(0.8, adNh, adBands) match {
+      case Some(cut) =>
+        // Replays bandedCandidatesFromHashes' estimate prune: distinct
+        // collisions, exact eq-component count / numHashes, >= cutoff.
+        s"""est AS (SELECT doc_a, doc_b,
+           |  (len([i for i in range(1, ${adNh + 1}) if x.sg[i] = y.sg[i]])::DOUBLE / $adNh) AS e
+           |  FROM cand_raw JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id),
+           |cand_band AS (SELECT doc_a, doc_b FROM est WHERE e >= $cut)""".stripMargin
+      case None =>
+        "cand_band AS (SELECT doc_a, doc_b FROM cand_raw)"
+    }
     s"""sh AS (SELECT doc_id, unnest(shs) AS sh FROM docs),
        |keep AS (SELECT sh FROM (SELECT sh, count(*) AS f FROM sh GROUP BY 1) WHERE f <= 100),
        |idx AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep k ON s.sh = k.sh),
@@ -1635,13 +1653,15 @@ object SparkEntry {
        |cand_idx AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |             FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id),
        |bdocs AS (SELECT doc_id, shs FROM docs WHERE NOT (SELECT use_idx FROM cov)),
-       |sig AS (SELECT doc_id, [list_min([$hashI for h in shs]) for i in range(0, 32)] AS sg FROM bdocs),
-       |bands AS (SELECT doc_id, b, $bandKey AS key FROM sig, range(0, 4) t(b)),
-       |cand_band AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-       |              FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+       |sig AS (SELECT doc_id, [list_min([$adHashI for h in shs]) for i in range(0, $adNh)] AS sg FROM bdocs),
+       |bands AS (SELECT doc_id, b, $adBandKey AS key FROM sig, range(0, $adBands) t(b)),
+       |cand_raw AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |             FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+       |$candBand,
        |cand AS (SELECT doc_a, doc_b FROM cand_idx WHERE (SELECT use_idx FROM cov)
        |         UNION ALL
-       |         SELECT doc_a, doc_b FROM cand_band)""".stripMargin
+       |         SELECT doc_a, doc_b FROM cand_band WHERE NOT (SELECT use_idx FROM cov))""".stripMargin
+  }
 
   /** Shared recursive-CTE chain computing connected components over the
     * n-gram near-dup pairs (Auto-adaptive candidates → exact Jaccard →

@@ -190,21 +190,81 @@ object Dedup {
       *
       * There is no geometry with both ≥ 95% recall at 0.8 AND low collision
       * at 0.65 — the per-row discrimination (0.8/0.65)^r needs r ≈ 22 and
-      * b ≈ 400 (≈ 9k hashes) to hold both. Pick by workload: the default
-      * favors bounded cost and catches strong near-dups; pass
-      * `MinHashBands(32, 8)` when borderline-threshold recall matters more
-      * than wall clock.
+      * b ≈ 400 (≈ 9k hashes) to hold both. MEASURED COST of buying the
+      * recall (sf0.1 documents corpus, GeoBench, warmed): the recall-driven
+      * 6-rows × 10-bands geometry at 0.8 runs ~1.9× the old fixed
+      * 8×4 fallback's wall (1.5 s → 2.9 s) on 11× the collision volume
+      * (136k → 1.5M candidate rows, estimate-pruned before exact verify) —
+      * the price of 52% → 95% s-curve recall at the threshold. Pick by
+      * workload: pass an explicit selective geometry when cost matters
+      * more than borderline-threshold recall.
       */
     case class MinHashBands(numHashes: Int = 32, bands: Int = 4) extends CandidateMode
+
+    /** Band geometry CHOSEN FROM THE S-CURVE at the operator's threshold:
+      * [[recallGeometry]] picks the most selective (rows, bands) whose
+      * collision probability at the threshold clears `targetRecall` within
+      * the `maxHashes` signature budget — callers state the recall they
+      * need instead of guessing a geometry.
+      */
+    case class MinHashRecall(targetRecall: Double = 0.95, maxHashes: Int = 64) extends CandidateMode
 
     /** Probe the capped index's document coverage (fraction of documents
       * retaining ≥1 indexable shingle — one extra aggregation over frames
       * the index builds anyway) and fall back to band candidates when the
       * index can no longer see `minDocCoverage` of the corpus. Fallback
-      * recall is the [[MinHashBands]] s-curve (logged with numbers at
-      * switch time).
+      * geometry: `numHashes`/`bands` when set explicitly; the default 0/0
+      * means DERIVE from the s-curve at the operator's threshold
+      * ([[recallGeometry]], ≥95% recall) — the fixed fallback geometry
+      * that silently underrecalled at 0.7/0.8 is gone. Recall is logged
+      * with numbers at switch time either way.
       */
-    case class Auto(minDocCoverage: Double = 0.5, numHashes: Int = 32, bands: Int = 4) extends CandidateMode
+    case class Auto(minDocCoverage: Double = 0.5, numHashes: Int = 0, bands: Int = 0) extends CandidateMode
+  }
+
+  /** The most selective band geometry whose s-curve recall at `threshold`
+    * clears `targetRecall` within a `maxHashes` signature budget, returned
+    * as (numHashes, bands) with rows = numHashes / bands.
+    *
+    * A pair of true Jaccard j collides in some band of an r-rows × b-bands
+    * geometry with probability 1 − (1 − j^r)^b. For fixed r the minimum
+    * feasible band count is b(r) = ⌈ln(1−target) / ln(1−t^r)⌉; larger r is
+    * strictly more selective against sub-threshold pairs (collision odds
+    * scale like (j/t)^r), so the chooser takes the LARGEST r whose
+    * r·b(r) still fits the budget. At the defaults: t=0.7 → 4×11 (95.1%),
+    * t=0.8 → 6×10 (95.2%), t=0.9 → 9×7 (96.7%) — versus 52%/88% at
+    * 0.8/0.9 for a fixed 8-rows × 4-bands geometry (spec-pinned).
+    */
+  def recallGeometry(threshold: Double, targetRecall: Double = 0.95, maxHashes: Int = 64): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    require(targetRecall > 0 && targetRecall < 1, "targetRecall must be in (0, 1)")
+    var best: Option[(Int, Int)] = None
+    var r = 1
+    var feasible = true
+    while (feasible && r <= maxHashes) {
+      val pr = math.pow(threshold, r)
+      val b  = math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pr)).toInt)
+      if (r.toLong * b <= maxHashes) { best = Some((r, b)); r += 1 }
+      else feasible = false // b(r) is nondecreasing in r — no larger r fits
+    }
+    val (rows, bands) = best.getOrElse(throw new IllegalArgumentException(
+      s"recallGeometry: no geometry reaches $targetRecall recall at threshold $threshold within $maxHashes hashes"))
+    (rows * bands, bands)
+  }
+
+  /** The estimate-prune cutoff [[ngramJaccardPairs]] applies between band
+    * collision and exact verification when the geometry's s-curve midpoint
+    * (1/b)^(1/r) sits below the threshold (the flood regime): t − 3σ with
+    * σ = √(t(1−t)/numHashes) keeps ≥ ~99.4% of true-threshold pairs.
+    * None when the geometry is already selective. Public so the DuckDB
+    * oracle generator derives the identical cutoff.
+    */
+  def bandPruneCutoff(threshold: Double, numHashes: Int, bands: Int): Option[Double] = {
+    val rows     = numHashes / bands
+    val midpoint = math.pow(1.0 / bands, 1.0 / rows)
+    if (midpoint < threshold)
+      Some(threshold - 3.0 * math.sqrt(threshold * (1 - threshold) / numHashes))
+    else None
   }
 
   private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -257,26 +317,24 @@ object Dedup {
       a.join(b, a("sh") === b("sh") && a("doc_a") < b("doc_b"))
         .select(col("doc_a"), col("doc_b"))
     }
-    // Band-candidate prune: engages only in the FLOOD regime — a geometry
-    // whose s-curve midpoint (1/b)^(1/r) sits
+    // Band-candidate prune ([[bandPruneCutoff]]): engages only in the
+    // FLOOD regime — a geometry whose s-curve midpoint (1/b)^(1/r) sits
     // below the threshold collides heavily on sub-threshold pairs; the
     // signature-estimate cutoff t − 3σ sheds them before exact verify
-    // while keeping ≥ ~99.4% of true-threshold pairs. The default 4×8
-    // geometry's midpoint is above the threshold (selective already), and
-    // there the extra distinct + signature joins would only add cost.
-    def pruneCutoff(nh: Int, b: Int): Option[Double] = {
-      val rows     = nh / b
-      val midpoint = math.pow(1.0 / b, 1.0 / rows)
-      if (midpoint < threshold)
-        Some(threshold - 3.0 * math.sqrt(threshold * (1 - threshold) / nh))
-      else None
-    }
+    // while keeping ≥ ~99.4% of true-threshold pairs. Selective
+    // geometries (midpoint above threshold) skip it: there the extra
+    // distinct + signature joins would only add cost.
     def bandRecall(nh: Int, b: Int): Double =
       1.0 - math.pow(1.0 - math.pow(threshold, nh / b), b)
+    def banded(nh: Int, b: Int) =
+      bandedCandidatesFromHashes(docs, nh, b, bandPruneCutoff(threshold, nh, b))
     val rawCand = candidates match {
-      case CandidateMode.InvertedIndex           => indexCandidates
-      case CandidateMode.MinHashBands(nh, b)     => bandedCandidatesFromHashes(docs, nh, b, pruneCutoff(nh, b))
-      case CandidateMode.Auto(minCov, nh, b) =>
+      case CandidateMode.InvertedIndex       => indexCandidates
+      case CandidateMode.MinHashBands(nh, b) => banded(nh, b)
+      case CandidateMode.MinHashRecall(target, maxH) =>
+        val (nh, b) = recallGeometry(threshold, target, maxH)
+        banded(nh, b)
+      case CandidateMode.Auto(minCov, nh0, b0) =>
         maxShingleFreq match {
           case None => indexCandidates // uncapped index never goes blind (cost, not recall, is its bound)
           case Some(_) =>
@@ -284,16 +342,19 @@ object Dedup {
             val covered = indexed.select(countDistinct(col("doc_id"))).head.getLong(0)
             if (covered >= minCov * nDocs) indexCandidates
             else {
+              // 0/0 = derive the geometry from the s-curve at THIS
+              // threshold (≥95% recall) instead of a fixed fallback.
+              val (nh, b) = if (nh0 <= 0 || b0 <= 0) recallGeometry(threshold) else (nh0, b0)
               logger.warn(
                 "ngramJaccardPairs: capped inverted index covers {}/{} documents (< {}) — " +
                   "no shingle is rarer than maxShingleFreq on this corpus; switching candidate " +
                   "generation to MinHash bands ({} hashes × {} bands): recall at the {} threshold " +
                   "is ~{} (band s-curve; see CandidateMode.MinHashBands for the recall/cost trade). " +
                   "Pass candidates = CandidateMode.InvertedIndex to force the index formulation, " +
-                  "or MinHashBands(32, 8) for ~98% recall at higher cost.",
+                  "or an explicit MinHashBands geometry to trade recall against collision volume.",
                 covered, nDocs, minCov, nh, b, threshold, f"${bandRecall(nh, b)}%.2f"
               )
-              bandedCandidatesFromHashes(docs, nh, b, pruneCutoff(nh, b))
+              banded(nh, b)
             }
         }
     }
@@ -330,16 +391,35 @@ object Dedup {
       val sig = Array.fill(numHashes)(Long.MaxValue)
       shingleSet.foreach { sh =>
         val h = graft.functions.Anonymizer.stableHash(sh).toLong
-        var i = 0
-        while (i < numHashes) {
-          val v = ((2L * i + 1) * h + offsets(i)) % MinHashPrime
-          if (v < sig(i)) sig(i) = v
-          i += 1
-        }
+        affineMinInto(h, offsets, sig)
       }
       sig.toSeq
     }
     u(text)
+  }
+
+  /** The affine-permutation inner loop shared by every signature kernel:
+    * fold min(((2i+1)·h + B_i) mod P) into `sig` for one shingle hash.
+    * (2i+1)·h mod P is built INCREMENTALLY (+2h mod P per step) and the
+    * mod is a conditional subtraction — all operands stay < 2P, so the
+    * identities are exact and the values are bit-identical to the direct
+    * multiply-mod form the DuckDB oracles replay, without the 64-bit
+    * division that dominated the signature pass (~2× kernel speedup at
+    * 60+ hashes).
+    */
+  @inline private def affineMinInto(h: Long, offsets: Array[Long], sig: Array[Long]): Unit = {
+    val P    = MinHashPrime
+    val twoH = (2L * h) % P
+    var a    = h % P
+    var i    = 0
+    while (i < sig.length) {
+      var v = a + offsets(i) // a < P, B_i <= P -> v < 2P: one subtraction reduces
+      if (v >= P) v -= P
+      if (v < sig(i)) sig(i) = v
+      a += twoH
+      if (a >= P) a -= P
+      i += 1
+    }
   }
 
   /** LSH candidate pairs: docs sharing any band of the MinHash signature.
@@ -446,13 +526,7 @@ object Dedup {
       val sig = Array.fill(numHashes)(Long.MaxValue)
       var k = 0
       while (k < shs.length) {
-        val h = shs(k)
-        var i = 0
-        while (i < numHashes) {
-          val v = ((2L * i + 1) * h + offsets(i)) % MinHashPrime
-          if (v < sig(i)) sig(i) = v
-          i += 1
-        }
+        affineMinInto(shs(k), offsets, sig)
         k += 1
       }
       sig
