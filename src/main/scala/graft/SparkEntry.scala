@@ -1006,6 +1006,22 @@ object SparkEntry {
       graft.operators.LinkGraph.pageRank(e, "src", "dst", iterations = 10).orderBy("node")
     }),
 
+    // Stochastic-matrix PageRank on a graph with REAL dangling nodes
+    // (every doc_id % 3 == 0 emits no links but is still linked TO):
+    // per-round dangling mass redistributes uniformly, so ranks stay a
+    // probability distribution. Fixed 10 rounds — the oracle unrolls the
+    // identical integer arithmetic including the dangling term.
+    "q_pagerank_stochastic" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"))
+      val nn = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val e = docs.where(col("doc_id") % 3 =!= 0).select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % nn,
+          (col("doc_id") * 13 + 2) % nn,
+          (col("doc_id") * 29 + 5) % nn)).as("dst"))
+      graft.operators.LinkGraph.pageRankStochastic(e, "src", "dst", iterations = 10).orderBy("node")
+    }),
+
     // BM25 top-k retrieval over the documents table for a fixed query set
     // (query-term multiplicity ignored; Lucene idf; per-term contributions
     // floored to nano units before the order-free integer sum).
@@ -1775,6 +1791,36 @@ object SparkEntry {
          |$steps
          |SELECT node, rank AS rank_nano FROM r10 ORDER BY node""".stripMargin
     }
+    // The stochastic variant's replay: same unrolled rounds plus a
+    // per-round dangling-mass CTE (rank held by nodes without out-edges,
+    // redistributed uniformly via the same integer division). Each round
+    // references the previous one TWICE (dangling sum + share join), so
+    // the rank CTEs are MATERIALIZED — plain CTE inlining would expand
+    // the 10-round chain 2^10-fold.
+    val pageRankStochasticOracleSql = {
+      val steps = (1 to 10).map { k =>
+        s"""d$k AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM r${k - 1} r
+           |  LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),
+           |r$k AS MATERIALIZED (SELECT nd.node,
+           |  CAST((CAST(150 AS BIGINT) * 1000000000) // (1000 * nc.n)
+           |       + (d$k.dm * 850) // (1000 * nc.n)
+           |       + coalesce(s.x, 0) AS BIGINT) AS rank
+           |  FROM nodes nd CROSS JOIN nc CROSS JOIN d$k LEFT JOIN (
+           |    SELECT e.dst, sum((r.rank * 850) // (1000 * o.outdeg)) AS x
+           |    FROM edges e JOIN r${k - 1} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+           |    GROUP BY e.dst) s ON nd.node = s.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH mx AS (SELECT max(doc_id) + 1 AS nn FROM documents),
+         |edges AS (SELECT DISTINCT doc_id AS src, dst FROM (
+         |  SELECT doc_id, unnest([(doc_id*7+1) % nn, (doc_id*13+2) % nn, (doc_id*29+5) % nn]) AS dst
+         |  FROM documents, mx WHERE doc_id % 3 <> 0)),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+         |outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |nc AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS MATERIALIZED (SELECT node, CAST(1000000000 // n AS BIGINT) AS rank FROM nodes, nc),
+         |$steps
+         |SELECT node, rank AS rank_nano FROM r10 ORDER BY node""".stripMargin
+    }
 
     // BM25 replay, shared verbatim by the retrieval gate (q_bm25_topk),
     // the parquet-round-trip serving gate (q_bm25_index_serve), and — as
@@ -2384,6 +2430,8 @@ object SparkEntry {
            |ORDER BY doc_id, rnk""".stripMargin,
 
       "q_pagerank" -> pageRankOracleSql,
+
+      "q_pagerank_stochastic" -> pageRankStochasticOracleSql,
 
       // Supervised classifier: hashed-token counts joined against the
       // pinned micro-unit weights — pure integer arithmetic, exact.

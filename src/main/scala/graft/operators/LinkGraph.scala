@@ -69,4 +69,78 @@ object LinkGraph {
     }
     ranks
   }
+
+  /** [[pageRank]]'s STOCHASTIC-MATRIX variant: dangling-node mass is
+    * REDISTRIBUTED uniformly each round instead of dropped — ranks keep
+    * summing to ~10⁹ nano (a true probability distribution, modulo integer
+    * truncation), which matters exactly when the graph has real sinks
+    * (crawl frontiers, PDF leaves, robots-blocked hosts — a large fraction
+    * of any web snapshot). Same fixed-point integer arithmetic as the
+    * simple variant, bit-identical on any engine: the per-round dangling
+    * mass D (an exact integer sum, order-free) contributes
+    * (D · dampMilli) div (1000 · N) to every node alongside the teleport.
+    *
+    * `convergeNano = Some(tol)` adds an early stop: iteration ends when
+    * max |Δrank_nano| ≤ tol (one extra self-join + max aggregate per
+    * round, integer-exact, so the stop round — and therefore the result —
+    * is deterministic and engine-independent). With None the round count
+    * is fixed at `iterations`, the oracle-replayable form.
+    *
+    * Scale shape: identical to [[pageRank]] per round, plus one
+    * anti-join aggregate for D (map-side combinable sum collapsing to a
+    * single driver long — not a driver-side loop over data).
+    */
+  def pageRankStochastic(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 10,
+      dampMilli: Long = 850L,
+      convergeNano: Option[Long] = None
+  ): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    require(dampMilli >= 0 && dampMilli <= 1000, "dampMilli is a per-mille damping factor")
+    val e = Lineage.truncate(
+      edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")).distinct())
+    val nodes = Lineage.truncate(
+      e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node"))).distinct())
+    val outdeg = Lineage.truncate(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val n = nodes.count()
+    require(n > 0, "pageRankStochastic needs at least one edge")
+    val teleport = ((1000L - dampMilli) * 1000000000L) / (1000L * n)
+    var ranks = Lineage.truncate(nodes.withColumn("rank_nano", lit(1000000000L / n)))
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
+      // Dangling mass: rank held by nodes with no out-edges (exact integer
+      // sum — order-free), redistributed uniformly below.
+      val dangling = ranks
+        .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum("rank_nano"), lit(0L))).head.getLong(0)
+      val danglingShare = (dangling * dampMilli) / (1000L * n)
+      val shares = e
+        .join(ranks, e("src") === ranks("node"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr(s"(rank_nano * $dampMilli) div (1000 * outdeg)").as("share"))
+        .groupBy("dst")
+        .agg(sum("share").as("in_share"))
+      val next = Lineage.truncate(
+        nodes
+          .join(shares, nodes("node") === shares("dst"), "left")
+          .select(
+            col("node"),
+            (lit(teleport + danglingShare) + coalesce(col("in_share"), lit(0L))).as("rank_nano")))
+      converged = convergeNano match {
+        case Some(tol) =>
+          val delta = next.toDF("node", "next_nano")
+            .join(ranks, "node")
+            .agg(max(abs(col("next_nano") - col("rank_nano")))).head.getLong(0)
+          delta <= tol
+        case None => false
+      }
+      ranks = next
+      it += 1
+    }
+    ranks
+  }
 }

@@ -296,6 +296,41 @@ class OperatorsSpec extends SparkSpec {
       again shouldBe r
     }
 
+    it("pageRankStochastic conserves dangling mass where the simple variant leaks it") {
+      import graft.operators.LinkGraph
+      // 0..7 chain into a pure sink 8 (no out-edges): the simple-drop
+      // convention bleeds 8's mass every round; the stochastic variant
+      // redistributes it.
+      val sink = (0L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+      val simple = LinkGraph.pageRank(sink, "src", "dst", iterations = 10)
+        .as[(Long, Long)].collect().toMap
+      val stoch = LinkGraph.pageRankStochastic(sink, "src", "dst", iterations = 10)
+        .as[(Long, Long)].collect().toMap
+      stoch.keySet shouldBe simple.keySet
+      // Mass: stochastic stays within integer-truncation leak of 1.0;
+      // simple visibly leaks (the sink holds ~1/9 initially and drains).
+      stoch.values.sum should be <= 1000000000L
+      stoch.values.sum should be > 990000000L
+      simple.values.sum should be < 900000000L
+      // Without loss of generality both still rank the downstream nodes
+      // above the teleport-only head.
+      stoch(8L) should be > stoch(0L)
+    }
+
+    it("pageRankStochastic's convergence stop reproduces the long-run fixed point") {
+      import graft.operators.LinkGraph
+      val sink = (0L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+      val long = LinkGraph.pageRankStochastic(sink, "src", "dst", iterations = 60)
+        .as[(Long, Long)].collect().toMap
+      val stopped = LinkGraph.pageRankStochastic(sink, "src", "dst", iterations = 60,
+          convergeNano = Some(1000L))
+        .as[(Long, Long)].collect().toMap
+      // Early stop landed within tolerance of the 60-round fixed point
+      // on every node (the integer iteration contracts; 1 µ-nano-band).
+      stopped.keySet shouldBe long.keySet
+      stopped.foreach { case (node, v) => math.abs(v - long(node)) should be <= 10000L }
+    }
+
     it("bm25TopK ranks by tf saturation and idf; serve-from-index is bit-identical") {
       import graft.operators.TextAnalysis
       val docs = Seq(
