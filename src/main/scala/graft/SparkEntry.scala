@@ -655,6 +655,21 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // ANN SERVING from a persisted cell-partitioned index: the corpus is
+    // written once parquet-partitioned by IVF cell (centroids stored
+    // beside it), and the probe reads ONLY its nprobe cells' partition
+    // directories — build-once/serve-forever with partition pruning, the
+    // 100-TB ANN shape. Same oracle as q_knn_ivf_probe: the disk round
+    // trip and pruning must not change one rank.
+    "q_knn_ivf_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+      Similarity.persistIvfIndex(emb, "vec_id", "embedding", graft.operators.IvfPinned.centroids, tmp)
+      Similarity.ivfTopKFromPersisted(s, tmp, emb.where("vec_id < 5"), "vec_id", "embedding",
+          k = 10, nprobe = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
     // The composition a 100-TB embedding store actually serves: the corpus
     // is PERSISTED int8-quantized (4× smaller scan), dequantized at scoring
     // time, and searched via IVF probe (nprobe ≪ nlist, pinned centroids).
@@ -1039,6 +1054,24 @@ object SparkEntry {
     // parquet, READ BACK, and queried with the corpus text out of the
     // picture — the train-once/serve-forever split. Same oracle as
     // q_bm25_topk (built-now and loaded indexes score bit-identically).
+    // BM25 served from the TERM-BUCKETED persisted index: postings/terms
+    // parquet-partitioned by xxhash64(term) % 64, probe reads only the
+    // query terms' buckets (partition pruning — the 10⁹-doc serving
+    // shape). Same oracle as q_bm25_topk: pruning must not change one
+    // score bit.
+    "q_bm25_index_pruned" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("bm25_bidx_").toString
+      TextAnalysis.persistBm25Index(
+        TextAnalysis.buildBm25Index(t(s, dir, "documents"), "text", "doc_id"), tmp)
+      val q = Seq(
+        (1L, "spark join window"), (2L, "hash merge sort batch"),
+        (3L, "customer filter query"), (4L, "scan"), (5L, "stream data value key")
+      ).toDF("query_id", "q_text")
+      TextAnalysis.bm25TopKFromPersisted(s, tmp, q, "query_id", "q_text", k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
     "q_bm25_index_serve" -> ((s, dir) => {
       import s.implicits._
       val idx = TextAnalysis.buildBm25Index(t(s, dir, "documents"), "text", "doc_id")
@@ -1821,6 +1854,36 @@ object SparkEntry {
          |$steps
          |SELECT node, rank AS rank_nano FROM r10 ORDER BY node""".stripMargin
     }
+    // IVF probe replay (shared by q_knn_ivf_probe and the persisted
+    // serving gate q_knn_ivf_serve): frozen IvfPinned centroids as a
+    // one-row CTE, cell assignment (argmax cosine, lowest cell on ties),
+    // top-nprobe probe selection, candidate ranking.
+    val ivfProbeOracleSql = {
+      val centsCte = {
+        val m = graft.operators.IvfPinned.centroids
+        val arr = m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+        s"cents_t AS (SELECT $arr AS ct)"
+      }
+      val nlist  = graft.operators.IvfPinned.nlist
+      val cellCos = cosineSql("v.ve", "ct[cells.cell + 1]")
+      s"""WITH $centsCte,
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+         |cells AS (SELECT unnest(range(0, $nlist)) AS cell),
+         |asg AS (SELECT vec_id AS neighbor_id, ve AS cv, cell FROM (
+         |  SELECT v.vec_id, v.ve, cells.cell,
+         |         row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, cells.cell) AS pr
+         |  FROM v, cents_t, cells) WHERE pr = 1),
+         |probes AS (SELECT query_id, qv, cell FROM (
+         |  SELECT v.vec_id AS query_id, v.ve AS qv, cells.cell,
+         |         row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, cells.cell) AS pr
+         |  FROM v, cents_t, cells WHERE v.vec_id < 5) WHERE pr <= 4),
+         |sc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos
+         |       FROM probes JOIN asg USING (cell) WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
+         |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin
+    }
 
     // BM25 replay, shared verbatim by the retrieval gate (q_bm25_topk),
     // the parquet-round-trip serving gate (q_bm25_index_serve), and — as
@@ -1982,32 +2045,11 @@ object SparkEntry {
       // replays cell assignment (argmax cosine, lowest cell on ties — the
       // row_number tiebreak mirrors nearestCell's strict `>`), probe
       // selection (top-nprobe cells per query), and candidate ranking.
-      "q_knn_ivf_probe" -> {
-        val centsCte = {
-          val m = graft.operators.IvfPinned.centroids
-          val arr = m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-          s"cents_t AS (SELECT $arr AS ct)"
-        }
-        val nlist  = graft.operators.IvfPinned.nlist
-        val cellCos = cosineSql("v.ve", "ct[cells.cell + 1]")
-        s"""WITH $centsCte,
-           |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
-           |cells AS (SELECT unnest(range(0, $nlist)) AS cell),
-           |asg AS (SELECT vec_id AS neighbor_id, ve AS cv, cell FROM (
-           |  SELECT v.vec_id, v.ve, cells.cell,
-           |         row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, cells.cell) AS pr
-           |  FROM v, cents_t, cells) WHERE pr = 1),
-           |probes AS (SELECT query_id, qv, cell FROM (
-           |  SELECT v.vec_id AS query_id, v.ve AS qv, cells.cell,
-           |         row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, cells.cell) AS pr
-           |  FROM v, cents_t, cells WHERE v.vec_id < 5) WHERE pr <= 4),
-           |sc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos
-           |       FROM probes JOIN asg USING (cell) WHERE query_id <> neighbor_id),
-           |r AS (SELECT query_id, neighbor_id,
-           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
-           |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 10
-           |ORDER BY query_id, rnk""".stripMargin
-      },
+      "q_knn_ivf_probe" -> ivfProbeOracleSql,
+
+      // Disk round trip + cell-partition pruning are implementation
+      // details of the same probe contract — oracle identical.
+      "q_knn_ivf_serve" -> ivfProbeOracleSql,
 
       // IVF probe over the int8-quantized corpus: per-vector symmetric
       // quantize (scale = 127/max|x|, q = floor(x·scale + 0.5)) then
@@ -2478,6 +2520,10 @@ object SparkEntry {
       // The serving form shares the retrieval oracle verbatim: a parquet
       // round-trip of the index must not change a single score bit.
       "q_bm25_index_serve" -> bm25OracleSql,
+
+      // Term-bucket partition pruning is an implementation detail of the
+      // same retrieval contract — oracle identical.
+      "q_bm25_index_pruned" -> bm25OracleSql,
 
       // BM25 replay: identical idf/tf-part parenthesization (k1 = 1.2 and
       // k1+1 left as literal arithmetic so both engines round the same

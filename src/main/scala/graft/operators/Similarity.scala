@@ -404,6 +404,82 @@ object Similarity {
       .map(_.toArray)
   }
 
+  /** Persist the full ANN SERVING index: the corpus assigned to its IVF
+    * cells and parquet-PARTITIONED BY `cell`, with the centroids stored
+    * beside the data (underscore dir — invisible to partition discovery).
+    * [[ivfTopKFromPersisted]] then reads ONLY the probed cells' partition
+    * directories: at 10⁹ vectors a 4-of-1024-cell probe scans ~0.4% of
+    * the corpus instead of re-assigning all of it per query batch — the
+    * build-once/serve-forever split for ANN, same pattern as the
+    * signature and BM25 indexes.
+    */
+  def persistIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      path: String
+  ): Unit = {
+    val spark = corpus.sparkSession
+    ivfAssign(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), "vec", centroids)
+      // One shuffle on the partition column → whole cells per task, one
+      // file per (task, cell) instead of tasks×cells small files.
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    saveCentroids(spark, centroids, s"$path/_graft_centroids")
+  }
+
+  /** [[ivfTopKWith]] served from a [[persistIvfIndex]] directory with
+    * PARTITION-PRUNED cell reads: the query batch's probe cells (distinct,
+    * ≤ queries × nprobe values, collected driver-side — they are cell ids,
+    * not data) push down as a partition-column `isin` filter, so the scan
+    * plans only the colliding cell directories. Scoring and ranking are
+    * the exact [[ivfTopKWith]] tail — built-now and served-from-disk
+    * results are identical (gate shares the probe oracle verbatim).
+    */
+  def ivfTopKFromPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val cents = loadCentroids(spark, s"$path/_graft_centroids")
+    require(nprobe >= 1 && nprobe <= cents.length, "need 1 <= nprobe <= centroids.length")
+    val bc = spark.sparkContext.broadcast(cents)
+    val probeU = udf { (v: Array[Float]) =>
+      val vd = v.map(_.toDouble)
+      bc.value.indices
+        .map(c => (cosineDD(vd, bc.value(c)), c))
+        .sortBy { case (s, c) => (-s, c) }
+        .take(nprobe)
+        .map(_._2)
+        .toArray
+    }
+    val q = graft.plans.Lineage.truncate(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+        .withColumn("cell", explode(probeU(col("q_vec")))))
+    val probed = q.select("cell").distinct().as[Int].collect().sorted
+    val empty = spark.emptyDataset[(Long, Long, Long)].toDF("query_id", "neighbor_id", "rnk")
+    if (probed.isEmpty) empty
+    else {
+      val c = spark.read.parquet(path)
+        .where(col("cell").isin(probed.map(x => x: Any): _*))
+        .select(col("vec_id").as("neighbor_id"), col("vec").as("c_vec"), col("cell"))
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+      q.join(c, "cell")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    }
+  }
+
   /** Symmetric int8 vector quantization: struct(scale DOUBLE,
     * q ARRAY<TINYINT>) with `q_i = floor(x_i · scale + 0.5)` and
     * `scale = 127 / max|x|` — the 4× storage cut every at-scale embedding

@@ -887,6 +887,64 @@ object TextAnalysis {
       .select("query_id", "doc_id", "rnk", "score_nano")
   }
 
+  /** Persist a [[Bm25Index]] with TERM-BUCKETED postings: `postings` and
+    * `terms` parquet-PARTITIONED BY `bucket = xxhash64(term) % termBuckets`
+    * (`docs` stays flat — corpus stats and the dl join need all of it,
+    * and it is the smallest of the three). A query batch's terms hash to
+    * ≤ |query terms| buckets, so [[bm25TopKFromPersisted]] reads only
+    * those partition directories — at a 10⁹-doc index a 5-term query
+    * scans a few buckets of postings instead of the whole relation. Same
+    * pattern as the signature ([[graft.operators.Dedup.persistSignatureIndex]])
+    * and IVF ([[graft.operators.Similarity.persistIvfIndex]]) indexes.
+    */
+  def persistBm25Index(index: Bm25Index, path: String, termBuckets: Int = 64): Unit = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val bucket = pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int").as("bucket")
+    index.postings.withColumn("bucket", bucket)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    index.terms.withColumn("bucket", bucket)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
+    index.docs.write.mode("overwrite").parquet(s"$path/docs")
+    Seq(termBuckets).toDF("termBuckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_meta")
+  }
+
+  /** Serve BM25 from a [[persistBm25Index]] directory with PARTITION-PRUNED
+    * postings/terms reads: the query batch's term buckets (distinct,
+    * ≤ |query terms| small ints, collected driver-side) push down as a
+    * partition-column `isin` filter; the pruned frames are a superset of
+    * the query's terms, so delegating to [[bm25TopKFromIndex]] returns the
+    * identical ranking (gate shares the retrieval oracle verbatim).
+    */
+  def bm25TopKFromPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    import spark.implicits._
+    val termBuckets = spark.read.parquet(s"$path/_graft_meta").select("termBuckets").head.getInt(0)
+    val touched = queries
+      .select(explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
+      .select(pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int").as("bucket"))
+      .distinct().as[Int].collect().sorted
+    val prune = (df: DataFrame) =>
+      if (touched.isEmpty) df.where(lit(false)) else df.where(col("bucket").isin(touched.map(x => x: Any): _*))
+    bm25TopKFromIndex(
+      Bm25Index(
+        prune(spark.read.parquet(s"$path/postings")).drop("bucket"),
+        prune(spark.read.parquet(s"$path/terms")).drop("bucket"),
+        spark.read.parquet(s"$path/docs")),
+      queries, queryIdCol, queryTextCol, k, k1, b)
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009): fuse N
     * rankings of the same query set by
     * `score(q, d) = Σ_sys 1/(kRrf + rank_sys(q, d))`, summing over the

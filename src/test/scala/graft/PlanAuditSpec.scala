@@ -284,6 +284,69 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("ivfTopKFromPersisted probes only its nprobe cells' partitions") {
+      assume(new java.io.File(sfDir).isDirectory)
+      withoutAqe {
+        import graft.operators.{IvfPinned, Similarity}
+        val emb = Tpch.table(spark, sfDir, "embeddings")
+        val tmp = java.nio.file.Files.createTempDirectory("ivf_prune_").toString
+        try {
+          Similarity.persistIvfIndex(emb, "vec_id", "embedding", IvfPinned.centroids, tmp)
+          val cells = spark.read.parquet(tmp).select("cell").distinct().count()
+          cells should be > 4L
+          // ONE query at nprobe=2: the pruned scan may plan at most 2 of
+          // the populated cell partitions.
+          val res = Similarity.ivfTopKFromPersisted(spark, tmp,
+            emb.where("vec_id = 0"), "vec_id", "embedding", k = 5, nprobe = 2)
+          val plan = executed(res)
+          val scans = plan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+                if f.relation.location.rootPaths.exists(_.toString.contains("ivf_prune_")) &&
+                  !f.relation.location.rootPaths.exists(_.toString.contains("_graft_centroids")) => f
+          }
+          scans should not be empty
+          scans.foreach { f =>
+            f.selectedPartitions.partitionCount should be <= 2
+            f.selectedPartitions.partitionCount.toLong should be < cells
+          }
+          res.count() should be > 0L
+        } finally {
+          def rm(p: java.io.File): Unit = { Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); () }
+          rm(new java.io.File(tmp))
+        }
+      }
+    }
+
+    it("bm25TopKFromPersisted reads only the query terms' postings buckets") {
+      assume(new java.io.File(sfDir).isDirectory)
+      withoutAqe {
+        import graft.operators.TextAnalysis
+        val docs = Tpch.table(spark, sfDir, "documents")
+        val tmp  = java.nio.file.Files.createTempDirectory("bm25_prune_").toString
+        try {
+          TextAnalysis.persistBm25Index(TextAnalysis.buildBm25Index(docs, "text", "doc_id"), tmp)
+          val buckets = spark.read.parquet(s"$tmp/postings").select("bucket").distinct().count()
+          buckets should be > 2L
+          // A ONE-term query touches exactly one bucket of postings/terms.
+          val q = Seq((1L, "spark")).toDF("query_id", "q_text")
+          val res  = TextAnalysis.bm25TopKFromPersisted(spark, tmp, q, "query_id", "q_text", k = 5)
+          val plan = executed(res)
+          val scans = plan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+                if f.relation.location.rootPaths.exists(p =>
+                  p.toString.contains("bm25_prune_") &&
+                    (p.toString.contains("postings") || p.toString.contains("terms"))) => f
+          }
+          scans should not be empty
+          scans.foreach(_.selectedPartitions.partitionCount shouldBe 1)
+          res.count() should be > 0L
+        } finally {
+          def rm(p: java.io.File): Unit = { Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); () }
+          rm(new java.io.File(tmp))
+        }
+      }
+    }
+
     it("semDeDup's pair stage is cell-keyed — no cartesian, no nested loop") {
       assume(new java.io.File(sfDir).isDirectory)
       withoutAqe {
