@@ -79,10 +79,22 @@ object SparkEntry {
       graft.streaming.StreamGates.enrichViaStream(s, dir)),
 
     // Streaming serving of incremental dedup: new docs streamed through
-    // the stream-static band-key join against the static signature index.
+    // per-batch partition-pruned probes of the persisted signature index.
     // Shares q_dedup_incremental_matches' oracle verbatim.
     "q_dedup_incremental_stream" -> ((s, dir) =>
-      graft.streaming.StreamGates.incrementalMatchViaStream(s, dir))
+      graft.streaming.StreamGates.incrementalMatchViaStream(s, dir)),
+
+    // Streamed-query retrieval serving: each micro-batch of queries
+    // probes the persisted TERM-BUCKETED BM25 index (partition-pruned
+    // postings reads per trigger). Shares q_bm25_topk's oracle.
+    "q_bm25_serve_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.bm25ServeViaStream(s, dir)),
+
+    // Streamed-query ANN serving: each micro-batch probes the persisted
+    // CELL-PARTITIONED IVF index (only probed cells read per trigger).
+    // Shares q_knn_ivf_probe's oracle.
+    "q_knn_ivf_serve_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.ivfServeViaStream(s, dir))
   )
 
   /** DuckDB twins of the streaming gates. Sessionization runs in the ms
@@ -2051,6 +2063,10 @@ object SparkEntry {
       // details of the same probe contract — oracle identical.
       "q_knn_ivf_serve" -> ivfProbeOracleSql,
 
+      // Streamed-query ANN serving against the same persisted index:
+      // per-query rankings are micro-batch independent — oracle identical.
+      "q_knn_ivf_serve_stream" -> ivfProbeOracleSql,
+
       // IVF probe over the int8-quantized corpus: per-vector symmetric
       // quantize (scale = 127/max|x|, q = floor(x·scale + 0.5)) then
       // dequantize (q/scale, CAST to FLOAT — mirrors dequantizeInt8's
@@ -2524,6 +2540,10 @@ object SparkEntry {
       // Term-bucket partition pruning is an implementation detail of the
       // same retrieval contract — oracle identical.
       "q_bm25_index_pruned" -> bm25OracleSql,
+
+      // Streamed-query serving against the same persisted index: per-query
+      // rankings are micro-batch independent — oracle identical.
+      "q_bm25_serve_stream" -> bm25OracleSql,
 
       // BM25 replay: identical idf/tf-part parenthesization (k1 = 1.2 and
       // k1+1 left as literal arithmetic so both engines round the same

@@ -410,4 +410,60 @@ object StreamGates {
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
+
+  /** The fixed retrieval query set, staged as a 3-chunk query STREAM (per-
+    * query synthetic arrival times). Per-query rankings are independent
+    * (the top-k window partitions by query_id), so micro-batch splitting
+    * cannot change any query's result — streamed serving against a
+    * persisted index must equal the batch oracle row-for-row.
+    */
+  private def queryStream(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "spark join window"), (2L, "hash merge sort batch"),
+      (3L, "customer filter query"), (4L, "scan"), (5L, "stream data value key")
+    ).toDF("query_id", "q_text")
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("query_id") * 1000L))
+  }
+
+  /** `q_bm25_serve_stream`: queries arrive as a stream; each micro-batch
+    * probes the TERM-BUCKETED persisted BM25 index
+    * ([[graft.operators.TextAnalysis.bm25TopKFromPersisted]] inside
+    * foreachBatch — partition-pruned postings reads per trigger). Shares
+    * `q_bm25_topk`'s oracle verbatim.
+    */
+  def bm25ServeViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_bm25_stream")
+    TextAnalysis.persistBm25Index(
+      TextAnalysis.buildBm25Index(graft.Tpch.table(spark, sfDir, "documents"), "text", "doc_id"),
+      indexDir.toString)
+    try
+      replayViaForeachBatch(spark, queryStream(spark), "ts", chunks = 3)(
+        b => TextAnalysis.bm25TopKFromPersisted(spark, indexDir.toString, b, "query_id", "q_text", k = 10))
+        .orderBy("query_id", "rnk")
+    finally rmTree(indexDir)
+  }
+
+  /** `q_knn_ivf_serve_stream`: embedding queries arrive as a stream; each
+    * micro-batch probes the CELL-PARTITIONED persisted ANN index
+    * ([[graft.operators.Similarity.ivfTopKFromPersisted]] inside
+    * foreachBatch — only the probed cells' partitions are read per
+    * trigger). Shares `q_knn_ivf_probe`'s oracle verbatim.
+    */
+  def ivfServeViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{IvfPinned, Similarity}
+    val emb = graft.Tpch.table(spark, sfDir, "embeddings")
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_stream")
+    Similarity.persistIvfIndex(emb, "vec_id", "embedding", IvfPinned.centroids, indexDir.toString)
+    val queries = emb.where("vec_id < 5")
+      .select(col("vec_id"), col("embedding"),
+        timestamp_millis(lit(1700000000000L) + col("vec_id") * 1000L).as("ts"))
+    try
+      replayViaForeachBatch(spark, queries, "ts", chunks = 3)(
+        b => Similarity.ivfTopKFromPersisted(spark, indexDir.toString, b, "vec_id", "embedding",
+          k = 10, nprobe = 4))
+        .orderBy("query_id", "rnk")
+    finally rmTree(indexDir)
+  }
 }
