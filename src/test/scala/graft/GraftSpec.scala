@@ -39,6 +39,42 @@ class GraftSpec extends SparkSpec {
   )
   private lazy val graft = new Graft(Map("users" -> users, "orders" -> orders), manifest)
 
+  describe("Tpch.events fixture-generation tolerance") {
+    // The driver has shipped events.ts as both TIMESTAMP(NANOS) (read as
+    // a nanos long under the legacy conf) and TIMESTAMP(MICROS) (read as
+    // TIMESTAMP_NTZ). Tpch.events must normalize BOTH physical forms to
+    // the same nanos-epoch LongType — pin each branch against a fixture
+    // written here, so a future fixture flip can't silently break one.
+    it("normalizes legacy nanos-long and timestamp fixtures to the same nanos epoch") {
+      import org.apache.spark.sql.functions._
+      val micros = 1700000000123456L // µs since epoch
+      val dir = java.nio.file.Files.createTempDirectory("events_forms_").toString
+      try {
+        // Legacy form: a plain LongType nanos column named ts.
+        spark.range(1).select(
+          lit(1L).as("event_id"), lit(micros * 1000L).as("ts"),
+          lit(7L).as("user_id"), lit("click").as("event_type"),
+          lit(1.5).as("value"), lit("{}").as("props"))
+          .write.mode("overwrite").parquet(s"$dir/nanos/events.parquet")
+        // Refreshed form: a true timestamp column (µs precision).
+        spark.range(1).select(
+          lit(1L).as("event_id"), timestamp_micros(lit(micros)).as("ts"),
+          lit(7L).as("user_id"), lit("click").as("event_type"),
+          lit(1.5).as("value"), lit("{}").as("props"))
+          .write.mode("overwrite").parquet(s"$dir/ts/events.parquet")
+        val legacy  = Tpch.events(spark, s"$dir/nanos")
+        val refresh = Tpch.events(spark, s"$dir/ts")
+        legacy.schema("ts").dataType shouldBe LongType
+        refresh.schema("ts").dataType shouldBe LongType
+        legacy.select("ts").head.getLong(0) shouldBe micros * 1000L
+        refresh.select("ts").head.getLong(0) shouldBe micros * 1000L
+      } finally {
+        def rm(p: java.io.File): Unit = { Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); () }
+        rm(new java.io.File(dir))
+      }
+    }
+  }
+
   describe("plan") {
     it("auto-passes PK/FK columns through and applies transforms") {
       val plans = graft.plan(
