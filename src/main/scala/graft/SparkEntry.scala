@@ -796,6 +796,36 @@ object SparkEntry {
         .orderBy("doc_id", "matched_id")
     }),
 
+    // The NIGHTLY LOOP over the persisted index: match increment 1,
+    // APPEND its index misses' signatures to the index on disk (no
+    // rewrite), then match increment 2 against the UPDATED index — an
+    // increment-2 doc can match the original corpus OR an increment-1
+    // survivor. This is the write-back contract a continuously-ingesting
+    // 100-TB dedup runs every night; the oracle replays both rounds'
+    // estimate matches.
+    "q_dedup_index_append" -> ((s, dir) => {
+      import graft.plans.Lineage
+      val all = t(s, dir, "documents")
+      val mx = all.agg(max(col("doc_id").cast("long"))).head.getLong(0)
+      val (s1, s2) = (mx / 3, 2 * mx / 3)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sigidx_app_").toString
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(all.where(col("doc_id") <= s1), "text", "doc_id"), tmp)
+      val inc1 = all.where(col("doc_id") > s1 && col("doc_id") <= s2)
+      // Materialized BEFORE the append: the append write must not race a
+      // plan that still scans the index directory.
+      val matched1 = Lineage.truncate(
+        Dedup.matchVsPersistedIndex(inc1, "text", "doc_id", tmp)
+          .select(col("doc_id").as("m_id")).distinct())
+      val surv1 = inc1.join(matched1, inc1("doc_id").cast("long") === col("m_id"), "left_anti")
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(surv1, "text", "doc_id"), tmp, append = true)
+      Dedup.matchVsPersistedIndex(all.where(col("doc_id") > s2), "text", "doc_id", tmp)
+        .select(col("doc_id"), col("matched_id"),
+          round(col("est_jaccard") * 32).cast("long").as("est_32"))
+        .orderBy("doc_id", "matched_id")
+    }),
+
     // Persisted-index SERVING form of the same match stage: the index goes
     // to DISK in its band-partitioned form (parquet partitioned by
     // bucket = hash(band, key) % keyBuckets), is RELOADED from the path
@@ -2219,6 +2249,41 @@ object SparkEntry {
         s"""WITH ${incrementalCte(hsh3, hashI)}
            |SELECT nid AS doc_id, oid AS matched_id, CAST(k AS BIGINT) AS est_32
            |FROM matched ORDER BY doc_id, matched_id""".stripMargin,
+
+      // Nightly append loop: thirds split; round 1 matches t2 vs t1,
+      // round 2 matches t3 vs t1 ∪ (t2 index misses). Same 8-band × 4-row
+      // geometry and exact k/32 estimate as the other index oracles; sig
+      // MATERIALIZED (referenced by all three splits — inline expansion
+      // would re-run the minhash arithmetic per reference).
+      "q_dedup_index_append" -> {
+        val bandKey4 = (1 to 4).map(k => s"sg[4*b+$k]::VARCHAR").mkString(" || ':' || ")
+        s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+           |docs AS (SELECT doc_id, $hsh3 AS shs FROM documents),
+           |sig AS MATERIALIZED (SELECT doc_id, [list_min([$hashI for h in shs]) for i in range(0, 32)] AS sg FROM docs),
+           |t1 AS (SELECT s.* FROM sig s, mx WHERE doc_id <= m // 3),
+           |t2 AS (SELECT s.* FROM sig s, mx WHERE doc_id > m // 3 AND doc_id <= (2 * m) // 3),
+           |t3 AS (SELECT s.* FROM sig s, mx WHERE doc_id > (2 * m) // 3),
+           |b1 AS (SELECT doc_id, b, $bandKey4 AS key FROM t1, range(0, 8) t(b)),
+           |b2 AS (SELECT doc_id, b, $bandKey4 AS key FROM t2, range(0, 8) t(b)),
+           |hits2 AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
+           |          FROM b2 n JOIN b1 o ON n.b = o.b AND n.key = o.key),
+           |m2 AS (SELECT nid FROM (
+           |  SELECT nid, len([i for i in range(1, 33) if ns.sg[i] = os.sg[i]]) AS k
+           |  FROM hits2 JOIN sig ns ON nid = ns.doc_id JOIN sig os ON oid = os.doc_id)
+           |  WHERE k::DOUBLE / 32 >= 0.8),
+           |idx3 AS MATERIALIZED (SELECT * FROM t1 UNION ALL
+           |  SELECT * FROM t2 WHERE doc_id NOT IN (SELECT DISTINCT nid FROM m2)),
+           |bi AS (SELECT doc_id, b, $bandKey4 AS key FROM idx3, range(0, 8) t(b)),
+           |b3 AS (SELECT doc_id, b, $bandKey4 AS key FROM t3, range(0, 8) t(b)),
+           |hits3 AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
+           |          FROM b3 n JOIN bi o ON n.b = o.b AND n.key = o.key),
+           |m3 AS (SELECT nid, oid, k FROM (
+           |  SELECT nid, oid, len([i for i in range(1, 33) if ns.sg[i] = os.sg[i]]) AS k
+           |  FROM hits3 JOIN sig ns ON nid = ns.doc_id JOIN idx3 os ON oid = os.doc_id)
+           |  WHERE k::DOUBLE / 32 >= 0.8)
+           |SELECT nid AS doc_id, oid AS matched_id, CAST(k AS BIGINT) AS est_32
+           |FROM m3 ORDER BY doc_id, matched_id""".stripMargin
+      },
 
       // Near-dup-aware pipeline: the cluster-dedup CTE feeds the same
       // quality → LM → split chain as q_corpus_prepare (stage order and
