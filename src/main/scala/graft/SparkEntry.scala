@@ -968,6 +968,14 @@ object SparkEntry {
       Dedup.sharedSubstringCounts(t(s, dir, "documents"), "text", "doc_id", k = 30)
         .orderBy("doc_id")),
 
+    // Substring-level dedup as a REWRITE: excise every maximal character
+    // span covered by 30-grams that also occur in another document
+    // (Lee-et-al-style exact substring dedup; shared_spans counts it,
+    // this removes it).
+    "q_text_substring_dedup" -> ((s, dir) =>
+      Dedup.exciseSharedSubstrings(t(s, dir, "documents"), "text", "doc_id", k = 30)
+        .orderBy("doc_id")),
+
     // Per-stratum deterministic sampling (corpus mixing): each event type
     // keeps its own fraction, unlisted types drop.
     "q_sample_stratified" -> ((s, dir) =>
@@ -2518,6 +2526,43 @@ object SparkEntry {
            |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_shared_grams
            |FROM docs d LEFT JOIN c ON d.doc_id = c.doc_id ORDER BY d.doc_id""".stripMargin
       },
+
+      // Replays the excision pipeline verbatim: positional 30-grams →
+      // cross-doc duplicated set → hit-interval island merge (running-max
+      // window) → complement stitch via ordered string_agg. Docs shorter
+      // than k produce no grams (empty range); untouched docs pass their
+      // text through the left joins.
+      "q_text_substring_dedup" ->
+        """WITH docs AS (SELECT doc_id, text FROM documents),
+          |grams AS (
+          |  SELECT doc_id, unnest(range(1, greatest(length(text) - 30 + 2, 1))) AS pos, text FROM docs),
+          |g2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, substr(text, CAST(pos AS INT), 30) AS g FROM grams),
+          |dup AS (SELECT g FROM g2 GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+          |hits AS (SELECT doc_id, pos FROM g2 WHERE g IN (SELECT g FROM dup)),
+          |marks AS (
+          |  SELECT doc_id, pos,
+          |    CASE WHEN pos > coalesce(max(pos + 30) OVER (PARTITION BY doc_id ORDER BY pos
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_island
+          |  FROM hits),
+          |islands AS (
+          |  SELECT doc_id, pos, sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM marks),
+          |rem AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + 30 AS e FROM islands GROUP BY doc_id, isl),
+          |kept AS (
+          |  SELECT r.doc_id, d.text,
+          |         coalesce(lag(r.e) OVER (PARTITION BY r.doc_id ORDER BY r.s), 1) AS ks, r.s AS ke
+          |  FROM rem r JOIN docs d USING (doc_id)
+          |  UNION ALL
+          |  SELECT r.doc_id, d.text, max(r.e) AS ks, length(d.text) + 1 AS ke
+          |  FROM rem r JOIN docs d USING (doc_id) GROUP BY r.doc_id, d.text),
+          |clean AS (
+          |  SELECT doc_id, string_agg(substr(text, CAST(ks AS INT), CAST(ke - ks AS INT)), '' ORDER BY ks) AS ctext
+          |  FROM kept GROUP BY doc_id),
+          |spans AS (SELECT doc_id, count(*) AS n_spans, sum(e - s) AS removed FROM rem GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(c.ctext, d.text) AS clean_text,
+          |       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+          |       CAST(coalesce(s.removed, 0) AS BIGINT) AS n_removed_chars
+          |FROM docs d LEFT JOIN clean c USING (doc_id) LEFT JOIN spans s USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
 
       "q_sample_weighted" ->
         s"""SELECT event_id, event_type FROM events

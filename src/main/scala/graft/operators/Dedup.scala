@@ -1459,4 +1459,113 @@ object Dedup {
     dedupByClustersKeepBest(scored, idCol, "_sd_score", clusters)
       .drop("sd_id", "_sd_score")
   }
+
+  /** Exact cross-document substring EXCISION — the rewrite form of
+    * substring-level dedup (the k-gram formulation of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * [[sharedSubstringCounts]] measures how much of a document is
+    * boilerplate; this operator actually REMOVES it. Every maximal run of
+    * characters covered by k-grams that also occur in at least one OTHER
+    * document is cut out; the surviving segments are stitched back
+    * together in order.
+    *
+    * Semantics (deterministic, engine-replayable — the DuckDB oracle
+    * recomputes them verbatim):
+    *   1. every 1-indexed position `p ∈ [1, len−k+1]` contributes the
+    *      character k-gram `substring(text, p, k)`;
+    *   2. a gram is DUPLICATED iff it occurs in ≥ 2 distinct documents
+    *      (cross-document only — a phrase repeated inside one document is
+    *      that document's own business);
+    *   3. per document, duplicated-gram hit intervals `[p, p+k)` are
+    *      merged into maximal islands (touching intervals merge: coverage
+    *      is gap-free when the next hit starts exactly at the running
+    *      end);
+    *   4. islands are excised; `clean_text` is the concatenation of the
+    *      kept complement, `n_spans`/`n_removed_chars` the audit counts.
+    *
+    * Execution shape: one explode to (doc, pos, gram) — O(total chars)
+    * rows — a groupBy on the gram for the duplicated set, one join back,
+    * then a per-document window (island merge) and groupBy (span
+    * collect). The stitch itself is a per-DOCUMENT kernel UDF (one call
+    * per doc, not per gram — the HOF-vs-kernel tradeoff documented in the
+    * object Scaladoc doesn't bite at doc granularity, but the kernel
+    * keeps it allocation-tight anyway).
+    *
+    * Scale: the gram shuffle key is the raw k-char string by default —
+    * exact, oracle-bit-identical, and k·|corpus| shuffle bytes. At 100 TB
+    * flip `hashedKeys=true`: grams shuffle/join as `xxhash64` longs
+    * (8 bytes vs k), trading a ~2⁻⁶⁴-per-pair collision (which could only
+    * ever excise one spurious k-char span) for a k/8× smaller exchange —
+    * the same hashed-key contract [[exactDuplicates]] documents for
+    * content keys. Everything downstream of the gram join is per-document
+    * local after one doc_id shuffle.
+    */
+  def exciseSharedSubstrings(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 50,
+      hashedKeys: Boolean = false
+  ): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    val docs = Lineage.truncate(
+      df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")))
+    val gramKey: Column => Column = g => if (hashedKeys) xxhash64(g) else g
+    val grams = docs
+      .where(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"), explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        gramKey(substring_index_free(col("text"), col("p"), k)).as("g"))
+    val dup = grams
+      .groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select("g")
+    val hits = grams.join(dup, "g").select("doc_id", "pos")
+
+    import org.apache.spark.sql.expressions.Window
+    val byDoc   = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + k).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val rem = hits
+      .withColumn("new_island", when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("new_island")).over(byDoc))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k).as("e"))
+    val perDoc = rem
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(struct(col("s"), col("e")))).as("spans"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("n_removed_chars"))
+
+    // Per-document stitch: spans are sorted, disjoint, 1-indexed with
+    // exclusive ends; keep [cursor, s) before each span, then the tail.
+    val excise = udf { (text: String, spans: Seq[org.apache.spark.sql.Row]) =>
+      // java.lang.StringBuilder: the Scala wrapper lacks the 3-arg
+      // (CharSequence, from, to) append and would auto-tuple it.
+      val sb     = new java.lang.StringBuilder(text.length)
+      var cursor = 1
+      spans.foreach { r =>
+        val s = r.getLong(0).toInt
+        val e = r.getLong(1).toInt
+        if (s > cursor) sb.append(text, cursor - 1, s - 1)
+        cursor = e
+      }
+      if (cursor <= text.length) sb.append(text, cursor - 1, text.length)
+      sb.toString
+    }
+    docs
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("spans").isNull, col("text")).otherwise(excise(col("text"), col("spans"))).as("clean_text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed_chars"), lit(0L)).as("n_removed_chars"))
+  }
+
+  /** `substring(text, pos, len)` with a COLUMN start — the builtin
+    * `substring(Column, Int, Int)` only takes literal positions.
+    */
+  private def substring_index_free(text: Column, pos: Column, len: Int): Column =
+    substring(text, pos, lit(len))
 }

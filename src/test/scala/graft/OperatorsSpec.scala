@@ -1215,6 +1215,61 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.exciseSharedSubstrings") {
+    // Naive single-machine replay of the operator's exact contract:
+    // positional k-grams → grams in ≥2 distinct docs → per-doc interval
+    // merge → complement stitch. The spec corpus is tiny; this is the
+    // ground truth the distributed plan must reproduce bit-for-bit.
+    def naive(corpus: Seq[(Long, String)], k: Int): Map[Long, (String, Long, Long)] = {
+      val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+      for ((id, t) <- corpus; p <- 0 to t.length - k)
+        gramDocs.updateWith(t.substring(p, p + k))(s => Some(s.getOrElse(Set.empty) + id))
+      corpus.map { case (id, t) =>
+        val hitStarts = (0 to t.length - k).filter(p => gramDocs(t.substring(p, p + k)).size >= 2)
+        val merged = hitStarts.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: tail, p) if p <= e => (s, p + k) :: tail
+          case (acc, p)                      => (p, p + k) :: acc
+        }.reverse
+        val sb = new java.lang.StringBuilder; var cur = 0
+        merged.foreach { case (s, e) => sb.append(t, cur, s); cur = e }
+        sb.append(t, cur, t.length)
+        id -> ((sb.toString, merged.size.toLong, merged.map { case (s, e) => (e - s).toLong }.sum))
+      }.toMap
+    }
+
+    val corpus = Seq(
+      1L -> "AAAA SHARED-PHRASE-HERE BBBB",
+      2L -> "CCCC SHARED-PHRASE-HERE DDDD",
+      3L -> "unique content nothing else at all",
+      4L -> "THIS-IS-AN-IDENTICAL-DOCUMENT",
+      5L -> "THIS-IS-AN-IDENTICAL-DOCUMENT",
+      6L -> "tiny",
+      7L -> "XXXX SHARED-PHRASE-HERE YYYY SECOND-COMMON-BLOCK ZZZZ",
+      8L -> "QQQQ SECOND-COMMON-BLOCK RRRR"
+    )
+    def run(hashed: Boolean) =
+      Dedup.exciseSharedSubstrings(corpus.toDF("doc_id", "text"), "text", "doc_id", k = 10, hashedKeys = hashed)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("clean_text"), r.getAs[Long]("n_spans"), r.getAs[Long]("n_removed_chars"))))
+        .toMap
+
+    it("matches the naive replay on every row, including pass-throughs") {
+      run(hashed = false) shouldBe naive(corpus, 10)
+    }
+    it("excises only the maximal shared span; disjoint shared blocks stay separate islands") {
+      val r = run(hashed = false)
+      r(1L) shouldBe (("AAAABBBB", 1L, 20L)) // ' SHARED-PHRASE-HERE ' with both spaces
+      r(3L) shouldBe ((corpus(2)._2, 0L, 0L)) // unique doc untouched
+      r(4L) shouldBe (("", 1L, 29L)) // exact duplicate pair → fully excised
+      r(6L) shouldBe (("tiny", 0L, 0L)) // shorter than k → no grams, untouched
+      r(7L)._2 shouldBe 2L // two independent shared blocks → two spans
+    }
+    it("hashedKeys (8-byte shuffle keys, the 100 TB regime) is output-identical") {
+      run(hashed = true) shouldBe run(hashed = false)
+    }
+  }
+
   describe("Dedup.simHash32 + simHashPairs") {
     it("identical docs share a fingerprint; near docs are hamming-close") {
       val fps = docs.select(col("doc_id"), Dedup.simHash32(col("text")).as("fp"))
