@@ -430,6 +430,51 @@ object SparkEntry {
       withO.unionByName(without).orderBy("k")
     }),
 
+    // Co-located join off BUCKETED storage: both sides are written
+    // bucketed by the join key (LakeSink.writeBucketed), then joined —
+    // bucketing pre-shuffles ONCE at write time, so the join itself runs
+    // with NO exchange on either side (PlanAuditSpec pins that plan
+    // shape). The 100 TB story: a fact table joined repeatedly on the
+    // same key amortizes its shuffle across every downstream query. The
+    // gate pays write + re-read + join inside the measured query; the
+    // oracle is the plain join on the original parquet — bucketing must
+    // not change a row.
+    "q_bucket_join" -> ((s, dir) => {
+      import graft.sinks.LakeSink
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+      LakeSink.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "graft_bkt_orders", Seq("o_orderkey"), 8,
+        sortCols = Seq("o_orderkey"), path = Some(s"$tmp/orders"))
+      LakeSink.writeBucketed(
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "graft_bkt_lineitem", Seq("l_orderkey"), 8,
+        sortCols = Seq("l_orderkey"), path = Some(s"$tmp/lineitem"))
+      val o  = s.table("graft_bkt_orders")
+      val li = s.table("graft_bkt_lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(14, 2))).cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Salted skew join (plans.Skew): fact side salted by a deterministic
+    // hash of l_linenumber, dim side replicated per salt — the hot-key
+    // mitigation when AQE's skew-split can't engage (a single key can't
+    // be split by AQE). Must be row-identical to the plain join, which is
+    // exactly what the oracle checks.
+    "q_skew_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+      val o  = t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.plans.Skew
+        .saltedJoin(li, o, Seq("l_orderkey"), saltFrom = "l_linenumber", salts = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Left anti join: parts never appearing in a high-quantity lineitem.
     "q_anti_join" -> ((s, dir) => {
       val p  = t(s, dir, "part")
@@ -530,6 +575,18 @@ object SparkEntry {
         |  SELECT k, 'no_orders' AS label FROM
         |    (SELECT c_custkey AS k FROM customer EXCEPT SELECT DISTINCT o_custkey FROM orders))
         |ORDER BY k""".stripMargin,
+
+    "q_bucket_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_skew_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, o_orderstatus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_anti_join" ->
       """SELECT p_partkey, p_brand FROM part
