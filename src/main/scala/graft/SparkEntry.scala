@@ -1503,6 +1503,19 @@ object SparkEntry {
         .orderBy("column_name")
     }),
 
+    // Heavy-hitter terms via the mergeable Misra-Gries sketch, pinned in
+    // its EXACT regime: the fixture vocabulary is far below the 65k
+    // capacity, so the sketch never evicts (err_bound = 0 on every row)
+    // and the top-k matches the exact GROUP BY oracle bit-for-bit — the
+    // same exact-below/approx-above contract as q_profile_hll, but for
+    // frequency instead of cardinality. At 100 TB the token stream never
+    // shuffles: per-partition capacity-bounded summaries treeReduce down.
+    "q_profile_heavy_hitters" -> ((s, dir) => {
+      import graft.operators.Profiler
+      Profiler.heavyHitterTerms(t(s, dir, "documents"), "text", topK = 25)
+        .orderBy(col("est_count").desc, col("term"))
+    }),
+
     // Multimodal metadata decode over a derived binary column (the stub
     // kernel is deterministic stableHash arithmetic — fully oracle-able).
     "q_multimodal_meta" -> ((s, dir) => {
@@ -2796,6 +2809,13 @@ object SparkEntry {
              |FROM orders""".stripMargin
         Seq("o_orderkey", "o_orderstatus", "o_totalprice").map(per).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       },
+
+      // Exact-regime heavy hitters: the sketch's err_bound must be 0 and
+      // its top-k identical to the exact corpus term counts.
+      "q_profile_heavy_hitters" ->
+        s"""SELECT term, count(*) AS est_count, CAST(0 AS BIGINT) AS err_bound
+           |FROM (SELECT unnest(${tokensSql("text")}) AS term FROM documents)
+           |GROUP BY term ORDER BY est_count DESC, term LIMIT 25""".stripMargin,
 
       "q_term_drift" ->
         s"""WITH a AS (SELECT token AS term, count(*) AS c_a

@@ -85,4 +85,86 @@ object Profiler {
   /** Back-compat boolean form. */
   def profile(df: DataFrame, columns: Seq[String], approxDistinct: Boolean): DataFrame =
     profile(df, columns, if (approxDistinct) DistinctMode.Approx() else DistinctMode.Exact)
+
+  /** Top-k frequent terms via a MERGEABLE Misra-Gries sketch — the
+    * bounded-memory answer to "what are the heaviest tokens in 100 TB of
+    * text" when an exact `GROUP BY term` would shuffle the full token
+    * stream. Memory is `capacity` entries per partition summary and per
+    * merge, whatever the corpus size.
+    *
+    * Sketch contract (classic Misra-Gries): estimates never OVERcount;
+    * each estimate undercounts by at most the summary's total decrement,
+    * reported as `err_bound` on every output row. Any term with true
+    * frequency > err_bound is guaranteed present in the summary. When
+    * `err_bound = 0` the sketch never evicted and the counts are EXACT —
+    * the regime the correctness gate pins (fixture vocabulary ≪ capacity),
+    * the same exact-below/approx-above split as [[DistinctMode.Auto]].
+    *
+    * Merge rule (Agarwal et al., "Mergeable Summaries"): sum summaries
+    * termwise; if over capacity, subtract the (capacity+1)-th largest
+    * count from every entry and drop the non-positives — error bounds
+    * add. Execution shape: one `mapPartitions` pass building a per-
+    * partition summary (tight hash-map kernel — the token stream never
+    * shuffles), then a `treeReduce` of capacity-bounded maps (driver
+    * receives ONE summary of ≤ capacity entries; log-depth combining
+    * keeps any single reduce O(capacity)). Ties in the final top-k break
+    * by term so reruns and the SQL oracle agree bit-for-bit.
+    */
+  def heavyHitterTerms(
+      df: DataFrame,
+      textCol: String,
+      topK: Int,
+      capacity: Int = 1 << 16
+  ): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(capacity >= topK, s"capacity ($capacity) must be >= topK ($topK)")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    type Summary = (Map[String, Long], Long) // (term -> est, total decrement)
+
+    def shrink(m: scala.collection.mutable.HashMap[String, Long], dec: Long): Summary =
+      if (m.size <= capacity) (m.toMap, dec)
+      else {
+        // (capacity+1)-th largest count; subtracting it keeps <= capacity
+        // entries (everything at or below it zeroes out).
+        val cut = m.valuesIterator.toArray.sortBy(-_).apply(capacity)
+        (m.iterator.collect { case (t, c) if c > cut => t -> (c - cut) }.toMap, dec + cut)
+      }
+
+    def merge(a: Summary, b: Summary): Summary = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      a._1.foreach { case (t, c) => m.update(t, c) }
+      b._1.foreach { case (t, c) => m.update(t, m.getOrElse(t, 0L) + c) }
+      shrink(m, a._2 + b._2)
+    }
+
+    val summaries = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .as[String]
+      .rdd
+      .mapPartitions { it =>
+        val m   = scala.collection.mutable.HashMap.empty[String, Long]
+        var dec = 0L
+        it.foreach { t =>
+          if (m.contains(t) || m.size < 2 * capacity) m.update(t, m.getOrElse(t, 0L) + 1L)
+          else {
+            // Batch-evict down to `capacity` (amortizes the O(size) scan
+            // over `capacity` inserts instead of paying it per token).
+            val s = shrink(m, dec); dec = s._2
+            m.clear(); s._1.foreach { case (k, v) => m.update(k, v) }
+            m.update(t, 1L)
+          }
+        }
+        Iterator.single(shrink(m, dec))
+      }
+    val (finalMap, errBound) =
+      if (summaries.isEmpty()) (Map.empty[String, Long], 0L)
+      else summaries.treeReduce(merge)
+    finalMap.toSeq
+      .sortBy { case (t, c) => (-c, t) }
+      .take(topK)
+      .map { case (t, c) => (t, c, errBound) }
+      .toDF("term", "est_count", "err_bound")
+  }
 }

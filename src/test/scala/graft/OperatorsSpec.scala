@@ -1215,6 +1215,43 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Profiler.heavyHitterTerms") {
+    import graft.operators.Profiler
+
+    it("exact regime (no eviction): identical to the exact GROUP BY, err_bound 0") {
+      val corpus = Seq(
+        (1L, "alpha beta alpha gamma"),
+        (2L, "alpha beta delta"),
+        (3L, "epsilon alpha beta beta")
+      ).toDF("doc_id", "text")
+      val got = Profiler.heavyHitterTerms(corpus, "text", topK = 3, capacity = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val exact = corpus
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("term").count()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (t, c) => (-c, t) }.take(3)
+        .map { case (t, c) => (t, c, 0L) }.toSeq
+      got shouldBe exact
+    }
+
+    it("constrained capacity: never overcounts, undercount bounded by err_bound, hot term survives") {
+      // 400 copies of the hot term drowned in 200 distinct rare terms —
+      // capacity 8 forces evictions; MG guarantees the hot term (true
+      // frequency > err_bound) is still in the summary.
+      val words = Seq.fill(400)("hot") ++ (1 to 200).map(i => s"rare$i")
+      val corpus = words.grouped(10).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+      val rows = Profiler.heavyHitterTerms(corpus, "text", topK = 8, capacity = 8).collect()
+      val err  = rows.head.getLong(2)
+      val hot  = rows.find(_.getString(0) == "hot")
+      hot should not be empty
+      hot.get.getLong(1) should be <= 400L
+      (400L - hot.get.getLong(1)) should be <= err
+      err should be > 0L // this corpus genuinely exercised eviction
+    }
+  }
+
   describe("Dedup.exciseSharedSubstrings") {
     // Naive single-machine replay of the operator's exact contract:
     // positional k-grams → grams in ≥2 distinct docs → per-doc interval
