@@ -358,6 +358,21 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("exciseSharedSubstrings is THREE shuffles — gram countDistinct (2-phase) + one per-doc window") {
+      withoutAqe {
+        val docs = (1L to 60L).map(i =>
+          (i, s"prefix-$i shared-boilerplate-block-${i % 3} suffix-$i")).toDF("doc_id", "text")
+        val plan = executed(graft.operators.Dedup.exciseSharedSubstrings(docs, "text", "doc_id", k = 12))
+        // 2 exchanges for the distinct-doc-count over grams, 1 for the
+        // doc_id window; the island groupBy and span collect REUSE the
+        // window's doc_id partitioning (no extra exchange — that reuse is
+        // the point), and the dup-gram set rides a broadcast at this size.
+        shuffles(plan) shouldBe 3
+        plan.toString should not include "CartesianProduct"
+        plan.toString should not include "BroadcastNestedLoopJoin"
+      }
+    }
+
     it("the native cosine expression stays inside whole-stage codegen") {
       assume(new java.io.File(sfDir).isDirectory)
       withoutAqe {
