@@ -1033,6 +1033,20 @@ object SparkEntry {
       Dedup.exciseSharedSubstrings(t(s, dir, "documents"), "text", "doc_id", k = 30)
         .orderBy("doc_id")),
 
+    // Persisted-gram-index SERVING form of substring excision: the first
+    // corpus half's distinct 30-grams go to disk bucket-partitioned, the
+    // second half is excised against them with a partition-pruned probe —
+    // the boilerplate-scrub an ingest pipeline runs against a frozen
+    // 100-TB corpus index.
+    "q_text_excise_serve" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gramidx_").toString
+      Dedup.persistGramIndex(all.where(col("doc_id") <= splitId), "text", "doc_id", tmp, k = 30)
+      Dedup.exciseVsPersistedGrams(all.where(col("doc_id") > splitId), "text", "doc_id", tmp)
+        .orderBy("doc_id")
+    }),
+
     // Per-stratum deterministic sampling (corpus mixing): each event type
     // keeps its own fraction, unlisted types drop.
     "q_sample_stratified" -> ((s, dir) =>
@@ -2632,6 +2646,42 @@ object SparkEntry {
           |       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
           |       CAST(coalesce(s.removed, 0) AS BIGINT) AS n_removed_chars
           |FROM docs d LEFT JOIN clean c USING (doc_id) LEFT JOIN spans s USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
+
+      // Serving-form excision: corpus half's DISTINCT grams are the
+      // contamination set; probe half replays the same island/stitch tail.
+      "q_text_excise_serve" ->
+        """WITH mx AS (SELECT max(doc_id) // 2 AS s FROM documents),
+          |corpus AS (SELECT text FROM documents, mx WHERE doc_id <= s),
+          |probe AS (SELECT doc_id, text FROM documents, mx WHERE doc_id > s),
+          |cg AS (SELECT DISTINCT substr(text, CAST(pos AS INT), 30) AS g FROM
+          |  (SELECT text, unnest(range(1, greatest(length(text) - 30 + 2, 1))) AS pos FROM corpus)),
+          |pgr AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, substr(text, CAST(pos AS INT), 30) AS g FROM
+          |  (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 30 + 2, 1))) AS pos FROM probe)),
+          |hits AS (SELECT doc_id, pos FROM pgr WHERE g IN (SELECT g FROM cg)),
+          |marks AS (
+          |  SELECT doc_id, pos,
+          |    CASE WHEN pos > coalesce(max(pos + 30) OVER (PARTITION BY doc_id ORDER BY pos
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_island
+          |  FROM hits),
+          |islands AS (
+          |  SELECT doc_id, pos, sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM marks),
+          |rem AS (SELECT doc_id, isl, min(pos) AS sp, max(pos) + 30 AS e FROM islands GROUP BY doc_id, isl),
+          |kept AS (
+          |  SELECT r.doc_id, d.text,
+          |         coalesce(lag(r.e) OVER (PARTITION BY r.doc_id ORDER BY r.sp), 1) AS ks, r.sp AS ke
+          |  FROM rem r JOIN probe d USING (doc_id)
+          |  UNION ALL
+          |  SELECT r.doc_id, d.text, max(r.e) AS ks, length(d.text) + 1 AS ke
+          |  FROM rem r JOIN probe d USING (doc_id) GROUP BY r.doc_id, d.text),
+          |clean AS (
+          |  SELECT doc_id, string_agg(substr(text, CAST(ks AS INT), CAST(ke - ks AS INT)), '' ORDER BY ks) AS ctext
+          |  FROM kept GROUP BY doc_id),
+          |spans AS (SELECT doc_id, count(*) AS n_spans, sum(e - sp) AS removed FROM rem GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(c.ctext, d.text) AS clean_text,
+          |       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+          |       CAST(coalesce(s.removed, 0) AS BIGINT) AS n_removed_chars
+          |FROM probe d LEFT JOIN clean c USING (doc_id) LEFT JOIN spans s USING (doc_id)
           |ORDER BY d.doc_id""".stripMargin,
 
       "q_sample_weighted" ->

@@ -1511,18 +1511,31 @@ object Dedup {
     val docs = Lineage.truncate(
       df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")))
     val gramKey: Column => Column = g => if (hashedKeys) xxhash64(g) else g
-    val grams = docs
-      .where(length(col("text")) >= k)
-      .select(col("doc_id"), col("text"), explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"))
-      .select(col("doc_id"), col("p").cast("long").as("pos"),
-        gramKey(substring_index_free(col("text"), col("p"), k)).as("g"))
+    val grams = positionalGrams(docs, k).withColumn("g", gramKey(col("g")))
     val dup = grams
       .groupBy("g")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2)
       .select("g")
     val hits = grams.join(dup, "g").select("doc_id", "pos")
+    exciseByHits(docs, hits, k)
+  }
 
+  /** (doc_id, pos, g): every 1-indexed position's character k-gram. Docs
+    * shorter than k contribute nothing.
+    */
+  private def positionalGrams(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .where(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"), explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), substring(col("text"), col("p"), lit(k)).as("g"))
+
+  /** Shared tail of every excision form: duplicated-gram hit positions →
+    * merged islands (per-doc running-max window) → complement stitch.
+    * The groupBys reuse the window's doc_id partitioning (plan-pinned at
+    * one exchange for this whole tail).
+    */
+  private def exciseByHits(docs: DataFrame, hits: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc   = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + k).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -1563,9 +1576,97 @@ object Dedup {
         coalesce(col("n_removed_chars"), lit(0L)).as("n_removed_chars"))
   }
 
-  /** `substring(text, pos, len)` with a COLUMN start — the builtin
-    * `substring(Column, Int, Int)` only takes literal positions.
+  // ------------------------------------------------------------------
+  // Persisted gram index (disk serving form of substring excision)
+  // ------------------------------------------------------------------
+
+  /** Build/serve parameters of a persisted gram index — same
+    * read-the-layout-from-the-index contract as [[SignatureIndexMeta]]:
+    * a probe with a different k or bucket count would silently miss, so
+    * the parameters travel with the data.
     */
-  private def substring_index_free(text: Column, pos: Column, len: Int): Column =
-    substring(text, pos, lit(len))
+  final case class GramIndexMeta(k: Int, gramBuckets: Int)
+
+  private def gramMetaPath(path: String) = s"$path/_graft_gram_meta"
+  private def gramBucket(buckets: Int): Column =
+    pmod(xxhash64(col("g")), lit(buckets.toLong)).cast("int")
+
+  /** Read back the [[GramIndexMeta]] of a persisted gram index. */
+  def readGramIndexMeta(spark: org.apache.spark.sql.SparkSession, path: String): GramIndexMeta = {
+    val r = spark.read.parquet(gramMetaPath(path)).select("k", "gramBuckets").head
+    GramIndexMeta(r.getInt(0), r.getInt(1))
+  }
+
+  /** Persist the corpus' DISTINCT character k-grams, parquet-partitioned
+    * by `bucket = pmod(xxhash64(g), gramBuckets)` — the serving index for
+    * [[exciseVsPersistedGrams]]. Distinct-ing first keeps the index
+    * proportional to the corpus' gram VOCABULARY, not its length; `append`
+    * adds an increment's grams without rewriting (duplicate grams across
+    * increments are harmless — the probe is a semi-join).
+    */
+  def persistGramIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      k: Int = 50,
+      gramBuckets: Int = 64,
+      append: Boolean = false
+  ): Unit = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (append) {
+      val m = readGramIndexMeta(spark, path)
+      require(m == GramIndexMeta(k, gramBuckets),
+        s"persistGramIndex(append): parameters $k/$gramBuckets do not match the existing index $m")
+    }
+    val docs = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    positionalGrams(docs, k)
+      .select("g").distinct()
+      .withColumn("bucket", gramBucket(gramBuckets))
+      .repartition(col("bucket"))
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("bucket")
+      .parquet(path)
+    if (!append)
+      Seq((k, gramBuckets)).toDF("k", "gramBuckets")
+        .coalesce(1).write.mode("overwrite").parquet(gramMetaPath(path))
+  }
+
+  /** Excise from NEW documents every maximal span covered by k-grams that
+    * exist in a PERSISTED corpus gram index — the serving form of
+    * [[exciseSharedSubstrings]] (there the contamination source is the
+    * batch itself; here it is the indexed corpus, and probe-batch docs are
+    * NOT compared to each other). The probe reads ONLY the partitions the
+    * batch's own grams hash to: distinct buckets pushed as a
+    * partition-column isin filter, pruned at planning time — a one-doc
+    * batch touches ≤ its-gram-count of gramBuckets directories however
+    * large the indexed corpus (PlanAuditSpec pins the strict subset).
+    * Output schema is identical to [[exciseSharedSubstrings]].
+    */
+  def exciseVsPersistedGrams(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String
+  ): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val m    = readGramIndexMeta(spark, indexPath)
+    val docs = Lineage.truncate(
+      newDocs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")))
+    val grams = Lineage.truncate(
+      positionalGrams(docs, m.k).withColumn("bucket", gramBucket(m.gramBuckets)))
+    val touched = grams.select("bucket").distinct().as[Int].collect().sorted
+    val hits =
+      if (touched.isEmpty) spark.emptyDataset[(Long, Long)].toDF("doc_id", "pos")
+      else {
+        val idx = spark.read.parquet(indexPath)
+          .where(col("bucket").isin(touched.map(b => b: Any): _*))
+          .select("bucket", "g").distinct()
+        grams.join(idx, Seq("bucket", "g"), "left_semi").select("doc_id", "pos")
+      }
+    exciseByHits(docs, hits, m.k)
+  }
 }

@@ -1305,6 +1305,39 @@ class OperatorsSpec extends SparkSpec {
     it("hashedKeys (8-byte shuffle keys, the 100 TB regime) is output-identical") {
       run(hashed = true) shouldBe run(hashed = false)
     }
+
+    it("exciseVsPersistedGrams: disk round trip = definitional corpus-gram excision; append extends it") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gramidx_spec_").toString
+      val corpusA = Seq(
+        11L -> "CCCC SHARED-PHRASE-HERE DDDD",
+        12L -> "THIS-IS-AN-IDENTICAL-DOCUMENT").toDF("doc_id", "text")
+      val probe = Seq(
+        1L -> "AAAA SHARED-PHRASE-HERE BBBB",
+        3L -> "unique content nothing else at all",
+        4L -> "THIS-IS-AN-IDENTICAL-DOCUMENT",
+        6L -> "tiny",
+        7L -> "QQQQ LATE-APPENDED-BLOCK RRRR").toDF("doc_id", "text")
+      Dedup.persistGramIndex(corpusA, "text", "doc_id", tmp, k = 10, gramBuckets = 8)
+      def serve() = Dedup.exciseVsPersistedGrams(probe, "text", "doc_id", tmp)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("clean_text"), r.getAs[Long]("n_spans"), r.getAs[Long]("n_removed_chars"))))
+        .toMap
+      val r1 = serve()
+      r1(1L) shouldBe (("AAAABBBB", 1L, 20L)) // shared phrase is in the index
+      r1(3L)._2 shouldBe 0L // nothing indexed matches
+      r1(4L) shouldBe (("", 1L, 29L)) // whole doc is an indexed doc
+      r1(6L) shouldBe (("tiny", 0L, 0L)) // shorter than k
+      r1(7L)._2 shouldBe 0L // not yet indexed
+
+      // Nightly append: a second increment's grams extend the index
+      // in place; the previously-clean probe doc is now excised.
+      val corpusB = Seq(13L -> "XXXX LATE-APPENDED-BLOCK YYYY").toDF("doc_id", "text")
+      Dedup.persistGramIndex(corpusB, "text", "doc_id", tmp, k = 10, gramBuckets = 8, append = true)
+      val r2 = serve()
+      r2(7L) shouldBe (("QQQQRRRR", 1L, 21L)) // ' LATE-APPENDED-BLOCK ' (both spaces) excised
+      r2(1L) shouldBe r1(1L) // earlier verdicts unchanged
+    }
   }
 
   describe("Dedup.simHash32 + simHashPairs") {

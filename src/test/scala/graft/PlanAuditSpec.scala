@@ -373,6 +373,35 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("exciseVsPersistedGrams probes only the batch's gram buckets") {
+      withoutAqe {
+        val tmp = java.nio.file.Files.createTempDirectory("gram_prune_").toString
+        try {
+          // A corpus whose grams populate many buckets...
+          val corpus = (1L to 200L).map(i => (i, s"corpus document number $i with body text $i")).toDF("doc_id", "text")
+          graft.operators.Dedup.persistGramIndex(corpus, "text", "doc_id", tmp, k = 10, gramBuckets = 32)
+          val populated = spark.read.parquet(tmp).select("bucket").distinct().count()
+          populated should be > 8L
+          // ...probed by ONE short doc (3 grams → at most 3 buckets).
+          val probe = Seq((900L, "abcdefghijkl")).toDF("doc_id", "text")
+          val plan = executed(graft.operators.Dedup.exciseVsPersistedGrams(probe, "text", "doc_id", tmp))
+          val scans = plan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+                if f.relation.location.rootPaths.exists(_.toString.contains("gram_prune_")) &&
+                  !f.relation.location.rootPaths.exists(_.toString.contains("_graft_gram_meta")) => f
+          }
+          scans should not be empty
+          scans.foreach { f =>
+            f.selectedPartitions.partitionCount should be <= 3
+            f.selectedPartitions.partitionCount.toLong should be < populated
+          }
+        } finally {
+          def rm(p: java.io.File): Unit = { Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); () }
+          rm(new java.io.File(tmp))
+        }
+      }
+    }
+
     it("the native cosine expression stays inside whole-stage codegen") {
       assume(new java.io.File(sfDir).isDirectory)
       withoutAqe {
