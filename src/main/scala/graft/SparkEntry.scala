@@ -94,7 +94,14 @@ object SparkEntry {
     // CELL-PARTITIONED IVF index (only probed cells read per trigger).
     // Shares q_knn_ivf_probe's oracle.
     "q_knn_ivf_serve_stream" -> ((s, dir) =>
-      graft.streaming.StreamGates.ivfServeViaStream(s, dir))
+      graft.streaming.StreamGates.ivfServeViaStream(s, dir)),
+
+    // Streamed substring-excision serving: new documents stream in; each
+    // micro-batch is excised against the persisted corpus gram index
+    // (bucket-pruned reads per trigger). Shares q_text_excise_serve's
+    // oracle verbatim — a doc's verdict depends only on the frozen index.
+    "q_text_excise_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.exciseServeViaStream(s, dir))
   )
 
   /** DuckDB twins of the streaming gates. Sessionization runs in the ms
@@ -1643,6 +1650,46 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // Oracles: equivalent DuckDB SQL over the same parquet tables.
   // ---------------------------------------------------------------------
+  /** Shared by `q_text_excise_serve` and its streamed twin
+    * `q_text_excise_stream` (the stream probes the SAME frozen index per
+    * micro-batch, so the result contract is identical): corpus half's
+    * DISTINCT 30-grams are the contamination set; the probe half replays
+    * the island-merge + complement-stitch tail verbatim.
+    */
+  private def exciseServeOracleSql: String =
+    """WITH mx AS (SELECT max(doc_id) // 2 AS s FROM documents),
+      |corpus AS (SELECT text FROM documents, mx WHERE doc_id <= s),
+      |probe AS (SELECT doc_id, text FROM documents, mx WHERE doc_id > s),
+      |cg AS (SELECT DISTINCT substr(text, CAST(pos AS INT), 30) AS g FROM
+      |  (SELECT text, unnest(range(1, greatest(length(text) - 30 + 2, 1))) AS pos FROM corpus)),
+      |pgr AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, substr(text, CAST(pos AS INT), 30) AS g FROM
+      |  (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 30 + 2, 1))) AS pos FROM probe)),
+      |hits AS (SELECT doc_id, pos FROM pgr WHERE g IN (SELECT g FROM cg)),
+      |marks AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(max(pos + 30) OVER (PARTITION BY doc_id ORDER BY pos
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_island
+      |  FROM hits),
+      |islands AS (
+      |  SELECT doc_id, pos, sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM marks),
+      |rem AS (SELECT doc_id, isl, min(pos) AS sp, max(pos) + 30 AS e FROM islands GROUP BY doc_id, isl),
+      |kept AS (
+      |  SELECT r.doc_id, d.text,
+      |         coalesce(lag(r.e) OVER (PARTITION BY r.doc_id ORDER BY r.sp), 1) AS ks, r.sp AS ke
+      |  FROM rem r JOIN probe d USING (doc_id)
+      |  UNION ALL
+      |  SELECT r.doc_id, d.text, max(r.e) AS ks, length(d.text) + 1 AS ke
+      |  FROM rem r JOIN probe d USING (doc_id) GROUP BY r.doc_id, d.text),
+      |clean AS (
+      |  SELECT doc_id, string_agg(substr(text, CAST(ks AS INT), CAST(ke - ks AS INT)), '' ORDER BY ks) AS ctext
+      |  FROM kept GROUP BY doc_id),
+      |spans AS (SELECT doc_id, count(*) AS n_spans, sum(e - sp) AS removed FROM rem GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(c.ctext, d.text) AS clean_text,
+      |       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+      |       CAST(coalesce(s.removed, 0) AS BIGINT) AS n_removed_chars
+      |FROM probe d LEFT JOIN clean c USING (doc_id) LEFT JOIN spans s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = {
     import OracleGen._
     Map(
@@ -2650,39 +2697,11 @@ object SparkEntry {
 
       // Serving-form excision: corpus half's DISTINCT grams are the
       // contamination set; probe half replays the same island/stitch tail.
-      "q_text_excise_serve" ->
-        """WITH mx AS (SELECT max(doc_id) // 2 AS s FROM documents),
-          |corpus AS (SELECT text FROM documents, mx WHERE doc_id <= s),
-          |probe AS (SELECT doc_id, text FROM documents, mx WHERE doc_id > s),
-          |cg AS (SELECT DISTINCT substr(text, CAST(pos AS INT), 30) AS g FROM
-          |  (SELECT text, unnest(range(1, greatest(length(text) - 30 + 2, 1))) AS pos FROM corpus)),
-          |pgr AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, substr(text, CAST(pos AS INT), 30) AS g FROM
-          |  (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 30 + 2, 1))) AS pos FROM probe)),
-          |hits AS (SELECT doc_id, pos FROM pgr WHERE g IN (SELECT g FROM cg)),
-          |marks AS (
-          |  SELECT doc_id, pos,
-          |    CASE WHEN pos > coalesce(max(pos + 30) OVER (PARTITION BY doc_id ORDER BY pos
-          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_island
-          |  FROM hits),
-          |islands AS (
-          |  SELECT doc_id, pos, sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM marks),
-          |rem AS (SELECT doc_id, isl, min(pos) AS sp, max(pos) + 30 AS e FROM islands GROUP BY doc_id, isl),
-          |kept AS (
-          |  SELECT r.doc_id, d.text,
-          |         coalesce(lag(r.e) OVER (PARTITION BY r.doc_id ORDER BY r.sp), 1) AS ks, r.sp AS ke
-          |  FROM rem r JOIN probe d USING (doc_id)
-          |  UNION ALL
-          |  SELECT r.doc_id, d.text, max(r.e) AS ks, length(d.text) + 1 AS ke
-          |  FROM rem r JOIN probe d USING (doc_id) GROUP BY r.doc_id, d.text),
-          |clean AS (
-          |  SELECT doc_id, string_agg(substr(text, CAST(ks AS INT), CAST(ke - ks AS INT)), '' ORDER BY ks) AS ctext
-          |  FROM kept GROUP BY doc_id),
-          |spans AS (SELECT doc_id, count(*) AS n_spans, sum(e - sp) AS removed FROM rem GROUP BY doc_id)
-          |SELECT d.doc_id, coalesce(c.ctext, d.text) AS clean_text,
-          |       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
-          |       CAST(coalesce(s.removed, 0) AS BIGINT) AS n_removed_chars
-          |FROM probe d LEFT JOIN clean c USING (doc_id) LEFT JOIN spans s USING (doc_id)
-          |ORDER BY d.doc_id""".stripMargin,
+      "q_text_excise_serve" -> exciseServeOracleSql,
+
+      // The streamed serving twin probes the same frozen index per
+      // micro-batch — identical result contract.
+      "q_text_excise_stream" -> exciseServeOracleSql,
 
       "q_sample_weighted" ->
         s"""SELECT event_id, event_type FROM events

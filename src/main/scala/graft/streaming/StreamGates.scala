@@ -451,6 +451,30 @@ object StreamGates {
     * foreachBatch — only the probed cells' partitions are read per
     * trigger). Shares `q_knn_ivf_probe`'s oracle verbatim.
     */
+  /** `q_text_excise_stream`: NEW documents arrive as a stream; each
+    * micro-batch is excised against the PERSISTED corpus gram index
+    * ([[graft.operators.Dedup.exciseVsPersistedGrams]] inside foreachBatch
+    * — bucket-pruned index reads per trigger). A doc's verdict depends
+    * only on the frozen index, never on its micro-batch peers, so
+    * streamed serving shares `q_text_excise_serve`'s oracle verbatim.
+    */
+  def exciseServeViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Dedup
+    val all     = graft.Tpch.table(spark, sfDir, "documents")
+    val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_gram_stream")
+    Dedup.persistGramIndex(
+      all.where(col("doc_id") <= splitId), "text", "doc_id", indexDir.toString, k = 30)
+    val probes = all.where(col("doc_id") > splitId)
+      .select(col("doc_id"), col("text"),
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * 10L).as("ts"))
+    try
+      replayViaForeachBatch(spark, probes, "ts", chunks = 3)(
+        b => Dedup.exciseVsPersistedGrams(b, "text", "doc_id", indexDir.toString))
+        .orderBy("doc_id")
+    finally rmTree(indexDir)
+  }
+
   def ivfServeViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.{IvfPinned, Similarity}
     val emb = graft.Tpch.table(spark, sfDir, "embeddings")
