@@ -34,6 +34,18 @@ class PartitionInvarianceSpec extends SparkSpec {
     invariant("simHash32")(d => d.select(org.apache.spark.sql.functions.col("doc_id"), Dedup.simHash32(org.apache.spark.sql.functions.col("text"))))
     invariant("duplicateClusters")(d =>
       Dedup.duplicateClusters(Dedup.ngramJaccardPairs(d, "text", "doc_id", threshold = 0.7)))
+    invariant("exciseSharedSubstrings")(d =>
+      Dedup.exciseSharedSubstrings(d, "text", "doc_id", k = 20))
+    // Exact regime only: under eviction a Misra-Gries summary's CONTENT
+    // legitimately depends on merge order; with capacity above the
+    // vocabulary the sketch is exact and must not care how data is split.
+    invariant("heavyHitterTerms (exact regime)")(d =>
+      graft.operators.Profiler.heavyHitterTerms(d, "text", topK = 10, capacity = 4096))
+    invariant("Skew.saltedJoin")(d => {
+      val dim = (0 to 9).map(i => (i.toLong, s"label$i")).toDF("k", "label")
+      graft.plans.Skew.saltedJoin(
+        d.selectExpr("doc_id", "doc_id % 10 AS k"), dim, Seq("k"), saltFrom = "doc_id", salts = 8)
+    })
   }
 
   describe("closure and anonymization") {
