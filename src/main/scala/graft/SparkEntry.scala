@@ -1083,6 +1083,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Binned interval join: each purchase opens a 10-minute promo window
+    // for its user; every event of that user inside a window pairs with
+    // it. RangeJoin turns the would-be theta join into an equi-join on
+    // (user, time-bin) + exact containment filter — the oracle is the
+    // plain theta join, which the binning must reproduce pair-for-pair.
+    "q_range_join" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      val ev = Tpch.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val points = ev.select(col("event_id"), col("user_id"), col("ts_us"))
+      val windows = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("promo_id"), col("user_id"),
+          col("ts_us").as("w_start"), (col("ts_us") + lit(600000000L)).as("w_end"))
+      RangeJoin.pointInInterval(points, windows, Seq("user_id"),
+          "ts_us", "w_start", "w_end", binWidth = 600000000L)
+        .select("event_id", "promo_id")
+        .orderBy("event_id", "promo_id")
+    }),
+
     // Quality-weighted sampling: keep probability proportional to the
     // event's value (clamped) — high-value rows survive more often.
     "q_sample_weighted" -> ((s, dir) =>
@@ -2629,6 +2647,16 @@ object SparkEntry {
       // DuckDB's native ASOF JOIN is the oracle for the union+window
       // formulation; ties are impossible in the fixture (no duplicate
       // (user_id, ts_us) pairs at any SF — verified).
+      // The binned formulation must reproduce the plain theta join
+      // pair-for-pair — the oracle IS that theta join.
+      "q_range_join" ->
+        """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+          |w AS (SELECT event_id AS promo_id, user_id, ts_us AS ws, ts_us + 600000000 AS we
+          |      FROM ev WHERE event_type = 'purchase')
+          |SELECT ev.event_id, w.promo_id
+          |FROM ev JOIN w ON ev.user_id = w.user_id AND ev.ts_us >= w.ws AND ev.ts_us < w.we
+          |ORDER BY ev.event_id, w.promo_id""".stripMargin,
+
       "q_asof_join" ->
         """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
           |p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),

@@ -1215,6 +1215,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("RangeJoin.pointInInterval") {
+    import graft.operators.RangeJoin
+    // Half-open boundaries, negative domain, multi-bin spans, empty and
+    // inverted intervals, cross-key isolation — all vs the definitional
+    // theta join computed in-memory.
+    val points = Seq((1L, "a", 0L), (2L, "a", 5L), (3L, "a", 10L), (4L, "a", -7L),
+      (5L, "b", 5L), (6L, "a", 99L)).toDF("pid", "k", "p")
+    val ivs = Seq((10L, "a", 0L, 10L), (11L, "a", -10L, -5L), (12L, "a", 4L, 6L),
+      (13L, "b", 0L, 100L), (14L, "a", 50L, 50L), (15L, "a", 7L, 3L)).toDF("iid", "k", "s", "e")
+
+    it("reproduces the theta join pair-for-pair at any bin width") {
+      val expected = (for {
+        (pid, pk, p) <- points.as[(Long, String, Long)].collect()
+        (iid, ik, s, e) <- ivs.as[(Long, String, Long, Long)].collect()
+        if ik == pk && p >= s && p < e
+      } yield (pid, iid)).toSet
+      expected should contain ((1L, 10L)) // inclusive start
+      expected should not contain ((3L, 10L)) // exclusive end
+      expected should contain ((4L, 11L)) // negative domain
+      Seq(1L, 4L, 64L).foreach { w =>
+        val got = RangeJoin.pointInInterval(points, ivs, Seq("k"), "p", "s", "e", binWidth = w)
+          .select("pid", "iid").as[(Long, Long)].collect()
+        got.toSet shouldBe expected
+        got.length shouldBe expected.size // exact multiplicity — no bin-overlap dups
+      }
+    }
+  }
+
   describe("Profiler.heavyHitterTerms") {
     import graft.operators.Profiler
 

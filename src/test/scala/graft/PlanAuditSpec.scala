@@ -373,6 +373,17 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("RangeJoin.pointInInterval plans as an equi-join — no nested loop, no cartesian") {
+      withoutAqe {
+        val points = (1L to 500L).map(i => (i, "u" + (i % 20), i * 10L)).toDF("pid", "k", "p")
+        val ivs    = (1L to 100L).map(i => (i, "u" + (i % 20), i * 40L, i * 40L + 100L)).toDF("iid", "k", "s", "e")
+        val plan = executed(
+          graft.operators.RangeJoin.pointInInterval(points, ivs, Seq("k"), "p", "s", "e", binWidth = 100L))
+        plan.toString should not include "BroadcastNestedLoopJoin"
+        plan.toString should not include "CartesianProduct"
+      }
+    }
+
     it("exciseVsPersistedGrams probes only the batch's gram buckets") {
       withoutAqe {
         val tmp = java.nio.file.Files.createTempDirectory("gram_prune_").toString
