@@ -1101,6 +1101,24 @@ object SparkEntry {
         .orderBy("event_id", "promo_id")
     }),
 
+    // Interval-overlap join: per user, 10-minute purchase windows vs
+    // 5-minute click windows — every overlapping pair, via the same
+    // binning with the allocate-to-later-start multiplicity guard. The
+    // oracle is the plain overlap theta join, pair-for-pair.
+    "q_interval_overlap" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      val ev = Tpch.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("promo_id"), col("user_id"),
+          col("ts_us").as("ps"), (col("ts_us") + lit(600000000L)).as("pe"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_us").as("cs"), (col("ts_us") + lit(300000000L)).as("ce"))
+      RangeJoin.intervalOverlap(p, c, Seq("user_id"), "ps", "pe", "cs", "ce", binWidth = 600000000L)
+        .select("promo_id", "click_id")
+        .orderBy("promo_id", "click_id")
+    }),
+
     // Quality-weighted sampling: keep probability proportional to the
     // event's value (clamped) — high-value rows survive more often.
     "q_sample_weighted" -> ((s, dir) =>
@@ -2656,6 +2674,16 @@ object SparkEntry {
           |SELECT ev.event_id, w.promo_id
           |FROM ev JOIN w ON ev.user_id = w.user_id AND ev.ts_us >= w.ws AND ev.ts_us < w.we
           |ORDER BY ev.event_id, w.promo_id""".stripMargin,
+
+      "q_interval_overlap" ->
+        """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+          |p AS (SELECT event_id AS promo_id, user_id, ts_us AS ps, ts_us + 600000000 AS pe
+          |      FROM ev WHERE event_type = 'purchase'),
+          |c AS (SELECT event_id AS click_id, user_id, ts_us AS cs, ts_us + 300000000 AS ce
+          |      FROM ev WHERE event_type = 'click')
+          |SELECT promo_id, click_id
+          |FROM p JOIN c ON p.user_id = c.user_id AND greatest(ps, cs) < least(pe, ce)
+          |ORDER BY promo_id, click_id""".stripMargin,
 
       "q_asof_join" ->
         """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),

@@ -73,4 +73,43 @@ object RangeJoin {
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_graft_bin")
   }
+
+  /** Interval OVERLAP join: every left×right interval pair sharing the
+    * equality keys whose half-open ranges intersect
+    * (`max(start) < min(end)`). Same binning decomposition as
+    * [[pointInInterval]], but interval×interval needs a multiplicity
+    * guard: two long intervals can share MANY bins, and a plain bin
+    * equi-join would emit the pair once per shared bin. The standard fix
+    * (no post-join distinct — a distinct would shuffle the full pair
+    * stream again): allocate each pair to exactly ONE bin, the bin of
+    * `max(leftStart, rightStart)`. That bin is always among the shared
+    * bins of an overlapping pair (the later-starting interval's first
+    * bin, which the other interval must also cover to overlap), so the
+    * filter `bin == floorDiv(greatest(starts))` keeps the pair exactly
+    * once and exactness needs no dedup shuffle.
+    *
+    * Left columns keep their names; right columns arrive via the caller
+    * renaming (both frames must share ONLY the `on` columns).
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      binWidth: Long
+  ): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(on.nonEmpty, "need at least one equality key — a keyless interval join has no shuffle key")
+    def explodeBins(df: DataFrame, s: String, e: String): DataFrame =
+      df.where(col(e) > col(s))
+        .withColumn("_graft_bin", explode(sequence(floorDiv(col(s), binWidth), floorDiv(col(e) - 1, binWidth))))
+    explodeBins(left, leftStart, leftEnd)
+      .join(explodeBins(right, rightStart, rightEnd), on :+ "_graft_bin")
+      .where(greatest(col(leftStart), col(rightStart)) < least(col(leftEnd), col(rightEnd)))
+      .where(col("_graft_bin") === floorDiv(greatest(col(leftStart), col(rightStart)), binWidth))
+      .drop("_graft_bin")
+  }
 }

@@ -1243,6 +1243,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("RangeJoin.intervalOverlap") {
+    import graft.operators.RangeJoin
+    // Touching-at-the-boundary pairs do NOT overlap (half-open), long
+    // intervals share many bins but pair ONCE, empty intervals vanish.
+    val l = Seq((1L, "a", 0L, 100L), (2L, "a", 95L, 105L), (3L, "a", 200L, 201L),
+      (4L, "b", 0L, 10L), (5L, "a", 300L, 300L)).toDF("lid", "k", "ls", "le")
+    val r = Seq((10L, "a", 50L, 60L), (11L, "a", 100L, 110L), (12L, "a", 0L, 1000L),
+      (13L, "b", 9L, 20L), (14L, "b", 10L, 20L)).toDF("rid", "k", "rs", "re")
+
+    it("reproduces the overlap theta join with exact multiplicity at any bin width") {
+      val expected = (for {
+        (lid, lk, ls, le) <- l.as[(Long, String, Long, Long)].collect()
+        (rid, rk, rs, re) <- r.as[(Long, String, Long, Long)].collect()
+        if lk == rk && math.max(ls, rs) < math.min(le, re)
+      } yield (lid, rid)).toSet
+      expected should contain ((1L, 10L))
+      expected should not contain ((1L, 11L)) // [0,100) vs [100,110) touch, no overlap
+      expected should contain ((2L, 11L))
+      expected should contain ((1L, 12L)) // shares 100/bin(1) bins at width 1 — still one pair
+      expected should not contain ((4L, 14L)) // [0,10) vs [10,20) touch
+      Seq(1L, 7L, 1024L).foreach { w =>
+        val got = RangeJoin.intervalOverlap(l, r, Seq("k"), "ls", "le", "rs", "re", binWidth = w)
+          .select("lid", "rid").as[(Long, Long)].collect()
+        got.toSet shouldBe expected
+        got.length shouldBe expected.size
+      }
+    }
+  }
+
   describe("Profiler.heavyHitterTerms") {
     import graft.operators.Profiler
 
