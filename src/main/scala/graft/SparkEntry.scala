@@ -990,6 +990,15 @@ object SparkEntry {
       Sampling.shardAssign(t(s, dir, "documents").select("doc_id"), "doc_id", numShards = 8, seed = 7L)
         .select("doc_id", "shard", "pos").orderBy("doc_id")),
 
+    // Deterministic GLOBAL shuffle position — one total training order
+    // across all shards, computed by hash-domain range bucketing + local
+    // ranks + driver-summed offsets (the oracle's single-node
+    // row_number() is exactly what the distributed form must reproduce
+    // while never planning a single-partition sort).
+    "q_corpus_shuffle" -> ((s, dir) =>
+      Sampling.shuffleOrder(t(s, dir, "documents").select("doc_id"), "doc_id", salt = "epoch1:")
+        .select("doc_id", "shuffle_pos").orderBy("doc_id")),
+
     // Per-domain document quota (C4-style host capping): synthetic hosts
     // derived arithmetically (URL extraction itself is q_text_urls'
     // gate); docs with doc_id % 11 == 0 have no domain and pass uncapped.
@@ -2593,6 +2602,11 @@ object SparkEntry {
            |SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
            |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv // 8, doc_id) AS BIGINT) AS pos
            |FROM h ORDER BY doc_id""".stripMargin,
+
+      "q_corpus_shuffle" ->
+        s"""SELECT doc_id,
+           |  CAST(row_number() OVER (ORDER BY ${hashSql("('epoch1:' || CAST(doc_id AS VARCHAR))")}, doc_id) - 1 AS BIGINT) AS shuffle_pos
+           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_domain_quota" ->
         s"""WITH d AS (SELECT doc_id,

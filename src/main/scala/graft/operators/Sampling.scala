@@ -207,4 +207,51 @@ object Sampling {
       .withColumn("pos", row_number().over(Window.partitionBy("shard").orderBy(col("ord"), col(idCol))).cast("long"))
       .drop("ord")
   }
+
+  /** Deterministic GLOBAL shuffle order for training export: every row's
+    * 0-based position in the corpus ordered by
+    * `(stableHash(salt ++ id), id)` — the epoch-reshuffleable "random"
+    * training order (new salt, new order), reproducible on any engine.
+    *
+    * The naive formulation — `row_number() OVER (ORDER BY hash)` with no
+    * partitioning — plans as Exchange SinglePartition: ONE task sorts the
+    * whole corpus, the exact bottleneck a 100 TB export cannot pay (and
+    * what the DuckDB oracle happily computes single-node). This is the
+    * two-phase decomposition instead:
+    *
+    *   1. bucket on the hash's HIGH bits (`h div (2³¹/buckets)`). The
+    *      hash is uniform, so fixed-width hash-domain slices ARE balanced
+    *      range partitions — order-preserving across buckets, no
+    *      boundary-sampling pass (`repartitionByRange` samples, which
+    *      would make positions depend on the sample);
+    *   2. per-bucket local rank (one Window per bucket partition) plus
+    *      driver-prefix-summed bucket COUNTS as offsets —
+    *      `buckets` longs on the driver, broadcast-joined back.
+    *
+    * Cost: one count aggregation + one shuffle on the bucket + local
+    * sorts. `buckets` must be a power of two dividing 2³¹ so the slice
+    * arithmetic stays exact integer work.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, salt: String = "", buckets: Int = 256): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
+      s"buckets must be a power of two in [1, 2^20], got $buckets")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val width  = (1L << 31) / buckets
+    val hashed = df
+      .withColumn("_so_h", HashCols.stableHash(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("_so_bucket", shiftright(col("_so_h"), 31 - Integer.numberOfTrailingZeros(buckets)).cast("int"))
+    require(width * buckets == (1L << 31), "bucket arithmetic must tile the 31-bit hash domain exactly")
+    val counts = hashed.groupBy("_so_bucket").count()
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _))
+    val offsetsDf = broadcast(offsets.toSeq.toDF("_so_bucket", "_so_offset"))
+    hashed
+      .withColumn("_so_rank",
+        row_number().over(Window.partitionBy("_so_bucket").orderBy(col("_so_h"), col(idCol))).cast("long") - 1L)
+      .join(offsetsDf, "_so_bucket")
+      .withColumn("shuffle_pos", col("_so_offset") + col("_so_rank"))
+      .drop("_so_h", "_so_bucket", "_so_rank", "_so_offset")
+  }
 }

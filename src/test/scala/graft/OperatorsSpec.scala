@@ -1243,6 +1243,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Sampling.shuffleOrder") {
+    it("is the dense global rank by (stableHash(salt ++ id), id); salt reshuffles") {
+      val ids = (1L to 300L)
+      val df  = ids.toDF("doc_id")
+      def expected(salt: String) = ids
+        .sortBy(i => (graft.functions.Anonymizer.stableHash(salt + i), i))
+        .zipWithIndex.map { case (i, p) => i -> p.toLong }.toMap
+      def got(salt: String) = Sampling.shuffleOrder(df, "doc_id", salt = salt, buckets = 16)
+        .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+      got("epoch1:") shouldBe expected("epoch1:")
+      got("epoch2:") shouldBe expected("epoch2:")
+      got("epoch1:") should not be got("epoch2:") // new salt, new order
+      got("epoch1:").values.toSeq.sorted shouldBe (0L until 300L) // dense permutation
+    }
+  }
+
   describe("RangeJoin.intervalOverlap") {
     import graft.operators.RangeJoin
     // Touching-at-the-boundary pairs do NOT overlap (half-open), long

@@ -41,6 +41,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     // vocabulary the sketch is exact and must not care how data is split.
     invariant("heavyHitterTerms (exact regime)")(d =>
       graft.operators.Profiler.heavyHitterTerms(d, "text", topK = 10, capacity = 4096))
+    invariant("Sampling.shuffleOrder")(d =>
+      graft.operators.Sampling.shuffleOrder(d.select("doc_id"), "doc_id", salt = "e:", buckets = 8))
     invariant("Skew.saltedJoin")(d => {
       val dim = (0 to 9).map(i => (i.toLong, s"label$i")).toDF("k", "label")
       graft.plans.Skew.saltedJoin(

@@ -373,6 +373,15 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("shuffleOrder never plans a single-partition sort — the global order is bucket-decomposed") {
+      withoutAqe {
+        val plan = executed(
+          graft.operators.Sampling.shuffleOrder(spark.range(1, 2000).toDF("doc_id"), "doc_id", salt = "e:"))
+        plan.toString should not include "SinglePartition"
+        plan.toString should not include "rangepartitioning"
+      }
+    }
+
     it("RangeJoin.pointInInterval plans as an equi-join — no nested loop, no cartesian") {
       withoutAqe {
         val points = (1L to 500L).map(i => (i, "u" + (i % 20), i * 10L)).toDF("pid", "k", "p")
