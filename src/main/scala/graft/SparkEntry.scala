@@ -420,6 +420,16 @@ object SparkEntry {
         .orderBy("o_custkey", "rnk")
     }),
 
+    // Per-key top-k by BOUNDED partial aggregation: same result as
+    // q_window_rank's row_number window, but the shuffle carries at most
+    // k candidates per (partition, key) instead of every row — the
+    // 100 TB formulation of grouped top-k (oracle = the window SQL).
+    "q_topk_grouped" -> ((s, dir) =>
+      graft.operators.TopK.perKey(
+        t(s, dir, "orders").select("o_custkey", "o_totalprice", "o_orderkey"),
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
+        .orderBy("o_custkey", "rnk")),
+
     // Distinct aggregate.
     "q_distinct_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -573,6 +583,13 @@ object SparkEntry {
     "q_distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_topk_grouped" ->
+      """SELECT o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_totalprice, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
 
     "q_set_ops" ->
       """SELECT k, label FROM (

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Per-key top-k with BOUNDED shuffle: the window formulation
+  * (`row_number() OVER (PARTITION BY key ORDER BY ord) <= k`) shuffles
+  * EVERY row to its key's partition and sorts whole groups before
+  * discarding all but k — at 100 TB that is the full fact table through
+  * the exchange for a result of |keys|·k rows. This is the
+  * partial-aggregation decomposition instead: a typed [[Aggregator]]
+  * whose buffer is a sorted array CAPPED AT K, so map-side combine
+  * reduces each (partition, key) to ≤ k candidates BEFORE the exchange —
+  * the shuffle carries min(rows, partitions·keys·k) entries, and a
+  * hot key ships k rows per upstream partition instead of its whole
+  * group. The reduction is associative and commutative (merge-then-trim
+  * of two sorted caps), so results are partitioning-invariant.
+  *
+  * Ordering: descending by `ord`, ascending ties by `tie` — `tie` must be
+  * unique per key (an id) so the top-k set and its ranks are total and
+  * deterministic, exactly reproducible by the oracle's window SQL.
+  */
+object TopK {
+
+  private type Entry = (Double, Long)
+
+  /** Insert-sorted, capped merge of two descending-(ord, asc-tie) arrays. */
+  private def mergeCapped(a: Array[Entry], b: Array[Entry], k: Int): Array[Entry] = {
+    val out = new Array[Entry](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var n = 0
+    while (n < out.length) {
+      val takeA =
+        j >= b.length ||
+          (i < a.length && (a(i)._1 > b(j)._1 || (a(i)._1 == b(j)._1 && a(i)._2 <= b(j)._2)))
+      if (takeA) { out(n) = a(i); i += 1 } else { out(n) = b(j); j += 1 }
+      n += 1
+    }
+    out
+  }
+
+  private def topKAgg(k: Int): Aggregator[Entry, Array[Entry], Seq[Entry]] =
+    new Aggregator[Entry, Array[Entry], Seq[Entry]] {
+      def zero: Array[Entry] = Array.empty
+      def reduce(buf: Array[Entry], e: Entry): Array[Entry] =
+        mergeCapped(buf, Array(e), k)
+      def merge(a: Array[Entry], b: Array[Entry]): Array[Entry] = mergeCapped(a, b, k)
+      def finish(buf: Array[Entry]): Seq[Entry] = buf.toSeq
+      def bufferEncoder: Encoder[Array[Entry]] = implicitly(Encoders.kryo[Array[Entry]])
+      def outputEncoder: Encoder[Seq[Entry]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
+    }
+
+  /** @param df      input rows
+    * @param keyCols grouping keys
+    * @param ordCol  numeric ranking column (descending — "top" = largest)
+    * @param tieCol  integer per-key-unique tiebreak (ascending)
+    * @param k       rows kept per key
+    * @return keys + `ordCol` + `tieCol` + `rnk` (1-based), the exact rows
+    *         the equivalent row_number window keeps
+    */
+  def perKey(df: DataFrame, keyCols: Seq[String], ordCol: String, tieCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(keyCols.nonEmpty, "need at least one key column")
+    val agg = udaf(topKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Entry]())
+    df.groupBy(keyCols.map(col): _*)
+      .agg(agg(col(ordCol).cast("double"), col(tieCol).cast("long")).as("_top"))
+      .select(keyCols.map(col) :+ posexplode(col("_top")).as(Seq("_p", "_e")): _*)
+      .select(
+        keyCols.map(col) ++ Seq(
+          col("_e._1").as(ordCol),
+          col("_e._2").as(tieCol),
+          (col("_p") + 1).cast("long").as("rnk")): _*)
+  }
+
+  /** Column helper: descending-ord/ascending-tie comparison as the docs
+    * state it, for callers composing their own checks.
+    */
+  def beats(ordA: Column, tieA: Column, ordB: Column, tieB: Column): Column =
+    ordA > ordB || (ordA === ordB && tieA < tieB)
+}

@@ -1243,6 +1243,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("TopK.perKey") {
+    import graft.operators.TopK
+    it("matches the row_number window exactly, including duplicate-ord tie-breaks and short groups") {
+      val rows = Seq(
+        ("a", 5.0, 1L), ("a", 5.0, 2L), ("a", 7.0, 3L), ("a", 1.0, 4L), ("a", 7.0, 5L),
+        ("b", 2.0, 6L), // group smaller than k
+        ("c", 3.0, 7L), ("c", 3.0, 8L), ("c", 3.0, 9L), ("c", 3.0, 10L)
+      ).toDF("k", "v", "id")
+      val got = TopK.perKey(rows, Seq("k"), "v", "id", k = 3)
+        .select("k", "v", "id", "rnk").as[(String, Double, Long, Long)].collect().toSet
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+      val expected = rows.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select("k", "v", "id", "rnk").as[(String, Double, Long, Long)].collect().toSet
+      got shouldBe expected
+      got.count(_._1 == "b") shouldBe 1 // short group keeps what it has
+    }
+  }
+
   describe("Sampling.shuffleOrder") {
     it("is the dense global rank by (stableHash(salt ++ id), id); salt reshuffles") {
       val ids = (1L to 300L)

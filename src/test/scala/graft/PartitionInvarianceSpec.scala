@@ -41,6 +41,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // vocabulary the sketch is exact and must not care how data is split.
     invariant("heavyHitterTerms (exact regime)")(d =>
       graft.operators.Profiler.heavyHitterTerms(d, "text", topK = 10, capacity = 4096))
+    invariant("TopK.perKey")(d =>
+      graft.operators.TopK.perKey(
+        d.selectExpr("doc_id % 5 AS k", "CAST(doc_id % 13 AS DOUBLE) AS v", "doc_id"),
+        Seq("k"), "v", "doc_id", k = 4))
     invariant("Sampling.shuffleOrder")(d =>
       graft.operators.Sampling.shuffleOrder(d.select("doc_id"), "doc_id", salt = "e:", buckets = 8))
     invariant("Skew.saltedJoin")(d => {
