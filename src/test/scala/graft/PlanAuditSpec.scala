@@ -373,6 +373,22 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("TopK.perKey is ONE shuffle with a partial aggregate BEFORE it — k-capped buffers cross the wire") {
+      withoutAqe {
+        val df = spark.range(1, 5000)
+          .selectExpr("id % 40 AS k", "CAST(id % 97 AS DOUBLE) AS v", "id")
+        val plan = executed(graft.operators.TopK.perKey(df, Seq("k"), "v", "id", k = 3))
+        shuffles(plan) shouldBe 1
+        val aggs = plan.collect {
+          case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        }
+        // partial (map-side, pre-exchange) + final — the partial one is
+        // what caps per-partition-per-key traffic at k entries.
+        aggs.size shouldBe 2
+        aggs.map(_.aggregateExpressions.head.mode.toString).toSet shouldBe Set("Partial", "Final")
+      }
+    }
+
     it("shuffleOrder never plans a single-partition sort — the global order is bucket-decomposed") {
       withoutAqe {
         val plan = executed(
