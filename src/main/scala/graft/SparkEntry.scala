@@ -42,7 +42,7 @@ object SparkEntry {
   // Queries: (SparkSession, sfDir) => DataFrame
   // ---------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ relationalQueries ++ pipelineQueries ++ streamingQueries
+    coreQueries ++ relationalQueries ++ analyticsQueries ++ pipelineQueries ++ streamingQueries
 
   // ---------------------------------------------------------------------
   // Streaming gates: the hashed result came through the Structured
@@ -72,6 +72,12 @@ object SparkEntry {
     // scan-local scorer. Shares q_text_lm_score's oracle verbatim.
     "q_text_lm_score_stream" -> ((s, dir) =>
       graft.streaming.StreamGates.lmScoreViaStream(s, dir)),
+
+    // Train-batch/serve-stream supervised quality classifier: the pinned
+    // micro-unit model scored scan-local over a file-source stream.
+    // Shares q_text_classifier_score's oracle verbatim (integer logits).
+    "q_text_classifier_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.classifierScoreViaStream(s, dir)),
 
     // Stream-static enrichment: events streamed against the customer
     // dimension (stateless join, no watermark); oracle is the batch join.
@@ -649,6 +655,186 @@ object SparkEntry {
          |FROM customer ORDER BY c_custkey""".stripMargin
     }
   )
+
+  // ---------------------------------------------------------------------
+  // Warehouse analytics + privacy QA: star-schema rollup, event funnels,
+  // cohort retention, k-anonymity/l-diversity auditing + suppression,
+  // blocked fuzzy record linkage / entity resolution.
+  // ---------------------------------------------------------------------
+  private def analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Star-schema rollup with ALL dimensions broadcast: the fact table
+    // (orders) never shuffles for the joins — one exchange total (the
+    // final aggregate). PlanAuditSpec pins the three BroadcastHashJoins.
+    "q_star_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey"))
+      val n = broadcast(t(s, dir, "nation").select("n_nationkey", "n_regionkey"))
+      val r = broadcast(t(s, dir, "region").select("r_regionkey", "r_name"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+        .orderBy("r_name", "o_year")
+    }),
+
+    // Ordered-sequence funnel over the event log: first completion time
+    // per stage, each stage counted only strictly after the previous —
+    // one exchange on user_id, stacked whole-partition window minimums.
+    "q_events_funnel" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnel(
+          Tpch.events(s, dir).select(col("user_id"), expr("ts div 1000").as("tus"), col("event_type")),
+          "user_id", "tus", "event_type",
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy("user_id")),
+
+    // Cohort retention: users bucketed by first-activity day, counted
+    // active per day offset. Raw events collapse to distinct (user, day)
+    // before anything else touches them.
+    "q_events_retention" -> ((s, dir) =>
+      graft.operators.EventAnalytics.cohortRetention(
+          Tpch.events(s, dir).select(col("user_id"), expr("ts div 1000").as("tus")),
+          "user_id", "tus", periodLength = 86400000000L)
+        .orderBy("cohort_period", "period_offset")),
+
+    // k-anonymity + l-diversity audit over the anonymizer's natural QI
+    // set (nation × market segment), sensitive = account-balance band.
+    "q_k_anonymity" -> ((s, dir) =>
+      graft.operators.Privacy.kAnonymityAudit(
+          t(s, dir, "customer").select(
+            col("c_nationkey").cast("long").as("c_nationkey"),
+            col("c_mktsegment"),
+            floor(col("c_acctbal") / 1000).cast("long").as("bal_band")),
+          Seq("c_nationkey", "c_mktsegment"), k = 12, sensitiveCol = "bal_band", l = 3)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // Suppression enforcement: QI columns nulled for rows whose QI group
+    // has < k members (violating groups broadcast back onto the rows).
+    "q_k_anon_suppress" -> ((s, dir) =>
+      graft.operators.Privacy.kAnonymize(
+          t(s, dir, "customer").select(
+            col("c_custkey"),
+            col("c_nationkey").cast("long").as("c_nationkey"),
+            col("c_mktsegment"),
+            col("c_acctbal")),
+          Seq("c_nationkey", "c_mktsegment"), k = 12)
+        .orderBy("c_custkey")),
+
+    // Blocked fuzzy linkage over the part-name dictionary: multi-pass
+    // blocking (first token ∪ last token), thresholded levenshtein ≤ 2.
+    "q_fuzzy_join" -> ((s, dir) =>
+      graft.operators.RecordLinkage.fuzzyNamePairs(
+          graft.operators.RecordLinkage.nameDictionary(t(s, dir, "part"), "p_partkey", "p_name"),
+          maxDist = 2)
+        .orderBy("key_a", "key_b")),
+
+    // Full entity resolution: fuzzy name pairs → transitive clusters →
+    // canonical (minimum-key) name broadcast back onto every part row.
+    "q_entity_resolution" -> ((s, dir) =>
+      graft.operators.RecordLinkage.canonicalizeByName(
+          t(s, dir, "part").select("p_partkey", "p_name"),
+          "p_partkey", "p_name", maxDist = 2)
+        .select("p_partkey", "p_name", "canon_name")
+        .orderBy("p_partkey"))
+  )
+
+  private def analyticsOracles: Map[String, String] = {
+    // Shared CTE: the name dictionary + blocked fuzzy pairs (both passes,
+    // UNION-deduped), replaying the implementation's blocking exactly.
+    val fuzzyCte =
+      """dict AS (SELECT p_name AS nm, min(p_partkey) AS nk FROM part GROUP BY p_name),
+        |cand AS (
+        |  SELECT a.nk AS key_a, b.nk AS key_b, a.nm AS name_a, b.nm AS name_b
+        |  FROM dict a JOIN dict b
+        |    ON split_part(a.nm, ' ', 1) = split_part(b.nm, ' ', 1) AND a.nk < b.nk
+        |  WHERE levenshtein(a.nm, b.nm) <= 2
+        |  UNION
+        |  SELECT a.nk, b.nk, a.nm, b.nm
+        |  FROM dict a JOIN dict b
+        |    ON split_part(a.nm, ' ', -1) = split_part(b.nm, ' ', -1) AND a.nk < b.nk
+        |  WHERE levenshtein(a.nm, b.nm) <= 2)""".stripMargin
+    Map(
+      "q_star_join" ->
+        """SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n_orders,
+          |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name, o_year ORDER BY r_name, o_year""".stripMargin,
+
+      "q_events_funnel" ->
+        """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+          |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN tus END) AS t1
+          |       FROM ev GROUP BY user_id),
+          |s2 AS (SELECT e.user_id, t1,
+          |       min(CASE WHEN event_type = 'view' AND tus > t1 THEN tus END) AS t2
+          |       FROM ev e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id, t1),
+          |s3 AS (SELECT e.user_id, t1, t2,
+          |       min(CASE WHEN event_type = 'click' AND tus > t2 THEN tus END) AS t3
+          |       FROM ev e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id, t1, t2),
+          |s4 AS (SELECT e.user_id, t1, t2, t3,
+          |       min(CASE WHEN event_type = 'purchase' AND tus > t3 THEN tus END) AS t4
+          |       FROM ev e JOIN s3 ON e.user_id = s3.user_id GROUP BY e.user_id, t1, t2, t3)
+          |SELECT user_id, t1, t2, t3, t4,
+          |CAST(CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3
+          |          WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1
+          |          ELSE 0 END AS BIGINT) AS stage_reached
+          |FROM s4 ORDER BY user_id""".stripMargin,
+
+      "q_events_retention" ->
+        """WITH act AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS p FROM events),
+          |f AS (SELECT user_id, min(p) AS cohort_period FROM act GROUP BY user_id)
+          |SELECT cohort_period, a.p - cohort_period AS period_offset,
+          |count(DISTINCT a.user_id) AS n_active
+          |FROM act a JOIN f ON a.user_id = f.user_id
+          |GROUP BY cohort_period, period_offset
+          |ORDER BY cohort_period, period_offset""".stripMargin,
+
+      "q_k_anonymity" ->
+        """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+          |count(*) AS group_size,
+          |count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS sensitive_distinct,
+          |CAST(CASE WHEN count(*) < 12 THEN 1 ELSE 0 END AS BIGINT) AS k_violation,
+          |CAST(CASE WHEN count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 3
+          |          THEN 1 ELSE 0 END AS BIGINT) AS l_violation
+          |FROM customer GROUP BY c_nationkey, c_mktsegment
+          |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+      "q_k_anon_suppress" ->
+        """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+          |           FROM customer GROUP BY c_nationkey, c_mktsegment)
+          |SELECT c_custkey,
+          |CASE WHEN n < 12 THEN NULL ELSE CAST(c.c_nationkey AS BIGINT) END AS c_nationkey,
+          |CASE WHEN n < 12 THEN NULL ELSE c.c_mktsegment END AS c_mktsegment,
+          |c_acctbal
+          |FROM customer c JOIN g
+          |  ON c.c_nationkey = g.c_nationkey AND c.c_mktsegment = g.c_mktsegment
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q_fuzzy_join" ->
+        s"""WITH $fuzzyCte
+           |SELECT key_a, key_b, name_a, name_b,
+           |CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+           |FROM cand ORDER BY key_a, key_b""".stripMargin,
+
+      "q_entity_resolution" ->
+        s"""WITH RECURSIVE $fuzzyCte,
+           |edges AS (SELECT key_a AS a, key_b AS b FROM cand
+           |          UNION SELECT key_b, key_a FROM cand),
+           |reach(a, b) AS (SELECT DISTINCT a, a FROM edges
+           |                UNION
+           |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |rep AS (SELECT a AS node, min(b) AS cluster_rep FROM reach GROUP BY a),
+           |canonmap AS (SELECT d.nm, d2.nm AS canon_name
+           |  FROM dict d LEFT JOIN rep ON d.nk = rep.node
+           |  JOIN dict d2 ON coalesce(rep.cluster_rep, d.nk) = d2.nk)
+           |SELECT p_partkey, p_name, canon_name
+           |FROM part JOIN canonmap ON p_name = canonmap.nm
+           |ORDER BY p_partkey""".stripMargin
+    )
+  }
 
   // ---------------------------------------------------------------------
   // LLM-data-pipeline operators: dedup, similarity search, text analysis.
@@ -1879,7 +2065,7 @@ object SparkEntry {
         """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS cnt,
           |CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
-    ) ++ relationalOracles ++ pipelineOracles ++ streamingOracles
+    ) ++ relationalOracles ++ analyticsOracles ++ pipelineOracles ++ streamingOracles
   }
 
   /** Exact-kNN oracle over the `vec_id < 5` query set — shared by the
@@ -2023,6 +2209,23 @@ object SparkEntry {
     val offsets = graft.operators.Dedup.minHashOffsets(32).mkString("[", ",", "]")
     val hashI   = s"(((2*i+1) * h + ($offsets)[(i+1)::BIGINT]) % ${graft.operators.Dedup.MinHashPrime})"
     val bandKey = (1 to 8).map(k => s"sg[8*b+$k]::VARCHAR").mkString(" || ':' || ")
+    // Supervised-classifier replay: hashed-token counts joined against the
+    // pinned micro-unit weights — pure integer arithmetic, exact. Shared
+    // by the batch gate and the streamed serving gate.
+    val classifierScoreSql = {
+      import graft.operators.QualityClassifierPinned
+      val wVals = QualityClassifierPinned.nonZero
+        .map { case (b, w) => s"($b, $w)" }.mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
+         |f AS (SELECT doc_id, (${hashSql("tok")} % ${QualityClassifierPinned.dim}) AS b, count(*) AS c
+         |      FROM tk GROUP BY 1, 2),
+         |w(b, wm) AS (VALUES $wVals),
+         |s AS (SELECT doc_id, sum(c * wm) AS dot FROM f JOIN w USING (b) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(${QualityClassifierPinned.biasMicro} + coalesce(s.dot, 0) AS BIGINT) AS logit_micro,
+         |  (${QualityClassifierPinned.biasMicro} + coalesce(s.dot, 0)) >= 0 AS kept
+         |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin
+    }
     // Bigram-LM replay: identical count/smoothing/score arithmetic; the
     // doc_id join at the end restores zero-evidence short documents.
     // Shared verbatim by the join-based gate (q_text_lm_score) and the
@@ -2829,20 +3032,11 @@ object SparkEntry {
 
       // Supervised classifier: hashed-token counts joined against the
       // pinned micro-unit weights — pure integer arithmetic, exact.
-      "q_text_classifier_score" -> {
-        import graft.operators.QualityClassifierPinned
-        val wVals = QualityClassifierPinned.nonZero
-          .map { case (b, w) => s"($b, $w)" }.mkString(", ")
-        s"""WITH tk AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
-           |f AS (SELECT doc_id, (${hashSql("tok")} % ${QualityClassifierPinned.dim}) AS b, count(*) AS c
-           |      FROM tk GROUP BY 1, 2),
-           |w(b, wm) AS (VALUES $wVals),
-           |s AS (SELECT doc_id, sum(c * wm) AS dot FROM f JOIN w USING (b) GROUP BY doc_id)
-           |SELECT d.doc_id,
-           |  CAST(${QualityClassifierPinned.biasMicro} + coalesce(s.dot, 0) AS BIGINT) AS logit_micro,
-           |  (${QualityClassifierPinned.biasMicro} + coalesce(s.dot, 0)) >= 0 AS kept
-           |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin
-      },
+      // Shared verbatim by the streamed serving gate (stateless scoring ⇒
+      // streamed == batch row-for-row).
+      "q_text_classifier_score" -> classifierScoreSql,
+
+      "q_text_classifier_stream" -> classifierScoreSql,
 
       // Calibrated LM filter: the shared LM chain, then the exact k-th
       // smallest milli score (row_number = k ≡ the histogram prefix sum)

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over an event log: ordered-sequence funnels
+  * and cohort retention — the two queries every large event warehouse runs
+  * daily, shaped so the fact table crosses the network once.
+  *
+  * Both operators key every intermediate on the user column, so Catalyst
+  * plans ONE exchange on `user` and reuses that partitioning for every
+  * subsequent window/aggregation/join stage (ReusedExchange /
+  * same-partitioning no-op): at 100 TB the event log is shuffled once, and
+  * everything after works on co-located per-user groups.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: for each user, the FIRST time each stage was reached,
+    * where stage i counts only at a strictly LATER timestamp than stage
+    * i-1's first completion (the standard "first matching subsequence"
+    * funnel semantics — a purchase before signup does not complete the
+    * funnel).
+    *
+    * Implementation: a cascade of whole-partition window minimums
+    * (`min(ts WHERE type = stage_i AND ts > t_{i-1}) OVER (PARTITION BY
+    * user)`), one per stage, then a per-user collapse. Every window shares
+    * the same partition spec with no ordering, so the plan is one
+    * Exchange + one Sort feeding k stacked Window nodes — stage count
+    * changes CPU per row, never shuffle volume. The cascade cannot be one
+    * associative aggregate (t_i depends on t_{i-1}), which is why it is
+    * windows over a single partitioning rather than k self-joins.
+    *
+    * @param events  event rows
+    * @param userCol grouping key
+    * @param tsCol   LONG event time (any fixed unit; output stays in it)
+    * @param typeCol event-type string column
+    * @param stages  ordered stage names (funnel steps)
+    * @return one row per user: `userCol`, `t1..tN` (first completion time
+    *         per stage, null once the cascade breaks), `stage_reached`
+    *         (BIGINT 0..N)
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val w = Window.partitionBy(userCol)
+    var cur = events.select(col(userCol), col(tsCol).cast("long").as("_ts"), col(typeCol).as("_ty"))
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val gate =
+        if (i == 0) col("_ty") === st
+        else col("_ty") === st && col(s"t$i").isNotNull && col("_ts") > col(s"t$i")
+      cur = cur.withColumn(s"t${i + 1}", min(when(gate, col("_ts"))).over(w))
+    }
+    val tCols = stages.indices.map(i => s"t${i + 1}")
+    // Folded inner-out: the LAST-wrapped branch (deepest stage) tests
+    // first, so reaching stage i+1 wins over the always-non-null t_i.
+    val reached = stages.indices
+      .foldLeft(lit(0L)) { (acc, i) => when(col(s"t${i + 1}").isNotNull, lit((i + 1).toLong)).otherwise(acc) }
+    val aggCols = tCols.map(c => min(col(c)).as(c)) // constant within the group
+    cur
+      .groupBy(col(userCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("stage_reached", reached)
+  }
+
+  /** Cohort retention: users bucketed by the period of their FIRST
+    * activity (the cohort), counted as active per later period offset.
+    * Periods are integer floor-divisions of the time column, so the
+    * bucketing is exact at any unit.
+    *
+    * Plan: distinct (user, period) first — the only stage that sees raw
+    * event volume, map-side-combinable — then the per-user first-period
+    * aggregate and the join back both reuse the user partitioning; the
+    * final (cohort, offset) aggregate works on |users| × |periods| rows at
+    * most.
+    *
+    * @return `cohort_period, period_offset, n_active` (all BIGINT)
+    */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      periodLength: Long): DataFrame = {
+    require(periodLength > 0, s"periodLength must be positive, got $periodLength")
+    val act = events
+      .select(col(userCol).as("_u"), expr(s"$tsCol div $periodLength").as("_p"))
+      .distinct()
+    val first = act.groupBy(col("_u")).agg(min(col("_p")).as("cohort_period"))
+    act
+      .join(first, "_u")
+      .groupBy(col("cohort_period"), (col("_p") - col("cohort_period")).as("period_offset"))
+      .agg(count_distinct(col("_u")).as("n_active"))
+  }
+}

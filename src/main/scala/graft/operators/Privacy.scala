@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy-risk auditing and enforcement over anonymized outputs — the QA
+  * layer of the reference's domain (an anonymizer's output is only as good
+  * as its re-identification risk). The reference itself transforms values
+  * but never MEASURES the result (`/root/reference/simple-anonymizer` has
+  * no risk check); these operators close that loop with the two standard
+  * tabular-privacy criteria:
+  *
+  *  - '''k-anonymity''' (Sweeney 2002): every combination of
+  *    quasi-identifier (QI) values must be shared by ≥ k rows, or an
+  *    attacker who knows a subject's QIs narrows them to < k candidates.
+  *  - '''l-diversity''' (Machanavajjhala 2007): within each QI group the
+  *    SENSITIVE attribute must take ≥ l distinct values, or group
+  *    membership alone leaks the sensitive value even at high k.
+  *
+  * Scale shape: the audit is ONE grouped aggregation over the QI columns —
+  * `count` combines map-side, and the distinct-sensitive count is Spark's
+  * two-phase partial-distinct plan, so the exchange carries at most
+  * |QI groups| × |sensitive domain| rows, never the input. Enforcement
+  * (suppression) joins the input against only the VIOLATING groups: in a
+  * production pipeline that set is small (the point of suppression is that
+  * few groups violate), so the join side broadcasts; a bounded probe
+  * (`limit(maxBroadcastGroups + 1).count` — the sentinel pattern of
+  * `TextAnalysis.integerPercentileCutoff`) detects the degenerate corpus
+  * whose violating set is itself huge and falls back to a shuffled
+  * hash join, result-identical (spec-pinned).
+  */
+object Privacy {
+
+  /** Per-QI-group risk audit: group size (k-anonymity) and distinct
+    * sensitive values (l-diversity), with 0/1 violation flags so the
+    * output is a complete, hashable risk report.
+    *
+    * @param df           input rows
+    * @param qiCols       quasi-identifier columns (the attacker's
+    *                     background knowledge)
+    * @param k            minimum acceptable group size
+    * @param sensitiveCol sensitive-attribute column for l-diversity
+    * @param l            minimum acceptable distinct sensitive values
+    * @return one row per QI group: QIs, `group_size`, `sensitive_distinct`,
+    *         `k_violation`, `l_violation` (BIGINT 0/1)
+    */
+  def kAnonymityAudit(
+      df: DataFrame,
+      qiCols: Seq[String],
+      k: Int,
+      sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("sensitive_distinct"))
+      .withColumn("k_violation", (col("group_size") < k).cast("long"))
+      .withColumn("l_violation", (col("sensitive_distinct") < l).cast("long"))
+  }
+
+  /** Suppression enforcement: rows whose QI group has < k members get
+    * every QI column nulled (full-domain suppression — the group becomes
+    * indistinguishable from every other suppressed row), all other columns
+    * pass through untouched. Output column ORDER is the input's.
+    *
+    * Plan: one grouped count over the QIs (map-side combinable) filtered
+    * to violating groups, then an equi-join back on the QI columns. The
+    * violating side broadcasts when a bounded count shows ≤
+    * `maxBroadcastGroups` groups; past that the plain shuffled join runs
+    * instead (identical rows — spec-pinned). `maxBroadcastGroups = 0`
+    * forces the shuffled plan for tests/soaks.
+    *
+    * Null QI values in the INPUT are grouped SQL-GROUP-BY style (null is
+    * its own group) and joined null-safely (`<=>`), so pre-suppressed rows
+    * count toward — and stay consistent with — their own group.
+    */
+  def kAnonymize(
+      df: DataFrame,
+      qiCols: Seq[String],
+      k: Int,
+      maxBroadcastGroups: Int = 1 << 20): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val violating = df
+      .groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("_gsz"))
+      .where(col("_gsz") < k)
+      .select(qiCols.map(c => col(c).as(s"_v_$c")) :+ lit(1L).as("_viol"): _*)
+    val smallEnough =
+      maxBroadcastGroups > 0 &&
+        violating.limit(maxBroadcastGroups + 1).count() <= maxBroadcastGroups
+    val joinSide = if (smallEnough) broadcast(violating) else violating
+    val cond = qiCols
+      .map(c => df(c) <=> joinSide(s"_v_$c"))
+      .reduce(_ && _)
+    val qi = qiCols.toSet
+    val outCols: Seq[Column] = df.columns.toSeq.map { c =>
+      if (qi(c)) when(col("_viol").isNull, df(c)).as(c) else df(c)
+    }
+    df.join(joinSide, cond, "left").select(outCols: _*)
+  }
+
+  /** Differentially-private group counts via the two-sided geometric
+    * (discrete Laplace) mechanism: `released = count + (G_a − G_b)` where
+    * `G_a, G_b` are independent Geometric(1/2) draws. For sensitivity-1
+    * counting queries the two-sided geometric with parameter p is
+    * ε-DP with ε = ln(1/p) — here '''ε = ln 2''' (Ghosh–Roughgarden–
+    * Sundararajan's universally-optimal integer mechanism). Only the
+    * released value leaves the operator; the true count is dropped.
+    *
+    * The geometric draws are INTEGER-EXACT and seed-deterministic: each is
+    * the trailing-zero count of `stableHash(groupKey|seed|side) | 2^20`
+    * (uniform hash bits ⇒ trailing zeros ~ Geometric(1/2), capped at 20 —
+    * a 2⁻²⁰-probability tail truncation per side, i.e. a δ ≈ 2⁻²⁰ term on
+    * the guarantee, far below any statistical resolution). No `ln`, no
+    * floating point, so the DuckDB oracle replays the release bit-exactly
+    * from the shared md5 hash contract ([[graft.functions.Anonymizer]]).
+    *
+    * Honesty caveats, deliberate: determinism makes a release REPRODUCIBLE
+    * (rerunning the pipeline republishes the identical noise — no privacy
+    * spent twice); the caller must use a FRESH seed for each semantically
+    * new release, exactly as they would draw fresh randomness. ε is fixed
+    * at ln 2 by the bit-level construction; finer ε would need a
+    * rational-arithmetic inverse-CDF, out of scope here.
+    *
+    * Plan: one grouped count (map-side combinable) + a scan-local noise
+    * column — noise adds ZERO distributed work at any scale.
+    */
+  def noisyCounts(df: DataFrame, groupCols: Seq[String], seed: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    def geo(key: String, side: String): Int =
+      java.lang.Integer.numberOfTrailingZeros(
+        graft.functions.Anonymizer.stableHash(s"$key|$seed|$side") | (1 << 20))
+    val noiseUdf = udf { (key: String) => (geo(key, "a") - geo(key, "b")).toLong }
+    val keyExpr = concat_ws("", groupCols.map(col): _*)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("_true_count"))
+      .withColumn("released", col("_true_count") + noiseUdf(keyExpr))
+      .drop("_true_count")
+  }
+}

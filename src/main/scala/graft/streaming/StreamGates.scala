@@ -344,6 +344,28 @@ object StreamGates {
       .orderBy("doc_id")
   }
 
+  /** `q_text_classifier_stream`: the pinned supervised quality classifier
+    * ([[graft.operators.QualityClassifierPinned]]) served over a
+    * file-source STREAM — the train-batch/serve-stream shape of
+    * `q_text_lm_score_stream`, for the classifier half of the quality
+    * stack. Scoring is a stateless scan-local UDF against the broadcast
+    * micro-unit integer weights, so the streamed result equals the batch
+    * result row-for-row and shares `q_text_classifier_score`'s oracle
+    * verbatim (integer logits — no FP summation-order concern at all).
+    */
+  def classifierScoreViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tpch.table(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
+        col("text")
+      )
+    replayViaFiles(spark, docs, "ts", chunks = 3, OutputMode.Append())(in =>
+      graft.operators.QualityClassifier.score(
+        in, "text", "doc_id", graft.operators.QualityClassifierPinned.model))
+      .orderBy("doc_id")
+  }
+
   /** `q_events_enrich_stream`: the events fixture streamed through
     * [[EventStream.enrichWithStatic]] against the customer dimension —
     * the stream-static join shape (stateless on the stream side, no

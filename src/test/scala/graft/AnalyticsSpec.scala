@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.{EventAnalytics, Privacy, RecordLinkage}
+import org.apache.spark.sql.Row
+
+/** Behavioral contracts of the warehouse-analytics wave: privacy audit +
+  * suppression, blocked fuzzy linkage / entity resolution, funnels, and
+  * cohort retention. The gates pin the fixtures; these specs pin the edge
+  * semantics the fixtures don't reach (nulls, order violations, blocking
+  * escapes, fallback-path identity).
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("Privacy.kAnonymityAudit") {
+    it("flags undersized and under-diverse QI groups") {
+      val df = Seq(
+        ("a", "x", 1), ("a", "x", 1), ("a", "x", 2), // size 3, 2 sensitive values
+        ("b", "y", 5)                                // size 1, 1 sensitive value
+      ).toDF("qi1", "qi2", "sens")
+      val out = Privacy.kAnonymityAudit(df, Seq("qi1", "qi2"), k = 2, sensitiveCol = "sens", l = 2)
+        .orderBy("qi1").collect()
+      out.map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))) shouldBe
+        Array(("a", 3L, 2L, 0L, 0L), ("b", 1L, 1L, 1L, 1L))
+    }
+  }
+
+  describe("Privacy.kAnonymize") {
+    val df = Seq(
+      (1L, "a", "x", 10.0), (2L, "a", "x", 20.0), (3L, "a", "x", 30.0),
+      (4L, "b", "y", 40.0)
+    ).toDF("id", "qi1", "qi2", "bal")
+
+    it("nulls every QI column of violating groups, passes the rest through, keeps column order") {
+      val out = Privacy.kAnonymize(df, Seq("qi1", "qi2"), k = 2).orderBy("id")
+      out.columns.toSeq shouldBe Seq("id", "qi1", "qi2", "bal")
+      out.collect() shouldBe Array(
+        Row(1L, "a", "x", 10.0), Row(2L, "a", "x", 20.0), Row(3L, "a", "x", 30.0),
+        Row(4L, null, null, 40.0))
+    }
+
+    it("forced shuffled-join fallback (maxBroadcastGroups = 0) is row-identical") {
+      val bcast = Privacy.kAnonymize(df, Seq("qi1", "qi2"), k = 2).orderBy("id").collect()
+      val shuf  = Privacy.kAnonymize(df, Seq("qi1", "qi2"), k = 2, maxBroadcastGroups = 0)
+        .orderBy("id").collect()
+      shuf shouldBe bcast
+    }
+
+    it("treats null QI values as their own group (null-safe join keeps them consistent)") {
+      val withNulls = Seq(
+        (1L, null.asInstanceOf[String], 1.0), (2L, null.asInstanceOf[String], 2.0),
+        (3L, "solo", 3.0)
+      ).toDF("id", "qi1", "bal")
+      val out = Privacy.kAnonymize(withNulls, Seq("qi1"), k = 2).orderBy("id").collect()
+      // The two-null group clears k = 2 (stays null as-was); "solo" violates.
+      out shouldBe Array(Row(1L, null, 1.0), Row(2L, null, 2.0), Row(3L, null, 3.0))
+    }
+  }
+
+  describe("RecordLinkage") {
+    val rows = Seq(
+      (1L, "red bolt"), (2L, "rad bolt"), (3L, "red colt"),
+      (4L, "blue gear"), (5L, "glue hear"),
+      (6L, "red bolt") // exact duplicate of id 1 — collapses in the dictionary
+    ).toDF("id", "nm")
+
+    it("links within blocks only — a pair escaping every blocking pass is never considered") {
+      val dict  = RecordLinkage.nameDictionary(rows, "id", "nm")
+      val pairs = RecordLinkage.fuzzyNamePairs(dict, maxDist = 2)
+        .select("key_a", "key_b", "dist").orderBy("key_a", "key_b").collect()
+      // (1,2) share last token, dist 1; (1,3) share first token, dist 1.
+      // (2,3) is within dist 2 but shares NEITHER token — blocking escape.
+      // (4,5) likewise (dist 2, both tokens differ) — escape, documented.
+      pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe
+        Array((1L, 2L, 1L), (1L, 3L, 1L))
+    }
+
+    it("canonicalizes each cluster to its minimum-key name, identity for unlinked names") {
+      val out = RecordLinkage.canonicalizeByName(rows, "id", "nm", maxDist = 2)
+        .select("id", "canon_name").orderBy("id").collect()
+      out.map(r => (r.getLong(0), r.getString(1))) shouldBe Array(
+        (1L, "red bolt"), (2L, "red bolt"), (3L, "red bolt"),
+        (4L, "blue gear"), (5L, "glue hear"),
+        (6L, "red bolt"))
+    }
+  }
+
+  describe("EventAnalytics.funnel") {
+    val stages = Seq("signup", "view", "click", "purchase")
+
+    it("counts a stage only strictly after the previous stage's first completion") {
+      val ev = Seq(
+        // user 1: click@15 precedes view@20 and must NOT satisfy stage 3.
+        (1L, 10L, "signup"), (1L, 20L, "view"), (1L, 15L, "click"),
+        (1L, 25L, "click"), (1L, 30L, "purchase"),
+        // user 2: purchase before signup completes nothing past stage 1.
+        (2L, 5L, "purchase"), (2L, 10L, "signup"),
+        // user 3: never signs up — stage 0 even with later activity.
+        (3L, 5L, "view")
+      ).toDF("user_id", "tus", "event_type")
+      val out = EventAnalytics.funnel(ev, "user_id", "tus", "event_type", stages)
+        .orderBy("user_id").collect()
+      out.map(r => (r.getLong(0), r.getLong(5))) shouldBe Array((1L, 4L), (2L, 1L), (3L, 0L))
+      out(0).getLong(3) shouldBe 25L // t3 = the click AFTER the view
+      out(1).isNullAt(2) shouldBe true
+    }
+
+    it("a same-timestamp next-stage event does not count (strictly-later contract)") {
+      val ev  = Seq((1L, 10L, "signup"), (1L, 10L, "view")).toDF("user_id", "tus", "event_type")
+      val out = EventAnalytics.funnel(ev, "user_id", "tus", "event_type", stages).collect()
+      out(0).getLong(5) shouldBe 1L
+    }
+  }
+
+  describe("EventAnalytics.cohortRetention") {
+    it("buckets users by first-activity period and counts distinct actives per offset") {
+      val day = 10L
+      val ev = Seq(
+        (1L, 1L), (1L, 25L),  // u1: cohort 0, active offsets 0 and 2
+        (1L, 3L),             // same period as the first — deduped
+        (2L, 12L), (2L, 13L)  // u2: cohort 1, offset 0 only
+      ).toDF("user_id", "tus")
+      val out = EventAnalytics.cohortRetention(ev, "user_id", "tus", periodLength = day)
+        .orderBy("cohort_period", "period_offset").collect()
+      out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe
+        Array((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L))
+    }
+  }
+}

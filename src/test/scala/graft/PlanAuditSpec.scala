@@ -438,6 +438,57 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("star-schema rollup broadcasts every dimension — fact table never shuffles for the joins") {
+      withoutAqe {
+        val fact = spark.range(1, 2000).toDF("o_custkey")
+          .withColumn("price", col("o_custkey") * 2.0)
+        val c = broadcast(spark.range(1, 200).toDF("c_custkey")
+          .withColumn("c_nationkey", pmod(col("c_custkey"), lit(10))))
+        val n = broadcast(spark.range(0, 10).toDF("n_nationkey")
+          .withColumn("n_regionkey", pmod(col("n_nationkey"), lit(3))))
+        val r = broadcast(spark.range(0, 3).toDF("r_regionkey")
+          .withColumn("r_name", concat(lit("R"), col("r_regionkey"))))
+        val plan = executed(
+          fact.join(c, fact("o_custkey") === c("c_custkey"))
+            .join(n, c("c_nationkey") === n("n_nationkey"))
+            .join(r, n("n_regionkey") === r("r_regionkey"))
+            .groupBy("r_name").agg(sum("price").as("rev")))
+        plan.collect { case b: BroadcastHashJoinExec => b }.size shouldBe 3
+        shuffles(plan) shouldBe 1 // the final aggregate only
+      }
+    }
+
+    it("funnel is ONE shuffle — stacked whole-partition windows + the per-user collapse reuse it") {
+      withoutAqe {
+        val ev = spark.range(1, 2000).toDF("i").select(
+          pmod(col("i"), lit(50)).as("user_id"),
+          col("i").as("tus"),
+          element_at(array(lit("signup"), lit("view"), lit("click"), lit("purchase")),
+            (pmod(col("i"), lit(4)) + 1).cast("int")).as("event_type"))
+        val plan = executed(graft.operators.EventAnalytics.funnel(
+          ev, "user_id", "tus", "event_type", Seq("signup", "view", "click", "purchase")))
+        shuffles(plan) shouldBe 1
+      }
+    }
+
+    it("blocked fuzzy linkage plans equi-joins per pass — never a cartesian/nested-loop") {
+      withoutAqe {
+        val dict = graft.operators.RecordLinkage.nameDictionary(
+          Seq((1L, "red bolt"), (2L, "rad bolt"), (3L, "blue gear")).toDF("id", "nm"), "id", "nm")
+        val plan = executed(graft.operators.RecordLinkage.fuzzyNamePairs(dict, maxDist = 2))
+        plan.toString should not include "CartesianProduct"
+        plan.toString should not include "BroadcastNestedLoopJoin"
+      }
+    }
+
+    it("kAnonymize broadcasts the violating-group set on the default path") {
+      withoutAqe {
+        val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "qi")
+        val plan = executed(graft.operators.Privacy.kAnonymize(df, Seq("qi"), k = 2))
+        plan.collect { case b: BroadcastHashJoinExec => b } should not be empty
+      }
+    }
+
     it("the native cosine expression stays inside whole-stage codegen") {
       assume(new java.io.File(sfDir).isDirectory)
       withoutAqe {
