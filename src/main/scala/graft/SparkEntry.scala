@@ -79,6 +79,11 @@ object SparkEntry {
     "q_text_classifier_stream" -> ((s, dir) =>
       graft.streaming.StreamGates.classifierScoreViaStream(s, dir)),
 
+    // Streaming funnel: per-user stage cascade advanced incrementally
+    // across micro-batches. Shares q_events_funnel's oracle verbatim.
+    "q_events_funnel_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.funnelViaStream(s, dir)),
+
     // Stream-static enrichment: events streamed against the customer
     // dimension (stateless join, no watermark); oracle is the batch join.
     "q_events_enrich_stream" -> ((s, dir) =>
@@ -699,6 +704,45 @@ object SparkEntry {
           "user_id", "tus", periodLength = 86400000000L)
         .orderBy("cohort_period", "period_offset")),
 
+    // Relational breadth: PIVOT — per-user event-type counts as columns
+    // (fixed pivot value list, so schema is static and oracle-replayable
+    // as CASE sums; an unlisted type can never add a column at runtime).
+    "q_pivot" -> ((s, dir) =>
+      Tpch.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("signup", "view", "click", "purchase", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    // Relational breadth: lag window — per-user inter-event gaps (max via
+    // lag over the user partition; the span needs only min/max).
+    "q_events_gaps" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tus")
+      Tpch.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("tus"))
+        .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          max(col("gap")).as("max_gap_us"),
+          (max(col("tus")) - min(col("tus"))).as("span_us"))
+        .orderBy("user_id")
+    }),
+
+    // Relational breadth: native JSON extraction (get_json_object over the
+    // props column — codegen'd path access, no UDF).
+    "q_events_props_parse" -> ((s, dir) =>
+      Tpch.events(s, dir)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("k")).as("sum_k"),
+          count(when(col("k") > 50, lit(1))).as("n_high"))
+        .orderBy("event_type")),
+
     // k-anonymity + l-diversity audit over the anonymizer's natural QI
     // set (nation × market segment), sensitive = account-balance band.
     "q_k_anonymity" -> ((s, dir) =>
@@ -721,6 +765,46 @@ object SparkEntry {
             col("c_acctbal")),
           Seq("c_nationkey", "c_mktsegment"), k = 12)
         .orderBy("c_custkey")),
+
+    // Ladder-search generalization to k-anonymity: full-domain recoding
+    // steps every QI's coarsening ladder together until all groups reach
+    // k (residue suppressed). The chosen level is data-derived; the
+    // oracle re-runs the same violation probes.
+    "q_k_anon_generalize" -> ((s, dir) =>
+      graft.operators.Privacy.generalizeToK(
+          t(s, dir, "customer").select(
+            col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_acctbal")),
+          ladders = Seq(
+            ("nat_gen", Seq(
+              col("c_nationkey").cast("long"),
+              expr("c_nationkey div 5").cast("long"),
+              lit(0L))),
+            ("seg_gen", Seq(col("c_mktsegment"), lit("ANY"), lit("ANY"))),
+            ("bal_gen", Seq(
+              floor(col("c_acctbal") / 2000).cast("long"),
+              floor(col("c_acctbal") / 5000).cast("long"),
+              lit(0L)))),
+          sourceCols = Seq("c_nationkey", "c_mktsegment", "c_acctbal"),
+          k = 12)
+        .orderBy("c_custkey")),
+
+    // Exact grouped quantiles off the cents-domain value histogram: the
+    // shuffle carries |groups × distinct cents|, never the raw rows —
+    // the distributed replacement for Spark's value-buffering percentile.
+    "q_events_quantiles" -> ((s, dir) =>
+      graft.operators.Quantiles.groupedExact(
+          Tpch.events(s, dir).select(col("event_type"), col("value")),
+          Seq("event_type"), "value", scale = 100,
+          qs = Seq(("p50_fp", 0.5), ("p90_fp", 0.9), ("p99_fp", 0.99)))
+        .orderBy("event_type")),
+
+    // ε = ln 2 differentially-private segment counts (two-sided geometric
+    // mechanism, integer-exact seed-derived noise; only the released
+    // value leaves the operator).
+    "q_dp_counts" -> ((s, dir) =>
+      graft.operators.Privacy.noisyCounts(
+          t(s, dir, "customer"), Seq("c_mktsegment"), seed = "release-2026-08-r8")
+        .orderBy("c_mktsegment")),
 
     // Blocked fuzzy linkage over the part-name dictionary: multi-pass
     // blocking (first token ∪ last token), thresholded levenshtein ≤ 2.
@@ -755,6 +839,25 @@ object SparkEntry {
         |  FROM dict a JOIN dict b
         |    ON split_part(a.nm, ' ', -1) = split_part(b.nm, ' ', -1) AND a.nk < b.nk
         |  WHERE levenshtein(a.nm, b.nm) <= 2)""".stripMargin
+    // Batch funnel replay — shared verbatim by the streamed funnel gate.
+    val funnelOracleSql =
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+        |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN tus END) AS t1
+        |       FROM ev GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, t1,
+        |       min(CASE WHEN event_type = 'view' AND tus > t1 THEN tus END) AS t2
+        |       FROM ev e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id, t1),
+        |s3 AS (SELECT e.user_id, t1, t2,
+        |       min(CASE WHEN event_type = 'click' AND tus > t2 THEN tus END) AS t3
+        |       FROM ev e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id, t1, t2),
+        |s4 AS (SELECT e.user_id, t1, t2, t3,
+        |       min(CASE WHEN event_type = 'purchase' AND tus > t3 THEN tus END) AS t4
+        |       FROM ev e JOIN s3 ON e.user_id = s3.user_id GROUP BY e.user_id, t1, t2, t3)
+        |SELECT user_id, t1, t2, t3, t4,
+        |CAST(CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3
+        |          WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1
+        |          ELSE 0 END AS BIGINT) AS stage_reached
+        |FROM s4 ORDER BY user_id""".stripMargin
     Map(
       "q_star_join" ->
         """SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n_orders,
@@ -764,24 +867,10 @@ object SparkEntry {
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY r_name, o_year ORDER BY r_name, o_year""".stripMargin,
 
-      "q_events_funnel" ->
-        """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
-          |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN tus END) AS t1
-          |       FROM ev GROUP BY user_id),
-          |s2 AS (SELECT e.user_id, t1,
-          |       min(CASE WHEN event_type = 'view' AND tus > t1 THEN tus END) AS t2
-          |       FROM ev e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id, t1),
-          |s3 AS (SELECT e.user_id, t1, t2,
-          |       min(CASE WHEN event_type = 'click' AND tus > t2 THEN tus END) AS t3
-          |       FROM ev e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id, t1, t2),
-          |s4 AS (SELECT e.user_id, t1, t2, t3,
-          |       min(CASE WHEN event_type = 'purchase' AND tus > t3 THEN tus END) AS t4
-          |       FROM ev e JOIN s3 ON e.user_id = s3.user_id GROUP BY e.user_id, t1, t2, t3)
-          |SELECT user_id, t1, t2, t3, t4,
-          |CAST(CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3
-          |          WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1
-          |          ELSE 0 END AS BIGINT) AS stage_reached
-          |FROM s4 ORDER BY user_id""".stripMargin,
+      "q_events_funnel" -> funnelOracleSql,
+
+      // Streamed funnel ≡ batch funnel, verbatim.
+      "q_events_funnel_stream" -> funnelOracleSql,
 
       "q_events_retention" ->
         """WITH act AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS p FROM events),
@@ -791,6 +880,29 @@ object SparkEntry {
           |FROM act a JOIN f ON a.user_id = f.user_id
           |GROUP BY cohort_period, period_offset
           |ORDER BY cohort_period, period_offset""".stripMargin,
+
+      "q_pivot" ->
+        """SELECT user_id,
+          |CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+          |CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+          |CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+          |CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+          |CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q_events_gaps" ->
+        """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+          |g AS (SELECT user_id, tus,
+          |      tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS gap FROM ev)
+          |SELECT user_id, count(*) AS n_events, max(gap) AS max_gap_us,
+          |max(tus) - min(tus) AS span_us
+          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q_events_props_parse" ->
+        """SELECT event_type, count(*) AS cnt,
+          |CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_high
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       "q_k_anonymity" ->
         """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
@@ -812,6 +924,63 @@ object SparkEntry {
           |FROM customer c JOIN g
           |  ON c.c_nationkey = g.c_nationkey AND c.c_mktsegment = g.c_mktsegment
           |ORDER BY c_custkey""".stripMargin,
+
+      "q_k_anon_generalize" ->
+        """WITH
+          |g0 AS (SELECT CAST(c_nationkey AS BIGINT) a, c_mktsegment b,
+          |       CAST(floor(c_acctbal / 2000) AS BIGINT) c, count(*) n
+          |       FROM customer GROUP BY 1, 2, 3),
+          |v0 AS (SELECT count(*) c FROM g0 WHERE n < 12),
+          |g1 AS (SELECT CAST(c_nationkey // 5 AS BIGINT) a, 'ANY' b,
+          |       CAST(floor(c_acctbal / 5000) AS BIGINT) c, count(*) n
+          |       FROM customer GROUP BY 1, 2, 3),
+          |v1 AS (SELECT count(*) c FROM g1 WHERE n < 12),
+          |lvl AS (SELECT CASE WHEN (SELECT c FROM v0) = 0 THEN 0
+          |                    WHEN (SELECT c FROM v1) = 0 THEN 1 ELSE 2 END AS l),
+          |q AS (SELECT c_custkey,
+          |  CASE (SELECT l FROM lvl) WHEN 0 THEN CAST(c_nationkey AS BIGINT)
+          |       WHEN 1 THEN CAST(c_nationkey // 5 AS BIGINT) ELSE 0 END AS nat_gen,
+          |  CASE (SELECT l FROM lvl) WHEN 0 THEN c_mktsegment ELSE 'ANY' END AS seg_gen,
+          |  CASE (SELECT l FROM lvl) WHEN 0 THEN CAST(floor(c_acctbal / 2000) AS BIGINT)
+          |       WHEN 1 THEN CAST(floor(c_acctbal / 5000) AS BIGINT) ELSE 0 END AS bal_gen,
+          |  CAST((SELECT l FROM lvl) AS BIGINT) AS gen_level
+          |  FROM customer),
+          |gg AS (SELECT nat_gen, seg_gen, bal_gen, count(*) n FROM q GROUP BY 1, 2, 3)
+          |SELECT c_custkey,
+          |CASE WHEN n < 12 THEN NULL ELSE q.nat_gen END AS nat_gen,
+          |CASE WHEN n < 12 THEN NULL ELSE q.seg_gen END AS seg_gen,
+          |CASE WHEN n < 12 THEN NULL ELSE q.bal_gen END AS bal_gen,
+          |gen_level
+          |FROM q JOIN gg USING (nat_gen, seg_gen, bal_gen)
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q_events_quantiles" -> {
+        def pick(q: Double, name: String) =
+          s"CAST(min(CASE WHEN cum >= greatest(1, CAST(ceil($q * n) AS BIGINT)) THEN fp END) AS BIGINT) AS $name"
+        s"""WITH h AS (SELECT event_type,
+           |       CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS fp, count(*) AS c
+           |       FROM events GROUP BY 1, 2),
+           |w AS (SELECT event_type, fp,
+           |      sum(c) OVER (PARTITION BY event_type ORDER BY fp ROWS UNBOUNDED PRECEDING) AS cum,
+           |      sum(c) OVER (PARTITION BY event_type) AS n FROM h)
+           |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           |${pick(0.5, "p50_fp")},
+           |${pick(0.9, "p90_fp")},
+           |${pick(0.99, "p99_fp")}
+           |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+      },
+
+      "q_dp_counts" -> {
+        import OracleGen.hashSql
+        def tz(h: String) = s"bit_count((($h | 1048576) & -($h | 1048576)) - 1)"
+        val ha = hashSql("(c_mktsegment || '|release-2026-08-r8|a')")
+        val hb = hashSql("(c_mktsegment || '|release-2026-08-r8|b')")
+        s"""WITH g AS (SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1),
+           |nz AS (SELECT c_mktsegment, n, $ha AS ha, $hb AS hb FROM g)
+           |SELECT c_mktsegment,
+           |CAST(n + (${tz("ha")} - ${tz("hb")}) AS BIGINT) AS released
+           |FROM nz ORDER BY c_mktsegment""".stripMargin
+      },
 
       "q_fuzzy_join" ->
         s"""WITH $fuzzyCte

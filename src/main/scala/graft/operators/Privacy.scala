@@ -102,6 +102,65 @@ object Privacy {
     df.join(joinSide, cond, "left").select(outCols: _*)
   }
 
+  /** Ladder-search generalization to k-anonymity — FULL-DOMAIN recoding
+    * (the OLA-style simplification): every QI column carries a ladder of
+    * progressively coarser derivations (level 0 = finest), the whole table
+    * steps the ladder TOGETHER, and the chosen level is the minimal one
+    * whose QI groups all reach k. If even the coarsest level leaves
+    * violations, the residue is suppressed by [[kAnonymize]] — the output
+    * always satisfies k-anonymity over the emitted QI columns.
+    *
+    * Full-domain rather than local recoding deliberately: one level for
+    * the whole table keeps the release's semantics uniform (every row's
+    * `nation_gen` means the same thing), the search is SQL-replayable (the
+    * oracle re-derives the level with the same violation probes), and the
+    * cost is bounded: ≤ maxLevel grouped-count probes, each one
+    * map-side-combinable aggregate with an EXISTENCE short-circuit
+    * (`limit(1)` over violating groups — the probe stops at the first
+    * violation, it never counts them all).
+    *
+    * @param ladders    per-QI (output name, level expressions
+    *                   finest-first); shorter ladders saturate at their
+    *                   last level. Levels must keep a consistent type per
+    *                   column (the output schema cannot depend on the
+    *                   data-chosen level).
+    * @param sourceCols the raw columns the ladder expressions derive from —
+    *                   DROPPED from the output (passing a fine-grained
+    *                   source through beside its generalization would void
+    *                   the whole release; the operator refuses to guess
+    *                   which columns those are)
+    * @return the remaining non-QI columns, the QI columns at the chosen
+    *         level under their ladder names, `gen_level` (LONG), with
+    *         residual violators suppressed
+    */
+  def generalizeToK(
+      df: DataFrame,
+      ladders: Seq[(String, Seq[Column])],
+      sourceCols: Seq[String],
+      k: Int,
+      maxBroadcastGroups: Int = 1 << 20): DataFrame = {
+    require(ladders.nonEmpty, "need at least one QI ladder")
+    require(ladders.forall(_._2.nonEmpty), "every ladder needs at least one level")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val names    = ladders.map(_._1)
+    val maxLevel = ladders.map(_._2.size).max
+    def qiAt(l: Int): Seq[Column] =
+      ladders.map { case (n, lv) => lv(math.min(l, lv.size - 1)).as(n) }
+    def hasViolation(l: Int): Boolean =
+      df.select(qiAt(l): _*)
+        .groupBy(names.map(col): _*)
+        .agg(count(lit(1)).as("_gsz"))
+        .where(col("_gsz") < k)
+        .limit(1)
+        .count() > 0
+    val chosen = (0 until maxLevel).find(l => !hasViolation(l)).getOrElse(maxLevel - 1)
+    val passthrough = df.columns.toSeq
+      .filterNot(names.contains).filterNot(sourceCols.contains).map(df(_))
+    val projected = df.select(
+      passthrough ++ qiAt(chosen) :+ lit(chosen.toLong).as("gen_level"): _*)
+    kAnonymize(projected, names, k, maxBroadcastGroups)
+  }
+
   /** Differentially-private group counts via the two-sided geometric
     * (discrete Laplace) mechanism: `released = count + (G_a − G_b)` where
     * `G_a, G_b` are independent Geometric(1/2) draws. For sensitivity-1

@@ -239,6 +239,76 @@ object EventStream {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+  /** Per-user funnel progress: `times(i)` = first completion micros of
+    * stage i (−1 while unreached), `stage_reached` = length of the set
+    * prefix (the strict cascade makes set times a prefix by construction).
+    */
+  case class FunnelSnapshot(user_id: Long, times: Seq[Long], stage_reached: Int)
+
+  /** Streaming twin of [[graft.operators.EventAnalytics.funnel]]: per-user
+    * funnel state advanced incrementally as events arrive. State is one
+    * `times` array per user (8 bytes × stages — the smallest state any
+    * funnel can carry); each invocation processes its batch in EVENT-TIME
+    * order and sets stage i's time at the first event of stage i's type
+    * strictly after stage i−1's completion, exactly the batch cascade.
+    *
+    * EQUIVALENCE CONTRACT: streamed == batch REQUIRES event-time-ordered
+    * delivery ACROSS micro-batches (within a batch this operator sorts) —
+    * the chronological file replay provides it, and a production deployment
+    * gets it from a time-ordered log (e.g. Kafka per-key ordering by event
+    * time). The cascade is NOT incrementally maintainable under arbitrary
+    * disorder with bounded state: a signup arriving after a view it should
+    * unlock would need every rejected event buffered to re-run — that
+    * variant is a windowed-buffer operator (sessionize-style watermark
+    * state), deliberately out of scope; the strict (>) comparison makes
+    * equal-timestamp delivery order irrelevant, so quantile-split replay
+    * chunks cannot diverge. Unreached-stage times stay −1.
+    *
+    * Emission (`Update` mode): a user's snapshot is emitted on first sight
+    * (matching batch output, which carries stage-0 users) and again on
+    * every batch that advances a stage — the furthest snapshot per user is
+    * the funnel result (set-once times make equal-stage snapshots
+    * identical). On a BOUNDED frame the function runs once per user and
+    * emits exactly the batch funnel. No timeout: funnel state is permanent
+    * by definition; a deployment bounding user cardinality would add an
+    * event-time TTL exactly as [[sessionizeByEventTime]] does.
+    */
+  def funnelByEventTime(
+      events: Dataset[FunnelEvent],
+      stages: Seq[String]): Dataset[FunnelSnapshot] = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    require(stages.distinct.size == stages.size, "funnel stages must be distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Long], FunnelSnapshot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (userId, batch, state) =>
+        val firstSight = state.getOption.isEmpty
+        val times = state.getOption.getOrElse(Seq.fill(stages.size)(-1L)).toArray
+        var changed = false
+        batch.toArray.sortBy(e => micros(e.ts)).foreach { e =>
+          stageIdx.get(e.event_type).foreach { i =>
+            val tus = micros(e.ts)
+            if (times(i) < 0 && (i == 0 || (times(i - 1) >= 0 && tus > times(i - 1)))) {
+              times(i) = tus
+              changed = true
+            }
+          }
+        }
+        state.update(times.toSeq)
+        if (firstSight || changed) {
+          val reached = times.takeWhile(_ >= 0).length
+          Iterator.single(FunnelSnapshot(userId, times.toSeq, reached))
+        } else Iterator.empty
+      }
+  }
+
   case class BandedDoc(bucket: String, doc_id: Long, ts: java.sql.Timestamp, sig: Array[Long])
   case class NearDupCandidate(doc_a: Long, doc_b: Long, ts: java.sql.Timestamp, est_jaccard: Double)
 

@@ -366,6 +366,34 @@ object StreamGates {
       .orderBy("doc_id")
   }
 
+  /** `q_events_funnel_stream`: the events fixture replayed chronologically
+    * through [[EventStream.funnelByEventTime]]'s per-user state machine
+    * (Update mode — a user re-emits whenever a batch advances a stage; the
+    * furthest snapshot per user is the funnel). Shares `q_events_funnel`'s
+    * oracle verbatim: the streamed cascade must land on the batch result
+    * row-for-row, including users whose stages complete across different
+    * micro-batches.
+    */
+  def funnelViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stages = Seq("signup", "view", "click", "purchase")
+    val ev = graft.Tpch.events(spark, sfDir)
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
+    val raw = replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Update())(in =>
+      EventStream.funnelByEventTime(in.as[EventStream.FunnelEvent], stages).toDF())
+    val best = raw
+      .groupBy("user_id")
+      .agg(max(struct(col("stage_reached"), col("times"))).as("m"))
+    best.select(
+      col("user_id") +:
+        stages.indices.map { i =>
+          val t = element_at(col("m.times"), i + 1)
+          when(t >= 0, t).as(s"t${i + 1}")
+        } :+
+        col("m.stage_reached").cast("long").as("stage_reached"): _*)
+      .orderBy("user_id")
+  }
+
   /** `q_events_enrich_stream`: the events fixture streamed through
     * [[EventStream.enrichWithStatic]] against the customer dimension —
     * the stream-static join shape (stateless on the stream side, no

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.{EventAnalytics, Privacy, RecordLinkage}
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 
 /** Behavioral contracts of the warehouse-analytics wave: privacy audit +
   * suppression, blocked fuzzy linkage / entity resolution, funnels, and
@@ -57,6 +58,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  describe("Privacy.generalizeToK") {
+    it("picks the minimal ladder level whose groups all reach k, and drops the source column") {
+      // Level 0 (identity): six singleton groups — violates k = 2.
+      // Level 1 (parity): two groups of three — passes.
+      val df = Seq((1L, 10), (2L, 11), (3L, 12), (4L, 13), (5L, 14), (6L, 15)).toDF("id", "q")
+      val out = Privacy.generalizeToK(
+        df,
+        ladders = Seq(("q_gen", Seq(col("q").cast("long"), pmod(col("q"), lit(2)).cast("long")))),
+        sourceCols = Seq("q"), k = 2)
+      out.columns.toSeq shouldBe Seq("id", "q_gen", "gen_level")
+      val rows = out.orderBy("id").collect()
+      rows.map(_.getLong(2)).toSet shouldBe Set(1L)       // chose level 1
+      rows.map(_.getLong(1)).toSet shouldBe Set(0L, 1L)    // parity classes, nothing suppressed
+    }
+
+    it("suppresses the residue when the coarsest level still violates") {
+      val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b")).toDF("id", "q")
+      val out = Privacy.generalizeToK(
+        df, ladders = Seq(("q_gen", Seq(col("q")))), sourceCols = Seq("q"), k = 2)
+        .orderBy("id").collect()
+      out.map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))) shouldBe
+        Array((1L, "a"), (2L, "a"), (3L, "a"), (4L, null))
+    }
+  }
+
   describe("RecordLinkage") {
     val rows = Seq(
       (1L, "red bolt"), (2L, "rad bolt"), (3L, "red colt"),
@@ -109,6 +135,99 @@ class AnalyticsSpec extends SparkSpec {
       val ev  = Seq((1L, 10L, "signup"), (1L, 10L, "view")).toDF("user_id", "tus", "event_type")
       val out = EventAnalytics.funnel(ev, "user_id", "tus", "event_type", stages).collect()
       out(0).getLong(5) shouldBe 1L
+    }
+  }
+
+  describe("Quantiles.groupedExact") {
+    it("reads exact k-th order statistics off the fixed-point histogram, including tie runs") {
+      val df = Seq(
+        ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 100.0),
+        ("b", -0.005) // fp = floor(-0.5 + 0.5) = 0
+      ).toDF("g", "v")
+      val out = graft.operators.Quantiles.groupedExact(
+        df, Seq("g"), "v", scale = 100,
+        qs = Seq(("p50", 0.5), ("p90", 0.9))).orderBy("g").collect()
+      // a: n=4 → p50 = 2nd smallest = 200; p90 = ceil(3.6)=4th = 10000.
+      out.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))) shouldBe
+        Array(("a", 4L, 200L, 10000L), ("b", 1L, 0L, 0L))
+    }
+
+    it("hits the exact boundary when q·n is an integer (k = q·n, not q·n + 1)") {
+      val df  = (1 to 10).map(i => ("g", i.toDouble)).toDF("g", "v")
+      val out = graft.operators.Quantiles.groupedExact(
+        df, Seq("g"), "v", scale = 1, qs = Seq(("p50", 0.5))).collect()
+      out(0).getLong(2) shouldBe 5L // 5th smallest of 1..10
+    }
+  }
+
+  describe("Privacy.noisyCounts") {
+    val df = Seq.tabulate(40)(i => (i.toLong, if (i % 2 == 0) "A" else "B")).toDF("id", "seg")
+
+    it("releases count + seed-deterministic discrete-Laplace noise, true count dropped") {
+      val out = Privacy.noisyCounts(df, Seq("seg"), seed = "s1").orderBy("seg")
+      out.columns.toSeq shouldBe Seq("seg", "released")
+      val rows = out.collect().map(r => (r.getString(0), r.getLong(1)))
+      // Noise replayed from the shared hash contract, bit-for-bit.
+      def tz(s: String) = java.lang.Integer.numberOfTrailingZeros(
+        graft.functions.Anonymizer.stableHash(s) | (1 << 20))
+      rows.foreach { case (seg, released) =>
+        val noise = tz(s"$seg|s1|a") - tz(s"$seg|s1|b")
+        released shouldBe 20L + noise
+        math.abs(noise.toLong) should be <= 20L
+      }
+      // Re-running releases the identical values (reproducible release).
+      Privacy.noisyCounts(df, Seq("seg"), seed = "s1").orderBy("seg")
+        .collect().map(r => (r.getString(0), r.getLong(1))) shouldBe rows
+    }
+  }
+
+  describe("EventStream.funnelByEventTime") {
+    import graft.streaming.EventStream
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    def us(sec: Long) = (1700000000L + sec) * 1000000L
+
+    it("advances per-user state across micro-batches and never counts an out-of-order early event") {
+      implicit val sqlCtx = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.FunnelEvent]
+      val query = EventStream.toMemorySink(
+        EventStream.funnelByEventTime(input.toDS(), Seq("signup", "view", "purchase")).toDF(),
+        "funnel_stream_spec", org.apache.spark.sql.streaming.OutputMode.Update())
+      try {
+        // view@5 precedes signup@10 — must not satisfy stage 2.
+        input.addData(
+          EventStream.FunnelEvent(1L, ts(5), "view"),
+          EventStream.FunnelEvent(1L, ts(10), "signup"))
+        query.processAllAvailable()
+        input.addData(EventStream.FunnelEvent(1L, ts(20), "view"))
+        query.processAllAvailable()
+        input.addData(EventStream.FunnelEvent(1L, ts(30), "purchase"))
+        query.processAllAvailable()
+        val snaps = spark.sql("SELECT stage_reached, times FROM funnel_stream_spec ORDER BY stage_reached")
+          .collect().map(r => (r.getInt(0), r.getSeq[Long](1)))
+        snaps.map(_._1).toSeq shouldBe Seq(1, 2, 3) // one advance per batch
+        snaps.last._2 shouldBe Seq(us(10), us(20), us(30))
+      } finally query.stop()
+    }
+
+    it("on a bounded frame emits exactly the batch funnel") {
+      val ev = Seq(
+        (1L, 10L, "signup"), (1L, 20L, "view"), (1L, 15L, "click"),
+        (1L, 25L, "click"), (1L, 30L, "purchase"),
+        (2L, 5L, "purchase"), (2L, 10L, "signup"),
+        (3L, 5L, "view"))
+      val stages = Seq("signup", "view", "click", "purchase")
+      val bounded = EventStream.funnelByEventTime(
+        ev.map { case (u, s, t) => EventStream.FunnelEvent(u, ts(s), t) }.toDS(), stages)
+        .collect().map(s => (s.user_id, s.stage_reached.toLong,
+          s.times.map(t => if (t >= 0) t else -1L))).sortBy(_._1)
+      val batch = EventAnalytics.funnel(
+        ev.toDF("user_id", "tus", "event_type")
+          .withColumn("tus", col("tus") * 1000000L + lit(1700000000L) * 1000000L),
+        "user_id", "tus", "event_type", stages)
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(5),
+          (1 to 4).map(i => if (r.isNullAt(i)) -1L else r.getLong(i))))
+      bounded shouldBe batch
     }
   }
 

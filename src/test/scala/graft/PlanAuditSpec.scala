@@ -481,6 +481,17 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("groupedExact quantiles are TWO shuffles — histogram agg, then the reduced frame to group keys") {
+      withoutAqe {
+        val df = spark.range(1, 5000).toDF("i").select(
+          pmod(col("i"), lit(7)).cast("string").as("g"),
+          (pmod(col("i") * 13, lit(1000)) / 10.0).as("v"))
+        val plan = executed(graft.operators.Quantiles.groupedExact(
+          df, Seq("g"), "v", scale = 100, qs = Seq(("p50", 0.5), ("p99", 0.99))))
+        shuffles(plan) shouldBe 2
+      }
+    }
+
     it("kAnonymize broadcasts the violating-group set on the default path") {
       withoutAqe {
         val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "qi")

@@ -37,6 +37,43 @@ class ScaleToolsSpec extends SparkSpec {
     }
   }
 
+  describe("LakeSink.writeSorted") {
+    it("a selective sort-key filter scans a fraction of the rows an unsorted layout reads") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+      try {
+        // Uniform key so an UNSORTED layout gives every row group the full
+        // key domain (statistics prune nothing); 200k rows across several
+        // row groups in both layouts.
+        val n  = 200000L
+        val df = spark.range(0, n).toDF("id")
+          .select(pmod(xxhash64(col("id")), lit(n)).as("k"), col("id"))
+        df.repartition(4).write.parquet(s"$dir/unsorted")
+        LakeSink.writeSorted(df, s"$dir/sorted", Seq("k"), numFiles = 4)
+
+        def scannedRows(path: String): Long = {
+          val q = spark.read.parquet(path).where(col("k") >= 1000 && col("k") < 2000)
+          q.collect()
+          q.queryExecution.executedPlan.collectLeaves().collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.metrics("numOutputRows").value
+          }.sum
+        }
+        val unsortedScan = scannedRows(s"$dir/unsorted")
+        val sortedScan   = scannedRows(s"$dir/sorted")
+        // Same answer...
+        spark.read.parquet(s"$dir/sorted").where(col("k") >= 1000 && col("k") < 2000).count() shouldBe
+          spark.read.parquet(s"$dir/unsorted").where(col("k") >= 1000 && col("k") < 2000).count()
+        // ...but the sorted layout's statistics skip nearly everything:
+        // the scan materializes a small multiple of the selected rows,
+        // where the unsorted scan reads the table.
+        sortedScan.toDouble should be < unsortedScan.toDouble * 0.2
+      } finally {
+        def rm(p: java.io.File): Unit = { Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); () }
+        rm(new java.io.File(dir))
+      }
+    }
+  }
+
   describe("LakeSink.writeBucketed") {
     it("bucketed tables equi-join without a shuffle exchange") {
       val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
