@@ -806,6 +806,86 @@ object SparkEntry {
           t(s, dir, "customer"), Seq("c_mktsegment"), seed = "release-2026-08-r8")
         .orderBy("c_mktsegment")),
 
+    // Distributed triangle count over the synthetic link graph (the
+    // PageRank edge set): degree-oriented compact-forward — wedge volume
+    // bounded O(|E|^1.5), each triangle counted exactly once.
+    "q_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"))
+      val nn = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val e = docs.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % nn,
+          (col("doc_id") * 13 + 2) % nn,
+          (col("doc_id") * 29 + 5) % nn)).as("dst"))
+      graft.operators.LinkGraph.triangleCount(e)
+    }),
+
+    // Integer-exact z-score outliers: cross-multiplied moment inequality
+    // in the cents domain — no float variance, bit-identical verdicts.
+    "q_outliers" -> ((s, dir) =>
+      graft.operators.Profiler.zScoreOutliers(
+          Tpch.events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+          Seq("event_type"), "value", scale = 100, z = 3)
+        .where(col("is_outlier") === 1)
+        .select("event_id", "event_type", "fp")
+        .orderBy("event_id")),
+
+    // Relational breadth: FULL OUTER join (positive-balance customers vs
+    // per-customer order aggregates — unmatched rows survive both sides).
+    "q_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_acctbal") > 0)
+        .select(col("c_custkey"), col("c_name"))
+      val o = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+          col("c_name"), col("n_orders"), col("total"))
+        .orderBy("custkey")
+    }),
+
+    // Relational breadth: CUBE (all grouping-set combinations; the
+    // rollup gate's lattice sibling).
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    // ε = ln 2 DP per-segment value sums: user-level contribution clamp
+    // (fixed-point cents), quantization to the clamp lattice, geometric
+    // noise — only the released value leaves.
+    "q_dp_sums" -> ((s, dir) =>
+      graft.operators.Privacy.noisySums(
+          Tpch.events(s, dir).select(col("event_type"), col("user_id"), col("value")),
+          Seq("event_type"), "user_id", "value",
+          clampFp = 10000L, seed = "release-2026-08-r8")
+        .orderBy("event_type")),
+
+    // SCD Type-2 dimension build from a change log: per-key validity
+    // intervals via one lead window (purchases as the change stream).
+    "q_scd2_build" -> ((s, dir) =>
+      graft.operators.EventAnalytics.scd2(
+          Tpch.events(s, dir).where(col("event_type") === "purchase")
+            .select(
+              col("user_id"), col("event_id"),
+              expr("ts div 1000").as("tus"),
+              floor(col("value").cast("double") * 100 + lit(0.5)).cast("long").as("cents")),
+          Seq("user_id"), "tus", "event_id")
+        .drop("tus")
+        .orderBy("user_id", "valid_from", "event_id")),
+
+    // CDC compaction — latest state per key via the bounded partial-agg
+    // top-k (k = 1): the shuffle carries one candidate per (partition,
+    // key), never the change log.
+    "q_cdc_latest" -> ((s, dir) =>
+      graft.operators.TopK.perKey(
+          Tpch.events(s, dir).select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id")),
+          Seq("user_id"), "tus", "event_id", k = 1)
+        .orderBy("user_id")),
+
     // Blocked fuzzy linkage over the part-name dictionary: multi-pass
     // blocking (first token ∪ last token), thresholded levenshtein ≤ 2.
     "q_fuzzy_join" -> ((s, dir) =>
@@ -981,6 +1061,75 @@ object SparkEntry {
            |CAST(n + (${tz("ha")} - ${tz("hb")}) AS BIGINT) AS released
            |FROM nz ORDER BY c_mktsegment""".stripMargin
       },
+
+      "q_triangles" ->
+        """WITH d AS (SELECT doc_id FROM documents),
+          |mx AS (SELECT max(doc_id) + 1 AS n FROM d),
+          |e0 AS (SELECT doc_id AS src, (doc_id*7 + 1) % n AS dst FROM d, mx
+          |       UNION ALL SELECT doc_id, (doc_id*13 + 2) % n FROM d, mx
+          |       UNION ALL SELECT doc_id, (doc_id*29 + 5) % n FROM d, mx),
+          |sym AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          |        FROM e0 WHERE src <> dst)
+          |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          |FROM sym e1 JOIN sym e2 ON e2.u = e1.v
+          |JOIN sym e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+      "q_outliers" ->
+        """WITH ev AS (SELECT event_id, event_type,
+          |  CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS fp FROM events),
+          |m AS (SELECT event_type, count(*) AS n, CAST(sum(fp) AS BIGINT) AS s,
+          |      CAST(sum(fp * fp) AS BIGINT) AS q FROM ev GROUP BY event_type)
+          |SELECT event_id, ev.event_type, fp
+          |FROM ev JOIN m ON ev.event_type = m.event_type
+          |WHERE (n * fp - s) * (n * fp - s) > 9 * (n * q - s * s)
+          |ORDER BY event_id""".stripMargin,
+
+      "q_full_outer" ->
+        """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0),
+          |o AS (SELECT o_custkey, count(*) AS n_orders,
+          |      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |      FROM orders GROUP BY o_custkey)
+          |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders, total
+          |FROM c FULL JOIN o ON c_custkey = o_custkey
+          |ORDER BY custkey""".stripMargin,
+
+      "q_cube" ->
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+          |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+      "q_dp_sums" -> {
+        import OracleGen.hashSql
+        def tz(h: String) = s"bit_count((($h | 1048576) & -($h | 1048576)) - 1)"
+        val ha = hashSql("(event_type || '|release-2026-08-r8|a')")
+        val hb = hashSql("(event_type || '|release-2026-08-r8|b')")
+        s"""WITH pu AS (SELECT event_type, user_id,
+           |  least(greatest(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT), 0), 10000) AS c
+           |  FROM events GROUP BY 1, 2),
+           |g AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s FROM pu GROUP BY 1),
+           |nz AS (SELECT event_type, s, $ha AS ha, $hb AS hb FROM g)
+           |SELECT event_type,
+           |CAST(10000 * (((s + 5000) // 10000) + (${tz("ha")} - ${tz("hb")})) AS BIGINT) AS released_fp
+           |FROM nz ORDER BY event_type""".stripMargin
+      },
+
+      "q_scd2_build" ->
+        """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+          |  CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM events WHERE event_type = 'purchase')
+          |SELECT user_id, event_id, cents, tus AS valid_from,
+          |lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - 1 AS valid_to,
+          |CAST(CASE WHEN lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+          |     THEN 1 ELSE 0 END AS BIGINT) AS is_current
+          |FROM p ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+      "q_cdc_latest" ->
+        """SELECT user_id, CAST(tus AS DOUBLE) AS tus, event_id, rnk FROM (
+          |  SELECT user_id, tus, event_id,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY tus DESC, event_id) AS rnk
+          |  FROM (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events))
+          |WHERE rnk <= 1 ORDER BY user_id""".stripMargin,
 
       "q_fuzzy_join" ->
         s"""WITH $fuzzyCte

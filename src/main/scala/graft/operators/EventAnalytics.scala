@@ -67,6 +67,35 @@ object EventAnalytics {
       .withColumn("stage_reached", reached)
   }
 
+  /** Slowly-changing-dimension Type-2 build: turn a change log (one row
+    * per observed state of a key) into VALIDITY INTERVALS — each change
+    * row becomes `[valid_from, valid_to]` with `valid_to` = the instant
+    * before the key's next change (null while current). The standard
+    * warehouse dimension shape that [[AsofJoin]] then serves point-in-time
+    * lookups against.
+    *
+    * One shuffle: a single `lead` window over (key, ts, tie). `tieCol`
+    * must be per-key unique (an id) so same-timestamp changes order
+    * deterministically — the intervals it produces for a ts tie are
+    * zero-length for all but the last change at that instant, which is
+    * exactly "last write wins at the same timestamp" and replayable.
+    *
+    * @return input columns + `valid_from` (= tsCol), `valid_to` (null for
+    *         the current row), `is_current` (BIGINT 0/1)
+    */
+  def scd2(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("valid_from", col(tsCol).cast("long"))
+      .withColumn("valid_to", lead(col(tsCol).cast("long"), 1).over(w) - 1)
+      .withColumn("is_current", col("valid_to").isNull.cast("long"))
+  }
+
   /** Cohort retention: users bucketed by the period of their FIRST
     * activity (the cohort), counted as active per later period offset.
     * Periods are integer floor-divisions of the time column, so the

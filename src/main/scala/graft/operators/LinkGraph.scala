@@ -143,4 +143,61 @@ object LinkGraph {
     }
     ranks
   }
+
+  /** Distributed triangle counting (compact-forward / node-iterator with
+    * DEGREE ORIENTATION): every undirected edge is oriented from its
+    * lower-(degree, id) endpoint to the higher one, wedges are built by
+    * self-joining oriented edges on their midpoint, and a wedge closes
+    * into a triangle iff its outer pair is itself an oriented edge.
+    *
+    * The orientation is the load-bearing scale idea (Schank/Wagner;
+    * Suri–Vassilvitskii's MR formulation): un-oriented wedge-building
+    * explodes on hubs (a degree-d node contributes d² wedges — a
+    * 10⁶-degree hub alone is 10¹² wedges), while orientation bounds every
+    * node's out-degree by O(√|E|) on any graph, so the wedge join carries
+    * at most Σ outdeg² = O(|E|^{3/2}) rows — the best known bound for
+    * exact counting. Plan: degree aggregate + two equi-joins, each a
+    * hash-partitioned shuffle; each triangle is counted EXACTLY once (its
+    * orientation-minimal vertex builds the wedge).
+    *
+    * Ties in degree break by node id, so the orientation — and the count
+    * path, not just the count — is deterministic and oracle-replayable.
+    *
+    * @param edges frame with two LONG-castable columns `src`, `dst`
+    *              (direction ignored; self-loops and duplicates collapse)
+    * @return one row: `n_triangles` (LONG)
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    // Canonical undirected edge set (u < v by id) — the dedup point AND
+    // the closure-probe side, so it materializes once.
+    val sym = Lineage.truncate(
+      edges
+        .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct())
+    val deg = sym.select(col("u").as("n")).unionAll(sym.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // Orient u—v from the (degree, id)-smaller endpoint to the larger.
+    val oriented = Lineage.truncate(
+      sym
+        .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("lo"),
+          when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("hi")))
+    // Path wedges A→M→C; the triangle's unique acyclic orientation has
+    // exactly one such path, so each triangle counts once. The closure
+    // probe re-canonicalizes (A, C) to id order and equi-joins `sym` —
+    // a conjunction of equalities, never an OR-condition nested loop.
+    val wedges = oriented.select(col("lo").as("w_a"), col("hi").as("w_mid"))
+      .join(oriented.select(col("lo").as("w_mid"), col("hi").as("w_c")), "w_mid")
+      .where(col("w_a") =!= col("w_c"))
+    wedges
+      .select(least(col("w_a"), col("w_c")).as("u"), greatest(col("w_a"), col("w_c")).as("v"))
+      .join(sym, Seq("u", "v"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

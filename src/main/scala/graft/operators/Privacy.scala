@@ -112,12 +112,21 @@ object Privacy {
     *
     * Full-domain rather than local recoding deliberately: one level for
     * the whole table keeps the release's semantics uniform (every row's
-    * `nation_gen` means the same thing), the search is SQL-replayable (the
-    * oracle re-derives the level with the same violation probes), and the
-    * cost is bounded: ≤ maxLevel grouped-count probes, each one
-    * map-side-combinable aggregate with an EXISTENCE short-circuit
-    * (`limit(1)` over violating groups — the probe stops at the first
-    * violation, it never counts them all).
+    * `nation_gen` means the same thing), and the search is SQL-replayable
+    * (the oracle re-derives the level with the same violation probes).
+    *
+    * Plan: the level search costs ONE scan, not one per level — every
+    * level's QI tuple is exploded from each row (`array(struct(level 0
+    * QIs), …)`) and a single grouped count builds ALL level histograms at
+    * once (map-side combine absorbs the ×levels row inflation; the
+    * exchange carries Σ-levels group counts). The histogram is
+    * lineage-truncated once, so the per-level violation probes
+    * (`limit(1)` existence checks) and the chosen level's violating-group
+    * set are lookups against the materialized frame — the table itself is
+    * touched exactly twice: histogram build, final projection. The
+    * suppression join reuses the precomputed violating set (broadcast
+    * under the same bounded probe as [[kAnonymize]], shuffled fallback
+    * past it).
     *
     * @param ladders    per-QI (output name, level expressions
     *                   finest-first); shorter ladders saturate at their
@@ -146,19 +155,36 @@ object Privacy {
     val maxLevel = ladders.map(_._2.size).max
     def qiAt(l: Int): Seq[Column] =
       ladders.map { case (n, lv) => lv(math.min(l, lv.size - 1)).as(n) }
+    // All level histograms in one scan + one shuffle.
+    val levelStructs = (0 until maxLevel).map(l =>
+      struct(lit(l.toLong).as("_lvl") +: qiAt(l): _*))
+    val hist = graft.plans.Lineage.truncate(
+      df.select(explode(array(levelStructs: _*)).as("_e"))
+        .select(col("_e._lvl").as("_lvl") +: names.map(n => col(s"_e.$n").as(n)): _*)
+        .groupBy(col("_lvl") +: names.map(col): _*)
+        .agg(count(lit(1)).as("_gsz")))
     def hasViolation(l: Int): Boolean =
-      df.select(qiAt(l): _*)
-        .groupBy(names.map(col): _*)
-        .agg(count(lit(1)).as("_gsz"))
-        .where(col("_gsz") < k)
-        .limit(1)
-        .count() > 0
+      hist.where(col("_lvl") === l && col("_gsz") < k).limit(1).count() > 0
     val chosen = (0 until maxLevel).find(l => !hasViolation(l)).getOrElse(maxLevel - 1)
     val passthrough = df.columns.toSeq
       .filterNot(names.contains).filterNot(sourceCols.contains).map(df(_))
     val projected = df.select(
       passthrough ++ qiAt(chosen) :+ lit(chosen.toLong).as("gen_level"): _*)
-    kAnonymize(projected, names, k, maxBroadcastGroups)
+    // Suppression join against the PRECOMPUTED violating set of the
+    // chosen level — same groups kAnonymize would re-derive, without the
+    // second aggregation over the table.
+    val violating = hist
+      .where(col("_lvl") === chosen && col("_gsz") < k)
+      .select(names.map(n => col(n).as(s"_v_$n")) :+ lit(1L).as("_viol"): _*)
+    val smallEnough =
+      maxBroadcastGroups > 0 &&
+        violating.limit(maxBroadcastGroups + 1).count() <= maxBroadcastGroups
+    val joinSide = if (smallEnough) broadcast(violating) else violating
+    val cond = names.map(n => projected(n) <=> joinSide(s"_v_$n")).reduce(_ && _)
+    val outCols: Seq[Column] = projected.columns.toSeq.map { c =>
+      if (names.contains(c)) when(col("_viol").isNull, projected(c)).as(c) else projected(c)
+    }
+    projected.join(joinSide, cond, "left").select(outCols: _*)
   }
 
   /** Differentially-private group counts via the two-sided geometric
@@ -189,14 +215,76 @@ object Privacy {
     */
   def noisyCounts(df: DataFrame, groupCols: Seq[String], seed: String): DataFrame = {
     require(groupCols.nonEmpty, "need at least one grouping column")
-    def geo(key: String, side: String): Int =
-      java.lang.Integer.numberOfTrailingZeros(
-        graft.functions.Anonymizer.stableHash(s"$key|$seed|$side") | (1 << 20))
-    val noiseUdf = udf { (key: String) => (geo(key, "a") - geo(key, "b")).toLong }
-    val keyExpr = concat_ws("", groupCols.map(col): _*)
+    val noiseUdf = udf { (key: String) => noiseFor(key, seed) }
+    val keyExpr = concat_ws("\u0001", groupCols.map(col): _*)
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("_true_count"))
       .withColumn("released", col("_true_count") + noiseUdf(keyExpr))
       .drop("_true_count")
+  }
+
+  private def geo(key: String, seed: String, side: String): Int =
+    java.lang.Integer.numberOfTrailingZeros(
+      graft.functions.Anonymizer.stableHash(s"$key|$seed|$side") | (1 << 20))
+
+  /** The shared two-sided-geometric draw: difference of two capped
+    * Geometric(1/2) trailing-zero counts over the md5 hash contract.
+    */
+  private def noiseFor(key: String, seed: String): Long =
+    (geo(key, seed, "a") - geo(key, seed, "b")).toLong
+
+  /** Differentially-private group SUMS with USER-level contribution
+    * bounding -- the companion release to [[noisyCounts]] for value
+    * queries, at the same fixed e = ln 2:
+    *
+    *  1. each privacy unit's (e.g. user's) total contribution per group is
+    *     summed in a fixed-point domain and CLAMPED to `[0, clampFp]` --
+    *     without bounding, one outlier user makes the sensitivity (and
+    *     hence any honest noise scale) unbounded; clamping is the standard
+    *     bias-for-privacy trade and is part of the released query's
+    *     definition;
+    *  2. the clamped group sum is QUANTIZED to `clampFp` units (round half
+    *     up, integer arithmetic). Neighboring datasets (+- one unit) move
+    *     the sum by <= clampFp, so the quantized query has sensitivity 1
+    *     on the clampFp lattice -- exactly the domain where the integer
+    *     geometric mechanism gives e = ln 2. Releasing the UN-quantized
+    *     sum plus lattice-valued noise would NOT be DP: the sub-lattice
+    *     residue of the released value would reveal the exact sum;
+    *  3. `released_fp = clampFp * (units + noise)`, noise the shared
+    *     [[noisyCounts]] draw. Only the released value leaves.
+    *
+    * The quantization granularity IS the accuracy cost of the fixed-e
+    * bit-level mechanism: pick `clampFp` as the real contribution bound,
+    * not larger. Plan: two map-side-combinable aggregates (per-unit
+    * clamp, then per-group sum) + a scan-local noise column.
+    *
+    * @param clampFp contribution bound in the fixed-point domain
+    *                (`scale` units per 1.0 of `valueCol`)
+    */
+  def noisySums(
+      df: DataFrame,
+      groupCols: Seq[String],
+      unitCol: String,
+      valueCol: String,
+      clampFp: Long,
+      seed: String,
+      scale: Long = 100): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(clampFp > 0, s"clampFp must be positive, got $clampFp")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val noiseUdf = udf { (key: String) => noiseFor(key, seed) }
+    val keyExpr  = concat_ws("\u0001", groupCols.map(col): _*)
+    val perUnit = df
+      .select(groupCols.map(col) :+ col(unitCol).as("_unit") :+
+        floor(col(valueCol).cast("double") * scale + lit(0.5)).cast("long").as("_fp"): _*)
+      .groupBy(groupCols.map(col) :+ col("_unit"): _*)
+      .agg(sum(col("_fp")).as("_s"))
+      .withColumn("_c", least(greatest(col("_s"), lit(0L)), lit(clampFp)))
+    perUnit
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_c")).as("_sum"))
+      .withColumn("_units", expr(s"(_sum + ${clampFp / 2}) div $clampFp"))
+      .withColumn("released_fp", lit(clampFp) * (col("_units") + noiseUdf(keyExpr)))
+      .select(groupCols.map(col) :+ col("released_fp"): _*)
   }
 }

@@ -167,4 +167,57 @@ object Profiler {
       .map { case (t, c) => (t, c, errBound) }
       .toDF("term", "est_count", "err_bound")
   }
+
+  /** Per-group z-score outlier flags with ALL-INTEGER arithmetic: a value
+    * x is an outlier iff `(x − μ)² > z²·σ²`, tested as the cross-
+    * multiplied integer inequality
+    *
+    *   `(n·x − S)² > z² · (n·Q − S²)`      (S = Σfp, Q = Σfp²)
+    *
+    * in the fixed-point domain `fp = floor(value·scale + 0.5)` — no
+    * float mean, no float variance, no sqrt, so the verdict is bit-exact
+    * on any engine and immune to summation order (the classic
+    * cross-engine failure of stddev-based filters: Welford vs naive vs
+    * partial-merge all round differently; an integer inequality cannot).
+    * σ² here is the POPULATION variance (σ² = (n·Q − S²)/n²); a group
+    * with zero variance flags nothing (rhs 0 ≥ lhs 0 fails strictly).
+    *
+    * Exactness bound, stated: the comparison lives in signed 64-bit, so
+    * it is exact while `z²·(n·Q − S²)` and `(n·|x| + |S|)²` stay below
+    * 2⁶³ — e.g. z = 3, |fp| ≤ 10⁴ holds to n ≈ 10⁸ rows per group; past
+    * that lift the three products to DECIMAL(38,0)/int128, same
+    * inequality.
+    *
+    * Plan: one map-side-combinable aggregate for (n, S, Q) per group —
+    * sums of fp and fp² — then the (tiny) moments frame broadcasts back
+    * onto the scan; the flag itself is scan-local arithmetic.
+    *
+    * @return the input columns + `fp` (LONG) + `is_outlier` (BIGINT 0/1)
+    */
+  def zScoreOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      scale: Long = 100,
+      z: Int = 3): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(scale > 0 && z > 0, s"scale and z must be positive, got scale=$scale z=$z")
+    val withFp = df.withColumn(
+      "fp", floor(col(valueCol).cast("double") * scale + lit(0.5)).cast("long"))
+    val moments = withFp
+      .groupBy(groupCols.map(c => col(c).as(s"_m_$c")): _*)
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(col("fp")).as("_s"),
+        sum(col("fp") * col("fp")).as("_q"))
+    val cond = groupCols.map(c => withFp(c) <=> moments(s"_m_$c")).reduce(_ && _)
+    val lhs = (col("_n") * col("fp") - col("_s"))
+    withFp
+      .join(broadcast(moments), cond)
+      .withColumn(
+        "is_outlier",
+        (lhs * lhs > lit(z.toLong * z) * (col("_n") * col("_q") - col("_s") * col("_s")))
+          .cast("long"))
+      .drop((Seq("_n", "_s", "_q") ++ groupCols.map(c => s"_m_$c")): _*)
+  }
 }

@@ -46,10 +46,15 @@ object RecordLinkage {
 
   /** The exact-collapse dictionary: one row per distinct name with key =
     * min(id) over the name's rows (deterministic, SQL-replayable).
+    * Materialized (lineage-truncated) on build: every blocking pass joins
+    * it on BOTH sides and the canonical map reads it twice more — without
+    * truncation each reference would re-run the corpus-wide collapse,
+    * which at 100 TB is the expensive scan of the whole pipeline.
     */
   def nameDictionary(df: DataFrame, idCol: String, nameCol: String): DataFrame =
-    df.groupBy(col(nameCol).as("nm"))
-      .agg(min(col(idCol)).cast("long").as("nk"))
+    graft.plans.Lineage.truncate(
+      df.groupBy(col(nameCol).as("nm"))
+        .agg(min(col(idCol)).cast("long").as("nk")))
 
   /** Blocked fuzzy self-join over the name dictionary: all unordered
     * dictionary pairs that share at least one block key and sit within

@@ -181,6 +181,62 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  describe("LinkGraph.triangleCount") {
+    it("counts each triangle exactly once, in either edge direction, ignoring loops/dups") {
+      // K4 on {1,2,3,4} (4 triangles) + a pendant edge + a self-loop +
+      // reversed duplicates.
+      val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+      val edges = (k4 ++ Seq((5L, 1L), (6L, 6L), (2L, 1L))).toDF("src", "dst")
+      graft.operators.LinkGraph.triangleCount(edges).head.getLong(0) shouldBe 4L
+    }
+    it("a 4-cycle has no triangles") {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+      graft.operators.LinkGraph.triangleCount(edges).head.getLong(0) shouldBe 0L
+    }
+  }
+
+  describe("Profiler.zScoreOutliers") {
+    it("flags via the integer cross-multiplied inequality; zero-variance groups flag nothing") {
+      val df = (Seq.fill(10)(("a", 0.0)) ++ Seq(("a", 100.0)) ++
+        Seq(("b", 5.0), ("b", 5.0))).toDF("g", "v")
+      val out = graft.operators.Profiler.zScoreOutliers(df, Seq("g"), "v")
+      // z² of the spike = (x−μ)²/σ² = 10 > 9 → flagged; the zeros are not
+      // (their z² = 0.1); constant group b flags nothing.
+      out.where(col("is_outlier") === 1).select("g", "fp").collect()
+        .map(r => (r.getString(0), r.getLong(1))) shouldBe Array(("a", 10000L))
+    }
+  }
+
+  describe("Privacy.noisySums") {
+    it("clamps per-unit contributions, quantizes to the clamp lattice, adds the shared noise") {
+      // unit 1 contributes 150 fp (clamped to 100); unit 2 contributes 30.
+      val df = Seq(("g", 1L, 1.0), ("g", 1L, 0.5), ("g", 2L, 0.3)).toDF("grp", "u", "v")
+      val out = Privacy.noisySums(df, Seq("grp"), "u", "v", clampFp = 100L, seed = "s9")
+      out.columns.toSeq shouldBe Seq("grp", "released_fp")
+      def tz(s: String) = java.lang.Integer.numberOfTrailingZeros(
+        graft.functions.Anonymizer.stableHash(s) | (1 << 20))
+      val noise = tz("g|s9|a") - tz("g|s9|b")
+      // clamped sum = 100 + 30 = 130 → units = (130 + 50) div 100 = 1.
+      out.collect()(0).getLong(1) shouldBe 100L * (1L + noise)
+    }
+  }
+
+  describe("EventAnalytics.scd2") {
+    it("builds validity intervals with last-write-wins at timestamp ties and a current flag") {
+      val ch = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 20L, 102L), (2L, 5L, 103L))
+        .toDF("k", "ts", "id")
+      val out = EventAnalytics.scd2(ch, Seq("k"), "ts", "id")
+        .orderBy("k", "valid_from", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))
+      out shouldBe Array(
+        (1L, 100L, 10L, 19L, 0L),  // closed by the ts=20 change
+        (1L, 101L, 20L, 19L, 0L),  // tie: inverted (empty) interval, not current
+        (1L, 102L, 20L, -1L, 1L),  // last write at ts=20 wins as current
+        (2L, 103L, 5L, -1L, 1L))
+    }
+  }
+
   describe("EventStream.funnelByEventTime") {
     import graft.streaming.EventStream
     def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
