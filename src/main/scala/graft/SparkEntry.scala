@@ -84,6 +84,16 @@ object SparkEntry {
     "q_events_funnel_stream" -> ((s, dir) =>
       graft.streaming.StreamGates.funnelViaStream(s, dir)),
 
+    // Sliding windows through the streaming engine (Complete mode).
+    // Shares q_events_sliding's oracle verbatim.
+    "q_events_sliding_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.slidingViaStream(s, dir)),
+
+    // NATIVE session_window streaming aggregation (Append + watermark,
+    // sentinel-flushed). Shares q_events_session_native's oracle.
+    "q_events_session_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.sessionNativeViaStream(s, dir)),
+
     // Stream-static enrichment: events streamed against the customer
     // dimension (stateless join, no watermark); oracle is the batch join.
     "q_events_enrich_stream" -> ((s, dir) =>
@@ -806,6 +816,44 @@ object SparkEntry {
           t(s, dir, "customer"), Seq("c_mktsegment"), seed = "release-2026-08-r8")
         .orderBy("c_mktsegment")),
 
+    // Native SLIDING windows (window with a slide < length): each event
+    // lands in length/slide = 4 overlapping hourly windows.
+    "q_events_sliding" -> ((s, dir) =>
+      Tpch.events(s, dir)
+        .select(
+          timestamp_micros(expr("ts div 1000")).as("tst"),
+          col("event_type"),
+          col("value"))
+        .groupBy(window(col("tst"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+        .select(
+          unix_micros(col("window.start")).as("ws_us"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("ws_us", "event_type")),
+
+    // Native SESSION windows (session_window): engine-managed gap merge —
+    // the built-in sibling of the custom sessionize operators. Spark
+    // splits at gap >= 30 min (merge while diff < gap); the oracle
+    // replays that exact boundary.
+    "q_events_session_native" -> ((s, dir) =>
+      Tpch.events(s, dir)
+        .select(
+          timestamp_micros(expr("ts div 1000")).as("tst"),
+          col("user_id"),
+          col("value"))
+        .groupBy(session_window(col("tst"), "30 minutes"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(14, 2))).cast("double").as("total_value"))
+        .select(
+          col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "start_us")),
+
     // Distributed triangle count over the synthetic link graph (the
     // PageRank edge set): degree-oriented compact-forward — wedge volume
     // bounded O(|E|^1.5), each triangle counted exactly once.
@@ -919,6 +967,29 @@ object SparkEntry {
         |  FROM dict a JOIN dict b
         |    ON split_part(a.nm, ' ', -1) = split_part(b.nm, ' ', -1) AND a.nk < b.nk
         |  WHERE levenshtein(a.nm, b.nm) <= 2)""".stripMargin
+    // Sliding windows: each event lands in exactly length/slide = 4
+    // windows (k ∈ 0..3 unrolled). Shared verbatim by the streamed form.
+    val slidingOracleSql =
+      """WITH ev AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+        |w AS (SELECT ((tus // 900000000) - k) * 900000000 AS ws_us, event_type, value
+        |      FROM ev, range(0, 4) t(k))
+        |SELECT ws_us, event_type, count(*) AS cnt,
+        |CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY ws_us, event_type ORDER BY ws_us, event_type""".stripMargin
+    // Native session_window replay (split at gap >= 30 min, end = last +
+    // gap). Shared verbatim by the streamed form.
+    val sessionNativeOracleSql =
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+        |l AS (SELECT user_id, tus, value,
+        |      lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev FROM ev),
+        |f AS (SELECT user_id, tus, value,
+        |      CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END AS flag FROM l),
+        |g AS (SELECT user_id, tus, value,
+        |      sum(flag) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, min(tus) AS start_us, max(tus) + 1800000000 AS end_us,
+        |count(*) AS n_events,
+        |CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
     // Batch funnel replay — shared verbatim by the streamed funnel gate.
     val funnelOracleSql =
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
@@ -1062,6 +1133,16 @@ object SparkEntry {
            |FROM nz ORDER BY c_mktsegment""".stripMargin
       },
 
+      "q_events_sliding" -> slidingOracleSql,
+
+      // Streamed sliding windows ≡ batch, verbatim.
+      "q_events_sliding_stream" -> slidingOracleSql,
+
+      "q_events_session_native" -> sessionNativeOracleSql,
+
+      // Engine-merged streaming sessions ≡ batch, verbatim.
+      "q_events_session_stream" -> sessionNativeOracleSql,
+
       "q_triangles" ->
         """WITH d AS (SELECT doc_id FROM documents),
           |mx AS (SELECT max(doc_id) + 1 AS n FROM d),
@@ -1081,7 +1162,8 @@ object SparkEntry {
           |      CAST(sum(fp * fp) AS BIGINT) AS q FROM ev GROUP BY event_type)
           |SELECT event_id, ev.event_type, fp
           |FROM ev JOIN m ON ev.event_type = m.event_type
-          |WHERE (n * fp - s) * (n * fp - s) > 9 * (n * q - s * s)
+          |WHERE (CAST(n AS HUGEINT) * fp - s) * (CAST(n AS HUGEINT) * fp - s)
+          |      > 9 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
           |ORDER BY event_id""".stripMargin,
 
       "q_full_outer" ->

@@ -182,11 +182,14 @@ object Profiler {
     * σ² here is the POPULATION variance (σ² = (n·Q − S²)/n²); a group
     * with zero variance flags nothing (rhs 0 ≥ lhs 0 fails strictly).
     *
-    * Exactness bound, stated: the comparison lives in signed 64-bit, so
-    * it is exact while `z²·(n·Q − S²)` and `(n·|x| + |S|)²` stay below
-    * 2⁶³ — e.g. z = 3, |fp| ≤ 10⁴ holds to n ≈ 10⁸ rows per group; past
-    * that lift the three products to DECIMAL(38,0)/int128, same
-    * inequality.
+    * The comparison runs in DECIMAL(38,0) (int128 on the oracle side):
+    * the moment sums themselves are 64-bit (safe while `Σfp² < 2⁶³` —
+    * |fp| ≤ 10⁶ holds past 10⁹ rows per group), but their PRODUCTS are
+    * not — `(n·x − S)²` overflows a long at n·|fp| ≈ 3·10⁹, which a mere
+    * ×10 soak of the events fixture reaches. 38 digits carry the
+    * inequality to n ≈ 10¹² rows per group at |fp| ≤ 10⁶; both engines'
+    * wide-integer arithmetic is exact, so the verdict still cannot
+    * drift.
     *
     * Plan: one map-side-combinable aggregate for (n, S, Q) per group —
     * sums of fp and fp² — then the (tiny) moments frame broadcasts back
@@ -211,13 +214,14 @@ object Profiler {
         sum(col("fp")).as("_s"),
         sum(col("fp") * col("fp")).as("_q"))
     val cond = groupCols.map(c => withFp(c) <=> moments(s"_m_$c")).reduce(_ && _)
-    val lhs = (col("_n") * col("fp") - col("_s"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val (nD, sD, qD) = (col("_n").cast(dec), col("_s").cast(dec), col("_q").cast(dec))
+    val lhs = nD * col("fp").cast(dec) - sD
     withFp
       .join(broadcast(moments), cond)
       .withColumn(
         "is_outlier",
-        (lhs * lhs > lit(z.toLong * z) * (col("_n") * col("_q") - col("_s") * col("_s")))
-          .cast("long"))
+        (lhs * lhs > lit(z.toLong * z).cast(dec) * (nD * qD - sD * sD)).cast("long"))
       .drop((Seq("_n", "_s", "_q") ++ groupCols.map(c => s"_m_$c")): _*)
   }
 }

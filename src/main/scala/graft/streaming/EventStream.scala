@@ -20,11 +20,14 @@ object EventStream {
   def windowedAggregate(
       events: DataFrame,
       windowLength: String = "1 hour",
-      watermarkDelay: String = "10 minutes"
+      watermarkDelay: String = "10 minutes",
+      slide: Option[String] = None
   ): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .groupBy(
+        slide.fold(window(col("ts"), windowLength))(s => window(col("ts"), windowLength, s)),
+        col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
       .select(
         col("window.start").as("window_start"),

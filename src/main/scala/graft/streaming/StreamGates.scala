@@ -298,6 +298,67 @@ object StreamGates {
       .orderBy("hour_start", "event_type")
   }
 
+  /** `q_events_sliding_stream`: the fixture replayed through the SLIDING
+    * form of [[EventStream.windowedAggregate]] (1-hour windows every
+    * 15 minutes) in Complete mode — each event feeds 4 overlapping
+    * windows' streaming state. Shares `q_events_sliding`'s oracle
+    * verbatim (cents-exact sums, as every Complete-mode money gate).
+    */
+  def slidingViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tpch.events(spark, sfDir)
+      .select(
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_type"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast("double").as("value")
+      )
+    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Complete())(
+      in => EventStream.windowedAggregate(in, slide = Some("15 minutes")))
+      .select(
+        unix_micros(col("window_start")).as("ws_us"),
+        col("event_type"),
+        col("cnt"),
+        (col("sum_value") / 100.0).as("sum_value")
+      )
+      .orderBy("ws_us", "event_type")
+  }
+
+  /** `q_events_session_stream`: the fixture replayed through the NATIVE
+    * `session_window` streaming aggregation (engine-managed gap merge +
+    * watermark state eviction, Append mode — only CLOSED sessions emit).
+    * Two far-future sentinel events drive the watermark past every real
+    * session (the first closes them, the second closes the first
+    * sentinel's own session so it can be filtered out). Shares
+    * `q_events_session_native`'s oracle verbatim — the engine's
+    * cross-micro-batch session merge must land on the batch result.
+    */
+  def sessionNativeViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tpch.events(spark, sfDir)
+      .select(
+        col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        (col("value").cast(DecimalType(14, 2)) * 100).cast("double").as("value")
+      )
+    val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+    require(maxTs != null, s"sessionNativeViaStream: events fixture at $sfDir is empty")
+    val flush = Seq(1, 2).map(k =>
+      Seq(EventStream.SessionEvent(-1L, new java.sql.Timestamp(maxTs.getTime + k * 86400000L), 0.0))
+        .toDS().toDF().select("user_id", "ts", "value"))
+    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Append(), flush)(in =>
+      in.withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value")))
+      .where(col("user_id") >= 0)
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"),
+        (col("total_value") / 100.0).as("total_value")
+      )
+      .orderBy("user_id", "start_us")
+  }
+
   /** `q_dedup_stream`: the documents fixture, given synthetic event times
     * (doc_id minutes apart), replayed chronologically through
     * [[EventStream.nearDupCandidatesWithinWatermark]] — per-bucket MinHash

@@ -79,4 +79,32 @@ class PartitionInvarianceSpec extends SparkSpec {
       resultSet(run(1)) shouldBe resultSet(run(7))
     }
   }
+
+  describe("analytics wave") {
+    // Synthetic event log derived deterministically from the doc ids:
+    // ~12 users, interleaved stage types, value keyed off the id.
+    invariant("EventAnalytics.funnel")(d =>
+      graft.operators.EventAnalytics.funnel(
+        d.selectExpr(
+          "doc_id % 12 AS user_id",
+          "doc_id * 1000000 AS tus",
+          "element_at(array('signup','view','click','purchase','error'), CAST(doc_id % 5 AS INT) + 1) AS event_type"),
+        "user_id", "tus", "event_type", Seq("signup", "view", "click", "purchase")))
+    invariant("Quantiles.groupedExact")(d =>
+      graft.operators.Quantiles.groupedExact(
+        d.selectExpr("doc_id % 4 AS g", "CAST(doc_id % 17 AS DOUBLE) / 3 AS v"),
+        Seq("g"), "v", scale = 100, qs = Seq(("p50", 0.5), ("p90", 0.9))))
+    invariant("LinkGraph.triangleCount")(d =>
+      graft.operators.LinkGraph.triangleCount(
+        d.selectExpr("doc_id AS src", "(doc_id * 7 + 1) % 60 AS dst")
+          .unionAll(d.selectExpr("doc_id AS src", "(doc_id * 13 + 2) % 60 AS dst"))))
+    invariant("Profiler.zScoreOutliers")(d =>
+      graft.operators.Profiler.zScoreOutliers(
+        d.selectExpr("doc_id % 3 AS g", "CAST(CASE WHEN doc_id = 59 THEN 500 ELSE doc_id % 7 END AS DOUBLE) AS v"),
+        Seq("g"), "v"))
+    invariant("Privacy.noisySums")(d =>
+      graft.operators.Privacy.noisySums(
+        d.selectExpr("doc_id % 4 AS g", "doc_id % 9 AS u", "CAST(doc_id % 11 AS DOUBLE) AS v"),
+        Seq("g"), "u", "v", clampFp = 300L, seed = "inv"))
+  }
 }

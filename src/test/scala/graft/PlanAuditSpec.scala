@@ -492,6 +492,21 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("rank-filter windows get Spark's native WindowGroupLimit (why q_window_rank stays idiomatic)") {
+      withoutAqe {
+        // Spark ≥ 3.5 inserts WindowGroupLimit below the exchange for
+        // row_number-filter patterns — each map task pre-prunes its groups
+        // to k candidates. TopK.perKey remains the stronger form (bounded
+        // AGGREGATION, no per-group sort state), but the window gate is
+        // not the naive full-sort plan either; this pins that.
+        val df = spark.range(1, 5000).toDF("id")
+          .select(pmod(col("id"), lit(50)).as("k"), col("id"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy(col("id").desc)
+        val plan = executed(df.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3))
+        plan.toString should include("WindowGroupLimit")
+      }
+    }
+
     it("kAnonymize broadcasts the violating-group set on the default path") {
       withoutAqe {
         val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "qi")
