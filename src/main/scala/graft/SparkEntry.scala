@@ -816,6 +816,67 @@ object SparkEntry {
           t(s, dir, "customer"), Seq("c_mktsegment"), seed = "release-2026-08-r8")
         .orderBy("c_mktsegment")),
 
+    // CDC apply to a day-partitioned lake table: base written partitioned,
+    // deterministic update batch (modified values + inserted keys) merged
+    // via LakeSink.mergePartitioned — dynamic partition overwrite rewrites
+    // ONLY the touched day directories. The gate hashes the post-merge
+    // per-day census; the oracle replays the merge in SQL.
+    "q_lake_merge" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lake_merge").toString + "/t"
+      val base = Tpch.events(s, dir).select(
+        col("event_id"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        floor(col("value").cast("double") * 100 + lit(0.5)).cast("long").as("cents"))
+      base.write.mode("overwrite").partitionBy("day").parquet(tmp)
+      val minDay = base.agg(min("day")).head.getLong(0)
+      val updates = base.where(pmod(col("event_id"), lit(97)) === 0)
+        .select(col("event_id"), col("day"), (col("cents") + 1000).as("cents"))
+        .unionByName(base.where(pmod(col("event_id"), lit(101)) === 0)
+          .select((col("event_id") + 10000000L).as("event_id"),
+            lit(minDay).as("day"), lit(500L).as("cents")))
+      graft.sinks.LakeSink.mergePartitioned(s, tmp, updates, Seq("event_id"), "day")
+      s.read.parquet(tmp)
+        .groupBy(col("day").cast("long").as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+        .orderBy("day")
+    }),
+
+    // Streamed CDC apply: the same update batch arriving as 3 micro-
+    // batches, each merged into the partitioned table per trigger.
+    // Shares q_lake_merge's oracle verbatim.
+    "q_lake_merge_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.mergeViaStream(s, dir)),
+
+    // Source-format breadth: ORC round trip (the columnar sibling —
+    // binary-exact for every type).
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/o"
+      val src = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      src.write.mode("overwrite").orc(tmp)
+      s.read.schema(src.schema).orc(tmp).orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Source-format breadth: CSV round trip (header + explicit schema;
+    // doubles survive via shortest-round-trip rendering).
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/c"
+      val src = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      src.write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.schema(src.schema).option("header", "true").csv(tmp).orderBy("c_custkey")
+    }),
+
+    // Source-format breadth: JSON-lines round trip, including the props
+    // column (JSON embedded in a string — escaping must survive).
+    "q_json_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString + "/j"
+      val src = Tpch.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("props"), expr("ts div 1000").as("tus"))
+      src.write.mode("overwrite").json(tmp)
+      s.read.schema(src.schema).json(tmp).orderBy("event_id")
+    }),
+
     // Native SLIDING windows (window with a slide < length): each event
     // lands in length/slide = 4 overlapping hourly windows.
     "q_events_sliding" -> ((s, dir) =>
@@ -967,6 +1028,18 @@ object SparkEntry {
         |  FROM dict a JOIN dict b
         |    ON split_part(a.nm, ' ', -1) = split_part(b.nm, ' ', -1) AND a.nk < b.nk
         |  WHERE levenshtein(a.nm, b.nm) <= 2)""".stripMargin
+    // CDC-merge replay — shared verbatim by the streamed form.
+    val lakeMergeOracleSql =
+      """WITH base AS (SELECT event_id, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |md AS (SELECT min(day) AS m FROM base),
+        |upd AS (SELECT event_id, day, cents + 1000 AS cents FROM base WHERE event_id % 97 = 0
+        |        UNION ALL
+        |        SELECT event_id + 10000000, m, 500 FROM base, md WHERE event_id % 101 = 0),
+        |merged AS (SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM upd)
+        |           UNION ALL SELECT * FROM upd)
+        |SELECT day, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+        |FROM merged GROUP BY day ORDER BY day""".stripMargin
     // Sliding windows: each event lands in exactly length/slide = 4
     // windows (k ∈ 0..3 unrolled). Shared verbatim by the streamed form.
     val slidingOracleSql =
@@ -1132,6 +1205,23 @@ object SparkEntry {
            |CAST(n + (${tz("ha")} - ${tz("hb")}) AS BIGINT) AS released
            |FROM nz ORDER BY c_mktsegment""".stripMargin
       },
+
+      "q_lake_merge" -> lakeMergeOracleSql,
+
+      // Streamed CDC apply ≡ the one-shot batch merge, verbatim.
+      "q_lake_merge_stream" -> lakeMergeOracleSql,
+
+      "q_csv_roundtrip" ->
+        """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+          |FROM customer ORDER BY c_custkey""".stripMargin,
+
+      "q_orc_roundtrip" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "q_json_roundtrip" ->
+        """SELECT event_id, event_type, props, epoch_us(ts) AS tus
+          |FROM events ORDER BY event_id""".stripMargin,
 
       "q_events_sliding" -> slidingOracleSql,
 

@@ -62,6 +62,76 @@ object LakeSink {
       .write.mode(mode).parquet(dir)
   }
 
+  /** CDC apply to a PARTITIONED parquet table: upsert `updates`
+    * (last-write-wins on `keyCols`, inserts included) into the
+    * `partitionCol`-partitioned table at `dir`, rewriting ONLY the
+    * partitions the update batch touches — Spark's dynamic partition
+    * overwrite replaces exactly the partitions present in the written
+    * frame and leaves every other directory untouched. At 100 TB with
+    * daily partitions, a CDC batch touching 3 days rewrites 3 days, not
+    * the table; without a transactional table format this
+    * partition-scoped read-merge-overwrite is the honest upsert, and its
+    * blast radius is the touched-partition set.
+    *
+    * CONTRACT — partition-stable keys: `partitionCol` must be a stable
+    * function of the key (the usual date-partitioned-fact shape). An
+    * update that MOVES a key to a different partition would leave the old
+    * row alive in an untouched partition; this operator cannot see it
+    * without a full-table scan, so the constraint is documented, not
+    * silently absorbed.
+    *
+    * Mechanics: the touched-partition values are collected (bounded by
+    * `maxTouchedPartitions` — a CDC batch touching more partitions than
+    * that should be a backfill, not a merge), the current rows of ONLY
+    * those partitions are read (partition-pruned scan), survivors =
+    * current anti-join update keys, and survivors ∪ updates are staged to
+    * a scratch directory BEFORE the overwrite (Spark refuses to overwrite
+    * a path it is reading; the stage also makes the overwrite's input
+    * durable). Returns (rows written, partitions rewritten).
+    */
+  def mergePartitioned(
+      spark: SparkSession,
+      dir: String,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      partitionCol: String,
+      maxTouchedPartitions: Int = 10000
+  ): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(!keyCols.contains(partitionCol) || keyCols.size > 1,
+      "keyCols must identify rows; the partition column alone cannot")
+    val touched = updates.select(col(partitionCol)).distinct()
+      .limit(maxTouchedPartitions + 1).collect().map(_.get(0))
+    require(touched.length <= maxTouchedPartitions,
+      s"mergePartitioned: update batch touches > $maxTouchedPartitions partitions — " +
+        "that is a backfill; write it with a plain partitioned overwrite")
+    val current = spark.read.parquet(dir).where(col(partitionCol).isin(touched: _*))
+    val updKeys = updates.select(keyCols.map(c => col(c).as(s"_k_$c")): _*).distinct()
+    val keepCond = keyCols.map(c => current(c) <=> updKeys(s"_k_$c")).reduce(_ && _)
+    val survivors = current.join(updKeys, keepCond, "left_anti")
+    val merged = survivors.unionByName(updates.select(current.columns.map(col): _*))
+
+    val staging = dir + "._merge_staging"
+    merged.write.mode("overwrite").parquet(staging)
+    val staged = spark.read.parquet(staging)
+    val written = staged.count()
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      staged.write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+    finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val p  = new org.apache.hadoop.fs.Path(staging)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
+    (written, touched.length.toLong)
+  }
+
   /** Compact a parquet directory's small files into ~`targetFileBytes`
     * outputs — the small-file mitigation every long-lived lake table
     * needs (streaming micro-batches and over-parallel writers leave

@@ -359,6 +359,56 @@ object StreamGates {
       .orderBy("user_id", "start_us")
   }
 
+  /** `q_lake_merge_stream`: the CDC batch of `q_lake_merge` arrives as a
+    * STREAM — each micro-batch is applied to the day-partitioned lake
+    * table through [[graft.sinks.LakeSink.mergePartitioned]] inside
+    * foreachBatch (per-trigger partition-scoped rewrite). Last-write-wins
+    * upserts are idempotent, so an at-least-once foreachBatch replay
+    * converges to the same table; update keys are unique across the
+    * batch, so the 3-chunk split reaches the exact batch-merge end state
+    * and the gate shares `q_lake_merge`'s oracle VERBATIM.
+    */
+  def mergeViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_lake_merge_s").toString + "/t"
+    val base = graft.Tpch.events(spark, sfDir).select(
+      col("event_id"),
+      expr("(ts div 1000) div 86400000000").as("day"),
+      floor(col("value").cast("double") * 100 + lit(0.5)).cast("long").as("cents"))
+    base.write.mode("overwrite").partitionBy("day").parquet(tmp)
+    val minDay = base.agg(min("day")).head.getLong(0)
+    val updates = base.where(pmod(col("event_id"), lit(97)) === 0)
+      .select(col("event_id"), col("day"), (col("cents") + 1000).as("cents"))
+      .unionByName(base.where(pmod(col("event_id"), lit(101)) === 0)
+        .select((col("event_id") + 10000000L).as("event_id"),
+          lit(minDay).as("day"), lit(500L).as("cents")))
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("event_id")))
+    val (watchDir, stageDir) = stageChronologicalChunks(updates, "ts", 3, Seq.empty)
+    val ckptDir = Files.createTempDirectory(appendSinkRoot, "ckpt")
+    val query = spark.readStream
+      .schema(updates.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(watchDir.toString)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckptDir.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.LakeSink.mergePartitioned(
+          spark, tmp, batch.drop("ts"), Seq("event_id"), "day")
+        ()
+      }
+      .start()
+    try query.processAllAvailable()
+    finally {
+      query.stop()
+      Seq(watchDir, stageDir, ckptDir).foreach(p => try rmTree(p) catch { case _: Exception => () })
+    }
+    spark.read.parquet(tmp)
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .orderBy("day")
+  }
+
   /** `q_dedup_stream`: the documents fixture, given synthetic event times
     * (doc_id minutes apart), replayed chronologically through
     * [[EventStream.nearDupCandidatesWithinWatermark]] — per-bucket MinHash

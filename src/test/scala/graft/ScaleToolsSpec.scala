@@ -74,6 +74,52 @@ class ScaleToolsSpec extends SparkSpec {
     }
   }
 
+  describe("LakeSink.mergePartitioned") {
+    it("upserts into touched partitions only — untouched day directories keep their exact files") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString + "/t"
+      try {
+        val base = (1L to 300L).map(i => (i, i % 3, i * 10)).toDF("id", "day", "v")
+        base.write.mode("overwrite").partitionBy("day").parquet(dir)
+        def files(day: Long) = {
+          val d = new java.io.File(s"$dir/day=$day")
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified())).sorted.toSeq
+        }
+        val day2Before = files(2)
+        // Updates touch days 0 and 1 only: modify id 3 (day 0), id 1
+        // (day 1), insert id 1000 into day 0.
+        val updates = Seq((3L, 0L, 999L), (1L, 1L, 888L), (1000L, 0L, 777L)).toDF("id", "day", "v")
+        val (written, parts) = LakeSink.mergePartitioned(spark, dir, updates, Seq("id"), "day")
+        parts shouldBe 2L
+        written shouldBe 201L // 100 + 100 survivors/updates + 1 insert
+        val after = spark.read.parquet(dir)
+        after.count() shouldBe 301
+        after.where("id = 3").select("v").head.getLong(0) shouldBe 999L
+        after.where("id = 1000").select("day", "v").head.toSeq shouldBe Seq(0, 777L)
+        // Day 2 was never touched: same files, same mtimes — the rewrite's
+        // blast radius really is the touched-partition set.
+        files(2) shouldBe day2Before
+      } finally {
+        def rm(p: java.io.File): Unit = { Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); () }
+        rm(new java.io.File(dir).getParentFile)
+      }
+    }
+
+    it("refuses an update batch touching more partitions than the merge budget") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-merge2").toString + "/t"
+      try {
+        (1L to 20L).map(i => (i, i, i)).toDF("id", "day", "v")
+          .write.mode("overwrite").partitionBy("day").parquet(dir)
+        val updates = (1L to 20L).map(i => (i, i, i + 1)).toDF("id", "day", "v")
+        an[IllegalArgumentException] should be thrownBy
+          LakeSink.mergePartitioned(spark, dir, updates, Seq("id"), "day", maxTouchedPartitions = 5)
+      } finally {
+        def rm(p: java.io.File): Unit = { Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); () }
+        rm(new java.io.File(dir).getParentFile)
+      }
+    }
+  }
+
   describe("LakeSink.writeBucketed") {
     it("bucketed tables equi-join without a shuffle exchange") {
       val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
