@@ -42,7 +42,115 @@ object SparkEntry {
   // Queries: (SparkSession, sfDir) => DataFrame
   // ---------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ relationalQueries ++ analyticsQueries ++ pipelineQueries ++ streamingQueries
+    coreQueries ++ relationalQueries ++ analyticsQueries ++ pipelineQueries ++
+      streamingQueries ++ scaleQueries
+
+  // ---------------------------------------------------------------------
+  // Scale primitives wave: semi-join reduction, multi-dimensional data
+  // layout, perceptual image near-dup, stream-stream event-time join.
+  // ---------------------------------------------------------------------
+  private def scaleQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bloom-pruned join: the fact side (lineitem) is filtered SCAN-LOCAL
+    // by a broadcast Bloom filter over the survivor key set — an
+    // aggregation output, exactly the shape Spark's own runtime-filter
+    // injection never covers — before the join's shuffle moves a byte.
+    // False positives are discarded by the real join, so the result is
+    // the plain semi-join (BloomJoinSpec pins identity + filter position).
+    "q_bloom_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val keys = t(s, dir, "orders").where(col("o_totalprice") > 450000)
+        .select(col("o_orderkey").as("l_orderkey")).distinct()
+      graft.plans.BloomJoin.bloomPrunedJoin(li, keys, Seq("l_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Z-order clustered layout round trip: events written Morton-ordered
+    // on (user_id, cents), read back through a BOTH-dimension range
+    // filter. The answer is layout-invariant (that's what the oracle
+    // checks); the pruning the layout buys — a selective filter on EITHER
+    // dimension skips most files via parquet min/max stats — is measured
+    // in ScaleToolsSpec against the unsorted and 1-D-sorted layouts.
+    "q_zorder_scan" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/z"
+      val ev = Tpch.events(s, dir).select(
+        col("event_id"),
+        col("user_id"),
+        floor(col("value").cast("double") * 100 + lit(0.5)).cast("long").as("cents"))
+      graft.sinks.LakeSink.writeZOrdered(ev, tmp, Seq("user_id", "cents"), numFiles = 8)
+      s.read.parquet(tmp)
+        .where(col("user_id").between(3, 11) && col("cents").between(2000, 6000))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("cents")).as("sum_cents"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Perceptual image fingerprints through the REAL codec path: each
+    // document's synthetic PNG and its brightness-pushed twin are
+    // ImageIO-decoded and dHashed; the saturation clamp flips a few
+    // ordering bits, so the pair's hamming distance is small but nonzero
+    // for the pushed images — the oracle replays every sampled pixel and
+    // every comparison arithmetically.
+    "q_multimodal_phash" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Multimodal.imageDHash(Multimodal.syntheticPngTextured(col("doc_id"))).as("dh"),
+          Multimodal.imageDHash(Multimodal.syntheticPngTexturedJittered(col("doc_id"))).as("dhj"))
+        .withColumn("hamming", bit_count(col("dh").bitwiseXOR(col("dhj"))).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // Image near-duplicate pairs at scale: originals ∪ jittered twins
+    // (offset id space), candidates via the pigeonhole-banded hamming
+    // join (maxHamming 3 ⇒ 4 bands ⇒ ≥ 1 exact band match — recall is a
+    // theorem), verified by exact bit_count. The oracle brute-forces all
+    // pairs; the banded plan must produce the identical set.
+    "q_multimodal_phash_pairs" -> ((s, dir) => {
+      import graft.operators.{Dedup, Multimodal}
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val orig = d.select(
+        col("doc_id"),
+        Multimodal.imageDHash(Multimodal.syntheticPngTextured(col("doc_id"))).as("dh"))
+      val jit = d.select(
+        (col("doc_id") + 10000000L).as("doc_id"),
+        Multimodal.imageDHash(Multimodal.syntheticPngTexturedJittered(col("doc_id"))).as("dh"))
+      Dedup.simHashPairsBanded(orig.unionByName(jit), "doc_id", "dh", maxHamming = 3, fpBits = 63)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Click→purchase attribution, batch form: per-user event-time band
+    // join (equi on user + 30-minute range residual). The stream twin
+    // below runs the SAME join as a watermarked stream-stream join and
+    // shares this oracle verbatim.
+    "q_events_attribution" -> ((s, dir) => {
+      val ev = Tpch.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_type"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("tus").as("click_us"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("tus").as("purchase_us"))
+      c.join(
+          p,
+          c("user_id") === p("p_user") &&
+            col("purchase_us") >= col("click_us") &&
+            col("purchase_us") <= col("click_us") + lit(1800000000L))
+        .select("user_id", "click_us", "purchase_us")
+        .orderBy("user_id", "click_us", "purchase_us")
+    }),
+
+    // TRUE stream-stream join: both sides unbounded, watermark-bounded
+    // join state, Append mode — see StreamGates.attributionViaStream for
+    // the state-finiteness and completeness argument.
+    "q_events_attribution_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.attributionViaStream(s, dir))
+  )
 
   // ---------------------------------------------------------------------
   // Streaming gates: the hashed result came through the Structured
@@ -2555,7 +2663,8 @@ object SparkEntry {
         """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS cnt,
           |CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
-    ) ++ relationalOracles ++ analyticsOracles ++ pipelineOracles ++ streamingOracles
+    ) ++ relationalOracles ++ analyticsOracles ++ pipelineOracles ++ streamingOracles ++
+      scaleOracles
   }
 
   /** Exact-kNN oracle over the `vec_id < 5` query set — shared by the
@@ -2571,6 +2680,80 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM sc)
        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // Oracles for the scale-primitives wave. The dHash oracle replays the
+  // whole perceptual pipeline arithmetically: synthetic pixel values are
+  // stableHash functions of doc_id, nearest-neighbor resampling is integer
+  // floor division, and each of the 63 ordering comparisons contributes
+  // one bit (bit_or of shifted 1s — index ≤ 62 keeps everything in
+  // non-negative BIGINT range on both engines).
+  private def scaleOracles: Map[String, String] = {
+    import OracleGen._
+    val dhashCtes = {
+      val h0  = hashSql("('png' || doc_id)")
+      val hpx = hashSql("('px' || doc_id || ':' || sx || ':' || sy)")
+      s"""hv AS (SELECT doc_id, $h0 AS h0 FROM documents),
+         |dims AS (SELECT doc_id, 8 + h0 % 9 AS w, 9 + (h0 // 16) % 8 AS ht,
+         |         (doc_id % 3) * 16 AS j FROM hv),
+         |grid AS (SELECT gx.x AS x, gy.y AS y
+         |         FROM (SELECT unnest(range(0, 8)) AS x) gx
+         |         CROSS JOIN (SELECT unnest(range(0, 9)) AS y) gy),
+         |sp AS (SELECT doc_id, j, x, y, (x * w) // 8 AS sx, (y * ht) // 9 AS sy
+         |       FROM dims CROSS JOIN grid),
+         |px AS (SELECT doc_id, x, y,
+         |         ($hpx % 256) AS v,
+         |         least(($hpx % 256) + j, 255) AS vj
+         |       FROM sp),
+         |bits AS (SELECT a.doc_id,
+         |         coalesce(bit_or(CASE WHEN b.v > a.v
+         |           THEN 1::BIGINT << CAST(a.y * 7 + a.x AS INTEGER) ELSE 0 END), 0) AS dh,
+         |         coalesce(bit_or(CASE WHEN b.vj > a.vj
+         |           THEN 1::BIGINT << CAST(a.y * 7 + a.x AS INTEGER) ELSE 0 END), 0) AS dhj
+         |         FROM px a JOIN px b ON a.doc_id = b.doc_id AND b.y = a.y AND b.x = a.x + 1
+         |         WHERE a.x < 7
+         |         GROUP BY a.doc_id)""".stripMargin
+    }
+    val attributionOracleSql =
+      """SELECT c.user_id AS user_id, epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, click_us, purchase_us""".stripMargin
+    Map(
+      "q_bloom_join" ->
+        """SELECT l_returnflag, count(*) AS cnt,
+          |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem
+          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      "q_zorder_scan" ->
+        """WITH e AS (SELECT user_id,
+          |  CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents FROM events)
+          |SELECT count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents,
+          |count(DISTINCT user_id) AS n_users
+          |FROM e WHERE user_id BETWEEN 3 AND 11 AND cents BETWEEN 2000 AND 6000""".stripMargin,
+
+      "q_multimodal_phash" ->
+        s"""WITH $dhashCtes
+           |SELECT doc_id, dh, dhj, CAST(bit_count(xor(dh, dhj)) AS BIGINT) AS hamming
+           |FROM bits ORDER BY doc_id""".stripMargin,
+
+      "q_multimodal_phash_pairs" ->
+        s"""WITH $dhashCtes,
+           |u AS (SELECT doc_id, dh FROM bits
+           |      UNION ALL SELECT doc_id + 10000000, dhj FROM bits)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+           |FROM u a JOIN u b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.dh, b.dh)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q_events_attribution"        -> attributionOracleSql,
+      // The stream-stream join must land on the batch result row-for-row.
+      "q_events_attribution_stream" -> attributionOracleSql
+    )
   }
 
   private def minHashOracleSql(hsh3: String, hashI: String, bandKey: String): String =

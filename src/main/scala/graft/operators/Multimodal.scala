@@ -133,6 +133,143 @@ object Multimodal {
     u(seed)
   }
 
+  /** Deterministic TEXTURED synthetic PNG for the perceptual-hash gates:
+    * every pixel is an INDEPENDENT stableHash draw —
+    * `sample(x, y, b) = (stableHash("px<seed>:<x>:<y>") + 7·b) % 256` —
+    * instead of [[syntheticPng]]'s smooth `h0 + x + 31y` gradient. The
+    * gradient images all share the same monotone ordering structure, so
+    * their dHashes collapse into large (w, h)-keyed clusters and a
+    * near-dup join degenerates toward all-pairs-within-cluster; per-pixel
+    * draws make each document's 63 ordering bits i.i.d. fair coins, so
+    * two UNRELATED images land ≤ 3 bits apart with probability ~2⁻⁴⁸ —
+    * only planted twins pair up.
+    *
+    * Dimension contract — `w = 8 + h%9 ∈ [8,16]`, `h = 9 + (h/16)%8 ∈
+    * [9,16]`, deliberately ≥ the 8 × 9 dHash grid: below it,
+    * nearest-neighbor sampling maps several grid cells onto the SAME
+    * source pixel and the duplicated comparisons are forced to 0 for
+    * every image of that size (a w = 1 image has NO horizontal
+    * transitions at all), re-creating the degenerate clusters texture was
+    * supposed to kill. At or above grid size every sampled position is
+    * distinct, so all 63 bits stay independent. Still arithmetic-oracle
+    * replayable: DuckDB recomputes the hash at each SAMPLED grid
+    * position only.
+    */
+  def syntheticPngTextured(seed: Column): Column       = texturedPng(seed, jittered = false)
+
+  /** [[syntheticPngTextured]] with a brightness push: every sample is
+    * `min(base + jitter, 255)` for `jitter = (seed % 3) · 16` — the
+    * controlled near-duplicate twin. An unclamped uniform shift preserves
+    * every pixel ORDERING, so [[imageDHash]] (which hashes orderings, not
+    * values) would be bit-identical; the saturation clamp flattens the
+    * brightest pixels and flips a handful of comparisons — exactly the
+    * few-bit drift a re-encoded / brightness-edited copy of an image
+    * produces in the wild. The DuckDB side replays `least(base + j, 255)`
+    * per sampled pixel.
+    */
+  def syntheticPngTexturedJittered(seed: Column): Column = texturedPng(seed, jittered = true)
+
+  private def texturedPng(seed: Column, jittered: Boolean): Column = {
+    val u = udf { (id: Long) =>
+      val h0     = graft.functions.Anonymizer.stableHash(s"png$id")
+      val w      = 8 + (h0 % 9).toInt
+      val ht     = 9 + ((h0 / 16) % 8).toInt
+      val jitter = if (jittered) ((id % 3) * 16).toInt else 0
+      val gray   = id % 2 == 0
+      val img = new java.awt.image.BufferedImage(
+        w, ht,
+        if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+      )
+      val raster = img.getRaster
+      val bands  = raster.getNumBands
+      var y = 0
+      while (y < ht) {
+        var x = 0
+        while (x < w) {
+          val hpx = graft.functions.Anonymizer.stableHash(s"px$id:$x:$y")
+          var b = 0
+          while (b < bands) {
+            val base = ((hpx + 7L * b) % 256).toInt
+            raster.setSample(x, y, b, math.min(base + jitter, 255))
+            b += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    u(seed)
+  }
+
+  /** 63-bit difference hash (dHash) — the perceptual fingerprint that
+    * makes IMAGE near-duplicate detection a hamming problem, the visual
+    * sibling of [[Dedup.simHash32]] for text. REAL codec path: the bytes
+    * go through an actual `ImageIO` decode, band 0 is resampled to an
+    * 8 × 9 grid by nearest-neighbor (`sx = x·w/8`, `sy = y·h/9` — integer
+    * floors, exactly replayable in SQL, unlike an area-average whose
+    * fractional coverage weights are not), and each horizontally adjacent
+    * sample pair contributes one bit: `bit(x, y) = 1 iff s(x+1, y) >
+    * s(x, y)`, packed at index `y·7 + x`. Comparing ORDERINGS rather than
+    * values is what buys the robustness: uniform brightness/contrast
+    * shifts preserve orderings, so edited or re-encoded copies land within
+    * a few bits of the original while unrelated images differ in ~half of
+    * them.
+    *
+    * 63 bits (7 comparisons × 9 rows), not the classic 64, deliberately:
+    * every hash stays in `[0, 2^63)` — non-negative in both Spark's
+    * LongType and DuckDB's BIGINT, so the cross-engine oracle needs no
+    * two's-complement gymnastics (DuckDB refuses `1 << 63` outright) and
+    * `bit_count(xor(...))` hamming arithmetic is sign-free on both sides.
+    *
+    * Tight UDF kernel per the SCALE.md doctrine (a real codec decode is
+    * the canonical scan-local UDF); null/undecodable bytes → 0L, the
+    * error-tolerant zero element every kernel here returns. Near-dup
+    * pairs at scale: feed the hashes to [[Dedup.simHashPairsBanded]] with
+    * `fpBits = 63` — the pigeonhole banding is hash-agnostic.
+    */
+  def imageDHash(content: Column): Column = {
+    val u = udf { (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.isEmpty) 0L
+      else {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) 0L
+        else {
+          val raster = img.getRaster
+          val w      = img.getWidth
+          val h      = img.getHeight
+          val s      = new Array[Int](8 * 9)
+          var y = 0
+          while (y < 9) {
+            var x = 0
+            while (x < 8) {
+              s(y * 8 + x) = raster.getSample(x * w / 8, y * h / 9, 0)
+              x += 1
+            }
+            y += 1
+          }
+          var hash = 0L
+          var yy = 0
+          while (yy < 9) {
+            var xx = 0
+            while (xx < 7) {
+              if (s(yy * 8 + xx + 1) > s(yy * 8 + xx)) hash |= 1L << (yy * 7 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          hash
+        }
+      }
+    }
+    u(content)
+  }
+
   /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
     * parsers ship with the JRE — no external codec): struct(sample_rate,
     * channels, n_frames, n_bytes, sample00) where `sample00` is the first

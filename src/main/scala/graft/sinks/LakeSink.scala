@@ -62,6 +62,69 @@ object LakeSink {
       .write.mode(mode).parquet(dir)
   }
 
+  /** Z-order (Morton-curve) clustered parquet write: the MULTI-dimensional
+    * sibling of [[writeSorted]]. A 1-D sorted layout prunes scans that
+    * filter its sort key and nothing else — a filter on the second column
+    * still reads the table, because every file spans that column's full
+    * domain. Interleaving the bits of k quantized keys into one Morton
+    * value and range-partitioning + sorting on THAT gives every file a
+    * tight hyper-rectangle in all k dimensions at once, so parquet
+    * min/max statistics prune selective filters on ANY clustered column
+    * (each dimension keeps ~bits/k effective bits of locality — the
+    * classic Z-order trade, stated; `ScaleToolsSpec` measures the
+    * either-dimension scan bound directly against both the unsorted and
+    * the 1-D-sorted layout).
+    *
+    * Quantization is linear between the column's global min and max (one
+    * aggregate pass), clamped into `[0, 2^bitsPerDim)`. A heavily skewed
+    * column therefore concentrates its mass in few quantization cells and
+    * degrades toward the 1-D behaviour for the OTHER columns — for those
+    * layouts quantile-boundary quantization is the upgrade path; linear
+    * keeps the write one scan + one exchange, the same cost as
+    * [[writeSorted]]. NULL dimension values quantize to cell 0 (they
+    * cluster with the domain minimum rather than poisoning the Morton
+    * value to NULL).
+    *
+    * The Morton value is a pure Column expression (static shift/mask
+    * tree — whole-stage-codegen'd, no UDF) and is never materialized into
+    * the written schema: `repartitionByRange` and `sortWithinPartitions`
+    * take it as an expression, so the files carry exactly `df`'s columns.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      dir: String,
+      zCols: Seq[String],
+      numFiles: Int,
+      mode: String = "overwrite"
+  ): Unit = {
+    require(zCols.size >= 2 && zCols.size <= 4,
+      s"z-ordering needs 2-4 columns (1 → writeSorted), got ${zCols.size}")
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    import org.apache.spark.sql.functions.{coalesce, col, greatest, least, lit, max, min, shiftleft, shiftrightunsigned}
+    import org.apache.spark.sql.Column
+    val bitsPerDim = 32 / zCols.size // 16 for 2 dims, 10 for 3, 8 for 4
+    val aggCols = zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"_lo_$c"), max(col(c).cast("double")).as(s"_hi_$c")))
+    val stats = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val maxQ = (1L << bitsPerDim) - 1
+    val quantized: Seq[Column] = zCols.zipWithIndex.map { case (c, i) =>
+      val lo = Option(stats.get(2 * i)).fold(0.0)(_.asInstanceOf[Double])
+      val hi = Option(stats.get(2 * i + 1)).fold(0.0)(_.asInstanceOf[Double])
+      val scaled =
+        if (hi > lo)
+          least(lit(maxQ), greatest(lit(0L),
+            ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * maxQ).cast("long")))
+        else lit(0L)
+      coalesce(scaled, lit(0L))
+    }
+    val z = (for { i <- 0 until bitsPerDim; d <- quantized.indices } yield
+      shiftleft(shiftrightunsigned(quantized(d), i).bitwiseAND(lit(1L)), i * quantized.size + d))
+      .reduce(_ bitwiseOR _)
+    df.repartitionByRange(numFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode(mode).parquet(dir)
+  }
+
   /** CDC apply to a PARTITIONED parquet table: upsert `updates`
     * (last-write-wins on `keyCols`, inserts included) into the
     * `partitionCol`-partitioned table at `dir`, rewriting ONLY the

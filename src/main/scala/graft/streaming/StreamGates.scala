@@ -236,6 +236,52 @@ object StreamGates {
     }
   }
 
+  /** `q_events_attribution_stream`: click→purchase attribution as a TRUE
+    * stream-stream join — the one streaming join shape the other gates
+    * don't cover (enrich = stream-static, serve = foreachBatch; here BOTH
+    * join inputs are unbounded streams with their own watermarks and
+    * engine-managed join state). The fixture replays as chronological
+    * chunks; clicks and purchases are two filtered views of the same file
+    * source, inner-joined on user with the event-time band
+    * `click_ts ≤ purchase_ts ≤ click_ts + 30 min`. The time bound plus
+    * the two watermarks is what makes the state FINITE: a click's state
+    * row is evictable as soon as the watermark passes `click_ts + 30 min`
+    * (no future purchase can land in its band), so state size tracks the
+    * 30-minute window's event rate, not the stream's length — the
+    * property that lets this run forever at 100 TB/day.
+    *
+    * Completeness vs the batch twin is exact under chronological replay:
+    * chunks are value-split on ts, so no event is ever late, and a click
+    * is only evicted once the global watermark proves every matching
+    * purchase would already have arrived (eviction uses the PREVIOUS
+    * batch's watermark, and any purchase within an evicted click's band
+    * precedes that watermark, hence sat in an earlier-or-equal chunk).
+    * Shares `q_events_attribution`'s oracle VERBATIM.
+    */
+  def attributionViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tpch.events(spark, sfDir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
+    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Append()) { in =>
+      val clicks = in.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 second")
+      val purchases = in.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 second")
+      clicks.join(
+        purchases,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+    }
+      .select(
+        col("c_user").as("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+      .orderBy("user_id", "click_us", "purchase_us")
+  }
+
   /** `q_events_sessions_stream`: the sf events fixture replayed through
     * [[EventStream.sessionizeByEventTime]]. Every session is emitted by the
     * streaming state machine (gap-restart or watermark timeout — two
