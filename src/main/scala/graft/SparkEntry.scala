@@ -149,7 +149,70 @@ object SparkEntry {
     // join state, Append mode — see StreamGates.attributionViaStream for
     // the state-finiteness and completeness argument.
     "q_events_attribution_stream" -> ((s, dir) =>
-      graft.streaming.StreamGates.attributionViaStream(s, dir))
+      graft.streaming.StreamGates.attributionViaStream(s, dir)),
+
+    // Multi-source BFS levels over the synthetic link graph (same edge
+    // construction as q_pagerank): hop distance from node 0, ≤ 6 hops —
+    // frontier-parallel rounds, cost ∝ edges touched by the frontier.
+    // Oracle = a bounded recursive CTE taking min(level) per node.
+    "q_graph_bfs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"))
+      val nn = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val e = docs.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % nn,
+          (col("doc_id") * 13 + 2) % nn,
+          (col("doc_id") * 29 + 5) % nn)).as("dst"))
+      graft.operators.LinkGraph.bfsLevels(e, "src", "dst", sources = Seq(0L), maxDepth = 6)
+        .orderBy("node")
+    }),
+
+    // Daily resample + forward fill per user: the event log crosses the
+    // network once (the (user, day) aggregation); the dense grid and the
+    // carry-forward window work on the aggregated domain only.
+    "q_events_resample" -> ((s, dir) => {
+      val ev = Tpch.events(s, dir).select(
+        col("user_id"),
+        expr("ts div 1000").as("tus"),
+        floor(col("value").cast("double") * 100 + lit(0.5)).cast("long").as("cents"))
+      graft.operators.EventAnalytics
+        .resampleFill(ev, "user_id", "tus", col("cents"), periodLength = 86400000000L)
+        .select(
+          col("user_id"),
+          col("period").as("day"),
+          col("value").as("cents_filled"),
+          col("n_events"))
+        .orderBy("user_id", "day")
+    }),
+
+    // Relational breadth: UNPIVOT (wide metric columns → long rows) —
+    // the melt step every feature pipeline runs before a per-metric agg.
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(pmod(col("l_orderkey"), lit(17)) === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").cast("double").as("l_extendedprice"),
+          col("l_discount").cast("double").as("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
+    // Statistics breadth: per-group least-squares fit + correlation via
+    // the NATIVE regr_*/corr aggregates (one map-side-combinable moments
+    // pass — the distributed-sufficient-statistics shape), rounded to 4
+    // decimals to absorb engine summation-order ULPs.
+    "q_stats_regression" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
+          round(expr("corr(l_extendedprice, l_quantity)"), 4).as("correlation"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"))
   )
 
   // ---------------------------------------------------------------------
@@ -2752,7 +2815,55 @@ object SparkEntry {
 
       "q_events_attribution"        -> attributionOracleSql,
       // The stream-stream join must land on the batch result row-for-row.
-      "q_events_attribution_stream" -> attributionOracleSql
+      "q_events_attribution_stream" -> attributionOracleSql,
+
+      // Bounded recursive CTE; min(level) per node = the BFS hop count
+      // for every node within the unrolled depth.
+      "q_graph_bfs" ->
+        """WITH RECURSIVE
+          |n AS (SELECT max(doc_id) + 1 AS nn FROM documents),
+          |e AS (SELECT doc_id AS src,
+          |      unnest([(doc_id * 7 + 1) % nn, (doc_id * 13 + 2) % nn, (doc_id * 29 + 5) % nn]) AS dst
+          |      FROM documents, n),
+          |bfs(node, lvl) AS (
+          |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+          |  UNION
+          |  SELECT e.dst, bfs.lvl + 1 FROM bfs JOIN e ON e.src = bfs.node WHERE bfs.lvl < 6)
+          |SELECT node, min(lvl) AS level FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+
+      "q_events_resample" ->
+        """WITH agg AS (
+          |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+          |         CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+          |         count(*) AS n FROM events GROUP BY 1, 2),
+          |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM agg GROUP BY 1),
+          |grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM spans),
+          |j AS (SELECT g.user_id, g.day, a.cents, coalesce(a.n, 0) AS n_events
+          |      FROM grid g LEFT JOIN agg a USING (user_id, day))
+          |SELECT user_id, day,
+          |  last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day) AS cents_filled,
+          |  n_events
+          |FROM j ORDER BY user_id, day""".stripMargin,
+
+      "q_unpivot" ->
+        """WITH src AS (SELECT l_orderkey, l_linenumber,
+          |  CAST(l_quantity AS DOUBLE) AS q, CAST(l_extendedprice AS DOUBLE) AS p,
+          |  CAST(l_discount AS DOUBLE) AS d
+          |  FROM lineitem WHERE l_orderkey % 17 = 0)
+          |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, q AS value FROM src
+          |UNION ALL
+          |SELECT l_orderkey, l_linenumber, 'l_extendedprice', p FROM src
+          |UNION ALL
+          |SELECT l_orderkey, l_linenumber, 'l_discount', d FROM src
+          |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+      "q_stats_regression" ->
+        """SELECT l_returnflag,
+          |round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+          |round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+          |round(corr(l_extendedprice, l_quantity), 4) AS correlation,
+          |count(*) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     )
   }
 

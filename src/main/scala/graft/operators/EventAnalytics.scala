@@ -124,4 +124,60 @@ object EventAnalytics {
       .groupBy(col("cohort_period"), (col("_p") - col("cohort_period")).as("period_offset"))
       .agg(count_distinct(col("_u")).as("n_active"))
   }
+
+  /** Time-series resample + forward fill: per key, one row per period
+    * between that key's first and last active period, value carried
+    * forward across the gaps (last-observation-carried-forward — the
+    * standard densification a downstream model or join expects from an
+    * irregular event stream).
+    *
+    * Scale shape, stage by stage: (1) the ONLY pass over raw events is
+    * the (key, period) aggregation — map-side combinable, the exchange
+    * carries at most keys × active-periods rows; (2) key spans are a
+    * second aggregation of THAT (key-partitioned); (3) the dense grid is
+    * `explode(sequence(first, last))` — generated scan-local from the
+    * span row, never shuffled as raw events; (4) the grid left-joins the
+    * period aggregates and (5) one window pass per key in period order
+    * carries values forward. Everything after stage 1 works on the
+    * aggregated domain, so a 100 TB event log costs one aggregation plus
+    * keys × span bookkeeping.
+    *
+    * Span contract: the grid covers [min period, max period] PER KEY (no
+    * global span — a key active for a week doesn't get a year of rows;
+    * at 10⁶ keys × 10³ periods the grid is 10⁹ rows either way, so the
+    * per-key span is also the smaller output). The first period of every
+    * key has events by construction, so the fill never sees a leading
+    * NULL.
+    *
+    * @return (key, period LONG, <valueCol> filled, n_events LONG — 0 on
+    *         gap rows)
+    */
+  def resampleFill(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: Column,
+      periodLength: Long
+  ): DataFrame = {
+    require(periodLength > 0, s"periodLength must be positive, got $periodLength")
+    // Integer `div`, not float division-then-cast: the period index must
+    // floor exactly (matches the oracle's `//`).
+    val agg = events
+      .groupBy(col(keyCol), expr(s"CAST($timeCol AS BIGINT) div $periodLength").as("period"))
+      .agg(sum(valueCol).as("_val"), count(lit(1)).as("n_events"))
+    val spans = agg.groupBy(col(keyCol))
+      .agg(min(col("period")).as("_p0"), max(col("period")).as("_p1"))
+    val grid = spans.select(
+      col(keyCol),
+      explode(sequence(col("_p0"), col("_p1"))).as("period"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy("period")
+    grid
+      .join(agg, Seq(keyCol, "period"), "left")
+      .select(
+        col(keyCol),
+        col("period"),
+        last(col("_val"), ignoreNulls = true).over(w).as("value"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
 }

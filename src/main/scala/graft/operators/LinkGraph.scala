@@ -200,4 +200,56 @@ object LinkGraph {
       .join(sym, Seq("u", "v"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Multi-source BFS levels: each reachable node's hop distance from the
+    * nearest source, up to `maxDepth` hops — the crawl-frontier / link-
+    * distance primitive (seed-set proximity is the other standard
+    * link-quality signal beside centrality: distance from a trusted seed
+    * set IS TrustRank's core input).
+    *
+    * Frontier-parallel BSP shape, one round per level: frontier ⋈ edges
+    * on src (one shuffle) → candidate dsts → anti-join the visited set
+    * (second shuffle) → next frontier. Per-round cost is proportional to
+    * the EDGES TOUCHED BY THE FRONTIER, not the graph — the property that
+    * makes BFS from a small seed set cheap even on a web-scale graph. The
+    * visited set and frontier re-materialize each round
+    * ([[Lineage.truncate]]) so the plan stays flat instead of nesting
+    * `maxDepth` joins, and the frontier dedups per round (a node reached
+    * along two paths in the same round enters `visited` once).
+    *
+    * `maxDepth` is an explicit knob (predictable cost, engine-replayable
+    * result — the DuckDB oracle unrolls the same bound); nodes further
+    * than `maxDepth` (or unreachable) are absent from the result. The
+    * whole-frontier loop stops early when a round adds no new nodes.
+    *
+    * @return (node LONG, level LONG) — level 0 = the sources themselves.
+    */
+  def bfsLevels(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      sources: Seq[Long],
+      maxDepth: Int
+  ): DataFrame = {
+    require(sources.nonEmpty, "bfsLevels needs at least one source node")
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    var visited  = sources.distinct.map(n => (n, 0L)).toDF("node", "level")
+    var frontier = visited.select("node")
+    var depth    = 0L
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = Lineage.truncate(
+        e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti"))
+      visited = Lineage.truncate(visited.unionByName(next.withColumn("level", lit(depth))))
+      frontier = next
+    }
+    visited
+  }
 }

@@ -180,6 +180,49 @@ class ScalePrimitivesSpec extends SparkSpec {
     }
   }
 
+  describe("LinkGraph.bfsLevels") {
+    it("assigns first-visit hop distances, ignores unreachable nodes, stops early on a drained frontier") {
+      // 0→1→2→3, 0→2 (shortcut), 3→0 (cycle), 9→9 (unreachable island).
+      val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 2L), (3L, 0L), (9L, 9L)).toDF("src", "dst")
+      val levels = graft.operators.LinkGraph.bfsLevels(e, "src", "dst", Seq(0L), maxDepth = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      levels shouldBe Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L)
+    }
+    it("maxDepth truncates the expansion") {
+      val e = (0L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+      val levels = graft.operators.LinkGraph.bfsLevels(e, "src", "dst", Seq(0L), maxDepth = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      levels shouldBe Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L)
+    }
+    it("multi-source: each node takes the nearest source's distance") {
+      val e = Seq((0L, 1L), (1L, 2L), (5L, 2L)).toDF("src", "dst")
+      val levels = graft.operators.LinkGraph.bfsLevels(e, "src", "dst", Seq(0L, 5L), maxDepth = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      levels shouldBe Map(0L -> 0L, 5L -> 0L, 1L -> 1L, 2L -> 1L)
+    }
+  }
+
+  describe("EventAnalytics.resampleFill") {
+    it("densifies per-key spans and carries the last observation across gaps") {
+      // key A: periods 10, 13 (gap 11, 12); key B: single period 5.
+      val ev = Seq(
+        ("A", 10L * 100, 7L), ("A", 10L * 100 + 50, 3L), ("A", 13L * 100, 20L),
+        ("B", 5L * 100 + 1, 4L)
+      ).toDF("k", "t", "v")
+      val out = graft.operators.EventAnalytics
+        .resampleFill(ev, "k", "t", col("v"), periodLength = 100L)
+        .orderBy("k", "period")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      out shouldBe Seq(
+        ("A", 10L, 10L, 2L), // 7 + 3
+        ("A", 11L, 10L, 0L), // gap: carried
+        ("A", 12L, 10L, 0L),
+        ("A", 13L, 20L, 1L),
+        ("B", 5L, 4L, 1L)
+      )
+    }
+  }
+
   describe("stream-stream attribution join") {
     it("matches clicks to purchases across micro-batches (sf0.001: stream == batch)") {
       val sfDir = "/root/testdata/sf0.001"
