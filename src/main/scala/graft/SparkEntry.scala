@@ -212,7 +212,37 @@ object SparkEntry {
           round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
           round(expr("corr(l_extendedprice, l_quantity)"), 4).as("correlation"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Snapshot time travel: three manifest commits (overwrite, append,
+    // overwrite) then a read OF EACH VERSION — v1 and v2 must survive
+    // v3's overwrite untouched. See sinks/VersionedTable for the
+    // manifest/create-exclusive commit protocol.
+    "q_lake_timetravel" -> ((s, dir) => {
+      import graft.sinks.VersionedTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft_timetravel").toString + "/t"
+      val base = Tpch.events(s, dir).select(
+        col("event_id"),
+        floor(col("value").cast("double") * 100 + lit(0.5)).cast("long").as("cents"))
+      VersionedTable.commit(s, tmp, base.where(pmod(col("event_id"), lit(5)) =!= 0), append = false)
+      VersionedTable.commit(s, tmp, base.where(pmod(col("event_id"), lit(5)) === 0), append = true)
+      VersionedTable.commit(s, tmp, base.withColumn("cents", col("cents") + 7), append = false)
+      (1 to 3)
+        .map(v =>
+          VersionedTable.read(s, tmp, Some(v))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+            .withColumn("version", lit(v.toLong)))
+        .reduce(_ unionByName _)
+        .select("version", "n", "s")
+        .orderBy("version")
+    }),
+
+    // Streamed snapshot ingest: each micro-batch lands as ONE append
+    // commit (foreachBatch → VersionedTable.commit), so the commit log
+    // records the stream's history; the final snapshot must equal the
+    // batch table, and the version count equals the micro-batch count.
+    "q_lake_timetravel_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.timetravelViaStream(s, dir))
   )
 
   // ---------------------------------------------------------------------
@@ -2863,7 +2893,25 @@ object SparkEntry {
           |round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
           |round(corr(l_extendedprice, l_quantity), 4) AS correlation,
           |count(*) AS n
-          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      // v1 = the %5≠0 slice, v2 = v1 + the rest (append), v3 = overwrite
+      // with every cents shifted by 7 — each snapshot read back verbatim.
+      "q_lake_timetravel" ->
+        """WITH base AS (SELECT event_id,
+          |  CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents FROM events)
+          |SELECT CAST(1 AS BIGINT) AS version, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+          |FROM base WHERE event_id % 5 <> 0
+          |UNION ALL
+          |SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM base
+          |UNION ALL
+          |SELECT 3, count(*), CAST(sum(cents) + 7 * count(*) AS BIGINT) FROM base
+          |ORDER BY version""".stripMargin,
+
+      "q_lake_timetravel_stream" ->
+        """SELECT CAST(3 AS BIGINT) AS n_versions, count(*) AS n,
+          |CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+          |FROM events""".stripMargin
     )
   }
 

@@ -1,0 +1,159 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-versioned parquet table: every commit is a new immutable
+  * MANIFEST (the list of data files composing that snapshot), so readers
+  * get time travel, snapshot isolation, and O(1) planning without a
+  * transactional metastore — the minimal honest core of the
+  * Iceberg/Delta idea on plain parquet.
+  *
+  * Why a manifest at 100 TB: a directory-listing table (plain
+  * `spark.read.parquet(dir)`) must LIST the directory tree on every read —
+  * millions of files at lake scale, minutes of namenode/S3 round trips
+  * before the first byte, and no way to read yesterday's table once
+  * today's writer has swapped files. A manifest commit inverts that: the
+  * snapshot IS one small file naming its data files; readers load exactly
+  * one manifest and plan from it, old manifests keep old snapshots
+  * readable until [[vacuum]], and a writer that dies mid-job leaves only
+  * unreferenced data files (invisible to every reader) — never a
+  * half-visible table.
+  *
+  * Layout under `dir`:
+  * {{{
+  *   data/c<ver>-<uuid>/part-*.parquet   — immutable; never rewritten
+  *   _manifests/v00001.manifest          — one relative path per line
+  * }}}
+  *
+  * Concurrency contract — OPTIMISTIC, single-winner: a commit stages its
+  * data files, then claims version N+1 by CREATE-EXCLUSIVE of the
+  * manifest file (`FileSystem.create(overwrite = false)` — atomic on
+  * local/HDFS semantics). Two racing writers both stage, one claims the
+  * version, the loser's create throws and its staged files stay
+  * unreferenced (re-commit retries against the new head; vacuum reclaims
+  * the orphans). Readers never lock: a manifest, once visible, is
+  * immutable.
+  *
+  * APPEND commits reference the previous snapshot's files plus the new
+  * ones — no data is rewritten, the classic log-structured ingest.
+  * OVERWRITE commits reference only the new files. Row-level merge
+  * belongs to [[LakeSink.mergePartitioned]]; this class is the snapshot
+  * layer underneath.
+  */
+object VersionedTable {
+
+  private val ManifestDir = "_manifests"
+  private val DataDir     = "data"
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(dir: String, version: Int): Path =
+    new Path(dir, f"$ManifestDir/v$version%05d.manifest")
+
+  /** Latest committed version, or 0 if the table has no commits. */
+  def latestVersion(spark: SparkSession, dir: String): Int = {
+    val f  = fs(spark, dir)
+    val md = new Path(dir, ManifestDir)
+    if (!f.exists(md)) 0
+    else
+      f.listStatus(md).iterator
+        .map(_.getPath.getName)
+        .collect { case n if n.matches("v\\d{5}\\.manifest") => n.substring(1, 6).toInt }
+        .foldLeft(0)(math.max)
+  }
+
+  private def readManifest(spark: SparkSession, dir: String, version: Int): Seq[String] = {
+    val f = fs(spark, dir)
+    val p = manifestPath(dir, version)
+    if (!f.exists(p))
+      throw new NoSuchElementException(
+        s"VersionedTable: $dir has no version $version (latest = ${latestVersion(spark, dir)})")
+    val in = f.open(p)
+    try
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Commit `df` as the next snapshot. Returns the committed version.
+    *
+    * @param append true → new snapshot = previous files + df's files;
+    *               false → new snapshot = df's files only (overwrite)
+    */
+  def commit(spark: SparkSession, dir: String, df: DataFrame, append: Boolean): Int = {
+    val f = fs(spark, dir)
+    // Stage data files under a commit-unique subdir — never visible until
+    // the manifest that references them wins its create.
+    val base = latestVersion(spark, dir)
+    val sub  = f"c${base + 1}%05d-${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+    val stageRel = s"$DataDir/$sub"
+    df.write.mode("errorifexists").parquet(new Path(dir, stageRel).toString)
+    val newFiles = f.listStatus(new Path(dir, stageRel)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$stageRel/${s.getPath.getName}")
+      .sorted
+    val carried = if (append && base > 0) readManifest(spark, dir, base) else Seq.empty
+    val files   = carried ++ newFiles
+
+    // Claim the version: create-exclusive is the whole commit protocol.
+    // A loser's staged files stay unreferenced; the caller retries the
+    // commit (fresh staging) against the new head.
+    val version = base + 1
+    val target  = manifestPath(dir, version)
+    f.mkdirs(target.getParent)
+    val out = f.create(target, /* overwrite = */ false)
+    try out.write(files.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close() // close flushes; LocalFileSystem's checksum wrapper has no hsync
+    version
+  }
+
+  /** Read a snapshot — `version = None` for the latest. The plan is built
+    * from the manifest's explicit file list: no directory listing, and a
+    * concurrent commit cannot change what this reader sees.
+    */
+  def read(spark: SparkSession, dir: String, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse {
+      val latest = latestVersion(spark, dir)
+      if (latest == 0)
+        throw new NoSuchElementException(s"VersionedTable: $dir has no commits")
+      latest
+    }
+    val files = readManifest(spark, dir, v).map(rel => new Path(dir, rel).toString)
+    spark.read.parquet(files: _*)
+  }
+
+  /** Drop manifests older than the `keepVersions` most recent and delete
+    * every data file no surviving manifest references. Bounded metadata
+    * work: reads only the kept manifests + one directory list of `data/`
+    * commit subdirs (a subdir whose files are all unreferenced is removed
+    * whole). Returns (manifests dropped, data subdirs deleted).
+    */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int): (Int, Int) = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val f      = fs(spark, dir)
+    val latest = latestVersion(spark, dir)
+    if (latest == 0) return (0, 0)
+    val keepFrom = math.max(1, latest - keepVersions + 1)
+    val referencedSubdirs = (keepFrom to latest).iterator
+      .filter(v => f.exists(manifestPath(dir, v)))
+      .flatMap(v => readManifest(spark, dir, v))
+      .map(_.split('/')(1)) // data/<sub>/part-...
+      .toSet
+    var droppedManifests = 0
+    (1 until keepFrom).foreach { v =>
+      val p = manifestPath(dir, v)
+      if (f.exists(p)) { f.delete(p, false); droppedManifests += 1 }
+    }
+    val dataRoot = new Path(dir, DataDir)
+    var droppedSubdirs = 0
+    if (f.exists(dataRoot))
+      f.listStatus(dataRoot).foreach { s =>
+        if (s.isDirectory && !referencedSubdirs.contains(s.getPath.getName)) {
+          f.delete(s.getPath, true)
+          droppedSubdirs += 1
+        }
+      }
+    (droppedManifests, droppedSubdirs)
+  }
+}

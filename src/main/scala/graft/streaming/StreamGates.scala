@@ -282,6 +282,35 @@ object StreamGates {
       .orderBy("user_id", "click_us", "purchase_us")
   }
 
+  /** `q_lake_timetravel_stream`: the events fixture replayed as 3
+    * chronological micro-batches, each landing as ONE append commit on a
+    * [[graft.sinks.VersionedTable]] (foreachBatch — the per-trigger
+    * driver-side planning seam the snapshot commit needs). The gate
+    * output is boundary-independent on purpose: chunk splits come from
+    * approxQuantile and are not oracle-replayable, but the FINAL snapshot
+    * is the whole fixture regardless of where the splits fell, and the
+    * version count equals the micro-batch count. Intermediate snapshots
+    * (exact prefixes of the replay) are covered by ScaleToolsSpec, where
+    * the chunk contents are constructed, not sampled.
+    */
+  def timetravelViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sinks.VersionedTable
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vt_stream").toString + "/t"
+    val ev = graft.Tpch.events(spark, sfDir).select(
+      col("event_id"),
+      timestamp_micros(expr("ts div 1000")).as("ts"),
+      expr("CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)").as("cents"))
+    replayViaForeachBatch(spark, ev, "ts", chunks = 3) { batch =>
+      VersionedTable.commit(spark, tmp, batch.select("event_id", "cents"), append = true)
+      batch.limit(0) // the parquet sink is unused; the table IS the output
+    }
+    val nVersions = VersionedTable.latestVersion(spark, tmp)
+    VersionedTable.read(spark, tmp)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .withColumn("n_versions", lit(nVersions.toLong))
+      .select("n_versions", "n", "s")
+  }
+
   /** `q_events_sessions_stream`: the sf events fixture replayed through
     * [[EventStream.sessionizeByEventTime]]. Every session is emitted by the
     * streaming state machine (gap-restart or watermark timeout — two
