@@ -242,7 +242,77 @@ object SparkEntry {
     // records the stream's history; the final snapshot must equal the
     // batch table, and the version count equals the micro-batch count.
     "q_lake_timetravel_stream" -> ((s, dir) =>
-      graft.streaming.StreamGates.timetravelViaStream(s, dir))
+      graft.streaming.StreamGates.timetravelViaStream(s, dir)),
+
+    // Incremental consumption off the commit log: three append commits,
+    // then each consumer step reads ONLY the files its version range
+    // added (v0→1, v1→2, v2→3) — per-step aggregates prove each
+    // increment is exactly one slice, never a rescan of the table.
+    "q_lake_increment" -> ((s, dir) => {
+      import graft.sinks.VersionedTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft_increment").toString + "/t"
+      val base = Tpch.events(s, dir).select(
+        col("event_id"),
+        floor(col("value").cast("double") * 100 + lit(0.5)).cast("long").as("cents"))
+      (0 to 2).foreach(k =>
+        VersionedTable.commit(s, tmp, base.where(pmod(col("event_id"), lit(3)) === k), append = true))
+      (1 to 3)
+        .map(v =>
+          VersionedTable.readIncrement(s, tmp, v - 1, v)
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+            .withColumn("step", lit(v.toLong)))
+        .reduce(_ unionByName _)
+        .select("step", "n", "s")
+        .orderBy("step")
+    }),
+
+    // Additive schema evolution: v2's files carry a column v1's predate;
+    // a mergeSchema read surfaces the union schema with NULLs for the old
+    // files — no rewrite of committed data.
+    "q_lake_schema_evolution" -> ((s, dir) => {
+      import graft.sinks.VersionedTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft_schema_evo").toString + "/t"
+      val base = Tpch.events(s, dir).select(
+        col("event_id"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        floor(col("value").cast("double") * 100 + lit(0.5)).cast("long").as("cents"))
+      VersionedTable.commit(s, tmp,
+        base.where(pmod(col("event_id"), lit(2)) === 0).select("event_id", "cents"),
+        append = false)
+      VersionedTable.commit(s, tmp,
+        base.where(pmod(col("event_id"), lit(2)) === 1).select("event_id", "cents", "day"),
+        append = true)
+      VersionedTable.read(s, tmp, mergeSchema = true)
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("day")).as("n_with_day"),
+          sum(col("cents")).as("s"),
+          sum(col("day")).as("day_sum"))
+    }),
+
+    // ENGINE-managed streaming dedup: duplicates re-emitted 10 minutes
+    // later are suppressed by dropDuplicatesWithinWatermark state — the
+    // native sibling of the custom q_dedup_stream operator. The projected
+    // payload is identical across copies, so which copy wins inside a
+    // micro-batch is immaterial; late copies (behind the watermark) are
+    // dropped outright — same result either way (argued in the gate's
+    // scaladoc-style comment; oracle = the distinct original rows).
+    "q_dedup_stream_native" -> ((s, dir) => {
+      val base = Tpch.events(s, dir).select(
+        col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        floor(col("value").cast("double") * 100 + lit(0.5)).cast("long").as("cents"))
+      val dups = base.where(pmod(col("event_id"), lit(7)) === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 10 MINUTES"))
+      graft.streaming.StreamGates.replayViaFiles(
+          s, base.unionByName(dups), "ts", chunks = 3,
+          org.apache.spark.sql.streaming.OutputMode.Append()) { in =>
+          in.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark("event_id")
+            .select("event_id", "cents")
+        }
+        .orderBy("event_id")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -2911,7 +2981,32 @@ object SparkEntry {
       "q_lake_timetravel_stream" ->
         """SELECT CAST(3 AS BIGINT) AS n_versions, count(*) AS n,
           |CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
-          |FROM events""".stripMargin
+          |FROM events""".stripMargin,
+
+      // Each increment = exactly the slice its commit appended.
+      "q_lake_increment" ->
+        """WITH base AS (SELECT event_id,
+          |  CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents FROM events)
+          |SELECT CAST(event_id % 3 + 1 AS BIGINT) AS step, count(*) AS n,
+          |CAST(sum(cents) AS BIGINT) AS s
+          |FROM base GROUP BY step ORDER BY step""".stripMargin,
+
+      // The union schema surfaces `day` only for v2's (odd event_id) rows.
+      "q_lake_schema_evolution" ->
+        """WITH base AS (SELECT event_id, epoch_us(ts) // 86400000000 AS day,
+          |  CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents FROM events)
+          |SELECT count(*) AS n,
+          |count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_with_day,
+          |CAST(sum(cents) AS BIGINT) AS s,
+          |CAST(sum(CASE WHEN event_id % 2 = 1 THEN day END) AS BIGINT) AS day_sum
+          |FROM base""".stripMargin,
+
+      // Every original emitted exactly once; every +10-min re-emission
+      // suppressed (in-state) or dropped (behind the watermark).
+      "q_dedup_stream_native" ->
+        """SELECT event_id,
+          |CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
+          |FROM events ORDER BY event_id""".stripMargin
     )
   }
 

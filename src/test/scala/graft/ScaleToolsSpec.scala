@@ -249,6 +249,43 @@ class ScaleToolsSpec extends SparkSpec {
       a[NoSuchElementException] should be thrownBy VersionedTable.read(spark, dir, Some(1))
     }
 
+    it("incremental reads return exactly the files each append added, and refuse overwrite gaps") {
+      val dir = tmpTable()
+      VersionedTable.commit(spark, dir, (1L to 10L).map(i => (i, i)).toDF("id", "v"), append = false)
+      VersionedTable.commit(spark, dir, (11L to 15L).map(i => (i, i)).toDF("id", "v"), append = true)
+      VersionedTable.commit(spark, dir, (16L to 18L).map(i => (i, i)).toDF("id", "v"), append = true)
+
+      VersionedTable.readIncrement(spark, dir, 0, 1).count() shouldBe 10
+      VersionedTable.readIncrement(spark, dir, 1, 2)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe (11L to 15L)
+      VersionedTable.readIncrement(spark, dir, 1, 3).count() shouldBe 8
+      // Consumer checkpointing shape: increments partition the table.
+      (VersionedTable.readIncrement(spark, dir, 0, 1).count() +
+        VersionedTable.readIncrement(spark, dir, 1, 2).count() +
+        VersionedTable.readIncrement(spark, dir, 2, 3).count()) shouldBe
+        VersionedTable.read(spark, dir).count()
+
+      // An overwrite breaks the append chain: the file-level diff can't
+      // see removed rows, so the read must refuse, not silently lie.
+      VersionedTable.commit(spark, dir, Seq((99L, 99L)).toDF("id", "v"), append = false)
+      val ex = intercept[IllegalStateException] {
+        VersionedTable.readIncrement(spark, dir, 3, 4)
+      }
+      ex.getMessage should include("not an append chain")
+    }
+
+    it("mergeSchema surfaces columns added by later appends, NULL for older files") {
+      val dir = tmpTable()
+      VersionedTable.commit(spark, dir, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), append = false)
+      VersionedTable.commit(spark, dir,
+        Seq((3L, 30L, "x"), (4L, 40L, "y")).toDF("id", "v", "tag"), append = true)
+      val merged = VersionedTable.read(spark, dir, mergeSchema = true)
+      merged.columns.toSet shouldBe Set("id", "v", "tag")
+      merged.where(col("tag").isNull).select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+        Seq(1L, 2L)
+      merged.count() shouldBe 4
+    }
+
     it("the version claim is create-exclusive: a pre-claimed manifest makes the commit lose") {
       val dir = tmpTable()
       VersionedTable.commit(spark, dir, Seq((1L, 1L)).toDF("id", "v"), append = false)
