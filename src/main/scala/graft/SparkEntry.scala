@@ -290,6 +290,50 @@ object SparkEntry {
           sum(col("day")).as("day_sum"))
     }),
 
+    // Incremental view maintenance off the commit log: a per-day
+    // aggregate table is MAINTAINED by merging each version increment
+    // (agg of new files ∪ prior state → re-aggregate) — three O(new
+    // data) steps whose final state must equal the full-table aggregate.
+    // The composition readIncrement + merge IS the maintenance loop every
+    // 100 TB rollup runs instead of nightly recomputes.
+    "q_lake_incremental_agg" -> ((s, dir) => {
+      import graft.sinks.VersionedTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivm").toString + "/t"
+      val base = Tpch.events(s, dir).select(
+        col("event_id"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        floor(col("value").cast("double") * 100 + lit(0.5)).cast("long").as("cents"))
+      (0 to 2).foreach(k =>
+        VersionedTable.commit(s, tmp, base.where(pmod(col("event_id"), lit(3)) === k), append = true))
+      var state: DataFrame = null
+      (1 to 3).foreach { v =>
+        val inc = VersionedTable.readIncrement(s, tmp, v - 1, v)
+          .groupBy("day").agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+        state =
+          if (state == null) inc
+          else state.unionByName(inc)
+            .groupBy("day").agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      }
+      state.orderBy("day")
+    }),
+
+    // Relational breadth: the ranking-window suite (ntile / percent_rank /
+    // cume_dist) over a UNIQUE ordering (totalprice, orderkey — a tie in
+    // the sort key would make row-dependent ranks engine-ambiguous).
+    "q_window_suite" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .where(pmod(col("o_orderkey"), lit(11)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .select("o_orderkey", "o_orderstatus", "rn", "quartile", "pct_rank", "cume")
+        .orderBy("o_orderstatus", "rn")
+    }),
+
     // ENGINE-managed streaming dedup: duplicates re-emitted 10 minutes
     // later are suppressed by dropDuplicatesWithinWatermark state — the
     // native sibling of the custom q_dedup_stream operator. The projected
@@ -3006,7 +3050,23 @@ object SparkEntry {
       "q_dedup_stream_native" ->
         """SELECT event_id,
           |CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
-          |FROM events ORDER BY event_id""".stripMargin
+          |FROM events ORDER BY event_id""".stripMargin,
+
+      // Maintained state ≡ the full-table aggregate.
+      "q_lake_incremental_agg" ->
+        """SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n,
+          |CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+          |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+      "q_window_suite" ->
+        """SELECT o_orderkey, o_orderstatus,
+          |CAST(row_number() OVER w AS BIGINT) AS rn,
+          |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          |percent_rank() OVER w AS pct_rank,
+          |cume_dist() OVER w AS cume
+          |FROM orders WHERE o_orderkey % 11 = 0
+          |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+          |ORDER BY o_orderstatus, rn""".stripMargin
     )
   }
 

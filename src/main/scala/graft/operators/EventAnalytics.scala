@@ -133,14 +133,20 @@ object EventAnalytics {
     *
     * Scale shape, stage by stage: (1) the ONLY pass over raw events is
     * the (key, period) aggregation — map-side combinable, the exchange
-    * carries at most keys × active-periods rows; (2) key spans are a
-    * second aggregation of THAT (key-partitioned); (3) the dense grid is
-    * `explode(sequence(first, last))` — generated scan-local from the
-    * span row, never shuffled as raw events; (4) the grid left-joins the
-    * period aggregates and (5) one window pass per key in period order
-    * carries values forward. Everything after stage 1 works on the
-    * aggregated domain, so a 100 TB event log costs one aggregation plus
-    * keys × span bookkeeping.
+    * carries at most keys × active-periods rows — and its result
+    * MATERIALIZES ([[graft.plans.Lineage.truncate]]): the aggregate
+    * feeds two downstream branches (spans and the grid join) whose
+    * column pruning de-unifies the plans, so without materialization
+    * exchange reuse misses and the raw log is scanned per branch —
+    * exactly the cost this operator exists to avoid (PlanAuditSpec pins
+    * zero raw-source rescans in the serving plan); (2) key spans are a
+    * second aggregation of the materialized frame (key-partitioned);
+    * (3) the dense grid is `explode(sequence(first, last))` — generated
+    * scan-local from the span row, never shuffled as raw events; (4) the
+    * grid left-joins the period aggregates and (5) one window pass per
+    * key in period order carries values forward. Everything after stage
+    * 1 works on the aggregated domain, so a 100 TB event log costs one
+    * aggregation plus keys × span bookkeeping.
     *
     * Span contract: the grid covers [min period, max period] PER KEY (no
     * global span — a key active for a week doesn't get a year of rows;
@@ -162,9 +168,10 @@ object EventAnalytics {
     require(periodLength > 0, s"periodLength must be positive, got $periodLength")
     // Integer `div`, not float division-then-cast: the period index must
     // floor exactly (matches the oracle's `//`).
-    val agg = events
-      .groupBy(col(keyCol), expr(s"CAST($timeCol AS BIGINT) div $periodLength").as("period"))
-      .agg(sum(valueCol).as("_val"), count(lit(1)).as("n_events"))
+    val agg = graft.plans.Lineage.truncate(
+      events
+        .groupBy(col(keyCol), expr(s"CAST($timeCol AS BIGINT) div $periodLength").as("period"))
+        .agg(sum(valueCol).as("_val"), count(lit(1)).as("n_events")))
     val spans = agg.groupBy(col(keyCol))
       .agg(min(col("period")).as("_p0"), max(col("period")).as("_p1"))
     val grid = spans.select(

@@ -41,6 +41,33 @@ object Multimodal {
     */
   val mediaColumns: Seq[String] = Seq("media_id", "content", "mime")
 
+  /** ImageIO defaults to DISK-backed stream caches: every
+    * `ImageIO.read`/`write` on a plain stream materializes a TEMP FILE
+    * (FileCacheImage{Input,Output}Stream) — 32 executor threads decoding
+    * thumbnails then serialize on temp-file create/delete and degrade
+    * superlinearly exactly when the corpus grows (the ×10 phash soak
+    * measured 16× before this switch). Memory-backed streams are strictly
+    * better for byte-array media columns, whose bytes are already on the
+    * heap. One-time JVM-global flag; every codec kernel routes through
+    * [[readImage]]/[[writePng]] so referencing those methods forces this
+    * object's initialization on EXECUTOR JVMs too, not just the driver.
+    */
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Decode image bytes via the real ImageIO path; null on undecodable —
+    * the shared error-tolerant kernel entry.
+    */
+  private[graft] def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: Exception => null }
+
+  /** Encode a BufferedImage as PNG bytes via the real ImageIO path. */
+  private[graft] def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** STUB decode kernel: "decodes" deterministic dimensions/channels from
     * the byte content. A real implementation would parse the container
     * header here; everything around it stays unchanged.
@@ -79,8 +106,7 @@ object Multimodal {
       if (bytes == null || bytes.isEmpty) (0, 0, 0, 0, 0)
       else {
         val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Exception => null }
+          readImage(bytes)
         if (img == null) (0, 0, 0, if (bytes == null) 0 else bytes.length, 0)
         else {
           val raster = img.getRaster
@@ -126,9 +152,7 @@ object Multimodal {
         }
         y += 1
       }
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
-      out.toByteArray
+      writePng(img)
     }
     u(seed)
   }
@@ -198,9 +222,7 @@ object Multimodal {
         }
         y += 1
       }
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
-      out.toByteArray
+      writePng(img)
     }
     u(seed)
   }
@@ -236,8 +258,7 @@ object Multimodal {
       if (bytes == null || bytes.isEmpty) 0L
       else {
         val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Exception => null }
+          readImage(bytes)
         if (img == null) 0L
         else {
           val raster = img.getRaster
@@ -463,8 +484,7 @@ object Multimodal {
           val img =
             if (bytes == null || bytes.isEmpty) null
             else
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-              catch { case _: Exception => null }
+              readImage(bytes)
           if (img != null) {
             val raster = img.getRaster
             val (w, h) = (img.getWidth, img.getHeight)
@@ -518,8 +538,7 @@ object Multimodal {
       val img =
         if (bytes == null || bytes.isEmpty) null
         else
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Exception => null }
+          readImage(bytes)
       if (img == null) null
       else {
         val out = new java.awt.image.BufferedImage(
@@ -542,9 +561,7 @@ object Multimodal {
           }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", bos)
-        bos.toByteArray
+        writePng(out)
       }
     }
     u(content)
@@ -628,8 +645,7 @@ object Multimodal {
         aviFramePayloads(bytes).zipWithIndex.collect {
           case (fb, idx) if idx % stride == 0 =>
             val img =
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
-              catch { case _: Exception => null }
+              readImage(fb)
             if (img == null) (id, idx, 0, 0, 0, 0)
             else {
               val raster = img.getRaster
@@ -689,9 +705,7 @@ object Multimodal {
           }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        bos.toByteArray
+        writePng(img)
       }
       // avih main header: usPerFrame, maxBytesPerSec, padding, flags,
       // totalFrames, initialFrames, streams, bufSize, w, h, reserved[4].

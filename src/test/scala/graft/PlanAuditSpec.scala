@@ -531,5 +531,27 @@ class PlanAuditSpec extends SparkSpec {
         s should not include "ScalaUDF"
       }
     }
+
+    it("resampleFill reads the raw event source once — grid/join/fill reuse the aggregated exchange") {
+      withoutAqe {
+        val ev = spark.range(0, 5000).select(
+          pmod(col("id"), lit(50L)).as("k"),
+          (col("id") * 1000).as("t"),
+          lit(1L).as("v"))
+        val plan = executed(
+          graft.operators.EventAnalytics.resampleFill(ev, "k", "t", col("v"), 100000L))
+        // The (k, period) aggregate is referenced twice (spans + the grid
+        // join) under DIFFERENT column pruning, which defeats exchange
+        // reuse — so the operator materializes the aggregate and every
+        // downstream branch reads that. The serving plan must contain
+        // ZERO raw-source scans (a RangeExec leaf here would mean the raw
+        // event log is re-read per stage at 100 TB).
+        val rawScans = plan.collect {
+          case r: org.apache.spark.sql.execution.RangeExec => r
+        }.size
+        rawScans shouldBe 0
+        plan.toString should include("Scan ExistingRDD")
+      }
+    }
   }
 }
