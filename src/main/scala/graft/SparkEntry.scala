@@ -151,6 +151,30 @@ object SparkEntry {
     "q_events_attribution_stream" -> ((s, dir) =>
       graft.streaming.StreamGates.attributionViaStream(s, dir)),
 
+    // LEFT OUTER attribution, batch form: every click, matched purchases
+    // or NULLs. The stream twin's null-padded rows may only emit once
+    // the watermark closes the click's band — the strictly harder outer
+    // mode; it shares this oracle verbatim.
+    "q_events_attribution_outer" -> ((s, dir) => {
+      val ev = Tpch.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_type"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("tus").as("click_us"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("tus").as("purchase_us"))
+      c.join(
+          p,
+          c("user_id") === p("p_user") &&
+            col("purchase_us") >= col("click_us") &&
+            col("purchase_us") <= col("click_us") + lit(1800000000L),
+          "left_outer")
+        .select("user_id", "click_us", "purchase_us")
+        .orderBy("user_id", "click_us", "purchase_us")
+    }),
+
+    "q_events_attribution_outer_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.attributionOuterViaStream(s, dir)),
+
     // Multi-source BFS levels over the synthetic link graph (same edge
     // construction as q_pagerank): hop distance from node 0, ≤ 6 hops —
     // frontier-parallel rounds, cost ∝ edges touched by the frontier.
@@ -2927,6 +2951,13 @@ object SparkEntry {
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY c.user_id, click_us, purchase_us""".stripMargin
+    val attributionOuterOracleSql =
+      """SELECT c.user_id AS user_id, epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+        |FROM events c LEFT JOIN events p ON c.user_id = p.user_id
+        |  AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click'
+        |ORDER BY c.user_id, click_us, purchase_us""".stripMargin
     Map(
       "q_bloom_join" ->
         """SELECT l_returnflag, count(*) AS cnt,
@@ -2960,6 +2991,11 @@ object SparkEntry {
       "q_events_attribution"        -> attributionOracleSql,
       // The stream-stream join must land on the batch result row-for-row.
       "q_events_attribution_stream" -> attributionOracleSql,
+
+      "q_events_attribution_outer"        -> attributionOuterOracleSql,
+      // Null-padded rows emit only when the watermark closes the band —
+      // and must still equal the batch LEFT JOIN row-for-row.
+      "q_events_attribution_outer_stream" -> attributionOuterOracleSql,
 
       // Bounded recursive CTE; min(level) per node = the BFS hop count
       // for every node within the unrolled depth.

@@ -173,6 +173,41 @@ object VersionedTable {
     else spark.read.parquet(added: _*)
   }
 
+  /** Compaction commit: rewrite the LATEST snapshot's rows into
+    * ~`targetFileBytes` files and commit the result as a new OVERWRITE
+    * version — same rows, fewer files; every prior version's manifest
+    * and files are untouched, so time travel survives compaction and the
+    * small-file debt a streaming ingest accumulates (one commit per
+    * micro-batch = one file set per micro-batch) is paid without a write
+    * lock: readers of any committed version never see a half-compacted
+    * table, and a concurrent append simply wins or loses the next
+    * version against the compaction like any other commit.
+    *
+    * An incremental consumer ([[readIncrement]]) across the compaction
+    * boundary REFUSES (it is an overwrite — the file diff can't prove
+    * append-only); consumers checkpoint at or after the compacted
+    * version and resume. `coalesce`, not repartition: compaction must
+    * not pay a full exchange of the table.
+    *
+    * Returns (newVersion, filesBefore, filesAfter).
+    */
+  def compact(
+      spark: SparkSession,
+      dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024
+  ): (Int, Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val f      = fs(spark, dir)
+    val latest = latestVersion(spark, dir)
+    if (latest == 0)
+      throw new NoSuchElementException(s"VersionedTable: $dir has no commits to compact")
+    val files = readManifest(spark, dir, latest)
+    val bytes = files.map(rel => f.getFileStatus(new Path(dir, rel)).getLen).sum
+    val nOut  = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val v     = commit(spark, dir, read(spark, dir, Some(latest)).coalesce(nOut), append = false)
+    (v, files.size, readManifest(spark, dir, v).size)
+  }
+
   /** Drop manifests older than the `keepVersions` most recent and delete
     * every data file no surviving manifest references. Bounded metadata
     * work: reads only the kept manifests + one directory list of `data/`

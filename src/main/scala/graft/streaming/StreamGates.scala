@@ -311,6 +311,59 @@ object StreamGates {
       .select("n_versions", "n", "s")
   }
 
+  /** `q_events_attribution_outer_stream`: the LEFT OUTER form of the
+    * stream-stream attribution join — the strictly harder mode: an inner
+    * match can emit the moment both rows are present, but a NULL-padded
+    * outer row may only emit once the watermark PROVES no purchase can
+    * still arrive in the click's 30-minute band (early emission would be
+    * wrong, late emission would be never). The engine holds each
+    * unmatched click in state until the global watermark passes
+    * `click_ts + 30 min`, then emits it with nulls.
+    *
+    * The tail of the replay needs the watermark pushed past the last
+    * click's band, and the watermark of a join input advances only from
+    * rows that REACH its `withWatermark` node — a sentinel filtered out
+    * by the click/purchase split would advance nothing. So the flush
+    * appends one far-future CLICK and one far-future PURCHASE (sentinel
+    * user −1, excluded from the result), twice — the established
+    * carry-then-fire sentinel pattern. Shares the batch LEFT JOIN oracle
+    * verbatim.
+    */
+  def attributionOuterViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tpch.events(spark, sfDir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
+    val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+    require(maxTs != null, s"attributionOuterViaStream: events fixture at $sfDir is empty")
+    val flush = Seq(1, 2).map { k =>
+      Seq(
+        (-1L, new java.sql.Timestamp(maxTs.getTime + k * 86400000L), "click"),
+        (-1L, new java.sql.Timestamp(maxTs.getTime + k * 86400000L), "purchase"))
+        .toDF("user_id", "ts", "event_type")
+    }
+    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Append(), flush) { in =>
+      val clicks = in.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 second")
+      val purchases = in.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 second")
+      clicks.join(
+        purchases,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+    }
+      .where(col("c_user") >= 0)
+      .select(
+        col("c_user").as("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+      .orderBy("user_id", "click_us", "purchase_us")
+  }
+
   /** `q_events_sessions_stream`: the sf events fixture replayed through
     * [[EventStream.sessionizeByEventTime]]. Every session is emitted by the
     * streaming state machine (gap-restart or watermark timeout — two

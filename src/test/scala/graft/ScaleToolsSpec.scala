@@ -286,6 +286,26 @@ class ScaleToolsSpec extends SparkSpec {
       merged.count() shouldBe 4
     }
 
+    it("compaction commits preserve rows, reduce files, and leave time travel intact") {
+      val dir = tmpTable()
+      // Streaming-ingest shape: many small commits → many small files.
+      (1 to 6).foreach(k =>
+        VersionedTable.commit(spark, dir,
+          (k * 100L until k * 100L + 20L).map(i => (i, i)).toDF("id", "v").repartition(3),
+          append = true))
+      val before = VersionedTable.read(spark, dir).collect().toSet
+      val (v, filesBefore, filesAfter) = VersionedTable.compact(spark, dir)
+      v shouldBe 7
+      filesAfter should be < filesBefore
+      VersionedTable.read(spark, dir).collect().toSet shouldBe before
+      // Pre-compaction snapshots still read (time travel intact)...
+      VersionedTable.read(spark, dir, Some(3)).count() shouldBe 60
+      // ...and an incremental consumer across the compaction boundary
+      // refuses (it's an overwrite), rather than silently double-reading.
+      an[IllegalStateException] should be thrownBy
+        VersionedTable.readIncrement(spark, dir, 6, 7)
+    }
+
     it("the version claim is create-exclusive: a pre-claimed manifest makes the commit lose") {
       val dir = tmpTable()
       VersionedTable.commit(spark, dir, Seq((1L, 1L)).toDF("id", "v"), append = false)
