@@ -341,6 +341,43 @@ object SparkEntry {
       state.orderBy("day")
     }),
 
+    // Complex-type breadth: array higher-order functions — transform /
+    // filter / aggregate run as CODEGEN'D Catalyst expressions over the
+    // collected array, the "functions, not UDFs" doctrine applied to
+    // nested data (a UDF here would deserialize every array per call).
+    "q_array_hof" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(pmod(col("l_orderkey"), lit(23)) === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qs"))
+        .select(
+          col("l_orderkey"),
+          expr("aggregate(qs, 0L, (a, x) -> a + x)").as("total"),
+          size(expr("filter(qs, x -> x > 25)")).cast("long").as("n_big"),
+          expr("aggregate(transform(qs, x -> x * 2), 0L, (a, x) -> a + x)").as("doubled_sum"))
+        .orderBy("l_orderkey")),
+
+    // Datetime-function breadth over o_orderdate (a TIMESTAMP in the
+    // fixture — cast to DATE once on both engines; dayofweek mapped to
+    // DuckDB's 0-based Sunday; trunc month stays a DATE on both).
+    "q_datetime_funcs" -> ((s, dir) => {
+      val d = col("o_orderdate").cast("date")
+      t(s, dir, "orders")
+        .where(pmod(col("o_orderkey"), lit(31)) === 0)
+        .select(
+          col("o_orderkey"),
+          year(d).cast("long").as("yr"),
+          quarter(d).cast("long").as("qtr"),
+          month(d).cast("long").as("mon"),
+          dayofmonth(d).cast("long").as("dom"),
+          dayofweek(d).cast("long").as("dow_1sun"),
+          last_day(d).as("month_end"),
+          trunc(d, "month").as("month_start"),
+          datediff(d, lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("days_since"),
+          date_add(d, 30).as("plus_30"))
+        .orderBy("o_orderkey")
+    }),
+
     // Relational breadth: the ranking-window suite (ntile / percent_rank /
     // cume_dist) over a UNIQUE ordering (totalprice, orderkey — a tie in
     // the sort key would make row-dependent ranks engine-ambiguous).
@@ -3093,6 +3130,31 @@ object SparkEntry {
         """SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n,
           |CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
           |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+      "q_array_hof" ->
+        """WITH a AS (SELECT l_orderkey,
+          |  list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+          |  FROM lineitem WHERE l_orderkey % 23 = 0 GROUP BY l_orderkey)
+          |SELECT l_orderkey,
+          |CAST(list_sum(qs) AS BIGINT) AS total,
+          |CAST(len(list_filter(qs, x -> x > 25)) AS BIGINT) AS n_big,
+          |CAST(list_sum(list_transform(qs, x -> x * 2)) AS BIGINT) AS doubled_sum
+          |FROM a ORDER BY l_orderkey""".stripMargin,
+
+      "q_datetime_funcs" ->
+        """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+          |           FROM orders WHERE o_orderkey % 31 = 0)
+          |SELECT o_orderkey,
+          |CAST(year(d) AS BIGINT) AS yr,
+          |CAST(quarter(d) AS BIGINT) AS qtr,
+          |CAST(month(d) AS BIGINT) AS mon,
+          |CAST(day(d) AS BIGINT) AS dom,
+          |CAST(dayofweek(d) + 1 AS BIGINT) AS dow_1sun,
+          |last_day(d) AS month_end,
+          |CAST(date_trunc('month', d) AS DATE) AS month_start,
+          |CAST(datediff('day', DATE '1995-01-01', d) AS BIGINT) AS days_since,
+          |d + 30 AS plus_30
+          |FROM o ORDER BY o_orderkey""".stripMargin,
 
       "q_window_suite" ->
         """SELECT o_orderkey, o_orderstatus,

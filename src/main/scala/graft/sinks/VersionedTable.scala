@@ -72,16 +72,41 @@ object VersionedTable {
         s"VersionedTable: $dir has no version $version (latest = ${latestVersion(spark, dir)})")
     val in = f.open(p)
     try
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines().map(_.trim).filter(_.nonEmpty).toList
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#")).toList
     finally in.close()
+  }
+
+  /** The `#token=` header of a manifest, if its commit carried one.
+    * None for token-less or vacuumed versions.
+    */
+  private def manifestToken(spark: SparkSession, dir: String, version: Int): Option[String] = {
+    val f = fs(spark, dir)
+    val p = manifestPath(dir, version)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines().map(_.trim)
+          .filter(_.startsWith("#token=")).map(_.stripPrefix("#token=")).toList.headOption
+      finally in.close()
+    }
   }
 
   /** Commit `df` as the next snapshot. Returns the committed version.
     *
     * @param append true → new snapshot = previous files + df's files;
     *               false → new snapshot = df's files only (overwrite)
+    * @param token  optional idempotence key recorded in the manifest
+    *               header — see [[commitIdempotent]]
     */
-  def commit(spark: SparkSession, dir: String, df: DataFrame, append: Boolean): Int = {
+  def commit(
+      spark: SparkSession,
+      dir: String,
+      df: DataFrame,
+      append: Boolean,
+      token: Option[String] = None
+  ): Int = {
     val f = fs(spark, dir)
     // Stage data files under a commit-unique subdir — never visible until
     // the manifest that references them wins its create.
@@ -102,10 +127,38 @@ object VersionedTable {
     val version = base + 1
     val target  = manifestPath(dir, version)
     f.mkdirs(target.getParent)
-    val out = f.create(target, /* overwrite = */ false)
-    try out.write(files.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val out    = f.create(target, /* overwrite = */ false)
+    val header = token.fold("")(t => s"#token=$t\n")
+    try out.write((header + files.mkString("", "\n", "\n")).getBytes("UTF-8"))
     finally out.close() // close flushes; LocalFileSystem's checksum wrapper has no hsync
     version
+  }
+
+  /** Exactly-once commit keyed by a writer-supplied `token` (the
+    * Structured Streaming `batchId` is the canonical one): if some
+    * manifest already records this token, return that version WITHOUT
+    * committing — so a foreachBatch retry (at-least-once delivery) or a
+    * restarted query replaying its last epoch cannot double-append a
+    * micro-batch. This is the sink-side half of end-to-end exactly-once:
+    * the checkpoint replays the batch, the token makes the replay a
+    * no-op.
+    *
+    * The token scan reads manifest HEADERS (first line) newest-first —
+    * bounded metadata, no data files touched; in steady state the
+    * replayed batch is within the last couple of versions.
+    */
+  def commitIdempotent(
+      spark: SparkSession,
+      dir: String,
+      df: DataFrame,
+      token: String,
+      append: Boolean = true
+  ): Int = {
+    require(token.nonEmpty && !token.contains('\n'), "token must be a nonempty single line")
+    val latest = latestVersion(spark, dir)
+    (latest to 1 by -1)
+      .find(v => manifestToken(spark, dir, v).contains(token))
+      .getOrElse(commit(spark, dir, df, append, Some(token)))
   }
 
   /** Read a snapshot — `version = None` for the latest. The plan is built

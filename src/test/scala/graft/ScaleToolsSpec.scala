@@ -286,6 +286,23 @@ class ScaleToolsSpec extends SparkSpec {
       merged.count() shouldBe 4
     }
 
+    it("commitIdempotent: a replayed micro-batch (same token) is a no-op returning the original version") {
+      val dir = tmpTable()
+      val b0  = Seq((1L, 1L), (2L, 2L)).toDF("id", "v")
+      val b1  = Seq((3L, 3L)).toDF("id", "v")
+      VersionedTable.commitIdempotent(spark, dir, b0, token = "batch-0") shouldBe 1
+      VersionedTable.commitIdempotent(spark, dir, b1, token = "batch-1") shouldBe 2
+      // foreachBatch retry / checkpoint-replay of batch 1: must NOT
+      // double-append, and must report the version it already holds.
+      VersionedTable.commitIdempotent(spark, dir, b1, token = "batch-1") shouldBe 2
+      VersionedTable.latestVersion(spark, dir) shouldBe 2
+      VersionedTable.read(spark, dir).count() shouldBe 3
+      // A new batch after the replay proceeds normally.
+      VersionedTable.commitIdempotent(spark, dir, Seq((4L, 4L)).toDF("id", "v"),
+        token = "batch-2") shouldBe 3
+      VersionedTable.read(spark, dir).count() shouldBe 4
+    }
+
     it("compaction commits preserve rows, reduce files, and leave time travel intact") {
       val dir = tmpTable()
       // Streaming-ingest shape: many small commits → many small files.
