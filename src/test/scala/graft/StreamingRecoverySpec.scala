@@ -88,4 +88,69 @@ class StreamingRecoverySpec extends SparkSpec {
       rm(root.toFile)
     }
   }
+
+  it("stream-stream join state survives a checkpoint restart") {
+    import org.apache.spark.sql.functions._
+    val root     = java.nio.file.Files.createTempDirectory("graft-join-recovery")
+    val watchDir = root.resolve("watch"); java.nio.file.Files.createDirectory(watchDir)
+    val sinkDir  = root.resolve("sink").toString
+    val ckptDir  = root.resolve("ckpt").toString
+
+    // Clicks arrive BEFORE the restart; the only matching purchase
+    // arrives AFTER it — the pair can emit only if the restarted query
+    // recovered the buffered click from the join's state store.
+    val chunk1 = Seq((1L, ts(10), "click"), (2L, ts(11), "click"))
+    val chunk2 = Seq((1L, ts(100), "purchase"))
+
+    def stage(no: Int, evs: Seq[(Long, java.sql.Timestamp, String)]): Unit = {
+      val tmp = root.resolve(s"stage$no")
+      evs.toDF("user_id", "ts", "event_type").coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, watchDir.resolve(f"chunk_$no%03d.parquet"))
+    }
+    val schema = chunk1.toDF("user_id", "ts", "event_type").schema
+    def launch() =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(watchDir.toString)
+        .transform { in =>
+          val clicks = in.where(col("event_type") === "click")
+            .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+            .withWatermark("click_ts", "1 second")
+          val purchases = in.where(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+            .withWatermark("purchase_ts", "1 second")
+          clicks.join(
+            purchases,
+            col("c_user") === col("p_user") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        }
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckptDir)
+        .start()
+
+    try {
+      stage(1, chunk1)
+      val q1 = launch()
+      q1.processAllAvailable(); q1.stop()
+
+      stage(2, chunk2)
+      val q2 = launch()
+      q2.processAllAvailable(); q2.stop()
+
+      val pairs = spark.read.parquet(sinkDir)
+        .select(col("c_user"), unix_micros(col("click_ts")), unix_micros(col("purchase_ts")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // Exactly the one cross-restart pair: user 1's pre-restart click
+      // joined to its post-restart purchase via recovered join state;
+      // user 2's click never matches.
+      pairs shouldBe Seq((1L, us(10), us(100)))
+    } finally {
+      def rm(p: java.io.File): Unit = { Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); () }
+      rm(root.toFile)
+    }
+  }
 }
