@@ -455,6 +455,12 @@ object SparkEntry {
     "q_text_classifier_stream" -> ((s, dir) =>
       graft.streaming.StreamGates.classifierScoreViaStream(s, dir)),
 
+    // Train-batch/serve-stream DSIR importance scoring: the 64-bucket
+    // fixed-point model trained on the batch corpus, every doc scored
+    // scan-local over a file-source stream (stateless integer projection).
+    "q_sample_importance_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.importanceViaStream(s, dir)),
+
     // Streaming funnel: per-user stage cascade advanced incrementally
     // across micro-batches. Shares q_events_funnel's oracle verbatim.
     "q_events_funnel_stream" -> ((s, dir) =>
@@ -1778,6 +1784,40 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Hard-negative mining for contrastive training: per query, top-10
+    // corpus rows by cosine INSIDE the band [0.05, 0.35) — informative
+    // negatives below the near-dup threshold (0.4 in the embed_neardup
+    // gates). Exact form; the oracle is the banded brute-force scan.
+    "q_mine_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mineHardNegatives(emb, emb.where("vec_id < 5"), "vec_id", "embedding",
+          k = 10, minCos = 0.05, maxCos = 0.35)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // The same mining restricted to each query's 8 closest of 16 pinned
+    // IVF cells — the corpus-scale form (scored join touches nprobe/nlist
+    // of the corpus). The oracle replays cell assignment, the 8-cell probe
+    // set, and the banded ranking bit-for-bit.
+    "q_mine_hard_negatives_celled" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mineHardNegativesCelled(emb, emb.where("vec_id < 5"), "vec_id", "embedding",
+          k = 10, minCos = 0.05, maxCos = 0.35, graft.operators.IvfPinned.centroids, nprobe = 8)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // MMR diversified rerank (λ = 0.7): greedy relevance-minus-redundancy
+    // selection of 5 from each query's 20-candidate pool, every cosine
+    // quantized to integer pico-units BEFORE the greedy so the argmax
+    // compares integers on both engines. Oracle = recursive-CTE replay of
+    // the identical integer greedy.
+    "q_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrRerank(emb, emb.where("vec_id < 5"), "vec_id", "embedding",
+          poolK = 20, selectK = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
     // IVF ANN with every cell probed: candidate set == whole corpus, so
     // the result must EQUAL the exact brute-force oracle — pins the
     // quantizer training + assignment + probe plumbing to exactness.
@@ -2205,6 +2245,17 @@ object SparkEntry {
           .select(col("event_id"), col("event_type"), (col("value") / 100.0).as("keep_p")),
         "event_id", "keep_p"
       ).select("event_id", "event_type").orderBy("event_id")),
+
+    // DSIR importance resampling: hashed-unigram (64-bucket) importance
+    // weights with the English slice as the target distribution, scored in
+    // fixed-point nano-nats (integer dot product — summation-order-proof),
+    // top-50 kept. The oracle replays token hashing, add-one smoothing,
+    // the per-bucket single-ln fixed-point model, and the integer sum.
+    "q_sample_importance" -> ((s, dir) =>
+      Sampling.importanceResample(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", quota = 50)
+        .select("doc_id", "weight_fp")
+        .orderBy(col("weight_fp").desc, col("doc_id"))),
 
     // Forward as-of: each purchase matched to the user's NEXT click
     // at-or-after it (same one-shuffle shape, descending time order).
@@ -2950,6 +3001,22 @@ object SparkEntry {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** [[exactKnnOracle]] with the hard-negative cosine band applied before
+    * the per-query ranking (q_mine_hard_negatives).
+    */
+  private def bandedKnnOracle(k: Int, minCos: Double, maxCos: Double): String = {
+    import OracleGen.cosineSql
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |sc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos
+       |       FROM q, c WHERE query_id <> neighbor_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |      FROM sc WHERE cos >= $minCos AND cos < $maxCos)
+       |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   // Oracles for the scale-primitives wave. The dHash oracle replays the
   // whole perceptual pipeline arithmetically: synthetic pixel values are
   // stableHash functions of doc_id, nearest-neighbor resampling is integer
@@ -3564,6 +3631,79 @@ object SparkEntry {
 
       "q_knn_bruteforce" -> exactKnnOracle(k = 10),
 
+      // Hard-negative mining: the banded brute-force scan.
+      "q_mine_hard_negatives" -> bandedKnnOracle(k = 10, minCos = 0.05, maxCos = 0.35),
+
+      // MMR: the integer greedy as a recursive CTE. Pool = top-20 by raw
+      // cosine; per-step argmax via NOT EXISTS over the pool (scores are
+      // 7·cos_fp − 3·max-over-selected pairwise cos_fp, all BIGINT — the
+      // pairwise matrix pp is precomputed so the recursive term stays
+      // aggregate-free except the correlated scalar max over the
+      // NON-recursive pp, which DuckDB permits). Ties pick the smaller id.
+      "q_mmr_rerank" -> {
+        val qfp = (e: String) => s"CAST(floor(($e) * 1000000000000 + 0.5) AS BIGINT)"
+        val maxsim = (cand: String) =>
+          s"coalesce((SELECT max(pp.cfp) FROM pp WHERE pp.query_id = s.query_id " +
+            s"AND pp.a = $cand.neighbor_id AND list_contains(s.sel_ids, pp.b)), 0)"
+        val score = (cand: String) => s"(7 * $cand.cos_fp - 3 * ${maxsim(cand)})"
+        s"""WITH RECURSIVE
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 5),
+           |pool AS (SELECT query_id, neighbor_id, cv, cos_fp FROM (
+           |  SELECT q.query_id, v.vec_id AS neighbor_id, v.ve AS cv,
+           |         ${qfp(cosineSql("q.qv", "v.ve"))} AS cos_fp,
+           |         row_number() OVER (PARTITION BY q.query_id ORDER BY ${cosineSql("q.qv", "v.ve")} DESC, v.vec_id) AS rnk
+           |  FROM q, v WHERE q.query_id <> v.vec_id) WHERE rnk <= 20),
+           |pp AS (SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b, ${qfp(cosineSql("x.cv", "y.cv"))} AS cfp
+           |       FROM pool x JOIN pool y ON x.query_id = y.query_id AND x.neighbor_id <> y.neighbor_id),
+           |sel AS (
+           |  SELECT query_id, 1 AS step, [neighbor_id] AS sel_ids
+           |  FROM pool p WHERE NOT EXISTS (
+           |    SELECT 1 FROM pool p2 WHERE p2.query_id = p.query_id
+           |      AND (p2.cos_fp > p.cos_fp OR (p2.cos_fp = p.cos_fp AND p2.neighbor_id < p.neighbor_id)))
+           |  UNION ALL
+           |  SELECT s.query_id, s.step + 1, list_append(s.sel_ids, c.neighbor_id)
+           |  FROM sel s JOIN pool c ON c.query_id = s.query_id AND NOT list_contains(s.sel_ids, c.neighbor_id)
+           |  WHERE s.step < 5 AND NOT EXISTS (
+           |    SELECT 1 FROM pool c2
+           |    WHERE c2.query_id = s.query_id AND NOT list_contains(s.sel_ids, c2.neighbor_id)
+           |      AND (${score("c2")} > ${score("c")}
+           |           OR (${score("c2")} = ${score("c")} AND c2.neighbor_id < c.neighbor_id)))
+           |)
+           |SELECT query_id, unnest(sel_ids) AS neighbor_id, unnest([1,2,3,4,5]::BIGINT[]) AS rnk
+           |FROM sel WHERE step = 5 ORDER BY query_id, rnk""".stripMargin
+      },
+
+      // Celled mining: the ivfProbe replay (frozen centroids, 8-cell probe
+      // set) with the cosine band applied before the per-query ranking.
+      "q_mine_hard_negatives_celled" -> {
+        val centsCte = {
+          val m = graft.operators.IvfPinned.centroids
+          val arr = m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+          s"cents_t AS (SELECT $arr AS ct)"
+        }
+        val nlist   = graft.operators.IvfPinned.nlist
+        val cellCos = cosineSql("v.ve", "ct[cells.cell + 1]")
+        s"""WITH $centsCte,
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+           |cells AS (SELECT unnest(range(0, $nlist)) AS cell),
+           |asg AS (SELECT vec_id AS neighbor_id, ve AS cv, cell FROM (
+           |  SELECT v.vec_id, v.ve, cells.cell,
+           |         row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, cells.cell) AS pr
+           |  FROM v, cents_t, cells) WHERE pr = 1),
+           |probes AS (SELECT query_id, qv, cell FROM (
+           |  SELECT v.vec_id AS query_id, v.ve AS qv, cells.cell,
+           |         row_number() OVER (PARTITION BY v.vec_id ORDER BY $cellCos DESC, cells.cell) AS pr
+           |  FROM v, cents_t, cells WHERE v.vec_id < 5) WHERE pr <= 8),
+           |sc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos
+           |       FROM probes JOIN asg USING (cell) WHERE query_id <> neighbor_id),
+           |r AS (SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |      FROM sc WHERE cos >= 0.05 AND cos < 0.35)
+           |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 10
+           |ORDER BY query_id, rnk""".stripMargin
+      },
+
       // IVF with nprobe = nlist probes every cell → candidate set is the
       // whole corpus → must EQUAL the exact top-k oracle. This pins the
       // quantizer/assignment/probe plumbing to exactness; partial-probe
@@ -4083,6 +4223,51 @@ object SparkEntry {
            |WHERE ${hashSql("CAST(event_id AS VARCHAR)")} % 1000000 <
            |  CAST(floor(least(greatest(value / 100.0, 0.0), 1.0) * 1000000) AS BIGINT)
            |ORDER BY event_id""".stripMargin,
+
+      // DSIR importance resampling replay: token→bucket hashing (the MD5
+      // contract mod 64), one grouped count building BOTH distributions,
+      // add-one smoothing, the per-bucket log-ratio rounded to nano-nats
+      // EXACTLY as the Scala side does (floor(x + 0.5) = math.round), then
+      // an integer-only per-doc dot product — summation order cannot move
+      // a BIGINT sum, so the two engines agree bit-for-bit.
+      "q_sample_importance" ->
+        s"""WITH bk AS (SELECT doc_id, lang, (${hashSql("tok")} % 64) AS bucket
+           |            FROM (SELECT doc_id, lang, unnest(${tokensSql("text")}) AS tok FROM documents)),
+           |cnt AS (SELECT bucket, count(*) AS raw,
+           |               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt
+           |        FROM bk GROUP BY 1),
+           |tot AS (SELECT sum(raw) AS rawtot, sum(tgt) AS tgttot FROM cnt),
+           |lr AS (SELECT bucket,
+           |         CAST(floor(1000000000 * (ln(CAST(tgt + 1 AS DOUBLE) / (tgttot + 64))
+           |                                 - ln(CAST(raw + 1 AS DOUBLE) / (rawtot + 64))) + 0.5) AS BIGINT) AS lr_fp
+           |       FROM cnt, tot),
+           |w AS (SELECT d.doc_id, CAST(coalesce(sum(lr.lr_fp), 0) AS BIGINT) AS weight_fp
+           |      FROM documents d
+           |      LEFT JOIN bk ON d.doc_id = bk.doc_id
+           |      LEFT JOIN lr ON bk.bucket = lr.bucket
+           |      GROUP BY 1)
+           |SELECT doc_id, weight_fp FROM w
+           |ORDER BY weight_fp DESC, doc_id LIMIT 50""".stripMargin,
+
+      // The streamed serving form scores EVERY doc (no top-quota — global
+      // top-k is not an Append-mode shape); same model replay, keyed scan.
+      "q_sample_importance_stream" ->
+        s"""WITH bk AS (SELECT doc_id, lang, (${hashSql("tok")} % 64) AS bucket
+           |            FROM (SELECT doc_id, lang, unnest(${tokensSql("text")}) AS tok FROM documents)),
+           |cnt AS (SELECT bucket, count(*) AS raw,
+           |               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt
+           |        FROM bk GROUP BY 1),
+           |tot AS (SELECT sum(raw) AS rawtot, sum(tgt) AS tgttot FROM cnt),
+           |lr AS (SELECT bucket,
+           |         CAST(floor(1000000000 * (ln(CAST(tgt + 1 AS DOUBLE) / (tgttot + 64))
+           |                                 - ln(CAST(raw + 1 AS DOUBLE) / (rawtot + 64))) + 0.5) AS BIGINT) AS lr_fp
+           |       FROM cnt, tot),
+           |w AS (SELECT d.doc_id, CAST(coalesce(sum(lr.lr_fp), 0) AS BIGINT) AS weight_fp
+           |      FROM documents d
+           |      LEFT JOIN bk ON d.doc_id = bk.doc_id
+           |      LEFT JOIN lr ON bk.bucket = lr.bucket
+           |      GROUP BY 1)
+           |SELECT doc_id, weight_fp FROM w ORDER BY doc_id""".stripMargin,
 
       "q_asof_forward" ->
         """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),

@@ -254,4 +254,114 @@ object Sampling {
       .withColumn("shuffle_pos", col("_so_offset") + col("_so_rank"))
       .drop("_so_h", "_so_bucket", "_so_rank", "_so_offset")
   }
+
+  /** DSIR-style importance weights over hashed unigram features (Xie et
+    * al., "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): every document is scored by how much more likely its
+    * token bag is under a TARGET distribution (the rows matching
+    * `targetPredicate` — e.g. a trusted high-quality slice) than under the
+    * RAW corpus distribution, entirely in the hashed-feature space so the
+    * model is `numBuckets` longs, not a vocabulary.
+    *
+    *   weight(doc) = Σ_tokens  ln p̂_target(bucket(tok)) − ln p̂_raw(bucket(tok))
+    *
+    * with add-one smoothing over the `numBuckets` feature buckets and
+    * `bucket(tok) = stableHash(tok) mod numBuckets` (the cross-engine MD5
+    * contract, [[HashCols.stableHash]]).
+    *
+    * Determinism discipline: each bucket's log-ratio is computed ONCE on
+    * the driver and rounded to fixed-point nano-nats (a BIGINT); the
+    * per-document weight is then an INTEGER dot product of token counts
+    * with that vector — bit-identical on any engine, any partitioning, any
+    * summation order (the same single-ln trick as the LM-score gates).
+    *
+    * Plan shape (the 100 TB story): one pass tokenize→explode→groupBy over
+    * `numBuckets` keys builds BOTH count vectors (the target side is a
+    * conditional sum in the same aggregate — no second scan); the
+    * `numBuckets`-row model is collected (bounded by the require) and
+    * re-enters the plan as an array LITERAL, so scoring is a scan-local
+    * whole-stage-codegen projection: `aggregate(transform(tokens, …))`
+    * with zero joins, zero shuffles, zero UDFs. Returns the input plus
+    * `weight_fp` (nano-nats; null/empty text scores 0).
+    */
+  def importanceWeights(
+      df: DataFrame,
+      textCol: String,
+      targetPredicate: Column,
+      numBuckets: Int = 64
+  ): DataFrame =
+    df.withColumn("weight_fp",
+      importanceScore(importanceModel(df, textCol, targetPredicate, numBuckets), col(textCol)))
+
+  /** The trained DSIR model: `numBuckets` fixed-point nano-nat log-ratios.
+    * One tokenize→explode→groupBy pass builds BOTH count vectors (the
+    * target side is a conditional sum in the same aggregate); the
+    * `numBuckets`-row result is collected (bounded by the require) and the
+    * per-bucket log-ratio computed ONCE on the driver. Train-batch /
+    * serve-anywhere: the array feeds [[importanceScore]] in a batch plan
+    * or a streaming one.
+    */
+  def importanceModel(
+      df: DataFrame,
+      textCol: String,
+      targetPredicate: Column,
+      numBuckets: Int = 64
+  ): Array[Long] = {
+    require(numBuckets >= 2 && numBuckets <= (1 << 16),
+      s"numBuckets must be in [2, 65536] (the model is collected to the driver), got $numBuckets")
+    val counts = df
+      .select(targetPredicate.as("_iw_tgt"), explode(Dedup.tokens(col(textCol))).as("_iw_tok"))
+      .groupBy(pmod(HashCols.stableHash(col("_iw_tok")), lit(numBuckets.toLong)).as("_iw_bucket"))
+      .agg(count(lit(1)).as("_iw_raw"), sum(when(col("_iw_tgt"), 1L).otherwise(0L)).as("_iw_t"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+
+    val rawTot = counts.map(_._2).sum
+    val tgtTot = counts.map(_._3).sum
+    val lrFp   = new Array[Long](numBuckets)
+    counts.foreach { case (bkt, raw, tgt) =>
+      lrFp(bkt) = math.round(1e9 *
+        (math.log((tgt + 1).toDouble / (tgtTot + numBuckets)) -
+          math.log((raw + 1).toDouble / (rawTot + numBuckets))))
+    }
+    lrFp
+  }
+
+  /** Scan-local DSIR scoring: the model re-enters the plan as an array
+    * LITERAL, so the weight is a codegen'd `aggregate(transform(tokens,…))`
+    * projection — zero joins, zero shuffles, zero UDFs, and legal in a
+    * streaming plan (stateless). Null/empty text scores 0; the integer sum
+    * is bit-identical under any partitioning or summation order.
+    */
+  def importanceScore(model: Array[Long], text: Column): Column = {
+    val lrArr = array(model.map(lit(_)): _*)
+    coalesce(
+      aggregate(
+        transform(Dedup.tokens(text),
+          tok => element_at(lrArr, pmod(HashCols.stableHash(tok), lit(model.length.toLong)).cast("int") + 1)),
+        lit(0L),
+        (acc, x) => acc + x),
+      lit(0L))
+  }
+
+  /** Importance RESAMPLING, deterministically: keep the `quota` documents
+    * with the highest [[importanceWeights]] scores (ties broken by id).
+    * The published DSIR samples with Gumbel noise; a training pipeline
+    * that must be retry-stable wants the same set every run, so this is
+    * the noise-free top-quota form — the weight ordering is identical,
+    * only the tie-handling at the quota boundary differs. Plans as
+    * TakeOrderedAndProject (per-partition top-quota, then one merge): no
+    * global sort, no single-partition exchange.
+    */
+  def importanceResample(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPredicate: Column,
+      quota: Int,
+      numBuckets: Int = 64
+  ): DataFrame =
+    importanceWeights(df, textCol, targetPredicate, numBuckets)
+      .orderBy(col("weight_fp").desc, col(idCol))
+      .limit(quota)
 }

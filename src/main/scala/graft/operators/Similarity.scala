@@ -85,6 +85,181 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per query,
+    * the top-k most similar corpus rows whose cosine falls INSIDE
+    * `[minCos, maxCos)` — similar enough to be informative negatives,
+    * below the near-duplicate band where a "negative" is actually a
+    * positive (maxCos should sit under the dedup threshold in use).
+    *
+    * Exact form: the same |queries| × |corpus| scored-join shape as
+    * [[bruteForceTopK]] with the band predicate applied BEFORE the
+    * per-query window, so the k-bounded top-k ranks only banded rows. The
+    * guard throws past the work budget and points at the celled form.
+    */
+  def mineHardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      minCos: Double,
+      maxCos: Double,
+      guard: ExactGuard = ExactGuard.MaxWork(1000L * 1000 * 1000)
+  ): DataFrame = {
+    require(minCos < maxCos, s"empty band [$minCos, $maxCos)")
+    import org.apache.spark.sql.expressions.Window
+    guardWork(guard, queries.count() * corpus.count(), "mineHardNegatives", "Similarity.mineHardNegativesCelled")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .where(col("cosine") >= minCos && col("cosine") < maxCos)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** [[mineHardNegatives]] at corpus scale: candidates come from the
+    * query's `nprobe` closest IVF cells (frozen `centroids`), so the scored
+    * join touches |queries| × (corpus/nlist)·nprobe rows instead of the
+    * full cross product. Mid-band negatives live FARTHER out the cell
+    * ranking than nearest neighbors do — size `nprobe` for the band, not
+    * for top-1 recall (probing all cells makes it exactly
+    * [[mineHardNegatives]], which is how the gate pins it).
+    */
+  def mineHardNegativesCelled(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      minCos: Double,
+      maxCos: Double,
+      centroids: Array[Array[Double]],
+      nprobe: Int
+  ): DataFrame = {
+    require(minCos < maxCos, s"empty band [$minCos, $maxCos)")
+    require(nprobe >= 1 && nprobe <= centroids.length, "need 1 <= nprobe <= centroids.length")
+    import org.apache.spark.sql.expressions.Window
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val assignU = udf { (v: Array[Float]) => nearestCell(v.map(_.toDouble), bc.value) }
+    val probeU = udf { (v: Array[Float]) =>
+      val vd = v.map(_.toDouble)
+      bc.value.indices
+        .map(c => (cosineDD(vd, bc.value(c)), c))
+        .sortBy { case (s, c) => (-s, c) }
+        .take(nprobe)
+        .map(_._2)
+        .toArray
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell", assignU(col("c_vec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell", explode(probeU(col("q_vec"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(c, "cell")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .where(col("cosine") >= minCos && col("cosine") < maxCos)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** Maximal-marginal-relevance (Carbonell & Goldstein 1998) diversified
+    * top-k: greedily select `selectK` of the query's `poolK` most-similar
+    * candidates, each pick maximizing
+    *
+    *   λ·cos(q, c)  −  (1−λ)·max_{s ∈ selected} cos(c, s)
+    *
+    * — relevance minus redundancy, the standard de-duplicated retrieval
+    * head over any dense retriever. λ is the rational `lambdaNum /
+    * lambdaDen` and every cosine is quantized to fixed-point pico-units
+    * (`floor(cos·10¹² + 0.5)`) BEFORE the greedy, so selection compares
+    * INTEGERS: no cross-engine FP-comparison ambiguity anywhere in the
+    * argmax (ties break on the smaller id). The DuckDB oracle replays the
+    * identical integer greedy as a recursive CTE.
+    *
+    * Plan shape: the pool build is the guarded brute scan (swap in an ANN
+    * pool upstream at corpus scale); the greedy itself is scan-local —
+    * one `collect_list` per query bounded by `poolK` rows, then a UDF
+    * whose work is O(selectK²·poolK) kernel calls on that bounded state.
+    * No driver participation, no second shuffle.
+    */
+  def mmrRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      poolK: Int,
+      selectK: Int,
+      lambdaNum: Int = 7,
+      lambdaDen: Int = 10,
+      guard: ExactGuard = ExactGuard.MaxWork(1000L * 1000 * 1000)
+  ): DataFrame = {
+    require(selectK >= 1 && selectK <= poolK, s"need 1 <= selectK <= poolK, got $selectK/$poolK")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"lambda must be a rational in [0, 1], got $lambdaNum/$lambdaDen")
+    import org.apache.spark.sql.expressions.Window
+    guardWork(guard, queries.count() * corpus.count(), "mmrRerank", "an ANN-built pool + mmrRerank on it")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val pool = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= poolK)
+      .withColumn("cos_fp", floor(col("cosine") * 1e12 + lit(0.5)).cast("long"))
+
+    val (lamP, lamN, kk) = (lambdaNum.toLong, (lambdaDen - lambdaNum).toLong, selectK)
+    val greedyU = udf { (cands: Seq[org.apache.spark.sql.Row]) =>
+      val ids   = cands.map(_.getLong(0)).toArray
+      val vecs  = cands.map(_.getSeq[Float](1).toArray).toArray
+      val relFp = cands.map(_.getLong(2)).toArray
+      val n       = ids.length
+      val chosen  = new Array[Boolean](n)
+      val picked  = new Array[Int](math.min(kk, n))
+      var step    = 0
+      while (step < picked.length) {
+        var best      = -1
+        var bestScore = Long.MinValue
+        var i = 0
+        while (i < n) {
+          if (!chosen(i)) {
+            // coalesce(max over selected, 0): 0 only when nothing is
+            // selected yet (step 1 — pure relevance argmax).
+            var maxSim = 0L
+            var any    = false
+            var s      = 0
+            while (s < step) {
+              val cfp = math.floor(
+                graft.functions.CosineKernel.compute(vecs(i), vecs(picked(s))) * 1e12 + 0.5).toLong
+              if (!any || cfp > maxSim) { maxSim = cfp; any = true }
+              s += 1
+            }
+            if (!any) maxSim = 0L
+            val sc = lamP * relFp(i) - lamN * maxSim
+            if (sc > bestScore || (sc == bestScore && best >= 0 && ids(i) < ids(best))) {
+              bestScore = sc; best = i
+            }
+          }
+          i += 1
+        }
+        picked(step) = best
+        chosen(best) = true
+        step += 1
+      }
+      picked.zipWithIndex.map { case (idx, r) => (ids(idx), (r + 1).toLong) }.toSeq
+    }
+
+    pool
+      .groupBy("query_id")
+      .agg(collect_list(struct(col("neighbor_id"), col("c_vec"), col("cos_fp"))).as("cands"))
+      .select(col("query_id"), explode(greedyU(col("cands"))).as("sel"))
+      .select(col("query_id"), col("sel._1").as("neighbor_id"), col("sel._2").as("rnk"))
+  }
+
   /** Deterministic pseudo-random hyperplane components: ±1 from the MD5
     * stableHash of (plane, dim) — reproducible across runs with no RNG
     * state. Cached per (planes, dims) per executor JVM so the MD5s are paid

@@ -605,6 +605,29 @@ object StreamGates {
       .orderBy("doc_id")
   }
 
+  /** `q_sample_importance_stream`: the DSIR importance model
+    * ([[graft.operators.Sampling.importanceModel]] — 64 fixed-point
+    * nano-nat log-ratios, target = the English slice) trained on the BATCH
+    * corpus, then every document scored over a file-source STREAM through
+    * the scan-local literal-array scorer. Stateless integer projection, so
+    * the streamed weights equal the batch weights bit-for-bit; the oracle
+    * is the batch replay over all docs (no top-quota — a global top-k is
+    * not a streaming-Append shape; selection stays a batch concern).
+    */
+  def importanceViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Sampling
+    val base = graft.Tpch.table(spark, sfDir, "documents")
+    val model = Sampling.importanceModel(base, "text", col("lang") === "en")
+    val docs = base.select(
+      col("doc_id"),
+      timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
+      col("text")
+    )
+    replayViaFiles(spark, docs, "ts", chunks = 3, OutputMode.Append())(in =>
+      in.select(col("doc_id"), Sampling.importanceScore(model, col("text")).as("weight_fp")))
+      .orderBy("doc_id")
+  }
+
   /** `q_events_funnel_stream`: the events fixture replayed chronologically
     * through [[EventStream.funnelByEventTime]]'s per-user state machine
     * (Update mode — a user re-emits whenever a batch advances a stage; the

@@ -1137,6 +1137,127 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Sampling.importanceWeights (DSIR)") {
+    import graft.operators.Sampling
+    // Two sharply different vocabularies: target-flavored docs repeat
+    // "alpha beta", background docs repeat "omega psi" — the hashed
+    // log-ratio model must push the alpha/beta docs to the top.
+    def corpus = Seq.tabulate(40) { i =>
+      val tgt = i % 4 == 0
+      val txt = if (tgt) "alpha beta alpha beta gamma" else "omega psi omega psi chi"
+      (i.toLong, txt, tgt)
+    }.toDF("id", "text", "is_tgt")
+
+    it("ranks target-vocabulary documents above background ones") {
+      val top = Sampling.importanceResample(corpus, "id", "text", col("is_tgt"), quota = 10)
+        .select("id").as[Long].collect().toSet
+      top.forall(_ % 4 == 0) shouldBe true
+      top.size shouldBe 10
+    }
+    it("weights are integers, partition-invariant, and 0 for empty/null text") {
+      val withEmpty = corpus.union(Seq((100L, "", false), (101L, null.asInstanceOf[String], false))
+        .toDF("id", "text", "is_tgt"))
+      val w  = Sampling.importanceWeights(withEmpty, "text", col("is_tgt"))
+        .select("id", "weight_fp").as[(Long, Long)].collect().toMap
+      w(100L) shouldBe 0L
+      w(101L) shouldBe 0L
+      val w13 = Sampling.importanceWeights(withEmpty.repartition(13), "text", col("is_tgt"))
+        .select("id", "weight_fp").as[(Long, Long)].collect().toMap
+      w13 shouldBe w // integer fixed-point: no summation-order drift anywhere
+    }
+  }
+
+  describe("Similarity.mineHardNegatives") {
+    def corpus(n: Int) = Seq.tabulate(n) { i =>
+      val base = if (i % 2 == 0) Array(10.0f, 0.0f, 0.0f, 0.0f) else Array(0.0f, 10.0f, 0.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + ((i * 7 + d * 3) % 5) * 0.3f })
+    }.toDF("vec_id", "embedding")
+
+    it("returns only candidates whose cosine lies inside the band") {
+      val df  = corpus(60)
+      val got = Similarity.mineHardNegatives(df, df.where("vec_id < 4"), "vec_id", "embedding",
+        k = 50, minCos = 0.05, maxCos = 0.9)
+      // Recompute each returned pair's cosine independently and check the band.
+      val vecs = df.as[(Long, Array[Float])].collect().toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+        dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+      }
+      val pairs = got.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      pairs should not be empty
+      pairs.foreach { case (q, nb) =>
+        val c = cos(vecs(q), vecs(nb))
+        c should be >= 0.05
+        c should be < 0.9
+      }
+      // Nothing in the near-dup zone above maxCos leaked in: same-cluster
+      // neighbors (cosine ≈ 1) are excluded even though they top the raw ranking.
+      pairs.foreach { case (q, nb) => cos(vecs(q), vecs(nb)) should be < 0.9 }
+    }
+    it("celled form probing every cell equals the exact form") {
+      val df    = corpus(60)
+      val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", nlist = 4)
+      val exact = Similarity.mineHardNegatives(df, df.where("vec_id < 4"), "vec_id", "embedding",
+        k = 8, minCos = 0.05, maxCos = 0.9).as[(Long, Long, Long)].collect().toSet
+      val cell  = Similarity.mineHardNegativesCelled(df, df.where("vec_id < 4"), "vec_id", "embedding",
+        k = 8, minCos = 0.05, maxCos = 0.9, cents, nprobe = 4).as[(Long, Long, Long)].collect().toSet
+      cell shouldBe exact
+    }
+    it("rejects an empty band") {
+      an[IllegalArgumentException] should be thrownBy
+        Similarity.mineHardNegatives(corpus(4), corpus(4), "vec_id", "embedding", k = 1,
+          minCos = 0.5, maxCos = 0.5)
+    }
+  }
+
+  describe("Similarity.mmrRerank (MMR diversified top-k)") {
+    // Three tight direction clusters: pure top-k from a query in cluster A
+    // returns only cluster-A near-copies; MMR must spend picks across
+    // clusters once redundancy costs more than the relevance gap.
+    def corpus3(n: Int) = Seq.tabulate(n) { i =>
+      val base = (i % 3) match {
+        case 0 => Array(10.0f, 1.0f, 0.0f)
+        case 1 => Array(1.0f, 10.0f, 0.0f)
+        case _ => Array(1.0f, 0.0f, 10.0f)
+      }
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + ((i * 7 + d * 3) % 5) * 0.01f })
+    }.toDF("vec_id", "embedding")
+
+    it("diversifies across clusters where pure top-k stays in one") {
+      val df = corpus3(30)
+      val qs = df.where("vec_id = 0") // cluster-0 query
+      val pure = Similarity.bruteForceTopK(df, qs, "vec_id", "embedding", k = 5)
+        .select("neighbor_id").as[Long].collect()
+      pure.forall(_ % 3 == 0) shouldBe true // near-copies only
+      val mmr = Similarity.mmrRerank(df, qs, "vec_id", "embedding",
+        poolK = 15, selectK = 5, lambdaNum = 1, lambdaDen = 2)
+        .select("neighbor_id").as[Long].collect()
+      mmr.map(_ % 3).distinct.length should be > 1 // left the home cluster
+      mmr.head % 3 shouldBe 0L                     // first pick is still pure relevance
+    }
+    it("lambda = 1 reduces exactly to relevance top-k, and is partition-invariant") {
+      val df = corpus3(30)
+      val qs = df.where("vec_id < 3")
+      val mmr = Similarity.mmrRerank(df, qs, "vec_id", "embedding",
+        poolK = 10, selectK = 5, lambdaNum = 1, lambdaDen = 1)
+        .as[(Long, Long, Long)].collect().toSet
+      val pure = Similarity.bruteForceTopK(df, qs, "vec_id", "embedding", k = 5)
+        .as[(Long, Long, Long)].collect().toSet
+      mmr shouldBe pure
+      Similarity.mmrRerank(df.repartition(7), qs, "vec_id", "embedding",
+        poolK = 10, selectK = 5, lambdaNum = 1, lambdaDen = 1)
+        .as[(Long, Long, Long)].collect().toSet shouldBe mmr
+    }
+    it("rejects selectK > poolK and a lambda outside [0, 1]") {
+      val df = corpus3(6)
+      an[IllegalArgumentException] should be thrownBy
+        Similarity.mmrRerank(df, df, "vec_id", "embedding", poolK = 3, selectK = 4)
+      an[IllegalArgumentException] should be thrownBy
+        Similarity.mmrRerank(df, df, "vec_id", "embedding", poolK = 3, selectK = 2,
+          lambdaNum = 3, lambdaDen = 2)
+    }
+  }
+
   describe("exact-baseline capacity guards (ExactGuard)") {
     import graft.operators.Similarity.ExactGuard
     it("bruteForceTopK throws past the scored-pairs bound and names the LSH twin") {
