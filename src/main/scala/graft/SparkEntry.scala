@@ -1855,6 +1855,23 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Incremental ANN ingest: the index is built from HALF the corpus,
+    // the other half APPENDS into its cell partitions against the frozen
+    // centroids (no rewrite, no re-cluster), and the probe must rank
+    // exactly as if the whole corpus had been indexed at once — oracle
+    // identical to q_knn_ivf_serve.
+    "q_knn_ivf_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val mid = emb.agg(max(col("vec_id").cast("long"))).head.getLong(0) / 2
+      val tmp = java.nio.file.Files.createTempDirectory("ivf_idx_app_").toString
+      Similarity.persistIvfIndex(emb.where(col("vec_id") <= mid), "vec_id", "embedding",
+        graft.operators.IvfPinned.centroids, tmp)
+      Similarity.appendToIvfIndex(emb.where(col("vec_id") > mid), "vec_id", "embedding", tmp)
+      Similarity.ivfTopKFromPersisted(s, tmp, emb.where("vec_id < 5"), "vec_id", "embedding",
+          k = 10, nprobe = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
     // The composition a 100-TB embedding store actually serves: the corpus
     // is PERSISTED int8-quantized (4× smaller scan), dequantized at scoring
     // time, and searched via IVF probe (nprobe ≪ nlist, pinned centroids).
@@ -2013,6 +2030,25 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_sigidx_").toString
       Dedup.persistSignatureIndex(
         Dedup.buildSignatureIndex(all.where(col("doc_id") <= splitId), "text", "doc_id"), tmp)
+      Dedup.matchVsPersistedIndex(all.where(col("doc_id") > splitId), "text", "doc_id", tmp)
+        .select(col("doc_id"), col("matched_id"),
+          round(col("est_jaccard") * 32).cast("long").as("est_32"))
+        .orderBy("doc_id", "matched_id")
+    }),
+
+    // Right-to-be-forgotten on the persisted index: every doc_id ≡ 0
+    // (mod 3) is tombstoned (O(|deleted|) logical delete — no index
+    // partition rewritten; the probe anti-joins the broadcast tombstone
+    // set), so the serve-time matches are exactly q_dedup_index_serve's
+    // minus pairs whose matched side was deleted.
+    "q_dedup_index_delete" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sigidx_del_").toString
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(all.where(col("doc_id") <= splitId), "text", "doc_id"), tmp)
+      Dedup.deleteFromPersistedIndex(
+        all.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", tmp)
       Dedup.matchVsPersistedIndex(all.where(col("doc_id") > splitId), "text", "doc_id", tmp)
         .select(col("doc_id"), col("matched_id"),
           round(col("est_jaccard") * 32).cast("long").as("est_32"))
@@ -3722,6 +3758,10 @@ object SparkEntry {
       // details of the same probe contract — oracle identical.
       "q_knn_ivf_serve" -> ivfProbeOracleSql,
 
+      // Build-half/append-half must rank exactly like build-all: the
+      // frozen centroids make assignment independent of ingest order.
+      "q_knn_ivf_append" -> ivfProbeOracleSql,
+
       // Streamed-query ANN serving against the same persisted index:
       // per-query rankings are micro-batch independent — oracle identical.
       "q_knn_ivf_serve_stream" -> ivfProbeOracleSql,
@@ -3871,6 +3911,13 @@ object SparkEntry {
         s"""WITH ${incrementalCte(hsh3, hashI)}
            |SELECT nid AS doc_id, oid AS matched_id, CAST(k AS BIGINT) AS est_32
            |FROM matched ORDER BY doc_id, matched_id""".stripMargin,
+
+      // Tombstoned ids can never match: the serve oracle minus pairs whose
+      // index side is ≡ 0 (mod 3).
+      "q_dedup_index_delete" ->
+        s"""WITH ${incrementalCte(hsh3, hashI)}
+           |SELECT nid AS doc_id, oid AS matched_id, CAST(k AS BIGINT) AS est_32
+           |FROM matched WHERE oid % 3 <> 0 ORDER BY doc_id, matched_id""".stripMargin,
 
       // Disk round trip + partition pruning are implementation details of
       // the same match contract — oracle identical to the in-memory form.

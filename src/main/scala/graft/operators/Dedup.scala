@@ -1177,13 +1177,49 @@ object Dedup {
         .coalesce(1).write.mode("overwrite").parquet(metaPath(path))
   }
 
+  private def tombstonePath(path: String) = s"$path/_graft_tombstones"
+
+  /** LOGICAL deletes for a persisted signature index — the
+    * right-to-be-forgotten lifecycle a long-lived dedup index needs. A
+    * doc's signature lives in EVERY band row, i.e. spread across ALL
+    * bucket partitions, so an eager delete would rewrite the whole index;
+    * instead the ids append to a tombstone file under the index root
+    * (`_`-prefixed — parquet readers of the index skip it as metadata,
+    * like the meta dir) and every read path anti-joins the
+    * broadcast-small set. Delete cost: O(|deleted ids|), zero index
+    * partitions touched. Reclaim space when the set grows by rebuilding
+    * the index from surviving docs (persist(overwrite) drops tombstones).
+    */
+  def deleteFromPersistedIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(tombstonePath(path))
+
+  /** The index's tombstoned ids, if any were ever deleted. */
+  def indexTombstones(spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
+    val p  = new org.apache.hadoop.fs.Path(tombstonePath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select(col("doc_id")).distinct())
+    else None
+  }
+
+  private def dropTombstoned(idx: DataFrame, joinCol: String, path: String): DataFrame =
+    indexTombstones(idx.sparkSession, path) match {
+      case Some(ts) =>
+        idx.join(org.apache.spark.sql.functions.broadcast(ts),
+          idx(joinCol) === ts("doc_id"), "left_anti")
+      case None => idx
+    }
+
   /** Reload the COMPACT `(doc_id, sig)` index from a persisted banded one
     * (each doc stores its full signature in every band row — band 0 alone
-    * recovers the exact [[buildSignatureIndex]] frame). The nightly-batch
-    * re-entry point: feed to [[incrementalDedup]].
+    * recovers the exact [[buildSignatureIndex]] frame), minus any
+    * tombstoned docs. The nightly-batch re-entry point: feed to
+    * [[incrementalDedup]].
     */
   def loadSignatureIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).where(col("band") === 0).select("doc_id", "sig")
+    dropTombstoned(
+      spark.read.parquet(path).where(col("band") === 0).select("doc_id", "sig"),
+      "doc_id", path)
 
   /** Match a new batch against a PERSISTED banded index, reading only the
     * partitions the batch's own band keys hash to — the serving probe of a
@@ -1218,9 +1254,11 @@ object Dedup {
     val empty = spark.emptyDataset[(Long, Long, Double)].toDF("doc_id", "matched_id", "est_jaccard")
     if (touched.isEmpty) empty
     else {
-      val idx = spark.read.parquet(indexPath)
-        .where(col("bucket").isin(touched.map(b => b: Any): _*))
-        .select(col("doc_id").as("oid"), col("sig").as("osig"), col("bucket"), col("band"), col("key"))
+      val idx = dropTombstoned(
+        spark.read.parquet(indexPath)
+          .where(col("bucket").isin(touched.map(b => b: Any): _*))
+          .select(col("doc_id").as("oid"), col("sig").as("osig"), col("bucket"), col("band"), col("key")),
+        "oid", indexPath)
       val estU = udf { (a: Seq[Long], b: Seq[Long]) => estimateJaccard(a.toArray, b.toArray) }
       nbd.join(idx, Seq("bucket", "band", "key"))
         // A pair colliding in k bands appears k times with identical sigs —

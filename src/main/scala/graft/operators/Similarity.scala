@@ -604,6 +604,25 @@ object Similarity {
     saveCentroids(spark, centroids, s"$path/_graft_centroids")
   }
 
+  /** Incremental ingest into a [[persistIvfIndex]] directory: the new
+    * batch is assigned against the index's OWN frozen centroids and its
+    * rows append into their cell partitions — no existing file rewritten,
+    * no re-clustering, one shuffle on the batch (the continuously-growing
+    * embedding store's nightly write). Drift caveat: appended mass does
+    * not move the centroids; retrain + overwrite when cell balance decays.
+    */
+  def appendToIvfIndex(
+      newBatch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String
+  ): Unit = {
+    val cents = loadCentroids(newBatch.sparkSession, s"$path/_graft_centroids")
+    ivfAssign(newBatch.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), "vec", cents)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   /** [[ivfTopKWith]] served from a [[persistIvfIndex]] directory with
     * PARTITION-PRUNED cell reads: the query batch's probe cells (distinct,
     * ≤ queries × nprobe values, collected driver-side — they are cell ids,

@@ -867,6 +867,20 @@ class OperatorsSpec extends SparkSpec {
         Similarity.ivfTopK(df, df.where("vec_id < 4"), "vec_id", "embedding", k = 5, nlist = 4, nprobe = 2)
           .as[(Long, Long, Long)].collect().toSet
     }
+    it("appendToIvfIndex: build-half + append-half serves exactly like build-all") {
+      val df    = corpus(60)
+      val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", nlist = 4)
+      val t1 = java.nio.file.Files.createTempDirectory("ivf_app_a_").toString
+      val t2 = java.nio.file.Files.createTempDirectory("ivf_app_b_").toString
+      Similarity.persistIvfIndex(df.where("vec_id < 30"), "vec_id", "embedding", cents, t1)
+      Similarity.appendToIvfIndex(df.where("vec_id >= 30"), "vec_id", "embedding", t1)
+      Similarity.persistIvfIndex(df, "vec_id", "embedding", cents, t2)
+      val qs = df.where("vec_id < 4")
+      Similarity.ivfTopKFromPersisted(spark, t1, qs, "vec_id", "embedding", k = 5, nprobe = 2)
+        .as[(Long, Long, Long)].collect().toSet shouldBe
+        Similarity.ivfTopKFromPersisted(spark, t2, qs, "vec_id", "embedding", k = 5, nprobe = 2)
+          .as[(Long, Long, Long)].collect().toSet
+    }
     it("IvfPinned is exactly what retraining on its fixture produces") {
       // The frozen serving quantizer (q_knn_ivf_probe) is generated, not
       // hand-made: retraining on the recorded fixture must reproduce every

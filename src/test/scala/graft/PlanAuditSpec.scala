@@ -199,6 +199,41 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("DSIR importanceScore is scan-local: zero shuffles, zero joins, no UDF") {
+      assume(new java.io.File(sfDir).isDirectory)
+      withoutAqe {
+        import graft.operators.Sampling
+        val docs  = Tpch.table(spark, sfDir, "documents")
+        val model = Sampling.importanceModel(docs, "text", col("lang") === "en")
+        // The serving plan: score every doc against the literal-array model.
+        val scored = docs.select(col("doc_id"),
+          Sampling.importanceScore(model, col("text")).as("weight_fp"))
+        val p = executed(scored)
+        shuffles(p) shouldBe 0
+        p.toString should not include "Join"
+        p.toString should not include "BatchEvalPython"
+        p.collect { case b: org.apache.spark.sql.execution.python.ArrowEvalPythonExec => b } shouldBe empty
+      }
+    }
+
+    it("mmrRerank reuses the query_id partitioning: window + groupBy share ONE exchange per side") {
+      withoutAqe {
+        import graft.operators.Similarity
+        val df = Seq.tabulate(40) { i =>
+          (i.toLong, Array.tabulate(4)(d => ((i * 7 + d * 3) % 5 + 1).toFloat))
+        }.toDF("vec_id", "embedding")
+        val out = Similarity.mmrRerank(df, df.where("vec_id < 3"), "vec_id", "embedding",
+          poolK = 8, selectK = 3)
+        // Pool window partitions by query_id; the greedy's groupBy(query_id)
+        // hashes on the same key — Catalyst must NOT insert a second
+        // exchange between them. Expected: the scored-join's exchanges plus
+        // exactly one query_id exchange (2 total with a broadcast join, 3
+        // if both join sides shuffle) — the budget pins "no extra shuffle
+        // for the greedy", the claim in the scaladoc.
+        shuffles(executed(out)) should be <= 3
+      }
+    }
+
     it("top-N compiles to TakeOrderedAndProject, not a global sort") {
       assume(new java.io.File(sfDir).isDirectory)
       withoutAqe {
@@ -276,6 +311,40 @@ class PlanAuditSpec extends SparkSpec {
         Dedup.persistSignatureIndex(
           Dedup.buildSignatureIndex(mk(200L, 230L), "text", "doc_id"), tmp, append = true)
         Dedup.loadSignatureIndex(spark, tmp).count() shouldBe 230L
+      } finally {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(new java.io.File(tmp))
+      }
+    }
+
+    it("tombstone deletes: probe and reload drop deleted ids; accumulate; rebuild clears") {
+      import graft.operators.Dedup
+      val mk = (lo: Long, hi: Long) => spark.range(lo, hi).toDF("doc_id")
+        .withColumn("text", concat(lit("document body w"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(" tail "), col("doc_id").cast("string")))
+      val tmp = java.nio.file.Files.createTempDirectory("sigidx_del_").toString
+      try {
+        Dedup.persistSignatureIndex(Dedup.buildSignatureIndex(mk(0L, 200L), "text", "doc_id"), tmp)
+        val before = Dedup.matchVsPersistedIndex(mk(200L, 230L), "text", "doc_id", tmp)
+          .select("matched_id").as[Long].collect().toSet
+        before should not be empty
+        val victims = before.take(2)
+        Dedup.deleteFromPersistedIndex(victims.toSeq.toDF("doc_id"), "doc_id", tmp)
+        val after = Dedup.matchVsPersistedIndex(mk(200L, 230L), "text", "doc_id", tmp)
+          .select("matched_id").as[Long].collect().toSet
+        after shouldBe (before -- victims) // deleted gone, everything else untouched
+        // Reload honors tombstones too; deletes accumulate across calls.
+        Dedup.loadSignatureIndex(spark, tmp).count() shouldBe (200L - victims.size)
+        Dedup.deleteFromPersistedIndex(Seq(0L).toDF("doc_id"), "doc_id", tmp)
+        Dedup.loadSignatureIndex(spark, tmp).count() shouldBe (200L - victims.size - 1)
+        // A full rebuild (overwrite persist of the surviving docs) is the
+        // compaction path — it clears the tombstone set.
+        Dedup.persistSignatureIndex(
+          Dedup.buildSignatureIndex(mk(0L, 50L), "text", "doc_id"), tmp)
+        Dedup.indexTombstones(spark, tmp) shouldBe None
+        Dedup.loadSignatureIndex(spark, tmp).count() shouldBe 50L
       } finally {
         def rm(p: java.io.File): Unit = {
           Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
