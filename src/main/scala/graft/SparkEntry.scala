@@ -2293,6 +2293,23 @@ object SparkEntry {
         .select("doc_id", "weight_fp")
         .orderBy(col("weight_fp").desc, col("doc_id"))),
 
+    // Fixed-SIZE per-stratum sample: exactly 20 docs per language by
+    // deterministic hash order — the balanced eval-set builder
+    // (stratifiedSample keeps fractions; this keeps counts).
+    "q_sample_fixed_strata" -> ((s, dir) =>
+      Sampling.fixedSizeStratified(t(s, dir, "documents"), "doc_id", "lang", k = 20)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")),
+
+    // Length-bucketed batch formation: batch_id as if globally sorted by
+    // (n_chars, doc_id) and cut every 32 rows — near-equal-length batches
+    // minimize padding. Computed WITHOUT a global sort (two-phase
+    // bucket + offset decomposition); the oracle IS the global sort.
+    "q_batch_bucketed" -> ((s, dir) =>
+      Sampling.lengthBucketedBatches(t(s, dir, "documents"), "doc_id", "n_chars", batchSize = 32)
+        .select("doc_id", "n_chars", "global_pos", "batch_id")
+        .orderBy("doc_id")),
+
     // Forward as-of: each purchase matched to the user's NEXT click
     // at-or-after it (same one-shuffle shape, descending time order).
     "q_asof_forward" -> ((s, dir) => {
@@ -4295,6 +4312,21 @@ object SparkEntry {
            |      GROUP BY 1)
            |SELECT doc_id, weight_fp FROM w
            |ORDER BY weight_fp DESC, doc_id LIMIT 50""".stripMargin,
+
+      // Per-stratum rank by the id-hash order, cut at k = 20.
+      "q_sample_fixed_strata" ->
+        s"""SELECT doc_id, lang FROM (
+           |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+           |    ORDER BY ${hashSql("CAST(doc_id AS VARCHAR)")} % 1000000, doc_id) AS rk
+           |  FROM documents) WHERE rk <= 20
+           |ORDER BY lang, doc_id""".stripMargin,
+
+      // The oracle IS the global sort the two-phase plan avoids.
+      "q_batch_bucketed" ->
+        s"""SELECT doc_id, n_chars,
+           |  CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS global_pos,
+           |  CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1) // 32 AS BIGINT) AS batch_id
+           |FROM documents ORDER BY doc_id""".stripMargin,
 
       // The streamed serving form scores EVERY doc (no top-quota — global
       // top-k is not an Append-mode shape); same model replay, keyed scan.

@@ -255,6 +255,73 @@ object Sampling {
       .drop("_so_h", "_so_bucket", "_so_rank", "_so_offset")
   }
 
+  /** Fixed-SIZE per-stratum sampling (the eval-set builder): exactly
+    * `k` rows from every value of `strataCol` (all of them when a stratum
+    * is smaller), chosen by the deterministic id-hash order — the
+    * retry-stable equivalent of a per-stratum reservoir sample, without
+    * reservoir state: rank-by-hash within the stratum is a pure window.
+    * [[stratifiedSample]] keeps a FRACTION per stratum; this keeps a
+    * COUNT — what a balanced eval/holdout set wants. One shuffle (the
+    * stratum window); the hash order also makes the kept set NESTED:
+    * fixedSizeStratified(k) ⊂ fixedSizeStratified(k+1).
+    */
+  def fixedSizeStratified(df: DataFrame, idCol: String, strataCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol)
+      .orderBy(hashBucket(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("_fs_rank", row_number().over(w))
+      .where(col("_fs_rank") <= k)
+      .drop("_fs_rank")
+  }
+
+  /** Length-bucketed batch formation for training export: every row gets
+    * the `batch_id` it would receive if the corpus were globally sorted by
+    * `(lenCol, idCol)` and cut into runs of `batchSize` — so each batch
+    * holds near-equal-length sequences and padding waste (per-batch max
+    * minus each member) is minimized, the standard bucketed-batching
+    * trick.
+    *
+    * The naive form — `row_number() OVER (ORDER BY len, id)` — plans as
+    * Exchange SinglePartition (one task sorts the corpus). This is the
+    * two-phase decomposition instead, the [[shuffleOrder]] doctrine
+    * applied to a VALUE ordering: fixed-width length slices are
+    * order-preserving buckets (any len-monotone bucketing reproduces the
+    * global order exactly), per-bucket local ranks are one window each,
+    * and driver-prefix-summed bucket counts (`lenBuckets` longs) offset
+    * them to global positions. Cost: one max-agg, one count-agg, one
+    * shuffle on the bucket. Returns the input plus `global_pos` and
+    * `batch_id`.
+    */
+  def lengthBucketedBatches(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      batchSize: Int,
+      lenBuckets: Int = 256
+  ): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    require(lenBuckets > 0 && lenBuckets <= (1 << 20), "lenBuckets must be in [1, 2^20]")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val maxLen = df.agg(coalesce(max(col(lenCol).cast("long")), lit(0L))).head.getLong(0)
+    val width  = math.max(1L, maxLen / lenBuckets + 1)
+    val bucketed = df.withColumn("_lb_bucket", (col(lenCol).cast("long") / width).cast("int"))
+    val counts = bucketed.groupBy("_lb_bucket").count()
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _))
+    val offsetsDf = broadcast(offsets.toSeq.toDF("_lb_bucket", "_lb_offset"))
+    bucketed
+      .withColumn("_lb_rank",
+        row_number().over(
+          Window.partitionBy("_lb_bucket").orderBy(col(lenCol).cast("long"), col(idCol))).cast("long") - 1L)
+      .join(offsetsDf, "_lb_bucket")
+      .withColumn("global_pos", col("_lb_offset") + col("_lb_rank"))
+      .withColumn("batch_id", (col("global_pos") / batchSize).cast("long"))
+      .drop("_lb_bucket", "_lb_rank", "_lb_offset")
+  }
+
   /** DSIR-style importance weights over hashed unigram features (Xie et
     * al., "Data Selection for Language Models via Importance Resampling",
     * NeurIPS 2023): every document is scored by how much more likely its

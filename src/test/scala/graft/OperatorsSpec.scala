@@ -1151,6 +1151,44 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Sampling.fixedSizeStratified / lengthBucketedBatches") {
+    import graft.operators.Sampling
+    it("keeps exactly k per stratum (all when smaller), nested in k, partition-invariant") {
+      val df = Seq.tabulate(300)(i => (i.toLong, s"s${i % 4}")).toDF("id", "src")
+        .union(Seq((1000L, "tiny"), (1001L, "tiny")).toDF("id", "src"))
+      val k10 = Sampling.fixedSizeStratified(df, "id", "src", k = 10)
+      k10.groupBy("src").count().as[(String, Long)].collect().toMap shouldBe
+        Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L, "s3" -> 10L, "tiny" -> 2L)
+      val k5  = Sampling.fixedSizeStratified(df, "id", "src", k = 5).select("id").as[Long].collect().toSet
+      val k10s = k10.select("id").as[Long].collect().toSet
+      k5.subsetOf(k10s) shouldBe true // hash order makes samples nested
+      Sampling.fixedSizeStratified(df.repartition(13), "id", "src", k = 10)
+        .select("id").as[Long].collect().toSet shouldBe k10s
+    }
+    it("lengthBucketedBatches equals the naive global sort exactly") {
+      import org.apache.spark.sql.expressions.Window
+      val df = Seq.tabulate(500)(i => (i.toLong, ((i * 37) % 90 + 1).toLong)).toDF("id", "len")
+      val got = Sampling.lengthBucketedBatches(df, "id", "len", batchSize = 16, lenBuckets = 8)
+        .select("id", "global_pos", "batch_id").as[(Long, Long, Long)].collect().toSet
+      val naive = df
+        .withColumn("global_pos",
+          row_number().over(Window.orderBy(col("len"), col("id"))).cast("long") - 1L)
+        .withColumn("batch_id", (col("global_pos") / 16).cast("long"))
+        .select("id", "global_pos", "batch_id").as[(Long, Long, Long)].collect().toSet
+      got shouldBe naive
+      // Padding property: within every batch the length spread is no wider
+      // than between the batch's neighbors in the global order (monotone
+      // cut) — max(len) of batch b <= min(len) of batch b+2.
+      val byBatch = Sampling.lengthBucketedBatches(df, "id", "len", batchSize = 16, lenBuckets = 8)
+        .groupBy("batch_id").agg(min("len").as("mn"), max("len").as("mx"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      byBatch.sliding(3).foreach {
+        case Array((_, _, mx0), _, (_, mn2, _)) => mx0 should be <= mn2
+        case _                                  => ()
+      }
+    }
+  }
+
   describe("Sampling.importanceWeights (DSIR)") {
     import graft.operators.Sampling
     // Two sharply different vocabularies: target-flavored docs repeat

@@ -234,6 +234,20 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("lengthBucketedBatches never plans a SinglePartition exchange (no global sort)") {
+      withoutAqe {
+        import graft.operators.Sampling
+        val df = spark.range(0, 2000).toDF("id")
+          .withColumn("len", pmod(col("id") * 37, lit(90)) + 1)
+        val out = Sampling.lengthBucketedBatches(df, "id", "len", batchSize = 32, lenBuckets = 16)
+        val p = executed(out)
+        p.collect {
+          case e: ShuffleExchangeExec
+            if e.outputPartitioning == org.apache.spark.sql.catalyst.plans.physical.SinglePartition => e
+        } shouldBe empty
+      }
+    }
+
     it("top-N compiles to TakeOrderedAndProject, not a global sort") {
       assume(new java.io.File(sfDir).isDirectory)
       withoutAqe {
