@@ -2333,6 +2333,46 @@ object SparkEntry {
         ).as("scrubbed")
       ).orderBy("doc_id")),
 
+    // C4-style blocklist safety filter over a derived text with planted
+    // hits (the corpus itself is clean): occurrence counts, case folded,
+    // plus the drop-on-any-hit keep flag.
+    "q_text_blocklist" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.blocklistHits(
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0, lit(" CONFIDENTIAL notice")).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0, lit(" secret secret internal")).otherwise(lit(""))),
+          Seq("confidential", "secret", "internal")).as("n_blocked"))
+        .withColumn("kept", col("n_blocked") === 0)
+        .orderBy("doc_id")),
+
+    // WITHIN-doc repeated-line removal over a derived doc with planted
+    // boilerplate repeats (first occurrence survives, order preserved).
+    "q_text_line_dedup_within" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.dedupLinesWithin(
+          concat(substring(col("text"), 1, 40), lit("\nFOOTER\n"),
+            substring(col("text"), 1, 40), lit("\n"), col("text"), lit("\nFOOTER"))
+        ).as("cleaned")
+      ).orderBy("doc_id")),
+
+    // Corpus diff between two snapshots: v2 drops ids ≡ 0 (mod 13),
+    // rewrites text for ids ≡ 0 (mod 7), and adds 10M-offset new docs —
+    // per-id added/removed/changed/unchanged by content MD5.
+    "q_corpus_diff" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents")
+      val v2 = v1.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+        .unionByName(v1.where(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+      TextAnalysis.corpusDiff(v1, v2, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Top-k salient terms per doc (integer-exact TF-IDF ranking).
     // CCNet-style calibrated quality filter: the LM threshold is the
     // corpus' own 70th percentile of milli-nat scores (exact — value
@@ -4355,6 +4395,48 @@ object SparkEntry {
           |SELECT p.user_id, p.event_id, p.ts_us, c.click_id AS asof_click_id, c.ts_us AS asof_ts_us
           |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us <= c.ts_us
           |ORDER BY p.event_id""".stripMargin,
+
+      // Planted-hit blocklist replay (same derived text, same frozen list,
+      // lowercase fold, occurrence counting).
+      "q_text_blocklist" -> {
+        val derived = "text || CASE WHEN doc_id % 5 = 0 THEN ' CONFIDENTIAL notice' ELSE '' END" +
+          " || CASE WHEN doc_id % 11 = 0 THEN ' secret secret internal' ELSE '' END"
+        s"""SELECT doc_id, n_blocked, n_blocked = 0 AS kept FROM (
+           |  SELECT doc_id, CAST(len(list_filter(${tokensSql(s"($derived)")},
+           |    t -> list_contains(['confidential','secret','internal'], lower(t)))) AS BIGINT) AS n_blocked
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      // First-occurrence line filter: DuckDB's lambda index is 1-based and
+      // list_position returns the FIRST 1-based match — exactly Spark's
+      // array_position(l, x) = i + 1 with its 0-based index.
+      "q_text_line_dedup_within" -> {
+        val derived = "substr(text, 1, 40) || chr(10) || 'FOOTER' || chr(10) || " +
+          "substr(text, 1, 40) || chr(10) || text || chr(10) || 'FOOTER'"
+        s"""WITH d AS (SELECT doc_id, $derived AS t FROM documents)
+           |SELECT doc_id, array_to_string(
+           |  list_filter(str_split(t, chr(10)), (x, i) -> list_position(str_split(t, chr(10)), x) = i),
+           |  chr(10)) AS cleaned
+           |FROM d ORDER BY doc_id""".stripMargin
+      },
+
+      // Snapshot diff: status by direct text comparison (the Spark side's
+      // MD5 equality is content equality).
+      "q_corpus_diff" ->
+        s"""WITH v2 AS (
+           |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 13 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 10000000, 'new doc ' || CAST(doc_id AS VARCHAR)
+           |  FROM documents WHERE doc_id % 17 = 0)
+           |SELECT coalesce(d.doc_id, v2.doc_id) AS doc_id,
+           |  CASE WHEN d.doc_id IS NULL THEN 'added'
+           |       WHEN v2.doc_id IS NULL THEN 'removed'
+           |       WHEN d.text = v2.text THEN 'unchanged'
+           |       ELSE 'changed' END AS status
+           |FROM documents d FULL OUTER JOIN v2 ON d.doc_id = v2.doc_id
+           |ORDER BY doc_id""".stripMargin,
 
       "q_text_pii_scrub" -> {
         val email = graft.operators.TextAnalysis.EmailPattern.replace("'", "''")

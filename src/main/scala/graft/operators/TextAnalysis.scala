@@ -1371,4 +1371,53 @@ object TextAnalysis {
       }
       .toDF(idCol, "shard", "seq_id", "seq_offset")
   }
+
+  /** Blocklist hit count — the C4-style wordlist safety filter: how many
+    * whitespace tokens of `text` match the frozen `words` list
+    * (case-insensitive, occurrences not distinct words; the classic
+    * policy drops any page with ≥ 1 hit). Pure codegen'd higher-order
+    * projection against an array literal — scan-local, no join, no UDF;
+    * the word list is policy-owned and passed in, never baked in.
+    * Null text → 0.
+    */
+  def blocklistHits(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "empty blocklist")
+    val wl = array(words.map(w => lit(w.toLowerCase)): _*)
+    coalesce(
+      size(filter(Dedup.tokens(text), t => array_contains(wl, lower(t)))).cast("long"),
+      lit(0L))
+  }
+
+  /** WITHIN-document repeated-line removal (the Gopher/MassiveText
+    * repetition cleanup, distinct from corpus-level [[dedupRepeatedLines]]):
+    * every line keeps only its FIRST occurrence inside the same document,
+    * order otherwise preserved. Pure per-row array expression
+    * (`filter` with index + `array_position` first-occurrence test) —
+    * scan-local, embarrassingly parallel, streaming-legal. Null → null.
+    */
+  def dedupLinesWithin(text: Column): Column = {
+    val lines = split(text, "\n", -1)
+    array_join(
+      filter(lines, (l, i) => array_position(lines, l) === (i.cast("long") + 1L)),
+      "\n")
+  }
+
+  /** Corpus diff between two snapshots: per id, `added` / `removed` /
+    * `changed` / `unchanged` by content MD5 — the audit step between two
+    * versions of a continuously-rebuilt corpus (what changed since the
+    * last training run?). One full-outer join on the id; fingerprints are
+    * computed scan-side so the join carries 32-char digests, not
+    * documents.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("_cd_old"))
+    val n = newDf.select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("_cd_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("_cd_old").isNull, lit("added"))
+          .when(col("_cd_new").isNull, lit("removed"))
+          .when(col("_cd_old") === col("_cd_new"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col("id").as(idCol), col("status"))
+  }
 }

@@ -1151,6 +1151,38 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("TextAnalysis.blocklistHits / dedupLinesWithin / corpusDiff") {
+    import graft.operators.TextAnalysis
+    it("counts blocklist occurrences case-insensitively; null text scores 0") {
+      val df = Seq(
+        (1L, "Secret SECRET plan, keep secret"),
+        (2L, "nothing to see"),
+        (3L, null.asInstanceOf[String])
+      ).toDF("id", "text")
+      val got = df.select(col("id"),
+        TextAnalysis.blocklistHits(col("text"), Seq("secret")).as("n"))
+        .as[(Long, Long)].collect().toMap
+      got(1L) shouldBe 3L // Secret/SECRET/secret all fold; 'plan,'-style attached punct is NOT a hit
+      got(2L) shouldBe 0L
+      got(3L) shouldBe 0L
+      an[IllegalArgumentException] should be thrownBy TextAnalysis.blocklistHits(col("text"), Nil)
+    }
+    it("dedupLinesWithin keeps first occurrences in order and is idempotent") {
+      val df  = Seq((1L, "a\nb\na\nc\nb\na")).toDF("id", "text")
+      val one = df.select(TextAnalysis.dedupLinesWithin(col("text")).as("t")).head.getString(0)
+      one shouldBe "a\nb\nc"
+      Seq((1L, one)).toDF("id", "text")
+        .select(TextAnalysis.dedupLinesWithin(col("text")).as("t")).head.getString(0) shouldBe one
+    }
+    it("corpusDiff classifies added/removed/changed/unchanged") {
+      val v1 = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
+      val v2 = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("doc_id", "text")
+      TextAnalysis.corpusDiff(v1, v2, "doc_id", "text")
+        .as[(Long, String)].collect().toMap shouldBe
+        Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added")
+    }
+  }
+
   describe("Sampling.fixedSizeStratified / lengthBucketedBatches") {
     import graft.operators.Sampling
     it("keeps exactly k per stratum (all when smaller), nested in k, partition-invariant") {
