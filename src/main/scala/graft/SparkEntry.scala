@@ -1321,6 +1321,22 @@ object SparkEntry {
         .select("event_id", "event_type", "fp")
         .orderBy("event_id")),
 
+    // ROLLING per-user outlier monitor (the streaming-adjacent sibling of
+    // the global q_outliers): each event tested against its user's 10
+    // preceding events only — no self-leakage, integer-exact z-test
+    // cleared of division/sqrt, cold start (< 5 predecessors) never
+    // flags.
+    "q_events_rolling_outlier" -> ((s, dir) => {
+      val ev = Tpch.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        floor(col("value").cast("double") * 100 + lit(0.5)).cast("long").as("cents"))
+      graft.operators.EventAnalytics.rollingOutliers(
+          ev, "user_id", Seq("ts_us", "event_id"), "cents")
+        .select("event_id", "user_id", "is_outlier")
+        .orderBy("event_id")
+    }),
+
     // Relational breadth: FULL OUTER join (positive-balance customers vs
     // per-customer order aggregates — unmatched rows survive both sides).
     "q_full_outer" -> ((s, dir) => {
@@ -1637,6 +1653,21 @@ object SparkEntry {
           |WHERE (CAST(n AS HUGEINT) * fp - s) * (CAST(n AS HUGEINT) * fp - s)
           |      > 9 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
           |ORDER BY event_id""".stripMargin,
+
+      // Rolling window twin: the same cleared z-test over the 10-preceding
+      // frame (sums fit BIGINT at the bounded cents domain — asserted by
+      // the Spark side sharing the arithmetic). Empty-frame sums are NULL
+      // on both engines; n >= 5 short-circuits them to false identically.
+      "q_events_rolling_outlier" ->
+        """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          |  CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v FROM events),
+          |s AS (SELECT event_id, user_id, v,
+          |  count(*) OVER wnd AS n, sum(v) OVER wnd AS s1, sum(v * v) OVER wnd AS s2
+          |  FROM ev WINDOW wnd AS (PARTITION BY user_id ORDER BY ts_us, event_id
+          |                         ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+          |SELECT event_id, user_id,
+          |  coalesce(n >= 5 AND (v * n - s1) * (v * n - s1) > 9 * (n * s2 - s1 * s1), false) AS is_outlier
+          |FROM s ORDER BY event_id""".stripMargin,
 
       "q_full_outer" ->
         """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0),
@@ -2450,6 +2481,28 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("bm25_bidx_").toString
       TextAnalysis.persistBm25Index(
         TextAnalysis.buildBm25Index(t(s, dir, "documents"), "text", "doc_id"), tmp)
+      val q = Seq(
+        (1L, "spark join window"), (2L, "hash merge sort batch"),
+        (3L, "customer filter query"), (4L, "scan"), (5L, "stream data value key")
+      ).toDF("query_id", "q_text")
+      TextAnalysis.bm25TopKFromPersisted(s, tmp, q, "query_id", "q_text", k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // BM25 incremental ingest: build on HALF the corpus, append the other
+    // half's postings/partial term stats/doc lengths (no rewrite), serve —
+    // must rank exactly like a full build (idf/avgdl derive from the
+    // additive stored stats at serve time). Completes the index-lifecycle
+    // trio with the signature and IVF appends. Oracle = the retrieval
+    // oracle verbatim.
+    "q_bm25_index_append" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val mid = docs.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
+      val tmp = java.nio.file.Files.createTempDirectory("bm25_aidx_").toString
+      TextAnalysis.persistBm25Index(
+        TextAnalysis.buildBm25Index(docs.where(col("doc_id") <= mid), "text", "doc_id"), tmp)
+      TextAnalysis.appendToBm25Index(docs.where(col("doc_id") > mid), "text", "doc_id", tmp)
       val q = Seq(
         (1L, "spark join window"), (2L, "hash merge sort batch"),
         (3L, "customer filter query"), (4L, "scan"), (5L, "stream data value key")
@@ -4501,6 +4554,9 @@ object SparkEntry {
       // Term-bucket partition pruning is an implementation detail of the
       // same retrieval contract — oracle identical.
       "q_bm25_index_pruned" -> bm25OracleSql,
+
+      // Append-then-serve must equal build-all-then-serve: same oracle.
+      "q_bm25_index_append" -> bm25OracleSql,
 
       // Streamed-query serving against the same persisted index: per-query
       // rankings are micro-batch independent — oracle identical.

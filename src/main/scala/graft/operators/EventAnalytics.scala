@@ -187,4 +187,47 @@ object EventAnalytics {
         last(col("_val"), ignoreNulls = true).over(w).as("value"),
         coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
+
+  /** Rolling per-key outlier monitor, INTEGER-exact: each event is tested
+    * against the `lookback` PRECEDING events of its key (current row
+    * excluded — no self-leakage), flagging when its deviation exceeds
+    * `zThreshold` standard deviations. The z-test is algebraically
+    * cleared of division and sqrt so it evaluates entirely in BIGINTs
+    * from window sums of the fixed-point value:
+    *
+    *   (v·n − S₁)²  >  z² · (n·S₂ − S₁²)
+    *
+    * (both sides n²·var-scaled; S₁/S₂ = rolling sum / sum of squares).
+    * No floating point anywhere → engine-exact, partition-order-proof.
+    * Rows with fewer than `minPoints` predecessors are never flagged
+    * (cold start). One shuffle (the key window).
+    */
+  def rollingOutliers(
+      events: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      valueFpCol: String,
+      lookback: Int = 10,
+      minPoints: Int = 5,
+      zThreshold: Int = 3
+  ): DataFrame = {
+    require(lookback >= minPoints && minPoints >= 2, "need lookback >= minPoints >= 2")
+    require(zThreshold >= 1, "zThreshold must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-lookback, -1)
+    val v  = col(valueFpCol).cast("long")
+    val n  = count(lit(1)).over(w)
+    val s1 = sum(v).over(w)
+    val s2 = sum(v * v).over(w)
+    events
+      .withColumn("_ro_n", n)
+      .withColumn("_ro_dev2", (v * col("_ro_n") - s1) * (v * col("_ro_n") - s1))
+      .withColumn("_ro_nvar", col("_ro_n") * s2 - s1 * s1)
+      .withColumn("is_outlier",
+        col("_ro_n") >= minPoints &&
+          col("_ro_dev2") > lit(zThreshold.toLong * zThreshold) * col("_ro_nvar"))
+      .drop("_ro_n", "_ro_dev2", "_ro_nvar")
+  }
 }

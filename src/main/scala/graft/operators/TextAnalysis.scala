@@ -919,6 +919,35 @@ object TextAnalysis {
     * the query's terms, so delegating to [[bm25TopKFromIndex]] returns the
     * identical ranking (gate shares the retrieval oracle verbatim).
     */
+  /** Incremental ingest into a [[persistBm25Index]] directory — the
+    * lifecycle twin of [[graft.operators.Dedup.persistSignatureIndex]]'s
+    * append and [[graft.operators.Similarity.appendToIvfIndex]]: the new
+    * batch's postings/partial-term-stats/doc-lengths APPEND into their
+    * term buckets (no file rewritten, no existing posting touched).
+    * Works because the index stores RAW additive statistics — tf rows,
+    * per-batch doc_freq partials (merged on read by
+    * [[bm25TopKFromPersisted]]), per-doc lengths — and idf/avgdl are
+    * derived at serve time, so append-then-serve ranks EXACTLY like
+    * rebuild-then-serve. Contract: batches carry NEW doc ids (a re-sent
+    * id would double its postings, like the signature-index append).
+    */
+  def appendToBm25Index(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String
+  ): Unit = {
+    val spark = newDocs.sparkSession
+    val termBuckets = spark.read.parquet(s"$path/_graft_meta").select("termBuckets").head.getInt(0)
+    val inc    = buildBm25Index(newDocs, textCol, idCol)
+    val bucket = pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int").as("bucket")
+    inc.postings.withColumn("bucket", bucket).repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    inc.terms.withColumn("bucket", bucket).repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/terms")
+    inc.docs.write.mode("append").parquet(s"$path/docs")
+  }
+
   def bm25TopKFromPersisted(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -940,7 +969,12 @@ object TextAnalysis {
     bm25TopKFromIndex(
       Bm25Index(
         prune(spark.read.parquet(s"$path/postings")).drop("bucket"),
-        prune(spark.read.parquet(s"$path/terms")).drop("bucket"),
+        // Term stats are stored ADDITIVELY (an append writes partial
+        // doc_freq rows for its batch); merge-on-read re-aggregates the
+        // PRUNED slice — identity for a never-appended index, a few rows
+        // per query term otherwise. The log-structured-merge shape.
+        prune(spark.read.parquet(s"$path/terms")).drop("bucket")
+          .groupBy("term").agg(sum("doc_freq").as("doc_freq")),
         spark.read.parquet(s"$path/docs")),
       queries, queryIdCol, queryTextCol, k, k1, b)
   }

@@ -207,6 +207,34 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  describe("EventAnalytics.rollingOutliers") {
+    import org.apache.spark.sql.functions._
+    it("flags a spike against its preceding window only; cold start never flags") {
+      // Key 'a': 8 near-constant values, then a spike, then normal again.
+      val rows = (1 to 8).map(i => ("a", i.toLong, 100L + (i % 2))) ++
+        Seq(("a", 9L, 5000L), ("a", 10L, 100L)) ++
+        (1 to 3).map(i => ("b", i.toLong, 100L)) // too short to ever flag
+      val df = rows.toDF("k", "t", "v")
+      val out = graft.operators.EventAnalytics.rollingOutliers(
+        df, "k", Seq("t"), "v", lookback = 8, minPoints = 5)
+        .select("k", "t", "is_outlier")
+        .collect().map(r => ((r.getString(0), r.getLong(1)), r.getBoolean(2))).toMap
+      out(("a", 9L)) shouldBe true  // spike vs its 8 predecessors
+      (1 to 8).foreach(i => out(("a", i.toLong)) shouldBe false) // cold start + constants
+      // t=10 is normal-valued, but its window CONTAINS the spike → huge
+      // variance → not flagged either.
+      out(("a", 10L)) shouldBe false
+      (1 to 3).foreach(i => out(("b", i.toLong)) shouldBe false)
+    }
+    it("zero-variance window flags any deviation, never the same value") {
+      val rows = (1 to 6).map(i => ("k", i.toLong, 50L)) ++ Seq(("k", 7L, 51L), ("k", 8L, 50L))
+      val out = graft.operators.EventAnalytics.rollingOutliers(
+        rows.toDF("k", "t", "v"), "k", Seq("t"), "v", lookback = 6, minPoints = 5)
+        .where(col("is_outlier")).select("t").as[Long].collect()
+      out shouldBe Array(7L) // dev² > 0 = z²·0; t=8's window has var > 0 now but tiny dev
+    }
+  }
+
   describe("Privacy.noisySums") {
     it("clamps per-unit contributions, quantizes to the clamp lattice, adds the shared noise") {
       // unit 1 contributes 150 fp (clamped to 100); unit 2 contributes 30.

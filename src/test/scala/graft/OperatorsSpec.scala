@@ -357,6 +357,26 @@ class OperatorsSpec extends SparkSpec {
       served.sortBy(x => (x._1, x._3)) shouldBe r.sortBy(x => (x._1, x._3))
     }
 
+    it("appendToBm25Index: build-half + append-half serves exactly like build-all") {
+      import graft.operators.TextAnalysis
+      val docs = Seq.tabulate(40) { i =>
+        (i.toLong, s"doc term${i % 7} term${i % 3} shared corpus body ${i}x")
+      }.toDF("doc_id", "text")
+      val qs = Seq((1L, "term2 shared"), (2L, "term5 corpus")).toDF("query_id", "q_text")
+      val t1 = java.nio.file.Files.createTempDirectory("bm25_app_a_").toString
+      val t2 = java.nio.file.Files.createTempDirectory("bm25_app_b_").toString
+      TextAnalysis.persistBm25Index(
+        TextAnalysis.buildBm25Index(docs.where("doc_id < 20"), "text", "doc_id"), t1)
+      TextAnalysis.appendToBm25Index(docs.where("doc_id >= 20"), "text", "doc_id", t1)
+      TextAnalysis.persistBm25Index(TextAnalysis.buildBm25Index(docs, "text", "doc_id"), t2)
+      // idf/avgdl derive from the merged additive stats — scores, not just
+      // ranks, must be bit-identical.
+      TextAnalysis.bm25TopKFromPersisted(spark, t1, qs, "query_id", "q_text", k = 10)
+        .as[(Long, Long, Long, Long)].collect().toSet shouldBe
+        TextAnalysis.bm25TopKFromPersisted(spark, t2, qs, "query_id", "q_text", k = 10)
+          .as[(Long, Long, Long, Long)].collect().toSet
+    }
+
     it("tokenBudgetPerDomain keeps the inclusive prefix; salted path is result-identical incl. the blocker case") {
       import graft.operators.TextAnalysis
       // Domain a: 50+40 fit a 100 budget, +30 would overflow (120 > 100) —
