@@ -481,6 +481,12 @@ object SparkEntry {
     "q_events_enrich_stream" -> ((s, dir) =>
       graft.streaming.StreamGates.enrichViaStream(s, dir)),
 
+    // Streaming rolling z-monitor: lookback-bounded per-user state, the
+    // same integer-exact test as the batch window form — shares
+    // q_events_rolling_outlier's oracle verbatim.
+    "q_events_rolling_outlier_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.rollingOutlierViaStream(s, dir)),
+
     // Streaming serving of incremental dedup: new docs streamed through
     // per-batch partition-pruned probes of the persisted signature index.
     // Shares q_dedup_incremental_matches' oracle verbatim.
@@ -1669,6 +1675,18 @@ object SparkEntry {
           |  coalesce(n >= 5 AND (v * n - s1) * (v * n - s1) > 9 * (n * s2 - s1 * s1), false) AS is_outlier
           |FROM s ORDER BY event_id""".stripMargin,
 
+      // Streamed through the per-key state machine — same contract.
+      "q_events_rolling_outlier_stream" ->
+        """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          |  CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v FROM events),
+          |s AS (SELECT event_id, user_id, v,
+          |  count(*) OVER wnd AS n, sum(v) OVER wnd AS s1, sum(v * v) OVER wnd AS s2
+          |  FROM ev WINDOW wnd AS (PARTITION BY user_id ORDER BY ts_us, event_id
+          |                         ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+          |SELECT event_id, user_id,
+          |  coalesce(n >= 5 AND (v * n - s1) * (v * n - s1) > 9 * (n * s2 - s1 * s1), false) AS is_outlier
+          |FROM s ORDER BY event_id""".stripMargin,
+
       "q_full_outer" ->
         """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0),
           |o AS (SELECT o_custkey, count(*) AS n_orders,
@@ -2486,6 +2504,38 @@ object SparkEntry {
         (3L, "customer filter query"), (4L, "scan"), (5L, "stream data value key")
       ).toDF("query_id", "q_text")
       TextAnalysis.bm25TopKFromPersisted(s, tmp, q, "query_id", "q_text", k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Document deletes on the persisted BM25 index: tombstoned ids vanish
+    // from postings AND from the global statistics (df recounted from the
+    // filtered postings, avgdl/N from the filtered docs) — serving scores
+    // as if the index had been built without them.
+    "q_bm25_index_delete" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("bm25_didx_").toString
+      TextAnalysis.persistBm25Index(TextAnalysis.buildBm25Index(docs, "text", "doc_id"), tmp)
+      TextAnalysis.deleteFromBm25Index(
+        docs.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", tmp)
+      val q = Seq(
+        (1L, "spark join window"), (2L, "hash merge sort batch"),
+        (3L, "customer filter query"), (4L, "scan"), (5L, "stream data value key")
+      ).toDF("query_id", "q_text")
+      TextAnalysis.bm25TopKFromPersisted(s, tmp, q, "query_id", "q_text", k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Vector deletes on the persisted IVF index: tombstoned ids can never
+    // be returned as neighbors (probe anti-joins the broadcast set; no
+    // cell partition rewritten).
+    "q_knn_ivf_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("ivf_idx_del_").toString
+      Similarity.persistIvfIndex(emb, "vec_id", "embedding", graft.operators.IvfPinned.centroids, tmp)
+      Similarity.deleteFromIvfIndex(emb.where(col("vec_id") % 3 === 0).select("vec_id"), "vec_id", tmp)
+      Similarity.ivfTopKFromPersisted(s, tmp, emb.where("vec_id < 5"), "vec_id", "embedding",
+          k = 10, nprobe = 4)
         .orderBy("query_id", "rnk")
     }),
 
@@ -3872,6 +3922,14 @@ object SparkEntry {
       // frozen centroids make assignment independent of ingest order.
       "q_knn_ivf_append" -> ivfProbeOracleSql,
 
+      // Tombstoned vectors vanish as NEIGHBORS; everyone else's cell
+      // assignment is per-vector and unchanged — the probe replay with the
+      // deleted side filtered out of the scored join.
+      "q_knn_ivf_delete" ->
+        ivfProbeOracleSql.replace(
+          "WHERE query_id <> neighbor_id)",
+          "WHERE query_id <> neighbor_id AND neighbor_id % 3 <> 0)"),
+
       // Streamed-query ANN serving against the same persisted index:
       // per-query rankings are micro-batch independent — oracle identical.
       "q_knn_ivf_serve_stream" -> ivfProbeOracleSql,
@@ -4557,6 +4615,11 @@ object SparkEntry {
 
       // Append-then-serve must equal build-all-then-serve: same oracle.
       "q_bm25_index_append" -> bm25OracleSql,
+
+      // Delete-then-serve must equal build-without-them: the same replay
+      // over the surviving corpus (df/avgdl/N all re-derived).
+      "q_bm25_index_delete" ->
+        bm25OracleSql.replace("FROM documents)", "FROM documents WHERE doc_id % 3 <> 0)"),
 
       // Streamed-query serving against the same persisted index: per-query
       // rankings are micro-batch independent — oracle identical.

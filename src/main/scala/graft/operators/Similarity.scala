@@ -661,9 +661,13 @@ object Similarity {
     val empty = spark.emptyDataset[(Long, Long, Long)].toDF("query_id", "neighbor_id", "rnk")
     if (probed.isEmpty) empty
     else {
-      val c = spark.read.parquet(path)
+      val pruned = spark.read.parquet(path)
         .where(col("cell").isin(probed.map(x => x: Any): _*))
-        .select(col("vec_id").as("neighbor_id"), col("vec").as("c_vec"), col("cell"))
+      val live = ivfIndexTombstones(spark, path) match {
+        case Some(ts) => pruned.join(broadcast(ts), pruned("vec_id") === ts("vec_id"), "left_anti")
+        case None     => pruned
+      }
+      val c = live.select(col("vec_id").as("neighbor_id"), col("vec").as("c_vec"), col("cell"))
       val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
       q.join(c, "cell")
         .where(col("query_id") =!= col("neighbor_id"))
@@ -672,6 +676,26 @@ object Similarity {
         .where(col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk")
     }
+  }
+
+  private def ivfTombstonePath(path: String) = s"$path/_graft_tombstones"
+
+  /** Logical deletes for a persisted IVF index — same tombstone design as
+    * [[graft.operators.Dedup.deleteFromPersistedIndex]]: ids append to an
+    * `_`-prefixed file (O(|deleted|), no cell partition rewritten) and
+    * the probe anti-joins the broadcast set, so a deleted vector can
+    * never be returned as a neighbor. Rebuild-persist = compaction.
+    */
+  def deleteFromIvfIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(ivfTombstonePath(path))
+
+  /** The IVF index's tombstoned ids, if any were ever deleted. */
+  def ivfIndexTombstones(spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
+    val p  = new org.apache.hadoop.fs.Path(ivfTombstonePath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select(col("vec_id")).distinct())
+    else None
   }
 
   /** Symmetric int8 vector quantization: struct(scale DOUBLE,

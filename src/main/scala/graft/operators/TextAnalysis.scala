@@ -948,6 +948,30 @@ object TextAnalysis {
     inc.docs.write.mode("append").parquet(s"$path/docs")
   }
 
+  private def bm25TombstonePath(path: String) = s"$path/_graft_tombstones"
+
+  /** Logical document deletes for a persisted BM25 index — the tombstone
+    * design of the signature/IVF indexes, with one BM25-specific twist:
+    * doc_freq and avgdl are GLOBAL statistics that must exclude deleted
+    * docs, so when tombstones exist the serve path recomputes term
+    * doc-frequencies from the (pruned, tombstone-filtered) postings
+    * themselves — postings carry every doc of a term, so the recount over
+    * the query's buckets is exact — and derives corpus stats from the
+    * filtered docs relation. Delete cost O(|deleted ids|); no posting
+    * rewritten. Rebuild-persist = compaction.
+    */
+  def deleteFromBm25Index(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(bm25TombstonePath(path))
+
+  /** The BM25 index's tombstoned doc ids, if any were ever deleted. */
+  def bm25IndexTombstones(spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
+    val p  = new org.apache.hadoop.fs.Path(bm25TombstonePath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select(col("doc_id")).distinct())
+    else None
+  }
+
   def bm25TopKFromPersisted(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -966,17 +990,27 @@ object TextAnalysis {
       .distinct().as[Int].collect().sorted
     val prune = (df: DataFrame) =>
       if (touched.isEmpty) df.where(lit(false)) else df.where(col("bucket").isin(touched.map(x => x: Any): _*))
-    bm25TopKFromIndex(
-      Bm25Index(
-        prune(spark.read.parquet(s"$path/postings")).drop("bucket"),
-        // Term stats are stored ADDITIVELY (an append writes partial
-        // doc_freq rows for its batch); merge-on-read re-aggregates the
-        // PRUNED slice — identity for a never-appended index, a few rows
-        // per query term otherwise. The log-structured-merge shape.
-        prune(spark.read.parquet(s"$path/terms")).drop("bucket")
-          .groupBy("term").agg(sum("doc_freq").as("doc_freq")),
-        spark.read.parquet(s"$path/docs")),
-      queries, queryIdCol, queryTextCol, k, k1, b)
+    val postings = prune(spark.read.parquet(s"$path/postings")).drop("bucket")
+    // Term stats are stored ADDITIVELY (an append writes partial doc_freq
+    // rows for its batch); merge-on-read re-aggregates the PRUNED slice —
+    // identity for a never-appended index, a few rows per query term
+    // otherwise. The log-structured-merge shape.
+    val terms = prune(spark.read.parquet(s"$path/terms")).drop("bucket")
+      .groupBy("term").agg(sum("doc_freq").as("doc_freq"))
+    val docs = spark.read.parquet(s"$path/docs")
+    val index = bm25IndexTombstones(spark, path) match {
+      case Some(ts) =>
+        // Deletes invalidate the stored per-term doc counts; recount from
+        // the filtered postings (exact — a term's postings name all its
+        // docs), and drop deleted docs from the corpus-stats relation.
+        val livePostings = postings.join(broadcast(ts), Seq("doc_id"), "left_anti")
+        Bm25Index(
+          livePostings,
+          livePostings.groupBy("term").agg(count(lit(1)).as("doc_freq")),
+          docs.join(broadcast(ts), Seq("doc_id"), "left_anti"))
+      case None => Bm25Index(postings, terms, docs)
+    }
+    bm25TopKFromIndex(index, queries, queryIdCol, queryTextCol, k, k1, b)
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009): fuse N

@@ -312,6 +312,51 @@ object EventStream {
       }
   }
 
+  case class MonitorEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long, cents: Long)
+  case class OutlierFlag(event_id: Long, user_id: Long, is_outlier: Boolean)
+
+  /** STREAMING twin of [[graft.operators.EventAnalytics.rollingOutliers]]:
+    * per-user state is a ring of the last `lookback` fixed-point values;
+    * each arriving event is z-tested against that ring (the same
+    * division-and-sqrt-free BIGINT inequality), emitted exactly once, and
+    * pushed. State is `lookback` longs per live key — bounded forever, no
+    * watermark needed (the monitor's window is row-count, not time).
+    * Within a micro-batch the group sorts by (event time, event_id), so
+    * under chronological replay the emitted flags equal the batch
+    * operator's row-for-row (the gate shares its oracle verbatim).
+    */
+  def rollingOutliersByEventTime(
+      events: Dataset[MonitorEvent],
+      lookback: Int = 10,
+      minPoints: Int = 5,
+      zThreshold: Int = 3
+  ): Dataset[OutlierFlag] = {
+    require(lookback >= minPoints && minPoints >= 2, "need lookback >= minPoints >= 2")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Long], OutlierFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (userId, batch, state) =>
+        var window = state.getOption.getOrElse(Seq.empty[Long]).toVector
+        val out = batch.toArray.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+          val n = window.length
+          val flag = n >= minPoints && {
+            var s1 = 0L; var s2 = 0L
+            window.foreach { v => s1 += v; s2 += v * v }
+            val dev = e.cents * n - s1
+            dev * dev > zThreshold.toLong * zThreshold * (n * s2 - s1 * s1)
+          }
+          window = (window :+ e.cents).takeRight(lookback)
+          OutlierFlag(e.event_id, userId, flag)
+        }
+        state.update(window)
+        out.iterator
+      }
+  }
+
   case class BandedDoc(bucket: String, doc_id: Long, ts: java.sql.Timestamp, sig: Array[Long])
   case class NearDupCandidate(doc_a: Long, doc_b: Long, ts: java.sql.Timestamp, est_jaccard: Double)
 

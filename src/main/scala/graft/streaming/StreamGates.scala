@@ -656,6 +656,24 @@ object StreamGates {
       .orderBy("user_id")
   }
 
+  /** `q_events_rolling_outlier_stream`: the per-user rolling z-monitor
+    * run through the real state machine
+    * ([[EventStream.rollingOutliersByEventTime]] — lookback-bounded
+    * per-key state, integer-exact test), replayed chronologically.
+    * Shares `q_events_rolling_outlier`'s oracle verbatim.
+    */
+  def rollingOutlierViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tpch.events(spark, sfDir).select(
+      col("user_id"),
+      timestamp_micros(expr("ts div 1000")).as("ts"),
+      col("event_id"),
+      floor(col("value").cast("double") * 100 + lit(0.5)).cast("long").as("cents"))
+    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Append())(in =>
+      EventStream.rollingOutliersByEventTime(in.as[EventStream.MonitorEvent]).toDF())
+      .orderBy("event_id")
+  }
+
   /** `q_events_enrich_stream`: the events fixture streamed through
     * [[EventStream.enrichWithStatic]] against the customer dimension —
     * the stream-static join shape (stateless on the stream side, no

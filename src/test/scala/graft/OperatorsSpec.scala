@@ -357,6 +357,27 @@ class OperatorsSpec extends SparkSpec {
       served.sortBy(x => (x._1, x._3)) shouldBe r.sortBy(x => (x._1, x._3))
     }
 
+    it("deleteFromBm25Index: delete-then-serve scores exactly like build-without-them") {
+      import graft.operators.TextAnalysis
+      val docs = Seq.tabulate(30) { i =>
+        (i.toLong, s"doc term${i % 5} shared corpus body ${i}x")
+      }.toDF("doc_id", "text")
+      val victims = docs.where("doc_id % 3 = 0")
+      val qs = Seq((1L, "term2 shared"), (2L, "term4 corpus")).toDF("query_id", "q_text")
+      val t1 = java.nio.file.Files.createTempDirectory("bm25_del_a_").toString
+      val t2 = java.nio.file.Files.createTempDirectory("bm25_del_b_").toString
+      TextAnalysis.persistBm25Index(TextAnalysis.buildBm25Index(docs, "text", "doc_id"), t1)
+      TextAnalysis.deleteFromBm25Index(victims.select("doc_id"), "doc_id", t1)
+      TextAnalysis.persistBm25Index(
+        TextAnalysis.buildBm25Index(docs.where("doc_id % 3 <> 0"), "text", "doc_id"), t2)
+      // Strong contract: df/avgdl/N all re-derive, so SCORES (not just
+      // membership) match the ground-up rebuild.
+      TextAnalysis.bm25TopKFromPersisted(spark, t1, qs, "query_id", "q_text", k = 10)
+        .as[(Long, Long, Long, Long)].collect().toSet shouldBe
+        TextAnalysis.bm25TopKFromPersisted(spark, t2, qs, "query_id", "q_text", k = 10)
+          .as[(Long, Long, Long, Long)].collect().toSet
+    }
+
     it("appendToBm25Index: build-half + append-half serves exactly like build-all") {
       import graft.operators.TextAnalysis
       val docs = Seq.tabulate(40) { i =>
@@ -887,6 +908,21 @@ class OperatorsSpec extends SparkSpec {
         Similarity.ivfTopK(df, df.where("vec_id < 4"), "vec_id", "embedding", k = 5, nlist = 4, nprobe = 2)
           .as[(Long, Long, Long)].collect().toSet
     }
+    it("deleteFromIvfIndex: tombstoned vectors vanish as neighbors, others' ranking survives") {
+      val df    = corpus(40)
+      val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", nlist = 4)
+      val tmp = java.nio.file.Files.createTempDirectory("ivf_del_").toString
+      Similarity.persistIvfIndex(df, "vec_id", "embedding", cents, tmp)
+      val qs = df.where("vec_id < 2")
+      // k = corpus: full rankings, so delete = exact set difference.
+      val before = Similarity.ivfTopKFromPersisted(spark, tmp, qs, "vec_id", "embedding", k = 40, nprobe = 4)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      Similarity.deleteFromIvfIndex(Seq(10L, 11L).toDF("vec_id"), "vec_id", tmp)
+      val after = Similarity.ivfTopKFromPersisted(spark, tmp, qs, "vec_id", "embedding", k = 40, nprobe = 4)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      after shouldBe before.filterNot { case (_, nb) => nb == 10L || nb == 11L }
+    }
+
     it("appendToIvfIndex: build-half + append-half serves exactly like build-all") {
       val df    = corpus(60)
       val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", nlist = 4)
