@@ -89,6 +89,60 @@ class StreamingRecoverySpec extends SparkSpec {
     }
   }
 
+  it("rolling-monitor ring state survives a checkpoint restart") {
+    import org.apache.spark.sql.functions._
+    val root     = java.nio.file.Files.createTempDirectory("graft-recovery-ro")
+    val watchDir = root.resolve("watch"); java.nio.file.Files.createDirectory(watchDir)
+    val sinkDir  = root.resolve("sink").toString
+    val ckptDir  = root.resolve("ckpt").toString
+
+    // 6 near-constant values before the restart fill user 1's ring; the
+    // post-restart spike can only flag if that ring came back from the
+    // state store (a fresh query would see n = 1 < minPoints → false).
+    val chunk1 = (1 to 6).map(i => EventStream.MonitorEvent(1L, ts(i * 10), i.toLong, 100L + i % 2))
+    val chunk2 = Seq(
+      EventStream.MonitorEvent(1L, ts(70), 7L, 9000L),  // spike → must flag
+      EventStream.MonitorEvent(1L, ts(80), 8L, 100L))   // window now spike-poisoned → false
+
+    def stage(no: Int, evs: Seq[EventStream.MonitorEvent]): Unit = {
+      val tmp = root.resolve(s"stage$no")
+      evs.toDS().toDF().coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, watchDir.resolve(f"chunk_$no%03d.parquet"))
+    }
+    val schema = chunk1.toDS().toDF().schema
+    def launch() =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(watchDir.toString)
+        .transform(in => EventStream.rollingOutliersByEventTime(in.as[EventStream.MonitorEvent]).toDF())
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckptDir)
+        .option("path", sinkDir)
+        .start()
+
+    try {
+      stage(1, chunk1)
+      val q1 = launch()
+      q1.processAllAvailable(); q1.stop()
+
+      stage(2, chunk2)
+      val q2 = launch()
+      q2.processAllAvailable(); q2.stop()
+
+      val flags = spark.read.parquet(sinkDir)
+        .select(col("event_id"), col("is_outlier"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      flags.size shouldBe 8 // exactly-once: no chunk-1 re-emission
+      (1 to 6).foreach(i => flags(i.toLong) shouldBe false)
+      flags(7L) shouldBe true  // pre-restart ring recovered → spike flags
+      flags(8L) shouldBe false // spike in the window inflates variance
+    } finally {
+      def rm(p: java.io.File): Unit = { Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); () }
+      rm(root.toFile)
+    }
+  }
+
   it("stream-stream join state survives a checkpoint restart") {
     import org.apache.spark.sql.functions._
     val root     = java.nio.file.Files.createTempDirectory("graft-join-recovery")
