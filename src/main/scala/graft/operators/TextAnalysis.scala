@@ -1440,6 +1440,43 @@ object TextAnalysis {
       .toDF(idCol, "shard", "seq_id", "seq_offset")
   }
 
+  /** The pipeline's FINAL keep/drop decision: the three quality signals a
+    * production filter ensembles — the supervised classifier (broadcast
+    * integer weights), the bigram-LM perplexity threshold, and the
+    * heuristic thresholds — each reported as its own flag plus the
+    * conjunction, per document. Keeping the individual flags (not just
+    * the AND) is what makes the ensemble auditable: "why was this doc
+    * dropped" is a column read, not a recompute. The classifier and
+    * heuristic legs are scan-local; the LM leg carries the corpus-model
+    * joins of [[lmQualityScore]]; the three legs meet on one id join.
+    */
+  def qualityEnsemble(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      model: QualityClassifier.Model,
+      nllThreshold: Double = 3.45,
+      t: QualityThresholds = QualityThresholds()
+  ): DataFrame = {
+    val cls = QualityClassifier.score(df, textCol, idCol, model)
+      .select(col(idCol).cast("long").as("doc_id"), col("kept").as("cls_kept"))
+    val lm = lmQualityScore(df, textCol, idCol, nllThreshold)
+      .select(col("doc_id").cast("long").as("doc_id"), col("kept").as("lm_kept"))
+    val heur = df
+      .withColumn("__rep", repetitionUdf(col(textCol)))
+      .withColumn("__alpha",
+        length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double") /
+          greatest(length(col(textCol)), lit(1)))
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        (col("__rep._1").between(t.minTokens, t.maxTokens) &&
+          col("__rep._2") <= t.maxDupTokenFrac &&
+          col("__rep._3") <= t.maxTopBigramFrac &&
+          col("__alpha") >= t.minAlphaRatio).as("heur_kept"))
+    cls.join(lm, "doc_id").join(heur, "doc_id")
+      .withColumn("kept", col("cls_kept") && col("lm_kept") && col("heur_kept"))
+  }
+
   /** Blocklist hit count — the C4-style wordlist safety filter: how many
     * whitespace tokens of `text` match the frozen `words` list
     * (case-insensitive, occurrences not distinct words; the classic

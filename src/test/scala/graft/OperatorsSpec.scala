@@ -1207,6 +1207,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("TextAnalysis.qualityEnsemble") {
+    import graft.operators.{QualityClassifierPinned, TextAnalysis}
+    it("each flag agrees with its standalone signal; kept is the conjunction") {
+      val docs = Seq.tabulate(30) { i =>
+        (i.toLong, Seq.fill(5 + i % 20)(s"word${i % 9} plain body text").mkString(" "))
+      }.toDF("doc_id", "text")
+      val thr = TextAnalysis.QualityThresholds(minTokens = 20, maxTokens = 1000,
+        maxDupTokenFrac = 0.95, maxTopBigramFrac = 0.8, minAlphaRatio = 0.5)
+      val ens = TextAnalysis.qualityEnsemble(docs, "text", "doc_id",
+        QualityClassifierPinned.model, nllThreshold = 3.45, t = thr)
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+      val cls = graft.operators.QualityClassifier.score(docs, "text", "doc_id",
+        QualityClassifierPinned.model)
+        .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+      val lm = TextAnalysis.lmQualityScore(docs, "text", "doc_id", 3.45)
+        .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+      val heurKept = TextAnalysis.filterByQuality(docs, "text", "doc_id", thr)
+        .select("doc_id").as[Long].collect().toSet
+      ens.foreach { case (id, (c, l, h, k)) =>
+        c shouldBe cls(id)
+        l shouldBe lm(id)
+        h shouldBe heurKept.contains(id)
+        k shouldBe (c && l && h)
+      }
+      ens.size shouldBe 30
+    }
+  }
+
   describe("TextAnalysis.blocklistHits / dedupLinesWithin / corpusDiff") {
     import graft.operators.TextAnalysis
     it("counts blocklist occurrences case-insensitively; null text scores 0") {
