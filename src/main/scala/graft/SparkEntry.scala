@@ -461,6 +461,12 @@ object SparkEntry {
     "q_sample_importance_stream" -> ((s, dir) =>
       graft.streaming.StreamGates.importanceViaStream(s, dir)),
 
+    // The WHOLE quality stack train-batch/serve-stream: classifier + LM +
+    // heuristics flags per doc over a file-source stream, every leg
+    // scan-local. Shares q_quality_ensemble's oracle verbatim.
+    "q_quality_ensemble_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.ensembleViaStream(s, dir)),
+
     // Streaming funnel: per-user stage cascade advanced incrementally
     // across micro-batches. Shares q_events_funnel's oracle verbatim.
     "q_events_funnel_stream" -> ((s, dir) =>
@@ -3586,6 +3592,53 @@ object SparkEntry {
          |  (${QualityClassifierPinned.biasMicro} + coalesce(s.dot, 0)) >= 0 AS kept
          |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin
     }
+    // The filter-ensemble replay: all three quality chains (pinned
+    // classifier dot product, bigram-LM nll, heuristic metrics) joined on
+    // doc_id; flags in a subquery so `kept` is a plain conjunction.
+    // Shared verbatim by the batch and streamed ensemble gates.
+    val ensembleOracleSql = {
+      import graft.operators.QualityClassifierPinned
+      val wVals = QualityClassifierPinned.nonZero
+        .map { case (b, w) => s"($b, $w)" }.mkString(", ")
+      s"""WITH ctk AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
+         |cf AS (SELECT doc_id, (${hashSql("tok")} % ${QualityClassifierPinned.dim}) AS b, count(*) AS c
+         |       FROM ctk GROUP BY 1, 2),
+         |cw(b, wm) AS (VALUES $wVals),
+         |cs AS (SELECT doc_id, sum(c * wm) AS dot FROM cf JOIN cw USING (b) GROUP BY doc_id),
+         |toks AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+         |bgx AS (SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]) AS bg
+         |        FROM toks WHERE len(tk) >= 2),
+         |m AS (SELECT doc_id, bg, count(*) AS m FROM bgx GROUP BY 1, 2),
+         |bc AS (SELECT bg, sum(m) AS c_bg FROM m GROUP BY 1),
+         |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_ctx FROM bc GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS vocab FROM (SELECT unnest(tk) AS tok FROM toks)),
+         |sc AS (SELECT doc_id, -sum(m * ln((bc.c_bg + 1)::DOUBLE / (ctx.c_ctx + vocab))) / sum(m) AS nll
+         |       FROM m JOIN bc USING (bg) JOIN ctx ON split_part(m.bg, ' ', 1) = ctx.w1, v GROUP BY doc_id),
+         |hb AS (SELECT doc_id, text, tk, [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))] AS bg
+         |       FROM (SELECT doc_id, text, ${tokensSql("text")} AS tk FROM documents)),
+         |hm AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(tk) = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE) / len(tk) END AS dup_frac,
+         |  CASE WHEN len(tk) < 2 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(list_max([len(list_filter(bg, x -> x = g)) for g in list_distinct(bg)]) AS DOUBLE) / len(bg) END AS top_bg,
+         |  CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha
+         |FROM hb),
+         |flags AS (SELECT d.doc_id,
+         |  (${QualityClassifierPinned.biasMicro} + coalesce(cs.dot, 0)) >= 0 AS cls_kept,
+         |  coalesce(sc.nll, 0) < 3.45 AS lm_kept,
+         |  (hm.n_tokens BETWEEN 20 AND 1000 AND hm.dup_frac <= 0.6
+         |   AND hm.top_bg <= 0.5 AND hm.alpha >= 0.5) AS heur_kept
+         |  FROM documents d
+         |  LEFT JOIN cs ON d.doc_id = cs.doc_id
+         |  LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |  JOIN hm ON d.doc_id = hm.doc_id)
+         |SELECT doc_id, cls_kept, lm_kept, heur_kept,
+         |       (cls_kept AND lm_kept AND heur_kept) AS kept
+         |FROM flags ORDER BY doc_id""".stripMargin
+    }
+
     // Bigram-LM replay: identical count/smoothing/score arithmetic; the
     // doc_id join at the end restores zero-evidence short documents.
     // Shared verbatim by the join-based gate (q_text_lm_score) and the
@@ -4887,49 +4940,10 @@ object SparkEntry {
 
       // The filter-ensemble replay: all three chains (pinned-classifier
       // dot product, bigram-LM nll, heuristic metrics), joined on doc_id;
-      // flags in a subquery so `kept` is a plain conjunction.
-      "q_quality_ensemble" -> {
-        import graft.operators.QualityClassifierPinned
-        val wVals = QualityClassifierPinned.nonZero
-          .map { case (b, w) => s"($b, $w)" }.mkString(", ")
-        s"""WITH ctk AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
-           |cf AS (SELECT doc_id, (${hashSql("tok")} % ${QualityClassifierPinned.dim}) AS b, count(*) AS c
-           |       FROM ctk GROUP BY 1, 2),
-           |cw(b, wm) AS (VALUES $wVals),
-           |cs AS (SELECT doc_id, sum(c * wm) AS dot FROM cf JOIN cw USING (b) GROUP BY doc_id),
-           |toks AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
-           |bgx AS (SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]) AS bg
-           |        FROM toks WHERE len(tk) >= 2),
-           |m AS (SELECT doc_id, bg, count(*) AS m FROM bgx GROUP BY 1, 2),
-           |bc AS (SELECT bg, sum(m) AS c_bg FROM m GROUP BY 1),
-           |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_ctx FROM bc GROUP BY 1),
-           |v AS (SELECT count(DISTINCT tok) AS vocab FROM (SELECT unnest(tk) AS tok FROM toks)),
-           |sc AS (SELECT doc_id, -sum(m * ln((bc.c_bg + 1)::DOUBLE / (ctx.c_ctx + vocab))) / sum(m) AS nll
-           |       FROM m JOIN bc USING (bg) JOIN ctx ON split_part(m.bg, ' ', 1) = ctx.w1, v GROUP BY doc_id),
-           |hb AS (SELECT doc_id, text, tk, [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))] AS bg
-           |       FROM (SELECT doc_id, text, ${tokensSql("text")} AS tk FROM documents)),
-           |hm AS (SELECT doc_id,
-           |  CAST(len(tk) AS BIGINT) AS n_tokens,
-           |  CASE WHEN len(tk) = 0 THEN CAST(0.0 AS DOUBLE)
-           |       ELSE CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE) / len(tk) END AS dup_frac,
-           |  CASE WHEN len(tk) < 2 THEN CAST(0.0 AS DOUBLE)
-           |       ELSE CAST(list_max([len(list_filter(bg, x -> x = g)) for g in list_distinct(bg)]) AS DOUBLE) / len(bg) END AS top_bg,
-           |  CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
-           |       ELSE CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha
-           |FROM hb),
-           |flags AS (SELECT d.doc_id,
-           |  (${QualityClassifierPinned.biasMicro} + coalesce(cs.dot, 0)) >= 0 AS cls_kept,
-           |  coalesce(sc.nll, 0) < 3.45 AS lm_kept,
-           |  (hm.n_tokens BETWEEN 20 AND 1000 AND hm.dup_frac <= 0.6
-           |   AND hm.top_bg <= 0.5 AND hm.alpha >= 0.5) AS heur_kept
-           |  FROM documents d
-           |  LEFT JOIN cs ON d.doc_id = cs.doc_id
-           |  LEFT JOIN sc ON d.doc_id = sc.doc_id
-           |  JOIN hm ON d.doc_id = hm.doc_id)
-           |SELECT doc_id, cls_kept, lm_kept, heur_kept,
-           |       (cls_kept AND lm_kept AND heur_kept) AS kept
-           |FROM flags ORDER BY doc_id""".stripMargin
-      },
+      // flags in a subquery so `kept` is a plain conjunction. Shared
+      // verbatim by the streamed serving form.
+      "q_quality_ensemble" -> ensembleOracleSql,
+      "q_quality_ensemble_stream" -> ensembleOracleSql,
 
       "q_corpus_stats" ->
         s"""WITH toks AS (SELECT doc_id, text, ${tokensSql("text")} AS tk FROM documents),

@@ -148,6 +148,17 @@ object QualityClassifier {
     * `(id, logit_micro, kept)` where `kept = logit_micro ≥ 0`. Zero
     * shuffles, codegen-adjacent single UDF — the 100-TB serving path.
     */
+  /** The keep flag as a scan-local Column factory — the streaming-legal
+    * building block for ensembles: composes into an existing projection
+    * without dropping columns the way [[score]]'s select does. Same
+    * broadcast-weights UDF, same integer logit.
+    */
+  def keptColumn(spark: SparkSession, model: Model): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val bc = spark.sparkContext.broadcast(model)
+    val u  = udf { (t: String) => logitMicro(features(t, bc.value.dim), bc.value) >= 0 }
+    text => u(text)
+  }
+
   def score(df: DataFrame, textCol: String, idCol: String, model: Model): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(model)

@@ -1462,20 +1462,28 @@ object TextAnalysis {
       .select(col(idCol).cast("long").as("doc_id"), col("kept").as("cls_kept"))
     val lm = lmQualityScore(df, textCol, idCol, nllThreshold)
       .select(col("doc_id").cast("long").as("doc_id"), col("kept").as("lm_kept"))
-    val heur = df
-      .withColumn("__rep", repetitionUdf(col(textCol)))
-      .withColumn("__alpha",
-        length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double") /
-          greatest(length(col(textCol)), lit(1)))
-      .select(
-        col(idCol).cast("long").as("doc_id"),
-        (col("__rep._1").between(t.minTokens, t.maxTokens) &&
-          col("__rep._2") <= t.maxDupTokenFrac &&
-          col("__rep._3") <= t.maxTopBigramFrac &&
-          col("__alpha") >= t.minAlphaRatio).as("heur_kept"))
+    val heur = heuristicFlag(df, textCol, t, "heur_kept")
+      .select(col(idCol).cast("long").as("doc_id"), col("heur_kept"))
     cls.join(lm, "doc_id").join(heur, "doc_id")
       .withColumn("kept", col("cls_kept") && col("lm_kept") && col("heur_kept"))
   }
+
+  /** The heuristic keep decision as an appended flag column (scan-local,
+    * streaming-legal): the [[filterByQuality]] thresholds evaluated
+    * without dropping rows — the ensemble form, where "failed heuristics"
+    * is data, not absence.
+    */
+  def heuristicFlag(df: DataFrame, textCol: String, t: QualityThresholds, outCol: String): DataFrame =
+    df.withColumn("__hf_rep", repetitionUdf(col(textCol)))
+      .withColumn("__hf_alpha",
+        length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double") /
+          greatest(length(col(textCol)), lit(1)))
+      .withColumn(outCol,
+        col("__hf_rep._1").between(t.minTokens, t.maxTokens) &&
+          col("__hf_rep._2") <= t.maxDupTokenFrac &&
+          col("__hf_rep._3") <= t.maxTopBigramFrac &&
+          col("__hf_alpha") >= t.minAlphaRatio)
+      .drop("__hf_rep", "__hf_alpha")
 
   /** Blocklist hit count — the C4-style wordlist safety filter: how many
     * whitespace tokens of `text` match the frozen `words` list

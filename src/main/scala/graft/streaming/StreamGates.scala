@@ -605,6 +605,39 @@ object StreamGates {
       .orderBy("doc_id")
   }
 
+  /** `q_quality_ensemble_stream`: the full filter ensemble served over a
+    * file-source STREAM — every leg scan-local at serve time (classifier
+    * = broadcast integer weights; LM = the compact broadcast model, whose
+    * scores equal the batch join form bit-for-bit per the
+    * `q_text_lm_score_local` contract; heuristics = pure row
+    * expressions), so the streamed flags equal the batch ensemble's
+    * row-for-row and share `q_quality_ensemble`'s oracle verbatim. The
+    * train-batch/serve-stream split of the WHOLE quality stack in one
+    * query.
+    */
+  def ensembleViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{QualityClassifier, QualityClassifierPinned, TextAnalysis}
+    val base  = graft.Tpch.table(spark, sfDir, "documents")
+    val model = TextAnalysis.lmTrainCompact(base, "text")
+    val thr = TextAnalysis.QualityThresholds(
+      minTokens = 20, maxTokens = 1000,
+      maxDupTokenFrac = 0.6, maxTopBigramFrac = 0.5, minAlphaRatio = 0.5)
+    val docs = base.select(
+      col("doc_id"),
+      timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
+      col("text"))
+    val clsKept = QualityClassifier.keptColumn(spark, QualityClassifierPinned.model)
+    replayViaFiles(spark, docs, "ts", chunks = 3, OutputMode.Append()) { in =>
+      in.withColumn("cls_kept", clsKept(col("text")))
+        .withColumn("lm_kept",
+          TextAnalysis.lmScoreScanLocal(model, spark)(col("text")).getField("_2") < 3.45)
+        .transform(TextAnalysis.heuristicFlag(_, "text", thr, "heur_kept"))
+        .select(col("doc_id"), col("cls_kept"), col("lm_kept"), col("heur_kept"),
+          (col("cls_kept") && col("lm_kept") && col("heur_kept")).as("kept"))
+    }
+      .orderBy("doc_id")
+  }
+
   /** `q_sample_importance_stream`: the DSIR importance model
     * ([[graft.operators.Sampling.importanceModel]] — 64 fixed-point
     * nano-nat log-ratios, target = the English slice) trained on the BATCH
