@@ -467,6 +467,11 @@ object SparkEntry {
     "q_quality_ensemble_stream" -> ((s, dir) =>
       graft.streaming.StreamGates.ensembleViaStream(s, dir)),
 
+    // The composed continuously-ingesting pipeline: ensemble filter →
+    // persisted-index near-dup rejection → DSIR weight, per micro-batch.
+    "q_corpus_pipeline_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.corpusPipelineViaStream(s, dir)),
+
     // Streaming funnel: per-user stage cascade advanced incrementally
     // across micro-batches. Shares q_events_funnel's oracle verbatim.
     "q_events_funnel_stream" -> ((s, dir) =>
@@ -3595,12 +3600,13 @@ object SparkEntry {
     // The filter-ensemble replay: all three quality chains (pinned
     // classifier dot product, bigram-LM nll, heuristic metrics) joined on
     // doc_id; flags in a subquery so `kept` is a plain conjunction.
-    // Shared verbatim by the batch and streamed ensemble gates.
-    val ensembleOracleSql = {
+    // Shared verbatim by the batch and streamed ensemble gates, and (as
+    // the CTE chain) by the composed streaming-pipeline oracle.
+    val ensembleCtes = {
       import graft.operators.QualityClassifierPinned
       val wVals = QualityClassifierPinned.nonZero
         .map { case (b, w) => s"($b, $w)" }.mkString(", ")
-      s"""WITH ctk AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
+      s"""ctk AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
          |cf AS (SELECT doc_id, (${hashSql("tok")} % ${QualityClassifierPinned.dim}) AS b, count(*) AS c
          |       FROM ctk GROUP BY 1, 2),
          |cw(b, wm) AS (VALUES $wVals),
@@ -3633,11 +3639,34 @@ object SparkEntry {
          |  FROM documents d
          |  LEFT JOIN cs ON d.doc_id = cs.doc_id
          |  LEFT JOIN sc ON d.doc_id = sc.doc_id
-         |  JOIN hm ON d.doc_id = hm.doc_id)
+         |  JOIN hm ON d.doc_id = hm.doc_id)""".stripMargin
+    }
+    val ensembleOracleSql =
+      s"""WITH $ensembleCtes
          |SELECT doc_id, cls_kept, lm_kept, heur_kept,
          |       (cls_kept AND lm_kept AND heur_kept) AS kept
          |FROM flags ORDER BY doc_id""".stripMargin
-    }
+
+    // DSIR model chain (bk → w): token hashing, one grouped count building
+    // both distributions, add-one smoothing, nano-nat fixed-point
+    // log-ratios, integer per-doc dot product. Shared by the importance
+    // gates and the composed streaming-pipeline oracle.
+    val importanceCtes =
+      s"""bk AS (SELECT doc_id, lang, (${hashSql("tok")} % 64) AS bucket
+         |       FROM (SELECT doc_id, lang, unnest(${tokensSql("text")}) AS tok FROM documents)),
+         |cnt AS (SELECT bucket, count(*) AS raw,
+         |               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt
+         |        FROM bk GROUP BY 1),
+         |tot AS (SELECT sum(raw) AS rawtot, sum(tgt) AS tgttot FROM cnt),
+         |lr AS (SELECT bucket,
+         |         CAST(floor(1000000000 * (ln(CAST(tgt + 1 AS DOUBLE) / (tgttot + 64))
+         |                                 - ln(CAST(raw + 1 AS DOUBLE) / (rawtot + 64))) + 0.5) AS BIGINT) AS lr_fp
+         |       FROM cnt, tot),
+         |w AS (SELECT d.doc_id, CAST(coalesce(sum(lr.lr_fp), 0) AS BIGINT) AS weight_fp
+         |      FROM documents d
+         |      LEFT JOIN bk ON d.doc_id = bk.doc_id
+         |      LEFT JOIN lr ON bk.bucket = lr.bucket
+         |      GROUP BY 1)""".stripMargin
 
     // Bigram-LM replay: identical count/smoothing/score arithmetic; the
     // doc_id join at the end restores zero-evidence short documents.
@@ -4504,28 +4533,12 @@ object SparkEntry {
            |  CAST(floor(least(greatest(value / 100.0, 0.0), 1.0) * 1000000) AS BIGINT)
            |ORDER BY event_id""".stripMargin,
 
-      // DSIR importance resampling replay: token→bucket hashing (the MD5
-      // contract mod 64), one grouped count building BOTH distributions,
-      // add-one smoothing, the per-bucket log-ratio rounded to nano-nats
-      // EXACTLY as the Scala side does (floor(x + 0.5) = math.round), then
-      // an integer-only per-doc dot product — summation order cannot move
-      // a BIGINT sum, so the two engines agree bit-for-bit.
+      // DSIR importance resampling replay: the shared model chain (the
+      // per-bucket log-ratio rounded to nano-nats EXACTLY as the Scala
+      // side does — floor(x + 0.5) = math.round — then an integer-only
+      // per-doc dot product, summation-order-proof), top-quota cut.
       "q_sample_importance" ->
-        s"""WITH bk AS (SELECT doc_id, lang, (${hashSql("tok")} % 64) AS bucket
-           |            FROM (SELECT doc_id, lang, unnest(${tokensSql("text")}) AS tok FROM documents)),
-           |cnt AS (SELECT bucket, count(*) AS raw,
-           |               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt
-           |        FROM bk GROUP BY 1),
-           |tot AS (SELECT sum(raw) AS rawtot, sum(tgt) AS tgttot FROM cnt),
-           |lr AS (SELECT bucket,
-           |         CAST(floor(1000000000 * (ln(CAST(tgt + 1 AS DOUBLE) / (tgttot + 64))
-           |                                 - ln(CAST(raw + 1 AS DOUBLE) / (rawtot + 64))) + 0.5) AS BIGINT) AS lr_fp
-           |       FROM cnt, tot),
-           |w AS (SELECT d.doc_id, CAST(coalesce(sum(lr.lr_fp), 0) AS BIGINT) AS weight_fp
-           |      FROM documents d
-           |      LEFT JOIN bk ON d.doc_id = bk.doc_id
-           |      LEFT JOIN lr ON bk.bucket = lr.bucket
-           |      GROUP BY 1)
+        s"""WITH $importanceCtes
            |SELECT doc_id, weight_fp FROM w
            |ORDER BY weight_fp DESC, doc_id LIMIT 50""".stripMargin,
 
@@ -4547,22 +4560,23 @@ object SparkEntry {
       // The streamed serving form scores EVERY doc (no top-quota — global
       // top-k is not an Append-mode shape); same model replay, keyed scan.
       "q_sample_importance_stream" ->
-        s"""WITH bk AS (SELECT doc_id, lang, (${hashSql("tok")} % 64) AS bucket
-           |            FROM (SELECT doc_id, lang, unnest(${tokensSql("text")}) AS tok FROM documents)),
-           |cnt AS (SELECT bucket, count(*) AS raw,
-           |               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt
-           |        FROM bk GROUP BY 1),
-           |tot AS (SELECT sum(raw) AS rawtot, sum(tgt) AS tgttot FROM cnt),
-           |lr AS (SELECT bucket,
-           |         CAST(floor(1000000000 * (ln(CAST(tgt + 1 AS DOUBLE) / (tgttot + 64))
-           |                                 - ln(CAST(raw + 1 AS DOUBLE) / (rawtot + 64))) + 0.5) AS BIGINT) AS lr_fp
-           |       FROM cnt, tot),
-           |w AS (SELECT d.doc_id, CAST(coalesce(sum(lr.lr_fp), 0) AS BIGINT) AS weight_fp
-           |      FROM documents d
-           |      LEFT JOIN bk ON d.doc_id = bk.doc_id
-           |      LEFT JOIN lr ON bk.bucket = lr.bucket
-           |      GROUP BY 1)
+        s"""WITH $importanceCtes
            |SELECT doc_id, weight_fp FROM w ORDER BY doc_id""".stripMargin,
+
+      // The COMPOSED streaming pipeline: ensemble-filtered new-half docs,
+      // minus those matching the historical half's signature index, with
+      // their DSIR weights — all three stages' chains in one WITH, each
+      // shared verbatim with its standalone gate.
+      "q_corpus_pipeline_stream" ->
+        s"""WITH $ensembleCtes,
+           |${incrementalCte(hsh3, hashI)},
+           |$importanceCtes,
+           |surv AS (SELECT f.doc_id FROM flags f, mx
+           |         WHERE f.doc_id > mx.s AND f.cls_kept AND f.lm_kept AND f.heur_kept),
+           |final AS (SELECT s.doc_id FROM surv s
+           |          WHERE s.doc_id NOT IN (SELECT nid FROM matched))
+           |SELECT f.doc_id, w.weight_fp FROM final f JOIN w ON f.doc_id = w.doc_id
+           |ORDER BY f.doc_id""".stripMargin,
 
       "q_asof_forward" ->
         """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),

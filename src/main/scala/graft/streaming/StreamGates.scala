@@ -758,6 +758,56 @@ object StreamGates {
     finally rmTree(indexDir)
   }
 
+  /** `q_corpus_pipeline_stream`: the continuously-ingesting corpus
+    * pipeline END-TO-END — per arriving micro-batch of new documents:
+    * (1) the full quality ensemble (classifier weights + compact LM +
+    * heuristics, every leg scan-local against batch-trained artifacts),
+    * (2) near-dup rejection against the HISTORICAL corpus's persisted
+    * band-partitioned signature index (partition-pruned probe per batch),
+    * (3) the frozen DSIR importance weight for the survivors. Each stage
+    * is an independently gated operator; this pins the composition — what
+    * each stage sees, in which order — under streaming execution. The
+    * oracle is the three standalone chains composed in one WITH.
+    */
+  def corpusPipelineViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{Dedup, QualityClassifier, QualityClassifierPinned, Sampling, TextAnalysis}
+    val base    = graft.Tpch.table(spark, sfDir, "documents")
+    val splitId = base.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
+    val lmModel = TextAnalysis.lmTrainCompact(base, "text")
+    val dsir    = Sampling.importanceModel(base, "text", col("lang") === "en")
+    val clsKept = QualityClassifier.keptColumn(spark, QualityClassifierPinned.model)
+    val thr = TextAnalysis.QualityThresholds(
+      minTokens = 20, maxTokens = 1000,
+      maxDupTokenFrac = 0.6, maxTopBigramFrac = 0.5, minAlphaRatio = 0.5)
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_pipe_idx")
+    Dedup.persistSignatureIndex(
+      Dedup.buildSignatureIndex(base.where(col("doc_id") <= splitId), "text", "doc_id"),
+      indexDir.toString)
+    val newDocs = base.where(col("doc_id") > splitId)
+      .select(
+        col("doc_id"),
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
+        col("text"))
+    try
+      replayViaForeachBatch(spark, newDocs, "ts", chunks = 3) { b =>
+        val kept = b
+          .withColumn("cls_kept", clsKept(col("text")))
+          .withColumn("lm_kept",
+            TextAnalysis.lmScoreScanLocal(lmModel, spark)(col("text")).getField("_2") < 3.45)
+          .transform(TextAnalysis.heuristicFlag(_, "text", thr, "heur_kept"))
+          .where(col("cls_kept") && col("lm_kept") && col("heur_kept"))
+        // Probing only the survivors equals filtering the full match set
+        // by survivor id — a match's existence doesn't depend on the rest
+        // of the batch.
+        val dup = Dedup.matchVsPersistedIndex(kept, "text", "doc_id", indexDir.toString)
+          .select(col("doc_id").as("m_id")).distinct()
+        kept.join(dup, kept("doc_id") === col("m_id"), "left_anti")
+          .select(col("doc_id"), Sampling.importanceScore(dsir, col("text")).as("weight_fp"))
+      }
+        .orderBy("doc_id")
+    finally rmTree(indexDir)
+  }
+
   def nearDupViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = graft.Tpch.table(spark, sfDir, "documents")
       .select(
