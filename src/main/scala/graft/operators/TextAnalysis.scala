@@ -1458,14 +1458,18 @@ object TextAnalysis {
       nllThreshold: Double = 3.45,
       t: QualityThresholds = QualityThresholds()
   ): DataFrame = {
-    val cls = QualityClassifier.score(df, textCol, idCol, model)
-      .select(col(idCol).cast("long").as("doc_id"), col("kept").as("cls_kept"))
+    // Classifier and heuristics are both scan-local — ONE projection over
+    // one scan of the corpus, not two scans joined by id; only the LM leg
+    // (whose score needs the corpus model joins) meets it on a join.
+    val clsKept = QualityClassifier.keptColumn(df.sparkSession, model)
+    val scanFlags = heuristicFlag(
+      df.withColumn("cls_kept", clsKept(col(textCol))), textCol, t, "heur_kept")
+      .select(col(idCol).cast("long").as("doc_id"), col("cls_kept"), col("heur_kept"))
     val lm = lmQualityScore(df, textCol, idCol, nllThreshold)
       .select(col("doc_id").cast("long").as("doc_id"), col("kept").as("lm_kept"))
-    val heur = heuristicFlag(df, textCol, t, "heur_kept")
-      .select(col(idCol).cast("long").as("doc_id"), col("heur_kept"))
-    cls.join(lm, "doc_id").join(heur, "doc_id")
-      .withColumn("kept", col("cls_kept") && col("lm_kept") && col("heur_kept"))
+    scanFlags.join(lm, "doc_id")
+      .select(col("doc_id"), col("cls_kept"), col("lm_kept"), col("heur_kept"),
+        (col("cls_kept") && col("lm_kept") && col("heur_kept")).as("kept"))
   }
 
   /** The heuristic keep decision as an appended flag column (scan-local,
