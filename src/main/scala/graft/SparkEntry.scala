@@ -1338,6 +1338,21 @@ object SparkEntry {
         .select("event_id", "event_type", "fp")
         .orderBy("event_id")),
 
+    // Distribution drift between the event log's two halves: per-bin PSI
+    // contributions in fixed-point nano-units (single ln per bin, exact
+    // BIGINT total), add-one smoothed — the standard snapshot-drift
+    // monitor, per-bin so the DRIVER of drift is visible.
+    "q_stats_psi" -> ((s, dir) => {
+      val ev = Tpch.events(s, dir).select(
+        col("event_id"),
+        floor(col("value").cast("double") * 100 + lit(0.5)).cast("long").as("cents"))
+      val mid = ev.agg(max(col("event_id").cast("long"))).head.getLong(0) / 2
+      graft.operators.Profiler.psiFixedPoint(
+          ev.where(col("event_id") <= mid), ev.where(col("event_id") > mid),
+          "cents", binWidth = 4000L, numBins = 16)
+        .orderBy("bin")
+    }),
+
     // ROLLING per-user outlier monitor (the streaming-adjacent sibling of
     // the global q_outliers): each event tested against its user's 10
     // preceding events only — no self-leakage, integer-exact z-test
@@ -1670,6 +1685,27 @@ object SparkEntry {
           |WHERE (CAST(n AS HUGEINT) * fp - s) * (CAST(n AS HUGEINT) * fp - s)
           |      > 9 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
           |ORDER BY event_id""".stripMargin,
+
+      // PSI replay: identical binning (floor division, clamped), add-one
+      // smoothing, single-ln per-bin contribution rounded to nano-units.
+      "q_stats_psi" ->
+        """WITH ev AS (SELECT event_id, CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
+          |           FROM events),
+          |mx AS (SELECT max(event_id) // 2 AS s FROM ev),
+          |tagged AS (
+          |  SELECT least(greatest(cents, 0) // 4000, 15) AS bin, 1 AS side FROM ev, mx WHERE event_id <= s
+          |  UNION ALL
+          |  SELECT least(greatest(cents, 0) // 4000, 15) AS bin, 2 AS side FROM ev, mx WHERE event_id > s),
+          |counts AS (SELECT bin,
+          |  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+          |  CAST(sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
+          |  FROM tagged GROUP BY 1),
+          |tot AS (SELECT sum(a_cnt) AS ta, sum(b_cnt) AS tb FROM counts)
+          |SELECT bin, a_cnt, b_cnt,
+          |  CAST(floor((CAST(a_cnt + 1 AS DOUBLE) / (ta + 16) - CAST(b_cnt + 1 AS DOUBLE) / (tb + 16))
+          |    * (ln(CAST(a_cnt + 1 AS DOUBLE) / (ta + 16)) - ln(CAST(b_cnt + 1 AS DOUBLE) / (tb + 16)))
+          |    * 1e9 + 0.5) AS BIGINT) AS contrib_nano
+          |FROM counts, tot ORDER BY bin""".stripMargin,
 
       // Rolling window twin: the same cleared z-test over the 10-preceding
       // frame (sums fit BIGINT at the bounded cents domain — asserted by

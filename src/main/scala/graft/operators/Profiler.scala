@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -223,5 +223,49 @@ object Profiler {
         "is_outlier",
         (lhs * lhs > lit(z.toLong * z).cast(dec) * (nD * qD - sD * sD)).cast("long"))
       .drop((Seq("_n", "_s", "_q") ++ groupCols.map(c => s"_m_$c")): _*)
+  }
+
+  /** Population Stability Index between two snapshots of a fixed-point
+    * value column — the standard distribution-drift monitor (did this
+    * week's corpus/metric shift against last week's?):
+    *
+    *   PSI = Σ_bins (p_b − q_b) · ln(p_b / q_b)
+    *
+    * over `numBins` fixed-width bins with add-one smoothing (so an empty
+    * bin on one side contributes a finite, honest penalty). Determinism
+    * discipline: the per-bin contribution is ONE double expression
+    * rounded to nano-units; the total is then an exact BIGINT sum of ≤
+    * `numBins` terms. Returns one row per OCCUPIED bin (`bin`, `a_cnt`, `b_cnt`,
+    * `contrib_nano`) so the DRIVER of drift is visible, not just its
+    * size; sum `contrib_nano` for the scalar PSI. Plan: one union-tagged
+    * aggregation over `numBins` keys + a broadcast totals row — two
+    * scans, one tiny shuffle, no windows.
+    */
+  def psiFixedPoint(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      valueFpCol: String,
+      binWidth: Long,
+      numBins: Int
+  ): DataFrame = {
+    require(binWidth > 0 && numBins > 0, "binWidth and numBins must be positive")
+    // Spark's `/` on longs is DOUBLE division; floor() restores the
+    // integer quotient exactly for any |value| < 2^53 (cents domain).
+    val bin = (c: Column) =>
+      least(floor(greatest(c.cast("long"), lit(0L)) / binWidth), lit(numBins.toLong - 1)).cast("long")
+    val tagged = dfA.select(bin(col(valueFpCol)).as("bin"), lit(1).as("_side"))
+      .unionByName(dfB.select(bin(col(valueFpCol)).as("bin"), lit(2).as("_side")))
+    val counts = tagged.groupBy("bin")
+      .agg(
+        sum(when(col("_side") === 1, 1L).otherwise(0L)).as("a_cnt"),
+        sum(when(col("_side") === 2, 1L).otherwise(0L)).as("b_cnt"))
+    val totals = counts.agg(sum("a_cnt").as("_ta"), sum("b_cnt").as("_tb"))
+    val pA = (col("a_cnt") + 1).cast("double") / (col("_ta") + numBins)
+    val pB = (col("b_cnt") + 1).cast("double") / (col("_tb") + numBins)
+    counts
+      .crossJoin(broadcast(totals))
+      .withColumn("contrib_nano",
+        floor((pA - pB) * (log(pA) - log(pB)) * 1e9 + lit(0.5)).cast("long"))
+      .select("bin", "a_cnt", "b_cnt", "contrib_nano")
   }
 }

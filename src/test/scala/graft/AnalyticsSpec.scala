@@ -207,6 +207,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  describe("Profiler.psiFixedPoint") {
+    import org.apache.spark.sql.functions._
+    it("identical snapshots score zero; a shift scores positive; terms are nonnegative") {
+      val a = Seq.tabulate(1000)(i => Tuple1(((i * 37) % 100).toLong)).toDF("v")
+      val same = graft.operators.Profiler.psiFixedPoint(a, a, "v", binWidth = 10L, numBins = 10)
+        .select("contrib_nano").as[Long].collect()
+      same.forall(_ == 0L) shouldBe true
+      // B concentrates mass in the top bins — drift must register.
+      val b = Seq.tabulate(1000)(i => Tuple1(60L + ((i * 37) % 40))).toDF("v")
+      val drift = graft.operators.Profiler.psiFixedPoint(a, b, "v", binWidth = 10L, numBins = 10)
+        .select("bin", "contrib_nano").as[(Long, Long)].collect()
+      drift.map(_._2).forall(_ >= 0L) shouldBe true // (p−q) and ln(p/q) share sign
+      drift.map(_._2).sum should be > 100000000L    // PSI > 0.1 — the classic "investigate" bar
+      drift.map(_._1).toSet shouldBe (0L until 10L).toSet // every bin reported (add-one smoothing)
+    }
+  }
+
   describe("EventAnalytics.rollingOutliers") {
     import org.apache.spark.sql.functions._
     it("flags a spike against its preceding window only; cold start never flags") {
