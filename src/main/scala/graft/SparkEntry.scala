@@ -1992,6 +1992,19 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // ANN evaluation: recall@5 of the single-probe LSH retriever against
+    // the exact ranking, per query, as integers (n_hits of n_exact) — the
+    // meter for every recall/latency knob. Oracle composes both chains
+    // and counts the intersection.
+    "q_knn_recall_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs  = emb.where("vec_id < 5")
+      Similarity.recallAtK(
+          Similarity.lshTopK(emb, qs, "vec_id", "embedding", k = 5, numPlanes = 8),
+          Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 5))
+        .orderBy("query_id")
+    }),
+
     // Multi-probe variant: each query also probes the numPlanes buckets one
     // hyperplane-flip away — the recall knob. Oracle replicates the probe
     // set exactly.
@@ -3956,6 +3969,33 @@ object SparkEntry {
            |ORDER BY query_id, rnk""".stripMargin,
 
       "q_knn_bruteforce" -> exactKnnOracle(k = 10),
+
+      // Recall@5 of single-probe LSH vs exact: both chains composed, the
+      // intersection counted per query (exact side defines the universe).
+      "q_knn_recall_eval" ->
+        s"""WITH $signsCte,
+           |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+           |$bucketCte,
+           |lq AS (SELECT vec_id AS query_id, ve AS qv, bucket FROM sig WHERE vec_id < 5),
+           |lc AS (SELECT vec_id AS neighbor_id, ve AS cv, bucket FROM sig),
+           |lsc AS (SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS cos
+           |        FROM lq JOIN lc USING (bucket) WHERE query_id <> neighbor_id),
+           |lr AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM lsc) WHERE rnk <= 5),
+           |eq AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 5),
+           |esc AS (SELECT query_id, c.vec_id AS neighbor_id, ${cosineSql("qv", "c.ve")} AS cos
+           |        FROM eq, v c WHERE query_id <> c.vec_id),
+           |er AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM esc) WHERE rnk <= 5)
+           |SELECT er.query_id,
+           |  CAST(sum(CASE WHEN lr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |  CAST(count(*) AS BIGINT) AS n_exact
+           |FROM er LEFT JOIN lr ON er.query_id = lr.query_id AND er.neighbor_id = lr.neighbor_id
+           |GROUP BY er.query_id ORDER BY er.query_id""".stripMargin,
 
       // Hard-negative mining: the banded brute-force scan.
       "q_mine_hard_negatives" -> bandedKnnOracle(k = 10, minCos = 0.05, maxCos = 0.35),

@@ -678,6 +678,25 @@ object Similarity {
     }
   }
 
+  /** Retrieval-quality evaluation: per query, how many of the EXACT
+    * top-k neighbors the approximate retriever found — the recall@k
+    * measurement every ANN tuning loop needs (numPlanes, nprobe, band
+    * geometry are all recall/latency knobs; this is their meter). Inputs
+    * are any two (query_id, neighbor_id, rnk) rankings (brute vs LSH, IVF
+    * probe sweeps, before/after an index rebuild). Integer output
+    * (`n_hits`, `n_exact`) — recall is their ratio, left to the caller so
+    * the gate stays FP-free. One semi-join + two tiny aggregations on the
+    * k-bounded rankings — never touches the corpus.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_exact"))
+  }
+
   private def ivfTombstonePath(path: String) = s"$path/_graft_tombstones"
 
   /** Logical deletes for a persisted IVF index — same tombstone design as
