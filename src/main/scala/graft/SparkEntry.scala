@@ -1338,6 +1338,33 @@ object SparkEntry {
         .select("event_id", "event_type", "fp")
         .orderBy("event_id")),
 
+    // Data-contract validation in ONE aggregation pass + an FK orphan
+    // check — the per-rule report a pipeline gates on (n_fail = 0), with
+    // NULL-predicate rows counted as failures.
+    "q_data_expectations" -> ((s, dir) => {
+      import graft.operators.Expectations
+      val li = t(s, dir, "lineitem")
+      Expectations.validate(li, Seq(
+          Expectations.Rule("qty_range", col("l_quantity").between(1, 50)),
+          Expectations.Rule("returnflag_domain", col("l_returnflag").isin("A", "N", "R")),
+          Expectations.Rule("positive_price", col("l_extendedprice") > 0),
+          Expectations.Rule("discount_range", col("l_discount").between(0, 0.1))))
+        .unionByName(Expectations.validateFk("fk_lineitem_orders",
+          li, t(s, dir, "orders"), Seq("l_orderkey" -> "o_orderkey")))
+        .orderBy("rule")
+    }),
+
+    // Integer-exact TWAP per user: each value holds until the user's next
+    // event; weighted sum, covered duration, and the BIGINT quotient.
+    "q_events_twap" -> ((s, dir) => {
+      val ev = Tpch.events(s, dir).select(
+        col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"),
+        floor(col("value").cast("double") * 100 + lit(0.5)).cast("long").as("cents"))
+      graft.operators.EventAnalytics.twap(ev, "user_id", "ts_us", "cents", tieCols = Seq("event_id"))
+        .orderBy("user_id")
+    }),
+
     // Distribution drift between the event log's two halves: per-bin PSI
     // contributions in fixed-point nano-units (single ln per bin, exact
     // BIGINT total), add-one smoothed — the standard snapshot-drift
@@ -1685,6 +1712,43 @@ object SparkEntry {
           |WHERE (CAST(n AS HUGEINT) * fp - s) * (CAST(n AS HUGEINT) * fp - s)
           |      > 9 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
           |ORDER BY event_id""".stripMargin,
+
+      // Expectations replay: each rule a conditional count over one scan
+      // (NULL predicate = fail via coalesce), FK orphans via anti-join.
+      "q_data_expectations" ->
+        """WITH r AS (
+          |  SELECT 'qty_range' AS rule, count(*) AS n_rows,
+          |    sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 0 ELSE 1 END) AS n_fail FROM lineitem
+          |  UNION ALL
+          |  SELECT 'returnflag_domain', count(*),
+          |    sum(CASE WHEN coalesce(l_returnflag IN ('A', 'N', 'R'), false) THEN 0 ELSE 1 END) FROM lineitem
+          |  UNION ALL
+          |  SELECT 'positive_price', count(*),
+          |    sum(CASE WHEN coalesce(l_extendedprice > 0, false) THEN 0 ELSE 1 END) FROM lineitem
+          |  UNION ALL
+          |  SELECT 'discount_range', count(*),
+          |    sum(CASE WHEN coalesce(l_discount BETWEEN 0 AND 0.1, false) THEN 0 ELSE 1 END) FROM lineitem
+          |  UNION ALL
+          |  SELECT 'fk_lineitem_orders', (SELECT count(*) FROM lineitem),
+          |    (SELECT count(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |     WHERE o.o_orderkey IS NULL))
+          |SELECT rule, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_fail AS BIGINT) AS n_fail
+          |FROM r ORDER BY rule""".stripMargin,
+
+      // TWAP replay: identical lead() gaps under the (ts, event_id) total
+      // order, BIGINT weighted sum / duration / integer quotient.
+      "q_events_twap" ->
+        """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          |  CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents FROM events),
+          |g AS (SELECT user_id, cents,
+          |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS dt
+          |  FROM ev),
+          |a AS (SELECT user_id, CAST(sum(cents * dt) AS BIGINT) AS weighted_sum,
+          |             CAST(sum(dt) AS BIGINT) AS duration
+          |      FROM g WHERE dt IS NOT NULL GROUP BY user_id)
+          |SELECT user_id, weighted_sum, duration,
+          |       CAST(weighted_sum // duration AS BIGINT) AS twap_fp
+          |FROM a ORDER BY user_id""".stripMargin,
 
       // PSI replay: identical binning (floor division, clamped), add-one
       // smoothing, single-ln per-bin contribution rounded to nano-units.

@@ -188,6 +188,44 @@ object EventAnalytics {
         coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
 
+  /** Time-weighted average over IRREGULAR observations, integer-exact:
+    * each value holds until the key's next observation (classic TWAP /
+    * step-function integral), so
+    *
+    *   twap = Σ valueFp·Δt / Σ Δt
+    *
+    * with Δt = next event's timestamp − this one's (the key's LAST
+    * observation carries no weight — there is no interval it covers).
+    * Everything INCLUDING the final quotient is BIGINT: `twap_fp` is the
+    * integer `Σvw div Σdt` in the input's own fixed-point unit (a
+    * pre-scaled milli variant would overflow — value·Δt·1000 can exceed
+    * 2⁶³ on long spans — and a double division is inexact past 2⁵³; the
+    * weighted sum and duration are emitted alongside for callers wanting
+    * finer quotients). One key-window shuffle (the `lead`), one
+    * aggregation.
+    */
+  def twap(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueFpCol: String,
+      tieCols: Seq[String] = Nil
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Equal timestamps need a total order: which member of a tie group is
+    // "last" decides whose value weights the gap to the next distinct ts.
+    val w = Window.partitionBy(keyCol).orderBy((tsCol +: tieCols).map(col): _*)
+    events
+      .withColumn("_tw_next", lead(col(tsCol), 1).over(w))
+      .where(col("_tw_next").isNotNull)
+      .withColumn("_tw_dt", col("_tw_next") - col(tsCol))
+      .groupBy(keyCol)
+      .agg(
+        sum(col(valueFpCol).cast("long") * col("_tw_dt")).as("weighted_sum"),
+        sum(col("_tw_dt")).as("duration"))
+      .withColumn("twap_fp", expr("weighted_sum div duration"))
+  }
+
   /** Rolling per-key outlier monitor, INTEGER-exact: each event is tested
     * against the `lookback` PRECEDING events of its key (current row
     * excluded — no self-leakage), flagging when its deviation exceeds

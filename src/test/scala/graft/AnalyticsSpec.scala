@@ -207,6 +207,39 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  describe("Expectations / EventAnalytics.twap") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Expectations
+    it("rules count fails in one pass; NULL predicates fail; FK orphans counted") {
+      val df = Seq[(java.lang.Long, String)]((1L, "ok"), (60L, "ok"), (null, "ok")).toDF("v", "s")
+      val rep = Expectations.validate(df, Seq(
+        Expectations.Rule("v_range", col("v").between(1, 50)),
+        Expectations.Rule("v_nullable_ok", col("v").isNull || col("v") > 0)))
+        .as[(String, Long, Long)].collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+      rep("v_range") shouldBe ((3L, 2L))       // 60 fails range; NULL fails (unknown ≠ pass)
+      rep("v_nullable_ok") shouldBe ((3L, 0L)) // rule that tolerates nulls says so
+      an[IllegalArgumentException] should be thrownBy
+        Expectations.validate(df, Seq.empty)
+      val child  = Seq(1L, 2L, 9L).toDF("fk")
+      val parent = Seq(1L, 2L, 3L).toDF("pk")
+      Expectations.validateFk("fk", child, parent, Seq("fk" -> "pk"))
+        .as[(String, Long, Long)].head shouldBe (("fk", 3L, 1L))
+    }
+    it("twap weights each value by its holding interval; last observation carries none") {
+      // key k: v=100 for 10 us, v=200 for 30 us, final v=999 unweighted.
+      val df = Seq(("k", 0L, 1L, 100L), ("k", 10L, 2L, 200L), ("k", 40L, 3L, 999L))
+        .toDF("key", "t", "id", "v")
+      val r = graft.operators.EventAnalytics.twap(df, "key", "t", "v", tieCols = Seq("id"))
+        .as[(String, Long, Long, Long)].head()
+      r shouldBe (("k", 100L * 10 + 200L * 30, 40L, (100L * 10 + 200L * 30) / 40))
+      // Equal-timestamp tie: the tie-ordered LAST member weights the gap.
+      val tie = Seq(("k", 0L, 1L, 100L), ("k", 0L, 2L, 500L), ("k", 20L, 3L, 0L))
+        .toDF("key", "t", "id", "v")
+      graft.operators.EventAnalytics.twap(tie, "key", "t", "v", tieCols = Seq("id"))
+        .select("weighted_sum").as[Long].head() shouldBe 500L * 20
+    }
+  }
+
   describe("Profiler.psiFixedPoint") {
     import org.apache.spark.sql.functions._
     it("identical snapshots score zero; a shift scores positive; terms are nonnegative") {
