@@ -472,6 +472,12 @@ object SparkEntry {
     "q_corpus_pipeline_stream" -> ((s, dir) =>
       graft.streaming.StreamGates.corpusPipelineViaStream(s, dir)),
 
+    // Data-contract rules as a Complete-mode streaming aggregation: the
+    // engine maintains running fail counts across micro-batches; totals
+    // must equal the batch report (counts are arrival-order-proof).
+    "q_data_expectations_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.expectationsViaStream(s, dir)),
+
     // Streaming funnel: per-user stage cascade advanced incrementally
     // across micro-batches. Shares q_events_funnel's oracle verbatim.
     "q_events_funnel_stream" -> ((s, dir) =>
@@ -1732,6 +1738,24 @@ object SparkEntry {
           |  SELECT 'fk_lineitem_orders', (SELECT count(*) FROM lineitem),
           |    (SELECT count(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
           |     WHERE o.o_orderkey IS NULL))
+          |SELECT rule, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_fail AS BIGINT) AS n_fail
+          |FROM r ORDER BY rule""".stripMargin,
+
+      // Streamed rules: the four row rules only (the FK anti-join needs
+      // the full parent, so it stays a batch responsibility).
+      "q_data_expectations_stream" ->
+        """WITH r AS (
+          |  SELECT 'qty_range' AS rule, count(*) AS n_rows,
+          |    sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 0 ELSE 1 END) AS n_fail FROM lineitem
+          |  UNION ALL
+          |  SELECT 'returnflag_domain', count(*),
+          |    sum(CASE WHEN coalesce(l_returnflag IN ('A', 'N', 'R'), false) THEN 0 ELSE 1 END) FROM lineitem
+          |  UNION ALL
+          |  SELECT 'positive_price', count(*),
+          |    sum(CASE WHEN coalesce(l_extendedprice > 0, false) THEN 0 ELSE 1 END) FROM lineitem
+          |  UNION ALL
+          |  SELECT 'discount_range', count(*),
+          |    sum(CASE WHEN coalesce(l_discount BETWEEN 0 AND 0.1, false) THEN 0 ELSE 1 END) FROM lineitem)
           |SELECT rule, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_fail AS BIGINT) AS n_fail
           |FROM r ORDER BY rule""".stripMargin,
 

@@ -758,6 +758,38 @@ object StreamGates {
     finally rmTree(indexDir)
   }
 
+  /** `q_data_expectations_stream`: the data-contract row rules evaluated
+    * over a STREAM — each rule is a conditional sum in one Complete-mode
+    * global aggregation, so the engine maintains the running fail counts
+    * across micro-batches and the final totals equal the batch report
+    * exactly (counts are associative; arrival order cannot move them).
+    * The FK leg stays batch-side ([[graft.operators.Expectations.validateFk]]
+    * — an anti-join's completeness needs the full parent, not a prefix);
+    * the oracle is the batch rules replay.
+    */
+  def expectationsViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Expectations.Rule
+    val li = graft.Tpch.table(spark, sfDir, "lineitem")
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) +
+        col("l_orderkey") * 100L + col("l_linenumber")))
+    val rules = Seq(
+      Rule("qty_range", col("l_quantity").between(1, 50)),
+      Rule("returnflag_domain", col("l_returnflag").isin("A", "N", "R")),
+      Rule("positive_price", col("l_extendedprice") > 0),
+      Rule("discount_range", col("l_discount").between(0, 0.1)))
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.map(r => sum(when(coalesce(r.predicate, lit(false)), 0L).otherwise(1L)).as(s"f_${r.name}"))
+    val totals = replayViaFiles(spark, li, "ts", chunks = 3, OutputMode.Complete())(
+      in => in.agg(aggs.head, aggs.tail: _*))
+    // One row of running totals → the per-rule report rows.
+    import spark.implicits._
+    val row = totals.head()
+    rules.zipWithIndex
+      .map { case (r, i) => (r.name, row.getLong(0), row.getLong(i + 1)) }
+      .toDF("rule", "n_rows", "n_fail")
+      .orderBy("rule")
+  }
+
   /** `q_corpus_pipeline_stream`: the continuously-ingesting corpus
     * pipeline END-TO-END — per arriving micro-batch of new documents:
     * (1) the full quality ensemble (classifier weights + compact LM +
