@@ -125,6 +125,26 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // IMAGE near-dup SERVING: the originals' dHashes persisted as a
+    // band-partitioned fingerprint index, the jittered twins probed
+    // against it (pruned partitions + exact popcount verify) — the
+    // multimodal member of the incremental-dedup lifecycle family.
+    "q_multimodal_phash_serve" -> ((s, dir) => {
+      import graft.operators.{Dedup, Multimodal}
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fpidx_").toString
+      Dedup.persistFingerprintIndex(
+        d.select(col("doc_id"),
+          Multimodal.imageDHash(Multimodal.syntheticPngTextured(col("doc_id"))).as("dh")),
+        "doc_id", "dh", tmp, maxHamming = 3, fpBits = 63)
+      Dedup.matchVsFingerprintIndex(
+          d.select((col("doc_id") + 10000000L).as("doc_id"),
+            Multimodal.imageDHash(Multimodal.syntheticPngTexturedJittered(col("doc_id"))).as("dh")),
+          "doc_id", "dh", tmp)
+        .select(col("doc_id"), col("matched_id"), col("hamming").cast("long").as("hamming"))
+        .orderBy("doc_id", "matched_id")
+    }),
+
     // Click→purchase attribution, batch form: per-user event-time band
     // join (equi on user + 30-minute range residual). The stream twin
     // below runs the SAME join as a watermarked stream-stream join and
@@ -3447,6 +3467,16 @@ object SparkEntry {
            |FROM u a JOIN u b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.dh, b.dh)) <= 3
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // Serving form: jittered probes vs the originals index — new×old
+      // pairs only; the pigeonhole banding and disk round trip must not
+      // change one pair.
+      "q_multimodal_phash_serve" ->
+        s"""WITH $dhashCtes
+           |SELECT j.doc_id + 10000000 AS doc_id, o.doc_id AS matched_id,
+           |CAST(bit_count(xor(j.dhj, o.dh)) AS BIGINT) AS hamming
+           |FROM bits j JOIN bits o ON bit_count(xor(j.dhj, o.dh)) <= 3
+           |ORDER BY doc_id, matched_id""".stripMargin,
 
       "q_events_attribution"        -> attributionOracleSql,
       // The stream-stream join must land on the batch result row-for-row.

@@ -1343,10 +1343,28 @@ object Dedup {
       fpBits: Int = 32
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming < fpBits, "need 0 <= maxHamming < fpBits")
-    val bands = maxHamming + 1
     // Band b covers bits [floor(b·bits/bands), floor((b+1)·bits/bands)) —
     // an even disjoint cover of all fpBits for any bands ≤ fpBits.
-    val banded = fingerprints.select(
+    val banded = fingerprintBands(fingerprints, idCol, fpCol, maxHamming, fpBits)
+    val l = banded.toDF("doc_a", "fp_a", "band", "key")
+    val r = banded.toDF("doc_b", "fp_b", "band", "key")
+    l.join(r, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .distinct()
+  }
+
+  /** The pigeonhole band rows of a fixed-width fingerprint: band b covers
+    * bits [⌊b·bits/bands⌋, ⌊(b+1)·bits/bands⌋) with bands = maxHamming+1,
+    * so two fingerprints within `maxHamming` MUST agree on ≥ one whole
+    * band. Shared by [[simHashPairsBanded]] (all-pairs) and the persisted
+    * fingerprint index (serve-time probe).
+    */
+  private def fingerprintBands(df: DataFrame, idCol: String, fpCol: String, maxHamming: Int, fpBits: Int): DataFrame = {
+    val bands = maxHamming + 1
+    df.select(
       col(idCol).as("doc_id"),
       col(fpCol).as("fp"),
       explode(array((0 until bands).map { b =>
@@ -1358,14 +1376,85 @@ object Dedup {
         )
       }: _*)).as("bk")
     ).select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val l = banded.toDF("doc_a", "fp_a", "band", "key")
-    val r = banded.toDF("doc_b", "fp_b", "band", "key")
-    l.join(r, Seq("band", "key"))
-      .where(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-      .where(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
-      .distinct()
+  }
+
+  /** Persist a FINGERPRINT near-dup index (dHash/SimHash — any ≤ 64-bit
+    * perceptual or content fingerprint), band-partitioned exactly like the
+    * MinHash signature index: rows (doc_id, fp, band, key) bucketed by
+    * hash(band, key) so a probe reads only colliding partitions. The
+    * image/multimodal member of the incremental-dedup lifecycle family
+    * (text = MinHash signatures, embeddings = IVF cells, images = this).
+    */
+  def persistFingerprintIndex(
+      df: DataFrame,
+      idCol: String,
+      fpCol: String,
+      path: String,
+      maxHamming: Int,
+      fpBits: Int = 63,
+      keyBuckets: Int = 64,
+      append: Boolean = false
+  ): Unit = {
+    require(maxHamming >= 0 && maxHamming < fpBits, "need 0 <= maxHamming < fpBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (append) {
+      val m = readFingerprintIndexMeta(spark, path)
+      require(m == (maxHamming, fpBits, keyBuckets),
+        s"persistFingerprintIndex(append): parameters ($maxHamming,$fpBits,$keyBuckets) do not match the existing index $m")
+    }
+    fingerprintBands(df, idCol, fpCol, maxHamming, fpBits)
+      .withColumn("bucket", pmod(xxhash64(col("band"), col("key")), lit(keyBuckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("bucket").parquet(path)
+    if (!append)
+      Seq((maxHamming, fpBits, keyBuckets)).toDF("maxHamming", "fpBits", "keyBuckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_fp_meta")
+  }
+
+  private def readFingerprintIndexMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/_graft_fp_meta")
+      .select("maxHamming", "fpBits", "keyBuckets").head
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Probe a [[persistFingerprintIndex]] with a new batch: the batch's
+    * band keys prune to their partitions (planning-time `isin`), the
+    * pigeonhole guarantees no ≤ maxHamming pair is missed, and the exact
+    * popcount verifies candidates. Honors `_graft_tombstones` under the
+    * index root ([[deleteFromPersistedIndex]]'s file — same lifecycle).
+    * Returns (doc_id, matched_id, hamming).
+    */
+  def matchVsFingerprintIndex(
+      newDf: DataFrame,
+      idCol: String,
+      fpCol: String,
+      indexPath: String
+  ): DataFrame = {
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val (maxHamming, fpBits, keyBuckets) = readFingerprintIndexMeta(spark, indexPath)
+    val nbd = Lineage.truncate(
+      fingerprintBands(newDf, idCol, fpCol, maxHamming, fpBits)
+        .withColumn("bucket", pmod(xxhash64(col("band"), col("key")), lit(keyBuckets.toLong)).cast("int"))
+        .select(col("doc_id").as("nid"), col("fp").as("nfp"), col("bucket"), col("band"), col("key")))
+    val touched = nbd.select("bucket").distinct().as[Int].collect().sorted
+    val empty = spark.emptyDataset[(Long, Long, Int)].toDF("doc_id", "matched_id", "hamming")
+    if (touched.isEmpty) empty
+    else {
+      val idx = dropTombstoned(
+        spark.read.parquet(indexPath)
+          .where(col("bucket").isin(touched.map(b => b: Any): _*))
+          .select(col("doc_id").as("oid"), col("fp").as("ofp"), col("bucket"), col("band"), col("key")),
+        "oid", indexPath)
+      nbd.join(idx, Seq("bucket", "band", "key"))
+        .select("nid", "oid", "nfp", "ofp").distinct()
+        .withColumn("hamming", bit_count(col("nfp").bitwiseXOR(col("ofp"))))
+        .where(col("hamming") <= maxHamming)
+        .select(col("nid").as("doc_id"), col("oid").as("matched_id"), col("hamming"))
+    }
   }
 
   /** Brute-force embedding near-duplicate pairs (cosine ≥ threshold).
