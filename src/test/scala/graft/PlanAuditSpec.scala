@@ -367,6 +367,70 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("fingerprint index: pruned probe ≡ brute-force Hamming pairs; append; tombstones; strict partition subset") {
+      withoutAqe {
+        import graft.operators.Dedup
+        // 63-bit fingerprints with planted near-twins: doc i and i+1000
+        // differ in ≤ 2 low bits; unrelated docs differ widely.
+        val mkFp = (lo: Long, hi: Long, flip: Boolean) => {
+          val base = spark.range(lo, hi).toDF("doc_id")
+            .withColumn("fp", abs(xxhash64(col("doc_id"))).bitwiseAND(lit((1L << 62) - 1)))
+          if (flip)
+            base.select((col("doc_id") + 1000L).as("doc_id"),
+              col("fp").bitwiseXOR(pmod(col("doc_id"), lit(4L))).as("fp"))
+          else base
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("fpidx_").toString
+        try {
+          val olds = mkFp(0L, 200L, false)
+          Dedup.persistFingerprintIndex(olds, "doc_id", "fp", tmp, maxHamming = 2, fpBits = 63)
+          val allBuckets = spark.read.parquet(tmp).select("bucket").distinct().count()
+          allBuckets should be > 3L
+          val probes = mkFp(0L, 50L, true)
+          // Probe ≡ brute force (cross join popcount) — banding loses nothing.
+          val got = Dedup.matchVsFingerprintIndex(probes, "doc_id", "fp", tmp)
+            .select("doc_id", "matched_id").as[(Long, Long)].collect().toSet
+          val want = probes.toDF("pid", "pfp").crossJoin(olds.toDF("oid", "ofp"))
+            .where(bit_count(col("pfp").bitwiseXOR(col("ofp"))) <= 2)
+            .select("pid", "oid").as[(Long, Long)].collect().toSet
+          got shouldBe want
+          want should not be empty
+          // A SINGLE-fingerprint probe plans at most bands (=3) partitions.
+          val one  = Dedup.matchVsFingerprintIndex(probes.where("doc_id = 1000"), "doc_id", "fp", tmp)
+          val plan = executed(one)
+          val scans = plan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+                if f.relation.location.rootPaths.exists(_.toString.contains("fpidx_")) &&
+                  !f.relation.location.rootPaths.exists(_.toString.contains("_graft_fp_meta")) => f
+          }
+          scans should not be empty
+          scans.foreach { f =>
+            f.selectedPartitions.partitionCount should be <= 3
+            f.selectedPartitions.partitionCount.toLong should be < allBuckets
+          }
+          // Append grows the index in place; mismatched geometry refuses.
+          Dedup.persistFingerprintIndex(mkFp(200L, 230L, false), "doc_id", "fp", tmp,
+            maxHamming = 2, fpBits = 63, append = true)
+          spark.read.parquet(tmp).select("doc_id").distinct().count() shouldBe 230L
+          an[IllegalArgumentException] should be thrownBy
+            Dedup.persistFingerprintIndex(olds, "doc_id", "fp", tmp,
+              maxHamming = 3, fpBits = 63, append = true)
+          // Tombstoned ids vanish from probe results.
+          val victim = want.head._2
+          Dedup.deleteFromPersistedIndex(Seq(victim).toDF("doc_id"), "doc_id", tmp)
+          val after = Dedup.matchVsFingerprintIndex(probes, "doc_id", "fp", tmp)
+            .select("matched_id").as[Long].collect().toSet
+          after should not contain victim
+          (want.map(_._2) - victim).subsetOf(after) shouldBe true
+        } finally {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(new java.io.File(tmp))
+        }
+      }
+    }
+
     it("ivfTopKFromPersisted probes only its nprobe cells' partitions") {
       assume(new java.io.File(sfDir).isDirectory)
       withoutAqe {
