@@ -536,6 +536,13 @@ object SparkEntry {
     "q_bm25_serve_stream" -> ((s, dir) =>
       graft.streaming.StreamGates.bm25ServeViaStream(s, dir)),
 
+    // Streamed image-fingerprint dedup serving: jittered probes arrive as
+    // a stream, each micro-batch probes the persisted band-partitioned
+    // dHash index (partition-pruned reads per trigger). Same oracle as the
+    // batch serve gate.
+    "q_multimodal_phash_serve_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.phashServeViaStream(s, dir)),
+
     // Streamed-query ANN serving: each micro-batch probes the persisted
     // CELL-PARTITIONED IVF index (only probed cells read per trigger).
     // Shares q_knn_ivf_probe's oracle.
@@ -1926,6 +1933,18 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
         .orderBy("doc_a", "doc_b")),
+
+    // EXACT-threshold set-similarity join (AllPairs/PPJoin prefix filter):
+    // every word-bigram-set pair with Jaccard ≥ 0.6, no probabilistic
+    // recall loss — the deterministic complement to the MinHash gate. The
+    // oracle brute-forces all pairs; the prefix-filtered plan must equal it.
+    "q_jaccard_join" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.jaccardJoinExact(
+          d.select(col("doc_id"), Dedup.wordBigrams(col("text")).as("bg")),
+          "bg", "doc_id", thresholdMilli = 600)
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // MinHash + LSH banding with exact-Jaccard verification. 4 bands × 8
     // rows targets the near-dup regime (s-curve knee ≈ 0.84): on this
@@ -3425,6 +3444,12 @@ object SparkEntry {
          |         WHERE a.x < 7
          |         GROUP BY a.doc_id)""".stripMargin
     }
+    val phashServeOracleSql =
+      s"""WITH $dhashCtes
+         |SELECT j.doc_id + 10000000 AS doc_id, o.doc_id AS matched_id,
+         |CAST(bit_count(xor(j.dhj, o.dh)) AS BIGINT) AS hamming
+         |FROM bits j JOIN bits o ON bit_count(xor(j.dhj, o.dh)) <= 3
+         |ORDER BY doc_id, matched_id""".stripMargin
     val attributionOracleSql =
       """SELECT c.user_id AS user_id, epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
         |FROM events c JOIN events p ON c.user_id = p.user_id
@@ -3471,12 +3496,10 @@ object SparkEntry {
       // Serving form: jittered probes vs the originals index — new×old
       // pairs only; the pigeonhole banding and disk round trip must not
       // change one pair.
-      "q_multimodal_phash_serve" ->
-        s"""WITH $dhashCtes
-           |SELECT j.doc_id + 10000000 AS doc_id, o.doc_id AS matched_id,
-           |CAST(bit_count(xor(j.dhj, o.dh)) AS BIGINT) AS hamming
-           |FROM bits j JOIN bits o ON bit_count(xor(j.dhj, o.dh)) <= 3
-           |ORDER BY doc_id, matched_id""".stripMargin,
+      "q_multimodal_phash_serve" -> phashServeOracleSql,
+      // Streamed serving against the frozen index must equal the batch
+      // probe row-for-row (per-probe verdicts are micro-batch invariant).
+      "q_multimodal_phash_serve_stream" -> phashServeOracleSql,
 
       "q_events_attribution"        -> attributionOracleSql,
       // The stream-stream join must land on the batch result row-for-row.
@@ -3979,6 +4002,22 @@ object SparkEntry {
            |    (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) AS jaccard
            |  FROM cand JOIN docs x ON doc_a = x.doc_id JOIN docs y ON doc_b = y.doc_id)
            |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // Brute force over ALL bigram-set pairs — the prefix-filtered plan
+      // must lose nothing (exact algorithm, exact integer keep test).
+      "q_jaccard_join" ->
+        s"""WITH w AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+           |bg AS (SELECT doc_id, unnest(list_distinct(
+           |        [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])) AS tok FROM w),
+           |sz AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY 1),
+           |o AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           |      FROM bg a JOIN bg b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+           |  CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+           |  CAST((1000 * inter) // (sa.sz + sb.sz - inter) AS BIGINT) AS jaccard_milli
+           |FROM o JOIN sz sa ON sa.doc_id = o.doc_a JOIN sz sb ON sb.doc_id = o.doc_b
+           |WHERE inter * 1600 >= 600 * (sa.sz + sb.sz)
            |ORDER BY doc_a, doc_b""".stripMargin,
 
       "q_dedup_minhash" -> minHashOracleSql(hsh3, hashI, bandKey),

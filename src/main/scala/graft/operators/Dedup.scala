@@ -1274,6 +1274,96 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
+  /** Distinct adjacent word pairs ("w1 w2") — the set elements for
+    * [[jaccardJoinExact]] on natural text. Bigrams keep the element space
+    * large enough that unrelated documents score low even over a small
+    * vocabulary (single-word sets saturate: 31 distinct words make every
+    * pair of long docs near-identical at the set level).
+    */
+  def wordBigrams(text: Column): Column = {
+    val tk = tokens(text)
+    array_distinct(
+      when(size(tk) < 2, array().cast("array<string>"))
+        .otherwise(zip_with(
+          slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1),
+          (a, b) => concat(a, lit(" "), b))))
+  }
+
+  /** EXACT-threshold set-similarity self-join with prefix filtering — the
+    * deterministic complement to [[minHashLshPairs]]: every pair with
+    * set-Jaccard ≥ threshold, no probabilistic recall loss, still
+    * sub-quadratic. The classic AllPairs/PPJoin shape (Bayardo et al.
+    * WWW'07; Xiao et al. WWW'08), re-expressed declaratively:
+    *
+    *  1. elements ranked GLOBALLY by ascending document frequency (rarest
+    *     first, ties by value) — one groupBy + one window;
+    *  2. each doc keeps only its PREFIX, the first |A| − ⌈t·|A|⌉ + 1
+    *     elements in that order. Pigeonhole: two docs with Jaccard ≥ t
+    *     overlap in ≥ ⌈t·max(|A|,|B|)⌉ elements, so their prefixes must
+    *     share one — joining prefixes on the element loses NO qualifying
+    *     pair;
+    *  3. candidates = prefix ⋈ prefix on the element (+ the size filter
+    *     t·|A| ≤ |B| ∧ t·|B| ≤ |A| pushed into the join), distinct-ed;
+    *  4. exact verify: candidates re-join the full element sets and count
+    *     the true intersection; the keep test is integer-exact —
+    *     O·(1000+t_milli) ≥ t_milli·(|A|+|B|)  ⟺  O/(|A|+|B|−O) ≥ t.
+    *
+    * 100 TB shape: the frequency ordering is the skew defense — prefix
+    * elements are by construction the RAREST in the corpus, so the
+    * inverted-index join has short postings and no hot keys (the "spark
+    * says"-type stopword that would explode a naive token join is ranked
+    * last and never enters a prefix unless the doc is almost all
+    * stopwords). Verification cost is |candidates| × avg-set-size, the
+    * quantity prefix filtering exists to minimize. Three keyed shuffles
+    * (doc, element, doc) + the candidate join; no driver materialization.
+    *
+    * `setCol` is an array column of set elements (dedup'd here — multiset
+    * inputs are legal); pair it with [[wordBigrams]] for text. Returns
+    * (doc_a, doc_b, inter, size_a, size_b, jaccard_milli), doc_a < doc_b,
+    * jaccard_milli = ⌊1000·O/|A∪B|⌋.
+    */
+  def jaccardJoinExact(
+      df: DataFrame,
+      setCol: String,
+      idCol: String,
+      thresholdMilli: Int
+  ): DataFrame = {
+    require(thresholdMilli > 0 && thresholdMilli <= 1000,
+      s"thresholdMilli must be in (0, 1000], got $thresholdMilli")
+    import org.apache.spark.sql.expressions.Window
+    val tm = thresholdMilli.toLong
+    val tok = df
+      .select(col(idCol).cast("long").as("doc_id"), explode(col(setCol)).as("tok"))
+      .distinct()
+    val sized = tok.withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+    val ranked = sized
+      .join(dfreq, "tok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("dfreq"), col("tok"))))
+    // Prefix length |A| − ⌈t·|A|⌉ + 1, all-integer: ⌈t_milli·sz/1000⌉.
+    val prefix = Lineage.truncate(
+      ranked.where(col("rn") <= col("sz") - expr(s"(sz * $tm + 999) div 1000") + 1)
+        .select("doc_id", "tok", "sz"))
+    val cand = prefix.toDF("doc_a", "tok", "size_a")
+      .join(prefix.toDF("doc_b", "tok", "size_b"), Seq("tok"))
+      .where(col("doc_a") < col("doc_b") &&
+        col("size_a") * 1000L >= col("size_b") * tm &&
+        col("size_b") * 1000L >= col("size_a") * tm)
+      .select("doc_a", "doc_b", "size_a", "size_b")
+      .distinct()
+    val inter = cand
+      .join(tok.toDF("doc_a", "tok"), Seq("doc_a"))
+      .join(tok.toDF("doc_b", "tok"), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .where(col("inter") * (1000L + tm) >= lit(tm) * (col("size_a") + col("size_b")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"),
+        expr("(1000 * inter) div (size_a + size_b - inter)").as("jaccard_milli"))
+  }
+
   /** 32-bit SimHash: bit j set iff Σ over tokens of ±1 (sign of token-hash
     * bit j) is positive. Token multiplicity acts as the classic weight.
     *

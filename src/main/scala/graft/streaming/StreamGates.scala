@@ -920,6 +920,37 @@ object StreamGates {
     finally rmTree(indexDir)
   }
 
+  /** `q_multimodal_phash_serve_stream`: image fingerprints (dHash) arrive
+    * as a stream; each micro-batch probes the BAND-PARTITIONED persisted
+    * fingerprint index ([[graft.operators.Dedup.matchVsFingerprintIndex]]
+    * inside foreachBatch — only colliding band partitions read per
+    * trigger). A probe's matches depend only on the frozen index, never on
+    * its micro-batch peers, so streamed serving shares
+    * `q_multimodal_phash_serve`'s oracle verbatim. The fingerprints are
+    * computed BEFORE staging — the stream carries the 63-bit hash, not the
+    * image bytes, which is also the scale shape (decode once at ingest,
+    * ship fingerprints to the dedup service).
+    */
+  def phashServeViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{Dedup, Multimodal}
+    val d = graft.Tpch.table(spark, sfDir, "documents").select(col("doc_id"))
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_fpidx_stream")
+    Dedup.persistFingerprintIndex(
+      d.select(col("doc_id"),
+        Multimodal.imageDHash(Multimodal.syntheticPngTextured(col("doc_id"))).as("dh")),
+      "doc_id", "dh", indexDir.toString, maxHamming = 3, fpBits = 63)
+    val probes = d.select(
+      (col("doc_id") + 10000000L).as("doc_id"),
+      Multimodal.imageDHash(Multimodal.syntheticPngTexturedJittered(col("doc_id"))).as("dh"),
+      timestamp_millis(lit(1700000000000L) + col("doc_id") * 10L).as("ts"))
+    try
+      replayViaForeachBatch(spark, probes, "ts", chunks = 3)(
+        b => Dedup.matchVsFingerprintIndex(b.drop("ts"), "doc_id", "dh", indexDir.toString))
+        .select(col("doc_id"), col("matched_id"), col("hamming").cast("long").as("hamming"))
+        .orderBy("doc_id", "matched_id")
+    finally rmTree(indexDir)
+  }
+
   def ivfServeViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.{IvfPinned, Similarity}
     val emb = graft.Tpch.table(spark, sfDir, "embeddings")

@@ -84,6 +84,60 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.jaccardJoinExact") {
+    it("equals brute force at every threshold — stopword-heavy input, multiset input, empty sets") {
+      // 60 docs over a tiny vocab plus one universal stopword per doc:
+      // the frequency-ordered prefix must park the stopword at the
+      // suffix, and the result must STILL equal brute force exactly.
+      val rng = new scala.util.Random(7)
+      val rows = (0 until 60).map { i =>
+        val base = (0 until 8).map(_ => s"w${rng.nextInt(12)}")
+        val twin = if (i % 10 == 0) base else rng.shuffle(base).drop(rng.nextInt(3))
+        // "the" in every doc; duplicates inside the array exercise the
+        // multiset→set normalization.
+        (i.toLong, (twin ++ Seq("the", "the") ++ twin.take(2)).toArray)
+      } :+ (999L, Array.empty[String])
+      val df = rows.toDF("doc_id", "elems")
+      for (tm <- Seq(300, 600, 900)) {
+        val got = Dedup.jaccardJoinExact(df, "elems", "doc_id", tm)
+          .select("doc_a", "doc_b", "inter", "jaccard_milli")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        val tok = df.select(col("doc_id"), explode(col("elems")).as("tok")).distinct()
+        val sz  = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val brute = tok.toDF("da", "tok").join(tok.toDF("db", "tok"), Seq("tok"))
+          .where(col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("o"))
+          .join(sz.toDF("da", "sa"), Seq("da")).join(sz.toDF("db", "sb"), Seq("db"))
+          .where(col("o") * (1000L + tm) >= lit(tm.toLong) * (col("sa") + col("sb")))
+          .select(col("da"), col("db"), col("o"),
+            expr("(1000 * o) div (sa + sb - o)"))
+          .as[(Long, Long, Long, Long)].collect().toSet
+        withClue(s"threshold $tm: ") { got shouldBe brute }
+        if (tm <= 600) got should not be empty
+      }
+    }
+
+    it("never plans a cartesian product and rejects bad thresholds") {
+      val df = Seq((1L, Array("a", "b")), (2L, Array("a", "c"))).toDF("doc_id", "elems")
+      val plan = Dedup.jaccardJoinExact(df, "elems", "doc_id", 500)
+      plan.collect() // force execution
+      plan.queryExecution.executedPlan.toString should not include "CartesianProduct"
+      an[IllegalArgumentException] should be thrownBy
+        Dedup.jaccardJoinExact(df, "elems", "doc_id", 0)
+      an[IllegalArgumentException] should be thrownBy
+        Dedup.jaccardJoinExact(df, "elems", "doc_id", 1001)
+    }
+
+    it("wordBigrams: adjacent pairs, distinct, empty below two tokens") {
+      val r = Seq(("a b c b c", 1L), ("solo", 2L), ("", 3L)).toDF("text", "id")
+        .select(col("id"), Dedup.wordBigrams(col("text")).as("bg"))
+        .as[(Long, Seq[String])].collect().toMap
+      r(1L) shouldBe Seq("a b", "b c", "c b")
+      r(2L) shouldBe Seq.empty
+      r(3L) shouldBe Seq.empty
+    }
+  }
+
   describe("Dedup.minHashLshPairs") {
     it("recovers the exact and near duplicates") {
       val pairs = Dedup.minHashLshPairs(docs, "text", "doc_id", threshold = 0.6)
