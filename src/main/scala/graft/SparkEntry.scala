@@ -536,6 +536,12 @@ object SparkEntry {
     "q_bm25_serve_stream" -> ((s, dir) =>
       graft.streaming.StreamGates.bm25ServeViaStream(s, dir)),
 
+    // Streamed exact set-similarity serving: new docs' bigram sets probe
+    // the frozen prefix-filter index per micro-batch (two pruned reads per
+    // trigger). Same oracle as the batch serve gate.
+    "q_jaccard_serve_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.jaccardServeViaStream(s, dir)),
+
     // Streamed image-fingerprint dedup serving: jittered probes arrive as
     // a stream, each micro-batch probes the persisted band-partitioned
     // dHash index (partition-pruned reads per trigger). Same oracle as the
@@ -1944,6 +1950,20 @@ object SparkEntry {
           d.select(col("doc_id"), Dedup.wordBigrams(col("text")).as("bg")),
           "bg", "doc_id", thresholdMilli = 600)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Serving form of the exact set-similarity join: even docs persisted
+    // as a prefix-filter index (frozen element order, bucketed postings +
+    // fullsets), odd docs probe it with two partition-pruned reads. The
+    // cross-split brute force is the oracle — serving must lose nothing.
+    "q_jaccard_serve" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.wordBigrams(col("text")).as("bg"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jidx_").toString
+      Dedup.persistJaccardIndex(
+        d.where(col("doc_id") % 2 === 0), "bg", "doc_id", tmp, thresholdMilli = 600)
+      Dedup.matchVsJaccardIndex(d.where(col("doc_id") % 2 === 1), "bg", "doc_id", tmp)
+        .orderBy("doc_id", "matched_id")
     }),
 
     // MinHash + LSH banding with exact-Jaccard verification. 4 bands × 8
@@ -3984,6 +4004,20 @@ object SparkEntry {
          |sc AS (SELECT query_id, doc_id, sum(c_nano) AS score_nano FROM c GROUP BY 1, 2),
          |r AS (SELECT query_id, doc_id, score_nano,
          |      row_number() OVER (PARTITION BY query_id ORDER BY score_nano DESC, doc_id) AS rnk FROM sc)""".stripMargin
+    val jaccardServeOracleSql =
+      s"""WITH w AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_distinct(
+         |        [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])) AS tok FROM w),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY 1),
+         |o AS (SELECT p.doc_id AS doc_id, x.doc_id AS matched_id, count(*) AS inter
+         |      FROM bg p JOIN bg x ON p.tok = x.tok
+         |      WHERE p.doc_id % 2 = 1 AND x.doc_id % 2 = 0 GROUP BY 1, 2)
+         |SELECT o.doc_id AS doc_id, o.matched_id AS matched_id, CAST(inter AS BIGINT) AS inter,
+         |  CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+         |  CAST((1000 * inter) // (sa.sz + sb.sz - inter) AS BIGINT) AS jaccard_milli
+         |FROM o JOIN sz sa ON sa.doc_id = o.doc_id JOIN sz sb ON sb.doc_id = o.matched_id
+         |WHERE inter * 1600 >= 600 * (sa.sz + sb.sz)
+         |ORDER BY doc_id, matched_id""".stripMargin
     val bm25OracleSql =
       s"""WITH $bm25Ctes
          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rnk AS BIGINT) AS rnk,
@@ -4019,6 +4053,14 @@ object SparkEntry {
            |FROM o JOIN sz sa ON sa.doc_id = o.doc_a JOIN sz sb ON sb.doc_id = o.doc_b
            |WHERE inter * 1600 >= 600 * (sa.sz + sb.sz)
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // Cross-split brute force (odd probes × even index) — the persisted
+      // prefix index's two pruned reads must not lose a pair.
+      "q_jaccard_serve" -> jaccardServeOracleSql,
+      // Streamed serving against the frozen index must equal the batch
+      // probe row-for-row (frozen element order makes verdicts
+      // micro-batch invariant).
+      "q_jaccard_serve_stream" -> jaccardServeOracleSql,
 
       "q_dedup_minhash" -> minHashOracleSql(hsh3, hashI, bandKey),
 

@@ -1364,6 +1364,157 @@ object Dedup {
         expr("(1000 * inter) div (size_a + size_b - inter)").as("jaccard_milli"))
   }
 
+  /** [[jaccardJoinExact]]'s SERVING form: persist the prefix-filter state
+    * so new batches probe without rescanning (or re-ranking) the corpus.
+    * Three parts under `path`:
+    *
+    *  - `postings/` — the indexed docs' PREFIX elements `(tok, doc_id,
+    *    sz)`, partitioned by `bucket = pmod(xxhash64(tok), keyBuckets)`:
+    *    a probe reads only the partitions its own prefix elements hash to;
+    *  - `fullsets/` — every indexed doc's FULL element set, partitioned by
+    *    `dbucket = pmod(xxhash64(doc_id), docBuckets)`: exact verification
+    *    reads only the candidate docs' partitions;
+    *  - `_graft_jidx_dict` — the element→document-frequency table FROZEN
+    *    at build time. The pigeonhole guarantee needs both sides' prefixes
+    *    under ONE total order; probes rank their elements by the frozen
+    *    (dfreq, tok) order, with unseen elements at dfreq 0 (they cannot
+    *    collide with any indexed doc, and the lemma is purely positional,
+    *    so any consistent order is CORRECT — df-order is the performance
+    *    heuristic that keeps postings short).
+    *
+    * `append` adds docs under the frozen order (correct for any fixed
+    * order; selectivity drifts as true frequencies diverge — rebuild to
+    * refresh). Tombstones are shared with the other persisted indexes
+    * ([[deleteFromPersistedIndex]]).
+    */
+  def persistJaccardIndex(
+      df: DataFrame,
+      setCol: String,
+      idCol: String,
+      path: String,
+      thresholdMilli: Int,
+      keyBuckets: Int = 64,
+      docBuckets: Int = 64,
+      append: Boolean = false
+  ): Unit = {
+    require(thresholdMilli > 0 && thresholdMilli <= 1000,
+      s"thresholdMilli must be in (0, 1000], got $thresholdMilli")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tm = thresholdMilli.toLong
+    val tok = df
+      .select(col(idCol).cast("long").as("doc_id"), explode(col(setCol)).as("tok"))
+      .distinct()
+    val dict =
+      if (append) {
+        val m = readJaccardIndexMeta(spark, path)
+        require(m == (thresholdMilli, keyBuckets, docBuckets),
+          s"persistJaccardIndex(append): parameters ($thresholdMilli,$keyBuckets,$docBuckets) do not match the existing index $m")
+        spark.read.parquet(s"$path/_graft_jidx_dict")
+      } else tok.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+    val prefix = Lineage.truncate(
+      tok.withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .join(dict, Seq("tok"), "left")
+        .withColumn("dfreq", coalesce(col("dfreq"), lit(0L)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("dfreq"), col("tok"))))
+        .where(col("rn") <= col("sz") - expr(s"(sz * $tm + 999) div 1000") + 1)
+        .select("tok", "doc_id", "sz"))
+    prefix
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(keyBuckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("bucket").parquet(s"$path/postings")
+    tok
+      .withColumn("dbucket", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)).cast("int"))
+      .repartition(col("dbucket"))
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("dbucket").parquet(s"$path/fullsets")
+    if (!append) {
+      dict.write.mode("overwrite").parquet(s"$path/_graft_jidx_dict")
+      Seq((thresholdMilli, keyBuckets, docBuckets))
+        .toDF("thresholdMilli", "keyBuckets", "docBuckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_jidx_meta")
+    }
+  }
+
+  private def readJaccardIndexMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/_graft_jidx_meta")
+      .select("thresholdMilli", "keyBuckets", "docBuckets").head
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Probe a [[persistJaccardIndex]] with a new batch: every (new, indexed)
+    * pair with set-Jaccard ≥ the index's threshold, exactly. Two pruned
+    * reads — the batch's prefix elements select their postings partitions,
+    * then the surviving candidates' doc ids select their fullsets
+    * partitions — so a single-doc probe touches a few partitions of each,
+    * never the corpus. Honors tombstones. Returns (doc_id, matched_id,
+    * inter, size_a, size_b, jaccard_milli); `doc_id` is the probe's.
+    */
+  def matchVsJaccardIndex(
+      newDf: DataFrame,
+      setCol: String,
+      idCol: String,
+      indexPath: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val (tmI, keyBuckets, docBuckets) = readJaccardIndexMeta(spark, indexPath)
+    val tm = tmI.toLong
+    val dict = spark.read.parquet(s"$indexPath/_graft_jidx_dict")
+    val ntok = Lineage.truncate(
+      newDf.select(col(idCol).cast("long").as("nid"), explode(col(setCol)).as("tok")).distinct())
+    val nprefix = Lineage.truncate(
+      ntok.withColumn("sa", count(lit(1)).over(Window.partitionBy("nid")))
+        .join(dict, Seq("tok"), "left")
+        .withColumn("dfreq", coalesce(col("dfreq"), lit(0L)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("nid").orderBy(col("dfreq"), col("tok"))))
+        .where(col("rn") <= col("sa") - expr(s"(sa * $tm + 999) div 1000") + 1)
+        .withColumn("bucket", pmod(xxhash64(col("tok")), lit(keyBuckets.toLong)).cast("int"))
+        .select("bucket", "tok", "nid", "sa"))
+    val touched = nprefix.select("bucket").distinct().as[Int].collect().sorted
+    val empty = spark.emptyDataset[(Long, Long, Long, Long, Long, Long)]
+      .toDF("doc_id", "matched_id", "inter", "size_a", "size_b", "jaccard_milli")
+    if (touched.isEmpty) return empty
+    val postings = dropTombstoned(
+      spark.read.parquet(s"$indexPath/postings")
+        .where(col("bucket").isin(touched.map(b => b: Any): _*))
+        .select(col("bucket"), col("tok"), col("doc_id").as("oid"), col("sz").as("sb")),
+      "oid", indexPath)
+    // Lazy on purpose: the candidate join is evaluated twice (once
+    // projected to candidate doc buckets, once in the verify pipeline) —
+    // both evaluations read only the PRUNED postings partitions, and a
+    // truncating checkpoint here would hide the pruned scan from the
+    // executed plan (the thing PlanAuditSpec pins). Micro-batch probes
+    // make the recompute cheap; the alternative (one materialization)
+    // trades a tiny re-read for opaque provenance.
+    val cand = nprefix.join(postings, Seq("bucket", "tok"))
+      .where(col("sa") * 1000L >= col("sb") * tm && col("sb") * 1000L >= col("sa") * tm)
+      .select("nid", "oid", "sa", "sb")
+      .distinct()
+    val candBuckets = cand
+      .select(pmod(xxhash64(col("oid")), lit(docBuckets.toLong)).cast("int").as("dbucket"))
+      .distinct().as[Int].collect().sorted
+    if (candBuckets.isEmpty) return empty
+    val fullsets = spark.read.parquet(s"$indexPath/fullsets")
+      .where(col("dbucket").isin(candBuckets.map(b => b: Any): _*))
+      .select(col("doc_id").as("oid"), col("tok"))
+    cand
+      .join(ntok, Seq("nid"))
+      .join(fullsets, Seq("oid", "tok"))
+      .groupBy("nid", "oid", "sa", "sb")
+      .agg(count(lit(1)).as("inter"))
+      .where(col("inter") * (1000L + tm) >= lit(tm) * (col("sa") + col("sb")))
+      .select(col("nid").as("doc_id"), col("oid").as("matched_id"), col("inter"),
+        col("sa").as("size_a"), col("sb").as("size_b"),
+        expr("(1000 * inter) div (sa + sb - inter)").as("jaccard_milli"))
+  }
+
   /** 32-bit SimHash: bit j set iff Σ over tokens of ±1 (sign of token-hash
     * bit j) is positive. Token multiplicity acts as the classic weight.
     *

@@ -951,6 +951,31 @@ object StreamGates {
     finally rmTree(indexDir)
   }
 
+  /** `q_jaccard_serve_stream`: new documents' bigram sets arrive as a
+    * stream; each micro-batch probes the PERSISTED prefix-filter index
+    * ([[graft.operators.Dedup.matchVsJaccardIndex]] inside foreachBatch —
+    * two partition-pruned reads per trigger: postings by the batch's
+    * prefix elements, fullsets by the surviving candidates). A probe's
+    * matches depend only on the frozen index (frozen element order
+    * included), so streamed serving shares `q_jaccard_serve`'s oracle
+    * verbatim.
+    */
+  def jaccardServeViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Dedup
+    val d = graft.Tpch.table(spark, sfDir, "documents")
+      .select(col("doc_id"), Dedup.wordBigrams(col("text")).as("bg"))
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_jidx_stream")
+    Dedup.persistJaccardIndex(
+      d.where(col("doc_id") % 2 === 0), "bg", "doc_id", indexDir.toString, thresholdMilli = 600)
+    val probes = d.where(col("doc_id") % 2 === 1)
+      .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("doc_id") * 10L))
+    try
+      replayViaForeachBatch(spark, probes, "ts", chunks = 3)(
+        b => Dedup.matchVsJaccardIndex(b.drop("ts"), "bg", "doc_id", indexDir.toString))
+        .orderBy("doc_id", "matched_id")
+    finally rmTree(indexDir)
+  }
+
   def ivfServeViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.{IvfPinned, Similarity}
     val emb = graft.Tpch.table(spark, sfDir, "embeddings")

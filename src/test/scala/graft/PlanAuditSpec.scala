@@ -431,6 +431,72 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("jaccard index: pruned probe ≡ cross-split brute force; both reads prune; append; tombstones") {
+      withoutAqe {
+        import graft.operators.Dedup
+        val rng = new scala.util.Random(11)
+        val base = (0L until 79L).map { i =>
+          (i, (0 until 10).map(_ => s"w${rng.nextInt(25)}").distinct.toArray)
+        }
+        val rows0Copy = base.head._2
+        val rows = base :+ (79L -> rows0Copy)
+        val df   = rows.toDF("doc_id", "elems")
+        val even = df.where("doc_id % 2 = 0")
+        val odd  = df.where("doc_id % 2 = 1")
+        val tmp  = java.nio.file.Files.createTempDirectory("jidx_").toString
+        try {
+          Dedup.persistJaccardIndex(even, "elems", "doc_id", tmp, thresholdMilli = 300)
+          // Probe ≡ brute force across the split (exact algorithm).
+          val got = Dedup.matchVsJaccardIndex(odd, "elems", "doc_id", tmp)
+            .select("doc_id", "matched_id", "inter").as[(Long, Long, Long)].collect().toSet
+          val tok = df.select(col("doc_id"), explode(col("elems")).as("tok")).distinct()
+          val sz  = tok.groupBy("doc_id").agg(count(lit(1)).as("s"))
+          val brute = tok.toDF("p", "tok").join(tok.toDF("x", "tok"), Seq("tok"))
+            .where(col("p") % 2 === 1 && col("x") % 2 === 0)
+            .groupBy("p", "x").agg(count(lit(1)).as("o"))
+            .join(sz.toDF("p", "sa"), Seq("p")).join(sz.toDF("x", "sb"), Seq("x"))
+            .where(col("o") * 1300L >= lit(300L) * (col("sa") + col("sb")))
+            .select("p", "x", "o").as[(Long, Long, Long)].collect().toSet
+          got shouldBe brute
+          // The planted twin (doc 79 = doc 0's set) is in there at J = 1.
+          got.map(t => (t._1, t._2)) should contain((79L, 0L))
+          // Single-doc probe: BOTH persisted reads plan strict partition
+          // subsets — postings by the probe's prefix elements, fullsets by
+          // the surviving candidates' doc ids.
+          val allPost = spark.read.parquet(s"$tmp/postings").select("bucket").distinct().count()
+          val allFull = spark.read.parquet(s"$tmp/fullsets").select("dbucket").distinct().count()
+          val plan = executed(Dedup.matchVsJaccardIndex(df.where("doc_id = 79"), "elems", "doc_id", tmp))
+          def scanOf(part: String) = plan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+                if f.relation.location.rootPaths.exists(_.toString.contains(s"jidx_")) &&
+                  f.relation.location.rootPaths.exists(_.toString.contains(part)) => f
+          }
+          val post = scanOf("postings"); val full = scanOf("fullsets")
+          post should not be empty
+          full should not be empty
+          post.foreach(_.selectedPartitions.partitionCount.toLong should be < allPost)
+          full.foreach(_.selectedPartitions.partitionCount.toLong should be < allFull)
+          // Append under the frozen order; geometry mismatch refuses.
+          Dedup.persistJaccardIndex(
+            Seq((200L, rows0Copy)).toDF("doc_id", "elems"), "elems", "doc_id", tmp,
+            thresholdMilli = 300, append = true)
+          Dedup.matchVsJaccardIndex(df.where("doc_id = 79"), "elems", "doc_id", tmp)
+            .select("matched_id").as[Long].collect() should contain(200L)
+          an[IllegalArgumentException] should be thrownBy
+            Dedup.persistJaccardIndex(even, "elems", "doc_id", tmp, thresholdMilli = 400, append = true)
+          // Tombstoned docs vanish from probe results.
+          Dedup.deleteFromPersistedIndex(Seq(0L).toDF("doc_id"), "doc_id", tmp)
+          Dedup.matchVsJaccardIndex(df.where("doc_id = 79"), "elems", "doc_id", tmp)
+            .select("matched_id").as[Long].collect() should not contain 0L
+        } finally {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(new java.io.File(tmp))
+        }
+      }
+    }
+
     it("ivfTopKFromPersisted probes only its nprobe cells' partitions") {
       assume(new java.io.File(sfDir).isDirectory)
       withoutAqe {
