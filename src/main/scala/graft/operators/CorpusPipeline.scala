@@ -79,6 +79,31 @@ object CorpusPipeline {
   }
 
   /** Stages 2–4 (quality → LM → split), shared by both dedup fronts. */
+  /** Right-to-be-forgotten across every persisted SERVING surface in one
+    * call. All five graft index families (MinHash signature, image
+    * fingerprint, Jaccard prefix, IVF cell, BM25 postings) share one
+    * tombstone contract — a `(doc_id)` parquet set under
+    * `<root>/_graft_tombstones` that every probe/load path anti-joins —
+    * so a forget request fans out as |paths| metadata appends: cost
+    * O(|ids|) PER SURFACE, zero index partitions touched, serving
+    * uninterrupted. Reclaim space later by rebuilding each index from the
+    * surviving docs (overwrite-persist clears tombstones); the erasure is
+    * effective at probe time immediately.
+    *
+    * Returns a receipt frame (index_path, forgotten_ids) for the audit
+    * trail a deletion request needs. Spec-verified end-to-end across all
+    * five surfaces (ForgetFlowSpec): after one call, no probe of any
+    * surface returns a forgotten id.
+    */
+  def forgetDocuments(ids: DataFrame, idCol: String, indexPaths: Seq[String]): DataFrame = {
+    require(indexPaths.nonEmpty, "forgetDocuments: no index paths given")
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val n = ids.select(col(idCol)).distinct().count()
+    indexPaths.foreach(p => Dedup.deleteFromPersistedIndex(ids, idCol, p))
+    indexPaths.map(p => (p, n)).toDF("index_path", "forgotten_ids")
+  }
+
   private def chain(
       deduped: DataFrame,
       minTokens: Long,

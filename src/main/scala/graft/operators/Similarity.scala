@@ -706,15 +706,25 @@ object Similarity {
     * never be returned as a neighbor. Rebuild-persist = compaction.
     */
   def deleteFromIvfIndex(ids: DataFrame, idCol: String, path: String): Unit =
-    ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
       .coalesce(1).write.mode("append").parquet(ivfTombstonePath(path))
 
-  /** The IVF index's tombstoned ids, if any were ever deleted. */
+  /** The IVF index's tombstoned ids, if any were ever deleted. The column
+    * is read tolerantly (`doc_id` now, `vec_id` in older tombstone files,
+    * coalesced when a dir mixes generations) so ONE tombstone contract
+    * serves every index family — [[graft.operators.CorpusPipeline
+    * .forgetDocuments]] fans a single forget request across all of them.
+    */
   def ivfIndexTombstones(spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
     val p  = new org.apache.hadoop.fs.Path(ivfTombstonePath(path))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select(col("vec_id")).distinct())
-    else None
+    if (!fs.exists(p)) None
+    else {
+      val raw  = spark.read.parquet(p.toString)
+      val idCs = raw.columns.filter(Set("doc_id", "vec_id")).map(col)
+      require(idCs.nonEmpty, s"no id column among ${raw.columns.mkString(",")} in $p")
+      Some(raw.select(coalesce(idCs.toSeq: _*).as("vec_id")).distinct())
+    }
   }
 
   /** Symmetric int8 vector quantization: struct(scale DOUBLE,
