@@ -1941,13 +1941,13 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
 
     // EXACT-threshold set-similarity join (AllPairs/PPJoin prefix filter):
-    // every word-bigram-set pair with Jaccard ≥ 0.6, no probabilistic
+    // every word-trigram-set pair with Jaccard ≥ 0.6, no probabilistic
     // recall loss — the deterministic complement to the MinHash gate. The
     // oracle brute-forces all pairs; the prefix-filtered plan must equal it.
     "q_jaccard_join" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       Dedup.jaccardJoinExact(
-          d.select(col("doc_id"), Dedup.wordBigrams(col("text")).as("bg")),
+          d.select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("bg")),
           "bg", "doc_id", thresholdMilli = 600)
         .orderBy("doc_a", "doc_b")
     }),
@@ -1958,7 +1958,7 @@ object SparkEntry {
     // cross-split brute force is the oracle — serving must lose nothing.
     "q_jaccard_serve" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.wordBigrams(col("text")).as("bg"))
+        .select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("bg"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_jidx_").toString
       Dedup.persistJaccardIndex(
         d.where(col("doc_id") % 2 === 0), "bg", "doc_id", tmp, thresholdMilli = 600)
@@ -4007,7 +4007,7 @@ object SparkEntry {
     val jaccardServeOracleSql =
       s"""WITH w AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
          |bg AS (SELECT doc_id, unnest(list_distinct(
-         |        [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])) AS tok FROM w),
+         |        [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)])) AS tok FROM w),
          |sz AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY 1),
          |o AS (SELECT p.doc_id AS doc_id, x.doc_id AS matched_id, count(*) AS inter
          |      FROM bg p JOIN bg x ON p.tok = x.tok
@@ -4043,7 +4043,7 @@ object SparkEntry {
       "q_jaccard_join" ->
         s"""WITH w AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
            |bg AS (SELECT doc_id, unnest(list_distinct(
-           |        [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])) AS tok FROM w),
+           |        [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)])) AS tok FROM w),
            |sz AS (SELECT doc_id, count(*) AS sz FROM bg GROUP BY 1),
            |o AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
            |      FROM bg a JOIN bg b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)

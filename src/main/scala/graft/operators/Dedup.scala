@@ -1274,21 +1274,48 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
-  /** Distinct adjacent word pairs ("w1 w2") — the set elements for
-    * [[jaccardJoinExact]] on natural text. Bigrams keep the element space
-    * large enough that unrelated documents score low even over a small
-    * vocabulary (single-word sets saturate: 31 distinct words make every
-    * pair of long docs near-identical at the set level).
+  /** Distinct space-joined word n-grams — the set elements for
+    * [[jaccardJoinExact]] on natural text. The n-gram order sizes the
+    * element space: single words saturate on a small vocabulary (31
+    * distinct words make every pair of long docs near-identical at the
+    * set level) and saturated spaces are prefix filtering's worst case
+    * (every element is common, postings are long); n = 3 over the same
+    * vocabulary yields ~30k distinct elements and ~10-row postings.
+    * Prefer the largest n that still tolerates the edit distance you
+    * consider "near" — each single-word edit destroys n n-grams.
     */
-  def wordBigrams(text: Column): Column = {
-    val tk = tokens(text)
-    array_distinct(
-      when(size(tk) < 2, array().cast("array<string>"))
-        .otherwise(zip_with(
-          slice(tk, lit(1), size(tk) - 1),
-          slice(tk, lit(2), size(tk) - 1),
-          (a, b) => concat(a, lit(" "), b))))
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    // Tight UDF, not transform/element_at over tokens(text): Catalyst
+    // inlines the split() alias into EVERY element access, re-tokenizing
+    // the document O(len·n) times (measured 23 s for 5k docs vs sub-second
+    // here — same pathology [[hashedShingles]] documents). The UDF splits
+    // once and emits first-occurrence-ordered distinct n-grams, matching
+    // array_distinct semantics.
+    val u = udf { (t: String) =>
+      if (t == null) Array.empty[String]
+      else {
+        val tk = t.split("\\s+").filterNot(_.isEmpty)
+        if (tk.length < n) Array.empty[String]
+        else {
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          var i = 0
+          while (i + n <= tk.length) {
+            val sb = new java.lang.StringBuilder(tk(i))
+            var k = 1
+            while (k < n) { sb.append(' ').append(tk(i + k)); k += 1 }
+            seen += sb.toString
+            i += 1
+          }
+          seen.toArray
+        }
+      }
+    }
+    u(text)
   }
+
+  /** [[wordNgrams]] at n = 2. */
+  def wordBigrams(text: Column): Column = wordNgrams(text, 2)
 
   /** EXACT-threshold set-similarity self-join with prefix filtering — the
     * deterministic complement to [[minHashLshPairs]]: every pair with

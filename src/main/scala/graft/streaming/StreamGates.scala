@@ -951,7 +951,7 @@ object StreamGates {
     finally rmTree(indexDir)
   }
 
-  /** `q_jaccard_serve_stream`: new documents' bigram sets arrive as a
+  /** `q_jaccard_serve_stream`: new documents' trigram sets arrive as a
     * stream; each micro-batch probes the PERSISTED prefix-filter index
     * ([[graft.operators.Dedup.matchVsJaccardIndex]] inside foreachBatch —
     * two partition-pruned reads per trigger: postings by the batch's
@@ -963,7 +963,7 @@ object StreamGates {
   def jaccardServeViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Dedup
     val d = graft.Tpch.table(spark, sfDir, "documents")
-      .select(col("doc_id"), Dedup.wordBigrams(col("text")).as("bg"))
+      .select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("bg"))
     val indexDir = java.nio.file.Files.createTempDirectory("graft_jidx_stream")
     Dedup.persistJaccardIndex(
       d.where(col("doc_id") % 2 === 0), "bg", "doc_id", indexDir.toString, thresholdMilli = 600)
