@@ -2652,6 +2652,23 @@ object SparkEntry {
     // Fixed-point PageRank over a deterministic synthetic link graph
     // (3 modular out-edges per doc): 10 integer-arithmetic iterations,
     // bit-identical on any engine (oracle unrolls the rounds as CTEs).
+    // Connected components over a BLOCKED synthetic graph (links only
+    // within doc_id % 16 blocks, two quotient-space link functions per
+    // node) — many components, forced through the DISTRIBUTED
+    // pointer-jumping path. Oracle = recursive min-label closure.
+    "q_graph_cc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"))
+      val nn = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val qq = nn / 16
+      val e = docs.select(col("doc_id").as("src"),
+        explode(array(
+          expr(s"(((doc_id div 16) * 7 + 1) % $qq) * 16 + doc_id % 16"),
+          expr(s"(((doc_id div 16) * 13 + 2) % $qq) * 16 + doc_id % 16"))).as("dst"))
+      graft.operators.LinkGraph.connectedComponents(e, "src", "dst",
+          graft.operators.Dedup.ClusterMode.Distributed)
+        .orderBy("node")
+    }),
+
     "q_pagerank" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"))
       val nn = docs.agg(max("doc_id")).head.getLong(0) + 1
@@ -4921,6 +4938,23 @@ object SparkEntry {
            |      FROM tf JOIN dfq USING (term))
            |SELECT doc_id, term, tf, doc_freq, rnk FROM r WHERE rnk <= 3
            |ORDER BY doc_id, rnk""".stripMargin,
+
+      // Ground-truth components via recursive min-label closure over the
+      // symmetrized edge set — whatever structure the quotient link
+      // functions induce, the pointer-jumping result must equal it.
+      "q_graph_cc" ->
+        """WITH RECURSIVE par AS (SELECT max(doc_id) + 1 AS nn, (max(doc_id) + 1) // 16 AS qq FROM documents),
+          |e0 AS (SELECT doc_id AS src, (((doc_id // 16) * 7 + 1) % qq) * 16 + doc_id % 16 AS dst
+          |       FROM documents, par
+          |       UNION ALL
+          |       SELECT doc_id, (((doc_id // 16) * 13 + 2) % qq) * 16 + doc_id % 16
+          |       FROM documents, par),
+          |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+          |r(node, lbl) AS (
+          |  SELECT src, src FROM e
+          |  UNION
+          |  SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node)
+          |SELECT node, min(lbl) AS component FROM r GROUP BY node ORDER BY node""".stripMargin,
 
       "q_pagerank" -> pageRankOracleSql,
 

@@ -252,4 +252,23 @@ object LinkGraph {
     }
     visited
   }
+
+  /** General connected components over an edge list: (node, component)
+    * for every node appearing as an endpoint, component = the component's
+    * minimum node id (undirected closure — edge direction is ignored, as
+    * CC semantics require). Thin façade over the dedup clustering engine
+    * ([[Dedup.duplicateClusters]]): driver union-find below the edge cap,
+    * pointer-jumping min-label propagation above it — O(log diameter)
+    * driver-synchronized rounds, one keyed shuffle per round, no
+    * per-node driver state. The dedup pipeline uses this for duplicate
+    * clusters; link graphs use it for mirror-site/host grouping — one
+    * engine, spec-pinned identical results on both paths.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      mode: Dedup.ClusterMode = Dedup.ClusterMode.Auto()
+  ): DataFrame =
+    Dedup.duplicateClusters(edges, srcCol, dstCol, mode).toDF("node", "component")
 }
