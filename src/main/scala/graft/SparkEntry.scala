@@ -2696,6 +2696,22 @@ object SparkEntry {
       graft.operators.LinkGraph.pageRankStochastic(e, "src", "dst", iterations = 10).orderBy("node")
     }),
 
+    // Personalized PageRank / TrustRank: teleport AND dangling mass
+    // restart at the seed set (node % 16 == 0) on the same dangling-node
+    // graph as the stochastic gate — rank measures proximity to seeds.
+    "q_trustrank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"))
+      val nn = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val e = docs.where(col("doc_id") % 3 =!= 0).select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % nn,
+          (col("doc_id") * 13 + 2) % nn,
+          (col("doc_id") * 29 + 5) % nn)).as("dst"))
+      graft.operators.LinkGraph.pageRankPersonalized(e, "src", "dst",
+          docs.where(col("doc_id") % 16 === 0), "doc_id", iterations = 10)
+        .orderBy("node")
+    }),
+
     // BM25 top-k retrieval over the documents table for a fixed query set
     // (query-term multiplicity ignored; Lucene idf; per-term contributions
     // floored to nano units before the order-free integer sum).
@@ -3969,6 +3985,37 @@ object SparkEntry {
          |$steps
          |SELECT node, rank AS rank_nano FROM r10 ORDER BY node""".stripMargin
     }
+    // Personalized/TrustRank replay: same unrolled MATERIALIZED rounds as
+    // the stochastic variant, but teleport + dangling mass go ONLY to the
+    // seed predicate (node % 16 = 0), and r0's mass starts on the seeds.
+    val pageRankPersonalizedOracleSql = {
+      val steps = (1 to 10).map { k =>
+        s"""d$k AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM r${k - 1} r
+           |  LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),
+           |r$k AS MATERIALIZED (SELECT nd.node,
+           |  CAST(CASE WHEN nd.node % 16 = 0
+           |       THEN (CAST(150 AS BIGINT) * 1000000000) // (1000 * sc.ns)
+           |            + (d$k.dm * 850) // (1000 * sc.ns)
+           |       ELSE 0 END
+           |       + coalesce(s.x, 0) AS BIGINT) AS rank
+           |  FROM nodes nd CROSS JOIN sc CROSS JOIN d$k LEFT JOIN (
+           |    SELECT e.dst, sum((r.rank * 850) // (1000 * o.outdeg)) AS x
+           |    FROM edges e JOIN r${k - 1} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+           |    GROUP BY e.dst) s ON nd.node = s.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH mx AS (SELECT max(doc_id) + 1 AS nn FROM documents),
+         |edges AS (SELECT DISTINCT doc_id AS src, dst FROM (
+         |  SELECT doc_id, unnest([(doc_id*7+1) % nn, (doc_id*13+2) % nn, (doc_id*29+5) % nn]) AS dst
+         |  FROM documents, mx WHERE doc_id % 3 <> 0)),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+         |outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |sc AS (SELECT count(*) AS ns FROM nodes WHERE node % 16 = 0),
+         |r0 AS MATERIALIZED (SELECT node,
+         |  CASE WHEN node % 16 = 0 THEN CAST(1000000000 // ns AS BIGINT) ELSE CAST(0 AS BIGINT) END AS rank
+         |  FROM nodes, sc),
+         |$steps
+         |SELECT node, rank AS rank_nano FROM r10 ORDER BY node""".stripMargin
+    }
     // IVF probe replay (shared by q_knn_ivf_probe and the persisted
     // serving gate q_knn_ivf_serve): frozen IvfPinned centroids as a
     // one-row CTE, cell assignment (argmax cosine, lowest cell on ties),
@@ -4959,6 +5006,7 @@ object SparkEntry {
       "q_pagerank" -> pageRankOracleSql,
 
       "q_pagerank_stochastic" -> pageRankStochasticOracleSql,
+      "q_trustrank"           -> pageRankPersonalizedOracleSql,
 
       // Supervised classifier: hashed-token counts joined against the
       // pinned micro-unit weights — pure integer arithmetic, exact.

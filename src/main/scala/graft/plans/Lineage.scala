@@ -40,4 +40,21 @@ object Lineage {
       )
     else df.checkpoint()
   }
+
+  /** [[truncate]] plus an explicit RELEASE handle for the checkpoint's
+    * storage. Checkpointed blocks are pinned (a truncated frame cannot be
+    * recomputed), so an iterative operator that truncates per round and
+    * never releases leaks pinned storage every round — execution memory
+    * shrinks, spills grow, and per-round cost climbs until the job crawls
+    * (measured: 0.7 s → 134 s per round by round 23 of the old CC loop).
+    * Call the handle once the NEXT round's checkpoint is materialized and
+    * nothing will read this frame again.
+    */
+  def truncateReleasable(df: DataFrame): (DataFrame, () => Unit) = {
+    val cp = truncate(df)
+    val rdds = cp.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    (cp, () => { rdds.foreach(_.unpersist(false)); () })
+  }
 }
