@@ -46,15 +46,20 @@ object LinkGraph {
   ): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(dampMilli >= 0 && dampMilli <= 1000, "dampMilli is a per-mille damping factor")
-    val e = Lineage.truncate(
+    val (e, relE) = Lineage.truncateReleasable(
       edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")).distinct())
-    val nodes = Lineage.truncate(
+    val (nodes, relNodes) = Lineage.truncateReleasable(
       e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node"))).distinct())
-    val outdeg = Lineage.truncate(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val (outdeg, relOut) = Lineage.truncateReleasable(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
     val n = nodes.count()
     require(n > 0, "pageRank needs at least one edge")
     val teleport = ((1000L - dampMilli) * 1000000000L) / (1000L * n)
-    var ranks = Lineage.truncate(nodes.withColumn("rank_nano", lit(1000000000L / n)))
+    // Each round's checkpoint is released once the next is materialized
+    // (and the inputs once the loop ends) — an unreleased checkpoint is
+    // pinned storage, and iterative operators that leak one per round
+    // strangle execution memory (see Lineage.truncateReleasable).
+    var (ranks, relRanks) = Lineage.truncateReleasable(
+      nodes.withColumn("rank_nano", lit(1000000000L / n)))
     (1 to iterations).foreach { _ =>
       val shares = e
         .join(ranks, e("src") === ranks("node"))
@@ -62,11 +67,13 @@ object LinkGraph {
         .select(col("dst"), expr(s"(rank_nano * $dampMilli) div (1000 * outdeg)").as("share"))
         .groupBy("dst")
         .agg(sum("share").as("in_share"))
-      ranks = Lineage.truncate(
+      val (next, relNext) = Lineage.truncateReleasable(
         nodes
           .join(shares, nodes("node") === shares("dst"), "left")
           .select(col("node"), (lit(teleport) + coalesce(col("in_share"), lit(0L))).as("rank_nano")))
+      relRanks(); ranks = next; relRanks = relNext
     }
+    relE(); relNodes(); relOut()
     ranks
   }
 
@@ -100,15 +107,16 @@ object LinkGraph {
   ): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(dampMilli >= 0 && dampMilli <= 1000, "dampMilli is a per-mille damping factor")
-    val e = Lineage.truncate(
+    val (e, relE) = Lineage.truncateReleasable(
       edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")).distinct())
-    val nodes = Lineage.truncate(
+    val (nodes, relNodes) = Lineage.truncateReleasable(
       e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node"))).distinct())
-    val outdeg = Lineage.truncate(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val (outdeg, relOut) = Lineage.truncateReleasable(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
     val n = nodes.count()
     require(n > 0, "pageRankStochastic needs at least one edge")
     val teleport = ((1000L - dampMilli) * 1000000000L) / (1000L * n)
-    var ranks = Lineage.truncate(nodes.withColumn("rank_nano", lit(1000000000L / n)))
+    var (ranks, relRanks) = Lineage.truncateReleasable(
+      nodes.withColumn("rank_nano", lit(1000000000L / n)))
     var it = 0
     var converged = false
     while (it < iterations && !converged) {
@@ -124,7 +132,7 @@ object LinkGraph {
         .select(col("dst"), expr(s"(rank_nano * $dampMilli) div (1000 * outdeg)").as("share"))
         .groupBy("dst")
         .agg(sum("share").as("in_share"))
-      val next = Lineage.truncate(
+      val (next, relNext) = Lineage.truncateReleasable(
         nodes
           .join(shares, nodes("node") === shares("dst"), "left")
           .select(
@@ -138,9 +146,10 @@ object LinkGraph {
           delta <= tol
         case None => false
       }
-      ranks = next
+      relRanks(); ranks = next; relRanks = relNext
       it += 1
     }
+    relE(); relNodes(); relOut()
     ranks
   }
 
@@ -174,11 +183,11 @@ object LinkGraph {
   ): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(dampMilli >= 0 && dampMilli <= 1000, "dampMilli is a per-mille damping factor")
-    val e = Lineage.truncate(
+    val (e, relE) = Lineage.truncateReleasable(
       edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")).distinct())
     val nodes = e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node"))).distinct()
-    val outdeg = Lineage.truncate(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
-    val flagged = Lineage.truncate(
+    val (outdeg, relOut) = Lineage.truncateReleasable(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val (flagged, relFlagged) = Lineage.truncateReleasable(
       nodes.join(
         seeds.select(col(seedCol).cast("long").as("node")).distinct().withColumn("is_seed", lit(1)),
         Seq("node"), "left")
@@ -186,7 +195,7 @@ object LinkGraph {
     val ns = flagged.where(col("is_seed") === 1).count()
     require(ns > 0, "pageRankPersonalized: no seed is a node of the graph")
     val teleport = ((1000L - dampMilli) * 1000000000L) / (1000L * ns)
-    var ranks = Lineage.truncate(flagged.select(col("node"), col("is_seed"),
+    var (ranks, relRanks) = Lineage.truncateReleasable(flagged.select(col("node"), col("is_seed"),
       when(col("is_seed") === 1, lit(1000000000L / ns)).otherwise(lit(0L)).as("rank_nano")))
     (1 to iterations).foreach { _ =>
       val dangling = ranks
@@ -199,13 +208,15 @@ object LinkGraph {
         .select(col("dst"), expr(s"(rank_nano * $dampMilli) div (1000 * outdeg)").as("share"))
         .groupBy("dst")
         .agg(sum("share").as("in_share"))
-      ranks = Lineage.truncate(
+      val (next, relNext) = Lineage.truncateReleasable(
         flagged
           .join(shares, flagged("node") === shares("dst"), "left")
           .select(col("node"), col("is_seed"),
             (when(col("is_seed") === 1, lit(teleport + danglingShare)).otherwise(lit(0L))
               + coalesce(col("in_share"), lit(0L))).as("rank_nano")))
+      relRanks(); ranks = next; relRanks = relNext
     }
+    relE(); relOut(); relFlagged()
     ranks.select("node", "rank_nano")
   }
 
@@ -305,16 +316,24 @@ object LinkGraph {
       .distinct()
     var visited  = sources.distinct.map(n => (n, 0L)).toDF("node", "level")
     var frontier = visited.select("node")
+    var relVisited: () => Unit = () => ()
+    var relFrontier: () => Unit = () => ()
     var depth    = 0L
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
-      val next = Lineage.truncate(
+      val (next, relNext) = Lineage.truncateReleasable(
         e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node")).distinct()
           .join(visited, Seq("node"), "left_anti"))
-      visited = Lineage.truncate(visited.unionByName(next.withColumn("level", lit(depth))))
-      frontier = next
+      val (nv, relNv) = Lineage.truncateReleasable(
+        visited.unionByName(next.withColumn("level", lit(depth))))
+      // The new visited checkpoint copies everything it needs; the old
+      // round's frames become releasable pinned storage.
+      relVisited(); relFrontier()
+      visited = nv; relVisited = relNv
+      frontier = next; relFrontier = relNext
     }
+    relFrontier()
     visited
   }
 
@@ -323,8 +342,8 @@ object LinkGraph {
     * minimum node id (undirected closure — edge direction is ignored, as
     * CC semantics require). Thin façade over the dedup clustering engine
     * ([[Dedup.duplicateClusters]]): driver union-find below the edge cap,
-    * pointer-jumping min-label propagation above it — O(log diameter)
-    * driver-synchronized rounds, one keyed shuffle per round, no
+    * alternating large-star/small-star contraction above it — O(log² n)
+    * driver-synchronized rounds, two keyed shuffles per round, no
     * per-node driver state. The dedup pipeline uses this for duplicate
     * clusters; link graphs use it for mirror-site/host grouping — one
     * engine, spec-pinned identical results on both paths.

@@ -174,6 +174,11 @@ object SelfRefClosure {
 
     var reachable = universe.where(fkNull).select(pkCols.map(col): _*).transform(Lineage.truncate)
     var frontier  = reachable
+    // Arms of the lazy union stay pinned until a fold re-materializes
+    // `reachable`; folding releases them (pinned checkpoints that nothing
+    // will read again are leaked execution memory — Lineage
+    // .truncateReleasable's contract).
+    var pendingRelease: List[() => Unit] = Nil
     var iters     = 0
     while (iters < maxIterations && !frontier.isEmpty) {
       // K hops materialized as ONE hop-tagged checkpoint. A node found by
@@ -191,15 +196,33 @@ object SelfRefClosure {
         .groupBy(pkCols.map(col): _*)
         .agg(min(col("__graft_hop")).as("__graft_hop"))
         .join(seen, pkCols.zip(renamed).map { case (pc, rc) => col(pc) === seen(rc) }.reduce(_ && _), "left_anti")
-        .transform(Lineage.truncate)
+        .transform(df => {
+          val (cp, rel) = Lineage.truncateReleasable(df)
+          pendingRelease ::= rel
+          cp
+        })
       frontier = news.where(col("__graft_hop") === unroll).select(pkCols.map(col): _*)
       // Lazy union of checkpointed arms — re-reading costs no recompute,
       // but the driver-side plan (and task binary) grows by one union arm
       // per round. Fold the accumulated union back into a single
       // materialized frame every few rounds so the plan stays O(1) for
-      // arbitrarily deep hierarchies.
+      // arbitrarily deep hierarchies — and the fold's checkpoint copies
+      // every arm, so the superseded arm checkpoints release.
       reachable = reachable.unionByName(news.select(pkCols.map(col): _*))
-      if (iters % 8 == 7) reachable = Lineage.truncate(reachable)
+      if (iters % 8 == 7) {
+        val (cp, rel) = Lineage.truncateReleasable(reachable)
+        reachable = cp
+        // The NEWEST arm stays: the live frontier is a lazy view over it
+        // and the next round still reads its blocks. Everything older is
+        // fully copied into the fold's checkpoint.
+        pendingRelease match {
+          case newest :: older =>
+            older.foreach(_())
+            pendingRelease = rel :: newest :: Nil
+          case Nil =>
+            pendingRelease = rel :: Nil
+        }
+      }
       iters += 1
     }
     reachable
