@@ -145,6 +145,28 @@ object SparkEntry {
         .orderBy("doc_id", "matched_id")
     }),
 
+    // Incremental ingest for the fingerprint index: build on the even
+    // docs, APPEND the odd docs under the stored geometry, probe with the
+    // jittered twins — the result must equal a probe of a one-shot full
+    // index (the serve gate's oracle, shared verbatim).
+    "q_multimodal_phash_append" -> ((s, dir) => {
+      import graft.operators.{Dedup, Multimodal}
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val withFp = d.select(col("doc_id"),
+        Multimodal.imageDHash(Multimodal.syntheticPngTextured(col("doc_id"))).as("dh"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fpidx_app_").toString
+      Dedup.persistFingerprintIndex(withFp.where(col("doc_id") % 2 === 0),
+        "doc_id", "dh", tmp, maxHamming = 3, fpBits = 63)
+      Dedup.persistFingerprintIndex(withFp.where(col("doc_id") % 2 === 1),
+        "doc_id", "dh", tmp, maxHamming = 3, fpBits = 63, append = true)
+      Dedup.matchVsFingerprintIndex(
+          d.select((col("doc_id") + 10000000L).as("doc_id"),
+            Multimodal.imageDHash(Multimodal.syntheticPngTexturedJittered(col("doc_id"))).as("dh")),
+          "doc_id", "dh", tmp)
+        .select(col("doc_id"), col("matched_id"), col("hamming").cast("long").as("hamming"))
+        .orderBy("doc_id", "matched_id")
+    }),
+
     // Click→purchase attribution, batch form: per-user event-time band
     // join (equi on user + 30-minute range residual). The stream twin
     // below runs the SAME join as a watermarked stream-stream join and
@@ -3553,6 +3575,8 @@ object SparkEntry {
       // Streamed serving against the frozen index must equal the batch
       // probe row-for-row (per-probe verdicts are micro-batch invariant).
       "q_multimodal_phash_serve_stream" -> phashServeOracleSql,
+      // Build-then-append must be indistinguishable from a one-shot build.
+      "q_multimodal_phash_append" -> phashServeOracleSql,
 
       "q_events_attribution"        -> attributionOracleSql,
       // The stream-stream join must land on the batch result row-for-row.
