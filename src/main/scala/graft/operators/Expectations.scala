@@ -23,8 +23,13 @@ object Expectations {
   def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules")
     require(rules.map(_.name).distinct.size == rules.size, "rule names must be unique")
+    // coalesce(sum, 0): on an empty input sum() aggregates to NULL — an
+    // empty table is a legitimate contract-check input and must report
+    // n_rows=0 / n_fail=0, not NPE on getLong.
     val aggs = count(lit(1)).as("n_rows") +:
-      rules.map(r => sum(when(coalesce(r.predicate, lit(false)), 0L).otherwise(1L)).as(s"__f_${r.name}"))
+      rules.map(r =>
+        coalesce(sum(when(coalesce(r.predicate, lit(false)), 0L).otherwise(1L)), lit(0L))
+          .as(s"__f_${r.name}"))
     val row = df.agg(aggs.head, aggs.tail: _*)
     val spark = df.sparkSession
     import spark.implicits._

@@ -720,7 +720,11 @@ object Similarity {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
     else {
-      val raw  = spark.read.parquet(p.toString)
+      // mergeSchema: a dir mixing generations (doc_id vs vec_id files)
+      // must surface BOTH columns — default inference picks one file's
+      // schema and the other generation's ids would read as NULL,
+      // silently resurfacing deleted vectors in probes.
+      val raw  = spark.read.option("mergeSchema", "true").parquet(p.toString)
       val idCs = raw.columns.filter(Set("doc_id", "vec_id")).map(col)
       require(idCs.nonEmpty, s"no id column among ${raw.columns.mkString(",")} in $p")
       Some(raw.select(coalesce(idCs.toSeq: _*).as("vec_id")).distinct())

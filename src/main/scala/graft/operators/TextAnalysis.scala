@@ -1527,13 +1527,18 @@ object TextAnalysis {
     * documents.
     */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("_cd_old"))
-    val n = newDf.select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("_cd_new"))
+    // Presence is a per-side flag, NOT digest nullability: a doc present
+    // in a snapshot with NULL text has a NULL md5 and would otherwise be
+    // misreported as added/removed instead of changed/unchanged.
+    val o = oldDf.select(col(idCol).cast("long").as("id"),
+      md5(col(textCol)).as("_cd_old"), lit(true).as("_cd_in_old"))
+    val n = newDf.select(col(idCol).cast("long").as("id"),
+      md5(col(textCol)).as("_cd_new"), lit(true).as("_cd_in_new"))
     o.join(n, Seq("id"), "full_outer")
       .withColumn("status",
-        when(col("_cd_old").isNull, lit("added"))
-          .when(col("_cd_new").isNull, lit("removed"))
-          .when(col("_cd_old") === col("_cd_new"), lit("unchanged"))
+        when(col("_cd_in_old").isNull, lit("added"))
+          .when(col("_cd_in_new").isNull, lit("removed"))
+          .when(col("_cd_old") <=> col("_cd_new"), lit("unchanged"))
           .otherwise(lit("changed")))
       .select(col("id").as(idCol), col("status"))
   }

@@ -777,8 +777,12 @@ object StreamGates {
       Rule("returnflag_domain", col("l_returnflag").isin("A", "N", "R")),
       Rule("positive_price", col("l_extendedprice") > 0),
       Rule("discount_range", col("l_discount").between(0, 0.1)))
+    // coalesce(sum, 0): an empty replay window aggregates sum() to NULL
+    // and would NPE at getLong below; report 0 failures instead.
     val aggs = count(lit(1)).as("n_rows") +:
-      rules.map(r => sum(when(coalesce(r.predicate, lit(false)), 0L).otherwise(1L)).as(s"f_${r.name}"))
+      rules.map(r =>
+        coalesce(sum(when(coalesce(r.predicate, lit(false)), 0L).otherwise(1L)), lit(0L))
+          .as(s"f_${r.name}"))
     val totals = replayViaFiles(spark, li, "ts", chunks = 3, OutputMode.Complete())(
       in => in.agg(aggs.head, aggs.tail: _*))
     // One row of running totals → the per-rule report rows.

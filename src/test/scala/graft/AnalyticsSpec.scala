@@ -225,6 +225,12 @@ class AnalyticsSpec extends SparkSpec {
       Expectations.validateFk("fk", child, parent, Seq("fk" -> "pk"))
         .as[(String, Long, Long)].head shouldBe (("fk", 3L, 1L))
     }
+    it("reports n_rows=0/n_fail=0 on an empty input (sum() NULL must not NPE)") {
+      val empty = Seq.empty[(java.lang.Long, String)].toDF("v", "s")
+      Expectations.validate(empty, Seq(
+        Expectations.Rule("v_range", col("v").between(1, 50))))
+        .as[(String, Long, Long)].head shouldBe (("v_range", 0L, 0L))
+    }
     it("twap weights each value by its holding interval; last observation carries none") {
       // key k: v=100 for 10 us, v=200 for 30 us, final v=999 unweighted.
       val df = Seq(("k", 0L, 1L, 100L), ("k", 10L, 2L, 200L), ("k", 40L, 3L, 999L))

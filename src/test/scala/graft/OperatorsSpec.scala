@@ -976,6 +976,27 @@ class OperatorsSpec extends SparkSpec {
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
       after shouldBe before.filterNot { case (_, nb) => nb == 10L || nb == 11L }
     }
+    it("ivfIndexTombstones merges mixed-generation tombstone schemas (doc_id + vec_id)") {
+      // An older generation wrote `vec_id` tombstone files; the current one
+      // writes `doc_id`. Without mergeSchema the reader infers ONE file's
+      // schema and the other generation's ids read as NULL — deleted vectors
+      // silently resurface. Both generations' ids must stay dead.
+      val df    = corpus(40)
+      val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", nlist = 4)
+      val tmp = java.nio.file.Files.createTempDirectory("ivf_mixgen_").toString
+      Similarity.persistIvfIndex(df, "vec_id", "embedding", cents, tmp)
+      // Legacy-generation tombstone file: column named vec_id.
+      Seq(10L).toDF("vec_id").coalesce(1)
+        .write.mode("append").parquet(s"$tmp/_graft_tombstones")
+      // Current-generation delete: writes doc_id.
+      Similarity.deleteFromIvfIndex(Seq(11L).toDF("vec_id"), "vec_id", tmp)
+      Similarity.ivfIndexTombstones(spark, tmp).get
+        .as[Long].collect().toSet shouldBe Set(10L, 11L)
+      val qs = df.where("vec_id < 2")
+      val nbs = Similarity.ivfTopKFromPersisted(spark, tmp, qs, "vec_id", "embedding", k = 40, nprobe = 4)
+        .select("neighbor_id").as[Long].collect().toSet
+      nbs should contain noneOf (10L, 11L)
+    }
 
     it("appendToIvfIndex: build-half + append-half serves exactly like build-all") {
       val df    = corpus(60)
@@ -1319,6 +1340,16 @@ class OperatorsSpec extends SparkSpec {
       TextAnalysis.corpusDiff(v1, v2, "doc_id", "text")
         .as[(Long, String)].collect().toMap shouldBe
         Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added")
+    }
+    it("corpusDiff keys presence on the join, not digest nullability (NULL text)") {
+      // Doc 1: NULL text in old, real text in new → changed (was misreported
+      // 'added' when presence was inferred from md5 IS NULL). Doc 2 mirror →
+      // changed. Doc 3: NULL on both sides → unchanged (null-safe compare).
+      val v1 = Seq((1L, null: String), (2L, "x"), (3L, null: String)).toDF("doc_id", "text")
+      val v2 = Seq((1L, "x"), (2L, null: String), (3L, null: String)).toDF("doc_id", "text")
+      TextAnalysis.corpusDiff(v1, v2, "doc_id", "text")
+        .as[(Long, String)].collect().toMap shouldBe
+        Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged")
     }
   }
 
