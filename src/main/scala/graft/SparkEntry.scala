@@ -2333,6 +2333,68 @@ object SparkEntry {
         .orderBy("doc_id", "matched_id")
     }),
 
+    // Right-to-be-forgotten END-TO-END: all five persisted index families
+    // built (MinHash signature / image fingerprint / Jaccard prefix / IVF
+    // cell / BM25 postings), then ONE CorpusPipeline.forgetDocuments call
+    // fans the request — every id ≡ 0 (mod 3), doc and vector domains —
+    // across all of them as O(|ids|) tombstone appends, and each surface
+    // is probed. The union report hashes: no surface may return a
+    // forgotten id, and survivors must be exactly the per-surface
+    // delete-gate results (the oracle composes those five replays).
+    "q_forget_flow" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{CorpusPipeline, Multimodal}
+      val docs = t(s, dir, "documents")
+      val emb  = t(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft_forget_").toString
+      val (sig, fpp, jac, ivf, bm) =
+        (s"$root/sig", s"$root/fp", s"$root/jac", s"$root/ivf", s"$root/bm25")
+      val splitId = docs.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docs.where(col("doc_id") <= splitId), "text", "doc_id"), sig)
+      Dedup.persistFingerprintIndex(
+        docs.select(col("doc_id"),
+          Multimodal.imageDHash(Multimodal.syntheticPngTextured(col("doc_id"))).as("dh")),
+        "doc_id", "dh", fpp, maxHamming = 3, fpBits = 63)
+      val dsets = docs.select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("bg"))
+      Dedup.persistJaccardIndex(
+        dsets.where(col("doc_id") % 2 === 0), "bg", "doc_id", jac, thresholdMilli = 600)
+      Similarity.persistIvfIndex(emb, "vec_id", "embedding",
+        graft.operators.IvfPinned.centroids, ivf)
+      TextAnalysis.persistBm25Index(TextAnalysis.buildBm25Index(docs, "text", "doc_id"), bm)
+      val forget = docs.where(col("doc_id") % 3 === 0).select(col("doc_id"))
+        .unionByName(emb.where(col("vec_id") % 3 === 0).select(col("vec_id").as("doc_id")))
+        .distinct()
+      CorpusPipeline.forgetDocuments(forget, "doc_id", Seq(sig, fpp, jac, ivf, bm))
+      val sigP = Dedup.matchVsPersistedIndex(
+          docs.where(col("doc_id") > splitId), "text", "doc_id", sig)
+        .select(lit("sig").as("surface"), col("doc_id").as("probe_id"), col("matched_id"),
+          round(col("est_jaccard") * 32).cast("long").as("score"))
+      val fpP = Dedup.matchVsFingerprintIndex(
+          docs.select((col("doc_id") + 10000000L).as("doc_id"),
+            Multimodal.imageDHash(Multimodal.syntheticPngTexturedJittered(col("doc_id"))).as("dh")),
+          "doc_id", "dh", fpp)
+        .select(lit("fp").as("surface"), col("doc_id").as("probe_id"), col("matched_id"),
+          col("hamming").cast("long").as("score"))
+      val jacP = Dedup.matchVsJaccardIndex(
+          dsets.where(col("doc_id") % 2 === 1), "bg", "doc_id", jac)
+        .select(lit("jac").as("surface"), col("doc_id").as("probe_id"), col("matched_id"),
+          col("jaccard_milli").cast("long").as("score"))
+      val ivfP = Similarity.ivfTopKFromPersisted(s, ivf,
+          emb.where("vec_id < 5"), "vec_id", "embedding", k = 10, nprobe = 4)
+        .select(lit("ivf").as("surface"), col("query_id").as("probe_id"),
+          col("neighbor_id").as("matched_id"), col("rnk").cast("long").as("score"))
+      val bmQ = Seq(
+        (1L, "spark join window"), (2L, "hash merge sort batch"),
+        (3L, "customer filter query"), (4L, "scan"), (5L, "stream data value key")
+      ).toDF("query_id", "q_text")
+      val bmP = TextAnalysis.bm25TopKFromPersisted(s, bm, bmQ, "query_id", "q_text", k = 10)
+        .select(lit("bm25").as("surface"), col("query_id").as("probe_id"),
+          col("doc_id").as("matched_id"), col("rnk").cast("long").as("score"))
+      sigP.unionByName(fpP).unionByName(jacP).unionByName(ivfP).unionByName(bmP)
+        .orderBy("surface", "probe_id", "matched_id", "score")
+    }),
+
     // BPE-ish pre-tokenization count (regex segmentation).
     "q_text_bpe_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -3493,9 +3555,13 @@ object SparkEntry {
   // floor division, and each of the 63 ordering comparisons contributes
   // one bit (bit_or of shifted 1s — index ≤ 62 keeps everything in
   // non-negative BIGINT range on both engines).
-  private def scaleOracles: Map[String, String] = {
+  /** dHash replay CTEs + the jittered-probe serving oracle, hoisted to
+    * object scope: shared by the scale-wave gates and the forget-flow
+    * gate's fingerprint leg (pipelineOracles).
+    */
+  private lazy val dhashCtes: String = {
     import OracleGen._
-    val dhashCtes = {
+    {
       val h0  = hashSql("('png' || doc_id)")
       val hpx = hashSql("('px' || doc_id || ':' || sx || ':' || sy)")
       s"""hv AS (SELECT doc_id, $h0 AS h0 FROM documents),
@@ -3519,12 +3585,17 @@ object SparkEntry {
          |         WHERE a.x < 7
          |         GROUP BY a.doc_id)""".stripMargin
     }
-    val phashServeOracleSql =
-      s"""WITH $dhashCtes
-         |SELECT j.doc_id + 10000000 AS doc_id, o.doc_id AS matched_id,
-         |CAST(bit_count(xor(j.dhj, o.dh)) AS BIGINT) AS hamming
-         |FROM bits j JOIN bits o ON bit_count(xor(j.dhj, o.dh)) <= 3
-         |ORDER BY doc_id, matched_id""".stripMargin
+  }
+
+  private lazy val phashServeOracleSql: String =
+    s"""WITH $dhashCtes
+       |SELECT j.doc_id + 10000000 AS doc_id, o.doc_id AS matched_id,
+       |CAST(bit_count(xor(j.dhj, o.dh)) AS BIGINT) AS hamming
+       |FROM bits j JOIN bits o ON bit_count(xor(j.dhj, o.dh)) <= 3
+       |ORDER BY doc_id, matched_id""".stripMargin
+
+  private def scaleOracles: Map[String, String] = {
+    import OracleGen._
     val attributionOracleSql =
       """SELECT c.user_id AS user_id, epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
         |FROM events c JOIN events p ON c.user_id = p.user_id
@@ -4111,7 +4182,45 @@ object SparkEntry {
          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rnk AS BIGINT) AS rnk,
          |       CAST(score_nano AS BIGINT) AS score_nano
          |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    // Delete-variant replays, shared by the per-surface delete gates and
+    // the forget-flow composition below.
+    val sigDeleteOracleSql =
+      s"""WITH ${incrementalCte(hsh3, hashI)}
+         |SELECT nid AS doc_id, oid AS matched_id, CAST(k AS BIGINT) AS est_32
+         |FROM matched WHERE oid % 3 <> 0 ORDER BY doc_id, matched_id""".stripMargin
+    val ivfDeleteOracleSql =
+      ivfProbeOracleSql.replace(
+        "WHERE query_id <> neighbor_id)",
+        "WHERE query_id <> neighbor_id AND neighbor_id % 3 <> 0)")
+    val bm25DeleteOracleSql =
+      bm25OracleSql.replace("FROM documents)", "FROM documents WHERE doc_id % 3 <> 0)")
+    // One forget request (every id ≡ 0 mod 3), five serving surfaces: the
+    // union report is each surface's delete-variant replay — the three
+    // match surfaces are their serve oracles minus pairs whose INDEXED
+    // side was forgotten; the two top-k surfaces re-rank over the
+    // survivors (freed slots promote, exactly the per-surface delete
+    // oracles' semantics).
+    val forgetFlowOracleSql =
+      s"""SELECT surface, probe_id, matched_id, score FROM (
+         |SELECT 'sig' AS surface, doc_id AS probe_id, matched_id,
+         |       CAST(est_32 AS BIGINT) AS score FROM ($sigDeleteOracleSql)
+         |UNION ALL
+         |SELECT 'fp' AS surface, doc_id AS probe_id, matched_id,
+         |       CAST(hamming AS BIGINT) AS score
+         |FROM ($phashServeOracleSql) WHERE matched_id % 3 <> 0
+         |UNION ALL
+         |SELECT 'jac' AS surface, doc_id AS probe_id, matched_id,
+         |       CAST(jaccard_milli AS BIGINT) AS score
+         |FROM ($jaccardServeOracleSql) WHERE matched_id % 3 <> 0
+         |UNION ALL
+         |SELECT 'ivf' AS surface, query_id AS probe_id, neighbor_id AS matched_id,
+         |       CAST(rnk AS BIGINT) AS score FROM ($ivfDeleteOracleSql)
+         |UNION ALL
+         |SELECT 'bm25' AS surface, query_id AS probe_id, doc_id AS matched_id,
+         |       CAST(rnk AS BIGINT) AS score FROM ($bm25DeleteOracleSql)
+         |) ORDER BY surface, probe_id, matched_id, score""".stripMargin
     Map(
+      "q_forget_flow" -> forgetFlowOracleSql,
       "q_dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
           |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
@@ -4382,10 +4491,7 @@ object SparkEntry {
       // Tombstoned vectors vanish as NEIGHBORS; everyone else's cell
       // assignment is per-vector and unchanged — the probe replay with the
       // deleted side filtered out of the scored join.
-      "q_knn_ivf_delete" ->
-        ivfProbeOracleSql.replace(
-          "WHERE query_id <> neighbor_id)",
-          "WHERE query_id <> neighbor_id AND neighbor_id % 3 <> 0)"),
+      "q_knn_ivf_delete" -> ivfDeleteOracleSql,
 
       // Streamed-query ANN serving against the same persisted index:
       // per-query rankings are micro-batch independent — oracle identical.
@@ -4539,10 +4645,7 @@ object SparkEntry {
 
       // Tombstoned ids can never match: the serve oracle minus pairs whose
       // index side is ≡ 0 (mod 3).
-      "q_dedup_index_delete" ->
-        s"""WITH ${incrementalCte(hsh3, hashI)}
-           |SELECT nid AS doc_id, oid AS matched_id, CAST(k AS BIGINT) AS est_32
-           |FROM matched WHERE oid % 3 <> 0 ORDER BY doc_id, matched_id""".stripMargin,
+      "q_dedup_index_delete" -> sigDeleteOracleSql,
 
       // Disk round trip + partition pruning are implementation details of
       // the same match contract — oracle identical to the in-memory form.
@@ -5078,8 +5181,7 @@ object SparkEntry {
 
       // Delete-then-serve must equal build-without-them: the same replay
       // over the surviving corpus (df/avgdl/N all re-derived).
-      "q_bm25_index_delete" ->
-        bm25OracleSql.replace("FROM documents)", "FROM documents WHERE doc_id % 3 <> 0)"),
+      "q_bm25_index_delete" -> bm25DeleteOracleSql,
 
       // Streamed-query serving against the same persisted index: per-query
       // rankings are micro-batch independent — oracle identical.
