@@ -132,11 +132,12 @@ object SparkEntry {
     "q_multimodal_phash_serve" -> ((s, dir) => {
       import graft.operators.{Dedup, Multimodal}
       val d = t(s, dir, "documents").select(col("doc_id"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_fpidx_").toString
-      Dedup.persistFingerprintIndex(
-        d.select(col("doc_id"),
-          Multimodal.imageDHash(Multimodal.syntheticPngTextured(col("doc_id"))).as("dh")),
-        "doc_id", "dh", tmp, maxHamming = 3, fpBits = 63)
+      // Read-only serve: build shared (GateCache) with the streaming twin.
+      val tmp = graft.GateCache.dir(s"fpidx_full:$dir")(p =>
+        Dedup.persistFingerprintIndex(
+          d.select(col("doc_id"),
+            Multimodal.imageDHash(Multimodal.syntheticPngTextured(col("doc_id"))).as("dh")),
+          "doc_id", "dh", p, maxHamming = 3, fpBits = 63))
       Dedup.matchVsFingerprintIndex(
           d.select((col("doc_id") + 10000000L).as("doc_id"),
             Multimodal.imageDHash(Multimodal.syntheticPngTexturedJittered(col("doc_id"))).as("dh")),
@@ -1981,9 +1982,10 @@ object SparkEntry {
     "q_jaccard_serve" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("bg"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_jidx_").toString
-      Dedup.persistJaccardIndex(
-        d.where(col("doc_id") % 2 === 0), "bg", "doc_id", tmp, thresholdMilli = 600)
+      // Read-only serve: build shared (GateCache) with q_jaccard_serve_stream.
+      val tmp = graft.GateCache.dir(s"jacidx_even600:$dir")(p =>
+        Dedup.persistJaccardIndex(
+          d.where(col("doc_id") % 2 === 0), "bg", "doc_id", p, thresholdMilli = 600))
       Dedup.matchVsJaccardIndex(d.where(col("doc_id") % 2 === 1), "bg", "doc_id", tmp)
         .orderBy("doc_id", "matched_id")
     }),
@@ -2113,8 +2115,10 @@ object SparkEntry {
     // trip and pruning must not change one rank.
     "q_knn_ivf_serve" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val tmp = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
-      Similarity.persistIvfIndex(emb, "vec_id", "embedding", graft.operators.IvfPinned.centroids, tmp)
+      // Read-only serve: build shared (GateCache) with q_knn_ivf_serve_stream.
+      val tmp = graft.GateCache.dir(s"ivfidx_full:$dir")(p =>
+        Similarity.persistIvfIndex(emb, "vec_id", "embedding",
+          graft.operators.IvfPinned.centroids, p))
       Similarity.ivfTopKFromPersisted(s, tmp, emb.where("vec_id < 5"), "vec_id", "embedding",
           k = 10, nprobe = 4)
         .orderBy("query_id", "rnk")
@@ -2305,9 +2309,11 @@ object SparkEntry {
     "q_dedup_index_serve" -> ((s, dir) => {
       val all = t(s, dir, "documents")
       val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sigidx_").toString
-      Dedup.persistSignatureIndex(
-        Dedup.buildSignatureIndex(all.where(col("doc_id") <= splitId), "text", "doc_id"), tmp)
+      // Read-only serve: the build is shared (GateCache) with the streaming
+      // twin q_dedup_incremental_stream and the corpus pipeline gate.
+      val tmp = graft.GateCache.dir(s"sigidx_half:$dir")(p =>
+        Dedup.persistSignatureIndex(
+          Dedup.buildSignatureIndex(all.where(col("doc_id") <= splitId), "text", "doc_id"), p))
       Dedup.matchVsPersistedIndex(all.where(col("doc_id") > splitId), "text", "doc_id", tmp)
         .select(col("doc_id"), col("matched_id"),
           round(col("est_jaccard") * 32).cast("long").as("est_32"))
@@ -2542,8 +2548,9 @@ object SparkEntry {
     "q_text_excise_serve" -> ((s, dir) => {
       val all = t(s, dir, "documents")
       val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
-      val tmp = java.nio.file.Files.createTempDirectory("graft_gramidx_").toString
-      Dedup.persistGramIndex(all.where(col("doc_id") <= splitId), "text", "doc_id", tmp, k = 30)
+      // Read-only serve: build shared (GateCache) with q_text_excise_stream.
+      val tmp = graft.GateCache.dir(s"gramidx_half_k30:$dir")(p =>
+        Dedup.persistGramIndex(all.where(col("doc_id") <= splitId), "text", "doc_id", p, k = 30))
       Dedup.exciseVsPersistedGrams(all.where(col("doc_id") > splitId), "text", "doc_id", tmp)
         .orderBy("doc_id")
     }),
@@ -2820,9 +2827,10 @@ object SparkEntry {
     // score bit.
     "q_bm25_index_pruned" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("bm25_bidx_").toString
-      TextAnalysis.persistBm25Index(
-        TextAnalysis.buildBm25Index(t(s, dir, "documents"), "text", "doc_id"), tmp)
+      // Read-only serve: build shared (GateCache) with q_bm25_serve_stream.
+      val tmp = graft.GateCache.dir(s"bm25idx_full:$dir")(p =>
+        TextAnalysis.persistBm25Index(
+          TextAnalysis.buildBm25Index(t(s, dir, "documents"), "text", "doc_id"), p))
       val q = Seq(
         (1L, "spark join window"), (2L, "hash merge sort batch"),
         (3L, "customer filter query"), (4L, "scan"), (5L, "stream data value key")

@@ -66,20 +66,19 @@ object StreamGates {
     p
   }
 
-  /** Stage `src` as `chunks` chronological parquet files under a fresh
-    * watch directory (quantile splits on `tsCol`, one file per chunk,
-    * strictly increasing mtimes) ready for a `maxFilesPerTrigger=1`
-    * file-source replay. Returns (watchDir, stageDir) — caller deletes
-    * both.
+  /** Stage `src` as `chunks` chronological parquet files under `watchDir`
+    * (quantile splits on `tsCol`, one file per chunk, strictly increasing
+    * mtimes) ready for a `maxFilesPerTrigger=1` file-source replay. The
+    * intermediate staging directory is deleted before returning.
     */
-  private def stageChronologicalChunks(
+  private def stageChronologicalChunksInto(
+      watchDir: java.nio.file.Path,
       src: DataFrame,
       tsCol: String,
       chunks: Int,
       flush: Seq[DataFrame]
-  ): (java.nio.file.Path, java.nio.file.Path) = {
+  ): Unit = {
     import java.nio.file.{Files, Path, StandardCopyOption}
-    val watchDir = Files.createTempDirectory("stream_gate_watch")
     val stageDir = Files.createTempDirectory("stream_gate_stage")
 
     // Chronological chunking by TS VALUE (quantile boundaries), not by a
@@ -111,10 +110,39 @@ object StreamGates {
         target, java.nio.file.attribute.FileTime.fromMillis(1000000000000L + fileNo * 1000L))
       fileNo += 1
     }
-    (0 until chunks).foreach(i => addFile(src.where(chunkIdx === i)))
-    flush.foreach(addFile)
-    (watchDir, stageDir)
+    try {
+      (0 until chunks).foreach(i => addFile(src.where(chunkIdx === i)))
+      flush.foreach(addFile)
+    } finally rmTree(stageDir)
   }
+
+  /** Resolve the watch directory for a replay: staged fresh (deleted by the
+    * caller via the returned cleanup flag) or, when `stageKey` is given,
+    * staged AT MOST ONCE per JVM through [[graft.GateCache]] and shared by
+    * every gate replaying the same source. The key is suffixed with the
+    * source schema's hash so an accidental key collision across different
+    * frame shapes fails loudly at read time rather than silently reusing
+    * wrong data; equal-schema key discipline is on the call sites (keys
+    * embed the sf dir and the staging parameters).
+    */
+  private def resolveWatchDir(
+      src: DataFrame,
+      tsCol: String,
+      chunks: Int,
+      flush: Seq[DataFrame],
+      stageKey: Option[String]
+  ): (java.nio.file.Path, Boolean) =
+    stageKey match {
+      case Some(k) =>
+        val key = s"stage:$k:$tsCol:$chunks:${src.schema.catalogString.hashCode}"
+        val d = graft.GateCache.dir(key)(p =>
+          stageChronologicalChunksInto(java.nio.file.Paths.get(p), src, tsCol, chunks, flush))
+        (java.nio.file.Paths.get(d), false)
+      case None =>
+        val watchDir = java.nio.file.Files.createTempDirectory("stream_gate_watch")
+        stageChronologicalChunksInto(watchDir, src, tsCol, chunks, flush)
+        (watchDir, true)
+    }
 
   /** Write `src` as `chunks` chronological parquet files (quantile splits
     * on `tsCol`, one file per chunk, strictly increasing mtimes), then run
@@ -133,10 +161,11 @@ object StreamGates {
       tsCol: String,
       chunks: Int,
       mode: OutputMode,
-      flush: Seq[DataFrame] = Seq.empty
+      flush: Seq[DataFrame] = Seq.empty,
+      stageKey: Option[String] = None
   )(build: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.Files
-    val (watchDir, stageDir) = stageChronologicalChunks(src, tsCol, chunks, flush)
+    val (watchDir, ownWatchDir) = resolveWatchDir(src, tsCol, chunks, flush, stageKey)
 
     // Stateful streaming pays a per-micro-batch cost PER STATE PARTITION
     // (store commit + task launch × partitions × batches), and the state
@@ -189,7 +218,8 @@ object StreamGates {
     } finally {
       query.stop()
       if (!append) spark.catalog.dropTempView(name)
-      (Seq(watchDir, stageDir) ++ ckptDir).foreach(p => try rmTree(p) catch { case _: Exception => () })
+      ((if (ownWatchDir) Seq(watchDir) else Seq.empty) ++ ckptDir)
+        .foreach(p => try rmTree(p) catch { case _: Exception => () })
     }
   }
 
@@ -205,10 +235,11 @@ object StreamGates {
       spark: SparkSession,
       src: DataFrame,
       tsCol: String,
-      chunks: Int
+      chunks: Int,
+      stageKey: Option[String] = None
   )(perBatch: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.Files
-    val (watchDir, stageDir) = stageChronologicalChunks(src, tsCol, chunks, Seq.empty)
+    val (watchDir, ownWatchDir) = resolveWatchDir(src, tsCol, chunks, Seq.empty, stageKey)
     val sinkDir = Files.createTempDirectory(appendSinkRoot, "sink")
     val ckptDir = Files.createTempDirectory(appendSinkRoot, "ckpt")
     val priorShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
@@ -232,7 +263,8 @@ object StreamGates {
       spark.read.parquet(sinkDir.toString)
     } finally {
       query.stop()
-      Seq(watchDir, stageDir, ckptDir).foreach(p => try rmTree(p) catch { case _: Exception => () })
+      ((if (ownWatchDir) Seq(watchDir) else Seq.empty) :+ ckptDir)
+        .foreach(p => try rmTree(p) catch { case _: Exception => () })
     }
   }
 
@@ -385,7 +417,8 @@ object StreamGates {
     val flush = Seq(1, 2).map(k =>
       Seq(EventStream.SessionEvent(-1L, new java.sql.Timestamp(maxTs.getTime + k * 86400000L), 0.0))
         .toDS().toDF().select("user_id", "ts", "value"))
-    val sessions = replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Append(), flush)(
+    val sessions = replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Append(), flush,
+      stageKey = Some(s"evSessions:$sfDir"))(
       in => EventStream.sessionizeByEventTime(in.as[EventStream.SessionEvent], gapMinutes).toDF())
     import org.apache.spark.sql.expressions.Window
     sessions
@@ -415,7 +448,8 @@ object StreamGates {
         col("event_type"),
         (col("value").cast(DecimalType(12, 2)) * 100).cast("double").as("value")
       )
-    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Complete())(
+    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Complete(),
+      stageKey = Some(s"evWindow:$sfDir"))(
       in => EventStream.windowedAggregate(in))
       .select(
         col("window_start").as("hour_start"),
@@ -439,7 +473,8 @@ object StreamGates {
         col("event_type"),
         (col("value").cast(DecimalType(12, 2)) * 100).cast("double").as("value")
       )
-    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Complete())(
+    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Complete(),
+      stageKey = Some(s"evWindow:$sfDir"))(
       in => EventStream.windowedAggregate(in, slide = Some("15 minutes")))
       .select(
         unix_micros(col("window_start")).as("ws_us"),
@@ -472,7 +507,8 @@ object StreamGates {
     val flush = Seq(1, 2).map(k =>
       Seq(EventStream.SessionEvent(-1L, new java.sql.Timestamp(maxTs.getTime + k * 86400000L), 0.0))
         .toDS().toDF().select("user_id", "ts", "value"))
-    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Append(), flush)(in =>
+    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Append(), flush,
+      stageKey = Some(s"evSessions:$sfDir"))(in =>
       in.withWatermark("ts", "10 minutes")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value")))
@@ -511,7 +547,7 @@ object StreamGates {
         .select((col("event_id") + 10000000L).as("event_id"),
           lit(minDay).as("day"), lit(500L).as("cents")))
       .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("event_id")))
-    val (watchDir, stageDir) = stageChronologicalChunks(updates, "ts", 3, Seq.empty)
+    val (watchDir, _) = resolveWatchDir(updates, "ts", 3, Seq.empty, None)
     val ckptDir = Files.createTempDirectory(appendSinkRoot, "ckpt")
     val query = spark.readStream
       .schema(updates.schema)
@@ -529,7 +565,7 @@ object StreamGates {
     try query.processAllAvailable()
     finally {
       query.stop()
-      Seq(watchDir, stageDir, ckptDir).foreach(p => try rmTree(p) catch { case _: Exception => () })
+      Seq(watchDir, ckptDir).foreach(p => try rmTree(p) catch { case _: Exception => () })
     }
     spark.read.parquet(tmp)
       .groupBy(col("day").cast("long").as("day"))
@@ -572,7 +608,8 @@ object StreamGates {
         col("text")
       )
     val model = TextAnalysis.lmTrainCompact(docs, "text")
-    replayViaFiles(spark, docs, "ts", chunks = 3, OutputMode.Append())(
+    replayViaFiles(spark, docs, "ts", chunks = 3, OutputMode.Append(),
+      stageKey = Some(s"docs1s:$sfDir"))(
       in => in.select(col("doc_id"), TextAnalysis.lmScoreScanLocal(model, spark)(col("text")).as("sc")))
       .select(
         col("doc_id"),
@@ -599,7 +636,8 @@ object StreamGates {
         timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
         col("text")
       )
-    replayViaFiles(spark, docs, "ts", chunks = 3, OutputMode.Append())(in =>
+    replayViaFiles(spark, docs, "ts", chunks = 3, OutputMode.Append(),
+      stageKey = Some(s"docs1s:$sfDir"))(in =>
       graft.operators.QualityClassifier.score(
         in, "text", "doc_id", graft.operators.QualityClassifierPinned.model))
       .orderBy("doc_id")
@@ -627,7 +665,8 @@ object StreamGates {
       timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
       col("text"))
     val clsKept = QualityClassifier.keptColumn(spark, QualityClassifierPinned.model)
-    replayViaFiles(spark, docs, "ts", chunks = 3, OutputMode.Append()) { in =>
+    replayViaFiles(spark, docs, "ts", chunks = 3, OutputMode.Append(),
+      stageKey = Some(s"docs1s:$sfDir")) { in =>
       in.withColumn("cls_kept", clsKept(col("text")))
         .withColumn("lm_kept",
           TextAnalysis.lmScoreScanLocal(model, spark)(col("text")).getField("_2") < 3.45)
@@ -656,7 +695,8 @@ object StreamGates {
       timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
       col("text")
     )
-    replayViaFiles(spark, docs, "ts", chunks = 3, OutputMode.Append())(in =>
+    replayViaFiles(spark, docs, "ts", chunks = 3, OutputMode.Append(),
+      stageKey = Some(s"docs1s:$sfDir"))(in =>
       in.select(col("doc_id"), Sampling.importanceScore(model, col("text")).as("weight_fp")))
       .orderBy("doc_id")
   }
@@ -739,23 +779,22 @@ object StreamGates {
     import graft.operators.Dedup
     val all = graft.Tpch.table(spark, sfDir, "documents")
     val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
-    val indexDir = java.nio.file.Files.createTempDirectory("graft_sigidx_stream")
-    Dedup.persistSignatureIndex(
-      Dedup.buildSignatureIndex(all.where(col("doc_id") <= splitId), "text", "doc_id"),
-      indexDir.toString)
+    // Read-only probes share the batch serve gate's build (q_dedup_index_serve).
+    val indexDir = graft.GateCache.dir(s"sigidx_half:$sfDir")(p =>
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(all.where(col("doc_id") <= splitId), "text", "doc_id"), p))
     val newDocs = all.where(col("doc_id") > splitId)
       .select(
         col("doc_id"),
         timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
         col("text"))
-    try
-      replayViaForeachBatch(spark, newDocs, "ts", chunks = 3)(
-        b => Dedup.matchVsPersistedIndex(b, "text", "doc_id", indexDir.toString))
-        .select(col("doc_id"), col("matched_id"),
-          round(col("est_jaccard") * 32).cast("long").as("est_32"))
-        .distinct()
-        .orderBy("doc_id", "matched_id")
-    finally rmTree(indexDir)
+    replayViaForeachBatch(spark, newDocs, "ts", chunks = 3,
+      stageKey = Some(s"docsUpper1s:$sfDir"))(
+      b => Dedup.matchVsPersistedIndex(b, "text", "doc_id", indexDir))
+      .select(col("doc_id"), col("matched_id"),
+        round(col("est_jaccard") * 32).cast("long").as("est_32"))
+      .distinct()
+      .orderBy("doc_id", "matched_id")
   }
 
   /** `q_data_expectations_stream`: the data-contract row rules evaluated
@@ -815,17 +854,16 @@ object StreamGates {
     val thr = TextAnalysis.QualityThresholds(
       minTokens = 20, maxTokens = 1000,
       maxDupTokenFrac = 0.6, maxTopBigramFrac = 0.5, minAlphaRatio = 0.5)
-    val indexDir = java.nio.file.Files.createTempDirectory("graft_pipe_idx")
-    Dedup.persistSignatureIndex(
-      Dedup.buildSignatureIndex(base.where(col("doc_id") <= splitId), "text", "doc_id"),
-      indexDir.toString)
+    val indexDir = graft.GateCache.dir(s"sigidx_half:$sfDir")(p =>
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(base.where(col("doc_id") <= splitId), "text", "doc_id"), p))
     val newDocs = base.where(col("doc_id") > splitId)
       .select(
         col("doc_id"),
         timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
         col("text"))
-    try
-      replayViaForeachBatch(spark, newDocs, "ts", chunks = 3) { b =>
+    replayViaForeachBatch(spark, newDocs, "ts", chunks = 3,
+      stageKey = Some(s"docsUpper1s:$sfDir")) { b =>
         val kept = b
           .withColumn("cls_kept", clsKept(col("text")))
           .withColumn("lm_kept",
@@ -835,13 +873,12 @@ object StreamGates {
         // Probing only the survivors equals filtering the full match set
         // by survivor id — a match's existence doesn't depend on the rest
         // of the batch.
-        val dup = Dedup.matchVsPersistedIndex(kept, "text", "doc_id", indexDir.toString)
+        val dup = Dedup.matchVsPersistedIndex(kept, "text", "doc_id", indexDir)
           .select(col("doc_id").as("m_id")).distinct()
         kept.join(dup, kept("doc_id") === col("m_id"), "left_anti")
           .select(col("doc_id"), Sampling.importanceScore(dsir, col("text")).as("weight_fp"))
       }
-        .orderBy("doc_id")
-    finally rmTree(indexDir)
+      .orderBy("doc_id")
   }
 
   def nearDupViaStream(spark: SparkSession, sfDir: String): DataFrame = {
@@ -883,15 +920,14 @@ object StreamGates {
     */
   def bm25ServeViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.TextAnalysis
-    val indexDir = java.nio.file.Files.createTempDirectory("graft_bm25_stream")
-    TextAnalysis.persistBm25Index(
-      TextAnalysis.buildBm25Index(graft.Tpch.table(spark, sfDir, "documents"), "text", "doc_id"),
-      indexDir.toString)
-    try
-      replayViaForeachBatch(spark, queryStream(spark), "ts", chunks = 3)(
-        b => TextAnalysis.bm25TopKFromPersisted(spark, indexDir.toString, b, "query_id", "q_text", k = 10))
-        .orderBy("query_id", "rnk")
-    finally rmTree(indexDir)
+    // Shares the full-corpus build with q_bm25_index_pruned (read-only probes).
+    val indexDir = graft.GateCache.dir(s"bm25idx_full:$sfDir")(p =>
+      TextAnalysis.persistBm25Index(
+        TextAnalysis.buildBm25Index(graft.Tpch.table(spark, sfDir, "documents"), "text", "doc_id"),
+        p))
+    replayViaForeachBatch(spark, queryStream(spark), "ts", chunks = 3)(
+      b => TextAnalysis.bm25TopKFromPersisted(spark, indexDir, b, "query_id", "q_text", k = 10))
+      .orderBy("query_id", "rnk")
   }
 
   /** `q_knn_ivf_serve_stream`: embedding queries arrive as a stream; each
@@ -911,17 +947,16 @@ object StreamGates {
     import graft.operators.Dedup
     val all     = graft.Tpch.table(spark, sfDir, "documents")
     val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
-    val indexDir = java.nio.file.Files.createTempDirectory("graft_gram_stream")
-    Dedup.persistGramIndex(
-      all.where(col("doc_id") <= splitId), "text", "doc_id", indexDir.toString, k = 30)
+    // Shares the half-corpus gram index with q_text_excise_serve (read-only).
+    val indexDir = graft.GateCache.dir(s"gramidx_half_k30:$sfDir")(p =>
+      Dedup.persistGramIndex(
+        all.where(col("doc_id") <= splitId), "text", "doc_id", p, k = 30))
     val probes = all.where(col("doc_id") > splitId)
       .select(col("doc_id"), col("text"),
         timestamp_millis(lit(1700000000000L) + col("doc_id") * 10L).as("ts"))
-    try
-      replayViaForeachBatch(spark, probes, "ts", chunks = 3)(
-        b => Dedup.exciseVsPersistedGrams(b, "text", "doc_id", indexDir.toString))
-        .orderBy("doc_id")
-    finally rmTree(indexDir)
+    replayViaForeachBatch(spark, probes, "ts", chunks = 3)(
+      b => Dedup.exciseVsPersistedGrams(b, "text", "doc_id", indexDir))
+      .orderBy("doc_id")
   }
 
   /** `q_multimodal_phash_serve_stream`: image fingerprints (dHash) arrive
@@ -938,21 +973,21 @@ object StreamGates {
   def phashServeViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.{Dedup, Multimodal}
     val d = graft.Tpch.table(spark, sfDir, "documents").select(col("doc_id"))
-    val indexDir = java.nio.file.Files.createTempDirectory("graft_fpidx_stream")
-    Dedup.persistFingerprintIndex(
-      d.select(col("doc_id"),
-        Multimodal.imageDHash(Multimodal.syntheticPngTextured(col("doc_id"))).as("dh")),
-      "doc_id", "dh", indexDir.toString, maxHamming = 3, fpBits = 63)
+    // Shares the full fingerprint index with q_multimodal_phash_serve
+    // (read-only probes; the append/forget gates build privately).
+    val indexDir = graft.GateCache.dir(s"fpidx_full:$sfDir")(p =>
+      Dedup.persistFingerprintIndex(
+        d.select(col("doc_id"),
+          Multimodal.imageDHash(Multimodal.syntheticPngTextured(col("doc_id"))).as("dh")),
+        "doc_id", "dh", p, maxHamming = 3, fpBits = 63))
     val probes = d.select(
       (col("doc_id") + 10000000L).as("doc_id"),
       Multimodal.imageDHash(Multimodal.syntheticPngTexturedJittered(col("doc_id"))).as("dh"),
       timestamp_millis(lit(1700000000000L) + col("doc_id") * 10L).as("ts"))
-    try
-      replayViaForeachBatch(spark, probes, "ts", chunks = 3)(
-        b => Dedup.matchVsFingerprintIndex(b.drop("ts"), "doc_id", "dh", indexDir.toString))
-        .select(col("doc_id"), col("matched_id"), col("hamming").cast("long").as("hamming"))
-        .orderBy("doc_id", "matched_id")
-    finally rmTree(indexDir)
+    replayViaForeachBatch(spark, probes, "ts", chunks = 3)(
+      b => Dedup.matchVsFingerprintIndex(b.drop("ts"), "doc_id", "dh", indexDir))
+      .select(col("doc_id"), col("matched_id"), col("hamming").cast("long").as("hamming"))
+      .orderBy("doc_id", "matched_id")
   }
 
   /** `q_jaccard_serve_stream`: new documents' trigram sets arrive as a
@@ -968,31 +1003,31 @@ object StreamGates {
     import graft.operators.Dedup
     val d = graft.Tpch.table(spark, sfDir, "documents")
       .select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("bg"))
-    val indexDir = java.nio.file.Files.createTempDirectory("graft_jidx_stream")
-    Dedup.persistJaccardIndex(
-      d.where(col("doc_id") % 2 === 0), "bg", "doc_id", indexDir.toString, thresholdMilli = 600)
+    // Shares the even-docs prefix-filter index with q_jaccard_serve
+    // (read-only probes; the forget gate builds its own mutable copy).
+    val indexDir = graft.GateCache.dir(s"jacidx_even600:$sfDir")(p =>
+      Dedup.persistJaccardIndex(
+        d.where(col("doc_id") % 2 === 0), "bg", "doc_id", p, thresholdMilli = 600))
     val probes = d.where(col("doc_id") % 2 === 1)
       .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("doc_id") * 10L))
-    try
-      replayViaForeachBatch(spark, probes, "ts", chunks = 3)(
-        b => Dedup.matchVsJaccardIndex(b.drop("ts"), "bg", "doc_id", indexDir.toString))
-        .orderBy("doc_id", "matched_id")
-    finally rmTree(indexDir)
+    replayViaForeachBatch(spark, probes, "ts", chunks = 3)(
+      b => Dedup.matchVsJaccardIndex(b.drop("ts"), "bg", "doc_id", indexDir))
+      .orderBy("doc_id", "matched_id")
   }
 
   def ivfServeViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.{IvfPinned, Similarity}
     val emb = graft.Tpch.table(spark, sfDir, "embeddings")
-    val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_stream")
-    Similarity.persistIvfIndex(emb, "vec_id", "embedding", IvfPinned.centroids, indexDir.toString)
+    // Shares the full cell-partitioned index with q_knn_ivf_serve
+    // (read-only probes; the append/delete gates build privately).
+    val indexDir = graft.GateCache.dir(s"ivfidx_full:$sfDir")(p =>
+      Similarity.persistIvfIndex(emb, "vec_id", "embedding", IvfPinned.centroids, p))
     val queries = emb.where("vec_id < 5")
       .select(col("vec_id"), col("embedding"),
         timestamp_millis(lit(1700000000000L) + col("vec_id") * 1000L).as("ts"))
-    try
-      replayViaForeachBatch(spark, queries, "ts", chunks = 3)(
-        b => Similarity.ivfTopKFromPersisted(spark, indexDir.toString, b, "vec_id", "embedding",
-          k = 10, nprobe = 4))
-        .orderBy("query_id", "rnk")
-    finally rmTree(indexDir)
+    replayViaForeachBatch(spark, queries, "ts", chunks = 3)(
+      b => Similarity.ivfTopKFromPersisted(spark, indexDir, b, "vec_id", "embedding",
+        k = 10, nprobe = 4))
+      .orderBy("query_id", "rnk")
   }
 }
