@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, Scrub, ScrubKernel}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
@@ -17,9 +17,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *   - `--conf spark.sql.extensions=graft.GraftExtensions` (cluster-wide,
   *     no code change — how a platform team would ship this library)
   *
-  * The `anon_*` string functions stay session-registered UDFs
-  * ([[graft.functions.GraftFunctions.registerAll]]) — they are opaque
-  * String => String kernels with no codegen body to inject.
+  * The `anon_*` string functions inject as native [[Scrub]] expressions
+  * (codegen'd since round 9); [[graft.functions.GraftFunctions.registerAll]]
+  * remains the UDF-tier fallback for sessions built without extensions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -45,5 +45,21 @@ object GraftExtensions {
         CosineSimilarity(children.head, children(1))
       }
     )
-  )
+  ) ++ ScrubKernel.kinds.map { case (kind, _) =>
+    val name = s"anon_$kind"
+    (
+      FunctionIdentifier(name),
+      new ExpressionInfo(
+        classOf[Scrub].getCanonicalName,
+        null,
+        name,
+        s"$name(s) - deterministic MD5-keyed $kind scrub; null and '' pass through",
+        ""
+      ),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, s"$name expects 1 argument, got ${children.size}")
+        Scrub(children.head, kind)
+      }
+    )
+  }
 }

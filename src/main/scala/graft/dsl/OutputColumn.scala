@@ -44,10 +44,14 @@ object OutputColumn {
   case class SourceColumn(name: String) extends OutputColumn {
 
     /** Apply `f` to non-null values; nulls are never passed to `f` —
-      * reference OutputColumn.scala:33-35.
+      * reference OutputColumn.scala:33-35. When `f` is one of the library
+      * scrubbers, the column compiles to the native codegen'd [[graft.functions.Scrub]]
+      * expression instead of a UDF (identical semantics — the expression
+      * calls the same kernel singleton).
       */
     def mapString(f: String => String): TransformedColumn =
-      TransformedColumn(name, Lens.Direct, opt => opt.map(f))
+      TransformedColumn(name, Lens.Direct, opt => opt.map(f),
+        graft.functions.ScrubKernel.kindOf(f))
 
     /** Explicit null handling: `f` sees None for SQL NULL and may produce a
       * value for it — reference OutputColumn.scala:37-38.
@@ -72,15 +76,29 @@ object OutputColumn {
     private[graft] def toColumn(df: DataFrame): Column = col(name)
   }
 
-  /** A column with a lens-focused string transformation applied. */
-  case class TransformedColumn(name: String, lens: Lens, f: Option[String] => Option[String])
-      extends OutputColumn {
-    private[graft] def toColumn(df: DataFrame): Column = {
-      val g = lens.modifyOpt(f)
-      // One deterministic String=>String UDF per column; null-safe at the
-      // Option boundary so mapString's null-skip contract holds.
-      val u = udf((s: String) => g(Option(s)).orNull)
-      u(col(name).cast("string")).as(name)
+  /** A column with a lens-focused string transformation applied.
+    * `nativeKind` marks a Direct-lens library scrubber recognized by
+    * [[SourceColumn.mapString]]; those compile to the codegen'd expression.
+    */
+  case class TransformedColumn(
+      name: String,
+      lens: Lens,
+      f: Option[String] => Option[String],
+      nativeKind: Option[String] = None
+  ) extends OutputColumn {
+    private[graft] def toColumn(df: DataFrame): Column = nativeKind match {
+      case Some(kind) if lens == Lens.Direct =>
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge
+          .column(graft.functions.Scrub(
+            ColumnBridge.expression(col(name).cast("string")), kind))
+          .as(name)
+      case _ =>
+        val g = lens.modifyOpt(f)
+        // One deterministic String=>String UDF per column; null-safe at the
+        // Option boundary so mapString's null-skip contract holds.
+        val u = udf((s: String) => g(Option(s)).orNull)
+        u(col(name).cast("string")).as(name)
     }
   }
 

@@ -1,34 +1,44 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.graft.ColumnBridge
 
-/** Spark-facing UDF surface for the anonymizer + lens libraries.
+/** Spark-facing Column surface for the anonymizer + lens libraries.
   *
-  * All UDFs are deterministic (the whole point of the MD5 contract —
-  * reference Anonymizer.scala:12-19), so Catalyst is free to collapse
-  * duplicate applications. Null inputs reach the function (String is a
-  * reference type) and flow through unchanged, matching the reference's
-  * `preserveNullOrEmpty`.
+  * The parameterless scrubbers are NATIVE Catalyst expressions since round
+  * 9 ([[Scrub]] — whole-stage codegen, no UDF closure), applied through
+  * [[NativeScrub]] so call sites keep the `firstName(col)` shape.
+  * Parameterized/lens-composed transforms stay deterministic UDFs (the
+  * MD5 contract makes every path deterministic, so Catalyst is free to
+  * collapse duplicate applications). Null inputs flow through unchanged on
+  * both paths, matching the reference's `preserveNullOrEmpty`.
   */
 object GraftFunctions {
 
-  val firstName: UserDefinedFunction       = udf(Anonymizer.FirstName(_: String))
-  val maleFirstName: UserDefinedFunction   = udf(Anonymizer.MaleFirstName(_: String))
-  val femaleFirstName: UserDefinedFunction = udf(Anonymizer.FemaleFirstName(_: String))
-  val lastName: UserDefinedFunction        = udf(Anonymizer.LastName(_: String))
-  val fullName: UserDefinedFunction        = udf(Anonymizer.FullName(_: String))
-  val state: UserDefinedFunction           = udf(Anonymizer.State(_: String))
-  val stateAbbr: UserDefinedFunction       = udf(Anonymizer.StateAbbr(_: String))
-  val country: UserDefinedFunction         = udf(Anonymizer.Country(_: String))
-  val email: UserDefinedFunction           = udf(Anonymizer.Email(_: String))
-  val phoneNumber: UserDefinedFunction     = udf(Anonymizer.PhoneNumber(_: String))
-  val streetAddress: UserDefinedFunction   = udf(Anonymizer.StreetAddress(_: String))
-  val city: UserDefinedFunction            = udf(Anonymizer.City(_: String))
-  val zipCode: UserDefinedFunction         = udf(Anonymizer.ZipCode(_: String))
-  val redact: UserDefinedFunction          = udf(Anonymizer.Redact(_: String))
-  val loremText: UserDefinedFunction       = udf(Anonymizer.LoremText(_: String))
+  /** `Column => Column` wrapper building the codegen'd [[Scrub]] expression. */
+  final class NativeScrub private[functions] (val kind: String) extends (Column => Column)
+      with Serializable {
+    override def apply(c: Column): Column =
+      ColumnBridge.column(Scrub(ColumnBridge.expression(c), kind))
+  }
+
+  val firstName: NativeScrub       = new NativeScrub("first_name")
+  val maleFirstName: NativeScrub   = new NativeScrub("male_first_name")
+  val femaleFirstName: NativeScrub = new NativeScrub("female_first_name")
+  val lastName: NativeScrub        = new NativeScrub("last_name")
+  val fullName: NativeScrub        = new NativeScrub("full_name")
+  val state: NativeScrub           = new NativeScrub("state")
+  val stateAbbr: NativeScrub       = new NativeScrub("state_abbr")
+  val country: NativeScrub         = new NativeScrub("country")
+  val email: NativeScrub           = new NativeScrub("email")
+  val phoneNumber: NativeScrub     = new NativeScrub("phone")
+  val streetAddress: NativeScrub   = new NativeScrub("street_address")
+  val city: NativeScrub            = new NativeScrub("city")
+  val zipCode: NativeScrub         = new NativeScrub("zip")
+  val redact: NativeScrub          = new NativeScrub("redact")
+  val loremText: NativeScrub       = new NativeScrub("lorem")
 
   def partialRedact(showFirst: Int = 2, showLast: Int = 2): UserDefinedFunction =
     udf(Anonymizer.PartialRedact(showFirst, showLast)(_: String))
@@ -37,22 +47,13 @@ object GraftFunctions {
   def lensUdf(lens: Lens, f: String => String): UserDefinedFunction =
     udf(lens.modify(f)(_: String))
 
-  /** Register the library under `anon_*` SQL names on a session. */
-  def registerAll(spark: SparkSession): Unit = {
-    spark.udf.register("anon_first_name", firstName)
-    spark.udf.register("anon_male_first_name", maleFirstName)
-    spark.udf.register("anon_female_first_name", femaleFirstName)
-    spark.udf.register("anon_last_name", lastName)
-    spark.udf.register("anon_full_name", fullName)
-    spark.udf.register("anon_state", state)
-    spark.udf.register("anon_state_abbr", stateAbbr)
-    spark.udf.register("anon_country", country)
-    spark.udf.register("anon_email", email)
-    spark.udf.register("anon_phone", phoneNumber)
-    spark.udf.register("anon_street_address", streetAddress)
-    spark.udf.register("anon_city", city)
-    spark.udf.register("anon_zip", zipCode)
-    spark.udf.register("anon_redact", redact)
-    spark.udf.register("anon_lorem", loremText)
-  }
+  /** Register the library under `anon_*` SQL names on a session. UDF
+    * wrappers by necessity (`spark.udf` has no expression tier); sessions
+    * built `.withExtensions(new GraftExtensions)` resolve the same names
+    * to the native [[Scrub]] expression instead.
+    */
+  def registerAll(spark: SparkSession): Unit =
+    ScrubKernel.kinds.foreach { case (kind, fn) =>
+      spark.udf.register(s"anon_$kind", udf(fn(_: String)))
+    }
 }
