@@ -3338,6 +3338,28 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // The MP4 member of the frame-decode family: Motion-PNG frames muxed
+    // into a REAL ISO-BMFF sample table (stsz sizes + stco offsets + stsc
+    // runs), demuxed back through that table's offset walk — the actual
+    // MP4 demux algorithm — and every 2nd frame decoded with the real PNG
+    // codec. Same per-pixel arithmetic oracle as q_multimodal_frames
+    // (salt "mp4f"); shrinks the video stub to codecs the JDK lacks.
+    "q_multimodal_mp4_frames" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.syntheticMp4Frames(col("doc_id")).as("content"))
+      Multimodal.decodeMp4Frames(media, "doc_id", "content", stride = 2)
+        .select(
+          col("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("w").cast("long").as("w"),
+          col("h").cast("long").as("h"),
+          col("c").cast("long").as("c"),
+          col("sample00").cast("long").as("sample00")
+        )
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // The raw fixed-width chunker (headerless payloads) retains its own
     // gate shape: fixed 32-byte frames, every 2nd kept — chunk arithmetic
     // and blob slices match the oracle byte-for-byte. The gate emits
@@ -5544,6 +5566,22 @@ object SparkEntry {
       // frame (x = y = band = 0 ⇒ sample00 = (h0 + 97·frame) % 256).
       "q_multimodal_frames" -> {
         val h0 = hashSql("('avi' || doc_id)")
+        s"""WITH hv AS (SELECT doc_id, $h0 AS h0 FROM documents),
+           |f AS (SELECT doc_id, h0, unnest(range(0, CAST(2 + h0 % 6 AS BIGINT))) AS idx FROM hv)
+           |SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
+           |  CAST(1 + h0 % 16 AS BIGINT) AS w,
+           |  CAST(1 + (h0 // 16) % 16 AS BIGINT) AS h,
+           |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS c,
+           |  CAST((h0 + 97 * idx) % 256 AS BIGINT) AS sample00
+           |FROM f WHERE idx % 2 = 0
+           |ORDER BY doc_id, frame_idx""".stripMargin
+      },
+
+      // The MP4 twin of the AVI oracle — identical arithmetic, "mp4f"
+      // salt: the sample-table demux + PNG decode must reproduce the
+      // muxed geometry and pixels exactly.
+      "q_multimodal_mp4_frames" -> {
+        val h0 = hashSql("('mp4f' || doc_id)")
         s"""WITH hv AS (SELECT doc_id, $h0 AS h0 FROM documents),
            |f AS (SELECT doc_id, h0, unnest(range(0, CAST(2 + h0 % 6 AS BIGINT))) AS idx FROM hv)
            |SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,

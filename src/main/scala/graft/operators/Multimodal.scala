@@ -656,6 +656,202 @@ object Multimodal {
       .toDF(idCol, "frame_idx", "w", "h", "c", "sample00")
   }
 
+  /** Extract the video sample payloads of an ISO-BMFF (MP4) file through
+    * its REAL sample table: walks `moov → trak → mdia → minf → stbl`,
+    * reads `stsz` (per-sample sizes), `stco` (chunk offsets), and `stsc`
+    * (samples-per-chunk runs), then slices each sample out of the file at
+    * its table-derived offset — the actual demux algorithm every MP4
+    * reader runs, no codec involved. Returns samples in decode order;
+    * malformed/truncated input yields the samples readable before the
+    * damage (never throws). Only the first trak with a complete sample
+    * table is used (the synthetic fixtures and typical training clips are
+    * single-track).
+    */
+  private[operators] def mp4SamplePayloads(bytes: Array[Byte]): Vector[Array[Byte]] = {
+    if (bytes == null || bytes.length < 8) return Vector.empty
+    def u32(off: Int): Long =
+      if (off < 0 || off + 4 > bytes.length) -1L
+      else ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def boxType(off: Int): String =
+      if (off + 8 > bytes.length) ""
+      else new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def find(off: Int, end: Int, tpe: String): (Int, Int) = {
+      var p = off
+      while (p + 8 <= end) {
+        val sz = u32(p)
+        if (sz < 8 || p + sz > end) return null
+        if (boxType(p) == tpe) return (p + 8, p + sz.toInt)
+        p += sz.toInt
+      }
+      null
+    }
+    try {
+      val moov = find(0, bytes.length, "moov")
+      if (moov == null) return Vector.empty
+      val trak = find(moov._1, moov._2, "trak")
+      if (trak == null) return Vector.empty
+      val mdia = find(trak._1, trak._2, "mdia")
+      if (mdia == null) return Vector.empty
+      val minf = find(mdia._1, mdia._2, "minf")
+      if (minf == null) return Vector.empty
+      val stbl = find(minf._1, minf._2, "stbl")
+      if (stbl == null) return Vector.empty
+      val stsz = find(stbl._1, stbl._2, "stsz")
+      val stco = find(stbl._1, stbl._2, "stco")
+      val stsc = find(stbl._1, stbl._2, "stsc")
+      if (stsz == null || stco == null || stsc == null) return Vector.empty
+      // stsz: vf(4) sample_size(4) sample_count(4) [sizes...]
+      val fixedSize = u32(stsz._1 + 4)
+      val nSamples  = u32(stsz._1 + 8)
+      if (nSamples <= 0 || nSamples > 100000) return Vector.empty
+      val sizes = (0 until nSamples.toInt).map { i =>
+        if (fixedSize > 0) fixedSize else u32(stsz._1 + 12 + 4 * i)
+      }
+      if (sizes.exists(s => s < 0 || s > bytes.length)) return Vector.empty
+      // stco: vf(4) entry_count(4) [offsets...]
+      val nChunks = u32(stco._1 + 4)
+      if (nChunks <= 0 || nChunks > 100000) return Vector.empty
+      val chunkOffsets = (0 until nChunks.toInt).map(i => u32(stco._1 + 8 + 4 * i))
+      // stsc: vf(4) entry_count(4) [(first_chunk, samples_per_chunk, desc)...]
+      // Runs extend to the next entry's first_chunk (1-based).
+      val nRuns = u32(stsc._1 + 4)
+      if (nRuns <= 0 || nRuns > 100000) return Vector.empty
+      val runs = (0 until nRuns.toInt).map(i =>
+        (u32(stsc._1 + 8 + 12 * i), u32(stsc._1 + 12 + 12 * i)))
+      def samplesInChunk(chunk1: Int): Long = {
+        var per = 0L
+        runs.foreach { case (first, n) => if (first <= chunk1) per = n }
+        per
+      }
+      val out    = Vector.newBuilder[Array[Byte]]
+      var sample = 0
+      var chunk  = 0
+      while (chunk < nChunks.toInt && sample < nSamples.toInt) {
+        var off  = chunkOffsets(chunk)
+        var inCk = 0L
+        val per  = samplesInChunk(chunk + 1)
+        while (inCk < per && sample < nSamples.toInt) {
+          val sz = sizes(sample)
+          if (off < 0 || off + sz > bytes.length) return out.result()
+          out += java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+          off += sz
+          inCk += 1
+          sample += 1
+        }
+        chunk += 1
+      }
+      out.result()
+    } catch { case _: Exception => Vector.empty }
+  }
+
+  /** REAL MP4 video frame sampling — the ISO-BMFF twin of
+    * [[decodeAviFrames]]: demux through the container's actual sample
+    * table ([[mp4SamplePayloads]]) and DECODE every `stride`-th sample
+    * with `javax.imageio`, one row per sampled frame with a decoded-pixel
+    * probe. Works for any MP4 whose samples the JRE can decode (PNG/JPEG
+    * image codecs — the [[syntheticMp4Frames]] fixture muxes PNG so the
+    * pixel oracle replays losslessly; H.264-class codecs still need an
+    * external decoder and would swap in at the `readImage` line only).
+    * An undecodable sample yields a zeroed probe row; non-MP4 payloads
+    * yield no rows.
+    */
+  def decodeMp4Frames(df: DataFrame, idCol: String, contentCol: String, stride: Int = 1): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        mp4SamplePayloads(bytes).zipWithIndex.collect {
+          case (fb, idx) if idx % stride == 0 =>
+            val img = readImage(fb)
+            if (img == null) (id, idx, 0, 0, 0, 0)
+            else {
+              val raster = img.getRaster
+              (id, idx, img.getWidth, img.getHeight, raster.getNumBands, raster.getSample(0, 0, 0))
+            }
+        }
+      }
+      .toDF(idCol, "frame_idx", "w", "h", "c", "sample00")
+  }
+
+  /** Deterministic synthetic video MP4 — REAL ISO-BMFF output with a REAL
+    * sample table (ftyp + mdat of concatenated PNG frames + moov(mvhd,
+    * trak(tkhd, mdia(minf(stbl(stsd/stts/stsc/stsz/stco)))))), the
+    * Motion-PNG-in-MP4 twin of [[syntheticAvi]]: frames are real PNG
+    * encodes (lossless ⇒ arithmetic pixel oracle), stco carries the
+    * mdat payload's absolute file offset, stsz the per-frame byte sizes —
+    * so [[decodeMp4Frames]] exercises the genuine offset/size demux walk.
+    * Geometry/pixels derive from `seed` via the stableHash contract
+    * (salt "mp4f"):
+    *   h0 = stableHash("mp4f" + seed), n_frames = 2 + h0%6,
+    *   w = 1 + h0%16, h = 1 + (h0/16)%16, grayscale iff seed even,
+    *   sample(x, y, band, frame) = (h0 + x + 31·y + 7·band + 97·frame) % 256.
+    */
+  def syntheticMp4Frames(seed: Column): Column = {
+    val u = udf { (id: Long) =>
+      val h0      = graft.functions.Anonymizer.stableHash(s"mp4f$id")
+      val nFrames = 2 + (h0 % 6).toInt
+      val w       = 1 + (h0 % 16).toInt
+      val ht      = 1 + ((h0 / 16) % 16).toInt
+      val gray    = id % 2 == 0
+      def u32(v: Long): Array[Byte] =
+        Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+        u32(8L + payload.length) ++ tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ payload
+      def frame(f: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          w, ht,
+          if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+          else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+        )
+        val raster = img.getRaster
+        val bands  = raster.getNumBands
+        var y = 0
+        while (y < ht) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) {
+              raster.setSample(x, y, b, ((h0 + x + 31L * y + 7L * b + 97L * f) % 256).toInt)
+              b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        writePng(img)
+      }
+      val frames = (0 until nFrames).map(frame)
+      val ftyp   = box("ftyp", "isom".getBytes ++ u32(512) ++ "isomiso2".getBytes)
+      val mdat   = box("mdat", frames.reduce(_ ++ _))
+      val mdatPayloadOffset = ftyp.length + 8L // absolute file offset of frame 0
+      val mvhd = box("mvhd",
+        u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++ u32(nFrames * 40L) ++
+          u32(0x00010000L) ++ Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++
+          new Array[Byte](36) ++ new Array[Byte](24) ++ u32(2))
+      val tkhd = box("tkhd",
+        u32(0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(nFrames * 40L) ++
+          new Array[Byte](8) ++ new Array[Byte](8) ++ new Array[Byte](36) ++
+          u32(w.toLong << 16) ++ u32(ht.toLong << 16))
+      val stsd = box("stsd", u32(0) ++ u32(1) ++ box("png ", new Array[Byte](78)))
+      val stts = box("stts", u32(0) ++ u32(1) ++ u32(nFrames.toLong) ++ u32(40))
+      val stsc = box("stsc", u32(0) ++ u32(1) ++ u32(1) ++ u32(nFrames.toLong) ++ u32(1))
+      val stsz = box("stsz",
+        u32(0) ++ u32(0) ++ u32(nFrames.toLong) ++
+          frames.map(fb => u32(fb.length.toLong)).foldLeft(Array.empty[Byte])(_ ++ _))
+      val stco = box("stco", u32(0) ++ u32(1) ++ u32(mdatPayloadOffset))
+      val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", minf)
+      val trak = box("trak", tkhd ++ mdia)
+      val moov = box("moov", mvhd ++ trak)
+      ftyp ++ mdat ++ moov
+    }
+    u(seed)
+  }
+
   /** Deterministic synthetic Motion-PNG AVI — REAL RIFF container output
     * (RIFF(`AVI `, LIST hdrl(avih), LIST movi(`00dc`×N)) assembled
     * byte-by-byte, word-aligned) whose frames are REAL PNG encodes
