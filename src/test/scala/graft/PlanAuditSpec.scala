@@ -497,6 +497,66 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("jaccard STREAM serving (foreachBatch probe) plans strict partition subsets per micro-batch") {
+      withoutAqe {
+        import graft.operators.Dedup
+        // 200-word vocabulary: random 10-element sets rarely share 30%
+        // overlap, so a single probe's candidate set (and hence its
+        // fullsets read) stays a strict partition subset by construction.
+        val rng = new scala.util.Random(13)
+        val rows = (0L until 80L).map { i =>
+          (i, (0 until 10).map(_ => s"w${rng.nextInt(200)}").distinct.toArray)
+        }
+        val df  = rows.toDF("doc_id", "elems")
+        val tmp = java.nio.file.Files.createTempDirectory("jidx_s_").toString
+        try {
+          Dedup.persistJaccardIndex(
+            df.where("doc_id % 2 = 0"), "elems", "doc_id", tmp, thresholdMilli = 300)
+          val allPost = spark.read.parquet(s"$tmp/postings").select("bucket").distinct().count()
+          val allFull = spark.read.parquet(s"$tmp/fullsets").select("dbucket").distinct().count()
+          // One probe doc per micro-batch (the serving steady state) — each
+          // trigger's TWO pruned reads must plan strict partition subsets.
+          val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+          val probes = df.where("doc_id IN (1, 3, 5)")
+            .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("doc_id") * 10L))
+          val out = graft.streaming.StreamGates.replayViaForeachBatch(
+            spark, probes, "ts", chunks = 3) { b =>
+            val probe = Dedup.matchVsJaccardIndex(b.drop("ts"), "elems", "doc_id", tmp)
+            executed(probe).foreach {
+              case f: org.apache.spark.sql.execution.FileSourceScanExec
+                  if f.relation.location.rootPaths.exists(_.toString.contains("jidx_s_")) =>
+                val part =
+                  if (f.relation.location.rootPaths.exists(_.toString.contains("postings"))) "postings"
+                  else if (f.relation.location.rootPaths.exists(_.toString.contains("fullsets"))) "fullsets"
+                  else "other"
+                seen.add((part, f.selectedPartitions.partitionCount.toLong))
+                ()
+              case _ => ()
+            }
+            probe
+          }
+          // Streamed serving ≡ batch probe row-for-row (the gate's oracle shape).
+          val batch = Dedup.matchVsJaccardIndex(
+              df.where("doc_id IN (1, 3, 5)"), "elems", "doc_id", tmp)
+            .select("doc_id", "matched_id").as[(Long, Long)].collect().toSet
+          out.select("doc_id", "matched_id").as[(Long, Long)].collect().toSet shouldBe batch
+          import scala.jdk.CollectionConverters._
+          val cells = seen.asScala.toSeq
+          withClue(s"recorded scans: $cells") {
+            cells.count(_._1 == "postings") should be >= 3
+            cells.count(_._1 == "fullsets") should be >= 3
+            cells.filter(_._1 == "postings").foreach(_._2 should be < allPost)
+            cells.filter(_._1 == "fullsets").foreach(_._2 should be < allFull)
+          }
+        } finally {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(new java.io.File(tmp))
+        }
+      }
+    }
+
     it("ivfTopKFromPersisted probes only its nprobe cells' partitions") {
       assume(new java.io.File(sfDir).isDirectory)
       withoutAqe {
