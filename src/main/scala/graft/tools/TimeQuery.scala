@@ -2,14 +2,14 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Times a single gate query N times (first run = warmup) — the focused
-  * perf loop for one operator without paying a full Bench sweep.
-  * Usage: runMain graft.tools.TimeQuery <sfDir> <query> [reps]
+/** Times gate queries N times each (first run = warmup) — the focused
+  * perf loop for one or a few operators without paying a full Bench sweep.
+  * Usage: runMain graft.tools.TimeQuery <sfDir> <query>[,<query>...] [reps]
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val name  = args(1)
+    val names = args(1).split(',').toSeq
     val reps  = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -18,12 +18,14 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fn = graft.SparkEntry.queries(name)
-    (0 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n  = fn(spark, sfDir).count()
-      val s  = (System.nanoTime() - t0) / 1e9
-      println(f"[$name] run $i: $s%.3f s ($n rows)${if (i == 0) "  (warmup)" else ""}")
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      (0 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n  = fn(spark, sfDir).count()
+        val s  = (System.nanoTime() - t0) / 1e9
+        println(f"[$name] run $i: $s%.3f s ($n rows)${if (i == 0) "  (warmup)" else ""}")
+      }
     }
     spark.stop()
   }

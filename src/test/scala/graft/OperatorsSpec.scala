@@ -1636,6 +1636,22 @@ class OperatorsSpec extends SparkSpec {
       got shouldBe expected
       got.count(_._1 == "b") shouldBe 1 // short group keeps what it has
     }
+    it("k=1 min_by fast path matches the window exactly on duplicate-ord ties") {
+      val rows = Seq(
+        ("a", 5.0, 2L), ("a", 5.0, 1L), ("a", 3.0, 3L), // tie on max ord -> min id wins
+        ("b", 2.0, 6L),
+        ("c", 3.0, 9L), ("c", 4.0, 8L), ("c", 4.0, 7L)
+      ).toDF("k", "v", "id")
+      val got = TopK.perKey(rows, Seq("k"), "v", "id", k = 1)
+        .select("k", "v", "id", "rnk").as[(String, Double, Long, Long)].collect().toSet
+      got shouldBe Set(("a", 5.0, 1L, 1L), ("b", 2.0, 6L, 1L), ("c", 4.0, 7L, 1L))
+      // and it plans as native min_by with map-side combine (partial_min_by
+      // BEFORE the exchange), not the Kryo-buffered object aggregate
+      val plan = TopK.perKey(rows, Seq("k"), "v", "id", k = 1)
+        .queryExecution.executedPlan.toString
+      plan should include("partial_min_by")
+      plan should not include "ObjectHashAggregate"
+    }
   }
 
   describe("Sampling.shuffleOrder") {
