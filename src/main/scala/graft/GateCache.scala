@@ -59,4 +59,30 @@ object GateCache {
         d.toString
       }
     )
+
+  /** Copy-on-write resolve for gates that MUTATE their artifact (delete /
+    * tombstone / forget): the pristine build is shared under `key` exactly
+    * like [[dir]], but the caller gets a fresh deep copy it may mutate
+    * freely — the pristine directory is never touched, so read-only
+    * consumers of the same key stay correct. A parquet-directory copy is
+    * milliseconds against the multi-second build it replaces, and the
+    * copied artifact is byte-identical to what a private build of the same
+    * key would have produced (the key encodes every build input).
+    */
+  def privateCopy(key: String)(build: String => Unit): String = {
+    val pristine = java.nio.file.Paths.get(dir(key)(build))
+    val dst = java.nio.file.Files.createTempDirectory(root, "m")
+    copyTree(pristine, dst)
+    dst.toString
+  }
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val s = Files.walk(src)
+    try s.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    } finally s.close()
+  }
 }

@@ -2328,9 +2328,11 @@ object SparkEntry {
     "q_dedup_index_delete" -> ((s, dir) => {
       val all = t(s, dir, "documents")
       val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sigidx_del_").toString
-      Dedup.persistSignatureIndex(
-        Dedup.buildSignatureIndex(all.where(col("doc_id") <= splitId), "text", "doc_id"), tmp)
+      // Mutating gate: copy-on-write from the shared pristine build
+      // (byte-identical to a private build of the same inputs).
+      val tmp = graft.GateCache.privateCopy(s"sigidx_half:$dir")(p =>
+        Dedup.persistSignatureIndex(
+          Dedup.buildSignatureIndex(all.where(col("doc_id") <= splitId), "text", "doc_id"), p))
       Dedup.deleteFromPersistedIndex(
         all.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", tmp)
       Dedup.matchVsPersistedIndex(all.where(col("doc_id") > splitId), "text", "doc_id", tmp)
@@ -2352,22 +2354,28 @@ object SparkEntry {
       import graft.operators.{CorpusPipeline, Multimodal}
       val docs = t(s, dir, "documents")
       val emb  = t(s, dir, "embeddings")
-      val root = java.nio.file.Files.createTempDirectory("graft_forget_").toString
-      val (sig, fpp, jac, ivf, bm) =
-        (s"$root/sig", s"$root/fp", s"$root/jac", s"$root/ivf", s"$root/bm25")
+      // All five index builds are copy-on-write resolves of the pristine
+      // artifacts the serve/pruned gates share (identical build inputs per
+      // key), so this gate pays five directory copies + the forget + five
+      // probes — not five from-scratch builds.
       val splitId = docs.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
-      Dedup.persistSignatureIndex(
-        Dedup.buildSignatureIndex(docs.where(col("doc_id") <= splitId), "text", "doc_id"), sig)
-      Dedup.persistFingerprintIndex(
-        docs.select(col("doc_id"),
-          Multimodal.imageDHash(Multimodal.syntheticPngTextured(col("doc_id"))).as("dh")),
-        "doc_id", "dh", fpp, maxHamming = 3, fpBits = 63)
+      val sig = graft.GateCache.privateCopy(s"sigidx_half:$dir")(p =>
+        Dedup.persistSignatureIndex(
+          Dedup.buildSignatureIndex(docs.where(col("doc_id") <= splitId), "text", "doc_id"), p))
+      val fpp = graft.GateCache.privateCopy(s"fpidx_full:$dir")(p =>
+        Dedup.persistFingerprintIndex(
+          docs.select(col("doc_id"),
+            Multimodal.imageDHash(Multimodal.syntheticPngTextured(col("doc_id"))).as("dh")),
+          "doc_id", "dh", p, maxHamming = 3, fpBits = 63))
       val dsets = docs.select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("bg"))
-      Dedup.persistJaccardIndex(
-        dsets.where(col("doc_id") % 2 === 0), "bg", "doc_id", jac, thresholdMilli = 600)
-      Similarity.persistIvfIndex(emb, "vec_id", "embedding",
-        graft.operators.IvfPinned.centroids, ivf)
-      TextAnalysis.persistBm25Index(TextAnalysis.buildBm25Index(docs, "text", "doc_id"), bm)
+      val jac = graft.GateCache.privateCopy(s"jacidx_even600:$dir")(p =>
+        Dedup.persistJaccardIndex(
+          dsets.where(col("doc_id") % 2 === 0), "bg", "doc_id", p, thresholdMilli = 600))
+      val ivf = graft.GateCache.privateCopy(s"ivfidx_full:$dir")(p =>
+        Similarity.persistIvfIndex(emb, "vec_id", "embedding",
+          graft.operators.IvfPinned.centroids, p))
+      val bm = graft.GateCache.privateCopy(s"bm25idx_full:$dir")(p =>
+        TextAnalysis.persistBm25Index(TextAnalysis.buildBm25Index(docs, "text", "doc_id"), p))
       val forget = docs.where(col("doc_id") % 3 === 0).select(col("doc_id"))
         .unionByName(emb.where(col("vec_id") % 3 === 0).select(col("vec_id").as("doc_id")))
         .distinct()
@@ -2846,8 +2854,9 @@ object SparkEntry {
     "q_bm25_index_delete" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val tmp = java.nio.file.Files.createTempDirectory("bm25_didx_").toString
-      TextAnalysis.persistBm25Index(TextAnalysis.buildBm25Index(docs, "text", "doc_id"), tmp)
+      // Mutating gate: copy-on-write from the shared pristine full build.
+      val tmp = graft.GateCache.privateCopy(s"bm25idx_full:$dir")(p =>
+        TextAnalysis.persistBm25Index(TextAnalysis.buildBm25Index(docs, "text", "doc_id"), p))
       TextAnalysis.deleteFromBm25Index(
         docs.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", tmp)
       val q = Seq(
@@ -2863,8 +2872,9 @@ object SparkEntry {
     // cell partition rewritten).
     "q_knn_ivf_delete" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val tmp = java.nio.file.Files.createTempDirectory("ivf_idx_del_").toString
-      Similarity.persistIvfIndex(emb, "vec_id", "embedding", graft.operators.IvfPinned.centroids, tmp)
+      // Mutating gate: copy-on-write from the shared pristine full build.
+      val tmp = graft.GateCache.privateCopy(s"ivfidx_full:$dir")(p =>
+        Similarity.persistIvfIndex(emb, "vec_id", "embedding", graft.operators.IvfPinned.centroids, p))
       Similarity.deleteFromIvfIndex(emb.where(col("vec_id") % 3 === 0).select("vec_id"), "vec_id", tmp)
       Similarity.ivfTopKFromPersisted(s, tmp, emb.where("vec_id < 5"), "vec_id", "embedding",
           k = 10, nprobe = 4)
