@@ -521,6 +521,20 @@ object SparkEntry {
     "q_data_expectations_stream" -> ((s, dir) =>
       graft.streaming.StreamGates.expectationsViaStream(s, dir)),
 
+    // The term-distribution drift monitor train-batch/monitor-stream:
+    // frozen even-doc_id reference histogram, Complete-mode running term
+    // counts over the streamed odd-doc_id snapshot, shared KL math.
+    // Shares q_term_drift's oracle verbatim.
+    "q_term_drift_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.termDriftViaStream(s, dir)),
+
+    // The PSI drift monitor train-batch/monitor-stream: frozen reference
+    // histogram, Complete-mode running bin counts over the streamed
+    // current window, shared fixed-point contribution math. Shares
+    // q_stats_psi's oracle verbatim.
+    "q_stats_psi_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.psiViaStream(s, dir)),
+
     // Streaming funnel: per-user stage cascade advanced incrementally
     // across micro-batches. Shares q_events_funnel's oracle verbatim.
     "q_events_funnel_stream" -> ((s, dir) =>
@@ -1582,6 +1596,29 @@ object SparkEntry {
         |count(*) AS n_events,
         |CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
+    // PSI replay: identical binning (floor division, clamped), add-one
+    // smoothing, single-ln per-bin contribution rounded to nano-units.
+    // Shared verbatim by the streamed monitor gate (running Complete-mode
+    // counts converge to the batch histogram).
+    val psiOracleSql =
+      """WITH ev AS (SELECT event_id, CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM events),
+        |mx AS (SELECT max(event_id) // 2 AS s FROM ev),
+        |tagged AS (
+        |  SELECT least(greatest(cents, 0) // 4000, 15) AS bin, 1 AS side FROM ev, mx WHERE event_id <= s
+        |  UNION ALL
+        |  SELECT least(greatest(cents, 0) // 4000, 15) AS bin, 2 AS side FROM ev, mx WHERE event_id > s),
+        |counts AS (SELECT bin,
+        |  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+        |  CAST(sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
+        |  FROM tagged GROUP BY 1),
+        |tot AS (SELECT sum(a_cnt) AS ta, sum(b_cnt) AS tb FROM counts)
+        |SELECT bin, a_cnt, b_cnt,
+        |  CAST(floor((CAST(a_cnt + 1 AS DOUBLE) / (ta + 16) - CAST(b_cnt + 1 AS DOUBLE) / (tb + 16))
+        |    * (ln(CAST(a_cnt + 1 AS DOUBLE) / (ta + 16)) - ln(CAST(b_cnt + 1 AS DOUBLE) / (tb + 16)))
+        |    * 1e9 + 0.5) AS BIGINT) AS contrib_nano
+        |FROM counts, tot ORDER BY bin""".stripMargin
+
     // Batch funnel replay — shared verbatim by the streamed funnel gate.
     val funnelOracleSql =
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
@@ -1832,24 +1869,12 @@ object SparkEntry {
 
       // PSI replay: identical binning (floor division, clamped), add-one
       // smoothing, single-ln per-bin contribution rounded to nano-units.
-      "q_stats_psi" ->
-        """WITH ev AS (SELECT event_id, CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
-          |           FROM events),
-          |mx AS (SELECT max(event_id) // 2 AS s FROM ev),
-          |tagged AS (
-          |  SELECT least(greatest(cents, 0) // 4000, 15) AS bin, 1 AS side FROM ev, mx WHERE event_id <= s
-          |  UNION ALL
-          |  SELECT least(greatest(cents, 0) // 4000, 15) AS bin, 2 AS side FROM ev, mx WHERE event_id > s),
-          |counts AS (SELECT bin,
-          |  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
-          |  CAST(sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
-          |  FROM tagged GROUP BY 1),
-          |tot AS (SELECT sum(a_cnt) AS ta, sum(b_cnt) AS tb FROM counts)
-          |SELECT bin, a_cnt, b_cnt,
-          |  CAST(floor((CAST(a_cnt + 1 AS DOUBLE) / (ta + 16) - CAST(b_cnt + 1 AS DOUBLE) / (tb + 16))
-          |    * (ln(CAST(a_cnt + 1 AS DOUBLE) / (ta + 16)) - ln(CAST(b_cnt + 1 AS DOUBLE) / (tb + 16)))
-          |    * 1e9 + 0.5) AS BIGINT) AS contrib_nano
-          |FROM counts, tot ORDER BY bin""".stripMargin,
+      "q_stats_psi" -> psiOracleSql,
+
+      // Streamed through a Complete-mode running-count aggregation against
+      // the frozen reference histogram — same totals, same contract.
+      "q_stats_psi_stream" -> psiOracleSql,
+
 
       // Rolling window twin: the same cleared z-test over the 10-preceding
       // frame (sums fit BIGINT at the bounded cents domain — asserted by
@@ -3932,6 +3957,24 @@ object SparkEntry {
 
   private def pipelineOracles: Map[String, String] = {
     import OracleGen._
+    // Term-drift replay: per-term add-one-smoothed KL contributions in
+    // both directions over the union vocabulary. Shared verbatim by the
+    // streamed drift monitor (running Complete-mode counts converge to
+    // the batch histogram).
+    val termDriftOracleSql =
+      s"""WITH a AS (SELECT token AS term, count(*) AS c_a
+         |           FROM (SELECT unnest(${tokensSql("text")}) AS token FROM documents WHERE doc_id % 2 = 0) GROUP BY 1),
+         |b AS (SELECT token AS term, count(*) AS c_b
+         |      FROM (SELECT unnest(${tokensSql("text")}) AS token FROM documents WHERE doc_id % 2 = 1) GROUP BY 1),
+         |j AS (SELECT coalesce(a.term, b.term) AS term, coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+         |      FROM a FULL OUTER JOIN b ON a.term = b.term),
+         |t AS (SELECT sum(c_a) AS na, sum(c_b) AS nb, count(*) AS v FROM j),
+         |p AS (SELECT term, c_a, c_b,
+         |      (c_a + 1)::DOUBLE / (na + v) AS pa, (c_b + 1)::DOUBLE / (nb + v) AS pb FROM j, t)
+         |SELECT term, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+         |  CAST(floor(pa * ln(pa / pb) * 1e9 + 0.5) AS BIGINT) AS kl_ab_nano,
+         |  CAST(floor(pb * ln(pb / pa) * 1e9 + 0.5) AS BIGINT) AS kl_ba_nano
+         |FROM p ORDER BY term""".stripMargin
     // Deterministic hyperplane signs (8 planes × 64 dims) for the LSH
     // oracles. Hoisted into a one-row CTE and cross-joined: DuckDB
     // re-evaluates an INLINE nested-list literal per element access
@@ -5319,20 +5362,11 @@ object SparkEntry {
            |FROM (SELECT unnest(${tokensSql("text")}) AS term FROM documents)
            |GROUP BY term ORDER BY est_count DESC, term LIMIT 25""".stripMargin,
 
-      "q_term_drift" ->
-        s"""WITH a AS (SELECT token AS term, count(*) AS c_a
-           |           FROM (SELECT unnest(${tokensSql("text")}) AS token FROM documents WHERE doc_id % 2 = 0) GROUP BY 1),
-           |b AS (SELECT token AS term, count(*) AS c_b
-           |      FROM (SELECT unnest(${tokensSql("text")}) AS token FROM documents WHERE doc_id % 2 = 1) GROUP BY 1),
-           |j AS (SELECT coalesce(a.term, b.term) AS term, coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
-           |      FROM a FULL OUTER JOIN b ON a.term = b.term),
-           |t AS (SELECT sum(c_a) AS na, sum(c_b) AS nb, count(*) AS v FROM j),
-           |p AS (SELECT term, c_a, c_b,
-           |      (c_a + 1)::DOUBLE / (na + v) AS pa, (c_b + 1)::DOUBLE / (nb + v) AS pb FROM j, t)
-           |SELECT term, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
-           |  CAST(floor(pa * ln(pa / pb) * 1e9 + 0.5) AS BIGINT) AS kl_ab_nano,
-           |  CAST(floor(pb * ln(pb / pa) * 1e9 + 0.5) AS BIGINT) AS kl_ba_nano
-           |FROM p ORDER BY term""".stripMargin,
+      "q_term_drift" -> termDriftOracleSql,
+
+      // Streamed: frozen even-doc_id reference histogram vs Complete-mode
+      // running counts over the odd-doc_id stream — same totals, same KL.
+      "q_term_drift_stream" -> termDriftOracleSql,
 
       "q_vocab_coverage" ->
         s"""WITH c AS (SELECT token, count(*) AS token_count

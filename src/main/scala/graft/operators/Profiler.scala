@@ -249,16 +249,29 @@ object Profiler {
       numBins: Int
   ): DataFrame = {
     require(binWidth > 0 && numBins > 0, "binWidth and numBins must be positive")
-    // Spark's `/` on longs is DOUBLE division; floor() restores the
-    // integer quotient exactly for any |value| < 2^53 (cents domain).
-    val bin = (c: Column) =>
-      least(floor(greatest(c.cast("long"), lit(0L)) / binWidth), lit(numBins.toLong - 1)).cast("long")
-    val tagged = dfA.select(bin(col(valueFpCol)).as("bin"), lit(1).as("_side"))
-      .unionByName(dfB.select(bin(col(valueFpCol)).as("bin"), lit(2).as("_side")))
+    val tagged = dfA.select(psiBin(col(valueFpCol), binWidth, numBins).as("bin"), lit(1).as("_side"))
+      .unionByName(dfB.select(psiBin(col(valueFpCol), binWidth, numBins).as("bin"), lit(2).as("_side")))
     val counts = tagged.groupBy("bin")
       .agg(
         sum(when(col("_side") === 1, 1L).otherwise(0L)).as("a_cnt"),
         sum(when(col("_side") === 2, 1L).otherwise(0L)).as("b_cnt"))
+    psiFromCounts(counts, numBins)
+  }
+
+  /** [[psiFixedPoint]]'s fixed-width clamped histogram bin. Spark's `/`
+    * on longs is DOUBLE division; floor() restores the integer quotient
+    * exactly for any |value| < 2^53 (cents domain).
+    */
+  def psiBin(c: Column, binWidth: Long, numBins: Int): Column =
+    least(floor(greatest(c.cast("long"), lit(0L)) / binWidth), lit(numBins.toLong - 1)).cast("long")
+
+  /** [[psiFixedPoint]]'s contribution stage over pre-computed per-bin
+    * counts (`bin`, `a_cnt`, `b_cnt`) — split out so a streaming monitor
+    * can maintain the current-side counts incrementally (a Complete-mode
+    * aggregation) and still share the exact add-one-smoothed nano-unit
+    * math with the batch path.
+    */
+  def psiFromCounts(counts: DataFrame, numBins: Int): DataFrame = {
     val totals = counts.agg(sum("a_cnt").as("_ta"), sum("b_cnt").as("_tb"))
     val pA = (col("a_cnt") + 1).cast("double") / (col("_ta") + numBins)
     val pB = (col("b_cnt") + 1).cast("double") / (col("_tb") + numBins)

@@ -627,12 +627,25 @@ object TextAnalysis {
     * diagnosis (which terms drifted). One aggregation per side on the
     * term key + a full-outer join — the TF-IDF scale shape.
     */
-  def termDrift(dfA: DataFrame, dfB: DataFrame, textCol: String): DataFrame = {
-    def counts(df: DataFrame) = df
-      .select(explode(tokens(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("c"))
-    val a = counts(dfA).withColumnRenamed("c", "c_a")
-    val b = counts(dfB).withColumnRenamed("c", "c_b")
+  def termDrift(dfA: DataFrame, dfB: DataFrame, textCol: String): DataFrame =
+    termDriftFromCounts(
+      termCounts(dfA, textCol).withColumnRenamed("c", "c_a"),
+      termCounts(dfB, textCol).withColumnRenamed("c", "c_b"))
+
+  /** One snapshot's term histogram (`term`, `c`) — [[termDrift]]'s
+    * per-side aggregation, exposed so a streaming monitor can maintain
+    * the current side incrementally.
+    */
+  def termCounts(df: DataFrame, textCol: String): DataFrame = df
+    .select(explode(tokens(col(textCol))).as("term"))
+    .groupBy("term").agg(count(lit(1)).as("c"))
+
+  /** [[termDrift]]'s join + KL stage over pre-computed per-side term
+    * histograms (`term`, `c_a`) / (`term`, `c_b`) — split out so the
+    * streamed drift monitor (frozen reference counts, Complete-mode
+    * running current counts) shares the exact smoothing and KL math.
+    */
+  def termDriftFromCounts(a: DataFrame, b: DataFrame): DataFrame = {
     // Materialized once: the totals action and the returned projection
     // would otherwise each recompute both count sides and the join.
     val joined = graft.plans.Lineage.truncate(

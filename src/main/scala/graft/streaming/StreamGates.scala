@@ -747,6 +747,76 @@ object StreamGates {
       .orderBy("event_id")
   }
 
+  /** `q_stats_psi_stream`: the PSI drift monitor as deployed — the
+    * REFERENCE histogram (first half of the event log by event_id) is a
+    * frozen batch artifact; the CURRENT side's bin counts accumulate as a
+    * Complete-mode streaming aggregation while the second half replays in
+    * micro-batches. The final running counts pair with the frozen
+    * reference through the same add-one-smoothed fixed-point contribution
+    * stage as the batch gate ([[graft.operators.Profiler.psiFromCounts]]),
+    * so totals are arrival-order-proof and the gate shares `q_stats_psi`'s
+    * oracle verbatim.
+    */
+  def psiViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Profiler
+    val (binWidth, numBins) = (4000L, 16)
+    val ev = graft.Tpch.events(spark, sfDir).select(
+      col("event_id"),
+      timestamp_micros(expr("ts div 1000")).as("ts"),
+      floor(col("value").cast("double") * 100 + lit(0.5)).cast("long").as("cents"))
+    val mid = ev.agg(max(col("event_id").cast("long"))).head.getLong(0) / 2
+    val refCounts = ev.where(col("event_id") <= mid)
+      .groupBy(Profiler.psiBin(col("cents"), binWidth, numBins).as("bin"))
+      .agg(count(lit(1)).as("a_cnt"))
+    val curCounts = replayViaFiles(
+        spark, ev.where(col("event_id") > mid), "ts", chunks = 3, OutputMode.Complete())(
+      in => in.groupBy(Profiler.psiBin(col("cents"), binWidth, numBins).as("bin"))
+        .agg(count(lit(1)).as("b_cnt")))
+    // Bins occupied by exactly one side must still contribute (the batch
+    // path's union-tagged aggregation keeps them); full-outer + zero-fill
+    // reproduces that set exactly.
+    val counts = refCounts.join(curCounts, Seq("bin"), "full_outer")
+      .select(
+        col("bin"),
+        coalesce(col("a_cnt"), lit(0L)).as("a_cnt"),
+        coalesce(col("b_cnt"), lit(0L)).as("b_cnt"))
+    Profiler.psiFromCounts(counts, numBins).orderBy("bin")
+  }
+
+  /** `q_term_drift_stream`: the term-distribution drift monitor as
+    * deployed — the reference snapshot's term histogram (even doc_ids) is
+    * a frozen batch artifact; the current snapshot (odd doc_ids) streams
+    * in micro-batches with its term counts accumulating as a
+    * Complete-mode aggregation (vocabulary-sized state — Heaps-bounded,
+    * same budget as the batch op's join key space). The final running
+    * histogram pairs with the frozen side through
+    * [[graft.operators.TextAnalysis.termDriftFromCounts]] — identical
+    * smoothing and KL math, so the gate shares `q_term_drift`'s oracle
+    * verbatim.
+    */
+  def termDriftViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = graft.Tpch.table(spark, sfDir, "documents")
+    val refCounts = TextAnalysis
+      .termCounts(docs.where(pmod(col("doc_id"), lit(2)) === 0), "text")
+      .withColumnRenamed("c", "c_a")
+    val cur = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select(
+        col("doc_id"),
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
+        col("text"))
+    val curCounts = replayViaFiles(spark, cur, "ts", chunks = 3, OutputMode.Complete(),
+      stageKey = Some(s"docsodd1s:$sfDir"))(
+      in => in.select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c_b")))
+    TextAnalysis.termDriftFromCounts(refCounts, curCounts)
+      .select(
+        col("term"), col("c_a"), col("c_b"),
+        floor(col("kl_ab") * 1e9 + lit(0.5)).cast("long").as("kl_ab_nano"),
+        floor(col("kl_ba") * 1e9 + lit(0.5)).cast("long").as("kl_ba_nano"))
+      .orderBy("term")
+  }
+
   /** `q_events_enrich_stream`: the events fixture streamed through
     * [[EventStream.enrichWithStatic]] against the customer dimension —
     * the stream-static join shape (stateless on the stream side, no

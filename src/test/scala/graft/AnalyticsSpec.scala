@@ -261,6 +261,26 @@ class AnalyticsSpec extends SparkSpec {
       drift.map(_._2).sum should be > 100000000L    // PSI > 0.1 — the classic "investigate" bar
       drift.map(_._1).toSet shouldBe (0L until 10L).toSet // every bin reported (add-one smoothing)
     }
+    it("the counts-composed path (streaming monitor shape) equals the one-shot batch path") {
+      // The streaming gate maintains the two sides as SEPARATE count
+      // frames joined full-outer with zero-fill; that composition must be
+      // row-identical to psiFixedPoint's union-tagged aggregation —
+      // including bins occupied by only one side.
+      val a = Seq.tabulate(500)(i => Tuple1(((i * 13) % 60).toLong)).toDF("v")
+      val b = Seq.tabulate(400)(i => Tuple1(30L + ((i * 13) % 60))).toDF("v")
+      val oneShot = graft.operators.Profiler.psiFixedPoint(a, b, "v", binWidth = 10L, numBins = 10)
+        .orderBy("bin").collect().toSeq
+      val bin = (c: org.apache.spark.sql.Column) => graft.operators.Profiler.psiBin(c, 10L, 10)
+      val aCnt = a.groupBy(bin(col("v")).as("bin")).agg(count(lit(1)).as("a_cnt"))
+      val bCnt = b.groupBy(bin(col("v")).as("bin")).agg(count(lit(1)).as("b_cnt"))
+      val composed = graft.operators.Profiler.psiFromCounts(
+        aCnt.join(bCnt, Seq("bin"), "full_outer")
+          .select(col("bin"),
+            coalesce(col("a_cnt"), lit(0L)).as("a_cnt"),
+            coalesce(col("b_cnt"), lit(0L)).as("b_cnt")),
+        numBins = 10).orderBy("bin").collect().toSeq
+      composed shouldBe oneShot
+    }
   }
 
   describe("EventAnalytics.rollingOutliers") {
