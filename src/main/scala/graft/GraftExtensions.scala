@@ -58,7 +58,35 @@ object GraftExtensions {
       ),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, s"$name expects 1 argument, got ${children.size}")
-        Scrub(children.head, kind)
+        Scrub.ofAny(children.head, kind)
+      }
+    )
+  } :+ {
+    // The family's one parameterized member: edge widths must be integer
+    // literals (they embed as plan-time constants in the generated code,
+    // exactly like the kind's kernel id). Same name + arity as the UDF
+    // tier registers, so both tiers resolve identically.
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.types.IntegerType
+    val name = s"anon_${ScrubKernel.PartialRedactKind}"
+    (
+      FunctionIdentifier(name),
+      new ExpressionInfo(
+        classOf[Scrub].getCanonicalName,
+        null,
+        name,
+        s"$name(s, showFirst, showLast) - stars the middle, keeps the int-literal edge widths; null and '' pass through",
+        ""
+      ),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, s"$name expects 3 arguments, got ${children.size}")
+        def edge(e: Expression, which: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"$name $which edge must be an INT literal, got $other")
+        }
+        Scrub.ofAny(children.head, ScrubKernel.PartialRedactKind,
+          Seq(edge(children(1), "showFirst"), edge(children(2), "showLast")))
       }
     )
   }

@@ -535,6 +535,12 @@ object SparkEntry {
     "q_stats_psi_stream" -> ((s, dir) =>
       graft.streaming.StreamGates.psiViaStream(s, dir)),
 
+    // Per-window PSI: watermarked Append-mode day windows scored against
+    // the frozen reference — "how far did each day drift", the pageable
+    // alert shape. State = bins × windows-in-flight.
+    "q_stats_psi_windowed" -> ((s, dir) =>
+      graft.streaming.StreamGates.psiWindowedViaStream(s, dir)),
+
     // Streaming funnel: per-user stage cascade advanced incrementally
     // across micro-batches. Shares q_events_funnel's oracle verbatim.
     "q_events_funnel_stream" -> ((s, dir) =>
@@ -1874,6 +1880,36 @@ object SparkEntry {
       // Streamed through a Complete-mode running-count aggregation against
       // the frozen reference histogram — same totals, same contract.
       "q_stats_psi_stream" -> psiOracleSql,
+
+      // Per-day-window PSI against the same frozen reference: each
+      // emitted window carries the full reference bin set (outer-joined
+      // with its own current counts) and its OWN smoothing totals —
+      // exactly the per-group batch replay below. Day windows are
+      // epoch-aligned UTC on both engines.
+      "q_stats_psi_windowed" ->
+        """WITH ev AS (SELECT event_id, epoch_us(ts) AS tus,
+          |            CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
+          |            FROM events),
+          |mx AS (SELECT max(event_id) // 2 AS s FROM ev),
+          |ref AS (SELECT least(greatest(cents, 0) // 4000, 15) AS bin,
+          |        CAST(count(*) AS BIGINT) AS a_cnt
+          |        FROM ev, mx WHERE event_id <= s GROUP BY 1),
+          |cur AS (SELECT (tus // 86400000000) * 86400000000 AS win_us,
+          |        least(greatest(cents, 0) // 4000, 15) AS bin,
+          |        CAST(count(*) AS BIGINT) AS b_cnt
+          |        FROM ev, mx WHERE event_id > s GROUP BY 1, 2),
+          |refw AS (SELECT win_us, bin, a_cnt FROM (SELECT DISTINCT win_us FROM cur), ref),
+          |counts AS (SELECT coalesce(refw.win_us, cur.win_us) AS win_us,
+          |           coalesce(refw.bin, cur.bin) AS bin,
+          |           coalesce(a_cnt, 0) AS a_cnt, coalesce(b_cnt, 0) AS b_cnt
+          |           FROM refw FULL OUTER JOIN cur
+          |             ON refw.win_us = cur.win_us AND refw.bin = cur.bin),
+          |tot AS (SELECT win_us, sum(a_cnt) AS ta, sum(b_cnt) AS tb FROM counts GROUP BY 1)
+          |SELECT counts.win_us, bin, a_cnt, b_cnt,
+          |  CAST(floor((CAST(a_cnt + 1 AS DOUBLE) / (ta + 16) - CAST(b_cnt + 1 AS DOUBLE) / (tb + 16))
+          |    * (ln(CAST(a_cnt + 1 AS DOUBLE) / (ta + 16)) - ln(CAST(b_cnt + 1 AS DOUBLE) / (tb + 16)))
+          |    * 1e9 + 0.5) AS BIGINT) AS contrib_nano
+          |FROM counts JOIN tot USING (win_us) ORDER BY win_us, bin""".stripMargin,
 
 
       // Rolling window twin: the same cleared z-test over the 10-preceding
@@ -3393,6 +3429,62 @@ object SparkEntry {
           col("sample00").cast("long").as("sample00")
         )
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // The LOSSY-codec member of the family: real JPEG frames through the
+    // same ISO-BMFF mux/demux, decoded by the JRE's actual JPEG codec.
+    // Flat grayscale frames round-trip exactly at max quality, so the
+    // pixel oracle stays arithmetic (salt "mp4j") while the decode is the
+    // genuine quantize/DCT path — shrinking the video caveat to codecs
+    // the JDK lacks entirely (H.264).
+    "q_multimodal_mp4_jpeg" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.syntheticMp4FramesJpeg(col("doc_id")).as("content"))
+      Multimodal.decodeMp4Frames(media, "doc_id", "content", stride = 2)
+        .select(
+          col("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("w").cast("long").as("w"),
+          col("h").cast("long").as("h"),
+          col("c").cast("long").as("c"),
+          col("sample00").cast("long").as("sample00")
+        )
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // WebDataset corpus shape END-TO-END: documents → REAL ustar shards
+    // of (png, txt, json) sample triplets → scan-local entry walk +
+    // adjacency sample assembly → REAL PNG decode to a dHash. The image
+    // is the fingerprint fixture's textured PNG, so its dHash oracle
+    // replays arithmetically; caption/meta certify byte-exact extraction.
+    "q_multimodal_tar_extract" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val shards = Multimodal.syntheticTarShards(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.webdatasetSamples(shards, "shard_id", "content")
+        .select(
+          col("key").cast("long").as("doc_id"),
+          Multimodal.imageDHash(col("image")).as("dh"),
+          md5(col("caption")).as("caption_md5"),
+          col("meta"))
+        .orderBy("doc_id")
+    }),
+
+    // The shard-level entry walk: per-shard entry census — counts, the
+    // ordered png name chain, and the txt payload bytes (exercises the
+    // octal size parse against an arithmetic oracle).
+    "q_multimodal_tar_entries" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val shards = Multimodal.syntheticTarShards(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.tarEntries(shards, "shard_id", "content")
+        .groupBy("shard_id")
+        .agg(
+          count(lit(1)).as("n_entries"),
+          md5(concat_ws(",",
+            sort_array(collect_list(when(col("entry_name").endsWith(".png"), col("entry_name"))))))
+            .as("png_names_md5"),
+          sum(when(col("entry_name").endsWith(".txt"), col("n_bytes")).otherwise(0L)).as("txt_bytes"))
+        .orderBy("shard_id")
     }),
 
     // The raw fixed-width chunker (headerless payloads) retains its own
@@ -5632,6 +5724,43 @@ object SparkEntry {
            |  CAST(1 + h0 % 16 AS BIGINT) AS w,
            |  CAST(1 + (h0 // 16) % 16 AS BIGINT) AS h,
            |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS c,
+           |  CAST((h0 + 97 * idx) % 256 AS BIGINT) AS sample00
+           |FROM f WHERE idx % 2 = 0
+           |ORDER BY doc_id, frame_idx""".stripMargin
+      },
+
+      // WebDataset tar extraction: the image inside each sample is the
+      // fingerprint fixture's textured PNG (salt "png"/"px"), so its
+      // dHash replays through the same sampled-grid arithmetic; caption
+      // and meta are exact string digests of the source document.
+      "q_multimodal_tar_extract" ->
+        s"""WITH $dhashCtes
+           |SELECT d.doc_id, b.dh AS dh, md5(d.text) AS caption_md5,
+           |  '{"id":' || d.doc_id || ',"len":' || length(d.text) || '}' AS meta
+           |FROM documents d JOIN bits b ON d.doc_id = b.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+
+      // Shard entry census: 3 entries per document, png name chain in key
+      // order, txt payload bytes = caption byte lengths (pure-ASCII
+      // corpus: length == octet_length, asserted by the chunker oracle).
+      "q_multimodal_tar_entries" ->
+        """SELECT doc_id // 16 AS shard_id,
+          |  CAST(3 * count(*) AS BIGINT) AS n_entries,
+          |  md5(string_agg(printf('%010d.png', doc_id), ',' ORDER BY doc_id)) AS png_names_md5,
+          |  CAST(sum(length(text)) AS BIGINT) AS txt_bytes
+          |FROM documents GROUP BY 1 ORDER BY shard_id""".stripMargin,
+
+      // The JPEG sibling — "mp4j" salt, always grayscale (c = 1), flat
+      // frames so sample00 is the frame's single value even through the
+      // lossy codec (exact at max quality for DC-only blocks).
+      "q_multimodal_mp4_jpeg" -> {
+        val h0 = hashSql("('mp4j' || doc_id)")
+        s"""WITH hv AS (SELECT doc_id, $h0 AS h0 FROM documents),
+           |f AS (SELECT doc_id, h0, unnest(range(0, CAST(2 + h0 % 6 AS BIGINT))) AS idx FROM hv)
+           |SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
+           |  CAST(1 + h0 % 16 AS BIGINT) AS w,
+           |  CAST(1 + (h0 // 16) % 16 AS BIGINT) AS h,
+           |  CAST(1 AS BIGINT) AS c,
            |  CAST((h0 + 97 * idx) % 256 AS BIGINT) AS sample00
            |FROM f WHERE idx % 2 = 0
            |ORDER BY doc_id, frame_idx""".stripMargin

@@ -47,11 +47,19 @@ object OutputColumn {
       * reference OutputColumn.scala:33-35. When `f` is one of the library
       * scrubbers, the column compiles to the native codegen'd [[graft.functions.Scrub]]
       * expression instead of a UDF (identical semantics — the expression
-      * calls the same kernel singleton).
+      * calls the same kernel singleton). Parameterless kinds are
+      * recognized by kernel identity; [[graft.functions.Anonymizer.PartialRedact]]
+      * structurally, its edge widths riding along as plan-time constants.
       */
-    def mapString(f: String => String): TransformedColumn =
-      TransformedColumn(name, Lens.Direct, opt => opt.map(f),
-        graft.functions.ScrubKernel.kindOf(f))
+    def mapString(f: String => String): TransformedColumn = f match {
+      case pr: graft.functions.Anonymizer.PartialRedact =>
+        TransformedColumn(name, Lens.Direct, opt => opt.map(f),
+          Some(graft.functions.ScrubKernel.PartialRedactKind),
+          Seq(pr.showFirst, pr.showLast))
+      case _ =>
+        TransformedColumn(name, Lens.Direct, opt => opt.map(f),
+          graft.functions.ScrubKernel.kindOf(f))
+    }
 
     /** Explicit null handling: `f` sees None for SQL NULL and may produce a
       * value for it — reference OutputColumn.scala:37-38.
@@ -84,14 +92,15 @@ object OutputColumn {
       name: String,
       lens: Lens,
       f: Option[String] => Option[String],
-      nativeKind: Option[String] = None
+      nativeKind: Option[String] = None,
+      nativeParams: Seq[Int] = Nil
   ) extends OutputColumn {
     private[graft] def toColumn(df: DataFrame): Column = nativeKind match {
       case Some(kind) if lens == Lens.Direct =>
         import org.apache.spark.sql.graft.ColumnBridge
         ColumnBridge
-          .column(graft.functions.Scrub(
-            ColumnBridge.expression(col(name).cast("string")), kind))
+          .column(graft.functions.Scrub.ofAny(
+            ColumnBridge.expression(col(name)), kind, nativeParams))
           .as(name)
       case _ =>
         val g = lens.modifyOpt(f)

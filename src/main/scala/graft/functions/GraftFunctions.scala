@@ -21,7 +21,7 @@ object GraftFunctions {
   final class NativeScrub private[functions] (val kind: String) extends (Column => Column)
       with Serializable {
     override def apply(c: Column): Column =
-      ColumnBridge.column(Scrub(ColumnBridge.expression(c), kind))
+      ColumnBridge.column(Scrub.ofAny(ColumnBridge.expression(c), kind))
   }
 
   val firstName: NativeScrub       = new NativeScrub("first_name")
@@ -40,8 +40,13 @@ object GraftFunctions {
   val redact: NativeScrub          = new NativeScrub("redact")
   val loremText: NativeScrub       = new NativeScrub("lorem")
 
-  def partialRedact(showFirst: Int = 2, showLast: Int = 2): UserDefinedFunction =
-    udf(Anonymizer.PartialRedact(showFirst, showLast)(_: String))
+  /** Native since round 10 — the edge widths embed as plan-time int
+    * literals in the codegen'd [[Scrub]], closing the last UDF-only
+    * scrubber (reference Anonymizer.scala:154-165).
+    */
+  def partialRedact(showFirst: Int = 2, showLast: Int = 2): Column => Column =
+    c => ColumnBridge.column(
+      Scrub.ofAny(ColumnBridge.expression(c), ScrubKernel.PartialRedactKind, Seq(showFirst, showLast)))
 
   /** Lift any lens-focused string transform into a UDF. */
   def lensUdf(lens: Lens, f: String => String): UserDefinedFunction =
@@ -52,8 +57,14 @@ object GraftFunctions {
     * built `.withExtensions(new GraftExtensions)` resolve the same names
     * to the native [[Scrub]] expression instead.
     */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     ScrubKernel.kinds.foreach { case (kind, fn) =>
       spark.udf.register(s"anon_$kind", udf(fn(_: String)))
     }
+    // Parity with the extension tier's 3-arg anon_partial_redact (there the
+    // edges must be int literals; the UDF accepts any int expression).
+    spark.udf.register(
+      s"anon_${ScrubKernel.PartialRedactKind}",
+      udf((s: String, a: Int, b: Int) => Anonymizer.PartialRedact(a, b)(s)))
+  }
 }

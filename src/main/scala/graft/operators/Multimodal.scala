@@ -68,6 +68,31 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** REAL JPEG encode at maximum quality (all-ones quantization tables).
+    * Flat single-value grayscale frames round-trip EXACTLY at this setting
+    * (DC-only blocks, no chroma conversion — verified over all 256 values
+    * × multiple geometries), which is what lets the JPEG video fixture
+    * keep an arithmetic pixel oracle despite the codec being lossy in
+    * general.
+    */
+  private[graft] def writeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    val w = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.write(null, new IIOImage(img, null, null), p)
+    } finally {
+      ios.close()
+      w.dispose()
+    }
+    bos.toByteArray
+  }
+
   /** STUB decode kernel: "decodes" deterministic dimensions/channels from
     * the byte content. A real implementation would parse the container
     * header here; everything around it stays unchanged.
@@ -194,37 +219,43 @@ object Multimodal {
   def syntheticPngTexturedJittered(seed: Column): Column = texturedPng(seed, jittered = true)
 
   private def texturedPng(seed: Column, jittered: Boolean): Column = {
-    val u = udf { (id: Long) =>
-      val h0     = graft.functions.Anonymizer.stableHash(s"png$id")
-      val w      = 8 + (h0 % 9).toInt
-      val ht     = 9 + ((h0 / 16) % 8).toInt
-      val jitter = if (jittered) ((id % 3) * 16).toInt else 0
-      val gray   = id % 2 == 0
-      val img = new java.awt.image.BufferedImage(
-        w, ht,
-        if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
-        else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
-      )
-      val raster = img.getRaster
-      val bands  = raster.getNumBands
-      var y = 0
-      while (y < ht) {
-        var x = 0
-        while (x < w) {
-          val hpx = graft.functions.Anonymizer.stableHash(s"px$id:$x:$y")
-          var b = 0
-          while (b < bands) {
-            val base = ((hpx + 7L * b) % 256).toInt
-            raster.setSample(x, y, b, math.min(base + jitter, 255))
-            b += 1
-          }
-          x += 1
-        }
-        y += 1
-      }
-      writePng(img)
-    }
+    val u = udf((id: Long) => texturedPngBytes(id, jittered))
     u(seed)
+  }
+
+  /** [[texturedPng]]'s per-row kernel, shared with the tar-shard fixture
+    * writer (the same image appears inside a WebDataset sample, so the
+    * same dHash oracle replays it).
+    */
+  private[operators] def texturedPngBytes(id: Long, jittered: Boolean): Array[Byte] = {
+    val h0     = graft.functions.Anonymizer.stableHash(s"png$id")
+    val w      = 8 + (h0 % 9).toInt
+    val ht     = 9 + ((h0 / 16) % 8).toInt
+    val jitter = if (jittered) ((id % 3) * 16).toInt else 0
+    val gray   = id % 2 == 0
+    val img = new java.awt.image.BufferedImage(
+      w, ht,
+      if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    )
+    val raster = img.getRaster
+    val bands  = raster.getNumBands
+    var y = 0
+    while (y < ht) {
+      var x = 0
+      while (x < w) {
+        val hpx = graft.functions.Anonymizer.stableHash(s"px$id:$x:$y")
+        var b = 0
+        while (b < bands) {
+          val base = ((hpx + 7L * b) % 256).toInt
+          raster.setSample(x, y, b, math.min(base + jitter, 255))
+          b += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    writePng(img)
   }
 
   /** 63-bit difference hash (dHash) — the perceptual fingerprint that
@@ -749,10 +780,12 @@ object Multimodal {
     * [[decodeAviFrames]]: demux through the container's actual sample
     * table ([[mp4SamplePayloads]]) and DECODE every `stride`-th sample
     * with `javax.imageio`, one row per sampled frame with a decoded-pixel
-    * probe. Works for any MP4 whose samples the JRE can decode (PNG/JPEG
-    * image codecs — the [[syntheticMp4Frames]] fixture muxes PNG so the
-    * pixel oracle replays losslessly; H.264-class codecs still need an
-    * external decoder and would swap in at the `readImage` line only).
+    * probe. Works for any MP4 whose samples the JRE can decode — gated
+    * over BOTH still-image codecs: [[syntheticMp4Frames]] muxes PNG
+    * (lossless, per-pixel oracle) and [[syntheticMp4FramesJpeg]] muxes
+    * real JPEG (flat frames keep the oracle exact); H.264-class codecs
+    * still need an external decoder and would swap in at the `readImage`
+    * line only.
     * An undecodable sample yields a zeroed probe row; non-MP4 payloads
     * yield no rows.
     */
@@ -796,10 +829,6 @@ object Multimodal {
       val w       = 1 + (h0 % 16).toInt
       val ht      = 1 + ((h0 / 16) % 16).toInt
       val gray    = id % 2 == 0
-      def u32(v: Long): Array[Byte] =
-        Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-      def box(tpe: String, payload: Array[Byte]): Array[Byte] =
-        u32(8L + payload.length) ++ tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ payload
       def frame(f: Int): Array[Byte] = {
         val img = new java.awt.image.BufferedImage(
           w, ht,
@@ -823,31 +852,86 @@ object Multimodal {
         }
         writePng(img)
       }
-      val frames = (0 until nFrames).map(frame)
-      val ftyp   = box("ftyp", "isom".getBytes ++ u32(512) ++ "isomiso2".getBytes)
-      val mdat   = box("mdat", frames.reduce(_ ++ _))
-      val mdatPayloadOffset = ftyp.length + 8L // absolute file offset of frame 0
-      val mvhd = box("mvhd",
-        u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++ u32(nFrames * 40L) ++
-          u32(0x00010000L) ++ Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++
-          new Array[Byte](36) ++ new Array[Byte](24) ++ u32(2))
-      val tkhd = box("tkhd",
-        u32(0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(nFrames * 40L) ++
-          new Array[Byte](8) ++ new Array[Byte](8) ++ new Array[Byte](36) ++
-          u32(w.toLong << 16) ++ u32(ht.toLong << 16))
-      val stsd = box("stsd", u32(0) ++ u32(1) ++ box("png ", new Array[Byte](78)))
-      val stts = box("stts", u32(0) ++ u32(1) ++ u32(nFrames.toLong) ++ u32(40))
-      val stsc = box("stsc", u32(0) ++ u32(1) ++ u32(1) ++ u32(nFrames.toLong) ++ u32(1))
-      val stsz = box("stsz",
-        u32(0) ++ u32(0) ++ u32(nFrames.toLong) ++
-          frames.map(fb => u32(fb.length.toLong)).foldLeft(Array.empty[Byte])(_ ++ _))
-      val stco = box("stco", u32(0) ++ u32(1) ++ u32(mdatPayloadOffset))
-      val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
-      val minf = box("minf", stbl)
-      val mdia = box("mdia", minf)
-      val trak = box("trak", tkhd ++ mdia)
-      val moov = box("moov", mvhd ++ trak)
-      ftyp ++ mdat ++ moov
+      muxMp4Video((0 until nFrames).map(frame), w, ht, "png ")
+    }
+    u(seed)
+  }
+
+  /** Shared ISO-BMFF video muxer: ftyp + mdat of the concatenated frame
+    * payloads + moov(mvhd, trak(tkhd, mdia(minf(stbl(stsd/stts/stsc/stsz/
+    * stco))))) with a REAL sample table — stco carries the mdat payload's
+    * absolute file offset, stsz the per-frame byte sizes, so
+    * [[mp4SamplePayloads]] exercises the genuine offset/size demux walk
+    * regardless of the sample codec (`codec` is the stsd fourcc: "png ",
+    * "jpeg", ...).
+    */
+  private def muxMp4Video(frames: IndexedSeq[Array[Byte]], w: Int, ht: Int, codec: String): Array[Byte] = {
+    val nFrames = frames.length
+    def u32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      u32(8L + payload.length) ++ tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ payload
+    val ftyp   = box("ftyp", "isom".getBytes ++ u32(512) ++ "isomiso2".getBytes)
+    val mdat   = box("mdat", frames.reduce(_ ++ _))
+    val mdatPayloadOffset = ftyp.length + 8L // absolute file offset of frame 0
+    val mvhd = box("mvhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++ u32(nFrames * 40L) ++
+        u32(0x00010000L) ++ Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++
+        new Array[Byte](36) ++ new Array[Byte](24) ++ u32(2))
+    val tkhd = box("tkhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(nFrames * 40L) ++
+        new Array[Byte](8) ++ new Array[Byte](8) ++ new Array[Byte](36) ++
+        u32(w.toLong << 16) ++ u32(ht.toLong << 16))
+    val stsd = box("stsd", u32(0) ++ u32(1) ++ box(codec, new Array[Byte](78)))
+    val stts = box("stts", u32(0) ++ u32(1) ++ u32(nFrames.toLong) ++ u32(40))
+    val stsc = box("stsc", u32(0) ++ u32(1) ++ u32(1) ++ u32(nFrames.toLong) ++ u32(1))
+    val stsz = box("stsz",
+      u32(0) ++ u32(0) ++ u32(nFrames.toLong) ++
+        frames.map(fb => u32(fb.length.toLong)).foldLeft(Array.empty[Byte])(_ ++ _))
+    val stco = box("stco", u32(0) ++ u32(1) ++ u32(mdatPayloadOffset))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** Deterministic synthetic video MP4 whose frames are REAL JPEG encodes —
+    * the lossy-codec member of the frame-decode family, proving the claim
+    * that a different still-image codec swaps in at the decode line only
+    * (same ISO-BMFF muxer and sample-table demux as
+    * [[syntheticMp4Frames]]'s Motion-PNG). JPEG quantization is
+    * codec-internal, so the fixture keeps the pixel oracle arithmetic by
+    * construction: every frame is a FLAT grayscale image (all pixels =
+    * `(h0 + 97·frame) % 256`), which round-trips exactly at max quality
+    * (DC-only blocks, no chroma conversion — see [[writeJpeg]]); a demux
+    * walk that slices the wrong bytes still surfaces as a wrong or zeroed
+    * probe because the flat value differs per frame. Derivation (salt
+    * "mp4j"):
+    *   h0 = stableHash("mp4j" + seed), n_frames = 2 + h0%6,
+    *   w = 1 + h0%16, h = 1 + (h0/16)%16, always grayscale,
+    *   sample(x, y, 0, frame) = (h0 + 97·frame) % 256.
+    */
+  def syntheticMp4FramesJpeg(seed: Column): Column = {
+    val u = udf { (id: Long) =>
+      val h0      = graft.functions.Anonymizer.stableHash(s"mp4j$id")
+      val nFrames = 2 + (h0 % 6).toInt
+      val w       = 1 + (h0 % 16).toInt
+      val ht      = 1 + ((h0 / 16) % 16).toInt
+      def frame(f: Int): Array[Byte] = {
+        val img    = new java.awt.image.BufferedImage(w, ht, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        val v      = ((h0 + 97L * f) % 256).toInt
+        var y = 0
+        while (y < ht) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, v); x += 1 }
+          y += 1
+        }
+        writeJpeg(img)
+      }
+      muxMp4Video((0 until nFrames).map(frame), w, ht, "jpeg")
     }
     u(seed)
   }
@@ -915,5 +999,152 @@ object Multimodal {
       cc("RIFF") ++ u32le(body.length.toLong) ++ body
     }
     u(seed)
+  }
+
+  // ---------------------------------------------------------------------
+  // Sharded tar archives — the WebDataset corpus shape: a 100-TB
+  // multimodal corpus ships as tar shards of (image, caption, meta)
+  // triplets, files of one sample adjacent and named `key.ext`. The SHARD
+  // is the unit of parallelism: each task streams entries out of its own
+  // shards with no cross-shard or driver state, so the reader rides
+  // executor count exactly like the frame decoders above.
+  // ---------------------------------------------------------------------
+
+  /** One POSIX ustar entry: 512-byte header (name, octal size, checksum
+    * over a space-filled checksum field, typeflag '0', "ustar" magic) +
+    * payload zero-padded to the 512 boundary.
+    */
+  private def tarEntry(name: String, data: Array[Byte]): Array[Byte] = {
+    require(name.getBytes("UTF-8").length <= 100, s"tar entry name too long: $name")
+    val header = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, header, off, b.length)
+    }
+    put(0, name)
+    put(100, "0000644")                            // mode
+    put(108, "0000000")                            // uid
+    put(116, "0000000")                            // gid
+    put(124, f"${data.length}%011o")               // size, octal
+    put(136, "00000000000")                        // mtime
+    java.util.Arrays.fill(header, 148, 156, ' '.toByte) // checksum field = spaces while summing
+    header(156) = '0'                              // typeflag: regular file
+    put(257, "ustar")                              // magic (NUL-terminated by the zero fill)
+    put(263, "00")                                 // version
+    val sum = header.map(_ & 0xff).sum
+    put(148, f"$sum%06o")
+    header(154) = 0
+    header(155) = ' '
+    val pad = (512 - data.length % 512) % 512
+    header ++ data ++ new Array[Byte](pad)
+  }
+
+  /** Walk a tar archive's 512-byte header chain; returns (name, payload)
+    * in archive order. Stops at the terminating zero block; a malformed
+    * archive yields what was parsed before the damage (error tolerance,
+    * like every decode kernel here).
+    */
+  private[operators] def tarEntryList(bytes: Array[Byte]): Vector[(String, Array[Byte])] = {
+    val out = Vector.newBuilder[(String, Array[Byte])]
+    try {
+      var off = 0
+      while (off + 512 <= bytes.length && bytes(off) != 0) {
+        var nameEnd = off
+        while (nameEnd < off + 100 && bytes(nameEnd) != 0) nameEnd += 1
+        val name = new String(bytes, off, nameEnd - off, "UTF-8")
+        val sizeStr = new String(bytes, off + 124, 12, "US-ASCII")
+          .takeWhile(c => c >= '0' && c <= '7')
+        val size = java.lang.Long.parseLong(if (sizeStr.isEmpty) "0" else sizeStr, 8).toInt
+        val payload = java.util.Arrays.copyOfRange(bytes, off + 512,
+          math.min(off + 512 + size, bytes.length))
+        if (bytes(off + 156) == '0'.toByte || bytes(off + 156) == 0) out += ((name, payload))
+        off += 512 + ((size + 511) / 512) * 512
+      }
+    } catch { case _: Exception => () }
+    out.result()
+  }
+
+  /** Deterministic synthetic WebDataset corpus: documents grouped
+    * `samplesPerShard` to a tar shard (`shard_id = doc_id /
+    * samplesPerShard`), each sample contributing three adjacent entries —
+    * `<doc_id %010d>.png` (the SAME textured PNG as the fingerprint
+    * fixtures, salt "png"/"px", so the dHash oracle replays it), `.txt`
+    * (the caption = the document text), and `.json`
+    * (`{"id":<id>,"len":<text length>}`). REAL ustar bytes — `tar tf`
+    * would list them. One shuffle on shard_id (shard assembly IS a
+    * grouping), samples key-ordered within the shard for determinism.
+    */
+  def syntheticTarShards(docs: DataFrame, idCol: String, textCol: String,
+      samplesPerShard: Int = 16): DataFrame = {
+    require(samplesPerShard > 0, "samplesPerShard must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._1 / samplesPerShard)
+      .mapGroups { (shard, it) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        it.toVector.sortBy(_._1).foreach { case (id, textOrNull) =>
+          val text = if (textOrNull == null) "" else textOrNull
+          val key  = f"$id%010d"
+          bos.write(tarEntry(s"$key.png", texturedPngBytes(id, jittered = false)))
+          bos.write(tarEntry(s"$key.txt", text.getBytes("UTF-8")))
+          bos.write(tarEntry(s"$key.json", s"""{"id":$id,"len":${text.length}}""".getBytes("UTF-8")))
+        }
+        bos.write(new Array[Byte](1024)) // end-of-archive
+        (shard, bos.toByteArray)
+      }
+      .toDF("shard_id", "content")
+  }
+
+  /** Flat entry view of a binary tar-shard column: one row per archive
+    * entry — (`idCol`, entry_name, n_bytes). Scan-local flatMap, no
+    * shuffle, no driver state.
+    */
+  def tarEntries(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        tarEntryList(bytes).map { case (name, payload) => (id, name, payload.length.toLong) }
+      }
+      .toDF(idCol, "entry_name", "n_bytes")
+  }
+
+  /** WebDataset sample assembly: entries sharing a `key` (the name up to
+    * the first '.') are one sample; grouping uses ADJACENCY within the
+    * shard — the format's contract — so it happens inside the same
+    * scan-local flatMap as the parse, never a shuffle. One row per
+    * sample: (`idCol`, key, image bytes (.png/.jpg/.jpeg), caption
+    * (.txt), meta json (.json)); missing parts are null, unknown
+    * extensions ignored.
+    */
+  def webdatasetSamples(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val out = Vector.newBuilder[(Long, String, Array[Byte], String, String)]
+        var key: String = null
+        var img: Array[Byte] = null
+        var txt: String = null
+        var meta: String = null
+        def emit(): Unit = if (key != null) { out += ((id, key, img, txt, meta)); img = null; txt = null; meta = null }
+        tarEntryList(bytes).foreach { case (name, payload) =>
+          val dot = name.indexOf('.')
+          val (k, ext) = if (dot < 0) (name, "") else (name.substring(0, dot), name.substring(dot + 1))
+          if (k != key) { emit(); key = k }
+          ext.toLowerCase match {
+            case "png" | "jpg" | "jpeg" => img = payload
+            case "txt"                  => txt = new String(payload, "UTF-8")
+            case "json"                 => meta = new String(payload, "UTF-8")
+            case _                      => ()
+          }
+        }
+        emit()
+        out.result()
+      }
+      .toDF(idCol, "key", "image", "caption", "meta")
   }
 }

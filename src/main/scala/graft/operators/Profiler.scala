@@ -281,4 +281,24 @@ object Profiler {
         floor((pA - pB) * (log(pA) - log(pB)) * 1e9 + lit(0.5)).cast("long"))
       .select("bin", "a_cnt", "b_cnt", "contrib_nano")
   }
+
+  /** [[psiFromCounts]] per GROUP — the windowed monitor's contribution
+    * stage: `counts` carries (`keys...`, `bin`, `a_cnt`, `b_cnt`) and each
+    * key group gets its own smoothing totals, so every group's rows are
+    * exactly what [[psiFromCounts]] would produce on that group alone.
+    * The totals side is one row per group (windows-in-flight scale, not
+    * data scale) — broadcast, no shuffle of `counts`.
+    */
+  def psiFromCountsKeyed(counts: DataFrame, keys: Seq[String], numBins: Int): DataFrame = {
+    require(keys.nonEmpty, "use psiFromCounts for the unkeyed form")
+    val totals = counts.groupBy(keys.map(col): _*)
+      .agg(sum("a_cnt").as("_ta"), sum("b_cnt").as("_tb"))
+    val pA = (col("a_cnt") + 1).cast("double") / (col("_ta") + numBins)
+    val pB = (col("b_cnt") + 1).cast("double") / (col("_tb") + numBins)
+    counts
+      .join(broadcast(totals), keys)
+      .withColumn("contrib_nano",
+        floor((pA - pB) * (log(pA) - log(pB)) * 1e9 + lit(0.5)).cast("long"))
+      .select((keys.map(col) ++ Seq(col("bin"), col("a_cnt"), col("b_cnt"), col("contrib_nano"))): _*)
+  }
 }

@@ -46,7 +46,13 @@ object TopK {
         mergeCapped(buf, Array(e), k)
       def merge(a: Array[Entry], b: Array[Entry]): Array[Entry] = mergeCapped(a, b, k)
       def finish(buf: Array[Entry]): Seq[Entry] = buf.toSeq
-      def bufferEncoder: Encoder[Array[Entry]] = implicitly(Encoders.kryo[Array[Entry]])
+      // ExpressionEncoder, NOT Encoders.kryo: the buffer crosses the
+      // exchange once per (partition, key) and spills through the
+      // aggregation map — an UnsafeArrayData of flat (double, long)
+      // structs serializes/sizes without Kryo's reflective object walk,
+      // keeping the partial agg's per-buffer cost primitive.
+      def bufferEncoder: Encoder[Array[Entry]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Entry]]()
       def outputEncoder: Encoder[Seq[Entry]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
     }
@@ -58,14 +64,26 @@ object TopK {
     * @param k       rows kept per key
     * @return keys + `ordCol` + `tieCol` + `rnk` (1-based), the exact rows
     *         the equivalent row_number window keeps
+    *
+    * NULL/NaN ord rows are dropped on BOTH the k=1 and k>1 paths before
+    * aggregating — without the filter the two paths would diverge on
+    * degenerate inputs (a NULL ord negates to a non-null, nulls-first
+    * orderable struct under `min_by`, silently winning rank 1, while the
+    * k>1 encoder rejects it at runtime; NaN orders differently between
+    * Spark's SQL comparator and [[mergeCapped]]'s primitive `>`). A row
+    * whose rank is undefined under `ORDER BY ord DESC` carries no top-k
+    * semantics, so exclusion is the one answer both paths and the window
+    * oracle agree on.
     */
   def perKey(df: DataFrame, keyCols: Seq[String], ordCol: String, tieCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(keyCols.nonEmpty, "need at least one key column")
-    if (k == 1) return latestPerKey(df, keyCols, ordCol, tieCol)
+    val ord     = col(ordCol).cast("double")
+    val ranked  = df.where(ord.isNotNull && !isnan(ord))
+    if (k == 1) return latestPerKey(ranked, keyCols, ordCol, tieCol)
     val agg = udaf(topKAgg(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Entry]())
-    df.groupBy(keyCols.map(col): _*)
+    ranked.groupBy(keyCols.map(col): _*)
       .agg(agg(col(ordCol).cast("double"), col(tieCol).cast("long")).as("_top"))
       .select(keyCols.map(col) :+ posexplode(col("_top")).as(Seq("_p", "_e")): _*)
       .select(

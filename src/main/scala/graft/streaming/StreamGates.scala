@@ -119,11 +119,15 @@ object StreamGates {
   /** Resolve the watch directory for a replay: staged fresh (deleted by the
     * caller via the returned cleanup flag) or, when `stageKey` is given,
     * staged AT MOST ONCE per JVM through [[graft.GateCache]] and shared by
-    * every gate replaying the same source. The key is suffixed with the
-    * source schema's hash so an accidental key collision across different
-    * frame shapes fails loudly at read time rather than silently reusing
-    * wrong data; equal-schema key discipline is on the call sites (keys
-    * embed the sf dir and the staging parameters).
+    * every gate replaying the same source. The key is suffixed with a
+    * CONTENT descriptor, not just the schema hash: the hash of the source
+    * frame's canonicalized logical plan (which pins the scanned files AND
+    * any filters — two same-schema, differently-filtered sources key
+    * differently) plus a fingerprint of the flush sentinel rows (tiny
+    * driver-built frames, collected here once). A key collision across
+    * divergent stagings therefore MISSES the cache instead of silently
+    * replaying the wrong data — correctness no longer rests on call-site
+    * key discipline alone.
     */
   private def resolveWatchDir(
       src: DataFrame,
@@ -134,7 +138,11 @@ object StreamGates {
   ): (java.nio.file.Path, Boolean) =
     stageKey match {
       case Some(k) =>
-        val key = s"stage:$k:$tsCol:$chunks:${src.schema.catalogString.hashCode}"
+        val planHash  = src.queryExecution.logical.canonicalized.toString.hashCode
+        val flushHash = flush.map(f => f.schema.catalogString ::
+          f.collect().toList.map(_.toString)).toString.hashCode
+        val key =
+          s"stage:$k:$tsCol:$chunks:${src.schema.catalogString.hashCode}:$planHash:$flushHash"
         val d = graft.GateCache.dir(key)(p =>
           stageChronologicalChunksInto(java.nio.file.Paths.get(p), src, tsCol, chunks, flush))
         (java.nio.file.Paths.get(d), false)
@@ -781,6 +789,65 @@ object StreamGates {
         coalesce(col("a_cnt"), lit(0L)).as("a_cnt"),
         coalesce(col("b_cnt"), lit(0L)).as("b_cnt"))
     Profiler.psiFromCounts(counts, numBins).orderBy("bin")
+  }
+
+  /** `q_stats_psi_windowed`: the PER-WINDOW deployment shape of the PSI
+    * monitor — [[psiViaStream]]'s Complete-mode running counts answer "how
+    * far has the whole stream drifted", this answers "how far did EACH DAY
+    * drift" (the alert a training-data pipeline actually pages on). The
+    * current side aggregates as a WATERMARKED day-window count in Append
+    * mode, so a window's bin counts are emitted exactly once, when the
+    * watermark proves it complete — streaming state is bins ×
+    * windows-in-flight, independent of stream length. Two far-future
+    * sentinel rows (event_id = -1, filtered before the aggregation so
+    * they only advance the watermark) flush the tail windows. Each
+    * emitted window then pairs with the SAME frozen reference histogram
+    * through the per-group contribution stage
+    * ([[graft.operators.Profiler.psiFromCountsKeyed]]) — per-window
+    * smoothing totals, identical fixed-point math, so the gate shares the
+    * batch per-window oracle.
+    */
+  def psiWindowedViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Profiler
+    import spark.implicits._
+    val (binWidth, numBins) = (4000L, 16)
+    val ev = graft.Tpch.events(spark, sfDir).select(
+      col("event_id").cast("long").as("event_id"),
+      timestamp_micros(expr("ts div 1000")).as("ts"),
+      floor(col("value").cast("double") * 100 + lit(0.5)).cast("long").as("cents"))
+    val agg = ev.agg(max(col("event_id")), max(col("ts"))).head
+    val mid   = agg.getLong(0) / 2
+    val maxTs = agg.getTimestamp(1)
+    require(maxTs != null, s"psiWindowedViaStream: events fixture at $sfDir is empty")
+    val refCounts = ev.where(col("event_id") <= mid)
+      .groupBy(Profiler.psiBin(col("cents"), binWidth, numBins).as("bin"))
+      .agg(count(lit(1)).as("a_cnt"))
+    val flush = Seq(1, 2).map(k =>
+      Seq((-1L, new java.sql.Timestamp(maxTs.getTime + k * 86400000L), 0L))
+        .toDF("event_id", "ts", "cents"))
+    // Sentinels flow THROUGH the aggregation (a pre-agg filter would be
+    // pushed below the watermark node and the tail window would never
+    // flush); they only ever populate their own far-future windows, which
+    // the post-replay bound below drops along with anything else past the
+    // last real day.
+    val lastRealDayUs = (maxTs.getTime / 86400000L) * 86400000000L
+    val cur = replayViaFiles(
+        spark, ev.where(col("event_id") > mid), "ts", chunks = 3, OutputMode.Append(), flush)(
+      in => in.withWatermark("ts", "1 second")
+        .groupBy(window(col("ts"), "1 day"), Profiler.psiBin(col("cents"), binWidth, numBins).as("bin"))
+        .agg(count(lit(1)).as("b_cnt")))
+      .select(unix_micros(col("window.start")).as("win_us"), col("bin"), col("b_cnt"))
+      .where(col("win_us") <= lastRealDayUs)
+    // Every emitted window scores against the full frozen-reference bin
+    // set; cur-only bins enter through the outer join with a_cnt = 0 —
+    // the exact bin universe the batch twin builds per window.
+    val refPerWin = cur.select("win_us").distinct().crossJoin(refCounts)
+    val counts = refPerWin.join(cur, Seq("win_us", "bin"), "full_outer")
+      .select(
+        col("win_us"), col("bin"),
+        coalesce(col("a_cnt"), lit(0L)).as("a_cnt"),
+        coalesce(col("b_cnt"), lit(0L)).as("b_cnt"))
+    Profiler.psiFromCountsKeyed(counts, Seq("win_us"), numBins).orderBy("win_us", "bin")
   }
 
   /** `q_term_drift_stream`: the term-distribution drift monitor as

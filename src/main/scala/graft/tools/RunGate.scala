@@ -27,6 +27,7 @@ object RunGate {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       graft.GateLint.violations(df.schema).foreach(v => System.err.println(s"[rungate] LINT FAIL $name: $v"))
       df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      graft.GateCache.releasePrivateCopies() // result materialized above
       println(s"[rungate] wrote $name")
     }
     def q(s: String): String = "\"" + s.flatMap {

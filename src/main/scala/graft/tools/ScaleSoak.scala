@@ -55,6 +55,7 @@ object ScaleSoak {
     val mults   = args(2).split(",").map(_.trim.toInt).toSeq
     val queries = args(3).split(",").map(_.trim).toSeq
     val reps    = if (args.length > 4) args(4).toInt else 2
+    val skew    = args.length > 5 && args(5) == "skew"
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -70,8 +71,8 @@ object ScaleSoak {
     mults.foreach { m =>
       val dir = s"$workDir/x$m"
       if (!new java.io.File(s"$dir/documents.parquet").exists()) {
-        println(s"[soak] synthesizing x$m into $dir ...")
-        ScaleSynth.synthesize(spark, srcDir, dir, m)
+        println(s"[soak] synthesizing x$m into $dir${if (skew) " (skewed keys)" else ""} ...")
+        ScaleSynth.synthesize(spark, srcDir, dir, m, skewKeys = skew)
       }
     }
 
@@ -79,6 +80,7 @@ object ScaleSoak {
     queries.foreach { q =>
       try graft.SparkEntry.queries(q)(spark, s"$workDir/x${mults.min}").count()
       catch { case e: Throwable => println(s"[soak] warmup $q failed: ${e.getMessage}") }
+      finally graft.GateCache.releasePrivateCopies()
     }
 
     case class Cell(sec: Double, rows: Long, binKib: Double)
@@ -90,7 +92,9 @@ object ScaleSoak {
           TaskBinaryWatch.reset()
           val t0   = System.nanoTime()
           val rows = fn(spark, dir).count()
-          Cell((System.nanoTime() - t0) / 1e9, rows, TaskBinaryWatch.maxKib)
+          val dt   = (System.nanoTime() - t0) / 1e9
+          graft.GateCache.releasePrivateCopies() // materialized; outside the timer
+          Cell(dt, rows, TaskBinaryWatch.maxKib)
         }
         val best = runs.minBy(_.sec)
         println(f"[soak] $q%-28s x$m%-3d ${best.sec}%8.2f s  ${best.rows}%10d rows  taskbin ${best.binKib}%7.0f KiB")

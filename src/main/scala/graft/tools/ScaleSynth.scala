@@ -65,7 +65,32 @@ object ScaleSynth {
   private def maxPlusOne(df: DataFrame, idCol: String): Long =
     df.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0) + 1L
 
-  def synthesize(spark: SparkSession, srcDir: String, outDir: String, mult: Int): Unit = {
+  /** Pathological-key assignment for the skew soaks: 25% of rows land on
+    * key 0 (ONE hot key — the shape AQE's skew split cannot fix when the
+    * operator is an aggregation, and the worst case for a salted join),
+    * the rest follow a Zipf(1) tail over [1, n) via a log-uniform rank
+    * draw (`floor(n^u)` is log-uniform ⇒ P(rank k) ∝ 1/k). Deterministic
+    * per row (xxhash64 of the row's id + salt), pure Column expression.
+    */
+  private def skewedKey(src: org.apache.spark.sql.Column, n: Long, salt: Int) = {
+    val u = (pmod(xxhash64(src, lit(salt)), lit(1000000L)).cast("double") + 0.5) / 1000000.0
+    when(u < 0.25, lit(0L))
+      .otherwise(least(floor(pow(lit(n.toDouble), u)).cast("long") - 1, lit(n - 1)))
+  }
+
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String, mult: Int): Unit =
+    synthesize(spark, srcDir, outDir, mult, skewKeys = false)
+
+  /** `skewKeys = true` builds the SKEW-SOAK variant: same M× volume, but
+    * `orders.o_custkey` (the grouped-top-k key) and `lineitem.l_orderkey`
+    * (the fact-side join key) are re-drawn from [[skewedKey]] — a quarter
+    * of all rows on one key, Zipf tail on the rest — instead of the
+    * uniform per-copy shift. The key DOMAINS stay those of the uniform
+    * corpus, so the same gates run unchanged; only the distribution is
+    * hostile.
+    */
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String, mult: Int,
+      skewKeys: Boolean): Unit = {
     // events.parquet carries TIMESTAMP(NANOS); session-dynamic legacy flag
     // (see TESTDATA.md) — set here so every caller-supplied session works.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -90,10 +115,20 @@ object ScaleSynth {
 
     write("customer")((df, i) => df.withColumn("c_custkey", col("c_custkey") + lit(i * cStride)))
     write("orders") { (df, i) =>
-      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * oStride))
-        .withColumn("o_custkey", col("o_custkey") + lit(i * cStride))
+      val shifted = df.withColumn("o_orderkey", col("o_orderkey") + lit(i * oStride))
+      if (skewKeys)
+        shifted.withColumn("o_custkey", skewedKey(col("o_orderkey"), mult * cStride, salt = 7))
+      else shifted.withColumn("o_custkey", col("o_custkey") + lit(i * cStride))
     }
-    write("lineitem")((df, i) => df.withColumn("l_orderkey", col("l_orderkey") + lit(i * oStride)))
+    write("lineitem") { (df, i) =>
+      if (skewKeys)
+        // Salt by line number too so a hot ORDER's items still carry
+        // distinct (orderkey, linenumber) identity rows.
+        df.withColumn("l_orderkey",
+          skewedKey(col("l_orderkey") + lit(i * oStride) + col("l_linenumber") * 1000003L,
+            mult * oStride, salt = 11))
+      else df.withColumn("l_orderkey", col("l_orderkey") + lit(i * oStride))
+    }
     write("documents") { (df, i) =>
       df.withColumn("doc_id", col("doc_id") + lit(i * dStride))
         .withColumn("text", rotText(col("text"), i))
@@ -124,6 +159,7 @@ object ScaleSynth {
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, mult) = args.take(3)
+    val skew = args.length > 3 && args(3) == "skew"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -131,7 +167,7 @@ object ScaleSynth {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    synthesize(spark, srcDir, outDir, mult.toInt)
+    synthesize(spark, srcDir, outDir, mult.toInt, skewKeys = skew)
     spark.stop()
   }
 }

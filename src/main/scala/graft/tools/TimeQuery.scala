@@ -24,6 +24,7 @@ object TimeQuery {
         val t0 = System.nanoTime()
         val n  = fn(spark, sfDir).count()
         val s  = (System.nanoTime() - t0) / 1e9
+        graft.GateCache.releasePrivateCopies() // materialized; outside the timer
         println(f"[$name] run $i: $s%.3f s ($n rows)${if (i == 0) "  (warmup)" else ""}")
       }
     }

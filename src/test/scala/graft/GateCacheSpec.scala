@@ -33,6 +33,56 @@ class GateCacheSpec extends SparkSpec {
       val d = GateCache.dir(key)(p => write(p, "ok.txt", "recovered"))
       read(d, "ok.txt") shouldBe "recovered"
     }
+
+    it("a builder may resolve ANOTHER cache key (no ConcurrentHashMap recursive-update failure)") {
+      // Before round 10 the builder ran inside computeIfAbsent's bin lock,
+      // so a builder that transitively resolved a second key could throw
+      // IllegalStateException("Recursive update") depending on bin layout.
+      val outer = s"spec_dir_nested_outer_${System.nanoTime()}"
+      val inner = s"spec_dir_nested_inner_${System.nanoTime()}"
+      val d = GateCache.dir(outer) { p =>
+        val di = GateCache.dir(inner)(pi => write(pi, "i.txt", "inner"))
+        write(p, "o.txt", read(di, "i.txt") + "+outer")
+      }
+      read(d, "o.txt") shouldBe "inner+outer"
+      read(GateCache.dir(inner)(_ => fail("must be cached")), "i.txt") shouldBe "inner"
+    }
+
+    it("concurrent resolves of one key run the builder once and all see its result") {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      val key = s"spec_dir_conc_${System.nanoTime()}"
+      val dirs = Await.result(
+        Future.sequence((1 to 8).map(_ => Future {
+          GateCache.dir(key) { p =>
+            builds.incrementAndGet(); Thread.sleep(50); write(p, "v.txt", "one")
+          }
+        })), 30.seconds)
+      builds.get shouldBe 1
+      dirs.toSet should have size 1
+      read(dirs.head, "v.txt") shouldBe "one"
+    }
+  }
+
+  describe("GateCache.releasePrivateCopies") {
+    it("reclaims outstanding copies; the pristine artifact survives") {
+      val key = s"spec_release_${System.nanoTime()}"
+      def build(p: String): Unit = write(p, "a.txt", "pristine")
+      val c1 = GateCache.privateCopy(key)(build)
+      val c2 = GateCache.privateCopy(key)(build)
+      Files.exists(Paths.get(c1, "a.txt")) shouldBe true
+      GateCache.releasePrivateCopies()
+      Files.exists(Paths.get(c1)) shouldBe false
+      Files.exists(Paths.get(c2)) shouldBe false
+      // Pristine untouched; a later copy still works.
+      read(GateCache.dir(key)(_ => fail("must be cached")), "a.txt") shouldBe "pristine"
+      val c3 = GateCache.privateCopy(key)(build)
+      read(c3, "a.txt") shouldBe "pristine"
+      GateCache.releasePrivateCopies()
+      Files.exists(Paths.get(c3)) shouldBe false
+    }
   }
 
   describe("GateCache.privateCopy") {

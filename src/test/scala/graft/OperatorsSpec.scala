@@ -1652,6 +1652,24 @@ class OperatorsSpec extends SparkSpec {
       plan should include("partial_min_by")
       plan should not include "ObjectHashAggregate"
     }
+    it("NULL and NaN ord rows are dropped identically on the k=1 and k>1 paths") {
+      // Degenerate ords have no rank under ORDER BY ord DESC; before round
+      // 10 the paths diverged (min_by let a NULL ord win rank 1 through the
+      // nulls-first struct ordering; the k>1 encoder rejected it at run
+      // time; NaN compared differently between SQL ordering and the capped
+      // merge's primitive >).
+      val rows = Seq(
+        ("a", Some(5.0), 1L), ("a", None, 2L), ("a", Some(Double.NaN), 3L), ("a", Some(7.0), 4L),
+        ("b", None, 5L), // group with NO rankable rows vanishes entirely
+        ("c", Some(Double.NaN), 6L), ("c", Some(1.0), 7L)
+      ).toDF("k", "v", "id")
+      val k1 = TopK.perKey(rows, Seq("k"), "v", "id", k = 1)
+        .select("k", "v", "id", "rnk").as[(String, Double, Long, Long)].collect().toSet
+      k1 shouldBe Set(("a", 7.0, 4L, 1L), ("c", 1.0, 7L, 1L))
+      val k2 = TopK.perKey(rows, Seq("k"), "v", "id", k = 2)
+        .select("k", "v", "id", "rnk").as[(String, Double, Long, Long)].collect().toSet
+      k2 shouldBe Set(("a", 7.0, 4L, 1L), ("a", 5.0, 1L, 2L), ("c", 1.0, 7L, 1L))
+    }
   }
 
   describe("Sampling.shuffleOrder") {
