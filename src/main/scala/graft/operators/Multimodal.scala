@@ -1014,7 +1014,7 @@ object Multimodal {
     * over a space-filled checksum field, typeflag '0', "ustar" magic) +
     * payload zero-padded to the 512 boundary.
     */
-  private def tarEntry(name: String, data: Array[Byte]): Array[Byte] = {
+  private[graft] def tarEntry(name: String, data: Array[Byte]): Array[Byte] = {
     require(name.getBytes("UTF-8").length <= 100, s"tar entry name too long: $name")
     val header = new Array[Byte](512)
     def put(off: Int, s: String): Unit = {
@@ -1043,7 +1043,7 @@ object Multimodal {
     * archive yields what was parsed before the damage (error tolerance,
     * like every decode kernel here).
     */
-  private[operators] def tarEntryList(bytes: Array[Byte]): Vector[(String, Array[Byte])] = {
+  private[graft] def tarEntryList(bytes: Array[Byte]): Vector[(String, Array[Byte])] = {
     val out = Vector.newBuilder[(String, Array[Byte])]
     try {
       var off = 0
