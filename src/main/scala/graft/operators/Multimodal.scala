@@ -1010,6 +1010,31 @@ object Multimodal {
   // executor count exactly like the frame decoders above.
   // ---------------------------------------------------------------------
 
+  /** Scratch root for export gates/specs — lives until JVM exit (the
+    * gate's RESULT frame reads the exported shards lazily, so the gate
+    * body must not delete them), reclaimed by a shutdown hook.
+    */
+  private lazy val exportRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_wds_export")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        def rm(q: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(q)) {
+            val s = java.nio.file.Files.list(q)
+            try s.forEach(rm(_)) finally s.close()
+          }
+          java.nio.file.Files.deleteIfExists(q)
+        }
+        rm(p)
+      } catch { case _: Exception => () }
+    ))
+    p
+  }
+
+  /** A fresh directory under [[exportRoot]] for one export run. */
+  def freshExportDir(): String =
+    java.nio.file.Files.createTempDirectory(exportRoot, "wds").toString
+
   /** One POSIX ustar entry: 512-byte header (name, octal size, checksum
     * over a space-filled checksum field, typeflag '0', "ustar" magic) +
     * payload zero-padded to the 512 boundary.
@@ -1109,6 +1134,57 @@ object Multimodal {
         tarEntryList(bytes).map { case (name, payload) => (id, name, payload.length.toLong) }
       }
       .toDF(idCol, "entry_name", "n_bytes")
+  }
+
+  /** Export (id, image, caption, meta) rows as WebDataset tar shards ON
+    * DISK — the write side of the source above, closing the corpus
+    * round trip (a training-data pipeline both consumes and republishes
+    * shards). `shard = id / samplesPerShard`; each shard group packs its
+    * samples key-ordered into one `shard-<id %08d>.tar` written through
+    * the Hadoop FileSystem API FROM THE EXECUTOR that built it — works
+    * against file://, HDFS, or an object store, no driver funnel, no
+    * collect; the shard list is the only scaling axis. Null images/meta
+    * skip their entry (partial samples are legal WebDataset); null
+    * captions write empty.
+    *
+    * Returns the shard count (an action — the export runs eagerly, like
+    * any Spark sink).
+    */
+  def exportWebdataset(df: DataFrame, idCol: String, imageCol: String, captionCol: String,
+      metaCol: String, outDir: String, samplesPerShard: Int = 16): Long = {
+    require(samplesPerShard > 0, "samplesPerShard must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val written = spark.sparkContext.longAccumulator("webdataset_shards_written")
+    df.select(col(idCol).cast("long"), col(imageCol), col(captionCol).cast("string"), col(metaCol).cast("string"))
+      .as[(Long, Array[Byte], String, String)]
+      .groupByKey(_._1 / samplesPerShard)
+      .mapGroups { (shard, it) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        it.toVector.sortBy(_._1).foreach { case (id, img, cap, meta) =>
+          val key = f"$id%010d"
+          if (img != null) bos.write(tarEntry(s"$key.png", img))
+          bos.write(tarEntry(s"$key.txt", (if (cap == null) "" else cap).getBytes("UTF-8")))
+          if (meta != null) bos.write(tarEntry(s"$key.json", meta.getBytes("UTF-8")))
+        }
+        bos.write(new Array[Byte](1024))
+        (shard, bos.toByteArray)
+      }
+      .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+        // Executor-side Hadoop FS write: one file per shard, no driver
+        // involvement. A fresh Configuration resolves file:// locally and
+        // the cluster's default FS from the executor's core-site.
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.foreach { case (shard, bytes) =>
+          val path = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%08d.tar")
+          val fs   = path.getFileSystem(conf)
+          val out  = fs.create(path, true)
+          try out.write(bytes)
+          finally out.close()
+          written.add(1)
+        }
+      }
+    written.value
   }
 
   /** WebDataset sample assembly: entries sharing a `key` (the name up to

@@ -64,6 +64,20 @@ object AnonBench {
       require(mismatch == 0, s"$kind: native and UDF outputs diverge on $mismatch rows")
       require(ScrubKernel.kindOf(fn).contains(kind), s"registry sanity: $kind")
     }
+
+    // The parameterized member (round 10): edge widths are plan-time
+    // literals on the native path, closure captures on the UDF path.
+    println(s"== partial_redact(2, 2) ($rows rows) ==")
+    val prUdf  = udf(Anonymizer.PartialRedact(2, 2)(_: String))
+    val tPrUdf = time("udf", prUdf(col("s")))
+    val prNat  = graft.functions.GraftFunctions.partialRedact(2, 2)(col("s"))
+    val tPrNat = time("native expression", prNat)
+    println(f"  speedup ${tPrUdf / tPrNat}%5.2fx")
+    val prMismatch = df.limit(10000)
+      .select(prUdf(col("s")).as("a"), prNat.as("b"))
+      .where(col("a") =!= col("b")).count()
+    require(prMismatch == 0, s"partial_redact: native and UDF outputs diverge on $prMismatch rows")
+
     spark.stop()
   }
 }
