@@ -524,6 +524,13 @@ object SparkEntry {
     // The term-distribution drift monitor train-batch/monitor-stream:
     // frozen even-doc_id reference histogram, Complete-mode running term
     // counts over the streamed odd-doc_id snapshot, shared KL math.
+    // Per-window term drift: watermarked Append 2-minute windows against
+    // the frozen reference vocabulary — per-window KL with per-window
+    // smoothing totals and union-vocab size. State = vocab × windows-in-
+    // flight.
+    "q_term_drift_windowed" -> ((s, dir) =>
+      graft.streaming.StreamGates.termDriftWindowedViaStream(s, dir)),
+
     // Shares q_term_drift's oracle verbatim.
     "q_term_drift_stream" -> ((s, dir) =>
       graft.streaming.StreamGates.termDriftViaStream(s, dir)),
@@ -5485,6 +5492,33 @@ object SparkEntry {
       // Streamed: frozen even-doc_id reference histogram vs Complete-mode
       // running counts over the odd-doc_id stream — same totals, same KL.
       "q_term_drift_stream" -> termDriftOracleSql,
+
+      // Per-2-minute-window replay: each emitted window carries the full
+      // reference vocabulary (outer-joined with its own current counts)
+      // and its OWN smoothing totals + union-vocab size. Windows are
+      // epoch-aligned on the synthetic ts = 1700000000000 + doc_id·1000 ms.
+      "q_term_drift_windowed" ->
+        s"""WITH a AS (SELECT token AS term, count(*) AS c_a
+           |           FROM (SELECT unnest(${tokensSql("text")}) AS token FROM documents WHERE doc_id % 2 = 0) GROUP BY 1),
+           |cur AS (SELECT win_us, token AS term, count(*) AS c_b
+           |        FROM (SELECT ((1700000000000 + doc_id * 1000) // 120000) * 120000000 AS win_us,
+           |                     unnest(${tokensSql("text")}) AS token
+           |              FROM documents WHERE doc_id % 2 = 1)
+           |        GROUP BY 1, 2),
+           |refw AS (SELECT win_us, term, c_a FROM (SELECT DISTINCT win_us FROM cur), a),
+           |j AS (SELECT coalesce(refw.win_us, cur.win_us) AS win_us,
+           |      coalesce(refw.term, cur.term) AS term,
+           |      coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+           |      FROM refw FULL OUTER JOIN cur
+           |        ON refw.win_us = cur.win_us AND refw.term = cur.term),
+           |t AS (SELECT win_us, sum(c_a) AS na, sum(c_b) AS nb, count(*) AS v FROM j GROUP BY 1),
+           |p AS (SELECT j.win_us, term, c_a, c_b,
+           |      (c_a + 1)::DOUBLE / (na + v) AS pa, (c_b + 1)::DOUBLE / (nb + v) AS pb
+           |      FROM j JOIN t ON j.win_us = t.win_us)
+           |SELECT win_us, term, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           |  CAST(floor(pa * ln(pa / pb) * 1e9 + 0.5) AS BIGINT) AS kl_ab_nano,
+           |  CAST(floor(pb * ln(pb / pa) * 1e9 + 0.5) AS BIGINT) AS kl_ba_nano
+           |FROM p ORDER BY win_us, term""".stripMargin,
 
       "q_vocab_coverage" ->
         s"""WITH c AS (SELECT token, count(*) AS token_count

@@ -665,6 +665,27 @@ object TextAnalysis {
     )
   }
 
+  /** [[termDriftFromCounts]] per GROUP — the windowed monitor's
+    * contribution stage: `counts` carries (`keys...`, `term`, `c_a`,
+    * `c_b`) and each group gets its own smoothing totals AND its own
+    * vocabulary size `v` (the union vocab of that group's rows), so every
+    * group's rows equal what [[termDriftFromCounts]] would produce on the
+    * group alone. Totals are one row per group — broadcast; the counts
+    * side never reshuffles.
+    */
+  def termDriftFromCountsKeyed(counts: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "use termDriftFromCounts for the unkeyed form")
+    val totals = counts.groupBy(keys.map(col): _*)
+      .agg(sum("c_a").as("_na"), sum("c_b").as("_nb"), count(lit(1)).as("_v"))
+    val pA = (col("c_a") + 1).cast("double") / (col("_na") + col("_v"))
+    val pB = (col("c_b") + 1).cast("double") / (col("_nb") + col("_v"))
+    counts.join(broadcast(totals), keys)
+      .select(keys.map(col) ++ Seq(
+        col("term"), col("c_a"), col("c_b"),
+        (pA * log(pA / pB)).as("kl_ab"),
+        (pB * log(pB / pA)).as("kl_ba")): _*)
+  }
+
   /** Tokenizer-prep vocabulary builder: the smallest count-ranked
     * vocabulary whose cumulative token mass reaches `coverage` (plus
     * everything tied with the last admitted count — a deterministic,

@@ -884,6 +884,57 @@ object StreamGates {
       .orderBy("term")
   }
 
+  /** `q_term_drift_windowed`: [[termDriftViaStream]]'s per-window sibling
+    * — the same frozen-reference term histogram, but the current side
+    * aggregates per watermarked 2-minute event-time window in Append mode
+    * (state = vocabulary × windows-in-flight; a window's term counts emit
+    * exactly once). Far-future sentinel docs flush the tail; they flow
+    * THROUGH the aggregation (the watermark-pushdown trap — see
+    * [[psiWindowedViaStream]]) and their windows are dropped by the
+    * post-replay bound. Each window then pairs with the reference through
+    * [[graft.operators.TextAnalysis.termDriftFromCountsKeyed]] — its own
+    * smoothing totals AND its own union-vocabulary size, identical math
+    * to the batch per-window oracle.
+    */
+  def termDriftWindowedViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = graft.Tpch.table(spark, sfDir, "documents")
+    val refCounts = TextAnalysis
+      .termCounts(docs.where(pmod(col("doc_id"), lit(2)) === 0), "text")
+      .withColumnRenamed("c", "c_a")
+    val cur = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select(
+        col("doc_id"),
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
+        col("text"))
+    val maxId = docs.agg(max(col("doc_id").cast("long"))).head.getLong(0)
+    val maxMs = 1700000000000L + maxId * 1000L
+    val lastRealWinUs = (maxMs / 120000L) * 120000000L
+    val flush = Seq(1, 2).map(k =>
+      Seq((-1L, new java.sql.Timestamp(maxMs + k * 86400000L), "drift flush sentinel"))
+        .toDF("doc_id", "ts", "text"))
+    val curCounts = replayViaFiles(spark, cur, "ts", chunks = 3, OutputMode.Append(), flush)(
+      in => in.withWatermark("ts", "1 second")
+        .select(col("ts"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(window(col("ts"), "2 minutes"), col("term"))
+        .agg(count(lit(1)).as("c_b")))
+      .select(unix_micros(col("window.start")).as("win_us"), col("term"), col("c_b"))
+      .where(col("win_us") <= lastRealWinUs)
+    val refPerWin = curCounts.select("win_us").distinct().crossJoin(refCounts)
+    val counts = refPerWin.join(curCounts, Seq("win_us", "term"), "full_outer")
+      .select(
+        col("win_us"), col("term"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    TextAnalysis.termDriftFromCountsKeyed(counts, Seq("win_us"))
+      .select(
+        col("win_us"), col("term"), col("c_a"), col("c_b"),
+        floor(col("kl_ab") * 1e9 + lit(0.5)).cast("long").as("kl_ab_nano"),
+        floor(col("kl_ba") * 1e9 + lit(0.5)).cast("long").as("kl_ba_nano"))
+      .orderBy("win_us", "term")
+  }
+
   /** `q_events_enrich_stream`: the events fixture streamed through
     * [[EventStream.enrichWithStatic]] against the customer dimension —
     * the stream-static join shape (stateless on the stream side, no

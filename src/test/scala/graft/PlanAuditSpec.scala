@@ -662,6 +662,19 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("psiFromCountsKeyed joins its per-group totals by BROADCAST — counts never reshuffle") {
+      withoutAqe {
+        val counts = (0L until 2000L)
+          .map(i => (i % 20, i % 16, i % 7, (i * 3) % 11))
+          .toDF("win_us", "bin", "a_cnt", "b_cnt")
+        val plan = executed(graft.operators.Profiler.psiFromCountsKeyed(counts, Seq("win_us"), 16))
+        // Totals (one row per window) broadcast; the counts side joins
+        // in place. The only exchange is the totals aggregation's own.
+        plan.collect { case b: BroadcastHashJoinExec => b } should have size 1
+        plan.toString should not include "SortMergeJoin"
+      }
+    }
+
     it("shuffleOrder never plans a single-partition sort — the global order is bucket-decomposed") {
       withoutAqe {
         val plan = executed(
