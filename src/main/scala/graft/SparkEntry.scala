@@ -3503,6 +3503,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The gzip-compressed round trip (.tar.gz — the other common shard
+    // encoding): same digests again, the mechanism under test being
+    // GZIP deflate on export and the scan-local magic-sniffed inflate
+    // on read.
+    "q_multimodal_tar_gzip" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val samples = t(s, dir, "documents").select(
+        col("doc_id"),
+        Multimodal.syntheticPngTextured(col("doc_id")).as("image"),
+        col("text").as("caption"),
+        concat(lit("{\"id\":"), col("doc_id").cast("string"),
+          lit(",\"len\":"), length(col("text")).cast("string"), lit("}")).as("meta"))
+      val out = Multimodal.freshExportDir()
+      Multimodal.exportWebdataset(samples, "doc_id", "image", "caption", "meta", out, gzip = true)
+      val fromDisk = s.read.format("binaryFile").load(s"$out/shard-*.tar.gz")
+        .select(lit(0L).as("shard_id"), col("content"))
+      Multimodal.webdatasetSamples(fromDisk, "shard_id", "content")
+        .select(
+          col("key").cast("long").as("doc_id"),
+          Multimodal.imageDHash(col("image")).as("dh"),
+          md5(col("caption")).as("caption_md5"),
+          col("meta"))
+        .orderBy("doc_id")
+    }),
+
     // The shard-level entry walk: per-shard entry census — counts, the
     // ordered png name chain, and the txt payload bytes (exercises the
     // octal size parse against an arithmetic oracle).
@@ -5794,6 +5819,14 @@ object SparkEntry {
       // dHash replays through the same sampled-grid arithmetic; caption
       // and meta are exact string digests of the source document.
       "q_multimodal_tar_extract" ->
+        s"""WITH $dhashCtes
+           |SELECT d.doc_id, b.dh AS dh, md5(d.text) AS caption_md5,
+           |  '{"id":' || d.doc_id || ',"len":' || length(d.text) || '}' AS meta
+           |FROM documents d JOIN bits b ON d.doc_id = b.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+
+      // Gzip round trip: identical digests through deflate + inflate.
+      "q_multimodal_tar_gzip" ->
         s"""WITH $dhashCtes
            |SELECT d.doc_id, b.dh AS dh, md5(d.text) AS caption_md5,
            |  '{"id":' || d.doc_id || ',"len":' || length(d.text) || '}' AS meta

@@ -1064,13 +1064,25 @@ object Multimodal {
   }
 
   /** Walk a tar archive's 512-byte header chain; returns (name, payload)
-    * in archive order. Stops at the terminating zero block; a malformed
-    * archive yields what was parsed before the damage (error tolerance,
-    * like every decode kernel here).
+    * in archive order. A gzip-wrapped archive (`.tar.gz` — the other
+    * common WebDataset shard encoding; magic 1f 8b) is inflated first,
+    * scan-locally through the JDK's GZIPInputStream. Stops at the
+    * terminating zero block; a malformed archive yields what was parsed
+    * before the damage (error tolerance, like every decode kernel here).
     */
-  private[graft] def tarEntryList(bytes: Array[Byte]): Vector[(String, Array[Byte])] = {
+  private[graft] def tarEntryList(raw: Array[Byte]): Vector[(String, Array[Byte])] = {
     val out = Vector.newBuilder[(String, Array[Byte])]
     try {
+      val bytes =
+        if (raw.length > 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) {
+          val in  = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(raw))
+          val bos = new java.io.ByteArrayOutputStream(raw.length * 4)
+          val buf = new Array[Byte](65536)
+          var n = in.read(buf)
+          while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          in.close()
+          bos.toByteArray
+        } else raw
       var off = 0
       while (off + 512 <= bytes.length && bytes(off) != 0) {
         var nameEnd = off
@@ -1151,23 +1163,28 @@ object Multimodal {
     * any Spark sink).
     */
   def exportWebdataset(df: DataFrame, idCol: String, imageCol: String, captionCol: String,
-      metaCol: String, outDir: String, samplesPerShard: Int = 16): Long = {
+      metaCol: String, outDir: String, samplesPerShard: Int = 16,
+      gzip: Boolean = false): Long = {
     require(samplesPerShard > 0, "samplesPerShard must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     val written = spark.sparkContext.longAccumulator("webdataset_shards_written")
+    val ext = if (gzip) "tar.gz" else "tar"
     df.select(col(idCol).cast("long"), col(imageCol), col(captionCol).cast("string"), col(metaCol).cast("string"))
       .as[(Long, Array[Byte], String, String)]
       .groupByKey(_._1 / samplesPerShard)
       .mapGroups { (shard, it) =>
         val bos = new java.io.ByteArrayOutputStream()
+        val out: java.io.OutputStream =
+          if (gzip) new java.util.zip.GZIPOutputStream(bos) else bos
         it.toVector.sortBy(_._1).foreach { case (id, img, cap, meta) =>
           val key = f"$id%010d"
-          if (img != null) bos.write(tarEntry(s"$key.png", img))
-          bos.write(tarEntry(s"$key.txt", (if (cap == null) "" else cap).getBytes("UTF-8")))
-          if (meta != null) bos.write(tarEntry(s"$key.json", meta.getBytes("UTF-8")))
+          if (img != null) out.write(tarEntry(s"$key.png", img))
+          out.write(tarEntry(s"$key.txt", (if (cap == null) "" else cap).getBytes("UTF-8")))
+          if (meta != null) out.write(tarEntry(s"$key.json", meta.getBytes("UTF-8")))
         }
-        bos.write(new Array[Byte](1024))
+        out.write(new Array[Byte](1024))
+        out.close()
         (shard, bos.toByteArray)
       }
       .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
@@ -1176,7 +1193,7 @@ object Multimodal {
         // the cluster's default FS from the executor's core-site.
         val conf = new org.apache.hadoop.conf.Configuration()
         it.foreach { case (shard, bytes) =>
-          val path = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%08d.tar")
+          val path = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%08d.$ext")
           val fs   = path.getFileSystem(conf)
           val out  = fs.create(path, true)
           try out.write(bytes)

@@ -88,6 +88,38 @@ class MultimodalTarSpec extends SparkSpec {
       }
     }
 
+    it("gzip shards round-trip through export and GNU tar -tzf lists them") {
+      import scala.sys.process._
+      val dir = java.nio.file.Files.createTempDirectory("tar_gz_")
+      try {
+        val samples = fixtureDocs.select(
+          col("doc_id"),
+          Multimodal.syntheticPngTextured(col("doc_id")).as("image"),
+          col("text").as("caption"),
+          concat(lit("m"), col("doc_id").cast("string")).as("meta"))
+        Multimodal.exportWebdataset(samples, "doc_id", "image", "caption", "meta",
+          dir.toString, gzip = true) shouldBe 2L
+        // Hadoop's local ChecksumFileSystem adds .crc sidecars; the glob
+        // readers never see dot-files.
+        val files = new java.io.File(dir.toString).listFiles()
+          .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+        files shouldBe Seq("shard-00000000.tar.gz", "shard-00000001.tar.gz")
+        // Real gzip per GNU tar.
+        Seq("tar", "-tzf", s"$dir/shard-00000000.tar.gz").!!.trim.split("\n").toSeq shouldBe
+          Seq("0000000000.png", "0000000000.txt", "0000000000.json",
+              "0000000001.png", "0000000001.txt", "0000000001.json")
+        // And the magic-sniffing reader extracts the same samples.
+        val fromDisk = spark.read.format("binaryFile").load(s"$dir/shard-*.tar.gz")
+          .select(lit(0L).as("shard_id"), col("content"))
+        val got = Multimodal.webdatasetSamples(fromDisk, "shard_id", "content")
+          .select(col("key").cast("long"), col("caption")).as[(Long, String)]
+          .collect().sortBy(_._1).toSeq
+        got shouldBe fixtureDocs.orderBy("doc_id").as[(Long, String)].collect().toSeq
+      } finally {
+        Seq("rm", "-rf", dir.toString).!
+      }
+    }
+
     it("tolerates malformed archives, null content, and partial samples") {
       val junk = Seq(
         (1L, Array[Byte](1, 2, 3)),            // not a tar
