@@ -207,4 +207,66 @@ class StreamingRecoverySpec extends SparkSpec {
       rm(root.toFile)
     }
   }
+
+  it("watermarked Append window counts survive a checkpoint restart, each window emitted once") {
+    // The shape the round-10 drift monitors (psi/term windowed) stand on:
+    // a 2-minute window half-filled BEFORE the restart must emit exactly
+    // one row whose count includes the pre-restart rows — only possible
+    // if the windowed aggregation state came back — and Append mode must
+    // never re-emit it.
+    import org.apache.spark.sql.functions._
+    val root     = java.nio.file.Files.createTempDirectory("graft-recovery-win")
+    val watchDir = root.resolve("watch"); java.nio.file.Files.createDirectory(watchDir)
+    val sinkDir  = root.resolve("sink").toString
+    val ckptDir  = root.resolve("ckpt").toString
+
+    // W1 = [1700000000000, +120s): two rows before the restart, one
+    // after; W2 gets one row; two far-future sentinels flush both.
+    val chunk1 = Seq((1L, ts(10)), (2L, ts(20))).map { case (id, t) => (id, t, 1L) }
+    val chunk2 = Seq((3L, ts(30), 1L), (4L, ts(130), 1L))
+    val chunk3 = Seq((-1L, ts(86400), 1L))
+    val chunk4 = Seq((-1L, ts(2 * 86400), 1L))
+
+    def stage(no: Int, evs: Seq[(Long, java.sql.Timestamp, Long)]): Unit = {
+      val tmp = root.resolve(s"stage$no")
+      evs.toDF("event_id", "ts", "one").coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, watchDir.resolve(f"chunk_$no%03d.parquet"))
+    }
+    val schema = chunk1.toDF("event_id", "ts", "one").schema
+    def launch() =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(watchDir.toString)
+        .withWatermark("ts", "1 second")
+        .groupBy(window(col("ts"), "2 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("win_us"), col("n"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckptDir)
+        .start()
+
+    try {
+      stage(1, chunk1)
+      val q1 = launch()
+      q1.processAllAvailable(); q1.stop()
+
+      stage(2, chunk2); stage(3, chunk3); stage(4, chunk4)
+      val q2 = launch()
+      q2.processAllAvailable(); q2.stop()
+
+      val wins = spark.read.parquet(sinkDir)
+        .where(col("win_us") < us(86000))     // sentinel windows excluded
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      // W1 counts rows from BOTH sides of the restart (recovered window
+      // state + post-restart row) and appears exactly once; W2 likewise.
+      val w1 = (1700000000000L / 120000L) * 120000000L
+      wins shouldBe Seq((w1, 3L), (w1 + 120000000L, 1L))
+    } finally {
+      def rm(p: java.io.File): Unit = { Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); () }
+      rm(root.toFile)
+    }
+  }
 }
