@@ -2298,6 +2298,25 @@ object SparkEntry {
       Dedup.deduplicateCorpus(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
         .select("doc_id").orderBy("doc_id")),
 
+    // Duplicate-MASS robustness: a 200-copy hot class (every shingle far
+    // over the maxShingleFreq=100 cap — a direct near-dup front is BLIND
+    // to it, and uncapped it would emit 200²/2 candidate pairs) plus a
+    // 1-in-5 exact-copy layer. The exact-collapse pre-stage must reduce
+    // every class to its min-id canon before shingling; the oracle
+    // replays collapse-then-capped-cluster over the canons.
+    "q_dedup_corpus_dupheavy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val hot = s.range(0, 200).toDF("i")
+        .crossJoin(docs.where(col("doc_id") === 1).select(col("text")))
+        .select((col("i") + 2000000L).as("doc_id"), col("text"))
+      val copies = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      Dedup.deduplicateCorpus(
+          docs.unionByName(hot).unionByName(copies), "text", "doc_id", n = 3, threshold = 0.8)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // The one-call workflow with clustering FORCED distributed — certifies
     // the whole pipeline through the code that runs past the 10M-edge
     // budget (same oracle as q_dedup_corpus; cluster mode never changes
@@ -4069,8 +4088,9 @@ object SparkEntry {
     * n-gram near-dup pairs (Auto-adaptive candidates → exact Jaccard →
     * symmetric edges → reachability); ends with `reach(a, b)`.
     */
-  private def clustersCte(hsh3: String, hashI: String, bandKey: String): String =
-    s"""docs AS (SELECT doc_id, $hsh3 AS shs FROM documents),
+  private def clustersCte(hsh3: String, hashI: String, bandKey: String,
+      fromSql: String = "documents"): String =
+    s"""docs AS (SELECT doc_id, $hsh3 AS shs FROM $fromSql),
        |${adaptiveCandCte(hashI, bandKey)},
        |pairs AS (SELECT doc_a, doc_b FROM cand JOIN docs x ON doc_a = x.doc_id JOIN docs y ON doc_b = y.doc_id
        |  WHERE len(list_intersect(x.shs, y.shs))::DOUBLE /
@@ -4850,6 +4870,25 @@ object SparkEntry {
         s"""WITH RECURSIVE ${clustersCte(hsh3, hashI, bandKey)},
            |losers AS (SELECT a AS node FROM reach GROUP BY a HAVING min(b) <> a)
            |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
+           |ORDER BY doc_id""".stripMargin,
+
+      // Duplicate-mass corpus: exact classes collapse to their min-id
+      // canon FIRST (md5 identity), then the capped candidate/cluster
+      // replay runs over the canons only — the collapse is what keeps the
+      // 200-copy class both visible (its canon shingles at freq 1) and
+      // cheap (no 200-wide posting ever exists).
+      "q_dedup_corpus_dupheavy" ->
+        s"""WITH RECURSIVE
+           |src AS (SELECT doc_id, text FROM documents
+           |        UNION ALL
+           |        SELECT 2000000 + i, (SELECT text FROM documents WHERE doc_id = 1)
+           |        FROM range(0, 200) t(i)
+           |        UNION ALL
+           |        SELECT 3000000 + doc_id, text FROM documents WHERE doc_id % 5 = 0),
+           |canon AS (SELECT min(doc_id) AS cid FROM src GROUP BY md5(text)),
+           |${clustersCte(hsh3, hashI, bandKey, "src s JOIN canon c ON s.doc_id = c.cid")},
+           |losers AS (SELECT a AS node FROM reach GROUP BY a HAVING min(b) <> a)
+           |SELECT cid AS doc_id FROM canon WHERE cid NOT IN (SELECT node FROM losers)
            |ORDER BY doc_id""".stripMargin,
 
       // Incremental dedup: replay the signature-index match (8 bands × 4

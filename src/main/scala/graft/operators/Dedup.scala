@@ -901,12 +901,28 @@ object Dedup {
     df.join(losers, df(idCol) === losers("node"), "left_anti")
   }
 
-  /** The full corpus-dedup workflow in one call: near-dup pair detection
-    * (inverted-index n-gram Jaccard — catches exact dups too, at
-    * jaccard = 1), transitive clustering, and keep-one-per-cluster.
-    * Every stage auto-selects its capacity strategy ([[VerifyMode.Auto]],
-    * [[ClusterMode.Auto]]), so the same call works on a fixture and on a
-    * corpus that outgrows every broadcast.
+  /** The full corpus-dedup workflow in one call: EXACT-duplicate collapse,
+    * near-dup pair detection (inverted-index n-gram Jaccard), transitive
+    * clustering, and keep-one-per-cluster. Every stage auto-selects its
+    * capacity strategy ([[VerifyMode.Auto]], [[ClusterMode.Auto]]), so the
+    * same call works on a fixture and on a corpus that outgrows every
+    * broadcast.
+    *
+    * Why exact-FIRST (round 10): a real crawl carries MASS on single
+    * texts — boilerplate pages duplicated millions of times — and that
+    * mass breaks a direct near-dup front both ways at once: every shingle
+    * of a class larger than `maxShingleFreq` exceeds the frequency cap,
+    * so the capped inverted index goes blind to exactly the duplicates
+    * that matter most (they'd survive dedup SILENTLY), while lifting the
+    * cap turns the class into one posting of size m emitting m²/2
+    * candidate pairs. An md5-identity collapse is one linear map-side-
+    * combined aggregation, removes the mass BEFORE shingling, and is
+    * provably result-identical: an exact duplicate has the same shingle
+    * set as its canonical copy, so every near-dup edge through it also
+    * exists through the canon (connectivity unchanged), and min-id per
+    * exact class composed with min-id per cluster is min-id per family.
+    * NULL-text rows are their own identity (never collapsed together),
+    * matching the near-dup front's no-shingles behavior.
     */
   def deduplicateCorpus(
       df: DataFrame,
@@ -918,9 +934,15 @@ object Dedup {
       candidates: CandidateMode = CandidateMode.Auto(),
       clusterMode: ClusterMode = ClusterMode.Auto()
   ): DataFrame = {
-    val pairs    = ngramJaccardPairs(df, textCol, idCol, n, threshold, maxShingleFreq, candidates = candidates)
+    val id = col(idCol).cast("long")
+    val identity = coalesce(md5(col(textCol).cast("binary")), concat(lit("null#"), id))
+    val canonIds = df
+      .groupBy(identity.as("_h")).agg(min(id).as("_cid"))
+      .select("_cid")
+    val canon    = df.join(canonIds, id === col("_cid"), "left_semi")
+    val pairs    = ngramJaccardPairs(canon, textCol, idCol, n, threshold, maxShingleFreq, candidates = candidates)
     val clusters = duplicateClusters(pairs, mode = clusterMode)
-    dedupByClusters(df, idCol, clusters)
+    dedupByClusters(canon, idCol, clusters)
   }
 
   // ------------------------------------------------------------------

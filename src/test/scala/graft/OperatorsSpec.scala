@@ -235,6 +235,26 @@ class OperatorsSpec extends SparkSpec {
         .select("doc_id").as[Long].collect().toSet
       kept shouldBe Set(1L, 3L) // 1 represents {1,2,4}; 3 is unique
     }
+    it("collapses an exact class LARGER than maxShingleFreq — the class the capped near-dup front is blind to") {
+      // 30 identical copies with maxShingleFreq = 5: every shingle of the
+      // class has frequency 30 > 5, so WITHOUT the exact-collapse
+      // pre-stage the capped inverted index prunes them all and the 30
+      // copies silently survive. The collapse must keep exactly the
+      // min-id copy, and the unrelated doc must pass untouched.
+      val hot = (0 until 30).map(i => (100L + i, "massively duplicated boilerplate page body"))
+      val all = (hot :+ (1L, "one unrelated document about something else entirely"))
+        .toDF("doc_id", "text")
+      val kept = Dedup
+        .deduplicateCorpus(all, "text", "doc_id", threshold = 0.6, maxShingleFreq = Some(5))
+        .select("doc_id").as[Long].collect().toSet
+      kept shouldBe Set(1L, 100L)
+    }
+    it("null-text rows are never collapsed with each other") {
+      val all = Seq((1L, null), (2L, null), (3L, "real text body here"))
+        .toDF("doc_id", "text")
+      Dedup.deduplicateCorpus(all, "text", "doc_id", threshold = 0.6)
+        .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 2L, 3L)
+    }
   }
 
   describe("Dedup.incrementalDedup") {
