@@ -2428,6 +2428,72 @@ object SparkEntry {
         .orderBy("doc_id", "matched_id")
     }),
 
+    // COMPACTION closes the index lifecycle (build → append/delete →
+    // compact): tombstoned docs are purged from the data, append segments
+    // fold, the tombstone set drops — and the probe must return EXACTLY
+    // what a fresh build on the surviving docs would (each compact gate
+    // shares its family's delete-variant oracle verbatim; the delete gates
+    // prove mask-correctness, these prove purge-correctness).
+    "q_dedup_index_compact" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
+      // Mutating gate: copy-on-write from the shared pristine build.
+      val tmp = graft.GateCache.privateCopy(s"sigidx_half:$dir")(p =>
+        Dedup.persistSignatureIndex(
+          Dedup.buildSignatureIndex(all.where(col("doc_id") <= splitId), "text", "doc_id"), p))
+      Dedup.deleteFromPersistedIndex(
+        all.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", tmp)
+      Dedup.compactSignatureIndex(s, tmp)
+      Dedup.matchVsPersistedIndex(all.where(col("doc_id") > splitId), "text", "doc_id", tmp)
+        .select(col("doc_id"), col("matched_id"),
+          round(col("est_jaccard") * 32).cast("long").as("est_32"))
+        .orderBy("doc_id", "matched_id")
+    }),
+
+    // Fingerprint-index compaction, with the append half of the lifecycle
+    // in the same gate: build evens, APPEND odds (multi-segment
+    // partitions), tombstone every id ≡ 0 (mod 3), compact, probe with
+    // the jittered twins — must equal a fresh full build minus the
+    // deleted side (the phash serve oracle filtered).
+    "q_fp_index_compact" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val withFp = d.select(col("doc_id"),
+        Multimodal.imageDHash(Multimodal.syntheticPngTextured(col("doc_id"))).as("dh"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fpidx_cmp_").toString
+      Dedup.persistFingerprintIndex(withFp.where(col("doc_id") % 2 === 0),
+        "doc_id", "dh", tmp, maxHamming = 3, fpBits = 63)
+      Dedup.persistFingerprintIndex(withFp.where(col("doc_id") % 2 === 1),
+        "doc_id", "dh", tmp, maxHamming = 3, fpBits = 63, append = true)
+      Dedup.deleteFromPersistedIndex(
+        d.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", tmp)
+      Dedup.compactFingerprintIndex(s, tmp)
+      Dedup.matchVsFingerprintIndex(
+          d.select((col("doc_id") + 10000000L).as("doc_id"),
+            Multimodal.imageDHash(Multimodal.syntheticPngTexturedJittered(col("doc_id"))).as("dh")),
+          "doc_id", "dh", tmp)
+        .select(col("doc_id"), col("matched_id"), col("hamming").cast("long").as("hamming"))
+        .orderBy("doc_id", "matched_id")
+    }),
+
+    // Jaccard prefix-index compaction: the frozen element order survives
+    // the rewrite (pigeonhole correctness is order-independent, so the
+    // compacted probe is exactly the serve oracle minus deleted-side
+    // pairs).
+    "q_jaccard_index_compact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("bg"))
+      // Mutating gate: copy-on-write from the shared pristine build.
+      val tmp = graft.GateCache.privateCopy(s"jacidx_even600:$dir")(p =>
+        Dedup.persistJaccardIndex(
+          d.where(col("doc_id") % 2 === 0), "bg", "doc_id", p, thresholdMilli = 600))
+      Dedup.deleteFromPersistedIndex(
+        d.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", tmp)
+      Dedup.compactJaccardIndex(s, tmp)
+      Dedup.matchVsJaccardIndex(d.where(col("doc_id") % 2 === 1), "bg", "doc_id", tmp)
+        .orderBy("doc_id", "matched_id")
+    }),
+
     // Right-to-be-forgotten END-TO-END: all five persisted index families
     // built (MinHash signature / image fingerprint / Jaccard prefix / IVF
     // cell / BM25 postings), then ONE CorpusPipeline.forgetDocuments call
@@ -2957,6 +3023,25 @@ object SparkEntry {
     // Vector deletes on the persisted IVF index: tombstoned ids can never
     // be returned as neighbors (probe anti-joins the broadcast set; no
     // cell partition rewritten).
+    // IVF-index compaction with the full lifecycle in one gate: persist
+    // half the corpus, append the other half against the frozen
+    // centroids, tombstone every vec_id ≡ 0 (mod 3), COMPACT (purge +
+    // segment fold + tombstone drop, centroids carried through), probe —
+    // must rank exactly like the delete gate (fresh build on survivors).
+    "q_knn_ivf_compact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val mid = emb.agg(max(col("vec_id").cast("long"))).head.getLong(0) / 2
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfidx_cmp_").toString
+      Similarity.persistIvfIndex(emb.where(col("vec_id") <= mid), "vec_id", "embedding",
+        graft.operators.IvfPinned.centroids, tmp)
+      Similarity.appendToIvfIndex(emb.where(col("vec_id") > mid), "vec_id", "embedding", tmp)
+      Similarity.deleteFromIvfIndex(emb.where(col("vec_id") % 3 === 0).select("vec_id"), "vec_id", tmp)
+      Similarity.compactIvfIndex(s, tmp)
+      Similarity.ivfTopKFromPersisted(s, tmp, emb.where("vec_id < 5"), "vec_id", "embedding",
+          k = 10, nprobe = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
     "q_knn_ivf_delete" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       // Mutating gate: copy-on-write from the shared pristine full build.
@@ -2965,6 +3050,30 @@ object SparkEntry {
       Similarity.deleteFromIvfIndex(emb.where(col("vec_id") % 3 === 0).select("vec_id"), "vec_id", tmp)
       Similarity.ivfTopKFromPersisted(s, tmp, emb.where("vec_id < 5"), "vec_id", "embedding",
           k = 10, nprobe = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // BM25-index compaction, full lifecycle: build half, append half
+    // (additive partial term stats), tombstone ≡ 0 (mod 3), COMPACT —
+    // postings purge + doc_freq recount + docs purge + tombstone drop —
+    // then serve. Scores must re-derive exactly as a fresh build on the
+    // survivors (the delete gate's oracle verbatim).
+    "q_bm25_index_compact" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val mid = docs.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_cmp_").toString
+      TextAnalysis.persistBm25Index(
+        TextAnalysis.buildBm25Index(docs.where(col("doc_id") <= mid), "text", "doc_id"), tmp)
+      TextAnalysis.appendToBm25Index(docs.where(col("doc_id") > mid), "text", "doc_id", tmp)
+      TextAnalysis.deleteFromBm25Index(
+        docs.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", tmp)
+      TextAnalysis.compactBm25Index(s, tmp)
+      val q = Seq(
+        (1L, "spark join window"), (2L, "hash merge sort batch"),
+        (3L, "customer filter query"), (4L, "scan"), (5L, "stream data value key")
+      ).toDF("query_id", "q_text")
+      TextAnalysis.bm25TopKFromPersisted(s, tmp, q, "query_id", "q_text", k = 10)
         .orderBy("query_id", "rnk")
     }),
 
@@ -3882,6 +3991,11 @@ object SparkEntry {
       "q_multimodal_phash_serve_stream" -> phashServeOracleSql,
       // Build-then-append must be indistinguishable from a one-shot build.
       "q_multimodal_phash_append" -> phashServeOracleSql,
+      // Compaction must equal a fresh build on the survivors: the serve
+      // replay minus pairs whose indexed side was purged.
+      "q_fp_index_compact" ->
+        s"""SELECT doc_id, matched_id, hamming FROM ($phashServeOracleSql)
+           |WHERE matched_id % 3 <> 0 ORDER BY doc_id, matched_id""".stripMargin,
 
       "q_events_attribution"        -> attributionOracleSql,
       // The stream-stream join must land on the batch result row-for-row.
@@ -4745,6 +4859,9 @@ object SparkEntry {
       // assignment is per-vector and unchanged — the probe replay with the
       // deleted side filtered out of the scored join.
       "q_knn_ivf_delete" -> ivfDeleteOracleSql,
+      // Append-then-delete-then-compact ≡ fresh build on survivors under
+      // the frozen centroids — the delete replay verbatim.
+      "q_knn_ivf_compact" -> ivfDeleteOracleSql,
 
       // Streamed-query ANN serving against the same persisted index:
       // per-query rankings are micro-batch independent — oracle identical.
@@ -4918,6 +5035,13 @@ object SparkEntry {
       // Tombstoned ids can never match: the serve oracle minus pairs whose
       // index side is ≡ 0 (mod 3).
       "q_dedup_index_delete" -> sigDeleteOracleSql,
+      // Purge must equal mask: compact(delete) serves exactly the delete
+      // replay (fresh build on survivors).
+      "q_dedup_index_compact" -> sigDeleteOracleSql,
+      "q_jaccard_index_compact" ->
+        s"""SELECT doc_id, matched_id, inter, size_a, size_b, jaccard_milli
+           |FROM ($jaccardServeOracleSql) WHERE matched_id % 3 <> 0
+           |ORDER BY doc_id, matched_id""".stripMargin,
 
       // Disk round trip + partition pruning are implementation details of
       // the same match contract — oracle identical to the in-memory form.
@@ -5454,6 +5578,10 @@ object SparkEntry {
       // Delete-then-serve must equal build-without-them: the same replay
       // over the surviving corpus (df/avgdl/N all re-derived).
       "q_bm25_index_delete" -> bm25DeleteOracleSql,
+      // Compacted stats must re-derive identically to a fresh build on the
+      // surviving corpus — the delete replay verbatim (scores, not just
+      // membership).
+      "q_bm25_index_compact" -> bm25DeleteOracleSql,
 
       // Streamed-query serving against the same persisted index: per-query
       // rankings are micro-batch independent — oracle identical.

@@ -1260,6 +1260,70 @@ object Dedup {
       case None => idx
     }
 
+  /** COMPACT a persisted signature index in place: rewrite the banded rows
+    * minus the tombstoned docs, fold every partition's append segments
+    * into one file, and drop the tombstone set — completing the
+    * build → append/delete → compact lifecycle. Probe results afterwards
+    * are EXACTLY a fresh [[persistSignatureIndex]] of the surviving docs
+    * (same meta, same bucket formula; the rewrite only removes masked
+    * rows, so [[matchVsPersistedIndex]]'s pruning contract is unchanged),
+    * but a probe no longer pays the anti-join or the multi-segment scans.
+    * Crash-safe via [[IndexCompaction.rewrite]]'s stage-retire-swap; cost
+    * is one pruned-free full scan + one shuffle on the partition column —
+    * the same shape as the original build's write, amortized over every
+    * probe that follows.
+    */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    IndexCompaction.rewrite(spark, path, dropMeta = Set("_graft_tombstones")) { staging =>
+      dropTombstoned(spark.read.parquet(path), "doc_id", path)
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(staging)
+    }
+  }
+
+  /** [[compactSignatureIndex]] for the fingerprint index — identical
+    * mechanics (same banded bucket layout, same tombstone contract, same
+    * `_graft_fp_meta` carried through the swap).
+    */
+  def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    IndexCompaction.rewrite(spark, path, dropMeta = Set("_graft_tombstones")) { staging =>
+      dropTombstoned(spark.read.parquet(path), "doc_id", path)
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(staging)
+    }
+  }
+
+  /** Compact a persisted Jaccard prefix index: both data relations
+    * (`postings`, `fullsets`) are rewritten minus the tombstoned docs
+    * with their append segments folded, then the tombstone set is
+    * dropped. The FROZEN element-frequency dictionary is untouched — the
+    * pigeonhole prefix guarantee holds for ANY fixed total order, so
+    * probes after compaction return exactly the pairs a fresh build on
+    * the surviving docs would (the exact threshold test is
+    * order-independent; only prefix selectivity could differ, never the
+    * result set). Each relation's rewrite is independently crash-safe;
+    * serving stays correct in every intermediate state because the
+    * tombstone mask outlives the rows it masks.
+    */
+  def compactJaccardIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val ts = indexTombstones(spark, path)
+    def minus(df: DataFrame): DataFrame = ts match {
+      case Some(t) => df.join(org.apache.spark.sql.functions.broadcast(t), Seq("doc_id"), "left_anti")
+      case None    => df
+    }
+    IndexCompaction.rewrite(spark, s"$path/postings", dropMeta = Set.empty) { staging =>
+      minus(spark.read.parquet(s"$path/postings"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(staging)
+    }
+    IndexCompaction.rewrite(spark, s"$path/fullsets", dropMeta = Set.empty) { staging =>
+      minus(spark.read.parquet(s"$path/fullsets"))
+        .repartition(col("dbucket"))
+        .write.partitionBy("dbucket").parquet(staging)
+    }
+    IndexCompaction.dropTombstones(spark, tombstonePath(path))
+  }
+
   /** Reload the COMPACT `(doc_id, sig)` index from a persisted banded one
     * (each doc stores its full signature in every band row — band 0 alone
     * recovers the exact [[buildSignatureIndex]] frame), minus any

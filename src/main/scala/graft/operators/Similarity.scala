@@ -731,6 +731,30 @@ object Similarity {
     }
   }
 
+  /** Compact a persisted IVF index in place: rewrite the cell partitions
+    * minus the tombstoned vectors, fold each cell's append segments into
+    * one file, drop the tombstone set — the build → append/delete →
+    * compact lifecycle closer, [[graft.operators.Dedup.compactSignatureIndex]]'s
+    * twin for the vector store. The frozen centroids
+    * (`_graft_centroids`) are carried through the swap untouched, so
+    * probe selection — and therefore [[ivfTopKFromPersisted]]'s result —
+    * is EXACTLY a fresh [[persistIvfIndex]] of the surviving vectors
+    * under the same quantizer, while probes stop paying the tombstone
+    * anti-join and multi-segment cell scans. Crash-safe via
+    * [[graft.operators.IndexCompaction.rewrite]].
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val ts = ivfIndexTombstones(spark, path)
+    graft.operators.IndexCompaction.rewrite(spark, path, dropMeta = Set("_graft_tombstones")) { staging =>
+      val pr = spark.read.parquet(path)
+      val live = ts match {
+        case Some(t) => pr.join(broadcast(t), pr("vec_id") === t("vec_id"), "left_anti")
+        case None    => pr
+      }
+      live.repartition(col("cell")).write.partitionBy("cell").parquet(staging)
+    }
+  }
+
   /** Symmetric int8 vector quantization: struct(scale DOUBLE,
     * q ARRAY<TINYINT>) with `q_i = floor(x_i · scale + 0.5)` and
     * `scale = 127 / max|x|` — the 4× storage cut every at-scale embedding

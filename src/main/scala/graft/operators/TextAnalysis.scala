@@ -1006,6 +1006,54 @@ object TextAnalysis {
     else None
   }
 
+  /** Compact a persisted BM25 index in place — the third of the
+    * build → append/delete → compact lifecycle. Three rewrites plus a
+    * tombstone drop, ordered so SERVING IS CORRECT AT EVERY CRASH POINT
+    * (the tombstone mask is only removed after every masked row is gone):
+    *
+    *  1. `postings/`: live rows only (tombstone anti-join), append
+    *     segments folded to one file per term bucket;
+    *  2. `terms/`: doc-frequencies RECOUNTED from the compacted postings —
+    *     one aggregation folds the per-batch additive partials AND
+    *     subtracts the deleted docs exactly (a term's postings name all
+    *     its live docs), so merge-on-read becomes identity again;
+    *  3. `docs/`: live rows only (corpus stats re-derive from this
+    *     relation at serve time);
+    *  4. the tombstone set is dropped.
+    *
+    * Ranking afterwards is EXACTLY a fresh [[persistBm25Index]] of
+    * [[buildBm25Index]] on the surviving docs — idf/avgdl/N derive from
+    * the stored additive stats at serve time, and those now equal the
+    * fresh build's. Each rewrite is crash-safe via
+    * [[graft.operators.IndexCompaction.rewrite]].
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import graft.operators.IndexCompaction
+    val ts = bm25IndexTombstones(spark, path)
+    def minus(df: DataFrame): DataFrame = ts match {
+      case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None    => df
+    }
+    IndexCompaction.rewrite(spark, s"$path/postings", dropMeta = Set.empty) { staging =>
+      minus(spark.read.parquet(s"$path/postings"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(staging)
+    }
+    IndexCompaction.rewrite(spark, s"$path/terms", dropMeta = Set.empty) { staging =>
+      spark.read.parquet(s"$path/postings") // already compacted: live docs only
+        .groupBy("bucket", "term").agg(count(lit(1)).as("doc_freq"))
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(staging)
+    }
+    IndexCompaction.rewrite(spark, s"$path/docs", dropMeta = Set.empty) { staging =>
+      // No explicit repartition: the parquet read packs small appended
+      // segments into maxPartitionBytes-sized splits, so the rewrite
+      // folds file count to ~bytes/128MB without paying a shuffle.
+      minus(spark.read.parquet(s"$path/docs")).write.parquet(staging)
+    }
+    IndexCompaction.dropTombstones(spark, bm25TombstonePath(path))
+  }
+
   def bm25TopKFromPersisted(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
