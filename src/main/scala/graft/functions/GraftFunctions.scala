@@ -43,10 +43,24 @@ object GraftFunctions {
   /** Native since round 10 — the edge widths embed as plan-time int
     * literals in the codegen'd [[Scrub]], closing the last UDF-only
     * scrubber (reference Anonymizer.scala:154-165).
+    *
+    * SOURCE-BREAKING change vs earlier rounds: the return type moved from
+    * `UserDefinedFunction` to `Column => Column` (application sites —
+    * `partialRedact(1, 3)(col)` — compile unchanged, but callers that
+    * stored the UDF or used its members must migrate; the UDF form
+    * survives as [[partialRedactUdf]]).
     */
   def partialRedact(showFirst: Int = 2, showLast: Int = 2): Column => Column =
     c => ColumnBridge.column(
       Scrub.ofAny(ColumnBridge.expression(c), ScrubKernel.PartialRedactKind, Seq(showFirst, showLast)))
+
+  /** The pre-round-10 UDF form of [[partialRedact]], kept for callers that
+    * need a [[UserDefinedFunction]] (`.withName`, `asNondeterministic`,
+    * storing in UDF-typed registries). Same values; skips codegen.
+    */
+  @deprecated("use partialRedact (native codegen expression)", "round 10")
+  def partialRedactUdf(showFirst: Int = 2, showLast: Int = 2): UserDefinedFunction =
+    udf(Anonymizer.PartialRedact(showFirst, showLast)(_: String))
 
   /** Lift any lens-focused string transform into a UDF. */
   def lensUdf(lens: Lens, f: String => String): UserDefinedFunction =

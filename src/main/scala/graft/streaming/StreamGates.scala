@@ -124,10 +124,12 @@ object StreamGates {
     * frame's canonicalized logical plan (which pins the scanned files AND
     * any filters — two same-schema, differently-filtered sources key
     * differently) plus a fingerprint of the flush sentinel rows (tiny
-    * driver-built frames, collected here once). A key collision across
-    * divergent stagings therefore MISSES the cache instead of silently
-    * replaying the wrong data — correctness no longer rests on call-site
-    * key discipline alone.
+    * driver-built frames, collected here once). DEFENSE IN DEPTH, not a
+    * guarantee: the descriptor is a 32-bit `hashCode` of the plan's
+    * rendering (which for driver-built LocalRelations does not include
+    * the rows), so distinct stagings are very likely — not certain — to
+    * key apart; call-site key discipline remains the primary contract,
+    * the descriptor catches the accidental-collision class.
     */
   private def resolveWatchDir(
       src: DataFrame,
@@ -799,8 +801,10 @@ object StreamGates {
     * mode, so a window's bin counts are emitted exactly once, when the
     * watermark proves it complete — streaming state is bins ×
     * windows-in-flight, independent of stream length. Two far-future
-    * sentinel rows (event_id = -1, filtered before the aggregation so
-    * they only advance the watermark) flush the tail windows. Each
+    * sentinel rows (event_id = -1) flush the tail windows; they flow
+    * THROUGH the aggregation (a pre-agg filter would be pushed below the
+    * watermark node and the tail window would never flush) and their
+    * far-future windows are dropped by the post-replay day bound. Each
     * emitted window then pairs with the SAME frozen reference histogram
     * through the per-group contribution stage
     * ([[graft.operators.Profiler.psiFromCountsKeyed]]) — per-window

@@ -67,9 +67,15 @@ object ScaleSoak {
     spark.sparkContext.setLogLevel("WARN")
     TaskBinaryWatch.install()
 
+    // The key distribution is part of the corpus identity: skewed corpora
+    // get their own directories, so a soak against a workDir that already
+    // holds uniform corpora can never silently benchmark uniform data
+    // under a "skew" label (or vice versa).
+    def dirOf(m: Int) = s"$workDir/x$m${if (skew) "_skew" else ""}"
+
     // Build any missing corpus, largest last so failures surface early.
     mults.foreach { m =>
-      val dir = s"$workDir/x$m"
+      val dir = dirOf(m)
       if (!new java.io.File(s"$dir/documents.parquet").exists()) {
         println(s"[soak] synthesizing x$m into $dir${if (skew) " (skewed keys)" else ""} ...")
         ScaleSynth.synthesize(spark, srcDir, dir, m, skewKeys = skew)
@@ -78,7 +84,7 @@ object ScaleSoak {
 
     // Warmup: JIT + codegen on the smallest corpus.
     queries.foreach { q =>
-      try graft.SparkEntry.queries(q)(spark, s"$workDir/x${mults.min}").count()
+      try graft.SparkEntry.queries(q)(spark, dirOf(mults.min)).count()
       catch { case e: Throwable => println(s"[soak] warmup $q failed: ${e.getMessage}") }
       finally graft.GateCache.releasePrivateCopies()
     }
@@ -86,7 +92,7 @@ object ScaleSoak {
     case class Cell(sec: Double, rows: Long, binKib: Double)
     val results = // query -> mult -> cell
       for (q <- queries) yield q -> (for (m <- mults) yield {
-        val dir = s"$workDir/x$m"
+        val dir = dirOf(m)
         val fn  = graft.SparkEntry.queries(q)
         val runs = (1 to reps).map { _ =>
           TaskBinaryWatch.reset()

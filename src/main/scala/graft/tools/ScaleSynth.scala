@@ -66,15 +66,18 @@ object ScaleSynth {
     df.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0) + 1L
 
   /** Pathological-key assignment for the skew soaks: 25% of rows land on
-    * key 0 (ONE hot key — the shape AQE's skew split cannot fix when the
-    * operator is an aggregation, and the worst case for a salted join),
-    * the rest follow a Zipf(1) tail over [1, n) via a log-uniform rank
-    * draw (`floor(n^u)` is log-uniform ⇒ P(rank k) ∝ 1/k). Deterministic
-    * per row (xxhash64 of the row's id + salt), pure Column expression.
+    * key 1 (ONE hot key — the shape AQE's skew split cannot fix when the
+    * operator is an aggregation, and the worst case for a salted join; key
+    * 1 rather than 0 so the hot key EXISTS in the uniform corpus' 1-based
+    * key domain and join hit rates stay representative instead of the hot
+    * mass dangling), the rest follow a Zipf(1) tail over [0, n) via a
+    * log-uniform rank draw (`floor(n^u)` is log-uniform ⇒ P(rank k) ∝
+    * 1/k). Deterministic per row (xxhash64 of the row's id + salt), pure
+    * Column expression.
     */
   private def skewedKey(src: org.apache.spark.sql.Column, n: Long, salt: Int) = {
     val u = (pmod(xxhash64(src, lit(salt)), lit(1000000L)).cast("double") + 0.5) / 1000000.0
-    when(u < 0.25, lit(0L))
+    when(u < 0.25, lit(1L))
       .otherwise(least(floor(pow(lit(n.toDouble), u)).cast("long") - 1, lit(n - 1)))
   }
 
