@@ -1040,6 +1040,15 @@ object Multimodal {
     * payload zero-padded to the 512 boundary.
     */
   private[graft] def tarEntry(name: String, data: Array[Byte]): Array[Byte] = {
+    val pad = (512 - data.length % 512) % 512
+    tarHeader(name, data.length) ++ data ++ new Array[Byte](pad)
+  }
+
+  /** The 512-byte ustar header alone — split out so [[writeTarEntry]] can
+    * stream header/payload/padding without concatenating an entry-sized
+    * copy.
+    */
+  private[graft] def tarHeader(name: String, size: Int): Array[Byte] = {
     require(name.getBytes("UTF-8").length <= 100, s"tar entry name too long: $name")
     val header = new Array[Byte](512)
     def put(off: Int, s: String): Unit = {
@@ -1049,7 +1058,7 @@ object Multimodal {
     put(100, "0000644")                            // mode
     put(108, "0000000")                            // uid
     put(116, "0000000")                            // gid
-    put(124, f"${data.length}%011o")               // size, octal
+    put(124, f"$size%011o")                        // size, octal
     put(136, "00000000000")                        // mtime
     java.util.Arrays.fill(header, 148, 156, ' '.toByte) // checksum field = spaces while summing
     header(156) = '0'                              // typeflag: regular file
@@ -1059,8 +1068,18 @@ object Multimodal {
     put(148, f"$sum%06o")
     header(154) = 0
     header(155) = ' '
+    header
+  }
+
+  /** Stream one ustar entry into `out`: header, payload, zero padding —
+    * no entry-sized intermediate buffer ([[exportWebdataset]]'s
+    * constant-heap write path).
+    */
+  private def writeTarEntry(out: java.io.OutputStream, name: String, data: Array[Byte]): Unit = {
+    out.write(tarHeader(name, data.length))
+    out.write(data)
     val pad = (512 - data.length % 512) % 512
-    header ++ data ++ new Array[Byte](pad)
+    if (pad > 0) out.write(new Array[Byte](pad))
   }
 
   /** Walk a tar archive's 512-byte header chain; returns (name, payload)
@@ -1159,6 +1178,15 @@ object Multimodal {
     * skip their entry (partial samples are legal WebDataset); null
     * captions write empty.
     *
+    * CONSTANT HEAP per task: rows are hash-partitioned on the shard id
+    * and sorted within partitions by (shard, id) — each shard's samples
+    * arrive contiguous and key-ordered — then every tar frame streams
+    * DIRECTLY into `fs.create(path)` (gzip wraps the FS stream) as its
+    * row is consumed. No shard-sized buffer exists at any point, so a
+    * production 1-GiB shard costs one sample of memory, not ~2× shard
+    * bytes; the sort replaces the old mapGroups `it.toVector` (which
+    * held every sample of the shard in heap) at the same shuffle count.
+    *
     * Returns the shard count (an action — the export runs eagerly, like
     * any Spark sink).
     */
@@ -1168,40 +1196,47 @@ object Multimodal {
     require(samplesPerShard > 0, "samplesPerShard must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val written = spark.sparkContext.longAccumulator("webdataset_shards_written")
     val ext = if (gzip) "tar.gz" else "tar"
-    df.select(col(idCol).cast("long"), col(imageCol), col(captionCol).cast("string"), col(metaCol).cast("string"))
-      .as[(Long, Array[Byte], String, String)]
-      .groupByKey(_._1 / samplesPerShard)
-      .mapGroups { (shard, it) =>
-        val bos = new java.io.ByteArrayOutputStream()
-        val out: java.io.OutputStream =
-          if (gzip) new java.util.zip.GZIPOutputStream(bos) else bos
-        it.toVector.sortBy(_._1).foreach { case (id, img, cap, meta) =>
-          val key = f"$id%010d"
-          if (img != null) out.write(tarEntry(s"$key.png", img))
-          out.write(tarEntry(s"$key.txt", (if (cap == null) "" else cap).getBytes("UTF-8")))
-          if (meta != null) out.write(tarEntry(s"$key.json", meta.getBytes("UTF-8")))
-        }
-        out.write(new Array[Byte](1024))
-        out.close()
-        (shard, bos.toByteArray)
-      }
-      .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
-        // Executor-side Hadoop FS write: one file per shard, no driver
-        // involvement. A fresh Configuration resolves file:// locally and
-        // the cluster's default FS from the executor's core-site.
+    df.select(
+        expr(s"CAST(`$idCol` AS BIGINT) div $samplesPerShard").as("shard"),
+        col(idCol).cast("long").as("id"),
+        col(imageCol), col(captionCol).cast("string"), col(metaCol).cast("string"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "id")
+      .as[(Long, Long, Array[Byte], String, String)]
+      .mapPartitions { rows =>
+        // Executor-side Hadoop FS write: one file per shard, opened when
+        // its first row arrives, finalized when the shard id changes. A
+        // fresh Configuration resolves file:// locally and the cluster's
+        // default FS from the executor's core-site.
         val conf = new org.apache.hadoop.conf.Configuration()
-        it.foreach { case (shard, bytes) =>
-          val path = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%08d.$ext")
-          val fs   = path.getFileSystem(conf)
-          val out  = fs.create(path, true)
-          try out.write(bytes)
-          finally out.close()
-          written.add(1)
+        var cur: Long                 = Long.MinValue
+        var out: java.io.OutputStream = null
+        var shards                    = 0L
+        def closeCurrent(): Unit = if (out != null) {
+          out.write(new Array[Byte](1024)) // tar terminator: two zero blocks
+          out.close()
+          out = null
+          shards += 1
         }
+        while (rows.hasNext) {
+          val (shard, id, img, cap, meta) = rows.next()
+          if (shard != cur || out == null) {
+            closeCurrent()
+            val path = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%08d.$ext")
+            val fsOut = path.getFileSystem(conf).create(path, true)
+            out = if (gzip) new java.util.zip.GZIPOutputStream(fsOut) else fsOut
+            cur = shard
+          }
+          val key = f"$id%010d"
+          if (img != null) writeTarEntry(out, s"$key.png", img)
+          writeTarEntry(out, s"$key.txt", (if (cap == null) "" else cap).getBytes("UTF-8"))
+          if (meta != null) writeTarEntry(out, s"$key.json", meta.getBytes("UTF-8"))
+        }
+        closeCurrent()
+        Iterator.single(shards)
       }
-    written.value
+      .reduce(_ + _)
   }
 
   /** WebDataset sample assembly: entries sharing a `key` (the name up to
