@@ -3656,6 +3656,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CONTINUOUS-CRAWL ingest: the same shard files consumed through a
+    // Structured Streaming binaryFile source (maxFilesPerTrigger — a few
+    // whole shards per micro-batch, AvailableNow drains then stops), the
+    // scan-local sample assembly unchanged on the streaming frame. Sample
+    // content is micro-batch invariant → tar_extract's oracle verbatim.
+    "q_multimodal_tar_stream" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      graft.streaming.StreamGates.webdatasetIngestViaStream(s, dir)
+        .select(
+          col("key").cast("long").as("doc_id"),
+          Multimodal.imageDHash(col("image")).as("dh"),
+          md5(col("caption")).as("caption_md5"),
+          col("meta"))
+        .orderBy("doc_id")
+    }),
+
     // The shard-level entry walk: per-shard entry census — counts, the
     // ordered png name chain, and the txt payload bytes (exercises the
     // octal size parse against an arithmetic oracle).
@@ -5986,6 +6002,15 @@ object SparkEntry {
       // dHash replays through the same sampled-grid arithmetic; caption
       // and meta are exact string digests of the source document.
       "q_multimodal_tar_extract" ->
+        s"""WITH $dhashCtes
+           |SELECT d.doc_id, b.dh AS dh, md5(d.text) AS caption_md5,
+           |  '{"id":' || d.doc_id || ',"len":' || length(d.text) || '}' AS meta
+           |FROM documents d JOIN bits b ON d.doc_id = b.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+
+      // Streamed ingest of the same shard files: micro-batch-invariant
+      // sample content → the extract replay verbatim.
+      "q_multimodal_tar_stream" ->
         s"""WITH $dhashCtes
            |SELECT d.doc_id, b.dh AS dh, md5(d.text) AS caption_md5,
            |  '{"id":' || d.doc_id || ',"len":' || length(d.text) || '}' AS meta

@@ -1182,6 +1182,60 @@ object StreamGates {
       .orderBy("doc_id", "matched_id")
   }
 
+  /** `q_multimodal_tar_stream`: CONTINUOUS-CRAWL WebDataset ingest — the
+    * shape the batch tar source doesn't cover. Real ustar shard FILES on
+    * disk (written once per JVM via the export sink, shared through
+    * [[graft.GateCache]]) are consumed by a Structured Streaming
+    * `binaryFile` source with `maxFilesPerTrigger`, so each micro-batch
+    * holds a few whole shards — exactly how a crawler's shard drop
+    * directory is tailed in production. The scan-local entry walk +
+    * adjacency sample assembly ([[graft.operators.Multimodal
+    * .webdatasetSamples]]) runs UNCHANGED on the streaming frame (it is a
+    * stateless flatMap — no watermark, no state store), and samples land
+    * in a parquet file sink per batch. `Trigger.AvailableNow` drains the
+    * directory across multiple rate-limited micro-batches then stops, so
+    * the gate is deterministic; sample content is micro-batch invariant,
+    * so the result shares `q_multimodal_tar_extract`'s oracle verbatim.
+    * The returned frame is the materialized sink (batch re-read) with the
+    * extract gate's projection applied by the caller.
+    */
+  def webdatasetIngestViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.types._
+    // Shard fixture: the export gate's exact samples, written as real
+    // shard-N.tar files once per JVM and shared read-only.
+    val shardDir = graft.GateCache.dir(s"wds_shards:$sfDir") { p =>
+      val docs = graft.Tpch.table(spark, sfDir, "documents")
+      val samples = docs.select(
+        col("doc_id"),
+        Multimodal.syntheticPngTextured(col("doc_id")).as("image"),
+        col("text").as("caption"),
+        concat(lit("{\"id\":"), col("doc_id").cast("string"),
+          lit(",\"len\":"), length(col("text")).cast("string"), lit("}")).as("meta"))
+      Multimodal.exportWebdataset(samples, "doc_id", "image", "caption", "meta", p)
+    }
+    val binSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    val out  = java.nio.file.Files.createTempDirectory("wds_stream_out")
+    val sink = out.resolve("sink").toString
+    val ckpt = out.resolve("ckpt").toString
+    val src = spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("maxFilesPerTrigger", 8)
+      .load(s"$shardDir/shard-*.tar")
+    val samples = Multimodal.webdatasetSamples(
+      src.select(lit(0L).as("shard_id"), col("content")), "shard_id", "content")
+    val q = samples.writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+  }
+
   /** `q_jaccard_serve_stream`: new documents' trigram sets arrive as a
     * stream; each micro-batch probes the PERSISTED prefix-filter index
     * ([[graft.operators.Dedup.matchVsJaccardIndex]] inside foreachBatch —
