@@ -90,6 +90,48 @@ object SourceSql {
     * explicit filters participate but are not repeated (callers AND them
     * back themselves), matching the reference contract.
     */
+  /** [[propagate]] for sources WITHOUT recursive-CTE support (Derby and
+    * several warehouses): cross-ref IN-subqueries still render and push,
+    * but a self-ref closure cannot be expressed as one WHERE there — so
+    * instead of emitting SQL the source will reject, each affected table
+    * comes back in the second map with its self-ref FKs, and the caller
+    * runs the ENGINE-side iterative closure
+    * ([[graft.plans.SelfRefClosure.filterReachable]]) on the
+    * already-pushed-down read: the warehouse still filters the explicit +
+    * cross-ref predicates before rows cross the wire, and only the
+    * reachability fixpoint (whose frontier is the filtered subset, not
+    * the table) runs in Spark. Same split the DataFrame planner uses —
+    * pushdown degrades per-CLAUSE, never per-table.
+    *
+    * SOUNDNESS: when an ANCESTOR table needed an engine-side closure, a
+    * descendant's pushed IN-subquery references the ancestor's explicit +
+    * cross-ref filter only — a SUPERSET of its true subset. The pushed
+    * text is therefore always a sound over-approximation (never drops a
+    * qualifying row); the engine's semi-join plan stays authoritative for
+    * exactness, exactly as with every other pushdown.
+    *
+    * @return (pushable WHERE text per table, self-ref FKs needing the
+    *         engine-side closure per table)
+    */
+  def propagatePushable(
+      tables: Seq[String],
+      fks: Seq[LogicalFK],
+      qualify: String => String = Ident.quote
+  )(explicit: String => Option[Pred]): (Map[String, Pred], Map[String, Seq[LogicalFK]]) = {
+    val byChild = fks.groupBy(_.childTable).withDefaultValue(Seq.empty)
+    tables.foldLeft((Map.empty[String, Pred], Map.empty[String, Seq[LogicalFK]])) {
+      case ((acc, closures), table) =>
+        val (selfRef, crossRef) = byChild(table).partition(_.isSelfRef)
+        val crossPred = crossRef.foldLeft(Option.empty[Pred]) { (p, fk) =>
+          val parentEffective = Pred.combine(explicit(fk.parentTable), acc.get(fk.parentTable))
+          Pred.combine(p, parentEffective.map(pe => fkInSubquery(fk, pe, qualify)))
+        }
+        val basePred = Pred.combine(explicit(table), crossPred)
+        val needsClosure = if (basePred.nonEmpty && selfRef.nonEmpty) closures + (table -> selfRef) else closures
+        (acc ++ crossPred.map(table -> _), needsClosure)
+    }
+  }
+
   def propagate(
       tables: Seq[String],
       fks: Seq[LogicalFK],

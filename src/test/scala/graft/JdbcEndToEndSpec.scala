@@ -367,4 +367,93 @@ class JdbcEndToEndSpec extends SparkSpec {
       tableState() shouldBe afterStream
     }
   }
+
+  describe("source-side filter pushdown, end-to-end against live Derby") {
+    import graft.plans.{FilterPropagation, SelfRefClosure}
+    import graft.sources.SourceSql
+    import org.apache.spark.sql.functions.col
+
+    it("spec -> SourceSql -> pushed-down live read -> anonymize equals the semi-join plan") {
+      val conn     = DriverManager.getConnection(url)
+      val manifest = try JdbcCatalog.manifestFromMetadata(conn, "APP").copy(tables = Seq("USERS", "ORDERS"))
+      finally conn.close()
+
+      // Engine plan (authoritative): unfiltered reads, semi-join propagation.
+      val srcCatalog = JdbcCatalog.catalog(spark, url, props, "APP", manifest)
+      val clauseSql = Map("USERS" -> "ACTIVE = 1")
+      val clauses   = clauseSql.map { case (t, c) => t -> TableSpec.WhereClause.Single(c) }
+      val planned = FilterPropagation.computeFilteredTables(srcCatalog, manifest, clauses.get)
+
+      // Pushdown twin: the SAME predicates rendered as source WHERE text,
+      // evaluated by Derby inside the scan.
+      val preds = SourceSql.propagate(manifest.tables, manifest.fks)(
+        t => clauseSql.get(t).map(SourceSql.Pred(_)))
+      val pushedOrders = JdbcCatalog.readTable(spark, url, props, "APP", "ORDERS",
+        where = Some(preds("ORDERS").sql))
+
+      // The warehouse already filtered: pushed read carries only the
+      // qualifying rows — exactly the semi-join plan's.
+      val planRows = planned("ORDERS").select("ID").collect().map(_.getInt(0)).sorted
+      pushedOrders.select("ID").collect().map(_.getInt(0)).sorted shouldBe planRows
+      planRows shouldBe Array(10, 11)
+
+      // And the full pipeline over the pushed read: anonymize + hash the
+      // same rows the plan path would.
+      val anonPushed = pushedOrders.select(col("ID"),
+        org.apache.spark.sql.functions.udf(Anonymizer.LoremText(_: String)).apply(col("NOTE")).as("NOTE"))
+      val anonPlan = planned("ORDERS").select(col("ID"),
+        org.apache.spark.sql.functions.udf(Anonymizer.LoremText(_: String)).apply(col("NOTE")).as("NOTE"))
+      anonPushed.collect().map(_.toString).sorted shouldBe anonPlan.collect().map(_.toString).sorted
+    }
+
+    it("self-ref closure degrades to the engine-side fixpoint on a source without recursive CTEs") {
+      // Hierarchy with a filtered-out MID node: 7 is 'dead', so 8 is
+      // unreachable even though 8 itself passes the filter — only the
+      // closure can express that, never a flat predicate.
+      val conn = DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        st.executeUpdate(
+          "INSERT INTO CATEGORIES VALUES (1, NULL, 'root'), (2, 1, 'a'), (3, 2, 'b'), " +
+            "(4, NULL, 'dead'), (5, 4, 'under-dead-root'), (6, 3, 'c'), (7, 2, 'dead'), (8, 7, 'under-dead-mid')")
+        st.close()
+      } finally conn.close()
+      val mConn    = DriverManager.getConnection(url)
+      val manifest = try JdbcCatalog.manifestFromMetadata(mConn, "APP").copy(tables = Seq("CATEGORIES"))
+      finally mConn.close()
+      val selfFk  = manifest.fks.find(_.isSelfRef).get
+      val clauseSql = Map("CATEGORIES" -> "LABEL <> 'dead'")
+      val clauses   = clauseSql.map { case (t, c) => t -> TableSpec.WhereClause.Single(c) }
+      def preds(t: String) = clauseSql.get(t).map(SourceSql.Pred(_))
+
+      // The PostgreSQL rendering (WITH RECURSIVE inside IN) is real SQL
+      // the reference's warehouse runs — Derby rejects it, which is
+      // exactly why the closure cannot ride the WHERE here.
+      val full = SourceSql.propagate(manifest.tables, manifest.fks)(preds)
+      an[Exception] should be thrownBy
+        JdbcCatalog.readTable(spark, url, props, "APP", "CATEGORIES",
+          where = Some(SourceSql.Pred(clauseSql("CATEGORIES")).and(full("CATEGORIES")).sql)
+        ).collect()
+
+      // The pushable split: explicit filter pushes (Derby filters at its
+      // scan), the closure comes back as an engine-side obligation.
+      val (pushed, closures) = SourceSql.propagatePushable(manifest.tables, manifest.fks)(preds)
+      pushed.get("CATEGORIES") shouldBe None // no cross-ref parent: nothing beyond the explicit clause
+      closures("CATEGORIES") shouldBe Seq(selfFk)
+
+      val pushedRead = JdbcCatalog.readTable(spark, url, props, "APP", "CATEGORIES",
+        where = Some("LABEL <> 'dead'"))
+      // Source already dropped the 'dead' rows...
+      pushedRead.select("ID").collect().map(_.getInt(0)).sorted shouldBe Array(1, 2, 3, 5, 6, 8)
+      // ...and the engine fixpoint finishes the job on the REDUCED frame.
+      val closed = SelfRefClosure.filterReachable(
+        pushedRead, pushedRead, selfFk.fkColumns, selfFk.pkColumns)
+      closed.select("ID").collect().map(_.getInt(0)).sorted shouldBe Array(1, 2, 3, 6)
+
+      // Identical to the all-engine path on the unfiltered read.
+      val srcCatalog = JdbcCatalog.catalog(spark, url, props, "APP", manifest)
+      val planned = FilterPropagation.computeFilteredTables(srcCatalog, manifest, clauses.get)
+      planned("CATEGORIES").select("ID").collect().map(_.getInt(0)).sorted shouldBe Array(1, 2, 3, 6)
+    }
+  }
 }
