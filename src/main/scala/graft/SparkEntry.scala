@@ -987,6 +987,29 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Point lookup off a BLOOM-FILTERED lake layout: lineitem written
+    // bucketed with parquet bloom filters on the probe key
+    // (LakeSink.writeBucketed bloomFilterCols), then an id-list equality
+    // probe — the forget-flow/CDC read shape. On an unsorted
+    // high-cardinality column min/max statistics prune nothing; the
+    // per-row-group bloom is what skips (ScaleToolsSpec pins the scan-row
+    // delta; this gate pins the write-path rows end-to-end — blooms must
+    // never drop a qualifying row).
+    "q_bloom_point_probe" -> ((s, dir) => {
+      import graft.sinks.LakeSink
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_").toString
+      LakeSink.writeBucketed(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        "graft_bloom_lineitem", Seq("l_orderkey"), 8,
+        path = Some(s"$tmp/lineitem"),
+        bloomFilterCols = Seq("l_orderkey"),
+        bloomFilterNdv = Map("l_orderkey" -> 2000000L))
+      s.table("graft_bloom_lineitem")
+        .where(col("l_orderkey").isin(7L, 227L, 1317L, 4000L))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Salted skew join (plans.Skew): fact side salted by a deterministic
     // hash of l_linenumber, dim side replicated per salt — the hot-key
     // mitigation when AQE's skew-split can't engage (a single key can't
@@ -1119,6 +1142,13 @@ object SparkEntry {
     "q_skew_salted_join" ->
       """SELECT l_orderkey, l_linenumber, o_orderstatus
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // Bloom filters are advisory row-group skips — the result set must be
+    // exactly the plain probe's.
+    "q_bloom_point_probe" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (7, 227, 1317, 4000)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_anti_join" ->

@@ -12,6 +12,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LakeSink {
 
+  /** Parquet bloom-filter write options for `cols`: one split-block bloom
+    * per column per row group. The point-lookup complement to min/max
+    * statistics — on an UNSORTED high-cardinality column every row group
+    * spans the full domain and statistics prune nothing, but an equality
+    * probe consults the bloom and skips row groups that cannot contain
+    * the value (false-positive rate bounded by the filter size, never
+    * false negatives). `ndv` sizes each filter to the column's expected
+    * distinct count; leaving a high-cardinality column at parquet's
+    * default risks a saturated, always-maybe filter.
+    */
+  private def bloomOptions(cols: Seq[String], ndv: Map[String, Long]): Map[String, String] =
+    cols.flatMap { c =>
+      Seq(s"parquet.bloom.filter.enabled#$c" -> "true") ++
+        ndv.get(c).map(n => s"parquet.bloom.filter.expected.ndv#$c" -> n.toString)
+    }.toMap
+
   def writeBucketed(
       df: DataFrame,
       table: String,
@@ -19,12 +35,15 @@ object LakeSink {
       numBuckets: Int,
       sortCols: Seq[String] = Seq.empty,
       path: Option[String] = None,
-      mode: String = "overwrite"
+      mode: String = "overwrite",
+      bloomFilterCols: Seq[String] = Seq.empty,
+      bloomFilterNdv: Map[String, Long] = Map.empty
   ): Unit = {
     require(bucketCols.nonEmpty, "need at least one bucket column")
     var w = df.write
       .format("parquet")
       .mode(mode)
+      .options(bloomOptions(bloomFilterCols, bloomFilterNdv))
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
     path.foreach(p => w = w.option("path", p))
@@ -219,11 +238,18 @@ object LakeSink {
     *
     * Row-group locality: `coalesce` (no shuffle) when shrinking file
     * count — compaction must not cost a full exchange of the table.
+    *
+    * `bloomFilterCols` installs parquet bloom filters on the rewrite —
+    * compaction is the natural moment to add point-lookup skipping to a
+    * table that accumulated bloom-less micro-batch files (id-keyed
+    * forget flows and CDC probes are the 100-TB consumers).
     */
   def compactParquet(
       spark: SparkSession,
       dir: String,
-      targetFileBytes: Long = 128L * 1024 * 1024
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      bloomFilterCols: Seq[String] = Seq.empty,
+      bloomFilterNdv: Map[String, Long] = Map.empty
   ): (Int, Int) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val path    = new org.apache.hadoop.fs.Path(dir)
@@ -248,7 +274,9 @@ object LakeSink {
     val before     = parquetFiles(path)
     val totalBytes = before.map(_.getLen).sum
     val nOut       = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    spark.read.parquet(dir).coalesce(nOut).write.mode("overwrite").parquet(staging.toString)
+    spark.read.parquet(dir).coalesce(nOut).write.mode("overwrite")
+      .options(bloomOptions(bloomFilterCols, bloomFilterNdv))
+      .parquet(staging.toString)
     fs.delete(retired, true)
     if (!fs.rename(path, retired))
       throw new java.io.IOException(s"compactParquet: could not retire $dir")

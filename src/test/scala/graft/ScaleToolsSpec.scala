@@ -74,6 +74,73 @@ class ScaleToolsSpec extends SparkSpec {
     }
   }
 
+  describe("parquet bloom filters (point-lookup row-group skipping)") {
+    it("an equality probe on an unsorted high-cardinality column skips row groups only with bloom") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+      try {
+        // Unsorted unique keys: every row group spans the full domain, so
+        // min/max statistics prune NOTHING for a point probe — only the
+        // bloom can skip. Small row groups force several groups per file.
+        val n  = 200000L
+        val df = spark.range(0, n).toDF("id")
+          .select(xxhash64(col("id")).as("k"), col("id"))
+        val rowGroupConf = Map("parquet.block.size" -> (256 * 1024).toString)
+        df.repartition(2).write.options(rowGroupConf).parquet(s"$dir/plain")
+        df.repartition(2).write.options(rowGroupConf)
+          .option("parquet.bloom.filter.enabled#k", "true")
+          .option("parquet.bloom.filter.expected.ndv#k", n.toString)
+          .parquet(s"$dir/bloom")
+        val probe = spark.range(0, n).select(xxhash64(col("id"))).limit(1).head.getLong(0)
+
+        def scannedRows(path: String): Long = {
+          val q = spark.read.parquet(path).where(col("k") === probe)
+          q.collect()
+          q.queryExecution.executedPlan.collectLeaves().collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.metrics("numOutputRows").value
+          }.sum
+        }
+        spark.read.parquet(s"$dir/bloom").where(col("k") === probe).count() shouldBe
+          spark.read.parquet(s"$dir/plain").where(col("k") === probe).count()
+        val plainScan = scannedRows(s"$dir/plain")
+        val bloomScan = scannedRows(s"$dir/bloom")
+        // The bloom layout materializes a fraction of the rows: row
+        // groups whose filter says "absent" never decode.
+        bloomScan.toDouble should be < plainScan.toDouble * 0.2
+      } finally {
+        def rm(p: java.io.File): Unit = { Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); () }
+        rm(new java.io.File(dir))
+      }
+    }
+
+    it("compactParquet installs bloom filters on the rewrite") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bloomc").toString + "/t"
+      try {
+        val n  = 100000L
+        val df = spark.range(0, n).toDF("id").select(xxhash64(col("id")).as("k"), col("id"))
+        df.repartition(8).write.options(Map("parquet.block.size" -> (256 * 1024).toString)).parquet(dir)
+        LakeSink.compactParquet(spark, dir, targetFileBytes = 300 * 1024,
+          bloomFilterCols = Seq("k"), bloomFilterNdv = Map("k" -> n))
+        // Footer-level proof: the rewritten files carry a bloom filter
+        // offset for column k.
+        val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
+        val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+            spark.sparkContext.hadoopConfiguration))
+        try {
+          val cols = in.getFooter.getBlocks.get(0).getColumns
+          val kCol = (0 until cols.size).map(cols.get)
+            .find(_.getPath.toDotString == "k").get
+          kCol.getBloomFilterOffset should be > 0L
+        } finally in.close()
+      } finally {
+        def rm(p: java.io.File): Unit = { Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); () }
+        rm(new java.io.File(dir).getParentFile)
+      }
+    }
+  }
+
   describe("LakeSink.mergePartitioned") {
     it("upserts into touched partitions only — untouched day directories keep their exact files") {
       val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString + "/t"
