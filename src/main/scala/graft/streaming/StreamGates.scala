@@ -1297,9 +1297,13 @@ object StreamGates {
     val out  = java.nio.file.Files.createTempDirectory("wds_stream_out")
     val sink = out.resolve("sink").toString
     val ckpt = out.resolve("ckpt").toString
+    // 16 shards/trigger keeps the replay MULTI-batch at every fixture SF
+    // (32 shards at sf0.01 → 2 batches, ~313 at sf0.1 → 20) without the
+    // 40-trigger fixed cost a tighter limit costs at sf0.1 — the rate
+    // limit is the knob, the parse is per-file either way.
     val src = spark.readStream.format("binaryFile")
       .schema(binSchema)
-      .option("maxFilesPerTrigger", 8)
+      .option("maxFilesPerTrigger", 16)
       .load(s"$shardDir/shard-*.tar")
     val samples = Multimodal.webdatasetSamples(
       src.select(lit(0L).as("shard_id"), col("content")), "shard_id", "content")

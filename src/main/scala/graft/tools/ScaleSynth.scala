@@ -133,8 +133,21 @@ object ScaleSynth {
       else df.withColumn("l_orderkey", col("l_orderkey") + lit(i * oStride))
     }
     write("documents") { (df, i) =>
-      df.withColumn("doc_id", col("doc_id") + lit(i * dStride))
+      val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * dStride))
         .withColumn("text", rotText(col("text"), i))
+      if (skewKeys)
+        // Hot-SHINGLE injection — the dedup family's skew axis: one fixed
+        // boilerplate phrase is appended to ~25% of all docs (hash-chosen,
+        // deterministic), so its trigrams saturate the corpus WITHOUT
+        // making the docs near-duplicates (each doc keeps its distinct
+        // body). A frequency-uncapped posting list for those trigrams
+        // would be (0.25·n)²/2 pairs; `maxShingleFreq` is the designed
+        // defense and the skew ladder is its measurement.
+        shifted.withColumn("text",
+          when(pmod(xxhash64(col("doc_id"), lit(13)), lit(4L)) === 0,
+            concat(col("text"), lit(" subscribe to our newsletter for updates today")))
+            .otherwise(col("text")))
+      else shifted
     }
     write("embeddings") { (df, i) =>
       val dims = 64
