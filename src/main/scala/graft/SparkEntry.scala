@@ -2592,6 +2592,71 @@ object SparkEntry {
         .orderBy("surface", "probe_id", "matched_id", "score")
     }),
 
+    // Forget THEN COMPACT, end-to-end: the full right-to-be-forgotten
+    // lifecycle — all five families built, one forget call, then ONE
+    // CorpusPipeline.compactIndexes call (family auto-detected from each
+    // index's frozen metadata) rewrites every surface minus the
+    // tombstoned docs and drops the tombstone sets. Every probe must
+    // return exactly what the mask-only flow returns (the forget-flow
+    // oracle verbatim): purge ≡ mask across all five surfaces in one
+    // composed run.
+    "q_forget_compact_flow" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{CorpusPipeline, Multimodal}
+      val docs = t(s, dir, "documents")
+      val emb  = t(s, dir, "embeddings")
+      val splitId = docs.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
+      val sig = graft.GateCache.privateCopy(s"sigidx_half:$dir")(p =>
+        Dedup.persistSignatureIndex(
+          Dedup.buildSignatureIndex(docs.where(col("doc_id") <= splitId), "text", "doc_id"), p))
+      val fpp = graft.GateCache.privateCopy(s"fpidx_full:$dir")(p =>
+        Dedup.persistFingerprintIndex(
+          docs.select(col("doc_id"),
+            Multimodal.imageDHash(Multimodal.syntheticPngTextured(col("doc_id"))).as("dh")),
+          "doc_id", "dh", p, maxHamming = 3, fpBits = 63))
+      val dsets = docs.select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("bg"))
+      val jac = graft.GateCache.privateCopy(s"jacidx_even600:$dir")(p =>
+        Dedup.persistJaccardIndex(
+          dsets.where(col("doc_id") % 2 === 0), "bg", "doc_id", p, thresholdMilli = 600))
+      val ivf = graft.GateCache.privateCopy(s"ivfidx_full:$dir")(p =>
+        Similarity.persistIvfIndex(emb, "vec_id", "embedding",
+          graft.operators.IvfPinned.centroids, p))
+      val bm = graft.GateCache.privateCopy(s"bm25idx_full:$dir")(p =>
+        TextAnalysis.persistBm25Index(TextAnalysis.buildBm25Index(docs, "text", "doc_id"), p))
+      val forget = docs.where(col("doc_id") % 3 === 0).select(col("doc_id"))
+        .unionByName(emb.where(col("vec_id") % 3 === 0).select(col("vec_id").as("doc_id")))
+        .distinct()
+      CorpusPipeline.forgetDocuments(forget, "doc_id", Seq(sig, fpp, jac, ivf, bm))
+      CorpusPipeline.compactIndexes(s, Seq(sig, fpp, jac, ivf, bm))
+      val sigP = Dedup.matchVsPersistedIndex(
+          docs.where(col("doc_id") > splitId), "text", "doc_id", sig)
+        .select(lit("sig").as("surface"), col("doc_id").as("probe_id"), col("matched_id"),
+          round(col("est_jaccard") * 32).cast("long").as("score"))
+      val fpP = Dedup.matchVsFingerprintIndex(
+          docs.select((col("doc_id") + 10000000L).as("doc_id"),
+            Multimodal.imageDHash(Multimodal.syntheticPngTexturedJittered(col("doc_id"))).as("dh")),
+          "doc_id", "dh", fpp)
+        .select(lit("fp").as("surface"), col("doc_id").as("probe_id"), col("matched_id"),
+          col("hamming").cast("long").as("score"))
+      val jacP = Dedup.matchVsJaccardIndex(
+          dsets.where(col("doc_id") % 2 === 1), "bg", "doc_id", jac)
+        .select(lit("jac").as("surface"), col("doc_id").as("probe_id"), col("matched_id"),
+          col("jaccard_milli").cast("long").as("score"))
+      val ivfP = Similarity.ivfTopKFromPersisted(s, ivf,
+          emb.where("vec_id < 5"), "vec_id", "embedding", k = 10, nprobe = 4)
+        .select(lit("ivf").as("surface"), col("query_id").as("probe_id"),
+          col("neighbor_id").as("matched_id"), col("rnk").cast("long").as("score"))
+      val bmQ = Seq(
+        (1L, "spark join window"), (2L, "hash merge sort batch"),
+        (3L, "customer filter query"), (4L, "scan"), (5L, "stream data value key")
+      ).toDF("query_id", "q_text")
+      val bmP = TextAnalysis.bm25TopKFromPersisted(s, bm, bmQ, "query_id", "q_text", k = 10)
+        .select(lit("bm25").as("surface"), col("query_id").as("probe_id"),
+          col("doc_id").as("matched_id"), col("rnk").cast("long").as("score"))
+      sigP.unionByName(fpP).unionByName(jacP).unionByName(ivfP).unionByName(bmP)
+        .orderBy("surface", "probe_id", "matched_id", "score")
+    }),
+
     // BPE-ish pre-tokenization count (regex segmentation).
     "q_text_bpe_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -4634,6 +4699,9 @@ object SparkEntry {
          |) ORDER BY surface, probe_id, matched_id, score""".stripMargin
     Map(
       "q_forget_flow" -> forgetFlowOracleSql,
+      // Purge ≡ mask across all five surfaces in one composed run: the
+      // compacted probes replay the mask-only oracle verbatim.
+      "q_forget_compact_flow" -> forgetFlowOracleSql,
       "q_dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
           |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,

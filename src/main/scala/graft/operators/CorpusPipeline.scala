@@ -104,6 +104,42 @@ object CorpusPipeline {
     indexPaths.map(p => (p, n)).toDF("index_path", "forgotten_ids")
   }
 
+  /** One-call COMPACTION across every persisted index family — the
+    * reclamation companion to [[forgetDocuments]]: after enough forget
+    * cycles the tombstone anti-joins and append segments dominate probe
+    * cost, and this fans the rewrite out the same way the forget fanned
+    * the deletes. The family is detected from the index's own frozen
+    * metadata artifact (each family stores exactly one distinctive
+    * `_`-prefixed dir beside its data), so a mixed list of paths needs no
+    * caller-side bookkeeping. Returns an audit frame
+    * (index_path, family).
+    */
+  def compactIndexes(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPaths: Seq[String]
+  ): DataFrame = {
+    require(indexPaths.nonEmpty, "compactIndexes: no index paths given")
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    def has(p: String, child: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p, child)
+      hp.getFileSystem(conf).exists(hp)
+    }
+    val report = indexPaths.map { p =>
+      val family =
+        if (has(p, "_graft_index_meta")) { Dedup.compactSignatureIndex(spark, p); "signature" }
+        else if (has(p, "_graft_fp_meta")) { Dedup.compactFingerprintIndex(spark, p); "fingerprint" }
+        else if (has(p, "_graft_jidx_meta")) { Dedup.compactJaccardIndex(spark, p); "jaccard" }
+        else if (has(p, "_graft_centroids")) { Similarity.compactIvfIndex(spark, p); "ivf" }
+        else if (has(p, "_graft_meta")) { TextAnalysis.compactBm25Index(spark, p); "bm25" }
+        else throw new IllegalArgumentException(
+          s"compactIndexes: $p carries no known index metadata artifact " +
+            "(_graft_index_meta / _graft_fp_meta / _graft_jidx_meta / _graft_centroids / _graft_meta)")
+      (p, family)
+    }
+    report.toDF("index_path", "family")
+  }
+
   private def chain(
       deduped: DataFrame,
       minTokens: Long,
