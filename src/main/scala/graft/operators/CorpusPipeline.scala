@@ -125,18 +125,29 @@ object CorpusPipeline {
       val hp = new org.apache.hadoop.fs.Path(p, child)
       hp.getFileSystem(conf).exists(hp)
     }
-    val report = indexPaths.map { p =>
-      val family =
-        if (has(p, "_graft_index_meta")) { Dedup.compactSignatureIndex(spark, p); "signature" }
-        else if (has(p, "_graft_fp_meta")) { Dedup.compactFingerprintIndex(spark, p); "fingerprint" }
-        else if (has(p, "_graft_jidx_meta")) { Dedup.compactJaccardIndex(spark, p); "jaccard" }
-        else if (has(p, "_graft_centroids")) { Similarity.compactIvfIndex(spark, p); "ivf" }
-        else if (has(p, "_graft_meta")) { TextAnalysis.compactBm25Index(spark, p); "bm25" }
-        else throw new IllegalArgumentException(
-          s"compactIndexes: $p carries no known index metadata artifact " +
-            "(_graft_index_meta / _graft_fp_meta / _graft_jidx_meta / _graft_centroids / _graft_meta)")
-      (p, family)
-    }
+    // Distinct indexes are independent rewrites over disjoint directories:
+    // run them as CONCURRENT Spark jobs (one driver thread each) so the
+    // cluster pipelines the five scans/shuffles instead of idling between
+    // them — the same submit-parallelism Graft's level-parallel copy uses.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val report = Await.result(
+      Future.sequence(indexPaths.map { p =>
+        Future {
+          val family =
+            if (has(p, "_graft_index_meta")) { Dedup.compactSignatureIndex(spark, p); "signature" }
+            else if (has(p, "_graft_fp_meta")) { Dedup.compactFingerprintIndex(spark, p); "fingerprint" }
+            else if (has(p, "_graft_jidx_meta")) { Dedup.compactJaccardIndex(spark, p); "jaccard" }
+            else if (has(p, "_graft_centroids")) { Similarity.compactIvfIndex(spark, p); "ivf" }
+            else if (has(p, "_graft_meta")) { TextAnalysis.compactBm25Index(spark, p); "bm25" }
+            else throw new IllegalArgumentException(
+              s"compactIndexes: $p carries no known index metadata artifact " +
+                "(_graft_index_meta / _graft_fp_meta / _graft_jidx_meta / _graft_centroids / _graft_meta)")
+          (p, family)
+        }
+      }),
+      Duration.Inf)
     report.toDF("index_path", "family")
   }
 
