@@ -351,7 +351,8 @@ object StreamGates {
     val ev = graft.Tpch.events(spark, sfDir)
       .where(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
-    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Append()) { in =>
+    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Append(),
+        stageKey = Some(s"evattr:$sfDir")) { in =>
       val clicks = in.where(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
         .withWatermark("click_ts", "1 second")
@@ -389,7 +390,8 @@ object StreamGates {
       col("event_id"),
       timestamp_micros(expr("ts div 1000")).as("ts"),
       expr("CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)").as("cents"))
-    replayViaForeachBatch(spark, ev, "ts", chunks = 3) { batch =>
+    replayViaForeachBatch(spark, ev, "ts", chunks = 3,
+        stageKey = Some(s"evtt:$sfDir")) { batch =>
       VersionedTable.commit(spark, tmp, batch.select("event_id", "cents"), append = true)
       batch.limit(0) // the parquet sink is unused; the table IS the output
     }
@@ -431,7 +433,8 @@ object StreamGates {
         (-1L, new java.sql.Timestamp(maxTs.getTime + k * 86400000L), "purchase"))
         .toDF("user_id", "ts", "event_type")
     }
-    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Append(), flush) { in =>
+    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Append(), flush,
+        stageKey = Some(s"evattro:$sfDir")) { in =>
       val clicks = in.where(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
         .withWatermark("click_ts", "1 second")
@@ -771,7 +774,8 @@ object StreamGates {
     val stages = Seq("signup", "view", "click", "purchase")
     val ev = graft.Tpch.events(spark, sfDir)
       .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
-    val raw = replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Update())(in =>
+    val raw = replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Update(),
+        stageKey = Some(s"evfunnel:$sfDir"))(in =>
       EventStream.funnelByEventTime(in.as[EventStream.FunnelEvent], stages).toDF())
     val best = raw
       .groupBy("user_id")
@@ -799,7 +803,8 @@ object StreamGates {
       timestamp_micros(expr("ts div 1000")).as("ts"),
       col("event_id"),
       floor(col("value").cast("double") * 100 + lit(0.5)).cast("long").as("cents"))
-    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Append())(in =>
+    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Append(),
+        stageKey = Some(s"evroll:$sfDir"))(in =>
       EventStream.rollingOutliersByEventTime(in.as[EventStream.MonitorEvent]).toDF())
       .orderBy("event_id")
   }
@@ -826,7 +831,8 @@ object StreamGates {
       .groupBy(Profiler.psiBin(col("cents"), binWidth, numBins).as("bin"))
       .agg(count(lit(1)).as("a_cnt"))
     val curCounts = replayViaFiles(
-        spark, ev.where(col("event_id") > mid), "ts", chunks = 3, OutputMode.Complete())(
+        spark, ev.where(col("event_id") > mid), "ts", chunks = 3, OutputMode.Complete(),
+        stageKey = Some(s"evpsic:$sfDir"))(
       in => in.groupBy(Profiler.psiBin(col("cents"), binWidth, numBins).as("bin"))
         .agg(count(lit(1)).as("b_cnt")))
     // Bins occupied by exactly one side must still contribute (the batch
@@ -1028,7 +1034,8 @@ object StreamGates {
       .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"))
     val dim = graft.Tpch.table(spark, sfDir, "customer")
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
-    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Append())(
+    replayViaFiles(spark, ev, "ts", chunks = 3, OutputMode.Append(),
+        stageKey = Some(s"evenrich:$sfDir"))(
       in => EventStream.enrichWithStatic(in, dim, Seq("user_id"), "left"))
       .select(col("event_id"), col("user_id"), col("segment"))
       .orderBy("event_id")
@@ -1091,7 +1098,8 @@ object StreamGates {
       rules.map(r =>
         coalesce(sum(when(coalesce(r.predicate, lit(false)), 0L).otherwise(1L)), lit(0L))
           .as(s"f_${r.name}"))
-    val totals = replayViaFiles(spark, li, "ts", chunks = 3, OutputMode.Complete())(
+    val totals = replayViaFiles(spark, li, "ts", chunks = 3, OutputMode.Complete(),
+        stageKey = Some(s"liexpect:$sfDir"))(
       in => in.agg(aggs.head, aggs.tail: _*))
     // One row of running totals → the per-rule report rows.
     import spark.implicits._
@@ -1157,7 +1165,8 @@ object StreamGates {
         timestamp_millis(lit(1700000000000L) + col("doc_id") * 60000L).as("ts"),
         col("text")
       )
-    replayViaFiles(spark, docs, "ts", chunks = 3, OutputMode.Append())(
+    replayViaFiles(spark, docs, "ts", chunks = 3, OutputMode.Append(),
+        stageKey = Some(s"docsneardup:$sfDir"))(
       in => EventStream.nearDupCandidatesWithinWatermark(
         in, "doc_id", "ts", "text",
         windowMinutes = 60, minEstJaccard = 0.5, maxPerBucket = 1000000).toDF())
@@ -1194,7 +1203,8 @@ object StreamGates {
       TextAnalysis.persistBm25Index(
         TextAnalysis.buildBm25Index(graft.Tpch.table(spark, sfDir, "documents"), "text", "doc_id"),
         p))
-    replayViaForeachBatch(spark, queryStream(spark), "ts", chunks = 3)(
+    replayViaForeachBatch(spark, queryStream(spark), "ts", chunks = 3,
+        stageKey = Some("bmqstream"))(
       b => TextAnalysis.bm25TopKFromPersisted(spark, indexDir, b, "query_id", "q_text", k = 10))
       .orderBy("query_id", "rnk")
   }
@@ -1223,7 +1233,8 @@ object StreamGates {
     val probes = all.where(col("doc_id") > splitId)
       .select(col("doc_id"), col("text"),
         timestamp_millis(lit(1700000000000L) + col("doc_id") * 10L).as("ts"))
-    replayViaForeachBatch(spark, probes, "ts", chunks = 3)(
+    replayViaForeachBatch(spark, probes, "ts", chunks = 3,
+        stageKey = Some(s"exciseprobes:$sfDir"))(
       b => Dedup.exciseVsPersistedGrams(b, "text", "doc_id", indexDir))
       .orderBy("doc_id")
   }
@@ -1253,7 +1264,8 @@ object StreamGates {
       (col("doc_id") + 10000000L).as("doc_id"),
       Multimodal.imageDHash(Multimodal.syntheticPngTexturedJittered(col("doc_id"))).as("dh"),
       timestamp_millis(lit(1700000000000L) + col("doc_id") * 10L).as("ts"))
-    replayViaForeachBatch(spark, probes, "ts", chunks = 3)(
+    replayViaForeachBatch(spark, probes, "ts", chunks = 3,
+        stageKey = Some(s"fpprobes:$sfDir"))(
       b => Dedup.matchVsFingerprintIndex(b.drop("ts"), "doc_id", "dh", indexDir))
       .select(col("doc_id"), col("matched_id"), col("hamming").cast("long").as("hamming"))
       .orderBy("doc_id", "matched_id")
@@ -1337,7 +1349,8 @@ object StreamGates {
         d.where(col("doc_id") % 2 === 0), "bg", "doc_id", p, thresholdMilli = 600))
     val probes = d.where(col("doc_id") % 2 === 1)
       .withColumn("ts", timestamp_millis(lit(1700000000000L) + col("doc_id") * 10L))
-    replayViaForeachBatch(spark, probes, "ts", chunks = 3)(
+    replayViaForeachBatch(spark, probes, "ts", chunks = 3,
+        stageKey = Some(s"jacprobes:$sfDir"))(
       b => Dedup.matchVsJaccardIndex(b.drop("ts"), "bg", "doc_id", indexDir))
       .orderBy("doc_id", "matched_id")
   }
@@ -1352,7 +1365,8 @@ object StreamGates {
     val queries = emb.where("vec_id < 5")
       .select(col("vec_id"), col("embedding"),
         timestamp_millis(lit(1700000000000L) + col("vec_id") * 1000L).as("ts"))
-    replayViaForeachBatch(spark, queries, "ts", chunks = 3)(
+    replayViaForeachBatch(spark, queries, "ts", chunks = 3,
+        stageKey = Some(s"ivfqueries:$sfDir"))(
       b => Similarity.ivfTopKFromPersisted(spark, indexDir, b, "vec_id", "embedding",
         k = 10, nprobe = 4))
       .orderBy("query_id", "rnk")
