@@ -116,13 +116,16 @@ object CorpusPipeline {
     */
   def compactIndexes(
       spark: org.apache.spark.sql.SparkSession,
-      indexPaths: Seq[String]
+      indexPaths: Seq[String],
+      selective: Boolean = true
   ): DataFrame = {
     require(indexPaths.nonEmpty, "compactIndexes: no index paths given")
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    def has(p: String, child: String): Boolean = {
-      val hp = new org.apache.hadoop.fs.Path(p, child)
+    // The metadata artifact lives in the CURRENT GENERATION once an index
+    // has been compacted before — detect against the resolved data dir.
+    def has(root: String, child: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(IndexStore.dataDir(spark, root), child)
       hp.getFileSystem(conf).exists(hp)
     }
     // Distinct indexes are independent rewrites over disjoint directories:
@@ -136,14 +139,15 @@ object CorpusPipeline {
       Future.sequence(indexPaths.map { p =>
         Future {
           val family =
-            if (has(p, "_graft_index_meta")) { Dedup.compactSignatureIndex(spark, p); "signature" }
-            else if (has(p, "_graft_fp_meta")) { Dedup.compactFingerprintIndex(spark, p); "fingerprint" }
-            else if (has(p, "_graft_jidx_meta")) { Dedup.compactJaccardIndex(spark, p); "jaccard" }
-            else if (has(p, "_graft_centroids")) { Similarity.compactIvfIndex(spark, p); "ivf" }
-            else if (has(p, "_graft_meta")) { TextAnalysis.compactBm25Index(spark, p); "bm25" }
+            if (has(p, "_graft_index_meta")) { Dedup.compactSignatureIndex(spark, p, selective); "signature" }
+            else if (has(p, "_graft_fp_meta")) { Dedup.compactFingerprintIndex(spark, p, selective); "fingerprint" }
+            else if (has(p, "_graft_jidx_meta")) { Dedup.compactJaccardIndex(spark, p, selective); "jaccard" }
+            else if (has(p, "_graft_centroids")) { Similarity.compactIvfIndex(spark, p, selective); "ivf" }
+            else if (has(p, "_graft_meta")) { TextAnalysis.compactBm25Index(spark, p, selective); "bm25" }
+            else if (has(p, "_graft_gram_meta")) { Dedup.compactGramIndex(spark, p, selective); "gram" }
             else throw new IllegalArgumentException(
               s"compactIndexes: $p carries no known index metadata artifact " +
-                "(_graft_index_meta / _graft_fp_meta / _graft_jidx_meta / _graft_centroids / _graft_meta)")
+                "(_graft_index_meta / _graft_fp_meta / _graft_jidx_meta / _graft_centroids / _graft_meta / _graft_gram_meta)")
           (p, family)
         }
       }),

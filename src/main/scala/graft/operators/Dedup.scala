@@ -1177,7 +1177,8 @@ object Dedup {
 
   /** Read back the [[SignatureIndexMeta]] of a persisted index. */
   def readSignatureIndexMeta(spark: org.apache.spark.sql.SparkSession, path: String): SignatureIndexMeta = {
-    val r = spark.read.parquet(metaPath(path)).select("n", "numHashes", "bands", "keyBuckets").head
+    val r = spark.read.parquet(metaPath(IndexStore.dataDir(spark, path)))
+      .select("n", "numHashes", "bands", "keyBuckets").head
     SignatureIndexMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
   }
 
@@ -1208,23 +1209,32 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = index.sparkSession
     import spark.implicits._
-    if (append) {
-      val m = readSignatureIndexMeta(spark, path)
-      require(m == SignatureIndexMeta(n, numHashes, bands, keyBuckets),
-        s"persistSignatureIndex(append): parameters $n/$numHashes/$bands/$keyBuckets do not match the existing index $m")
-    }
-    bandedSignatures(index, numHashes, bands)
+    val banded = bandedSignatures(index, numHashes, bands)
       .withColumn("bucket", bandBucket(keyBuckets))
       // One shuffle on the partition column → each task owns whole buckets,
       // so the write emits one file per (task, bucket) instead of
       // tasks×buckets small files.
       .repartition(col("bucket"))
-      .write.mode(if (append) "append" else "overwrite")
-      .partitionBy("bucket")
-      .parquet(path)
-    if (!append)
-      Seq((n, numHashes, bands, keyBuckets)).toDF("n", "numHashes", "bands", "keyBuckets")
-        .coalesce(1).write.mode("overwrite").parquet(metaPath(path))
+    if (append)
+      // Writer lease: two concurrent appenders (daily crawl × backfill)
+      // would interleave committer temporaries and silently lose files —
+      // they serialize here, the second waiting or failing loudly.
+      IndexStore.withWriterLease(spark, path) {
+        val m = readSignatureIndexMeta(spark, path)
+        require(m == SignatureIndexMeta(n, numHashes, bands, keyBuckets),
+          s"persistSignatureIndex(append): parameters $n/$numHashes/$bands/$keyBuckets do not match the existing index $m")
+        banded.write.mode("append").partitionBy("bucket")
+          .parquet(IndexStore.dataDir(spark, path))
+      }
+    else
+      // Flat roots write in place; a root that has been compacted (and so
+      // carries generations) rebuilds as a NEW generation + atomic flip,
+      // never interrupting concurrent probes.
+      IndexStore.overwriteRoot(spark, path) { dir =>
+        banded.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+        Seq((n, numHashes, bands, keyBuckets)).toDF("n", "numHashes", "bands", "keyBuckets")
+          .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
+      }
   }
 
   private def tombstonePath(path: String) = s"$path/_graft_tombstones"
@@ -1241,57 +1251,109 @@ object Dedup {
     * the index from surviving docs (persist(overwrite) drops tombstones).
     */
   def deleteFromPersistedIndex(ids: DataFrame, idCol: String, path: String): Unit =
-    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
-      .coalesce(1).write.mode("append").parquet(tombstonePath(path))
+    IndexStore.withWriterLease(ids.sparkSession, path) {
+      ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+        .coalesce(1).write.mode("append")
+        .parquet(tombstonePath(IndexStore.dataDir(ids.sparkSession, path)))
+    }
 
   /** The index's tombstoned ids, if any were ever deleted. */
-  def indexTombstones(spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
-    val p  = new org.apache.hadoop.fs.Path(tombstonePath(path))
+  def indexTombstones(spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] =
+    tombstonesAt(spark, IndexStore.dataDir(spark, path))
+
+  /** [[indexTombstones]] against an already-RESOLVED data directory —
+    * internal probe paths resolve the generation once at entry and must
+    * not re-resolve mid-operation (a concurrent compaction could flip the
+    * pointer between reads).
+    */
+  private def tombstonesAt(spark: org.apache.spark.sql.SparkSession, dataDir: String): Option[DataFrame] = {
+    val p  = new org.apache.hadoop.fs.Path(tombstonePath(dataDir))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) Some(spark.read.parquet(p.toString).select(col("doc_id")).distinct())
     else None
   }
 
+  /** `path` must be a RESOLVED data dir (see [[tombstonesAt]]). */
   private def dropTombstoned(idx: DataFrame, joinCol: String, path: String): DataFrame =
-    indexTombstones(idx.sparkSession, path) match {
+    tombstonesAt(idx.sparkSession, path) match {
       case Some(ts) =>
         idx.join(org.apache.spark.sql.functions.broadcast(ts),
           idx(joinCol) === ts("doc_id"), "left_anti")
       case None => idx
     }
 
-  /** COMPACT a persisted signature index in place: rewrite the banded rows
-    * minus the tombstoned docs, fold every partition's append segments
+  /** COMPACT a persisted signature index: rewrite the banded rows minus
+    * the tombstoned docs, fold every touched partition's append segments
     * into one file, and drop the tombstone set — completing the
     * build → append/delete → compact lifecycle. Probe results afterwards
     * are EXACTLY a fresh [[persistSignatureIndex]] of the surviving docs
     * (same meta, same bucket formula; the rewrite only removes masked
     * rows, so [[matchVsPersistedIndex]]'s pruning contract is unchanged),
     * but a probe no longer pays the anti-join or the multi-segment scans.
-    * Crash-safe via [[IndexCompaction.rewrite]]'s stage-retire-swap; cost
-    * is one pruned-free full scan + one shuffle on the partition column —
-    * the same shape as the original build's write, amortized over every
-    * probe that follows.
+    *
+    * `selective = true` (the default) rewrites ONLY DIRTY partitions —
+    * those with append segments or at least one tombstoned row, found by
+    * one directory listing plus one column-pruned (bucket, doc_id) scan —
+    * and carries clean partitions into the new generation by hardlink:
+    * purging 0.1% of a 10⁹-doc index costs the dirty 0.1%, not a
+    * full-corpus rewrite. When ≥80% of partitions are dirty the full
+    * rewrite is cheaper and runs instead. Either way the result installs
+    * as a NEW GENERATION behind an atomic pointer flip
+    * ([[IndexStore.swapGeneration]]): concurrent probes resolve a
+    * complete generation at every instant — no absence window, no mixed
+    * state, crash-safe at every point — and writers serialize on the
+    * index lease.
     */
-  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    IndexCompaction.rewrite(spark, path, dropMeta = Set("_graft_tombstones")) { staging =>
-      dropTombstoned(spark.read.parquet(path), "doc_id", path)
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(staging)
-    }
-  }
+  def compactSignatureIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      selective: Boolean = true
+  ): Unit =
+    compactBandedBucketIndex(spark, path, selective)
 
   /** [[compactSignatureIndex]] for the fingerprint index — identical
     * mechanics (same banded bucket layout, same tombstone contract, same
     * `_graft_fp_meta` carried through the swap).
     */
-  def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    IndexCompaction.rewrite(spark, path, dropMeta = Set("_graft_tombstones")) { staging =>
-      dropTombstoned(spark.read.parquet(path), "doc_id", path)
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(staging)
+  def compactFingerprintIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      selective: Boolean = true
+  ): Unit =
+    compactBandedBucketIndex(spark, path, selective)
+
+  /** Shared selective compactor of the two banded `bucket`-partitioned
+    * families (signature, fingerprint): see [[compactSignatureIndex]].
+    */
+  private def compactBandedBucketIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      selective: Boolean
+  ): Unit =
+    IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones")) { (live, staged) =>
+      val ts     = tombstonesAt(spark, live)
+      val counts = IndexStore.partitionFileCounts(spark, live, "bucket")
+      val multi  = counts.filter(_._2 > 1).keySet
+      val tsTouched = ts match {
+        case Some(t) =>
+          IndexStore.tombstoneTouchedParts(spark.read.parquet(live), "bucket", "doc_id", t, "doc_id")
+        case None => Set.empty[Int]
+      }
+      val dirty = multi ++ tsTouched
+      def minus(df: DataFrame): DataFrame = ts match {
+        case Some(t) => df.join(org.apache.spark.sql.functions.broadcast(t), Seq("doc_id"), "left_anti")
+        case None    => df
+      }
+      if (!selective || counts.isEmpty || dirty.size * 5 >= counts.size * 4)
+        minus(spark.read.parquet(live))
+          .repartition(col("bucket")).write.partitionBy("bucket").parquet(staged)
+      else {
+        if (dirty.nonEmpty)
+          minus(spark.read.parquet(live).where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*)))
+            .repartition(col("bucket")).write.partitionBy("bucket").parquet(staged)
+        IndexStore.carryPartitions(spark, live, staged, "bucket", (counts.keySet -- dirty).toSeq.sorted)
+      }
     }
-  }
 
   /** Compact a persisted Jaccard prefix index: both data relations
     * (`postings`, `fullsets`) are rewritten minus the tombstoned docs
@@ -1301,28 +1363,56 @@ object Dedup {
     * probes after compaction return exactly the pairs a fresh build on
     * the surviving docs would (the exact threshold test is
     * order-independent; only prefix selectivity could differ, never the
-    * result set). Each relation's rewrite is independently crash-safe;
-    * serving stays correct in every intermediate state because the
-    * tombstone mask outlives the rows it masks.
+    * result set).
+    *
+    * `selective = true` rewrites only DIRTY partitions of each relation
+    * and hardlink-carries the rest ([[compactSignatureIndex]]'s cost
+    * model). Dirtiness: `postings` needs the column-pruned
+    * (bucket, doc_id) scan (a doc's prefix elements hash anywhere), but
+    * `fullsets` is partitioned by `dbucket = pmod(xxhash64(doc_id),
+    * docBuckets)` — ID-derived, so its tombstone-touched partitions
+    * compute from the tombstone set alone, no scan at all. Both
+    * relations land in ONE new generation behind ONE atomic pointer flip
+    * ([[IndexStore.swapGeneration]]), so a concurrent probe can never
+    * see compacted postings against un-compacted fullsets — the
+    * per-relation in-place rewrite this replaces had exactly that
+    * window (tombstone-masked, so correct, but now impossible by
+    * construction, and the index path is never absent mid-swap).
     */
-  def compactJaccardIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val ts = indexTombstones(spark, path)
-    def minus(df: DataFrame): DataFrame = ts match {
-      case Some(t) => df.join(org.apache.spark.sql.functions.broadcast(t), Seq("doc_id"), "left_anti")
-      case None    => df
+  def compactJaccardIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      selective: Boolean = true
+  ): Unit =
+    IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones")) { (live, staged) =>
+      val ts = tombstonesAt(spark, live)
+      def minus(df: DataFrame): DataFrame = ts match {
+        case Some(t) => df.join(org.apache.spark.sql.functions.broadcast(t), Seq("doc_id"), "left_anti")
+        case None    => df
+      }
+      val (_, _, docBuckets) = readJaccardIndexMetaAt(spark, live)
+      def rewriteRel(rel: String, partCol: String, tsTouched: => Set[Int]): Unit = {
+        val liveRel   = s"$live/$rel"
+        val stagedRel = s"$staged/$rel"
+        val counts = IndexStore.partitionFileCounts(spark, liveRel, partCol)
+        val dirty  = counts.filter(_._2 > 1).keySet ++ (if (ts.isDefined) tsTouched else Set.empty[Int])
+        if (!selective || counts.isEmpty || dirty.size * 5 >= counts.size * 4)
+          minus(spark.read.parquet(liveRel))
+            .repartition(col(partCol)).write.partitionBy(partCol).parquet(stagedRel)
+        else {
+          if (dirty.nonEmpty)
+            minus(spark.read.parquet(liveRel).where(col(partCol).isin(dirty.toSeq.sorted.map(b => b: Any): _*)))
+              .repartition(col(partCol)).write.partitionBy(partCol).parquet(stagedRel)
+          IndexStore.carryPartitions(spark, liveRel, stagedRel, partCol, (counts.keySet -- dirty).toSeq.sorted)
+        }
+      }
+      rewriteRel("postings", "bucket",
+        IndexStore.tombstoneTouchedParts(
+          spark.read.parquet(s"$live/postings"), "bucket", "doc_id", ts.get, "doc_id"))
+      rewriteRel("fullsets", "dbucket",
+        ts.get.select(pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)).cast("int").as("dbucket"))
+          .distinct().collect().map(_.getInt(0)).toSet)
     }
-    IndexCompaction.rewrite(spark, s"$path/postings", dropMeta = Set.empty) { staging =>
-      minus(spark.read.parquet(s"$path/postings"))
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(staging)
-    }
-    IndexCompaction.rewrite(spark, s"$path/fullsets", dropMeta = Set.empty) { staging =>
-      minus(spark.read.parquet(s"$path/fullsets"))
-        .repartition(col("dbucket"))
-        .write.partitionBy("dbucket").parquet(staging)
-    }
-    IndexCompaction.dropTombstones(spark, tombstonePath(path))
-  }
 
   /** Reload the COMPACT `(doc_id, sig)` index from a persisted banded one
     * (each doc stores its full signature in every band row — band 0 alone
@@ -1330,10 +1420,12 @@ object Dedup {
     * tombstoned docs. The nightly-batch re-entry point: feed to
     * [[incrementalDedup]].
     */
-  def loadSignatureIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+  def loadSignatureIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val dd = IndexStore.dataDir(spark, path) // resolve once — never mixes generations
     dropTombstoned(
-      spark.read.parquet(path).where(col("band") === 0).select("doc_id", "sig"),
-      "doc_id", path)
+      spark.read.parquet(dd).where(col("band") === 0).select("doc_id", "sig"),
+      "doc_id", dd)
+  }
 
   /** Match a new batch against a PERSISTED banded index, reading only the
     * partitions the batch's own band keys hash to — the serving probe of a
@@ -1358,7 +1450,8 @@ object Dedup {
   ): DataFrame = {
     val spark = newDocs.sparkSession
     import spark.implicits._
-    val m = readSignatureIndexMeta(spark, indexPath)
+    val dd = IndexStore.dataDir(spark, indexPath) // resolve once per probe
+    val m  = readSignatureIndexMeta(spark, dd)
     val nbd = Lineage.truncate(
       bandedSignatures(
         buildSignatureIndex(newDocs, textCol, idCol, m.n, m.numHashes), m.numHashes, m.bands)
@@ -1369,10 +1462,10 @@ object Dedup {
     if (touched.isEmpty) empty
     else {
       val idx = dropTombstoned(
-        spark.read.parquet(indexPath)
+        spark.read.parquet(dd)
           .where(col("bucket").isin(touched.map(b => b: Any): _*))
           .select(col("doc_id").as("oid"), col("sig").as("osig"), col("bucket"), col("band"), col("key")),
-        "oid", indexPath)
+        "oid", dd)
       val estU = udf { (a: Seq[Long], b: Seq[Long]) => estimateJaccard(a.toArray, b.toArray) }
       nbd.join(idx, Seq("bucket", "band", "key"))
         // A pair colliding in k bands appears k times with identical sigs —
@@ -1547,12 +1640,16 @@ object Dedup {
     val tok = df
       .select(col(idCol).cast("long").as("doc_id"), explode(col(setCol)).as("tok"))
       .distinct()
+    // Appends hold the writer lease for the whole multi-relation write
+    // (postings + fullsets must land as one logical append) and resolve
+    // the generation inside it — see [[IndexStore.withWriterLease]].
+    def doPersist(dir: String): Unit = {
     val dict =
       if (append) {
-        val m = readJaccardIndexMeta(spark, path)
+        val m = readJaccardIndexMetaAt(spark, dir)
         require(m == (thresholdMilli, keyBuckets, docBuckets),
           s"persistJaccardIndex(append): parameters ($thresholdMilli,$keyBuckets,$docBuckets) do not match the existing index $m")
-        spark.read.parquet(s"$path/_graft_jidx_dict")
+        spark.read.parquet(s"$dir/_graft_jidx_dict")
       } else tok.groupBy("tok").agg(count(lit(1)).as("dfreq"))
     val prefix = Lineage.truncate(
       tok.withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
@@ -1566,23 +1663,32 @@ object Dedup {
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(keyBuckets.toLong)).cast("int"))
       .repartition(col("bucket"))
       .write.mode(if (append) "append" else "overwrite")
-      .partitionBy("bucket").parquet(s"$path/postings")
+      .partitionBy("bucket").parquet(s"$dir/postings")
     tok
       .withColumn("dbucket", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)).cast("int"))
       .repartition(col("dbucket"))
       .write.mode(if (append) "append" else "overwrite")
-      .partitionBy("dbucket").parquet(s"$path/fullsets")
+      .partitionBy("dbucket").parquet(s"$dir/fullsets")
     if (!append) {
-      dict.write.mode("overwrite").parquet(s"$path/_graft_jidx_dict")
+      dict.write.mode("overwrite").parquet(s"$dir/_graft_jidx_dict")
       Seq((thresholdMilli, keyBuckets, docBuckets))
         .toDF("thresholdMilli", "keyBuckets", "docBuckets")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_jidx_meta")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_graft_jidx_meta")
     }
+    }
+    if (append)
+      IndexStore.withWriterLease(spark, path)(doPersist(IndexStore.dataDir(spark, path)))
+    else IndexStore.overwriteRoot(spark, path)(doPersist)
   }
 
   private def readJaccardIndexMeta(
-      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$path/_graft_jidx_meta")
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Int) =
+    readJaccardIndexMetaAt(spark, IndexStore.dataDir(spark, path))
+
+  /** Meta read against an already-resolved data dir (see [[tombstonesAt]]). */
+  private def readJaccardIndexMetaAt(
+      spark: org.apache.spark.sql.SparkSession, dataDir: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$dataDir/_graft_jidx_meta")
       .select("thresholdMilli", "keyBuckets", "docBuckets").head
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
@@ -1604,9 +1710,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val spark = newDf.sparkSession
     import spark.implicits._
-    val (tmI, keyBuckets, docBuckets) = readJaccardIndexMeta(spark, indexPath)
+    val dd = IndexStore.dataDir(spark, indexPath) // resolve once per probe
+    val (tmI, keyBuckets, docBuckets) = readJaccardIndexMetaAt(spark, dd)
     val tm = tmI.toLong
-    val dict = spark.read.parquet(s"$indexPath/_graft_jidx_dict")
+    val dict = spark.read.parquet(s"$dd/_graft_jidx_dict")
     val ntok = Lineage.truncate(
       newDf.select(col(idCol).cast("long").as("nid"), explode(col(setCol)).as("tok")).distinct())
     val nprefix = Lineage.truncate(
@@ -1623,10 +1730,10 @@ object Dedup {
       .toDF("doc_id", "matched_id", "inter", "size_a", "size_b", "jaccard_milli")
     if (touched.isEmpty) return empty
     val postings = dropTombstoned(
-      spark.read.parquet(s"$indexPath/postings")
+      spark.read.parquet(s"$dd/postings")
         .where(col("bucket").isin(touched.map(b => b: Any): _*))
         .select(col("bucket"), col("tok"), col("doc_id").as("oid"), col("sz").as("sb")),
-      "oid", indexPath)
+      "oid", dd)
     // Lazy on purpose: the candidate join is evaluated twice (once
     // projected to candidate doc buckets, once in the verify pipeline) —
     // both evaluations read only the PRUNED postings partitions, and a
@@ -1642,7 +1749,7 @@ object Dedup {
       .select(pmod(xxhash64(col("oid")), lit(docBuckets.toLong)).cast("int").as("dbucket"))
       .distinct().as[Int].collect().sorted
     if (candBuckets.isEmpty) return empty
-    val fullsets = spark.read.parquet(s"$indexPath/fullsets")
+    val fullsets = spark.read.parquet(s"$dd/fullsets")
       .where(col("dbucket").isin(candBuckets.map(b => b: Any): _*))
       .select(col("doc_id").as("oid"), col("tok"))
     cand
@@ -1780,24 +1887,28 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < fpBits, "need 0 <= maxHamming < fpBits")
     val spark = df.sparkSession
     import spark.implicits._
-    if (append) {
-      val m = readFingerprintIndexMeta(spark, path)
-      require(m == (maxHamming, fpBits, keyBuckets),
-        s"persistFingerprintIndex(append): parameters ($maxHamming,$fpBits,$keyBuckets) do not match the existing index $m")
-    }
-    fingerprintBands(df, idCol, fpCol, maxHamming, fpBits)
+    val banded = fingerprintBands(df, idCol, fpCol, maxHamming, fpBits)
       .withColumn("bucket", pmod(xxhash64(col("band"), col("key")), lit(keyBuckets.toLong)).cast("int"))
       .repartition(col("bucket"))
-      .write.mode(if (append) "append" else "overwrite")
-      .partitionBy("bucket").parquet(path)
-    if (!append)
-      Seq((maxHamming, fpBits, keyBuckets)).toDF("maxHamming", "fpBits", "keyBuckets")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_fp_meta")
+    if (append)
+      IndexStore.withWriterLease(spark, path) { // concurrent appenders serialize
+        val m = readFingerprintIndexMeta(spark, path)
+        require(m == (maxHamming, fpBits, keyBuckets),
+          s"persistFingerprintIndex(append): parameters ($maxHamming,$fpBits,$keyBuckets) do not match the existing index $m")
+        banded.write.mode("append").partitionBy("bucket")
+          .parquet(IndexStore.dataDir(spark, path))
+      }
+    else
+      IndexStore.overwriteRoot(spark, path) { dir =>
+        banded.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+        Seq((maxHamming, fpBits, keyBuckets)).toDF("maxHamming", "fpBits", "keyBuckets")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/_graft_fp_meta")
+      }
   }
 
   private def readFingerprintIndexMeta(
       spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$path/_graft_fp_meta")
+    val r = spark.read.parquet(s"${IndexStore.dataDir(spark, path)}/_graft_fp_meta")
       .select("maxHamming", "fpBits", "keyBuckets").head
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
@@ -1817,7 +1928,8 @@ object Dedup {
   ): DataFrame = {
     val spark = newDf.sparkSession
     import spark.implicits._
-    val (maxHamming, fpBits, keyBuckets) = readFingerprintIndexMeta(spark, indexPath)
+    val dd = IndexStore.dataDir(spark, indexPath) // resolve once per probe
+    val (maxHamming, fpBits, keyBuckets) = readFingerprintIndexMeta(spark, dd)
     val nbd = Lineage.truncate(
       fingerprintBands(newDf, idCol, fpCol, maxHamming, fpBits)
         .withColumn("bucket", pmod(xxhash64(col("band"), col("key")), lit(keyBuckets.toLong)).cast("int"))
@@ -1827,10 +1939,10 @@ object Dedup {
     if (touched.isEmpty) empty
     else {
       val idx = dropTombstoned(
-        spark.read.parquet(indexPath)
+        spark.read.parquet(dd)
           .where(col("bucket").isin(touched.map(b => b: Any): _*))
           .select(col("doc_id").as("oid"), col("fp").as("ofp"), col("bucket"), col("band"), col("key")),
-        "oid", indexPath)
+        "oid", dd)
       nbd.join(idx, Seq("bucket", "band", "key"))
         .select("nid", "oid", "nfp", "ofp").distinct()
         .withColumn("hamming", bit_count(col("nfp").bitwiseXOR(col("ofp"))))
@@ -2102,7 +2214,8 @@ object Dedup {
 
   /** Read back the [[GramIndexMeta]] of a persisted gram index. */
   def readGramIndexMeta(spark: org.apache.spark.sql.SparkSession, path: String): GramIndexMeta = {
-    val r = spark.read.parquet(gramMetaPath(path)).select("k", "gramBuckets").head
+    val r = spark.read.parquet(gramMetaPath(IndexStore.dataDir(spark, path)))
+      .select("k", "gramBuckets").head
     GramIndexMeta(r.getInt(0), r.getInt(1))
   }
 
@@ -2125,23 +2238,57 @@ object Dedup {
     require(k >= 2, s"span length k must be >= 2, got $k")
     val spark = df.sparkSession
     import spark.implicits._
-    if (append) {
-      val m = readGramIndexMeta(spark, path)
-      require(m == GramIndexMeta(k, gramBuckets),
-        s"persistGramIndex(append): parameters $k/$gramBuckets do not match the existing index $m")
-    }
     val docs = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
-    positionalGrams(docs, k)
+    val grams = positionalGrams(docs, k)
       .select("g").distinct()
       .withColumn("bucket", gramBucket(gramBuckets))
       .repartition(col("bucket"))
-      .write.mode(if (append) "append" else "overwrite")
-      .partitionBy("bucket")
-      .parquet(path)
-    if (!append)
-      Seq((k, gramBuckets)).toDF("k", "gramBuckets")
-        .coalesce(1).write.mode("overwrite").parquet(gramMetaPath(path))
+    if (append)
+      IndexStore.withWriterLease(spark, path) { // concurrent appenders serialize
+        val m = readGramIndexMeta(spark, path)
+        require(m == GramIndexMeta(k, gramBuckets),
+          s"persistGramIndex(append): parameters $k/$gramBuckets do not match the existing index $m")
+        grams.write.mode("append").partitionBy("bucket")
+          .parquet(IndexStore.dataDir(spark, path))
+      }
+    else
+      IndexStore.overwriteRoot(spark, path) { dir =>
+        grams.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+        Seq((k, gramBuckets)).toDF("k", "gramBuckets")
+          .coalesce(1).write.mode("overwrite").parquet(gramMetaPath(dir))
+      }
   }
+
+  /** Compact a persisted gram index: fold each partition's append
+    * segments into one file and RE-DISTINCT the grams (increments may
+    * re-contribute grams the base already holds — harmless to the
+    * semi-join probe, pure storage/scan waste). No tombstones here: the
+    * index stores the corpus's gram VOCABULARY, not per-doc rows, so the
+    * only dirtiness criterion is multi-segment partitions; `selective`
+    * rewrites just those and hardlink-carries the rest into the new
+    * generation ([[compactSignatureIndex]]'s cost and atomicity model).
+    * Probes afterwards return exactly what a fresh [[persistGramIndex]]
+    * of the union corpus would.
+    */
+  def compactGramIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      selective: Boolean = true
+  ): Unit =
+    IndexStore.swapGeneration(spark, path, dropMeta = Set.empty) { (live, staged) =>
+      val counts = IndexStore.partitionFileCounts(spark, live, "bucket")
+      val dirty  = counts.filter(_._2 > 1).keySet
+      if (!selective || counts.isEmpty || dirty.size * 5 >= counts.size * 4)
+        spark.read.parquet(live).select("g", "bucket").distinct()
+          .repartition(col("bucket")).write.partitionBy("bucket").parquet(staged)
+      else {
+        if (dirty.nonEmpty)
+          spark.read.parquet(live).where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*))
+            .select("g", "bucket").distinct()
+            .repartition(col("bucket")).write.partitionBy("bucket").parquet(staged)
+        IndexStore.carryPartitions(spark, live, staged, "bucket", (counts.keySet -- dirty).toSeq.sorted)
+      }
+    }
 
   /** Excise from NEW documents every maximal span covered by k-grams that
     * exist in a PERSISTED corpus gram index — the serving form of
@@ -2162,7 +2309,8 @@ object Dedup {
   ): DataFrame = {
     val spark = newDocs.sparkSession
     import spark.implicits._
-    val m    = readGramIndexMeta(spark, indexPath)
+    val dd   = IndexStore.dataDir(spark, indexPath) // resolve once per probe
+    val m    = readGramIndexMeta(spark, dd)
     val docs = Lineage.truncate(
       newDocs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")))
     val grams = Lineage.truncate(
@@ -2171,7 +2319,7 @@ object Dedup {
     val hits =
       if (touched.isEmpty) spark.emptyDataset[(Long, Long)].toDF("doc_id", "pos")
       else {
-        val idx = spark.read.parquet(indexPath)
+        val idx = spark.read.parquet(dd)
           .where(col("bucket").isin(touched.map(b => b: Any): _*))
           .select("bucket", "g").distinct()
         grams.join(idx, Seq("bucket", "g"), "left_semi").select("doc_id", "pos")

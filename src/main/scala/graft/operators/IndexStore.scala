@@ -1,0 +1,379 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Generation-pointer storage layer shared by every persisted serving
+  * index family (MinHash signature, image fingerprint, Jaccard prefix,
+  * IVF cell, BM25 postings, gram vocabulary) — the concurrency and
+  * cost model that makes the build → append/delete → compact lifecycle
+  * production-grade:
+  *
+  *  - '''Atomic serve-during-compact.''' A compaction never mutates the
+  *    live data in place: it writes a complete new GENERATION directory
+  *    (`_gen-00001`, `_gen-00002`, …) beside the old one and then flips a
+  *    tiny pointer file (`_graft_current`) with one atomic rename
+  *    ([[org.apache.hadoop.fs.FileContext]] `Rename.OVERWRITE` — atomic on
+  *    HDFS and POSIX local). A concurrent probe resolves the pointer ONCE
+  *    at entry and reads a complete, immutable-to-it generation: there is
+  *    no window where the index path is absent and no window where a
+  *    multi-relation index (BM25's postings/terms/docs, Jaccard's
+  *    postings/fullsets) can be seen half-swapped — the old
+  *    [[IndexCompaction.rewrite]] retire→install protocol had both.
+  *    The previous generation is retained (readable-until-vacuum, the
+  *    [[graft.sinks.VersionedTable]] contract) so probes that resolved it
+  *    mid-flip finish; it is reclaimed by the NEXT compaction or an
+  *    explicit [[vacuum]].
+  *
+  *  - '''Selective (dirty-partition-only) compaction.''' A full-index
+  *    rewrite at 10⁹ docs to purge 0.1% of rows inverts the amortization
+  *    argument, so the family compactors rewrite ONLY dirty partitions —
+  *    those holding append segments (>1 data file) or tombstoned rows —
+  *    and carry every clean partition into the new generation by
+  *    HARDLINK (metadata-only on any POSIX filesystem; byte copy on
+  *    filesystems without links, where the manifest-based
+  *    [[graft.sinks.VersionedTable]] layer is the right substrate — see
+  *    [[carryPartitions]]). Compact cost is proportional to the dirty
+  *    fraction, not the index size ([[graft.tools.CompactionSoak]]
+  *    measures exactly that).
+  *
+  *  - '''Multi-writer safety.''' Appends, tombstone deletes, and
+  *    compactions serialize on a per-index writer LEASE
+  *    (`_graft_writer_lock`, create-exclusive — the
+  *    [[graft.sinks.VersionedTable]] commit-claim idea applied to a
+  *    mutable directory): two jobs appending the same index (the
+  *    daily-crawl × backfill shape) can no longer interleave their
+  *    FileOutputCommitter temporaries and silently lose files — the
+  *    second writer waits, then fails LOUDLY with the holder's identity
+  *    if the lease never frees. Probes never lock. A lease left by a
+  *    dead writer is broken after `staleMs` (wall-clock heuristic,
+  *    logged).
+  *
+  * Layout compatibility: an index that has never been compacted keeps
+  * the flat layout (data directly under its root — no pointer file) and
+  * every code path treats it identically; the first compaction
+  * transitions the root to generations. The pointer stores the
+  * generation's RELATIVE name so a copied index directory (fixture
+  * copy-on-write, DR restore) stays self-contained.
+  */
+private[graft] object IndexStore {
+
+  val PointerName = "_graft_current"
+  val LockName    = "_graft_writer_lock"
+  val GenPrefix   = "_gen-"
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Resolve the index root to its live DATA directory: the current
+    * generation when a pointer exists, the root itself for flat
+    * (never-compacted) layouts. Probe paths call this ONCE at entry and
+    * use the result throughout, so one operation never mixes
+    * generations however many relations it reads.
+    */
+  def dataDir(spark: SparkSession, root: String): String = {
+    val ptr = new Path(root, PointerName)
+    val fs  = fsOf(spark, ptr)
+    if (!fs.exists(ptr)) root
+    else {
+      val in = fs.open(ptr)
+      val gen =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(gen.startsWith(GenPrefix), s"corrupt index pointer $ptr: '$gen'")
+      new Path(root, gen).toString
+    }
+  }
+
+  /** Current generation number; 0 for flat (never-compacted) roots. */
+  def currentGeneration(spark: SparkSession, root: String): Int = {
+    val d = dataDir(spark, root)
+    if (d == root) 0
+    else new Path(d).getName.stripPrefix(GenPrefix).toInt
+  }
+
+  // ---------------------------------------------------------------- lease
+
+  /** Roots whose lease this thread already holds — writer entry points
+    * nest (compactIndexes → family compactor → append helpers), and a
+    * re-acquire of a held lease must be a no-op, not a self-deadlock.
+    */
+  private val held = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  /** Run `body` holding the index's writer lease. Mutators (append,
+    * tombstone delete, compact) all pass through here; concurrent
+    * writers serialize, and one that cannot acquire within `waitMs`
+    * fails loudly with the holder's identity instead of interleaving
+    * writes. A lease older than `staleMs` is presumed abandoned by a
+    * dead writer and broken (logged).
+    */
+  def withWriterLease[T](
+      spark: SparkSession,
+      root: String,
+      waitMs: Long = 120000L,
+      staleMs: Long = 30L * 60 * 1000
+  )(body: => T): T = {
+    val lock = new Path(root, LockName)
+    val fs   = fsOf(spark, lock)
+    val key  = fs.makeQualified(new Path(root)).toString
+    if (held.get().contains(key)) return body // re-entrant: already ours
+    val me = s"pid=${ProcessHandle.current().pid()} thread=${Thread.currentThread().getName}"
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        fs.mkdirs(new Path(root))
+        val out = fs.create(lock, /* overwrite = */ false)
+        try out.write(s"$me ts=${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+        finally out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException => // exists (or raced) — inspect holder
+          val holder =
+            try {
+              val in = fs.open(lock)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+            } catch { case _: java.io.IOException => "" } // holder vanished between create and open
+          val ts = "ts=(\\d+)".r.findFirstMatchIn(holder).map(_.group(1).toLong)
+          if (ts.exists(System.currentTimeMillis() - _ > staleMs)) {
+            org.apache.log4j.Logger.getLogger(getClass)
+              .warn(s"IndexStore: breaking stale writer lease on $root (holder: $holder)")
+            fs.delete(lock, false)
+          } else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"IndexStore: could not acquire writer lease on $root within ${waitMs}ms " +
+                s"(held by: ${if (holder.isEmpty) "unknown" else holder}); " +
+                "concurrent appends/compactions serialize — retry, or break the lease if the holder is dead")
+          else Thread.sleep(50)
+      }
+    }
+    held.set(held.get() + key)
+    try body
+    finally {
+      held.set(held.get() - key)
+      try fs.delete(lock, false)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  // ------------------------------------------------------- generation swap
+
+  /** Install a new generation: `populate(liveDataDir, stagedGenDir)`
+    * writes the COMPLETE replacement (reading from the live dir is fine —
+    * it is a sibling, never overwritten), `_`-prefixed metadata artifacts
+    * the populate did not itself write are carried over (minus `dropMeta`
+    * — the tombstones, which must die with the rows they mask), the
+    * pointer flips atomically, and generations older than `keepGens`
+    * behind are reclaimed. Crash story: a populate that dies leaves an
+    * orphan staged dir the next swap deletes and rewrites; a crash after
+    * the flip leaves only over-retained old generations the next swap's
+    * cleanup (or [[vacuum]]) reclaims; the pointer itself is replaced in
+    * one atomic rename, so a reader resolves the old or the new
+    * generation, never neither, at every crash point.
+    */
+  def swapGeneration(
+      spark: SparkSession,
+      root: String,
+      dropMeta: Set[String],
+      carryMeta: Boolean = true,
+      keepGens: Int = 1
+  )(populate: (String, String) => Unit): Unit =
+    withWriterLease(spark, root) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val rp   = new Path(root)
+      val fs   = fsOf(spark, rp)
+      val live = dataDir(spark, root)
+      val cur  = currentGeneration(spark, root)
+      val next = cur + 1
+      val genName = f"$GenPrefix$next%05d"
+      val staged  = new Path(root, genName)
+      fs.delete(staged, true) // orphan of a killed compact
+      populate(live, staged.toString)
+      if (!fs.exists(staged)) fs.mkdirs(staged) // empty index is a legal state
+      if (carryMeta) {
+        val livePath = new Path(live)
+        fs.listStatus(livePath).foreach { st =>
+          val name = st.getPath.getName
+          val isMeta = name.startsWith("_") && name != "_SUCCESS" &&
+            name != PointerName && name != LockName &&
+            !name.startsWith(GenPrefix) && !name.endsWith(".tmp") &&
+            !dropMeta.contains(name)
+          // populate may have written a REPLACEMENT artifact (retrained
+          // centroids, refreshed dictionary) — never clobber it.
+          if (isMeta && !fs.exists(new Path(staged, name)))
+            FileUtil.copy(fs, st.getPath, fs, new Path(staged, name), false, conf)
+        }
+      }
+      flipPointer(spark, root, genName)
+      cleanup(spark, root, next, keepGens)
+    }
+
+  /** Overwrite-persist through the layout: flat roots write in place
+    * (today's behavior, fixtures unchanged); generational roots get a
+    * fresh generation + atomic flip — a REBUILD stops interrupting
+    * serving the moment the index has been compacted once.
+    */
+  def overwriteRoot(spark: SparkSession, root: String)(write: String => Unit): Unit = {
+    val ptr = new Path(root, PointerName)
+    if (!fsOf(spark, ptr).exists(ptr)) write(root)
+    else swapGeneration(spark, root, dropMeta = Set.empty, carryMeta = false)(
+      (_, staged) => write(staged))
+  }
+
+  private def flipPointer(spark: SparkSession, root: String, genName: String): Unit = {
+    val fs  = fsOf(spark, new Path(root))
+    val tmp = fs.makeQualified(new Path(root, PointerName + ".tmp"))
+    val dst = fs.makeQualified(new Path(root, PointerName))
+    val out = fs.create(tmp, true)
+    try out.write((genName + "\n").getBytes("UTF-8"))
+    finally out.close()
+    // FileContext rename with OVERWRITE is the atomic file replace of
+    // both HDFS and the local FS — a concurrent dataDir() sees the old
+    // or the new pointer, never a partial or missing one.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dst.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+
+  private def genNumber(name: String): Option[Int] =
+    if (name.startsWith(GenPrefix)) scala.util.Try(name.stripPrefix(GenPrefix).toInt).toOption
+    else None
+
+  /** Reclaim generations older than `keepGens` behind `current`, and —
+    * once the flat-era snapshot (generation 0) ages out of the keep
+    * window — the legacy data and metadata still sitting at the root.
+    */
+  private def cleanup(spark: SparkSession, root: String, current: Int, keepGens: Int): Unit = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    val dropLegacy = current - keepGens >= 1 // generation 0 out of window
+    fs.listStatus(rp).foreach { st =>
+      val name = st.getPath.getName
+      genNumber(name) match {
+        case Some(g) => if (g < current - keepGens) fs.delete(st.getPath, true)
+        case None =>
+          val keep = name == PointerName || name == LockName || name.endsWith(".tmp")
+          if (!keep && dropLegacy) fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** Drop every non-current generation NOW (and any flat-era leftovers).
+    * Call when no probe can still hold a resolved old generation; the
+    * automatic cleanup in [[swapGeneration]] (keep current + previous)
+    * covers the common case.
+    */
+  def vacuum(spark: SparkSession, root: String): Unit = {
+    val cur = currentGeneration(spark, root)
+    if (cur > 0) cleanup(spark, root, cur, keepGens = 0)
+  }
+
+  // ------------------------------------------------ selective compaction
+
+  /** Per-partition data-file counts of a `partCol=<int>` parquet layout —
+    * one driver-side directory listing; a partition with >1 data file
+    * holds append segments and is DIRTY by the segment criterion.
+    */
+  def partitionFileCounts(spark: SparkSession, relDir: String, partCol: String): Map[Int, Int] = {
+    val rp = new Path(relDir)
+    val fs = fsOf(spark, rp)
+    if (!fs.exists(rp)) Map.empty
+    else
+      fs.listStatus(rp).iterator
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+        .map { st =>
+          val v = st.getPath.getName.substring(partCol.length + 1).toInt
+          val n = fs.listStatus(st.getPath)
+            .count(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          v -> n
+        }
+        .toMap
+  }
+
+  /** Partitions holding at least one TOMBSTONED row — the delete
+    * criterion of dirtiness. One column-pruned scan of
+    * (partition column, id column) semi-joined to the broadcast-small
+    * tombstone set: at 10⁹ rows this reads one thin column, against the
+    * full-width rewrite it saves.
+    */
+  def tombstoneTouchedParts(
+      rel: DataFrame,
+      partCol: String,
+      idCol: String,
+      tombstones: DataFrame,
+      tsIdCol: String
+  ): Set[Int] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val r  = rel.select(col(partCol), col(idCol))
+    val ts = tombstones.select(col(tsIdCol).as("_graft_ts_id"))
+    r.join(broadcast(ts), r(idCol) === ts("_graft_ts_id"), "left_semi")
+      .select(col(partCol).cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+  }
+
+  /** Carry CLEAN partitions from the live generation into the staged one
+    * without rewriting them: hardlink on local/POSIX filesystems
+    * (metadata-only — this is what makes selective compaction O(dirty
+    * fraction)), byte copy elsewhere. The shared blocks are safe under
+    * the generation lifecycle: reclaiming the old generation unlinks its
+    * names, the new generation's links keep the data alive. On object
+    * stores with neither links nor cheap copies, prefer the
+    * manifest-pointer substrate ([[graft.sinks.VersionedTable]]) where a
+    * "carry" is one manifest line.
+    */
+  def carryPartitions(
+      spark: SparkSession,
+      liveRel: String,
+      stagedRel: String,
+      partCol: String,
+      parts: Iterable[Int]
+  ): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs   = fsOf(spark, new Path(liveRel))
+    parts.foreach { p =>
+      val src = new Path(liveRel, s"$partCol=$p")
+      val dst = new Path(stagedRel, s"$partCol=$p")
+      if (fs.exists(src)) linkOrCopyTree(fs, conf, src, dst)
+    }
+  }
+
+  /** Whole-relation carry (an entirely clean relation of a multi-relation
+    * index — e.g. BM25 `docs/` with no tombstones and no appends).
+    */
+  def carryTree(spark: SparkSession, liveDir: String, stagedDir: String): Unit = {
+    val fs = fsOf(spark, new Path(liveDir))
+    linkOrCopyTree(fs, spark.sparkContext.hadoopConfiguration, new Path(liveDir), new Path(stagedDir))
+  }
+
+  private def linkOrCopyTree(
+      fs: FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      src: Path,
+      dst: Path
+  ): Unit =
+    if (fs.getScheme == "file") {
+      val s = java.nio.file.Paths.get(fs.makeQualified(src).toUri.getPath)
+      val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
+      java.nio.file.Files.createDirectories(d.getParent)
+      linkTreeNio(s, d)
+    } else
+      FileUtil.copy(fs, src, fs, dst, false, conf)
+
+  private def linkTreeNio(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dst)
+      val s = Files.list(src)
+      try s.forEach(c => linkTreeNio(c, dst.resolve(c.getFileName)))
+      finally s.close()
+    } else
+      try Files.createLink(dst, src)
+      catch { // cross-device or FS without links — fall back to a copy
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+  }
+}

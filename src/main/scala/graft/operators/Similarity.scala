@@ -596,12 +596,16 @@ object Similarity {
       path: String
   ): Unit = {
     val spark = corpus.sparkSession
-    ivfAssign(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), "vec", centroids)
-      // One shuffle on the partition column → whole cells per task, one
-      // file per (task, cell) instead of tasks×cells small files.
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
-    saveCentroids(spark, centroids, s"$path/_graft_centroids")
+    // Flat roots write in place; compacted (generational) roots rebuild
+    // as a new generation + atomic pointer flip — serving uninterrupted.
+    graft.operators.IndexStore.overwriteRoot(spark, path) { dir =>
+      ivfAssign(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), "vec", centroids)
+        // One shuffle on the partition column → whole cells per task, one
+        // file per (task, cell) instead of tasks×cells small files.
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      saveCentroids(spark, centroids, s"$dir/_graft_centroids")
+    }
   }
 
   /** Incremental ingest into a [[persistIvfIndex]] directory: the new
@@ -617,10 +621,14 @@ object Similarity {
       vecCol: String,
       path: String
   ): Unit = {
-    val cents = loadCentroids(newBatch.sparkSession, s"$path/_graft_centroids")
-    ivfAssign(newBatch.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), "vec", cents)
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(path)
+    val spark = newBatch.sparkSession
+    graft.operators.IndexStore.withWriterLease(spark, path) { // appenders serialize
+      val dd    = graft.operators.IndexStore.dataDir(spark, path)
+      val cents = loadCentroids(spark, s"$dd/_graft_centroids")
+      ivfAssign(newBatch.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), "vec", cents)
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(dd)
+    }
   }
 
   /** [[ivfTopKWith]] served from a [[persistIvfIndex]] directory with
@@ -642,7 +650,8 @@ object Similarity {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val cents = loadCentroids(spark, s"$path/_graft_centroids")
+    val dd    = graft.operators.IndexStore.dataDir(spark, path) // resolve once per probe
+    val cents = loadCentroids(spark, s"$dd/_graft_centroids")
     require(nprobe >= 1 && nprobe <= cents.length, "need 1 <= nprobe <= centroids.length")
     val bc = spark.sparkContext.broadcast(cents)
     val probeU = udf { (v: Array[Float]) =>
@@ -661,9 +670,9 @@ object Similarity {
     val empty = spark.emptyDataset[(Long, Long, Long)].toDF("query_id", "neighbor_id", "rnk")
     if (probed.isEmpty) empty
     else {
-      val pruned = spark.read.parquet(path)
+      val pruned = spark.read.parquet(dd)
         .where(col("cell").isin(probed.map(x => x: Any): _*))
-      val live = ivfIndexTombstones(spark, path) match {
+      val live = ivfTombstonesAt(spark, dd) match {
         case Some(ts) => pruned.join(broadcast(ts), pruned("vec_id") === ts("vec_id"), "left_anti")
         case None     => pruned
       }
@@ -706,8 +715,11 @@ object Similarity {
     * never be returned as a neighbor. Rebuild-persist = compaction.
     */
   def deleteFromIvfIndex(ids: DataFrame, idCol: String, path: String): Unit =
-    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
-      .coalesce(1).write.mode("append").parquet(ivfTombstonePath(path))
+    graft.operators.IndexStore.withWriterLease(ids.sparkSession, path) {
+      ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+        .coalesce(1).write.mode("append")
+        .parquet(ivfTombstonePath(graft.operators.IndexStore.dataDir(ids.sparkSession, path)))
+    }
 
   /** The IVF index's tombstoned ids, if any were ever deleted. The column
     * is read tolerantly (`doc_id` now, `vec_id` in older tombstone files,
@@ -715,7 +727,13 @@ object Similarity {
     * serves every index family — [[graft.operators.CorpusPipeline
     * .forgetDocuments]] fans a single forget request across all of them.
     */
-  def ivfIndexTombstones(spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
+  def ivfIndexTombstones(spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] =
+    ivfTombstonesAt(spark, graft.operators.IndexStore.dataDir(spark, path))
+
+  /** [[ivfIndexTombstones]] against an already-RESOLVED data dir — probe
+    * paths resolve the generation once at entry and never re-resolve.
+    */
+  private def ivfTombstonesAt(spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
     val p  = new org.apache.hadoop.fs.Path(ivfTombstonePath(path))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
@@ -731,27 +749,74 @@ object Similarity {
     }
   }
 
-  /** Compact a persisted IVF index in place: rewrite the cell partitions
-    * minus the tombstoned vectors, fold each cell's append segments into
-    * one file, drop the tombstone set — the build → append/delete →
-    * compact lifecycle closer, [[graft.operators.Dedup.compactSignatureIndex]]'s
-    * twin for the vector store. The frozen centroids
-    * (`_graft_centroids`) are carried through the swap untouched, so
-    * probe selection — and therefore [[ivfTopKFromPersisted]]'s result —
-    * is EXACTLY a fresh [[persistIvfIndex]] of the surviving vectors
-    * under the same quantizer, while probes stop paying the tombstone
-    * anti-join and multi-segment cell scans. Crash-safe via
-    * [[graft.operators.IndexCompaction.rewrite]].
+  /** Compact a persisted IVF index: rewrite the cell partitions minus
+    * the tombstoned vectors, fold each cell's append segments into one
+    * file, drop the tombstone set — the build → append/delete → compact
+    * lifecycle closer, [[graft.operators.Dedup.compactSignatureIndex]]'s
+    * twin for the vector store (same selective dirty-cell-only cost
+    * model, same atomic generation swap — see there).
+    *
+    * `retrain = false` (default) carries the FROZEN centroids
+    * (`_graft_centroids`) through the swap untouched, so probe selection
+    * — and therefore [[ivfTopKFromPersisted]]'s result — is EXACTLY a
+    * fresh [[persistIvfIndex]] of the surviving vectors under the same
+    * quantizer, while probes stop paying the tombstone anti-join and
+    * multi-segment cell scans.
+    *
+    * `retrain = true` re-runs [[ivfCentroids]] (same nlist, same
+    * deterministic Lloyd recipe) on the SURVIVING corpus and re-assigns
+    * every vector — the cure for append drift: vectors appended after
+    * the build bind to centroids that never saw them, so cell balance
+    * and recall decay as the corpus outgrows its quantizer
+    * ([[graft.tools.IvfRecallSoak]] measures the decay and this cure).
+    * Re-assignment forces a full rewrite (cells change), which is free
+    * relative to the retrain decision: retrain when drift is measured,
+    * selective-compact when just reclaiming tombstones. The new
+    * centroids install in the SAME atomic generation as the re-assigned
+    * data — a concurrent probe never sees new centroids over old cells
+    * or vice versa.
     */
-  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val ts = ivfIndexTombstones(spark, path)
-    graft.operators.IndexCompaction.rewrite(spark, path, dropMeta = Set("_graft_tombstones")) { staging =>
-      val pr = spark.read.parquet(path)
-      val live = ts match {
-        case Some(t) => pr.join(broadcast(t), pr("vec_id") === t("vec_id"), "left_anti")
-        case None    => pr
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      selective: Boolean = true,
+      retrain: Boolean = false,
+      retrainLloydIters: Int = 5
+  ): Unit = {
+    import graft.operators.IndexStore
+    IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones")) { (live, staged) =>
+      val ts = ivfTombstonesAt(spark, live)
+      def minus(df: DataFrame): DataFrame = ts match {
+        case Some(t) => df.join(broadcast(t), df("vec_id") === t("vec_id"), "left_anti")
+        case None    => df
       }
-      live.repartition(col("cell")).write.partitionBy("cell").parquet(staging)
+      if (retrain) {
+        val oldCents  = loadCentroids(spark, s"$live/_graft_centroids")
+        val survivors = minus(spark.read.parquet(live)).select("vec_id", "vec")
+        val cents = ivfCentroids(survivors, "vec_id", "vec", nlist = oldCents.length,
+          lloydIters = retrainLloydIters)
+        ivfAssign(survivors, "vec", cents)
+          .repartition(col("cell")).write.partitionBy("cell").parquet(staged)
+        saveCentroids(spark, cents, s"$staged/_graft_centroids") // wins over meta carry
+      } else {
+        val counts = IndexStore.partitionFileCounts(spark, live, "cell")
+        val multi  = counts.filter(_._2 > 1).keySet
+        val tsTouched = ts match {
+          case Some(t) =>
+            IndexStore.tombstoneTouchedParts(spark.read.parquet(live), "cell", "vec_id", t, "vec_id")
+          case None => Set.empty[Int]
+        }
+        val dirty = multi ++ tsTouched
+        if (!selective || counts.isEmpty || dirty.size * 5 >= counts.size * 4)
+          minus(spark.read.parquet(live))
+            .repartition(col("cell")).write.partitionBy("cell").parquet(staged)
+        else {
+          if (dirty.nonEmpty)
+            minus(spark.read.parquet(live).where(col("cell").isin(dirty.toSeq.sorted.map(c => c: Any): _*)))
+              .repartition(col("cell")).write.partitionBy("cell").parquet(staged)
+          IndexStore.carryPartitions(spark, live, staged, "cell", (counts.keySet -- dirty).toSeq.sorted)
+        }
+      }
     }
   }
 

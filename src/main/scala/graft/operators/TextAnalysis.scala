@@ -935,15 +935,19 @@ object TextAnalysis {
     val spark = index.postings.sparkSession
     import spark.implicits._
     val bucket = pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int").as("bucket")
-    index.postings.withColumn("bucket", bucket)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-    index.terms.withColumn("bucket", bucket)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/terms")
-    index.docs.write.mode("overwrite").parquet(s"$path/docs")
-    Seq(termBuckets).toDF("termBuckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_meta")
+    // Flat roots write in place; compacted (generational) roots rebuild
+    // as a new generation + atomic pointer flip — serving uninterrupted.
+    graft.operators.IndexStore.overwriteRoot(spark, path) { dir =>
+      index.postings.withColumn("bucket", bucket)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+      index.terms.withColumn("bucket", bucket)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
+      index.docs.write.mode("overwrite").parquet(s"$dir/docs")
+      Seq(termBuckets).toDF("termBuckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_graft_meta")
+    }
   }
 
   /** Serve BM25 from a [[persistBm25Index]] directory with PARTITION-PRUNED
@@ -972,14 +976,17 @@ object TextAnalysis {
       path: String
   ): Unit = {
     val spark = newDocs.sparkSession
-    val termBuckets = spark.read.parquet(s"$path/_graft_meta").select("termBuckets").head.getInt(0)
-    val inc    = buildBm25Index(newDocs, textCol, idCol)
-    val bucket = pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int").as("bucket")
-    inc.postings.withColumn("bucket", bucket).repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
-    inc.terms.withColumn("bucket", bucket).repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/terms")
-    inc.docs.write.mode("append").parquet(s"$path/docs")
+    graft.operators.IndexStore.withWriterLease(spark, path) { // appenders serialize
+      val dd = graft.operators.IndexStore.dataDir(spark, path)
+      val termBuckets = spark.read.parquet(s"$dd/_graft_meta").select("termBuckets").head.getInt(0)
+      val inc    = buildBm25Index(newDocs, textCol, idCol)
+      val bucket = pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int").as("bucket")
+      inc.postings.withColumn("bucket", bucket).repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$dd/postings")
+      inc.terms.withColumn("bucket", bucket).repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$dd/terms")
+      inc.docs.write.mode("append").parquet(s"$dd/docs")
+    }
   }
 
   private def bm25TombstonePath(path: String) = s"$path/_graft_tombstones"
@@ -995,11 +1002,20 @@ object TextAnalysis {
     * rewritten. Rebuild-persist = compaction.
     */
   def deleteFromBm25Index(ids: DataFrame, idCol: String, path: String): Unit =
-    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
-      .coalesce(1).write.mode("append").parquet(bm25TombstonePath(path))
+    graft.operators.IndexStore.withWriterLease(ids.sparkSession, path) {
+      ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+        .coalesce(1).write.mode("append")
+        .parquet(bm25TombstonePath(graft.operators.IndexStore.dataDir(ids.sparkSession, path)))
+    }
 
   /** The BM25 index's tombstoned doc ids, if any were ever deleted. */
-  def bm25IndexTombstones(spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
+  def bm25IndexTombstones(spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] =
+    bm25TombstonesAt(spark, graft.operators.IndexStore.dataDir(spark, path))
+
+  /** [[bm25IndexTombstones]] against an already-RESOLVED data dir — probe
+    * paths resolve the generation once at entry and never re-resolve.
+    */
+  private def bm25TombstonesAt(spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
     val p  = new org.apache.hadoop.fs.Path(bm25TombstonePath(path))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) Some(spark.read.parquet(p.toString).select(col("doc_id")).distinct())
@@ -1027,31 +1043,79 @@ object TextAnalysis {
     * fresh build's. Each rewrite is crash-safe via
     * [[graft.operators.IndexCompaction.rewrite]].
     */
-  def compactBm25Index(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    import graft.operators.IndexCompaction
-    val ts = bm25IndexTombstones(spark, path)
-    def minus(df: DataFrame): DataFrame = ts match {
-      case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
-      case None    => df
+  def compactBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      selective: Boolean = true
+  ): Unit = {
+    import graft.operators.IndexStore
+    IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones")) { (live, staged) =>
+      val ts = bm25TombstonesAt(spark, live)
+      def minus(df: DataFrame): DataFrame = ts match {
+        case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+        case None    => df
+      }
+      // ONE dirty set governs postings AND terms: both are partitioned by
+      // the same term-bucket formula, an append touches the same buckets
+      // in both, and a tombstoned doc changes doc_freq exactly in the
+      // buckets its postings live in — so terms-dirty ⊆ this set, and
+      // every recount below can read the freshly-rewritten staged
+      // postings of the same buckets.
+      val pCounts = IndexStore.partitionFileCounts(spark, s"$live/postings", "bucket")
+      val tCounts = IndexStore.partitionFileCounts(spark, s"$live/terms", "bucket")
+      val tsTouched = ts match {
+        case Some(t) =>
+          IndexStore.tombstoneTouchedParts(
+            spark.read.parquet(s"$live/postings"), "bucket", "doc_id", t, "doc_id")
+        case None => Set.empty[Int]
+      }
+      val dirty = pCounts.filter(_._2 > 1).keySet ++ tCounts.filter(_._2 > 1).keySet ++ tsTouched
+      val full  = !selective || pCounts.isEmpty || dirty.size * 5 >= pCounts.size * 4
+      // 1. postings: live rows only, dirty buckets rewritten, clean carried.
+      if (full)
+        minus(spark.read.parquet(s"$live/postings"))
+          .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/postings")
+      else {
+        if (dirty.nonEmpty)
+          minus(spark.read.parquet(s"$live/postings").where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*)))
+            .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/postings")
+        IndexStore.carryPartitions(spark, s"$live/postings", s"$staged/postings", "bucket",
+          (pCounts.keySet -- dirty).toSeq.sorted)
+      }
+      // 2. terms: doc-frequencies RECOUNTED from the compacted postings of
+      //    the same buckets (a term's postings name all its live docs), so
+      //    merge-on-read becomes identity again; clean buckets carried.
+      if (full)
+        spark.read.parquet(s"$staged/postings")
+          .groupBy("bucket", "term").agg(count(lit(1)).as("doc_freq"))
+          .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/terms")
+      else {
+        if (dirty.nonEmpty)
+          spark.read.parquet(s"$staged/postings")
+            .where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*))
+            .groupBy("bucket", "term").agg(count(lit(1)).as("doc_freq"))
+            .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/terms")
+        IndexStore.carryPartitions(spark, s"$live/terms", s"$staged/terms", "bucket",
+          (tCounts.keySet -- dirty).toSeq.sorted)
+      }
+      // 3. docs: unpartitioned thin relation (doc_id, len) — rewritten
+      //    whole when it holds tombstoned rows or append segments (no
+      //    partition key to prune by; the rewrite is one column-pruned
+      //    scan of the thinnest relation), hardlink-carried otherwise.
+      //    No explicit repartition: the parquet read packs small appended
+      //    segments into maxPartitionBytes-sized splits, so the rewrite
+      //    folds file count to ~bytes/128MB without paying a shuffle.
+      val docsDirty = ts.isDefined || {
+        val dp = new org.apache.hadoop.fs.Path(s"$live/docs")
+        val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(dp) && fs.listStatus(dp).count(f =>
+          f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) > 1
+      }
+      if (!selective || docsDirty)
+        minus(spark.read.parquet(s"$live/docs")).write.parquet(s"$staged/docs")
+      else
+        IndexStore.carryTree(spark, s"$live/docs", s"$staged/docs")
     }
-    IndexCompaction.rewrite(spark, s"$path/postings", dropMeta = Set.empty) { staging =>
-      minus(spark.read.parquet(s"$path/postings"))
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(staging)
-    }
-    IndexCompaction.rewrite(spark, s"$path/terms", dropMeta = Set.empty) { staging =>
-      spark.read.parquet(s"$path/postings") // already compacted: live docs only
-        .groupBy("bucket", "term").agg(count(lit(1)).as("doc_freq"))
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(staging)
-    }
-    IndexCompaction.rewrite(spark, s"$path/docs", dropMeta = Set.empty) { staging =>
-      // No explicit repartition: the parquet read packs small appended
-      // segments into maxPartitionBytes-sized splits, so the rewrite
-      // folds file count to ~bytes/128MB without paying a shuffle.
-      minus(spark.read.parquet(s"$path/docs")).write.parquet(staging)
-    }
-    IndexCompaction.dropTombstones(spark, bm25TombstonePath(path))
   }
 
   def bm25TopKFromPersisted(
@@ -1065,22 +1129,23 @@ object TextAnalysis {
       b: Double = 0.75
   ): DataFrame = {
     import spark.implicits._
-    val termBuckets = spark.read.parquet(s"$path/_graft_meta").select("termBuckets").head.getInt(0)
+    val dd = graft.operators.IndexStore.dataDir(spark, path) // resolve once per probe
+    val termBuckets = spark.read.parquet(s"$dd/_graft_meta").select("termBuckets").head.getInt(0)
     val touched = queries
       .select(explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
       .select(pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int").as("bucket"))
       .distinct().as[Int].collect().sorted
     val prune = (df: DataFrame) =>
       if (touched.isEmpty) df.where(lit(false)) else df.where(col("bucket").isin(touched.map(x => x: Any): _*))
-    val postings = prune(spark.read.parquet(s"$path/postings")).drop("bucket")
+    val postings = prune(spark.read.parquet(s"$dd/postings")).drop("bucket")
     // Term stats are stored ADDITIVELY (an append writes partial doc_freq
     // rows for its batch); merge-on-read re-aggregates the PRUNED slice —
     // identity for a never-appended index, a few rows per query term
     // otherwise. The log-structured-merge shape.
-    val terms = prune(spark.read.parquet(s"$path/terms")).drop("bucket")
+    val terms = prune(spark.read.parquet(s"$dd/terms")).drop("bucket")
       .groupBy("term").agg(sum("doc_freq").as("doc_freq"))
-    val docs = spark.read.parquet(s"$path/docs")
-    val index = bm25IndexTombstones(spark, path) match {
+    val docs = spark.read.parquet(s"$dd/docs")
+    val index = bm25TombstonesAt(spark, dd) match {
       case Some(ts) =>
         // Deletes invalidate the stored per-term doc counts; recount from
         // the filtered postings (exact — a term's postings name all its
