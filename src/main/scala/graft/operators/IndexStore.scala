@@ -18,8 +18,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    at entry and reads a complete, immutable-to-it generation: there is
   *    no window where the index path is absent and no window where a
   *    multi-relation index (BM25's postings/terms/docs, Jaccard's
-  *    postings/fullsets) can be seen half-swapped — the old
-  *    [[IndexCompaction.rewrite]] retire→install protocol had both.
+  *    postings/fullsets) can be seen half-swapped — the in-place
+  *    retire→install rename protocol this replaces had both.
   *    The previous generation is retained (readable-until-vacuum, the
   *    [[graft.sinks.VersionedTable]] contract) so probes that resolved it
   *    mid-flip finish; it is reclaimed by the NEXT compaction or an

@@ -1022,10 +1022,14 @@ object TextAnalysis {
     else None
   }
 
-  /** Compact a persisted BM25 index in place — the third of the
-    * build → append/delete → compact lifecycle. Three rewrites plus a
-    * tombstone drop, ordered so SERVING IS CORRECT AT EVERY CRASH POINT
-    * (the tombstone mask is only removed after every masked row is gone):
+  /** Compact a persisted BM25 index — the third of the
+    * build → append/delete → compact lifecycle. All three relations are
+    * rewritten into ONE new generation behind ONE atomic pointer flip
+    * ([[graft.operators.IndexStore.swapGeneration]] — no absence window,
+    * no compacted-postings-over-stale-terms state observable, crash-safe
+    * at every point, writers serialized on the index lease), with the
+    * selective dirty-bucket-only cost model of
+    * [[graft.operators.Dedup.compactSignatureIndex]]:
     *
     *  1. `postings/`: live rows only (tombstone anti-join), append
     *     segments folded to one file per term bucket;
@@ -1035,13 +1039,12 @@ object TextAnalysis {
     *     its live docs), so merge-on-read becomes identity again;
     *  3. `docs/`: live rows only (corpus stats re-derive from this
     *     relation at serve time);
-    *  4. the tombstone set is dropped.
+    *  4. the tombstone set dies with the old generation.
     *
     * Ranking afterwards is EXACTLY a fresh [[persistBm25Index]] of
     * [[buildBm25Index]] on the surviving docs — idf/avgdl/N derive from
     * the stored additive stats at serve time, and those now equal the
-    * fresh build's. Each rewrite is crash-safe via
-    * [[graft.operators.IndexCompaction.rewrite]].
+    * fresh build's.
     */
   def compactBm25Index(
       spark: org.apache.spark.sql.SparkSession,

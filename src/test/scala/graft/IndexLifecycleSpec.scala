@@ -1,0 +1,401 @@
+package graft
+
+import graft.operators.{Dedup, IndexStore, Similarity, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structural contract of the generation-pointer index lifecycle
+  * (build → append/delete → compact), the layer under every persisted
+  * serving index family. The correctness-vs-oracle half lives in the
+  * `*_compact` gates; this spec pins what an oracle cannot see:
+  *
+  *  - selective compaction rewrites ONLY dirty partitions (clean ones
+  *    are hardlinked — same inode — into the new generation) and its
+  *    result is file-content-identical to a full compact and a fresh
+  *    build of the survivors;
+  *  - the generation swap is atomic to concurrent probes (no probe ever
+  *    errors or sees a mixed state while compactions race it, including
+  *    a KILLED compaction);
+  *  - writers (append/delete/compact) serialize on the index lease —
+  *    two concurrent appenders both land, and a blocked writer fails
+  *    loudly with the holder's identity when the lease never frees;
+  *  - crash windows repair: an orphan staged generation is discarded,
+  *    the previous generation is retained until the next compact, and
+  *    [[IndexStore.vacuum]] reclaims the rest.
+  */
+class IndexLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def exists(p: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(p))
+
+  private def dataDir(root: String): String = IndexStore.dataDir(spark, root)
+
+  private def parquetFilesUnder(dir: String): Seq[String] = {
+    val it  = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val s = f.getPath.toString
+      if (f.isFile && s.endsWith(".parquet") && !s.contains("/_graft_")) out += s
+    }
+    out.toSeq
+  }
+
+  private def inode(f: String): Long =
+    java.nio.file.Files
+      .getAttribute(java.nio.file.Paths.get(f.stripPrefix("file:")), "unix:ino")
+      .asInstanceOf[Long]
+
+  private def docsDf(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta doc$i word${i % 7} tail${i % 3}"))
+      .toDF("doc_id", "text")
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  describe("signature-index compaction (generation swap)") {
+    it("purges tombstones, folds segments, keeps meta, equals a fresh build — behind a pointer flip") {
+      val dir = tmpDir("sigcmp_")
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(1 to 40), "text", "doc_id"), dir)
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(41 to 80), "text", "doc_id"), dir, append = true)
+      Dedup.deleteFromPersistedIndex(
+        (1 to 80).filter(_ % 3 == 0).map(_.toLong).toDF("doc_id"), "doc_id", dir)
+      val filesBefore = parquetFilesUnder(dataDir(dir)).size
+      val metaBefore  = sortedRows(spark.read.parquet(s"$dir/_graft_index_meta"))
+
+      Dedup.compactSignatureIndex(spark, dir)
+
+      val dd = dataDir(dir)
+      dd should not equal dir // flat layout transitioned to generation 1
+      IndexStore.currentGeneration(spark, dir) shouldBe 1
+      exists(s"$dd/_graft_tombstones") shouldBe false // mask died with the masked rows
+      sortedRows(spark.read.parquet(s"$dd/_graft_index_meta")) shouldEqual metaBefore
+      parquetFilesUnder(dd).size should be < filesBefore
+      // Compacted content ≡ fresh build on the survivors (banded rows).
+      val fresh = tmpDir("sigcmp_fresh_")
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(
+          docsDf(1 to 80).where(col("doc_id") % 3 =!= 0), "text", "doc_id"), fresh)
+      sortedRows(spark.read.parquet(dd)) shouldEqual sortedRows(spark.read.parquet(fresh))
+      // Probe path works against the generational layout.
+      val probe = Dedup.matchVsPersistedIndex(docsDf(81 to 85), "text", "doc_id", dir)
+      probe.columns.toSeq shouldEqual Seq("doc_id", "matched_id", "est_jaccard")
+      // Previous snapshot (flat-era data) is retained until the next
+      // compact — readable-until-vacuum.
+      exists(s"$dir/_graft_tombstones") shouldBe true
+      Dedup.compactSignatureIndex(spark, dir)
+      IndexStore.currentGeneration(spark, dir) shouldBe 2
+      exists(s"$dir/_graft_tombstones") shouldBe false // flat era reclaimed
+      sortedRows(spark.read.parquet(dataDir(dir))) shouldEqual sortedRows(spark.read.parquet(fresh))
+    }
+
+    it("selective ≡ full ≡ fresh, and clean partitions are carried by hardlink") {
+      // 160 docs spread the bands over all 64 buckets; deleting TWO ids
+      // leaves most buckets untouched — exactly the small-purge shape
+      // selective compaction exists for.
+      def build(dir: String): Unit = {
+        Dedup.persistSignatureIndex(
+          Dedup.buildSignatureIndex(docsDf(1 to 160), "text", "doc_id"), dir)
+        Dedup.deleteFromPersistedIndex(Seq(7L, 110L).toDF("doc_id"), "doc_id", dir)
+      }
+      val sel  = tmpDir("sigsel_");  build(sel)
+      val full = tmpDir("sigfull_"); build(full)
+      val liveFiles = parquetFilesUnder(sel).map(f => f -> inode(f)).toMap
+
+      Dedup.compactSignatureIndex(spark, sel, selective = true)
+      Dedup.compactSignatureIndex(spark, full, selective = false)
+
+      val freshDir = tmpDir("sigfresh_")
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(
+          docsDf(1 to 160).where(!col("doc_id").isin(7L, 110L)), "text", "doc_id"), freshDir)
+      val selRows = sortedRows(spark.read.parquet(dataDir(sel)))
+      selRows shouldEqual sortedRows(spark.read.parquet(dataDir(full)))
+      selRows shouldEqual sortedRows(spark.read.parquet(freshDir))
+      // Carried partitions really are hardlinks of the live generation's
+      // files (same inode), and at least one partition was carried.
+      val carried = parquetFilesUnder(dataDir(sel)).filter { f =>
+        val rel = f.substring(f.indexOf("/bucket="))
+        liveFiles.exists { case (lf, ino) => lf.endsWith(rel) && inode(f) == ino }
+      }
+      carried should not be empty
+      // And at least one partition was rewritten (the dirty ones).
+      parquetFilesUnder(dataDir(sel)).size should be > carried.size
+    }
+  }
+
+  describe("generation swap under concurrency and crashes") {
+    it("a killed compaction leaves probes untouched; the next compact repairs and lands") {
+      val dir = tmpDir("sigcrash_")
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(1 to 30), "text", "doc_id"), dir)
+      val before = sortedRows(
+        Dedup.matchVsPersistedIndex(docsDf(1 to 5), "text", "doc_id", dir))
+      // Simulate a compact killed mid-populate: a partial staged
+      // generation exists, the pointer was never flipped.
+      val staged = new org.apache.hadoop.fs.Path(dir, "_gen-00001")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(staged, "bucket=0"))
+      sortedRows(Dedup.matchVsPersistedIndex(docsDf(1 to 5), "text", "doc_id", dir)) shouldEqual before
+
+      Dedup.compactSignatureIndex(spark, dir) // discards the orphan, rewrites, flips
+
+      IndexStore.currentGeneration(spark, dir) shouldBe 1
+      sortedRows(Dedup.matchVsPersistedIndex(docsDf(1 to 5), "text", "doc_id", dir)) shouldEqual before
+    }
+
+    it("probes racing delete+compact never error and always see a masked-or-purged (identical) result") {
+      val dir = tmpDir("sigrace_")
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(1 to 120), "text", "doc_id"), dir)
+      Dedup.deleteFromPersistedIndex(Seq(9L, 27L).toDF("doc_id"), "doc_id", dir)
+      // Tombstone-masked result — compaction must never change it, and a
+      // probe overlapping the swap must see exactly it at every instant.
+      val expected = sortedRows(
+        Dedup.matchVsPersistedIndex(docsDf(121 to 126), "text", "doc_id", dir))
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val stop     = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val prober = new Thread(() =>
+        try
+          while (!stop.get()) {
+            val got = sortedRows(
+              Dedup.matchVsPersistedIndex(docsDf(121 to 126), "text", "doc_id", dir))
+            if (got != expected)
+              throw new AssertionError(s"probe saw a mixed state: ${got.size} vs ${expected.size} rows")
+          }
+        catch { case t: Throwable => failures.add(t) })
+      prober.start()
+      try
+        Dedup.compactSignatureIndex(spark, dir) // flat → gen-1 (flat era retained)
+      finally {
+        stop.set(true)
+        prober.join(60000)
+      }
+      failures.asScala.toList shouldBe empty
+      // A second compact reclaims the flat era (keepGens = 1: in-flight
+      // readers get one compact cycle of grace — a reader slower than
+      // that sizes keepGens up, the VersionedTable vacuum contract).
+      Dedup.compactSignatureIndex(spark, dir)
+      exists(s"$dir/_graft_tombstones") shouldBe false
+      sortedRows(Dedup.matchVsPersistedIndex(docsDf(121 to 126), "text", "doc_id", dir)) shouldEqual expected
+    }
+  }
+
+  describe("writer lease") {
+    it("is mutually exclusive, re-entrant, and two interleaved appenders both land") {
+      val dir = tmpDir("lease_")
+      TextAnalysis.persistBm25Index(
+        TextAnalysis.buildBm25Index(docsDf(1 to 20), "text", "doc_id"), dir)
+      val errs    = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      def appender(ids: Range) = new Thread(() =>
+        try {
+          barrier.await()
+          TextAnalysis.appendToBm25Index(docsDf(ids), "text", "doc_id", dir)
+        } catch { case t: Throwable => errs.add(t) })
+      val a = appender(21 to 40)
+      val b = appender(41 to 60)
+      a.start(); b.start(); a.join(120000); b.join(120000)
+      errs.asScala.toList shouldBe empty
+      // Both batches survived — no silent loss to interleaved committers.
+      spark.read.parquet(s"${dataDir(dir)}/docs").count() shouldBe 60L
+      exists(s"$dir/${IndexStore.LockName}") shouldBe false // released
+      // Re-entrancy: a compact (lease holder) that appends tombstone-free
+      // relations internally must not self-deadlock.
+      IndexStore.withWriterLease(spark, dir) {
+        IndexStore.withWriterLease(spark, dir)(42)
+      } shouldBe 42
+    }
+
+    it("a blocked writer fails loudly with the holder's identity; a stale lease is broken") {
+      val dir = tmpDir("leaseblock_")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      IndexStore.withWriterLease(spark, dir) {
+        val e = intercept[IllegalStateException] {
+          val t = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+          val th = new Thread(() =>
+            try IndexStore.withWriterLease(spark, dir, waitMs = 200)(())
+            catch { case x: Throwable => t.set(x) })
+          th.start(); th.join(30000)
+          if (t.get() != null) throw t.get()
+        }
+        e.getMessage should include("writer lease")
+        e.getMessage should include("pid=")
+      }
+      // Stale lease: plant a lock with an ancient timestamp — the next
+      // writer breaks it and proceeds.
+      val lock = new org.apache.hadoop.fs.Path(dir, IndexStore.LockName)
+      val out  = fs.create(lock, false)
+      out.write("pid=0 thread=dead ts=1000\n".getBytes("UTF-8")); out.close()
+      IndexStore.withWriterLease(spark, dir, waitMs = 5000)("took over") shouldBe "took over"
+    }
+  }
+
+  describe("jaccard-index compaction") {
+    it("rewrites both relations minus tombstones in ONE generation, preserving the frozen dictionary") {
+      val dir  = tmpDir("jaccmp_")
+      val sets = docsDf(1 to 40).select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("bg"))
+      Dedup.persistJaccardIndex(sets, "bg", "doc_id", dir, thresholdMilli = 600)
+      val dictBefore = sortedRows(spark.read.parquet(s"$dir/_graft_jidx_dict"))
+      Dedup.deleteFromPersistedIndex(
+        (1 to 40).filter(_ % 3 == 0).map(_.toLong).toDF("doc_id"), "doc_id", dir)
+
+      Dedup.compactJaccardIndex(spark, dir)
+
+      val dd = dataDir(dir)
+      exists(s"$dd/_graft_tombstones") shouldBe false
+      sortedRows(spark.read.parquet(s"$dd/_graft_jidx_dict")) shouldEqual dictBefore
+      spark.read.parquet(s"$dd/postings").where(col("doc_id") % 3 === 0).count() shouldBe 0L
+      spark.read.parquet(s"$dd/fullsets").where(col("doc_id") % 3 === 0).count() shouldBe 0L
+    }
+  }
+
+  describe("bm25-index compaction") {
+    it("recounts doc_freq exactly (selective and full agree with a fresh build)") {
+      def build(dir: String): Unit = {
+        TextAnalysis.persistBm25Index(
+          TextAnalysis.buildBm25Index(docsDf(1 to 30), "text", "doc_id"), dir)
+        TextAnalysis.appendToBm25Index(docsDf(31 to 60), "text", "doc_id", dir)
+        TextAnalysis.deleteFromBm25Index(
+          (1 to 60).filter(_ % 3 == 0).map(_.toLong).toDF("doc_id"), "doc_id", dir)
+      }
+      val sel  = tmpDir("bmsel_");  build(sel)
+      val full = tmpDir("bmfull_"); build(full)
+
+      TextAnalysis.compactBm25Index(spark, sel, selective = true)
+      TextAnalysis.compactBm25Index(spark, full, selective = false)
+
+      val freshIdx = TextAnalysis.buildBm25Index(
+        docsDf(1 to 60).where(col("doc_id") % 3 =!= 0), "text", "doc_id")
+      val freshTerms = sortedRows(freshIdx.terms.select("term", "doc_freq"))
+      Seq(sel, full).foreach { dir =>
+        val dd = dataDir(dir)
+        exists(s"$dd/_graft_tombstones") shouldBe false
+        spark.read.parquet(s"$dd/postings").where(col("doc_id") % 3 === 0).count() shouldBe 0L
+        spark.read.parquet(s"$dd/docs").where(col("doc_id") % 3 === 0).count() shouldBe 0L
+        sortedRows(spark.read.parquet(s"$dd/terms").select("term", "doc_freq")) shouldEqual freshTerms
+      }
+    }
+  }
+
+  describe("ivf-index compaction") {
+    it("purges tombstoned vectors and carries the frozen centroids (selective ≡ full)") {
+      def emb(ids: Range): DataFrame = ids.map { i =>
+        (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))
+      }.toDF("vec_id", "embedding")
+      val cents = Array.tabulate(4)(c => Array.tabulate(8)(d => (c + d % 3).toDouble))
+      def build(dir: String): Unit = {
+        Similarity.persistIvfIndex(emb(1 to 40), "vec_id", "embedding", cents, dir)
+        Similarity.appendToIvfIndex(emb(41 to 80), "vec_id", "embedding", dir)
+        Similarity.deleteFromIvfIndex(
+          (1 to 80).filter(_ % 3 == 0).map(_.toLong).toDF("vec_id"), "vec_id", dir)
+      }
+      val sel  = tmpDir("ivfsel_");  build(sel)
+      val full = tmpDir("ivffull_"); build(full)
+      val centsBefore = sortedRows(spark.read.parquet(s"$sel/_graft_centroids"))
+
+      Similarity.compactIvfIndex(spark, sel, selective = true)
+      Similarity.compactIvfIndex(spark, full, selective = false)
+
+      val selRows = sortedRows(spark.read.parquet(dataDir(sel)))
+      selRows shouldEqual sortedRows(spark.read.parquet(dataDir(full)))
+      sortedRows(spark.read.parquet(s"${dataDir(sel)}/_graft_centroids")) shouldEqual centsBefore
+      val left = spark.read.parquet(dataDir(sel))
+      left.where(col("vec_id") % 3 === 0).count() shouldBe 0L
+      left.count() shouldBe (1 to 80).count(_ % 3 != 0).toLong
+    }
+
+    it("retrain=true re-trains the quantizer on survivors and probes still rank correctly") {
+      // Clustered corpus: appends land far from the original centroids, so
+      // a retrain must move them.
+      def emb(ids: Range, shift: Double): DataFrame = ids.map { i =>
+        (i.toLong, Array.tabulate(8)(d => (shift + ((i + d) % 5) * 0.1).toFloat))
+      }.toDF("vec_id", "embedding")
+      val dir   = tmpDir("ivfretrain_")
+      val base  = emb(1 to 40, 0.0)
+      val drift = emb(41 to 80, 10.0)
+      val cents = Similarity.ivfCentroids(base, "vec_id", "embedding", nlist = 4)
+      Similarity.persistIvfIndex(base, "vec_id", "embedding", cents, dir)
+      Similarity.appendToIvfIndex(drift, "vec_id", "embedding", dir)
+      Similarity.deleteFromIvfIndex(Seq(5L, 50L).toDF("vec_id"), "vec_id", dir)
+
+      Similarity.compactIvfIndex(spark, dir, retrain = true)
+
+      val dd = dataDir(dir)
+      exists(s"$dd/_graft_tombstones") shouldBe false
+      val newCents = sortedRows(spark.read.parquet(s"$dd/_graft_centroids"))
+      newCents should not equal sortedRows(spark.read.parquet(s"$dir/_graft_centroids"))
+      spark.read.parquet(dd).count() shouldBe 78L
+      // Full-probe (nprobe = nlist) search is exhaustive, so the ranking
+      // must equal brute-force cosine top-k over the survivors whatever
+      // the centroids — the invariant that makes retraining safe.
+      val queries = emb(991 to 993, 5.0)
+      val got = Similarity.ivfTopKFromPersisted(spark, dir, queries, "vec_id", "embedding",
+        k = 3, nprobe = 4)
+      val corpus = base.union(drift).where(!col("vec_id").isin(5L, 50L))
+      val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id", "rnk")
+      sortedRows(got) shouldEqual sortedRows(brute)
+    }
+  }
+
+  describe("gram-index compaction") {
+    it("folds append segments and re-distincts grams — probe unchanged vs a fresh union build") {
+      val dir = tmpDir("gramcmp_")
+      Dedup.persistGramIndex(docsDf(1 to 30), "text", "doc_id", dir, k = 20)
+      Dedup.persistGramIndex(docsDf(20 to 50), "text", "doc_id", dir, k = 20, append = true)
+      val probeBefore = sortedRows(
+        Dedup.exciseVsPersistedGrams(docsDf(100 to 104), "text", "doc_id", dir))
+      val filesBefore = parquetFilesUnder(dataDir(dir)).size
+
+      Dedup.compactGramIndex(spark, dir)
+
+      val dd = dataDir(dir)
+      parquetFilesUnder(dd).size should be < filesBefore
+      // Overlapping increments re-contributed grams; compaction dropped
+      // the duplicates.
+      val grams = spark.read.parquet(dd)
+      grams.count() shouldBe grams.select("g").distinct().count()
+      sortedRows(Dedup.exciseVsPersistedGrams(docsDf(100 to 104), "text", "doc_id", dir)) shouldEqual probeBefore
+      val fresh = tmpDir("gramfresh_")
+      Dedup.persistGramIndex(docsDf(1 to 50), "text", "doc_id", fresh, k = 20)
+      sortedRows(grams.select("g", "bucket")) shouldEqual
+        sortedRows(spark.read.parquet(fresh).select("g", "bucket"))
+    }
+  }
+
+  describe("vacuum and rebuild-over-generations") {
+    it("overwrite-persist on a generational root lands as a new generation; vacuum reclaims history") {
+      val dir = tmpDir("regen_")
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(1 to 20), "text", "doc_id"), dir)
+      Dedup.compactSignatureIndex(spark, dir)
+      IndexStore.currentGeneration(spark, dir) shouldBe 1
+      // A REBUILD over the compacted root must not write flat data back.
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(1 to 10), "text", "doc_id"), dir)
+      IndexStore.currentGeneration(spark, dir) shouldBe 2
+      Dedup.loadSignatureIndex(spark, dir).count() shouldBe 10L
+      IndexStore.vacuum(spark, dir)
+      exists(s"$dir/_gen-00001") shouldBe false
+      exists(s"$dir/_gen-00002") shouldBe true
+      Dedup.loadSignatureIndex(spark, dir).count() shouldBe 10L
+    }
+  }
+
+  private implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[Throwable]) {
+    def asScala: Iterable[Throwable] = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Throwable]
+      q.forEach(t => b += t)
+      b
+    }
+  }
+}
