@@ -2524,6 +2524,114 @@ object SparkEntry {
         .orderBy("doc_id", "matched_id")
     }),
 
+    // SELECTIVE compaction gates: the `% 3` compact gates above tombstone
+    // so many docs that every partition is dirty and the compactor
+    // (correctly) falls back to the full rewrite — these five delete a
+    // SMALL id set (`% 97`, a handful of docs) so the dirty fraction is
+    // low and the dirty-partition-only path actually runs: tombstoned
+    // buckets rewritten, clean buckets hardlink-carried into the new
+    // generation. The probe must STILL equal a fresh build on the
+    // survivors (each family's serve/delete oracle with the small filter)
+    // — purge-exactness independent of which partitions were rewritten.
+    "q_dedup_index_compact_sel" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
+      val tmp = graft.GateCache.privateCopy(s"sigidx_half:$dir")(p =>
+        Dedup.persistSignatureIndex(
+          Dedup.buildSignatureIndex(all.where(col("doc_id") <= splitId), "text", "doc_id"), p))
+      Dedup.deleteFromPersistedIndex(
+        all.where(col("doc_id") % 97 === 0).select("doc_id"), "doc_id", tmp)
+      Dedup.compactSignatureIndex(s, tmp) // selective by default
+      Dedup.matchVsPersistedIndex(all.where(col("doc_id") > splitId), "text", "doc_id", tmp)
+        .select(col("doc_id"), col("matched_id"),
+          round(col("est_jaccard") * 32).cast("long").as("est_32"))
+        .orderBy("doc_id", "matched_id")
+    }),
+
+    "q_fp_index_compact_sel" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val tmp = graft.GateCache.privateCopy(s"fpidx_full:$dir")(p =>
+        Dedup.persistFingerprintIndex(
+          d.select(col("doc_id"),
+            Multimodal.imageDHash(Multimodal.syntheticPngTextured(col("doc_id"))).as("dh")),
+          "doc_id", "dh", p, maxHamming = 3, fpBits = 63))
+      Dedup.deleteFromPersistedIndex(
+        d.where(col("doc_id") % 97 === 0).select("doc_id"), "doc_id", tmp)
+      Dedup.compactFingerprintIndex(s, tmp)
+      Dedup.matchVsFingerprintIndex(
+          d.select((col("doc_id") + 10000000L).as("doc_id"),
+            Multimodal.imageDHash(Multimodal.syntheticPngTexturedJittered(col("doc_id"))).as("dh")),
+          "doc_id", "dh", tmp)
+        .select(col("doc_id"), col("matched_id"), col("hamming").cast("long").as("hamming"))
+        .orderBy("doc_id", "matched_id")
+    }),
+
+    "q_jaccard_index_compact_sel" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("bg"))
+      val tmp = graft.GateCache.privateCopy(s"jacidx_even600:$dir")(p =>
+        Dedup.persistJaccardIndex(
+          d.where(col("doc_id") % 2 === 0), "bg", "doc_id", p, thresholdMilli = 600))
+      // % 96 keeps the deleted ids inside the indexed (even) half.
+      Dedup.deleteFromPersistedIndex(
+        d.where(col("doc_id") % 96 === 0).select("doc_id"), "doc_id", tmp)
+      Dedup.compactJaccardIndex(s, tmp)
+      Dedup.matchVsJaccardIndex(d.where(col("doc_id") % 2 === 1), "bg", "doc_id", tmp)
+        .orderBy("doc_id", "matched_id")
+    }),
+
+    "q_knn_ivf_compact_sel" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = graft.GateCache.privateCopy(s"ivfidx_full:$dir")(p =>
+        Similarity.persistIvfIndex(emb, "vec_id", "embedding",
+          graft.operators.IvfPinned.centroids, p))
+      Similarity.deleteFromIvfIndex(
+        emb.where(col("vec_id") % 97 === 0).select("vec_id"), "vec_id", tmp)
+      Similarity.compactIvfIndex(s, tmp)
+      Similarity.ivfTopKFromPersisted(s, tmp, emb.where("vec_id < 5"), "vec_id", "embedding",
+          k = 10, nprobe = 4)
+        .orderBy("query_id", "rnk")
+    }),
+
+    "q_bm25_index_compact_sel" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val tmp = graft.GateCache.privateCopy(s"bm25idx_full:$dir")(p =>
+        TextAnalysis.persistBm25Index(TextAnalysis.buildBm25Index(docs, "text", "doc_id"), p))
+      TextAnalysis.deleteFromBm25Index(
+        docs.where(col("doc_id") % 97 === 0).select("doc_id"), "doc_id", tmp)
+      TextAnalysis.compactBm25Index(s, tmp)
+      val q = Seq(
+        (1L, "spark join window"), (2L, "hash merge sort batch"),
+        (3L, "customer filter query"), (4L, "scan"), (5L, "stream data value key")
+      ).toDF("query_id", "q_text")
+      TextAnalysis.bm25TopKFromPersisted(s, tmp, q, "query_id", "q_text", k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Gram-index compaction closes the SIXTH index family's lifecycle:
+    // build on the even half, APPEND the odd half (overlapping increments
+    // re-contribute shared grams — duplicate rows the probe's semi-join
+    // shrugs off but every scan pays for), COMPACT (segment fold +
+    // re-distinct, atomic generation swap), then excise the upper half
+    // against it. The index now holds exactly the half-corpus gram
+    // vocabulary, so the probe replays q_text_excise_serve's oracle
+    // VERBATIM — append+compact must be indistinguishable from the
+    // one-shot build.
+    "q_gram_index_compact" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
+      val half = all.where(col("doc_id") <= splitId)
+      val tmp = graft.GateCache.privateCopy(s"gramidx_evenhalf_k30:$dir")(p =>
+        Dedup.persistGramIndex(half.where(col("doc_id") % 2 === 0), "text", "doc_id", p, k = 30))
+      Dedup.persistGramIndex(half.where(col("doc_id") % 2 === 1), "text", "doc_id", tmp,
+        k = 30, append = true)
+      Dedup.compactGramIndex(s, tmp)
+      Dedup.exciseVsPersistedGrams(all.where(col("doc_id") > splitId), "text", "doc_id", tmp)
+        .orderBy("doc_id")
+    }),
+
     // Right-to-be-forgotten END-TO-END: all five persisted index families
     // built (MinHash signature / image fingerprint / Jaccard prefix / IVF
     // cell / BM25 postings), then ONE CorpusPipeline.forgetDocuments call
@@ -4107,6 +4215,10 @@ object SparkEntry {
       "q_fp_index_compact" ->
         s"""SELECT doc_id, matched_id, hamming FROM ($phashServeOracleSql)
            |WHERE matched_id % 3 <> 0 ORDER BY doc_id, matched_id""".stripMargin,
+      // Selective variant: small purge, most bucket partitions carried.
+      "q_fp_index_compact_sel" ->
+        s"""SELECT doc_id, matched_id, hamming FROM ($phashServeOracleSql)
+           |WHERE matched_id % 97 <> 0 ORDER BY doc_id, matched_id""".stripMargin,
 
       "q_events_attribution"        -> attributionOracleSql,
       // The stream-stream join must land on the batch result row-for-row.
@@ -4976,6 +5088,12 @@ object SparkEntry {
       // Append-then-delete-then-compact ≡ fresh build on survivors under
       // the frozen centroids — the delete replay verbatim.
       "q_knn_ivf_compact" -> ivfDeleteOracleSql,
+      // Selective variant: a handful of vectors tombstoned — only their
+      // cells rewrite, the rest hardlink-carry; ranking still equals the
+      // fresh-build replay over the survivors.
+      "q_knn_ivf_compact_sel" -> ivfProbeOracleSql.replace(
+        "WHERE query_id <> neighbor_id)",
+        "WHERE query_id <> neighbor_id AND neighbor_id % 97 <> 0)"),
 
       // Streamed-query ANN serving against the same persisted index:
       // per-query rankings are micro-batch independent — oracle identical.
@@ -5152,9 +5270,17 @@ object SparkEntry {
       // Purge must equal mask: compact(delete) serves exactly the delete
       // replay (fresh build on survivors).
       "q_dedup_index_compact" -> sigDeleteOracleSql,
+      // Selective (dirty-partition-only) variant: a SMALL purge (% 97) so
+      // most partitions are hardlink-carried — results must still be the
+      // fresh-build replay over the survivors.
+      "q_dedup_index_compact_sel" -> sigDeleteOracleSql.replace("oid % 3 <> 0", "oid % 97 <> 0"),
       "q_jaccard_index_compact" ->
         s"""SELECT doc_id, matched_id, inter, size_a, size_b, jaccard_milli
            |FROM ($jaccardServeOracleSql) WHERE matched_id % 3 <> 0
+           |ORDER BY doc_id, matched_id""".stripMargin,
+      "q_jaccard_index_compact_sel" ->
+        s"""SELECT doc_id, matched_id, inter, size_a, size_b, jaccard_milli
+           |FROM ($jaccardServeOracleSql) WHERE matched_id % 96 <> 0
            |ORDER BY doc_id, matched_id""".stripMargin,
 
       // Disk round trip + partition pruning are implementation details of
@@ -5498,6 +5624,9 @@ object SparkEntry {
       // Serving-form excision: corpus half's DISTINCT grams are the
       // contamination set; probe half replays the same island/stitch tail.
       "q_text_excise_serve" -> exciseServeOracleSql,
+      // Append + compact must be indistinguishable from the one-shot
+      // build of the same gram vocabulary — the serve oracle verbatim.
+      "q_gram_index_compact" -> exciseServeOracleSql,
 
       // The streamed serving twin probes the same frozen index per
       // micro-batch — identical result contract.
@@ -5696,6 +5825,11 @@ object SparkEntry {
       // surviving corpus — the delete replay verbatim (scores, not just
       // membership).
       "q_bm25_index_compact" -> bm25DeleteOracleSql,
+      // Selective variant (small purge): doc_freq recounts only in the
+      // dirty term buckets, clean buckets carry — scores still re-derive
+      // exactly as a fresh build without the purged docs.
+      "q_bm25_index_compact_sel" ->
+        bm25OracleSql.replace("FROM documents)", "FROM documents WHERE doc_id % 97 <> 0)"),
 
       // Streamed-query serving against the same persisted index: per-query
       // rankings are micro-batch independent — oracle identical.
