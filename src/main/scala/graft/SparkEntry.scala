@@ -2328,6 +2328,19 @@ object SparkEntry {
       Dedup.deduplicateCorpus(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
         .select("doc_id").orderBy("doc_id")),
 
+    // Boilerplate-EXCISED near-dup: shingles in > 20% of the corpus (on
+    // character trigrams that is every common English fragment) are
+    // dropped from every document's set BEFORE candidates and
+    // verification, so similarity means "similar modulo boilerplate" —
+    // the cure for the hostile-shingle premium (a shared header cannot
+    // make two documents near-duplicates, nor flood the verifier). The
+    // oracle replays the excision arithmetic (floor(frac·N) cutoff)
+    // before the same capped-candidate/cluster machinery.
+    "q_dedup_corpus_excise" -> ((s, dir) =>
+      Dedup.deduplicateCorpus(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8,
+          exciseBoilerplateFrac = Some(0.2))
+        .select("doc_id").orderBy("doc_id")),
+
     // Duplicate-MASS robustness: a 200-copy hot class (every shingle far
     // over the maxShingleFreq=100 cap — a direct near-dup front is BLIND
     // to it, and uncapped it would emit 200²/2 candidate pairs) plus a
@@ -4426,8 +4439,8 @@ object SparkEntry {
     * symmetric edges → reachability); ends with `reach(a, b)`.
     */
   private def clustersCte(hsh3: String, hashI: String, bandKey: String,
-      fromSql: String = "documents"): String =
-    s"""docs AS (SELECT doc_id, $hsh3 AS shs FROM $fromSql),
+      fromSql: String = "documents", docsCte: Option[String] = None): String =
+    s"""${docsCte.getOrElse(s"docs AS (SELECT doc_id, $hsh3 AS shs FROM $fromSql)")},
        |${adaptiveCandCte(hashI, bandKey)},
        |pairs AS (SELECT doc_a, doc_b FROM cand JOIN docs x ON doc_a = x.doc_id JOIN docs y ON doc_b = y.doc_id
        |  WHERE len(list_intersect(x.shs, y.shs))::DOUBLE /
@@ -5211,6 +5224,24 @@ object SparkEntry {
 
       "q_dedup_corpus" ->
         s"""WITH RECURSIVE ${clustersCte(hsh3, hashI, bandKey)},
+           |losers AS (SELECT a AS node FROM reach GROUP BY a HAVING min(b) <> a)
+           |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
+           |ORDER BY doc_id""".stripMargin,
+
+      // Excision replay: drop shingles with doc-frequency >
+      // max(1, floor(0.2·N)) from every set, then the identical
+      // capped-candidate/cluster chain over the excised sets (documents
+      // whose every shingle was boilerplate pair with nothing and
+      // survive as their own canon).
+      "q_dedup_corpus_excise" ->
+        s"""WITH RECURSIVE ${clustersCte(hsh3, hashI, bandKey, docsCte = Some(
+            s"""docs0 AS (SELECT doc_id, $hsh3 AS shs FROM documents),
+               |hot AS (SELECT h FROM (SELECT doc_id, unnest(shs) AS h FROM docs0)
+               |        GROUP BY h
+               |        HAVING count(*) > greatest(1, CAST(floor(0.2 * (SELECT count(*) FROM docs0)) AS BIGINT))),
+               |docs AS (SELECT doc_id, list(h) AS shs
+               |         FROM (SELECT doc_id, unnest(shs) AS h FROM docs0) u
+               |         WHERE h NOT IN (SELECT h FROM hot) GROUP BY doc_id)""".stripMargin))},
            |losers AS (SELECT a AS node FROM reach GROUP BY a HAVING min(b) <> a)
            |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
            |ORDER BY doc_id""".stripMargin,

@@ -293,15 +293,45 @@ object Dedup {
       threshold: Double = 0.8,
       maxShingleFreq: Option[Int] = Some(100),
       verify: VerifyMode = VerifyMode.Auto(),
-      candidates: CandidateMode = CandidateMode.Auto()
+      candidates: CandidateMode = CandidateMode.Auto(),
+      exciseBoilerplateFrac: Option[Double] = None
   ): DataFrame = {
     // One hashing pass: the inverted index derives the (doc, shingle)
     // stream from this cached frame 3× (stop-shingle counts + both join
     // sides) and verification reads it again — without the checkpoint
     // every derivation re-hashed the whole corpus.
-    val docs = Lineage.truncate(
+    val docs0 = Lineage.truncate(
       df.select(col(idCol).cast("long").as("doc_id"), hashedShingles(col(textCol), n).as("shs"))
     )
+    // Boilerplate EXCISION (opt-in): drop shingles whose document
+    // frequency exceeds frac·|corpus| from every document's set BEFORE
+    // candidates AND verification — unlike `maxShingleFreq`, which only
+    // keeps hot shingles out of the candidate index while the exact
+    // verify still intersects full sets. A shared header/footer in 25% of
+    // the corpus stops contributing similarity at all: candidate pairs it
+    // alone created now fail verification too, so the hostile-shingle
+    // premium collapses instead of being merely bounded. Semantics change
+    // accordingly (Jaccard over the excised sets — "similar modulo
+    // boilerplate"); on a corpus with no shingle above the cutoff the
+    // result is IDENTICAL to the default path (gate-pinned). Cost: one
+    // shingle-frequency aggregation (the same shape maxShingleFreq
+    // already pays) + one anti-join + one per-doc re-collect.
+    val docs = exciseBoilerplateFrac match {
+      case None => docs0
+      case Some(frac) =>
+        require(frac > 0.0 && frac <= 1.0, s"exciseBoilerplateFrac must be in (0, 1], got $frac")
+        val cutoff = math.max(1L, math.floor(frac * docs0.count()).toLong)
+        val sh  = docs0.select(col("doc_id"), explode(col("shs")).as("sh"))
+        val hot = sh.groupBy("sh").agg(count(lit(1)).as("df_freq"))
+          .where(col("df_freq") > cutoff).select("sh")
+        // Documents whose every shingle is boilerplate drop out of the
+        // re-collect — correct: they have no excised shingles to pair on,
+        // and downstream survivor logic keeps absent docs as their own
+        // canon.
+        Lineage.truncate(
+          sh.join(hot, Seq("sh"), "left_anti")
+            .groupBy("doc_id").agg(collect_list(col("sh")).as("shs")))
+    }
     def indexed = {
       val sh = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
       (maxShingleFreq match {
@@ -932,7 +962,8 @@ object Dedup {
       threshold: Double = 0.8,
       maxShingleFreq: Option[Int] = Some(100),
       candidates: CandidateMode = CandidateMode.Auto(),
-      clusterMode: ClusterMode = ClusterMode.Auto()
+      clusterMode: ClusterMode = ClusterMode.Auto(),
+      exciseBoilerplateFrac: Option[Double] = None
   ): DataFrame = {
     val id = col(idCol).cast("long")
     val identity = coalesce(md5(col(textCol).cast("binary")), concat(lit("null#"), id))
@@ -940,7 +971,8 @@ object Dedup {
       .groupBy(identity.as("_h")).agg(min(id).as("_cid"))
       .select("_cid")
     val canon    = df.join(canonIds, id === col("_cid"), "left_semi")
-    val pairs    = ngramJaccardPairs(canon, textCol, idCol, n, threshold, maxShingleFreq, candidates = candidates)
+    val pairs    = ngramJaccardPairs(canon, textCol, idCol, n, threshold, maxShingleFreq,
+      candidates = candidates, exciseBoilerplateFrac = exciseBoilerplateFrac)
     val clusters = duplicateClusters(pairs, mode = clusterMode)
     dedupByClusters(canon, idCol, clusters)
   }

@@ -125,9 +125,23 @@ private[graft] object IndexStore {
     while (!acquired) {
       try {
         fs.mkdirs(new Path(root))
-        val out = fs.create(lock, /* overwrite = */ false)
-        try out.write(s"$me ts=${System.currentTimeMillis()}\n".getBytes("UTF-8"))
-        finally out.close()
+        // The claim must be ATOMIC create-exclusive. HDFS's namenode gives
+        // that for create(overwrite = false); the LOCAL FileSystem's
+        // checksum wrapper implements it as exists-then-create — a TOCTOU
+        // hole two simultaneous acquirers both slip through (observed:
+        // interleaved committers under suite load). On file: schemes go
+        // straight to O_CREAT|O_EXCL via java.nio instead.
+        if (fs.getScheme == "file") {
+          val p = java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath)
+          java.nio.file.Files.write(p,
+            s"$me ts=${System.currentTimeMillis()}\n".getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW, // atomic O_EXCL
+            java.nio.file.StandardOpenOption.WRITE)
+        } else {
+          val out = fs.create(lock, /* overwrite = */ false)
+          try out.write(s"$me ts=${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+          finally out.close()
+        }
         acquired = true
       } catch {
         case _: java.io.IOException => // exists (or raced) — inspect holder
@@ -141,7 +155,16 @@ private[graft] object IndexStore {
           if (ts.exists(System.currentTimeMillis() - _ > staleMs)) {
             org.apache.log4j.Logger.getLogger(getClass)
               .warn(s"IndexStore: breaking stale writer lease on $root (holder: $holder)")
-            fs.delete(lock, false)
+            // Re-read before deleting: a rival waiter may have broken the
+            // stale lock and acquired a FRESH one in the window since our
+            // read — deleting that would hand out two leases.
+            val still =
+              try {
+                val in2 = fs.open(lock)
+                try scala.io.Source.fromInputStream(in2, "UTF-8").mkString.trim == holder
+                finally in2.close()
+              } catch { case _: java.io.IOException => false }
+            if (still) fs.delete(lock, false)
           } else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"IndexStore: could not acquire writer lease on $root within ${waitMs}ms " +

@@ -1275,4 +1275,58 @@ object Multimodal {
       }
       .toDF(idCol, "key", "image", "caption", "meta")
   }
+
+  /** Files-per-trigger for a BYTE budget over observed shard sizes — the
+    * pacing arithmetic of [[webdatasetStream]], pure so the spec pins it.
+    * Sized by the LARGEST observed shard (a worst-case bound, not an
+    * average: one oversized shard must not blow the budget when it lands
+    * in a trigger with `k − 1` typical ones), floored at 1 — a shard
+    * bigger than the whole budget still has to be read somehow, one per
+    * trigger.
+    */
+  def filesPerTriggerFor(shardBytes: Seq[Long], maxBytesPerTrigger: Long): Int = {
+    require(maxBytesPerTrigger > 0, "maxBytesPerTrigger must be positive")
+    val biggest = if (shardBytes.isEmpty) 1L else math.max(1L, shardBytes.max)
+    math.max(1L, maxBytesPerTrigger / biggest).min(Int.MaxValue).toInt
+  }
+
+  /** Streaming WebDataset ingest with BYTE-BUDGET pacing — the
+    * production entry point for tailing a crawler's shard-drop directory
+    * when shards are built at real size (100 MB–1 GB; the export side's
+    * `samplesPerShard = 1000` shape), not the fixture-sized ones the
+    * gate replays. Spark's `binaryFile` source rate-limits by FILE COUNT
+    * only, and it materializes each whole shard as one row — so the real
+    * memory bound is `filesPerTrigger × shardBytes` per partition, and a
+    * count knob calibrated for 20 MB fixture shards OOMs on 600 MB
+    * production shards. This wrapper lists the glob once at start,
+    * derives files/trigger from the LARGEST observed shard
+    * ([[filesPerTriggerFor]]), and returns the assembled samples stream
+    * ([[webdatasetSamples]] — stateless scan-local flatMap, no watermark,
+    * no state store). Shards arriving later and exceeding the observed
+    * maximum weaken the bound (list-once is the trade for a static
+    * trigger limit); size shards uniformly — the export sink does — or
+    * re-derive on redeploy. TarStreamSoak measures the flat-memory claim
+    * at `samplesPerShard = 1000`.
+    */
+  def webdatasetStream(
+      spark: org.apache.spark.sql.SparkSession,
+      shardGlob: String,
+      maxBytesPerTrigger: Long = 2L * 1024 * 1024 * 1024
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    val gp = new org.apache.hadoop.fs.Path(shardGlob)
+    val fs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = Option(fs.globStatus(gp)).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getLen).toSeq
+    val perTrigger = filesPerTriggerFor(sizes, maxBytesPerTrigger)
+    val binSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    val src = spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("maxFilesPerTrigger", perTrigger)
+      .load(shardGlob)
+    webdatasetSamples(
+      src.select(xxhash64(col("path")).as("shard_id"), col("content")), "shard_id", "content")
+  }
 }

@@ -102,6 +102,59 @@ object CompactionSoak {
     println(f"[cmpsoak] bm25 compact took ${(System.nanoTime() - tC1) / 1e9}%.2f s")
     row("bm25 after-compact", bmDir, bmProbe())
 
+    // ---- selective-compaction cost ladder ---------------------------------
+    // The claim under q_*_compact_sel: selective compact cost is
+    // proportional to the DIRTY FRACTION, not the index size. Fixed
+    // absolute delete set (the right-to-be-forgotten shape: a handful of
+    // ids, however big the corpus), corpus ×1 then ×4, 512 key buckets so
+    // a 5-doc purge dirties ≤ 40/512 partitions: selective time should
+    // track the dirty fraction of the full-rewrite time at BOTH sizes,
+    // and the carried (hardlinked, not rewritten) file count should stay
+    // ≈ clean-partition count.
+    def inodes(dir: String): Set[Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Seq.empty)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet")).map(f =>
+        java.nio.file.Files.getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]).toSet
+    }
+    def copyTree(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src)
+      java.nio.file.Files.walk(s).forEach { p =>
+        val d = java.nio.file.Paths.get(dst).resolve(s.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(d)
+        else java.nio.file.Files.copy(p, d)
+      }
+    }
+    Seq(1, 4).foreach { scale =>
+      val corpus =
+        if (scale == 1) docs
+        else (0 until scale).map(i =>
+          docs.select((col("doc_id") + lit(i.toLong * (maxId + 1))).as("doc_id"), col("text")))
+          .reduce(_.unionAll(_))
+      val pristine = java.nio.file.Files.createTempDirectory(s"cmp_sel_x${scale}_").toString
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(corpus, "text", "doc_id"), pristine, keyBuckets = 512)
+      def trial(selective: Boolean): (Double, Int, Int) = {
+        val t = java.nio.file.Files.createTempDirectory(s"cmp_sel_trial_").toString
+        copyTree(pristine, t)
+        Dedup.deleteFromPersistedIndex(
+          docs.where(col("doc_id") % 1000 === 7).select("doc_id"), "doc_id", t) // ~5 ids at sf0.1
+        val before = inodes(t)
+        val t0 = System.nanoTime()
+        if (selective) Dedup.compactSignatureIndex(spark, t)
+        else Dedup.compactSignatureIndex(spark, t, selective = false)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val cur  = graft.operators.IndexStore.dataDir(spark, t)
+        val after = inodes(cur)
+        ((secs, (after intersect before).size, (after -- before).size))
+      }
+      val (tSel, carried, rewritten) = trial(selective = true)
+      val (tFull, _, _)              = trial(selective = false)
+      println(f"[cmpsoak] sel-ladder corpus=x$scale%-2d selective $tSel%6.2f s  full $tFull%6.2f s  " +
+        f"carried=$carried%4d files  rewritten=$rewritten%4d files")
+    }
+
     spark.stop()
   }
 }

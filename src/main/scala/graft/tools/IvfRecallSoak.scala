@@ -1,0 +1,122 @@
+package graft.tools
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures IVF recall decay under APPEND DRIFT and its cure — the
+  * SCALE.md evidence for `compactIvfIndex(retrain = true)`.
+  *
+  * The failure mode: [[Similarity.appendToIvfIndex]] assigns new vectors
+  * to the index's FROZEN centroids. While appends come from the same
+  * distribution the quantizer trained on, that is exactly right; when a
+  * NEW DOMAIN enters the corpus (the embedding story of a crawl source
+  * change), its vectors crowd into whichever frozen cells sit closest,
+  * cell balance decays, and an nprobe-bounded probe starts missing true
+  * neighbors — silently, because every individual probe still returns k
+  * rows. This soak synthesizes that drift (appended batches get a
+  * constant offset on half the dimensions), then measures recall@k of
+  * the SAME probe against:
+  *
+  *   frozen    — the appended index served as-is,
+  *   retrained — after `compactIvfIndex(retrain = true)` (Lloyd re-run
+  *               on the survivors, new centroids installed in the same
+  *               atomic generation flip),
+  *   fresh     — a from-scratch train+build on the union corpus (the
+  *               upper bound retraining aims for).
+  *
+  * Exact top-k comes from [[Similarity.bruteForceTopK]]; recall is
+  * [[Similarity.recallAtK]]. Cell imbalance (max/mean cell population)
+  * is reported alongside — it is the observable that should trigger a
+  * retrain in production.
+  *
+  * Usage: runMain graft.tools.IvfRecallSoak <sfDir> [appendScales]
+  *   e.g.  IvfRecallSoak /root/testdata/sf0.1 1,10
+  * Appends <scale> drifted copies of the base corpus, so ×10 means the
+  * drifted mass outweighs the trained mass 10:1 — the decay regime.
+  */
+object IvfRecallSoak {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir  = args(0)
+    val scales = (if (args.length > 1) args(1) else "1,10").split(",").map(_.trim.toInt)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = graft.Tpch.table(spark, sfDir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .cache()
+    val n     = base.count()
+    val dim   = base.select(size(col("embedding"))).head.getInt(0)
+    val nlist = 64
+
+    // Drifted copy c: ids shifted past the base range, a +3.0 offset on
+    // the first half of the dimensions — a coherent new mode, far from
+    // every base-trained centroid, not just noise.
+    def drifted(c: Int): DataFrame = {
+      val u = udf { (v: Array[Float]) =>
+        val o = v.clone()
+        var i = 0
+        while (i < o.length / 2) { o(i) = o(i) + 3.0f; i += 1 }
+        o
+      }
+      base.select((col("vec_id") + lit(c.toLong * n)).as("vec_id"), u(col("embedding")).as("embedding"))
+    }
+
+    scales.foreach { s =>
+      val appended = (1 to s).map(drifted).reduce(_.unionAll(_))
+      val union    = graft.plans.Lineage.truncate(base.unionAll(appended))
+      // Queries: a fixed hash-sample of the DRIFTED mass (50 vectors) —
+      // the new domain is where frozen-centroid recall decays.
+      val queries = graft.plans.Lineage.truncate(
+        appended.where(col("vec_id") % lit(math.max(1L, s * n / 50)) === 1))
+      val exact = graft.plans.Lineage.truncate(
+        Similarity.bruteForceTopK(union, queries, "vec_id", "embedding", k = 10,
+          guard = Similarity.ExactGuard.MaxWork(4L * 1000 * 1000 * 1000)))
+
+      def recallOf(approx: DataFrame): Double = {
+        val r = Similarity.recallAtK(approx, exact)
+          .agg(sum("n_hits").cast("double"), sum("n_exact").cast("double")).head
+        r.getDouble(0) / r.getDouble(1)
+      }
+      def imbalance(dir: String): Double = {
+        val cells = spark.read.parquet(graft.operators.IndexStore.dataDir(spark, dir))
+          .groupBy("cell").count().select(col("count").cast("double")).as[Double].collect()
+        if (cells.isEmpty) 0.0 else cells.max / (cells.sum / cells.length)
+      }
+
+      // Frozen: train on base only, append the drifted mass.
+      val frozenDir = java.nio.file.Files.createTempDirectory(s"ivf_recall_frozen_x$s").toString
+      val cents     = Similarity.ivfCentroids(base, "vec_id", "embedding", nlist)
+      Similarity.persistIvfIndex(base, "vec_id", "embedding", cents, frozenDir)
+      Similarity.appendToIvfIndex(appended, "vec_id", "embedding", frozenDir)
+      val rFrozen   = recallOf(Similarity.ivfTopKFromPersisted(
+        spark, frozenDir, queries, "vec_id", "embedding", k = 10, nprobe = 4))
+      val imbFrozen = imbalance(frozenDir)
+
+      // Retrained: the SAME index after compactIvfIndex(retrain = true).
+      Similarity.compactIvfIndex(spark, frozenDir, retrain = true)
+      val rRetrained   = recallOf(Similarity.ivfTopKFromPersisted(
+        spark, frozenDir, queries, "vec_id", "embedding", k = 10, nprobe = 4))
+      val imbRetrained = imbalance(frozenDir)
+
+      // Fresh: train + build on the union from scratch (the upper bound).
+      val freshDir   = java.nio.file.Files.createTempDirectory(s"ivf_recall_fresh_x$s").toString
+      val centsFresh = Similarity.ivfCentroids(union, "vec_id", "embedding", nlist)
+      Similarity.persistIvfIndex(union, "vec_id", "embedding", centsFresh, freshDir)
+      val rFresh = recallOf(Similarity.ivfTopKFromPersisted(
+        spark, freshDir, queries, "vec_id", "embedding", k = 10, nprobe = 4))
+
+      println(f"[ivfrecall] x$s%-3d corpus=${(s + 1) * n}%8d dim=$dim nlist=$nlist nprobe=4 " +
+        f"recall@10: frozen=$rFrozen%.3f retrained=$rRetrained%.3f fresh=$rFresh%.3f " +
+        f"imbalance(max/mean): frozen=$imbFrozen%.1f retrained=$imbRetrained%.1f")
+    }
+    spark.stop()
+  }
+}

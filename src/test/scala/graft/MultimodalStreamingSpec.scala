@@ -513,4 +513,44 @@ class MultimodalStreamingSpec extends SparkSpec {
       emitted.length shouldBe 1
     }
   }
+
+  describe("webdatasetStream byte-budget pacing") {
+    it("filesPerTriggerFor bounds the trigger by the LARGEST shard, floored at 1") {
+      // 4 typical shards + 1 oversized: budget of 2 GB over a 600 MB max
+      // shard → 3 files/trigger (worst-case bound, not average).
+      val mb = 1024L * 1024
+      Multimodal.filesPerTriggerFor(Seq(200 * mb, 210 * mb, 600 * mb, 190 * mb), 2048 * mb) shouldBe 3
+      // A shard larger than the whole budget still flows — one per trigger.
+      Multimodal.filesPerTriggerFor(Seq(4096 * mb), 1024 * mb) shouldBe 1
+      // No shards observed yet: conservatively one file per trigger per
+      // byte budget unit of 1 (empty dir at stream start).
+      Multimodal.filesPerTriggerFor(Seq.empty, 1024 * mb) should be >= 1
+    }
+
+    it("webdatasetStream drains shards under the budget and assembles the same samples") {
+      val docs = (1L to 48L).map(i => (i, s"caption $i")).toDF("doc_id", "caption")
+      val samples = docs.select(col("doc_id"),
+        Multimodal.syntheticPng(col("doc_id")).as("image"),
+        col("caption"),
+        concat(lit("{\"id\":"), col("doc_id").cast("string"), lit("}")).as("meta"))
+      val shardDir = java.nio.file.Files.createTempDirectory("wds_knob_").toString
+      Multimodal.exportWebdataset(samples, "doc_id", "image", "caption", "meta", shardDir,
+        samplesPerShard = 8)
+      val sink = java.nio.file.Files.createTempDirectory("wds_knob_sink_").toString + "/out"
+      val q = Multimodal.webdatasetStream(spark, s"$shardDir/shard-*.tar",
+          maxBytesPerTrigger = 64L * 1024) // tiny budget → multi-trigger drain
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("wds_knob_ckpt_").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.read.parquet(sink)
+      out.count() shouldBe 48L
+      out.select("key").distinct().count() shouldBe 48L
+      out.where(col("image").isNull || col("caption").isNull || col("meta").isNull)
+        .count() shouldBe 0L
+    }
+  }
 }
