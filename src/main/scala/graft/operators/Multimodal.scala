@@ -1089,11 +1089,21 @@ object Multimodal {
     * terminating zero block; a malformed archive yields what was parsed
     * before the damage (error tolerance, like every decode kernel here).
     */
-  private[graft] def tarEntryList(raw: Array[Byte]): Vector[(String, Array[Byte])] = {
-    val out = Vector.newBuilder[(String, Array[Byte])]
-    try {
-      val bytes =
-        if (raw.length > 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) {
+  private[graft] def tarEntryList(raw: Array[Byte]): Vector[(String, Array[Byte])] =
+    tarEntryIterator(raw).toVector
+
+  /** LAZY form of [[tarEntryList]]: entries materialize one at a time as
+    * the consumer pulls — at production shard sizes (100s of MB, one
+    * `binaryFile` row each) the eager Vector was a second whole-shard
+    * copy per task on top of the content row, and the difference is an
+    * OOM at exactly the scale the streaming ingest targets. Same error
+    * tolerance: a malformed header ends the walk with what parsed before
+    * the damage.
+    */
+  private[graft] def tarEntryIterator(raw: Array[Byte]): Iterator[(String, Array[Byte])] = {
+    val bytes =
+      try
+        if (raw != null && raw.length > 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) {
           val in  = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(raw))
           val bos = new java.io.ByteArrayOutputStream(raw.length * 4)
           val buf = new Array[Byte](65536)
@@ -1101,22 +1111,35 @@ object Multimodal {
           while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
           in.close()
           bos.toByteArray
-        } else raw
-      var off = 0
-      while (off + 512 <= bytes.length && bytes(off) != 0) {
-        var nameEnd = off
-        while (nameEnd < off + 100 && bytes(nameEnd) != 0) nameEnd += 1
-        val name = new String(bytes, off, nameEnd - off, "UTF-8")
-        val sizeStr = new String(bytes, off + 124, 12, "US-ASCII")
-          .takeWhile(c => c >= '0' && c <= '7')
-        val size = java.lang.Long.parseLong(if (sizeStr.isEmpty) "0" else sizeStr, 8).toInt
-        val payload = java.util.Arrays.copyOfRange(bytes, off + 512,
-          math.min(off + 512 + size, bytes.length))
-        if (bytes(off + 156) == '0'.toByte || bytes(off + 156) == 0) out += ((name, payload))
-        off += 512 + ((size + 511) / 512) * 512
+        } else if (raw == null) Array.empty[Byte]
+        else raw
+      catch { case _: Exception => Array.empty[Byte] }
+    new Iterator[(String, Array[Byte])] {
+      private var off = 0
+      private var pending: (String, Array[Byte]) = null
+      private var dead = false
+      private def roll(): Unit =
+        try
+          while (pending == null && !dead && off + 512 <= bytes.length && bytes(off) != 0) {
+            var nameEnd = off
+            while (nameEnd < off + 100 && bytes(nameEnd) != 0) nameEnd += 1
+            val name = new String(bytes, off, nameEnd - off, "UTF-8")
+            val sizeStr = new String(bytes, off + 124, 12, "US-ASCII")
+              .takeWhile(c => c >= '0' && c <= '7')
+            val size = java.lang.Long.parseLong(if (sizeStr.isEmpty) "0" else sizeStr, 8).toInt
+            if (bytes(off + 156) == '0'.toByte || bytes(off + 156) == 0)
+              pending = ((name, java.util.Arrays.copyOfRange(bytes, off + 512,
+                math.min(off + 512 + size, bytes.length))))
+            off += 512 + ((size + 511) / 512) * 512
+          }
+        catch { case _: Exception => dead = true; pending = null }
+      override def hasNext: Boolean = { roll(); pending != null }
+      override def next(): (String, Array[Byte]) = {
+        roll()
+        if (pending == null) throw new NoSuchElementException("tar walk exhausted")
+        val p = pending; pending = null; p
       }
-    } catch { case _: Exception => () }
-    out.result()
+    }
   }
 
   /** Deterministic synthetic WebDataset corpus: documents grouped
@@ -1253,25 +1276,42 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(contentCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val out = Vector.newBuilder[(Long, String, Array[Byte], String, String)]
-        var key: String = null
-        var img: Array[Byte] = null
-        var txt: String = null
-        var meta: String = null
-        def emit(): Unit = if (key != null) { out += ((id, key, img, txt, meta)); img = null; txt = null; meta = null }
-        tarEntryList(bytes).foreach { case (name, payload) =>
-          val dot = name.indexOf('.')
-          val (k, ext) = if (dot < 0) (name, "") else (name.substring(0, dot), name.substring(dot + 1))
-          if (k != key) { emit(); key = k }
-          ext.toLowerCase match {
-            case "png" | "jpg" | "jpeg" => img = payload
-            case "txt"                  => txt = new String(payload, "UTF-8")
-            case "json"                 => meta = new String(payload, "UTF-8")
-            case _                      => ()
+        // LAZY end to end: one finished sample in flight, entries pulled
+        // from the tar walk on demand — an eager builder here held every
+        // sample of the shard (≈ a full extra shard copy per task), which
+        // OOMed at production shard sizes.
+        val entries = tarEntryIterator(bytes)
+        new Iterator[(Long, String, Array[Byte], String, String)] {
+          private var key: String = null
+          private var img: Array[Byte] = null
+          private var txt: String = null
+          private var meta: String = null
+          private var pending: (Long, String, Array[Byte], String, String) = null
+          private def emit(): Unit =
+            if (key != null) { pending = ((id, key, img, txt, meta)); img = null; txt = null; meta = null }
+          private def roll(): Unit =
+            while (pending == null && entries.hasNext) {
+              val (name, payload) = entries.next()
+              val dot = name.indexOf('.')
+              val (k, ext) = if (dot < 0) (name, "") else (name.substring(0, dot), name.substring(dot + 1))
+              if (k != key) { emit(); key = k }
+              ext.toLowerCase match {
+                case "png" | "jpg" | "jpeg" => img = payload
+                case "txt"                  => txt = new String(payload, "UTF-8")
+                case "json"                 => meta = new String(payload, "UTF-8")
+                case _                      => ()
+              }
+            }
+          override def hasNext: Boolean = {
+            roll()
+            if (pending == null && !entries.hasNext) { emit(); key = null } // trailing sample
+            pending != null
+          }
+          override def next(): (Long, String, Array[Byte], String, String) = {
+            if (!hasNext) throw new NoSuchElementException("webdataset walk exhausted")
+            val p = pending; pending = null; p
           }
         }
-        emit()
-        out.result()
       }
       .toDF(idCol, "key", "image", "caption", "meta")
   }
@@ -1305,8 +1345,15 @@ object Multimodal {
     * no state store). Shards arriving later and exceeding the observed
     * maximum weaken the bound (list-once is the trade for a static
     * trigger limit); size shards uniformly — the export sink does — or
-    * re-derive on redeploy. TarStreamSoak measures the flat-memory claim
-    * at `samplesPerShard = 1000`.
+    * re-derive on redeploy.
+    *
+    * Heap sizing (TarStreamSoak-measured at `samplesPerShard = 1000`,
+    * ~390 MB shards): the read path copies each shard ~2–3× (binaryFile
+    * read buffer → row → decoded array; the sample walk itself is lazy,
+    * one slice in flight) and the in-flight shards are humongous G1
+    * objects, so budget `maxBytesPerTrigger ≤ heap / 8` per executor.
+    * Measured: 1536 MB budget OOMs a 10 GiB heap and runs flat on
+    * 24 GiB; 512 MB budget runs on 10 GiB with < 1 GiB steady heap.
     */
   def webdatasetStream(
       spark: org.apache.spark.sql.SparkSession,

@@ -90,21 +90,44 @@ object IvfRecallSoak {
           .groupBy("cell").count().select(col("count").cast("double")).as[Double].collect()
         if (cells.isEmpty) 0.0 else cells.max / (cells.sum / cells.length)
       }
+      // The COST side of recall: rows the pruned probe actually scans per
+      // query (sum of its nprobe cells' populations). Crowded frozen
+      // cells can show PERFECT recall precisely because the probe
+      // degenerates to a near-full scan — recall without this column is
+      // meaningless under drift.
+      def scannedPerQuery(dir: String): Double = {
+        val dd    = graft.operators.IndexStore.dataDir(spark, dir)
+        val cents = Similarity.loadCentroids(spark, s"$dd/_graft_centroids")
+        val bc    = spark.sparkContext.broadcast(cents)
+        val probeU = udf { (v: Array[Float]) =>
+          val vd = v.map(_.toDouble)
+          bc.value.indices
+            .map(c => (vd.zip(bc.value(c)).map(p => p._1 * p._2).sum /
+              (math.sqrt(vd.map(x => x * x).sum) * math.sqrt(bc.value(c).map(x => x * x).sum)), c))
+            .sortBy { case (s0, c) => (-s0, c) }.take(4).map(_._2).toArray
+        }
+        val counts = spark.read.parquet(dd).groupBy("cell").count()
+        val probed = queries.select(col("vec_id").as("qid"), explode(probeU(col("embedding"))).as("cell"))
+        val total = probed.join(counts, "cell").agg(sum("count")).head.getLong(0).toDouble
+        total / queries.count()
+      }
 
       // Frozen: train on base only, append the drifted mass.
       val frozenDir = java.nio.file.Files.createTempDirectory(s"ivf_recall_frozen_x$s").toString
       val cents     = Similarity.ivfCentroids(base, "vec_id", "embedding", nlist)
       Similarity.persistIvfIndex(base, "vec_id", "embedding", cents, frozenDir)
       Similarity.appendToIvfIndex(appended, "vec_id", "embedding", frozenDir)
-      val rFrozen   = recallOf(Similarity.ivfTopKFromPersisted(
+      val rFrozen    = recallOf(Similarity.ivfTopKFromPersisted(
         spark, frozenDir, queries, "vec_id", "embedding", k = 10, nprobe = 4))
-      val imbFrozen = imbalance(frozenDir)
+      val imbFrozen  = imbalance(frozenDir)
+      val scanFrozen = scannedPerQuery(frozenDir)
 
       // Retrained: the SAME index after compactIvfIndex(retrain = true).
       Similarity.compactIvfIndex(spark, frozenDir, retrain = true)
-      val rRetrained   = recallOf(Similarity.ivfTopKFromPersisted(
+      val rRetrained    = recallOf(Similarity.ivfTopKFromPersisted(
         spark, frozenDir, queries, "vec_id", "embedding", k = 10, nprobe = 4))
-      val imbRetrained = imbalance(frozenDir)
+      val imbRetrained  = imbalance(frozenDir)
+      val scanRetrained = scannedPerQuery(frozenDir)
 
       // Fresh: train + build on the union from scratch (the upper bound).
       val freshDir   = java.nio.file.Files.createTempDirectory(s"ivf_recall_fresh_x$s").toString
@@ -113,8 +136,10 @@ object IvfRecallSoak {
       val rFresh = recallOf(Similarity.ivfTopKFromPersisted(
         spark, freshDir, queries, "vec_id", "embedding", k = 10, nprobe = 4))
 
-      println(f"[ivfrecall] x$s%-3d corpus=${(s + 1) * n}%8d dim=$dim nlist=$nlist nprobe=4 " +
-        f"recall@10: frozen=$rFrozen%.3f retrained=$rRetrained%.3f fresh=$rFresh%.3f " +
+      val corpusN = (s + 1) * n
+      println(f"[ivfrecall] x$s%-3d corpus=$corpusN%8d dim=$dim nlist=$nlist nprobe=4 " +
+        f"recall@10: frozen=$rFrozen%.3f retrained=$rRetrained%.3f fresh=$rFresh%.3f  " +
+        f"scanned/query: frozen=${scanFrozen / corpusN}%.3f retrained=${scanRetrained / corpusN}%.3f (of corpus)  " +
         f"imbalance(max/mean): frozen=$imbFrozen%.1f retrained=$imbRetrained%.1f")
     }
     spark.stop()

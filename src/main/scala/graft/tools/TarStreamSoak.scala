@@ -54,9 +54,13 @@ object TarStreamSoak {
       val corpus = (0 until s).map(i =>
         docs.select((col("doc_id") + lit(i.toLong * (maxId + 1))).as("doc_id"), col("text")))
         .reduce(_.unionAll(_))
+      // ~600 KiB of deterministic bytes per image (the ExportSoak recipe)
+      // so 1000-sample shards land at the production ~600 MB size — the
+      // synthetic PNGs are only a few KiB and would understate the
+      // whole-shard-per-row pressure this soak exists to measure.
       val samples = corpus.select(
         col("doc_id"),
-        Multimodal.syntheticPngTextured(col("doc_id")).as("image"),
+        expr(s"cast(repeat(concat(cast(doc_id as string), 'x'), ${600 * 1024 / 8}) as binary)").as("image"),
         col("text").as("caption"),
         concat(lit("{\"id\":"), col("doc_id").cast("string"), lit("}")).as("meta"))
       val shardDir = java.nio.file.Files.createTempDirectory(s"tarsoak_x$s").toString
