@@ -3258,6 +3258,30 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // RETRAIN-on-compact: the full lifecycle (pinned-centroid build on
+    // half, append the drifted other half, tombstone % 3) closed by
+    // compactIvfIndex(retrain = true) — Lloyd re-runs on the survivors
+    // and NEW centroids install in the same atomic generation flip. The
+    // probe then runs exhaustively (nprobe = nlist), which makes the
+    // ranking centroid-INDEPENDENT: whatever quantizer the retrain
+    // learned, serving through the standard pinned path must equal the
+    // exact top-k over the survivors (the brute-force oracle minus the
+    // purged ids). IvfRecallSoak measures the pruned-probe recall/cost
+    // story; this gate pins the correctness half.
+    "q_knn_ivf_retrain" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val mid = emb.agg(max(col("vec_id").cast("long"))).head.getLong(0) / 2
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfidx_rt_").toString
+      Similarity.persistIvfIndex(emb.where(col("vec_id") <= mid), "vec_id", "embedding",
+        graft.operators.IvfPinned.centroids, tmp)
+      Similarity.appendToIvfIndex(emb.where(col("vec_id") > mid), "vec_id", "embedding", tmp)
+      Similarity.deleteFromIvfIndex(emb.where(col("vec_id") % 3 === 0).select("vec_id"), "vec_id", tmp)
+      Similarity.compactIvfIndex(s, tmp, retrain = true)
+      Similarity.ivfTopKFromPersisted(s, tmp, emb.where("vec_id < 5"), "vec_id", "embedding",
+          k = 10, nprobe = graft.operators.IvfPinned.nlist)
+        .orderBy("query_id", "rnk")
+    }),
+
     "q_knn_ivf_delete" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       // Mutating gate: copy-on-write from the shared pristine full build.
@@ -4971,6 +4995,11 @@ object SparkEntry {
            |ORDER BY query_id, rnk""".stripMargin,
 
       "q_knn_bruteforce" -> exactKnnOracle(k = 10),
+      // Retrained quantizer + exhaustive probe = exact top-k over the
+      // survivors, whatever centroids Lloyd landed on.
+      "q_knn_ivf_retrain" -> exactKnnOracle(k = 10).replace(
+        "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),",
+        "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 3 <> 0),"),
 
       // Recall@5 of single-probe LSH vs exact: both chains composed, the
       // intersection counted per query (exact side defines the universe).

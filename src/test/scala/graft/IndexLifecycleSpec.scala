@@ -286,6 +286,31 @@ class IndexLifecycleSpec extends SparkSpec {
     }
   }
 
+  describe("bm25 selective carry (disjoint vocabularies)") {
+    it("rewrites only the purged docs' term buckets and hardlinks the rest") {
+      // Natural text shares vocabulary, so a multi-doc purge dirties every
+      // term bucket and the compactor (correctly) falls back to the full
+      // rewrite — to pin the CARRY path, give each doc a private
+      // vocabulary: purging one doc can dirty at most its own 3 terms'
+      // buckets.
+      val docs = (1 to 40).map(i => (i.toLong, s"w${i}a w${i}b w${i}c")).toDF("doc_id", "text")
+      val dir = tmpDir("bmcarry_")
+      TextAnalysis.persistBm25Index(TextAnalysis.buildBm25Index(docs, "text", "doc_id"), dir)
+      TextAnalysis.deleteFromBm25Index(Seq(7L).toDF("doc_id"), "doc_id", dir)
+      val liveInodes = parquetFilesUnder(s"$dir/postings").map(inode).toSet
+
+      TextAnalysis.compactBm25Index(spark, dir, selective = true)
+
+      val dd = dataDir(dir)
+      val carried = parquetFilesUnder(s"$dd/postings").count(f => liveInodes.contains(inode(f)))
+      carried should be > 0 // most buckets hardlink-carried, not rewritten
+      spark.read.parquet(s"$dd/postings").where(col("doc_id") === 7L).count() shouldBe 0L
+      val freshIdx = TextAnalysis.buildBm25Index(docs.where(col("doc_id") =!= 7L), "text", "doc_id")
+      sortedRows(spark.read.parquet(s"$dd/terms").select("term", "doc_freq")) shouldEqual
+        sortedRows(freshIdx.terms.select("term", "doc_freq"))
+    }
+  }
+
   describe("ivf-index compaction") {
     it("purges tombstoned vectors and carries the frozen centroids (selective ≡ full)") {
       def emb(ids: Range): DataFrame = ids.map { i =>
