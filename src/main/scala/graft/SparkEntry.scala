@@ -3260,7 +3260,7 @@ object SparkEntry {
 
     // RETRAIN-on-compact: the full lifecycle (pinned-centroid build on
     // half, append the drifted other half, tombstone % 3) closed by
-    // compactIvfIndex(retrain = true) — Lloyd re-runs on the survivors
+    // compactIvfIndex(retrain = Always) — Lloyd re-runs on the survivors
     // and NEW centroids install in the same atomic generation flip. The
     // probe then runs exhaustively (nprobe = nlist), which makes the
     // ranking centroid-INDEPENDENT: whatever quantizer the retrain
@@ -3276,7 +3276,42 @@ object SparkEntry {
         graft.operators.IvfPinned.centroids, tmp)
       Similarity.appendToIvfIndex(emb.where(col("vec_id") > mid), "vec_id", "embedding", tmp)
       Similarity.deleteFromIvfIndex(emb.where(col("vec_id") % 3 === 0).select("vec_id"), "vec_id", tmp)
-      Similarity.compactIvfIndex(s, tmp, retrain = true)
+      Similarity.compactIvfIndex(s, tmp, retrain = Similarity.RetrainMode.Always)
+      Similarity.ivfTopKFromPersisted(s, tmp, emb.where("vec_id < 5"), "vec_id", "embedding",
+          k = 10, nprobe = graft.operators.IvfPinned.nlist)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // AUTO-retrain on compact: the drifted-append failure IvfRecallSoak
+    // measures, closed end-to-end through RetrainMode.Auto. The appended
+    // batch is a coherent NEW MODE — every component 50 + (vec_id+d) % 5,
+    // i.e. all vectors within ~4% of the all-ones direction — so the
+    // whole appended mass binds to the one or two frozen cells pointing
+    // that way and the surviving-cell imbalance crosses Auto's
+    // threshold: the compact measures it, retrains (Lloyd on
+    // survivors), and installs new centroids in the same atomic
+    // generation. (Integer-valued components keep float/double parity
+    // exact between engines.) The probe runs exhaustively (nprobe =
+    // nlist), making the ranking centroid-INDEPENDENT: whatever
+    // quantizer Auto learned, the pinned serving path must equal the
+    // exact top-k over the survivors. IndexLifecycleSpec pins the
+    // DECISION both directions (fires on drift, holds on balance);
+    // this gate pins the correctness of whatever it decides.
+    "q_knn_ivf_retrain_auto" -> ((s, dir) => {
+      val emb   = t(s, dir, "embeddings")
+      val shift = emb.agg(max(col("vec_id").cast("long"))).head.getLong(0) + 1L
+      val drifted = emb.select((col("vec_id") + lit(shift)).as("vec_id"),
+        transform(sequence(lit(0), lit(graft.operators.IvfPinned.dims - 1)),
+          d => (lit(50) + pmod(col("vec_id") + d, lit(5))).cast("float")).as("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfidx_rta_").toString
+      Similarity.persistIvfIndex(emb, "vec_id", "embedding",
+        graft.operators.IvfPinned.centroids, tmp)
+      Similarity.appendToIvfIndex(drifted, "vec_id", "embedding", tmp)
+      val union = emb.select(col("vec_id"), col("embedding")).unionByName(drifted)
+      Similarity.deleteFromIvfIndex(
+        union.where(col("vec_id") % 3 === 0).select("vec_id"), "vec_id", tmp)
+      Similarity.compactIvfIndex(s, tmp,
+        retrain = Similarity.RetrainMode.Auto(maxImbalance = 2.0))
       Similarity.ivfTopKFromPersisted(s, tmp, emb.where("vec_id < 5"), "vec_id", "embedding",
           k = 10, nprobe = graft.operators.IvfPinned.nlist)
         .orderBy("query_id", "rnk")
@@ -5000,6 +5035,22 @@ object SparkEntry {
       "q_knn_ivf_retrain" -> exactKnnOracle(k = 10).replace(
         "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),",
         "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 3 <> 0),"),
+
+      // Auto-retrain lifecycle: candidates are the base corpus plus the
+      // coherent-mode drifted appends (ids shifted past max, components
+      // 50 + (orig_id + d) % 5 — integer-valued, so float-vs-double
+      // arithmetic is exact in both engines), minus the % 3 tombstones;
+      // the exhaustive probe must equal exact top-k over that survivor
+      // set whatever quantizer Auto's retrain learned.
+      "q_knn_ivf_retrain_auto" -> exactKnnOracle(k = 10).replace(
+        "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),",
+        s"""c AS (SELECT vec_id AS neighbor_id, cv FROM (
+           |  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
+           |         list_transform(range(0, ${graft.operators.IvfPinned.dims}),
+           |                        d -> CAST(50 + (vec_id + d) % 5 AS DOUBLE))
+           |  FROM embeddings) WHERE vec_id % 3 <> 0),""".stripMargin),
 
       // Recall@5 of single-probe LSH vs exact: both chains composed, the
       // intersection counted per query (exact side defines the universe).

@@ -113,11 +113,18 @@ object CorpusPipeline {
     * `_`-prefixed dir beside its data), so a mixed list of paths needs no
     * caller-side bookkeeping. Returns an audit frame
     * (index_path, family).
+    *
+    * `ivfRetrain` is forwarded to [[Similarity.compactIvfIndex]] for any
+    * IVF index in the list — pass [[Similarity.RetrainMode.Auto]] to
+    * fold the append-drift check (surviving-cell imbalance) into the
+    * periodic compaction sweep, so a drifted vector index re-trains its
+    * quantizer in the same pass that reclaims its tombstones.
     */
   def compactIndexes(
       spark: org.apache.spark.sql.SparkSession,
       indexPaths: Seq[String],
-      selective: Boolean = true
+      selective: Boolean = true,
+      ivfRetrain: Similarity.RetrainMode = Similarity.RetrainMode.Never
   ): DataFrame = {
     require(indexPaths.nonEmpty, "compactIndexes: no index paths given")
     import spark.implicits._
@@ -142,7 +149,7 @@ object CorpusPipeline {
             if (has(p, "_graft_index_meta")) { Dedup.compactSignatureIndex(spark, p, selective); "signature" }
             else if (has(p, "_graft_fp_meta")) { Dedup.compactFingerprintIndex(spark, p, selective); "fingerprint" }
             else if (has(p, "_graft_jidx_meta")) { Dedup.compactJaccardIndex(spark, p, selective); "jaccard" }
-            else if (has(p, "_graft_centroids")) { Similarity.compactIvfIndex(spark, p, selective); "ivf" }
+            else if (has(p, "_graft_centroids")) { Similarity.compactIvfIndex(spark, p, selective, retrain = ivfRetrain); "ivf" }
             else if (has(p, "_graft_meta")) { TextAnalysis.compactBm25Index(spark, p, selective); "bm25" }
             else if (has(p, "_graft_gram_meta")) { Dedup.compactGramIndex(spark, p, selective); "gram" }
             else throw new IllegalArgumentException(

@@ -285,6 +285,68 @@ object Dedup {
     * `Auto` detects that blind regime and generates candidates from MinHash
     * bands instead.
     */
+  /** Most hot (over-cutoff) shingles the excision pre-pass will broadcast
+    * before falling back to a distributed anti-join. The hot-set size is
+    * bounded by avgShinglesPerDoc / frac independent of corpus row count
+    * (see the excision comment in [[ngramJaccardPairs]]); 4M longs = a
+    * 32 MB broadcast, far above any non-pathological frac.
+    */
+  val ExciseBroadcastCap: Int = 4 * 1000 * 1000
+
+  /** Drop every shingle whose document frequency exceeds
+    * `max(1, floor(frac·N))` from every document's (sorted, distinct)
+    * hashed-shingle set — [[ngramJaccardPairs]]'s boilerplate-excision
+    * pre-pass. Documents left with an empty set DROP (they pair with
+    * nothing; downstream survivor logic keeps absent docs as their own
+    * canon).
+    *
+    * Cost model: the hot set is provably small no matter the corpus —
+    * ≤ Σ|shingles| / (frac·N) = avgShinglesPerDoc / frac entries (N
+    * cancels) — so it collects to the driver and the subtraction runs
+    * as a broadcast merge-scan over each document's sorted array:
+    * scan-local, no shuffle beyond the frequency aggregation itself,
+    * and the output stays sorted BY CONSTRUCTION (the merge-scan
+    * Jaccard verifier requires sorted arrays). A corpus with zero hot
+    * shingles pays only the frequency scan. Above `broadcastCap` (only
+    * reachable with a pathologically small frac) the subtraction falls
+    * back to the distributed anti-join + re-collect, re-sorting
+    * explicitly for the same invariant.
+    */
+  private[graft] def exciseHotShingles(
+      docs0: DataFrame,
+      frac: Double,
+      broadcastCap: Int = ExciseBroadcastCap
+  ): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"exciseBoilerplateFrac must be in (0, 1], got $frac")
+    val cutoff = math.max(1L, math.floor(frac * docs0.count()).toLong)
+    val sh  = docs0.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df_freq"))
+      .where(col("df_freq") > cutoff).select("sh")
+    val hotHead = hot.limit(broadcastCap + 1).collect().map(_.getLong(0))
+    if (hotHead.isEmpty) docs0 // clean corpus: excision is a no-op beyond the scan
+    else if (hotHead.length <= broadcastCap) {
+      val hotSorted = hotHead.sorted
+      val bc = docs0.sparkSession.sparkContext.broadcast(hotSorted)
+      val subtract = udf { (shs: Array[Long]) =>
+        val h   = bc.value
+        val out = new Array[Long](shs.length)
+        var i = 0; var j = 0; var m = 0
+        while (i < shs.length) {
+          while (j < h.length && h(j) < shs(i)) j += 1
+          if (j >= h.length || h(j) != shs(i)) { out(m) = shs(i); m += 1 }
+          i += 1
+        }
+        java.util.Arrays.copyOf(out, m).toSeq
+      }
+      Lineage.truncate(
+        docs0.select(col("doc_id"), subtract(col("shs")).as("shs"))
+          .where(size(col("shs")) > 0))
+    } else
+      Lineage.truncate(
+        sh.join(hot, Seq("sh"), "left_anti")
+          .groupBy("doc_id").agg(sort_array(collect_list(col("sh"))).as("shs")))
+  }
+
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String,
@@ -313,24 +375,24 @@ object Dedup {
     // premium collapses instead of being merely bounded. Semantics change
     // accordingly (Jaccard over the excised sets — "similar modulo
     // boilerplate"); on a corpus with no shingle above the cutoff the
-    // result is IDENTICAL to the default path (gate-pinned). Cost: one
-    // shingle-frequency aggregation (the same shape maxShingleFreq
-    // already pays) + one anti-join + one per-doc re-collect.
+    // result is IDENTICAL to the default path (gate-pinned).
+    //
+    // Scale shape: the hot set is SMALL no matter how large the corpus —
+    // at most Σ_docs |shingles| / (frac·N) = avgShinglesPerDoc / frac
+    // entries (N cancels: a 10⁹-doc corpus of 10 KB documents at frac
+    // 0.2 has ≤ ~50k hot shingles). So the removal is one frequency
+    // aggregation (the same shape maxShingleFreq already pays) + a
+    // BROADCAST merge-scan subtraction applied scan-local to each
+    // document's sorted array — no explode-shuffle-recollect of the full
+    // shingle stream. A corpus with zero hot shingles (the common clean
+    // case) pays only the frequency scan. The sorted-merge subtraction
+    // also preserves array sortedness BY CONSTRUCTION, which the
+    // merge-scan Jaccard verifier requires; the distributed fallback
+    // (hot set over [[ExciseBroadcastCap]] — only reachable with a
+    // pathologically small frac) re-sorts explicitly for the same reason.
     val docs = exciseBoilerplateFrac match {
-      case None => docs0
-      case Some(frac) =>
-        require(frac > 0.0 && frac <= 1.0, s"exciseBoilerplateFrac must be in (0, 1], got $frac")
-        val cutoff = math.max(1L, math.floor(frac * docs0.count()).toLong)
-        val sh  = docs0.select(col("doc_id"), explode(col("shs")).as("sh"))
-        val hot = sh.groupBy("sh").agg(count(lit(1)).as("df_freq"))
-          .where(col("df_freq") > cutoff).select("sh")
-        // Documents whose every shingle is boilerplate drop out of the
-        // re-collect — correct: they have no excised shingles to pair on,
-        // and downstream survivor logic keeps absent docs as their own
-        // canon.
-        Lineage.truncate(
-          sh.join(hot, Seq("sh"), "left_anti")
-            .groupBy("doc_id").agg(collect_list(col("sh")).as("shs")))
+      case None       => docs0
+      case Some(frac) => exciseHotShingles(docs0, frac)
     }
     def indexed = {
       val sh = docs.select(col("doc_id"), explode(col("shs")).as("sh"))

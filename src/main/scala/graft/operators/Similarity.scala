@@ -749,6 +749,57 @@ object Similarity {
     }
   }
 
+  /** When does an IVF compaction re-train the quantizer (Lloyd on the
+    * surviving corpus) instead of carrying the frozen centroids through?
+    *
+    * [[graft.tools.IvfRecallSoak]] measured the failure mode Auto
+    * automates: appended vectors bind to centroids that never saw them,
+    * the drifted mass crowds into a handful of cells (imbalance 58× at
+    * ×10 appends), and the nprobe probe silently degenerates to a
+    * near-full scan — at 10⁹ vectors the difference between reading
+    * ~0.4% and reading everything. Cell imbalance (max/mean occupied-
+    * cell population, tombstone-masked) is the cheap, centroid-free
+    * drift signal; one retrain restores both balance (1.4×) and the
+    * fresh-trained recall bound.
+    */
+  sealed trait RetrainMode
+  object RetrainMode {
+    /** Carry the frozen centroids; compact selectively. */
+    case object Never extends RetrainMode
+    /** Unconditional Lloyd re-run on the survivors (full rewrite). */
+    case object Always extends RetrainMode
+    /** Measure surviving-cell imbalance (one thin (cell, vec_id) scan —
+      * the full-width rewrite it may replace dwarfs it) and retrain only
+      * above `maxImbalance`. The default 8.0 sits far above a healthy
+      * Lloyd quantizer's balance (≈1–2× on the corpora the soak
+      * measured) and far below drift territory (30–60×).
+      */
+    final case class Auto(maxImbalance: Double = 8.0) extends RetrainMode
+  }
+
+  /** Max/mean occupied-cell population of a persisted IVF index, with
+    * tombstoned vectors masked out — the production retrain trigger
+    * ([[RetrainMode.Auto]] evaluates exactly this; exposed for
+    * monitoring so an operator can alert on drift without compacting).
+    * 0.0 for an empty index.
+    */
+  def ivfCellImbalance(spark: org.apache.spark.sql.SparkSession, path: String): Double = {
+    val live = graft.operators.IndexStore.dataDir(spark, path)
+    val ts   = ivfTombstonesAt(spark, live)
+    val df   = spark.read.parquet(live).select(col("cell"), col("vec_id"))
+    val masked = ts match {
+      case Some(t) => df.join(broadcast(t), df("vec_id") === t("vec_id"), "left_anti")
+      case None    => df
+    }
+    cellImbalanceOf(masked)
+  }
+
+  private def cellImbalanceOf(cells: DataFrame): Double = {
+    val row = cells.groupBy("cell").count()
+      .agg(max(col("count")).cast("double"), avg(col("count"))).head
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0) / row.getDouble(1)
+  }
+
   /** Compact a persisted IVF index: rewrite the cell partitions minus
     * the tombstoned vectors, fold each cell's append segments into one
     * file, drop the tombstone set — the build → append/delete → compact
@@ -756,14 +807,14 @@ object Similarity {
     * twin for the vector store (same selective dirty-cell-only cost
     * model, same atomic generation swap — see there).
     *
-    * `retrain = false` (default) carries the FROZEN centroids
-    * (`_graft_centroids`) through the swap untouched, so probe selection
-    * — and therefore [[ivfTopKFromPersisted]]'s result — is EXACTLY a
-    * fresh [[persistIvfIndex]] of the surviving vectors under the same
-    * quantizer, while probes stop paying the tombstone anti-join and
-    * multi-segment cell scans.
+    * `retrain = RetrainMode.Never` (default) carries the FROZEN
+    * centroids (`_graft_centroids`) through the swap untouched, so probe
+    * selection — and therefore [[ivfTopKFromPersisted]]'s result — is
+    * EXACTLY a fresh [[persistIvfIndex]] of the surviving vectors under
+    * the same quantizer, while probes stop paying the tombstone
+    * anti-join and multi-segment cell scans.
     *
-    * `retrain = true` re-runs [[ivfCentroids]] (same nlist, same
+    * `RetrainMode.Always` re-runs [[ivfCentroids]] (same nlist, same
     * deterministic Lloyd recipe) on the SURVIVING corpus and re-assigns
     * every vector — the cure for append drift: vectors appended after
     * the build bind to centroids that never saw them, so cell balance
@@ -775,12 +826,17 @@ object Similarity {
     * centroids install in the SAME atomic generation as the re-assigned
     * data — a concurrent probe never sees new centroids over old cells
     * or vice versa.
+    *
+    * `RetrainMode.Auto(maxImbalance)` makes the drift measurement part
+    * of the compaction itself: retrain exactly when the surviving cells'
+    * imbalance exceeds the threshold, otherwise the cheap selective
+    * path. The decision is logged either way.
     */
   def compactIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       selective: Boolean = true,
-      retrain: Boolean = false,
+      retrain: RetrainMode = RetrainMode.Never,
       retrainLloydIters: Int = 5
   ): Unit = {
     import graft.operators.IndexStore
@@ -790,7 +846,19 @@ object Similarity {
         case Some(t) => df.join(broadcast(t), df("vec_id") === t("vec_id"), "left_anti")
         case None    => df
       }
-      if (retrain) {
+      val doRetrain = retrain match {
+        case RetrainMode.Never  => false
+        case RetrainMode.Always => true
+        case RetrainMode.Auto(maxImb) =>
+          val imb = cellImbalanceOf(minus(
+            spark.read.parquet(live).select(col("cell"), col("vec_id"))))
+          val fire = imb > maxImb
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"compactIvfIndex($path): surviving-cell imbalance ${f"$imb%.1f"}× vs " +
+              s"threshold $maxImb — ${if (fire) "RETRAINING quantizer" else "carrying frozen centroids"}")
+          fire
+      }
+      if (doRetrain) {
         val oldCents  = loadCentroids(spark, s"$live/_graft_centroids")
         val survivors = minus(spark.read.parquet(live)).select("vec_id", "vec")
         val cents = ivfCentroids(survivors, "vec_id", "vec", nlist = oldCents.length,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Measures IVF recall decay under APPEND DRIFT and its cure — the
-  * SCALE.md evidence for `compactIvfIndex(retrain = true)`.
+  * SCALE.md evidence for `compactIvfIndex(retrain = Always)`.
   *
   * The failure mode: [[Similarity.appendToIvfIndex]] assigns new vectors
   * to the index's FROZEN centroids. While appends come from the same
@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * the SAME probe against:
   *
   *   frozen    — the appended index served as-is,
-  *   retrained — after `compactIvfIndex(retrain = true)` (Lloyd re-run
+  *   retrained — after `compactIvfIndex(retrain = Always)` (Lloyd re-run
   *               on the survivors, new centroids installed in the same
   *               atomic generation flip),
   *   fresh     — a from-scratch train+build on the union corpus (the
@@ -85,11 +85,10 @@ object IvfRecallSoak {
           .agg(sum("n_hits").cast("double"), sum("n_exact").cast("double")).head
         r.getDouble(0) / r.getDouble(1)
       }
-      def imbalance(dir: String): Double = {
-        val cells = spark.read.parquet(graft.operators.IndexStore.dataDir(spark, dir))
-          .groupBy("cell").count().select(col("count").cast("double")).as[Double].collect()
-        if (cells.isEmpty) 0.0 else cells.max / (cells.sum / cells.length)
-      }
+      // The production trigger itself ([[Similarity.RetrainMode.Auto]]
+      // evaluates exactly this) — the soak measures the same number an
+      // auto-compact would decide on.
+      def imbalance(dir: String): Double = Similarity.ivfCellImbalance(spark, dir)
       // The COST side of recall: rows the pruned probe actually scans per
       // query (sum of its nprobe cells' populations). Crowded frozen
       // cells can show PERFECT recall precisely because the probe
@@ -122,8 +121,8 @@ object IvfRecallSoak {
       val imbFrozen  = imbalance(frozenDir)
       val scanFrozen = scannedPerQuery(frozenDir)
 
-      // Retrained: the SAME index after compactIvfIndex(retrain = true).
-      Similarity.compactIvfIndex(spark, frozenDir, retrain = true)
+      // Retrained: the SAME index after compactIvfIndex(retrain = Always).
+      Similarity.compactIvfIndex(spark, frozenDir, retrain = Similarity.RetrainMode.Always)
       val rRetrained    = recallOf(Similarity.ivfTopKFromPersisted(
         spark, frozenDir, queries, "vec_id", "embedding", k = 10, nprobe = 4))
       val imbRetrained  = imbalance(frozenDir)

@@ -352,7 +352,7 @@ class IndexLifecycleSpec extends SparkSpec {
       Similarity.appendToIvfIndex(drift, "vec_id", "embedding", dir)
       Similarity.deleteFromIvfIndex(Seq(5L, 50L).toDF("vec_id"), "vec_id", dir)
 
-      Similarity.compactIvfIndex(spark, dir, retrain = true)
+      Similarity.compactIvfIndex(spark, dir, retrain = Similarity.RetrainMode.Always)
 
       val dd = dataDir(dir)
       exists(s"$dd/_graft_tombstones") shouldBe false
@@ -369,6 +369,42 @@ class IndexLifecycleSpec extends SparkSpec {
       val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 3)
         .select("query_id", "neighbor_id", "rnk")
       sortedRows(got) shouldEqual sortedRows(brute)
+    }
+
+    it("RetrainMode.Auto retrains exactly when surviving-cell imbalance crosses the threshold") {
+      def emb(ids: Range, shift: Double): DataFrame = ids.map { i =>
+        (i.toLong, Array.tabulate(8)(d => (shift + ((i + d) % 5) * 0.1).toFloat))
+      }.toDF("vec_id", "embedding")
+      val base  = emb(1 to 40, 0.0)
+      val cents = Similarity.ivfCentroids(base, "vec_id", "embedding", nlist = 4)
+
+      // Balanced appends (same distribution): the trigger must HOLD —
+      // frozen quantizer carried byte-stable, tombstones still purged.
+      val bal = tmpDir("ivfauto_bal_")
+      Similarity.persistIvfIndex(base, "vec_id", "embedding", cents, bal)
+      Similarity.appendToIvfIndex(emb(41 to 80, 0.0), "vec_id", "embedding", bal)
+      Similarity.deleteFromIvfIndex(Seq(5L).toDF("vec_id"), "vec_id", bal)
+      val centsBefore = sortedRows(spark.read.parquet(s"$bal/_graft_centroids"))
+      Similarity.ivfCellImbalance(spark, bal) should be < 2.0
+      Similarity.compactIvfIndex(spark, bal,
+        retrain = Similarity.RetrainMode.Auto(maxImbalance = 2.0))
+      sortedRows(spark.read.parquet(s"${dataDir(bal)}/_graft_centroids")) shouldEqual centsBefore
+      spark.read.parquet(dataDir(bal)).count() shouldBe 79L
+
+      // Drifted appends (a coherent far mode crowding into few frozen
+      // cells): the trigger must FIRE — new quantizer in the same
+      // generation, imbalance restored toward balance, same purge.
+      val dr = tmpDir("ivfauto_dr_")
+      Similarity.persistIvfIndex(base, "vec_id", "embedding", cents, dr)
+      Similarity.appendToIvfIndex(emb(41 to 80, 10.0), "vec_id", "embedding", dr)
+      Similarity.deleteFromIvfIndex(Seq(5L).toDF("vec_id"), "vec_id", dr)
+      val imbDrift = Similarity.ivfCellImbalance(spark, dr)
+      imbDrift should be > 2.0
+      Similarity.compactIvfIndex(spark, dr,
+        retrain = Similarity.RetrainMode.Auto(maxImbalance = 2.0))
+      sortedRows(spark.read.parquet(s"${dataDir(dr)}/_graft_centroids")) should not equal centsBefore
+      Similarity.ivfCellImbalance(spark, dr) should be < imbDrift
+      spark.read.parquet(dataDir(dr)).count() shouldBe 79L
     }
   }
 

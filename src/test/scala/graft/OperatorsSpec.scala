@@ -1774,6 +1774,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.exciseHotShingles") {
+    it("broadcast merge-scan ≡ distributed fallback; arrays stay sorted; all-hot docs drop") {
+      val docs0 = Seq(
+        (1L, Seq(1L, 2L, 3L, 9L)),
+        (2L, Seq(2L, 3L, 5L)),
+        (3L, Seq(2L, 3L)), // every shingle hot → must drop entirely
+        (4L, Seq(7L, 8L))
+      ).toDF("doc_id", "shs")
+      // N = 4, frac 0.4 → cutoff max(1, floor(1.6)) = 1 → hot = {2, 3}
+      // (document frequency 3 each); everything else stays.
+      val expected = Map(1L -> Seq(1L, 9L), 2L -> Seq(5L), 4L -> Seq(7L, 8L))
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val viaBroadcast = toMap(Dedup.exciseHotShingles(docs0, 0.4))
+      // broadcastCap = 0 forces the distributed anti-join + re-collect.
+      val viaFallback = toMap(Dedup.exciseHotShingles(docs0, 0.4, broadcastCap = 0))
+      viaBroadcast shouldEqual expected
+      viaFallback shouldEqual expected
+      // The merge-scan Jaccard verifier downstream REQUIRES sorted arrays.
+      viaBroadcast.values.foreach(a => a shouldEqual a.sorted)
+      viaFallback.values.foreach(a => a shouldEqual a.sorted)
+      // Clean corpus (no shingle over the cutoff): identical frame back.
+      toMap(Dedup.exciseHotShingles(docs0, 1.0)) shouldEqual toMap(docs0)
+    }
+  }
+
   describe("Dedup.exciseSharedSubstrings") {
     // Naive single-machine replay of the operator's exact contract:
     // positional k-grams → grams in ≥2 distinct docs → per-doc interval
