@@ -2477,6 +2477,41 @@ object SparkEntry {
     // what a fresh build on the surviving docs would (each compact gate
     // shares its family's delete-variant oracle verbatim; the delete gates
     // prove mask-correctness, these prove purge-correctness).
+    // MAINTENANCE sweep as the lifecycle's scheduler: the index is built
+    // in two append batches (segment pressure) over the SAME half the
+    // delete oracle assumes, then a % 3 forget lands a tombstone mass
+    // over the policy's 2% default, and ONE maintainIndexes call both
+    // DECIDES (audit row: action, generation flipped, tombstone rows —
+    // deterministic for this fixture, stated as literals by the oracle)
+    // and compacts. The probe afterwards must replay the fresh-build-on-
+    // survivors oracle verbatim — the sweep may never change serving
+    // content, only cost.
+    "q_index_maintain_flow" -> ((s, dir) => {
+      import graft.operators.CorpusPipeline
+      val all = t(s, dir, "documents")
+      val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
+      val half = all.where(col("doc_id") <= splitId)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_maint_").toString
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(half.where(col("doc_id") % 2 === 0), "text", "doc_id"), tmp)
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(half.where(col("doc_id") % 2 === 1), "text", "doc_id"), tmp,
+        append = true)
+      Dedup.deleteFromPersistedIndex(
+        all.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", tmp)
+      val audit = CorpusPipeline.maintainIndexes(s, Seq(tmp))
+      val auditRow = audit.select(
+        concat(lit("audit_"), col("action")).as("surface"),
+        lit(0L).as("probe_id"),
+        lit(graft.operators.IndexStore.currentGeneration(s, tmp).toLong).as("matched_id"),
+        col("tombstone_rows").as("score"))
+      val probe = Dedup.matchVsPersistedIndex(
+          all.where(col("doc_id") > splitId), "text", "doc_id", tmp)
+        .select(lit("sig").as("surface"), col("doc_id").as("probe_id"), col("matched_id"),
+          round(col("est_jaccard") * 32).cast("long").as("score"))
+      auditRow.unionByName(probe).orderBy("surface", "probe_id", "matched_id", "score")
+    }),
+
     "q_dedup_index_compact" -> ((s, dir) => {
       val all = t(s, dir, "documents")
       val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
@@ -5381,6 +5416,19 @@ object SparkEntry {
       // Purge must equal mask: compact(delete) serves exactly the delete
       // replay (fresh build on survivors).
       "q_dedup_index_compact" -> sigDeleteOracleSql,
+      // Maintenance flow: the audit row is deterministic for this fixture
+      // (the % 3 tombstone mass fires the policy's 2% default → action
+      // 'compact', the generation pointer flips 0 → 1, tombstone_rows =
+      // the forget-set size), and the probe afterwards is the signature
+      // delete oracle verbatim — the sweep changes cost, never content.
+      "q_index_maintain_flow" ->
+        s"""SELECT surface, probe_id, matched_id, score FROM (
+           |SELECT 'audit_compact' AS surface, CAST(0 AS BIGINT) AS probe_id,
+           |       CAST(1 AS BIGINT) AS matched_id,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 3 = 0) AS score
+           |UNION ALL
+           |SELECT 'sig', doc_id, matched_id, est_32 FROM ($sigDeleteOracleSql)
+           |) ORDER BY surface, probe_id, matched_id, score""".stripMargin,
       // Selective (dirty-partition-only) variant: a SMALL purge (% 97) so
       // most partitions are hardlink-carried — results must still be the
       // fresh-build replay over the survivors.

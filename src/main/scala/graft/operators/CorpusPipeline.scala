@@ -128,13 +128,6 @@ object CorpusPipeline {
   ): DataFrame = {
     require(indexPaths.nonEmpty, "compactIndexes: no index paths given")
     import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
-    // The metadata artifact lives in the CURRENT GENERATION once an index
-    // has been compacted before — detect against the resolved data dir.
-    def has(root: String, child: String): Boolean = {
-      val hp = new org.apache.hadoop.fs.Path(IndexStore.dataDir(spark, root), child)
-      hp.getFileSystem(conf).exists(hp)
-    }
     // Distinct indexes are independent rewrites over disjoint directories:
     // run them as CONCURRENT Spark jobs (one driver thread each) so the
     // cluster pipelines the five scans/shuffles instead of idling between
@@ -145,21 +138,169 @@ object CorpusPipeline {
     val report = Await.result(
       Future.sequence(indexPaths.map { p =>
         Future {
-          val family =
-            if (has(p, "_graft_index_meta")) { Dedup.compactSignatureIndex(spark, p, selective); "signature" }
-            else if (has(p, "_graft_fp_meta")) { Dedup.compactFingerprintIndex(spark, p, selective); "fingerprint" }
-            else if (has(p, "_graft_jidx_meta")) { Dedup.compactJaccardIndex(spark, p, selective); "jaccard" }
-            else if (has(p, "_graft_centroids")) { Similarity.compactIvfIndex(spark, p, selective, retrain = ivfRetrain); "ivf" }
-            else if (has(p, "_graft_meta")) { TextAnalysis.compactBm25Index(spark, p, selective); "bm25" }
-            else if (has(p, "_graft_gram_meta")) { Dedup.compactGramIndex(spark, p, selective); "gram" }
-            else throw new IllegalArgumentException(
-              s"compactIndexes: $p carries no known index metadata artifact " +
-                "(_graft_index_meta / _graft_fp_meta / _graft_jidx_meta / _graft_centroids / _graft_meta / _graft_gram_meta)")
+          val family = detectFamily(spark, p)
+          compactFamily(spark, p, family, selective, ivfRetrain)
           (p, family)
         }
       }),
       Duration.Inf)
     report.toDF("index_path", "family")
+  }
+
+  /** Which persisted-index family lives at `root`, detected from its
+    * distinctive frozen metadata artifact (resolved against the current
+    * generation — the artifact moves with the data once the index has
+    * been compacted).
+    */
+  private def detectFamily(spark: org.apache.spark.sql.SparkSession, root: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def has(child: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(IndexStore.dataDir(spark, root), child)
+      hp.getFileSystem(conf).exists(hp)
+    }
+    if (has("_graft_index_meta")) "signature"
+    else if (has("_graft_fp_meta")) "fingerprint"
+    else if (has("_graft_jidx_meta")) "jaccard"
+    else if (has("_graft_centroids")) "ivf"
+    else if (has("_graft_meta")) "bm25"
+    else if (has("_graft_gram_meta")) "gram"
+    else throw new IllegalArgumentException(
+      s"$root carries no known index metadata artifact " +
+        "(_graft_index_meta / _graft_fp_meta / _graft_jidx_meta / _graft_centroids / _graft_meta / _graft_gram_meta)")
+  }
+
+  private def compactFamily(
+      spark: org.apache.spark.sql.SparkSession,
+      p: String,
+      family: String,
+      selective: Boolean,
+      ivfRetrain: Similarity.RetrainMode
+  ): Unit = family match {
+    case "signature"   => Dedup.compactSignatureIndex(spark, p, selective)
+    case "fingerprint" => Dedup.compactFingerprintIndex(spark, p, selective)
+    case "jaccard"     => Dedup.compactJaccardIndex(spark, p, selective)
+    case "ivf"         => Similarity.compactIvfIndex(spark, p, selective, retrain = ivfRetrain)
+    case "bm25"        => TextAnalysis.compactBm25Index(spark, p, selective)
+    case "gram"        => Dedup.compactGramIndex(spark, p, selective)
+  }
+
+  /** The partitioned data relations of each family (dir, partition
+    * column), relative to the resolved live generation — what the
+    * maintenance sweep lists for append-segment pressure.
+    */
+  private def familyRelations(family: String, live: String): Seq[(String, String)] = family match {
+    case "signature" | "fingerprint" | "gram" => Seq((live, "bucket"))
+    case "jaccard" => Seq((s"$live/postings", "bucket"), (s"$live/fullsets", "dbucket"))
+    case "bm25"    => Seq((s"$live/postings", "bucket"), (s"$live/terms", "bucket"))
+    case "ivf"     => Seq((live, "cell"))
+  }
+
+  /** When is an index WORTH compacting — the operational policy
+    * [[maintainIndexes]] evaluates. All three signals are cheap relative
+    * to the rewrite they may trigger: segment pressure is a directory
+    * listing, tombstone mass is a parquet footer count, and the IVF
+    * imbalance is one thin (cell, vec_id) scan.
+    *
+    * `maxTombstoneFraction` compares tombstoned IDS against index ROWS —
+    * for families storing several rows per document (signature bands,
+    * BM25 postings) the measured fraction UNDERSTATES the true document
+    * fraction, so the trigger is conservative; lower the threshold for
+    * aggressive reclamation.
+    */
+  final case class IndexMaintenancePolicy(
+      maxSegmentsPerPartition: Int = 4,
+      maxTombstoneFraction: Double = 0.02,
+      ivfMaxImbalance: Double = 8.0
+  )
+
+  /** Policy-driven maintenance sweep over a mixed list of persisted
+    * indexes: inspect each (append-segment pressure, tombstone mass,
+    * IVF cell imbalance), decide, and compact ONLY the indexes that
+    * warrant it — the scheduled-job form of the lifecycle, so an
+    * operator points one sweep at every index the pipeline owns instead
+    * of hand-tracking which daily-crawl appends have piled up where.
+    *
+    * Actions: `none` (healthy), `compact` (selective rewrite — segment
+    * fold and/or tombstone purge), `compact_retrain` (IVF whose
+    * surviving-cell imbalance crossed the policy threshold: the compact
+    * re-runs Lloyd on the survivors, [[Similarity.RetrainMode]]).
+    * Flagged indexes compact as concurrent Spark jobs
+    * ([[compactIndexes]]' submit parallelism). `dryRun = true` reports
+    * the decisions without executing any of them.
+    *
+    * Returns (index_path, family, max_segments, tombstone_rows,
+    * data_rows, ivf_imbalance, action) — `ivf_imbalance` is null for
+    * non-IVF families.
+    */
+  def maintainIndexes(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPaths: Seq[String],
+      policy: IndexMaintenancePolicy = IndexMaintenancePolicy(),
+      dryRun: Boolean = false
+  ): DataFrame = {
+    require(indexPaths.nonEmpty, "maintainIndexes: no index paths given")
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    val audits = indexPaths.map { p =>
+      val family = detectFamily(spark, p)
+      val live   = IndexStore.dataDir(spark, p)
+      val rels   = familyRelations(family, live)
+      val segCounts = rels.flatMap { case (dir, partCol) =>
+        IndexStore.partitionFileCounts(spark, dir, partCol).values
+      }
+      // BM25's docs relation is unpartitioned — every append adds files,
+      // so its file count IS its segment count.
+      val docsSegs =
+        if (family != "bm25") 0
+        else {
+          val dp = new org.apache.hadoop.fs.Path(s"$live/docs")
+          val fs = dp.getFileSystem(conf)
+          if (!fs.exists(dp)) 0
+          else fs.listStatus(dp).count(f =>
+            f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        }
+      val maxSegments = (segCounts ++ Seq(docsSegs)).foldLeft(0)(math.max)
+      val tsPath = new org.apache.hadoop.fs.Path(s"$live/_graft_tombstones")
+      val tombstoneRows =
+        if (!tsPath.getFileSystem(conf).exists(tsPath)) 0L
+        else spark.read.option("mergeSchema", "true").parquet(tsPath.toString).count()
+      // Parquet footer statistic — no data pages read.
+      val dataRows = rels.headOption.map { case (dir, _) =>
+        val dp = new org.apache.hadoop.fs.Path(dir)
+        if (dp.getFileSystem(conf).exists(dp)) spark.read.parquet(dir).count() else 0L
+      }.getOrElse(0L)
+      val imbalance =
+        if (family == "ivf") Some(Similarity.ivfCellImbalance(spark, p)) else None
+
+      val action =
+        if (imbalance.exists(_ > policy.ivfMaxImbalance)) "compact_retrain"
+        else if (maxSegments > policy.maxSegmentsPerPartition ||
+          tombstoneRows.toDouble > policy.maxTombstoneFraction * math.max(1L, dataRows))
+          "compact"
+        else "none"
+      (p, family, maxSegments, tombstoneRows, dataRows,
+        imbalance.map(i => math.rint(i * 1000) / 1000), action)
+    }
+
+    if (!dryRun) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(audits.filter(_._7 != "none").map { case (p, family, _, _, _, _, action) =>
+          Future {
+            // Imbalance was just measured; Always skips re-measuring it.
+            val mode =
+              if (action == "compact_retrain") Similarity.RetrainMode.Always
+              else Similarity.RetrainMode.Never
+            compactFamily(spark, p, family, selective = true, ivfRetrain = mode)
+          }
+        }),
+        Duration.Inf)
+    }
+    audits.toDF("index_path", "family", "max_segments", "tombstone_rows",
+      "data_rows", "ivf_imbalance", "action")
   }
 
   private def chain(

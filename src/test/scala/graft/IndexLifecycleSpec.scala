@@ -408,6 +408,60 @@ class IndexLifecycleSpec extends SparkSpec {
     }
   }
 
+  describe("CorpusPipeline.maintainIndexes") {
+    it("compacts only the indexes whose policy signals fire; dryRun reports without executing") {
+      import graft.operators.CorpusPipeline
+      // Healthy: a fresh signature build — nothing to reclaim.
+      val clean = tmpDir("mnt_clean_")
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(1 to 40), "text", "doc_id"), clean)
+      // Dirty: append segments plus a tombstone mass over the 2% default.
+      val dirty = tmpDir("mnt_dirty_")
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(1 to 40), "text", "doc_id"), dirty)
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(41 to 80), "text", "doc_id"), dirty, append = true)
+      Dedup.deleteFromPersistedIndex(
+        (1 to 80).filter(_ % 3 == 0).map(_.toLong).toDF("doc_id"), "doc_id", dirty)
+      // Drifted IVF: an appended coherent mode far from the frozen
+      // centroids — the retrain signal, not just the compact one.
+      def emb(ids: Range, shift: Double): DataFrame = ids.map { i =>
+        (i.toLong, Array.tabulate(8)(d => (shift + ((i + d) % 5) * 0.1).toFloat))
+      }.toDF("vec_id", "embedding")
+      val ivf   = tmpDir("mnt_ivf_")
+      val cents = Similarity.ivfCentroids(emb(1 to 40, 0.0), "vec_id", "embedding", nlist = 4)
+      Similarity.persistIvfIndex(emb(1 to 40, 0.0), "vec_id", "embedding", cents, ivf)
+      Similarity.appendToIvfIndex(emb(41 to 80, 10.0), "vec_id", "embedding", ivf)
+
+      val policy = CorpusPipeline.IndexMaintenancePolicy(ivfMaxImbalance = 2.0)
+      def actions(dryRun: Boolean): Map[String, String] =
+        CorpusPipeline.maintainIndexes(spark, Seq(clean, dirty, ivf), policy, dryRun = dryRun)
+          .collect().map(r => r.getString(0) -> r.getString(6)).toMap
+
+      val dry = actions(dryRun = true)
+      dry(clean) shouldBe "none"
+      dry(dirty) shouldBe "compact"
+      dry(ivf) shouldBe "compact_retrain"
+      IndexStore.currentGeneration(spark, dirty) shouldBe 0 // dryRun executed nothing
+      IndexStore.currentGeneration(spark, ivf) shouldBe 0
+
+      val run = actions(dryRun = false)
+      run(dirty) shouldBe "compact"
+      IndexStore.currentGeneration(spark, clean) shouldBe 0 // healthy: untouched
+      IndexStore.currentGeneration(spark, dirty) shouldBe 1
+      exists(s"${dataDir(dirty)}/_graft_tombstones") shouldBe false
+      IndexStore.currentGeneration(spark, ivf) shouldBe 1
+      // compact_retrain really retrained: the quantizer moved.
+      sortedRows(spark.read.parquet(s"${dataDir(ivf)}/_graft_centroids")) should not equal
+        sortedRows(spark.read.parquet(s"$ivf/_graft_centroids"))
+
+      // A sweep straight after finds the compacted indexes healthy.
+      val again = actions(dryRun = false)
+      again(clean) shouldBe "none"
+      again(dirty) shouldBe "none"
+    }
+  }
+
   describe("gram-index compaction") {
     it("folds append segments and re-distincts grams — probe unchanged vs a fresh union build") {
       val dir = tmpDir("gramcmp_")
