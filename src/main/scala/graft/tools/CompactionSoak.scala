@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * the round-11 compaction work, on the two structurally different
   * families (banded signature index; BM25 postings + additive stats).
   *
-  * Usage: runMain graft.tools.CompactionSoak <sfDir> [cycles] [mode: all|cycles|ladder]
+  * Usage: runMain graft.tools.CompactionSoak <sfDir> [cycles] [mode: all|cycles|ladder|policy]
   * Each cycle appends a full shifted copy of the corpus and tombstones a
   * third of all live ids, then times a FIXED probe batch (best of 2).
   * After the last cycle the index is compacted and the same probe runs
@@ -54,7 +54,7 @@ object CompactionSoak {
     probeDocs.count()
 
     // ---- signature index -------------------------------------------------
-    if (mode != "ladder") {
+    if (mode == "all" || mode == "cycles") {
     val sigDir = java.nio.file.Files.createTempDirectory("cmp_soak_sig_").toString
     Dedup.persistSignatureIndex(Dedup.buildSignatureIndex(docs, "text", "doc_id"), sigDir)
     def sigProbe() = bestOf2(() =>
@@ -110,7 +110,40 @@ object CompactionSoak {
     row("bm25 after-compact", bmDir, bmProbe())
     }
 
-    if (mode != "cycles") {
+    // ---- policy-driven maintenance ----------------------------------------
+    // The claim under maintainIndexes: an UNSUPERVISED per-cycle sweep with
+    // the default policy keeps probe latency bounded while compacting only
+    // when its signals fire (segment pressure crosses 4, or tombstone mass
+    // crosses 2% of rows) — the operator never schedules a compact by hand
+    // and never pays one that isn't warranted.
+    if (mode == "policy") {
+      val dir = java.nio.file.Files.createTempDirectory("cmp_policy_sig_").toString
+      Dedup.persistSignatureIndex(Dedup.buildSignatureIndex(docs, "text", "doc_id"), dir)
+      def probe() = bestOf2(() =>
+        Dedup.matchVsPersistedIndex(probeDocs, "text", "doc_id", dir).count())
+      def prow(tag: String, action: String, sweepS: Double, t: (Double, Long)): Unit = {
+        val live = graft.operators.IndexStore.dataDir(spark, dir)
+        println(f"[cmpsoak] policy $tag%-9s action=$action%-15s sweep ${sweepS}%5.2f s  " +
+          f"probe ${t._1}%6.2f s  ${t._2}%8d matches  ${parquetFiles(live)}%5d files")
+      }
+      prow("cycle0", "-", 0.0, probe())
+      (1 to cycles).foreach { c =>
+        Dedup.persistSignatureIndex(
+          Dedup.buildSignatureIndex(
+            docs.select((col("doc_id") + lit(c * (maxId + 1))).as("doc_id"), col("text")),
+            "text", "doc_id"),
+          dir, append = true)
+        Dedup.deleteFromPersistedIndex(
+          docs.where(col("doc_id") % 3 === (c % 3)).select((col("doc_id") + lit(c * (maxId + 1))).as("doc_id")),
+          "doc_id", dir)
+        val t0 = System.nanoTime()
+        val audit  = graft.operators.CorpusPipeline.maintainIndexes(spark, Seq(dir))
+        val action = audit.select("action").head.getString(0)
+        prow(s"cycle$c", action, (System.nanoTime() - t0) / 1e9, probe())
+      }
+    }
+
+    if (mode == "all" || mode == "ladder") {
     // ---- selective-compaction cost ladder ---------------------------------
     // The claim under q_*_compact_sel: selective compact cost is
     // proportional to the DIRTY FRACTION, not the index size. Fixed
