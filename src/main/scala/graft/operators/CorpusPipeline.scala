@@ -240,9 +240,14 @@ object CorpusPipeline {
   ): DataFrame = {
     require(indexPaths.nonEmpty, "maintainIndexes: no index paths given")
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val conf = spark.sparkContext.hadoopConfiguration
 
-    val audits = indexPaths.map { p =>
+    // Inspection is read-only (listings + footer counts + the IVF thin
+    // scan) — run it concurrently across indexes like the compacts.
+    val audits = Await.result(Future.sequence(indexPaths.map { p => Future {
       val family = detectFamily(spark, p)
       val live   = IndexStore.dataDir(spark, p)
       val rels   = familyRelations(family, live)
@@ -281,12 +286,9 @@ object CorpusPipeline {
         else "none"
       (p, family, maxSegments, tombstoneRows, dataRows,
         imbalance.map(i => math.rint(i * 1000) / 1000), action)
-    }
+    }}), Duration.Inf)
 
     if (!dryRun) {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
       Await.result(
         Future.sequence(audits.filter(_._7 != "none").map { case (p, family, _, _, _, _, action) =>
           Future {
