@@ -580,6 +580,14 @@ object SparkEntry {
     "q_dedup_incremental_stream" -> ((s, dir) =>
       graft.streaming.StreamGates.incrementalMatchViaStream(s, dir)),
 
+    // CONTINUOUS INGEST with automatic upkeep: each micro-batch appends
+    // to the persisted signature index, forgets its % 3 ids, and runs the
+    // maintainIndexes policy sweep — which compacts MID-STREAM (audit
+    // rows pin generations 1, 2, 3); the post-stream probe must equal the
+    // fresh-build-on-survivors replay.
+    "q_index_maintain_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.indexMaintainViaStream(s, dir)),
+
     // Streamed-query retrieval serving: each micro-batch of queries
     // probes the persisted TERM-BUCKETED BM25 index (partition-pruned
     // postings reads per trigger). Shares q_bm25_topk's oracle.
@@ -5416,6 +5424,18 @@ object SparkEntry {
       // Purge must equal mask: compact(delete) serves exactly the delete
       // replay (fresh build on survivors).
       "q_dedup_index_compact" -> sigDeleteOracleSql,
+      // Streamed maintenance: three mid-stream policy compacts flip the
+      // generation 1 → 2 → 3 (audit rows; batches execute serially), and
+      // the post-stream probe is the signature fresh-build-on-survivors
+      // replay verbatim.
+      "q_index_maintain_stream" ->
+        s"""SELECT doc_id, matched_id, est_32 FROM (
+           |SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(g AS BIGINT) AS matched_id,
+           |       CAST(0 AS BIGINT) AS est_32 FROM (VALUES (1),(2),(3)) AS t(g)
+           |UNION ALL
+           |SELECT doc_id, matched_id, est_32 FROM ($sigDeleteOracleSql)
+           |) ORDER BY doc_id, matched_id, est_32""".stripMargin,
+
       // Maintenance flow: the audit row is deterministic for this fixture
       // (the % 3 tombstone mass fires the policy's 2% default → action
       // 'compact', the generation pointer flips 0 → 1, tombstone_rows =

@@ -1073,6 +1073,52 @@ object StreamGates {
       .orderBy("doc_id", "matched_id")
   }
 
+  /** `q_index_maintain_stream`: CONTINUOUS INGEST with automatic index
+    * upkeep — the daily-crawl shape end-to-end. The lower half of the
+    * documents table streams in 3 chronological micro-batches; each
+    * batch appends to a persisted signature index (batch 1 creates it),
+    * tombstones its own % 3 ids, and runs
+    * [[graft.operators.CorpusPipeline.maintainIndexes]] with an
+    * aggressive tombstone policy, so every batch's sweep decides AND
+    * compacts mid-stream (generation 1, 2, 3 — emitted as audit rows,
+    * deterministic because foreachBatch executes batches serially).
+    * After the stream, the upper half probes the index: serving must
+    * equal the fresh-build-on-survivors oracle (sigDelete replay) — a
+    * stream of append/forget/maintain cycles may change cost, never
+    * content.
+    */
+  def indexMaintainViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{CorpusPipeline, Dedup}
+    val all = graft.Tpch.table(spark, sfDir, "documents")
+    val splitId = all.agg(max(col("doc_id").cast("long")).as("m")).head.getLong(0) / 2
+    val dir = java.nio.file.Files.createTempDirectory("graft_maint_stream_").toString + "/idx"
+    val lower = all.where(col("doc_id") <= splitId)
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
+        col("text"))
+    val policy = CorpusPipeline.IndexMaintenancePolicy(maxTombstoneFraction = 0.001)
+    var first  = true // foreachBatch runs serially on the driver
+    val audits = replayViaForeachBatch(spark, lower, "ts", chunks = 3,
+      stageKey = Some(s"docsLower1s:$sfDir")) { b =>
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(b, "text", "doc_id"), dir, append = !first)
+      first = false
+      Dedup.deleteFromPersistedIndex(
+        b.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", dir)
+      CorpusPipeline.maintainIndexes(spark, Seq(dir), policy)
+      val sp = b.sparkSession
+      import sp.implicits._
+      Seq((-1L, graft.operators.IndexStore.currentGeneration(spark, dir).toLong, 0L))
+        .toDF("doc_id", "matched_id", "est_32")
+    }
+    val probe = Dedup.matchVsPersistedIndex(
+        all.where(col("doc_id") > splitId), "text", "doc_id", dir)
+      .select(col("doc_id"), col("matched_id"),
+        round(col("est_jaccard") * 32).cast("long").as("est_32"))
+    audits.unionByName(probe).orderBy("doc_id", "matched_id", "est_32")
+  }
+
   /** `q_data_expectations_stream`: the data-contract row rules evaluated
     * over a STREAM — each rule is a conditional sum in one Complete-mode
     * global aggregation, so the engine maintains the running fail counts
