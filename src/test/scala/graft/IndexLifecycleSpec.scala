@@ -460,6 +460,37 @@ class IndexLifecycleSpec extends SparkSpec {
       again(clean) shouldBe "none"
       again(dirty) shouldBe "none"
     }
+
+    it("inspects every family's layout: jaccard two-relation, bm25 unpartitioned docs, gram no-tombstones") {
+      import graft.operators.CorpusPipeline
+      // Jaccard: tombstone mass fires (relations postings/bucket +
+      // fullsets/dbucket both listed without error).
+      val jac  = tmpDir("mnt_jac_")
+      val sets = docsDf(1 to 40).select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("bg"))
+      Dedup.persistJaccardIndex(sets, "bg", "doc_id", jac, thresholdMilli = 600)
+      Dedup.deleteFromPersistedIndex(
+        (1 to 40).filter(_ % 3 == 0).map(_.toLong).toDF("doc_id"), "doc_id", jac)
+      // BM25: appends add files to the UNPARTITIONED docs relation — the
+      // segment criterion must see them (docs file count = its segments).
+      val bm = tmpDir("mnt_bm_")
+      TextAnalysis.persistBm25Index(
+        TextAnalysis.buildBm25Index(docsDf(1 to 30), "text", "doc_id"), bm)
+      (1 to 5).foreach(i => TextAnalysis.appendToBm25Index(
+        docsDf(30 + i * 10 to 39 + i * 10), "text", "doc_id", bm))
+      // Gram: never has tombstones; single segment per bucket → healthy.
+      val gram = tmpDir("mnt_gram_")
+      Dedup.persistGramIndex(docsDf(1 to 30), "text", "doc_id", gram, k = 20)
+
+      val rows = CorpusPipeline.maintainIndexes(spark, Seq(jac, bm, gram))
+        .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(6))).toMap
+      rows(jac) shouldBe (("jaccard", "compact"))
+      rows(bm) shouldBe (("bm25", "compact"))
+      rows(gram) shouldBe (("gram", "none"))
+      IndexStore.currentGeneration(spark, jac) shouldBe 1
+      IndexStore.currentGeneration(spark, bm) shouldBe 1
+      IndexStore.currentGeneration(spark, gram) shouldBe 0
+      exists(s"${dataDir(jac)}/_graft_tombstones") shouldBe false
+    }
   }
 
   describe("gram-index compaction") {
