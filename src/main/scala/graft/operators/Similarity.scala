@@ -783,15 +783,23 @@ object Similarity {
     * monitoring so an operator can alert on drift without compacting).
     * 0.0 for an empty index.
     */
-  def ivfCellImbalance(spark: org.apache.spark.sql.SparkSession, path: String): Double = {
+  def ivfCellImbalance(spark: org.apache.spark.sql.SparkSession, path: String): Double =
+    cellImbalanceOf(ivfCellImbalanceFrame(spark, path))
+
+  /** The thin (cell, vec_id) scan [[ivfCellImbalance]] aggregates —
+    * exposed so PlanAuditSpec can pin that the probe never loads the
+    * full-width vector column (the whole point of calling it "cheap
+    * relative to the rewrite it may trigger").
+    */
+  private[graft] def ivfCellImbalanceFrame(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val live = graft.operators.IndexStore.dataDir(spark, path)
     val ts   = ivfTombstonesAt(spark, live)
     val df   = spark.read.parquet(live).select(col("cell"), col("vec_id"))
-    val masked = ts match {
+    ts match {
       case Some(t) => df.join(broadcast(t), df("vec_id") === t("vec_id"), "left_anti")
       case None    => df
     }
-    cellImbalanceOf(masked)
   }
 
   private def cellImbalanceOf(cells: DataFrame): Double = {

@@ -793,6 +793,30 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("ivfCellImbalance's probe reads only (cell, vec_id) — the vector column never loads") {
+      withoutAqe {
+        import graft.operators.Similarity
+        val dir = java.nio.file.Files.createTempDirectory("pa_ivf_imb_").toString
+        val emb = (1 to 40).map(i =>
+          (i.toLong, Array.tabulate(8)(d => ((i + d) % 5).toFloat))).toDF("vec_id", "embedding")
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist = 4)
+        Similarity.persistIvfIndex(emb, "vec_id", "embedding", cents, dir)
+        Similarity.deleteFromIvfIndex(Seq(3L).toDF("vec_id"), "vec_id", dir)
+        val plan = executed(
+          Similarity.ivfCellImbalanceFrame(spark, dir).groupBy("cell").count())
+        val scans = plan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        scans should not be empty
+        // Both scans (index + tombstones) are thin: the full-width `vec`
+        // column never loads — what makes the RetrainMode.Auto /
+        // maintainIndexes drift check cheap relative to the rewrite it
+        // may trigger.
+        scans.foreach(f => f.requiredSchema.fieldNames should not contain "vec")
+        atLeast(1, scans.map(_.requiredSchema.fieldNames.toSeq)) should contain("vec_id")
+      }
+    }
+
     it("kAnonymize broadcasts the violating-group set on the default path") {
       withoutAqe {
         val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "qi")
