@@ -3346,9 +3346,10 @@ object SparkEntry {
       val drifted = emb.select((col("vec_id") + lit(shift)).as("vec_id"),
         transform(sequence(lit(0), lit(graft.operators.IvfPinned.dims - 1)),
           d => (lit(50) + pmod(col("vec_id") + d, lit(5))).cast("float")).as("embedding"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfidx_rta_").toString
-      Similarity.persistIvfIndex(emb, "vec_id", "embedding",
-        graft.operators.IvfPinned.centroids, tmp)
+      // Mutating gate: copy-on-write from the shared pristine full build.
+      val tmp = graft.GateCache.privateCopy(s"ivfidx_full:$dir")(p =>
+        Similarity.persistIvfIndex(emb, "vec_id", "embedding",
+          graft.operators.IvfPinned.centroids, p))
       Similarity.appendToIvfIndex(drifted, "vec_id", "embedding", tmp)
       val union = emb.select(col("vec_id"), col("embedding")).unionByName(drifted)
       Similarity.deleteFromIvfIndex(
