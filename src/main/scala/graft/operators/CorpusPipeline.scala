@@ -174,14 +174,15 @@ object CorpusPipeline {
       p: String,
       family: String,
       selective: Boolean,
-      ivfRetrain: Similarity.RetrainMode
+      ivfRetrain: Similarity.RetrainMode,
+      keepGens: Int = 1
   ): Unit = family match {
-    case "signature"   => Dedup.compactSignatureIndex(spark, p, selective)
-    case "fingerprint" => Dedup.compactFingerprintIndex(spark, p, selective)
-    case "jaccard"     => Dedup.compactJaccardIndex(spark, p, selective)
-    case "ivf"         => Similarity.compactIvfIndex(spark, p, selective, retrain = ivfRetrain)
-    case "bm25"        => TextAnalysis.compactBm25Index(spark, p, selective)
-    case "gram"        => Dedup.compactGramIndex(spark, p, selective)
+    case "signature"   => Dedup.compactSignatureIndex(spark, p, selective, keepGens)
+    case "fingerprint" => Dedup.compactFingerprintIndex(spark, p, selective, keepGens)
+    case "jaccard"     => Dedup.compactJaccardIndex(spark, p, selective, keepGens)
+    case "ivf"         => Similarity.compactIvfIndex(spark, p, selective, retrain = ivfRetrain, keepGens = keepGens)
+    case "bm25"        => TextAnalysis.compactBm25Index(spark, p, selective, keepGens)
+    case "gram"        => Dedup.compactGramIndex(spark, p, selective, keepGens)
   }
 
   /** The partitioned data relations of each family (dir, partition
@@ -206,11 +207,20 @@ object CorpusPipeline {
     * BM25 postings) the measured fraction UNDERSTATES the true document
     * fraction, so the trigger is conservative; lower the threshold for
     * aggressive reclamation.
+    *
+    * `keepGenerations` is the probe retention horizon: a fired compact
+    * retains that many PREVIOUS generations (readable-until-vacuum), so
+    * a probe that resolved an old generation survives up to that many
+    * subsequent compactions mid-read. Size it to probe SLA × sweep
+    * frequency — per-batch maintenance (the q_index_maintain_stream
+    * shape) with long analytical probes wants ≥ 2; the default 1 is the
+    * single-compaction-in-flight contract.
     */
   final case class IndexMaintenancePolicy(
       maxSegmentsPerPartition: Int = 4,
       maxTombstoneFraction: Double = 0.02,
-      ivfMaxImbalance: Double = 8.0
+      ivfMaxImbalance: Double = 8.0,
+      keepGenerations: Int = 1
   )
 
   /** Policy-driven maintenance sweep over a mixed list of persisted
@@ -296,7 +306,8 @@ object CorpusPipeline {
             val mode =
               if (action == "compact_retrain") Similarity.RetrainMode.Always
               else Similarity.RetrainMode.Never
-            compactFamily(spark, p, family, selective = true, ivfRetrain = mode)
+            compactFamily(spark, p, family, selective = true, ivfRetrain = mode,
+              keepGens = policy.keepGenerations)
           }
         }),
         Duration.Inf)

@@ -1401,9 +1401,10 @@ object Dedup {
   def compactSignatureIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      selective: Boolean = true
+      selective: Boolean = true,
+      keepGens: Int = 1
   ): Unit =
-    compactBandedBucketIndex(spark, path, selective)
+    compactBandedBucketIndex(spark, path, selective, keepGens)
 
   /** [[compactSignatureIndex]] for the fingerprint index — identical
     * mechanics (same banded bucket layout, same tombstone contract, same
@@ -1412,9 +1413,10 @@ object Dedup {
   def compactFingerprintIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      selective: Boolean = true
+      selective: Boolean = true,
+      keepGens: Int = 1
   ): Unit =
-    compactBandedBucketIndex(spark, path, selective)
+    compactBandedBucketIndex(spark, path, selective, keepGens)
 
   /** Shared selective compactor of the two banded `bucket`-partitioned
     * families (signature, fingerprint): see [[compactSignatureIndex]].
@@ -1422,9 +1424,11 @@ object Dedup {
   private def compactBandedBucketIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      selective: Boolean
+      selective: Boolean,
+      keepGens: Int
   ): Unit =
-    IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones")) { (live, staged) =>
+    IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones"),
+      keepGens = keepGens) { (live, staged) =>
       val ts     = tombstonesAt(spark, live)
       val counts = IndexStore.partitionFileCounts(spark, live, "bucket")
       val multi  = counts.filter(_._2 > 1).keySet
@@ -1476,9 +1480,11 @@ object Dedup {
   def compactJaccardIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      selective: Boolean = true
+      selective: Boolean = true,
+      keepGens: Int = 1
   ): Unit =
-    IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones")) { (live, staged) =>
+    IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones"),
+      keepGens = keepGens) { (live, staged) =>
       val ts = tombstonesAt(spark, live)
       def minus(df: DataFrame): DataFrame = ts match {
         case Some(t) => df.join(org.apache.spark.sql.functions.broadcast(t), Seq("doc_id"), "left_anti")
@@ -2367,9 +2373,11 @@ object Dedup {
   def compactGramIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      selective: Boolean = true
+      selective: Boolean = true,
+      keepGens: Int = 1
   ): Unit =
-    IndexStore.swapGeneration(spark, path, dropMeta = Set.empty) { (live, staged) =>
+    IndexStore.swapGeneration(spark, path, dropMeta = Set.empty,
+      keepGens = keepGens) { (live, staged) =>
       val counts = IndexStore.partitionFileCounts(spark, live, "bucket")
       val dirty  = counts.filter(_._2 > 1).keySet
       if (!selective || counts.isEmpty || dirty.size * 5 >= counts.size * 4)

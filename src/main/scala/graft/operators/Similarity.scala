@@ -845,10 +845,12 @@ object Similarity {
       path: String,
       selective: Boolean = true,
       retrain: RetrainMode = RetrainMode.Never,
-      retrainLloydIters: Int = 5
+      retrainLloydIters: Int = 5,
+      keepGens: Int = 1
   ): Unit = {
     import graft.operators.IndexStore
-    IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones")) { (live, staged) =>
+    IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones"),
+      keepGens = keepGens) { (live, staged) =>
       val ts = ivfTombstonesAt(spark, live)
       def minus(df: DataFrame): DataFrame = ts match {
         case Some(t) => df.join(broadcast(t), df("vec_id") === t("vec_id"), "left_anti")

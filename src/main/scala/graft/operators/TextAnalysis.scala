@@ -1049,10 +1049,12 @@ object TextAnalysis {
   def compactBm25Index(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      selective: Boolean = true
+      selective: Boolean = true,
+      keepGens: Int = 1
   ): Unit = {
     import graft.operators.IndexStore
-    IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones")) { (live, staged) =>
+    IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones"),
+      keepGens = keepGens) { (live, staged) =>
       val ts = bm25TombstonesAt(spark, live)
       def minus(df: DataFrame): DataFrame = ts match {
         case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")

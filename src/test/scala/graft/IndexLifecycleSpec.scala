@@ -461,6 +461,28 @@ class IndexLifecycleSpec extends SparkSpec {
       again(dirty) shouldBe "none"
     }
 
+    it("keepGenerations widens the probe retention horizon across rapid compactions") {
+      val dir = tmpDir("mnt_keep_")
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(1 to 40), "text", "doc_id"), dir)
+      def cycle(id: Long): Unit = {
+        Dedup.deleteFromPersistedIndex(Seq(id).toDF("doc_id"), "doc_id", dir)
+        Dedup.compactSignatureIndex(spark, dir, keepGens = 2)
+      }
+      cycle(3L); cycle(6L); cycle(9L) // generations 1, 2, 3
+      // A probe that resolved EITHER of the two previous generations
+      // mid-flip still reads complete data (default keepGens = 1 would
+      // have reclaimed generation 1 by now).
+      exists(s"$dir/_gen-00001") shouldBe true
+      exists(s"$dir/_gen-00002") shouldBe true
+      IndexStore.currentGeneration(spark, dir) shouldBe 3
+      // vacuum still reclaims all history on demand.
+      IndexStore.vacuum(spark, dir)
+      exists(s"$dir/_gen-00001") shouldBe false
+      exists(s"$dir/_gen-00002") shouldBe false
+      exists(s"$dir/_gen-00003") shouldBe true
+    }
+
     it("inspects every family's layout: jaccard two-relation, bm25 unpartitioned docs, gram no-tombstones") {
       import graft.operators.CorpusPipeline
       // Jaccard: tombstone mass fires (relations postings/bucket +
