@@ -264,22 +264,22 @@ object CorpusPipeline {
       val segCounts = rels.flatMap { case (dir, partCol) =>
         IndexStore.partitionFileCounts(spark, dir, partCol).values
       }
-      // BM25's docs relation is unpartitioned — every append adds files,
-      // so its file count IS its segment count.
+      // BM25's docs relation is unpartitioned and written with whatever
+      // parallelism built it, so raw file count is NOT segment count:
+      // segments = files − the baseline recorded at (re)write + 1
+      // ([[TextAnalysis.bm25DocsSegments]] — appends add one file each).
       val docsSegs =
         if (family != "bm25") 0
-        else {
-          val dp = new org.apache.hadoop.fs.Path(s"$live/docs")
-          val fs = dp.getFileSystem(conf)
-          if (!fs.exists(dp)) 0
-          else fs.listStatus(dp).count(f =>
-            f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-        }
+        else TextAnalysis.bm25DocsSegments(spark, live)
       val maxSegments = (segCounts ++ Seq(docsSegs)).foldLeft(0)(math.max)
       val tsPath = new org.apache.hadoop.fs.Path(s"$live/_graft_tombstones")
+      // DISTINCT ids: deleteFromPersistedIndex dedupes within a call but
+      // appends across calls, so a re-deleted id would otherwise count
+      // twice and fire the tombstone-fraction trigger spuriously (serving
+      // is unaffected — the probe masks re-distinct).
       val tombstoneRows =
         if (!tsPath.getFileSystem(conf).exists(tsPath)) 0L
-        else spark.read.option("mergeSchema", "true").parquet(tsPath.toString).count()
+        else spark.read.option("mergeSchema", "true").parquet(tsPath.toString).distinct().count()
       // Parquet footer statistic — no data pages read.
       val dataRows = rels.headOption.map { case (dir, _) =>
         val dp = new org.apache.hadoop.fs.Path(dir)

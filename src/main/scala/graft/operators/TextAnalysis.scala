@@ -945,8 +945,53 @@ object TextAnalysis {
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
       index.docs.write.mode("overwrite").parquet(s"$dir/docs")
+      writeDocsBase(spark, dir)
       Seq(termBuckets).toDF("termBuckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/_graft_meta")
+    }
+  }
+
+  /** Data files currently under the unpartitioned `docs/` relation. */
+  private def docsFileCount(spark: org.apache.spark.sql.SparkSession, dataDir: String): Int = {
+    val dp = new org.apache.hadoop.fs.Path(s"$dataDir/docs")
+    val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dp)) 0
+    else fs.listStatus(dp).count(f =>
+      f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+  }
+
+  /** Record `docs/`' FILE-COUNT BASELINE (`_graft_docs_base`) after a full
+    * (re)write. `docs` is unpartitioned, so its baseline file count is
+    * whatever write parallelism produced — NOT 1 — and "how many appends
+    * has this index absorbed" can only be inferred from file count
+    * relative to this recorded baseline. [[appendToBm25Index]] adds
+    * exactly one file per batch (coalesce(1) — the per-batch doc-length
+    * relation is thin), so segments = files − baseline + 1; without the
+    * baseline a fresh 200-shuffle-partition build would read as 200
+    * segments and the maintenance policy would fire a full-docs rewrite
+    * every sweep, forever.
+    */
+  private def writeDocsBase(spark: org.apache.spark.sql.SparkSession, dataDir: String): Unit = {
+    import spark.implicits._
+    Seq(docsFileCount(spark, dataDir)).toDF("files")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dataDir/_graft_docs_base")
+  }
+
+  /** `docs/`' append-segment count: files now minus the recorded baseline
+    * plus one (so a never-appended relation reads as 1 segment however
+    * parallel its build wrote). Indexes persisted before the baseline
+    * artifact existed read as 1 — the conservative direction (no spurious
+    * rewrite churn); their first compact records a baseline.
+    */
+  private[graft] def bm25DocsSegments(spark: org.apache.spark.sql.SparkSession, dataDir: String): Int = {
+    val bp = new org.apache.hadoop.fs.Path(s"$dataDir/_graft_docs_base")
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = docsFileCount(spark, dataDir)
+    if (files == 0) 0
+    else if (!fs.exists(bp)) 1
+    else {
+      val base = spark.read.parquet(bp.toString).select("files").head.getInt(0)
+      math.max(1, files - base + 1)
     }
   }
 
@@ -985,7 +1030,10 @@ object TextAnalysis {
         .write.mode("append").partitionBy("bucket").parquet(s"$dd/postings")
       inc.terms.withColumn("bucket", bucket).repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(s"$dd/terms")
-      inc.docs.write.mode("append").parquet(s"$dd/docs")
+      // One file per appended batch: docs is the thin (doc_id, dl)
+      // relation, and a single file keeps the maintenance sweep's
+      // segment arithmetic exact (see [[bm25DocsSegments]]).
+      inc.docs.coalesce(1).write.mode("append").parquet(s"$dd/docs")
     }
   }
 
@@ -1110,16 +1158,14 @@ object TextAnalysis {
       //    No explicit repartition: the parquet read packs small appended
       //    segments into maxPartitionBytes-sized splits, so the rewrite
       //    folds file count to ~bytes/128MB without paying a shuffle.
-      val docsDirty = ts.isDefined || {
-        val dp = new org.apache.hadoop.fs.Path(s"$live/docs")
-        val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.exists(dp) && fs.listStatus(dp).count(f =>
-          f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) > 1
-      }
+      val docsDirty = ts.isDefined || bm25DocsSegments(spark, live) > 1
       if (!selective || docsDirty)
         minus(spark.read.parquet(s"$live/docs")).write.parquet(s"$staged/docs")
       else
         IndexStore.carryTree(spark, s"$live/docs", s"$staged/docs")
+      // Either path changes (or re-establishes) docs' file count — record
+      // the new baseline so the next sweep's segment arithmetic starts at 1.
+      writeDocsBase(spark, staged)
     }
   }
 

@@ -294,7 +294,23 @@ object StreamGates {
       tsCol: String,
       chunks: Int,
       stageKey: Option[String] = None
-  )(perBatch: DataFrame => DataFrame): DataFrame = {
+  )(perBatch: DataFrame => DataFrame): DataFrame =
+    replayViaForeachBatchWithId(spark, src, tsCol, chunks, stageKey)((b, _) => perBatch(b))
+
+  /** [[replayViaForeachBatch]] with the engine's batchId passed through —
+    * for per-batch bodies whose behavior must be IDEMPOTENT under
+    * Structured Streaming's retry semantics (a failed/restarted batch
+    * re-runs with the SAME id): branch on the id (e.g. create vs append
+    * an index on `batchId == 0`), never on driver-side mutable state,
+    * which a re-run would observe already flipped.
+    */
+  private[graft] def replayViaForeachBatchWithId(
+      spark: SparkSession,
+      src: DataFrame,
+      tsCol: String,
+      chunks: Int,
+      stageKey: Option[String] = None
+  )(perBatch: (DataFrame, Long) => DataFrame): DataFrame = {
     import java.nio.file.Files
     val (watchDir, ownWatchDir) = resolveWatchDir(src, tsCol, chunks, Seq.empty, stageKey)
     val sinkDir = Files.createTempDirectory(appendSinkRoot, "sink")
@@ -310,8 +326,8 @@ object StreamGates {
           .writeStream
           .outputMode(OutputMode.Append())
           .option("checkpointLocation", ckptDir.toString)
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            perBatch(batch).write.mode("append").parquet(sinkDir.toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            perBatch(batch, batchId).write.mode("append").parquet(sinkDir.toString)
           }
           .start()
       finally spark.conf.set("spark.sql.shuffle.partitions", priorShufflePartitions)
@@ -1098,12 +1114,14 @@ object StreamGates {
         timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
         col("text"))
     val policy = CorpusPipeline.IndexMaintenancePolicy(maxTombstoneFraction = 0.001)
-    var first  = true // foreachBatch runs serially on the driver
-    val audits = replayViaForeachBatch(spark, lower, "ts", chunks = 3,
-      stageKey = Some(s"docsLower1s:$sfDir")) { b =>
+    // Create-vs-append derives from the ENGINE's batchId, not driver-side
+    // state: a retried/restarted batch 0 re-runs with id 0 and therefore
+    // re-CREATES (idempotent overwrite) instead of appending a duplicate
+    // copy of its band rows into the index.
+    val audits = replayViaForeachBatchWithId(spark, lower, "ts", chunks = 3,
+      stageKey = Some(s"docsLower1s:$sfDir")) { (b, batchId) =>
       Dedup.persistSignatureIndex(
-        Dedup.buildSignatureIndex(b, "text", "doc_id"), dir, append = !first)
-      first = false
+        Dedup.buildSignatureIndex(b, "text", "doc_id"), dir, append = batchId > 0)
       Dedup.deleteFromPersistedIndex(
         b.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", dir)
       CorpusPipeline.maintainIndexes(spark, Seq(dir), policy)

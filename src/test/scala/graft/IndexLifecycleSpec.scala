@@ -493,7 +493,8 @@ class IndexLifecycleSpec extends SparkSpec {
       Dedup.deleteFromPersistedIndex(
         (1 to 40).filter(_ % 3 == 0).map(_.toLong).toDF("doc_id"), "doc_id", jac)
       // BM25: appends add files to the UNPARTITIONED docs relation — the
-      // segment criterion must see them (docs file count = its segments).
+      // segment criterion must see them (files minus the recorded
+      // build baseline = its segments).
       val bm = tmpDir("mnt_bm_")
       TextAnalysis.persistBm25Index(
         TextAnalysis.buildBm25Index(docsDf(1 to 30), "text", "doc_id"), bm)
@@ -512,6 +513,34 @@ class IndexLifecycleSpec extends SparkSpec {
       IndexStore.currentGeneration(spark, bm) shouldBe 1
       IndexStore.currentGeneration(spark, gram) shouldBe 0
       exists(s"${dataDir(jac)}/_graft_tombstones") shouldBe false
+    }
+
+    it("a parallel-written fresh bm25 docs relation is ONE segment, not file-count segments") {
+      import graft.operators.CorpusPipeline
+      // Force a many-file docs write — the shape a production build's
+      // shuffle parallelism produces. Without the recorded baseline the
+      // sweep would read file count as segment count, fire 'compact'
+      // forever, and never converge to 'none'.
+      val bm   = tmpDir("mnt_bmpar_")
+      val wide = TextAnalysis.buildBm25Index(docsDf(1 to 60), "text", "doc_id")
+      TextAnalysis.persistBm25Index(
+        wide.copy(docs = wide.docs.repartition(16)), bm)
+      parquetFilesUnder(s"${dataDir(bm)}/docs").size should be > 4 // premise: many files
+      def sweep() = CorpusPipeline.maintainIndexes(spark, Seq(bm))
+        .collect().map(r => r.getString(0) -> (r.getInt(2), r.getString(6))).toMap
+      val (segs, action) = sweep()(bm)
+      segs shouldBe 1
+      action shouldBe "none"
+      // Appends count from the baseline: 5 one-file appends → 6 segments.
+      (1 to 5).foreach(i => TextAnalysis.appendToBm25Index(
+        docsDf(60 + i * 10 to 69 + i * 10), "text", "doc_id", bm))
+      val (segs2, action2) = sweep()(bm)
+      segs2 shouldBe 6
+      action2 shouldBe "compact"
+      // The fired compact re-records the baseline; the next sweep converges.
+      val (segs3, action3) = sweep()(bm)
+      segs3 shouldBe 1
+      action3 shouldBe "none"
     }
   }
 
