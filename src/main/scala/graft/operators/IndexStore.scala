@@ -45,9 +45,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    daily-crawl × backfill shape) can no longer interleave their
   *    FileOutputCommitter temporaries and silently lose files — the
   *    second writer waits, then fails LOUDLY with the holder's identity
-  *    if the lease never frees. Probes never lock. A lease left by a
-  *    dead writer is broken after `staleMs` (wall-clock heuristic,
-  *    logged).
+  *    if the lease never frees. Probes never lock. The holder HEARTBEATS
+  *    (re-stamps the lock every `staleMs / 3`), so staleness means missed
+  *    heartbeats — a dead writer's lease is broken after `staleMs` of
+  *    silence, while a live compaction that runs hours keeps renewing. A
+  *    holder that was nonetheless stolen (paused past the window) is
+  *    FENCED at install: [[swapGeneration]] re-checks the lease token
+  *    before flipping the pointer and aborts rather than double-install.
   *
   * Layout compatibility: an index that has never been compacted keeps
   * the flat layout (data directly under its root — no pointer file) and
@@ -94,32 +98,98 @@ private[graft] object IndexStore {
 
   // ---------------------------------------------------------------- lease
 
-  /** Roots whose lease this thread already holds — writer entry points
-    * nest (compactIndexes → family compactor → append helpers), and a
-    * re-acquire of a held lease must be a no-op, not a self-deadlock.
+  /** Roots whose lease this thread already holds, mapped to the lease's
+    * fencing TOKEN — writer entry points nest (compactIndexes → family
+    * compactor → append helpers), and a re-acquire of a held lease must
+    * be a no-op, not a self-deadlock. The token identifies THIS
+    * acquisition: the install fence ([[swapGeneration]]) re-reads the
+    * lock at flip time and aborts if the token on disk is not ours.
     */
-  private val held = new ThreadLocal[Set[String]] {
-    override def initialValue(): Set[String] = Set.empty
+  private val held = new ThreadLocal[Map[String, String]] {
+    override def initialValue(): Map[String, String] = Map.empty
+  }
+
+  /** Shared daemon scheduler for lease heartbeats — renewals are one tiny
+    * atomic file replace each, so one thread serves every concurrently
+    * held lease (the family compactors hold at most a handful at once).
+    */
+  private lazy val heartbeatPool: java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newScheduledThreadPool(1, (r: Runnable) => {
+      val t = new Thread(r, "graft-index-lease-heartbeat")
+      t.setDaemon(true)
+      t
+    })
+
+  private def readLock(fs: FileSystem, lock: Path): String =
+    try {
+      val in = fs.open(lock)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } catch { case _: java.io.IOException => "" } // absent / vanished mid-read
+
+  private def lockTokenOf(content: String): Option[String] =
+    "token=(\\S+)".r.findFirstMatchIn(content).map(_.group(1))
+
+  /** Atomically REPLACE the lock file's content (heartbeat renewal): the
+    * token stays, the ts re-stamps. Same atomic-replace primitives as
+    * [[flipPointer]] — a concurrent reader sees the old or the new stamp,
+    * never a partial file (which the stale-break's re-read-compare could
+    * mistake for a changed holder).
+    */
+  private def renewLease(
+      spark: SparkSession, fs: FileSystem, lock: Path, me: String, token: String): Unit = {
+    val stamp = s"$me token=$token ts=${System.currentTimeMillis()}\n"
+    if (fs.getScheme == "file") {
+      val dst = java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath)
+      val tmp = dst.resolveSibling(dst.getFileName.toString + ".hb")
+      java.nio.file.Files.write(tmp, stamp.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = fs.makeQualified(new Path(lock.getParent, LockName + ".hb"))
+      val out = fs.create(tmp, true)
+      try out.write(stamp.getBytes("UTF-8"))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.makeQualified(lock).toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, fs.makeQualified(lock), Options.Rename.OVERWRITE)
+    }
   }
 
   /** Run `body` holding the index's writer lease. Mutators (append,
     * tombstone delete, compact) all pass through here; concurrent
     * writers serialize, and one that cannot acquire within `waitMs`
     * fails loudly with the holder's identity instead of interleaving
-    * writes. A lease older than `staleMs` is presumed abandoned by a
-    * dead writer and broken (logged).
+    * writes.
+    *
+    * Liveness vs. staleness: the HOLDER re-stamps the lock file every
+    * `heartbeatMs` (default `staleMs / 3`, daemon scheduler), so
+    * staleness means MISSED HEARTBEATS — a dead writer's lock is broken
+    * after `staleMs` of silence (logged), while a live compaction that
+    * legitimately runs hours keeps renewing and is never stolen. A
+    * holder that WAS stolen (paused past `staleMs` with heartbeats
+    * disabled — a stop-the-world GC longer than the stale window, or a
+    * suspended VM) discovers it at install time: [[swapGeneration]]
+    * fences on the lease token before flipping the pointer, and the
+    * release path deletes the lock only if the token on disk is still
+    * this acquisition's. `heartbeatMs = 0` disables renewal (test hook
+    * for exactly that stolen-lease scenario).
     */
   def withWriterLease[T](
       spark: SparkSession,
       root: String,
       waitMs: Long = 120000L,
-      staleMs: Long = 30L * 60 * 1000
+      staleMs: Long = 30L * 60 * 1000,
+      heartbeatMs: Long = -1L
   )(body: => T): T = {
     val lock = new Path(root, LockName)
     val fs   = fsOf(spark, lock)
     val key  = fs.makeQualified(new Path(root)).toString
     if (held.get().contains(key)) return body // re-entrant: already ours
+    val token = java.util.UUID.randomUUID().toString
     val me = s"pid=${ProcessHandle.current().pid()} thread=${Thread.currentThread().getName}"
+    val stamp = () => s"$me token=$token ts=${System.currentTimeMillis()}\n"
     val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
     while (!acquired) {
@@ -133,24 +203,18 @@ private[graft] object IndexStore {
         // straight to O_CREAT|O_EXCL via java.nio instead.
         if (fs.getScheme == "file") {
           val p = java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath)
-          java.nio.file.Files.write(p,
-            s"$me ts=${System.currentTimeMillis()}\n".getBytes("UTF-8"),
+          java.nio.file.Files.write(p, stamp().getBytes("UTF-8"),
             java.nio.file.StandardOpenOption.CREATE_NEW, // atomic O_EXCL
             java.nio.file.StandardOpenOption.WRITE)
         } else {
           val out = fs.create(lock, /* overwrite = */ false)
-          try out.write(s"$me ts=${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+          try out.write(stamp().getBytes("UTF-8"))
           finally out.close()
         }
         acquired = true
       } catch {
         case _: java.io.IOException => // exists (or raced) — inspect holder
-          val holder =
-            try {
-              val in = fs.open(lock)
-              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-              finally in.close()
-            } catch { case _: java.io.IOException => "" } // holder vanished between create and open
+          val holder = readLock(fs, lock)
           val ts = "ts=(\\d+)".r.findFirstMatchIn(holder).map(_.group(1).toLong)
           if (ts.exists(System.currentTimeMillis() - _ > staleMs)) {
             org.apache.log4j.Logger.getLogger(getClass)
@@ -158,13 +222,7 @@ private[graft] object IndexStore {
             // Re-read before deleting: a rival waiter may have broken the
             // stale lock and acquired a FRESH one in the window since our
             // read — deleting that would hand out two leases.
-            val still =
-              try {
-                val in2 = fs.open(lock)
-                try scala.io.Source.fromInputStream(in2, "UTF-8").mkString.trim == holder
-                finally in2.close()
-              } catch { case _: java.io.IOException => false }
-            if (still) fs.delete(lock, false)
+            if (readLock(fs, lock) == holder && holder.nonEmpty) fs.delete(lock, false)
           } else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"IndexStore: could not acquire writer lease on $root within ${waitMs}ms " +
@@ -173,14 +231,31 @@ private[graft] object IndexStore {
           else Thread.sleep(50)
       }
     }
-    held.set(held.get() + key)
+    val hbEvery = if (heartbeatMs < 0) math.max(1000L, staleMs / 3) else heartbeatMs
+    val hbTask =
+      if (hbEvery == 0) None
+      else Some(heartbeatPool.scheduleAtFixedRate(
+        () => try renewLease(spark, fs, lock, me, token)
+              catch { case e: Exception =>
+                org.apache.log4j.Logger.getLogger(getClass)
+                  .warn(s"IndexStore: lease heartbeat on $root failed: $e") },
+        hbEvery, hbEvery, java.util.concurrent.TimeUnit.MILLISECONDS))
+    held.set(held.get() + (key -> token))
     try body
     finally {
       held.set(held.get() - key)
-      try fs.delete(lock, false)
+      hbTask.foreach(_.cancel(false))
+      // Release ONLY our own lease: if it was stolen while we ran, the
+      // lock now carries the rival's token — deleting it would free a
+      // lease we do not hold.
+      try if (lockTokenOf(readLock(fs, lock)).contains(token)) fs.delete(lock, false)
       catch { case _: java.io.IOException => () }
     }
   }
+
+  /** The fencing token of the lease THIS thread holds on `root`, if any. */
+  private def heldTokenFor(spark: SparkSession, root: String): Option[String] =
+    held.get().get(fsOf(spark, new Path(root)).makeQualified(new Path(root)).toString)
 
   // ------------------------------------------------------- generation swap
 
@@ -215,6 +290,7 @@ private[graft] object IndexStore {
       val staged  = new Path(root, genName)
       fs.delete(staged, true) // orphan of a killed compact
       populate(live, staged.toString)
+      fenceOrAbort(spark, root, staged)
       if (!fs.exists(staged)) fs.mkdirs(staged) // empty index is a legal state
       if (carryMeta) {
         val livePath = new Path(live)
@@ -230,9 +306,40 @@ private[graft] object IndexStore {
             FileUtil.copy(fs, st.getPath, fs, new Path(staged, name), false, conf)
         }
       }
+      fenceOrAbort(spark, root, staged) // final check adjacent to the flip
       flipPointer(spark, root, genName)
       cleanup(spark, root, next, keepGens)
     }
+
+  /** Install FENCE: a generation may only be published by the writer that
+    * still OWNS the lease. A holder paused past the stale window (GC
+    * pause, suspended VM, severed then restored network) resumes with
+    * its lock long since broken — and possibly re-acquired by a rival
+    * whose own compaction already installed. Publishing our (now
+    * doubly-stale) generation over theirs would silently drop their
+    * rows, so re-read the lock and ABORT the install when the token on
+    * disk is not this acquisition's: the staged dir is deleted (it is
+    * orphan work — the next swap would reclaim it anyway) and the caller
+    * gets a loud exception to retry against the index's new state. Run
+    * once after the (long) populate and once adjacent to the flip — the
+    * generation CAS analogue of [[graft.sinks.VersionedTable]]'s
+    * idempotent commit claim.
+    */
+  private def fenceOrAbort(spark: SparkSession, root: String, staged: Path): Unit = {
+    val lock = new Path(root, LockName)
+    val fs   = fsOf(spark, lock)
+    val mine = heldTokenFor(spark, root)
+    val disk = lockTokenOf(readLock(fs, lock))
+    if (mine.isEmpty || disk != mine) {
+      try fs.delete(staged, true)
+      catch { case _: java.io.IOException => () }
+      throw new IllegalStateException(
+        s"IndexStore: writer lease on $root lost before install " +
+          s"(our token: ${mine.getOrElse("<none>")}; on disk: ${disk.getOrElse("<absent>")}) — " +
+          "the lease was broken as stale and possibly re-acquired while this writer was stalled; " +
+          "its staged generation was discarded, NOT installed. Re-read the index state and retry.")
+    }
+  }
 
   /** Overwrite-persist through the layout: flat roots write in place
     * (today's behavior, fixtures unchanged); generational roots get a

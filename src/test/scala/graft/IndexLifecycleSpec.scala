@@ -237,6 +237,67 @@ class IndexLifecycleSpec extends SparkSpec {
       out.write("pid=0 thread=dead ts=1000\n".getBytes("UTF-8")); out.close()
       IndexStore.withWriterLease(spark, dir, waitMs = 5000)("took over") shouldBe "took over"
     }
+
+    it("heartbeat renewal keeps a LIVE slow writer's lease from being stolen past staleMs") {
+      val dir = tmpDir("leasehb_")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      val rivalErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      // Holder runs 4× the stale window but renews every 100 ms — a rival
+      // arriving mid-run must see a FRESH lease (never break it) and time
+      // out loudly instead of acquiring.
+      IndexStore.withWriterLease(spark, dir, staleMs = 400, heartbeatMs = 100) {
+        Thread.sleep(700) // several renewals past the original stamp
+        val th = new Thread(() =>
+          try IndexStore.withWriterLease(spark, dir, waitMs = 700, staleMs = 400)(())
+          catch { case x: Throwable => rivalErr.set(x) })
+        th.start(); th.join(30000)
+        Thread.sleep(200) // our lease survived the rival's whole attempt
+      }
+      rivalErr.get() should not be null
+      rivalErr.get().getMessage should include("writer lease")
+      exists(s"$dir/${IndexStore.LockName}") shouldBe false // released cleanly
+    }
+
+    it("a writer stalled past staleMs resumes and FAILS its install after a rival acquired (fencing)") {
+      val dir = tmpDir("leasefence_")
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(1 to 20), "text", "doc_id"), dir)
+      val rowsBefore = sortedRows(spark.read.parquet(dataDir(dir)))
+      // Writer A: heartbeats DISABLED (the suspended-VM / giant-GC-pause
+      // stand-in), tiny stale window. It stalls mid-mutation; rival B
+      // breaks the stale lock, appends (acquiring + releasing its own
+      // lease), and A then attempts a generation install.
+      val rival = new Thread(() => {
+        Thread.sleep(600) // past A's staleMs
+        // Same stale policy as A: sees A's un-renewed lock as abandoned,
+        // breaks it, appends under its OWN lease, releases.
+        IndexStore.withWriterLease(spark, dir, waitMs = 60000, staleMs = 400) {
+          Dedup.persistSignatureIndex(
+            Dedup.buildSignatureIndex(docsDf(21 to 30), "text", "doc_id"), dir, append = true)
+        }
+      })
+      val e = intercept[IllegalStateException] {
+        IndexStore.withWriterLease(spark, dir, staleMs = 400, heartbeatMs = 0) {
+          rival.start()
+          Thread.sleep(1200) // stalled: lease goes stale, rival takes + frees it
+          // Re-entrant compact under A's (stolen) lease: populate runs, but
+          // the install fence must refuse to flip the pointer.
+          Dedup.compactSignatureIndex(spark, dir)
+        }
+      }
+      rival.join(120000)
+      e.getMessage should include("lease")
+      e.getMessage should include("NOT installed")
+      // No double-install: the index still serves a CONSISTENT state
+      // containing every pre-stall row plus the rival's append — A's
+      // staged generation was discarded, not flipped in.
+      IndexStore.currentGeneration(spark, dir) shouldBe 0 // A's flip never happened
+      val after = sortedRows(spark.read.parquet(dataDir(dir)))
+      after.size should be > rowsBefore.size // rival's batch landed
+      // A's release must NOT have deleted the lock out from under a rival
+      // still holding it; here the rival already released, so it's gone.
+      exists(s"$dir/${IndexStore.LockName}") shouldBe false
+    }
   }
 
   describe("jaccard-index compaction") {
