@@ -175,14 +175,16 @@ object CorpusPipeline {
       family: String,
       selective: Boolean,
       ivfRetrain: Similarity.RetrainMode,
-      keepGens: Int = 1
+      keepGens: Int = 1,
+      minRetentionMs: Long = 0L
   ): Unit = family match {
-    case "signature"   => Dedup.compactSignatureIndex(spark, p, selective, keepGens)
-    case "fingerprint" => Dedup.compactFingerprintIndex(spark, p, selective, keepGens)
-    case "jaccard"     => Dedup.compactJaccardIndex(spark, p, selective, keepGens)
-    case "ivf"         => Similarity.compactIvfIndex(spark, p, selective, retrain = ivfRetrain, keepGens = keepGens)
-    case "bm25"        => TextAnalysis.compactBm25Index(spark, p, selective, keepGens)
-    case "gram"        => Dedup.compactGramIndex(spark, p, selective, keepGens)
+    case "signature"   => Dedup.compactSignatureIndex(spark, p, selective, keepGens, minRetentionMs)
+    case "fingerprint" => Dedup.compactFingerprintIndex(spark, p, selective, keepGens, minRetentionMs)
+    case "jaccard"     => Dedup.compactJaccardIndex(spark, p, selective, keepGens, minRetentionMs)
+    case "ivf"         => Similarity.compactIvfIndex(spark, p, selective, retrain = ivfRetrain,
+      keepGens = keepGens, minRetentionMs = minRetentionMs)
+    case "bm25"        => TextAnalysis.compactBm25Index(spark, p, selective, keepGens, minRetentionMs)
+    case "gram"        => Dedup.compactGramIndex(spark, p, selective, keepGens, minRetentionMs)
   }
 
   /** The partitioned data relations of each family (dir, partition
@@ -208,19 +210,23 @@ object CorpusPipeline {
     * fraction, so the trigger is conservative; lower the threshold for
     * aggressive reclamation.
     *
-    * `keepGenerations` is the probe retention horizon: a fired compact
-    * retains that many PREVIOUS generations (readable-until-vacuum), so
-    * a probe that resolved an old generation survives up to that many
-    * subsequent compactions mid-read. Size it to probe SLA × sweep
-    * frequency — per-batch maintenance (the q_index_maintain_stream
-    * shape) with long analytical probes wants ≥ 2; the default 1 is the
-    * single-compaction-in-flight contract.
+    * `keepGenerations` is the probe retention horizon BY COUNT: a fired
+    * compact retains that many PREVIOUS generations
+    * (readable-until-vacuum), so a probe that resolved an old generation
+    * survives up to that many subsequent compactions mid-read.
+    * `minRetentionMs` is the horizon BY AGE: a generation additionally
+    * stays until it has been retired at least this long — count alone
+    * can be outrun by rapid per-batch sweeps (q_index_maintain_stream
+    * fires compactions seconds apart; at cluster scale one fat
+    * analytical probe outlives several), an age floor sized to the probe
+    * SLA cannot. A generation is reclaimed only when BOTH allow.
     */
   final case class IndexMaintenancePolicy(
       maxSegmentsPerPartition: Int = 4,
       maxTombstoneFraction: Double = 0.02,
       ivfMaxImbalance: Double = 8.0,
-      keepGenerations: Int = 1
+      keepGenerations: Int = 1,
+      minRetentionMs: Long = 0L
   )
 
   /** Policy-driven maintenance sweep over a mixed list of persisted
@@ -307,7 +313,7 @@ object CorpusPipeline {
               if (action == "compact_retrain") Similarity.RetrainMode.Always
               else Similarity.RetrainMode.Never
             compactFamily(spark, p, family, selective = true, ivfRetrain = mode,
-              keepGens = policy.keepGenerations)
+              keepGens = policy.keepGenerations, minRetentionMs = policy.minRetentionMs)
           }
         }),
         Duration.Inf)

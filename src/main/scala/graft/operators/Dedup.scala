@@ -1402,9 +1402,10 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       selective: Boolean = true,
-      keepGens: Int = 1
+      keepGens: Int = 1,
+      minRetentionMs: Long = 0L
   ): Unit =
-    compactBandedBucketIndex(spark, path, selective, keepGens)
+    compactBandedBucketIndex(spark, path, selective, keepGens, minRetentionMs)
 
   /** [[compactSignatureIndex]] for the fingerprint index — identical
     * mechanics (same banded bucket layout, same tombstone contract, same
@@ -1414,9 +1415,10 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       selective: Boolean = true,
-      keepGens: Int = 1
+      keepGens: Int = 1,
+      minRetentionMs: Long = 0L
   ): Unit =
-    compactBandedBucketIndex(spark, path, selective, keepGens)
+    compactBandedBucketIndex(spark, path, selective, keepGens, minRetentionMs)
 
   /** Shared selective compactor of the two banded `bucket`-partitioned
     * families (signature, fingerprint): see [[compactSignatureIndex]].
@@ -1425,10 +1427,11 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       selective: Boolean,
-      keepGens: Int
+      keepGens: Int,
+      minRetentionMs: Long
   ): Unit =
     IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones"),
-      keepGens = keepGens) { (live, staged) =>
+      keepGens = keepGens, minRetentionMs = minRetentionMs) { (live, staged) =>
       val ts     = tombstonesAt(spark, live)
       val counts = IndexStore.partitionFileCounts(spark, live, "bucket")
       val multi  = counts.filter(_._2 > 1).keySet
@@ -1481,10 +1484,11 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       selective: Boolean = true,
-      keepGens: Int = 1
+      keepGens: Int = 1,
+      minRetentionMs: Long = 0L
   ): Unit =
     IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones"),
-      keepGens = keepGens) { (live, staged) =>
+      keepGens = keepGens, minRetentionMs = minRetentionMs) { (live, staged) =>
       val ts = tombstonesAt(spark, live)
       def minus(df: DataFrame): DataFrame = ts match {
         case Some(t) => df.join(org.apache.spark.sql.functions.broadcast(t), Seq("doc_id"), "left_anti")
@@ -2374,10 +2378,11 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       selective: Boolean = true,
-      keepGens: Int = 1
+      keepGens: Int = 1,
+      minRetentionMs: Long = 0L
   ): Unit =
     IndexStore.swapGeneration(spark, path, dropMeta = Set.empty,
-      keepGens = keepGens) { (live, staged) =>
+      keepGens = keepGens, minRetentionMs = minRetentionMs) { (live, staged) =>
       val counts = IndexStore.partitionFileCounts(spark, live, "bucket")
       val dirty  = counts.filter(_._2 > 1).keySet
       if (!selective || counts.isEmpty || dirty.size * 5 >= counts.size * 4)

@@ -277,7 +277,8 @@ private[graft] object IndexStore {
       root: String,
       dropMeta: Set[String],
       carryMeta: Boolean = true,
-      keepGens: Int = 1
+      keepGens: Int = 1,
+      minRetentionMs: Long = 0L
   )(populate: (String, String) => Unit): Unit =
     withWriterLease(spark, root) {
       val conf = spark.sparkContext.hadoopConfiguration
@@ -308,8 +309,40 @@ private[graft] object IndexStore {
       }
       fenceOrAbort(spark, root, staged) // final check adjacent to the flip
       flipPointer(spark, root, genName)
-      cleanup(spark, root, next, keepGens)
+      stampRetired(fs, new Path(live)) // the outgoing generation's retire time
+      cleanup(spark, root, next, keepGens, minRetentionMs)
     }
+
+  private val RetiredMarker = "_graft_retired_at"
+
+  /** Stamp the moment a generation stopped being current — the clock
+    * [[cleanup]]'s age-based retention reads. Written AFTER the flip
+    * (so the marker never rides carryMeta into a new generation) into
+    * the retiring directory itself; for the flat-era layout that is the
+    * index root, and the marker file is reclaimed with the legacy data.
+    */
+  private def stampRetired(fs: FileSystem, retiringDir: Path): Unit =
+    try {
+      val out = fs.create(new Path(retiringDir, RetiredMarker), true)
+      try out.write(s"${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+      finally out.close()
+    } catch { case _: java.io.IOException => () } // best-effort: absent marker = conservative mtime fallback
+
+  /** When did this generation retire? The marker when present; the
+    * directory's modification time otherwise (pre-marker indexes — an
+    * earlier instant than the true retire time, so the fallback reclaims
+    * slightly sooner, never later, than exact accounting would).
+    */
+  private def retiredAtOf(fs: FileSystem, genDir: Path): Long = {
+    val m = new Path(genDir, RetiredMarker)
+    try {
+      if (fs.exists(m)) {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      } else fs.getFileStatus(genDir).getModificationTime
+    } catch { case _: Exception => 0L } // unreadable → ancient (count-based behavior)
+  }
 
   /** Install FENCE: a generation may only be published by the writer that
     * still OWNS the lease. A holder paused past the stale window (GC
@@ -375,15 +408,28 @@ private[graft] object IndexStore {
   /** Reclaim generations older than `keepGens` behind `current`, and —
     * once the flat-era snapshot (generation 0) ages out of the keep
     * window — the legacy data and metadata still sitting at the root.
+    *
+    * `minRetentionMs > 0` adds an AGE gate (Delta's
+    * `deletedFileRetentionDuration` analogue): a generation is
+    * reclaimable only when BOTH the count window and its time-since-
+    * retire allow. Count alone is not a probe guarantee — N rapid
+    * maintenance cycles (the per-batch q_index_maintain_stream shape)
+    * can burn through any keepGens while one long analytical probe
+    * still reads the generation it resolved at entry; an age floor
+    * sized to the probe SLA cannot be outrun by compaction frequency.
     */
-  private def cleanup(spark: SparkSession, root: String, current: Int, keepGens: Int): Unit = {
+  private def cleanup(
+      spark: SparkSession, root: String, current: Int, keepGens: Int, minRetentionMs: Long): Unit = {
     val rp = new Path(root)
     val fs = fsOf(spark, rp)
-    val dropLegacy = current - keepGens >= 1 // generation 0 out of window
+    val now = System.currentTimeMillis()
+    def oldEnough(dir: Path): Boolean =
+      minRetentionMs <= 0 || now - retiredAtOf(fs, dir) > minRetentionMs
+    val dropLegacy = current - keepGens >= 1 && oldEnough(rp) // generation 0 out of window AND aged
     fs.listStatus(rp).foreach { st =>
       val name = st.getPath.getName
       genNumber(name) match {
-        case Some(g) => if (g < current - keepGens) fs.delete(st.getPath, true)
+        case Some(g) => if (g < current - keepGens && oldEnough(st.getPath)) fs.delete(st.getPath, true)
         case None =>
           val keep = name == PointerName || name == LockName || name.endsWith(".tmp")
           if (!keep && dropLegacy) fs.delete(st.getPath, true)
@@ -391,14 +437,16 @@ private[graft] object IndexStore {
     }
   }
 
-  /** Drop every non-current generation NOW (and any flat-era leftovers).
-    * Call when no probe can still hold a resolved old generation; the
-    * automatic cleanup in [[swapGeneration]] (keep current + previous)
-    * covers the common case.
+  /** Drop every non-current generation NOW (and any flat-era leftovers) —
+    * except, when `minRetentionMs > 0`, generations that retired less
+    * than that long ago (a probe inside its SLA may still read them).
+    * Call with the default only when no probe can still hold a resolved
+    * old generation; the automatic cleanup in [[swapGeneration]] covers
+    * the common case.
     */
-  def vacuum(spark: SparkSession, root: String): Unit = {
+  def vacuum(spark: SparkSession, root: String, minRetentionMs: Long = 0L): Unit = {
     val cur = currentGeneration(spark, root)
-    if (cur > 0) cleanup(spark, root, cur, keepGens = 0)
+    if (cur > 0) cleanup(spark, root, cur, keepGens = 0, minRetentionMs)
   }
 
   // ------------------------------------------------ selective compaction

@@ -846,11 +846,12 @@ object Similarity {
       selective: Boolean = true,
       retrain: RetrainMode = RetrainMode.Never,
       retrainLloydIters: Int = 5,
-      keepGens: Int = 1
+      keepGens: Int = 1,
+      minRetentionMs: Long = 0L
   ): Unit = {
     import graft.operators.IndexStore
     IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones"),
-      keepGens = keepGens) { (live, staged) =>
+      keepGens = keepGens, minRetentionMs = minRetentionMs) { (live, staged) =>
       val ts = ivfTombstonesAt(spark, live)
       def minus(df: DataFrame): DataFrame = ts match {
         case Some(t) => df.join(broadcast(t), df("vec_id") === t("vec_id"), "left_anti")

@@ -1098,11 +1098,12 @@ object TextAnalysis {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       selective: Boolean = true,
-      keepGens: Int = 1
+      keepGens: Int = 1,
+      minRetentionMs: Long = 0L
   ): Unit = {
     import graft.operators.IndexStore
     IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones"),
-      keepGens = keepGens) { (live, staged) =>
+      keepGens = keepGens, minRetentionMs = minRetentionMs) { (live, staged) =>
       val ts = bm25TombstonesAt(spark, live)
       def minus(df: DataFrame): DataFrame = ts match {
         case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")

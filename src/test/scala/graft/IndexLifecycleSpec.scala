@@ -522,6 +522,47 @@ class IndexLifecycleSpec extends SparkSpec {
       again(dirty) shouldBe "none"
     }
 
+    it("minRetentionMs holds a generation readable across rapid compactions count alone would reclaim") {
+      import graft.operators.CorpusPipeline
+      val dir = tmpDir("mnt_age_")
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(1 to 40), "text", "doc_id"), dir)
+      Dedup.deleteFromPersistedIndex(Seq(3L).toDF("doc_id"), "doc_id", dir)
+      Dedup.compactSignatureIndex(spark, dir) // → generation 1
+      // A long probe resolves generation 1 NOW and reads it much later.
+      val probeGen = dataDir(dir)
+      probeGen should endWith("_gen-00001")
+      val policy = CorpusPipeline.IndexMaintenancePolicy(
+        maxTombstoneFraction = 0.001, keepGenerations = 1, minRetentionMs = 3600000L)
+      def forgetAndSweep(id: Long): Unit = {
+        Dedup.deleteFromPersistedIndex(Seq(id).toDF("doc_id"), "doc_id", dir)
+        CorpusPipeline.maintainIndexes(spark, Seq(dir), policy)
+      }
+      // TWO rapid policy compactions: count-based keepGens = 1 alone would
+      // have reclaimed generation 1 on the second — the age floor holds it.
+      forgetAndSweep(6L) // → generation 2
+      forgetAndSweep(9L) // → generation 3
+      IndexStore.currentGeneration(spark, dir) shouldBe 3
+      exists(s"$dir/_gen-00001") shouldBe true // probe's generation retained
+      noException should be thrownBy spark.read.parquet(probeGen).count() // still complete
+      // Vacuum RESPECTS the same floor…
+      IndexStore.vacuum(spark, dir, minRetentionMs = 3600000L)
+      exists(s"$dir/_gen-00001") shouldBe true
+      exists(s"$dir/_gen-00002") shouldBe true
+      // …and an aged-out generation reclaims: its retire stamp is the
+      // clock, so back-dating it simulates the hour passing.
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/_gen-00001/_graft_retired_at")
+      val out = fs.create(marker, true)
+      out.write("1000\n".getBytes("UTF-8")); out.close()
+      IndexStore.vacuum(spark, dir, minRetentionMs = 3600000L)
+      exists(s"$dir/_gen-00001") shouldBe false // aged out
+      exists(s"$dir/_gen-00002") shouldBe true  // still inside the floor
+      // The unconditional vacuum keeps reclaiming everything on demand.
+      IndexStore.vacuum(spark, dir)
+      exists(s"$dir/_gen-00002") shouldBe false
+      exists(s"$dir/_gen-00003") shouldBe true
+    }
+
     it("keepGenerations widens the probe retention horizon across rapid compactions") {
       val dir = tmpDir("mnt_keep_")
       Dedup.persistSignatureIndex(
