@@ -2637,6 +2637,34 @@ object SparkEntry {
         .orderBy("doc_id", "matched_id")
     }),
 
+    // DICTIONARY-REFRESH compaction: the odd half APPENDS under the even
+    // half's frozen df-order (true frequencies double — drift), every
+    // id ≡ 0 (mod 3) is tombstoned, and the compact REFRESHES the
+    // dictionary (RefreshMode.Always): frequencies recomputed from the
+    // survivors, every prefix re-derived under the new total order, the
+    // replacement dictionary installed in the same atomic generation.
+    // The pigeonhole test is order-INDEPENDENT, so the post-refresh probe
+    // must return exactly what a fresh build on the survivors returns —
+    // a refresh may move probe COST (prefix selectivity), never content.
+    // The Auto drift decision is spec-pinned both directions
+    // (IndexLifecycleSpec "jaccard dictionary refresh on compact").
+    "q_jaccard_index_refresh" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("bg"))
+      // Mutating gate: copy-on-write from the shared pristine even build.
+      val tmp = graft.GateCache.privateCopy(s"jacidx_even600:$dir")(p =>
+        Dedup.persistJaccardIndex(
+          d.where(col("doc_id") % 2 === 0), "bg", "doc_id", p, thresholdMilli = 600))
+      Dedup.persistJaccardIndex(
+        d.where(col("doc_id") % 2 === 1), "bg", "doc_id", tmp, thresholdMilli = 600,
+        append = true)
+      Dedup.deleteFromPersistedIndex(
+        d.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", tmp)
+      Dedup.compactJaccardIndex(s, tmp, refresh = Dedup.RefreshMode.Always)
+      Dedup.matchVsJaccardIndex(d.where(col("doc_id") % 5 === 2), "bg", "doc_id", tmp)
+        .orderBy("doc_id", "matched_id")
+    }),
+
     "q_knn_ivf_compact_sel" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val tmp = graft.GateCache.privateCopy(s"ivfidx_full:$dir")(p =>
@@ -5462,6 +5490,15 @@ object SparkEntry {
         s"""SELECT doc_id, matched_id, inter, size_a, size_b, jaccard_milli
            |FROM ($jaccardServeOracleSql) WHERE matched_id % 96 <> 0
            |ORDER BY doc_id, matched_id""".stripMargin,
+      // Refresh variant: index = ALL docs (evens built + odds appended)
+      // minus the % 3 tombstones, probe = the % 5 ≡ 2 batch — the exact
+      // all-pairs threshold join over those sets (self-pairs at jaccard
+      // 1000 included: a probe doc that survives in the index matches
+      // itself). The refreshed order must not move one row.
+      "q_jaccard_index_refresh" ->
+        jaccardServeOracleSql.replace(
+          "WHERE p.doc_id % 2 = 1 AND x.doc_id % 2 = 0",
+          "WHERE p.doc_id % 5 = 2 AND x.doc_id % 3 <> 0"),
 
       // Disk round trip + partition pruning are implementation details of
       // the same match contract — oracle identical to the in-memory form.

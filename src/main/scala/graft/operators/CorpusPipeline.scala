@@ -119,12 +119,15 @@ object CorpusPipeline {
     * fold the append-drift check (surviving-cell imbalance) into the
     * periodic compaction sweep, so a drifted vector index re-trains its
     * quantizer in the same pass that reclaims its tombstones.
+    * `jaccardRefresh` is the same lever for the Jaccard prefix index's
+    * frozen df-order dictionary ([[Dedup.RefreshMode]]).
     */
   def compactIndexes(
       spark: org.apache.spark.sql.SparkSession,
       indexPaths: Seq[String],
       selective: Boolean = true,
-      ivfRetrain: Similarity.RetrainMode = Similarity.RetrainMode.Never
+      ivfRetrain: Similarity.RetrainMode = Similarity.RetrainMode.Never,
+      jaccardRefresh: Dedup.RefreshMode = Dedup.RefreshMode.Never
   ): DataFrame = {
     require(indexPaths.nonEmpty, "compactIndexes: no index paths given")
     import spark.implicits._
@@ -139,7 +142,7 @@ object CorpusPipeline {
       Future.sequence(indexPaths.map { p =>
         Future {
           val family = detectFamily(spark, p)
-          compactFamily(spark, p, family, selective, ivfRetrain)
+          compactFamily(spark, p, family, selective, ivfRetrain, jaccardRefresh)
           (p, family)
         }
       }),
@@ -175,12 +178,14 @@ object CorpusPipeline {
       family: String,
       selective: Boolean,
       ivfRetrain: Similarity.RetrainMode,
+      jaccardRefresh: Dedup.RefreshMode = Dedup.RefreshMode.Never,
       keepGens: Int = 1,
       minRetentionMs: Long = 0L
   ): Unit = family match {
     case "signature"   => Dedup.compactSignatureIndex(spark, p, selective, keepGens, minRetentionMs)
     case "fingerprint" => Dedup.compactFingerprintIndex(spark, p, selective, keepGens, minRetentionMs)
-    case "jaccard"     => Dedup.compactJaccardIndex(spark, p, selective, keepGens, minRetentionMs)
+    case "jaccard"     => Dedup.compactJaccardIndex(spark, p, selective, keepGens, minRetentionMs,
+      refresh = jaccardRefresh)
     case "ivf"         => Similarity.compactIvfIndex(spark, p, selective, retrain = ivfRetrain,
       keepGens = keepGens, minRetentionMs = minRetentionMs)
     case "bm25"        => TextAnalysis.compactBm25Index(spark, p, selective, keepGens, minRetentionMs)
@@ -312,7 +317,12 @@ object CorpusPipeline {
             val mode =
               if (action == "compact_retrain") Similarity.RetrainMode.Always
               else Similarity.RetrainMode.Never
+            // A fired Jaccard compact folds the dictionary-drift check in
+            // (Auto): the rewrite is being paid for anyway, so a drifted
+            // frozen order refreshes in the same pass — the IVF
+            // retrain-on-compact argument applied to prefix selectivity.
             compactFamily(spark, p, family, selective = true, ivfRetrain = mode,
+              jaccardRefresh = Dedup.RefreshMode.Auto(),
               keepGens = policy.keepGenerations, minRetentionMs = policy.minRetentionMs)
           }
         }),

@@ -1459,12 +1459,22 @@ object Dedup {
   /** Compact a persisted Jaccard prefix index: both data relations
     * (`postings`, `fullsets`) are rewritten minus the tombstoned docs
     * with their append segments folded, then the tombstone set is
-    * dropped. The FROZEN element-frequency dictionary is untouched — the
-    * pigeonhole prefix guarantee holds for ANY fixed total order, so
-    * probes after compaction return exactly the pairs a fresh build on
-    * the surviving docs would (the exact threshold test is
-    * order-independent; only prefix selectivity could differ, never the
-    * result set).
+    * dropped. By default the FROZEN element-frequency dictionary is
+    * untouched — the pigeonhole prefix guarantee holds for ANY fixed
+    * total order, so probes after compaction return exactly the pairs a
+    * fresh build on the surviving docs would (the exact threshold test
+    * is order-independent; only prefix selectivity could differ, never
+    * the result set).
+    *
+    * `refresh` REFRESHES that frozen order while the rewrite is being
+    * paid for anyway ([[RefreshMode]] — the
+    * [[Similarity.compactIvfIndex]] retrain-on-compact argument):
+    * `Always` recomputes frequencies from the survivors and re-derives
+    * every prefix; `Auto` measures [[jaccardDictDrift]] first and
+    * refreshes only past its threshold, so the periodic maintenance
+    * sweep restores prefix selectivity exactly when drifted appends
+    * have degraded it. Either way the result set is unchanged (gates
+    * share the frozen-order oracle); only probe COST moves.
     *
     * `selective = true` rewrites only DIRTY partitions of each relation
     * and hardlink-carries the rest ([[compactSignatureIndex]]'s cost
@@ -1485,7 +1495,8 @@ object Dedup {
       path: String,
       selective: Boolean = true,
       keepGens: Int = 1,
-      minRetentionMs: Long = 0L
+      minRetentionMs: Long = 0L,
+      refresh: RefreshMode = RefreshMode.Never
   ): Unit =
     IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones"),
       keepGens = keepGens, minRetentionMs = minRetentionMs) { (live, staged) =>
@@ -1494,7 +1505,7 @@ object Dedup {
         case Some(t) => df.join(org.apache.spark.sql.functions.broadcast(t), Seq("doc_id"), "left_anti")
         case None    => df
       }
-      val (_, _, docBuckets) = readJaccardIndexMetaAt(spark, live)
+      val (tmI, keyBuckets, docBuckets) = readJaccardIndexMetaAt(spark, live)
       def rewriteRel(rel: String, partCol: String, tsTouched: => Set[Int]): Unit = {
         val liveRel   = s"$live/$rel"
         val stagedRel = s"$staged/$rel"
@@ -1510,9 +1521,38 @@ object Dedup {
           IndexStore.carryPartitions(spark, liveRel, stagedRel, partCol, (counts.keySet -- dirty).toSeq.sorted)
         }
       }
-      rewriteRel("postings", "bucket",
-        IndexStore.tombstoneTouchedParts(
-          spark.read.parquet(s"$live/postings"), "bucket", "doc_id", ts.get, "doc_id"))
+      val doRefresh = refresh match {
+        case RefreshMode.Never  => false
+        case RefreshMode.Always => true
+        case RefreshMode.Auto(maxDrift) =>
+          val drift = jaccardDictDriftAt(spark, live)
+          val fire  = drift > maxDrift
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"compactJaccardIndex($path): dictionary drift ${f"$drift%.3f"} vs threshold $maxDrift — " +
+              (if (fire) "REFRESHING dictionary (full prefix re-derivation)" else "carrying frozen order"))
+          fire
+      }
+      if (doRefresh) {
+        // Fresh frequencies from the survivors' FULL sets, prefixes
+        // re-derived under the new (dfreq, tok) order — a changed order
+        // moves prefix membership, so postings rewrite entirely; the
+        // replacement dictionary installs in the SAME atomic generation
+        // (a probe never ranks by one order against the other's
+        // postings). `fullsets` content is order-independent: its
+        // rewrite keeps the selective dirty-partition cost model.
+        val liveToks = Lineage.truncate(
+          minus(spark.read.parquet(s"$live/fullsets")).select("doc_id", "tok"))
+        val freshDict = Lineage.truncate(
+          liveToks.groupBy("tok").agg(count(lit(1)).as("dfreq")))
+        jaccardPrefix(liveToks, freshDict, tmI.toLong)
+          .withColumn("bucket", pmod(xxhash64(col("tok")), lit(keyBuckets.toLong)).cast("int"))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$staged/postings")
+        freshDict.write.parquet(s"$staged/_graft_jidx_dict") // wins over meta carry
+      } else
+        rewriteRel("postings", "bucket",
+          IndexStore.tombstoneTouchedParts(
+            spark.read.parquet(s"$live/postings"), "bucket", "doc_id", ts.get, "doc_id"))
       rewriteRel("fullsets", "dbucket",
         ts.get.select(pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)).cast("int").as("dbucket"))
           .distinct().collect().map(_.getInt(0)).toSet)
@@ -1755,14 +1795,7 @@ object Dedup {
           s"persistJaccardIndex(append): parameters ($thresholdMilli,$keyBuckets,$docBuckets) do not match the existing index $m")
         spark.read.parquet(s"$dir/_graft_jidx_dict")
       } else tok.groupBy("tok").agg(count(lit(1)).as("dfreq"))
-    val prefix = Lineage.truncate(
-      tok.withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .join(dict, Seq("tok"), "left")
-        .withColumn("dfreq", coalesce(col("dfreq"), lit(0L)))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("dfreq"), col("tok"))))
-        .where(col("rn") <= col("sz") - expr(s"(sz * $tm + 999) div 1000") + 1)
-        .select("tok", "doc_id", "sz"))
+    val prefix = jaccardPrefix(tok, dict, tm)
     prefix
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(keyBuckets.toLong)).cast("int"))
       .repartition(col("bucket"))
@@ -1783,6 +1816,116 @@ object Dedup {
     if (append)
       IndexStore.withWriterLease(spark, path)(doPersist(IndexStore.dataDir(spark, path)))
     else IndexStore.overwriteRoot(spark, path)(doPersist)
+  }
+
+  /** The PPJoin prefix of every doc's element set under `dict`'s
+    * (dfreq, tok) total order — the derivation [[persistJaccardIndex]]
+    * freezes at build and [[compactJaccardIndex]]'s dictionary refresh
+    * re-runs under fresh frequencies. `tok` is the distinct
+    * (doc_id, tok) element relation; elements absent from `dict` rank
+    * at dfreq 0 (rarest — they cannot collide with any indexed doc).
+    */
+  private def jaccardPrefix(
+      tok: DataFrame, dict: DataFrame, tm: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Lineage.truncate(
+      tok.withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .join(dict, Seq("tok"), "left")
+        .withColumn("dfreq", coalesce(col("dfreq"), lit(0L)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("dfreq"), col("tok"))))
+        .where(col("rn") <= col("sz") - expr(s"(sz * $tm + 999) div 1000") + 1)
+        .select("tok", "doc_id", "sz"))
+  }
+
+  /** How far the FROZEN df-order dictionary of a persisted Jaccard index
+    * has drifted from the live corpus's true document frequencies — the
+    * [[Similarity.ivfCellImbalance]] analogue for the prefix index, and
+    * what [[RefreshMode.Auto]] evaluates inside
+    * [[compactJaccardIndex]].
+    *
+    * Metric: posting-mass-weighted mean FORWARD percentile displacement.
+    * Every token currently sitting in stored prefixes (mass = its
+    * posting rows, tombstones masked) contributes
+    * `max(0, pct_fresh(tok) − pct_frozen(tok))` — how much of the
+    * vocabulary's frequency order the token climbed since its prefix
+    * membership was decided. Rare-stayed-rare tokens contribute 0; a
+    * once-rare token that appends made common (so its posting list is
+    * where candidate fan-out now explodes) contributes its full climb.
+    * Range [0, 1]; 0 = order intact. Only the forward direction counts:
+    * tokens that became RARER than frozen rank believed make prefixes
+    * cheaper, never costlier.
+    *
+    * Cost: two thin (doc_id, tok) column scans (postings mass, fullsets
+    * fresh counts) + percentile CDFs built over the DISTINCT dfreq
+    * values (power-law vocabularies collapse to few distinct counts, so
+    * the unpartitioned cum-sum window is tiny however large the vocab) —
+    * cheap relative to the rewrite a refresh triggers, measurable
+    * without compacting for monitoring.
+    */
+  def jaccardDictDrift(spark: org.apache.spark.sql.SparkSession, path: String): Double =
+    jaccardDictDriftAt(spark, IndexStore.dataDir(spark, path))
+
+  private def jaccardDictDriftAt(
+      spark: org.apache.spark.sql.SparkSession, dd: String): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = tombstonesAt(spark, dd)
+    def minus(df: DataFrame): DataFrame = ts match {
+      case Some(t) => df.join(org.apache.spark.sql.functions.broadcast(t), Seq("doc_id"), "left_anti")
+      case None    => df
+    }
+    val frozen = spark.read.parquet(s"$dd/_graft_jidx_dict")
+    val fresh = minus(spark.read.parquet(s"$dd/fullsets").select("doc_id", "tok"))
+      .groupBy("tok").agg(count(lit(1)).as("dfreq"))
+    val mass = minus(spark.read.parquet(s"$dd/postings").select("doc_id", "tok"))
+      .groupBy("tok").agg(count(lit(1)).as("mass"))
+    // Percentile of each token in a dict's (dfreq asc) order via the
+    // distinct-dfreq CDF: pct = |entries with strictly smaller dfreq| / |vocab|.
+    def pct(dict: DataFrame, out: String): DataFrame = {
+      val total = dict.count()
+      if (total == 0L) return dict.select(col("tok"), lit(0.0).as(out))
+      val cum = dict.groupBy("dfreq").agg(count(lit(1)).as("cnt"))
+        .withColumn("below", coalesce(
+          sum("cnt").over(Window.orderBy("dfreq").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("dfreq", "below")
+      dict.join(org.apache.spark.sql.functions.broadcast(cum), Seq("dfreq"))
+        .select(col("tok"), (col("below").cast("double") / total.toDouble).as(out))
+    }
+    val row = mass
+      .join(pct(frozen, "pf"), Seq("tok"), "left")
+      .join(pct(fresh, "pn"), Seq("tok"), "left")
+      .select(col("mass"),
+        greatest(lit(0.0), coalesce(col("pn"), lit(0.0)) - coalesce(col("pf"), lit(0.0))).as("d"))
+      .agg(sum(col("mass") * col("d")), sum("mass")).head
+    if (row.isNullAt(1) || row.getLong(1) == 0L) 0.0
+    else row.getDouble(0) / row.getLong(1).toDouble
+  }
+
+  /** When should a compaction REFRESH the index's frozen statistics —
+    * the [[Similarity.RetrainMode]] pattern applied to the Jaccard
+    * prefix dictionary. Correctness never needs a refresh (the
+    * pigeonhole lemma holds for any fixed total order); prefix
+    * SELECTIVITY does: appends under a drifted order leave once-rare,
+    * now-common elements in prefixes, whose posting lists are exactly
+    * where candidate fan-out grows.
+    */
+  sealed trait RefreshMode
+  object RefreshMode {
+    /** Carry the frozen dictionary; compact selectively (default). */
+    case object Never extends RefreshMode
+    /** Recompute frequencies from the survivors and re-derive every
+      * prefix under the new order (full postings rewrite).
+      */
+    case object Always extends RefreshMode
+    /** Measure [[jaccardDictDrift]] and refresh only above `maxDrift`.
+      * The default 0.2 means: prefixes' posting mass climbed ≥ 20% of
+      * the vocabulary order on average — well past tombstone jitter
+      * (∼0) and same-distribution growth (ranks stable under uniform
+      * scaling), well before the hostile regimes where probe cost
+      * visibly degrades.
+      */
+    final case class Auto(maxDrift: Double = 0.2) extends RefreshMode
   }
 
   private def readJaccardIndexMeta(

@@ -319,6 +319,76 @@ class IndexLifecycleSpec extends SparkSpec {
     }
   }
 
+  describe("jaccard dictionary refresh on compact") {
+    // Fixture shaped so the frozen order GENUINELY degrades: r1..r3 are
+    // singletons at build (rarest — frozen order puts them in every
+    // prefix that sees them), then every appended doc carries all three,
+    // so their posting lists grow with the append while m0..m7 — build
+    // mid-frequency tokens — stay comparatively rarer in the fresh
+    // counts. A refresh must flip that order and evict the risers.
+    def buildSets: DataFrame =
+      (1 to 40).map { i =>
+        val ms = (0 to 2).map(j => s"m${(i + j) % 8}")
+        val rs = if (i == 40) Seq("r1", "r2", "r3") else Seq.empty
+        (i.toLong, Seq("c1", "c2", "c3", "c4") ++ ms ++ Seq(s"u$i") ++ rs)
+      }.toDF("doc_id", "bg")
+    def appendSets: DataFrame =
+      (41 to 140).map { i =>
+        val ms = (0 to 4).map(j => s"m${(i + j) % 8}")
+        (i.toLong, Seq("c1", "c2", "c3", "c4") ++ ms ++ Seq("r1", "r2", "r3"))
+      }.toDF("doc_id", "bg")
+    def riserPostings(d: String): Long =
+      spark.read.parquet(s"${dataDir(d)}/postings")
+        .where(col("tok").isin("r1", "r2", "r3")).count()
+
+    it("Auto fires on drifted appends, restores prefix selectivity, and leaves the result set unchanged") {
+      val dir = tmpDir("jacref_")
+      Dedup.persistJaccardIndex(buildSets, "bg", "doc_id", dir, thresholdMilli = 600)
+      Dedup.jaccardDictDrift(spark, dir) shouldBe 0.0 +- 1e-9 // fresh build: order exact
+      Dedup.persistJaccardIndex(appendSets, "bg", "doc_id", dir, thresholdMilli = 600, append = true)
+      val drift = Dedup.jaccardDictDrift(spark, dir)
+      drift should be > 0.2 // the Auto default threshold
+      // Probe BEFORE refresh (frozen order) — content baseline.
+      val probe = (200 to 203).map { i =>
+        (i.toLong, Seq("c1", "c2", "c3", "c4", "m0", "m1", "m2", "m3", "m4", "r1", "r2", "r3"))
+      }.toDF("doc_id", "bg")
+      val before      = sortedRows(Dedup.matchVsJaccardIndex(probe, "bg", "doc_id", dir))
+      val riserBefore = riserPostings(dir)
+      riserBefore should be >= 300L // frozen order kept risers in every appended prefix
+
+      Dedup.compactJaccardIndex(spark, dir, refresh = Dedup.RefreshMode.Auto())
+
+      // Fired: dictionary replaced, risers evicted from the appended
+      // prefixes (only build doc 40 keeps r1: with u40 + 3 m's it has
+      // just four fresh-rarer tokens for a 5-slot prefix — pigeonhole,
+      // not drift). 303 riser posting rows collapse to 1.
+      riserPostings(dir) shouldBe 1L
+      Dedup.jaccardDictDrift(spark, dir) shouldBe 0.0 +- 1e-9
+      spark.read.parquet(s"${dataDir(dir)}/_graft_jidx_dict")
+        .where(col("tok") === "r1").head.getLong(1) shouldBe 101L
+      // Selectivity is a cost lever only — the probe's result set is
+      // byte-identical under either order.
+      sortedRows(Dedup.matchVsJaccardIndex(probe, "bg", "doc_id", dir)) shouldEqual before
+      before should not be empty
+    }
+
+    it("Auto holds on same-distribution growth (ranks stable, dictionary carried)") {
+      val dir = tmpDir("jacrefhold_")
+      Dedup.persistJaccardIndex(buildSets, "bg", "doc_id", dir, thresholdMilli = 600)
+      // Append the SAME shape (no riser skew): frequencies scale, order holds.
+      val sameShape = (141 to 180).map { i =>
+        val ms = (0 to 2).map(j => s"m${(i + j) % 8}")
+        (i.toLong, Seq("c1", "c2", "c3", "c4") ++ ms ++ Seq(s"u$i"))
+      }.toDF("doc_id", "bg")
+      Dedup.persistJaccardIndex(sameShape, "bg", "doc_id", dir, thresholdMilli = 600, append = true)
+      Dedup.jaccardDictDrift(spark, dir) should be < 0.2
+      val dictBefore = sortedRows(spark.read.parquet(s"$dir/_graft_jidx_dict"))
+      Dedup.compactJaccardIndex(spark, dir, refresh = Dedup.RefreshMode.Auto())
+      // Held: the frozen dictionary rode the generation swap untouched.
+      sortedRows(spark.read.parquet(s"${dataDir(dir)}/_graft_jidx_dict")) shouldEqual dictBefore
+    }
+  }
+
   describe("bm25-index compaction") {
     it("recounts doc_freq exactly (selective and full agree with a fresh build)") {
       def build(dir: String): Unit = {
