@@ -3348,8 +3348,12 @@ object SparkEntry {
       Similarity.appendToIvfIndex(emb.where(col("vec_id") > mid), "vec_id", "embedding", tmp)
       Similarity.deleteFromIvfIndex(emb.where(col("vec_id") % 3 === 0).select("vec_id"), "vec_id", tmp)
       Similarity.compactIvfIndex(s, tmp, retrain = Similarity.RetrainMode.Always)
+      // Exhaustive probe (nprobe = the RETRAINED index's nlist — which
+      // retrainNlistFor may have grown past the pinned build constant):
+      // the ranking stays centroid-independent whatever geometry the
+      // retrain chose.
       Similarity.ivfTopKFromPersisted(s, tmp, emb.where("vec_id < 5"), "vec_id", "embedding",
-          k = 10, nprobe = graft.operators.IvfPinned.nlist)
+          k = 10, nprobe = Similarity.ivfIndexNlist(s, tmp))
         .orderBy("query_id", "rnk")
     }),
 
@@ -3384,8 +3388,10 @@ object SparkEntry {
         union.where(col("vec_id") % 3 === 0).select("vec_id"), "vec_id", tmp)
       Similarity.compactIvfIndex(s, tmp,
         retrain = Similarity.RetrainMode.Auto(maxImbalance = 2.0))
+      // Exhaustive whatever Auto decided (and whatever nlist a fired
+      // retrain re-sized to): probe every live cell.
       Similarity.ivfTopKFromPersisted(s, tmp, emb.where("vec_id < 5"), "vec_id", "embedding",
-          k = 10, nprobe = graft.operators.IvfPinned.nlist)
+          k = 10, nprobe = Similarity.ivfIndexNlist(s, tmp))
         .orderBy("query_id", "rnk")
     }),
 

@@ -777,6 +777,36 @@ object Similarity {
     final case class Auto(maxImbalance: Double = 8.0) extends RetrainMode
   }
 
+  /** The cell count a persisted IVF index currently serves with — reads
+    * the live generation's centroid artifact. Callers that want an
+    * EXHAUSTIVE probe after a retrain (whose nlist may have grown, see
+    * [[retrainNlistFor]]) pass this as `nprobe` instead of assuming the
+    * build-time constant.
+    */
+  def ivfIndexNlist(spark: org.apache.spark.sql.SparkSession, path: String): Int =
+    loadCentroids(spark,
+      s"${graft.operators.IndexStore.dataDir(spark, path)}/_graft_centroids").length
+
+  /** The quantizer size a RETRAIN should use for `survivors` vectors:
+    * `c · √survivors` — the standard IVF sizing rule (cell population
+    * ≈ √N/c keeps probe cost ∝ nprobe·√N instead of ∝ N) — clamped to
+    * `[oldNlist, 4 · oldNlist]` per retrain and capped by the corpus
+    * and the Lloyd training-sample budget. Rationale for the clamp:
+    * a frozen-nlist retrain after 10× corpus growth re-balances cells
+    * but leaves every cell 10× fatter, so probe cost silently scales
+    * with the corpus; growing with √N restores it. Growth is bounded
+    * 4× per retrain (≙ 16× corpus growth — beyond that one compaction
+    * cycle should not jump the serving geometry in one step), and the
+    * floor is the OLD nlist: shrinking is never forced, because
+    * under-populated cells cost nothing to probe while a shrunken
+    * quantizer would re-fatten every cell.
+    */
+  def retrainNlistFor(survivors: Long, oldNlist: Int, c: Double = 4.0): Int = {
+    val target  = math.round(c * math.sqrt(math.max(0L, survivors).toDouble))
+    val bounded = math.max(oldNlist.toLong, math.min(target, oldNlist.toLong * 4))
+    math.max(1L, Seq(bounded, survivors, 50000L).min).toInt
+  }
+
   /** Max/mean occupied-cell population of a persisted IVF index, with
     * tombstoned vectors masked out — the production retrain trigger
     * ([[RetrainMode.Auto]] evaluates exactly this; exposed for
@@ -822,8 +852,10 @@ object Similarity {
     * the same quantizer, while probes stop paying the tombstone
     * anti-join and multi-segment cell scans.
     *
-    * `RetrainMode.Always` re-runs [[ivfCentroids]] (same nlist, same
-    * deterministic Lloyd recipe) on the SURVIVING corpus and re-assigns
+    * `RetrainMode.Always` re-runs [[ivfCentroids]] (same deterministic
+    * Lloyd recipe, nlist RE-SIZED to the survivors by
+    * [[retrainNlistFor]] — √N-scaled, bounded growth, never shrinks)
+    * on the SURVIVING corpus and re-assigns
     * every vector — the cure for append drift: vectors appended after
     * the build bind to centroids that never saw them, so cell balance
     * and recall decay as the corpus outgrows its quantizer
@@ -872,7 +904,13 @@ object Similarity {
       if (doRetrain) {
         val oldCents  = loadCentroids(spark, s"$live/_graft_centroids")
         val survivors = minus(spark.read.parquet(live)).select("vec_id", "vec")
-        val cents = ivfCentroids(survivors, "vec_id", "vec", nlist = oldCents.length,
+        // √N-scaled quantizer: a grown corpus gets more cells, not fatter
+        // ones ([[retrainNlistFor]] — bounded growth, never shrinks).
+        val newNlist = retrainNlistFor(survivors.count(), oldCents.length)
+        if (newNlist != oldCents.length)
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"compactIvfIndex($path): retrain grows nlist ${oldCents.length} -> $newNlist")
+        val cents = ivfCentroids(survivors, "vec_id", "vec", nlist = newNlist,
           lloydIters = retrainLloydIters)
         ivfAssign(survivors, "vec", cents)
           .repartition(col("cell")).write.partitionBy("cell").parquet(staged)

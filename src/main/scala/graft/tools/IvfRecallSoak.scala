@@ -94,7 +94,12 @@ object IvfRecallSoak {
       // cells can show PERFECT recall precisely because the probe
       // degenerates to a near-full scan — recall without this column is
       // meaningless under drift.
-      def scannedPerQuery(dir: String): Double = {
+      // Probe at CONSTANT CELL COVERAGE (nprobe/nlist = 1/16, the base
+      // 4-of-64 ratio): a grown quantizer is probed with proportionally
+      // more (smaller) cells, so recall compares apples-to-apples and
+      // the cost column isolates cell GEOMETRY, not coverage choice.
+      def nprobeOf(nl: Int): Int = math.max(4, (nl + 15) / 16)
+      def scannedPerQuery(dir: String, nprobe: Int): Double = {
         val dd    = graft.operators.IndexStore.dataDir(spark, dir)
         val cents = Similarity.loadCentroids(spark, s"$dd/_graft_centroids")
         val bc    = spark.sparkContext.broadcast(cents)
@@ -103,7 +108,7 @@ object IvfRecallSoak {
           bc.value.indices
             .map(c => (vd.zip(bc.value(c)).map(p => p._1 * p._2).sum /
               (math.sqrt(vd.map(x => x * x).sum) * math.sqrt(bc.value(c).map(x => x * x).sum)), c))
-            .sortBy { case (s0, c) => (-s0, c) }.take(4).map(_._2).toArray
+            .sortBy { case (s0, c) => (-s0, c) }.take(nprobe).map(_._2).toArray
         }
         val counts = spark.read.parquet(dd).groupBy("cell").count()
         val probed = queries.select(col("vec_id").as("qid"), explode(probeU(col("embedding"))).as("cell"))
@@ -117,28 +122,38 @@ object IvfRecallSoak {
       Similarity.persistIvfIndex(base, "vec_id", "embedding", cents, frozenDir)
       Similarity.appendToIvfIndex(appended, "vec_id", "embedding", frozenDir)
       val rFrozen    = recallOf(Similarity.ivfTopKFromPersisted(
-        spark, frozenDir, queries, "vec_id", "embedding", k = 10, nprobe = 4))
+        spark, frozenDir, queries, "vec_id", "embedding", k = 10, nprobe = nprobeOf(nlist)))
       val imbFrozen  = imbalance(frozenDir)
-      val scanFrozen = scannedPerQuery(frozenDir)
+      val scanFrozen = scannedPerQuery(frozenDir, nprobeOf(nlist))
 
       // Retrained: the SAME index after compactIvfIndex(retrain = Always).
+      // The retrain RE-SIZES the quantizer to the grown corpus
+      // (retrainNlistFor: sqrt-scaled, bounded growth) — the column the
+      // frozen-nlist regime was missing: without it, a x10-grown corpus
+      // re-balances into cells 10x fatter and probe cost scales with the
+      // corpus even at perfect recall.
       Similarity.compactIvfIndex(spark, frozenDir, retrain = Similarity.RetrainMode.Always)
+      val nlistGrown    = Similarity.ivfIndexNlist(spark, frozenDir)
       val rRetrained    = recallOf(Similarity.ivfTopKFromPersisted(
-        spark, frozenDir, queries, "vec_id", "embedding", k = 10, nprobe = 4))
+        spark, frozenDir, queries, "vec_id", "embedding", k = 10, nprobe = nprobeOf(nlistGrown)))
       val imbRetrained  = imbalance(frozenDir)
-      val scanRetrained = scannedPerQuery(frozenDir)
+      val scanRetrained = scannedPerQuery(frozenDir, nprobeOf(nlistGrown))
 
-      // Fresh: train + build on the union from scratch (the upper bound).
+      // Fresh: train + build on the union from scratch at the SAME grown
+      // geometry (a from-scratch build would size nlist by the same
+      // sqrt rule) — the upper bound the retrain aims for, in both
+      // recall and probe cost.
       val freshDir   = java.nio.file.Files.createTempDirectory(s"ivf_recall_fresh_x$s").toString
-      val centsFresh = Similarity.ivfCentroids(union, "vec_id", "embedding", nlist)
+      val centsFresh = Similarity.ivfCentroids(union, "vec_id", "embedding", nlistGrown)
       Similarity.persistIvfIndex(union, "vec_id", "embedding", centsFresh, freshDir)
-      val rFresh = recallOf(Similarity.ivfTopKFromPersisted(
-        spark, freshDir, queries, "vec_id", "embedding", k = 10, nprobe = 4))
+      val rFresh    = recallOf(Similarity.ivfTopKFromPersisted(
+        spark, freshDir, queries, "vec_id", "embedding", k = 10, nprobe = nprobeOf(nlistGrown)))
+      val scanFresh = scannedPerQuery(freshDir, nprobeOf(nlistGrown))
 
       val corpusN = (s + 1) * n
-      println(f"[ivfrecall] x$s%-3d corpus=$corpusN%8d dim=$dim nlist=$nlist nprobe=4 " +
+      println(f"[ivfrecall] x$s%-3d corpus=$corpusN%8d dim=$dim nlist=$nlist->$nlistGrown nprobe=${nprobeOf(nlist)}->${nprobeOf(nlistGrown)} " +
         f"recall@10: frozen=$rFrozen%.3f retrained=$rRetrained%.3f fresh=$rFresh%.3f  " +
-        f"scanned/query: frozen=${scanFrozen / corpusN}%.3f retrained=${scanRetrained / corpusN}%.3f (of corpus)  " +
+        f"scanned/query: frozen=${scanFrozen / corpusN}%.3f retrained=${scanRetrained / corpusN}%.3f fresh=${scanFresh / corpusN}%.3f (of corpus)  " +
         f"imbalance(max/mean): frozen=$imbFrozen%.1f retrained=$imbRetrained%.1f")
     }
     spark.stop()

@@ -493,9 +493,13 @@ class IndexLifecycleSpec extends SparkSpec {
       // Full-probe (nprobe = nlist) search is exhaustive, so the ranking
       // must equal brute-force cosine top-k over the survivors whatever
       // the centroids — the invariant that makes retraining safe.
+      // The retrain re-sized the quantizer to the survivors (78 vectors,
+      // old nlist 4 -> sqrt-scaled, bounded 4x growth).
+      Similarity.ivfIndexNlist(spark, dir) shouldBe
+        Similarity.retrainNlistFor(78L, 4)
       val queries = emb(991 to 993, 5.0)
       val got = Similarity.ivfTopKFromPersisted(spark, dir, queries, "vec_id", "embedding",
-        k = 3, nprobe = 4)
+        k = 3, nprobe = Similarity.ivfIndexNlist(spark, dir))
       val corpus = base.union(drift).where(!col("vec_id").isin(5L, 50L))
       val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 3)
         .select("query_id", "neighbor_id", "rnk")
