@@ -2508,14 +2508,22 @@ object SparkEntry {
       Dedup.deleteFromPersistedIndex(
         all.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", tmp)
       val audit = CorpusPipeline.maintainIndexes(s, Seq(tmp))
+      // The audit travels in ITS OWN stable columns (action, generation) —
+      // never smuggled into a probe column, so a compaction-cadence change
+      // moves exactly the named audit cell it describes and the probe
+      // columns keep pinning probe semantics. Probe rows carry sentinels
+      // ('-', -1), not NULLs (engine-stable hashing).
       val auditRow = audit.select(
-        concat(lit("audit_"), col("action")).as("surface"),
-        lit(0L).as("probe_id"),
-        lit(graft.operators.IndexStore.currentGeneration(s, tmp).toLong).as("matched_id"),
+        lit("audit").as("surface"),
+        col("action"),
+        lit(graft.operators.IndexStore.currentGeneration(s, tmp).toLong).as("generation"),
+        lit(-1L).as("probe_id"),
+        lit(-1L).as("matched_id"),
         col("tombstone_rows").as("score"))
       val probe = Dedup.matchVsPersistedIndex(
           all.where(col("doc_id") > splitId), "text", "doc_id", tmp)
-        .select(lit("sig").as("surface"), col("doc_id").as("probe_id"), col("matched_id"),
+        .select(lit("sig").as("surface"), lit("-").as("action"),
+          lit(-1L).as("generation"), col("doc_id").as("probe_id"), col("matched_id"),
           round(col("est_jaccard") * 32).cast("long").as("score"))
       auditRow.unionByName(probe).orderBy("surface", "probe_id", "matched_id", "score")
     }),
@@ -5464,12 +5472,14 @@ object SparkEntry {
       // the post-stream probe is the signature fresh-build-on-survivors
       // replay verbatim.
       "q_index_maintain_stream" ->
-        s"""SELECT doc_id, matched_id, est_32 FROM (
-           |SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(g AS BIGINT) AS matched_id,
+        s"""SELECT surface, action, generation, doc_id, matched_id, est_32 FROM (
+           |SELECT 'audit' AS surface, 'compact' AS action, CAST(g AS BIGINT) AS generation,
+           |       CAST(-1 AS BIGINT) AS doc_id, CAST(-1 AS BIGINT) AS matched_id,
            |       CAST(0 AS BIGINT) AS est_32 FROM (VALUES (1),(2),(3)) AS t(g)
            |UNION ALL
-           |SELECT doc_id, matched_id, est_32 FROM ($sigDeleteOracleSql)
-           |) ORDER BY doc_id, matched_id, est_32""".stripMargin,
+           |SELECT 'probe', '-', CAST(-1 AS BIGINT), doc_id, matched_id, est_32
+           |FROM ($sigDeleteOracleSql)
+           |) ORDER BY surface, doc_id, matched_id, generation, est_32""".stripMargin,
 
       // Maintenance flow: the audit row is deterministic for this fixture
       // (the % 3 tombstone mass fires the policy's 2% default → action
@@ -5477,12 +5487,12 @@ object SparkEntry {
       // the forget-set size), and the probe afterwards is the signature
       // delete oracle verbatim — the sweep changes cost, never content.
       "q_index_maintain_flow" ->
-        s"""SELECT surface, probe_id, matched_id, score FROM (
-           |SELECT 'audit_compact' AS surface, CAST(0 AS BIGINT) AS probe_id,
-           |       CAST(1 AS BIGINT) AS matched_id,
+        s"""SELECT surface, action, generation, probe_id, matched_id, score FROM (
+           |SELECT 'audit' AS surface, 'compact' AS action, CAST(1 AS BIGINT) AS generation,
+           |       CAST(-1 AS BIGINT) AS probe_id, CAST(-1 AS BIGINT) AS matched_id,
            |       (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 3 = 0) AS score
            |UNION ALL
-           |SELECT 'sig', doc_id, matched_id, est_32 FROM ($sigDeleteOracleSql)
+           |SELECT 'sig', '-', CAST(-1 AS BIGINT), doc_id, matched_id, est_32 FROM ($sigDeleteOracleSql)
            |) ORDER BY surface, probe_id, matched_id, score""".stripMargin,
       // Selective (dirty-partition-only) variant: a SMALL purge (% 97) so
       // most partitions are hardlink-carried — results must still be the

@@ -1124,17 +1124,25 @@ object StreamGates {
         Dedup.buildSignatureIndex(b, "text", "doc_id"), dir, append = batchId > 0)
       Dedup.deleteFromPersistedIndex(
         b.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", dir)
-      CorpusPipeline.maintainIndexes(spark, Seq(dir), policy)
+      val sweep = CorpusPipeline.maintainIndexes(spark, Seq(dir), policy)
       val sp = b.sparkSession
       import sp.implicits._
-      Seq((-1L, graft.operators.IndexStore.currentGeneration(spark, dir).toLong, 0L))
-        .toDF("doc_id", "matched_id", "est_32")
+      // The sweep's audit rides in ITS OWN stable columns (action,
+      // generation) — probe rows carry sentinels, so a cadence change
+      // moves only the named audit cells, never a probe column's hash.
+      Seq((
+        "audit",
+        sweep.select("action").head.getString(0),
+        graft.operators.IndexStore.currentGeneration(spark, dir).toLong,
+        -1L, -1L, 0L))
+        .toDF("surface", "action", "generation", "doc_id", "matched_id", "est_32")
     }
     val probe = Dedup.matchVsPersistedIndex(
         all.where(col("doc_id") > splitId), "text", "doc_id", dir)
-      .select(col("doc_id"), col("matched_id"),
+      .select(lit("probe").as("surface"), lit("-").as("action"),
+        lit(-1L).as("generation"), col("doc_id"), col("matched_id"),
         round(col("est_jaccard") * 32).cast("long").as("est_32"))
-    audits.unionByName(probe).orderBy("doc_id", "matched_id", "est_32")
+    audits.unionByName(probe).orderBy("surface", "doc_id", "matched_id", "generation", "est_32")
   }
 
   /** `q_data_expectations_stream`: the data-contract row rules evaluated
