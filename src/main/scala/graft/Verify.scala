@@ -32,6 +32,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
         // Gate-output lint: the driver's pandas compare cannot sort/hash
@@ -45,8 +46,12 @@ object Verify {
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally GateCache.releasePrivateCopies() // result materialized above
-
+      } finally {
+        GateCache.releasePrivateCopies() // result materialized above
+        // Wall-time ledger (stderr): what the t2 pass actually spends per
+        // gate, so slow-pass regressions are attributable to a name.
+        System.err.println(f"[verify-time] $name ${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
