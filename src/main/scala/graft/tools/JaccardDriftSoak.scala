@@ -1,0 +1,108 @@
+package graft.tools
+
+import graft.operators.{Dedup, IndexStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures Jaccard prefix-index selectivity decay under APPEND DRIFT and
+  * its cure — the SCALE.md evidence for
+  * `compactJaccardIndex(refresh = RefreshMode.Auto)`, the
+  * [[IvfRecallSoak]] twin for the set-similarity index.
+  *
+  * The failure mode: the df-order dictionary is frozen at build, so
+  * tokens that were RARE then (→ chosen into every prefix that sees
+  * them) but become COMMON under appends keep their giant posting lists
+  * in the prefix filter — candidate fan-out grows with the corpus while
+  * the result set doesn't. The soak synthesizes that drift (three
+  * `riser` tokens: singleton at build, in EVERY appended doc), then
+  * measures the same probe batch against:
+  *
+  *   frozen    — the appended index served as-is,
+  *   refreshed — after `compactJaccardIndex(refresh = Always)`,
+  *   fresh     — a from-scratch build on the union (the bound).
+  *
+  * Columns: measured dictionary drift (the Auto trigger), riser posting
+  * rows (prefix mass the frozen order leaks), probe candidate pairs
+  * (the quantity selectivity is ABOUT), probe wall seconds. Content is
+  * asserted identical across all three (the refresh contract).
+  *
+  * Usage: runMain graft.tools.JaccardDriftSoak [scales] (default 1,4;
+  * scale s = 10000·s build docs + 10000·s drifted appends).
+  */
+object JaccardDriftSoak {
+
+  def main(args: Array[String]): Unit = {
+    val scales = (if (args.length > 0) args(0) else "1,4").split(",").map(_.trim.toInt)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // Build doc i: 4 commons, 3 of 64 mid tokens, 1 unique.
+    // Appended doc i: 4 commons, 5 mids, r1..r3 (the drift mass).
+    // Same shapes as the IndexLifecycleSpec fixture, scaled.
+    def buildSets(n: Long): DataFrame =
+      spark.range(1, n + 1).select(col("id").as("doc_id"),
+        flatten(array(
+          array((1 to 4).map(c => lit(s"c$c")): _*),
+          array((0 to 2).map(j => concat(lit("m"), pmod(col("id") + j, lit(64)))): _*),
+          array(concat(lit("u"), col("id"))))).as("bg"))
+    def appendSets(n: Long): DataFrame =
+      spark.range(n + 1, 2 * n + 1).select(col("id").as("doc_id"),
+        flatten(array(
+          array((1 to 4).map(c => lit(s"c$c")): _*),
+          array((0 to 4).map(j => concat(lit("m"), pmod(col("id") + j, lit(64)))): _*),
+          array(lit("r1"), lit("r2"), lit("r3")))).as("bg"))
+    // Probe batch: 200 docs in the appended shape (where the drifted
+    // posting lists hit), ids disjoint from the corpus.
+    def probeSets(n: Long): DataFrame =
+      spark.range(10 * n, 10 * n + 200).select(col("id").as("doc_id"),
+        flatten(array(
+          array((1 to 4).map(c => lit(s"c$c")): _*),
+          array((0 to 4).map(j => concat(lit("m"), pmod(col("id") + j, lit(64)))): _*),
+          array(lit("r1"), lit("r2"), lit("r3")))).as("bg"))
+
+    scales.foreach { s =>
+      val n     = 10000L * s
+      val dir   = java.nio.file.Files.createTempDirectory(s"jacdrift_x$s").toString + "/idx"
+      val probe = graft.plans.Lineage.truncate(probeSets(n))
+
+      Dedup.persistJaccardIndex(buildSets(n), "bg", "doc_id", dir, thresholdMilli = 600)
+      Dedup.persistJaccardIndex(appendSets(n), "bg", "doc_id", dir, thresholdMilli = 600, append = true)
+      val drift = Dedup.jaccardDictDrift(spark, dir)
+
+      def riserRows(d: String): Long =
+        spark.read.parquet(s"${IndexStore.dataDir(spark, d)}/postings")
+          .where(col("tok").isin("r1", "r2", "r3")).count()
+      // Order-independent content checksum: the refresh contract is that
+      // the RESULT SET never moves, only its cost.
+      def measure(d: String): (Long, Long, Double, Long) = {
+        val t0   = System.nanoTime()
+        val rows = Dedup.matchVsJaccardIndex(probe, "bg", "doc_id", d)
+          .agg(count(lit(1)),
+            bit_xor(xxhash64(col("doc_id"), col("matched_id"), col("jaccard_milli")))).head
+        (rows.getLong(0), rows.getLong(1), (System.nanoTime() - t0) / 1e9, riserRows(d))
+      }
+
+      val (nFrozen, hFrozen, tFrozen, rFrozen) = measure(dir)
+      Dedup.compactJaccardIndex(spark, dir, refresh = Dedup.RefreshMode.Always)
+      val (nRef, hRef, tRef, rRef) = measure(dir)
+
+      val freshDir = java.nio.file.Files.createTempDirectory(s"jacdrift_fresh_x$s").toString + "/idx"
+      Dedup.persistJaccardIndex(
+        buildSets(n).unionByName(appendSets(n)), "bg", "doc_id", freshDir, thresholdMilli = 600)
+      val (nFresh, hFresh, tFresh, rFresh) = measure(freshDir)
+
+      require(nFrozen == nRef && nRef == nFresh && hFrozen == hRef && hRef == hFresh,
+        s"result-set mismatch: frozen=($nFrozen,$hFrozen) refreshed=($nRef,$hRef) fresh=($nFresh,$hFresh)")
+      println(f"[jacdrift] x$s%-3d corpus=${2 * n}%8d drift=$drift%.3f " +
+        f"riserPostings: frozen=$rFrozen refreshed=$rRef fresh=$rFresh  " +
+        f"probe(200 docs): rows=$nFrozen wall: frozen=$tFrozen%.1f s refreshed=$tRef%.1f s fresh=$tFresh%.1f s")
+    }
+    spark.stop()
+  }
+}
