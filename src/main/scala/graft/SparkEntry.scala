@@ -2499,12 +2499,16 @@ object SparkEntry {
       val all = t(s, dir, "documents")
       val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
       val half = all.where(col("doc_id") <= splitId)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_maint_").toString
-      Dedup.persistSignatureIndex(
-        Dedup.buildSignatureIndex(half.where(col("doc_id") % 2 === 0), "text", "doc_id"), tmp)
-      Dedup.persistSignatureIndex(
-        Dedup.buildSignatureIndex(half.where(col("doc_id") % 2 === 1), "text", "doc_id"), tmp,
-        append = true)
+      // Mutating gate: copy-on-write from the shared pristine TWO-SEGMENT
+      // build (evens built, odds appended — the segment pressure the
+      // sweep must see), byte-identical to a private build+append.
+      val tmp = graft.GateCache.privateCopy(s"sigidx_lower2seg:$dir") { p =>
+        Dedup.persistSignatureIndex(
+          Dedup.buildSignatureIndex(half.where(col("doc_id") % 2 === 0), "text", "doc_id"), p)
+        Dedup.persistSignatureIndex(
+          Dedup.buildSignatureIndex(half.where(col("doc_id") % 2 === 1), "text", "doc_id"), p,
+          append = true)
+      }
       Dedup.deleteFromPersistedIndex(
         all.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", tmp)
       val audit = CorpusPipeline.maintainIndexes(s, Seq(tmp))
@@ -2554,11 +2558,14 @@ object SparkEntry {
       val d = t(s, dir, "documents").select(col("doc_id"))
       val withFp = d.select(col("doc_id"),
         Multimodal.imageDHash(Multimodal.syntheticPngTextured(col("doc_id"))).as("dh"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_fpidx_cmp_").toString
-      Dedup.persistFingerprintIndex(withFp.where(col("doc_id") % 2 === 0),
-        "doc_id", "dh", tmp, maxHamming = 3, fpBits = 63)
-      Dedup.persistFingerprintIndex(withFp.where(col("doc_id") % 2 === 1),
-        "doc_id", "dh", tmp, maxHamming = 3, fpBits = 63, append = true)
+      // Mutating gate: copy-on-write from the shared pristine two-segment
+      // build (evens + appended odds).
+      val tmp = graft.GateCache.privateCopy(s"fpidx_2seg:$dir") { p =>
+        Dedup.persistFingerprintIndex(withFp.where(col("doc_id") % 2 === 0),
+          "doc_id", "dh", p, maxHamming = 3, fpBits = 63)
+        Dedup.persistFingerprintIndex(withFp.where(col("doc_id") % 2 === 1),
+          "doc_id", "dh", p, maxHamming = 3, fpBits = 63, append = true)
+      }
       Dedup.deleteFromPersistedIndex(
         d.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", tmp)
       Dedup.compactFingerprintIndex(s, tmp)
@@ -3350,10 +3357,13 @@ object SparkEntry {
     "q_knn_ivf_retrain" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val mid = emb.agg(max(col("vec_id").cast("long"))).head.getLong(0) / 2
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfidx_rt_").toString
-      Similarity.persistIvfIndex(emb.where(col("vec_id") <= mid), "vec_id", "embedding",
-        graft.operators.IvfPinned.centroids, tmp)
-      Similarity.appendToIvfIndex(emb.where(col("vec_id") > mid), "vec_id", "embedding", tmp)
+      // Mutating gate: copy-on-write from the shared pristine two-segment
+      // build (lower half built under pinned centroids, upper appended).
+      val tmp = graft.GateCache.privateCopy(s"ivfidx_2seg:$dir") { p =>
+        Similarity.persistIvfIndex(emb.where(col("vec_id") <= mid), "vec_id", "embedding",
+          graft.operators.IvfPinned.centroids, p)
+        Similarity.appendToIvfIndex(emb.where(col("vec_id") > mid), "vec_id", "embedding", p)
+      }
       Similarity.deleteFromIvfIndex(emb.where(col("vec_id") % 3 === 0).select("vec_id"), "vec_id", tmp)
       Similarity.compactIvfIndex(s, tmp, retrain = Similarity.RetrainMode.Always)
       // Exhaustive probe (nprobe = the RETRAINED index's nlist — which
@@ -3423,10 +3433,13 @@ object SparkEntry {
       import s.implicits._
       val docs = t(s, dir, "documents")
       val mid = docs.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_cmp_").toString
-      TextAnalysis.persistBm25Index(
-        TextAnalysis.buildBm25Index(docs.where(col("doc_id") <= mid), "text", "doc_id"), tmp)
-      TextAnalysis.appendToBm25Index(docs.where(col("doc_id") > mid), "text", "doc_id", tmp)
+      // Mutating gate: copy-on-write from the shared pristine two-segment
+      // build (half built, half appended — shared with q_bm25_index_append).
+      val tmp = graft.GateCache.privateCopy(s"bm25idx_2seg:$dir") { p =>
+        TextAnalysis.persistBm25Index(
+          TextAnalysis.buildBm25Index(docs.where(col("doc_id") <= mid), "text", "doc_id"), p)
+        TextAnalysis.appendToBm25Index(docs.where(col("doc_id") > mid), "text", "doc_id", p)
+      }
       TextAnalysis.deleteFromBm25Index(
         docs.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", tmp)
       TextAnalysis.compactBm25Index(s, tmp)
@@ -3448,10 +3461,13 @@ object SparkEntry {
       import s.implicits._
       val docs = t(s, dir, "documents")
       val mid = docs.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
-      val tmp = java.nio.file.Files.createTempDirectory("bm25_aidx_").toString
-      TextAnalysis.persistBm25Index(
-        TextAnalysis.buildBm25Index(docs.where(col("doc_id") <= mid), "text", "doc_id"), tmp)
-      TextAnalysis.appendToBm25Index(docs.where(col("doc_id") > mid), "text", "doc_id", tmp)
+      // Read-only serve over the SAME two-segment artifact the compact
+      // gate copies from (GateCache) — the build+append is certified once.
+      val tmp = graft.GateCache.dir(s"bm25idx_2seg:$dir") { p =>
+        TextAnalysis.persistBm25Index(
+          TextAnalysis.buildBm25Index(docs.where(col("doc_id") <= mid), "text", "doc_id"), p)
+        TextAnalysis.appendToBm25Index(docs.where(col("doc_id") > mid), "text", "doc_id", p)
+      }
       val q = Seq(
         (1L, "spark join window"), (2L, "hash merge sort batch"),
         (3L, "customer filter query"), (4L, "scan"), (5L, "stream data value key")
