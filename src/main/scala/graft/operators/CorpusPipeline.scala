@@ -215,6 +215,19 @@ object CorpusPipeline {
     * fraction, so the trigger is conservative; lower the threshold for
     * aggressive reclamation.
     *
+    * `maxAppendByteFraction` is the byte-MASS twin of the segment-count
+    * trigger, read from the SAME directory listing (zero data pages):
+    * the fraction of relation bytes beyond each partition's BASE file
+    * (oldest by mtime — see [[graft.operators.IndexStore.partitionByteStats]])
+    * — i.e. the appended mass a compact would fold. Count alone is
+    * blind to segment size: one corpus-doubling backfill lands as a
+    * single segment per partition, sits under any count threshold
+    * forever, and every probe pays the unfolded mass while a drifted
+    * Jaccard dictionary never reaches the compact (and its Auto
+    * refresh) that would cure it. The 0.5 default fires when appends
+    * outweigh the compacted base — the point where a rewrite costs at
+    * most ~2× the data it reclaims scanning debt on.
+    *
     * `keepGenerations` is the probe retention horizon BY COUNT: a fired
     * compact retains that many PREVIOUS generations
     * (readable-until-vacuum), so a probe that resolved an old generation
@@ -231,18 +244,21 @@ object CorpusPipeline {
       maxTombstoneFraction: Double = 0.02,
       ivfMaxImbalance: Double = 8.0,
       keepGenerations: Int = 1,
-      minRetentionMs: Long = 0L
+      minRetentionMs: Long = 0L,
+      maxAppendByteFraction: Double = 0.5
   )
 
   /** Policy-driven maintenance sweep over a mixed list of persisted
-    * indexes: inspect each (append-segment pressure, tombstone mass,
-    * IVF cell imbalance), decide, and compact ONLY the indexes that
-    * warrant it — the scheduled-job form of the lifecycle, so an
-    * operator points one sweep at every index the pipeline owns instead
-    * of hand-tracking which daily-crawl appends have piled up where.
+    * indexes: inspect each (append-segment COUNT pressure, append byte
+    * MASS, tombstone mass, IVF cell imbalance), decide, and compact ONLY
+    * the indexes that warrant it — the scheduled-job form of the
+    * lifecycle, so an operator points one sweep at every index the
+    * pipeline owns instead of hand-tracking which daily-crawl appends
+    * have piled up where.
     *
     * Actions: `none` (healthy), `compact` (selective rewrite — segment
-    * fold and/or tombstone purge), `compact_retrain` (IVF whose
+    * fold and/or tombstone purge; a fired Jaccard compact folds the
+    * dictionary-drift Auto refresh in), `compact_retrain` (IVF whose
     * surviving-cell imbalance crossed the policy threshold: the compact
     * re-runs Lloyd on the survivors, [[Similarity.RetrainMode]]).
     * Flagged indexes compact as concurrent Spark jobs
@@ -250,8 +266,8 @@ object CorpusPipeline {
     * the decisions without executing any of them.
     *
     * Returns (index_path, family, max_segments, tombstone_rows,
-    * data_rows, ivf_imbalance, action) — `ivf_imbalance` is null for
-    * non-IVF families.
+    * data_rows, ivf_imbalance, append_byte_frac, action) —
+    * `ivf_imbalance` is null for non-IVF families.
     */
   def maintainIndexes(
       spark: org.apache.spark.sql.SparkSession,
@@ -272,9 +288,21 @@ object CorpusPipeline {
       val family = detectFamily(spark, p)
       val live   = IndexStore.dataDir(spark, p)
       val rels   = familyRelations(family, live)
-      val segCounts = rels.flatMap { case (dir, partCol) =>
-        IndexStore.partitionFileCounts(spark, dir, partCol).values
+      // ONE listing per relation yields both maintenance signals: segment
+      // COUNT (file fan-out — what every probe's scan pays) and append
+      // byte MASS (all bytes beyond each partition's OLDEST file — what
+      // one huge backfill segment contributes while staying under any
+      // count threshold). Count alone is blind to segment size; mass
+      // alone is blind to many-tiny-files fan-out; together they cover
+      // both failure shapes with zero data pages read.
+      val stats = rels.flatMap { case (dir, partCol) =>
+        IndexStore.partitionByteStats(spark, dir, partCol).values
       }
+      val segCounts   = stats.map(_._1)
+      val totalBytes  = stats.map(_._2).sum
+      val appendBytes = stats.map(s => s._2 - s._3).sum
+      val appendByteFrac =
+        if (totalBytes == 0L) 0.0 else appendBytes.toDouble / totalBytes.toDouble
       // BM25's docs relation is unpartitioned and written with whatever
       // parallelism built it, so raw file count is NOT segment count:
       // segments = files − the baseline recorded at (re)write + 1
@@ -302,16 +330,18 @@ object CorpusPipeline {
       val action =
         if (imbalance.exists(_ > policy.ivfMaxImbalance)) "compact_retrain"
         else if (maxSegments > policy.maxSegmentsPerPartition ||
+          appendByteFrac > policy.maxAppendByteFraction ||
           tombstoneRows.toDouble > policy.maxTombstoneFraction * math.max(1L, dataRows))
           "compact"
         else "none"
       (p, family, maxSegments, tombstoneRows, dataRows,
-        imbalance.map(i => math.rint(i * 1000) / 1000), action)
+        imbalance.map(i => math.rint(i * 1000) / 1000),
+        math.rint(appendByteFrac * 1000) / 1000, action)
     }}), Duration.Inf)
 
     if (!dryRun) {
       Await.result(
-        Future.sequence(audits.filter(_._7 != "none").map { case (p, family, _, _, _, _, action) =>
+        Future.sequence(audits.filter(_._8 != "none").map { case (p, family, _, _, _, _, _, action) =>
           Future {
             // Imbalance was just measured; Always skips re-measuring it.
             val mode =
@@ -329,7 +359,7 @@ object CorpusPipeline {
         Duration.Inf)
     }
     audits.toDF("index_path", "family", "max_segments", "tombstone_rows",
-      "data_rows", "ivf_imbalance", "action")
+      "data_rows", "ivf_imbalance", "append_byte_frac", "action")
   }
 
   private def chain(

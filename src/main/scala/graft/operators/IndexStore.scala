@@ -471,6 +471,43 @@ private[graft] object IndexStore {
         .toMap
   }
 
+  /** Per-partition (file count, total bytes, BASE-file bytes) from the
+    * same single directory listing as [[partitionFileCounts]] — the
+    * byte-MASS complement to the segment-COUNT signal, read with zero
+    * data pages. (Count alone is blind to segment SIZE: one massive
+    * append — a corpus-doubling backfill in a single segment — sits
+    * under any count threshold forever while every probe pays the
+    * unfolded mass and a drifted Jaccard dictionary or fattened IVF
+    * geometry never reaches the compact that would cure it.)
+    *
+    * The base file is the partition's OLDEST by modification time (tie
+    * broken by size, largest first): builds and compacts leave one file
+    * per partition and appends always land later, while a hardlink
+    * carry preserves the original's mtime — so "total minus base" is
+    * exactly the appended mass. Identifying the base by SIZE instead
+    * would invert the signal for precisely the case the trigger exists
+    * for: a single append that dwarfs the base would read as the base
+    * itself.
+    */
+  def partitionByteStats(
+      spark: SparkSession, relDir: String, partCol: String): Map[Int, (Int, Long, Long)] = {
+    val rp = new Path(relDir)
+    val fs = fsOf(spark, rp)
+    if (!fs.exists(rp)) Map.empty
+    else
+      fs.listStatus(rp).iterator
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+        .map { st =>
+          val v = st.getPath.getName.substring(partCol.length + 1).toInt
+          val fl = fs.listStatus(st.getPath)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          val base = if (fl.isEmpty) 0L
+            else fl.minBy(f => (f.getModificationTime, -f.getLen)).getLen
+          v -> (fl.length, fl.map(_.getLen).sum, base)
+        }
+        .toMap
+  }
+
   /** Partitions holding at least one TOMBSTONED row — the delete
     * criterion of dirtiness. One column-pruned scan of
     * (partition column, id column) semi-joined to the broadcast-small

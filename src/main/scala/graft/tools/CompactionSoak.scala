@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * the round-11 compaction work, on the two structurally different
   * families (banded signature index; BM25 postings + additive stats).
   *
-  * Usage: runMain graft.tools.CompactionSoak <sfDir> [cycles] [mode: all|cycles|ladder|policy]
+  * Usage: runMain graft.tools.CompactionSoak <sfDir> [cycles] [mode: all|cycles|ladder|policy|bytes]
   * Each cycle appends a full shifted copy of the corpus and tombstones a
   * third of all live ids, then times a FIXED probe batch (best of 2).
   * After the last cycle the index is compacted and the same probe runs
@@ -205,6 +205,40 @@ object CompactionSoak {
         f"carried=${carried / 1e6}%8.1f MB  rewritten=${rewritten / 1e6}%6.1f MB  " +
         f"(rewrite frac ${rewritten.toDouble / math.max(1L, carried + rewritten)}%.4f)")
     }
+    }
+
+    if (mode == "all" || mode == "bytes") {
+      // ---- byte-mass trigger: the count-blind massive append ------------
+      // One corpus-tripling backfill lands as a SINGLE append segment per
+      // partition: 2 files/partition sits under the 4-segment count
+      // threshold forever, yet the probe pays the unfolded mass every
+      // batch. The policy's byte trigger (appended bytes beyond each
+      // partition's oldest = base file, same listing, zero data pages) is what
+      // fires. Control: maxAppendByteFraction = 1.0 disables it and the
+      // sweep stays 'none' — the expensive probe persists.
+      val dir = java.nio.file.Files.createTempDirectory("cmp_bytes_sig_").toString
+      Dedup.persistSignatureIndex(Dedup.buildSignatureIndex(docs, "text", "doc_id"), dir)
+      def probe() = bestOf2(() =>
+        Dedup.matchVsPersistedIndex(probeDocs, "text", "doc_id", dir).count())
+      def brow(tag: String, audit: String, t: (Double, Long)): Unit = {
+        val live = graft.operators.IndexStore.dataDir(spark, dir)
+        println(f"[cmpsoak] bytes $tag%-24s $audit%-48s probe ${t._1}%6.2f s  " +
+          f"${t._2}%8d matches  ${parquetFiles(live)}%5d files")
+      }
+      brow("fresh", "-", probe())
+      val big = (1 to 3).map { c =>
+        docs.select((col("doc_id") + lit(c * (maxId + 1))).as("doc_id"), col("text"))
+      }.reduce(_ unionByName _)
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(big, "text", "doc_id"), dir, append = true)
+      def sweep(maxFrac: Double): String = {
+        val r = graft.operators.CorpusPipeline.maintainIndexes(spark, Seq(dir),
+          graft.operators.CorpusPipeline.IndexMaintenancePolicy(maxAppendByteFraction = maxFrac))
+          .select("max_segments", "append_byte_frac", "action").head
+        s"segs=${r.getInt(0)} byteFrac=${r.getDouble(1)} action=${r.getString(2)}"
+      }
+      brow("x3-single-append", sweep(1.0), probe())   // control: trigger off → none
+      brow("x3 after byte-fired", sweep(0.5), probe()) // default fires → compact
     }
 
     spark.stop()

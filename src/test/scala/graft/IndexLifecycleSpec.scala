@@ -571,7 +571,7 @@ class IndexLifecycleSpec extends SparkSpec {
       val policy = CorpusPipeline.IndexMaintenancePolicy(ivfMaxImbalance = 2.0)
       def actions(dryRun: Boolean): Map[String, String] =
         CorpusPipeline.maintainIndexes(spark, Seq(clean, dirty, ivf), policy, dryRun = dryRun)
-          .collect().map(r => r.getString(0) -> r.getString(6)).toMap
+          .collect().map(r => r.getString(0) -> r.getString(7)).toMap
 
       val dry = actions(dryRun = true)
       dry(clean) shouldBe "none"
@@ -681,7 +681,7 @@ class IndexLifecycleSpec extends SparkSpec {
       Dedup.persistGramIndex(docsDf(1 to 30), "text", "doc_id", gram, k = 20)
 
       val rows = CorpusPipeline.maintainIndexes(spark, Seq(jac, bm, gram))
-        .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(6))).toMap
+        .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(7))).toMap
       rows(jac) shouldBe (("jaccard", "compact"))
       rows(bm) shouldBe (("bm25", "compact"))
       rows(gram) shouldBe (("gram", "none"))
@@ -703,7 +703,7 @@ class IndexLifecycleSpec extends SparkSpec {
         wide.copy(docs = wide.docs.repartition(16)), bm)
       parquetFilesUnder(s"${dataDir(bm)}/docs").size should be > 4 // premise: many files
       def sweep() = CorpusPipeline.maintainIndexes(spark, Seq(bm))
-        .collect().map(r => r.getString(0) -> (r.getInt(2), r.getString(6))).toMap
+        .collect().map(r => r.getString(0) -> (r.getInt(2), r.getString(7))).toMap
       val (segs, action) = sweep()(bm)
       segs shouldBe 1
       action shouldBe "none"
@@ -717,6 +717,46 @@ class IndexLifecycleSpec extends SparkSpec {
       val (segs3, action3) = sweep()(bm)
       segs3 shouldBe 1
       action3 shouldBe "none"
+    }
+
+    it("one massive append fires the byte-mass trigger that segment count is blind to") {
+      import graft.operators.CorpusPipeline
+      // The failure shape: a corpus-dwarfing backfill lands as ONE
+      // append segment per partition — 2 files/partition sits under the
+      // 4-segment count threshold forever, yet every probe pays the
+      // unfolded mass and a drifted dictionary would never reach its
+      // refresh. The byte trigger reads appended mass from the SAME
+      // listing and fires.
+      val dir = tmpDir("mnt_bytes_")
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(1 to 20), "text", "doc_id"), dir)
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(21 to 2020), "text", "doc_id"), dir, append = true)
+      def sweep(maxFrac: Double) = CorpusPipeline.maintainIndexes(spark, Seq(dir),
+          CorpusPipeline.IndexMaintenancePolicy(maxAppendByteFraction = maxFrac))
+        .select("max_segments", "append_byte_frac", "action").head
+      val audit = sweep(0.5)
+      audit.getInt(0) should be <= 4            // count trigger holds…
+      audit.getDouble(1) should be > 0.5        // …but ~3/4 of the bytes are appended mass
+      audit.getString(2) shouldBe "compact"     // byte trigger fires
+      IndexStore.currentGeneration(spark, dir) shouldBe 1
+      // Post-compact the appended mass is folded: the signal reads ~0
+      // and the sweep converges (no rewrite churn from the new trigger).
+      val after = sweep(0.5)
+      after.getDouble(1) shouldBe 0.0
+      after.getString(2) shouldBe "none"
+      // A disabled-in-practice threshold (1.0) would not have fired on
+      // the same pre-compact layout — the decision is the policy's, not
+      // hardwired. (Fraction can never exceed 1.0.)
+      val relaxed = tmpDir("mnt_bytes2_")
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(1 to 20), "text", "doc_id"), relaxed)
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(21 to 2020), "text", "doc_id"), relaxed, append = true)
+      CorpusPipeline.maintainIndexes(spark, Seq(relaxed),
+          CorpusPipeline.IndexMaintenancePolicy(maxAppendByteFraction = 1.0))
+        .select("action").head.getString(0) shouldBe "none"
+      IndexStore.currentGeneration(spark, relaxed) shouldBe 0
     }
   }
 

@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--json <artifact>]
+
+--json writes the per-query result map as a committable artifact
+({"passed": N, "failed": N, "queries": {name: "pass (R rows)" | "FAIL: why"}})
+— the close-out ritual commits it as correctness_rN_final.json so a
+driver-side artifact failure can never zero the round's correctness signal.
 
 Reads each <verifyOutDir>/<query> parquet produced by graft.Verify, runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the sfDir tables, and
@@ -89,6 +94,18 @@ def main():
     for name, why in failures:
         print(f"FAIL  {name}: {why}")
     print(f"\n{len(passes)} passed, {len(failures)} failed")
+    if "--json" in sys.argv:
+        path = sys.argv[sys.argv.index("--json") + 1]
+        artifact = {
+            "passed": len(passes),
+            "failed": len(failures),
+            "queries": dict(
+                [(n, f"pass ({r} rows)") for n, r in passes]
+                + [(n, f"FAIL: {w.splitlines()[0]}") for n, w in failures]),
+        }
+        with open(path, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"wrote {path}")
     sys.exit(1 if failures else 0)
 
 

@@ -1,0 +1,28 @@
+#!/bin/bash
+# Round close-out ritual — produces the two self-run artifacts the driver's
+# flaky tail/zeroing cannot blank (VERDICT r12 #1 / r11 bench directive):
+#
+#   correctness_r<N>_final.json — graft.Verify at sf0.01 (driver parity:
+#       local[4]) + tools/check_oracle.py per-query map
+#   bench_r<N>_final.json       — graft.Bench full sweep at sf0.1
+#
+# Usage: tools/closeout.sh <roundN>   (run AFTER `sbt compile`; uses
+# run_main.sh so a held sbt lock doesn't block it)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+N="$1"
+VOUT=$(mktemp -d /tmp/verify_close_XXXX)
+
+echo "== Verify @ sf0.01 (local[4]) =="
+SPARK_GRAFT_CPUS=4 tools/run_main.sh graft.Verify /root/testdata/sf0.01 "$VOUT" \
+  2> >(grep -E 'verify-time|LINT|failed' >&2 || true)
+
+echo "== DuckDB oracle compare =="
+python3 tools/check_oracle.py /root/testdata/sf0.01 "$VOUT" \
+  --json "correctness_r${N}_final.json" | tail -3
+
+echo "== Bench sweep @ sf0.1 =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 tools/run_main.sh graft.Bench \
+  | tail -1 | python3 -c "import sys,json; d=json.loads(sys.stdin.read().strip().splitlines()[-1]); json.dump(d, open('bench_r${N}_final.json','w')); print('total', d['value'], 's /', len(d['queries']), 'queries')"
+
+echo "artifacts: correctness_r${N}_final.json bench_r${N}_final.json — commit them"
