@@ -64,6 +64,15 @@ private[graft] object IndexStore {
 
   val PointerName = "_graft_current"
   val LockName    = "_graft_writer_lock"
+  /** Streaming batch-token dir (at-most-once appends per foreachBatch
+    * batchId — see [[graft.streaming.StreamGates.maintainBatchBody]]).
+    * Lives ABOVE the generations like the pointer and lock: a token
+    * records that a batch's write committed into SOME generation, which
+    * stays true across every subsequent compaction — reclaiming it with
+    * the flat era would reopen the duplicate-append retry window the
+    * token exists to close.
+    */
+  val BatchTokensName = "_graft_stream_batches"
   val GenPrefix   = "_gen-"
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
@@ -298,7 +307,7 @@ private[graft] object IndexStore {
         fs.listStatus(livePath).foreach { st =>
           val name = st.getPath.getName
           val isMeta = name.startsWith("_") && name != "_SUCCESS" &&
-            name != PointerName && name != LockName &&
+            name != PointerName && name != LockName && name != BatchTokensName &&
             !name.startsWith(GenPrefix) && !name.endsWith(".tmp") &&
             !dropMeta.contains(name)
           // populate may have written a REPLACEMENT artifact (retrained
@@ -431,7 +440,8 @@ private[graft] object IndexStore {
       genNumber(name) match {
         case Some(g) => if (g < current - keepGens && oldEnough(st.getPath)) fs.delete(st.getPath, true)
         case None =>
-          val keep = name == PointerName || name == LockName || name.endsWith(".tmp")
+          val keep = name == PointerName || name == LockName ||
+            name == BatchTokensName || name.endsWith(".tmp")
           if (!keep && dropLegacy) fs.delete(st.getPath, true)
       }
     }

@@ -327,13 +327,21 @@ object StreamGates {
           .outputMode(OutputMode.Append())
           .option("checkpointLocation", ckptDir.toString)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            perBatch(batch, batchId).write.mode("append").parquet(sinkDir.toString)
+            // Idempotent sink: each batch OVERWRITES its own id-keyed
+            // subdirectory, so a retried/restarted batch replaces its
+            // previous output instead of appending a duplicate copy —
+            // the sink-side half of the batchId contract the per-batch
+            // body keeps for the index itself.
+            perBatch(batch, batchId).write.mode("overwrite")
+              .parquet(s"$sinkDir/batch=$batchId")
           }
           .start()
       finally spark.conf.set("spark.sql.shuffle.partitions", priorShufflePartitions)
     try {
       query.processAllAvailable()
-      spark.read.parquet(sinkDir.toString)
+      // drop the discovery-added batch partition column — the sink layout
+      // is an idempotency detail, not part of the replayed result.
+      spark.read.parquet(sinkDir.toString).drop("batch")
     } finally {
       query.stop()
       ((if (ownWatchDir) Seq(watchDir) else Seq.empty) :+ ckptDir)
@@ -1103,6 +1111,59 @@ object StreamGates {
     * stream of append/forget/maintain cycles may change cost, never
     * content.
     */
+  /** The per-micro-batch body of [[indexMaintainViaStream]], factored out
+    * so the retry contract is spec-drivable: append-vs-create derives
+    * from the ENGINE's batchId (a retried/restarted batch 0 re-runs with
+    * id 0 and re-CREATES — an idempotent generation overwrite — instead
+    * of appending a duplicate copy of its band rows), the tombstone
+    * append re-distincts at every consumer, and the maintenance sweep is
+    * convergent — so replaying any prefix of batch ids leaves serving
+    * content identical to the no-retry run
+    * (StreamingRecoverySpec "index-maintain batch body is idempotent").
+    */
+  private[graft] def maintainBatchBody(
+      spark: SparkSession,
+      dir: String,
+      policy: graft.operators.CorpusPipeline.IndexMaintenancePolicy
+  )(b: DataFrame, batchId: Long): DataFrame = {
+    import graft.operators.{CorpusPipeline, Dedup}
+    // At-most-once APPEND per batchId: a batch-token marker (beside the
+    // generation dirs, inert to every reader) records that this id's
+    // write committed, so a retry re-running the body after a post-write
+    // failure (the sweep threw, the sink write died) skips the append
+    // instead of landing a duplicate band copy — batchId-derived
+    // create-vs-append alone only makes batch 0 idempotent (overwrite),
+    // appends need the token (the VersionedTable.commitIdempotent
+    // pattern). Residual window: a crash between the append's job commit
+    // and the marker create re-appends on retry — closing it fully needs
+    // a transactional sink; the token shrinks the exposure from the
+    // whole body to that instant. Delete + sweep stay outside the guard:
+    // both are idempotent (tombstones re-distinct, the sweep converges).
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$dir/${graft.operators.IndexStore.BatchTokensName}/batch-$batchId")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!mfs.exists(marker)) {
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(b, "text", "doc_id"), dir, append = batchId > 0)
+      mfs.mkdirs(marker.getParent)
+      mfs.create(marker, false).close()
+    }
+    Dedup.deleteFromPersistedIndex(
+      b.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", dir)
+    val sweep = CorpusPipeline.maintainIndexes(spark, Seq(dir), policy)
+    val sp = b.sparkSession
+    import sp.implicits._
+    // The sweep's audit rides in ITS OWN stable columns (action,
+    // generation) — probe rows carry sentinels, so a cadence change
+    // moves only the named audit cells, never a probe column's hash.
+    Seq((
+      "audit",
+      sweep.select("action").head.getString(0),
+      graft.operators.IndexStore.currentGeneration(spark, dir).toLong,
+      -1L, -1L, 0L))
+      .toDF("surface", "action", "generation", "doc_id", "matched_id", "est_32")
+  }
+
   def indexMaintainViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.{CorpusPipeline, Dedup}
     val all = graft.Tpch.table(spark, sfDir, "documents")
@@ -1119,24 +1180,7 @@ object StreamGates {
     // re-CREATES (idempotent overwrite) instead of appending a duplicate
     // copy of its band rows into the index.
     val audits = replayViaForeachBatchWithId(spark, lower, "ts", chunks = 3,
-      stageKey = Some(s"docsLower1s:$sfDir")) { (b, batchId) =>
-      Dedup.persistSignatureIndex(
-        Dedup.buildSignatureIndex(b, "text", "doc_id"), dir, append = batchId > 0)
-      Dedup.deleteFromPersistedIndex(
-        b.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", dir)
-      val sweep = CorpusPipeline.maintainIndexes(spark, Seq(dir), policy)
-      val sp = b.sparkSession
-      import sp.implicits._
-      // The sweep's audit rides in ITS OWN stable columns (action,
-      // generation) — probe rows carry sentinels, so a cadence change
-      // moves only the named audit cells, never a probe column's hash.
-      Seq((
-        "audit",
-        sweep.select("action").head.getString(0),
-        graft.operators.IndexStore.currentGeneration(spark, dir).toLong,
-        -1L, -1L, 0L))
-        .toDF("surface", "action", "generation", "doc_id", "matched_id", "est_32")
-    }
+      stageKey = Some(s"docsLower1s:$sfDir"))(maintainBatchBody(spark, dir, policy))
     val probe = Dedup.matchVsPersistedIndex(
         all.where(col("doc_id") > splitId), "text", "doc_id", dir)
       .select(lit("probe").as("surface"), lit("-").as("action"),

@@ -337,4 +337,38 @@ class StreamingRecoverySpec extends SparkSpec {
       rm(root.toFile)
     }
   }
+
+  it("index-maintain batch body is idempotent under foreachBatch retry (same batchId re-runs)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{CorpusPipeline, Dedup}
+    // Structured Streaming's retry contract: a failed foreachBatch
+    // invocation re-runs with the SAME batchId before the next batch
+    // starts. The maintain body derives create-vs-append from that id
+    // (batch 0 re-CREATES — a generation overwrite — instead of
+    // appending a duplicate band copy), so a retried prefix must leave
+    // serving content identical to the clean run.
+    def docs(ids: Range) = ids.map(i =>
+        (i.toLong, s"alpha beta gamma delta epsilon doc$i word${i % 7} tail${i % 3}"))
+      .toDF("doc_id", "text")
+    val chunks = Seq(docs(1 to 30), docs(31 to 60), docs(61 to 90))
+    val probe  = docs(200 to 220)
+    val policy = CorpusPipeline.IndexMaintenancePolicy(maxTombstoneFraction = 0.001)
+    def run(withRetries: Boolean): (String, Seq[String]) = {
+      val dir = java.nio.file.Files.createTempDirectory("maint_retry_").toString + "/idx"
+      val body = graft.streaming.StreamGates.maintainBatchBody(spark, dir, policy) _
+      chunks.zipWithIndex.foreach { case (b, i) =>
+        body(b, i.toLong)
+        if (withRetries && i < 2) body(b, i.toLong) // the retry re-run
+      }
+      (dir, Dedup.matchVsPersistedIndex(probe, "text", "doc_id", dir)
+        .collect().map(_.toString).sorted.toSeq)
+    }
+    val (cleanDir, clean)     = run(withRetries = false)
+    val (retriedDir, retried) = run(withRetries = true)
+    retried shouldBe clean
+    // And the index itself carries no duplicated band rows from the
+    // retried appends — row-for-row the same live content.
+    Dedup.loadSignatureIndex(spark, retriedDir).count() shouldBe
+      Dedup.loadSignatureIndex(spark, cleanDir).count()
+  }
 }
