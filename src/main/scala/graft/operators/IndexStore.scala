@@ -188,8 +188,13 @@ private[graft] object IndexStore {
   def withWriterLease[T](
       spark: SparkSession,
       root: String,
-      waitMs: Long = 120000L,
-      staleMs: Long = 30L * 60 * 1000,
+      // Defaults are JVM-tunable (-Dgraft.lease.waitMs/-Dgraft.lease.staleMs,
+      // i.e. spark.driver.extraJavaOptions on a cluster): every mutator
+      // funnels through here with the defaults, so an operator sizes the
+      // wait to the job's patience and the stale window to the heartbeat
+      // SLA without threading parameters through the family APIs.
+      waitMs: Long = sys.props.get("graft.lease.waitMs").map(_.toLong).getOrElse(120000L),
+      staleMs: Long = sys.props.get("graft.lease.staleMs").map(_.toLong).getOrElse(30L * 60 * 1000),
       heartbeatMs: Long = -1L
   )(body: => T): T = {
     val lock = new Path(root, LockName)

@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   * across processes. Prints `committed <cycle>` per landed batch.
   *
   * SCALE.md row: 2 workers × 20 cycles × 50 docs, zero lost rows.
+  *
+  * Kill mode (argv: kill): the heartbeat-staleness contract across
+  * JVMs, both directions — a SIGKILLed holder's silent lease is broken
+  * after `graft.lease.staleMs` and the rival lands; a LIVE holder under
+  * the same short stale window keeps renewing and the rival WAITS the
+  * hold out instead of stealing. See [[killDriver]].
   */
 object CrossProcessLeaseSoak {
 
@@ -46,8 +52,142 @@ object CrossProcessLeaseSoak {
       .toDF("doc_id", "text")
   }
 
-  def main(args: Array[String]): Unit =
-    if (args.headOption.contains("worker")) worker(args) else driver(args)
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("worker") => worker(args)
+    case Some("holder") => holder(args)
+    case Some("single") => single(args)
+    case Some("kill")   => killDriver(args)
+    case _              => driver(args)
+  }
+
+  /** Acquire the writer lease and HOLD it (heartbeats on) — the victim
+    * process of the kill scenario and the long-runner of the live-hold
+    * scenario. Prints `holding` once the lease is acquired.
+    */
+  private def holder(args: Array[String]): Unit = {
+    val Array(_, dir, holdMsS) = args.take(3)
+    val spark = session(2)
+    IndexStore.withWriterLease(spark, dir) {
+      println("holding"); Console.flush()
+      Thread.sleep(holdMsS.toLong)
+    }
+    println("released")
+    spark.stop()
+  }
+
+  /** One append batch, then exit — the rival writer of both kill-mode
+    * scenarios. Prints `landed <ms>` with its own wall time.
+    */
+  private def single(args: Array[String]): Unit = {
+    val Array(_, dir, idS) = args.take(3)
+    val spark = session(2)
+    val t0 = System.nanoTime()
+    val ids = (0 until 50).map(k => idS.toLong * 10000000L + k)
+    Dedup.persistSignatureIndex(
+      Dedup.buildSignatureIndex(docs(spark, ids), "text", "doc_id"), dir, append = true)
+    println(s"landed ${(System.nanoTime() - t0) / 1000000}")
+    spark.stop()
+  }
+
+  /** Kill-mode driver: cross-JVM proof of the heartbeat-staleness
+    * contract, both directions.
+    *
+    *  1. DEAD holder: fork a holder, kill -9 it mid-hold (heartbeats
+    *     stop with the process), fork a rival with
+    *     `-Dgraft.lease.staleMs=5000` — it must break the silent lock
+    *     after ~5 s and land its append.
+    *  2. LIVE holder: fork a holder that holds 15 s under the same 5 s
+    *     stale window (its heartbeats re-stamp every ~1.6 s), fork the
+    *     rival immediately — it must WAIT out the hold (never steal a
+    *     renewing lease) and then land.
+    *
+    * Audit: both appends present exactly once; scenario-2 rival wall
+    * time ≥ the holder's remaining hold (it waited, didn't steal).
+    */
+  private def killDriver(args: Array[String]): Unit = {
+    val dir   = java.nio.file.Files.createTempDirectory("graft_xproc_kill_").toString + "/idx"
+    val spark = session(8)
+    Dedup.persistSignatureIndex(
+      Dedup.buildSignatureIndex(docs(spark, (1L to 100L)), "text", "doc_id"), dir)
+
+    def awaitLine(f: java.io.File, needle: String, timeoutMs: Long): Boolean = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (System.currentTimeMillis() < deadline) {
+        if (f.exists() && scala.io.Source.fromFile(f).getLines().exists(_.startsWith(needle)))
+          return true
+        Thread.sleep(200)
+      }
+      false
+    }
+    def lastLanded(f: java.io.File): Option[Long] =
+      scala.io.Source.fromFile(f).getLines()
+        .collect { case l if l.startsWith("landed ") => l.split(" ")(1).toLong }
+        .toSeq.lastOption
+
+    // Scenario 1: dead holder, rival breaks after heartbeat silence.
+    val (h1, ho1) = forkClass(dir, "holder", Seq(dir, "600000"), Seq("-Dgraft.lease.staleMs=5000"))
+    require(awaitLine(ho1, "holding", 60000), "holder 1 never acquired")
+    h1.destroyForcibly(); h1.waitFor() // SIGKILL: no release path runs
+    val (r1, ro1) = forkClass(dir, "single", Seq(dir, "7"),
+      Seq("-Dgraft.lease.staleMs=5000", "-Dgraft.lease.waitMs=60000"))
+    val rc1 = r1.waitFor()
+    val broke = lastLanded(ro1)
+
+    // Scenario 2: live holder under the SAME short stale window — the
+    // rival waits out the renewing lease instead of stealing it.
+    val (h2, ho2) = forkClass(dir, "holder", Seq(dir, "15000"), Seq("-Dgraft.lease.staleMs=5000"))
+    require(awaitLine(ho2, "holding", 60000), "holder 2 never acquired")
+    val tRival = System.nanoTime()
+    val (r2, ro2) = forkClass(dir, "single", Seq(dir, "8"),
+      Seq("-Dgraft.lease.staleMs=5000", "-Dgraft.lease.waitMs=60000"))
+    val rc2 = r2.waitFor()
+    val rivalWallMs = (System.nanoTime() - tRival) / 1000000
+    h2.waitFor()
+    val heldToEnd = scala.io.Source.fromFile(ho2).getLines().exists(_.startsWith("released"))
+
+    val got = spark.read.parquet(IndexStore.dataDir(spark, dir))
+      .where(col("band") === 0).groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (1L to 100L) ++ (0 until 50).map(k => 7L * 10000000L + k) ++
+      (0 until 50).map(k => 8L * 10000000L + k)
+    val missing = want.filterNot(got.contains)
+    val dupes   = got.filter(_._2 != 1L)
+    println(f"[xproc-kill] dead-holder: rival rc=$rc1 landed=${broke.getOrElse(-1L)} ms " +
+      f"(stale window 5000) | live-holder: rival rc=$rc2 wall=$rivalWallMs ms " +
+      f"(hold 15000, released=$heldToEnd) | docs missing=${missing.size} dupes=${dupes.size}")
+    spark.stop()
+    // broke (scenario 1) is informational only: the dead lease's 5 s
+    // silence can fully elapse during the rival's own JVM/Spark startup,
+    // so its observed wall has no reliable lower bound — the hard
+    // invariants are that it LANDED (rc 0) with no loss/duplication.
+    val stoleLive = rivalWallMs < 12000 // landed before a 15 s live hold could end
+    if (rc1 != 0 || rc2 != 0 || missing.nonEmpty || dupes.nonEmpty || stoleLive || !heldToEnd)
+      sys.exit(1)
+  }
+
+  private def forkClass(
+      dir: String, mode: String, extra: Seq[String], props: Seq[String]): (Process, java.io.File) = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val out = java.io.File.createTempFile(s"xproc_$mode", ".log")
+    val cmd = Seq(javaBin) ++ addOpens ++ props ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.CrossProcessLeaseSoak", mode) ++ extra
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(out)
+    (pb.start(), out)
+  }
+
+  private val addOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   private def worker(args: Array[String]): Unit = {
     val Array(_, dir, idS, cyclesS, perS) = args.take(5)
@@ -77,18 +217,9 @@ object CrossProcessLeaseSoak {
       Dedup.buildSignatureIndex(docs(spark, (1L to 100L)), "text", "doc_id"), dir)
 
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    val opens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     def fork(id: Int): (Process, java.io.File) = {
       val out = java.io.File.createTempFile(s"xproc_w$id", ".log")
-      val cmd = Seq(javaBin) ++ opens ++ Seq(
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
         "-Xmx2g", "-Dspark.ui.enabled=false",
         "-cp", System.getProperty("java.class.path"),
         "graft.tools.CrossProcessLeaseSoak",
