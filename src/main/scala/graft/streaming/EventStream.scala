@@ -507,8 +507,12 @@ object EventStream {
     * `sinkPath` as parquet (exactly-once via the checkpoint + sink log).
     *
     * Emissions are per colliding PAIR (the probe dedups band collisions
-    * in-plan); replayed-batch overlap after recovery is the caller's
-    * downstream DISTINCT, same as every at-least-once parquet sink.
+    * in-plan), and the sink is EXACTLY-once by layout: each batch
+    * overwrites its own `batch=<id>` subdirectory, so a retried or
+    * checkpoint-replayed batch replaces its previous output instead of
+    * appending a duplicate copy — read `sinkPath` as one parquet tree
+    * (the discovered `batch` partition column is the idempotency
+    * detail; drop it if unwanted).
     */
   def matchVsPersistedIndexSink(
       stream: DataFrame,
@@ -524,10 +528,10 @@ object EventStream {
       .queryName(queryName)
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Dedup
           .matchVsPersistedIndex(batch, textCol, idCol, indexPath, estThreshold)
-          .write.mode("append").parquet(sinkPath)
+          .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
       }
       .start()
 

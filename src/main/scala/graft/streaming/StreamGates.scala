@@ -414,9 +414,14 @@ object StreamGates {
       col("event_id"),
       timestamp_micros(expr("ts div 1000")).as("ts"),
       expr("CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)").as("cents"))
-    replayViaForeachBatch(spark, ev, "ts", chunks = 3,
-        stageKey = Some(s"evtt:$sfDir")) { batch =>
-      VersionedTable.commit(spark, tmp, batch.select("event_id", "cents"), append = true)
+    replayViaForeachBatchWithId(spark, ev, "ts", chunks = 3,
+        stageKey = Some(s"evtt:$sfDir")) { (batch, batchId) =>
+      // Token = the engine's batchId: a retried/restarted batch re-runs
+      // with the same id and commitIdempotent makes it a no-op instead
+      // of double-appending a version (spec'd in ScaleToolsSpec
+      // "commitIdempotent: a replayed micro-batch is a no-op").
+      VersionedTable.commitIdempotent(spark, tmp,
+        batch.select("event_id", "cents"), token = s"batch-$batchId")
       batch.limit(0) // the parquet sink is unused; the table IS the output
     }
     val nVersions = VersionedTable.latestVersion(spark, tmp)
