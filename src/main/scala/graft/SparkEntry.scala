@@ -2157,6 +2157,41 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Product quantization, two-stage serving: ADC shortlist (m-lookup
+    // scoring over 8-int codes — the ×32 memory-bound compression past
+    // int8's ×4) then exact rescore of the shortlist. The shortlist is
+    // sized so the approximate stage decides only WHICH pairs get exact
+    // scores, never the ranking — the gate therefore pins the whole
+    // train/encode/LUT/ADC/rescore pipeline to the exact brute-force
+    // oracle (codebook-independent by construction; the ADC stage's
+    // recall/compression tradeoff is measured in PqSpec + PqSoak, not
+    // assumed). pqTrain is deterministic (hash-sampled, id-ordered, no
+    // RNG), so the gate replays bit-identically.
+    "q_knn_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding", m = 16, k = 64)
+      Similarity.pqAdcTopK(emb, emb.where("vec_id < 5"), "vec_id", "embedding", model,
+          k = 10, shortlist = 128)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // IVF-PQ: coarse quantizer (pinned centroids) prunes cells, fine
+    // quantizer scores by ADC, exact rescore — the standard
+    // billion-vector serving layout. Probed exhaustively (nprobe =
+    // nlist) with a generous shortlist so the result pins to the exact
+    // oracle through the CELLED path (cell assignment + per-cell ADC +
+    // rescore all exercised); the pruned-probe cost/recall story is
+    // spec'd (PqSpec) and soak-measured, mirroring how q_knn_ivf_full /
+    // q_knn_ivf_probe split exactness and pruning.
+    "q_knn_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding", m = 16, k = 64)
+      Similarity.ivfPqTopK(emb, emb.where("vec_id < 5"), "vec_id", "embedding",
+          graft.operators.IvfPinned.centroids, model, k = 10,
+          nprobe = graft.operators.IvfPinned.nlist, shortlist = 128)
+        .orderBy("query_id", "rnk")
+    }),
+
     // Hard-negative mining for contrastive training: per query, top-10
     // corpus rows by cosine INSIDE the band [0.05, 0.35) — informative
     // negatives below the near-dup threshold (0.4 in the embed_neardup
@@ -5132,6 +5167,11 @@ object SparkEntry {
            |ORDER BY query_id, rnk""".stripMargin,
 
       "q_knn_bruteforce" -> exactKnnOracle(k = 10),
+      // Two-stage PQ and exhaustive-cell IVF-PQ both rescore their
+      // shortlists exactly, so their oracles ARE the exact top-k —
+      // codebook- and centroid-independent by construction.
+      "q_knn_pq_adc" -> exactKnnOracle(k = 10),
+      "q_knn_ivf_pq" -> exactKnnOracle(k = 10),
       // Retrained quantizer + exhaustive probe = exact top-k over the
       // survivors, whatever centroids Lloyd landed on.
       "q_knn_ivf_retrain" -> exactKnnOracle(k = 10).replace(

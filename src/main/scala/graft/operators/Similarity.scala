@@ -986,4 +986,288 @@ object Similarity {
     }
     u(quantized.getField("_1"), quantized.getField("_2"))
   }
+
+  // ------------------------------------------------ product quantization
+
+  /** Product-quantization model: the vector space split into `m`
+    * contiguous subspaces of `dsub = dims / m` components, each with its
+    * own `k`-entry codebook. A vector encodes to m small ints (its
+    * nearest codebook entry per subspace) — at m = 8, k = 256 over
+    * d = 64 floats that is 8 bytes instead of 256, the ×32 memory-bound
+    * scale path past [[quantizeInt8]]'s ×4 (int8 shrinks components; PQ
+    * shrinks the DIMENSION count a probe touches: ADC scoring reads m
+    * ints + does m table lookups per pair instead of d multiplies).
+    */
+  final case class PqModel(dims: Int, m: Int, k: Int, codebooks: Array[Array[Array[Float]]]) {
+    def dsub: Int = dims / m
+    require(m >= 1 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
+    require(k >= 1 && k <= 256, s"k ($k) must fit one unsigned byte per code")
+    require(codebooks.length == m, "one codebook per subspace")
+  }
+
+  /** Train PQ codebooks — deterministic, no RNG, the [[ivfCentroids]]
+    * recipe applied per subspace: hash-sampled training rows (smallest
+    * id-hash, secondary-sorted by id so initialization and float
+    * accumulation order are replay-stable), init from the first `k`
+    * sample subvectors, L2 Lloyd with empty cells keeping their
+    * centroid. Train on a sample, encode the corpus distributed — the
+    * standard recipe; the sample collect is capped by `trainCap` like
+    * every driver-side model build in this repo.
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      k: Int = 256,
+      lloydIters: Int = 5,
+      trainCap: Long = 65536
+  ): PqModel = {
+    import org.apache.spark.sql.Row
+    val n        = corpus.count()
+    val fraction = math.min(1.0, trainCap.toDouble / math.max(1, n))
+    val sample = corpus
+      .select(Sampling.hashBucket(col(idCol)).as("__hb"), col(idCol).as("__id"), col(vecCol).as("__v"))
+      .where(col("__hb") < math.round(fraction * Sampling.Buckets).max(1L))
+      .orderBy("__hb", "__id")
+      .collect()
+      .map { case Row(_, _, v: scala.collection.Seq[_]) => v.map(_.asInstanceOf[Float]).toArray }
+    require(sample.nonEmpty, "pqTrain: empty training sample")
+    val dims = sample.head.length
+    require(dims % m == 0, s"pqTrain: dims ($dims) not divisible by m ($m)")
+    val dsub = dims / m
+    val books = Array.tabulate(m) { sub =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      // Init from the first k subvectors (duplicates are harmless: argmin
+      // takes the lowest index, and a duplicated centroid simply never
+      // wins — k effective codes shrink to the sample's diversity).
+      var cents = Array.tabulate(math.min(k, subs.length))(i => subs(i).clone())
+      var iter = 0
+      while (iter < lloydIters) {
+        val sums   = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Int](cents.length)
+        subs.foreach { v =>
+          val c = PqModel.nearestCode(v, cents)
+          var d = 0
+          while (d < dsub) { sums(c)(d) += v(d); d += 1 }
+          counts(c) += 1
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(dsub)(d => (sums(c)(d) / counts(c)).toFloat)
+        }
+        iter += 1
+      }
+      cents
+    }
+    PqModel(dims, m, books.head.length, books)
+  }
+
+  object PqModel {
+    /** Nearest codebook entry by L2, lowest index on ties — deterministic. */
+    private[operators] def nearestCode(v: Array[Float], cents: Array[Array[Float]]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d = 0.0
+        var i = 0
+        while (i < v.length) { val t = v(i).toDouble - cent(i).toDouble; d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
+  /** Encode a corpus against trained codebooks: per row, the m nearest
+    * codebook indexes (`pq_code`, BINARY — one unsigned byte per
+    * subspace, k ≤ 256 enforced) plus the decoded vector's
+    * norm (`pq_norm` — |decode|² = Σ_sub |codebook_sub[code]|², needed to
+    * turn ADC dot products into cosines without touching the original
+    * floats at probe time). Scan-local write-side pass (one UDF kernel,
+    * same tier as [[quantizeInt8]] — encode runs once per corpus, the
+    * probe-side hot loop is the native [[graft.functions.PqAdcDot]]).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
+    val books = model.codebooks
+    val dsub  = model.dsub
+    val enc = udf { (v: Array[Float]) =>
+      if (v == null || v.length != model.dims) null
+      else {
+        val codes = new Array[Byte](model.m)
+        var norm2 = 0.0
+        var sub = 0
+        while (sub < model.m) {
+          val sv = java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub)
+          val c  = PqModel.nearestCode(sv, books(sub))
+          codes(sub) = c.toByte
+          val cent = books(sub)(c)
+          var i = 0
+          while (i < dsub) { norm2 += cent(i).toDouble * cent(i).toDouble; i += 1 }
+          sub += 1
+        }
+        (codes, math.sqrt(norm2).toFloat)
+      }
+    }
+    df.select(col(idCol), enc(col(vecCol)).as("__e"))
+      .select(col(idCol), col("__e._1").as("pq_code"), col("__e._2").as("pq_norm"))
+  }
+
+  /** Query-side ADC lookup tables: for each query, the flat m·k float
+    * table `lut[sub·k + j] = dot(q_sub, codebook_sub[j])` plus the query
+    * norm — everything [[graft.functions.PqAdcDot]] needs to score a
+    * corpus code word with m lookups. Queries are few; the LUT build is
+    * one scan-local UDF over them and the result broadcasts.
+    */
+  private def pqQueryLuts(
+      queries: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
+    val books = model.codebooks
+    val dsub  = model.dsub
+    val lutU = udf { (v: Array[Float]) =>
+      if (v == null || v.length != model.dims) null
+      else {
+        val lut = new Array[Float](model.m * model.k)
+        var qn  = 0.0
+        var i   = 0
+        while (i < v.length) { qn += v(i).toDouble * v(i).toDouble; i += 1 }
+        var sub = 0
+        while (sub < model.m) {
+          val off = sub * model.k
+          var j = 0
+          while (j < books(sub).length) {
+            val cent = books(sub)(j)
+            var d = 0.0
+            var t = 0
+            while (t < dsub) { d += v(sub * dsub + t).toDouble * cent(t).toDouble; t += 1 }
+            lut(off + j) = d.toFloat
+            j += 1
+          }
+          sub += 1
+        }
+        (lut, math.sqrt(qn).toFloat)
+      }
+    }
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), lutU(col(vecCol)).as("__l"))
+      .select(col("query_id"), col("q_vec"), col("__l._1").as("q_lut"), col("__l._2").as("q_norm"))
+  }
+
+  /** The ADC approximate cosine of a corpus code word against a query's
+    * LUT: `adcDot / (q_norm · pq_norm)` — [[graft.functions.PqAdcDot]]
+    * (native codegen) over columns.
+    */
+  def pqAdcCosine(codes: Column, lut: Column, qNorm: Column, pqNorm: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val dotCol = ColumnBridge.column(
+      graft.functions.PqAdcDot(ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
+    when(qNorm * pqNorm === 0.0, lit(0.0)).otherwise(dotCol / (qNorm * pqNorm))
+  }
+
+  /** Two-stage PQ top-k: ADC shortlist, exact rescore — the serving
+    * recipe that makes PQ safe to gate against the EXACT oracle. Stage 1
+    * scores every (query, corpus) pair through the m-lookup ADC kernel
+    * (corpus side reads `pq_code`+`pq_norm` — m ints + 1 float instead
+    * of d floats; queries broadcast with their LUTs; corpus never
+    * shuffles before its k-bounded per-query window) and keeps the top
+    * `shortlist` per query; stage 2 joins the shortlist's ORIGINAL
+    * vectors back (a |queries|·shortlist-row semi-join, tiny) and ranks
+    * exactly with [[cosine]]. With a shortlist comfortably above k, the
+    * approximate stage decides only which pairs get exact scores, not
+    * the ranking — the gate pins the end result to the brute-force
+    * oracle, and the recall/compression tradeoff of the ADC stage alone
+    * is measured in PqSoak, not assumed.
+    *
+    * Scale: stage-1 work is |queries| × |corpus| like [[bruteForceTopK]]
+    * but each pair costs m lookups instead of d multiplies and the
+    * corpus-side scan reads ×32 fewer bytes; compose with IVF cells
+    * ([[ivfPqTopK]]) to prune the candidate set itself — that pairing
+    * (coarse quantizer prunes, fine quantizer scores) is IVF-PQ, the
+    * standard billion-vector serving layout.
+    */
+  def pqAdcTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: PqModel,
+      k: Int,
+      shortlist: Int = 64
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val codes = pqEncode(corpus, idCol, vecCol, model)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val qs = pqQueryLuts(queries, idCol, vecCol, model)
+    val adc = codes
+      .join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", pqAdcCosine(col("pq_code"), col("q_lut"), col("q_norm"), col("pq_norm")))
+    val wA = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id").asc)
+    val short = adc
+      .withColumn("srnk", row_number().over(wA))
+      .where(col("srnk") <= shortlist)
+      .select("query_id", "neighbor_id", "q_vec")
+    // Exact rescore over the tiny shortlist — original vectors rejoin here.
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val wE = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short.join(c, "neighbor_id")
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rnk", row_number().over(wE).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** IVF-PQ: the coarse quantizer prunes cells, the fine quantizer (ADC)
+    * scores inside them, exact rescore on the shortlist — the standard
+    * billion-vector layout. Candidate set = the query's `nprobe` nearest
+    * of `centroids.length` cells (the [[ivfTopKWith]] pruning), scored
+    * at m lookups/pair, so probe work is
+    * (corpus/nlist)·nprobe·m lookups instead of corpus·d multiplies.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      model: PqModel,
+      k: Int,
+      nprobe: Int = 4,
+      shortlist: Int = 64
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val celled = ivfAssign(corpus, vecCol, centroids)
+    val codes = pqEncode(celled, idCol, vecCol, model)
+      .withColumnRenamed(idCol, "neighbor_id")
+      .join(celled.select(col(idCol).as("neighbor_id"), col("cell")), "neighbor_id")
+    // Query → its nprobe nearest cells (deterministic: cosine desc, cell asc).
+    val qs = pqQueryLuts(queries, idCol, vecCol, model)
+    val cellScores = (0 until centroids.length).map { c =>
+      struct(centroidCosine(centroids)(col("q_vec"), lit(c)).as("s"), lit(c).as("cell"))
+    }
+    val probes = qs.withColumn("__cells",
+        slice(array_sort(array(cellScores: _*),
+          (a, b) => when(a("s") > b("s"), -1).when(a("s") < b("s"), 1)
+            .otherwise(when(a("cell") < b("cell"), -1).when(a("cell") > b("cell"), 1).otherwise(0))),
+          1, nprobe))
+      .select(col("query_id"), col("q_vec"), col("q_lut"), col("q_norm"),
+        explode(col("__cells.cell")).as("cell"))
+    val adc = codes
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", pqAdcCosine(col("pq_code"), col("q_lut"), col("q_norm"), col("pq_norm")))
+    val wA = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id").asc)
+    val short = adc
+      .withColumn("srnk", row_number().over(wA))
+      .where(col("srnk") <= shortlist)
+      .select("query_id", "neighbor_id", "q_vec")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val wE = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short.join(c, "neighbor_id")
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rnk", row_number().over(wE).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
 }

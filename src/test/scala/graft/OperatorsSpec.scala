@@ -2201,4 +2201,92 @@ class OperatorsSpec extends SparkSpec {
       }
     }
   }
+
+  describe("Similarity product quantization (PQ / IVF-PQ)") {
+    // Same clustered-corpus shape the IVF specs use: real structure for
+    // the codebooks, integer-derived jitter for determinism.
+    def corpus(n: Int) = Seq.tabulate(n) { i =>
+      val base = if (i % 2 == 0) Array(10.0f, 0.0f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f, 0.0f)
+                 else            Array(0.0f, 10.0f, 0.0f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + ((i * 7 + d * 3) % 5) * 0.1f })
+    }.toDF("vec_id", "embedding")
+
+    it("PqAdcDot native expression matches the scalar kernel; nulls null; wrong types fail analysis") {
+      import org.apache.spark.sql.graft.ColumnBridge
+      def adc(c: org.apache.spark.sql.Column, l: org.apache.spark.sql.Column) =
+        ColumnBridge.column(graft.functions.PqAdcDot(
+          ColumnBridge.expression(c), ColumnBridge.expression(l)))
+      val df = Seq((Array[Byte](1, 0), Array(0.5f, 1.5f, 2.5f, 3.5f))).toDF("codes", "lut")
+      df.select(adc(col("codes"), col("lut"))).head.getDouble(0) shouldBe
+        graft.functions.PqAdcKernel.compute(Array[Byte](1, 0), Array(0.5f, 1.5f, 2.5f, 3.5f))
+      // lut[0*2+1] + lut[1*2+0] = 1.5 + 2.5
+      graft.functions.PqAdcKernel.compute(Array[Byte](1, 0), Array(0.5f, 1.5f, 2.5f, 3.5f)) shouldBe 4.0
+      // Codes are UNSIGNED bytes: -1 reads as 255 (out of range, contributes 0).
+      graft.functions.PqAdcKernel.compute(Array[Byte](-1, 0), Array(0.5f, 1.5f, 2.5f, 3.5f)) shouldBe 2.5
+      val withNull = Seq((Option.empty[Array[Byte]], Array(1.0f))).toDF("codes", "lut")
+      withNull.select(adc(col("codes"), col("lut"))).head.isNullAt(0) shouldBe true
+      intercept[org.apache.spark.sql.AnalysisException] {
+        Seq(("x", Array(1.0f))).toDF("codes", "lut")
+          .select(adc(col("codes"), col("lut"))).collect()
+      }
+    }
+
+    it("pqTrain is deterministic with the declared geometry; pqEncode emits m codes + decoded norm") {
+      val df = corpus(60)
+      val a = Similarity.pqTrain(df, "vec_id", "embedding", m = 4, k = 8)
+      val b = Similarity.pqTrain(df, "vec_id", "embedding", m = 4, k = 8)
+      a.m shouldBe 4; a.dsub shouldBe 2; a.k shouldBe 8
+      a.codebooks.map(_.map(_.toSeq).toSeq).toSeq shouldBe b.codebooks.map(_.map(_.toSeq).toSeq).toSeq
+      val enc = Similarity.pqEncode(df, "vec_id", "embedding", a)
+      enc.columns.toSeq shouldBe Seq("vec_id", "pq_code", "pq_norm")
+      val row = enc.where("vec_id = 2").head
+      row.getAs[Array[Byte]](1).length shouldBe 4    // m BYTES — x8 vs 8 floats (x32 at d=64, m=8)
+      row.getFloat(2) should be > 0.0f               // decoded norm
+      // Encoding against a dims-mismatched model nulls out, never throws.
+      val bad = Similarity.PqModel(16, 4, 8, Array.fill(4)(Array.fill(8)(new Array[Float](4))))
+      Similarity.pqEncode(df, "vec_id", "embedding", bad).where("pq_code IS NOT NULL").count() shouldBe 0
+    }
+
+    it("two-stage ADC with a full-corpus shortlist equals brute force exactly") {
+      val df = corpus(60)
+      val model = Similarity.pqTrain(df, "vec_id", "embedding", m = 4, k = 16)
+      val pq = Similarity.pqAdcTopK(df, df.where("vec_id < 4"), "vec_id", "embedding", model,
+          k = 5, shortlist = 60)
+        .as[(Long, Long, Long)].collect().toSet
+      val brute = Similarity.bruteForceTopK(df, df.where("vec_id < 4"), "vec_id", "embedding", k = 5)
+        .as[(Long, Long, Long)].collect().toSet
+      pq shouldBe brute // shortlist covers everything -> exact rescore decides all ranks
+    }
+
+    it("a pruned shortlist keeps high recall on clustered data and is deterministic") {
+      val df = corpus(200)
+      val model = Similarity.pqTrain(df, "vec_id", "embedding", m = 4, k = 16)
+      def run() = Similarity.pqAdcTopK(df, df.where("vec_id < 4"), "vec_id", "embedding", model,
+          k = 5, shortlist = 20)
+        .as[(Long, Long, Long)].collect().toSet
+      val pq = run()
+      val brute = Similarity.bruteForceTopK(df, df.where("vec_id < 4"), "vec_id", "embedding", k = 5)
+        .as[(Long, Long, Long)].collect().map { case (q, nb, _) => (q, nb) }.toSet
+      val hits = pq.count { case (q, nb, _) => brute((q, nb)) }
+      hits.toDouble / brute.size should be >= 0.8
+      run() shouldBe pq // no RNG anywhere
+    }
+
+    it("IVF-PQ with every cell probed and a full shortlist equals brute force; pruned probe keeps recall") {
+      val df = corpus(200)
+      val model = Similarity.pqTrain(df, "vec_id", "embedding", m = 4, k = 16)
+      val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", nlist = 4)
+      val full = Similarity.ivfPqTopK(df, df.where("vec_id < 4"), "vec_id", "embedding",
+          cents, model, k = 5, nprobe = 4, shortlist = 200)
+        .as[(Long, Long, Long)].collect().toSet
+      val brute = Similarity.bruteForceTopK(df, df.where("vec_id < 4"), "vec_id", "embedding", k = 5)
+        .as[(Long, Long, Long)].collect().toSet
+      full shouldBe brute
+      val pruned = Similarity.ivfPqTopK(df, df.where("vec_id < 4"), "vec_id", "embedding",
+          cents, model, k = 5, nprobe = 2, shortlist = 20)
+        .as[(Long, Long, Long)].collect().toSet
+      val bruteSet = brute.map { case (q, nb, _) => (q, nb) }
+      pruned.count { case (q, nb, _) => bruteSet((q, nb)) }.toDouble / brute.size should be >= 0.8
+    }
+  }
 }
