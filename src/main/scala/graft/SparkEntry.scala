@@ -2192,6 +2192,25 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // PERSISTED IVF-PQ serving — the production layout end-to-end: codes
+    // and decoded norms stored cell-partitioned beside the vectors,
+    // codebooks as a _graft_pq artifact, stage-1 ADC reading ONLY the
+    // thin code columns (PlanAuditSpec pins the read schema), exact
+    // rescore touching `vec` for the shortlist alone. Exhaustive probe +
+    // generous shortlist → the exact oracle, codebook-independent;
+    // build shared via GateCache (read-only probe).
+    "q_knn_ivf_pq_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.GateCache.dir(s"ivfpqidx_full:$dir") { p =>
+        val model = Similarity.pqTrain(emb, "vec_id", "embedding", m = 16, k = 64)
+        Similarity.persistIvfPqIndex(emb, "vec_id", "embedding",
+          graft.operators.IvfPinned.centroids, model, p)
+      }
+      Similarity.ivfPqTopKFromPersisted(s, idx, emb.where("vec_id < 5"), "vec_id", "embedding",
+          k = 10, nprobe = graft.operators.IvfPinned.nlist, shortlist = 128)
+        .orderBy("query_id", "rnk")
+    }),
+
     // Hard-negative mining for contrastive training: per query, top-10
     // corpus rows by cosine INSIDE the band [0.05, 0.35) — informative
     // negatives below the near-dup threshold (0.4 in the embed_neardup
@@ -5172,6 +5191,7 @@ object SparkEntry {
       // codebook- and centroid-independent by construction.
       "q_knn_pq_adc" -> exactKnnOracle(k = 10),
       "q_knn_ivf_pq" -> exactKnnOracle(k = 10),
+      "q_knn_ivf_pq_serve" -> exactKnnOracle(k = 10),
       // Retrained quantizer + exhaustive probe = exact top-k over the
       // survivors, whatever centroids Lloyd landed on.
       "q_knn_ivf_retrain" -> exactKnnOracle(k = 10).replace(

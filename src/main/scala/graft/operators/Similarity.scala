@@ -625,7 +625,20 @@ object Similarity {
     graft.operators.IndexStore.withWriterLease(spark, path) { // appenders serialize
       val dd    = graft.operators.IndexStore.dataDir(spark, path)
       val cents = loadCentroids(spark, s"$dd/_graft_centroids")
-      ivfAssign(newBatch.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), "vec", cents)
+      // A PQ-bearing index ([[persistIvfPqIndex]]) encodes the batch with
+      // its FROZEN codebooks — same contract as the frozen centroids: an
+      // append never changes serving geometry, only adds rows to it.
+      val pqPath = new org.apache.hadoop.fs.Path(s"$dd/_graft_pq")
+      val hasPq  = pqPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pqPath)
+      val base =
+        if (!hasPq) newBatch.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+        else {
+          val model = loadPqModel(spark, pqPath.toString)
+          pqEncode(newBatch, idCol, vecCol, model)
+            .join(newBatch.select(col(idCol), col(vecCol)), idCol)
+            .select(col(idCol).as("vec_id"), col(vecCol).as("vec"), col("pq_code"), col("pq_norm"))
+        }
+      ivfAssign(base, "vec", cents)
         .repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(dd)
     }
@@ -903,7 +916,12 @@ object Similarity {
       }
       if (doRetrain) {
         val oldCents  = loadCentroids(spark, s"$live/_graft_centroids")
-        val survivors = minus(spark.read.parquet(live)).select("vec_id", "vec")
+        // Carry EVERY non-partition column through the re-assignment —
+        // a PQ-bearing index ([[persistIvfPqIndex]]) keeps its codes:
+        // they quantize value distributions, not cell geometry, so a
+        // retrained coarse quantizer leaves them valid.
+        val dataCols = spark.read.parquet(live).columns.filterNot(_ == "cell").map(col)
+        val survivors = minus(spark.read.parquet(live)).select(dataCols: _*)
         // √N-scaled quantizer: a grown corpus gets more cells, not fatter
         // ones ([[retrainNlistFor]] — bounded growth, never shrinks).
         val newNlist = retrainNlistFor(survivors.count(), oldCents.length)
@@ -1211,6 +1229,139 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val wE = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     short.join(c, "neighbor_id")
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rnk", row_number().over(wE).cast("long"))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** Persist PQ codebooks beside an index's data — the `_graft_centroids`
+    * pattern for the fine quantizer: (sub, code, centroid) rows, read
+    * back in (sub, code) order so a loaded model reproduces the saving
+    * session's encodings bit-for-bit.
+    */
+  def savePqModel(spark: org.apache.spark.sql.SparkSession, model: PqModel, path: String): Unit = {
+    import spark.implicits._
+    (for { sub <- 0 until model.m; code <- model.codebooks(sub).indices }
+      yield (sub, code, model.codebooks(sub)(code).toSeq))
+      .toDF("sub", "code", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Inverse of [[savePqModel]]. */
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .orderBy("sub", "code")
+      .select("sub", "code", "centroid")
+      .as[(Int, Int, Seq[Float])]
+      .collect()
+    val m     = rows.map(_._1).max + 1
+    val books = Array.tabulate(m)(sub => rows.filter(_._1 == sub).sortBy(_._2).map(_._3.toArray))
+    PqModel(m * books.head.head.length, m, books.head.length, books)
+  }
+
+  /** [[persistIvfIndex]] with the fine quantizer baked in: every row
+    * stores its PQ code word and decoded norm BESIDE the full vector
+    * (cell-partitioned as before), and the codebooks persist as
+    * `_graft_pq` next to `_graft_centroids`. The point is the probe-side
+    * scan split [[ivfPqTopKFromPersisted]] exploits: stage 1 reads ONLY
+    * (cell, vec_id, pq_code, pq_norm) — m bytes + a float per row
+    * instead of d floats, the columnar form of PQ's memory claim — and
+    * only the shortlist's rescore touches the `vec` column. The whole
+    * append/delete/compact/maintain lifecycle applies unchanged: rows
+    * carry their codes through every rewrite, [[appendToIvfIndex]]
+    * detects `_graft_pq` and encodes new batches with the FROZEN
+    * codebooks (same contract as frozen centroids), and a compact's
+    * retrain replaces centroids while codes — trained on value
+    * distributions, not cell geometry — stay valid.
+    */
+  def persistIvfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      model: PqModel,
+      path: String
+  ): Unit = {
+    val spark = corpus.sparkSession
+    graft.operators.IndexStore.overwriteRoot(spark, path) { dir =>
+      val coded = pqEncode(corpus, idCol, vecCol, model)
+        .join(corpus.select(col(idCol), col(vecCol)), idCol)
+        .select(col(idCol).as("vec_id"), col(vecCol).as("vec"), col("pq_code"), col("pq_norm"))
+      ivfAssign(coded, "vec", centroids)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      saveCentroids(spark, centroids, s"$dir/_graft_centroids")
+      savePqModel(spark, model, s"$dir/_graft_pq")
+    }
+  }
+
+  /** Serve top-k from a [[persistIvfPqIndex]] directory: probe cells by
+    * the frozen coarse quantizer (partition-pruned like
+    * [[ivfTopKFromPersisted]]), ADC-score the probed cells reading ONLY
+    * the thin (cell, vec_id, pq_code, pq_norm) columns (the float
+    * vectors stay on disk — PlanAuditSpec pins the stage-1 read schema),
+    * keep `shortlist` per query, then rescore exactly from the `vec`
+    * column of the SAME pruned partitions, semi-joined to the shortlist.
+    */
+  def ivfPqTopKFromPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      shortlist: Int = 64
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val dd    = graft.operators.IndexStore.dataDir(spark, path) // resolve once per probe
+    val cents = loadCentroids(spark, s"$dd/_graft_centroids")
+    val model = loadPqModel(spark, s"$dd/_graft_pq")
+    require(nprobe >= 1 && nprobe <= cents.length, "need 1 <= nprobe <= centroids.length")
+    val bc = spark.sparkContext.broadcast(cents)
+    val probeU = udf { (v: Array[Float]) =>
+      val vd = v.map(_.toDouble)
+      bc.value.indices
+        .map(c => (cosineDD(vd, bc.value(c)), c))
+        .sortBy { case (s, c) => (-s, c) }
+        .take(nprobe).map(_._2).toArray
+    }
+    val qs = graft.plans.Lineage.truncate(
+      pqQueryLuts(queries, idCol, vecCol, model)
+        .withColumn("cell", explode(probeU(col("q_vec")))))
+    val probed = qs.select("cell").distinct().as[Int].collect().sorted
+    val empty = spark.emptyDataset[(Long, Long, Long)].toDF("query_id", "neighbor_id", "rnk")
+    if (probed.isEmpty) return empty
+    val cellFilter = col("cell").isin(probed.map(x => x: Any): _*)
+    val ts = ivfTombstonesAt(spark, dd)
+    // Stage 1: the THIN scan — codes and norms only, never the vectors.
+    val thin0 = spark.read.parquet(dd)
+      .where(cellFilter)
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("pq_code"), col("pq_norm"))
+    val thin = ts match {
+      case Some(t) => thin0.join(broadcast(t), thin0("neighbor_id") === t("vec_id"), "left_anti")
+      case None    => thin0
+    }
+    val wA = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id").asc)
+    val short = thin
+      .join(broadcast(qs), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", pqAdcCosine(col("pq_code"), col("q_lut"), col("q_norm"), col("pq_norm")))
+      .withColumn("srnk", row_number().over(wA))
+      .where(col("srnk") <= shortlist)
+      .select("query_id", "neighbor_id", "q_vec")
+    // Stage 2: exact rescore — vectors read only for the shortlist, from
+    // the same pruned cell partitions.
+    val vecs = spark.read.parquet(dd)
+      .where(cellFilter)
+      .select(col("vec_id").as("neighbor_id"), col("vec").as("c_vec"))
+    val wE = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short.join(vecs, "neighbor_id")
       .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
       .withColumn("rnk", row_number().over(wE).cast("long"))
       .where(col("rnk") <= k)

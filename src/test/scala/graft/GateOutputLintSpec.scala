@@ -37,7 +37,9 @@ class GateOutputLintSpec extends SparkSpec {
       val doc = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("COVERAGE.md")),
         java.nio.charset.StandardCharsets.UTF_8)
-      val mentioned = "q_[a-z0-9_]+".r.findAllIn(doc).toSet
+      // \b: a gate name never starts mid-word — without it, prose
+      // mentioning the `pq_code` column reads as a phantom gate "q_code".
+      val mentioned = "\\bq_[a-z0-9_]+".r.findAllIn(doc).toSet
       val qs = SparkEntry.queries.keySet
       // A q_ name in the docs that is not a registered gate is rot (a
       // renamed or deleted gate the docs still claim). Tokens ending in

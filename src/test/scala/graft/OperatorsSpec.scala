@@ -2288,5 +2288,72 @@ class OperatorsSpec extends SparkSpec {
       val bruteSet = brute.map { case (q, nb, _) => (q, nb) }
       pruned.count { case (q, nb, _) => bruteSet((q, nb)) }.toDouble / brute.size should be >= 0.8
     }
+
+    it("persisted IVF-PQ survives the whole lifecycle: frozen-codebook append, delete, retrain compact") {
+      val df    = corpus(150)
+      val model = Similarity.pqTrain(df, "vec_id", "embedding", m = 4, k = 16)
+      val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", nlist = 4)
+      val tmp = java.nio.file.Files.createTempDirectory("ivfpq_").toString
+      Similarity.persistIvfPqIndex(df, "vec_id", "embedding", cents, model, tmp)
+      def serve(qs: org.apache.spark.sql.DataFrame, corpusNow: org.apache.spark.sql.DataFrame) = {
+        val got = Similarity.ivfPqTopKFromPersisted(spark, tmp, qs, "vec_id", "embedding",
+            k = 5, nprobe = Similarity.ivfIndexNlist(spark, tmp), shortlist = 500)
+          .as[(Long, Long, Long)].collect().toSet
+        val brute = Similarity.bruteForceTopK(corpusNow, qs, "vec_id", "embedding", k = 5)
+          .as[(Long, Long, Long)].collect().toSet
+        (got, brute)
+      }
+      val qs = df.where("vec_id < 3")
+      val (g0, b0) = serve(qs, df); g0 shouldBe b0
+      // Append encodes with the FROZEN codebooks (no model retrain).
+      val extra = corpus(200).where("vec_id >= 150")
+      Similarity.appendToIvfIndex(extra, "vec_id", "embedding", tmp)
+      val union = df.unionByName(extra)
+      val dd0 = graft.operators.IndexStore.dataDir(spark, tmp)
+      spark.read.parquet(dd0).where("vec_id >= 150 AND pq_code IS NULL").count() shouldBe 0
+      val (g1, b1) = serve(qs, union); g1 shouldBe b1
+      // Tombstoned vectors vanish from serving.
+      Similarity.deleteFromIvfIndex(union.where("vec_id % 7 = 6").select("vec_id"), "vec_id", tmp)
+      val survivors = union.where("vec_id % 7 != 6")
+      val (g2, b2) = serve(qs, survivors); g2 shouldBe b2
+      // Retrain compact: new coarse quantizer, codes CARRIED (they
+      // quantize values, not cells), codebooks artifact carried, serving
+      // still exact vs the survivors.
+      Similarity.compactIvfIndex(spark, tmp, retrain = Similarity.RetrainMode.Always)
+      val dd = graft.operators.IndexStore.dataDir(spark, tmp)
+      dd should not equal dd0 // a generation actually flipped
+      spark.read.parquet(dd).columns should contain allOf ("pq_code", "pq_norm")
+      spark.read.parquet(dd).where("pq_code IS NULL").count() shouldBe 0
+      noException should be thrownBy Similarity.loadPqModel(spark, s"$dd/_graft_pq")
+      val (g3, b3) = serve(qs, survivors); g3 shouldBe b3
+    }
+
+    it("persisted IVF-PQ stage-1 scan is THIN (codes, never vectors) and partition-pruned") {
+      val df    = corpus(150)
+      val model = Similarity.pqTrain(df, "vec_id", "embedding", m = 4, k = 16)
+      val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", nlist = 4)
+      val tmp = java.nio.file.Files.createTempDirectory("ivfpq_plan_").toString
+      Similarity.persistIvfPqIndex(df, "vec_id", "embedding", cents, model, tmp)
+      val prior = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val served = Similarity.ivfPqTopKFromPersisted(spark, tmp, df.where("vec_id < 2"),
+          "vec_id", "embedding", k = 5, nprobe = 1, shortlist = 10)
+        served.collect()
+        val scans = served.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("ivfpq_plan_")) => f
+        }
+        // Two reads of the index: the thin ADC scan and the rescore scan.
+        val thin    = scans.filter(_.schema.fieldNames.contains("pq_code"))
+        val rescore = scans.filter(_.schema.fieldNames.contains("vec"))
+        thin should not be empty
+        rescore should not be empty
+        // The memory claim IN THE PLAN: no stage-1 scan reads the floats.
+        thin.foreach(_.schema.fieldNames should not contain "vec")
+        // And both reads prune to the probed cells (nprobe = 1 of 4).
+        (thin ++ rescore).foreach(_.selectedPartitions.partitionCount should be < 4)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+    }
   }
 }
