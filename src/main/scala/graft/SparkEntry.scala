@@ -613,6 +613,13 @@ object SparkEntry {
     "q_knn_ivf_serve_stream" -> ((s, dir) =>
       graft.streaming.StreamGates.ivfServeViaStream(s, dir)),
 
+    // Streamed persisted-IVF-PQ serving: thin code-column reads over the
+    // probed cells per trigger, vectors only for each batch's shortlist.
+    // Shares q_knn_ivf_pq_serve's exact oracle (exhaustive probe +
+    // generous shortlist + exact rescore → codebook-independent).
+    "q_knn_ivf_pq_serve_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.ivfPqServeViaStream(s, dir)),
+
     // Streamed substring-excision serving: new documents stream in; each
     // micro-batch is excised against the persisted corpus gram index
     // (bucket-pruned reads per trigger). Shares q_text_excise_serve's
@@ -5192,6 +5199,7 @@ object SparkEntry {
       "q_knn_pq_adc" -> exactKnnOracle(k = 10),
       "q_knn_ivf_pq" -> exactKnnOracle(k = 10),
       "q_knn_ivf_pq_serve" -> exactKnnOracle(k = 10),
+      "q_knn_ivf_pq_serve_stream" -> exactKnnOracle(k = 10),
       // Retrained quantizer + exhaustive probe = exact top-k over the
       // survivors, whatever centroids Lloyd landed on.
       "q_knn_ivf_retrain" -> exactKnnOracle(k = 10).replace(

@@ -1492,4 +1492,30 @@ object StreamGates {
         k = 10, nprobe = 4))
       .orderBy("query_id", "rnk")
   }
+
+  /** `q_knn_ivf_pq_serve_stream`: embedding queries stream against the
+    * PERSISTED IVF-PQ index ([[graft.operators.Similarity.ivfPqTopKFromPersisted]]
+    * inside foreachBatch — thin code-column reads over the probed cells
+    * per trigger, vectors touched only for each batch's shortlist). A
+    * query's ranking depends only on the frozen index, so streamed
+    * serving shares `q_knn_ivf_pq_serve`'s exact oracle verbatim —
+    * the persisted-PQ twin of [[ivfServeViaStream]].
+    */
+  def ivfPqServeViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{IvfPinned, Similarity}
+    val emb = graft.Tpch.table(spark, sfDir, "embeddings")
+    // Shares the PQ-bearing build with q_knn_ivf_pq_serve (read-only probes).
+    val indexDir = graft.GateCache.dir(s"ivfpqidx_full:$sfDir") { p =>
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding", m = 16, k = 64)
+      Similarity.persistIvfPqIndex(emb, "vec_id", "embedding", IvfPinned.centroids, model, p)
+    }
+    val queries = emb.where("vec_id < 5")
+      .select(col("vec_id"), col("embedding"),
+        timestamp_millis(lit(1700000000000L) + col("vec_id") * 1000L).as("ts"))
+    replayViaForeachBatch(spark, queries, "ts", chunks = 3,
+        stageKey = Some(s"ivfqueries:$sfDir"))(
+      b => Similarity.ivfPqTopKFromPersisted(spark, indexDir, b.drop("ts"), "vec_id", "embedding",
+        k = 10, nprobe = IvfPinned.nlist, shortlist = 128))
+      .orderBy("query_id", "rnk")
+  }
 }
