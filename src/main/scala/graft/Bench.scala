@@ -24,6 +24,23 @@ object Bench {
     try SparkEntry.queries("q_agg_group")(spark, "/root/testdata/sf0.001").count()
     catch { case _: Throwable => () }
 
+    // Box-speed canary: a fixed pure-Spark workload (range sum through a
+    // shuffle), best of 3 AFTER warmup, reported beside the sweep. The
+    // sweep's absolute seconds are only comparable across rounds when
+    // the box ran at the same speed — the round-13 close-out measured
+    // the SAME code at 371.7 s and 616.2 s hours apart under ambient
+    // host contention. canary_sec attests the box: divide sweeps by
+    // their canaries before reading a cross-round delta as a
+    // regression.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 50000000L, 1, 32)
+        .selectExpr("id % 97 AS k", "id AS v").groupBy("k").sum("v").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce()
+    val canary = (1 to 3).map(_ => canaryOnce()).min
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
@@ -32,9 +49,13 @@ object Bench {
       GateCache.releasePrivateCopies() // result materialized; outside the timer
       name -> dt
     }
+    // Bracket the sweep: ambient contention can arrive MID-run (observed
+    // canary 0.32 s at start of a sweep that still landed 30% slow), so
+    // the artifact carries the box speed at BOTH ends.
+    val canaryEnd = (1 to 3).map(_ => canaryOnce()).min
     val qs    = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json  = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json  = f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canary%.3f,"canary_end_sec":$canaryEnd%.3f,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also persist the full per-query map to a file: a log-tail capture
     // can truncate the (long) JSON line, and the sweep is the round's
