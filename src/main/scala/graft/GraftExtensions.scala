@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, Scrub, ScrubKernel}
+import graft.functions.{CosineSimilarity, PqAdcDot, Scrub, ScrubKernel}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
@@ -43,6 +43,20 @@ object GraftExtensions {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, s"graft_cosine expects 2 arguments, got ${children.size}")
         CosineSimilarity(children.head, children(1))
+      }
+    ),
+    (
+      FunctionIdentifier("graft_pq_adc_dot"),
+      new ExpressionInfo(
+        classOf[PqAdcDot].getCanonicalName,
+        null,
+        "graft_pq_adc_dot",
+        "graft_pq_adc_dot(codes, lut) - PQ asymmetric-distance dot: codes is a binary code word (one unsigned byte per subspace), lut the query's flat m*k float table; returns sum(lut[sub*k + codes[sub]])",
+        ""
+      ),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, s"graft_pq_adc_dot expects 2 arguments, got ${children.size}")
+        PqAdcDot(children.head, children(1))
       }
     )
   ) ++ ScrubKernel.kinds.map { case (kind, _) =>

@@ -33,6 +33,11 @@ class GraftExtensionsSpec extends SparkSpec {
       intercept[Exception] {
         ext.sql("SELECT graft_cosine(array(CAST(1 AS FLOAT)))").collect()
       }
+      // The PQ ADC kernel resolves from SQL text too: codes X'0100' =
+      // subspace codes (1, 0) against a 2x2 lut -> lut[0*2+1] + lut[1*2+0].
+      ext.sql("SELECT graft_pq_adc_dot(X'0100', array(CAST(0.5 AS FLOAT), " +
+          "CAST(1.5 AS FLOAT), CAST(2.5 AS FLOAT), CAST(3.5 AS FLOAT)))")
+        .head.getDouble(0) shouldBe 4.0
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
