@@ -634,9 +634,11 @@ object Similarity {
         if (!hasPq) newBatch.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
         else {
           val model = loadPqModel(spark, pqPath.toString)
-          pqEncode(newBatch, idCol, vecCol, model)
-            .join(newBatch.select(col(idCol), col(vecCol)), idCol)
-            .select(col(idCol).as("vec_id"), col(vecCol).as("vec"), col("pq_code"), col("pq_norm"))
+          newBatch
+            .select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+              pqEncoder(model)(col(vecCol)).as("__e"))
+            .select(col("vec_id"), col("vec"),
+              col("__e._1").as("pq_code"), col("__e._2").as("pq_norm"))
         }
       ivfAssign(base, "vec", cents)
         .repartition(col("cell"))
@@ -1108,7 +1110,17 @@ object Similarity {
     * same tier as [[quantizeInt8]] — encode runs once per corpus, the
     * probe-side hot loop is the native [[graft.functions.PqAdcDot]]).
     */
-  def pqEncode(df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame =
+    df.select(col(idCol), pqEncoder(model)(col(vecCol)).as("__e"))
+      .select(col(idCol), col("__e._1").as("pq_code"), col("__e._2").as("pq_norm"))
+
+  /** The scan-local encode kernel as a reusable Column — ONE pass
+    * produces (codes, norm) beside whatever else the caller selects, so
+    * writers never join the encode output back to the corpus (a
+    * corpus-sized shuffle at 10⁹ rows for data the same scan already
+    * held).
+    */
+  private def pqEncoder(model: PqModel): Column => Column = {
     val books = model.codebooks
     val dsub  = model.dsub
     val enc = udf { (v: Array[Float]) =>
@@ -1129,8 +1141,7 @@ object Similarity {
         (codes, math.sqrt(norm2).toFloat)
       }
     }
-    df.select(col(idCol), enc(col(vecCol)).as("__e"))
-      .select(col(idCol), col("__e._1").as("pq_code"), col("__e._2").as("pq_norm"))
+    (c: Column) => enc(c)
   }
 
   /** Query-side ADC lookup tables: for each query, the flat m·k float
@@ -1287,9 +1298,12 @@ object Similarity {
   ): Unit = {
     val spark = corpus.sparkSession
     graft.operators.IndexStore.overwriteRoot(spark, path) { dir =>
-      val coded = pqEncode(corpus, idCol, vecCol, model)
-        .join(corpus.select(col(idCol), col(vecCol)), idCol)
-        .select(col(idCol).as("vec_id"), col(vecCol).as("vec"), col("pq_code"), col("pq_norm"))
+      // ONE corpus pass: vector, codes, and norm from the same scan.
+      val coded = corpus
+        .select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+          pqEncoder(model)(col(vecCol)).as("__e"))
+        .select(col("vec_id"), col("vec"),
+          col("__e._1").as("pq_code"), col("__e._2").as("pq_norm"))
       ivfAssign(coded, "vec", centroids)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
