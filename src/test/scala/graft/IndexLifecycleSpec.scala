@@ -679,16 +679,35 @@ class IndexLifecycleSpec extends SparkSpec {
       // Gram: never has tombstones; single segment per bucket → healthy.
       val gram = tmpDir("mnt_gram_")
       Dedup.persistGramIndex(docsDf(1 to 30), "text", "doc_id", gram, k = 20)
+      // IVF-PQ: detects as plain "ivf" (the _graft_centroids artifact is
+      // the family marker; _graft_pq rides along) and a tombstone-fired
+      // compact purges it with the codes CARRIED.
+      def emb(ids: Range): DataFrame = ids.map { i =>
+        (i.toLong, Array.tabulate(8)(d => (((i + d) % 5) * 0.1).toFloat))
+      }.toDF("vec_id", "embedding")
+      val ivfpq = tmpDir("mnt_ivfpq_")
+      Similarity.persistIvfPqIndex(emb(1 to 40), "vec_id", "embedding",
+        Similarity.ivfCentroids(emb(1 to 40), "vec_id", "embedding", nlist = 2),
+        Similarity.pqTrain(emb(1 to 40), "vec_id", "embedding", m = 4, k = 8), ivfpq)
+      Similarity.deleteFromIvfIndex(
+        (1 to 40).filter(_ % 3 == 0).map(_.toLong).toDF("vec_id"), "vec_id", ivfpq)
 
-      val rows = CorpusPipeline.maintainIndexes(spark, Seq(jac, bm, gram))
+      val rows = CorpusPipeline.maintainIndexes(spark, Seq(jac, bm, gram, ivfpq))
         .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(7))).toMap
       rows(jac) shouldBe (("jaccard", "compact"))
       rows(bm) shouldBe (("bm25", "compact"))
       rows(gram) shouldBe (("gram", "none"))
+      rows(ivfpq)._1 shouldBe "ivf"
+      rows(ivfpq)._2 should (equal("compact") or equal("compact_retrain"))
       IndexStore.currentGeneration(spark, jac) shouldBe 1
       IndexStore.currentGeneration(spark, bm) shouldBe 1
       IndexStore.currentGeneration(spark, gram) shouldBe 0
+      IndexStore.currentGeneration(spark, ivfpq) shouldBe 1
       exists(s"${dataDir(jac)}/_graft_tombstones") shouldBe false
+      // The policy compact carried the PQ columns and the codebook artifact.
+      spark.read.parquet(dataDir(ivfpq)).columns should contain allOf ("pq_code", "pq_norm")
+      noException should be thrownBy
+        Similarity.loadPqModel(spark, s"${dataDir(ivfpq)}/_graft_pq")
     }
 
     it("a parallel-written fresh bm25 docs relation is ONE segment, not file-count segments") {
