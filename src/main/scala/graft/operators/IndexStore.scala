@@ -466,6 +466,44 @@ private[graft] object IndexStore {
 
   // ------------------------------------------------ selective compaction
 
+  /** At-most-once write per (streamId, batchId) — the foreachBatch retry
+    * guard every index-mutating stream body needs: Structured Streaming
+    * re-runs a failed batch with the SAME id, so `write` runs only if no
+    * token for this (stream, id) exists, and the token is created AFTER
+    * the write commits (the [[graft.sinks.VersionedTable.commitIdempotent]]
+    * pattern at the file layer; residual window = the instant between
+    * job commit and token create — closing it fully needs a
+    * transactional sink).
+    *
+    * `streamId` namespaces the ledger: batch ids are per-QUERY, so two
+    * different streams appending to the same index both have a batch 0 —
+    * an unnamespaced token would make the second stream silently skip
+    * its first write. The ledger self-prunes to the last two ids per
+    * stream (a retry can only re-run the CURRENT batch and a restart the
+    * last committed one), so it stays O(streams), not O(all batches
+    * ever). Returns true if `write` ran, false if the token short-circuited.
+    */
+  def withBatchToken(
+      spark: SparkSession, root: String, streamId: String, batchId: Long)(write: => Unit): Boolean = {
+    require(!streamId.exists(c => c == '/' || c == '\\'), s"streamId must be path-safe: $streamId")
+    val ledger = new Path(root, BatchTokensName)
+    val token  = new Path(ledger, s"$streamId-$batchId")
+    val fs     = fsOf(spark, token)
+    if (fs.exists(token)) return false
+    write
+    fs.mkdirs(ledger)
+    fs.create(token, false).close()
+    val prefix = s"$streamId-"
+    fs.listStatus(ledger).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(prefix)) {
+        val id = name.substring(prefix.length)
+        if (id.forall(_.isDigit) && id.toLong < batchId - 1) fs.delete(st.getPath, false)
+      }
+    }
+    true
+  }
+
   /** Per-partition data-file counts of a `partCol=<int>` parquet layout —
     * one driver-side directory listing; a partition with >1 data file
     * holds append segments and is DIRTY by the segment criterion.

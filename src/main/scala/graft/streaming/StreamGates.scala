@@ -1129,29 +1129,21 @@ object StreamGates {
   private[graft] def maintainBatchBody(
       spark: SparkSession,
       dir: String,
-      policy: graft.operators.CorpusPipeline.IndexMaintenancePolicy
+      policy: graft.operators.CorpusPipeline.IndexMaintenancePolicy,
+      streamId: String = "maint"
   )(b: DataFrame, batchId: Long): DataFrame = {
-    import graft.operators.{CorpusPipeline, Dedup}
-    // At-most-once APPEND per batchId: a batch-token marker (beside the
-    // generation dirs, inert to every reader) records that this id's
-    // write committed, so a retry re-running the body after a post-write
-    // failure (the sweep threw, the sink write died) skips the append
-    // instead of landing a duplicate band copy — batchId-derived
-    // create-vs-append alone only makes batch 0 idempotent (overwrite),
-    // appends need the token (the VersionedTable.commitIdempotent
-    // pattern). Residual window: a crash between the append's job commit
-    // and the marker create re-appends on retry — closing it fully needs
-    // a transactional sink; the token shrinks the exposure from the
-    // whole body to that instant. Delete + sweep stay outside the guard:
-    // both are idempotent (tombstones re-distinct, the sweep converges).
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$dir/${graft.operators.IndexStore.BatchTokensName}/batch-$batchId")
-    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!mfs.exists(marker)) {
+    import graft.operators.{CorpusPipeline, Dedup, IndexStore}
+    // At-most-once APPEND per (streamId, batchId): Structured Streaming
+    // re-runs a failed batch with the same id, so the write is guarded
+    // by [[IndexStore.withBatchToken]] — batchId-derived create-vs-append
+    // alone only makes batch 0 idempotent (overwrite); appends need the
+    // token, and the streamId namespace keeps two queries feeding one
+    // index from eating each other's batch 0. Delete + sweep stay
+    // OUTSIDE the guard: both are idempotent on their own (tombstones
+    // re-distinct, the sweep converges).
+    IndexStore.withBatchToken(spark, dir, streamId, batchId) {
       Dedup.persistSignatureIndex(
         Dedup.buildSignatureIndex(b, "text", "doc_id"), dir, append = batchId > 0)
-      mfs.mkdirs(marker.getParent)
-      mfs.create(marker, false).close()
     }
     Dedup.deleteFromPersistedIndex(
       b.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", dir)

@@ -371,4 +371,38 @@ class StreamingRecoverySpec extends SparkSpec {
     Dedup.loadSignatureIndex(spark, retriedDir).count() shouldBe
       Dedup.loadSignatureIndex(spark, cleanDir).count()
   }
+
+  it("batch tokens are stream-namespaced and the ledger self-prunes") {
+    import graft.operators.{Dedup, IndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("tok_ns_").toString + "/idx"
+    def docs(ids: Range) = ids.map(i => (i.toLong, s"alpha beta doc$i w${i % 5}"))
+      .toDF("doc_id", "text")
+    // Stream A's batch 0 creates; stream B ALSO has a batch 0 (batch ids
+    // are per-query) — without the streamId namespace B's first append
+    // would silently skip on A's token.
+    IndexStore.withBatchToken(spark, dir, "a", 0L) {
+      Dedup.persistSignatureIndex(Dedup.buildSignatureIndex(docs(1 to 10), "text", "doc_id"), dir)
+    } shouldBe true
+    IndexStore.withBatchToken(spark, dir, "b", 0L) {
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docs(11 to 20), "text", "doc_id"), dir, append = true)
+    } shouldBe true
+    Dedup.loadSignatureIndex(spark, dir).count() shouldBe 20 // both landed
+    // A retry of either (same stream, same id) short-circuits.
+    IndexStore.withBatchToken(spark, dir, "b", 0L) { fail("must not re-run") } shouldBe false
+    // The ledger keeps only the last two ids per stream — O(streams),
+    // not O(all batches ever).
+    (1L to 5L).foreach { i =>
+      IndexStore.withBatchToken(spark, dir, "a", i) {
+        Dedup.persistSignatureIndex(
+          Dedup.buildSignatureIndex(docs((20 + i * 10).toInt to (29 + i * 10).toInt), "text", "doc_id"),
+          dir, append = true)
+      }
+    }
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tokens = fs.listStatus(new org.apache.hadoop.fs.Path(dir, IndexStore.BatchTokensName))
+      .map(_.getPath.getName).sorted.toSeq
+    tokens.count(_.startsWith("a-")) shouldBe 2 // ids 4 and 5
+    tokens should contain allOf ("a-4", "a-5", "b-0")
+  }
 }
