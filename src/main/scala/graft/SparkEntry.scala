@@ -588,6 +588,16 @@ object SparkEntry {
     "q_index_maintain_stream" -> ((s, dir) =>
       graft.streaming.StreamGates.indexMaintainViaStream(s, dir)),
 
+    // CONTINUOUS VECTOR INGEST with automatic IVF-PQ upkeep — the
+    // billion-vector family's daily-crawl shape: batches append encoded
+    // under the frozen codebooks, forget their % 3 ids, and the policy
+    // sweep compacts MID-STREAM (codes carried; the PQ-drift Auto check
+    // rides each fired compact). Post-stream serving (thin ADC stage +
+    // exact rescore, exhaustive probe) must equal the exact top-k over
+    // the survivors.
+    "q_ivfpq_maintain_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.ivfPqMaintainViaStream(s, dir)),
+
     // Streamed-query retrieval serving: each micro-batch of queries
     // probes the persisted TERM-BUCKETED BM25 index (partition-pruned
     // postings reads per trigger). Shares q_bm25_topk's oracle.
@@ -2215,6 +2225,33 @@ object SparkEntry {
       }
       Similarity.ivfPqTopKFromPersisted(s, idx, emb.where("vec_id < 5"), "vec_id", "embedding",
           k = 10, nprobe = graft.operators.IvfPinned.nlist, shortlist = 128)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // PQ CODEBOOK REFRESH on compact — the last frozen artifact's drift
+    // cure, end-to-end: build IVF-PQ on the lower half (codebooks trained
+    // there), append the upper half encoded under the FROZEN books,
+    // tombstone % 3, then compactIvfIndex(pqRefresh = Always) — pqTrain
+    // re-runs on the survivors and every row re-encodes riding the
+    // rewrite, with a fresh drift baseline recorded. The exhaustive
+    // probe's exact rescore makes the ranking CODEBOOK-independent:
+    // whatever books the refresh learned, serving must equal the exact
+    // top-k over the survivors (PqSoak measures the recall the refresh
+    // buys; this gate pins that it never costs correctness).
+    "q_knn_ivf_pq_maintain" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val mid = emb.agg(max(col("vec_id").cast("long"))).head.getLong(0) / 2
+      val tmp = graft.GateCache.privateCopy(s"ivfpqidx_2seg:$dir") { p =>
+        val lower = emb.where(col("vec_id") <= mid)
+        val model = Similarity.pqTrain(lower, "vec_id", "embedding", m = 16, k = 64)
+        Similarity.persistIvfPqIndex(lower, "vec_id", "embedding",
+          graft.operators.IvfPinned.centroids, model, p)
+        Similarity.appendToIvfIndex(emb.where(col("vec_id") > mid), "vec_id", "embedding", p)
+      }
+      Similarity.deleteFromIvfIndex(emb.where(col("vec_id") % 3 === 0).select("vec_id"), "vec_id", tmp)
+      Similarity.compactIvfIndex(s, tmp, pqRefresh = Similarity.PqRefreshMode.Always)
+      Similarity.ivfPqTopKFromPersisted(s, tmp, emb.where("vec_id < 5"), "vec_id", "embedding",
+          k = 10, nprobe = Similarity.ivfIndexNlist(s, tmp), shortlist = 128)
         .orderBy("query_id", "rnk")
     }),
 
@@ -5200,6 +5237,29 @@ object SparkEntry {
       "q_knn_ivf_pq" -> exactKnnOracle(k = 10),
       "q_knn_ivf_pq_serve" -> exactKnnOracle(k = 10),
       "q_knn_ivf_pq_serve_stream" -> exactKnnOracle(k = 10),
+      // Refreshed PQ codebooks + exact rescore = exact top-k over the
+      // survivors, whatever books pqTrain landed on (codebook-independent
+      // by the rescore construction).
+      "q_knn_ivf_pq_maintain" -> exactKnnOracle(k = 10).replace(
+        "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),",
+        "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 3 <> 0),"),
+
+      // Streamed IVF-PQ maintenance: three deterministic 'compact' audit
+      // rows (tombstone-fired, generations 1..3) + the survivor-exact
+      // probe (rnk is the probe's own ranking column; audit rows carry
+      // -1 sentinels).
+      "q_ivfpq_maintain_stream" ->
+        s"""SELECT surface, action, generation, query_id, neighbor_id, rnk FROM (
+           |SELECT 'audit' AS surface, 'compact' AS action, CAST(g AS BIGINT) AS generation,
+           |       CAST(-1 AS BIGINT) AS query_id, CAST(-1 AS BIGINT) AS neighbor_id,
+           |       CAST(-1 AS BIGINT) AS rnk FROM (VALUES (1),(2),(3)) AS t(g)
+           |UNION ALL
+           |SELECT 'probe', '-', CAST(-1 AS BIGINT), query_id, neighbor_id, rnk
+           |FROM (${exactKnnOracle(k = 10).replace(
+        "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),",
+        "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 3 <> 0),")})
+           |) ORDER BY surface, query_id, neighbor_id, rnk, generation""".stripMargin,
+
       // Retrained quantizer + exhaustive probe = exact top-k over the
       // survivors, whatever centroids Lloyd landed on.
       "q_knn_ivf_retrain" -> exactKnnOracle(k = 10).replace(

@@ -180,27 +180,29 @@ object CorpusPipeline {
       ivfRetrain: Similarity.RetrainMode,
       jaccardRefresh: Dedup.RefreshMode = Dedup.RefreshMode.Never,
       keepGens: Int = 1,
-      minRetentionMs: Long = 0L
+      minRetentionMs: Long = 0L,
+      pqRefresh: Similarity.PqRefreshMode = Similarity.PqRefreshMode.Never
   ): Unit = family match {
     case "signature"   => Dedup.compactSignatureIndex(spark, p, selective, keepGens, minRetentionMs)
     case "fingerprint" => Dedup.compactFingerprintIndex(spark, p, selective, keepGens, minRetentionMs)
     case "jaccard"     => Dedup.compactJaccardIndex(spark, p, selective, keepGens, minRetentionMs,
       refresh = jaccardRefresh)
     case "ivf"         => Similarity.compactIvfIndex(spark, p, selective, retrain = ivfRetrain,
-      keepGens = keepGens, minRetentionMs = minRetentionMs)
+      keepGens = keepGens, minRetentionMs = minRetentionMs, pqRefresh = pqRefresh)
     case "bm25"        => TextAnalysis.compactBm25Index(spark, p, selective, keepGens, minRetentionMs)
     case "gram"        => Dedup.compactGramIndex(spark, p, selective, keepGens, minRetentionMs)
   }
 
-  /** The partitioned data relations of each family (dir, partition
-    * column), relative to the resolved live generation — what the
-    * maintenance sweep lists for append-segment pressure.
+  /** The partitioned data relations of each family (relation subpath,
+    * partition column — `""` for single-relation families whose data
+    * sits at the generation root) — what the maintenance sweep
+    * inspects for append-segment pressure.
     */
-  private def familyRelations(family: String, live: String): Seq[(String, String)] = family match {
-    case "signature" | "fingerprint" | "gram" => Seq((live, "bucket"))
-    case "jaccard" => Seq((s"$live/postings", "bucket"), (s"$live/fullsets", "dbucket"))
-    case "bm25"    => Seq((s"$live/postings", "bucket"), (s"$live/terms", "bucket"))
-    case "ivf"     => Seq((live, "cell"))
+  private def familyRelations(family: String): Seq[(String, String)] = family match {
+    case "signature" | "fingerprint" | "gram" => Seq(("", "bucket"))
+    case "jaccard" => Seq(("postings", "bucket"), ("fullsets", "dbucket"))
+    case "bm25"    => Seq(("postings", "bucket"), ("terms", "bucket"))
+    case "ivf"     => Seq(("", "cell"))
   }
 
   /** When is an index WORTH compacting — the operational policy
@@ -217,8 +219,10 @@ object CorpusPipeline {
     *
     * `maxAppendByteFraction` is the byte-MASS twin of the segment-count
     * trigger, read from the SAME directory listing (zero data pages):
-    * the fraction of relation bytes beyond each partition's BASE file
-    * (oldest by mtime — see [[graft.operators.IndexStore.partitionByteStats]])
+    * the fraction of relation bytes beyond each partition's RECORDED
+    * base (the generation manifest's file list — see
+    * [[graft.operators.IndexStore.relStats]]; oldest-by-mtime fallback
+    * for never-compacted indexes)
     * — i.e. the appended mass a compact would fold. Count alone is
     * blind to segment size: one corpus-doubling backfill lands as a
     * single segment per partition, sits under any count threshold
@@ -287,20 +291,24 @@ object CorpusPipeline {
     val audits = Await.result(Future.sequence(indexPaths.map { p => Future {
       val family = detectFamily(spark, p)
       val live   = IndexStore.dataDir(spark, p)
-      val rels   = familyRelations(family, live)
-      // ONE listing per relation yields both maintenance signals: segment
-      // COUNT (file fan-out — what every probe's scan pays) and append
-      // byte MASS (all bytes beyond each partition's OLDEST file — what
-      // one huge backfill segment contributes while staying under any
-      // count threshold). Count alone is blind to segment size; mass
-      // alone is blind to many-tiny-files fan-out; together they cover
-      // both failure shapes with zero data pages read.
-      val stats = rels.flatMap { case (dir, partCol) =>
-        IndexStore.partitionByteStats(spark, dir, partCol).values
+      val rels   = familyRelations(family)
+      // ONE listing per relation location yields both maintenance
+      // signals: segment COUNT (file fan-out — what every probe's scan
+      // pays) and append byte MASS (bytes beyond each partition's
+      // RECORDED base — what one huge backfill segment contributes while
+      // staying under any count threshold). The base comes from the
+      // generation manifest where one exists (recorded at compact time —
+      // exact under carry/copy/restore) and falls back to the flat-era
+      // oldest-file heuristic for never-compacted indexes. Count alone
+      // is blind to segment size; mass alone is blind to
+      // many-tiny-files fan-out; together they cover both failure
+      // shapes with zero data pages read.
+      val stats = rels.flatMap { case (rel, partCol) =>
+        IndexStore.relStats(spark, live, rel, partCol).values
       }
-      val segCounts   = stats.map(_._1)
-      val totalBytes  = stats.map(_._2).sum
-      val appendBytes = stats.map(s => s._2 - s._3).sum
+      val segCounts   = stats.map(_.segments)
+      val totalBytes  = stats.map(_.bytes).sum
+      val appendBytes = stats.map(s => s.bytes - s.baseBytes).sum
       val appendByteFrac =
         if (totalBytes == 0L) 0.0 else appendBytes.toDouble / totalBytes.toDouble
       // BM25's docs relation is unpartitioned and written with whatever
@@ -320,9 +328,12 @@ object CorpusPipeline {
         if (!tsPath.getFileSystem(conf).exists(tsPath)) 0L
         else spark.read.option("mergeSchema", "true").parquet(tsPath.toString).distinct().count()
       // Parquet footer statistic — no data pages read.
-      val dataRows = rels.headOption.map { case (dir, _) =>
-        val dp = new org.apache.hadoop.fs.Path(dir)
-        if (dp.getFileSystem(conf).exists(dp)) spark.read.parquet(dir).count() else 0L
+      val dataRows = rels.headOption.map { case (rel, partCol) =>
+        val dp = new org.apache.hadoop.fs.Path(if (rel.isEmpty) live else s"$live/$rel")
+        val manifested = IndexStore.readManifest(spark, live).exists(_.exists(_.rel == rel))
+        if (manifested || dp.getFileSystem(conf).exists(dp))
+          IndexStore.readRel(spark, live, rel, partCol).count()
+        else 0L
       }.getOrElse(0L)
       val imbalance =
         if (family == "ivf") Some(Similarity.ivfCellImbalance(spark, p)) else None
@@ -347,19 +358,62 @@ object CorpusPipeline {
             val mode =
               if (action == "compact_retrain") Similarity.RetrainMode.Always
               else Similarity.RetrainMode.Never
-            // A fired Jaccard compact folds the dictionary-drift check in
-            // (Auto): the rewrite is being paid for anyway, so a drifted
-            // frozen order refreshes in the same pass — the IVF
-            // retrain-on-compact argument applied to prefix selectivity.
+            // A fired compact folds every frozen-artifact drift check in
+            // (Auto modes): the rewrite is being paid for anyway, so a
+            // drifted Jaccard order refreshes in the same pass — and a
+            // PQ-bearing IVF index whose sampled quantization error grew
+            // past the Auto threshold retrains its codebooks riding the
+            // same rewrite (the retrain-on-compact argument applied to
+            // the last frozen artifact).
             compactFamily(spark, p, family, selective = true, ivfRetrain = mode,
               jaccardRefresh = Dedup.RefreshMode.Auto(),
-              keepGens = policy.keepGenerations, minRetentionMs = policy.minRetentionMs)
+              keepGens = policy.keepGenerations, minRetentionMs = policy.minRetentionMs,
+              pqRefresh = Similarity.PqRefreshMode.Auto())
           }
         }),
         Duration.Inf)
     }
     audits.toDF("index_path", "family", "max_segments", "tombstone_rows",
       "data_rows", "ivf_imbalance", "append_byte_frac", "action")
+  }
+
+  /** Policy-driven RETENTION sweep over a mixed list of persisted
+    * indexes — [[maintainIndexes]]' companion for the OTHER half of the
+    * storage story: maintenance decides when to REWRITE (fold segments,
+    * purge tombstones, refresh drifted artifacts); vacuum decides when
+    * history may be RECLAIMED. One call reports (and, unless `dryRun`,
+    * executes) per index how many bytes of retired generations are
+    * reclaimable under the policy's two horizons — `keepGenerations`
+    * (count) and `minRetentionMs` (age since retire) — with
+    * manifest-referenced donor subtrees always exempt (they are live
+    * data however old the generation that physically holds them; see
+    * [[graft.operators.IndexStore.vacuum]]).
+    *
+    * Returns (index_path, family, current_generation, reclaimable_bytes,
+    * action) — `action` ∈ none | vacuum (| vacuum_dry_run).
+    */
+  def vacuumIndexes(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPaths: Seq[String],
+      policy: IndexMaintenancePolicy = IndexMaintenancePolicy(),
+      dryRun: Boolean = false
+  ): DataFrame = {
+    require(indexPaths.nonEmpty, "vacuumIndexes: no index paths given")
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rows = Await.result(Future.sequence(indexPaths.map { p => Future {
+      val family = detectFamily(spark, p)
+      val cur    = IndexStore.currentGeneration(spark, p)
+      val bytes  = IndexStore.vacuum(spark, p,
+        minRetentionMs = policy.minRetentionMs,
+        keepGens = policy.keepGenerations, dryRun = dryRun)
+      val action =
+        if (bytes == 0L) "none" else if (dryRun) "vacuum_dry_run" else "vacuum"
+      (p, family, cur.toLong, bytes, action)
+    }}), Duration.Inf)
+    rows.toDF("index_path", "family", "current_generation", "reclaimable_bytes", "action")
   }
 
   private def chain(

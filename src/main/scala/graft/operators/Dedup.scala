@@ -1331,6 +1331,28 @@ object Dedup {
       }
   }
 
+  /** [[persistSignatureIndex]]'s append for STREAMING bodies: the batch
+    * lands under deterministic (streamId, batchId)-derived file names
+    * via [[graft.operators.IndexStore.appendBatchExactlyOnce]], so a
+    * foreachBatch retry — at ANY crash point, including between the data
+    * commit and the batch-token create — converges to exactly one copy
+    * of the batch's band rows. Same meta contract as the plain append.
+    */
+  def appendToSignatureIndexExactlyOnce(
+      index: DataFrame,
+      path: String,
+      streamId: String,
+      batchId: Long
+  ): Unit = {
+    val spark = index.sparkSession
+    IndexStore.withWriterLease(spark, path) {
+      val m = readSignatureIndexMeta(spark, path)
+      val banded = bandedSignatures(index, m.numHashes, m.bands)
+        .withColumn("bucket", bandBucket(m.keyBuckets))
+      IndexStore.appendBatchExactlyOnce(spark, path, "", "bucket", streamId, batchId)(banded)
+    }
+  }
+
   private def tombstonePath(path: String) = s"$path/_graft_tombstones"
 
   /** LOGICAL deletes for a persisted signature index — the
@@ -1432,12 +1454,14 @@ object Dedup {
   ): Unit =
     IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones"),
       keepGens = keepGens, minRetentionMs = minRetentionMs) { (live, staged) =>
-      val ts     = tombstonesAt(spark, live)
-      val counts = IndexStore.partitionFileCounts(spark, live, "bucket")
-      val multi  = counts.filter(_._2 > 1).keySet
+      val root  = IndexStore.rootOf(live)
+      val ts    = tombstonesAt(spark, live)
+      val stats = IndexStore.relStats(spark, live, "", "bucket")
+      val multi = stats.filter(_._2.dirty).keySet
+      val rel   = IndexStore.readRel(spark, live, "", "bucket")
       val tsTouched = ts match {
         case Some(t) =>
-          IndexStore.tombstoneTouchedParts(spark.read.parquet(live), "bucket", "doc_id", t, "doc_id")
+          IndexStore.tombstoneTouchedParts(rel, "bucket", "doc_id", t, "doc_id")
         case None => Set.empty[Int]
       }
       val dirty = multi ++ tsTouched
@@ -1445,15 +1469,18 @@ object Dedup {
         case Some(t) => df.join(org.apache.spark.sql.functions.broadcast(t), Seq("doc_id"), "left_anti")
         case None    => df
       }
-      if (!selective || counts.isEmpty || dirty.size * 5 >= counts.size * 4)
-        minus(spark.read.parquet(live))
+      if (!selective || stats.isEmpty || dirty.size * 5 >= stats.size * 4)
+        minus(rel).repartition(col("bucket")).write.partitionBy("bucket").parquet(staged)
+      else if (dirty.nonEmpty)
+        minus(rel.where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*)))
           .repartition(col("bucket")).write.partitionBy("bucket").parquet(staged)
-      else {
-        if (dirty.nonEmpty)
-          minus(spark.read.parquet(live).where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*)))
-            .repartition(col("bucket")).write.partitionBy("bucket").parquet(staged)
-        IndexStore.carryPartitions(spark, live, staged, "bucket", (counts.keySet -- dirty).toSeq.sorted)
-      }
+      // Clean partitions carry as MANIFEST REFERENCES (one line each, any
+      // filesystem); rewritten ones record their fresh base files.
+      IndexStore.writeManifest(spark, staged,
+        IndexStore.stagedEntries(spark, root, staged, "", "bucket") ++
+          IndexStore.carriedEntries(spark, root, live, "", "bucket",
+            if (!selective || stats.isEmpty || dirty.size * 5 >= stats.size * 4) Nil
+            else (stats.keySet -- dirty).toSeq.sorted))
     }
 
   /** Compact a persisted Jaccard prefix index: both data relations
@@ -1506,20 +1533,21 @@ object Dedup {
         case None    => df
       }
       val (tmI, keyBuckets, docBuckets) = readJaccardIndexMetaAt(spark, live)
-      def rewriteRel(rel: String, partCol: String, tsTouched: => Set[Int]): Unit = {
-        val liveRel   = s"$live/$rel"
+      val root = IndexStore.rootOf(live)
+      def rewriteRel(rel: String, partCol: String, tsTouched: => Set[Int]): Seq[IndexStore.ManifestEntry] = {
         val stagedRel = s"$staged/$rel"
-        val counts = IndexStore.partitionFileCounts(spark, liveRel, partCol)
-        val dirty  = counts.filter(_._2 > 1).keySet ++ (if (ts.isDefined) tsTouched else Set.empty[Int])
-        if (!selective || counts.isEmpty || dirty.size * 5 >= counts.size * 4)
-          minus(spark.read.parquet(liveRel))
+        val stats = IndexStore.relStats(spark, live, rel, partCol)
+        val src   = IndexStore.readRel(spark, live, rel, partCol)
+        val dirty = stats.filter(_._2.dirty).keySet ++ (if (ts.isDefined) tsTouched else Set.empty[Int])
+        val full  = !selective || stats.isEmpty || dirty.size * 5 >= stats.size * 4
+        if (full)
+          minus(src).repartition(col(partCol)).write.partitionBy(partCol).parquet(stagedRel)
+        else if (dirty.nonEmpty)
+          minus(src.where(col(partCol).isin(dirty.toSeq.sorted.map(b => b: Any): _*)))
             .repartition(col(partCol)).write.partitionBy(partCol).parquet(stagedRel)
-        else {
-          if (dirty.nonEmpty)
-            minus(spark.read.parquet(liveRel).where(col(partCol).isin(dirty.toSeq.sorted.map(b => b: Any): _*)))
-              .repartition(col(partCol)).write.partitionBy(partCol).parquet(stagedRel)
-          IndexStore.carryPartitions(spark, liveRel, stagedRel, partCol, (counts.keySet -- dirty).toSeq.sorted)
-        }
+        IndexStore.stagedEntries(spark, root, staged, rel, partCol) ++
+          IndexStore.carriedEntries(spark, root, live, rel, partCol,
+            if (full) Nil else (stats.keySet -- dirty).toSeq.sorted)
       }
       val doRefresh = refresh match {
         case RefreshMode.Never  => false
@@ -1532,30 +1560,33 @@ object Dedup {
               (if (fire) "REFRESHING dictionary (full prefix re-derivation)" else "carrying frozen order"))
           fire
       }
-      if (doRefresh) {
-        // Fresh frequencies from the survivors' FULL sets, prefixes
-        // re-derived under the new (dfreq, tok) order — a changed order
-        // moves prefix membership, so postings rewrite entirely; the
-        // replacement dictionary installs in the SAME atomic generation
-        // (a probe never ranks by one order against the other's
-        // postings). `fullsets` content is order-independent: its
-        // rewrite keeps the selective dirty-partition cost model.
-        val liveToks = Lineage.truncate(
-          minus(spark.read.parquet(s"$live/fullsets")).select("doc_id", "tok"))
-        val freshDict = Lineage.truncate(
-          liveToks.groupBy("tok").agg(count(lit(1)).as("dfreq")))
-        jaccardPrefix(liveToks, freshDict, tmI.toLong)
-          .withColumn("bucket", pmod(xxhash64(col("tok")), lit(keyBuckets.toLong)).cast("int"))
-          .repartition(col("bucket"))
-          .write.partitionBy("bucket").parquet(s"$staged/postings")
-        freshDict.write.parquet(s"$staged/_graft_jidx_dict") // wins over meta carry
-      } else
-        rewriteRel("postings", "bucket",
-          IndexStore.tombstoneTouchedParts(
-            spark.read.parquet(s"$live/postings"), "bucket", "doc_id", ts.get, "doc_id"))
-      rewriteRel("fullsets", "dbucket",
+      val postingsEntries =
+        if (doRefresh) {
+          // Fresh frequencies from the survivors' FULL sets, prefixes
+          // re-derived under the new (dfreq, tok) order — a changed order
+          // moves prefix membership, so postings rewrite entirely; the
+          // replacement dictionary installs in the SAME atomic generation
+          // (a probe never ranks by one order against the other's
+          // postings). `fullsets` content is order-independent: its
+          // rewrite keeps the selective dirty-partition cost model.
+          val liveToks = Lineage.truncate(
+            minus(IndexStore.readRel(spark, live, "fullsets", "dbucket")).select("doc_id", "tok"))
+          val freshDict = Lineage.truncate(
+            liveToks.groupBy("tok").agg(count(lit(1)).as("dfreq")))
+          jaccardPrefix(liveToks, freshDict, tmI.toLong)
+            .withColumn("bucket", pmod(xxhash64(col("tok")), lit(keyBuckets.toLong)).cast("int"))
+            .repartition(col("bucket"))
+            .write.partitionBy("bucket").parquet(s"$staged/postings")
+          freshDict.write.parquet(s"$staged/_graft_jidx_dict") // wins over meta carry
+          IndexStore.stagedEntries(spark, root, staged, "postings", "bucket")
+        } else
+          rewriteRel("postings", "bucket",
+            IndexStore.tombstoneTouchedParts(
+              IndexStore.readRel(spark, live, "postings", "bucket"), "bucket", "doc_id", ts.get, "doc_id"))
+      val fullsetsEntries = rewriteRel("fullsets", "dbucket",
         ts.get.select(pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)).cast("int").as("dbucket"))
           .distinct().collect().map(_.getInt(0)).toSet)
+      IndexStore.writeManifest(spark, staged, postingsEntries ++ fullsetsEntries)
     }
 
   /** Reload the COMPACT `(doc_id, sig)` index from a persisted banded one
@@ -1567,7 +1598,7 @@ object Dedup {
   def loadSignatureIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val dd = IndexStore.dataDir(spark, path) // resolve once — never mixes generations
     dropTombstoned(
-      spark.read.parquet(dd).where(col("band") === 0).select("doc_id", "sig"),
+      IndexStore.readRel(spark, dd, "", "bucket").where(col("band") === 0).select("doc_id", "sig"),
       "doc_id", dd)
   }
 
@@ -1606,7 +1637,7 @@ object Dedup {
     if (touched.isEmpty) empty
     else {
       val idx = dropTombstoned(
-        spark.read.parquet(dd)
+        IndexStore.readRel(spark, dd, "", "bucket")
           .where(col("bucket").isin(touched.map(b => b: Any): _*))
           .select(col("doc_id").as("oid"), col("sig").as("osig"), col("bucket"), col("band"), col("key")),
         "oid", dd)
@@ -1875,9 +1906,9 @@ object Dedup {
       case None    => df
     }
     val frozen = spark.read.parquet(s"$dd/_graft_jidx_dict")
-    val fresh = minus(spark.read.parquet(s"$dd/fullsets").select("doc_id", "tok"))
+    val fresh = minus(IndexStore.readRel(spark, dd, "fullsets", "dbucket").select("doc_id", "tok"))
       .groupBy("tok").agg(count(lit(1)).as("dfreq"))
-    val mass = minus(spark.read.parquet(s"$dd/postings").select("doc_id", "tok"))
+    val mass = minus(IndexStore.readRel(spark, dd, "postings", "bucket").select("doc_id", "tok"))
       .groupBy("tok").agg(count(lit(1)).as("mass"))
     // Percentile of each token in a dict's (dfreq asc) order via the
     // distinct-dfreq CDF: pct = |entries with strictly smaller dfreq| / |vocab|.
@@ -1977,7 +2008,7 @@ object Dedup {
       .toDF("doc_id", "matched_id", "inter", "size_a", "size_b", "jaccard_milli")
     if (touched.isEmpty) return empty
     val postings = dropTombstoned(
-      spark.read.parquet(s"$dd/postings")
+      IndexStore.readRel(spark, dd, "postings", "bucket")
         .where(col("bucket").isin(touched.map(b => b: Any): _*))
         .select(col("bucket"), col("tok"), col("doc_id").as("oid"), col("sz").as("sb")),
       "oid", dd)
@@ -1996,7 +2027,7 @@ object Dedup {
       .select(pmod(xxhash64(col("oid")), lit(docBuckets.toLong)).cast("int").as("dbucket"))
       .distinct().as[Int].collect().sorted
     if (candBuckets.isEmpty) return empty
-    val fullsets = spark.read.parquet(s"$dd/fullsets")
+    val fullsets = IndexStore.readRel(spark, dd, "fullsets", "dbucket")
       .where(col("dbucket").isin(candBuckets.map(b => b: Any): _*))
       .select(col("doc_id").as("oid"), col("tok"))
     cand
@@ -2186,7 +2217,7 @@ object Dedup {
     if (touched.isEmpty) empty
     else {
       val idx = dropTombstoned(
-        spark.read.parquet(dd)
+        IndexStore.readRel(spark, dd, "", "bucket")
           .where(col("bucket").isin(touched.map(b => b: Any): _*))
           .select(col("doc_id").as("oid"), col("fp").as("ofp"), col("bucket"), col("band"), col("key")),
         "oid", dd)
@@ -2526,18 +2557,22 @@ object Dedup {
   ): Unit =
     IndexStore.swapGeneration(spark, path, dropMeta = Set.empty,
       keepGens = keepGens, minRetentionMs = minRetentionMs) { (live, staged) =>
-      val counts = IndexStore.partitionFileCounts(spark, live, "bucket")
-      val dirty  = counts.filter(_._2 > 1).keySet
-      if (!selective || counts.isEmpty || dirty.size * 5 >= counts.size * 4)
-        spark.read.parquet(live).select("g", "bucket").distinct()
+      val root  = IndexStore.rootOf(live)
+      val stats = IndexStore.relStats(spark, live, "", "bucket")
+      val dirty = stats.filter(_._2.dirty).keySet
+      val src   = IndexStore.readRel(spark, live, "", "bucket")
+      val full  = !selective || stats.isEmpty || dirty.size * 5 >= stats.size * 4
+      if (full)
+        src.select("g", "bucket").distinct()
           .repartition(col("bucket")).write.partitionBy("bucket").parquet(staged)
-      else {
-        if (dirty.nonEmpty)
-          spark.read.parquet(live).where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*))
-            .select("g", "bucket").distinct()
-            .repartition(col("bucket")).write.partitionBy("bucket").parquet(staged)
-        IndexStore.carryPartitions(spark, live, staged, "bucket", (counts.keySet -- dirty).toSeq.sorted)
-      }
+      else if (dirty.nonEmpty)
+        src.where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*))
+          .select("g", "bucket").distinct()
+          .repartition(col("bucket")).write.partitionBy("bucket").parquet(staged)
+      IndexStore.writeManifest(spark, staged,
+        IndexStore.stagedEntries(spark, root, staged, "", "bucket") ++
+          IndexStore.carriedEntries(spark, root, live, "", "bucket",
+            if (full) Nil else (stats.keySet -- dirty).toSeq.sorted))
     }
 
   /** Excise from NEW documents every maximal span covered by k-grams that
@@ -2569,7 +2604,7 @@ object Dedup {
     val hits =
       if (touched.isEmpty) spark.emptyDataset[(Long, Long)].toDF("doc_id", "pos")
       else {
-        val idx = spark.read.parquet(dd)
+        val idx = IndexStore.readRel(spark, dd, "", "bucket")
           .where(col("bucket").isin(touched.map(b => b: Any): _*))
           .select("bucket", "g").distinct()
         grams.join(idx, Seq("bucket", "g"), "left_semi").select("doc_id", "pos")

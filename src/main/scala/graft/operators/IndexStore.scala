@@ -25,17 +25,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    mid-flip finish; it is reclaimed by the NEXT compaction or an
   *    explicit [[vacuum]].
   *
-  *  - '''Selective (dirty-partition-only) compaction.''' A full-index
-  *    rewrite at 10⁹ docs to purge 0.1% of rows inverts the amortization
-  *    argument, so the family compactors rewrite ONLY dirty partitions —
-  *    those holding append segments (>1 data file) or tombstoned rows —
-  *    and carry every clean partition into the new generation by
-  *    HARDLINK (metadata-only on any POSIX filesystem; byte copy on
-  *    filesystems without links, where the manifest-based
-  *    [[graft.sinks.VersionedTable]] layer is the right substrate — see
-  *    [[carryPartitions]]). Compact cost is proportional to the dirty
-  *    fraction, not the index size ([[graft.tools.CompactionSoak]]
-  *    measures exactly that).
+  *  - '''Selective (dirty-partition-only) compaction, MANIFEST-carried.'''
+  *    A full-index rewrite at 10⁹ docs to purge 0.1% of rows inverts the
+  *    amortization argument, so the family compactors rewrite ONLY dirty
+  *    partitions — those holding append segments or tombstoned rows —
+  *    and carry every clean partition into the new generation BY
+  *    REFERENCE: the generation's `_graft_manifest` lists, per
+  *    (relation, partition), the partition's physical HOME directory
+  *    (root-relative — possibly an older generation, possibly the
+  *    flat-era root) plus its recorded base files. A carry is ONE
+  *    MANIFEST LINE on any filesystem — local, HDFS, object store —
+  *    where the previous hardlink carry was metadata-only on POSIX but
+  *    silently degraded to a full byte copy of every clean partition
+  *    everywhere else (exactly where 100-TB indexes live). Readers
+  *    resolve relations through the manifest ([[readRel]]): referenced
+  *    dirs group by parent into one partition-discovered scan per donor
+  *    generation, unioned — filter pushdown and partition pruning intact
+  *    per branch. Generation reclamation honors references:
+  *    [[cleanup]] keeps any donor directory a retained generation's
+  *    manifest still points into (pruning the UNREFERENCED subtrees, so
+  *    retained bytes stay ∝ referenced data, not donor-generation size).
+  *    The recorded base files also replace mtime-inferred base/segment
+  *    accounting: dirtiness is `files present > files recorded`, and
+  *    appended byte mass is `bytes present − bytes recorded`
+  *    ([[relStats]]) — exact under copy/restore, where mtime heuristics
+  *    drift. Compact cost is proportional to the dirty fraction, not the
+  *    index size ([[graft.tools.CompactionSoak]] measures exactly that).
   *
   *  - '''Multi-writer safety.''' Appends, tombstone deletes, and
   *    compactions serialize on a per-index writer LEASE
@@ -105,6 +120,290 @@ private[graft] object IndexStore {
     else new Path(d).getName.stripPrefix(GenPrefix).toInt
   }
 
+  /** The index ROOT a resolved data dir belongs to: its parent for a
+    * generation dir, itself for the flat layout. Manifest entries record
+    * root-relative paths, so readers recover the root from the dir they
+    * already hold.
+    */
+  def rootOf(dd: String): String = {
+    val p = new Path(dd)
+    if (p.getName.startsWith(GenPrefix)) p.getParent.toString else dd
+  }
+
+  // ------------------------------------------------------------- manifest
+
+  /** One (relation, partition) of a generation's manifest: where the
+    * partition's data physically lives (`dir`, relative to the index
+    * ROOT — its own generation for rewritten partitions, an older
+    * generation or the flat-era root for carried ones) and the BASE
+    * data files recorded there at compact time (name → size). Files
+    * present beyond the recorded base are append segments — the
+    * recorded form of the dirtiness/byte-mass signals, replacing mtime
+    * inference. `part = -1` marks an unpartitioned relation (one entry,
+    * whole-directory granularity).
+    */
+  final case class ManifestEntry(rel: String, part: Int, dir: String, files: Seq[(String, Long)])
+
+  val ManifestName = "_graft_manifest"
+
+  /** Write a generation's manifest (TSV, one line per entry — written
+    * into the STAGED dir before the pointer flips, so readers only ever
+    * see complete manifests). File names from parquet committers carry
+    * no tabs/commas/equals; rel and dir are repo-controlled.
+    */
+  def writeManifest(spark: SparkSession, genDir: String, entries: Seq[ManifestEntry]): Unit = {
+    val p   = new Path(genDir, ManifestName)
+    val fs  = fsOf(spark, p)
+    val out = fs.create(p, true)
+    try {
+      val sb = new StringBuilder
+      entries.foreach { e =>
+        sb.append(e.rel).append('\t').append(e.part).append('\t').append(e.dir).append('\t')
+          .append(e.files.map { case (n, s) => s"$n=$s" }.mkString(",")).append('\n')
+      }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+  }
+
+  /** Read a generation's manifest; None for flat-era / never-compacted /
+    * pre-manifest generations (readers then fall back to plain
+    * directory reads — full layout compatibility).
+    */
+  def readManifest(spark: SparkSession, genDir: String): Option[Seq[ManifestEntry]] = {
+    val p  = new Path(genDir, ManifestName)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      Some(text.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(rel, part, dir, files @ _*) = line.split('\t').padTo(4, ""): @unchecked
+        val fl = files.headOption.filter(_.nonEmpty).map(_.split(',').toSeq.map { f =>
+          val i = f.lastIndexOf('=')
+          (f.substring(0, i), f.substring(i + 1).toLong)
+        }).getOrElse(Seq.empty)
+        ManifestEntry(rel, part.toInt, dir, fl)
+      }.toSeq)
+    }
+  }
+
+  /** Every physical directory holding data for `(dd, rel)`, per
+    * partition: the manifest's recorded homes plus any physical
+    * `partCol=N` dirs under the live generation itself (appends since
+    * the last compact land there; rewritten partitions appear in both
+    * and dedupe). No manifest → just the physical dirs (flat/legacy
+    * layout, today's behavior).
+    */
+  private def resolvePartDirs(
+      spark: SparkSession, dd: String, rel: String, partCol: String): Map[Int, Seq[Path]] = {
+    val root   = rootOf(dd)
+    val relDir = if (rel.isEmpty) new Path(dd) else new Path(dd, rel)
+    val fs     = fsOf(spark, relDir)
+    val physical: Map[Int, Path] =
+      if (!fs.exists(relDir)) Map.empty
+      else fs.listStatus(relDir).iterator
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+        .map(st => st.getPath.getName.substring(partCol.length + 1).toInt -> st.getPath)
+        .toMap
+    readManifest(spark, dd) match {
+      case None => physical.map { case (p, d) => p -> Seq(d) }
+      case Some(entries) =>
+        val recorded = entries.filter(e => e.rel == rel && e.part >= 0)
+          .map(e => e.part -> fs.makeQualified(new Path(root, e.dir))).toMap
+        if (recorded.isEmpty) physical.map { case (p, d) => p -> Seq(d) } // rel not manifested
+        else
+          (recorded.keySet ++ physical.keySet).iterator.map { p =>
+            val dirs = (recorded.get(p).toSeq ++ physical.get(p).map(fs.makeQualified).toSeq).distinct
+            p -> dirs
+          }.toMap
+    }
+  }
+
+  /** [[resolvePartDirs]] for an UNPARTITIONED relation (whole-dir
+    * granularity): the manifest's recorded home(s) plus the live
+    * generation's own dir if present.
+    */
+  private def resolveFlatDirs(spark: SparkSession, dd: String, rel: String): Seq[Path] = {
+    val root   = rootOf(dd)
+    val relDir = new Path(dd, rel)
+    val fs     = fsOf(spark, relDir)
+    val physical = if (fs.exists(relDir)) Seq(fs.makeQualified(relDir)) else Seq.empty
+    readManifest(spark, dd) match {
+      case None => physical
+      case Some(entries) =>
+        val recorded = entries.filter(e => e.rel == rel && e.part == -1)
+          .map(e => fs.makeQualified(new Path(root, e.dir)))
+        (recorded ++ physical).distinct
+    }
+  }
+
+  /** Manifest-resolved read of a partCol-partitioned relation
+    * (`rel = ""` for single-relation indexes whose data sits at the
+    * generation root). Referenced dirs GROUP BY PARENT — one
+    * partition-discovered scan per donor location (`basePath` = the
+    * donor's relation dir, so the partition column infers exactly as a
+    * plain directory read would) — and the groups union. Catalyst pushes
+    * partition filters into every branch (an always-false branch prunes
+    * to an empty relation at planning time), so probe-side `isin`
+    * pruning is unchanged. With no manifest this is byte-for-byte
+    * `spark.read.parquet(dd/rel)`.
+    */
+  def readRel(spark: SparkSession, dd: String, rel: String, partCol: String): DataFrame = {
+    val relDir = if (rel.isEmpty) dd else new Path(dd, rel).toString
+    if (readManifest(spark, dd).isEmpty) return spark.read.parquet(relDir)
+    val byPart = resolvePartDirs(spark, dd, rel, partCol)
+    if (byPart.isEmpty) return spark.read.parquet(relDir) // empty index: today's behavior
+    val groups = byPart.values.flatten.toSeq.distinct.groupBy(_.getParent.toString)
+    groups.toSeq.sortBy(_._1).map { case (parent, dirs) =>
+      spark.read.option("basePath", parent).parquet(dirs.map(_.toString).sorted: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[readRel]] for an UNPARTITIONED relation (BM25 `docs/`). */
+  def readRelFlat(spark: SparkSession, dd: String, rel: String): DataFrame = {
+    val dirs = resolveFlatDirs(spark, dd, rel)
+    if (dirs.isEmpty) spark.read.parquet(new Path(dd, rel).toString)
+    else spark.read.parquet(dirs.map(_.toString): _*)
+  }
+
+  /** Per-partition (files present, bytes present, base files recorded,
+    * base bytes recorded) of a relation — the dirtiness and byte-mass
+    * signals from RECORDED metadata where a manifest exists (exact under
+    * copy/restore), falling back to the flat-era listing heuristic
+    * (oldest-file-is-base) otherwise. One driver-side listing per
+    * physical location, zero data pages.
+    */
+  final case class RelPartStat(files: Int, bytes: Long, baseFiles: Int, baseBytes: Long) {
+    def segments: Int = math.max(1, files - baseFiles + 1)
+    def dirty: Boolean = files > baseFiles
+  }
+
+  private def dataFilesOf(fs: FileSystem, dir: Path): Seq[(String, Long)] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).iterator
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      .map(f => f.getPath.getName -> f.getLen).toSeq
+
+  def relStats(
+      spark: SparkSession, dd: String, rel: String, partCol: String): Map[Int, RelPartStat] = {
+    val fs = fsOf(spark, new Path(dd))
+    val recordedBase: Map[Int, Seq[(String, Long)]] = readManifest(spark, dd) match {
+      case Some(entries) =>
+        entries.filter(e => e.rel == rel && e.part >= 0).map(e => e.part -> e.files).toMap
+      case None => Map.empty
+    }
+    resolvePartDirs(spark, dd, rel, partCol).map { case (p, dirs) =>
+      val present = dirs.flatMap(d => dataFilesOf(fs, d))
+      val (bf, bb) = recordedBase.get(p) match {
+        case Some(rec) => (rec.size, rec.map(_._2).sum)
+        case None => // flat-era fallback: oldest file is the base
+          val all = dirs.flatMap(d =>
+            if (!fs.exists(d)) Seq.empty
+            else fs.listStatus(d).toSeq
+              .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")))
+          if (all.isEmpty) (0, 0L)
+          else (1, all.minBy(f => (f.getModificationTime, -f.getLen)).getLen)
+      }
+      p -> RelPartStat(present.size, present.map(_._2).sum, bf, bb)
+    }
+  }
+
+  /** [[relStats]] for an unpartitioned relation: (files present, bytes,
+    * base files recorded, base bytes). Falls back to (files, bytes,
+    * files, bytes) — "all base" — with no manifest, the conservative
+    * direction (callers with their own baseline artifact keep using it).
+    */
+  def relStatsFlat(spark: SparkSession, dd: String, rel: String): RelPartStat = {
+    val fs      = fsOf(spark, new Path(dd))
+    val dirs    = resolveFlatDirs(spark, dd, rel)
+    val present = dirs.flatMap(d => dataFilesOf(fs, d))
+    val rec = readManifest(spark, dd)
+      .flatMap(_.find(e => e.rel == rel && e.part == -1)).map(_.files)
+    rec match {
+      case Some(r) => RelPartStat(present.size, present.map(_._2).sum, r.size, r.map(_._2).sum)
+      case None    => RelPartStat(present.size, present.map(_._2).sum, present.size, present.map(_._2).sum)
+    }
+  }
+
+  /** Manifest entries for partitions REWRITTEN into the staged
+    * generation: list the staged relation's physical partition dirs and
+    * record their files as the new base.
+    */
+  def stagedEntries(
+      spark: SparkSession, root: String, staged: String, rel: String, partCol: String): Seq[ManifestEntry] = {
+    val relDir = if (rel.isEmpty) new Path(staged) else new Path(staged, rel)
+    val fs     = fsOf(spark, relDir)
+    val rootQ  = fs.makeQualified(new Path(root)).toString
+    if (!fs.exists(relDir)) Seq.empty
+    else fs.listStatus(relDir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+      .map { st =>
+        val part = st.getPath.getName.substring(partCol.length + 1).toInt
+        val dir  = fs.makeQualified(st.getPath).toString.stripPrefix(rootQ).stripPrefix("/")
+        ManifestEntry(rel, part, dir, dataFilesOf(fs, st.getPath))
+      }
+  }
+
+  /** [[stagedEntries]] for an unpartitioned relation written physically
+    * into the staged generation.
+    */
+  def stagedFlatEntry(
+      spark: SparkSession, root: String, staged: String, rel: String): Seq[ManifestEntry] = {
+    val relDir = new Path(staged, rel)
+    val fs     = fsOf(spark, relDir)
+    val rootQ  = fs.makeQualified(new Path(root)).toString
+    if (!fs.exists(relDir)) Seq.empty
+    else Seq(ManifestEntry(rel, -1,
+      fs.makeQualified(relDir).toString.stripPrefix(rootQ).stripPrefix("/"),
+      dataFilesOf(fs, relDir)))
+  }
+
+  /** Manifest entries CARRYING clean partitions by reference: each
+    * partition keeps its current physical home — the live manifest's
+    * recorded entry when one exists (so reference chains never deepen:
+    * homes are always physical locations), the live generation's own
+    * dir otherwise (flat-era/legacy source, all present files becoming
+    * the recorded base — legal because a CLEAN partition has no
+    * segments by definition).
+    */
+  def carriedEntries(
+      spark: SparkSession, root: String, live: String, rel: String, partCol: String,
+      parts: Iterable[Int]): Seq[ManifestEntry] = {
+    val fs    = fsOf(spark, new Path(root))
+    val rootQ = fs.makeQualified(new Path(root)).toString
+    val prior: Map[Int, ManifestEntry] = readManifest(spark, live)
+      .map(_.filter(e => e.rel == rel && e.part >= 0).map(e => e.part -> e).toMap)
+      .getOrElse(Map.empty)
+    parts.toSeq.sorted.flatMap { p =>
+      prior.get(p) match {
+        case Some(e) => Some(e)
+        case None =>
+          val relDir = if (rel.isEmpty) new Path(live) else new Path(live, rel)
+          val pd     = new Path(relDir, s"$partCol=$p")
+          if (!fs.exists(pd)) None
+          else Some(ManifestEntry(rel, p,
+            fs.makeQualified(pd).toString.stripPrefix(rootQ).stripPrefix("/"),
+            dataFilesOf(fs, pd)))
+      }
+    }
+  }
+
+  /** [[carriedEntries]] for an unpartitioned relation carried whole. */
+  def carriedFlatEntry(
+      spark: SparkSession, root: String, live: String, rel: String): Seq[ManifestEntry] = {
+    val fs    = fsOf(spark, new Path(root))
+    val rootQ = fs.makeQualified(new Path(root)).toString
+    readManifest(spark, live).flatMap(_.find(e => e.rel == rel && e.part == -1)) match {
+      case Some(e) => Seq(e)
+      case None =>
+        val relDir = new Path(live, rel)
+        if (!fs.exists(relDir)) Seq.empty
+        else Seq(ManifestEntry(rel, -1,
+          fs.makeQualified(relDir).toString.stripPrefix(rootQ).stripPrefix("/"),
+          dataFilesOf(fs, relDir)))
+    }
+  }
+
   // ---------------------------------------------------------------- lease
 
   /** Roots whose lease this thread already holds, mapped to the lease's
@@ -139,14 +438,27 @@ private[graft] object IndexStore {
   private def lockTokenOf(content: String): Option[String] =
     "token=(\\S+)".r.findFirstMatchIn(content).map(_.group(1))
 
-  /** Atomically REPLACE the lock file's content (heartbeat renewal): the
-    * token stays, the ts re-stamps. Same atomic-replace primitives as
-    * [[flipPointer]] — a concurrent reader sees the old or the new stamp,
-    * never a partial file (which the stale-break's re-read-compare could
-    * mistake for a changed holder).
+  /** Heartbeat renewal is COMPARE-AND-SWAP, not a blind re-stamp: read
+    * the lock first and replace it ONLY while the on-disk token is still
+    * this acquisition's. A holder that stalled past the stale window
+    * (GC pause, suspended VM) whose lock a rival broke and re-acquired
+    * must NOT put its own token back — that would make the rival's
+    * install fence pass for the stalled writer and the release path
+    * delete the rival's live lease (the double-install interleaving the
+    * fence exists to prevent). On mismatch the renewal reports the lease
+    * LOST: the heartbeat cancels itself, no further stamp is written,
+    * and both [[fenceOrAbort]] and the release path then fail safe off
+    * the rival's on-disk token. The read→replace pair is not itself
+    * atomic — in the residual millisecond race (rival breaks + acquires
+    * BETWEEN our read and our rename) the rival's next CAS renewal sees
+    * our token, marks ITSELF lost, and its fence aborts: either
+    * interleaving ends with at most ONE writer installing.
+    *
+    * @return true if renewed; false if the lease is no longer ours.
     */
   private def renewLease(
-      spark: SparkSession, fs: FileSystem, lock: Path, me: String, token: String): Unit = {
+      spark: SparkSession, fs: FileSystem, lock: Path, me: String, token: String): Boolean = {
+    if (!lockTokenOf(readLock(fs, lock)).contains(token)) return false
     val stamp = s"$me token=$token ts=${System.currentTimeMillis()}\n"
     if (fs.getScheme == "file") {
       val dst = java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath)
@@ -163,6 +475,67 @@ private[graft] object IndexStore {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         fs.makeQualified(lock).toUri, spark.sparkContext.hadoopConfiguration)
       fc.rename(tmp, fs.makeQualified(lock), Options.Rename.OVERWRITE)
+    }
+    true
+  }
+
+  /** Break an apparently-stale lease SAFELY: atomically rename the lock
+    * aside to a tomb, verify the tomb still carries the stale content we
+    * observed, and only then delete it. A plain re-read-then-delete has a
+    * TOCTOU hole — a live holder's heartbeat can renew BETWEEN the
+    * confirming read and the delete, and the waiter then deletes a
+    * just-renewed lease (recurring every heartbeat under short staleMs).
+    * The rename closes it: the renewal's atomic replace either landed
+    * before the rename (tomb content differs from what we observed →
+    * restore the lock by renaming the tomb back and do NOT break) or
+    * lands after it (the holder's NEXT CAS renewal finds its token gone
+    * and marks the lease lost — never a silent double-hold). If the
+    * restore itself loses a race with a fresh acquirer, the tomb is
+    * discarded: the displaced holder's CAS heartbeat marks it lost and
+    * its install fence aborts, so again at most one writer installs.
+    *
+    * @return true if the stale lock was removed and the caller may try
+    *         to acquire; false if the holder proved live (lock restored
+    *         or already replaced).
+    */
+  private def breakStaleLease(
+      spark: SparkSession, fs: FileSystem, lock: Path, observed: String): Boolean = {
+    val tomb = new Path(lock.getParent, LockName + ".tomb-" + java.util.UUID.randomUUID())
+    val moved =
+      if (fs.getScheme == "file") {
+        val src = java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath)
+        val dst = src.resolveSibling(tomb.getName)
+        try { java.nio.file.Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
+        catch { case _: java.io.IOException => false } // vanished — someone else broke it
+      } else
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.makeQualified(lock).toUri, spark.sparkContext.hadoopConfiguration)
+          fc.rename(fs.makeQualified(lock), fs.makeQualified(tomb))
+          true
+        } catch { case _: java.io.IOException => false }
+    if (!moved) return false
+    if (readLock(fs, tomb) == observed) { // still the stale stamp — break it
+      try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
+      true
+    } else {
+      // Renewed under us — put it back (no-overwrite: a rival may have
+      // already created a fresh lock, in which case the displaced
+      // holder's CAS heartbeat marks it lost and its fence aborts).
+      val restored =
+        if (fs.getScheme == "file") {
+          val src = java.nio.file.Paths.get(fs.makeQualified(tomb).toUri.getPath)
+          try { java.nio.file.Files.move(src, src.resolveSibling(LockName)); true }
+          catch { case _: java.io.IOException => false }
+        } else
+          try {
+            val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+              fs.makeQualified(lock).toUri, spark.sparkContext.hadoopConfiguration)
+            fc.rename(fs.makeQualified(tomb), fs.makeQualified(lock))
+            true
+          } catch { case _: java.io.IOException => false }
+      if (!restored) try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
+      false
     }
   }
 
@@ -233,10 +606,10 @@ private[graft] object IndexStore {
           if (ts.exists(System.currentTimeMillis() - _ > staleMs)) {
             org.apache.log4j.Logger.getLogger(getClass)
               .warn(s"IndexStore: breaking stale writer lease on $root (holder: $holder)")
-            // Re-read before deleting: a rival waiter may have broken the
-            // stale lock and acquired a FRESH one in the window since our
-            // read — deleting that would hand out two leases.
-            if (readLock(fs, lock) == holder && holder.nonEmpty) fs.delete(lock, false)
+            // Rename-aside-verify-delete, NOT read-compare-delete: a live
+            // holder's heartbeat renewing between the confirming read and
+            // the delete must not lose its lease (see [[breakStaleLease]]).
+            if (holder.nonEmpty) breakStaleLease(spark, fs, lock, holder)
           } else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"IndexStore: could not acquire writer lease on $root within ${waitMs}ms " +
@@ -245,15 +618,41 @@ private[graft] object IndexStore {
           else Thread.sleep(50)
       }
     }
-    val hbEvery = if (heartbeatMs < 0) math.max(1000L, staleMs / 3) else heartbeatMs
+    // Default cadence staleMs/3 — no 1000 ms floor ABOVE the window: the
+    // old max(1000, staleMs/3) silently disabled renewal whenever
+    // staleMs < 1 s (every heartbeat already counted as missed). An
+    // explicit heartbeatMs that can't beat the stale window is clamped
+    // loudly for the same reason.
+    val hbEvery = {
+      val requested = if (heartbeatMs < 0) math.max(1L, staleMs / 3) else heartbeatMs
+      if (requested > 0 && requested * 2 > staleMs) {
+        val clamped = math.max(1L, staleMs / 3)
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          s"IndexStore: heartbeat ${requested}ms cannot protect a ${staleMs}ms stale window " +
+            s"(needs ≤ staleMs/2) — clamping to ${clamped}ms")
+        clamped
+      } else requested
+    }
+    val hbTaskRef = new java.util.concurrent.atomic.AtomicReference[java.util.concurrent.ScheduledFuture[_]]()
     val hbTask =
       if (hbEvery == 0) None
       else Some(heartbeatPool.scheduleAtFixedRate(
-        () => try renewLease(spark, fs, lock, me, token)
-              catch { case e: Exception =>
+        () => try {
+                if (!renewLease(spark, fs, lock, me, token)) {
+                  // CAS failed: the lease was broken and (possibly)
+                  // re-acquired while we stalled. Never re-stamp — stop
+                  // renewing and let fenceOrAbort / the release path fail
+                  // safe off the rival's on-disk token.
+                  org.apache.log4j.Logger.getLogger(getClass).warn(
+                    s"IndexStore: writer lease on $root LOST (token no longer on disk) — " +
+                      "heartbeat stopped; any install by this writer will be fenced")
+                  Option(hbTaskRef.get()).foreach(_.cancel(false))
+                }
+              } catch { case e: Exception =>
                 org.apache.log4j.Logger.getLogger(getClass)
                   .warn(s"IndexStore: lease heartbeat on $root failed: $e") },
         hbEvery, hbEvery, java.util.concurrent.TimeUnit.MILLISECONDS))
+    hbTask.foreach(hbTaskRef.set)
     held.set(held.get() + (key -> token))
     try body
     finally {
@@ -304,6 +703,9 @@ private[graft] object IndexStore {
       val genName = f"$GenPrefix$next%05d"
       val staged  = new Path(root, genName)
       fs.delete(staged, true) // orphan of a killed compact
+      // Stream-batch files this rewrite is about to fold carry their
+      // commit claim in their NAMES — token them before folding.
+      adoptStreamBatchTokens(spark, root, live)
       populate(live, staged.toString)
       fenceOrAbort(spark, root, staged)
       if (!fs.exists(staged)) fs.mkdirs(staged) // empty index is a legal state
@@ -313,6 +715,10 @@ private[graft] object IndexStore {
           val name = st.getPath.getName
           val isMeta = name.startsWith("_") && name != "_SUCCESS" &&
             name != PointerName && name != LockName && name != BatchTokensName &&
+            // Never carry the OLD manifest: its homes and recorded bases
+            // describe the outgoing generation. The populate writes the
+            // staged generation's own (or none — legacy directory reads).
+            name != ManifestName && name != RetiredMarker &&
             !name.startsWith(GenPrefix) && !name.endsWith(".tmp") &&
             !dropMeta.contains(name)
           // populate may have written a REPLACEMENT artifact (retrained
@@ -431,25 +837,88 @@ private[graft] object IndexStore {
     * can burn through any keepGens while one long analytical probe
     * still reads the generation it resolved at entry; an age floor
     * sized to the probe SLA cannot be outrun by compaction frequency.
+    *
+    * MANIFEST references gate everything above: a directory a SURVIVING
+    * generation's manifest still points into is live data however old
+    * the generation that physically holds it. Donor locations protected
+    * only by reference are pruned to exactly the referenced subtrees
+    * (bytes retained stay ∝ referenced partitions, not donor-generation
+    * size); they are reclaimed by a later cleanup once the last
+    * referencing survivor is itself gone or has rewritten the partition.
+    * One level suffices — manifests record PHYSICAL homes, never chains.
     */
   private def cleanup(
-      spark: SparkSession, root: String, current: Int, keepGens: Int, minRetentionMs: Long): Unit = {
+      spark: SparkSession, root: String, current: Int, keepGens: Int, minRetentionMs: Long,
+      dryRun: Boolean = false): Long = {
     val rp = new Path(root)
     val fs = fsOf(spark, rp)
+    var reclaimed = 0L
+    def treeBytes(p: Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) st.getLen
+      else fs.listStatus(p).map(c => if (c.isFile) c.getLen else treeBytes(c.getPath)).sum
+    }
+    def remove(p: Path): Unit = {
+      reclaimed += (try treeBytes(p) catch { case _: java.io.IOException => 0L })
+      if (!dryRun) { fs.delete(p, true); () }
+    }
     val now = System.currentTimeMillis()
     def oldEnough(dir: Path): Boolean =
       minRetentionMs <= 0 || now - retiredAtOf(fs, dir) > minRetentionMs
+    val entries = fs.listStatus(rp).toSeq
+    // Survivors: the current generation, those inside the count window,
+    // and those still inside the age window. Their manifests' referenced
+    // dirs (root-relative) must outlive this cleanup.
+    val survivorDirs = entries.flatMap { st =>
+      genNumber(st.getPath.getName) match {
+        case Some(g) if g >= current - keepGens || !oldEnough(st.getPath) => Some(st.getPath)
+        case _ => None
+      }
+    }
+    val referenced: Set[String] = survivorDirs
+      .flatMap(d => readManifest(spark, d.toString).getOrElse(Seq.empty))
+      .map(_.dir).toSet
+    def refsUnder(topName: String): Set[String] = {
+      val pfx = topName + "/"
+      (if (referenced.contains(topName)) Set("") else Set.empty[String]) ++
+        referenced.collect { case r if r.startsWith(pfx) => r.stripPrefix(pfx) }
+    }
+    // Keep exactly `keep`-relative subtrees of `base`; delete the rest.
+    // "" in keep ⇒ the whole base survives. Returns true if anything kept.
+    def pruneAllBut(base: Path, keep: Set[String]): Boolean =
+      if (keep.contains("")) true
+      else if (keep.isEmpty) { remove(base); false }
+      else {
+        var kept = false
+        fs.listStatus(base).foreach { c =>
+          val name = c.getPath.getName
+          if (name == RetiredMarker) () // cheap; keeps age accounting intact
+          else {
+            val sub = keep.collect {
+              case k if k == name => ""
+              case k if k.startsWith(name + "/") => k.stripPrefix(name + "/")
+            }
+            if (sub.isEmpty) remove(c.getPath)
+            else kept = pruneAllBut(c.getPath, sub) || kept
+          }
+        }
+        if (!kept && !dryRun) { fs.delete(base, true); () } // children already metered
+        kept
+      }
     val dropLegacy = current - keepGens >= 1 && oldEnough(rp) // generation 0 out of window AND aged
-    fs.listStatus(rp).foreach { st =>
+    entries.foreach { st =>
       val name = st.getPath.getName
       genNumber(name) match {
-        case Some(g) => if (g < current - keepGens && oldEnough(st.getPath)) fs.delete(st.getPath, true)
+        case Some(g) =>
+          if (g < current - keepGens && oldEnough(st.getPath))
+            pruneAllBut(st.getPath, refsUnder(name))
         case None =>
           val keep = name == PointerName || name == LockName ||
             name == BatchTokensName || name.endsWith(".tmp")
-          if (!keep && dropLegacy) fs.delete(st.getPath, true)
+          if (!keep && dropLegacy) pruneAllBut(st.getPath, refsUnder(name))
       }
     }
+    reclaimed
   }
 
   /** Drop every non-current generation NOW (and any flat-era leftovers) —
@@ -459,9 +928,11 @@ private[graft] object IndexStore {
     * old generation; the automatic cleanup in [[swapGeneration]] covers
     * the common case.
     */
-  def vacuum(spark: SparkSession, root: String, minRetentionMs: Long = 0L): Unit = {
+  def vacuum(
+      spark: SparkSession, root: String, minRetentionMs: Long = 0L,
+      keepGens: Int = 0, dryRun: Boolean = false): Long = {
     val cur = currentGeneration(spark, root)
-    if (cur > 0) cleanup(spark, root, cur, keepGens = 0, minRetentionMs)
+    if (cur > 0) cleanup(spark, root, cur, keepGens, minRetentionMs, dryRun) else 0L
   }
 
   // ------------------------------------------------ selective compaction
@@ -478,87 +949,202 @@ private[graft] object IndexStore {
     * `streamId` namespaces the ledger: batch ids are per-QUERY, so two
     * different streams appending to the same index both have a batch 0 —
     * an unnamespaced token would make the second stream silently skip
-    * its first write. The ledger self-prunes to the last two ids per
-    * stream (a retry can only re-run the CURRENT batch and a restart the
-    * last committed one), so it stays O(streams), not O(all batches
-    * ever). Returns true if `write` ran, false if the token short-circuited.
+    * its first write. The ledger self-prunes to a bounded tail per
+    * stream, BACKED by a per-stream high-water-mark file
+    * (`<streamId>.hwm`, atomically replaced after every commit): a
+    * restart from an older checkpoint that re-runs a batchId whose token
+    * was pruned is caught by the mark — the write is SKIPPED with a loud
+    * warning instead of silently duplicate-appending (batch 0 would even
+    * overwrite the whole index). A genuinely NEW logical stream that
+    * recreates its checkpoint must use a fresh streamId — the mark
+    * cannot distinguish "replayed old batch" from "new stream reusing
+    * old ids", and skipping is the safe reading of both.
+    * Returns true if `write` ran, false if the token or mark
+    * short-circuited.
     */
   def withBatchToken(
       spark: SparkSession, root: String, streamId: String, batchId: Long)(write: => Unit): Boolean = {
     require(!streamId.exists(c => c == '/' || c == '\\'), s"streamId must be path-safe: $streamId")
     val ledger = new Path(root, BatchTokensName)
     val token  = new Path(ledger, s"$streamId-$batchId")
+    val hwm    = new Path(ledger, s"$streamId.hwm")
     val fs     = fsOf(spark, token)
     if (fs.exists(token)) return false
+    val mark = try {
+      if (!fs.exists(hwm)) -1L
+      else {
+        val in = fs.open(hwm)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    } catch { case _: Exception => -1L } // unreadable mark → token-only behavior
+    if (batchId <= mark) {
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"IndexStore: stream '$streamId' re-ran batch $batchId at $root, which the " +
+          s"high-water-mark ($mark) records as ALREADY COMMITTED though its token was pruned — " +
+          "skipping the write. If this is a NEW logical stream reusing a recreated checkpoint, " +
+          "give it a fresh streamId; replaying under the old id would duplicate-append.")
+      return false
+    }
     write
-    fs.mkdirs(ledger)
-    fs.create(token, false).close()
+    commitBatchToken(spark, root, streamId, batchId)
     val prefix = s"$streamId-"
+    // Tail depth 16: a retry re-runs the current batch and a restart the
+    // last committed one — anything deeper is covered by the mark, the
+    // tail just keeps the common cases token-fast.
     fs.listStatus(ledger).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith(prefix)) {
         val id = name.substring(prefix.length)
-        if (id.forall(_.isDigit) && id.toLong < batchId - 1) fs.delete(st.getPath, false)
+        if (id.forall(_.isDigit) && id.nonEmpty && id.toLong < batchId - 16) fs.delete(st.getPath, false)
       }
     }
     true
   }
 
-  /** Per-partition data-file counts of a `partCol=<int>` parquet layout —
-    * one driver-side directory listing; a partition with >1 data file
-    * holds append segments and is DIRTY by the segment criterion.
+  // ------------------------------------------- exactly-once stream appends
+
+  /** File-name prefix of exactly-once stream-batch appends: the name IS
+    * the batch's commit claim (`sb-<streamId>-<batchId>-<k>.parquet`).
     */
-  def partitionFileCounts(spark: SparkSession, relDir: String, partCol: String): Map[Int, Int] = {
-    val rp = new Path(relDir)
-    val fs = fsOf(spark, rp)
-    if (!fs.exists(rp)) Map.empty
-    else
-      fs.listStatus(rp).iterator
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
-        .map { st =>
-          val v = st.getPath.getName.substring(partCol.length + 1).toInt
-          val n = fs.listStatus(st.getPath)
-            .count(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-          v -> n
-        }
-        .toMap
+  private val StreamBatchPrefix = "sb-"
+  private val StreamBatchName = """^sb-(.+)-(\d+)-(\d+)\.parquet$""".r
+
+  /** EXACTLY-ONCE streaming append of a partCol-partitioned relation:
+    * closes the residual window [[withBatchToken]] documents (a crash
+    * between the parquet job commit and the token create re-appended
+    * once on retry) by making the DATA itself carry the claim —
+    *
+    *  1. the batch writes to a staged dir (`.stage-…`, invisible to
+    *     readers), then
+    *  2. its files move into the live partition dirs under DETERMINISTIC
+    *     names derived from (streamId, batchId, file index), after
+    *  3. sweeping any files of the same (streamId, batchId) left by a
+    *     previous (crashed, partial) attempt.
+    *
+    * A retry therefore converges: it re-stages the same rows (Structured
+    * Streaming replays a batchId with identical data), deletes its own
+    * leftovers, and re-lands the same names — no duplicate rows at any
+    * crash point, token or no token. The per-file installs use the
+    * atomic-replace rename, so a concurrent probe reads the old or the
+    * new file, never a torn one. Compactions complete the story:
+    * [[swapGeneration]] ADOPTS any stream-named files it is about to
+    * fold — creating their missing batch tokens and raising the
+    * high-water-mark — so a batch whose data landed but whose token
+    * write crashed can never be re-appended after its rows were folded
+    * beyond name-level recognition.
+    *
+    * `rel = ""` targets single-relation indexes (data at the generation
+    * root). Caller holds the writer lease via [[withWriterLease]]
+    * (re-entrant).
+    */
+  def appendBatchExactlyOnce(
+      spark: SparkSession,
+      root: String,
+      rel: String,
+      partCol: String,
+      streamId: String,
+      batchId: Long
+  )(df: DataFrame): Unit = withWriterLease(spark, root) {
+    require(!streamId.exists(c => c == '/' || c == '\\'), s"streamId must be path-safe: $streamId")
+    val dd     = dataDir(spark, root)
+    val target = if (rel.isEmpty) new Path(dd) else new Path(dd, rel)
+    val fs     = fsOf(spark, target)
+    val stage  = new Path(root, s".stage-$streamId-$batchId")
+    fs.delete(stage, true)
+    df.repartition(org.apache.spark.sql.functions.col(partCol))
+      .write.partitionBy(partCol).parquet(stage.toString)
+    // Sweep THIS batch's previous attempt (partial files under our names).
+    val pfx = s"$StreamBatchPrefix$streamId-$batchId-"
+    if (fs.exists(target))
+      fs.listStatus(target).foreach { pd =>
+        if (pd.isDirectory && pd.getPath.getName.startsWith(partCol + "="))
+          fs.listStatus(pd.getPath).foreach { f =>
+            if (f.isFile && f.getPath.getName.startsWith(pfx)) fs.delete(f.getPath, false)
+          }
+      }
+    // Install under deterministic names, atomic replace per file.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(target).toUri, spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(stage)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+      .foreach { pd =>
+        val dstPart = new Path(target, pd.getPath.getName)
+        fs.mkdirs(dstPart)
+        fs.listStatus(pd.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          .map(_.getPath).sortBy(_.getName).zipWithIndex
+          .foreach { case (src, k) =>
+            fc.rename(fs.makeQualified(src),
+              fs.makeQualified(new Path(dstPart, s"$pfx$k.parquet")), Options.Rename.OVERWRITE)
+          }
+      }
+    fs.delete(stage, true)
   }
 
-  /** Per-partition (file count, total bytes, BASE-file bytes) from the
-    * same single directory listing as [[partitionFileCounts]] — the
-    * byte-MASS complement to the segment-COUNT signal, read with zero
-    * data pages. (Count alone is blind to segment SIZE: one massive
-    * append — a corpus-doubling backfill in a single segment — sits
-    * under any count threshold forever while every probe pays the
-    * unfolded mass and a drifted Jaccard dictionary or fattened IVF
-    * geometry never reaches the compact that would cure it.)
-    *
-    * The base file is the partition's OLDEST by modification time (tie
-    * broken by size, largest first): builds and compacts leave one file
-    * per partition and appends always land later, while a hardlink
-    * carry preserves the original's mtime — so "total minus base" is
-    * exactly the appended mass. Identifying the base by SIZE instead
-    * would invert the signal for precisely the case the trigger exists
-    * for: a single append that dwarfs the base would read as the base
-    * itself.
+  /** Create the (streamId, batchId) token and raise the stream's
+    * high-water-mark — shared by [[withBatchToken]]'s commit path and
+    * compaction's stream-file ADOPTION.
     */
-  def partitionByteStats(
-      spark: SparkSession, relDir: String, partCol: String): Map[Int, (Int, Long, Long)] = {
-    val rp = new Path(relDir)
-    val fs = fsOf(spark, rp)
-    if (!fs.exists(rp)) Map.empty
-    else
-      fs.listStatus(rp).iterator
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
-        .map { st =>
-          val v = st.getPath.getName.substring(partCol.length + 1).toInt
-          val fl = fs.listStatus(st.getPath)
-            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-          val base = if (fl.isEmpty) 0L
-            else fl.minBy(f => (f.getModificationTime, -f.getLen)).getLen
-          v -> (fl.length, fl.map(_.getLen).sum, base)
+  private def commitBatchToken(
+      spark: SparkSession, root: String, streamId: String, batchId: Long): Unit = {
+    val ledger = new Path(root, BatchTokensName)
+    val hwm    = new Path(ledger, s"$streamId.hwm")
+    val fs     = fsOf(spark, ledger)
+    fs.mkdirs(ledger)
+    try fs.create(new Path(ledger, s"$streamId-$batchId"), false).close()
+    catch { case _: java.io.IOException => () } // already there
+    val mark = try {
+      if (!fs.exists(hwm)) -1L
+      else {
+        val in = fs.open(hwm)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    } catch { case _: Exception => -1L }
+    if (batchId > mark) {
+      val tmp = fs.makeQualified(new Path(ledger, s"$streamId.hwm.tmp"))
+      val out = fs.create(tmp, true)
+      try out.write(s"$batchId\n".getBytes("UTF-8"))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.makeQualified(hwm).toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, fs.makeQualified(hwm), Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** ADOPT stream-batch files about to be folded by a compaction: any
+    * `sb-<streamId>-<batchId>-…` data file in the live tree whose token
+    * is missing gets one (plus the high-water-mark raise) BEFORE the
+    * rewrite destroys name-level recognition — the folded rows are
+    * committed by definition, and a late replay of that batch must
+    * short-circuit, not duplicate. One recursive listing of the live
+    * generation's physical tree (small: dirty partitions + segments).
+    */
+  private def adoptStreamBatchTokens(spark: SparkSession, root: String, live: String): Unit = {
+    val lp = new Path(live)
+    val fs = fsOf(spark, lp)
+    if (!fs.exists(lp)) return
+    val found = scala.collection.mutable.Set.empty[(String, Long)]
+    def walk(p: Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) { if (!name.startsWith("_") && !name.startsWith(".")) walk(st.getPath) }
+        else name match {
+          case StreamBatchName(sid, bid, _) => found += ((sid, bid.toLong)); ()
+          case _ => ()
         }
-        .toMap
+      }
+    walk(lp)
+    found.toSeq.sorted.foreach { case (sid, bid) =>
+      val token = new Path(new Path(root, BatchTokensName), s"$sid-$bid")
+      if (!fs.exists(token)) {
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          s"IndexStore: adopting un-tokened stream batch ($sid, $bid) folded by compaction of $root " +
+            "(its writer crashed between data commit and token create — the fold commits it)")
+        commitBatchToken(spark, root, sid, bid)
+      }
+    }
   }
 
   /** Partitions holding at least one TOMBSTONED row — the delete
@@ -582,66 +1168,4 @@ private[graft] object IndexStore {
       .collect().map(_.getInt(0)).toSet
   }
 
-  /** Carry CLEAN partitions from the live generation into the staged one
-    * without rewriting them: hardlink on local/POSIX filesystems
-    * (metadata-only — this is what makes selective compaction O(dirty
-    * fraction)), byte copy elsewhere. The shared blocks are safe under
-    * the generation lifecycle: reclaiming the old generation unlinks its
-    * names, the new generation's links keep the data alive. On object
-    * stores with neither links nor cheap copies, prefer the
-    * manifest-pointer substrate ([[graft.sinks.VersionedTable]]) where a
-    * "carry" is one manifest line.
-    */
-  def carryPartitions(
-      spark: SparkSession,
-      liveRel: String,
-      stagedRel: String,
-      partCol: String,
-      parts: Iterable[Int]
-  ): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs   = fsOf(spark, new Path(liveRel))
-    parts.foreach { p =>
-      val src = new Path(liveRel, s"$partCol=$p")
-      val dst = new Path(stagedRel, s"$partCol=$p")
-      if (fs.exists(src)) linkOrCopyTree(fs, conf, src, dst)
-    }
-  }
-
-  /** Whole-relation carry (an entirely clean relation of a multi-relation
-    * index — e.g. BM25 `docs/` with no tombstones and no appends).
-    */
-  def carryTree(spark: SparkSession, liveDir: String, stagedDir: String): Unit = {
-    val fs = fsOf(spark, new Path(liveDir))
-    linkOrCopyTree(fs, spark.sparkContext.hadoopConfiguration, new Path(liveDir), new Path(stagedDir))
-  }
-
-  private def linkOrCopyTree(
-      fs: FileSystem,
-      conf: org.apache.hadoop.conf.Configuration,
-      src: Path,
-      dst: Path
-  ): Unit =
-    if (fs.getScheme == "file") {
-      val s = java.nio.file.Paths.get(fs.makeQualified(src).toUri.getPath)
-      val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
-      java.nio.file.Files.createDirectories(d.getParent)
-      linkTreeNio(s, d)
-    } else
-      FileUtil.copy(fs, src, fs, dst, false, conf)
-
-  private def linkTreeNio(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.isDirectory(src)) {
-      Files.createDirectories(dst)
-      val s = Files.list(src)
-      try s.forEach(c => linkTreeNio(c, dst.resolve(c.getFileName)))
-      finally s.close()
-    } else
-      try Files.createLink(dst, src)
-      catch { // cross-device or FS without links — fall back to a copy
-        case _: UnsupportedOperationException | _: java.io.IOException =>
-          Files.copy(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-  }
 }

@@ -685,7 +685,7 @@ object Similarity {
     val empty = spark.emptyDataset[(Long, Long, Long)].toDF("query_id", "neighbor_id", "rnk")
     if (probed.isEmpty) empty
     else {
-      val pruned = spark.read.parquet(dd)
+      val pruned = graft.operators.IndexStore.readRel(spark, dd, "", "cell")
         .where(col("cell").isin(probed.map(x => x: Any): _*))
       val live = ivfTombstonesAt(spark, dd) match {
         case Some(ts) => pruned.join(broadcast(ts), pruned("vec_id") === ts("vec_id"), "left_anti")
@@ -840,7 +840,8 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val live = graft.operators.IndexStore.dataDir(spark, path)
     val ts   = ivfTombstonesAt(spark, live)
-    val df   = spark.read.parquet(live).select(col("cell"), col("vec_id"))
+    val df   = graft.operators.IndexStore.readRel(spark, live, "", "cell")
+      .select(col("cell"), col("vec_id"))
     ts match {
       case Some(t) => df.join(broadcast(t), df("vec_id") === t("vec_id"), "left_anti")
       case None    => df
@@ -894,7 +895,8 @@ object Similarity {
       retrain: RetrainMode = RetrainMode.Never,
       retrainLloydIters: Int = 5,
       keepGens: Int = 1,
-      minRetentionMs: Long = 0L
+      minRetentionMs: Long = 0L,
+      pqRefresh: PqRefreshMode = PqRefreshMode.Never
   ): Unit = {
     import graft.operators.IndexStore
     IndexStore.swapGeneration(spark, path, dropMeta = Set("_graft_tombstones"),
@@ -909,50 +911,107 @@ object Similarity {
         case RetrainMode.Always => true
         case RetrainMode.Auto(maxImb) =>
           val imb = cellImbalanceOf(minus(
-            spark.read.parquet(live).select(col("cell"), col("vec_id"))))
+            IndexStore.readRel(spark, live, "", "cell").select(col("cell"), col("vec_id"))))
           val fire = imb > maxImb
           org.slf4j.LoggerFactory.getLogger(getClass).info(
             s"compactIvfIndex($path): surviving-cell imbalance ${f"$imb%.1f"}× vs " +
               s"threshold $maxImb — ${if (fire) "RETRAINING quantizer" else "carrying frozen centroids"}")
           fire
       }
-      if (doRetrain) {
+      val pqPath = new org.apache.hadoop.fs.Path(s"$live/_graft_pq")
+      val hasPq  = pqPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pqPath)
+      val doPqRefresh = hasPq && (pqRefresh match {
+        case PqRefreshMode.Never  => false
+        case PqRefreshMode.Always => true
+        case PqRefreshMode.Auto(maxGrowth) =>
+          val growth = pqDrift(spark, path)
+          val fire   = growth > maxGrowth
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"compactIvfIndex($path): PQ quantization-error growth ${f"$growth%.3f"} vs " +
+              s"threshold $maxGrowth — " +
+              (if (fire) "RETRAINING codebooks (full re-encode)" else "carrying frozen codebooks"))
+          fire
+      })
+      if (doRetrain || doPqRefresh) {
         val oldCents  = loadCentroids(spark, s"$live/_graft_centroids")
         // Carry EVERY non-partition column through the re-assignment —
-        // a PQ-bearing index ([[persistIvfPqIndex]]) keeps its codes:
-        // they quantize value distributions, not cell geometry, so a
-        // retrained coarse quantizer leaves them valid.
-        val dataCols = spark.read.parquet(live).columns.filterNot(_ == "cell").map(col)
-        val survivors = minus(spark.read.parquet(live)).select(dataCols: _*)
-        // √N-scaled quantizer: a grown corpus gets more cells, not fatter
-        // ones ([[retrainNlistFor]] — bounded growth, never shrinks).
-        val newNlist = retrainNlistFor(survivors.count(), oldCents.length)
-        if (newNlist != oldCents.length)
-          org.slf4j.LoggerFactory.getLogger(getClass).info(
-            s"compactIvfIndex($path): retrain grows nlist ${oldCents.length} -> $newNlist")
-        val cents = ivfCentroids(survivors, "vec_id", "vec", nlist = newNlist,
-          lloydIters = retrainLloydIters)
-        ivfAssign(survivors, "vec", cents)
-          .repartition(col("cell")).write.partitionBy("cell").parquet(staged)
-        saveCentroids(spark, cents, s"$staged/_graft_centroids") // wins over meta carry
+        // a PQ-bearing index ([[persistIvfPqIndex]]) keeps its codes
+        // unless the FINE quantizer itself is refreshing: codes quantize
+        // value distributions, not cell geometry, so a retrained coarse
+        // quantizer alone leaves them valid, while a fired PqRefresh
+        // re-trains the codebooks on the survivors and re-encodes every
+        // row riding this same full rewrite (and records a fresh drift
+        // baseline, so Auto re-arms at the new distribution).
+        val liveRel  = IndexStore.readRel(spark, live, "", "cell")
+        val dataCols = liveRel.columns.filterNot(_ == "cell").map(col)
+        val withOldCols = minus(liveRel)
+        val (survivors, newModel) =
+          if (!doPqRefresh) (withOldCols.select(dataCols: _*), None)
+          else {
+            val oldModel = loadPqModel(spark, pqPath.toString)
+            val model = pqTrain(withOldCols.select(col("vec_id"), col("vec")),
+              "vec_id", "vec", m = oldModel.m, k = oldModel.k)
+            // Keep `cell` only when the coarse quantizer is NOT also
+            // retraining (ivfAssign would re-derive it below).
+            val keep = withOldCols.columns
+              .filterNot(c => c == "pq_code" || c == "pq_norm" || (doRetrain && c == "cell"))
+              .map(col)
+            val reencoded = withOldCols
+              .select((keep :+ pqEncoder(model)(col("vec")).as("__e")): _*)
+              .withColumn("pq_code", col("__e._1"))
+              .withColumn("pq_norm", col("__e._2"))
+              .drop("__e")
+            (reencoded, Some(model))
+          }
+        if (doRetrain) {
+          // √N-scaled quantizer: a grown corpus gets more cells, not
+          // fatter ones ([[retrainNlistFor]] — bounded growth, never
+          // shrinks).
+          val newNlist = retrainNlistFor(survivors.count(), oldCents.length)
+          if (newNlist != oldCents.length)
+            org.slf4j.LoggerFactory.getLogger(getClass).info(
+              s"compactIvfIndex($path): retrain grows nlist ${oldCents.length} -> $newNlist")
+          val cents = ivfCentroids(survivors, "vec_id", "vec", nlist = newNlist,
+            lloydIters = retrainLloydIters)
+          ivfAssign(survivors, "vec", cents)
+            .repartition(col("cell")).write.partitionBy("cell").parquet(staged)
+          saveCentroids(spark, cents, s"$staged/_graft_centroids") // wins over meta carry
+        } else
+          // PQ refresh without coarse retrain: cells are untouched — the
+          // rewrite only replaces codes/norms.
+          survivors.repartition(col("cell")).write.partitionBy("cell").parquet(staged)
+        // Refreshed books + their fresh drift baseline install in the SAME
+        // atomic generation as the re-encoded rows (written AFTER the data
+        // so the parquet job owns staged-dir creation); both win over the
+        // meta carry.
+        newModel.foreach { m =>
+          savePqModel(spark, m, s"$staged/_graft_pq")
+          val (mqe, sampled) = pqSampledMqe(survivors, "vec_id", "vec", m)
+          writePqStats(spark, staged, mqe, sampled)
+        }
+        IndexStore.writeManifest(spark, staged,
+          IndexStore.stagedEntries(spark, IndexStore.rootOf(live), staged, "", "cell"))
       } else {
-        val counts = IndexStore.partitionFileCounts(spark, live, "cell")
-        val multi  = counts.filter(_._2 > 1).keySet
+        val root  = IndexStore.rootOf(live)
+        val stats = IndexStore.relStats(spark, live, "", "cell")
+        val multi = stats.filter(_._2.dirty).keySet
+        val rel   = IndexStore.readRel(spark, live, "", "cell")
         val tsTouched = ts match {
           case Some(t) =>
-            IndexStore.tombstoneTouchedParts(spark.read.parquet(live), "cell", "vec_id", t, "vec_id")
+            IndexStore.tombstoneTouchedParts(rel, "cell", "vec_id", t, "vec_id")
           case None => Set.empty[Int]
         }
         val dirty = multi ++ tsTouched
-        if (!selective || counts.isEmpty || dirty.size * 5 >= counts.size * 4)
-          minus(spark.read.parquet(live))
+        val full  = !selective || stats.isEmpty || dirty.size * 5 >= stats.size * 4
+        if (full)
+          minus(rel).repartition(col("cell")).write.partitionBy("cell").parquet(staged)
+        else if (dirty.nonEmpty)
+          minus(rel.where(col("cell").isin(dirty.toSeq.sorted.map(c => c: Any): _*)))
             .repartition(col("cell")).write.partitionBy("cell").parquet(staged)
-        else {
-          if (dirty.nonEmpty)
-            minus(spark.read.parquet(live).where(col("cell").isin(dirty.toSeq.sorted.map(c => c: Any): _*)))
-              .repartition(col("cell")).write.partitionBy("cell").parquet(staged)
-          IndexStore.carryPartitions(spark, live, staged, "cell", (counts.keySet -- dirty).toSeq.sorted)
-        }
+        IndexStore.writeManifest(spark, staged,
+          IndexStore.stagedEntries(spark, root, staged, "", "cell") ++
+            IndexStore.carriedEntries(spark, root, live, "", "cell",
+              if (full) Nil else (stats.keySet -- dirty).toSeq.sorted))
       }
     }
   }
@@ -1273,6 +1332,150 @@ object Similarity {
     PqModel(m * books.head.head.length, m, books.head.length, books)
   }
 
+  /** Mean squared quantization error of a hash-sampled slice of `df`
+    * under `model` — the PQ drift meter. Distributed (no collect): the
+    * deterministic id-hash picks ~`cap` rows, a scan-local kernel
+    * encodes+decodes each and emits its squared L2 reconstruction
+    * error, one aggregation averages. Cost: one thin (id, vec) sample
+    * scan — negligible beside the rewrite a refresh would ride.
+    */
+  def pqSampledMqe(
+      df: DataFrame, idCol: String, vecCol: String, model: PqModel, cap: Long = 4096): (Double, Long) = {
+    val n        = df.count()
+    val fraction = math.min(1.0, cap.toDouble / math.max(1, n))
+    val books    = model.codebooks
+    val dsub     = model.dsub
+    val errU = udf { (v: Array[Float]) =>
+      if (v == null || v.length != model.dims) 0.0
+      else {
+        var err = 0.0
+        var sub = 0
+        while (sub < model.m) {
+          val sv = java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub)
+          val cent = books(sub)(PqModel.nearestCode(sv, books(sub)))
+          var i = 0
+          while (i < dsub) { val d = sv(i).toDouble - cent(i).toDouble; err += d * d; i += 1 }
+          sub += 1
+        }
+        err
+      }
+    }
+    val row = df
+      .where(Sampling.hashBucket(col(idCol)) < math.round(fraction * Sampling.Buckets).max(1L))
+      .agg(avg(errU(col(vecCol))), count(lit(1))).head
+    if (row.isNullAt(0)) (0.0, 0L) else (row.getDouble(0), row.getLong(1))
+  }
+
+  private def pqStatsPath(dd: String) = s"$dd/_graft_pq_stats"
+
+  private def writePqStats(
+      spark: org.apache.spark.sql.SparkSession, dd: String, mqe: Double, sampled: Long): Unit = {
+    import spark.implicits._
+    Seq((mqe, sampled)).toDF("mqe", "sampled")
+      .coalesce(1).write.mode("overwrite").parquet(pqStatsPath(dd))
+  }
+
+  private def readPqStats(
+      spark: org.apache.spark.sql.SparkSession, dd: String): Option[(Double, Long)] = {
+    val p  = new org.apache.hadoop.fs.Path(pqStatsPath(dd))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(p.toString).select("mqe", "sampled").head
+      Some((r.getDouble(0), r.getLong(1)))
+    }
+  }
+
+  /** How far a persisted IVF-PQ index's FROZEN codebooks have drifted
+    * from the live corpus's value distribution: the relative growth of
+    * sampled mean quantization error over the baseline recorded at
+    * train time (`_graft_pq_stats`) — 0 means codes reconstruct as well
+    * as the day they were trained; 1.0 means reconstruction error has
+    * DOUBLED (ADC shortlists silently lose recall long before that).
+    * The [[ivfCellImbalance]] / [[graft.operators.Dedup.jaccardDictDrift]]
+    * analogue for the fine quantizer — the last frozen artifact that
+    * previously had no drift meter. 0 for indexes without PQ or without
+    * a recorded baseline (pre-stats builds: measure-less, so
+    * [[PqRefreshMode.Auto]] never fires on them — refresh explicitly
+    * with Always once, which records one).
+    */
+  def pqDrift(spark: org.apache.spark.sql.SparkSession, path: String): Double = {
+    val dd = graft.operators.IndexStore.dataDir(spark, path)
+    val pq = new org.apache.hadoop.fs.Path(s"$dd/_graft_pq")
+    if (!pq.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pq)) return 0.0
+    readPqStats(spark, dd) match {
+      case None | Some((0.0, _)) => 0.0
+      case Some((baseline, _)) =>
+        val model = loadPqModel(spark, pq.toString)
+        val live  = graft.operators.IndexStore.readRel(spark, dd, "", "cell")
+          .select(col("vec_id"), col("vec"))
+        val masked = ivfTombstonesAt(spark, dd) match {
+          case Some(t) => live.join(broadcast(t), live("vec_id") === t("vec_id"), "left_anti")
+          case None    => live
+        }
+        val (now, _) = pqSampledMqe(masked, "vec_id", "vec", model)
+        math.max(0.0, now / baseline - 1.0)
+    }
+  }
+
+  /** When does an IVF-PQ compaction RETRAIN the fine quantizer
+    * (codebooks) — the [[RetrainMode]] pattern applied to the last
+    * frozen artifact. Appends encode under build-time codebooks
+    * (correct by contract), but value-distribution drift silently
+    * degrades ADC shortlist recall; a refresh re-runs [[pqTrain]] on
+    * the survivors and re-encodes every row RIDING the rewrite the
+    * compact already pays.
+    */
+  sealed trait PqRefreshMode
+  object PqRefreshMode {
+    /** Carry the frozen codebooks (default). */
+    case object Never extends PqRefreshMode
+    /** Unconditional codebook retrain + re-encode (full rewrite). */
+    case object Always extends PqRefreshMode
+    /** Measure [[pqDrift]] (one sampled encode pass) and refresh only
+      * above `maxGrowth`. The default 0.5 = sampled reconstruction
+      * error grew 50% over the train-time baseline — far past
+      * same-distribution jitter (≈0), well before the regimes where
+      * the ADC shortlist visibly loses the true neighbors.
+      */
+    final case class Auto(maxGrowth: Double = 0.5) extends PqRefreshMode
+  }
+
+  /** [[appendToIvfIndex]] for STREAMING bodies: the encoded, cell-assigned
+    * batch lands under deterministic (streamId, batchId)-derived file
+    * names ([[graft.operators.IndexStore.appendBatchExactlyOnce]]), so a
+    * foreachBatch retry at ANY crash point — including between the data
+    * commit and the batch-token create — converges to exactly one copy.
+    */
+  def appendToIvfIndexExactlyOnce(
+      newBatch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      streamId: String,
+      batchId: Long
+  ): Unit = {
+    val spark = newBatch.sparkSession
+    graft.operators.IndexStore.withWriterLease(spark, path) {
+      val dd    = graft.operators.IndexStore.dataDir(spark, path)
+      val cents = loadCentroids(spark, s"$dd/_graft_centroids")
+      val pqPath = new org.apache.hadoop.fs.Path(s"$dd/_graft_pq")
+      val hasPq  = pqPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pqPath)
+      val base =
+        if (!hasPq) newBatch.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+        else {
+          val model = loadPqModel(spark, pqPath.toString)
+          newBatch
+            .select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+              pqEncoder(model)(col(vecCol)).as("__e"))
+            .select(col("vec_id"), col("vec"),
+              col("__e._1").as("pq_code"), col("__e._2").as("pq_norm"))
+        }
+      graft.operators.IndexStore.appendBatchExactlyOnce(
+        spark, path, "", "cell", streamId, batchId)(ivfAssign(base, "vec", cents))
+    }
+  }
+
   /** [[persistIvfIndex]] with the fine quantizer baked in: every row
     * stores its PQ code word and decoded norm BESIDE the full vector
     * (cell-partitioned as before), and the codebooks persist as
@@ -1309,6 +1512,11 @@ object Similarity {
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
       saveCentroids(spark, centroids, s"$dir/_graft_centroids")
       savePqModel(spark, model, s"$dir/_graft_pq")
+      // Train-time quantization-error BASELINE — the reference point
+      // [[pqDrift]] measures codebook drift against.
+      val (mqe, sampled) = pqSampledMqe(
+        corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), "vec_id", "vec", model)
+      writePqStats(spark, dir, mqe, sampled)
     }
   }
 
@@ -1354,7 +1562,7 @@ object Similarity {
     val cellFilter = col("cell").isin(probed.map(x => x: Any): _*)
     val ts = ivfTombstonesAt(spark, dd)
     // Stage 1: the THIN scan — codes and norms only, never the vectors.
-    val thin0 = spark.read.parquet(dd)
+    val thin0 = graft.operators.IndexStore.readRel(spark, dd, "", "cell")
       .where(cellFilter)
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("pq_code"), col("pq_norm"))
     val thin = ts match {
@@ -1371,7 +1579,7 @@ object Similarity {
       .select("query_id", "neighbor_id", "q_vec")
     // Stage 2: exact rescore — vectors read only for the shortlist, from
     // the same pruned cell partitions.
-    val vecs = spark.read.parquet(dd)
+    val vecs = graft.operators.IndexStore.readRel(spark, dd, "", "cell")
       .where(cellFilter)
       .select(col("vec_id").as("neighbor_id"), col("vec").as("c_vec"))
     val wE = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)

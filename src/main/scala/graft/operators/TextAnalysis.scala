@@ -951,14 +951,12 @@ object TextAnalysis {
     }
   }
 
-  /** Data files currently under the unpartitioned `docs/` relation. */
-  private def docsFileCount(spark: org.apache.spark.sql.SparkSession, dataDir: String): Int = {
-    val dp = new org.apache.hadoop.fs.Path(s"$dataDir/docs")
-    val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dp)) 0
-    else fs.listStatus(dp).count(f =>
-      f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-  }
+  /** Data files currently under the unpartitioned `docs/` relation —
+    * resolved through the generation manifest (a carried `docs/` lives in
+    * a donor generation; appends land in the live one).
+    */
+  private def docsFileCount(spark: org.apache.spark.sql.SparkSession, dataDir: String): Int =
+    graft.operators.IndexStore.relStatsFlat(spark, dataDir, "docs").files
 
   /** Record `docs/`' FILE-COUNT BASELINE (`_graft_docs_base`) after a full
     * (re)write. `docs` is unpartitioned, so its baseline file count is
@@ -1115,55 +1113,63 @@ object TextAnalysis {
       // buckets its postings live in — so terms-dirty ⊆ this set, and
       // every recount below can read the freshly-rewritten staged
       // postings of the same buckets.
-      val pCounts = IndexStore.partitionFileCounts(spark, s"$live/postings", "bucket")
-      val tCounts = IndexStore.partitionFileCounts(spark, s"$live/terms", "bucket")
+      val root    = IndexStore.rootOf(live)
+      val pStats  = IndexStore.relStats(spark, live, "postings", "bucket")
+      val tStats  = IndexStore.relStats(spark, live, "terms", "bucket")
       val tsTouched = ts match {
         case Some(t) =>
           IndexStore.tombstoneTouchedParts(
-            spark.read.parquet(s"$live/postings"), "bucket", "doc_id", t, "doc_id")
+            IndexStore.readRel(spark, live, "postings", "bucket"), "bucket", "doc_id", t, "doc_id")
         case None => Set.empty[Int]
       }
-      val dirty = pCounts.filter(_._2 > 1).keySet ++ tCounts.filter(_._2 > 1).keySet ++ tsTouched
-      val full  = !selective || pCounts.isEmpty || dirty.size * 5 >= pCounts.size * 4
+      val dirty = pStats.filter(_._2.dirty).keySet ++ tStats.filter(_._2.dirty).keySet ++ tsTouched
+      val full  = !selective || pStats.isEmpty || dirty.size * 5 >= pStats.size * 4
       // 1. postings: live rows only, dirty buckets rewritten, clean carried.
       if (full)
-        minus(spark.read.parquet(s"$live/postings"))
+        minus(IndexStore.readRel(spark, live, "postings", "bucket"))
           .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/postings")
-      else {
-        if (dirty.nonEmpty)
-          minus(spark.read.parquet(s"$live/postings").where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*)))
-            .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/postings")
-        IndexStore.carryPartitions(spark, s"$live/postings", s"$staged/postings", "bucket",
-          (pCounts.keySet -- dirty).toSeq.sorted)
-      }
+      else if (dirty.nonEmpty)
+        minus(IndexStore.readRel(spark, live, "postings", "bucket")
+            .where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*)))
+          .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/postings")
       // 2. terms: doc-frequencies RECOUNTED from the compacted postings of
       //    the same buckets (a term's postings name all its live docs), so
       //    merge-on-read becomes identity again; clean buckets carried.
+      //    The recount reads the PHYSICAL staged postings — exactly the
+      //    rewritten buckets, no manifest resolution needed or wanted.
       if (full)
         spark.read.parquet(s"$staged/postings")
           .groupBy("bucket", "term").agg(count(lit(1)).as("doc_freq"))
           .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/terms")
-      else {
-        if (dirty.nonEmpty)
-          spark.read.parquet(s"$staged/postings")
-            .where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*))
-            .groupBy("bucket", "term").agg(count(lit(1)).as("doc_freq"))
-            .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/terms")
-        IndexStore.carryPartitions(spark, s"$live/terms", s"$staged/terms", "bucket",
-          (tCounts.keySet -- dirty).toSeq.sorted)
-      }
+      else if (dirty.nonEmpty)
+        spark.read.parquet(s"$staged/postings")
+          .where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*))
+          .groupBy("bucket", "term").agg(count(lit(1)).as("doc_freq"))
+          .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/terms")
       // 3. docs: unpartitioned thin relation (doc_id, len) — rewritten
       //    whole when it holds tombstoned rows or append segments (no
       //    partition key to prune by; the rewrite is one column-pruned
-      //    scan of the thinnest relation), hardlink-carried otherwise.
+      //    scan of the thinnest relation), manifest-carried otherwise.
       //    No explicit repartition: the parquet read packs small appended
       //    segments into maxPartitionBytes-sized splits, so the rewrite
       //    folds file count to ~bytes/128MB without paying a shuffle.
       val docsDirty = ts.isDefined || bm25DocsSegments(spark, live) > 1
-      if (!selective || docsDirty)
-        minus(spark.read.parquet(s"$live/docs")).write.parquet(s"$staged/docs")
-      else
-        IndexStore.carryTree(spark, s"$live/docs", s"$staged/docs")
+      val docsEntries =
+        if (!selective || docsDirty) {
+          minus(IndexStore.readRelFlat(spark, live, "docs")).write.parquet(s"$staged/docs")
+          IndexStore.stagedFlatEntry(spark, root, staged, "docs")
+        } else
+          IndexStore.carriedFlatEntry(spark, root, live, "docs")
+      // All three relations land in ONE manifest: rewritten buckets with
+      // fresh recorded bases, clean buckets as references.
+      val carriedParts = if (full) Nil else (pStats.keySet -- dirty).toSeq.sorted
+      val carriedTerms = if (full) Nil else (tStats.keySet -- dirty).toSeq.sorted
+      IndexStore.writeManifest(spark, staged,
+        IndexStore.stagedEntries(spark, root, staged, "postings", "bucket") ++
+          IndexStore.carriedEntries(spark, root, live, "postings", "bucket", carriedParts) ++
+          IndexStore.stagedEntries(spark, root, staged, "terms", "bucket") ++
+          IndexStore.carriedEntries(spark, root, live, "terms", "bucket", carriedTerms) ++
+          docsEntries)
       // Either path changes (or re-establishes) docs' file count — record
       // the new baseline so the next sweep's segment arithmetic starts at 1.
       writeDocsBase(spark, staged)
@@ -1189,14 +1195,14 @@ object TextAnalysis {
       .distinct().as[Int].collect().sorted
     val prune = (df: DataFrame) =>
       if (touched.isEmpty) df.where(lit(false)) else df.where(col("bucket").isin(touched.map(x => x: Any): _*))
-    val postings = prune(spark.read.parquet(s"$dd/postings")).drop("bucket")
+    val postings = prune(graft.operators.IndexStore.readRel(spark, dd, "postings", "bucket")).drop("bucket")
     // Term stats are stored ADDITIVELY (an append writes partial doc_freq
     // rows for its batch); merge-on-read re-aggregates the PRUNED slice —
     // identity for a never-appended index, a few rows per query term
     // otherwise. The log-structured-merge shape.
-    val terms = prune(spark.read.parquet(s"$dd/terms")).drop("bucket")
+    val terms = prune(graft.operators.IndexStore.readRel(spark, dd, "terms", "bucket")).drop("bucket")
       .groupBy("term").agg(sum("doc_freq").as("doc_freq"))
-    val docs = spark.read.parquet(s"$dd/docs")
+    val docs = graft.operators.IndexStore.readRelFlat(spark, dd, "docs")
     val index = bm25TombstonesAt(spark, dd) match {
       case Some(ts) =>
         // Deletes invalidate the stored per-term doc counts; recount from

@@ -513,6 +513,14 @@ object EventStream {
     * appending a duplicate copy — read `sinkPath` as one parquet tree
     * (the discovered `batch` partition column is the idempotency
     * detail; drop it if unwanted).
+    *
+    * LAYOUT MIGRATION: this sink once appended flat parquet files
+    * directly under `sinkPath`. The batch-subdirectory layout cannot
+    * coexist with flat leftovers — partition discovery over the mix
+    * fails, and a reader would otherwise silently double-count — so a
+    * pre-existing FLAT sink is refused at start with a loud error:
+    * point the query at a fresh `sinkPath` (or move the legacy files
+    * aside) before restarting.
     */
   def matchVsPersistedIndexSink(
       stream: DataFrame,
@@ -523,7 +531,20 @@ object EventStream {
       checkpointPath: String,
       estThreshold: Double = 0.8,
       queryName: String = "match_vs_persisted_index"
-  ) =
+  ) = {
+    // Refuse a legacy FLAT sink (data files directly under sinkPath, no
+    // batch=<id> dirs) before the query starts — see the docstring.
+    val sp = new org.apache.hadoop.fs.Path(sinkPath)
+    val fs = sp.getFileSystem(stream.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(sp)) {
+      val entries = fs.listStatus(sp)
+      val flatData = entries.exists(e => e.isFile &&
+        !e.getPath.getName.startsWith("_") && !e.getPath.getName.startsWith("."))
+      if (flatData) throw new IllegalStateException(
+        s"matchVsPersistedIndexSink: $sinkPath holds FLAT parquet files from the pre-batch-layout " +
+          "sink; the exactly-once batch=<id> layout cannot mix with them (partition discovery " +
+          "fails and readers would double-count). Use a fresh sinkPath or move the legacy files aside.")
+    }
     stream.writeStream
       .queryName(queryName)
       .outputMode(OutputMode.Append())
@@ -534,6 +555,7 @@ object EventStream {
           .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
       }
       .start()
+  }
 
   /** Convenience: run a streaming frame into an in-memory sink and return
     * the query (tests and demos; production sinks are the caller's choice).

@@ -1130,20 +1130,30 @@ object StreamGates {
       spark: SparkSession,
       dir: String,
       policy: graft.operators.CorpusPipeline.IndexMaintenancePolicy,
-      streamId: String = "maint"
+      // No default on purpose: batch ids are per-QUERY, so two queries
+      // feeding the same index under one shared default id would collide
+      // on the token namespace and the second stream's batches would
+      // silently skip — the exact failure the namespace prevents. Every
+      // caller names its own stream.
+      streamId: String
   )(b: DataFrame, batchId: Long): DataFrame = {
     import graft.operators.{CorpusPipeline, Dedup, IndexStore}
-    // At-most-once APPEND per (streamId, batchId): Structured Streaming
-    // re-runs a failed batch with the same id, so the write is guarded
-    // by [[IndexStore.withBatchToken]] — batchId-derived create-vs-append
-    // alone only makes batch 0 idempotent (overwrite); appends need the
-    // token, and the streamId namespace keeps two queries feeding one
-    // index from eating each other's batch 0. Delete + sweep stay
-    // OUTSIDE the guard: both are idempotent on their own (tombstones
-    // re-distinct, the sweep converges).
+    // EXACTLY-once APPEND per (streamId, batchId): Structured Streaming
+    // re-runs a failed batch with the same id. The token + high-water
+    // mark ([[IndexStore.withBatchToken]]) short-circuit clean retries
+    // and late replays; the append itself lands under deterministic
+    // (streamId, batchId)-derived file names
+    // ([[graft.operators.Dedup.appendToSignatureIndexExactlyOnce]]), so
+    // even a crash IN the window between the data commit and the token
+    // create converges on retry — the re-run sweeps its own partial
+    // files and re-lands the same names. Batch 0 re-CREATES (an
+    // idempotent generation overwrite). Delete + sweep stay OUTSIDE the
+    // guard: both are idempotent on their own (tombstones re-distinct,
+    // the sweep converges).
     IndexStore.withBatchToken(spark, dir, streamId, batchId) {
-      Dedup.persistSignatureIndex(
-        Dedup.buildSignatureIndex(b, "text", "doc_id"), dir, append = batchId > 0)
+      val idx = Dedup.buildSignatureIndex(b, "text", "doc_id")
+      if (batchId == 0) Dedup.persistSignatureIndex(idx, dir)
+      else Dedup.appendToSignatureIndexExactlyOnce(idx, dir, streamId, batchId)
     }
     Dedup.deleteFromPersistedIndex(
       b.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", dir)
@@ -1177,7 +1187,7 @@ object StreamGates {
     // re-CREATES (idempotent overwrite) instead of appending a duplicate
     // copy of its band rows into the index.
     val audits = replayViaForeachBatchWithId(spark, lower, "ts", chunks = 3,
-      stageKey = Some(s"docsLower1s:$sfDir"))(maintainBatchBody(spark, dir, policy))
+      stageKey = Some(s"docsLower1s:$sfDir"))(maintainBatchBody(spark, dir, policy, "maint_sig"))
     val probe = Dedup.matchVsPersistedIndex(
         all.where(col("doc_id") > splitId), "text", "doc_id", dir)
       .select(lit("probe").as("surface"), lit("-").as("action"),
@@ -1509,5 +1519,79 @@ object StreamGates {
       b => Similarity.ivfPqTopKFromPersisted(spark, indexDir, b.drop("ts"), "vec_id", "embedding",
         k = 10, nprobe = IvfPinned.nlist, shortlist = 128))
       .orderBy("query_id", "rnk")
+  }
+
+  /** The per-micro-batch body of [[ivfPqMaintainViaStream]] —
+    * [[maintainBatchBody]]'s shape for the IVF-PQ family: batch 0
+    * CREATES the index (pinned coarse quantizer; PQ codebooks trained on
+    * the first batch — deterministic, and exactly how production
+    * bootstraps: later appends encode under the frozen books), later
+    * batches append EXACTLY-ONCE (deterministic stream-batch file
+    * names), each batch tombstones its own % 3 ids and runs the policy
+    * sweep, whose fired compacts carry codes through rewrites and fold
+    * the [[graft.operators.Similarity.PqRefreshMode.Auto]] codebook
+    * drift check in.
+    */
+  private[graft] def maintainIvfPqBatchBody(
+      spark: SparkSession,
+      dir: String,
+      policy: graft.operators.CorpusPipeline.IndexMaintenancePolicy,
+      streamId: String
+  )(b: DataFrame, batchId: Long): DataFrame = {
+    import graft.operators.{CorpusPipeline, IndexStore, IvfPinned, Similarity}
+    IndexStore.withBatchToken(spark, dir, streamId, batchId) {
+      if (batchId == 0) {
+        val model = Similarity.pqTrain(b, "vec_id", "embedding", m = 16, k = 64)
+        Similarity.persistIvfPqIndex(b, "vec_id", "embedding", IvfPinned.centroids, model, dir)
+      } else
+        Similarity.appendToIvfIndexExactlyOnce(b, "vec_id", "embedding", dir, streamId, batchId)
+    }
+    Similarity.deleteFromIvfIndex(
+      b.where(col("vec_id") % 3 === 0).select("vec_id"), "vec_id", dir)
+    val sweep = CorpusPipeline.maintainIndexes(spark, Seq(dir), policy)
+    val sp = b.sparkSession
+    import sp.implicits._
+    Seq((
+      "audit",
+      sweep.select("action").head.getString(0),
+      graft.operators.IndexStore.currentGeneration(spark, dir).toLong,
+      -1L, -1L, -1L))
+      .toDF("surface", "action", "generation", "query_id", "neighbor_id", "rnk")
+  }
+
+  /** `q_ivfpq_maintain_stream`: CONTINUOUS VECTOR INGEST with automatic
+    * IVF-PQ upkeep — [[indexMaintainViaStream]]'s daily-crawl shape for
+    * the billion-vector serving family. The embeddings stream in 3
+    * chronological micro-batches; each appends (encoded under the
+    * frozen codebooks), tombstones its % 3 ids, and runs the policy
+    * sweep, so every batch's compact rewrites the PQ-bearing cells
+    * mid-stream (codes carried; generation 1, 2, 3 in the audit rows).
+    * After the stream, the standard persisted probe (thin ADC stage +
+    * exact rescore) runs exhaustively: serving must equal the exact
+    * top-k over the survivors — a stream of append/forget/maintain
+    * cycles may change cost and even codebooks, never content.
+    */
+  def ivfPqMaintainViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{CorpusPipeline, Similarity}
+    val emb = graft.Tpch.table(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_stream_").toString + "/idx"
+    val stream = emb.select(
+      col("vec_id").cast("long").as("vec_id"),
+      timestamp_millis(lit(1700000000000L) + col("vec_id") * 1000L).as("ts"),
+      col("embedding"))
+    // ivfMaxImbalance effectively off: the audit's action column stays
+    // the deterministic tombstone-fired 'compact' at every SF (the
+    // retrain/refresh Auto decisions still run inside the compact; the
+    // exact-rescore probe pins content whatever they decide).
+    val policy = CorpusPipeline.IndexMaintenancePolicy(
+      maxTombstoneFraction = 0.001, ivfMaxImbalance = 1e9)
+    val audits = replayViaForeachBatchWithId(spark, stream, "ts", chunks = 3,
+      stageKey = Some(s"embAll1s:$sfDir"))(maintainIvfPqBatchBody(spark, dir, policy, "maint_ivfpq"))
+    val probe = Similarity.ivfPqTopKFromPersisted(spark, dir,
+        emb.where("vec_id < 5"), "vec_id", "embedding",
+        k = 10, nprobe = Similarity.ivfIndexNlist(spark, dir), shortlist = 128)
+      .select(lit("probe").as("surface"), lit("-").as("action"),
+        lit(-1L).as("generation"), col("query_id"), col("neighbor_id"), col("rnk"))
+    audits.unionByName(probe).orderBy("surface", "query_id", "neighbor_id", "rnk", "generation")
   }
 }

@@ -27,11 +27,19 @@ object CompactionSoak {
     runs.minBy(_._1)
   }
 
-  private def parquetFiles(dir: String): Int = {
+  /** Files a probe of the resolved generation actually reads: physical
+    * files under it PLUS the manifest-referenced base files carried in
+    * donor locations (manifest carry keeps clean partitions outside the
+    * generation dir, so a physical walk alone undercounts serving cost).
+    */
+  private def parquetFiles(spark: SparkSession, dir: String): Int = {
     def walk(f: java.io.File): Int =
       if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
       else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
-    walk(new java.io.File(dir))
+    val name = new java.io.File(dir).getName
+    val refs = graft.operators.IndexStore.readManifest(spark, dir).getOrElse(Seq.empty)
+      .filterNot(_.dir.startsWith(name + "/")).map(_.files.size).sum
+    walk(new java.io.File(dir)) + refs
   }
 
   def main(args: Array[String]): Unit = {
@@ -64,7 +72,7 @@ object CompactionSoak {
     // not serving cost.
     def row(tag: String, dir: String, t: (Double, Long)): Unit = {
       val live = graft.operators.IndexStore.dataDir(spark, dir)
-      println(f"[cmpsoak] $tag%-22s ${t._1}%7.2f s  ${t._2}%8d matches  ${parquetFiles(live)}%5d files")
+      println(f"[cmpsoak] $tag%-22s ${t._1}%7.2f s  ${t._2}%8d matches  ${parquetFiles(spark, live)}%5d files")
     }
     row("sig cycle0 (fresh)", sigDir, sigProbe())
     (1 to cycles).foreach { c =>
@@ -124,7 +132,7 @@ object CompactionSoak {
       def prow(tag: String, action: String, sweepS: Double, t: (Double, Long)): Unit = {
         val live = graft.operators.IndexStore.dataDir(spark, dir)
         println(f"[cmpsoak] policy $tag%-9s action=$action%-15s sweep ${sweepS}%5.2f s  " +
-          f"probe ${t._1}%6.2f s  ${t._2}%8d matches  ${parquetFiles(live)}%5d files")
+          f"probe ${t._1}%6.2f s  ${t._2}%8d matches  ${parquetFiles(spark, live)}%5d files")
       }
       prow("cycle0", "-", 0.0, probe())
       (1 to cycles).foreach { c =>
@@ -188,9 +196,15 @@ object CompactionSoak {
         else Dedup.compactSignatureIndex(spark, t, selective = false)
         val secs = (System.nanoTime() - t0) / 1e9
         val cur  = graft.operators.IndexStore.dataDir(spark, t)
-        val after = inodes(cur)
-        val carriedBytes   = after.collect { case (ino, b) if before.contains(ino) => b }.sum
-        val rewrittenBytes = after.collect { case (ino, b) if !before.contains(ino) => b }.sum
+        // Manifest carry: rewritten bytes are the PHYSICAL files of the
+        // new generation; carried bytes are the manifest's recorded base
+        // files still living in donor locations (one manifest line each —
+        // no inode tricks needed, and the accounting holds on any FS).
+        val curName = new java.io.File(cur).getName
+        val manifest = graft.operators.IndexStore.readManifest(spark, cur).getOrElse(Seq.empty)
+        val carriedBytes = manifest.filterNot(_.dir.startsWith(curName + "/"))
+          .flatMap(_.files.map(_._2)).sum
+        val rewrittenBytes = inodes(cur).values.sum
         ((secs, carriedBytes, rewrittenBytes))
       }
       // min-of-2 per mode: the first trial at each scale pays JIT/codegen
@@ -223,7 +237,7 @@ object CompactionSoak {
       def brow(tag: String, audit: String, t: (Double, Long)): Unit = {
         val live = graft.operators.IndexStore.dataDir(spark, dir)
         println(f"[cmpsoak] bytes $tag%-24s $audit%-48s probe ${t._1}%6.2f s  " +
-          f"${t._2}%8d matches  ${parquetFiles(live)}%5d files")
+          f"${t._2}%8d matches  ${parquetFiles(spark, live)}%5d files")
       }
       brow("fresh", "-", probe())
       val big = (1 to 3).map { c =>

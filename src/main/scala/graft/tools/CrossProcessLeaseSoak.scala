@@ -145,7 +145,7 @@ object CrossProcessLeaseSoak {
     h2.waitFor()
     val heldToEnd = scala.io.Source.fromFile(ho2).getLines().exists(_.startsWith("released"))
 
-    val got = spark.read.parquet(IndexStore.dataDir(spark, dir))
+    val got = IndexStore.readRel(spark, IndexStore.dataDir(spark, dir), "", "bucket")
       .where(col("band") === 0).groupBy("doc_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = (1L to 100L) ++ (0 until 50).map(k => 7L * 10000000L + k) ++
@@ -249,7 +249,7 @@ object CrossProcessLeaseSoak {
       (1L to 100L).toSet ++
         c1.flatMap(c => (0 until per).map(k => 1 * 10000000L + c * 10000L + k)) ++
         c2.flatMap(c => (0 until per).map(k => 2 * 10000000L + c * 10000L + k))
-    val got = spark.read.parquet(IndexStore.dataDir(spark, dir))
+    val got = IndexStore.readRel(spark, IndexStore.dataDir(spark, dir), "", "bucket")
       .where(col("band") === 0).groupBy("doc_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val missing = expected.filterNot(got.contains)

@@ -110,7 +110,7 @@ object IvfRecallSoak {
               (math.sqrt(vd.map(x => x * x).sum) * math.sqrt(bc.value(c).map(x => x * x).sum)), c))
             .sortBy { case (s0, c) => (-s0, c) }.take(nprobe).map(_._2).toArray
         }
-        val counts = spark.read.parquet(dd).groupBy("cell").count()
+        val counts = graft.operators.IndexStore.readRel(spark, dd, "", "cell").groupBy("cell").count()
         val probed = queries.select(col("vec_id").as("qid"), explode(probeU(col("embedding"))).as("cell"))
         val total = probed.join(counts, "cell").agg(sum("count")).head.getLong(0).toDouble
         total / queries.count()

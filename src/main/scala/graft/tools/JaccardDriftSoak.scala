@@ -76,7 +76,7 @@ object JaccardDriftSoak {
       val drift = Dedup.jaccardDictDrift(spark, dir)
 
       def riserRows(d: String): Long =
-        spark.read.parquet(s"${IndexStore.dataDir(spark, d)}/postings")
+        IndexStore.readRel(spark, IndexStore.dataDir(spark, d), "postings", "bucket")
           .where(col("tok").isin("r1", "r2", "r3")).count()
       // Order-independent content checksum: the refresh contract is that
       // the RESULT SET never moves, only its cost.

@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * `*_compact` gates; this spec pins what an oracle cannot see:
   *
   *  - selective compaction rewrites ONLY dirty partitions (clean ones
-  *    are hardlinked — same inode — into the new generation) and its
-  *    result is file-content-identical to a full compact and a fresh
-  *    build of the survivors;
+  *    carry as MANIFEST REFERENCES into their donor locations — one
+  *    manifest line, zero bytes, on any filesystem) and its result is
+  *    content-identical to a full compact and a fresh build of the
+  *    survivors;
   *  - the generation swap is atomic to concurrent probes (no probe ever
   *    errors or sees a mixed state while compactions race it, including
   *    a KILLED compaction);
@@ -79,26 +80,32 @@ class IndexLifecycleSpec extends SparkSpec {
       IndexStore.currentGeneration(spark, dir) shouldBe 1
       exists(s"$dd/_graft_tombstones") shouldBe false // mask died with the masked rows
       sortedRows(spark.read.parquet(s"$dd/_graft_index_meta")) shouldEqual metaBefore
-      parquetFilesUnder(dd).size should be < filesBefore
+      // Serving file count (physical + manifest-referenced) fell: the
+      // append segments folded.
+      IndexStore.relStats(spark, dd, "", "bucket").values.map(_.files).sum should be < filesBefore
       // Compacted content ≡ fresh build on the survivors (banded rows).
       val fresh = tmpDir("sigcmp_fresh_")
       Dedup.persistSignatureIndex(
         Dedup.buildSignatureIndex(
           docsDf(1 to 80).where(col("doc_id") % 3 =!= 0), "text", "doc_id"), fresh)
-      sortedRows(spark.read.parquet(dd)) shouldEqual sortedRows(spark.read.parquet(fresh))
+      sortedRows(IndexStore.readRel(spark, dd, "", "bucket")) shouldEqual
+        sortedRows(spark.read.parquet(fresh))
       // Probe path works against the generational layout.
       val probe = Dedup.matchVsPersistedIndex(docsDf(81 to 85), "text", "doc_id", dir)
       probe.columns.toSeq shouldEqual Seq("doc_id", "matched_id", "est_jaccard")
       // Previous snapshot (flat-era data) is retained until the next
-      // compact — readable-until-vacuum.
+      // compact — readable-until-vacuum. (UNREFERENCED flat-era leftovers
+      // only: partitions the manifest still points into are live data and
+      // survive every cleanup.)
       exists(s"$dir/_graft_tombstones") shouldBe true
       Dedup.compactSignatureIndex(spark, dir)
       IndexStore.currentGeneration(spark, dir) shouldBe 2
       exists(s"$dir/_graft_tombstones") shouldBe false // flat era reclaimed
-      sortedRows(spark.read.parquet(dataDir(dir))) shouldEqual sortedRows(spark.read.parquet(fresh))
+      sortedRows(IndexStore.readRel(spark, dataDir(dir), "", "bucket")) shouldEqual
+        sortedRows(spark.read.parquet(fresh))
     }
 
-    it("selective ≡ full ≡ fresh, and clean partitions are carried by hardlink") {
+    it("selective ≡ full ≡ fresh, and clean partitions are carried by manifest reference") {
       // 160 docs spread the bands over all 64 buckets; deleting TWO ids
       // leaves most buckets untouched — exactly the small-purge shape
       // selective compaction exists for.
@@ -109,7 +116,6 @@ class IndexLifecycleSpec extends SparkSpec {
       }
       val sel  = tmpDir("sigsel_");  build(sel)
       val full = tmpDir("sigfull_"); build(full)
-      val liveFiles = parquetFilesUnder(sel).map(f => f -> inode(f)).toMap
 
       Dedup.compactSignatureIndex(spark, sel, selective = true)
       Dedup.compactSignatureIndex(spark, full, selective = false)
@@ -118,18 +124,27 @@ class IndexLifecycleSpec extends SparkSpec {
       Dedup.persistSignatureIndex(
         Dedup.buildSignatureIndex(
           docsDf(1 to 160).where(!col("doc_id").isin(7L, 110L)), "text", "doc_id"), freshDir)
-      val selRows = sortedRows(spark.read.parquet(dataDir(sel)))
-      selRows shouldEqual sortedRows(spark.read.parquet(dataDir(full)))
+      val selRows = sortedRows(IndexStore.readRel(spark, dataDir(sel), "", "bucket"))
+      selRows shouldEqual sortedRows(IndexStore.readRel(spark, dataDir(full), "", "bucket"))
       selRows shouldEqual sortedRows(spark.read.parquet(freshDir))
-      // Carried partitions really are hardlinks of the live generation's
-      // files (same inode), and at least one partition was carried.
-      val carried = parquetFilesUnder(dataDir(sel)).filter { f =>
-        val rel = f.substring(f.indexOf("/bucket="))
-        liveFiles.exists { case (lf, ino) => lf.endsWith(rel) && inode(f) == ino }
-      }
+      // Clean partitions carried as MANIFEST REFERENCES into donor
+      // locations (one line each, zero bytes moved on any filesystem) —
+      // not physically present in the new generation…
+      val genName  = new java.io.File(dataDir(sel)).getName
+      val manifest = IndexStore.readManifest(spark, dataDir(sel)).get
+      val carried  = manifest.filterNot(_.dir.startsWith(genName + "/"))
       carried should not be empty
-      // And at least one partition was rewritten (the dirty ones).
-      parquetFilesUnder(dataDir(sel)).size should be > carried.size
+      carried.foreach(e => exists(s"${dataDir(sel)}/${e.dir.split('/').last}") shouldBe false)
+      // …while the dirty partitions were rewritten physically with their
+      // fresh base files recorded.
+      val rewritten = manifest.filter(_.dir.startsWith(genName + "/"))
+      rewritten should not be empty
+      rewritten.foreach(e => e.files should not be empty)
+      // The full compact wrote everything physically (its manifest
+      // references nothing outside itself).
+      val fullGen = new java.io.File(dataDir(full)).getName
+      IndexStore.readManifest(spark, dataDir(full)).get
+        .filterNot(_.dir.startsWith(fullGen + "/")) shouldBe empty
     }
   }
 
@@ -298,6 +313,47 @@ class IndexLifecycleSpec extends SparkSpec {
       // still holding it; here the rival already released, so it's gone.
       exists(s"$dir/${IndexStore.LockName}") shouldBe false
     }
+
+    it("heartbeat renewal is CAS: a holder whose lease was stolen never re-stamps over the rival's") {
+      // The heartbeats-ENABLED stolen-lease interleaving: a holder stalls
+      // past staleMs (its heartbeat thread paused with it), a rival breaks
+      // the stale lock and acquires, and the holder's heartbeats RESUME.
+      // A blind re-stamp would put the holder's token back on disk — its
+      // install fence would then pass and the release path would delete
+      // the rival's live lock (the double-install row-loss case). CAS
+      // renewal must instead leave the rival's token untouched, stop
+      // renewing, and let the fence + release fail safe. The steal is
+      // simulated by replacing the lock file directly (the observable
+      // state is identical to a real break + re-acquire).
+      val dir = tmpDir("leasecas_")
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(1 to 20), "text", "doc_id"), dir)
+      val lock = new org.apache.hadoop.fs.Path(dir, IndexStore.LockName)
+      val rivalStamp = s"pid=99999 thread=rival token=${java.util.UUID.randomUUID()} ts=${System.currentTimeMillis()}\n"
+      val e = intercept[IllegalStateException] {
+        IndexStore.withWriterLease(spark, dir, staleMs = 600, heartbeatMs = 100) {
+          // Steal the lease mid-hold (atomic replace, like a real rival).
+          val p = java.nio.file.Paths.get(new java.net.URI(fs.makeQualified(lock).toUri.toString).getPath)
+          val tmp = p.resolveSibling(p.getFileName.toString + ".rival")
+          java.nio.file.Files.write(tmp, rivalStamp.getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          Thread.sleep(450) // several heartbeat periods fire after the steal
+          // The rival's stamp must still be on disk — no CAS-failed renewal
+          // may have clobbered it back to ours.
+          val onDisk = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          onDisk shouldBe rivalStamp
+          // And an install under the stolen lease must fence-abort.
+          Dedup.compactSignatureIndex(spark, dir)
+        }
+      }
+      e.getMessage should include("NOT installed")
+      // The release path must not have deleted the rival's live lock.
+      val onDisk = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(new java.net.URI(fs.makeQualified(lock).toUri.toString).getPath)), "UTF-8")
+      onDisk shouldBe rivalStamp
+    }
   }
 
   describe("jaccard-index compaction") {
@@ -410,15 +466,17 @@ class IndexLifecycleSpec extends SparkSpec {
       Seq(sel, full).foreach { dir =>
         val dd = dataDir(dir)
         exists(s"$dd/_graft_tombstones") shouldBe false
-        spark.read.parquet(s"$dd/postings").where(col("doc_id") % 3 === 0).count() shouldBe 0L
-        spark.read.parquet(s"$dd/docs").where(col("doc_id") % 3 === 0).count() shouldBe 0L
-        sortedRows(spark.read.parquet(s"$dd/terms").select("term", "doc_freq")) shouldEqual freshTerms
+        IndexStore.readRel(spark, dd, "postings", "bucket")
+          .where(col("doc_id") % 3 === 0).count() shouldBe 0L
+        IndexStore.readRelFlat(spark, dd, "docs").where(col("doc_id") % 3 === 0).count() shouldBe 0L
+        sortedRows(IndexStore.readRel(spark, dd, "terms", "bucket")
+          .select("term", "doc_freq")) shouldEqual freshTerms
       }
     }
   }
 
   describe("bm25 selective carry (disjoint vocabularies)") {
-    it("rewrites only the purged docs' term buckets and hardlinks the rest") {
+    it("rewrites only the purged docs' term buckets and manifest-carries the rest") {
       // Natural text shares vocabulary, so a multi-doc purge dirties every
       // term bucket and the compactor (correctly) falls back to the full
       // rewrite — to pin the CARRY path, give each doc a private
@@ -428,16 +486,21 @@ class IndexLifecycleSpec extends SparkSpec {
       val dir = tmpDir("bmcarry_")
       TextAnalysis.persistBm25Index(TextAnalysis.buildBm25Index(docs, "text", "doc_id"), dir)
       TextAnalysis.deleteFromBm25Index(Seq(7L).toDF("doc_id"), "doc_id", dir)
-      val liveInodes = parquetFilesUnder(s"$dir/postings").map(inode).toSet
 
       TextAnalysis.compactBm25Index(spark, dir, selective = true)
 
       val dd = dataDir(dir)
-      val carried = parquetFilesUnder(s"$dd/postings").count(f => liveInodes.contains(inode(f)))
-      carried should be > 0 // most buckets hardlink-carried, not rewritten
-      spark.read.parquet(s"$dd/postings").where(col("doc_id") === 7L).count() shouldBe 0L
+      val genName = new java.io.File(dd).getName
+      val m = IndexStore.readManifest(spark, dd).get
+      // Most postings/terms buckets carried by reference into the flat-era
+      // dirs; only doc 7's own buckets rewritten physically.
+      m.filter(e => e.rel == "postings" && !e.dir.startsWith(genName + "/")) should not be empty
+      m.filter(e => e.rel == "terms"    && !e.dir.startsWith(genName + "/")) should not be empty
+      IndexStore.readRel(spark, dd, "postings", "bucket")
+        .where(col("doc_id") === 7L).count() shouldBe 0L
       val freshIdx = TextAnalysis.buildBm25Index(docs.where(col("doc_id") =!= 7L), "text", "doc_id")
-      sortedRows(spark.read.parquet(s"$dd/terms").select("term", "doc_freq")) shouldEqual
+      sortedRows(IndexStore.readRel(spark, dd, "terms", "bucket")
+        .select("term", "doc_freq")) shouldEqual
         sortedRows(freshIdx.terms.select("term", "doc_freq"))
     }
   }
@@ -618,23 +681,39 @@ class IndexLifecycleSpec extends SparkSpec {
       forgetAndSweep(9L) // → generation 3
       IndexStore.currentGeneration(spark, dir) shouldBe 3
       exists(s"$dir/_gen-00001") shouldBe true // probe's generation retained
-      noException should be thrownBy spark.read.parquet(probeGen).count() // still complete
+      // Still complete AS A GENERATION: the probe re-reads through gen 1's
+      // own manifest (references into the flat era, which the age-held
+      // generation keeps protected).
+      IndexStore.readRel(spark, probeGen, "", "bucket")
+        .select("doc_id").distinct().count() shouldBe 39L // 40 docs − id 3
       // Vacuum RESPECTS the same floor…
       IndexStore.vacuum(spark, dir, minRetentionMs = 3600000L)
       exists(s"$dir/_gen-00001") shouldBe true
       exists(s"$dir/_gen-00002") shouldBe true
       // …and an aged-out generation reclaims: its retire stamp is the
-      // clock, so back-dating it simulates the hour passing.
+      // clock, so back-dating it simulates the hour passing. Subtrees the
+      // CURRENT manifest still references survive the reclaim (they are
+      // live data — deleting them would corrupt serving); everything
+      // unreferenced goes.
       val marker = new org.apache.hadoop.fs.Path(s"$dir/_gen-00001/_graft_retired_at")
       val out = fs.create(marker, true)
       out.write("1000\n".getBytes("UTF-8")); out.close()
+      val referencedNow: Set[String] =
+        (IndexStore.readManifest(spark, s"$dir/_gen-00002").getOrElse(Seq.empty) ++
+          IndexStore.readManifest(spark, s"$dir/_gen-00003").getOrElse(Seq.empty)).map(_.dir).toSet
       IndexStore.vacuum(spark, dir, minRetentionMs = 3600000L)
-      exists(s"$dir/_gen-00001") shouldBe false // aged out
-      exists(s"$dir/_gen-00002") shouldBe true  // still inside the floor
-      // The unconditional vacuum keeps reclaiming everything on demand.
+      // gen 1 survives only as referenced subtrees (or not at all).
+      if (referencedNow.exists(_.startsWith("_gen-00001/")))
+        exists(s"$dir/_gen-00001") shouldBe true
+      // its manifest (unreferenced) was pruned either way:
+      exists(s"$dir/_gen-00001/${IndexStore.ManifestName}") shouldBe false
+      exists(s"$dir/_gen-00002") shouldBe true // still inside the floor
+      // The unconditional vacuum keeps every byte the CURRENT generation
+      // references and reclaims the rest; serving stays complete.
       IndexStore.vacuum(spark, dir)
-      exists(s"$dir/_gen-00002") shouldBe false
       exists(s"$dir/_gen-00003") shouldBe true
+      IndexStore.readRel(spark, dataDir(dir), "", "bucket")
+        .select("doc_id").distinct().count() shouldBe 37L // ids 3, 6, 9 forgotten
     }
 
     it("keepGenerations widens the probe retention horizon across rapid compactions") {
@@ -652,11 +731,53 @@ class IndexLifecycleSpec extends SparkSpec {
       exists(s"$dir/_gen-00001") shouldBe true
       exists(s"$dir/_gen-00002") shouldBe true
       IndexStore.currentGeneration(spark, dir) shouldBe 3
-      // vacuum still reclaims all history on demand.
+      IndexStore.readRel(spark, s"$dir/_gen-00001", "", "bucket")
+        .select("doc_id").distinct().count() shouldBe 39L // complete as a generation
+      // vacuum reclaims history on demand — old generations stop being
+      // READABLE (their manifests go), while any subtree the CURRENT
+      // manifest references survives as live data.
       IndexStore.vacuum(spark, dir)
-      exists(s"$dir/_gen-00001") shouldBe false
-      exists(s"$dir/_gen-00002") shouldBe false
+      exists(s"$dir/_gen-00001/${IndexStore.ManifestName}") shouldBe false
+      exists(s"$dir/_gen-00002/${IndexStore.ManifestName}") shouldBe false
       exists(s"$dir/_gen-00003") shouldBe true
+      IndexStore.readRel(spark, dataDir(dir), "", "bucket")
+        .select("doc_id").distinct().count() shouldBe 37L
+    }
+
+    it("vacuumIndexes reports and reclaims retired history under the policy horizons") {
+      import graft.operators.CorpusPipeline
+      val dir = tmpDir("mnt_vac_")
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(1 to 40), "text", "doc_id"), dir)
+      def cycle(id: Long): Unit = {
+        Dedup.deleteFromPersistedIndex(Seq(id).toDF("doc_id"), "doc_id", dir)
+        Dedup.compactSignatureIndex(spark, dir, keepGens = 3) // hold history
+      }
+      cycle(3L); cycle(6L); cycle(9L) // generations 1..3, all retained
+      // Age gate: everything is younger than an hour → nothing reclaimable.
+      val aged = CorpusPipeline.vacuumIndexes(spark, Seq(dir),
+        CorpusPipeline.IndexMaintenancePolicy(keepGenerations = 0, minRetentionMs = 3600000L))
+        .head
+      aged.getString(4) shouldBe "none"
+      aged.getLong(3) shouldBe 0L
+      // Dry run under a permissive policy: reports reclaimable bytes,
+      // deletes NOTHING.
+      val dry = CorpusPipeline.vacuumIndexes(spark, Seq(dir),
+        CorpusPipeline.IndexMaintenancePolicy(keepGenerations = 0), dryRun = true).head
+      dry.getString(4) shouldBe "vacuum_dry_run"
+      dry.getLong(3) should be > 0L
+      exists(s"$dir/_gen-00001") shouldBe true // dry run touched nothing
+      // Real run: reclaims (manifest-referenced donor subtrees exempt),
+      // serving stays complete.
+      val real = CorpusPipeline.vacuumIndexes(spark, Seq(dir),
+        CorpusPipeline.IndexMaintenancePolicy(keepGenerations = 0)).head
+      real.getString(4) shouldBe "vacuum"
+      real.getLong(3) shouldBe dry.getLong(3) // dry run priced it exactly
+      IndexStore.readRel(spark, dataDir(dir), "", "bucket")
+        .select("doc_id").distinct().count() shouldBe 37L
+      // Second pass: nothing left to reclaim.
+      CorpusPipeline.vacuumIndexes(spark, Seq(dir),
+        CorpusPipeline.IndexMaintenancePolicy(keepGenerations = 0)).head.getString(4) shouldBe "none"
     }
 
     it("inspects every family's layout: jaccard two-relation, bm25 unpartitioned docs, gram no-tombstones") {

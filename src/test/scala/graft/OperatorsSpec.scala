@@ -2328,6 +2328,55 @@ class OperatorsSpec extends SparkSpec {
       val (g3, b3) = serve(qs, survivors); g3 shouldBe b3
     }
 
+    it("pqDrift meters codebook staleness; PqRefreshMode.Auto retrains past the threshold, holds below") {
+      // Frozen-codebook appends are correct by contract but silently lose
+      // ADC recall when the value distribution moves — the last frozen
+      // artifact that had no drift meter. pqDrift = sampled quantization
+      // error growth over the train-time baseline (_graft_pq_stats).
+      val df    = corpus(150)
+      val model = Similarity.pqTrain(df, "vec_id", "embedding", m = 4, k = 16)
+      val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", nlist = 4)
+      val tmp = java.nio.file.Files.createTempDirectory("ivfpq_drift_").toString
+      Similarity.persistIvfPqIndex(df, "vec_id", "embedding", cents, model, tmp)
+      Similarity.pqDrift(spark, tmp) shouldBe 0.0 +- 0.05 // fresh books reconstruct at baseline
+      // A coherent NEW MODE lands far from anything the books saw.
+      val drifted = Seq.tabulate(150) { i =>
+        ((i + 200).toLong, Array.tabulate(8)(d => (50.0 + (i + d) % 5).toFloat))
+      }.toDF("vec_id", "embedding")
+      Similarity.appendToIvfIndex(drifted, "vec_id", "embedding", tmp)
+      val grown = Similarity.pqDrift(spark, tmp)
+      grown should be > 0.5 // reconstruction error exploded
+      // Auto fires: pqTrain re-runs on the survivors, every row re-encodes
+      // riding the rewrite, a FRESH baseline records — and serving stays
+      // exact (the rescore pins content whatever books were learned).
+      val oldBooks = Similarity.loadPqModel(spark,
+        s"${graft.operators.IndexStore.dataDir(spark, tmp)}/_graft_pq")
+      Similarity.compactIvfIndex(spark, tmp, pqRefresh = Similarity.PqRefreshMode.Auto(0.5))
+      val dd = graft.operators.IndexStore.dataDir(spark, tmp)
+      val newBooks = Similarity.loadPqModel(spark, s"$dd/_graft_pq")
+      newBooks.codebooks.flatten.flatten.toSeq should not equal
+        oldBooks.codebooks.flatten.flatten.toSeq // actually retrained
+      Similarity.pqDrift(spark, tmp) shouldBe 0.0 +- 0.05 // re-armed at the new distribution
+      val union = df.unionByName(drifted)
+      val got = Similarity.ivfPqTopKFromPersisted(spark, tmp, df.where("vec_id < 3"),
+          "vec_id", "embedding", k = 5,
+          nprobe = Similarity.ivfIndexNlist(spark, tmp), shortlist = 500)
+        .as[(Long, Long, Long)].collect().toSet
+      got shouldBe Similarity.bruteForceTopK(union, df.where("vec_id < 3"),
+        "vec_id", "embedding", k = 5).as[(Long, Long, Long)].collect().toSet
+      // …and HOLDS on same-distribution growth: books carry untouched.
+      val tmp2 = java.nio.file.Files.createTempDirectory("ivfpq_hold_").toString
+      Similarity.persistIvfPqIndex(df, "vec_id", "embedding", cents, model, tmp2)
+      Similarity.appendToIvfIndex(
+        corpus(300).where("vec_id >= 150"), "vec_id", "embedding", tmp2)
+      Similarity.pqDrift(spark, tmp2) should be < 0.5
+      Similarity.compactIvfIndex(spark, tmp2, pqRefresh = Similarity.PqRefreshMode.Auto(0.5))
+      val held = Similarity.loadPqModel(spark,
+        s"${graft.operators.IndexStore.dataDir(spark, tmp2)}/_graft_pq")
+      held.codebooks.flatten.flatten.toSeq shouldEqual
+        oldBooks.codebooks.flatten.flatten.toSeq // frozen books carried
+    }
+
     it("persisted IVF-PQ stage-1 scan is THIN (codes, never vectors) and partition-pruned") {
       val df    = corpus(150)
       val model = Similarity.pqTrain(df, "vec_id", "embedding", m = 4, k = 16)

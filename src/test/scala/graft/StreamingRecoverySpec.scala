@@ -355,7 +355,7 @@ class StreamingRecoverySpec extends SparkSpec {
     val policy = CorpusPipeline.IndexMaintenancePolicy(maxTombstoneFraction = 0.001)
     def run(withRetries: Boolean): (String, Seq[String]) = {
       val dir = java.nio.file.Files.createTempDirectory("maint_retry_").toString + "/idx"
-      val body = graft.streaming.StreamGates.maintainBatchBody(spark, dir, policy) _
+      val body = graft.streaming.StreamGates.maintainBatchBody(spark, dir, policy, "maint_sig") _
       chunks.zipWithIndex.foreach { case (b, i) =>
         body(b, i.toLong)
         if (withRetries && i < 2) body(b, i.toLong) // the retry re-run
@@ -370,6 +370,84 @@ class StreamingRecoverySpec extends SparkSpec {
     // retried appends — row-for-row the same live content.
     Dedup.loadSignatureIndex(spark, retriedDir).count() shouldBe
       Dedup.loadSignatureIndex(spark, cleanDir).count()
+  }
+
+  it("a crash between data commit and batch-token create lands exactly once on replay") {
+    import graft.operators.{Dedup, IndexStore}
+    // The residual window the token alone could not close: the batch's
+    // parquet job commits, then the process dies before the token write.
+    // The exactly-once append makes the DATA carry the claim — a retry
+    // sweeps its own (possibly partial) previous files and re-lands the
+    // same deterministic names — and compaction ADOPTS folded stream
+    // files' tokens, so even a fold-before-retry cannot duplicate.
+    val dir = java.nio.file.Files.createTempDirectory("tok_window_").toString + "/idx"
+    def docs(ids: Range) = ids.map(i => (i.toLong, s"alpha beta doc$i w${i % 5}"))
+      .toDF("doc_id", "text")
+    def idx(ids: Range) = Dedup.buildSignatureIndex(docs(ids), "text", "doc_id")
+    IndexStore.withBatchToken(spark, dir, "s", 0L) {
+      Dedup.persistSignatureIndex(idx(1 to 20), dir)
+    } shouldBe true
+    // Batch 1: data lands, token write "crashes" (never runs)…
+    Dedup.appendToSignatureIndexExactlyOnce(idx(21 to 40), dir, "s", 1L)
+    // …and worse, a PARTIAL leftover of an even earlier attempt exists
+    // under this batch's name family.
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val someBatchFile = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var found: org.apache.hadoop.fs.Path = null
+      while (it.hasNext && found == null) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("sb-s-1-")) found = f.getPath
+      }
+      found
+    }
+    someBatchFile should not be null
+    org.apache.hadoop.fs.FileUtil.copy(fs, someBatchFile, fs,
+      new org.apache.hadoop.fs.Path(someBatchFile.getParent, "sb-s-1-99.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    // The engine retries batch 1: token absent → the guarded body re-runs
+    // the whole append, which must sweep the leftovers and converge.
+    IndexStore.withBatchToken(spark, dir, "s", 1L) {
+      Dedup.appendToSignatureIndexExactlyOnce(idx(21 to 40), dir, "s", 1L)
+    } shouldBe true
+    Dedup.loadSignatureIndex(spark, dir).count() shouldBe 40L // exactly once
+    // Batch 2 lands, token write crashes, and a COMPACTION folds the rows
+    // before the retry arrives: adoption must token it from the file
+    // names so the late replay short-circuits instead of duplicating.
+    Dedup.appendToSignatureIndexExactlyOnce(idx(41 to 60), dir, "s", 2L)
+    Dedup.compactSignatureIndex(spark, dir)
+    IndexStore.withBatchToken(spark, dir, "s", 2L) {
+      fail("adopted batch must not re-run")
+    } shouldBe false
+    Dedup.loadSignatureIndex(spark, dir).count() shouldBe 60L
+  }
+
+  it("matchVsPersistedIndexSink refuses a legacy FLAT sink directory (layout migration)") {
+    // The sink once appended flat parquet directly under sinkPath; the
+    // exactly-once batch=<id> layout cannot mix with those leftovers
+    // (partition discovery fails / readers double-count), so a flat sink
+    // must be refused LOUDLY before the query starts.
+    val root = java.nio.file.Files.createTempDirectory("flat_sink_")
+    val sinkPath = s"$root/sink"
+    Seq((1L, 2L, 0.9)).toDF("doc_id", "matched_id", "est_jaccard")
+      .write.parquet(sinkPath) // the legacy flat layout
+    val stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .selectExpr("value as doc_id", "'x' as text")
+    val e = intercept[IllegalStateException] {
+      graft.streaming.EventStream.matchVsPersistedIndexSink(
+        stream, "text", "doc_id", s"$root/idx", sinkPath, s"$root/ckpt")
+    }
+    e.getMessage should include("FLAT parquet")
+    // A fresh (or already-migrated, batch=<id>-only) sink is accepted: the
+    // same call against an empty path must get past the layout check (it
+    // will fail later only on the missing index, proving the gate is the
+    // layout, not the path).
+    val e2 = intercept[Exception] {
+      val q = graft.streaming.EventStream.matchVsPersistedIndexSink(
+        stream, "text", "doc_id", s"$root/idx", s"$root/sink2", s"$root/ckpt2")
+      try q.processAllAvailable() finally q.stop()
+    }
+    e2.getMessage should not include "FLAT parquet"
   }
 
   it("batch tokens are stream-namespaced and the ledger self-prunes") {
@@ -390,19 +468,22 @@ class StreamingRecoverySpec extends SparkSpec {
     Dedup.loadSignatureIndex(spark, dir).count() shouldBe 20 // both landed
     // A retry of either (same stream, same id) short-circuits.
     IndexStore.withBatchToken(spark, dir, "b", 0L) { fail("must not re-run") } shouldBe false
-    // The ledger keeps only the last two ids per stream — O(streams),
-    // not O(all batches ever).
-    (1L to 5L).foreach { i =>
-      IndexStore.withBatchToken(spark, dir, "a", i) {
-        Dedup.persistSignatureIndex(
-          Dedup.buildSignatureIndex(docs((20 + i * 10).toInt to (29 + i * 10).toInt), "text", "doc_id"),
-          dir, append = true)
-      }
-    }
+    // The ledger keeps a bounded 16-id tail per stream — O(streams), not
+    // O(all batches ever) — and a high-water-mark file records the max
+    // committed id so even PRUNED ids stay replay-safe.
+    (1L to 20L).foreach { i => IndexStore.withBatchToken(spark, dir, "a", i)(()) }
     val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tokens = fs.listStatus(new org.apache.hadoop.fs.Path(dir, IndexStore.BatchTokensName))
       .map(_.getPath.getName).sorted.toSeq
-    tokens.count(_.startsWith("a-")) shouldBe 2 // ids 4 and 5
-    tokens should contain allOf ("a-4", "a-5", "b-0")
+    tokens.filter(_.startsWith("a-")).map(_.stripPrefix("a-").toLong).sorted shouldBe (4L to 20L)
+    tokens should contain allOf ("a.hwm", "b-0", "b.hwm")
+    // Replaying an id whose token WAS pruned (a-0..a-3) must still skip:
+    // the mark records it as committed — a restart from an older or
+    // recreated checkpoint would otherwise duplicate-append (id 0 would
+    // even overwrite the whole index).
+    IndexStore.withBatchToken(spark, dir, "a", 0L) { fail("pruned id must not re-run") } shouldBe false
+    IndexStore.withBatchToken(spark, dir, "a", 3L) { fail("pruned id must not re-run") } shouldBe false
+    // …while stream b (own namespace, own mark) continues unaffected.
+    IndexStore.withBatchToken(spark, dir, "b", 1L)(()) shouldBe true
   }
 }

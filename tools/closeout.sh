@@ -25,4 +25,14 @@ echo "== Bench sweep @ sf0.1 =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 tools/run_main.sh graft.Bench \
   | tail -1 | python3 -c "import sys,json; d=json.loads(sys.stdin.read().strip().splitlines()[-1]); json.dump(d, open('bench_r${N}_final.json','w')); print('total', d['value'], 's /', len(d['queries']), 'queries')"
 
-echo "artifacts: correctness_r${N}_final.json bench_r${N}_final.json — commit them"
+# Canary-normalized round-over-round adjudication (VERDICT r13 #5): scale
+# pairwise ratios by the box-speed canary ratio before flagging, so a
+# contended close-out box stops generating phantom regressions.
+PREV="bench_r$((N - 1))_final.json"
+if [ -f "$PREV" ]; then
+  echo "== Canary-normalized compare vs $PREV =="
+  python3 tools/bench_compare.py "$PREV" "bench_r${N}_final.json" \
+    --json "bench_compare_r${N}.json" || true
+fi
+
+echo "artifacts: correctness_r${N}_final.json bench_r${N}_final.json bench_compare_r${N}.json — commit them"
