@@ -151,6 +151,54 @@ object CompactionSoak {
       }
     }
 
+    if (mode == "vacuum") {
+      // ---- retention policy: reclaim only past the age gate ---------------
+      // Three rapid maintenance cycles retire three generations; the
+      // vacuumIndexes sweep must reclaim NOTHING while they sit inside the
+      // minRetentionMs window (however permissive the count horizon), then
+      // reclaim exactly the dry-run-priced bytes once the age gate opens
+      // (back-dated retire stamps) — with manifest-referenced donor
+      // subtrees exempt and serving unchanged throughout.
+      import graft.operators.{CorpusPipeline, IndexStore}
+      val dir = java.nio.file.Files.createTempDirectory("cmp_vac_sig_").toString
+      Dedup.persistSignatureIndex(Dedup.buildSignatureIndex(docs, "text", "doc_id"), dir)
+      (1 to 3).foreach { c =>
+        Dedup.deleteFromPersistedIndex(
+          docs.where(col("doc_id") % 97 === c).select("doc_id"), "doc_id", dir)
+        Dedup.compactSignatureIndex(spark, dir, keepGens = 3)
+      }
+      val matches0 = Dedup.matchVsPersistedIndex(probeDocs, "text", "doc_id", dir).count()
+      def vrow(tag: String, policy: CorpusPipeline.IndexMaintenancePolicy, dry: Boolean): Long = {
+        val r = CorpusPipeline.vacuumIndexes(spark, Seq(dir), policy, dryRun = dry).head
+        println(f"[cmpsoak] vacuum $tag%-28s action=${r.getString(4)}%-14s " +
+          f"reclaimable=${r.getLong(3) / 1e6}%8.2f MB  gen=${r.getLong(2)}")
+        r.getLong(3)
+      }
+      val aged = CorpusPipeline.IndexMaintenancePolicy(keepGenerations = 0, minRetentionMs = 3600000L)
+      val open = CorpusPipeline.IndexMaintenancePolicy(keepGenerations = 0)
+      require(vrow("inside-age-window", aged, dry = false) == 0L,
+        "age floor must hold everything younger than an hour")
+      // Open the age gate for the GENERATION history by back-dating the
+      // retire stamps; the flat-era leftovers at the root age by the root
+      // dir's own clock and stay held under the 1-hour floor.
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
+        if (st.getPath.getName.startsWith(IndexStore.GenPrefix)) {
+          val m = new org.apache.hadoop.fs.Path(st.getPath, "_graft_retired_at")
+          if (fs.exists(m)) { val o = fs.create(m, true); o.write("1000\n".getBytes("UTF-8")); o.close() }
+        }
+      }
+      val agedGens = vrow("aged-out gens (back-dated)", aged, dry = false)
+      require(agedGens > 0L, "back-dated generations must reclaim")
+      // Dry run must price the remainder exactly — and delete nothing.
+      val priced = vrow("dry-run (no age floor)", open, dry = true)
+      val got    = vrow("reclaim (no age floor)", open, dry = false)
+      require(got == priced, s"dry-run priced $priced but vacuum reclaimed $got")
+      val matches1 = Dedup.matchVsPersistedIndex(probeDocs, "text", "doc_id", dir).count()
+      require(matches0 == matches1, s"vacuum changed serving: $matches0 -> $matches1")
+      println(f"[cmpsoak] vacuum serving unchanged ($matches0 matches); reclaim fired only past the age gate")
+    }
+
     if (mode == "all" || mode == "ladder") {
     // ---- selective-compaction cost ladder ---------------------------------
     // The claim under q_*_compact_sel: selective compact cost is

@@ -26,13 +26,20 @@ import org.apache.spark.sql.functions._
   * (the quantity selectivity is ABOUT), probe wall seconds. Content is
   * asserted identical across all three (the refresh contract).
   *
-  * Usage: runMain graft.tools.JaccardDriftSoak [scales] (default 1,4;
-  * scale s = 10000·s build docs + 10000·s drifted appends).
+  * Usage: runMain graft.tools.JaccardDriftSoak [scales] [mode]
+  * (default 1,4 uniform; scale s = 10000·s build docs + 10000·s drifted
+  * appends). `mode = skew` runs the HOSTILE-shingle variant: mid tokens
+  * drawn from a power-law (a handful of head tokens own most posting
+  * mass — prefix filtering's hardest regime) AND a fixed boilerplate
+  * phrase planted in ~25%% of every segment's docs (the ScaleSynth
+  * hot-shingle axis). The drift trigger and the refreshed-probe bound
+  * must hold there too, not just under uniform token traffic.
   */
 object JaccardDriftSoak {
 
   def main(args: Array[String]): Unit = {
     val scales = (if (args.length > 0) args(0) else "1,4").split(",").map(_.trim.toInt)
+    val skew   = args.length > 1 && args(1) == "skew"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -45,26 +52,43 @@ object JaccardDriftSoak {
     // Build doc i: 4 commons, 3 of 64 mid tokens, 1 unique.
     // Appended doc i: 4 commons, 5 mids, r1..r3 (the drift mass).
     // Same shapes as the IndexLifecycleSpec fixture, scaled.
+    //
+    // skew mode: mids come from a CUBED power-law over the 64-token
+    // space (head tokens own ~most of the posting mass), and every
+    // id % 4 == 0 doc additionally carries the fixed boilerplate phrase
+    // b1 b2 b3 — planted hot shingles in BOTH eras, the regime where
+    // prefix selectivity is most fragile.
+    def mid(j: Int): org.apache.spark.sql.Column =
+      if (!skew) concat(lit("m"), pmod(col("id") + j, lit(64)))
+      else concat(lit("m"), floor(pow(
+        pmod(xxhash64(col("id") + j), lit(1000L)).cast("double") / 1000.0, 3.0) * 64).cast("long"))
+    def boiler: org.apache.spark.sql.Column =
+      if (!skew) array()
+      else when(pmod(col("id"), lit(4)) === 0, array(lit("b1"), lit("b2"), lit("b3")))
+        .otherwise(array())
     def buildSets(n: Long): DataFrame =
       spark.range(1, n + 1).select(col("id").as("doc_id"),
-        flatten(array(
+        array_distinct(flatten(array(
           array((1 to 4).map(c => lit(s"c$c")): _*),
-          array((0 to 2).map(j => concat(lit("m"), pmod(col("id") + j, lit(64)))): _*),
-          array(concat(lit("u"), col("id"))))).as("bg"))
+          array((0 to 2).map(mid): _*),
+          boiler,
+          array(concat(lit("u"), col("id")))))).as("bg"))
     def appendSets(n: Long): DataFrame =
       spark.range(n + 1, 2 * n + 1).select(col("id").as("doc_id"),
-        flatten(array(
+        array_distinct(flatten(array(
           array((1 to 4).map(c => lit(s"c$c")): _*),
-          array((0 to 4).map(j => concat(lit("m"), pmod(col("id") + j, lit(64)))): _*),
-          array(lit("r1"), lit("r2"), lit("r3")))).as("bg"))
+          array((0 to 4).map(mid): _*),
+          boiler,
+          array(lit("r1"), lit("r2"), lit("r3"))))).as("bg"))
     // Probe batch: 200 docs in the appended shape (where the drifted
     // posting lists hit), ids disjoint from the corpus.
     def probeSets(n: Long): DataFrame =
       spark.range(10 * n, 10 * n + 200).select(col("id").as("doc_id"),
-        flatten(array(
+        array_distinct(flatten(array(
           array((1 to 4).map(c => lit(s"c$c")): _*),
-          array((0 to 4).map(j => concat(lit("m"), pmod(col("id") + j, lit(64)))): _*),
-          array(lit("r1"), lit("r2"), lit("r3")))).as("bg"))
+          array((0 to 4).map(mid): _*),
+          boiler,
+          array(lit("r1"), lit("r2"), lit("r3"))))).as("bg"))
 
     scales.foreach { s =>
       val n     = 10000L * s
@@ -99,7 +123,7 @@ object JaccardDriftSoak {
 
       require(nFrozen == nRef && nRef == nFresh && hFrozen == hRef && hRef == hFresh,
         s"result-set mismatch: frozen=($nFrozen,$hFrozen) refreshed=($nRef,$hRef) fresh=($nFresh,$hFresh)")
-      println(f"[jacdrift] x$s%-3d corpus=${2 * n}%8d drift=$drift%.3f " +
+      println(f"[jacdrift] ${if (skew) "skew" else "unif"} x$s%-3d corpus=${2 * n}%8d drift=$drift%.3f " +
         f"riserPostings: frozen=$rFrozen refreshed=$rRef fresh=$rFresh  " +
         f"probe(200 docs): rows=$nFrozen wall: frozen=$tFrozen%.1f s refreshed=$tRef%.1f s fresh=$tFresh%.1f s")
     }

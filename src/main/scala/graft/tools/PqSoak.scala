@@ -86,6 +86,48 @@ object PqSoak {
       f"bytes/vec exact=$bytesExact pq=$bytesPq (x${bytesExact.toDouble / bytesPq}%.0f) " +
       f"wall: brute=$tBrute%.2f adcOnly=$tAdc%.2f twoStage=$tTwo%.2f ivfPq(nlist=${cents.length},nprobe=${math.max(2, cents.length / 16)})=$tIvfPq%.2f s " +
       f"recall@10: adcOnly=$recallAdc%.3f twoStage=$recallTwo%.3f ivfPq=$recallIvfPq%.3f")
+
+    // ---- codebook DRIFT: frozen vs refreshed vs fresh --------------------
+    // A coherent out-of-distribution mode (components 50 + structured
+    // residue — nothing the build-time books ever saw) appends to a
+    // persisted IVF-PQ index under the FROZEN books; the measurement is
+    // ADC-ONLY recall (shortlist = k, no rescore to hide behind) for
+    // queries drawn from the drifted mode, against the exact ranking
+    // over the union. `refreshed` = after compactIvfIndex(pqRefresh =
+    // Always) — pqTrain on the survivors riding the rewrite; `fresh` =
+    // from-scratch books on the union (the bound the refresh should
+    // reach). The drift METER printed beside them is what Auto gates on.
+    val shift = n * 2
+    val drifted = spark.range(shift, shift + n / 2).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dims - 1}), d -> cast(50 + (id * 7 + d * 3) % 13 AS float))")
+        .as("embedding")).cache()
+    drifted.count()
+    val unionAll = corpus.unionByName(drifted).cache(); unionAll.count()
+    val idxDir = java.nio.file.Files.createTempDirectory("pqsoak_drift_").toString + "/idx"
+    Similarity.persistIvfPqIndex(corpus, "vec_id", "embedding", cents, model, idxDir)
+    Similarity.appendToIvfIndex(drifted, "vec_id", "embedding", idxDir)
+    val meter = Similarity.pqDrift(spark, idxDir)
+    val qD = drifted.where(col("vec_id") < shift + 20).cache(); qD.count()
+    val exactD = Similarity.bruteForceTopK(unionAll, qD, "vec_id", "embedding", k = 10,
+      guard = Similarity.ExactGuard.Off).cache()
+    exactD.count()
+    def adcRecall(m: Similarity.PqModel): Double = {
+      val r = Similarity.recallAtK(
+        Similarity.pqAdcTopK(unionAll, qD, "vec_id", "embedding", m, k = 10, shortlist = 10),
+        exactD).agg(sum("n_hits").cast("double"), sum("n_exact").cast("double")).head
+      r.getDouble(0) / r.getDouble(1)
+    }
+    val recallFrozen = adcRecall(model)
+    val (tRefresh, _) = time(
+      Similarity.compactIvfIndex(spark, idxDir, pqRefresh = Similarity.PqRefreshMode.Always))
+    val refreshedModel = Similarity.loadPqModel(spark,
+      s"${graft.operators.IndexStore.dataDir(spark, idxDir)}/_graft_pq")
+    val recallRefreshed = adcRecall(refreshedModel)
+    val freshModel = Similarity.pqTrain(unionAll, "vec_id", "embedding", m = 16, k = 64)
+    val recallFresh = adcRecall(freshModel)
+    println(f"[pqsoak] drift: meter=$meter%.2f (Auto fires > 0.5) ADC-only recall@10 on the drifted mode: " +
+      f"frozen=$recallFrozen%.3f refreshed=$recallRefreshed%.3f fresh=$recallFresh%.3f " +
+      f"(refresh compact $tRefresh%.2f s, rides the rewrite)")
     spark.stop()
   }
 }
