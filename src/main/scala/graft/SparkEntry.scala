@@ -2630,6 +2630,49 @@ object SparkEntry {
       auditRow.unionByName(probe).orderBy("surface", "probe_id", "matched_id", "score")
     }),
 
+    // RETENTION flow — [[q_index_maintain_flow]]'s companion for the
+    // OTHER storage lever: two forget+compact cycles retire two
+    // generations, vacuumIndexes first HOLDS them under an age floor
+    // (action 'none', zero bytes), then reclaims them under a
+    // permissive policy (action 'vacuum'; byte totals are
+    // fixture-sized, so the audit carries the DECISIONS and a
+    // reclaimed>0 flag, not raw bytes) — and the probe afterwards is
+    // the fresh-build-on-survivors oracle verbatim: retention moves
+    // history, never serving.
+    "q_index_vacuum_flow" -> ((s, dir) => {
+      import graft.operators.{CorpusPipeline, IndexStore}
+      val all = t(s, dir, "documents")
+      val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
+      val half = all.where(col("doc_id") <= splitId)
+      val tmp = graft.GateCache.privateCopy(s"sigidx_lower:$dir") { p =>
+        Dedup.persistSignatureIndex(
+          Dedup.buildSignatureIndex(half, "text", "doc_id"), p)
+      }
+      def cycle(mod: Long): Unit = {
+        Dedup.deleteFromPersistedIndex(
+          half.where(col("doc_id") % 3 === mod).select("doc_id"), "doc_id", tmp)
+        Dedup.compactSignatureIndex(s, tmp, keepGens = 3)
+      }
+      cycle(0L); cycle(1L) // generations 1, 2 retired behind keepGens = 3
+      val held = CorpusPipeline.vacuumIndexes(s, Seq(tmp),
+        CorpusPipeline.IndexMaintenancePolicy(keepGenerations = 0, minRetentionMs = 3600000L))
+      val fired = CorpusPipeline.vacuumIndexes(s, Seq(tmp),
+        CorpusPipeline.IndexMaintenancePolicy(keepGenerations = 0))
+      def auditRow(tag: String, r: org.apache.spark.sql.DataFrame) = r.select(
+        lit(tag).as("surface"),
+        col("action"),
+        col("current_generation").as("generation"),
+        lit(-1L).as("probe_id"), lit(-1L).as("matched_id"),
+        when(col("reclaimable_bytes") > 0, 1L).otherwise(0L).as("score"))
+      val probe = Dedup.matchVsPersistedIndex(
+          all.where(col("doc_id") > splitId), "text", "doc_id", tmp)
+        .select(lit("sig").as("surface"), lit("-").as("action"),
+          lit(-1L).as("generation"), col("doc_id").as("probe_id"), col("matched_id"),
+          round(col("est_jaccard") * 32).cast("long").as("score"))
+      auditRow("audit_held", held).unionByName(auditRow("audit_vac", fired)).unionByName(probe)
+        .orderBy("surface", "probe_id", "matched_id", "score")
+    }),
+
     "q_dedup_index_compact" -> ((s, dir) => {
       val all = t(s, dir, "documents")
       val splitId = all.agg(max(col("doc_id").cast("long"))).head.getLong(0) / 2
@@ -2698,7 +2741,7 @@ object SparkEntry {
     // (correctly) falls back to the full rewrite — these five delete a
     // SMALL id set (`% 97`, a handful of docs) so the dirty fraction is
     // low and the dirty-partition-only path actually runs: tombstoned
-    // buckets rewritten, clean buckets hardlink-carried into the new
+    // buckets rewritten, clean buckets manifest-carried into the new
     // generation. The probe must STILL equal a fresh build on the
     // survivors (each family's serve/delete oracle with the small filter)
     // — purge-exactness independent of which partitions were rewritten.
@@ -5412,7 +5455,7 @@ object SparkEntry {
       // the frozen centroids — the delete replay verbatim.
       "q_knn_ivf_compact" -> ivfDeleteOracleSql,
       // Selective variant: a handful of vectors tombstoned — only their
-      // cells rewrite, the rest hardlink-carry; ranking still equals the
+      // cells rewrite, the rest manifest-carry; ranking still equals the
       // fresh-build replay over the survivors.
       "q_knn_ivf_compact_sel" -> ivfProbeOracleSql.replace(
         "WHERE query_id <> neighbor_id)",
@@ -5625,6 +5668,24 @@ object SparkEntry {
            |FROM ($sigDeleteOracleSql)
            |) ORDER BY surface, doc_id, matched_id, generation, est_32""".stripMargin,
 
+      // Retention flow: both vacuum decisions are deterministic for this
+      // fixture (two freshly-retired generations: the age floor holds
+      // everything → none/0; the permissive policy reclaims → vacuum/1),
+      // and the probe is the signature serve oracle over the % 3 = 2
+      // survivors (both other residues forgotten across the two cycles).
+      "q_index_vacuum_flow" ->
+        s"""SELECT surface, action, generation, probe_id, matched_id, score FROM (
+           |SELECT 'audit_held' AS surface, 'none' AS action, CAST(2 AS BIGINT) AS generation,
+           |       CAST(-1 AS BIGINT) AS probe_id, CAST(-1 AS BIGINT) AS matched_id,
+           |       CAST(0 AS BIGINT) AS score
+           |UNION ALL
+           |SELECT 'audit_vac', 'vacuum', CAST(2 AS BIGINT), CAST(-1 AS BIGINT),
+           |       CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
+           |UNION ALL
+           |SELECT 'sig', '-', CAST(-1 AS BIGINT), doc_id, matched_id, est_32
+           |FROM (${sigDeleteOracleSql.replace("oid % 3 <> 0", "oid % 3 = 2")})
+           |) ORDER BY surface, probe_id, matched_id, score""".stripMargin,
+
       // Maintenance flow: the audit row is deterministic for this fixture
       // (the % 3 tombstone mass fires the policy's 2% default → action
       // 'compact', the generation pointer flips 0 → 1, tombstone_rows =
@@ -5639,7 +5700,7 @@ object SparkEntry {
            |SELECT 'sig', '-', CAST(-1 AS BIGINT), doc_id, matched_id, est_32 FROM ($sigDeleteOracleSql)
            |) ORDER BY surface, probe_id, matched_id, score""".stripMargin,
       // Selective (dirty-partition-only) variant: a SMALL purge (% 97) so
-      // most partitions are hardlink-carried — results must still be the
+      // most partitions are manifest-carried — results must still be the
       // fresh-build replay over the survivors.
       "q_dedup_index_compact_sel" -> sigDeleteOracleSql.replace("oid % 3 <> 0", "oid % 97 <> 0"),
       "q_jaccard_index_compact" ->

@@ -1410,7 +1410,8 @@ object Dedup {
     * `selective = true` (the default) rewrites ONLY DIRTY partitions —
     * those with append segments or at least one tombstoned row, found by
     * one directory listing plus one column-pruned (bucket, doc_id) scan —
-    * and carries clean partitions into the new generation by hardlink:
+    * and carries clean partitions into the new generation by MANIFEST
+    * REFERENCE (one line each, zero bytes on any filesystem):
     * purging 0.1% of a 10⁹-doc index costs the dirty 0.1%, not a
     * full-corpus rewrite. When ≥80% of partitions are dirty the full
     * rewrite is cheaper and runs instead. Either way the result installs
@@ -1504,7 +1505,7 @@ object Dedup {
     * share the frozen-order oracle); only probe COST moves.
     *
     * `selective = true` rewrites only DIRTY partitions of each relation
-    * and hardlink-carries the rest ([[compactSignatureIndex]]'s cost
+    * and manifest-carries the rest ([[compactSignatureIndex]]'s cost
     * model). Dirtiness: `postings` needs the column-pruned
     * (bucket, doc_id) scan (a doc's prefix elements hash anywhere), but
     * `fullsets` is partitioned by `dbucket = pmod(xxhash64(doc_id),
@@ -2543,7 +2544,7 @@ object Dedup {
     * semi-join probe, pure storage/scan waste). No tombstones here: the
     * index stores the corpus's gram VOCABULARY, not per-doc rows, so the
     * only dirtiness criterion is multi-segment partitions; `selective`
-    * rewrites just those and hardlink-carries the rest into the new
+    * rewrites just those and manifest-carries the rest into the new
     * generation ([[compactSignatureIndex]]'s cost and atomicity model).
     * Probes afterwards return exactly what a fresh [[persistGramIndex]]
     * of the union corpus would.

@@ -207,7 +207,7 @@ object CompactionSoak {
     // ids, however big the corpus), corpus ×1 then ×16, 512 key buckets so
     // a 5-doc purge dirties ≤ 40/512 partitions: selective time should
     // track the dirty fraction of the full-rewrite time at BOTH sizes,
-    // and the carried (hardlinked, not rewritten) file count should stay
+    // and the carried (manifest-referenced, not rewritten) file count should stay
     // ≈ clean-partition count.
     def inodes(dir: String): Map[Long, Long] = { // inode -> bytes
       def walk(f: java.io.File): Seq[java.io.File] =
