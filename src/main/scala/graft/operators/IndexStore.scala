@@ -942,9 +942,12 @@ private[graft] object IndexStore {
     * re-runs a failed batch with the SAME id, so `write` runs only if no
     * token for this (stream, id) exists, and the token is created AFTER
     * the write commits (the [[graft.sinks.VersionedTable.commitIdempotent]]
-    * pattern at the file layer; residual window = the instant between
-    * job commit and token create — closing it fully needs a
-    * transactional sink).
+    * pattern at the file layer). The once-residual window between job
+    * commit and token create is closed when the body routes its append
+    * through [[appendBatchExactlyOnce]] (deterministic names make the
+    * retry itself converge, and compaction ADOPTS folded stream files'
+    * tokens) — the token is then a fast path and a late-replay guard,
+    * never the sole correctness layer.
     *
     * `streamId` namespaces the ledger: batch ids are per-QUERY, so two
     * different streams appending to the same index both have a batch 0 —
