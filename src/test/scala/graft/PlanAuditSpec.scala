@@ -300,6 +300,57 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
 
+    it("probe pruning SURVIVES a manifest-carried compact: every union branch keeps its partition filter") {
+      withoutAqe {
+        import graft.operators.{Dedup, IndexStore}
+        // After a selective compact, the index serves through the
+        // generation MANIFEST: rewritten buckets live in the new
+        // generation, carried ones in their donor (here: flat-era) dirs,
+        // and a probe reads a UNION of per-donor scans. The substrate's
+        // perf claim is that planning-time bucket pruning pushes into
+        // EVERY branch — a probe must still read ≤ bands partition dirs
+        // in total, not re-scan either side of the manifest.
+        val mk = (lo: Long, hi: Long) => spark.range(lo, hi).toDF("doc_id")
+          .withColumn("text", concat(lit("document body w"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(" tail "), col("doc_id").cast("string")))
+        val tmp = java.nio.file.Files.createTempDirectory("sigidx_mprune_").toString
+        try {
+          Dedup.persistSignatureIndex(
+            Dedup.buildSignatureIndex(mk(0L, 400L), "text", "doc_id"), tmp, keyBuckets = 64)
+          // Small purge → selective compact → manifest with BOTH kinds of
+          // entries (rewritten + carried).
+          Dedup.deleteFromPersistedIndex(Seq(7L).toDF("doc_id"), "doc_id", tmp)
+          Dedup.compactSignatureIndex(spark, tmp)
+          val dd = IndexStore.dataDir(spark, tmp)
+          val m  = IndexStore.readManifest(spark, dd).get
+          val genName = new java.io.File(dd).getName
+          m.exists(_.dir.startsWith(genName + "/")) shouldBe true  // rewritten
+          m.exists(!_.dir.startsWith(genName + "/")) shouldBe true // carried
+          val allBuckets = IndexStore.readRel(spark, dd, "", "bucket")
+            .select("bucket").distinct().count()
+          allBuckets should be > 8L
+          val probe = Dedup.matchVsPersistedIndex(mk(400L, 401L), "text", "doc_id", tmp,
+            estThreshold = 0.0)
+          val plan = executed(probe)
+          val scans = plan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+                if f.relation.location.rootPaths.exists(_.toString.contains("sigidx_mprune_")) &&
+                  !f.relation.location.rootPaths.exists(_.toString.contains("_graft_index_meta")) => f
+          }
+          scans.size should be >= 2 // one branch per donor location
+          // TOTAL partitions read across all branches ≤ bands — the isin
+          // filter pruned inside every branch, carried and rewritten alike.
+          scans.map(_.selectedPartitions.partitionCount).sum should be <= 8
+          probe.count() should be > 0L
+        } finally {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+          }
+          rm(new java.io.File(tmp))
+        }
+      }
+    }
+
     it("persisted-index round trip: loadSignatureIndex ≡ buildSignatureIndex; probe ≡ in-memory match") {
       import graft.operators.Dedup
       val mk = (lo: Long, hi: Long) => spark.range(lo, hi).toDF("doc_id")
