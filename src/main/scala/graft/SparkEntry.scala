@@ -588,6 +588,15 @@ object SparkEntry {
     "q_index_maintain_stream" -> ((s, dir) =>
       graft.streaming.StreamGates.indexMaintainViaStream(s, dir)),
 
+    // CONTINUOUS DOCUMENT INGEST with automatic BM25 upkeep — the
+    // three-relation maintain-stream member: batches append postings /
+    // partial term stats / doc lengths EXACTLY-ONCE, forget their % 3
+    // ids, and the policy sweep's mid-stream compacts recount doc_freq;
+    // the post-stream pruned serve must score exactly like a fresh
+    // build on the survivors.
+    "q_bm25_maintain_stream" -> ((s, dir) =>
+      graft.streaming.StreamGates.bm25MaintainViaStream(s, dir)),
+
     // CONTINUOUS VECTOR INGEST with automatic IVF-PQ upkeep — the
     // billion-vector family's daily-crawl shape: batches append encoded
     // under the frozen codebooks, forget their % 3 ids, and the policy
@@ -5286,6 +5295,21 @@ object SparkEntry {
       "q_knn_ivf_pq_maintain" -> exactKnnOracle(k = 10).replace(
         "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),",
         "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 3 <> 0),"),
+
+      // Streamed BM25 maintenance: three deterministic tombstone-fired
+      // 'compact' audit rows + the delete-variant retrieval replay (the
+      // additive-stats design makes append-then-serve ≡ rebuild-then-
+      // serve; the mid-stream compacts only move cost).
+      "q_bm25_maintain_stream" ->
+        s"""SELECT surface, action, generation, query_id, doc_id, rnk, score_nano FROM (
+           |SELECT 'audit' AS surface, 'compact' AS action, CAST(g AS BIGINT) AS generation,
+           |       CAST(-1 AS BIGINT) AS query_id, CAST(-1 AS BIGINT) AS doc_id,
+           |       CAST(-1 AS BIGINT) AS rnk, CAST(-1 AS BIGINT) AS score_nano
+           |FROM (VALUES (1),(2),(3)) AS t(g)
+           |UNION ALL
+           |SELECT 'probe', '-', CAST(-1 AS BIGINT), query_id, doc_id, rnk, score_nano
+           |FROM ($bm25DeleteOracleSql)
+           |) ORDER BY surface, query_id, rnk, doc_id, generation""".stripMargin,
 
       // Streamed IVF-PQ maintenance: three deterministic 'compact' audit
       // rows (tombstone-fired, generations 1..3) + the survivor-exact

@@ -1085,6 +1085,42 @@ private[graft] object IndexStore {
     fs.delete(stage, true)
   }
 
+  /** [[appendBatchExactlyOnce]] for an UNPARTITIONED relation (BM25
+    * `docs/`): same staged-write → sweep-own-leftovers → deterministic-
+    * name install protocol, at whole-directory granularity.
+    */
+  def appendBatchExactlyOnceFlat(
+      spark: SparkSession,
+      root: String,
+      rel: String,
+      streamId: String,
+      batchId: Long
+  )(df: DataFrame): Unit = withWriterLease(spark, root) {
+    require(!streamId.exists(c => c == '/' || c == '\\'), s"streamId must be path-safe: $streamId")
+    val dd     = dataDir(spark, root)
+    val target = new Path(dd, rel)
+    val fs     = fsOf(spark, target)
+    val stage  = new Path(root, s".stage-$streamId-$batchId-$rel")
+    fs.delete(stage, true)
+    df.write.parquet(stage.toString)
+    val pfx = s"$StreamBatchPrefix$streamId-$batchId-"
+    if (fs.exists(target))
+      fs.listStatus(target).foreach { f =>
+        if (f.isFile && f.getPath.getName.startsWith(pfx)) fs.delete(f.getPath, false)
+      }
+    fs.mkdirs(target)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(target).toUri, spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(stage)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      .map(_.getPath).sortBy(_.getName).zipWithIndex
+      .foreach { case (src, k) =>
+        fc.rename(fs.makeQualified(src),
+          fs.makeQualified(new Path(target, s"$pfx$k.parquet")), Options.Rename.OVERWRITE)
+      }
+    fs.delete(stage, true)
+  }
+
   /** Create the (streamId, batchId) token and raise the stream's
     * high-water-mark — shared by [[withBatchToken]]'s commit path and
     * compaction's stream-file ADOPTION.

@@ -1035,6 +1035,43 @@ object TextAnalysis {
     }
   }
 
+  /** [[appendToBm25Index]] for STREAMING bodies: all three relations'
+    * batch files land under deterministic (streamId, batchId)-derived
+    * names ([[graft.operators.IndexStore.appendBatchExactlyOnce]] /
+    * `...Flat` for the unpartitioned `docs/`), so a foreachBatch retry
+    * converges to exactly one copy of the batch's postings, partial
+    * term stats, and doc lengths at ANY crash point — including between
+    * the last relation's commit and the batch-token create, and
+    * including a crash BETWEEN relations (each relation's sweep +
+    * rename re-lands independently; the additive-statistics design
+    * means a transiently part-landed batch under-scores exactly like
+    * today's plain three-write append until the retry completes it).
+    */
+  def appendToBm25IndexExactlyOnce(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      streamId: String,
+      batchId: Long
+  ): Unit = {
+    val spark = newDocs.sparkSession
+    graft.operators.IndexStore.withWriterLease(spark, path) {
+      val dd = graft.operators.IndexStore.dataDir(spark, path)
+      val termBuckets = spark.read.parquet(s"$dd/_graft_meta").select("termBuckets").head.getInt(0)
+      val inc    = buildBm25Index(newDocs, textCol, idCol)
+      val bucket = pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int").as("bucket")
+      graft.operators.IndexStore.appendBatchExactlyOnce(
+        spark, path, "postings", "bucket", streamId, batchId)(inc.postings.withColumn("bucket", bucket))
+      graft.operators.IndexStore.appendBatchExactlyOnce(
+        spark, path, "terms", "bucket", streamId, batchId)(inc.terms.withColumn("bucket", bucket))
+      // One file per batch keeps the docs segment arithmetic exact
+      // (see [[bm25DocsSegments]]).
+      graft.operators.IndexStore.appendBatchExactlyOnceFlat(
+        spark, path, "docs", streamId, batchId)(inc.docs.coalesce(1))
+    }
+  }
+
   private def bm25TombstonePath(path: String) = s"$path/_graft_tombstones"
 
   /** Logical document deletes for a persisted BM25 index — the tombstone

@@ -1559,6 +1559,75 @@ object StreamGates {
       .toDF("surface", "action", "generation", "query_id", "neighbor_id", "rnk")
   }
 
+  /** The per-micro-batch body of [[bm25MaintainViaStream]] — the
+    * three-relation (postings / additive term stats / doc lengths)
+    * member of the maintain-stream family: batch 0 CREATES the index,
+    * later batches append EXACTLY-ONCE across all three relations
+    * (deterministic stream-batch file names per relation — a retry
+    * converges even when the crash falls between relations), each batch
+    * tombstones its % 3 ids and runs the policy sweep, whose fired
+    * compacts recount doc_freq from the compacted postings mid-stream.
+    */
+  private[graft] def maintainBm25BatchBody(
+      spark: SparkSession,
+      dir: String,
+      policy: graft.operators.CorpusPipeline.IndexMaintenancePolicy,
+      streamId: String
+  )(b: DataFrame, batchId: Long): DataFrame = {
+    import graft.operators.{CorpusPipeline, IndexStore, TextAnalysis}
+    IndexStore.withBatchToken(spark, dir, streamId, batchId) {
+      if (batchId == 0)
+        TextAnalysis.persistBm25Index(
+          TextAnalysis.buildBm25Index(b, "text", "doc_id"), dir)
+      else
+        TextAnalysis.appendToBm25IndexExactlyOnce(b, "text", "doc_id", dir, streamId, batchId)
+    }
+    TextAnalysis.deleteFromBm25Index(
+      b.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id", dir)
+    val sweep = CorpusPipeline.maintainIndexes(spark, Seq(dir), policy)
+    val sp = b.sparkSession
+    import sp.implicits._
+    Seq((
+      "audit",
+      sweep.select("action").head.getString(0),
+      graft.operators.IndexStore.currentGeneration(spark, dir).toLong,
+      -1L, -1L, -1L, -1L))
+      .toDF("surface", "action", "generation", "query_id", "doc_id", "rnk", "score_nano")
+  }
+
+  /** `q_bm25_maintain_stream`: CONTINUOUS DOCUMENT INGEST with automatic
+    * BM25 upkeep — the lexical-retrieval member of the maintain-stream
+    * family ([[indexMaintainViaStream]] / [[ivfPqMaintainViaStream]]'s
+    * shape for the three-relation index). After the stream, the standard
+    * term-bucket-pruned serve must rank EXACTLY like a fresh build on
+    * the survivors: idf/avgdl derive from the stored additive statistics
+    * at serve time, and the mid-stream compacts recounted doc_freq, so
+    * streamed append/forget/maintain cycles may change cost, never
+    * scores.
+    */
+  def bm25MaintainViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{CorpusPipeline, TextAnalysis}
+    import spark.implicits._
+    val docs = graft.Tpch.table(spark, sfDir, "documents")
+    val dir  = java.nio.file.Files.createTempDirectory("graft_bm25_stream_").toString + "/idx"
+    val stream = docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
+      col("text"))
+    val policy = CorpusPipeline.IndexMaintenancePolicy(maxTombstoneFraction = 0.001)
+    val audits = replayViaForeachBatchWithId(spark, stream, "ts", chunks = 3,
+      stageKey = Some(s"docsAll1s:$sfDir"))(maintainBm25BatchBody(spark, dir, policy, "maint_bm25"))
+    val q = Seq(
+      (1L, "spark join window"), (2L, "hash merge sort batch"),
+      (3L, "customer filter query"), (4L, "scan"), (5L, "stream data value key")
+    ).toDF("query_id", "q_text")
+    val probe = TextAnalysis.bm25TopKFromPersisted(spark, dir, q, "query_id", "q_text", k = 10)
+      .select(lit("probe").as("surface"), lit("-").as("action"), lit(-1L).as("generation"),
+        col("query_id"), col("doc_id"), col("rnk"), col("score_nano"))
+    audits.unionByName(probe)
+      .orderBy("surface", "query_id", "rnk", "doc_id", "generation")
+  }
+
   /** `q_ivfpq_maintain_stream`: CONTINUOUS VECTOR INGEST with automatic
     * IVF-PQ upkeep — [[indexMaintainViaStream]]'s daily-crawl shape for
     * the billion-vector serving family. The embeddings stream in 3

@@ -422,6 +422,50 @@ class StreamingRecoverySpec extends SparkSpec {
     Dedup.loadSignatureIndex(spark, dir).count() shouldBe 60L
   }
 
+  it("bm25 exactly-once append: a retried three-relation batch lands once across postings/terms/docs") {
+    import graft.operators.{IndexStore, TextAnalysis}
+    // The multi-relation crash case: the batch's postings, partial term
+    // stats, and doc lengths land as three writes — a crash can fall
+    // between them OR between the last one and the token create. The
+    // deterministic per-relation names make the retry converge either way.
+    val dir = java.nio.file.Files.createTempDirectory("bm25_tok_").toString + "/idx"
+    def docs(ids: Range) = ids.map(i => (i.toLong, s"alpha beta doc$i w${i % 5}"))
+      .toDF("doc_id", "text")
+    TextAnalysis.persistBm25Index(
+      TextAnalysis.buildBm25Index(docs(1 to 30), "text", "doc_id"), dir)
+    // Batch 1 lands fully, token write "crashes"…
+    TextAnalysis.appendToBm25IndexExactlyOnce(docs(31 to 60), "text", "doc_id", dir, "s", 1L)
+    // …and an even earlier PARTIAL attempt left a stray postings file
+    // under this batch's name family.
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/postings"), true)
+    var seed: org.apache.hadoop.fs.Path = null
+    while (it.hasNext && seed == null) {
+      val f = it.next()
+      if (f.getPath.getName.startsWith("sb-s-1-")) seed = f.getPath
+    }
+    seed should not be null
+    org.apache.hadoop.fs.FileUtil.copy(fs, seed, fs,
+      new org.apache.hadoop.fs.Path(seed.getParent, "sb-s-1-99.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    // The engine retries: the guarded body re-runs the WHOLE append.
+    IndexStore.withBatchToken(spark, dir, "s", 1L) {
+      TextAnalysis.appendToBm25IndexExactlyOnce(docs(31 to 60), "text", "doc_id", dir, "s", 1L)
+    } shouldBe true
+    // Exactly one copy everywhere: docs has one length row per doc, and
+    // serving scores identically to a fresh build on the union.
+    val dd = IndexStore.dataDir(spark, dir)
+    IndexStore.readRelFlat(spark, dd, "docs").count() shouldBe 60L
+    val fresh = java.nio.file.Files.createTempDirectory("bm25_tok_fresh_").toString
+    TextAnalysis.persistBm25Index(
+      TextAnalysis.buildBm25Index(docs(1 to 60), "text", "doc_id"), fresh)
+    val q = Seq((1L, "alpha beta w3"), (2L, "doc42")).toDF("query_id", "q_text")
+    TextAnalysis.bm25TopKFromPersisted(spark, dir, q, "query_id", "q_text", k = 10)
+      .collect().map(_.toString).sorted.toSeq shouldBe
+      TextAnalysis.bm25TopKFromPersisted(spark, fresh, q, "query_id", "q_text", k = 10)
+        .collect().map(_.toString).sorted.toSeq
+  }
+
   it("matchVsPersistedIndexSink refuses a legacy FLAT sink directory (layout migration)") {
     // The sink once appended flat parquet directly under sinkPath; the
     // exactly-once batch=<id> layout cannot mix with those leftovers
