@@ -1470,7 +1470,8 @@ object Dedup {
         case Some(t) => df.join(org.apache.spark.sql.functions.broadcast(t), Seq("doc_id"), "left_anti")
         case None    => df
       }
-      if (!selective || stats.isEmpty || dirty.size * 5 >= stats.size * 4)
+      val full = !selective || stats.isEmpty || dirty.size * 5 >= stats.size * 4
+      if (full)
         minus(rel).repartition(col("bucket")).write.partitionBy("bucket").parquet(staged)
       else if (dirty.nonEmpty)
         minus(rel.where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*)))
@@ -1480,8 +1481,7 @@ object Dedup {
       IndexStore.writeManifest(spark, staged,
         IndexStore.stagedEntries(spark, root, staged, "", "bucket") ++
           IndexStore.carriedEntries(spark, root, live, "", "bucket",
-            if (!selective || stats.isEmpty || dirty.size * 5 >= stats.size * 4) Nil
-            else (stats.keySet -- dirty).toSeq.sorted))
+            if (full) Nil else (stats.keySet -- dirty).toSeq.sorted))
     }
 
   /** Compact a persisted Jaccard prefix index: both data relations

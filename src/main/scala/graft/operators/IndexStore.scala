@@ -965,6 +965,19 @@ private[graft] object IndexStore {
     * Returns true if `write` ran, false if the token or mark
     * short-circuited.
     */
+  /** The stream's committed high-water mark; -1 when absent/unreadable
+    * (token-only behavior — the conservative fallback direction).
+    */
+  private def readHwmMark(fs: FileSystem, hwm: Path): Long =
+    try {
+      if (!fs.exists(hwm)) -1L
+      else {
+        val in = fs.open(hwm)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    } catch { case _: Exception => -1L }
+
   def withBatchToken(
       spark: SparkSession, root: String, streamId: String, batchId: Long)(write: => Unit): Boolean = {
     require(!streamId.exists(c => c == '/' || c == '\\'), s"streamId must be path-safe: $streamId")
@@ -973,14 +986,7 @@ private[graft] object IndexStore {
     val hwm    = new Path(ledger, s"$streamId.hwm")
     val fs     = fsOf(spark, token)
     if (fs.exists(token)) return false
-    val mark = try {
-      if (!fs.exists(hwm)) -1L
-      else {
-        val in = fs.open(hwm)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
-      }
-    } catch { case _: Exception => -1L } // unreadable mark → token-only behavior
+    val mark = readHwmMark(fs, hwm)
     if (batchId <= mark) {
       org.apache.log4j.Logger.getLogger(getClass).warn(
         s"IndexStore: stream '$streamId' re-ran batch $batchId at $root, which the " +
@@ -1012,6 +1018,51 @@ private[graft] object IndexStore {
     */
   private val StreamBatchPrefix = "sb-"
   private val StreamBatchName = """^sb-(.+)-(\d+)-(\d+)\.parquet$""".r
+
+  /** Pending markers this thread currently holds (nested exactly-once
+    * installs — a multi-relation append brackets ALL its relations under
+    * one marker, and the per-relation calls must not drop it early).
+    */
+  private val pendingHeld = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  private def pendingPath(root: String, streamId: String, batchId: Long): Path =
+    new Path(new Path(root, BatchTokensName), s"$streamId-$batchId.pending")
+
+  /** Bracket a (streamId, batchId) install with a PENDING marker: created
+    * before the first byte moves into serving position, removed only
+    * after the LAST install lands. The marker is what lets a compaction
+    * distinguish a COMPLETE un-tokened batch (no marker → the crash fell
+    * between install and token: adopt it) from a PARTIAL one (marker
+    * present → the crash fell mid-install: DISCARD its files rather than
+    * folding them, so the retry re-lands the whole batch — folding a
+    * partial batch and tokening it would silently lose the rest forever,
+    * while folding without tokening would duplicate the folded subset on
+    * retry). Sound because installs and compactions serialize on the
+    * writer lease: a pending marker observed by a lease-holding compact
+    * can only belong to a CRASHED attempt, never a live one. Re-entrant:
+    * nested calls (the multi-relation wrapper around per-relation
+    * installs) keep the outermost marker.
+    */
+  def withPendingBatch[T](
+      spark: SparkSession, root: String, streamId: String, batchId: Long)(body: => T): T = {
+    val marker = pendingPath(root, streamId, batchId)
+    val fs     = fsOf(spark, marker)
+    val key    = fs.makeQualified(marker).toString
+    if (pendingHeld.get().contains(key)) return body // nested: outermost owns it
+    fs.mkdirs(marker.getParent)
+    try fs.create(marker, true).close()
+    catch { case _: java.io.IOException => () } // best-effort refresh
+    pendingHeld.set(pendingHeld.get() + key)
+    try {
+      val r = body
+      // Delete ONLY on success: the marker must survive a crash/exception
+      // so the next compact treats the attempt as partial.
+      try fs.delete(marker, false) catch { case _: java.io.IOException => () }
+      r
+    } finally pendingHeld.set(pendingHeld.get() - key)
+  }
 
   /** EXACTLY-ONCE streaming append of a partCol-partitioned relation:
     * closes the residual window [[withBatchToken]] documents (a crash
@@ -1050,6 +1101,7 @@ private[graft] object IndexStore {
       batchId: Long
   )(df: DataFrame): Unit = withWriterLease(spark, root) {
     require(!streamId.exists(c => c == '/' || c == '\\'), s"streamId must be path-safe: $streamId")
+    withPendingBatch(spark, root, streamId, batchId) {
     val dd     = dataDir(spark, root)
     val target = if (rel.isEmpty) new Path(dd) else new Path(dd, rel)
     val fs     = fsOf(spark, target)
@@ -1083,6 +1135,7 @@ private[graft] object IndexStore {
           }
       }
     fs.delete(stage, true)
+    }
   }
 
   /** [[appendBatchExactlyOnce]] for an UNPARTITIONED relation (BM25
@@ -1097,6 +1150,7 @@ private[graft] object IndexStore {
       batchId: Long
   )(df: DataFrame): Unit = withWriterLease(spark, root) {
     require(!streamId.exists(c => c == '/' || c == '\\'), s"streamId must be path-safe: $streamId")
+    withPendingBatch(spark, root, streamId, batchId) {
     val dd     = dataDir(spark, root)
     val target = new Path(dd, rel)
     val fs     = fsOf(spark, target)
@@ -1119,6 +1173,7 @@ private[graft] object IndexStore {
           fs.makeQualified(new Path(target, s"$pfx$k.parquet")), Options.Rename.OVERWRITE)
       }
     fs.delete(stage, true)
+    }
   }
 
   /** Create the (streamId, batchId) token and raise the stream's
@@ -1133,14 +1188,7 @@ private[graft] object IndexStore {
     fs.mkdirs(ledger)
     try fs.create(new Path(ledger, s"$streamId-$batchId"), false).close()
     catch { case _: java.io.IOException => () } // already there
-    val mark = try {
-      if (!fs.exists(hwm)) -1L
-      else {
-        val in = fs.open(hwm)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
-      }
-    } catch { case _: Exception => -1L }
+    val mark = readHwmMark(fs, hwm)
     if (batchId > mark) {
       val tmp = fs.makeQualified(new Path(ledger, s"$streamId.hwm.tmp"))
       val out = fs.create(tmp, true)
@@ -1152,36 +1200,65 @@ private[graft] object IndexStore {
     }
   }
 
-  /** ADOPT stream-batch files about to be folded by a compaction: any
-    * `sb-<streamId>-<batchId>-…` data file in the live tree whose token
-    * is missing gets one (plus the high-water-mark raise) BEFORE the
-    * rewrite destroys name-level recognition — the folded rows are
-    * committed by definition, and a late replay of that batch must
-    * short-circuit, not duplicate. One recursive listing of the live
-    * generation's physical tree (small: dirty partitions + segments).
+  /** ADOPT-or-DISCARD stream-batch files about to be folded by a
+    * compaction. For every `sb-<streamId>-<batchId>-…` data file in the
+    * live tree whose token is missing, the PENDING marker decides which
+    * crash window the writer died in:
+    *
+    *  - no marker → the batch landed COMPLETELY and only the token
+    *    write was lost: adopt it (create the token + raise the
+    *    high-water mark) before the rewrite destroys name-level
+    *    recognition, so a late replay short-circuits instead of
+    *    duplicating;
+    *  - marker present → the writer died MID-INSTALL and the files are
+    *    a partial subset (possibly missing whole relations): DELETE
+    *    them (and the marker) rather than folding — folding + tokening
+    *    would silently lose the batch's missing remainder forever,
+    *    while folding without tokening would duplicate the folded
+    *    subset when the retry re-lands the full batch. With the files
+    *    gone and no token, the retry's deterministic re-land is exactly
+    *    once.
+    *
+    * Sound because this runs under the writer lease, which every
+    * install also takes: an observed marker can only belong to a
+    * crashed (or fenced) attempt, never a live one. One recursive
+    * listing of the live generation's physical tree (small: dirty
+    * partitions + segments).
     */
   private def adoptStreamBatchTokens(spark: SparkSession, root: String, live: String): Unit = {
     val lp = new Path(live)
     val fs = fsOf(spark, lp)
     if (!fs.exists(lp)) return
-    val found = scala.collection.mutable.Set.empty[(String, Long)]
+    val found = scala.collection.mutable.Map.empty[(String, Long), List[Path]]
     def walk(p: Path): Unit =
       fs.listStatus(p).foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory) { if (!name.startsWith("_") && !name.startsWith(".")) walk(st.getPath) }
         else name match {
-          case StreamBatchName(sid, bid, _) => found += ((sid, bid.toLong)); ()
+          case StreamBatchName(sid, bid, _) =>
+            val k = (sid, bid.toLong)
+            found.update(k, st.getPath :: found.getOrElse(k, Nil))
           case _ => ()
         }
       }
     walk(lp)
-    found.toSeq.sorted.foreach { case (sid, bid) =>
+    found.toSeq.sortBy(_._1).foreach { case ((sid, bid), files) =>
       val token = new Path(new Path(root, BatchTokensName), s"$sid-$bid")
       if (!fs.exists(token)) {
-        org.apache.log4j.Logger.getLogger(getClass).warn(
-          s"IndexStore: adopting un-tokened stream batch ($sid, $bid) folded by compaction of $root " +
-            "(its writer crashed between data commit and token create — the fold commits it)")
-        commitBatchToken(spark, root, sid, bid)
+        val pending = pendingPath(root, sid, bid)
+        if (fs.exists(pending)) {
+          org.apache.log4j.Logger.getLogger(getClass).warn(
+            s"IndexStore: discarding PARTIAL stream batch ($sid, $bid) at $root before compaction " +
+              s"(its writer crashed mid-install — pending marker present; ${files.size} partial " +
+              "file(s) removed so the retry re-lands the complete batch exactly once)")
+          files.foreach(f => try fs.delete(f, false) catch { case _: java.io.IOException => () })
+          try fs.delete(pending, false) catch { case _: java.io.IOException => () }
+        } else {
+          org.apache.log4j.Logger.getLogger(getClass).warn(
+            s"IndexStore: adopting un-tokened stream batch ($sid, $bid) folded by compaction of $root " +
+              "(its writer crashed between data commit and token create — the fold commits it)")
+          commitBatchToken(spark, root, sid, bid)
+        }
       }
     }
   }

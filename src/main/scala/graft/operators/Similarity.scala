@@ -983,10 +983,14 @@ object Similarity {
         // Refreshed books + their fresh drift baseline install in the SAME
         // atomic generation as the re-encoded rows (written AFTER the data
         // so the parquet job owns staged-dir creation); both win over the
-        // meta carry.
+        // meta carry. The baseline's sample-sizing count reads from the
+        // JUST-WRITTEN staged parquet (footer statistics, no recompute of
+        // the re-encode lineage).
         newModel.foreach { m =>
           savePqModel(spark, m, s"$staged/_graft_pq")
-          val (mqe, sampled) = pqSampledMqe(survivors, "vec_id", "vec", m)
+          val stagedRows = spark.read.parquet(staged)
+          val (mqe, sampled) = pqSampledMqe(stagedRows, "vec_id", "vec", m,
+            knownCount = Some(stagedRows.count()))
           writePqStats(spark, staged, mqe, sampled)
         }
         IndexStore.writeManifest(spark, staged,
@@ -1340,8 +1344,9 @@ object Similarity {
     * scan — negligible beside the rewrite a refresh would ride.
     */
   def pqSampledMqe(
-      df: DataFrame, idCol: String, vecCol: String, model: PqModel, cap: Long = 4096): (Double, Long) = {
-    val n        = df.count()
+      df: DataFrame, idCol: String, vecCol: String, model: PqModel, cap: Long = 4096,
+      knownCount: Option[Long] = None): (Double, Long) = {
+    val n        = knownCount.getOrElse(df.count())
     val fraction = math.min(1.0, cap.toDouble / math.max(1, n))
     val books    = model.codebooks
     val dsub     = model.dsub

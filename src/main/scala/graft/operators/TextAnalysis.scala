@@ -1057,18 +1057,25 @@ object TextAnalysis {
   ): Unit = {
     val spark = newDocs.sparkSession
     graft.operators.IndexStore.withWriterLease(spark, path) {
-      val dd = graft.operators.IndexStore.dataDir(spark, path)
-      val termBuckets = spark.read.parquet(s"$dd/_graft_meta").select("termBuckets").head.getInt(0)
-      val inc    = buildBm25Index(newDocs, textCol, idCol)
-      val bucket = pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int").as("bucket")
-      graft.operators.IndexStore.appendBatchExactlyOnce(
-        spark, path, "postings", "bucket", streamId, batchId)(inc.postings.withColumn("bucket", bucket))
-      graft.operators.IndexStore.appendBatchExactlyOnce(
-        spark, path, "terms", "bucket", streamId, batchId)(inc.terms.withColumn("bucket", bucket))
-      // One file per batch keeps the docs segment arithmetic exact
-      // (see [[bm25DocsSegments]]).
-      graft.operators.IndexStore.appendBatchExactlyOnceFlat(
-        spark, path, "docs", streamId, batchId)(inc.docs.coalesce(1))
+      // ONE pending marker brackets all three relations: a crash between
+      // them must read as a PARTIAL batch to a later compaction (which
+      // then discards the landed subset so the retry re-lands the whole
+      // batch) — per-relation markers would each clear on their own
+      // relation's completion and mask the between-relations window.
+      graft.operators.IndexStore.withPendingBatch(spark, path, streamId, batchId) {
+        val dd = graft.operators.IndexStore.dataDir(spark, path)
+        val termBuckets = spark.read.parquet(s"$dd/_graft_meta").select("termBuckets").head.getInt(0)
+        val inc    = buildBm25Index(newDocs, textCol, idCol)
+        val bucket = pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int").as("bucket")
+        graft.operators.IndexStore.appendBatchExactlyOnce(
+          spark, path, "postings", "bucket", streamId, batchId)(inc.postings.withColumn("bucket", bucket))
+        graft.operators.IndexStore.appendBatchExactlyOnce(
+          spark, path, "terms", "bucket", streamId, batchId)(inc.terms.withColumn("bucket", bucket))
+        // One file per batch keeps the docs segment arithmetic exact
+        // (see [[bm25DocsSegments]]).
+        graft.operators.IndexStore.appendBatchExactlyOnceFlat(
+          spark, path, "docs", streamId, batchId)(inc.docs.coalesce(1))
+      }
     }
   }
 

@@ -422,6 +422,75 @@ class StreamingRecoverySpec extends SparkSpec {
     Dedup.loadSignatureIndex(spark, dir).count() shouldBe 60L
   }
 
+  it("a compaction DISCARDS a partial (pending) stream batch instead of folding it; the retry lands whole") {
+    import graft.operators.{Dedup, IndexStore, TextAnalysis}
+    // The interleaving the pending marker exists for: a writer dies
+    // MID-INSTALL (some of the batch's files landed, some — possibly
+    // whole relations — did not), and an external maintenance compact
+    // runs BEFORE the stream's retry. Folding the partial files and
+    // adopting a token would lose the batch's remainder forever; folding
+    // without a token would duplicate the folded subset on retry. The
+    // marker makes the compact DISCARD the partial files, so the retry
+    // re-lands the complete batch exactly once.
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def docs(ids: Range) = ids.map(i => (i.toLong, s"alpha beta doc$i w${i % 5}"))
+      .toDF("doc_id", "text")
+    def crashMidInstall(dir: String, prefix: String): Unit = {
+      // Post-crash state: pending marker present, one landed file gone.
+      val ledger = new org.apache.hadoop.fs.Path(dir, IndexStore.BatchTokensName)
+      fs.mkdirs(ledger)
+      fs.create(new org.apache.hadoop.fs.Path(ledger, "s-1.pending"), true).close()
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var victim: org.apache.hadoop.fs.Path = null
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith(prefix)) victim = f.getPath
+      }
+      victim should not be null
+      fs.delete(victim, false)
+    }
+    // ---- single-relation (signature) ----
+    val sig = java.nio.file.Files.createTempDirectory("pend_sig_").toString + "/idx"
+    IndexStore.withBatchToken(spark, sig, "s", 0L) {
+      Dedup.persistSignatureIndex(Dedup.buildSignatureIndex(docs(1 to 20), "text", "doc_id"), sig)
+    }
+    Dedup.appendToSignatureIndexExactlyOnce(
+      Dedup.buildSignatureIndex(docs(21 to 40), "text", "doc_id"), sig, "s", 1L)
+    crashMidInstall(sig, "sb-s-1-")
+    Dedup.compactSignatureIndex(spark, sig) // external compact before the retry
+    // NOT adopted (no token), partial files discarded with the fold…
+    IndexStore.withBatchToken(spark, sig, "s", 1L) {
+      Dedup.appendToSignatureIndexExactlyOnce(
+        Dedup.buildSignatureIndex(docs(21 to 40), "text", "doc_id"), sig, "s", 1L)
+    } shouldBe true
+    // …so the retry landed the batch exactly once, nothing lost.
+    Dedup.loadSignatureIndex(spark, sig).count() shouldBe 40L
+    // ---- multi-relation (bm25): a whole relation can be missing ----
+    val bm = java.nio.file.Files.createTempDirectory("pend_bm_").toString + "/idx"
+    TextAnalysis.persistBm25Index(
+      TextAnalysis.buildBm25Index(docs(1 to 30), "text", "doc_id"), bm)
+    TextAnalysis.appendToBm25IndexExactlyOnce(docs(31 to 60), "text", "doc_id", bm, "s", 1L)
+    // Crash "between relations": docs never landed.
+    val ledger = new org.apache.hadoop.fs.Path(bm, IndexStore.BatchTokensName)
+    fs.create(new org.apache.hadoop.fs.Path(ledger, "s-1.pending"), true).close()
+    val itB = fs.listFiles(new org.apache.hadoop.fs.Path(s"$bm/docs"), true)
+    while (itB.hasNext) { val f = itB.next(); if (f.getPath.getName.startsWith("sb-s-1-")) fs.delete(f.getPath, false) }
+    TextAnalysis.compactBm25Index(spark, bm) // would have adopted the doc-less batch
+    IndexStore.withBatchToken(spark, bm, "s", 1L) {
+      TextAnalysis.appendToBm25IndexExactlyOnce(docs(31 to 60), "text", "doc_id", bm, "s", 1L)
+    } shouldBe true
+    val dd = IndexStore.dataDir(spark, bm)
+    IndexStore.readRelFlat(spark, dd, "docs").count() shouldBe 60L // every doc's length row present
+    val fresh = java.nio.file.Files.createTempDirectory("pend_bm_fresh_").toString
+    TextAnalysis.persistBm25Index(
+      TextAnalysis.buildBm25Index(docs(1 to 60), "text", "doc_id"), fresh)
+    val q = Seq((1L, "alpha beta w3"), (2L, "doc42")).toDF("query_id", "q_text")
+    TextAnalysis.bm25TopKFromPersisted(spark, bm, q, "query_id", "q_text", k = 10)
+      .collect().map(_.toString).sorted.toSeq shouldBe
+      TextAnalysis.bm25TopKFromPersisted(spark, fresh, q, "query_id", "q_text", k = 10)
+        .collect().map(_.toString).sorted.toSeq
+  }
+
   it("bm25 exactly-once append: a retried three-relation batch lands once across postings/terms/docs") {
     import graft.operators.{IndexStore, TextAnalysis}
     // The multi-relation crash case: the batch's postings, partial term
