@@ -2122,6 +2122,25 @@ object SparkEntry {
         .orderBy("doc_id", "matched_id")
     }),
 
+    // EXCISED serving variant: boilerplate excision composed AHEAD of the
+    // prefix index — elements in > max(1, ⌊0.01·N⌋) of the indexed docs
+    // are dropped from every set at build (hot set frozen beside the
+    // dictionary) AND from every probe set, so sizes/prefixes/
+    // intersections all live in the same excised universe. The oracle
+    // brute-forces exact Jaccard over the SAME excised sets — candidate
+    // mass collapses (the hostile-skew ladder's residual), results lose
+    // nothing the semantics don't define away.
+    "q_jaccard_serve_excised" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("bg"))
+      val tmp = graft.GateCache.dir(s"jacidx_even600x01:$dir")(p =>
+        Dedup.persistJaccardIndex(
+          d.where(col("doc_id") % 2 === 0), "bg", "doc_id", p, thresholdMilli = 600,
+          exciseBoilerplateFrac = Some(0.01)))
+      Dedup.matchVsJaccardIndex(d.where(col("doc_id") % 2 === 1), "bg", "doc_id", tmp)
+        .orderBy("doc_id", "matched_id")
+    }),
+
     // MinHash + LSH banding with exact-Jaccard verification. 4 bands × 8
     // rows targets the near-dup regime (s-curve knee ≈ 0.84): on this
     // vocabulary-dense corpus shorter bands collide on the globally-minimal
@@ -5091,6 +5110,28 @@ object SparkEntry {
          |FROM o JOIN sz sa ON sa.doc_id = o.doc_id JOIN sz sb ON sb.doc_id = o.matched_id
          |WHERE inter * 1600 >= 600 * (sa.sz + sb.sz)
          |ORDER BY doc_id, matched_id""".stripMargin
+    // Excised serving variant: the universe drops every trigram in more
+    // than max(1, ⌊0.01·N⌋) of the INDEXED (even) docs; both sides'
+    // sizes and intersections derive from the excised sets.
+    val jaccardServeExcisedOracleSql =
+      s"""WITH w AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_distinct(
+         |        [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)])) AS tok FROM w),
+         |idx AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+         |n AS (SELECT count(DISTINCT doc_id) AS n FROM idx),
+         |hot AS (SELECT tok FROM idx GROUP BY tok
+         |        HAVING count(*) > greatest(1, CAST(floor(0.01 * (SELECT n FROM n)) AS BIGINT))),
+         |bgx AS (SELECT bg.doc_id, bg.tok FROM bg ANTI JOIN hot USING (tok)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM bgx GROUP BY 1),
+         |o AS (SELECT p.doc_id AS doc_id, x.doc_id AS matched_id, count(*) AS inter
+         |      FROM bgx p JOIN bgx x ON p.tok = x.tok
+         |      WHERE p.doc_id % 2 = 1 AND x.doc_id % 2 = 0 GROUP BY 1, 2)
+         |SELECT o.doc_id AS doc_id, o.matched_id AS matched_id, CAST(inter AS BIGINT) AS inter,
+         |  CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+         |  CAST((1000 * inter) // (sa.sz + sb.sz - inter) AS BIGINT) AS jaccard_milli
+         |FROM o JOIN sz sa ON sa.doc_id = o.doc_id JOIN sz sb ON sb.doc_id = o.matched_id
+         |WHERE inter * 1600 >= 600 * (sa.sz + sb.sz)
+         |ORDER BY doc_id, matched_id""".stripMargin
     val bm25OracleSql =
       s"""WITH $bm25Ctes
          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rnk AS BIGINT) AS rnk,
@@ -5171,6 +5212,7 @@ object SparkEntry {
       // Cross-split brute force (odd probes × even index) — the persisted
       // prefix index's two pruned reads must not lose a pair.
       "q_jaccard_serve" -> jaccardServeOracleSql,
+      "q_jaccard_serve_excised" -> jaccardServeExcisedOracleSql,
       // Streamed serving against the frozen index must equal the batch
       // probe row-for-row (frozen element order makes verdicts
       // micro-batch invariant).

@@ -243,13 +243,24 @@ object CorpusPipeline {
     * analytical probe outlives several), an age floor sized to the probe
     * SLA cannot. A generation is reclaimed only when BOTH allow.
     */
+  /** `maxDonorGenerations` bounds READ-AMPLIFICATION fan-in: every
+    * selective compact leaves clean partitions referenced in their donor
+    * generations, and the manifest-resolved read plans one union branch
+    * per (donor, relation) — over a long lifecycle of selective compacts
+    * the branch count otherwise grows without bound. When a generation's
+    * manifest references more than this many donors, the sweep escalates
+    * that index's next compact to a FULL rewrite (action `compact_full`),
+    * consolidating every partition into one physical home. The check is
+    * one manifest read (already in hand for the other signals).
+    */
   final case class IndexMaintenancePolicy(
       maxSegmentsPerPartition: Int = 4,
       maxTombstoneFraction: Double = 0.02,
       ivfMaxImbalance: Double = 8.0,
       keepGenerations: Int = 1,
       minRetentionMs: Long = 0L,
-      maxAppendByteFraction: Double = 0.5
+      maxAppendByteFraction: Double = 0.5,
+      maxDonorGenerations: Int = 8
   )
 
   /** Policy-driven maintenance sweep over a mixed list of persisted
@@ -262,15 +273,19 @@ object CorpusPipeline {
     *
     * Actions: `none` (healthy), `compact` (selective rewrite — segment
     * fold and/or tombstone purge; a fired Jaccard compact folds the
-    * dictionary-drift Auto refresh in), `compact_retrain` (IVF whose
-    * surviving-cell imbalance crossed the policy threshold: the compact
-    * re-runs Lloyd on the survivors, [[Similarity.RetrainMode]]).
-    * Flagged indexes compact as concurrent Spark jobs
+    * dictionary-drift Auto refresh in), `compact_full` (donor-generation
+    * fan-in past the policy bound: a FULL rewrite consolidates every
+    * manifest-carried partition into one physical home — the only cure
+    * for union-branch debt, which a selective compact would re-carry),
+    * `compact_retrain` (IVF whose surviving-cell imbalance crossed the
+    * policy threshold: the compact re-runs Lloyd on the survivors,
+    * [[Similarity.RetrainMode]] — itself a full rewrite, so it also
+    * consolidates). Flagged indexes compact as concurrent Spark jobs
     * ([[compactIndexes]]' submit parallelism). `dryRun = true` reports
     * the decisions without executing any of them.
     *
     * Returns (index_path, family, max_segments, tombstone_rows,
-    * data_rows, ivf_imbalance, append_byte_frac, action) —
+    * data_rows, ivf_imbalance, append_byte_frac, donor_gens, action) —
     * `ivf_imbalance` is null for non-IVF families.
     */
   def maintainIndexes(
@@ -303,8 +318,9 @@ object CorpusPipeline {
       // is blind to segment size; mass alone is blind to
       // many-tiny-files fan-out; together they cover both failure
       // shapes with zero data pages read.
+      val man = IndexStore.readManifest(spark, live) // parsed ONCE for every signal below
       val stats = rels.flatMap { case (rel, partCol) =>
-        IndexStore.relStats(spark, live, rel, partCol).values
+        IndexStore.relStats(spark, live, rel, partCol, man).values
       }
       val segCounts   = stats.map(_.segments)
       val totalBytes  = stats.map(_.bytes).sum
@@ -313,8 +329,9 @@ object CorpusPipeline {
         if (totalBytes == 0L) 0.0 else appendBytes.toDouble / totalBytes.toDouble
       // BM25's docs relation is unpartitioned and written with whatever
       // parallelism built it, so raw file count is NOT segment count:
-      // segments = files − the baseline recorded at (re)write + 1
-      // ([[TextAnalysis.bm25DocsSegments]] — appends add one file each).
+      // segments = distinct WRITE GROUPS among its file names
+      // ([[TextAnalysis.bm25DocsSegments]] — one group per build/append
+      // batch, however many shards each landed).
       val docsSegs =
         if (family != "bm25") 0
         else TextAnalysis.bm25DocsSegments(spark, live)
@@ -330,16 +347,22 @@ object CorpusPipeline {
       // Parquet footer statistic — no data pages read.
       val dataRows = rels.headOption.map { case (rel, partCol) =>
         val dp = new org.apache.hadoop.fs.Path(if (rel.isEmpty) live else s"$live/$rel")
-        val manifested = IndexStore.readManifest(spark, live).exists(_.exists(_.rel == rel))
+        val manifested = man.exists(_.exists(_.rel == rel))
         if (manifested || dp.getFileSystem(conf).exists(dp))
-          IndexStore.readRel(spark, live, rel, partCol).count()
+          IndexStore.readRel(spark, live, rel, partCol, man).count()
         else 0L
       }.getOrElse(0L)
       val imbalance =
         if (family == "ivf") Some(Similarity.ivfCellImbalance(spark, p)) else None
+      val donorGens = IndexStore.donorGenerations(live, man)
 
       val action =
         if (imbalance.exists(_ > policy.ivfMaxImbalance)) "compact_retrain"
+        // Donor fan-in past the bound escalates to a FULL rewrite even
+        // when the other signals are quiet: the debt here is union-branch
+        // count, which only consolidation pays down — a selective compact
+        // would re-carry the same references.
+        else if (donorGens > policy.maxDonorGenerations) "compact_full"
         else if (maxSegments > policy.maxSegmentsPerPartition ||
           appendByteFrac > policy.maxAppendByteFraction ||
           tombstoneRows.toDouble > policy.maxTombstoneFraction * math.max(1L, dataRows))
@@ -347,12 +370,12 @@ object CorpusPipeline {
         else "none"
       (p, family, maxSegments, tombstoneRows, dataRows,
         imbalance.map(i => math.rint(i * 1000) / 1000),
-        math.rint(appendByteFrac * 1000) / 1000, action)
+        math.rint(appendByteFrac * 1000) / 1000, donorGens, action)
     }}), Duration.Inf)
 
     if (!dryRun) {
       Await.result(
-        Future.sequence(audits.filter(_._8 != "none").map { case (p, family, _, _, _, _, _, action) =>
+        Future.sequence(audits.filter(_._9 != "none").map { case (p, family, _, _, _, _, _, _, action) =>
           Future {
             // Imbalance was just measured; Always skips re-measuring it.
             val mode =
@@ -365,7 +388,8 @@ object CorpusPipeline {
             // past the Auto threshold retrains its codebooks riding the
             // same rewrite (the retrain-on-compact argument applied to
             // the last frozen artifact).
-            compactFamily(spark, p, family, selective = true, ivfRetrain = mode,
+            compactFamily(spark, p, family, selective = action != "compact_full",
+              ivfRetrain = mode,
               jaccardRefresh = Dedup.RefreshMode.Auto(),
               keepGens = policy.keepGenerations, minRetentionMs = policy.minRetentionMs,
               pqRefresh = Similarity.PqRefreshMode.Auto())
@@ -374,7 +398,7 @@ object CorpusPipeline {
         Duration.Inf)
     }
     audits.toDF("index_path", "family", "max_segments", "tombstone_rows",
-      "data_rows", "ivf_imbalance", "append_byte_frac", "action")
+      "data_rows", "ivf_imbalance", "append_byte_frac", "donor_gens", "action")
   }
 
   /** Policy-driven RETENTION sweep over a mixed list of persisted

@@ -1457,9 +1457,10 @@ object Dedup {
       keepGens = keepGens, minRetentionMs = minRetentionMs) { (live, staged) =>
       val root  = IndexStore.rootOf(live)
       val ts    = tombstonesAt(spark, live)
-      val stats = IndexStore.relStats(spark, live, "", "bucket")
+      val man   = IndexStore.readManifest(spark, live) // parsed ONCE for stats+read+carry
+      val stats = IndexStore.relStats(spark, live, "", "bucket", man)
       val multi = stats.filter(_._2.dirty).keySet
-      val rel   = IndexStore.readRel(spark, live, "", "bucket")
+      val rel   = IndexStore.readRel(spark, live, "", "bucket", man)
       val tsTouched = ts match {
         case Some(t) =>
           IndexStore.tombstoneTouchedParts(rel, "bucket", "doc_id", t, "doc_id")
@@ -1481,7 +1482,7 @@ object Dedup {
       IndexStore.writeManifest(spark, staged,
         IndexStore.stagedEntries(spark, root, staged, "", "bucket") ++
           IndexStore.carriedEntries(spark, root, live, "", "bucket",
-            if (full) Nil else (stats.keySet -- dirty).toSeq.sorted))
+            if (full) Nil else (stats.keySet -- dirty).toSeq.sorted, man))
     }
 
   /** Compact a persisted Jaccard prefix index: both data relations
@@ -1535,10 +1536,11 @@ object Dedup {
       }
       val (tmI, keyBuckets, docBuckets) = readJaccardIndexMetaAt(spark, live)
       val root = IndexStore.rootOf(live)
+      val man  = IndexStore.readManifest(spark, live) // parsed ONCE for both relations
       def rewriteRel(rel: String, partCol: String, tsTouched: => Set[Int]): Seq[IndexStore.ManifestEntry] = {
         val stagedRel = s"$staged/$rel"
-        val stats = IndexStore.relStats(spark, live, rel, partCol)
-        val src   = IndexStore.readRel(spark, live, rel, partCol)
+        val stats = IndexStore.relStats(spark, live, rel, partCol, man)
+        val src   = IndexStore.readRel(spark, live, rel, partCol, man)
         val dirty = stats.filter(_._2.dirty).keySet ++ (if (ts.isDefined) tsTouched else Set.empty[Int])
         val full  = !selective || stats.isEmpty || dirty.size * 5 >= stats.size * 4
         if (full)
@@ -1548,7 +1550,7 @@ object Dedup {
             .repartition(col(partCol)).write.partitionBy(partCol).parquet(stagedRel)
         IndexStore.stagedEntries(spark, root, staged, rel, partCol) ++
           IndexStore.carriedEntries(spark, root, live, rel, partCol,
-            if (full) Nil else (stats.keySet -- dirty).toSeq.sorted)
+            if (full) Nil else (stats.keySet -- dirty).toSeq.sorted, man)
       }
       val doRefresh = refresh match {
         case RefreshMode.Never  => false
@@ -1571,7 +1573,7 @@ object Dedup {
           // postings). `fullsets` content is order-independent: its
           // rewrite keeps the selective dirty-partition cost model.
           val liveToks = Lineage.truncate(
-            minus(IndexStore.readRel(spark, live, "fullsets", "dbucket")).select("doc_id", "tok"))
+            minus(IndexStore.readRel(spark, live, "fullsets", "dbucket", man)).select("doc_id", "tok"))
           val freshDict = Lineage.truncate(
             liveToks.groupBy("tok").agg(count(lit(1)).as("dfreq")))
           jaccardPrefix(liveToks, freshDict, tmI.toLong)
@@ -1583,7 +1585,7 @@ object Dedup {
         } else
           rewriteRel("postings", "bucket",
             IndexStore.tombstoneTouchedParts(
-              IndexStore.readRel(spark, live, "postings", "bucket"), "bucket", "doc_id", ts.get, "doc_id"))
+              IndexStore.readRel(spark, live, "postings", "bucket", man), "bucket", "doc_id", ts.get, "doc_id"))
       val fullsetsEntries = rewriteRel("fullsets", "dbucket",
         ts.get.select(pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)).cast("int").as("dbucket"))
           .distinct().collect().map(_.getInt(0)).toSet)
@@ -1796,6 +1798,25 @@ object Dedup {
     * order; selectivity drifts as true frequencies diverge — rebuild to
     * refresh). Tombstones are shared with the other persisted indexes
     * ([[deleteFromPersistedIndex]]).
+    *
+    * `exciseBoilerplateFrac` composes BOILERPLATE EXCISION ahead of the
+    * index (the [[ngramJaccardPairs]] pre-pass, persisted): at build,
+    * elements in more than `max(1, ⌊frac·N⌋)` documents are dropped from
+    * every set BEFORE sizes, prefixes, postings, and fullsets derive —
+    * and the hot set freezes beside the dictionary
+    * (`_graft_jidx_hot`), so probes and appends excise by EXACTLY the
+    * same set (pigeonhole stays sound: both sides' prefixes derive from
+    * the same excised universe under the same threshold). A shared
+    * header/footer in 25% of the corpus then contributes NOTHING to
+    * candidate generation or verification — the refresh ladder showed
+    * order refresh alone restores selectivity but not absolute candidate
+    * mass; excision is what collapses the mass. Semantics become
+    * "similar modulo boilerplate" (documents whose whole set is
+    * boilerplate drop — they pair with nothing); on a corpus with no
+    * element above the cutoff the index is byte-identical to the
+    * default. Like the dictionary, the hot set is frozen at build:
+    * appends and dictionary refreshes keep it (drift in what is "hot"
+    * is a rebuild concern, measured by the same drift meter).
     */
   def persistJaccardIndex(
       df: DataFrame,
@@ -1805,21 +1826,52 @@ object Dedup {
       thresholdMilli: Int,
       keyBuckets: Int = 64,
       docBuckets: Int = 64,
-      append: Boolean = false
+      append: Boolean = false,
+      exciseBoilerplateFrac: Option[Double] = None
   ): Unit = {
     require(thresholdMilli > 0 && thresholdMilli <= 1000,
       s"thresholdMilli must be in (0, 1000], got $thresholdMilli")
+    exciseBoilerplateFrac.foreach(f => require(f > 0.0 && f <= 1.0,
+      s"exciseBoilerplateFrac must be in (0, 1], got $f"))
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
     val tm = thresholdMilli.toLong
-    val tok = df
+    val tok0 = df
       .select(col(idCol).cast("long").as("doc_id"), explode(col(setCol)).as("tok"))
       .distinct()
     // Appends hold the writer lease for the whole multi-relation write
     // (postings + fullsets must land as one logical append) and resolve
     // the generation inside it — see [[IndexStore.withWriterLease]].
     def doPersist(dir: String): Unit = {
+    val hotPath = s"$dir/_graft_jidx_hot"
+    def minusHot(t: DataFrame): DataFrame =
+      t.join(org.apache.spark.sql.functions.broadcast(
+        spark.read.parquet(hotPath).select("tok")), Seq("tok"), "left_anti")
+    val tok =
+      if (append) {
+        // Excise by the FROZEN hot set (same universe as the index).
+        val hp = new org.apache.hadoop.fs.Path(hotPath)
+        if (hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)) minusHot(tok0)
+        else tok0
+      } else exciseBoilerplateFrac match {
+        case None =>
+          // A flat-root rebuild without excision must not leave a stale
+          // hot artifact from an earlier excised build steering probes.
+          val hp = new org.apache.hadoop.fs.Path(hotPath)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+          tok0
+        case Some(frac) =>
+          // Hot set is provably small (≤ avgElemsPerDoc / frac entries —
+          // N cancels), so freezing it is one tiny artifact and the
+          // subtraction broadcasts.
+          val n      = tok0.select("doc_id").distinct().count()
+          val cutoff = math.max(1L, math.floor(frac * n).toLong)
+          tok0.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+            .where(col("dfreq") > cutoff).select("tok")
+            .write.mode("overwrite").parquet(hotPath)
+          minusHot(tok0)
+      }
     val dict =
       if (append) {
         val m = readJaccardIndexMetaAt(spark, dir)
@@ -1980,21 +2032,34 @@ object Dedup {
     * never the corpus. Honors tombstones. Returns (doc_id, matched_id,
     * inter, size_a, size_b, jaccard_milli); `doc_id` is the probe's.
     */
-  def matchVsJaccardIndex(
-      newDf: DataFrame,
-      setCol: String,
-      idCol: String,
-      indexPath: String
-  ): DataFrame = {
+  /** The probe's CANDIDATE stage against a RESOLVED index generation:
+    * (excised probe element relation, candidate pairs, thresholdMilli,
+    * docBuckets) — shared by [[matchVsJaccardIndex]] and the
+    * candidate-mass instrument ([[jaccardProbeCandidateCount]]), so the
+    * soak meters exactly the pairs the serve path verifies.
+    */
+  private def jaccardProbeCandStage(
+      newDf: DataFrame, setCol: String, idCol: String, dd: String):
+      (DataFrame, Option[DataFrame], Long, Int) = {
     import org.apache.spark.sql.expressions.Window
     val spark = newDf.sparkSession
     import spark.implicits._
-    val dd = IndexStore.dataDir(spark, indexPath) // resolve once per probe
     val (tmI, keyBuckets, docBuckets) = readJaccardIndexMetaAt(spark, dd)
     val tm = tmI.toLong
     val dict = spark.read.parquet(s"$dd/_graft_jidx_dict")
+    // Excise by the index's FROZEN hot set when one exists
+    // ([[persistJaccardIndex]]'s exciseBoilerplateFrac): probe sets must
+    // live in the same excised universe as the indexed sets — sizes,
+    // prefixes, and intersections all derive post-excision, so the
+    // pigeonhole prefix guarantee and the exact threshold test stay
+    // sound under the shared semantics ("similar modulo boilerplate").
+    val hotP = new org.apache.hadoop.fs.Path(s"$dd/_graft_jidx_hot")
+    val ntok0 = newDf.select(col(idCol).cast("long").as("nid"), explode(col(setCol)).as("tok")).distinct()
     val ntok = Lineage.truncate(
-      newDf.select(col(idCol).cast("long").as("nid"), explode(col(setCol)).as("tok")).distinct())
+      if (hotP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hotP))
+        ntok0.join(org.apache.spark.sql.functions.broadcast(
+          spark.read.parquet(hotP.toString).select("tok")), Seq("tok"), "left_anti")
+      else ntok0)
     val nprefix = Lineage.truncate(
       ntok.withColumn("sa", count(lit(1)).over(Window.partitionBy("nid")))
         .join(dict, Seq("tok"), "left")
@@ -2005,9 +2070,7 @@ object Dedup {
         .withColumn("bucket", pmod(xxhash64(col("tok")), lit(keyBuckets.toLong)).cast("int"))
         .select("bucket", "tok", "nid", "sa"))
     val touched = nprefix.select("bucket").distinct().as[Int].collect().sorted
-    val empty = spark.emptyDataset[(Long, Long, Long, Long, Long, Long)]
-      .toDF("doc_id", "matched_id", "inter", "size_a", "size_b", "jaccard_milli")
-    if (touched.isEmpty) return empty
+    if (touched.isEmpty) return (ntok, None, tm, docBuckets)
     val postings = dropTombstoned(
       IndexStore.readRel(spark, dd, "postings", "bucket")
         .where(col("bucket").isin(touched.map(b => b: Any): _*))
@@ -2024,6 +2087,35 @@ object Dedup {
       .where(col("sa") * 1000L >= col("sb") * tm && col("sb") * 1000L >= col("sa") * tm)
       .select("nid", "oid", "sa", "sb")
       .distinct()
+    (ntok, Some(cand), tm, docBuckets)
+  }
+
+  /** CANDIDATE MASS of a probe batch against a persisted Jaccard index —
+    * the pre-verification pair count prefix selectivity is ABOUT
+    * (the [[graft.tools.JaccardDriftSoak]] instrument; excision and
+    * dictionary refresh both exist to move this number, never the
+    * result set beyond their stated semantics).
+    */
+  private[graft] def jaccardProbeCandidateCount(
+      newDf: DataFrame, setCol: String, idCol: String, indexPath: String): Long = {
+    val dd = IndexStore.dataDir(newDf.sparkSession, indexPath)
+    jaccardProbeCandStage(newDf, setCol, idCol, dd)._2.map(_.count()).getOrElse(0L)
+  }
+
+  def matchVsJaccardIndex(
+      newDf: DataFrame,
+      setCol: String,
+      idCol: String,
+      indexPath: String
+  ): DataFrame = {
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val dd = IndexStore.dataDir(spark, indexPath) // resolve once per probe
+    val (ntok, candOpt, tm, docBuckets) = jaccardProbeCandStage(newDf, setCol, idCol, dd)
+    val empty = spark.emptyDataset[(Long, Long, Long, Long, Long, Long)]
+      .toDF("doc_id", "matched_id", "inter", "size_a", "size_b", "jaccard_milli")
+    if (candOpt.isEmpty) return empty
+    val cand = candOpt.get
     val candBuckets = cand
       .select(pmod(xxhash64(col("oid")), lit(docBuckets.toLong)).cast("int").as("dbucket"))
       .distinct().as[Int].collect().sorted
@@ -2559,9 +2651,10 @@ object Dedup {
     IndexStore.swapGeneration(spark, path, dropMeta = Set.empty,
       keepGens = keepGens, minRetentionMs = minRetentionMs) { (live, staged) =>
       val root  = IndexStore.rootOf(live)
-      val stats = IndexStore.relStats(spark, live, "", "bucket")
+      val man   = IndexStore.readManifest(spark, live) // parsed ONCE for stats+read+carry
+      val stats = IndexStore.relStats(spark, live, "", "bucket", man)
       val dirty = stats.filter(_._2.dirty).keySet
-      val src   = IndexStore.readRel(spark, live, "", "bucket")
+      val src   = IndexStore.readRel(spark, live, "", "bucket", man)
       val full  = !selective || stats.isEmpty || dirty.size * 5 >= stats.size * 4
       if (full)
         src.select("g", "bucket").distinct()
@@ -2573,7 +2666,7 @@ object Dedup {
       IndexStore.writeManifest(spark, staged,
         IndexStore.stagedEntries(spark, root, staged, "", "bucket") ++
           IndexStore.carriedEntries(spark, root, live, "", "bucket",
-            if (full) Nil else (stats.keySet -- dirty).toSeq.sorted))
+            if (full) Nil else (stats.keySet -- dirty).toSeq.sorted, man))
     }
 
   /** Excise from NEW documents every maximal span covered by k-grams that

@@ -9,17 +9,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cost model that makes the build → append/delete → compact lifecycle
   * production-grade:
   *
-  *  - '''Atomic serve-during-compact.''' A compaction never mutates the
-  *    live data in place: it writes a complete new GENERATION directory
-  *    (`_gen-00001`, `_gen-00002`, …) beside the old one and then flips a
-  *    tiny pointer file (`_graft_current`) with one atomic rename
-  *    ([[org.apache.hadoop.fs.FileContext]] `Rename.OVERWRITE` — atomic on
-  *    HDFS and POSIX local). A concurrent probe resolves the pointer ONCE
-  *    at entry and reads a complete, immutable-to-it generation: there is
-  *    no window where the index path is absent and no window where a
-  *    multi-relation index (BM25's postings/terms/docs, Jaccard's
-  *    postings/fullsets) can be seen half-swapped — the in-place
-  *    retire→install rename protocol this replaces had both.
+  *  - '''Atomic serve-during-compact, RENAME-FREE publish.''' A
+  *    compaction never mutates the live data in place: it writes a
+  *    complete new GENERATION directory (`_gen-00001`, `_gen-00002`, …)
+  *    beside the old one and then PUBLISHES it by CREATING a versioned
+  *    pointer file `_graft_current.<n>` with create-exclusive semantics —
+  *    the file's NAME is the commit (readers resolve highest-n-wins and
+  *    never open it), so publication needs no rename at all and is
+  *    atomic on every filesystem that gives atomic create-exclusive:
+  *    POSIX local, HDFS, and strongly-consistent object stores (an S3
+  *    conditional PUT), where the previous rename-based flip was
+  *    copy+delete, non-atomic, and often unsupported at the
+  *    [[org.apache.hadoop.fs.FileContext]] layer. A concurrent probe
+  *    resolves the pointer ONCE at entry and reads a complete,
+  *    immutable-to-it generation: there is no window where the index
+  *    path is absent and no window where a multi-relation index (BM25's
+  *    postings/terms/docs, Jaccard's postings/fullsets) can be seen
+  *    half-swapped — the in-place retire→install rename protocol this
+  *    replaces had both. (A legacy content-bearing `_graft_current`
+  *    file is still READ for layout compatibility; the first publish
+  *    through this code supersedes and removes it.)
   *    The previous generation is retained (readable-until-vacuum, the
   *    [[graft.sinks.VersionedTable]] contract) so probes that resolved it
   *    mid-flip finish; it is reclaimed by the NEXT compaction or an
@@ -77,6 +86,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object IndexStore {
 
+  /** Legacy content-bearing pointer file (read-only compatibility).
+    * Current publishes create `_graft_current.<n>` instead — the NAME is
+    * the commit, see [[flipPointer]].
+    */
   val PointerName = "_graft_current"
   val LockName    = "_graft_writer_lock"
   /** Streaming batch-token dir (at-most-once appends per foreachBatch
@@ -93,15 +106,36 @@ private[graft] object IndexStore {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Generation numbers of the VERSIONED pointer files present at the
+    * root (`_graft_current.<n>`). One listing; names only — the files
+    * are never opened, so there is no torn-read or delete race however
+    * the filesystem sequences a concurrent publish/prune.
+    */
+  private def versionedPointers(fs: FileSystem, root: Path): Seq[Int] =
+    try fs.listStatus(root).iterator.map(_.getPath.getName).flatMap { n =>
+      if (!n.startsWith(PointerName + ".")) None
+      else {
+        val sfx = n.substring(PointerName.length + 1)
+        if (sfx.nonEmpty && sfx.forall(_.isDigit)) Some(sfx.toInt) else None
+      }
+    }.toSeq
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+
   /** Resolve the index root to its live DATA directory: the current
     * generation when a pointer exists, the root itself for flat
     * (never-compacted) layouts. Probe paths call this ONCE at entry and
     * use the result throughout, so one operation never mixes
-    * generations however many relations it reads.
+    * generations however many relations it reads. Resolution order:
+    * highest versioned pointer (`_graft_current.<n>` — name-encoded, no
+    * file open), else the legacy content-bearing `_graft_current`, else
+    * flat.
     */
   def dataDir(spark: SparkSession, root: String): String = {
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    val vers = versionedPointers(fs, rp)
+    if (vers.nonEmpty) return new Path(root, f"$GenPrefix${vers.max}%05d").toString
     val ptr = new Path(root, PointerName)
-    val fs  = fsOf(spark, ptr)
     if (!fs.exists(ptr)) root
     else {
       val in = fs.open(ptr)
@@ -129,6 +163,127 @@ private[graft] object IndexStore {
     val p = new Path(dd)
     if (p.getName.startsWith(GenPrefix)) p.getParent.toString else dd
   }
+
+  // ------------------------------------------- filesystem commit primitives
+
+  /** The [[org.apache.hadoop.fs.FileContext]] for `p`'s scheme, or None
+    * when the scheme has no AbstractFileSystem binding (S3-class object
+    * stores) — callers then choose an object-store-shaped fallback
+    * instead of failing, and the choice is per-operation: metadata
+    * replaces become single overwrite PUTs (atomic per object on
+    * strongly-consistent stores), data-file installs fall back to
+    * `FileSystem.rename` (copy+delete there — non-atomic, but the
+    * deterministic-name install protocol converges on retry regardless,
+    * see [[appendBatchExactlyOnce]]), and generation PUBLISH never
+    * renames at all ([[flipPointer]] is create-exclusive).
+    */
+  private def fileContextOf(
+      spark: SparkSession, fs: FileSystem, p: Path): Option[org.apache.hadoop.fs.FileContext] =
+    try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(p).toUri, spark.sparkContext.hadoopConfiguration))
+    catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+
+  /** Create `p` with CONTENT, atomically failing if it already exists —
+    * the commit primitive of the lock claim and the generation publish.
+    * On `file:` go straight to O_CREAT|O_EXCL (the local FileSystem's
+    * checksum wrapper implements create(overwrite=false) as
+    * exists-then-create, a TOCTOU hole); elsewhere
+    * `create(overwrite=false)` — HDFS's namenode and strongly-consistent
+    * object stores (conditional PUT) both honor it atomically.
+    */
+  private def createExclusive(fs: FileSystem, p: Path, content: String): Unit =
+    if (fs.getScheme == "file") {
+      val np = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+      java.nio.file.Files.write(np, content.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW, // atomic O_EXCL
+        java.nio.file.StandardOpenOption.WRITE)
+      ()
+    } else {
+      val out = fs.create(p, /* overwrite = */ false)
+      try out.write(content.getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  /** Atomically REPLACE a small metadata file's content (lock heartbeat,
+    * high-water mark). POSIX local: nio ATOMIC_MOVE. FileContext-capable
+    * schemes (HDFS): tmp + rename(OVERWRITE). Object-store schemes with
+    * no FileContext: one overwrite create — a per-object PUT, atomic on
+    * strongly-consistent stores (a reader sees the old or the new
+    * content, never a spliced one).
+    */
+  private def replaceSmallFile(
+      spark: SparkSession, fs: FileSystem, dst: Path, content: String): Unit =
+    if (fs.getScheme == "file") {
+      val np  = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
+      val tmp = np.resolveSibling(np.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, np,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else fileContextOf(spark, fs, dst) match {
+      case Some(fc) =>
+        val tmp = fs.makeQualified(new Path(dst.getParent, dst.getName + ".tmp"))
+        val out = fs.create(tmp, true)
+        try out.write(content.getBytes("UTF-8"))
+        finally out.close()
+        fc.rename(tmp, fs.makeQualified(dst), Options.Rename.OVERWRITE)
+      case None =>
+        val out = fs.create(dst, true)
+        try out.write(content.getBytes("UTF-8"))
+        finally out.close()
+    }
+
+  /** Install a DATA file at its final (deterministic) name, replacing
+    * any previous attempt's copy. FileContext-capable schemes get the
+    * atomic replace; object-store schemes fall back to delete +
+    * `FileSystem.rename` — non-atomic as a pair, but safe here by
+    * protocol: install names are deterministic per (streamId, batchId,
+    * k), the installer first swept its own previous attempt, and a
+    * retry converges to exactly one copy (and on real object stores the
+    * destination OBJECT still appears atomically — stores have no
+    * partial objects).
+    */
+  private def installDataFile(
+      spark: SparkSession, fs: FileSystem, src: Path, dst: Path): Unit =
+    if (fs.getScheme == "file") {
+      val s = java.nio.file.Paths.get(fs.makeQualified(src).toUri.getPath)
+      val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
+      java.nio.file.Files.move(s, d,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else fileContextOf(spark, fs, dst) match {
+      case Some(fc) =>
+        fc.rename(fs.makeQualified(src), fs.makeQualified(dst), Options.Rename.OVERWRITE)
+      case None =>
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"IndexStore: could not install $src at $dst")
+    }
+
+  /** Move a file WITHOUT overwrite (the lease tomb dance). Returns false
+    * when the source vanished or the move lost a race. Object-store
+    * fallback is `FileSystem.rename` — there the tomb protocol's
+    * atomicity narrows to the store's own rename, which is the honest
+    * maximum without conditional-write APIs; the CAS heartbeat + install
+    * fence still bound the damage to at-most-one-installer.
+    */
+  private def moveNoOverwrite(
+      spark: SparkSession, fs: FileSystem, src: Path, dst: Path): Boolean =
+    if (fs.getScheme == "file") {
+      val s = java.nio.file.Paths.get(fs.makeQualified(src).toUri.getPath)
+      val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
+      try { java.nio.file.Files.move(s, d, java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
+      catch { case _: java.io.IOException => false }
+    } else fileContextOf(spark, fs, src) match {
+      case Some(fc) =>
+        try { fc.rename(fs.makeQualified(src), fs.makeQualified(dst)); true }
+        catch { case _: java.io.IOException => false }
+      case None =>
+        try !fs.exists(dst) && fs.rename(src, dst)
+        catch { case _: java.io.IOException => false }
+    }
 
   // ------------------------------------------------------------- manifest
 
@@ -187,6 +342,27 @@ private[graft] object IndexStore {
     }
   }
 
+  /** How many DONOR locations a generation's manifest still references —
+    * distinct OLDER generations (or the flat-era root, counted as one)
+    * whose directories carry partitions for this generation by
+    * reference. This is the read-amplification fan-in: [[readRel]] plans
+    * one union branch per (donor parent, relation), so over a long
+    * lifecycle of selective compacts the branch count grows without
+    * bound unless a consolidation trigger escalates a compact to a full
+    * rewrite ([[graft.operators.CorpusPipeline.IndexMaintenancePolicy]]'s
+    * `maxDonorGenerations`). 0 for un-manifested layouts and for
+    * generations whose manifest points only at themselves.
+    */
+  def donorGenerations(dd: String, manifest: Option[Seq[ManifestEntry]]): Int = manifest match {
+    case None => 0
+    case Some(entries) =>
+      val ddName = new Path(dd).getName
+      entries.iterator.map { e =>
+        val top = e.dir.takeWhile(_ != '/')
+        if (top.startsWith(GenPrefix)) top else "<root>"
+      }.filterNot(_ == ddName).toSet.size
+  }
+
   /** Every physical directory holding data for `(dd, rel)`, per
     * partition: the manifest's recorded homes plus any physical
     * `partCol=N` dirs under the live generation itself (appends since
@@ -195,7 +371,8 @@ private[graft] object IndexStore {
     * layout, today's behavior).
     */
   private def resolvePartDirs(
-      spark: SparkSession, dd: String, rel: String, partCol: String): Map[Int, Seq[Path]] = {
+      spark: SparkSession, dd: String, rel: String, partCol: String,
+      manifest: Option[Seq[ManifestEntry]]): Map[Int, Seq[Path]] = {
     val root   = rootOf(dd)
     val relDir = if (rel.isEmpty) new Path(dd) else new Path(dd, rel)
     val fs     = fsOf(spark, relDir)
@@ -205,7 +382,7 @@ private[graft] object IndexStore {
         .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
         .map(st => st.getPath.getName.substring(partCol.length + 1).toInt -> st.getPath)
         .toMap
-    readManifest(spark, dd) match {
+    manifest match {
       case None => physical.map { case (p, d) => p -> Seq(d) }
       case Some(entries) =>
         val recorded = entries.filter(e => e.rel == rel && e.part >= 0)
@@ -223,12 +400,14 @@ private[graft] object IndexStore {
     * granularity): the manifest's recorded home(s) plus the live
     * generation's own dir if present.
     */
-  private def resolveFlatDirs(spark: SparkSession, dd: String, rel: String): Seq[Path] = {
+  private def resolveFlatDirs(
+      spark: SparkSession, dd: String, rel: String,
+      manifest: Option[Seq[ManifestEntry]]): Seq[Path] = {
     val root   = rootOf(dd)
     val relDir = new Path(dd, rel)
     val fs     = fsOf(spark, relDir)
     val physical = if (fs.exists(relDir)) Seq(fs.makeQualified(relDir)) else Seq.empty
-    readManifest(spark, dd) match {
+    manifest match {
       case None => physical
       case Some(entries) =>
         val recorded = entries.filter(e => e.rel == rel && e.part == -1)
@@ -248,10 +427,20 @@ private[graft] object IndexStore {
     * pruning is unchanged. With no manifest this is byte-for-byte
     * `spark.read.parquet(dd/rel)`.
     */
-  def readRel(spark: SparkSession, dd: String, rel: String, partCol: String): DataFrame = {
+  def readRel(spark: SparkSession, dd: String, rel: String, partCol: String): DataFrame =
+    readRel(spark, dd, rel, partCol, readManifest(spark, dd))
+
+  /** [[readRel]] against an already-PARSED manifest — one manifest read
+    * serves every relStats/readRel/carriedEntries call a compactor makes
+    * against the same generation (several driver-side open/read
+    * round-trips saved per probe on HDFS/object stores).
+    */
+  def readRel(
+      spark: SparkSession, dd: String, rel: String, partCol: String,
+      manifest: Option[Seq[ManifestEntry]]): DataFrame = {
     val relDir = if (rel.isEmpty) dd else new Path(dd, rel).toString
-    if (readManifest(spark, dd).isEmpty) return spark.read.parquet(relDir)
-    val byPart = resolvePartDirs(spark, dd, rel, partCol)
+    if (manifest.isEmpty) return spark.read.parquet(relDir)
+    val byPart = resolvePartDirs(spark, dd, rel, partCol, manifest)
     if (byPart.isEmpty) return spark.read.parquet(relDir) // empty index: today's behavior
     val groups = byPart.values.flatten.toSeq.distinct.groupBy(_.getParent.toString)
     groups.toSeq.sortBy(_._1).map { case (parent, dirs) =>
@@ -260,8 +449,13 @@ private[graft] object IndexStore {
   }
 
   /** [[readRel]] for an UNPARTITIONED relation (BM25 `docs/`). */
-  def readRelFlat(spark: SparkSession, dd: String, rel: String): DataFrame = {
-    val dirs = resolveFlatDirs(spark, dd, rel)
+  def readRelFlat(spark: SparkSession, dd: String, rel: String): DataFrame =
+    readRelFlat(spark, dd, rel, readManifest(spark, dd))
+
+  def readRelFlat(
+      spark: SparkSession, dd: String, rel: String,
+      manifest: Option[Seq[ManifestEntry]]): DataFrame = {
+    val dirs = resolveFlatDirs(spark, dd, rel, manifest)
     if (dirs.isEmpty) spark.read.parquet(new Path(dd, rel).toString)
     else spark.read.parquet(dirs.map(_.toString): _*)
   }
@@ -285,24 +479,39 @@ private[graft] object IndexStore {
       .map(f => f.getPath.getName -> f.getLen).toSeq
 
   def relStats(
-      spark: SparkSession, dd: String, rel: String, partCol: String): Map[Int, RelPartStat] = {
+      spark: SparkSession, dd: String, rel: String, partCol: String): Map[Int, RelPartStat] =
+    relStats(spark, dd, rel, partCol, readManifest(spark, dd))
+
+  /** [[relStats]] against an already-parsed manifest (see the [[readRel]]
+    * overload). The no-manifest-entry fallback treats stream-batch files
+    * (`sb-<streamId>-<batchId>-<k>.parquet` — names that ARE commit
+    * claims, never a compacted base) as APPEND SEGMENTS: a partition
+    * created entirely by stream appends since the last compact must not
+    * read as clean-with-zero-append-mass just because its oldest file is
+    * one large sb- backfill (the maxAppendByteFraction trigger exists
+    * for exactly that file).
+    */
+  def relStats(
+      spark: SparkSession, dd: String, rel: String, partCol: String,
+      manifest: Option[Seq[ManifestEntry]]): Map[Int, RelPartStat] = {
     val fs = fsOf(spark, new Path(dd))
-    val recordedBase: Map[Int, Seq[(String, Long)]] = readManifest(spark, dd) match {
+    val recordedBase: Map[Int, Seq[(String, Long)]] = manifest match {
       case Some(entries) =>
         entries.filter(e => e.rel == rel && e.part >= 0).map(e => e.part -> e.files).toMap
       case None => Map.empty
     }
-    resolvePartDirs(spark, dd, rel, partCol).map { case (p, dirs) =>
+    resolvePartDirs(spark, dd, rel, partCol, manifest).map { case (p, dirs) =>
       val present = dirs.flatMap(d => dataFilesOf(fs, d))
       val (bf, bb) = recordedBase.get(p) match {
         case Some(rec) => (rec.size, rec.map(_._2).sum)
-        case None => // flat-era fallback: oldest file is the base
+        case None => // flat-era fallback: oldest NON-STREAM file is the base
           val all = dirs.flatMap(d =>
             if (!fs.exists(d)) Seq.empty
             else fs.listStatus(d).toSeq
               .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")))
-          if (all.isEmpty) (0, 0L)
-          else (1, all.minBy(f => (f.getModificationTime, -f.getLen)).getLen)
+          val base = all.filterNot(f => isStreamBatchFile(f.getPath.getName))
+          if (base.isEmpty) (0, 0L)
+          else (1, base.minBy(f => (f.getModificationTime, -f.getLen)).getLen)
       }
       p -> RelPartStat(present.size, present.map(_._2).sum, bf, bb)
     }
@@ -313,11 +522,27 @@ private[graft] object IndexStore {
     * files, bytes) — "all base" — with no manifest, the conservative
     * direction (callers with their own baseline artifact keep using it).
     */
-  def relStatsFlat(spark: SparkSession, dd: String, rel: String): RelPartStat = {
+  /** Data-file NAMES of an unpartitioned relation, manifest-resolved —
+    * for callers that derive segment identity from names (stream-batch
+    * files carry (streamId, batchId); committer files carry their write
+    * job's UUID), so "how many appends" no longer assumes one file per
+    * append. One driver-side listing per physical location.
+    */
+  def relFileNamesFlat(spark: SparkSession, dd: String, rel: String): Seq[String] = {
+    val fs = fsOf(spark, new Path(dd))
+    resolveFlatDirs(spark, dd, rel, readManifest(spark, dd)).flatMap(d => dataFilesOf(fs, d)).map(_._1)
+  }
+
+  def relStatsFlat(spark: SparkSession, dd: String, rel: String): RelPartStat =
+    relStatsFlat(spark, dd, rel, readManifest(spark, dd))
+
+  def relStatsFlat(
+      spark: SparkSession, dd: String, rel: String,
+      manifest: Option[Seq[ManifestEntry]]): RelPartStat = {
     val fs      = fsOf(spark, new Path(dd))
-    val dirs    = resolveFlatDirs(spark, dd, rel)
+    val dirs    = resolveFlatDirs(spark, dd, rel, manifest)
     val present = dirs.flatMap(d => dataFilesOf(fs, d))
-    val rec = readManifest(spark, dd)
+    val rec = manifest
       .flatMap(_.find(e => e.rel == rel && e.part == -1)).map(_.files)
     rec match {
       case Some(r) => RelPartStat(present.size, present.map(_._2).sum, r.size, r.map(_._2).sum)
@@ -368,10 +593,15 @@ private[graft] object IndexStore {
     */
   def carriedEntries(
       spark: SparkSession, root: String, live: String, rel: String, partCol: String,
-      parts: Iterable[Int]): Seq[ManifestEntry] = {
+      parts: Iterable[Int]): Seq[ManifestEntry] =
+    carriedEntries(spark, root, live, rel, partCol, parts, readManifest(spark, live))
+
+  def carriedEntries(
+      spark: SparkSession, root: String, live: String, rel: String, partCol: String,
+      parts: Iterable[Int], liveManifest: Option[Seq[ManifestEntry]]): Seq[ManifestEntry] = {
     val fs    = fsOf(spark, new Path(root))
     val rootQ = fs.makeQualified(new Path(root)).toString
-    val prior: Map[Int, ManifestEntry] = readManifest(spark, live)
+    val prior: Map[Int, ManifestEntry] = liveManifest
       .map(_.filter(e => e.rel == rel && e.part >= 0).map(e => e.part -> e).toMap)
       .getOrElse(Map.empty)
     parts.toSeq.sorted.flatMap { p =>
@@ -390,10 +620,15 @@ private[graft] object IndexStore {
 
   /** [[carriedEntries]] for an unpartitioned relation carried whole. */
   def carriedFlatEntry(
-      spark: SparkSession, root: String, live: String, rel: String): Seq[ManifestEntry] = {
+      spark: SparkSession, root: String, live: String, rel: String): Seq[ManifestEntry] =
+    carriedFlatEntry(spark, root, live, rel, readManifest(spark, live))
+
+  def carriedFlatEntry(
+      spark: SparkSession, root: String, live: String, rel: String,
+      liveManifest: Option[Seq[ManifestEntry]]): Seq[ManifestEntry] = {
     val fs    = fsOf(spark, new Path(root))
     val rootQ = fs.makeQualified(new Path(root)).toString
-    readManifest(spark, live).flatMap(_.find(e => e.rel == rel && e.part == -1)) match {
+    liveManifest.flatMap(_.find(e => e.rel == rel && e.part == -1)) match {
       case Some(e) => Seq(e)
       case None =>
         val relDir = new Path(live, rel)
@@ -459,23 +694,7 @@ private[graft] object IndexStore {
   private def renewLease(
       spark: SparkSession, fs: FileSystem, lock: Path, me: String, token: String): Boolean = {
     if (!lockTokenOf(readLock(fs, lock)).contains(token)) return false
-    val stamp = s"$me token=$token ts=${System.currentTimeMillis()}\n"
-    if (fs.getScheme == "file") {
-      val dst = java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath)
-      val tmp = dst.resolveSibling(dst.getFileName.toString + ".hb")
-      java.nio.file.Files.write(tmp, stamp.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, dst,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } else {
-      val tmp = fs.makeQualified(new Path(lock.getParent, LockName + ".hb"))
-      val out = fs.create(tmp, true)
-      try out.write(stamp.getBytes("UTF-8"))
-      finally out.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        fs.makeQualified(lock).toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(tmp, fs.makeQualified(lock), Options.Rename.OVERWRITE)
-    }
+    replaceSmallFile(spark, fs, lock, s"$me token=$token ts=${System.currentTimeMillis()}\n")
     true
   }
 
@@ -500,20 +719,8 @@ private[graft] object IndexStore {
     */
   private def breakStaleLease(
       spark: SparkSession, fs: FileSystem, lock: Path, observed: String): Boolean = {
-    val tomb = new Path(lock.getParent, LockName + ".tomb-" + java.util.UUID.randomUUID())
-    val moved =
-      if (fs.getScheme == "file") {
-        val src = java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath)
-        val dst = src.resolveSibling(tomb.getName)
-        try { java.nio.file.Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE); true }
-        catch { case _: java.io.IOException => false } // vanished — someone else broke it
-      } else
-        try {
-          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-            fs.makeQualified(lock).toUri, spark.sparkContext.hadoopConfiguration)
-          fc.rename(fs.makeQualified(lock), fs.makeQualified(tomb))
-          true
-        } catch { case _: java.io.IOException => false }
+    val tomb  = new Path(lock.getParent, LockName + ".tomb-" + java.util.UUID.randomUUID())
+    val moved = moveNoOverwrite(spark, fs, lock, tomb) // false → vanished / someone else broke it
     if (!moved) return false
     if (readLock(fs, tomb) == observed) { // still the stale stamp — break it
       try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
@@ -522,18 +729,7 @@ private[graft] object IndexStore {
       // Renewed under us — put it back (no-overwrite: a rival may have
       // already created a fresh lock, in which case the displaced
       // holder's CAS heartbeat marks it lost and its fence aborts).
-      val restored =
-        if (fs.getScheme == "file") {
-          val src = java.nio.file.Paths.get(fs.makeQualified(tomb).toUri.getPath)
-          try { java.nio.file.Files.move(src, src.resolveSibling(LockName)); true }
-          catch { case _: java.io.IOException => false }
-        } else
-          try {
-            val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-              fs.makeQualified(lock).toUri, spark.sparkContext.hadoopConfiguration)
-            fc.rename(fs.makeQualified(tomb), fs.makeQualified(lock))
-            true
-          } catch { case _: java.io.IOException => false }
+      val restored = moveNoOverwrite(spark, fs, tomb, lock)
       if (!restored) try fs.delete(tomb, false) catch { case _: java.io.IOException => () }
       false
     }
@@ -582,22 +778,13 @@ private[graft] object IndexStore {
     while (!acquired) {
       try {
         fs.mkdirs(new Path(root))
-        // The claim must be ATOMIC create-exclusive. HDFS's namenode gives
-        // that for create(overwrite = false); the LOCAL FileSystem's
-        // checksum wrapper implements it as exists-then-create — a TOCTOU
-        // hole two simultaneous acquirers both slip through (observed:
-        // interleaved committers under suite load). On file: schemes go
-        // straight to O_CREAT|O_EXCL via java.nio instead.
-        if (fs.getScheme == "file") {
-          val p = java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath)
-          java.nio.file.Files.write(p, stamp().getBytes("UTF-8"),
-            java.nio.file.StandardOpenOption.CREATE_NEW, // atomic O_EXCL
-            java.nio.file.StandardOpenOption.WRITE)
-        } else {
-          val out = fs.create(lock, /* overwrite = */ false)
-          try out.write(stamp().getBytes("UTF-8"))
-          finally out.close()
-        }
+        // The claim must be ATOMIC create-exclusive ([[createExclusive]]:
+        // O_CREAT|O_EXCL on file: — the local checksum wrapper's
+        // create(overwrite = false) is exists-then-create, a TOCTOU hole
+        // two simultaneous acquirers both slip through, observed under
+        // suite load — and create(overwrite = false) elsewhere, atomic on
+        // HDFS and strongly-consistent object stores).
+        createExclusive(fs, lock, stamp())
         acquired = true
       } catch {
         case _: java.io.IOException => // exists (or raced) — inspect holder
@@ -681,8 +868,9 @@ private[graft] object IndexStore {
     * behind are reclaimed. Crash story: a populate that dies leaves an
     * orphan staged dir the next swap deletes and rewrites; a crash after
     * the flip leaves only over-retained old generations the next swap's
-    * cleanup (or [[vacuum]]) reclaims; the pointer itself is replaced in
-    * one atomic rename, so a reader resolves the old or the new
+    * cleanup (or [[vacuum]]) reclaims; the flip itself is one atomic
+    * CREATE of a versioned pointer file ([[flipPointer]] — rename-free,
+    * object-store-safe), so a reader resolves the old or the new
     * generation, never neither, at every crash point.
     */
   def swapGeneration(
@@ -704,7 +892,14 @@ private[graft] object IndexStore {
       val staged  = new Path(root, genName)
       fs.delete(staged, true) // orphan of a killed compact
       // Stream-batch files this rewrite is about to fold carry their
-      // commit claim in their NAMES — token them before folding.
+      // commit claim in their NAMES — token them before folding. FENCE
+      // FIRST: adoption tokens batches and (for partial installs)
+      // DELETES their files, so a compactor that stalled past the stale
+      // window and lost its lease must abort HERE, before it can adopt
+      // a rival's live mid-install batch as crashed and delete the
+      // rival's files (the discard branch re-checks the lease again
+      // immediately before its destructive delete).
+      fenceOrAbort(spark, root, staged)
       adoptStreamBatchTokens(spark, root, live)
       populate(live, staged.toString)
       fenceOrAbort(spark, root, staged)
@@ -714,7 +909,7 @@ private[graft] object IndexStore {
         fs.listStatus(livePath).foreach { st =>
           val name = st.getPath.getName
           val isMeta = name.startsWith("_") && name != "_SUCCESS" &&
-            name != PointerName && name != LockName && name != BatchTokensName &&
+            !name.startsWith(PointerName) && name != LockName && name != BatchTokensName &&
             // Never carry the OLD manifest: its homes and recorded bases
             // describe the outgoing generation. The populate writes the
             // staged generation's own (or none — legacy directory reads).
@@ -778,6 +973,17 @@ private[graft] object IndexStore {
     * generation CAS analogue of [[graft.sinks.VersionedTable]]'s
     * idempotent commit claim.
     */
+  /** Is the on-disk lock token still THIS acquisition's? The cheap lease
+    * re-check behind the install fence, run standalone immediately
+    * before any destructive step taken on the lease's authority (the
+    * adoption discard branch's file deletes).
+    */
+  private def leaseStillOurs(spark: SparkSession, root: String): Boolean = {
+    val lock = new Path(root, LockName)
+    val mine = heldTokenFor(spark, root)
+    mine.nonEmpty && lockTokenOf(readLock(fsOf(spark, lock), lock)) == mine
+  }
+
   private def fenceOrAbort(spark: SparkSession, root: String, staged: Path): Unit = {
     val lock = new Path(root, LockName)
     val fs   = fsOf(spark, lock)
@@ -799,26 +1005,44 @@ private[graft] object IndexStore {
     * fresh generation + atomic flip — a REBUILD stops interrupting
     * serving the moment the index has been compacted once.
     */
-  def overwriteRoot(spark: SparkSession, root: String)(write: String => Unit): Unit = {
-    val ptr = new Path(root, PointerName)
-    if (!fsOf(spark, ptr).exists(ptr)) write(root)
+  def overwriteRoot(spark: SparkSession, root: String)(write: String => Unit): Unit =
+    if (dataDir(spark, root) == root) write(root) // flat: no pointer of either style
     else swapGeneration(spark, root, dropMeta = Set.empty, carryMeta = false)(
       (_, staged) => write(staged))
-  }
 
+  /** PUBLISH a generation — rename-free: CREATE `_graft_current.<n>`
+    * with create-exclusive semantics. The name alone is the commit
+    * (readers resolve highest-n-wins from one listing and never open
+    * the file; content is informational), so the flip is atomic on
+    * every filesystem with atomic create-exclusive — POSIX local, HDFS,
+    * strongly-consistent object stores — where the rename-based replace
+    * this supersedes was copy+delete on S3-class stores. A failed
+    * create is LOUD: under the writer lease only a fenced rival (or a
+    * replayed crashed swap) can have published this n, and installing
+    * over it would be exactly the double-install the fence prevents.
+    * After the create, older pointer files and the legacy
+    * content-bearing pointer are pruned best-effort — readers that
+    * already listed have their answer, and a crash here is repaired by
+    * the next publish's prune.
+    */
   private def flipPointer(spark: SparkSession, root: String, genName: String): Unit = {
-    val fs  = fsOf(spark, new Path(root))
-    val tmp = fs.makeQualified(new Path(root, PointerName + ".tmp"))
-    val dst = fs.makeQualified(new Path(root, PointerName))
-    val out = fs.create(tmp, true)
-    try out.write((genName + "\n").getBytes("UTF-8"))
-    finally out.close()
-    // FileContext rename with OVERWRITE is the atomic file replace of
-    // both HDFS and the local FS — a concurrent dataDir() sees the old
-    // or the new pointer, never a partial or missing one.
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      dst.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+    val rp = new Path(root)
+    val fs = fsOf(spark, rp)
+    val n  = genName.stripPrefix(GenPrefix).toInt
+    try createExclusive(fs, new Path(root, s"$PointerName.$n"), genName + "\n")
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"IndexStore: generation pointer $PointerName.$n at $root already exists or could not " +
+            "be created — another writer published this generation (this writer was fenced or is " +
+            "replaying a crashed swap); its staged work must not be installed over the rival's.", e)
+    }
+    versionedPointers(fs, rp).filter(_ < n).foreach { m =>
+      try fs.delete(new Path(root, s"$PointerName.$m"), false)
+      catch { case _: java.io.IOException => () }
+    }
+    try fs.delete(new Path(root, PointerName), false) // legacy pointer, superseded
+    catch { case _: java.io.IOException => () }
   }
 
   private def genNumber(name: String): Option[Int] =
@@ -913,7 +1137,7 @@ private[graft] object IndexStore {
           if (g < current - keepGens && oldEnough(st.getPath))
             pruneAllBut(st.getPath, refsUnder(name))
         case None =>
-          val keep = name == PointerName || name == LockName ||
+          val keep = name.startsWith(PointerName) || name == LockName ||
             name == BatchTokensName || name.endsWith(".tmp")
           if (!keep && dropLegacy) pruneAllBut(st.getPath, refsUnder(name))
       }
@@ -1019,6 +1243,23 @@ private[graft] object IndexStore {
   private val StreamBatchPrefix = "sb-"
   private val StreamBatchName = """^sb-(.+)-(\d+)-(\d+)\.parquet$""".r
 
+  /** Is this data-file name an exactly-once stream-batch install
+    * (`sb-<streamId>-<batchId>-<k>.parquet`)? Such a file is an APPEND
+    * by construction — never a compacted base ([[relStats]]' fallback) —
+    * and its (streamId, batchId) identity survives copy/restore.
+    */
+  private[graft] def isStreamBatchFile(name: String): Boolean =
+    StreamBatchName.pattern.matcher(name).matches()
+
+  /** The (streamId, batchId) identity of a stream-batch file name, if it
+    * is one — lets relations count DISTINCT BATCHES instead of files
+    * (a multi-file batch is still one append segment).
+    */
+  private[graft] def streamBatchIdOf(name: String): Option[(String, Long)] = name match {
+    case StreamBatchName(sid, bid, _) => Some((sid, bid.toLong))
+    case _                            => None
+  }
+
   /** Pending markers this thread currently holds (nested exactly-once
     * installs — a multi-relation append brackets ALL its relations under
     * one marker, and the per-relation calls must not drop it early).
@@ -1052,8 +1293,22 @@ private[graft] object IndexStore {
     val key    = fs.makeQualified(marker).toString
     if (pendingHeld.get().contains(key)) return body // nested: outermost owns it
     fs.mkdirs(marker.getParent)
+    // The marker create must SUCCEED or the install must NOT run: an
+    // unmarked install that crashes midway reads to a later compaction as
+    // token-missing + no marker = COMPLETE, gets adopted (token + HWM
+    // raised), and the retry short-circuits — the batch's un-landed
+    // remainder would be lost forever. Aborting here lets Structured
+    // Streaming retry the batch with no byte moved. (Overwrite-create, so
+    // an already-present marker from a crashed attempt is a refresh, not
+    // a failure.)
     try fs.create(marker, true).close()
-    catch { case _: java.io.IOException => () } // best-effort refresh
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"IndexStore: could not create pending marker $marker — aborting the install before " +
+            "any byte moves (an unmarked partial install would later be adopted as complete, " +
+            "silently losing the batch's remainder). Retry the batch.", e)
+    }
     pendingHeld.set(pendingHeld.get() + key)
     try {
       val r = body
@@ -1080,8 +1335,10 @@ private[graft] object IndexStore {
     * Streaming replays a batchId with identical data), deletes its own
     * leftovers, and re-lands the same names — no duplicate rows at any
     * crash point, token or no token. The per-file installs use the
-    * atomic-replace rename, so a concurrent probe reads the old or the
-    * new file, never a torn one. Compactions complete the story:
+    * atomic replace where the FS provides one and a converging
+    * copy+delete where it does not ([[installDataFile]] — on real object
+    * stores the destination object still appears atomically). Compactions
+    * complete the story:
     * [[swapGeneration]] ADOPTS any stream-named files it is about to
     * fold — creating their missing batch tokens and raising the
     * high-water-mark — so a batch whose data landed but whose token
@@ -1118,9 +1375,10 @@ private[graft] object IndexStore {
             if (f.isFile && f.getPath.getName.startsWith(pfx)) fs.delete(f.getPath, false)
           }
       }
-    // Install under deterministic names, atomic replace per file.
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.makeQualified(target).toUri, spark.sparkContext.hadoopConfiguration)
+    // Install under deterministic names — atomic replace per file where
+    // the FS gives it, converging copy+delete where it does not (see
+    // [[installDataFile]]: the sweep above removed this batch's previous
+    // attempt, so either way the retry lands exactly one copy).
     fs.listStatus(stage)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
       .foreach { pd =>
@@ -1130,8 +1388,7 @@ private[graft] object IndexStore {
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
           .map(_.getPath).sortBy(_.getName).zipWithIndex
           .foreach { case (src, k) =>
-            fc.rename(fs.makeQualified(src),
-              fs.makeQualified(new Path(dstPart, s"$pfx$k.parquet")), Options.Rename.OVERWRITE)
+            installDataFile(spark, fs, src, new Path(dstPart, s"$pfx$k.parquet"))
           }
       }
     fs.delete(stage, true)
@@ -1163,14 +1420,11 @@ private[graft] object IndexStore {
         if (f.isFile && f.getPath.getName.startsWith(pfx)) fs.delete(f.getPath, false)
       }
     fs.mkdirs(target)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.makeQualified(target).toUri, spark.sparkContext.hadoopConfiguration)
     fs.listStatus(stage)
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
       .map(_.getPath).sortBy(_.getName).zipWithIndex
       .foreach { case (src, k) =>
-        fc.rename(fs.makeQualified(src),
-          fs.makeQualified(new Path(target, s"$pfx$k.parquet")), Options.Rename.OVERWRITE)
+        installDataFile(spark, fs, src, new Path(target, s"$pfx$k.parquet"))
       }
     fs.delete(stage, true)
     }
@@ -1189,15 +1443,7 @@ private[graft] object IndexStore {
     try fs.create(new Path(ledger, s"$streamId-$batchId"), false).close()
     catch { case _: java.io.IOException => () } // already there
     val mark = readHwmMark(fs, hwm)
-    if (batchId > mark) {
-      val tmp = fs.makeQualified(new Path(ledger, s"$streamId.hwm.tmp"))
-      val out = fs.create(tmp, true)
-      try out.write(s"$batchId\n".getBytes("UTF-8"))
-      finally out.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        fs.makeQualified(hwm).toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(tmp, fs.makeQualified(hwm), Options.Rename.OVERWRITE)
-    }
+    if (batchId > mark) replaceSmallFile(spark, fs, hwm, s"$batchId\n")
   }
 
   /** ADOPT-or-DISCARD stream-batch files about to be folded by a
@@ -1247,6 +1493,17 @@ private[graft] object IndexStore {
       if (!fs.exists(token)) {
         val pending = pendingPath(root, sid, bid)
         if (fs.exists(pending)) {
+          // Re-verify the lease IMMEDIATELY before the destructive
+          // delete: a compactor that stalled between the swap-entry fence
+          // and here, lost its lease, and resumed would otherwise delete
+          // what is now a RIVAL's live mid-install batch (rival's pending
+          // marker present, token not yet written) — the rival completes
+          // and tokens, and the deleted rows are never re-landed.
+          if (!leaseStillOurs(spark, root))
+            throw new IllegalStateException(
+              s"IndexStore: writer lease on $root lost before discarding partial stream batch " +
+                s"($sid, $bid) — the marker may belong to a live rival's in-flight install; " +
+                "aborting the compaction instead of deleting its files.")
           org.apache.log4j.Logger.getLogger(getClass).warn(
             s"IndexStore: discarding PARTIAL stream batch ($sid, $bid) at $root before compaction " +
               s"(its writer crashed mid-install — pending marker present; ${files.size} partial " +

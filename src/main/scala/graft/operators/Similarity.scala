@@ -997,9 +997,10 @@ object Similarity {
           IndexStore.stagedEntries(spark, IndexStore.rootOf(live), staged, "", "cell"))
       } else {
         val root  = IndexStore.rootOf(live)
-        val stats = IndexStore.relStats(spark, live, "", "cell")
+        val man   = IndexStore.readManifest(spark, live) // parsed ONCE for stats+read+carry
+        val stats = IndexStore.relStats(spark, live, "", "cell", man)
         val multi = stats.filter(_._2.dirty).keySet
-        val rel   = IndexStore.readRel(spark, live, "", "cell")
+        val rel   = IndexStore.readRel(spark, live, "", "cell", man)
         val tsTouched = ts match {
           case Some(t) =>
             IndexStore.tombstoneTouchedParts(rel, "cell", "vec_id", t, "vec_id")
@@ -1015,7 +1016,7 @@ object Similarity {
         IndexStore.writeManifest(spark, staged,
           IndexStore.stagedEntries(spark, root, staged, "", "cell") ++
             IndexStore.carriedEntries(spark, root, live, "", "cell",
-              if (full) Nil else (stats.keySet -- dirty).toSeq.sorted))
+              if (full) Nil else (stats.keySet -- dirty).toSeq.sorted, man))
       }
     }
   }

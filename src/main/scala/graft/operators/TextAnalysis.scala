@@ -945,53 +945,45 @@ object TextAnalysis {
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
       index.docs.write.mode("overwrite").parquet(s"$dir/docs")
-      writeDocsBase(spark, dir)
       Seq(termBuckets).toDF("termBuckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/_graft_meta")
     }
   }
 
-  /** Data files currently under the unpartitioned `docs/` relation —
-    * resolved through the generation manifest (a carried `docs/` lives in
-    * a donor generation; appends land in the live one).
+  /** The WRITE-GROUP identity of a `docs/` data file — what one append
+    * batch stamps on every file it lands, however many files that is:
+    * exactly-once stream installs carry (streamId, batchId) in their
+    * names (`sb-<stream>-<batch>-<k>.parquet`); committer files carry
+    * their write JOB's UUID (`part-NNNNN-<uuid>[-cNNN]…` — one UUID per
+    * `df.write`, shared by every task of that write). Unrecognized names
+    * fall back to one group per file — the conservative direction (reads
+    * as MORE segments → compacts sooner, never later).
     */
-  private def docsFileCount(spark: org.apache.spark.sql.SparkSession, dataDir: String): Int =
-    graft.operators.IndexStore.relStatsFlat(spark, dataDir, "docs").files
-
-  /** Record `docs/`' FILE-COUNT BASELINE (`_graft_docs_base`) after a full
-    * (re)write. `docs` is unpartitioned, so its baseline file count is
-    * whatever write parallelism produced — NOT 1 — and "how many appends
-    * has this index absorbed" can only be inferred from file count
-    * relative to this recorded baseline. [[appendToBm25Index]] adds
-    * exactly one file per batch (coalesce(1) — the per-batch doc-length
-    * relation is thin), so segments = files − baseline + 1; without the
-    * baseline a fresh 200-shuffle-partition build would read as 200
-    * segments and the maintenance policy would fire a full-docs rewrite
-    * every sweep, forever.
-    */
-  private def writeDocsBase(spark: org.apache.spark.sql.SparkSession, dataDir: String): Unit = {
-    import spark.implicits._
-    Seq(docsFileCount(spark, dataDir)).toDF("files")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dataDir/_graft_docs_base")
-  }
-
-  /** `docs/`' append-segment count: files now minus the recorded baseline
-    * plus one (so a never-appended relation reads as 1 segment however
-    * parallel its build wrote). Indexes persisted before the baseline
-    * artifact existed read as 1 — the conservative direction (no spurious
-    * rewrite churn); their first compact records a baseline.
-    */
-  private[graft] def bm25DocsSegments(spark: org.apache.spark.sql.SparkSession, dataDir: String): Int = {
-    val bp = new org.apache.hadoop.fs.Path(s"$dataDir/_graft_docs_base")
-    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = docsFileCount(spark, dataDir)
-    if (files == 0) 0
-    else if (!fs.exists(bp)) 1
-    else {
-      val base = spark.read.parquet(bp.toString).select("files").head.getInt(0)
-      math.max(1, files - base + 1)
+  private val PartFileJobId = """^part-\d+-([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})""".r
+  private def docsWriteGroupOf(name: String): String =
+    graft.operators.IndexStore.streamBatchIdOf(name) match {
+      case Some((sid, bid)) => s"sb:$sid:$bid"
+      case None =>
+        PartFileJobId.findFirstMatchIn(name) match {
+          case Some(m) => "job:" + m.group(1)
+          case None    => "file:" + name
+        }
     }
-  }
+
+  /** `docs/`' append-segment count = DISTINCT WRITE GROUPS among its data
+    * files (names resolved through the generation manifest): the base
+    * build is one group however parallel it wrote, and each append batch
+    * is one more group however many SHARDS it landed — so appends no
+    * longer need `coalesce(1)` to keep this arithmetic exact, and a
+    * billion-row daily batch writes with its natural parallelism instead
+    * of through one serial task. Name-derived, so exact under
+    * copy/restore (where mtime heuristics drift) and independent of the
+    * retired `_graft_docs_base` file-count baseline (older indexes still
+    * carrying that artifact read exactly under group counting too).
+    */
+  private[graft] def bm25DocsSegments(spark: org.apache.spark.sql.SparkSession, dataDir: String): Int =
+    graft.operators.IndexStore.relFileNamesFlat(spark, dataDir, "docs")
+      .map(docsWriteGroupOf).distinct.size
 
   /** Serve BM25 from a [[persistBm25Index]] directory with PARTITION-PRUNED
     * postings/terms reads: the query batch's term buckets (distinct,
@@ -1028,10 +1020,11 @@ object TextAnalysis {
         .write.mode("append").partitionBy("bucket").parquet(s"$dd/postings")
       inc.terms.withColumn("bucket", bucket).repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(s"$dd/terms")
-      // One file per appended batch: docs is the thin (doc_id, dl)
-      // relation, and a single file keeps the maintenance sweep's
-      // segment arithmetic exact (see [[bm25DocsSegments]]).
-      inc.docs.coalesce(1).write.mode("append").parquet(s"$dd/docs")
+      // Natural write parallelism — a billion-row daily batch must not
+      // serialize through one task. Segment arithmetic stays exact: all
+      // of one append's files share a write-job UUID, and the sweep
+      // counts distinct WRITE GROUPS, not files ([[bm25DocsSegments]]).
+      inc.docs.write.mode("append").parquet(s"$dd/docs")
     }
   }
 
@@ -1071,10 +1064,13 @@ object TextAnalysis {
           spark, path, "postings", "bucket", streamId, batchId)(inc.postings.withColumn("bucket", bucket))
         graft.operators.IndexStore.appendBatchExactlyOnce(
           spark, path, "terms", "bucket", streamId, batchId)(inc.terms.withColumn("bucket", bucket))
-        // One file per batch keeps the docs segment arithmetic exact
-        // (see [[bm25DocsSegments]]).
+        // Natural write parallelism: the install stamps every shard with
+        // (streamId, batchId) (`sb-…-<k>.parquet`), and the sweep counts
+        // distinct BATCHES, not files ([[bm25DocsSegments]]) — so a
+        // billion-row daily batch lands multi-file instead of through
+        // one serial task.
         graft.operators.IndexStore.appendBatchExactlyOnceFlat(
-          spark, path, "docs", streamId, batchId)(inc.docs.coalesce(1))
+          spark, path, "docs", streamId, batchId)(inc.docs)
       }
     }
   }
@@ -1158,22 +1154,23 @@ object TextAnalysis {
       // every recount below can read the freshly-rewritten staged
       // postings of the same buckets.
       val root    = IndexStore.rootOf(live)
-      val pStats  = IndexStore.relStats(spark, live, "postings", "bucket")
-      val tStats  = IndexStore.relStats(spark, live, "terms", "bucket")
+      val man     = IndexStore.readManifest(spark, live) // parsed ONCE for all relations
+      val pStats  = IndexStore.relStats(spark, live, "postings", "bucket", man)
+      val tStats  = IndexStore.relStats(spark, live, "terms", "bucket", man)
       val tsTouched = ts match {
         case Some(t) =>
           IndexStore.tombstoneTouchedParts(
-            IndexStore.readRel(spark, live, "postings", "bucket"), "bucket", "doc_id", t, "doc_id")
+            IndexStore.readRel(spark, live, "postings", "bucket", man), "bucket", "doc_id", t, "doc_id")
         case None => Set.empty[Int]
       }
       val dirty = pStats.filter(_._2.dirty).keySet ++ tStats.filter(_._2.dirty).keySet ++ tsTouched
       val full  = !selective || pStats.isEmpty || dirty.size * 5 >= pStats.size * 4
       // 1. postings: live rows only, dirty buckets rewritten, clean carried.
       if (full)
-        minus(IndexStore.readRel(spark, live, "postings", "bucket"))
+        minus(IndexStore.readRel(spark, live, "postings", "bucket", man))
           .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/postings")
       else if (dirty.nonEmpty)
-        minus(IndexStore.readRel(spark, live, "postings", "bucket")
+        minus(IndexStore.readRel(spark, live, "postings", "bucket", man)
             .where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*)))
           .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/postings")
       // 2. terms: doc-frequencies RECOUNTED from the compacted postings of
@@ -1200,23 +1197,23 @@ object TextAnalysis {
       val docsDirty = ts.isDefined || bm25DocsSegments(spark, live) > 1
       val docsEntries =
         if (!selective || docsDirty) {
-          minus(IndexStore.readRelFlat(spark, live, "docs")).write.parquet(s"$staged/docs")
+          minus(IndexStore.readRelFlat(spark, live, "docs", man)).write.parquet(s"$staged/docs")
           IndexStore.stagedFlatEntry(spark, root, staged, "docs")
         } else
-          IndexStore.carriedFlatEntry(spark, root, live, "docs")
+          IndexStore.carriedFlatEntry(spark, root, live, "docs", man)
       // All three relations land in ONE manifest: rewritten buckets with
       // fresh recorded bases, clean buckets as references.
       val carriedParts = if (full) Nil else (pStats.keySet -- dirty).toSeq.sorted
       val carriedTerms = if (full) Nil else (tStats.keySet -- dirty).toSeq.sorted
       IndexStore.writeManifest(spark, staged,
         IndexStore.stagedEntries(spark, root, staged, "postings", "bucket") ++
-          IndexStore.carriedEntries(spark, root, live, "postings", "bucket", carriedParts) ++
+          IndexStore.carriedEntries(spark, root, live, "postings", "bucket", carriedParts, man) ++
           IndexStore.stagedEntries(spark, root, staged, "terms", "bucket") ++
-          IndexStore.carriedEntries(spark, root, live, "terms", "bucket", carriedTerms) ++
+          IndexStore.carriedEntries(spark, root, live, "terms", "bucket", carriedTerms, man) ++
           docsEntries)
-      // Either path changes (or re-establishes) docs' file count — record
-      // the new baseline so the next sweep's segment arithmetic starts at 1.
-      writeDocsBase(spark, staged)
+      // No baseline artifact to refresh: docs' segment arithmetic counts
+      // distinct WRITE GROUPS from file names ([[bm25DocsSegments]]), and
+      // a rewrite's files all share one job UUID — the next sweep reads 1.
     }
   }
 

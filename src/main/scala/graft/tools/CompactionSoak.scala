@@ -269,6 +269,50 @@ object CompactionSoak {
     }
     }
 
+    if (mode == "donors") {
+      // ---- donor fan-in bound over a LONG lifecycle ----------------------
+      // The r15 claim: N selective compacts leave clean partitions
+      // referenced across ever more donor generations (one readRel union
+      // branch each); the maxDonorGenerations policy escalates to a FULL
+      // rewrite when the fan-in crosses the bound, so probe wall and
+      // branch count stay FLAT across an arbitrarily long lifecycle
+      // instead of growing with it. Each cycle: tiny forget (the
+      // right-to-be-forgotten shape) + policy sweep (tombstone trigger
+      // fires a selective compact every cycle; donor trigger escalates
+      // at the bound).
+      import graft.operators.{CorpusPipeline, IndexStore}
+      val dir = java.nio.file.Files.createTempDirectory("cmp_donor_sig_").toString
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docs, "text", "doc_id"), dir, keyBuckets = 512)
+      def probe() = bestOf2(() =>
+        Dedup.matchVsPersistedIndex(probeDocs, "text", "doc_id", dir).count())
+      val policy = CorpusPipeline.IndexMaintenancePolicy(
+        maxTombstoneFraction = 0.0, maxDonorGenerations = 8)
+      var maxDonors = 0
+      var escalations = 0
+      (1 to cycles).foreach { c =>
+        Dedup.deleteFromPersistedIndex(
+          docs.where(col("doc_id") % 997 === (c % 997)).select("doc_id"), "doc_id", dir)
+        val audit = CorpusPipeline.maintainIndexes(spark, Seq(dir), policy)
+          .select("donor_gens", "action").head
+        val (donors, action) = (audit.getInt(0), audit.getString(1))
+        maxDonors = math.max(maxDonors, donors)
+        if (action == "compact_full") escalations += 1
+        if (c == 1 || c % 10 == 0 || action == "compact_full") {
+          val t = probe()
+          val live = IndexStore.dataDir(spark, dir)
+          val branches = IndexStore.readManifest(spark, live).getOrElse(Seq.empty)
+            .map(_.dir.takeWhile(_ != '/')).distinct.size
+          println(f"[cmpsoak] donors cycle$c%-4d donors=$donors%2d action=$action%-14s " +
+            f"branches=$branches%2d probe ${t._1}%6.2f s ${t._2}%8d matches")
+        }
+      }
+      require(maxDonors <= policy.maxDonorGenerations + 1,
+        s"donor fan-in exceeded the bound: $maxDonors (policy ${policy.maxDonorGenerations})")
+      println(f"[cmpsoak] donors: $cycles cycles, max fan-in $maxDonors " +
+        f"(bound ${policy.maxDonorGenerations}), $escalations full-rewrite escalations — flat by policy")
+    }
+
     if (mode == "all" || mode == "bytes") {
       // ---- byte-mass trigger: the count-blind massive append ------------
       // One corpus-tripling backfill lands as a SINGLE append segment per

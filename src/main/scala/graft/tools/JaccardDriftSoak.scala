@@ -112,20 +112,62 @@ object JaccardDriftSoak {
         (rows.getLong(0), rows.getLong(1), (System.nanoTime() - t0) / 1e9, riserRows(d))
       }
 
+      val candFrozen = Dedup.jaccardProbeCandidateCount(probe, "bg", "doc_id", dir)
       val (nFrozen, hFrozen, tFrozen, rFrozen) = measure(dir)
       Dedup.compactJaccardIndex(spark, dir, refresh = Dedup.RefreshMode.Always)
+      val candRef = Dedup.jaccardProbeCandidateCount(probe, "bg", "doc_id", dir)
       val (nRef, hRef, tRef, rRef) = measure(dir)
 
       val freshDir = java.nio.file.Files.createTempDirectory(s"jacdrift_fresh_x$s").toString + "/idx"
       Dedup.persistJaccardIndex(
         buildSets(n).unionByName(appendSets(n)), "bg", "doc_id", freshDir, thresholdMilli = 600)
+      val candFresh = Dedup.jaccardProbeCandidateCount(probe, "bg", "doc_id", freshDir)
       val (nFresh, hFresh, tFresh, rFresh) = measure(freshDir)
 
       require(nFrozen == nRef && nRef == nFresh && hFrozen == hRef && hRef == hFresh,
         s"result-set mismatch: frozen=($nFrozen,$hFrozen) refreshed=($nRef,$hRef) fresh=($nFresh,$hFresh)")
       println(f"[jacdrift] ${if (skew) "skew" else "unif"} x$s%-3d corpus=${2 * n}%8d drift=$drift%.3f " +
         f"riserPostings: frozen=$rFrozen refreshed=$rRef fresh=$rFresh  " +
+        f"candidates: frozen=$candFrozen refreshed=$candRef fresh=$candFresh  " +
         f"probe(200 docs): rows=$nFrozen wall: frozen=$tFrozen%.1f s refreshed=$tRef%.1f s fresh=$tFresh%.1f s")
+
+      // EXCISED serving variant (skew mode only — that is where planted
+      // boilerplate keeps absolute candidate mass high for EVERY order;
+      // the r14 ladder's residual). Same incremental construction, with
+      // build-time excision at frac 0.2: the b1-b3 boilerplate (25% of
+      // docs), the c commons, and the power-law head mids all excise;
+      // probes excise by the index's frozen hot set automatically. The
+      // refresh story above cures ORDER; this row shows the MASS collapse
+      // excision adds on top. Content is gate-pinned vs the DuckDB
+      // excised oracle (q_jaccard_serve_excised); the soak meters cost.
+      if (skew) {
+        val exDir = java.nio.file.Files.createTempDirectory(s"jacdrift_ex_x$s").toString + "/idx"
+        Dedup.persistJaccardIndex(buildSets(n), "bg", "doc_id", exDir, thresholdMilli = 600,
+          exciseBoilerplateFrac = Some(0.2))
+        Dedup.persistJaccardIndex(appendSets(n), "bg", "doc_id", exDir, thresholdMilli = 600,
+          append = true)
+        val candEx = Dedup.jaccardProbeCandidateCount(probe, "bg", "doc_id", exDir)
+        val (nEx, _, tEx, _) = measure(exDir)
+        // Excision alone removes the BOILERPLATE mass; the drifted riser
+        // mass is the refresh's territory — composed, both knobs cure
+        // their own share of the candidate bill.
+        Dedup.compactJaccardIndex(spark, exDir, refresh = Dedup.RefreshMode.Always)
+        val candExRef = Dedup.jaccardProbeCandidateCount(probe, "bg", "doc_id", exDir)
+        val (nExRef, _, tExRef, _) = measure(exDir)
+        // The bound: a fresh excised build over the union sees the risers'
+        // TRUE frequency (50% of the union > frac) and excises them too.
+        val exFresh = java.nio.file.Files.createTempDirectory(s"jacdrift_exf_x$s").toString + "/idx"
+        Dedup.persistJaccardIndex(buildSets(n).unionByName(appendSets(n)), "bg", "doc_id",
+          exFresh, thresholdMilli = 600, exciseBoilerplateFrac = Some(0.2))
+        val candExFresh = Dedup.jaccardProbeCandidateCount(probe, "bg", "doc_id", exFresh)
+        val (nExFresh, _, tExFresh, _) = measure(exFresh)
+        println(f"[jacdrift] skew x$s%-3d EXCISED(0.2): candidates: frozen=$candEx " +
+          f"(${100.0 * candEx / math.max(1L, candFrozen)}%.1f%% of plain-frozen) " +
+          f"refreshed=$candExRef (${100.0 * candExRef / math.max(1L, candFrozen)}%.1f%%) " +
+          f"freshExcised=$candExFresh (${100.0 * candExFresh / math.max(1L, candFrozen)}%.1f%%)  " +
+          f"rows: frozen=$nEx refreshed=$nExRef freshEx=$nExFresh  " +
+          f"wall: $tEx%.1f/$tExRef%.1f/$tExFresh%.1f s")
+      }
     }
     spark.stop()
   }

@@ -634,7 +634,7 @@ class IndexLifecycleSpec extends SparkSpec {
       val policy = CorpusPipeline.IndexMaintenancePolicy(ivfMaxImbalance = 2.0)
       def actions(dryRun: Boolean): Map[String, String] =
         CorpusPipeline.maintainIndexes(spark, Seq(clean, dirty, ivf), policy, dryRun = dryRun)
-          .collect().map(r => r.getString(0) -> r.getString(7)).toMap
+          .collect().map(r => r.getString(0) -> r.getAs[String]("action")).toMap
 
       val dry = actions(dryRun = true)
       dry(clean) shouldBe "none"
@@ -814,7 +814,7 @@ class IndexLifecycleSpec extends SparkSpec {
         (1 to 40).filter(_ % 3 == 0).map(_.toLong).toDF("vec_id"), "vec_id", ivfpq)
 
       val rows = CorpusPipeline.maintainIndexes(spark, Seq(jac, bm, gram, ivfpq))
-        .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(7))).toMap
+        .collect().map(r => r.getString(0) -> (r.getString(1), r.getAs[String]("action"))).toMap
       rows(jac) shouldBe (("jaccard", "compact"))
       rows(bm) shouldBe (("bm25", "compact"))
       rows(gram) shouldBe (("gram", "none"))
@@ -843,7 +843,7 @@ class IndexLifecycleSpec extends SparkSpec {
         wide.copy(docs = wide.docs.repartition(16)), bm)
       parquetFilesUnder(s"${dataDir(bm)}/docs").size should be > 4 // premise: many files
       def sweep() = CorpusPipeline.maintainIndexes(spark, Seq(bm))
-        .collect().map(r => r.getString(0) -> (r.getInt(2), r.getString(7))).toMap
+        .collect().map(r => r.getString(0) -> (r.getInt(2), r.getAs[String]("action"))).toMap
       val (segs, action) = sweep()(bm)
       segs shouldBe 1
       action shouldBe "none"
@@ -897,6 +897,79 @@ class IndexLifecycleSpec extends SparkSpec {
           CorpusPipeline.IndexMaintenancePolicy(maxAppendByteFraction = 1.0))
         .select("action").head.getString(0) shouldBe "none"
       IndexStore.currentGeneration(spark, relaxed) shouldBe 0
+    }
+
+    it("donor fan-in past maxDonorGenerations escalates to a FULL consolidating rewrite") {
+      import graft.operators.CorpusPipeline
+      // Read-amplification debt: every selective compact leaves clean
+      // partitions referenced in their donor homes, and readRel plans one
+      // union branch per donor — a long lifecycle of small purges grows
+      // the branch count without bound unless consolidation triggers.
+      val dir = tmpDir("mnt_donor_")
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(docsDf(1 to 400), "text", "doc_id"), dir)
+      (1 to 8).foreach { i =>
+        Dedup.deleteFromPersistedIndex(Seq((i * 13).toLong).toDF("doc_id"), "doc_id", dir)
+        Dedup.compactSignatureIndex(spark, dir) // selective: carries clean parts
+      }
+      def donorAudit(policy: CorpusPipeline.IndexMaintenancePolicy, dryRun: Boolean) =
+        CorpusPipeline.maintainIndexes(spark, Seq(dir), policy, dryRun = dryRun)
+          .select("donor_gens", "action").head
+      val policy = CorpusPipeline.IndexMaintenancePolicy(maxDonorGenerations = 3)
+      val before = donorAudit(policy, dryRun = true)
+      before.getInt(0) should be > 3          // fan-in accumulated across cycles
+      before.getString(1) shouldBe "compact_full"
+      // A permissive bound would not have fired — the decision is the
+      // policy's, not hardwired.
+      donorAudit(CorpusPipeline.IndexMaintenancePolicy(maxDonorGenerations = 64),
+        dryRun = true).getString(1) shouldBe "none"
+      val genBefore = IndexStore.currentGeneration(spark, dir)
+      donorAudit(policy, dryRun = false).getString(1) shouldBe "compact_full"
+      IndexStore.currentGeneration(spark, dir) shouldBe genBefore + 1
+      // Consolidated: the new manifest references no donor — every
+      // partition lives in its own generation, one scan branch again.
+      val after = donorAudit(policy, dryRun = true)
+      after.getInt(0) shouldBe 0
+      after.getString(1) shouldBe "none"
+      // Serving ≡ fresh build on the survivors.
+      val survivors = (1 to 8).map(_ * 13L)
+      val fresh = tmpDir("mnt_donor_fresh_")
+      Dedup.persistSignatureIndex(
+        Dedup.buildSignatureIndex(
+          docsDf(1 to 400).where(!col("doc_id").isin(survivors: _*)), "text", "doc_id"), fresh)
+      sortedRows(Dedup.matchVsPersistedIndex(docsDf(401 to 406), "text", "doc_id", dir)) shouldEqual
+        sortedRows(Dedup.matchVsPersistedIndex(docsDf(401 to 406), "text", "doc_id", fresh))
+    }
+
+    it("multi-shard bm25 docs appends count one segment per BATCH, not per file") {
+      import graft.operators.CorpusPipeline
+      // The docs relation appends with natural write parallelism (no
+      // coalesce(1) serializing a billion-row batch through one task);
+      // the sweep's segment arithmetic counts WRITE GROUPS from file
+      // names, so a many-file batch is still exactly one segment.
+      val bm  = tmpDir("mnt_bmshard_")
+      val idx = TextAnalysis.buildBm25Index(docsDf(1 to 60), "text", "doc_id")
+      TextAnalysis.persistBm25Index(idx.copy(docs = idx.docs.repartition(8)), bm)
+      val baseFiles = parquetFilesUnder(s"${dataDir(bm)}/docs").size
+      baseFiles should be > 4 // premise: parallel build
+      def segs() = CorpusPipeline.maintainIndexes(spark, Seq(bm), dryRun = true)
+        .select("max_segments").head.getInt(0)
+      segs() shouldBe 1
+      // One PLAIN append batch, forced multi-file.
+      val inc = TextAnalysis.buildBm25Index(docsDf(61 to 120), "text", "doc_id")
+      graft.operators.IndexStore.withWriterLease(spark, bm) {
+        inc.docs.repartition(6).write.mode("append").parquet(s"${dataDir(bm)}/docs")
+      }
+      parquetFilesUnder(s"${dataDir(bm)}/docs").size should be > (baseFiles + 1) // premise: multi-file append
+      segs() shouldBe 2
+      // One EXACTLY-ONCE stream batch, also multi-file (sb- named shards).
+      TextAnalysis.appendToBm25IndexExactlyOnce(
+        docsDf(121 to 180), "text", "doc_id", bm, "st", 5L)
+      segs() shouldBe 3
+      parquetFilesUnder(s"${dataDir(bm)}/docs")
+        .count(_.split('/').last.startsWith("sb-st-5-")) should be >= 1
+      // All three batches' doc lengths are served.
+      IndexStore.readRelFlat(spark, dataDir(bm), "docs").count() shouldBe 180L
     }
   }
 

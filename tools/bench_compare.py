@@ -40,12 +40,18 @@ def main():
     c_old, c_new = canary_of(old), canary_of(new)
     cfac = (c_new / c_old) if (c_old and c_new) else 1.0
 
+    # anchors.json carries a per-query "meta" side-table with the canary
+    # AT RECORD TIME — entries recorded in different rounds normalize by
+    # their own box condition instead of one whole-file factor.
+    meta = old.get("meta", {})
     shared = sorted(set(old["queries"]) & set(new["queries"]))
     rows = []
     for q in shared:
         o, n = old["queries"][q], new["queries"][q]
         raw = (n / o) if o > 0 else float("inf")
-        norm = raw / cfac
+        c_old_q = meta.get(q, {}).get("canary_sec") or c_old
+        cfac_q = (c_new / c_old_q) if (c_old_q and c_new) else 1.0
+        norm = raw / cfac_q
         rows.append({"query": q, "old_sec": o, "new_sec": n,
                      "raw_ratio": round(raw, 3), "norm_ratio": round(norm, 3)})
 

@@ -35,4 +35,17 @@ if [ -f "$PREV" ]; then
     --json "bench_compare_r${N}.json" || true
 fi
 
-echo "artifacts: correctness_r${N}_final.json bench_r${N}_final.json bench_compare_r${N}.json — commit them"
+# Machine-readable anchor ledger (VERDICT r14 #7): adjudicate THIS sweep
+# against the recorded quiet anchors (per-query canary normalization),
+# then fold the sweep in as the new anchors — anchors.py refuses a
+# contended sweep (canary >1.25x the ledger's reference) so a hot box
+# cannot poison the ledger.
+if [ -f anchors.json ]; then
+  echo "== Compare vs anchor ledger =="
+  python3 tools/bench_compare.py anchors.json "bench_r${N}_final.json" \
+    --json "bench_vs_anchors_r${N}.json" || true
+fi
+echo "== Anchor ledger update =="
+python3 tools/anchors.py update anchors.json "bench_r${N}_final.json" --round "r${N}" || true
+
+echo "artifacts: correctness_r${N}_final.json bench_r${N}_final.json bench_compare_r${N}.json bench_vs_anchors_r${N}.json anchors.json — commit them"
