@@ -55,9 +55,13 @@ object Bm25AppendSoak {
       val inc = graft.plans.Lineage.truncate(
         TextAnalysis.buildBm25Index(docs(1000000, n), "text", "doc_id").docs)
       val scratch = java.nio.file.Files.createTempDirectory(s"bm25app_scratch_x$s").toString
-      val (_, tSerial)   = time(inc.coalesce(1).write.parquet(s"$scratch/one"))
-      val (_, tParallel) = time(inc.write.parquet(s"$scratch/many"))
-      val shards = new java.io.File(s"$scratch/many").listFiles().count(_.getName.endsWith(".parquet"))
+      // Best-of-2 per mode, parallel first — a single pass confounds the
+      // comparison with page-cache warmup from whichever write ran first.
+      def bestWrite(tag: String, df: org.apache.spark.sql.DataFrame): Double =
+        (1 to 2).map(i => time(df.write.parquet(s"$scratch/$tag$i"))._2).min
+      val tParallel = bestWrite("many", inc)
+      val tSerial   = bestWrite("one", inc.coalesce(1))
+      val shards = new java.io.File(s"$scratch/many1").listFiles().count(_.getName.endsWith(".parquet"))
 
       // The real append (multi-file now) + the bookkeeping contract:
       // one batch = one segment, however many shards landed.
