@@ -2141,6 +2141,33 @@ object SparkEntry {
         .orderBy("doc_id", "matched_id")
     }),
 
+    // HOT-SET REFRESH flow: the frozen boilerplate set is the fourth
+    // frozen artifact, and like the dictionary it decays — boilerplate
+    // arriving AFTER the build is invisible to it. Build an excised
+    // index on the %4==0 quarter (hot set frozen there), append the
+    // %4==2 quarter (frozen-set excision only), then compact with
+    // refresh=Always: the rewrite re-evaluates hotness against the LIVE
+    // corpus under the build's frozen fraction, excises the newly-hot
+    // tokens from postings AND fullsets, and installs the updated
+    // (monotone: old ∪ new) hot set in the same atomic generation. The
+    // odd-docs probe must equal exact Jaccard over sets excised by the
+    // FULL updated hot set — the oracle replays both cutoff rounds.
+    "q_jaccard_excise_refresh" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.wordNgrams(col("text"), 3).as("bg"))
+      val tmp = graft.GateCache.dir(s"jacidx_mod4_excref:$dir") { p =>
+        Dedup.persistJaccardIndex(
+          d.where(col("doc_id") % 4 === 0), "bg", "doc_id", p, thresholdMilli = 600,
+          exciseBoilerplateFrac = Some(0.01))
+        Dedup.persistJaccardIndex(
+          d.where(col("doc_id") % 4 === 2), "bg", "doc_id", p, thresholdMilli = 600,
+          append = true)
+        Dedup.compactJaccardIndex(s, p, refresh = Dedup.RefreshMode.Always)
+      }
+      Dedup.matchVsJaccardIndex(d.where(col("doc_id") % 2 === 1), "bg", "doc_id", tmp)
+        .orderBy("doc_id", "matched_id")
+    }),
+
     // MinHash + LSH banding with exact-Jaccard verification. 4 bands × 8
     // rows targets the near-dup regime (s-curve knee ≈ 0.84): on this
     // vocabulary-dense corpus shorter bands collide on the globally-minimal
@@ -5132,6 +5159,35 @@ object SparkEntry {
          |FROM o JOIN sz sa ON sa.doc_id = o.doc_id JOIN sz sb ON sb.doc_id = o.matched_id
          |WHERE inter * 1600 >= 600 * (sa.sz + sb.sz)
          |ORDER BY doc_id, matched_id""".stripMargin
+    // Hot-set refresh flow: cutoff round 1 over the %4==0 build quarter
+    // (frozen hot set), cutoff round 2 over the LIVE evens minus round 1
+    // (what the refresh compact re-evaluates); the final universe drops
+    // hot1 ∪ hot2 from both sides.
+    val jaccardExciseRefreshOracleSql =
+      s"""WITH w AS (SELECT doc_id, ${tokensSql("text")} AS tk FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_distinct(
+         |        [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk) - 1)])) AS tok FROM w),
+         |q0 AS (SELECT * FROM bg WHERE doc_id % 4 = 0),
+         |n1 AS (SELECT count(DISTINCT doc_id) AS n FROM q0),
+         |hot1 AS (SELECT tok FROM q0 GROUP BY tok
+         |         HAVING count(*) > greatest(1, CAST(floor(0.01 * (SELECT n FROM n1)) AS BIGINT))),
+         |ev AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+         |evx AS (SELECT ev.doc_id, ev.tok FROM ev ANTI JOIN hot1 USING (tok)),
+         |n2 AS (SELECT count(DISTINCT doc_id) AS n FROM evx),
+         |hot2 AS (SELECT tok FROM evx GROUP BY tok
+         |         HAVING count(*) > greatest(1, CAST(floor(0.01 * (SELECT n FROM n2)) AS BIGINT))),
+         |hot AS (SELECT tok FROM hot1 UNION SELECT tok FROM hot2),
+         |bgx AS (SELECT bg.doc_id, bg.tok FROM bg ANTI JOIN hot USING (tok)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM bgx GROUP BY 1),
+         |o AS (SELECT p.doc_id AS doc_id, x.doc_id AS matched_id, count(*) AS inter
+         |      FROM bgx p JOIN bgx x ON p.tok = x.tok
+         |      WHERE p.doc_id % 2 = 1 AND x.doc_id % 2 = 0 GROUP BY 1, 2)
+         |SELECT o.doc_id AS doc_id, o.matched_id AS matched_id, CAST(inter AS BIGINT) AS inter,
+         |  CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+         |  CAST((1000 * inter) // (sa.sz + sb.sz - inter) AS BIGINT) AS jaccard_milli
+         |FROM o JOIN sz sa ON sa.doc_id = o.doc_id JOIN sz sb ON sb.doc_id = o.matched_id
+         |WHERE inter * 1600 >= 600 * (sa.sz + sb.sz)
+         |ORDER BY doc_id, matched_id""".stripMargin
     val bm25OracleSql =
       s"""WITH $bm25Ctes
          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rnk AS BIGINT) AS rnk,
@@ -5213,6 +5269,7 @@ object SparkEntry {
       // prefix index's two pruned reads must not lose a pair.
       "q_jaccard_serve" -> jaccardServeOracleSql,
       "q_jaccard_serve_excised" -> jaccardServeExcisedOracleSql,
+      "q_jaccard_excise_refresh" -> jaccardExciseRefreshOracleSql,
       // Streamed serving against the frozen index must equal the batch
       // probe row-for-row (frozen element order makes verdicts
       // micro-batch invariant).

@@ -1552,28 +1552,57 @@ object Dedup {
           IndexStore.carriedEntries(spark, root, live, rel, partCol,
             if (full) Nil else (stats.keySet -- dirty).toSeq.sorted, man)
       }
+      val fracOpt = readExciseFracAt(spark, live)
       val doRefresh = refresh match {
         case RefreshMode.Never  => false
         case RefreshMode.Always => true
         case RefreshMode.Auto(maxDrift) =>
+          // Two frozen artifacts, one trigger: the (dfreq, tok) ORDER
+          // (dictionary drift) and — for excised indexes — the hot SET
+          // (mass in tokens that crossed the cutoff since the build).
+          // Either decaying past the threshold fires the refresh; the
+          // fired rewrite cures both in the same pass.
           val drift = jaccardDictDriftAt(spark, live)
-          val fire  = drift > maxDrift
+          val hotD  = if (fracOpt.isDefined) jaccardHotDriftAt(spark, live) else 0.0
+          val fire  = drift > maxDrift || hotD > maxDrift
           org.slf4j.LoggerFactory.getLogger(getClass).info(
-            s"compactJaccardIndex($path): dictionary drift ${f"$drift%.3f"} vs threshold $maxDrift — " +
-              (if (fire) "REFRESHING dictionary (full prefix re-derivation)" else "carrying frozen order"))
+            s"compactJaccardIndex($path): dictionary drift ${f"$drift%.3f"}, hot-set drift " +
+              f"$hotD%.3f vs threshold $maxDrift — " +
+              (if (fire) "REFRESHING (full prefix re-derivation)" else "carrying frozen order"))
           fire
       }
-      val postingsEntries =
+      val (postingsEntries, refreshedFullsets) =
         if (doRefresh) {
           // Fresh frequencies from the survivors' FULL sets, prefixes
           // re-derived under the new (dfreq, tok) order — a changed order
           // moves prefix membership, so postings rewrite entirely; the
           // replacement dictionary installs in the SAME atomic generation
           // (a probe never ranks by one order against the other's
-          // postings). `fullsets` content is order-independent: its
-          // rewrite keeps the selective dirty-partition cost model.
-          val liveToks = Lineage.truncate(
+          // postings).
+          val liveToks0 = Lineage.truncate(
             minus(IndexStore.readRel(spark, live, "fullsets", "dbucket", man)).select("doc_id", "tok"))
+          // Excised index: re-evaluate HOTNESS against the live corpus
+          // under the build's frozen fraction — boilerplate that arrived
+          // after the build excises now, riding the rewrite being paid
+          // for anyway (the retrain-on-compact argument applied to the
+          // hot set). Monotone: the updated frozen set is old ∪ new.
+          val newHot = fracOpt.flatMap { frac =>
+            val n = liveToks0.select("doc_id").distinct().count()
+            if (n == 0L) None
+            else {
+              val cutoff = math.max(1L, math.floor(frac * n).toLong)
+              val h = Lineage.truncate(
+                liveToks0.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+                  .where(col("dfreq") > cutoff).select("tok"))
+              if (h.isEmpty) None else Some(h)
+            }
+          }
+          val liveToks = newHot match {
+            case Some(h) =>
+              Lineage.truncate(liveToks0.join(
+                org.apache.spark.sql.functions.broadcast(h), Seq("tok"), "left_anti"))
+            case None => liveToks0
+          }
           val freshDict = Lineage.truncate(
             liveToks.groupBy("tok").agg(count(lit(1)).as("dfreq")))
           jaccardPrefix(liveToks, freshDict, tmI.toLong)
@@ -1581,14 +1610,39 @@ object Dedup {
             .repartition(col("bucket"))
             .write.partitionBy("bucket").parquet(s"$staged/postings")
           freshDict.write.parquet(s"$staged/_graft_jidx_dict") // wins over meta carry
-          IndexStore.stagedEntries(spark, root, staged, "postings", "bucket")
+          val fullsetsE = newHot.map { h =>
+            // Newly-hot tokens must leave the FULL SETS too (sizes and
+            // intersections live in the shared excised universe), so
+            // the selective cost model escalates to a full fullsets
+            // rewrite and the UPDATED frozen hot set installs in the
+            // same atomic generation — a probe never excises by one set
+            // against the other's relations.
+            val oldHotP = new org.apache.hadoop.fs.Path(s"$live/_graft_jidx_hot")
+            val oldHot =
+              if (oldHotP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(oldHotP))
+                spark.read.parquet(oldHotP.toString).select("tok")
+              else h.limit(0)
+            oldHot.unionByName(h).distinct()
+              .write.parquet(s"$staged/_graft_jidx_hot") // wins over meta carry
+            liveToks
+              .withColumn("dbucket", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)).cast("int"))
+              .repartition(col("dbucket"))
+              .write.partitionBy("dbucket").parquet(s"$staged/fullsets")
+            IndexStore.stagedEntries(spark, root, staged, "fullsets", "dbucket")
+          }
+          (IndexStore.stagedEntries(spark, root, staged, "postings", "bucket"), fullsetsE)
         } else
-          rewriteRel("postings", "bucket",
+          (rewriteRel("postings", "bucket",
             IndexStore.tombstoneTouchedParts(
-              IndexStore.readRel(spark, live, "postings", "bucket", man), "bucket", "doc_id", ts.get, "doc_id"))
-      val fullsetsEntries = rewriteRel("fullsets", "dbucket",
-        ts.get.select(pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)).cast("int").as("dbucket"))
-          .distinct().collect().map(_.getInt(0)).toSet)
+              IndexStore.readRel(spark, live, "postings", "bucket", man), "bucket", "doc_id", ts.get, "doc_id")),
+            None)
+      // `fullsets` content is order-independent: without a hot-set
+      // update its rewrite keeps the selective dirty-partition cost
+      // model even when the order refreshed.
+      val fullsetsEntries = refreshedFullsets.getOrElse(
+        rewriteRel("fullsets", "dbucket",
+          ts.get.select(pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)).cast("int").as("dbucket"))
+            .distinct().collect().map(_.getInt(0)).toSet))
       IndexStore.writeManifest(spark, staged, postingsEntries ++ fullsetsEntries)
     }
 
@@ -1856,20 +1910,28 @@ object Dedup {
         else tok0
       } else exciseBoilerplateFrac match {
         case None =>
-          // A flat-root rebuild without excision must not leave a stale
-          // hot artifact from an earlier excised build steering probes.
-          val hp = new org.apache.hadoop.fs.Path(hotPath)
-          hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+          // A flat-root rebuild without excision must not leave stale
+          // excision artifacts from an earlier excised build steering
+          // probes or refresh compacts.
+          val fsX = new org.apache.hadoop.fs.Path(hotPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fsX.delete(new org.apache.hadoop.fs.Path(hotPath), true)
+          fsX.delete(new org.apache.hadoop.fs.Path(s"$dir/_graft_jidx_excise"), true)
           tok0
         case Some(frac) =>
           // Hot set is provably small (≤ avgElemsPerDoc / frac entries —
           // N cancels), so freezing it is one tiny artifact and the
-          // subtraction broadcasts.
+          // subtraction broadcasts. The FRACTION persists beside it
+          // (`_graft_jidx_excise`) so a refresh compact can re-evaluate
+          // hotness against the live corpus under the same policy
+          // ([[jaccardHotDrift]] / [[compactJaccardIndex]]).
           val n      = tok0.select("doc_id").distinct().count()
           val cutoff = math.max(1L, math.floor(frac * n).toLong)
           tok0.groupBy("tok").agg(count(lit(1)).as("dfreq"))
             .where(col("dfreq") > cutoff).select("tok")
             .write.mode("overwrite").parquet(hotPath)
+          Seq(frac).toDF("frac")
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/_graft_jidx_excise")
           minusHot(tok0)
       }
     val dict =
@@ -1985,6 +2047,66 @@ object Dedup {
     if (row.isNullAt(1) || row.getLong(1) == 0L) 0.0
     else row.getDouble(0) / row.getLong(1).toDouble
   }
+
+  /** The excision fraction an index was built with, if any
+    * (`_graft_jidx_excise`, frozen at build beside the hot set).
+    */
+  private def readExciseFracAt(
+      spark: org.apache.spark.sql.SparkSession, dd: String): Option[Double] = {
+    val p  = new org.apache.hadoop.fs.Path(s"$dd/_graft_jidx_excise")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).select("frac").head.getDouble(0))
+  }
+
+  /** How much of the live corpus's element mass sits in tokens that ARE
+    * hot under the index's own excision policy but are NOT in the
+    * frozen hot set — the drift meter for the FOURTH frozen artifact
+    * (the boilerplate hot set joins the dictionary, the IVF centroids,
+    * and the PQ codebooks in the frozen-at-build family, and like them
+    * it decays: boilerplate that arrives AFTER the build — a new
+    * site template in the daily crawl — is invisible to the frozen
+    * set, so its mass re-enters candidate generation and verification).
+    *
+    * Metric: Σ dfreq over newly-hot tokens / Σ dfreq over all live
+    * tokens, computed on the live (already-excised-at-ingest,
+    * tombstone-masked) fullsets with the SAME `max(1, ⌊frac·N⌋)`
+    * cutoff the build used (frac from `_graft_jidx_excise`, N = live
+    * doc count). Range [0, 1]; 0 for indexes without excision. Cost:
+    * one thin (doc_id, tok) scan + one aggregation — the
+    * [[jaccardDictDrift]] shape.
+    *
+    * What [[RefreshMode.Auto]] evaluates inside [[compactJaccardIndex]]
+    * alongside the dictionary drift: a fired refresh then RE-EVALUATES
+    * hotness against the live corpus and excises the newly hot tokens
+    * from postings AND fullsets in the same atomic generation
+    * (monotone — once-excised tokens stay excised; already-ingested
+    * sets cannot get them back).
+    */
+  def jaccardHotDrift(spark: org.apache.spark.sql.SparkSession, path: String): Double =
+    jaccardHotDriftAt(spark, IndexStore.dataDir(spark, path))
+
+  private def jaccardHotDriftAt(
+      spark: org.apache.spark.sql.SparkSession, dd: String): Double =
+    readExciseFracAt(spark, dd) match {
+      case None => 0.0
+      case Some(frac) =>
+        val ts = tombstonesAt(spark, dd)
+        def minus(df: DataFrame): DataFrame = ts match {
+          case Some(t) => df.join(org.apache.spark.sql.functions.broadcast(t), Seq("doc_id"), "left_anti")
+          case None    => df
+        }
+        val live = minus(IndexStore.readRel(spark, dd, "fullsets", "dbucket").select("doc_id", "tok"))
+        val n = live.select("doc_id").distinct().count()
+        if (n == 0L) return 0.0
+        val cutoff = math.max(1L, math.floor(frac * n).toLong)
+        val row = live.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+          .agg(
+            sum(when(col("dfreq") > cutoff, col("dfreq")).otherwise(lit(0L))),
+            sum(col("dfreq"))).head
+        if (row.isNullAt(1) || row.getLong(1) == 0L) 0.0
+        else (if (row.isNullAt(0)) 0L else row.getLong(0)).toDouble / row.getLong(1).toDouble
+    }
 
   /** When should a compaction REFRESH the index's frozen statistics —
     * the [[Similarity.RetrainMode]] pattern applied to the Jaccard

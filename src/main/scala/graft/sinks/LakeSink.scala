@@ -239,6 +239,16 @@ object LakeSink {
     * Row-group locality: `coalesce` (no shuffle) when shrinking file
     * count — compaction must not cost a full exchange of the table.
     *
+    * IN-PLACE directory replacement: between retire and install the
+    * table path is briefly ABSENT to concurrent readers (and on
+    * S3-class object stores the directory renames are copy+delete —
+    * slower, with a wider window). That is inherent to compacting a
+    * PLAIN parquet directory in place; when readers must never see a
+    * gap, serve through [[VersionedTable]] (manifest commits, no
+    * rename) or a generation-pointer index ([[graft.operators.IndexStore]])
+    * instead — this utility is for pipeline-internal tables whose
+    * consumers are scheduled around it.
+    *
     * `bloomFilterCols` installs parquet bloom filters on the rewrite —
     * compaction is the natural moment to add point-lookup skipping to a
     * table that accumulated bloom-less micro-batch files (id-keyed

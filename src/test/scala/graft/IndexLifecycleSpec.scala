@@ -443,6 +443,58 @@ class IndexLifecycleSpec extends SparkSpec {
       // Held: the frozen dictionary rode the generation swap untouched.
       sortedRows(spark.read.parquet(s"${dataDir(dir)}/_graft_jidx_dict")) shouldEqual dictBefore
     }
+
+    it("hot-set refresh: post-build boilerplate excises on a fired compact, artifact monotone") {
+      // The frozen hot set is the fourth frozen artifact and decays like
+      // the dictionary: boilerplate arriving AFTER the build ("nb" in
+      // every appended doc) is invisible to it. The drift meter must see
+      // the mass, the Auto compact must fire, and the rewrite must
+      // excise the newly-hot token from postings AND fullsets while
+      // installing the UPDATED (old ∪ new) hot set atomically.
+      def uset(i: Int, extra: Seq[String]) =
+        (i.toLong, Seq(s"u${i}a", s"u${i}b", s"u${i}c", s"u${i}d") ++ extra)
+      // Build: 20 docs; "hb" in 5 of them (> cutoff ⌊0.2·20⌋ = 4 → hot at build).
+      val build = (1 to 20).map(i => uset(i, if (i <= 5) Seq("hb") else Nil)).toDF("doc_id", "bg")
+      val dir = tmpDir("jac_hotref_")
+      Dedup.persistJaccardIndex(build, "bg", "doc_id", dir, thresholdMilli = 600,
+        exciseBoilerplateFrac = Some(0.2))
+      sortedRows(spark.read.parquet(s"$dir/_graft_jidx_hot")) shouldEqual Seq("[hb]")
+      Dedup.jaccardHotDrift(spark, dir) shouldBe 0.0 // freshly cut — nothing newly hot
+      // Append: 40 docs ALL carrying "nb" — frozen-set excision cannot
+      // see it, so it lands in postings and fullsets.
+      val appended = (21 to 60).map(i => uset(i, Seq("nb"))).toDF("doc_id", "bg")
+      Dedup.persistJaccardIndex(appended, "bg", "doc_id", dir, thresholdMilli = 600, append = true)
+      IndexStore.readRel(spark, dataDir(dir), "fullsets", "dbucket")
+        .where(col("tok") === "nb").count() shouldBe 40L
+      val drift = Dedup.jaccardHotDrift(spark, dir)
+      drift should be > 0.1 // 40 of ~280 live element occurrences
+      // Auto fires on HOT drift (order drift alone is below threshold here).
+      Dedup.compactJaccardIndex(spark, dir, refresh = Dedup.RefreshMode.Auto(0.05))
+      val dd = dataDir(dir)
+      // Updated artifact is MONOTONE: build-era hb survives, nb joins it.
+      sortedRows(spark.read.parquet(s"$dd/_graft_jidx_hot")) shouldEqual Seq("[hb]", "[nb]")
+      // The newly-hot token left BOTH relations and the dictionary.
+      IndexStore.readRel(spark, dd, "fullsets", "dbucket")
+        .where(col("tok") === "nb").count() shouldBe 0L
+      IndexStore.readRel(spark, dd, "postings", "bucket")
+        .where(col("tok") === "nb").count() shouldBe 0L
+      spark.read.parquet(s"$dd/_graft_jidx_dict")
+        .where(col("tok") === "nb").count() shouldBe 0L
+      Dedup.jaccardHotDrift(spark, dir) shouldBe 0.0 // cured
+      // Serving: a twin probe matches on real content (4/4 shared toks →
+      // jaccard 1000 in the excised universe); a boilerplate-only probe
+      // matches nothing.
+      val probes = Seq(
+        (100L, Seq("u7a", "u7b", "u7c", "u7d", "nb")),
+        (101L, Seq("x1", "x2", "x3", "x4", "nb"))).toDF("doc_id", "bg")
+      val m = Dedup.matchVsJaccardIndex(probes, "bg", "doc_id", dir)
+        .select("doc_id", "matched_id", "jaccard_milli").collect().map(_.toString).sorted
+      m shouldEqual Seq("[100,7,1000]")
+      // Control: a non-excised index meters 0 and Auto cannot fire on hotness.
+      val plain = tmpDir("jac_hotref_plain_")
+      Dedup.persistJaccardIndex(build, "bg", "doc_id", plain, thresholdMilli = 600)
+      Dedup.jaccardHotDrift(spark, plain) shouldBe 0.0
+    }
   }
 
   describe("bm25-index compaction") {

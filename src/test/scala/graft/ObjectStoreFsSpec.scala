@@ -141,6 +141,43 @@ class ObjectStoreFsSpec extends SparkSpec {
       sortedRows(Dedup.matchVsPersistedIndex(docsDf(231 to 240), "text", "doc_id", fresh2))
   }
 
+  it("pointer resolution: versioned beats legacy, highest n wins, next publish prunes") {
+    // Crash-window pins for the rename-free publish: a crash between
+    // creating _graft_current.<n> and pruning leaves BOTH the legacy
+    // content pointer and/or older versioned pointers on disk — readers
+    // must resolve the highest versioned pointer, and the next publish
+    // must repair the leftovers.
+    val dir = java.nio.file.Files.createTempDirectory("ptrres_").toString
+    Dedup.persistSignatureIndex(
+      Dedup.buildSignatureIndex(docsDf(1 to 40), "text", "doc_id"), dir)
+    Dedup.deleteFromPersistedIndex(Seq(3L).toDF("doc_id"), "doc_id", dir)
+    Dedup.compactSignatureIndex(spark, dir) // publishes _graft_current.1
+    IndexStore.currentGeneration(spark, dir) shouldBe 1
+
+    // Plant the crash leftovers: a STALE legacy pointer naming gen 1 and
+    // a stale lower versioned pointer — then publish gen 2.
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val legacy = new org.apache.hadoop.fs.Path(dir, "_graft_current")
+    val out = fs.create(legacy, true)
+    out.write("_gen-00001\n".getBytes("UTF-8")); out.close()
+    IndexStore.currentGeneration(spark, dir) shouldBe 1 // versioned .1 still wins
+
+    Dedup.deleteFromPersistedIndex(Seq(5L).toDF("doc_id"), "doc_id", dir)
+    Dedup.compactSignatureIndex(spark, dir) // publishes .2, prunes .1 + legacy
+    IndexStore.currentGeneration(spark, dir) shouldBe 2
+    filesUnder(dir) should contain("_graft_current.2")
+    filesUnder(dir) should not contain "_graft_current.1"
+    filesUnder(dir) should not contain "_graft_current"
+
+    // A leftover HIGHER versioned pointer from a fenced rival can never
+    // exist (create-exclusive + fence), but a lower one must lose: plant
+    // .1 again and confirm resolution is still gen 2.
+    IndexStore.currentGeneration(spark, dir) shouldBe 2
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_current.1"), true).close()
+    IndexStore.currentGeneration(spark, dir) shouldBe 2
+  }
+
   it("a failed pending-marker create aborts the install LOUDLY before any byte moves") {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.pendfail.impl", classOf[PendingCreateFailFileSystem].getName)
