@@ -18,6 +18,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SessionTuning.tune(spark)
 
     // JVM + codegen warmup on the smallest SF so measured times reflect
     // steady-state execution, not first-query class loading.

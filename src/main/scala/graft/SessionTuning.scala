@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-dynamic SQL-conf tuning shared by the harness mains (Bench,
+  * Verify, TimeQuery, ProfileQuery, RunGate, soaks). Everything here is
+  * scale-parameterised (env-overridable) with local-mode defaults; none
+  * of it changes what any query computes.
+  */
+object SessionTuning {
+
+  /** Apply the shared tuning to an already-built session. */
+  def tune(spark: SparkSession): Unit = {
+    // File-listing strategy for multi-directory reads. Spark launches a
+    // DISTRIBUTED LISTING JOB whenever a read resolves more than this
+    // many paths (default 32); the persisted index relations are
+    // parquet-partitioned into 32-128 bucket dirs, so with the default
+    // every cold `readRel` of a bucketed relation pays one extra
+    // scheduler round-trip just to list dirs whose listing is
+    // microseconds on local/HDFS metadata. The lifecycle gates do tens
+    // of such reads per run (probe + sweep + compact per micro-batch),
+    // so the fixed job cost dominates. At 1024 the listing stays
+    // driver-side for every index layout we write while genuinely huge
+    // directory fan-outs (beyond any bucket count here) still
+    // distribute. Production: keep proportional to what a single
+    // driver thread can list in ~a second — on S3-class stores with
+    // O(100ms) LIST latency, set SPARK_GRAFT_LIST_PARALLEL_THRESHOLD
+    // lower (e.g. 64) so wide layouts fan the listing out.
+    spark.conf.set(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold",
+      sys.env.getOrElse("SPARK_GRAFT_LIST_PARALLEL_THRESHOLD", "1024"))
+  }
+}

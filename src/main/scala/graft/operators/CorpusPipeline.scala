@@ -343,13 +343,19 @@ object CorpusPipeline {
       // is unaffected — the probe masks re-distinct).
       val tombstoneRows =
         if (!tsPath.getFileSystem(conf).exists(tsPath)) 0L
-        else spark.read.option("mergeSchema", "true").parquet(tsPath.toString).distinct().count()
-      // Parquet footer statistic — no data pages read.
+        else graft.Jobs.labeled(spark, "idx:sweep:tombstones")(
+          spark.read.option("mergeSchema", "true").parquet(tsPath.toString).distinct().count())
+      // Parquet footer statistic — no data pages read, and no Spark job
+      // either: footers record exact row counts, so the sweep's
+      // denominator comes from the same driver-side metadata walk as the
+      // other signals (a distributed count() here cost two scheduler
+      // round-trips per index per sweep — per micro-batch in the
+      // maintain-stream gates).
       val dataRows = rels.headOption.map { case (rel, partCol) =>
         val dp = new org.apache.hadoop.fs.Path(if (rel.isEmpty) live else s"$live/$rel")
         val manifested = man.exists(_.exists(_.rel == rel))
         if (manifested || dp.getFileSystem(conf).exists(dp))
-          IndexStore.readRel(spark, live, rel, partCol, man).count()
+          IndexStore.footerRowCount(spark, live, rel, partCol, man)
         else 0L
       }.getOrElse(0L)
       val imbalance =

@@ -1271,9 +1271,12 @@ object Dedup {
 
   /** Read back the [[SignatureIndexMeta]] of a persisted index. */
   def readSignatureIndexMeta(spark: org.apache.spark.sql.SparkSession, path: String): SignatureIndexMeta = {
-    val r = spark.read.parquet(metaPath(IndexStore.dataDir(spark, path)))
-      .select("n", "numHashes", "bands", "keyBuckets").head
-    SignatureIndexMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    // Driver-side single-row read (IndexStore.readTinyMetaRows): the
+    // spark.read + head form cost a schema-inference job plus a head job
+    // per call — per probe, per append, per compact.
+    val r = IndexStore.readTinyMetaRow(spark, metaPath(IndexStore.dataDir(spark, path)))
+    SignatureIndexMeta(r("n").asInstanceOf[Int], r("numHashes").asInstanceOf[Int],
+      r("bands").asInstanceOf[Int], r("keyBuckets").asInstanceOf[Int])
   }
 
   /** Persist a [[buildSignatureIndex]] frame in its banded serving form:
@@ -1385,7 +1388,11 @@ object Dedup {
   private def tombstonesAt(spark: org.apache.spark.sql.SparkSession, dataDir: String): Option[DataFrame] = {
     val p  = new org.apache.hadoop.fs.Path(tombstonePath(dataDir))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select(col("doc_id")).distinct())
+    // Explicit schema: the relation is written by deleteFromPersistedIndex
+    // as exactly one LONG column, and inference costs a footer-reading
+    // Spark job per call (probes + compacts pay it per invocation).
+    if (fs.exists(p)) Some(
+      spark.read.schema("doc_id BIGINT").parquet(p.toString).select(col("doc_id")).distinct())
     else None
   }
 
@@ -1620,7 +1627,7 @@ object Dedup {
             val oldHotP = new org.apache.hadoop.fs.Path(s"$live/_graft_jidx_hot")
             val oldHot =
               if (oldHotP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(oldHotP))
-                spark.read.parquet(oldHotP.toString).select("tok")
+                spark.read.schema("tok STRING").parquet(oldHotP.toString).select("tok")
               else h.limit(0)
             oldHot.unionByName(h).distinct()
               .write.parquet(s"$staged/_graft_jidx_hot") // wins over meta carry
@@ -1901,7 +1908,7 @@ object Dedup {
     val hotPath = s"$dir/_graft_jidx_hot"
     def minusHot(t: DataFrame): DataFrame =
       t.join(org.apache.spark.sql.functions.broadcast(
-        spark.read.parquet(hotPath).select("tok")), Seq("tok"), "left_anti")
+        spark.read.schema("tok STRING").parquet(hotPath).select("tok")), Seq("tok"), "left_anti")
     val tok =
       if (append) {
         // Excise by the FROZEN hot set (same universe as the index).
@@ -1939,7 +1946,7 @@ object Dedup {
         val m = readJaccardIndexMetaAt(spark, dir)
         require(m == (thresholdMilli, keyBuckets, docBuckets),
           s"persistJaccardIndex(append): parameters ($thresholdMilli,$keyBuckets,$docBuckets) do not match the existing index $m")
-        spark.read.parquet(s"$dir/_graft_jidx_dict")
+        spark.read.schema("tok STRING, dfreq BIGINT").parquet(s"$dir/_graft_jidx_dict")
       } else tok.groupBy("tok").agg(count(lit(1)).as("dfreq"))
     val prefix = jaccardPrefix(tok, dict, tm)
     prefix
@@ -2020,7 +2027,7 @@ object Dedup {
       case Some(t) => df.join(org.apache.spark.sql.functions.broadcast(t), Seq("doc_id"), "left_anti")
       case None    => df
     }
-    val frozen = spark.read.parquet(s"$dd/_graft_jidx_dict")
+    val frozen = spark.read.schema("tok STRING, dfreq BIGINT").parquet(s"$dd/_graft_jidx_dict")
     val fresh = minus(IndexStore.readRel(spark, dd, "fullsets", "dbucket").select("doc_id", "tok"))
       .groupBy("tok").agg(count(lit(1)).as("dfreq"))
     val mass = minus(IndexStore.readRel(spark, dd, "postings", "bucket").select("doc_id", "tok"))
@@ -2056,7 +2063,7 @@ object Dedup {
     val p  = new org.apache.hadoop.fs.Path(s"$dd/_graft_jidx_excise")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else Some(spark.read.parquet(p.toString).select("frac").head.getDouble(0))
+    else Some(IndexStore.readTinyMetaRow(spark, p.toString)("frac").asInstanceOf[Double])
   }
 
   /** How much of the live corpus's element mass sits in tokens that ARE
@@ -2141,9 +2148,9 @@ object Dedup {
   /** Meta read against an already-resolved data dir (see [[tombstonesAt]]). */
   private def readJaccardIndexMetaAt(
       spark: org.apache.spark.sql.SparkSession, dataDir: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$dataDir/_graft_jidx_meta")
-      .select("thresholdMilli", "keyBuckets", "docBuckets").head
-    (r.getInt(0), r.getInt(1), r.getInt(2))
+    val r = IndexStore.readTinyMetaRow(spark, s"$dataDir/_graft_jidx_meta")
+    (r("thresholdMilli").asInstanceOf[Int], r("keyBuckets").asInstanceOf[Int],
+      r("docBuckets").asInstanceOf[Int])
   }
 
   /** Probe a [[persistJaccardIndex]] with a new batch: every (new, indexed)
@@ -2168,7 +2175,7 @@ object Dedup {
     import spark.implicits._
     val (tmI, keyBuckets, docBuckets) = readJaccardIndexMetaAt(spark, dd)
     val tm = tmI.toLong
-    val dict = spark.read.parquet(s"$dd/_graft_jidx_dict")
+    val dict = spark.read.schema("tok STRING, dfreq BIGINT").parquet(s"$dd/_graft_jidx_dict")
     // Excise by the index's FROZEN hot set when one exists
     // ([[persistJaccardIndex]]'s exciseBoilerplateFrac): probe sets must
     // live in the same excised universe as the indexed sets — sizes,
@@ -2180,7 +2187,7 @@ object Dedup {
     val ntok = Lineage.truncate(
       if (hotP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hotP))
         ntok0.join(org.apache.spark.sql.functions.broadcast(
-          spark.read.parquet(hotP.toString).select("tok")), Seq("tok"), "left_anti")
+          spark.read.schema("tok STRING").parquet(hotP.toString).select("tok")), Seq("tok"), "left_anti")
       else ntok0)
     val nprefix = Lineage.truncate(
       ntok.withColumn("sa", count(lit(1)).over(Window.partitionBy("nid")))
@@ -2401,9 +2408,9 @@ object Dedup {
 
   private def readFingerprintIndexMeta(
       spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"${IndexStore.dataDir(spark, path)}/_graft_fp_meta")
-      .select("maxHamming", "fpBits", "keyBuckets").head
-    (r.getInt(0), r.getInt(1), r.getInt(2))
+    val r = IndexStore.readTinyMetaRow(spark, s"${IndexStore.dataDir(spark, path)}/_graft_fp_meta")
+    (r("maxHamming").asInstanceOf[Int], r("fpBits").asInstanceOf[Int],
+      r("keyBuckets").asInstanceOf[Int])
   }
 
   /** Probe a [[persistFingerprintIndex]] with a new batch: the batch's
@@ -2707,9 +2714,8 @@ object Dedup {
 
   /** Read back the [[GramIndexMeta]] of a persisted gram index. */
   def readGramIndexMeta(spark: org.apache.spark.sql.SparkSession, path: String): GramIndexMeta = {
-    val r = spark.read.parquet(gramMetaPath(IndexStore.dataDir(spark, path)))
-      .select("k", "gramBuckets").head
-    GramIndexMeta(r.getInt(0), r.getInt(1))
+    val r = IndexStore.readTinyMetaRow(spark, gramMetaPath(IndexStore.dataDir(spark, path)))
+    GramIndexMeta(r("k").asInstanceOf[Int], r("gramBuckets").asInstanceOf[Int])
   }
 
   /** Persist the corpus' DISTINCT character k-grams, parquet-partitioned

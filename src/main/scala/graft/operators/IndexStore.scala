@@ -439,12 +439,23 @@ private[graft] object IndexStore {
       spark: SparkSession, dd: String, rel: String, partCol: String,
       manifest: Option[Seq[ManifestEntry]]): DataFrame = {
     val relDir = if (rel.isEmpty) dd else new Path(dd, rel).toString
-    if (manifest.isEmpty) return spark.read.parquet(relDir)
+    if (manifest.isEmpty) return readPartitionedDirFast(spark, relDir, partCol)
     val byPart = resolvePartDirs(spark, dd, rel, partCol, manifest)
     if (byPart.isEmpty) return spark.read.parquet(relDir) // empty index: today's behavior
     val groups = byPart.values.flatten.toSeq.distinct.groupBy(_.getParent.toString)
+    // One driver-side footer read supplies every branch's schema (the
+    // exact schema inference with mergeSchema=false would compute — it
+    // too reads a single data file's footer — minus its per-branch
+    // Spark job; probes pay that job per relation per invocation).
+    val schema = footerDataSchema(spark,
+      groups.toSeq.sortBy(_._1).flatMap(_._2.sorted))
+      .map(s => org.apache.spark.sql.types.StructType(
+        s.fields :+ org.apache.spark.sql.types.StructField(
+          partCol, org.apache.spark.sql.types.IntegerType)))
     groups.toSeq.sortBy(_._1).map { case (parent, dirs) =>
-      spark.read.option("basePath", parent).parquet(dirs.map(_.toString).sorted: _*)
+      val rd = spark.read.option("basePath", parent)
+      schema.foreach(rd.schema)
+      rd.parquet(dirs.map(_.toString).sorted: _*)
     }.reduce(_ unionByName _)
   }
 
@@ -457,7 +468,77 @@ private[graft] object IndexStore {
       manifest: Option[Seq[ManifestEntry]]): DataFrame = {
     val dirs = resolveFlatDirs(spark, dd, rel, manifest)
     if (dirs.isEmpty) spark.read.parquet(new Path(dd, rel).toString)
-    else spark.read.parquet(dirs.map(_.toString): _*)
+    else {
+      val rd = spark.read
+      footerDataSchema(spark, dirs).foreach(rd.schema)
+      rd.parquet(dirs.map(_.toString): _*)
+    }
+  }
+
+  /** Read a `partCol=N`-laid-out parquet directory with its data schema
+    * resolved DRIVER-SIDE (one footer) instead of via the inference job.
+    * Byte-for-byte `spark.read.parquet(dir)` otherwise — same file set,
+    * same partition-column discovery semantics (the explicit schema
+    * types `partCol` int, which is what directory inference yields for
+    * every layout the index writers produce).
+    */
+  private def readPartitionedDirFast(
+      spark: SparkSession, dir: String, partCol: String): DataFrame = {
+    val dp = new Path(dir)
+    val fs = fsOf(spark, dp)
+    val partDirs =
+      try fs.listStatus(dp).iterator
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+        .map(_.getPath).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    footerDataSchema(spark, partDirs.sortBy(_.getName)) match {
+      case Some(s) =>
+        spark.read.schema(org.apache.spark.sql.types.StructType(
+          s.fields :+ org.apache.spark.sql.types.StructField(
+            partCol, org.apache.spark.sql.types.IntegerType)))
+          .parquet(dir)
+      case None => spark.read.parquet(dir)
+    }
+  }
+
+  /** The Spark schema of the FIRST data file under `dirs` (name order),
+    * converted from its parquet footer on the driver — the same file
+    * mergeSchema=false inference would read, without the Spark job it
+    * launches to read it. None when no data file exists yet.
+    */
+  private def footerDataSchema(
+      spark: SparkSession, dirs: Seq[Path]): Option[org.apache.spark.sql.types.StructType] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    dirs.iterator.flatMap { d =>
+      val fs = fsOf(spark, d)
+      dataFilesOf(fs, d).map(_._1).sorted.headOption.map(n => fs.makeQualified(new Path(d, n)))
+    }.take(1).toSeq.headOption.map { f =>
+      val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      val msg = try in.getFooter.getFileMetaData.getSchema finally in.close()
+      // Force nullability on every field: file-source inference does the
+      // same to inferred schemas (HadoopFsRelation), so the explicit
+      // schema must match or branch schemas could disagree.
+      val converted = new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter(spark.sessionState.conf).convert(msg)
+      org.apache.spark.sql.types.StructType(converted.fields.map(f =>
+        f.copy(nullable = true, dataType = nullableDeep(f.dataType))))
+    }
+  }
+
+  /** Recursively mark nested element/field types nullable — the shape
+    * `StructType.asNullable` (private[sql]) produces. */
+  private def nullableDeep(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(nullable = true, dataType = nullableDeep(f.dataType))))
+      case a: ArrayType => ArrayType(nullableDeep(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(nullableDeep(m.keyType), nullableDeep(m.valueType), valueContainsNull = true)
+      case other => other
+    }
   }
 
   /** Per-partition (files present, bytes present, base files recorded,
@@ -637,6 +718,119 @@ private[graft] object IndexStore {
           fs.makeQualified(relDir).toString.stripPrefix(rootQ).stripPrefix("/"),
           dataFilesOf(fs, relDir)))
     }
+  }
+
+  /** Row count of a partCol-partitioned relation from PARQUET FOOTER
+    * metadata alone — the same number `readRel(...).count()` returns
+    * (footers record exact per-row-group counts; both count raw stored
+    * rows, tombstones included), without launching a Spark job: the
+    * maintenance sweep reads this once per index per micro-batch, where
+    * a distributed count's two scheduler round-trips dwarf the handful
+    * of footer reads. Footer opens run concurrently on the driver —
+    * O(files) metadata I/O, zero data pages, the same cost class as
+    * [[relStats]]' listings.
+    */
+  def footerRowCount(
+      spark: SparkSession, dd: String, rel: String, partCol: String,
+      manifest: Option[Seq[ManifestEntry]]): Long = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs   = fsOf(spark, new Path(dd))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = resolvePartDirs(spark, dd, rel, partCol, manifest)
+      .values.flatten.toSeq.distinct
+      .flatMap(d => dataFilesOf(fs, d).map { case (n, _) => new Path(d, n) })
+    Await.result(
+      Future.sequence(files.map { f => Future {
+        val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(fs.makeQualified(f), conf))
+        try in.getRecordCount finally in.close()
+      }}),
+      Duration.Inf).sum
+  }
+
+  // ------------------------------------------------- tiny metadata relations
+
+  /** Driver-side read of a TINY metadata relation (single-digit rows of
+    * primitive columns — the `_graft_*_meta` / `_graft_pq_stats` family,
+    * written `coalesce(1)`) WITHOUT a Spark job. `spark.read.parquet +
+    * head` on such a file costs a schema-inference job plus a head job
+    * (two scheduler round-trips and two plan compilations) — and the
+    * lifecycle gates pay that per micro-batch, per probe, per compact,
+    * where it dominates the actual bytes by orders of magnitude. Reading
+    * the handful of rows with parquet-hadoop's Group API on the driver
+    * is O(one footer + one page) of local I/O, the same class of
+    * metadata walk as [[relStats]]. Returns one column→value map per
+    * row, files in name order; INT32/INT64/DOUBLE/FLOAT/BOOLEAN/BINARY
+    * (as UTF-8 String) columns only — exactly what the meta writers
+    * produce. NOT for data relations: everything here is materialized
+    * on the driver.
+    */
+  def readTinyMetaRows(spark: SparkSession, dir: String): Seq[Map[String, Any]] = {
+    import org.apache.parquet.example.data.Group
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val dp   = new Path(dir)
+    val fs   = fsOf(spark, dp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def primOf(g: Group, i: Int): Any =
+      g.getType.getType(i).asPrimitiveType.getPrimitiveTypeName match {
+        case INT32   => g.getInteger(i, 0)
+        case INT64   => g.getLong(i, 0)
+        case DOUBLE  => g.getDouble(i, 0)
+        case FLOAT   => g.getFloat(i, 0)
+        case BOOLEAN => g.getBoolean(i, 0)
+        case BINARY  => g.getString(i, 0)
+        case other   => sys.error(s"readTinyMetaRows: unsupported column type $other in $dir")
+      }
+    // A Spark-written ARRAY column: `optional group f (LIST) { repeated
+    // group list { <element> } }` (3-level), or a legacy repeated
+    // primitive (2-level). Elements come back as their primitive values.
+    def listOf(g: Group, i: Int): Seq[Any] = {
+      val inner = g.getGroup(i, 0)
+      val it    = inner.getType
+      if (it.getFieldCount != 1)
+        sys.error(s"readTinyMetaRows: unsupported group shape for ${g.getType.getType(i).getName} in $dir")
+      val n = inner.getFieldRepetitionCount(0)
+      if (it.getType(0).isPrimitive) (0 until n).map(j =>
+        it.getType(0).asPrimitiveType.getPrimitiveTypeName match {
+          case INT32   => inner.getInteger(0, j)
+          case INT64   => inner.getLong(0, j)
+          case DOUBLE  => inner.getDouble(0, j)
+          case FLOAT   => inner.getFloat(0, j)
+          case BOOLEAN => inner.getBoolean(0, j)
+          case BINARY  => inner.getString(0, j)
+          case other   => sys.error(s"readTinyMetaRows: unsupported element type $other in $dir")
+        })
+      else (0 until n).map(j => primOf(inner.getGroup(0, j), 0))
+    }
+    def rowOf(g: Group): Map[String, Any] = {
+      val t = g.getType
+      (0 until t.getFieldCount).flatMap { i =>
+        val f = t.getType(i)
+        if (g.getFieldRepetitionCount(i) == 0) None
+        else if (f.isPrimitive) Some(f.getName -> primOf(g, i))
+        else Some(f.getName -> listOf(g, i))
+      }.toMap
+    }
+    dataFilesOf(fs, dp).map(_._1).sorted.flatMap { name =>
+      val rdr = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), new Path(dp, name))
+        .withConf(conf)
+        .build()
+      try Iterator.continually(rdr.read()).takeWhile(_ != null).map(rowOf).toList
+      finally rdr.close()
+    }
+  }
+
+  /** [[readTinyMetaRows]]' single-row form — the shape of every index
+    * meta file. Fails loudly on an empty relation (a meta that vanished
+    * is corruption, not a default).
+    */
+  def readTinyMetaRow(spark: SparkSession, dir: String): Map[String, Any] = {
+    val rows = readTinyMetaRows(spark, dir)
+    require(rows.nonEmpty, s"readTinyMetaRow: no rows under $dir")
+    rows.head
   }
 
   // ---------------------------------------------------------------- lease
@@ -901,7 +1095,7 @@ private[graft] object IndexStore {
       // immediately before its destructive delete).
       fenceOrAbort(spark, root, staged)
       adoptStreamBatchTokens(spark, root, live)
-      populate(live, staged.toString)
+      graft.Jobs.labeled(spark, s"idx:compact:${rp.getName}")(populate(live, staged.toString))
       fenceOrAbort(spark, root, staged)
       if (!fs.exists(staged)) fs.mkdirs(staged) // empty index is a legal state
       if (carryMeta) {
@@ -1356,7 +1550,7 @@ private[graft] object IndexStore {
       partCol: String,
       streamId: String,
       batchId: Long
-  )(df: DataFrame): Unit = withWriterLease(spark, root) {
+  )(df: DataFrame): Unit = graft.Jobs.labeled(spark, s"idx:append:$rel") { withWriterLease(spark, root) {
     require(!streamId.exists(c => c == '/' || c == '\\'), s"streamId must be path-safe: $streamId")
     withPendingBatch(spark, root, streamId, batchId) {
     val dd     = dataDir(spark, root)
@@ -1393,7 +1587,7 @@ private[graft] object IndexStore {
       }
     fs.delete(stage, true)
     }
-  }
+  } }
 
   /** [[appendBatchExactlyOnce]] for an UNPARTITIONED relation (BM25
     * `docs/`): same staged-write → sweep-own-leftovers → deterministic-
@@ -1405,7 +1599,7 @@ private[graft] object IndexStore {
       rel: String,
       streamId: String,
       batchId: Long
-  )(df: DataFrame): Unit = withWriterLease(spark, root) {
+  )(df: DataFrame): Unit = graft.Jobs.labeled(spark, s"idx:append-flat:$rel") { withWriterLease(spark, root) {
     require(!streamId.exists(c => c == '/' || c == '\\'), s"streamId must be path-safe: $streamId")
     withPendingBatch(spark, root, streamId, batchId) {
     val dd     = dataDir(spark, root)
@@ -1428,7 +1622,7 @@ private[graft] object IndexStore {
       }
     fs.delete(stage, true)
     }
-  }
+  } }
 
   /** Create the (streamId, batchId) token and raise the stream's
     * high-water-mark — shared by [[withBatchToken]]'s commit path and

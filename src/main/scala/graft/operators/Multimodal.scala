@@ -1224,7 +1224,9 @@ object Multimodal {
         expr(s"CAST(`$idCol` AS BIGINT) div $samplesPerShard").as("shard"),
         col(idCol).cast("long").as("id"),
         col(imageCol), col(captionCol).cast("string"), col(metaCol).cast("string"))
-      .repartition(col("shard"))
+      // Explicit count: exempt from AQE coalescing — a small export would
+      // otherwise coalesce to one task that writes every tar serially.
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("shard"))
       .sortWithinPartitions("shard", "id")
       .as[(Long, Long, Array[Byte], String, String)]
       .mapPartitions { rows =>

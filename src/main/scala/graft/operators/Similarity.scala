@@ -570,13 +570,14 @@ object Similarity {
     * selections bit-for-bit (spec-pinned).
     */
   def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] = {
-    import spark.implicits._
-    spark.read.parquet(path)
-      .orderBy("cell")
-      .select("centroid")
-      .as[Seq[Double]]
-      .collect()
-      .map(_.toArray)
+    // Driver-side read (IndexStore.readTinyMetaRows): the artifact is one
+    // coalesce(1) file of nlist rows, but probe paths load it per
+    // invocation and the spark.read + collect form cost a
+    // schema-inference job plus a collect job each time.
+    graft.operators.IndexStore.readTinyMetaRows(spark, path)
+      .sortBy(_("cell").asInstanceOf[Long])
+      .map(_("centroid").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double]).toArray)
+      .toArray
   }
 
   /** Persist the full ANN SERVING index: the corpus assigned to its IVF
@@ -1326,14 +1327,14 @@ object Similarity {
 
   /** Inverse of [[savePqModel]]. */
   def loadPqModel(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
-    import spark.implicits._
-    val rows = spark.read.parquet(path)
-      .orderBy("sub", "code")
-      .select("sub", "code", "centroid")
-      .as[(Int, Int, Seq[Float])]
-      .collect()
+    // Driver-side read — see [[loadCentroids]]; same per-invocation
+    // two-job cost this removes, same bytes-scale artifact.
+    val rows = graft.operators.IndexStore.readTinyMetaRows(spark, path)
+      .map(r => (r("sub").asInstanceOf[Int], r("code").asInstanceOf[Int],
+        r("centroid").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Float])))
+      .sortBy(r => (r._1, r._2))
     val m     = rows.map(_._1).max + 1
-    val books = Array.tabulate(m)(sub => rows.filter(_._1 == sub).sortBy(_._2).map(_._3.toArray))
+    val books = Array.tabulate(m)(sub => rows.filter(_._1 == sub).sortBy(_._2).map(_._3.toArray).toArray)
     PqModel(m * books.head.head.length, m, books.head.length, books)
   }
 
@@ -1387,8 +1388,8 @@ object Similarity {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val r = spark.read.parquet(p.toString).select("mqe", "sampled").head
-      Some((r.getDouble(0), r.getLong(1)))
+      val r = graft.operators.IndexStore.readTinyMetaRow(spark, p.toString)
+      Some((r("mqe").asInstanceOf[Double], r("sampled").asInstanceOf[Long]))
     }
   }
 

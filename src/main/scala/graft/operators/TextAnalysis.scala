@@ -1013,7 +1013,7 @@ object TextAnalysis {
     val spark = newDocs.sparkSession
     graft.operators.IndexStore.withWriterLease(spark, path) { // appenders serialize
       val dd = graft.operators.IndexStore.dataDir(spark, path)
-      val termBuckets = spark.read.parquet(s"$dd/_graft_meta").select("termBuckets").head.getInt(0)
+      val termBuckets = bm25TermBuckets(spark, dd)
       val inc    = buildBm25Index(newDocs, textCol, idCol)
       val bucket = pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int").as("bucket")
       inc.postings.withColumn("bucket", bucket).repartition(col("bucket"))
@@ -1057,7 +1057,7 @@ object TextAnalysis {
       // relation's completion and mask the between-relations window.
       graft.operators.IndexStore.withPendingBatch(spark, path, streamId, batchId) {
         val dd = graft.operators.IndexStore.dataDir(spark, path)
-        val termBuckets = spark.read.parquet(s"$dd/_graft_meta").select("termBuckets").head.getInt(0)
+        val termBuckets = bm25TermBuckets(spark, dd)
         val inc    = buildBm25Index(newDocs, textCol, idCol)
         val bucket = pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int").as("bucket")
         graft.operators.IndexStore.appendBatchExactlyOnce(
@@ -1074,6 +1074,16 @@ object TextAnalysis {
       }
     }
   }
+
+  /** The index's term-bucket count — a one-row meta relation, read
+    * driver-side ([[graft.operators.IndexStore.readTinyMetaRows]]: no
+    * schema-inference or head job; this runs per append batch and per
+    * probe, where two scheduler round-trips per call dominate the one
+    * int actually read).
+    */
+  private def bm25TermBuckets(spark: org.apache.spark.sql.SparkSession, dd: String): Int =
+    graft.operators.IndexStore.readTinyMetaRow(spark, s"$dd/_graft_meta")("termBuckets")
+      .asInstanceOf[Int]
 
   private def bm25TombstonePath(path: String) = s"$path/_graft_tombstones"
 
@@ -1104,7 +1114,10 @@ object TextAnalysis {
   private def bm25TombstonesAt(spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
     val p  = new org.apache.hadoop.fs.Path(bm25TombstonePath(path))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select(col("doc_id")).distinct())
+    // Explicit schema (one LONG column by construction): skips the
+    // schema-inference job probes and compacts would pay per call.
+    if (fs.exists(p)) Some(
+      spark.read.schema("doc_id BIGINT").parquet(p.toString).select(col("doc_id")).distinct())
     else None
   }
 
@@ -1173,17 +1186,24 @@ object TextAnalysis {
         minus(IndexStore.readRel(spark, live, "postings", "bucket", man)
             .where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*)))
           .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/postings")
+      // Schema of the just-written staged postings (data columns + the
+      // directory-encoded bucket) — passing it to the recount re-reads
+      // below skips their schema-inference jobs.
+      lazy val stagedPostingsSchema = org.apache.spark.sql.types.StructType(
+        minus(IndexStore.readRel(spark, live, "postings", "bucket", man)).schema
+          .filter(_.name != "bucket") :+
+          org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType))
       // 2. terms: doc-frequencies RECOUNTED from the compacted postings of
       //    the same buckets (a term's postings name all its live docs), so
       //    merge-on-read becomes identity again; clean buckets carried.
       //    The recount reads the PHYSICAL staged postings — exactly the
       //    rewritten buckets, no manifest resolution needed or wanted.
       if (full)
-        spark.read.parquet(s"$staged/postings")
+        spark.read.schema(stagedPostingsSchema).parquet(s"$staged/postings")
           .groupBy("bucket", "term").agg(count(lit(1)).as("doc_freq"))
           .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/terms")
       else if (dirty.nonEmpty)
-        spark.read.parquet(s"$staged/postings")
+        spark.read.schema(stagedPostingsSchema).parquet(s"$staged/postings")
           .where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*))
           .groupBy("bucket", "term").agg(count(lit(1)).as("doc_freq"))
           .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/terms")
@@ -1229,7 +1249,7 @@ object TextAnalysis {
   ): DataFrame = {
     import spark.implicits._
     val dd = graft.operators.IndexStore.dataDir(spark, path) // resolve once per probe
-    val termBuckets = spark.read.parquet(s"$dd/_graft_meta").select("termBuckets").head.getInt(0)
+    val termBuckets = bm25TermBuckets(spark, dd)
     val touched = queries
       .select(explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
       .select(pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int").as("bucket"))
@@ -1668,7 +1688,9 @@ object TextAnalysis {
       col(tokenCountCol).cast("long").as("cnt")
     )
     assigned
-      .repartition(col("shard"))
+      // Explicit count: exempt from AQE coalescing — small inputs would
+      // otherwise coalesce to one task and pack every shard serially.
+      .repartition(numShards, col("shard"))
       .sortWithinPartitions("shard", "id")
       .as[(Long, Long, Long)]
       .mapPartitions { rows =>

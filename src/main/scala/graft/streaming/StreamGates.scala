@@ -93,15 +93,7 @@ object StreamGates {
     }
 
     var fileNo = 0
-    def addFile(df: DataFrame): Unit = {
-      val stage = stageDir.resolve(s"stage_$fileNo")
-      df.repartition(1).write.mode("overwrite").parquet(stage.toString)
-      val listing = Files.list(stage)
-      val part =
-        try listing.toArray.map(_.asInstanceOf[Path])
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part written under $stage"))
-        finally listing.close()
+    def install(part: Path): Unit = {
       val target = watchDir.resolve(f"chunk_$fileNo%05d.parquet")
       Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
       // Distinct, increasing mtimes: the file source processes oldest
@@ -110,8 +102,38 @@ object StreamGates {
         target, java.nio.file.attribute.FileTime.fromMillis(1000000000000L + fileNo * 1000L))
       fileNo += 1
     }
-    try {
-      (0 until chunks).foreach(i => addFile(src.where(chunkIdx === i)))
+    def partOf(stage: Path): Path = {
+      val listing = Files.list(stage)
+      try listing.toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $stage"))
+      finally listing.close()
+    }
+    def addFile(df: DataFrame): Unit = {
+      val stage = stageDir.resolve(s"stage_$fileNo")
+      df.repartition(1).write.mode("overwrite").parquet(stage.toString)
+      install(partOf(stage))
+    }
+    try graft.Jobs.labeled(src.sparkSession, "stage:chunks") {
+      // ONE pass stages every data chunk: the per-chunk repartition(1)
+      // loop re-scanned the source K times (K write jobs, K plans) for
+      // the same quantile split this single partitioned write encodes in
+      // its layout — one file per __chunk value (rows hash-partition BY
+      // the chunk column), renamed into replay position below. Flush
+      // sentinels are tiny driver-built frames; they keep the per-file
+      // write.
+      val stagedAll = stageDir.resolve("all_chunks")
+      src.withColumn("__chunk", chunkIdx)
+        .repartition(col("__chunk"))
+        .write.partitionBy("__chunk").parquet(stagedAll.toString)
+      (0 until chunks).foreach { i =>
+        val cd = stagedAll.resolve(s"__chunk=$i")
+        if (Files.isDirectory(cd)) install(partOf(cd))
+        else
+          // An empty chunk (quantile ties) still needs its replay file so
+          // the batch numbering matches the per-chunk-write layout.
+          addFile(src.where(chunkIdx === i))
+      }
       flush.foreach(addFile)
     } finally rmTree(stageDir)
   }
@@ -332,8 +354,9 @@ object StreamGates {
             // previous output instead of appending a duplicate copy —
             // the sink-side half of the batchId contract the per-batch
             // body keeps for the index itself.
-            perBatch(batch, batchId).write.mode("overwrite")
-              .parquet(s"$sinkDir/batch=$batchId")
+            graft.Jobs.labeled(batch.sparkSession, s"fb:batch=$batchId")(
+              perBatch(batch, batchId).write.mode("overwrite")
+                .parquet(s"$sinkDir/batch=$batchId"))
           }
           .start()
       finally spark.conf.set("spark.sql.shuffle.partitions", priorShufflePartitions)

@@ -29,6 +29,7 @@ object ProfileQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.SessionTuning.tune(spark)
 
     val fn = graft.SparkEntry.queries(name)
     // Warmup run (codegen, classloading) — NOT profiled.
@@ -98,6 +99,20 @@ object ProfileQuery {
     val gapMs = gaps.map(_._2).sum
     println(f"[$name] wall=$wallS%.2f s rows=$n jobs=${rows.size} jobWall=${jobWallMs / 1000.0}%.2f s driverGaps=${gapMs / 1000.0}%.2f s")
     println(f"  (wall - jobWall - gaps = ${wallS - jobWallMs / 1000.0 - gapMs / 1000.0}%.2f s pre/post driver work)")
+    println("== by label (graft.Jobs.labeled) ==")
+    rows.groupBy { r =>
+        val d = r.desc.replace('\n', ' ')
+        if (d.startsWith("idx:") || d.startsWith("stage:") || d.startsWith("fb:")) d
+        else if (d.contains("runId")) "(stream-engine)"
+        else if (d.isEmpty) "(unlabeled)"
+        else d.take(40)
+      }
+      .map { case (lbl, rs) =>
+        (lbl, rs.size, rs.map(r => r.endMs - r.startMs).sum, rs.map(_.taskTimeMs).sum)
+      }
+      .toSeq.sortBy(-_._3).foreach { case (lbl, nJobs, wallMs, taskMs) =>
+        println(f"  ${lbl.take(60)}%-60s jobs=$nJobs%4d jobWall=${wallMs / 1000.0}%7.2f s taskTime=${taskMs / 1000.0}%7.2f s")
+      }
     println("== slowest jobs ==")
     rows.sortBy(r => -(r.endMs - r.startMs)).take(topN).foreach { r =>
       println(f"  job ${r.id}%4d ${(r.endMs - r.startMs) / 1000.0}%7.2f s  tasks=${r.tasks}%4d taskTime=${r.taskTimeMs / 1000.0}%7.2f s in=${r.inputB / 1e6}%8.1f MB shufR=${r.shufReadB / 1e6}%7.1f MB shufW=${r.shufWriteB / 1e6}%7.1f MB out=${r.outputB / 1e6}%7.1f MB  ${r.desc}")

@@ -21,6 +21,7 @@ object RunGate {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.SessionTuning.tune(spark)
     new java.io.File(outDir).mkdirs()
 
     names.foreach { name =>
