@@ -62,9 +62,15 @@ object Bench {
     // can truncate the (long) JSON line, and the sweep is the round's
     // primary perf artifact (BENCH_r10 lost 145 of 221 queries that way).
     val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
+    // LAST stdout line: a <500-byte summary that survives a 2 KB log-tail
+    // capture intact. At 255 queries the full line above is ~6 KB, so a
+    // tail-limited consumer saw only its truncated END and parsed nothing
+    // (r14+r15 drivers both got parsed:null). The summary carries the
+    // totals and points at the full per-query artifact on disk.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary_sec":$canary%.3f,"canary_end_sec":$canaryEnd%.3f,"n_queries":${results.size},"full_results":"${outPath.toString}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -341,10 +341,14 @@ object CorpusPipeline {
       // appends across calls, so a re-deleted id would otherwise count
       // twice and fire the tombstone-fraction trigger spuriously (serving
       // is unaffected — the probe masks re-distinct).
-      val tombstoneRows =
-        if (!tsPath.getFileSystem(conf).exists(tsPath)) 0L
-        else graft.Jobs.labeled(spark, "idx:sweep:tombstones")(
-          spark.read.option("mergeSchema", "true").parquet(tsPath.toString).distinct().count())
+      // Cheapest-correct path (guide §1/§6): one delete batch ⇒ footer
+      // count; several small batches ⇒ driver-side re-distinct; only a
+      // genuinely large multi-batch set pays a Spark job (and then with
+      // an explicit schema — the old mergeSchema=true read cost a
+      // footer-inference job PLUS the distinct-count job, per index per
+      // sweep per micro-batch).
+      val tombstoneRows = graft.Jobs.labeled(spark, "idx:sweep:tombstones")(
+        IndexStore.tombstoneDistinctCount(spark, tsPath.toString))
       // Parquet footer statistic — no data pages read, and no Spark job
       // either: footers record exact row counts, so the sweep's
       // denominator comes from the same driver-side metadata walk as the

@@ -1578,7 +1578,12 @@ object Dedup {
               (if (fire) "REFRESHING (full prefix re-derivation)" else "carrying frozen order"))
           fire
       }
-      val (postingsEntries, refreshedFullsets) =
+      // The two relations (and the refresh path's frozen artifacts) land in
+      // DISJOINT staged directories, so their rewrites overlap
+      // ([[IndexStore.inParallel]] — the enclosing swap's lease is shared
+      // with the worker threads): compact wall ≈ max(postings, fullsets)
+      // instead of their sum.
+      val (postingsEntries, fullsetsEntries) =
         if (doRefresh) {
           // Fresh frequencies from the survivors' FULL sets, prefixes
           // re-derived under the new (dfreq, tok) order — a changed order
@@ -1612,44 +1617,56 @@ object Dedup {
           }
           val freshDict = Lineage.truncate(
             liveToks.groupBy("tok").agg(count(lit(1)).as("dfreq")))
-          jaccardPrefix(liveToks, freshDict, tmI.toLong)
-            .withColumn("bucket", pmod(xxhash64(col("tok")), lit(keyBuckets.toLong)).cast("int"))
-            .repartition(col("bucket"))
-            .write.partitionBy("bucket").parquet(s"$staged/postings")
-          freshDict.write.parquet(s"$staged/_graft_jidx_dict") // wins over meta carry
-          val fullsetsE = newHot.map { h =>
-            // Newly-hot tokens must leave the FULL SETS too (sizes and
-            // intersections live in the shared excised universe), so
-            // the selective cost model escalates to a full fullsets
-            // rewrite and the UPDATED frozen hot set installs in the
-            // same atomic generation — a probe never excises by one set
-            // against the other's relations.
-            val oldHotP = new org.apache.hadoop.fs.Path(s"$live/_graft_jidx_hot")
-            val oldHot =
-              if (oldHotP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(oldHotP))
-                spark.read.schema("tok STRING").parquet(oldHotP.toString).select("tok")
-              else h.limit(0)
-            oldHot.unionByName(h).distinct()
-              .write.parquet(s"$staged/_graft_jidx_hot") // wins over meta carry
-            liveToks
-              .withColumn("dbucket", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)).cast("int"))
-              .repartition(col("dbucket"))
-              .write.partitionBy("dbucket").parquet(s"$staged/fullsets")
-            IndexStore.stagedEntries(spark, root, staged, "fullsets", "dbucket")
-          }
-          (IndexStore.stagedEntries(spark, root, staged, "postings", "bucket"), fullsetsE)
-        } else
-          (rewriteRel("postings", "bucket",
-            IndexStore.tombstoneTouchedParts(
-              IndexStore.readRel(spark, live, "postings", "bucket", man), "bucket", "doc_id", ts.get, "doc_id")),
-            None)
-      // `fullsets` content is order-independent: without a hot-set
-      // update its rewrite keeps the selective dirty-partition cost
-      // model even when the order refreshed.
-      val fullsetsEntries = refreshedFullsets.getOrElse(
-        rewriteRel("fullsets", "dbucket",
-          ts.get.select(pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)).cast("int").as("dbucket"))
-            .distinct().collect().map(_.getInt(0)).toSet))
+          // liveToks/freshDict are checkpointed above, so the two staged
+          // writes below read shared materialized inputs — independent.
+          val Seq(pE, fE) = IndexStore.inParallel(
+            () => {
+              jaccardPrefix(liveToks, freshDict, tmI.toLong)
+                .withColumn("bucket", pmod(xxhash64(col("tok")), lit(keyBuckets.toLong)).cast("int"))
+                .repartition(col("bucket"))
+                .write.partitionBy("bucket").parquet(s"$staged/postings")
+              freshDict.write.parquet(s"$staged/_graft_jidx_dict") // wins over meta carry
+              IndexStore.stagedEntries(spark, root, staged, "postings", "bucket")
+            },
+            () => newHot match {
+              case Some(h) =>
+                // Newly-hot tokens must leave the FULL SETS too (sizes and
+                // intersections live in the shared excised universe), so
+                // the selective cost model escalates to a full fullsets
+                // rewrite and the UPDATED frozen hot set installs in the
+                // same atomic generation — a probe never excises by one set
+                // against the other's relations.
+                val oldHotP = new org.apache.hadoop.fs.Path(s"$live/_graft_jidx_hot")
+                val oldHot =
+                  if (oldHotP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(oldHotP))
+                    readFrozenJaccardRel(spark, oldHotP.toString).select("tok")
+                  else h.limit(0)
+                oldHot.unionByName(h).distinct()
+                  .write.parquet(s"$staged/_graft_jidx_hot") // wins over meta carry
+                liveToks
+                  .withColumn("dbucket", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)).cast("int"))
+                  .repartition(col("dbucket"))
+                  .write.partitionBy("dbucket").parquet(s"$staged/fullsets")
+                IndexStore.stagedEntries(spark, root, staged, "fullsets", "dbucket")
+              case None =>
+                // `fullsets` content is order-independent: without a hot-set
+                // update its rewrite keeps the selective dirty-partition
+                // cost model even when the order refreshed.
+                rewriteRel("fullsets", "dbucket",
+                  ts.get.select(pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)).cast("int").as("dbucket"))
+                    .distinct().collect().map(_.getInt(0)).toSet)
+            })
+          (pE, fE)
+        } else {
+          val Seq(pE, fE) = IndexStore.inParallel(
+            () => rewriteRel("postings", "bucket",
+              IndexStore.tombstoneTouchedParts(
+                IndexStore.readRel(spark, live, "postings", "bucket", man), "bucket", "doc_id", ts.get, "doc_id")),
+            () => rewriteRel("fullsets", "dbucket",
+              ts.get.select(pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)).cast("int").as("dbucket"))
+                .distinct().collect().map(_.getInt(0)).toSet))
+          (pE, fE)
+        }
       IndexStore.writeManifest(spark, staged, postingsEntries ++ fullsetsEntries)
     }
 
@@ -1908,7 +1925,7 @@ object Dedup {
     val hotPath = s"$dir/_graft_jidx_hot"
     def minusHot(t: DataFrame): DataFrame =
       t.join(org.apache.spark.sql.functions.broadcast(
-        spark.read.schema("tok STRING").parquet(hotPath).select("tok")), Seq("tok"), "left_anti")
+        readFrozenJaccardRel(spark, hotPath).select("tok")), Seq("tok"), "left_anti")
     val tok =
       if (append) {
         // Excise by the FROZEN hot set (same universe as the index).
@@ -1946,25 +1963,32 @@ object Dedup {
         val m = readJaccardIndexMetaAt(spark, dir)
         require(m == (thresholdMilli, keyBuckets, docBuckets),
           s"persistJaccardIndex(append): parameters ($thresholdMilli,$keyBuckets,$docBuckets) do not match the existing index $m")
-        spark.read.schema("tok STRING, dfreq BIGINT").parquet(s"$dir/_graft_jidx_dict")
+        readFrozenJaccardRel(spark, s"$dir/_graft_jidx_dict")
       } else tok.groupBy("tok").agg(count(lit(1)).as("dfreq"))
-    val prefix = jaccardPrefix(tok, dict, tm)
-    prefix
-      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(keyBuckets.toLong)).cast("int"))
-      .repartition(col("bucket"))
-      .write.mode(if (append) "append" else "overwrite")
-      .partitionBy("bucket").parquet(s"$dir/postings")
-    tok
-      .withColumn("dbucket", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)).cast("int"))
-      .repartition(col("dbucket"))
-      .write.mode(if (append) "append" else "overwrite")
-      .partitionBy("dbucket").parquet(s"$dir/fullsets")
-    if (!append) {
-      dict.write.mode("overwrite").parquet(s"$dir/_graft_jidx_dict")
-      Seq((thresholdMilli, keyBuckets, docBuckets))
-        .toDF("thresholdMilli", "keyBuckets", "docBuckets")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_graft_jidx_meta")
-    }
+    val prefix = jaccardPrefix(tok, dict, tm) // checkpointed (Lineage.truncate)
+    // postings, fullsets, and (build only) dict+meta target disjoint
+    // paths and overlap ([[IndexStore.inParallel]] — appends hold the
+    // lease, which the worker threads share): the multi-relation persist's
+    // wall approaches max(relation writes) instead of their sum.
+    val writes = Seq(
+      () => prefix
+        .withColumn("bucket", pmod(xxhash64(col("tok")), lit(keyBuckets.toLong)).cast("int"))
+        .repartition(col("bucket"))
+        .write.mode(if (append) "append" else "overwrite")
+        .partitionBy("bucket").parquet(s"$dir/postings"),
+      () => tok
+        .withColumn("dbucket", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong)).cast("int"))
+        .repartition(col("dbucket"))
+        .write.mode(if (append) "append" else "overwrite")
+        .partitionBy("dbucket").parquet(s"$dir/fullsets")
+    ) ++ (if (append) Nil else Seq(
+      () => {
+        dict.write.mode("overwrite").parquet(s"$dir/_graft_jidx_dict")
+        Seq((thresholdMilli, keyBuckets, docBuckets))
+          .toDF("thresholdMilli", "keyBuckets", "docBuckets")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/_graft_jidx_meta")
+      }))
+    IndexStore.inParallel(writes: _*)
     }
     if (append)
       IndexStore.withWriterLease(spark, path)(doPersist(IndexStore.dataDir(spark, path)))
@@ -2027,10 +2051,11 @@ object Dedup {
       case Some(t) => df.join(org.apache.spark.sql.functions.broadcast(t), Seq("doc_id"), "left_anti")
       case None    => df
     }
-    val frozen = spark.read.schema("tok STRING, dfreq BIGINT").parquet(s"$dd/_graft_jidx_dict")
-    val fresh = minus(IndexStore.readRel(spark, dd, "fullsets", "dbucket").select("doc_id", "tok"))
+    val frozen = readFrozenJaccardRel(spark, s"$dd/_graft_jidx_dict")
+    val man = IndexStore.readManifest(spark, dd) // parsed ONCE for both relations
+    val fresh = minus(IndexStore.readRel(spark, dd, "fullsets", "dbucket", man).select("doc_id", "tok"))
       .groupBy("tok").agg(count(lit(1)).as("dfreq"))
-    val mass = minus(IndexStore.readRel(spark, dd, "postings", "bucket").select("doc_id", "tok"))
+    val mass = minus(IndexStore.readRel(spark, dd, "postings", "bucket", man).select("doc_id", "tok"))
       .groupBy("tok").agg(count(lit(1)).as("mass"))
     // Percentile of each token in a dict's (dfreq asc) order via the
     // distinct-dfreq CDF: pct = |entries with strictly smaller dfreq| / |vocab|.
@@ -2153,6 +2178,19 @@ object Dedup {
       r("docBuckets").asInstanceOf[Int])
   }
 
+  /** Read a small frozen Jaccard artifact (the dictionary / hot set) with
+    * its OWN footer-derived schema: `tok` is whatever element type the
+    * build's set column had (strings and long hashed shingles are both
+    * idiomatic), so a hardcoded `tok STRING` DDL would fail the read on a
+    * non-string index with a parquet conversion error. Costs one driver
+    * footer read — same no-schema-inference-job property as the DDL.
+    */
+  private def readFrozenJaccardRel(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.schema(IndexStore.footerSchemaOf(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"readFrozenJaccardRel: no data file under frozen index artifact $dir"))).parquet(dir)
+
   /** Probe a [[persistJaccardIndex]] with a new batch: every (new, indexed)
     * pair with set-Jaccard ≥ the index's threshold, exactly. Two pruned
     * reads — the batch's prefix elements select their postings partitions,
@@ -2168,14 +2206,15 @@ object Dedup {
     * soak meters exactly the pairs the serve path verifies.
     */
   private def jaccardProbeCandStage(
-      newDf: DataFrame, setCol: String, idCol: String, dd: String):
+      newDf: DataFrame, setCol: String, idCol: String, dd: String,
+      man: Option[Seq[IndexStore.ManifestEntry]]):
       (DataFrame, Option[DataFrame], Long, Int) = {
     import org.apache.spark.sql.expressions.Window
     val spark = newDf.sparkSession
     import spark.implicits._
     val (tmI, keyBuckets, docBuckets) = readJaccardIndexMetaAt(spark, dd)
     val tm = tmI.toLong
-    val dict = spark.read.schema("tok STRING, dfreq BIGINT").parquet(s"$dd/_graft_jidx_dict")
+    val dict = readFrozenJaccardRel(spark, s"$dd/_graft_jidx_dict")
     // Excise by the index's FROZEN hot set when one exists
     // ([[persistJaccardIndex]]'s exciseBoilerplateFrac): probe sets must
     // live in the same excised universe as the indexed sets — sizes,
@@ -2187,7 +2226,7 @@ object Dedup {
     val ntok = Lineage.truncate(
       if (hotP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hotP))
         ntok0.join(org.apache.spark.sql.functions.broadcast(
-          spark.read.schema("tok STRING").parquet(hotP.toString).select("tok")), Seq("tok"), "left_anti")
+          readFrozenJaccardRel(spark, hotP.toString).select("tok")), Seq("tok"), "left_anti")
       else ntok0)
     val nprefix = Lineage.truncate(
       ntok.withColumn("sa", count(lit(1)).over(Window.partitionBy("nid")))
@@ -2201,7 +2240,7 @@ object Dedup {
     val touched = nprefix.select("bucket").distinct().as[Int].collect().sorted
     if (touched.isEmpty) return (ntok, None, tm, docBuckets)
     val postings = dropTombstoned(
-      IndexStore.readRel(spark, dd, "postings", "bucket")
+      IndexStore.readRel(spark, dd, "postings", "bucket", man)
         .where(col("bucket").isin(touched.map(b => b: Any): _*))
         .select(col("bucket"), col("tok"), col("doc_id").as("oid"), col("sz").as("sb")),
       "oid", dd)
@@ -2228,7 +2267,8 @@ object Dedup {
   private[graft] def jaccardProbeCandidateCount(
       newDf: DataFrame, setCol: String, idCol: String, indexPath: String): Long = {
     val dd = IndexStore.dataDir(newDf.sparkSession, indexPath)
-    jaccardProbeCandStage(newDf, setCol, idCol, dd)._2.map(_.count()).getOrElse(0L)
+    jaccardProbeCandStage(newDf, setCol, idCol, dd,
+      IndexStore.readManifest(newDf.sparkSession, dd))._2.map(_.count()).getOrElse(0L)
   }
 
   def matchVsJaccardIndex(
@@ -2240,7 +2280,11 @@ object Dedup {
     val spark = newDf.sparkSession
     import spark.implicits._
     val dd = IndexStore.dataDir(spark, indexPath) // resolve once per probe
-    val (ntok, candOpt, tm, docBuckets) = jaccardProbeCandStage(newDf, setCol, idCol, dd)
+    // Manifest parsed ONCE for the probe's two pruned relation reads
+    // (postings here, fullsets below) — probes run per micro-batch, and
+    // the convenience-form readRel re-parsed it per relation.
+    val man = IndexStore.readManifest(spark, dd)
+    val (ntok, candOpt, tm, docBuckets) = jaccardProbeCandStage(newDf, setCol, idCol, dd, man)
     val empty = spark.emptyDataset[(Long, Long, Long, Long, Long, Long)]
       .toDF("doc_id", "matched_id", "inter", "size_a", "size_b", "jaccard_milli")
     if (candOpt.isEmpty) return empty
@@ -2249,7 +2293,7 @@ object Dedup {
       .select(pmod(xxhash64(col("oid")), lit(docBuckets.toLong)).cast("int").as("dbucket"))
       .distinct().as[Int].collect().sorted
     if (candBuckets.isEmpty) return empty
-    val fullsets = IndexStore.readRel(spark, dd, "fullsets", "dbucket")
+    val fullsets = IndexStore.readRel(spark, dd, "fullsets", "dbucket", man)
       .where(col("dbucket").isin(candBuckets.map(b => b: Any): _*))
       .select(col("doc_id").as("oid"), col("tok"))
     cand

@@ -83,6 +83,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * transitions the root to generations. The pointer stores the
   * generation's RELATIVE name so a copied index directory (fixture
   * copy-on-write, DR restore) stays self-contained.
+  *
+  * Session tuning: embedding applications should apply
+  * [[graft.SessionTuning.tune]] to their session — the bucketed
+  * relation reads here assume its file-listing threshold (otherwise
+  * every cold read of a 32–128-bucket relation pays a distributed
+  * listing job; pinned by `SessionTuningSpec`).
   */
 private[graft] object IndexStore {
 
@@ -452,6 +458,13 @@ private[graft] object IndexStore {
       .map(s => org.apache.spark.sql.types.StructType(
         s.fields :+ org.apache.spark.sql.types.StructField(
           partCol, org.apache.spark.sql.types.IntegerType)))
+    // Invariant pinned loudly: ALL donor generations share one file
+    // schema. mergeSchema=false inference resolves per BRANCH, this read
+    // path resolves ONCE globally — identical only while the invariant
+    // holds, so cross-generation drift must error here, not read a
+    // donor's missing column as silent nulls. One footer read per donor
+    // group (generations are few, driver-side, ~ms each).
+    assertUniformDonorSchema(spark, groups)
     groups.toSeq.sortBy(_._1).map { case (parent, dirs) =>
       val rd = spark.read.option("basePath", parent)
       schema.foreach(rd.schema)
@@ -498,6 +511,58 @@ private[graft] object IndexStore {
             partCol, org.apache.spark.sql.types.IntegerType)))
           .parquet(dir)
       case None => spark.read.parquet(dir)
+    }
+  }
+
+  /** Driver-side footer-derived schema of one (small, flat) parquet dir —
+    * for tiny frozen artifacts whose column types FOLLOW the caller's
+    * data (e.g. the Jaccard dictionary/hot set: `tok` is whatever the
+    * build's set-element type was — long hashed shingles are as
+    * idiomatic as strings). Callers use this instead of a hardcoded DDL
+    * string so a non-string index reads back with its own types; the
+    * no-schema-inference-job property is identical (one driver footer
+    * read). None when the dir has no data file yet.
+    */
+  def footerSchemaOf(
+      spark: SparkSession, dir: String): Option[org.apache.spark.sql.types.StructType] =
+    footerDataSchema(spark, Seq(new Path(dir)))
+
+  /** Fail loudly when donor groups (distinct parent dirs feeding one
+    * [[readRel]]) disagree on their EFFECTIVE Spark schema — the
+    * footer-derived, nullability-forced column name→type map of the
+    * FIRST data file of each group (parquet is read by NAME, so column
+    * order and required/optional repetition may legitimately differ
+    * between a fresh build and a compact rewrite; a MISSING or
+    * type-changed column is the drift that would otherwise read back as
+    * silent nulls / corrupt casts under the single global schema).
+    * No-op for a single group.
+    */
+  private def assertUniformDonorSchema(
+      spark: SparkSession, groups: Map[String, Seq[Path]]): Unit = {
+    if (groups.size <= 1) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val conv = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+    val reps = groups.toSeq.sortBy(_._1).flatMap { case (parent, dirs) =>
+      dirs.sorted.iterator.flatMap { d =>
+        val fs = fsOf(spark, d)
+        dataFilesOf(fs, d).map(_._1).sorted.headOption.map(n => fs.makeQualified(new Path(d, n)))
+      }.take(1).map(parent -> _).toSeq
+    }
+    val schemas = reps.map { case (parent, f) =>
+      val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      val msg = try in.getFooter.getFileMetaData.getSchema finally in.close()
+      val typesByName = conv.convert(msg).fields
+        .map(fl => fl.name -> nullableDeep(fl.dataType)).toMap
+      (parent, f, typesByName)
+    }
+    schemas.drop(1).foreach { case (parent, f, s) =>
+      if (s != schemas.head._3) sys.error(
+        s"readRel: donor generations disagree on file schema — $f (under $parent) has\n$s\n" +
+          s"but ${schemas.head._2} (under ${schemas.head._1}) has\n${schemas.head._3}\n" +
+          "All donor files of one relation must share one column name->type set; a staged " +
+          "generation that widens/narrows the schema must rewrite carried donors too.")
     }
   }
 
@@ -730,6 +795,60 @@ private[graft] object IndexStore {
     * O(files) metadata I/O, zero data pages, the same cost class as
     * [[relStats]]' listings.
     */
+  /** Exact DISTINCT count of a tombstone relation's single `doc_id BIGINT`
+    * column, cheapest-correct path first (guide §1/§6 — the sweep pays
+    * this per index per micro-batch, and it previously cost a
+    * mergeSchema-inference job plus a distributed distinct-count job):
+    *  - no dir / no data file: 0 — no Spark job;
+    *  - ONE data file: the footer record count. The writer contract
+    *    ([[graft.operators.Dedup.deleteFromPersistedIndex]]: per-call
+    *    `.distinct().coalesce(1)` append) makes a single file globally
+    *    distinct — no Spark job;
+    *  - several files but few total rows (footer sum ≤ 131072): the ids
+    *    are re-distincted across batches DRIVER-side via the parquet
+    *    Group API (~1 MB of longs at the bound) — no Spark job;
+    *  - else: ONE distributed distinct-count with the explicit one-column
+    *    schema (kills the former mergeSchema=true footer-reading job).
+    */
+  def tombstoneDistinctCount(spark: SparkSession, dir: String): Long = {
+    val dp = new Path(dir)
+    val fs = fsOf(spark, dp)
+    if (!fs.exists(dp)) return 0L
+    val files = dataFilesOf(fs, dp).map { case (n, _) => fs.makeQualified(new Path(dp, n)) }
+    if (files.isEmpty) return 0L
+    val conf = spark.sparkContext.hadoopConfiguration
+    def rowsOf(f: Path): Long = {
+      val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try in.getRecordCount finally in.close()
+    }
+    if (files.size == 1) return rowsOf(files.head)
+    val total = files.map(rowsOf).sum
+    if (total <= 131072L) {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      var sawNull = false
+      files.foreach { f =>
+        val rdr = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), f)
+          .withConf(conf).build()
+        try {
+          var g = rdr.read()
+          while (g != null) {
+            val pt = g.getType.getType(0)
+            require(pt.isPrimitive && pt.asPrimitiveType.getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64,
+              s"tombstoneDistinctCount: expected a single INT64 column in $f, found ${g.getType}")
+            if (g.getFieldRepetitionCount(0) == 0) sawNull = true
+            else seen.add(g.getLong(0, 0))
+            g = rdr.read()
+          }
+        } finally rdr.close()
+      }
+      seen.size.toLong + (if (sawNull) 1L else 0L)
+    } else
+      spark.read.schema("doc_id BIGINT").parquet(dir).distinct().count()
+  }
+
   def footerRowCount(
       spark: SparkSession, dd: String, rel: String, partCol: String,
       manifest: Option[Seq[ManifestEntry]]): Long = {
@@ -773,6 +892,15 @@ private[graft] object IndexStore {
     val dp   = new Path(dir)
     val fs   = fsOf(spark, dp)
     val conf = spark.sparkContext.hadoopConfiguration
+    // BINARY decodes as UTF-8 ONLY when the footer annotates it a string —
+    // an unannotated (raw bytes) column must fail loudly, not come back
+    // mojibake (ADVICE r15).
+    def utf8Checked(pt: org.apache.parquet.schema.PrimitiveType, read: => String): String =
+      pt.getLogicalTypeAnnotation match {
+        case _: org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation => read
+        case ann => sys.error(
+          s"readTinyMetaRows: BINARY column ${pt.getName} in $dir is not UTF8-annotated (was $ann)")
+      }
     def primOf(g: Group, i: Int): Any =
       g.getType.getType(i).asPrimitiveType.getPrimitiveTypeName match {
         case INT32   => g.getInteger(i, 0)
@@ -780,7 +908,7 @@ private[graft] object IndexStore {
         case DOUBLE  => g.getDouble(i, 0)
         case FLOAT   => g.getFloat(i, 0)
         case BOOLEAN => g.getBoolean(i, 0)
-        case BINARY  => g.getString(i, 0)
+        case BINARY  => utf8Checked(g.getType.getType(i).asPrimitiveType, g.getString(i, 0))
         case other   => sys.error(s"readTinyMetaRows: unsupported column type $other in $dir")
       }
     // A Spark-written ARRAY column: `optional group f (LIST) { repeated
@@ -799,7 +927,7 @@ private[graft] object IndexStore {
           case DOUBLE  => inner.getDouble(0, j)
           case FLOAT   => inner.getFloat(0, j)
           case BOOLEAN => inner.getBoolean(0, j)
-          case BINARY  => inner.getString(0, j)
+          case BINARY  => utf8Checked(it.getType(0).asPrimitiveType, inner.getString(0, j))
           case other   => sys.error(s"readTinyMetaRows: unsupported element type $other in $dir")
         })
       else (0 until n).map(j => primOf(inner.getGroup(0, j), 0))
@@ -811,7 +939,11 @@ private[graft] object IndexStore {
         if (g.getFieldRepetitionCount(i) == 0) None
         else if (f.isPrimitive) Some(f.getName -> primOf(g, i))
         else Some(f.getName -> listOf(g, i))
-      }.toMap
+      // Null-valued fields are ABSENT from the map; accessing one must
+      // name the column and the path, not throw an opaque
+      // NoSuchElementException (ADVICE r15).
+      }.toMap.withDefault(k =>
+        sys.error(s"readTinyMetaRows: column $k is null or absent in $dir"))
     }
     dataFilesOf(fs, dp).map(_._1).sorted.flatMap { name =>
       val rdr = org.apache.parquet.hadoop.ParquetReader
@@ -844,6 +976,56 @@ private[graft] object IndexStore {
     */
   private val held = new ThreadLocal[Map[String, String]] {
     override def initialValue(): Map[String, String] = Map.empty
+  }
+
+  /** Run independent write thunks CONCURRENTLY under the lease(s) THIS
+    * thread already holds, returning their results in input order.
+    *
+    * [[withWriterLease]]'s re-entrancy is thread-local, so a child
+    * thread spawned inside a lease self-deadlocks re-acquiring it (it
+    * waits on the parent's own lock file); this helper copies the
+    * parent's held-lease context into FRESH worker threads so a
+    * multi-relation populate/append overlaps its independent writes and
+    * its wall time approaches max(writes) instead of sum(writes) —
+    * guide §2.6 (a job's tail leaves executors idle; the next
+    * independent job's tasks back-fill them). Spark's job-description /
+    * scheduler-pool local properties propagate automatically
+    * (SparkContext.localProperties is an InheritableThreadLocal and the
+    * threads are created from the calling thread), so [[graft.Jobs]]
+    * labels attribute correctly.
+    *
+    * Contract: thunks must be INDEPENDENT — they may not write the same
+    * relation directory or read one another's output. Failures fail the
+    * whole call: every thunk runs to completion (no partial-state
+    * ambiguity beyond what a crash already produces at any point — the
+    * callers' staged-generation / pending-batch-marker protocols cover
+    * exactly these part-landed states), then the first error rethrows.
+    */
+  def inParallel[T](thunks: (() => T)*): Seq[T] = {
+    require(thunks.nonEmpty, "inParallel: no thunks")
+    if (thunks.size == 1) return Seq(thunks.head())
+    val ctx  = held.get()
+    val pend = pendingHeld.get()
+    val err  = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val out  = new Array[Any](thunks.size)
+    val threads = thunks.zipWithIndex.map { case (t, i) =>
+      val th = new Thread(() => {
+        held.set(ctx)        // share the parent's lease tokens (re-entrant fast path)
+        pendingHeld.set(pend) // and its pending-batch markers: a nested
+        // withPendingBatch in a worker must take the outermost-owns-it
+        // fast path, NOT delete the shared marker while a sibling
+        // relation is still installing.
+        try out(i) = t()
+        catch { case e: Throwable => err.compareAndSet(null, e) }
+        finally { held.remove(); pendingHeld.remove() }
+      }, s"graft-index-parallel-$i")
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    threads.foreach(_.join())
+    Option(err.get()).foreach(e => throw e)
+    out.toSeq.asInstanceOf[Seq[T]]
   }
 
   /** Shared daemon scheduler for lease heartbeats — renewals are one tiny
@@ -1556,7 +1738,11 @@ private[graft] object IndexStore {
     val dd     = dataDir(spark, root)
     val target = if (rel.isEmpty) new Path(dd) else new Path(dd, rel)
     val fs     = fsOf(spark, target)
-    val stage  = new Path(root, s".stage-$streamId-$batchId")
+    // Relation-qualified stage dir: one batch's THREE relation installs
+    // (e.g. BM25 postings/terms/docs) run CONCURRENTLY under the shared
+    // lease ([[inParallel]]), so the stage path must be unique per
+    // relation or the writes collide on PATH_ALREADY_EXISTS.
+    val stage  = new Path(root, s".stage-$streamId-$batchId-$rel")
     fs.delete(stage, true)
     df.repartition(org.apache.spark.sql.functions.col(partCol))
       .write.partitionBy(partCol).parquet(stage.toString)

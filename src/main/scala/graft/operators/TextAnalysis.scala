@@ -1016,15 +1016,20 @@ object TextAnalysis {
       val termBuckets = bm25TermBuckets(spark, dd)
       val inc    = buildBm25Index(newDocs, textCol, idCol)
       val bucket = pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int").as("bucket")
-      inc.postings.withColumn("bucket", bucket).repartition(col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(s"$dd/postings")
-      inc.terms.withColumn("bucket", bucket).repartition(col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(s"$dd/terms")
-      // Natural write parallelism — a billion-row daily batch must not
-      // serialize through one task. Segment arithmetic stays exact: all
-      // of one append's files share a write-job UUID, and the sweep
-      // counts distinct WRITE GROUPS, not files ([[bm25DocsSegments]]).
-      inc.docs.write.mode("append").parquet(s"$dd/docs")
+      // The three relations are independent projections of the same build —
+      // their writes overlap ([[graft.operators.IndexStore.inParallel]],
+      // lease shared with the worker threads), so the append wall
+      // approaches max(relation writes) instead of their sum.
+      graft.operators.IndexStore.inParallel(
+        () => inc.postings.withColumn("bucket", bucket).repartition(col("bucket"))
+          .write.mode("append").partitionBy("bucket").parquet(s"$dd/postings"),
+        () => inc.terms.withColumn("bucket", bucket).repartition(col("bucket"))
+          .write.mode("append").partitionBy("bucket").parquet(s"$dd/terms"),
+        // Natural write parallelism — a billion-row daily batch must not
+        // serialize through one task. Segment arithmetic stays exact: all
+        // of one append's files share a write-job UUID, and the sweep
+        // counts distinct WRITE GROUPS, not files ([[bm25DocsSegments]]).
+        () => inc.docs.write.mode("append").parquet(s"$dd/docs"))
     }
   }
 
@@ -1060,17 +1065,23 @@ object TextAnalysis {
         val termBuckets = bm25TermBuckets(spark, dd)
         val inc    = buildBm25Index(newDocs, textCol, idCol)
         val bucket = pmod(xxhash64(col("term")), lit(termBuckets.toLong)).cast("int").as("bucket")
-        graft.operators.IndexStore.appendBatchExactlyOnce(
-          spark, path, "postings", "bucket", streamId, batchId)(inc.postings.withColumn("bucket", bucket))
-        graft.operators.IndexStore.appendBatchExactlyOnce(
-          spark, path, "terms", "bucket", streamId, batchId)(inc.terms.withColumn("bucket", bucket))
-        // Natural write parallelism: the install stamps every shard with
-        // (streamId, batchId) (`sb-…-<k>.parquet`), and the sweep counts
-        // distinct BATCHES, not files ([[bm25DocsSegments]]) — so a
-        // billion-row daily batch lands multi-file instead of through
-        // one serial task.
-        graft.operators.IndexStore.appendBatchExactlyOnceFlat(
-          spark, path, "docs", streamId, batchId)(inc.docs)
+        // The three per-relation installs target DISJOINT directories and
+        // overlap ([[graft.operators.IndexStore.inParallel]] — the lease
+        // and the pending marker above already bracket them as one batch;
+        // a concurrent partial land is the same observable state as the
+        // crash-between-relations window documented above).
+        graft.operators.IndexStore.inParallel(
+          () => graft.operators.IndexStore.appendBatchExactlyOnce(
+            spark, path, "postings", "bucket", streamId, batchId)(inc.postings.withColumn("bucket", bucket)),
+          () => graft.operators.IndexStore.appendBatchExactlyOnce(
+            spark, path, "terms", "bucket", streamId, batchId)(inc.terms.withColumn("bucket", bucket)),
+          // Natural write parallelism: the install stamps every shard with
+          // (streamId, batchId) (`sb-…-<k>.parquet`), and the sweep counts
+          // distinct BATCHES, not files ([[bm25DocsSegments]]) — so a
+          // billion-row daily batch lands multi-file instead of through
+          // one serial task.
+          () => graft.operators.IndexStore.appendBatchExactlyOnceFlat(
+            spark, path, "docs", streamId, batchId)(inc.docs))
       }
     }
   }
@@ -1178,59 +1189,67 @@ object TextAnalysis {
       }
       val dirty = pStats.filter(_._2.dirty).keySet ++ tStats.filter(_._2.dirty).keySet ++ tsTouched
       val full  = !selective || pStats.isEmpty || dirty.size * 5 >= pStats.size * 4
-      // 1. postings: live rows only, dirty buckets rewritten, clean carried.
-      if (full)
-        minus(IndexStore.readRel(spark, live, "postings", "bucket", man))
-          .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/postings")
-      else if (dirty.nonEmpty)
-        minus(IndexStore.readRel(spark, live, "postings", "bucket", man)
-            .where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*)))
-          .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/postings")
-      // Schema of the just-written staged postings (data columns + the
-      // directory-encoded bucket) — passing it to the recount re-reads
-      // below skips their schema-inference jobs.
-      lazy val stagedPostingsSchema = org.apache.spark.sql.types.StructType(
-        minus(IndexStore.readRel(spark, live, "postings", "bucket", man)).schema
-          .filter(_.name != "bucket") :+
-          org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType))
-      // 2. terms: doc-frequencies RECOUNTED from the compacted postings of
-      //    the same buckets (a term's postings name all its live docs), so
-      //    merge-on-read becomes identity again; clean buckets carried.
-      //    The recount reads the PHYSICAL staged postings — exactly the
-      //    rewritten buckets, no manifest resolution needed or wanted.
-      if (full)
-        spark.read.schema(stagedPostingsSchema).parquet(s"$staged/postings")
-          .groupBy("bucket", "term").agg(count(lit(1)).as("doc_freq"))
-          .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/terms")
-      else if (dirty.nonEmpty)
-        spark.read.schema(stagedPostingsSchema).parquet(s"$staged/postings")
-          .where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*))
-          .groupBy("bucket", "term").agg(count(lit(1)).as("doc_freq"))
-          .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/terms")
-      // 3. docs: unpartitioned thin relation (doc_id, len) — rewritten
-      //    whole when it holds tombstoned rows or append segments (no
-      //    partition key to prune by; the rewrite is one column-pruned
-      //    scan of the thinnest relation), manifest-carried otherwise.
-      //    No explicit repartition: the parquet read packs small appended
-      //    segments into maxPartitionBytes-sized splits, so the rewrite
-      //    folds file count to ~bytes/128MB without paying a shuffle.
-      val docsDirty = ts.isDefined || bm25DocsSegments(spark, live) > 1
-      val docsEntries =
-        if (!selective || docsDirty) {
-          minus(IndexStore.readRelFlat(spark, live, "docs", man)).write.parquet(s"$staged/docs")
-          IndexStore.stagedFlatEntry(spark, root, staged, "docs")
-        } else
-          IndexStore.carriedFlatEntry(spark, root, live, "docs", man)
-      // All three relations land in ONE manifest: rewritten buckets with
-      // fresh recorded bases, clean buckets as references.
       val carriedParts = if (full) Nil else (pStats.keySet -- dirty).toSeq.sorted
       val carriedTerms = if (full) Nil else (tStats.keySet -- dirty).toSeq.sorted
-      IndexStore.writeManifest(spark, staged,
-        IndexStore.stagedEntries(spark, root, staged, "postings", "bucket") ++
-          IndexStore.carriedEntries(spark, root, live, "postings", "bucket", carriedParts, man) ++
-          IndexStore.stagedEntries(spark, root, staged, "terms", "bucket") ++
-          IndexStore.carriedEntries(spark, root, live, "terms", "bucket", carriedTerms, man) ++
-          docsEntries)
+      // The postings→terms chain (terms recounts from the STAGED postings,
+      // so it must follow them) and the independent docs rewrite run
+      // CONCURRENTLY ([[IndexStore.inParallel]] — the lease is held by the
+      // enclosing swap and shared with the worker threads): compact wall
+      // becomes max(chain, docs), not their sum.
+      val Seq(postingsTermsEntries, docsEntries) = IndexStore.inParallel(
+        () => {
+          // 1. postings: live rows only, dirty buckets rewritten, clean carried.
+          if (full)
+            minus(IndexStore.readRel(spark, live, "postings", "bucket", man))
+              .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/postings")
+          else if (dirty.nonEmpty)
+            minus(IndexStore.readRel(spark, live, "postings", "bucket", man)
+                .where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*)))
+              .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/postings")
+          // Schema of the just-written staged postings (data columns + the
+          // directory-encoded bucket) — passing it to the recount re-reads
+          // below skips their schema-inference jobs.
+          lazy val stagedPostingsSchema = org.apache.spark.sql.types.StructType(
+            minus(IndexStore.readRel(spark, live, "postings", "bucket", man)).schema
+              .filter(_.name != "bucket") :+
+              org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType))
+          // 2. terms: doc-frequencies RECOUNTED from the compacted postings of
+          //    the same buckets (a term's postings name all its live docs), so
+          //    merge-on-read becomes identity again; clean buckets carried.
+          //    The recount reads the PHYSICAL staged postings — exactly the
+          //    rewritten buckets, no manifest resolution needed or wanted.
+          if (full)
+            spark.read.schema(stagedPostingsSchema).parquet(s"$staged/postings")
+              .groupBy("bucket", "term").agg(count(lit(1)).as("doc_freq"))
+              .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/terms")
+          else if (dirty.nonEmpty)
+            spark.read.schema(stagedPostingsSchema).parquet(s"$staged/postings")
+              .where(col("bucket").isin(dirty.toSeq.sorted.map(b => b: Any): _*))
+              .groupBy("bucket", "term").agg(count(lit(1)).as("doc_freq"))
+              .repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$staged/terms")
+          IndexStore.stagedEntries(spark, root, staged, "postings", "bucket") ++
+            IndexStore.carriedEntries(spark, root, live, "postings", "bucket", carriedParts, man) ++
+            IndexStore.stagedEntries(spark, root, staged, "terms", "bucket") ++
+            IndexStore.carriedEntries(spark, root, live, "terms", "bucket", carriedTerms, man)
+        },
+        () => {
+          // 3. docs: unpartitioned thin relation (doc_id, len) — rewritten
+          //    whole when it holds tombstoned rows or append segments (no
+          //    partition key to prune by; the rewrite is one column-pruned
+          //    scan of the thinnest relation), manifest-carried otherwise.
+          //    No explicit repartition: the parquet read packs small appended
+          //    segments into maxPartitionBytes-sized splits, so the rewrite
+          //    folds file count to ~bytes/128MB without paying a shuffle.
+          val docsDirty = ts.isDefined || bm25DocsSegments(spark, live) > 1
+          if (!selective || docsDirty) {
+            minus(IndexStore.readRelFlat(spark, live, "docs", man)).write.parquet(s"$staged/docs")
+            IndexStore.stagedFlatEntry(spark, root, staged, "docs")
+          } else
+            IndexStore.carriedFlatEntry(spark, root, live, "docs", man)
+        })
+      // All three relations land in ONE manifest: rewritten buckets with
+      // fresh recorded bases, clean buckets as references.
+      IndexStore.writeManifest(spark, staged, postingsTermsEntries ++ docsEntries)
       // No baseline artifact to refresh: docs' segment arithmetic counts
       // distinct WRITE GROUPS from file names ([[bm25DocsSegments]]), and
       // a rewrite's files all share one job UUID — the next sweep reads 1.
@@ -1256,14 +1275,19 @@ object TextAnalysis {
       .distinct().as[Int].collect().sorted
     val prune = (df: DataFrame) =>
       if (touched.isEmpty) df.where(lit(false)) else df.where(col("bucket").isin(touched.map(x => x: Any): _*))
-    val postings = prune(graft.operators.IndexStore.readRel(spark, dd, "postings", "bucket")).drop("bucket")
+    // Manifest parsed ONCE for all three relation reads — probes run per
+    // micro-batch, and each convenience-form readRel re-opened and
+    // re-parsed the generation manifest (three driver round-trips per
+    // probe on an object store).
+    val man = graft.operators.IndexStore.readManifest(spark, dd)
+    val postings = prune(graft.operators.IndexStore.readRel(spark, dd, "postings", "bucket", man)).drop("bucket")
     // Term stats are stored ADDITIVELY (an append writes partial doc_freq
     // rows for its batch); merge-on-read re-aggregates the PRUNED slice —
     // identity for a never-appended index, a few rows per query term
     // otherwise. The log-structured-merge shape.
-    val terms = prune(graft.operators.IndexStore.readRel(spark, dd, "terms", "bucket")).drop("bucket")
+    val terms = prune(graft.operators.IndexStore.readRel(spark, dd, "terms", "bucket", man)).drop("bucket")
       .groupBy("term").agg(sum("doc_freq").as("doc_freq"))
-    val docs = graft.operators.IndexStore.readRelFlat(spark, dd, "docs")
+    val docs = graft.operators.IndexStore.readRelFlat(spark, dd, "docs", man)
     val index = bm25TombstonesAt(spark, dd) match {
       case Some(ts) =>
         // Deletes invalidate the stored per-term doc counts; recount from

@@ -104,10 +104,18 @@ object StreamGates {
     }
     def partOf(stage: Path): Path = {
       val listing = Files.list(stage)
-      try listing.toArray.map(_.asInstanceOf[Path])
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part written under $stage"))
-      finally listing.close()
+      // Exactly ONE data file per staged chunk dir, enforced loudly: the
+      // replay install moves a single file, so a second part (e.g. a
+      // future maxRecordsPerFile split of the partitioned staging write)
+      // would otherwise SILENTLY drop its rows from the replay.
+      try {
+        val parts = listing.toArray.map(_.asInstanceOf[Path])
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+        if (parts.length > 1)
+          sys.error(s"expected exactly one parquet part under $stage, found ${parts.length}: " +
+            parts.map(_.getFileName).mkString(", "))
+        parts.headOption.getOrElse(sys.error(s"no parquet part written under $stage"))
+      } finally listing.close()
     }
     def addFile(df: DataFrame): Unit = {
       val stage = stageDir.resolve(s"stage_$fileNo")

@@ -42,7 +42,10 @@ object TimeQuery {
         s
       }
       val c1 = (1 to 2).map(_ => canaryOnce()).min
-      println(f"[$name] best=${times.drop(1).min}%.3f s canary=$c0%.3f/$c1%.3f")
+      // reps=0 → warmup-only run: no post-warmup sample to summarize.
+      times.drop(1).reduceOption(_ min _).foreach { best =>
+        println(f"[$name] best=$best%.3f s canary=$c0%.3f/$c1%.3f")
+      }
     }
     spark.stop()
   }

@@ -22,8 +22,11 @@ python3 tools/check_oracle.py /root/testdata/sf0.01 "$VOUT" \
   --json "correctness_r${N}_final.json" | tail -3
 
 echo "== Bench sweep @ sf0.1 =="
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 tools/run_main.sh graft.Bench \
-  | tail -1 | python3 -c "import sys,json; d=json.loads(sys.stdin.read().strip().splitlines()[-1]); json.dump(d, open('bench_r${N}_final.json','w')); print('total', d['value'], 's /', len(d['queries']), 'queries')"
+# Bench's LAST stdout line is now a short summary (driver tail-capture
+# fix); the full per-query JSON is written to $SPARK_GRAFT_BENCH_OUT.
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT="bench_r${N}_final.json" \
+  tools/run_main.sh graft.Bench | tail -1
+python3 -c "import json; d=json.load(open('bench_r${N}_final.json')); print('total', d['value'], 's /', len(d['queries']), 'queries')"
 
 # Canary-normalized round-over-round adjudication (VERDICT r13 #5): scale
 # pairwise ratios by the box-speed canary ratio before flagging, so a
