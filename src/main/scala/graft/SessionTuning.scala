@@ -29,5 +29,20 @@ object SessionTuning {
     spark.conf.set(
       "spark.sql.sources.parallelPartitionDiscovery.threshold",
       sys.env.getOrElse("SPARK_GRAFT_LIST_PARALLEL_THRESHOLD", "1024"))
+    // AQE partition-coalescing floor (parallelism-first target). The
+    // index compact/append writes shuffle 0.2-3 MB per relation here;
+    // with the default 1MB floor AQE coalesces them to ONE task, which
+    // then pays EVERY bucket's parquet-writer init serially (measured
+    // ~1 s single-task write jobs for <1 MB of output — 32-64 dynamic
+    // partition dirs x ~15 ms init). A lower floor keeps small shuffles
+    // spread across tasks (bytes/floor, capped by the parallelism-first
+    // rule at ~cores) while large shuffles are untouched — the floor
+    // only binds when partitions are SMALL. Scale note: on a production
+    // cluster the same floor is fine (it is a FLOOR, not a count — big
+    // shuffles still target advisory size); raise it if tiny tasks ever
+    // dominate scheduler cost.
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_PARTITION", "1MB"))
   }
 }

@@ -126,7 +126,8 @@ object Dedup {
     */
   def sharedSubstringCounts(df: DataFrame, textCol: String, idCol: String, k: Int = 50): DataFrame = {
     val docs = Lineage.truncate(
-      df.select(col(idCol).cast("long").as("doc_id"), hashedShingles(col(textCol), k).as("shs"))
+      Lineage.fanOutSmall(df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__graft_txt")))
+        .select(col("doc_id"), hashedShingles(col("__graft_txt"), k).as("shs"))
     )
     val grams  = docs.select(col("doc_id"), explode(col("shs")).as("gram"))
     val shared = grams
@@ -361,9 +362,12 @@ object Dedup {
     // One hashing pass: the inverted index derives the (doc, shingle)
     // stream from this cached frame 3× (stop-shingle counts + both join
     // sides) and verification reads it again — without the checkpoint
-    // every derivation re-hashed the whole corpus.
+    // every derivation re-hashed the whole corpus. fanOutSmall: a
+    // single-split scan would otherwise hash — and run every stage up to
+    // the first exchange — on ONE core ([[Lineage.fanOutSmall]]).
     val docs0 = Lineage.truncate(
-      df.select(col(idCol).cast("long").as("doc_id"), hashedShingles(col(textCol), n).as("shs"))
+      Lineage.fanOutSmall(df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__graft_txt")))
+        .select(col("doc_id"), hashedShingles(col("__graft_txt"), n).as("shs"))
     )
     // Boilerplate EXCISION (opt-in): drop shingles whose document
     // frequency exceeds frac·|corpus| from every document's set BEFORE
@@ -528,7 +532,8 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig  = df.select(col(idCol).as("doc_id"), minHashSignature(col(textCol), n, numHashes).as("sig"))
+    val sig  = Lineage.fanOutSmall(df.select(col(idCol).as("doc_id"), col(textCol).as("__graft_txt")))
+      .select(col("doc_id"), minHashSignature(col("__graft_txt"), n, numHashes).as("sig"))
     val banded = sig.select(
       col("doc_id"),
       explode(
@@ -582,7 +587,8 @@ object Dedup {
     // exactly the formulation the DuckDB oracle uses) and the exact
     // verification.
     val docs = Lineage.truncate(
-      df.select(col(idCol).cast("long").as("doc_id"), hashedShingles(col(textCol), n).as("shs"))
+      Lineage.fanOutSmall(df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__graft_txt")))
+        .select(col("doc_id"), hashedShingles(col("__graft_txt"), n).as("shs"))
     )
     val rawCand = bandedCandidatesFromHashes(docs, numHashes, bands)
     verifyPairs(rawCand, docs, threshold, verify, docsMaterialized = true)
@@ -789,7 +795,8 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig  = df.select(col(idCol).cast("long").as("doc_id"), minHashSignature(col(textCol), n, numHashes).as("sig"))
+    val sig  = Lineage.fanOutSmall(df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__graft_txt")))
+      .select(col("doc_id"), minHashSignature(col("__graft_txt"), n, numHashes).as("sig"))
     val banded = sig.select(
       col("doc_id"),
       explode(
@@ -1057,9 +1064,10 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 32
   ): DataFrame =
-    df.select(
-      col(idCol).cast("long").as("doc_id"),
-      minHashSignature(col(textCol), n, numHashes).as("sig"))
+    // fanOutSmall: the MD5-per-shingle signature UDF must not run on the
+    // single split a small corpus scans as ([[Lineage.fanOutSmall]]).
+    Lineage.fanOutSmall(df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__graft_txt")))
+      .select(col("doc_id"), minHashSignature(col("__graft_txt"), n, numHashes).as("sig"))
 
   /** [[incrementalDedup]] output. `survivors`: new rows admitted to the
     * corpus (index misses, deduplicated among themselves). `matchedVsIndex`:

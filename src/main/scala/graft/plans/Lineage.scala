@@ -41,6 +41,25 @@ object Lineage {
     else df.checkpoint()
   }
 
+  /** Floor `df`'s partition count at the session's default parallelism
+    * BEFORE a per-row-expensive derivation (shingle hashing, MinHash
+    * digests): a small corpus arrives from the scan as ONE sub-128MB
+    * split, so the expensive pass — and every stage until the first
+    * exchange — runs on ONE core while the rest idle (measured: the
+    * whole q_split_leakage_safe family flat from 8→32 cores). The
+    * repartition is CONDITIONAL on the planned scan parallelism, so at
+    * real scale (inputs already ≥ cores' worth of splits) it is a
+    * no-op — no shuffle added; when it does fire it shuffles only the
+    * projected input columns, bytes that are small precisely when it
+    * fires. Results are partitioning-independent (set/hash semantics),
+    * and keyless round-robin repartition is retry-deterministic
+    * (sort-before-repartition, SPARK-23207).
+    */
+  def fanOutSmall(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** [[truncate]] plus an explicit RELEASE handle for the checkpoint's
     * storage. Checkpointed blocks are pinned (a truncated frame cannot be
     * recomputed), so an iterative operator that truncates per round and
