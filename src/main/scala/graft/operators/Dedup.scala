@@ -1336,6 +1336,11 @@ object Dedup {
       // carries generations) rebuilds as a NEW generation + atomic flip,
       // never interrupting concurrent probes.
       IndexStore.overwriteRoot(spark, path) { dir =>
+        // SEQUENTIAL on purpose: the banded overwrite-write targets `dir`
+        // ITSELF and Spark's static overwrite deletes the whole dir at
+        // job start — a concurrently-written meta subdir would race that
+        // delete (cf. the BM25 build, whose relations live in disjoint
+        // subdirs and do overlap via [[IndexStore.inParallel]]).
         banded.write.mode("overwrite").partitionBy("bucket").parquet(dir)
         Seq((n, numHashes, bands, keyBuckets)).toDF("n", "numHashes", "bands", "keyBuckets")
           .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
@@ -2452,6 +2457,8 @@ object Dedup {
       }
     else
       IndexStore.overwriteRoot(spark, path) { dir =>
+        // SEQUENTIAL on purpose: the overwrite-write targets `dir` itself
+        // and deletes the whole dir at job start (see persistSignatureIndex).
         banded.write.mode("overwrite").partitionBy("bucket").parquet(dir)
         Seq((maxHamming, fpBits, keyBuckets)).toDF("maxHamming", "fpBits", "keyBuckets")
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/_graft_fp_meta")
@@ -2804,6 +2811,8 @@ object Dedup {
       }
     else
       IndexStore.overwriteRoot(spark, path) { dir =>
+        // SEQUENTIAL on purpose: the overwrite-write targets `dir` itself
+        // and deletes the whole dir at job start (see persistSignatureIndex).
         grams.write.mode("overwrite").partitionBy("bucket").parquet(dir)
         Seq((k, gramBuckets)).toDF("k", "gramBuckets")
           .coalesce(1).write.mode("overwrite").parquet(gramMetaPath(dir))

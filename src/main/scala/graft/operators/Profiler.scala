@@ -57,7 +57,14 @@ object Profiler {
         max(col(c)).cast("string").as(s"__mx_$c")
       )
     }
-    val row   = df.agg(count(lit(1)).as("__n"), aggs: _*).head
+    // fanOutSmall over the PROJECTED columns: a single-file table would
+    // otherwise run the whole multi-aggregate map side (count-distinct
+    // expansion, HLL updates, min/max) on ONE task; every aggregate here
+    // is partition-independent (HLL registers merge by max, the rest are
+    // commutative), so results are unchanged. No-op at scale
+    // ([[graft.plans.Lineage.fanOutSmall]]).
+    val row = graft.plans.Lineage.fanOutSmall(df.select(cols.map(col): _*))
+      .agg(count(lit(1)).as("__n"), aggs: _*).head
     val total = row.getAs[Long]("__n")
     val out = cols.map { c =>
       Row(

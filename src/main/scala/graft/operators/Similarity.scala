@@ -600,6 +600,9 @@ object Similarity {
     // Flat roots write in place; compacted (generational) roots rebuild
     // as a new generation + atomic pointer flip — serving uninterrupted.
     graft.operators.IndexStore.overwriteRoot(spark, path) { dir =>
+      // SEQUENTIAL on purpose: the cell overwrite-write targets `dir`
+      // itself and deletes the whole dir at job start — a concurrently
+      // written centroid subdir would race that delete.
       ivfAssign(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), "vec", centroids)
         // One shuffle on the partition column → whole cells per task, one
         // file per (task, cell) instead of tasks×cells small files.
@@ -1514,16 +1517,27 @@ object Similarity {
           pqEncoder(model)(col(vecCol)).as("__e"))
         .select(col("vec_id"), col("vec"),
           col("__e._1").as("pq_code"), col("__e._2").as("pq_norm"))
+      // The cell overwrite-write targets `dir` itself and deletes the
+      // whole dir at job start, so the frozen artifacts must land AFTER
+      // it (a concurrent subdir write would race the delete). The three
+      // tiny artifact writes and the drift-baseline sampling ARE
+      // independent of one another once the data is down — they overlap
+      // ([[graft.operators.IndexStore.inParallel]]; the baseline samples
+      // the CORPUS, not the staged rows).
       ivfAssign(coded, "vec", centroids)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
-      saveCentroids(spark, centroids, s"$dir/_graft_centroids")
-      savePqModel(spark, model, s"$dir/_graft_pq")
-      // Train-time quantization-error BASELINE — the reference point
-      // [[pqDrift]] measures codebook drift against.
-      val (mqe, sampled) = pqSampledMqe(
-        corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), "vec_id", "vec", model)
-      writePqStats(spark, dir, mqe, sampled)
+      graft.operators.IndexStore.inParallel(
+        () => saveCentroids(spark, centroids, s"$dir/_graft_centroids"),
+        () => savePqModel(spark, model, s"$dir/_graft_pq"),
+        () => {
+          // Train-time quantization-error BASELINE — the reference point
+          // [[pqDrift]] measures codebook drift against.
+          val (mqe, sampled) = pqSampledMqe(
+            corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), "vec_id", "vec", model)
+          writePqStats(spark, dir, mqe, sampled)
+        })
+      ()
     }
   }
 

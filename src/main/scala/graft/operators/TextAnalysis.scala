@@ -938,15 +938,20 @@ object TextAnalysis {
     // Flat roots write in place; compacted (generational) roots rebuild
     // as a new generation + atomic pointer flip — serving uninterrupted.
     graft.operators.IndexStore.overwriteRoot(spark, path) { dir =>
-      index.postings.withColumn("bucket", bucket)
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
-      index.terms.withColumn("bucket", bucket)
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms")
-      index.docs.write.mode("overwrite").parquet(s"$dir/docs")
-      Seq(termBuckets).toDF("termBuckets")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_graft_meta")
+      // Four independent projections of one build into disjoint paths —
+      // the build wall approaches max(relation writes) instead of their
+      // sum ([[graft.operators.IndexStore.inParallel]]).
+      graft.operators.IndexStore.inParallel(
+        () => index.postings.withColumn("bucket", bucket)
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings"),
+        () => index.terms.withColumn("bucket", bucket)
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/terms"),
+        () => index.docs.write.mode("overwrite").parquet(s"$dir/docs"),
+        () => Seq(termBuckets).toDF("termBuckets")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/_graft_meta"))
+      ()
     }
   }
 
