@@ -57,14 +57,15 @@ object Profiler {
         max(col(c)).cast("string").as(s"__mx_$c")
       )
     }
-    // fanOutSmall over the PROJECTED columns: a single-file table would
-    // otherwise run the whole multi-aggregate map side (count-distinct
-    // expansion, HLL updates, min/max) on ONE task; every aggregate here
-    // is partition-independent (HLL registers merge by max, the rest are
-    // commutative), so results are unchanged. No-op at scale
-    // ([[graft.plans.Lineage.fanOutSmall]]).
-    val row = graft.plans.Lineage.fanOutSmall(df.select(cols.map(col): _*))
-      .agg(count(lit(1)).as("__n"), aggs: _*).head
+    // Measured and REJECTED (r16): fanning the map side out
+    // ([[graft.plans.Lineage.fanOutSmall]]) before this multi-aggregate
+    // made the profile SLOWER (paired A/B: q_profile_hll 2.60 -> 3.14 s)
+    // — exact count-distinct partials cannot pre-reduce unique keys, so
+    // the added repartition shuffle + N-way distinct hash maps cost more
+    // than the serial scan they replaced. Unlike the shingle/MinHash
+    // passes (whose per-row UDF work dwarfs a narrow shuffle), this map
+    // side is cheap per row; leave the scan's own parallelism alone.
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*).head
     val total = row.getAs[Long]("__n")
     val out = cols.map { c =>
       Row(
